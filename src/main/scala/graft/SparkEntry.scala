@@ -1,13 +1,416 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.VectorFunctions
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — the declared query set of SURVEY.md §2h.
+  *
+  * Every oracle-checked query follows the determinism rules of SURVEY.md §5:
+  * total ORDER BY on both sides, decimal-cast sums, double arithmetic with
+  * identical operation order, `ts` compared as epoch-nanos (Spark reads the
+  * NANOS parquet column as long via `nanosAsLong`; DuckDB via `epoch_ns`),
+  * and column names aliased identically in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val Dec = "decimal(38,4)"
+
+  /** Flagship query (slice 0): left-outer join + decimal group-agg — the
+    * reference's J1 + A-family shape (`01. Ingest.py:129` + §2d) on the
+    * fixtures. Driver smoke-checks rows > 0 at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val l   = t(spark, dir, "lineitem")
+    val o   = t(spark, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
+      .groupBy("l_returnflag")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec)).cast(Dec).as("sum_rev"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // =====================================================================
+  // Query implementations (one per SURVEY §2 operator family)
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- S5 scan + P1/P6/P7 projection/cast/literal -----------------------
+    "q_scan_project" -> ((s, d) => {
+      t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec).as("revenue"),
+          lit("A").as("tag"),
+          col("l_quantity").cast("long").as("qty"))
+        // (l_orderkey, l_linenumber) is not unique in the fixture lineitem —
+        // total order needs the value columns too (SURVEY §5 hazard: row order)
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "qty")
+    }),
+
+    // -- filter reaching the parquet scan (P8 analog) ---------------------
+    "q_filter_pushdown" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_quantity") < 10 && col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // -- F1 regexp_extract ------------------------------------------------
+    "q_regexp_extract" -> ((s, d) => {
+      t(s, d, "documents").select(
+          col("doc_id"),
+          regexp_extract(col("text"), "the ([a-z]+)", 1).as("after_the"),
+          regexp_extract(col("source"), "src([0-9]+)", 1).cast("long").as("src_num"))
+        .orderBy("doc_id")
+    }),
+
+    // -- F2 replace + F3 JSON + nanos timestamp ---------------------------
+    "q_string_replace_json" -> ((s, d) => {
+      t(s, d, "events").select(
+          col("event_id"),
+          // LongType epoch-nanos via nanosAsLong (SURVEY §5.1); compared at
+          // µs precision because DuckDB's TIMESTAMP truncates sub-µs.
+          expr("ts div 1000").as("ts_us"),
+          expr("replace(event_type, 'click', 'tap')").as("etype"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // -- A2 distinct ------------------------------------------------------
+    "q_distinct_labels" -> ((s, d) =>
+      t(s, d, "events").select("event_type").distinct().orderBy("event_type")),
+
+    // -- A1/A3 count + count-distinct ------------------------------------
+    "q_count_distinct" -> ((s, d) =>
+      t(s, d, "customer").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))),
+
+    // -- A4 dictionary-encode (dense_rank semantics, broadcast re-attach) -
+    "q_label_index" -> ((s, d) => {
+      Relational.withDictIndex(t(s, d, "documents"), "lang", "label_index")
+        .select(col("doc_id"), col("lang"), col("label_index"))
+        .orderBy("doc_id")
+    }),
+
+    // -- J1 left-outer equi-join -----------------------------------------
+    "q_join_leftouter" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // -- 3-way inner join, dims explicitly broadcast ----------------------
+    "q_join_inner_multi" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- group-agg: sum/count/avg/min/max (decimal-exact) -----------------
+    "q_group_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(Dec)).cast(Dec).as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec)).cast(Dec).as("sum_rev"),
+          count(lit(1)).as("n"),
+          (sum(col("l_quantity").cast(Dec)).cast("double") / count(lit(1))).as("avg_qty"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // -- A5 grouped-map (typed flatMapGroups; oracle = window MIN) --------
+    "q_grouped_map" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      val outSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value_rebased", DoubleType)))
+      GroupedMap.flatMapGroupsRows(ev, "event_type", outSchema) { (key, it) =>
+        val rows = it.toArray
+        val mn   = rows.iterator.map(_.getDouble(2)).min
+        rows.iterator.map(r => Row(r.getLong(0), key, r.getDouble(2) - mn))
+      }.orderBy("event_id")
+    }),
+
+    // -- window rank ------------------------------------------------------
+    "q_window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"))
+        .where(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    }),
+
+    // -- L1 top-k (TakeOrderedAndProject) --------------------------------
+    "q_topk" -> ((s, d) =>
+      Relational.topK(t(s, d, "orders"), 10, col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // -- P4/P5 struct construction + nested field extraction --------------
+    "q_struct_nested" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("s"), col("o_orderpriority").as("p")).as("meta"))
+        .select(col("o_orderkey"), col("meta.s").as("status"), col("meta.p").as("priority"))
+        .orderBy("o_orderkey")
+    }),
+
+    // -- S8 schema-evolution union ---------------------------------------
+    "q_union_schema" -> ((s, d) => {
+      val p  = t(s, d, "part")
+      val v1 = p.select(col("p_partkey"), col("p_name"))
+      val v2 = p.select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      Relational.unionEvolved(v1, v2)
+        .orderBy(col("p_partkey"), col("p_name").asc_nulls_first)
+    }),
+
+    // -- F4/F5 argmax + round over arrays --------------------------------
+    "q_argmax_round" -> ((s, d) => {
+      t(s, d, "embeddings").select(
+          col("vec_id"),
+          VectorFunctions.argmax(col("embedding")).as("argmax_idx"),
+          round(array_max(col("embedding")).cast("double"), 3).as("max_val"))
+        .orderBy("vec_id")
+    }),
+
+    // -- north-star: exact dedup -----------------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), "text", "doc_id").orderBy("content_hash")),
+
+    // -- north-star: text stats histogram --------------------------------
+    "q_text_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"))
+        .orderBy("lang")
+    }),
+
+    // -- north-star: per-doc token count ---------------------------------
+    "q_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // -- north-star: quality score ---------------------------------------
+    "q_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // -- north-star: bag-of-words fingerprint dedup ----------------------
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // -- north-star: exact n-gram (token-set) Jaccard of adjacent docs ----
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sets = docs.select(col("doc_id"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+      val a = sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // -- north-star: brute-force cosine top-k ----------------------------
+    "q_similarity_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q   = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.cosineTopK(emb, "embedding", "vec_id", q, 20)
+    }),
+
+    // -- L4 repartition preserves content --------------------------------
+    "q_repartition_stable" -> ((s, d) =>
+      t(s, d, "lineitem").repartition(8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // ================= non-oracle queries (rows-only check) =============
+
+    // -- L3 seeded random split (engine-specific RNG, SURVEY §5 hazard 3) -
+    "q_random_split" -> ((s, d) => {
+      val Array(train, va) =
+        Relational.seededSplit(t(s, d, "lineitem"), Array(0.6, 0.4), 12345L)
+      train.select(col("l_orderkey"), col("l_linenumber")).withColumn("split", lit("train"))
+        .unionAll(va.select(col("l_orderkey"), col("l_linenumber")).withColumn("split", lit("val")))
+    }),
+
+    // -- north-star: MinHash + LSH near-dup candidates --------------------
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashCandidatePairs(t(s, d, "documents"), "text", "doc_id",
+        shingleN = 2, numHashes = 64, bands = 16, minJaccard = 0.3)),
+
+    // -- north-star: SimHash near-dup candidates --------------------------
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashCandidatePairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 3)),
+
+    // -- north-star: heuristic language ID --------------------------------
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("guessed_lang"))
+        .orderBy("doc_id")),
+
+    // -- north-star: LSH-bucketed approximate nearest neighbors -----------
+    "q_similarity_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q   = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.annLshTopK(emb, "embedding", "vec_id", q, k = 20)
+    })
+  )
+
+  // =====================================================================
+  // Oracle SQL (DuckDB 1.0.0) — names and arithmetic order mirror the
+  // Spark side exactly (driver hash-compares after sorting columns by name).
+  // =====================================================================
+
+  private val tokensSql  = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val stopInList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4)) AS revenue,
+        |'A' AS tag, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, qty""".stripMargin.replace("\n", " "),
+
+    "q_filter_pushdown" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_quantity < 10 AND l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1998-01-01' " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity"),
+
+    "q_regexp_extract" ->
+      ("SELECT doc_id, regexp_extract(text, 'the ([a-z]+)', 1) AS after_the, " +
+        "CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS src_num " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_string_replace_json" ->
+      ("SELECT event_id, epoch_us(ts) AS ts_us, " +
+        "replace(event_type, 'click', 'tap') AS etype, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val " +
+        "FROM events ORDER BY event_id"),
+
+    "q_distinct_labels" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q_count_distinct" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT c_mktsegment) AS n_segments FROM customer",
+
+    "q_label_index" ->
+      ("SELECT doc_id, lang, CAST(DENSE_RANK() OVER (ORDER BY lang) - 1 AS BIGINT) AS label_index " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_join_leftouter" ->
+      ("SELECT l_orderkey, l_linenumber, o_orderstatus, o_totalprice " +
+        "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+    "q_join_inner_multi" ->
+      ("SELECT c_custkey, c_name, n_name, r_name FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey"),
+
+    "q_group_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_rev, " +
+        "COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+        "MIN(l_discount) AS min_disc, MAX(l_extendedprice) AS max_price " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "q_grouped_map" ->
+      ("SELECT event_id, event_type, value - MIN(value) OVER (PARTITION BY event_type) AS value_rebased " +
+        "FROM events ORDER BY event_id"),
+
+    "q_window_rank" ->
+      ("SELECT * FROM (SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk " +
+        "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey"),
+
+    "q_topk" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+
+    "q_struct_nested" ->
+      ("SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "q_union_schema" ->
+      ("SELECT p_partkey, p_name, CAST(NULL AS VARCHAR) AS p_brand, CAST(NULL AS DOUBLE) AS p_retailprice FROM part " +
+        "UNION ALL " +
+        "SELECT p_partkey, CAST(NULL AS VARCHAR) AS p_name, p_brand, p_retailprice FROM part " +
+        "ORDER BY p_partkey, p_name NULLS FIRST"),
+
+    "q_argmax_round" ->
+      ("SELECT vec_id, CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT) AS argmax_idx, " +
+        "ROUND(CAST(list_max(embedding) AS DOUBLE), 3) AS max_val " +
+        "FROM embeddings ORDER BY vec_id"),
+
+    "q_dedup_exact" ->
+      ("SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_dup " +
+        "FROM documents GROUP BY content_hash ORDER BY content_hash"),
+
+    "q_text_stats" ->
+      (s"SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        s"CAST(SUM(len($tokensSql)) AS BIGINT) AS total_tokens " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+
+    "q_token_count" ->
+      (s"SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"),
+
+    "q_quality_score" ->
+      (s"SELECT doc_id, ROUND(" +
+        s"LEAST(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.4 + " +
+        s"(1.0 - (CASE WHEN len(regexp_replace(lower(text), '\\s', '', 'g')) = 0 THEN 0.0 " +
+        s"ELSE CAST(len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / " +
+        s"CAST(len(regexp_replace(lower(text), '\\s', '', 'g')) AS DOUBLE) END)) * 0.3 + " +
+        s"LEAST((CASE WHEN len($tokensSql) = 0 THEN 0.0 " +
+        s"ELSE CAST(len(list_filter($tokensSql, w -> w IN ($stopInList))) AS DOUBLE) / " +
+        s"CAST(len($tokensSql) AS DOUBLE) END) * 5.0, 1.0) * 0.3" +
+        ", 6) AS quality FROM documents ORDER BY doc_id"),
+
+    "q_fingerprint" ->
+      (s"SELECT doc_id, sha256(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_ngram_jaccard" ->
+      (s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        s"ROUND(CASE WHEN len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) = 0 THEN 0.0 " +
+        s"ELSE CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+')))) AS DOUBLE) / " +
+        s"CAST(len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) AS DOUBLE) END, 6) AS jaccard " +
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    "q_similarity_cosine" ->
+      ("SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos " +
+        "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20"),
+
+    "q_repartition_stable" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"
+  )
 }

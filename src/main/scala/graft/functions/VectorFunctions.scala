@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType` embedding columns, built entirely from
+  * Catalyst higher-order functions (`zip_with` / `aggregate` / `transform`)
+  * — no UDF boundary, no serialization of the closure per row, and the
+  * expressions evaluate inside the task thread (the reference pays a
+  * Python-worker hop for the equivalent numpy math,
+  * `02.a Train - TensorFlow Distributed.py:226-231`).
+  *
+  * Determinism: all folds are sequential left-to-right over the array, in
+  * double precision, so results are bit-stable across partitionings and
+  * match a straightforward scalar loop (the DuckDB oracle's
+  * `list_cosine_similarity` over `DOUBLE[]` agrees to 1 ulp).
+  */
+object VectorFunctions {
+
+  /** Widen a float array to double before arithmetic (exact conversion). */
+  def toDoubleArray(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Dot product: sequential fold, double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity: dot(a,b) / (|a| * |b|). Inputs may be float arrays;
+    * they are widened to double first. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDoubleArray(a)
+    val bd = toDoubleArray(b)
+    dot(ad, bd) / (norm2(ad) * norm2(bd))
+  }
+
+  /** 0-based index of the max element (F4, the reference's `np.argmax`,
+    * `02.a …:226,230`). Ties resolve to the first occurrence, matching
+    * numpy. */
+  def argmax(a: Column): Column =
+    (array_position(a, array_max(a)) - 1).cast("long")
+}

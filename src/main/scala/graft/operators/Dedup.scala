@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * fingerprint, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Never shuffle the document payload. Every shuffling stage projects to
+  *    (key, id) or (key, signature) first; full rows are re-attached by key
+  *    join at the end if the caller wants them. This is the reference's own
+  *    rule ("reduce df down to data used", `01. Ingest.py:122-129`),
+  *    promoted to an invariant.
+  *  - MinHash signatures are computed per-row with Catalyst higher-order
+  *    functions — a single map-side pass, no explode of the shingle set
+  *    through a shuffle, no UDF/UDAF state.
+  *  - LSH banding multiplies rows only by the number of bands, carrying
+  *    (band_key, id) — candidate generation cost is independent of document
+  *    size.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup groups: sha256 content hash → (keep_id = min id, count).
+    * Only (hash, id) flows through the shuffle. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(idCol).cast("long").as("keep_id"), count(lit(1)).as("n_dup"))
+
+  /** Keep exactly one row (the min-id one) per distinct text. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.join(
+      exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol)),
+      Seq(idCol))
+
+  // ---------------------------------------------------------- shingling
+
+  /** Distinct character n-gram (shingle) set of the lowercased text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+        i => t.substr(i, lit(n))))
+  }
+
+  /** Distinct word n-gram set (n consecutive tokens joined by a space). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** 2^61 - 1 (Mersenne prime) for the (a*h+b) mod p hash family. */
+  private val Prime = 2305843009213693951L
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4a2ca9ab4c19bL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic (a_i, b_i) coefficients for the permutation family.
+    * Sized so `a * h + b` never overflows a long under ANSI mode: the base
+    * hash is reduced to 32 bits and `a < 2^29`, so `a*h < 2^61` and adding
+    * `b < 2^31` stays below 2^62. */
+  private def coeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val a = Array.tabulate(numHashes)(i => (splitmix64(seed + 2L * i) & Long.MaxValue) % ((1L << 29) - 1) + 1)
+    val b = Array.tabulate(numHashes)(i => (splitmix64(seed + 2L * i + 1) & Long.MaxValue) % ((1L << 31) - 1))
+    (a, b)
+  }
+
+  /** MinHash signature (array of `numHashes` longs) of a shingle-set column.
+    *
+    * One sequential fold over the shingle array: for each shingle the base
+    * xxhash64 is permuted through `numHashes` affine maps and the
+    * element-wise minimum is kept. Pure per-row computation — embarrassingly
+    * parallel, zero shuffle. */
+  def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val (a, b) = coeffs(numHashes, seed)
+    val init   = array(Array.fill(numHashes)(lit(Long.MaxValue)): _*)
+    aggregate(
+      shingles,
+      init,
+      (acc, s) => {
+        val h     = pmod(xxhash64(s), lit(1L << 32)) // 32-bit base hash (overflow-safe family)
+        val perms = array((0 until numHashes).map(i => pmod(h * lit(a(i)) + lit(b(i)), lit(Prime))): _*)
+        zip_with(acc, perms, (x, y) => least(x, y))
+      })
+  }
+
+  /** Estimated Jaccard similarity = fraction of agreeing signature slots. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, x) => acc + x).cast("double") / size(sigA).cast("double")
+
+  /** LSH band keys: hash each of `bands` contiguous signature slices
+    * (band index is mixed in so identical slices in different bands do not
+    * collide). */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(j => xxhash64(slice(sig, j * rowsPerBand + 1, rowsPerBand), lit(j))): _*)
+
+  /** Near-duplicate candidate pairs via MinHash + LSH banding.
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
+    * `minJaccard`. The only shuffled payload is (band_key, id, signature);
+    * rows sharing any band bucket meet in a self-equi-join on band_key.
+    * At 100 TB the band join is the classic LSH plan: bucket sizes stay
+    * small for reasonable (bands, rowsPerBand), and AQE handles stragglers
+    * from pathological buckets. */
+  def minHashCandidatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val r = numHashes / bands
+    val sigs = df.select(
+      col(idCol).cast("long").as("id"),
+      minHashSignature(wordShingles(col(textCol), shingleN), numHashes).as("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
+    banded.persist()
+    // Bucket-size cap: a bucket of n rows yields n(n-1)/2 pairs, so one
+    // degenerate mega-bucket (boilerplate, empty docs, …) dominates the whole
+    // join quadratically. Production corpus-dedup pipelines cap or drop such
+    // buckets; near-dups inside a dropped bucket still meet in their other
+    // `bands - 1` buckets.
+    val buckets = banded.groupBy("band_key").count()
+      .where(col("count") >= 2 && col("count") <= maxBucketSize)
+      .select("band_key")
+    val capped = banded.join(buckets, Seq("band_key"))
+    val left   = capped.select(col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val right  = capped.select(col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    left
+      .join(right, Seq("band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .where(col("est_jaccard") >= minJaccard)
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  private val BitMasks: Array[Long] = Array.tabulate(64)(b => 1L << b)
+
+  /** 64-bit SimHash over a token array: bit b of the result is set iff the
+    * sum over tokens of ±1 (sign = bit b of xxhash64(token)) is positive.
+    * Single per-row fold, no shuffle. */
+  def simHash(tokensCol: Column): Column = {
+    val masks = array(BitMasks.map(lit): _*)
+    val counters = aggregate(
+      tokensCol,
+      array(Array.fill(64)(lit(0L)): _*),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, masks, (c, m) => c + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counters, masks, (c, m) => when(c > 0L, m).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: block on 4 × 16-bit sub-hashes (two
+    * hashes within Hamming distance ≤3 of each other share at least one
+    * exact 16-bit block — pigeonhole), then filter on true distance. */
+  def simHashCandidatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 64): DataFrame = {
+    val hashed = df.select(
+      col(idCol).cast("long").as("id"),
+      simHash(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val blocked = hashed.select(
+      col("id"), col("sh"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("blk"), shiftright(col("sh"), j * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("block"))
+      .select(col("id"), col("sh"), col("block.blk"), col("block.key"))
+    blocked.persist()
+    // Same quadratic-bucket cap as MinHash LSH (see minHashCandidatePairs).
+    val buckets = blocked.groupBy("blk", "key").count()
+      .where(col("count") >= 2 && col("count") <= maxBucketSize)
+      .select("blk", "key")
+    val capped = blocked.join(buckets, Seq("blk", "key"))
+    val left   = capped.select(col("blk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right  = capped.select(col("blk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    left
+      .join(right, Seq("blk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Exact Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val uni = size(array_union(a, b))
+    when(uni === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / uni.cast("double"))
+  }
+
+  /** Exact n-gram Jaccard verification of candidate pairs: re-attach the
+    * shingle sets by id join (payload never rides through the LSH shuffle)
+    * and compute the true Jaccard. Typical use: filter
+    * `minHashCandidatePairs` output to confirmed near-duplicates. */
+  def verifyPairsExactJaccard(
+      pairs: DataFrame, // (id_a, id_b, …)
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).cast("long").as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+}

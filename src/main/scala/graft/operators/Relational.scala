@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators beyond plain built-ins (SURVEY.md §2d/§2e). */
+object Relational {
+
+  /** A4 dictionary-encode: attach a dense 0-based index = lexicographic rank
+    * of the label (the reference's `sorted(labels)` + `enumerate` + UDF
+    * lookup, `01. Ingest.py:76-88`).
+    *
+    * Scale design (100 TB): the reference collects the distinct labels to the
+    * driver and closes a Python UDF over the dict — a driver round-trip plus
+    * a per-row Python hop. Here the distinct aggregation reduces the table to
+    * the (tiny) label set, the rank window runs on that tiny set only (a
+    * single partition of |labels| rows — never a full-table window), and the
+    * re-attach is an explicit broadcast hash join, so the big side is
+    * neither shuffled nor collected.
+    */
+  def withDictIndex(df: DataFrame, labelCol: String, indexCol: String): DataFrame = {
+    val labels = df
+      .select(labelCol)
+      .distinct()
+      .withColumn(indexCol, (dense_rank().over(Window.orderBy(col(labelCol))) - 1).cast("long"))
+    df.join(broadcast(labels), Seq(labelCol))
+  }
+
+  /** Top-k by explicit order. Plans as TakeOrderedAndProject: per-partition
+    * heap of k rows, then a k-way driver merge — no global sort, no full
+    * shuffle, O(k) driver memory. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** S8 mergeSchema emulation (`.option("mergeSchema", True)` on Delta
+    * writes, `01. Ingest.py:180`): union two schema-evolved relations by
+    * column name, null-filling columns missing on either side. */
+  def unionEvolved(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** L3: seeded random split (reference train/val split, `02.a …:79`).
+    * Direct built-in; engine-specific sampling, so never oracle-checked
+    * (SURVEY.md §5 hazard 3) — self-tested for disjointness + completeness. */
+  def seededSplit(df: DataFrame, weights: Array[Double], seed: Long): Array[DataFrame] =
+    df.randomSplit(weights, seed)
+}

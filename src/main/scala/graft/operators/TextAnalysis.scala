@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * quality scoring, language identification, fingerprinting. All pure
+  * Catalyst expressions (no UDFs) so they pushdown/prune/codegen like any
+  * built-in and run identically at 100 TB — the only shuffles are whatever
+  * aggregation the caller adds on top.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (lowercased). `\s+` on trimmed text matches the
+    * DuckDB oracle's `string_split_regex(trim(lower(text)), '\s+')`. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count heuristic: words + digit runs + punctuation
+    * marks counted separately (a cheap stand-in for a real tokenizer's
+    * token count, useful for budget estimates). */
+  def subwordCountApprox(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Public so the DuckDB oracle SQL is generated from the same constant. */
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * natural-language-ness signal in corpus quality filters. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(
+        size(filter(t, w => w.isInCollection(stopwordsEn))).cast("double") /
+          size(t).cast("double"))
+  }
+
+  /** Fraction of non-whitespace characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(lower(text), "[a-z0-9\\s]", "")
+    val nonWs    = regexp_replace(lower(text), "\\s", "")
+    when(length(nonWs) === 0, lit(0.0))
+      .otherwise(length(stripped).cast("double") / length(nonWs).cast("double"))
+  }
+
+  /** Composite document quality score in [0,1]: length signal + low-punct
+    * signal + stopword-presence signal. Deterministic double arithmetic —
+    * the DuckDB oracle replicates the identical formula. */
+  def qualityScore(text: Column): Column = {
+    val lengthScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punctScore  = lit(1.0) - punctRatio(text)
+    val stopScore   = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round(lengthScore * lit(0.4) + punctScore * lit(0.3) + stopScore * lit(0.3), 6)
+  }
+
+  /** Per-language marker tokens for the n-gram/stopword language-ID
+    * heuristic. Small closed sets keep the generated `In` predicates
+    * codegen-friendly. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "you", "that", "with", "this", "have"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "que", "es", "una", "y", "con"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "que", "dans", "pour", "je"))
+
+  /** Heuristic language ID: argmax over marker-token hit counts, with a CJK
+    * character-range detector for zh. Returns a language code column. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = langMarkers.map { case (lang, ws) =>
+      struct(
+        size(filter(t, w => w.isInCollection(ws))).cast("double").as("score"),
+        lit(lang).as("lang"))
+    }
+    // CJK codepoints are strong evidence: weight 2 per character.
+    val zh = struct(
+      (length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) * 2).cast("double").as("score"),
+      lit("zh").as("lang"))
+    // greatest() over (score, lang) structs: max score, ties → lexicographically
+    // greatest language code (deterministic).
+    greatest((scores :+ zh): _*).getField("lang")
+  }
+
+  /** Canonical bag-of-words fingerprint: sha256 over the sorted distinct
+    * lowercase token set. Two documents with the same token set (any order,
+    * any duplication) collide — the classic "fingerprint dedup" canonical
+    * form. */
+  def fingerprint(text: Column): Column =
+    sha2(array_join(array_sort(array_distinct(tokens(text))), " "), 256)
+}
