@@ -1,7 +1,9 @@
 package graft
 
 import graft.functions.VectorFunctions
+import graft.image.{ImageFixtures, ImagePipeline, ImageUdfs}
 import graft.operators._
+import graft.streaming.StreamingInference
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -280,6 +282,45 @@ object SparkEntry {
       val q   = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       Similarity.annLshTopK(emb, "embedding", "vec_id", q, k = 20)
+    }),
+
+    // -- S2+I1+A4 image ingest: binaryFile scan → label → size → index -----
+    // (binary pipeline; self-checked in ImagePipelineSpec — no SQL oracle)
+    "q_image_size" -> ((s, _) => {
+      val dir = ImageFixtures.shared()
+      ImagePipeline.ingest(s, dir)
+        .select(
+          regexp_extract(col("path"), "(flower_photos/.*)$", 1).as("rel_path"),
+          col("label"), col("size.width").as("width"), col("size.height").as("height"),
+          col("label_index"))
+        .orderBy("rel_path")
+    }),
+
+    // -- A5+I3 grouped-map grayscale, compared on decoded pixels ----------
+    "q_image_grayscale" -> ((s, _) => {
+      val dir = ImageFixtures.shared()
+      ImagePipeline.ingest(s, dir)
+        .select(
+          regexp_extract(col("path"), "(flower_photos/.*)$", 1).as("rel_path"),
+          col("label"), col("grayscale_format"),
+          ImageUdfs.pixelChecksum(col("grayscale_image")).as("gray_checksum"))
+        .orderBy("rel_path")
+    }),
+
+    // -- S6+S9 micro-batch file stream → stateless transform → append sink
+    // (batch-equivalence self-checked in StreamingSpec — no SQL oracle)
+    "q_stream_inference" -> ((s, d) => {
+      val work    = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val srcDir  = s"$work/src"
+      t(s, d, "events").select("event_id", "event_type", "value")
+        .repartition(4).write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      StreamingInference.streamTransform(
+        s, srcDir, schema,
+        df => df.select(col("event_id"), col("event_type"),
+          (col("value") * 2.0 + 1.0).as("score")),
+        s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 2)
+        .orderBy("event_id")
     })
   )
 

@@ -1,0 +1,174 @@
+package graft.image
+
+import java.awt.RenderingHints
+import java.awt.geom.AffineTransform
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** JVM-native image kernels (SURVEY.md §2g I1–I5) — the reference runs these
+  * as PIL/pandas code inside Python workers
+  * (`01. Ingest.py:54-62,102-114`, `02.b Train - PyTorch Distributed.py:231-247`);
+  * here they are plain Scala functions on `Array[Byte]` executed inside the
+  * task thread, exposed through [[ImageUdfs]]. No native deps: `javax.imageio`
+  * + AWT in headless mode (`GraftSession` sets `java.awt.headless`).
+  *
+  * Design rule carried from the reference (`02.a …:151`): decode late — these
+  * kernels run inside the consuming operator; decoded pixel/float tensors are
+  * never persisted to a table.
+  */
+object Kernels {
+
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    img
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def encodeJpg(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    // JPEG writer requires no alpha channel.
+    val rgb = toType(img, BufferedImage.TYPE_3BYTE_BGR)
+    ImageIO.write(rgb, "jpg", out)
+    out.toByteArray
+  }
+
+  private def toType(img: BufferedImage, imageType: Int): BufferedImage =
+    if (img.getType == imageType) img
+    else {
+      val converted = new BufferedImage(img.getWidth, img.getHeight, imageType)
+      val g = converted.createGraphics()
+      g.drawImage(img, 0, 0, null)
+      g.dispose()
+      converted
+    }
+
+  /** I1: decode + size — the reference's `Image.open(BytesIO(content)).size`
+    * (`01. Ingest.py:54-62`). */
+  def size(bytes: Array[Byte]): (Int, Int) = {
+    val img = decode(bytes)
+    (img.getWidth, img.getHeight)
+  }
+
+  /** I3: grayscale conversion + PNG encode — `convert('L')` + `save(format=
+    * "png")` (`01. Ingest.py:102-114`). Output is a single-channel PNG. */
+  def grayscalePng(bytes: Array[Byte]): Array[Byte] = {
+    val src  = decode(bytes)
+    val gray = new BufferedImage(src.getWidth, src.getHeight, BufferedImage.TYPE_BYTE_GRAY)
+    val g    = gray.createGraphics()
+    g.drawImage(src, 0, 0, null)
+    g.dispose()
+    encodePng(gray)
+  }
+
+  /** I2: decode + bilinear resize — `Image.open(...).resize([w, h])`
+    * (`02.a …:157-163`). Returns JPEG bytes (input payloads are JPEG). */
+  def resizeJpg(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    encodeJpg(resize(decode(bytes), w, h))
+
+  def resize(src: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g   = dst.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION, RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, w, h, null)
+    g.dispose()
+    dst
+  }
+
+  /** ImageNet channel statistics used by the reference's normalization
+    * (`02.a …:163`, `02.b …:244`). */
+  val ImageNetMean: Array[Float] = Array(0.485f, 0.456f, 0.406f)
+  val ImageNetStd: Array[Float]  = Array(0.229f, 0.224f, 0.225f)
+
+  /** I4: decode → resize → normalized float tensor in HWC layout, channel
+    * order RGB, values `(x/255 - mean) / std`. The float tensor is produced
+    * inside the consuming operator only — never persisted (§4 design rule). */
+  def normalizedFeatures(bytes: Array[Byte], w: Int = 224, h: Int = 224): Array[Float] = {
+    val img = resize(decode(bytes), w, h)
+    val out = new Array[Float](w * h * 3)
+    var y   = 0
+    var i   = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r   = ((rgb >> 16) & 0xff) / 255.0f
+        val gC  = ((rgb >> 8) & 0xff) / 255.0f
+        val b   = (rgb & 0xff) / 255.0f
+        out(i) = (r - ImageNetMean(0)) / ImageNetStd(0)
+        out(i + 1) = (gC - ImageNetMean(1)) / ImageNetStd(1)
+        out(i + 2) = (b - ImageNetMean(2)) / ImageNetStd(2)
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Center crop to a square of `side` (after shorter-edge resize), as in
+    * the reference's eval transform `Resize(256) → CenterCrop(224)`
+    * (`02.b …:243-247`). */
+  def centerCropJpg(bytes: Array[Byte], side: Int): Array[Byte] = {
+    val src     = decode(bytes)
+    val (w, h)  = (src.getWidth, src.getHeight)
+    val scale   = math.max(side.toDouble / w, side.toDouble / h)
+    val (rw, rh) = (math.max(side, math.round(w * scale).toInt), math.max(side, math.round(h * scale).toInt))
+    val resized = resize(src, rw, rh)
+    val cropped = resized.getSubimage((rw - side) / 2, (rh - side) / 2, side, side)
+    encodeJpg(cropped)
+  }
+
+  /** I5: seeded random-resized-crop + horizontal flip — the reference's
+    * train-time augmentation `RandomResizedCrop(224)` + `RandomHorizontalFlip`
+    * (`02.b …:231-241`), made deterministic per row by an explicit seed
+    * (callers derive it from a stable row key, e.g. `xxhash64(path)`). */
+  def randomCropFlipJpg(bytes: Array[Byte], side: Int, seed: Long): Array[Byte] = {
+    val rnd     = new scala.util.Random(seed)
+    val src     = decode(bytes)
+    val (w, h)  = (src.getWidth, src.getHeight)
+    val minSide = math.min(w, h)
+    val cropSide = math.max(1, (minSide * (0.6 + 0.4 * rnd.nextDouble())).toInt)
+    val x       = rnd.nextInt(math.max(1, w - cropSide + 1))
+    val y       = rnd.nextInt(math.max(1, h - cropSide + 1))
+    val flip    = rnd.nextBoolean()
+    val cropped = src.getSubimage(x, y, cropSide, cropSide)
+    val resized = resize(cropped, side, side)
+    val outImg =
+      if (!flip) resized
+      else {
+        val tx = AffineTransform.getScaleInstance(-1, 1)
+        tx.translate(-resized.getWidth, 0)
+        val flipped = new BufferedImage(resized.getWidth, resized.getHeight, BufferedImage.TYPE_3BYTE_BGR)
+        val g       = flipped.createGraphics()
+        g.drawImage(resized, tx, null)
+        g.dispose()
+        flipped
+      }
+    encodeJpg(outImg)
+  }
+
+  /** Decoded grayscale pixel checksum — for tests/queries that must compare
+    * image results without depending on encoder byte-stability (SURVEY.md §5
+    * hazard 4: assert on decoded pixels, never encoded bytes). */
+  def decodedPixelChecksum(bytes: Array[Byte]): Long = {
+    val img = decode(bytes)
+    var acc = 1469598103934665603L // FNV offset
+    var y   = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        acc = (acc ^ (img.getRGB(x, y) & 0xffffff)) * 1099511628211L
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+}

@@ -1,0 +1,78 @@
+package graft.image
+
+/** Pluggable model-as-UDF surface (SURVEY.md §2g I6): the reference wraps an
+  * MLflow pyfunc model in a Spark UDF returning `[prediction,
+  * probabilities-json]` (`03. Inference.py:28-34,86-90`,
+  * `02.a Train - TensorFlow Distributed.py:192-233`). Our engine keeps the
+  * pipeline shape — a model loaded once per executor, applied as a UDF —
+  * with the DL runtime behind this trait.
+  *
+  * Implementations must be deterministic and serializable (shipped in the
+  * task closure; heavyweight state should live in a `lazy val` so it
+  * initializes once per executor JVM, mirroring the reference's per-worker
+  * model load `02.b …:311-318`).
+  */
+trait ScoringModel extends Serializable {
+  def classes: Seq[String]
+
+  /** Raw class scores for a feature vector (higher = more likely). */
+  def scores(features: Array[Float]): Array[Double]
+
+  /** Softmax probabilities. */
+  final def probabilities(features: Array[Float]): Array[Double] = {
+    val s   = scores(features)
+    val mx  = s.max
+    val exp = s.map(v => math.exp(v - mx))
+    val sum = exp.sum
+    exp.map(_ / sum)
+  }
+
+  /** The reference's result contract: `[prediction, probabilities-json]`
+    * (`02.a …:227-233`: class name + `json.dumps` of class→rounded prob). */
+  final def predict(features: Array[Float]): Array[String] = {
+    val probs = probabilities(features)
+    val best  = probs.indices.maxBy(probs)
+    val json = classes.zip(probs)
+      .map { case (c, p) => s""""$c": ${math.rint(p * 1000) / 1000.0}""" }
+      .mkString("{", ", ", "}")
+    Array(classes(best), json)
+  }
+}
+
+/** Deterministic stand-in model: linear layer over channel statistics with
+  * splitmix64-derived fixed weights. No DL runtime exists in this
+  * environment (SURVEY.md §1) — this preserves the I6 pipeline shape
+  * (decode → featurize → score → [prediction, json]) with reproducible
+  * outputs that tests can assert on. */
+final class LinearScoringModel(val classes: Seq[String], seed: Long = 42L) extends ScoringModel {
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4a2ca9ab4c19bL
+    z ^ (z >>> 31)
+  }
+
+  /** 6 summary features: per-channel mean + per-channel mean|x|. */
+  private def featurize(features: Array[Float]): Array[Double] = {
+    val sums = new Array[Double](6)
+    var i    = 0
+    while (i < features.length) {
+      val c = i % 3
+      sums(c) += features(i)
+      sums(3 + c) += math.abs(features(i))
+      i += 1
+    }
+    val n = math.max(1, features.length / 3)
+    sums.map(_ / n)
+  }
+
+  private val weights: Array[Array[Double]] = Array.tabulate(classes.length, 6) { (c, f) =>
+    (splitmix64(seed + c * 131L + f).toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+  }
+
+  override def scores(features: Array[Float]): Array[Double] = {
+    val x = featurize(features)
+    weights.map(w => w.zip(x).map { case (a, b) => a * b }.sum)
+  }
+}

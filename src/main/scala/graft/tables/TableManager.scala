@@ -1,0 +1,85 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Table-management layer (SURVEY.md §2a S7–S13): managed Parquet tables
+  * standing in for the reference's Delta tables. This environment ships no
+  * Delta jar (SURVEY.md §1), so the specific Delta behaviors the reference
+  * exercises are emulated — with file-commit-protocol (not transaction-log)
+  * guarantees, scoped to exactly what the reference uses.
+  */
+object TableManager {
+
+  /** S7: overwrite + create managed table
+    * (`write.format("delta").mode("overwrite").saveAsTable`,
+    * `00. Explore.py:66`). */
+  def overwriteTable(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** S8: `.option("mergeSchema", true)` overwrite emulation
+    * (`01. Ingest.py:180`, `03. Inference.py:46-51`): the new table schema is
+    * the union of the existing table's schema and the incoming one; columns
+    * the incoming data lacks are null-filled with the existing type. */
+  def overwriteTableMergeSchema(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    if (!spark.catalog.tableExists(table)) { overwriteTable(df, table); return }
+    val existing = spark.table(table).schema
+    val incoming = df.schema
+    val missing  = existing.filterNot(f => incoming.fieldNames.contains(f.name))
+    val widened  = missing.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    // Stable column order: existing columns first, then genuinely new ones.
+    val ordered = existing.fieldNames ++ incoming.fieldNames.filterNot(existing.fieldNames.contains)
+    val aligned = widened.select(ordered.map(col).toIndexedSeq: _*)
+    // Overwriting the table being read requires materializing the plan first
+    // (Delta does this via the transaction log; we stage through a temp view
+    // of collected files by writing to a staging dir and swapping).
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val staging   = s"$warehouse/__staging_$table"
+    aligned.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").format("parquet").saveAsTable(table)
+    deleteDir(spark, staging)
+  }
+
+  /** S10: OPTIMIZE-style small-file compaction (`00. Explore.py:89-90`,
+    * `01. Ingest.py:188-189`) for a path table: rewrite the directory into
+    * `targetFiles` files via an atomic rename swap. A maintenance procedure,
+    * not a Catalyst rule (SURVEY.md §4). */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
+    val fs   = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp  = new Path(dir + ".__compact_tmp")
+    val bak  = new Path(dir + ".__compact_bak")
+    spark.read.parquet(dir).repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(new Path(dir), bak)) sys.error(s"compact: could not stage $dir")
+    if (!fs.rename(tmp, new Path(dir))) { fs.rename(bak, new Path(dir)); sys.error(s"compact: swap failed for $dir") }
+    fs.delete(bak, true)
+  }
+
+  /** Number of data files currently backing a path table (compaction metric). */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(dir)).count(s => s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** S11: run `body` with a specific Parquet compression codec, restoring the
+    * previous codec after — the reference brackets binary-payload writes with
+    * `uncompressed` (`01. Ingest.py:176-183`: JPEG bytes don't recompress). */
+  def withParquetCodec[T](spark: SparkSession, codec: String)(body: => T): T = {
+    val key  = "spark.sql.parquet.compression.codec"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, codec)
+    try body
+    finally spark.conf.set(key, prev)
+  }
+
+  /** S13: drop table + recursive dir delete (`%fs rm -r`,
+    * `03. Inference.py:62-67`). */
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactGroups keeps min id and counts duplicates") {
+    val df  = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exactGroups(df, "text", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("dropExactDuplicates is idempotent") {
+    val df   = docs(1L -> "a", 2L -> "a", 3L -> "b")
+    val once = Dedup.dropExactDuplicates(df, "text", "doc_id")
+    assert(once.count() == 2)
+    assert(Dedup.dropExactDuplicates(once, "text", "doc_id").count() == 2)
+  }
+
+  test("minHash LSH surfaces a planted near-duplicate pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 38).map(i => s"tok$i").mkString(" ") + " other1 other2"
+    val far  = (100 to 140).map(i => s"alt$i").mkString(" ")
+    val df   = docs(1L -> base, 2L -> near, 3L -> far)
+    val pairs = Dedup.minHashCandidatePairs(df, "text", "doc_id",
+      shingleN = 1, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("estimatedJaccard is 1.0 for identical texts") {
+    val df = docs(1L -> "w1 w2 w3 w4", 2L -> "w1 w2 w3 w4")
+    val est = Dedup.minHashCandidatePairs(df, "text", "doc_id",
+      shingleN = 1, numHashes = 64, bands = 16, minJaccard = 0.0)
+      .collect().head.getDouble(2)
+    assert(est == 1.0)
+  }
+
+  test("simHash of identical token streams is identical; near texts are close") {
+    import spark.implicits._
+    val df = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota").toDF("text")
+    val hs = df.select(Dedup.simHash(TextAnalysis.tokens(col("text"))).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) < 20)
+  }
+
+  test("simHashCandidatePairs finds identical docs at hamming 0") {
+    val df = docs(1L -> "p q r s t u v w", 2L -> "p q r s t u v w", 3L -> "completely different words here now ok yes no")
+    val pairs = Dedup.simHashCandidatePairs(df, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccard exact values") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j  = df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("verifyPairsExactJaccard re-attaches payload and confirms candidates") {
+    val df    = docs(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "z z2 z3 z4 z5 z6")
+    val pairs = Dedup.minHashCandidatePairs(df, "text", "doc_id",
+      shingleN = 1, numHashes = 64, bands = 16, minJaccard = 0.2)
+    val exact = Dedup.verifyPairsExactJaccard(pairs, df, "text", "doc_id", shingleN = 1)
+      .where(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(exact.nonEmpty)
+    assert(math.abs(exact.head.getDouble(2) - 5.0 / 7.0) < 1e-9)
+  }
+}

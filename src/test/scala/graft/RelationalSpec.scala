@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("withDictIndex assigns 0-based lexicographic ranks (A4 semantics)") {
+    import spark.implicits._
+    val df  = Seq("tulips", "daisy", "roses", "daisy", "tulips").toDF("label")
+    val out = Relational.withDictIndex(df, "label", "idx")
+      .select("label", "idx").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("daisy" -> 0L, "roses" -> 1L, "tulips" -> 2L))
+  }
+
+  test("withDictIndex preserves row count (re-attach join is 1:1)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(Relational.withDictIndex(docs, "lang", "idx").count() == docs.count())
+  }
+
+  test("topK returns exactly k rows in order") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val top    = Relational.topK(orders, 5, col("o_totalprice").desc, col("o_orderkey")).collect()
+    assert(top.length == 5)
+    val prices = top.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("unionEvolved null-fills missing columns on both sides") {
+    import spark.implicits._
+    val a   = Seq((1L, "x")).toDF("id", "name")
+    val b   = Seq((2L, 3.5)).toDF("id", "price")
+    val out = Relational.unionEvolved(a, b)
+    assert(out.columns.toSet == Set("id", "name", "price"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 3.5)
+  }
+
+  test("seededSplit is disjoint, complete, and reproducible (L3 self-check)") {
+    val li           = Tables.load(spark, sfDir, "lineitem")
+    val n            = li.count()
+    val Array(a, b)  = Relational.seededSplit(li, Array(0.6, 0.4), 7L)
+    val Array(a2, _) = Relational.seededSplit(li, Array(0.6, 0.4), 7L)
+    assert(a.count() + b.count() == n)
+    assert(a.count() == a2.count())
+    assert(a.intersect(b).count() == 0)
+  }
+}

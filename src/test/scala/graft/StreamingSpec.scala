@@ -1,0 +1,45 @@
+package graft
+
+import graft.streaming.StreamingInference
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def transform(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("event_type"), (col("value") * 2.0 + 1.0).as("score"))
+
+  test("micro-batch stream result equals batch result (SURVEY §5.4)") {
+    val work   = Files.createTempDirectory("graft_stream_spec").toString
+    val srcDir = s"$work/src"
+    Tables.load(spark, sfDir, "events").select("event_id", "event_type", "value")
+      .repartition(4).write.parquet(srcDir)
+
+    val batchResult = transform(spark.read.parquet(srcDir))
+      .orderBy("event_id").collect()
+
+    val schema = spark.read.parquet(srcDir).schema
+    val streamed = StreamingInference.streamTransform(
+      spark, srcDir, schema, transform, s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1)
+      .orderBy("event_id").collect()
+
+    assert(streamed.length == batchResult.length)
+    assert(streamed.sameElements(batchResult))
+  }
+
+  test("checkpoint makes re-run a no-op (exactly-once append)") {
+    val work   = Files.createTempDirectory("graft_stream_spec2").toString
+    val srcDir = s"$work/src"
+    Tables.load(spark, sfDir, "events").select("event_id", "event_type", "value")
+      .limit(100).repartition(2).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val first = StreamingInference.streamTransform(
+      spark, srcDir, schema, transform, s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1).count()
+    // Same checkpoint, no new files → second run appends nothing.
+    val second = StreamingInference.streamTransform(
+      spark, srcDir, schema, transform, s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1).count()
+    assert(first == 100L && second == 100L)
+  }
+}

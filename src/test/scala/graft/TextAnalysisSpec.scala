@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c).head()
+  }
+
+  test("tokenCount splits on whitespace runs, trimmed") {
+    assert(one("  the quick   brown fox ", TextAnalysis.tokenCount(col("text"))).getLong(0) == 4L)
+  }
+
+  test("stopwordRatio and punctRatio") {
+    assert(one("the a of xyzzy", TextAnalysis.stopwordRatio(col("text"))).getDouble(0) == 0.75)
+    assert(one("ab!?", TextAnalysis.punctRatio(col("text"))).getDouble(0) == 0.5)
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val texts = Seq("", "!!!", "the cat sat on the mat", ("word " * 200).trim)
+    texts.foreach { t =>
+      val q = one(t, TextAnalysis.qualityScore(col("text"))).getDouble(0)
+      assert(q >= 0.0 && q <= 1.0, s"score $q out of range for '$t'")
+    }
+  }
+
+  test("langId identifies real-language samples") {
+    val cases = Seq(
+      "the cat and the dog is in the house with you" -> "en",
+      "der hund und die katze ist nicht in das haus" -> "de",
+      "el perro y la casa es una cosa que los gatos" -> "es",
+      "le chien est dans une maison que les chats pour je" -> "fr",
+      "你好世界这是中文文本" -> "zh")
+    cases.foreach { case (text, expected) =>
+      assert(one(text, TextAnalysis.langId(col("text"))).getString(0) == expected, s"for: $text")
+    }
+  }
+
+  test("fingerprint is order- and duplication-invariant") {
+    val a = one("b a c a", TextAnalysis.fingerprint(col("text"))).getString(0)
+    val b = one("c b a", TextAnalysis.fingerprint(col("text"))).getString(0)
+    val c = one("c b a d", TextAnalysis.fingerprint(col("text"))).getString(0)
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("subwordCountApprox counts words, digit runs, punctuation") {
+    assert(one("hello, world 42", TextAnalysis.subwordCountApprox(col("text"))).getLong(0) == 4L)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
+    val cs = df.select(VectorFunctions.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(cs(0) == 1.0 && cs(1) == 0.0 && cs(2) == -1.0)
+  }
+
+  test("dot is a sequential double fold") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(
+      VectorFunctions.toDoubleArray(col("a")),
+      VectorFunctions.toDoubleArray(col("b")))).head().getDouble(0) == 32.0)
+  }
+
+  test("argmax matches numpy first-max semantics") {
+    import spark.implicits._
+    val df = Seq(Seq(1f, 9f, 9f, 2f)).toDF("a")
+    assert(df.select(VectorFunctions.argmax(col("a"))).head().getLong(0) == 1L)
+  }
+
+  test("cosineTopK self-match ranks first") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q   = emb.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
+    val top = Similarity.cosineTopK(emb, "embedding", "vec_id", q, 5).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(top.head.getDouble(1) == 1.0)
+    val cs = top.map(_.getDouble(1))
+    assert(cs.sameElements(cs.sortBy(-_)))
+  }
+
+  test("ANN recall: LSH top-k overlaps brute-force top-k") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q   = emb.where(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val exact = Similarity.cosineTopK(emb, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annLshTopK(emb, "embedding", "vec_id", q, k = 10,
+      nBits = 16, maxHamming = 6).collect().map(_.getLong(0)).toSet
+    assert(ann.contains(3L), "self must survive the LSH filter")
+    assert((exact & ann).size >= 5, s"recall too low: ${(exact & ann).size}/10")
+  }
+}
