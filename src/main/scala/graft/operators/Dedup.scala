@@ -97,6 +97,50 @@ object Dedup {
       })
   }
 
+  /** Tight-loop JVM MinHash signature kernel — same semantics as
+    * [[minHashSignature]] (own base hash family) but ~an order of magnitude
+    * faster: Catalyst higher-order functions evaluate interpreted, and the
+    * 64-permutation fold per shingle dominates; a scalar UDF with a while
+    * loop is the sanctioned escape hatch for per-row imperative kernels
+    * (SURVEY.md §7 custom-vs-builtin tally). Tokenization + shingling +
+    * hashing happen inside the loop — no intermediate arrays cross the
+    * Tungsten boundary. */
+  def minHashSignatureUdf(shingleN: Int, numHashes: Int, seed: Long = 42L)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val (a, b) = coeffs(numHashes, seed)
+    udf((text: String) => {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val sig  = Array.fill(numHashes)(Long.MaxValue)
+      val seen = new java.util.HashSet[Long]()
+      val last = math.max(0, toks.length - shingleN)
+      var j    = 0
+      while (j <= last) {
+        // polynomial hash over the shingle's tokens, splitmix-finished
+        var h = 1125899906842597L
+        var t = j
+        val end = math.min(toks.length, j + shingleN)
+        while (t < end) {
+          val s = toks(t)
+          var c = 0
+          while (c < s.length) { h = 31 * h + s.charAt(c); c += 1 }
+          h = 31 * h + ' '
+          t += 1
+        }
+        val h0 = splitmix64(h) & 0xffffffffL
+        if (seen.add(h0)) {
+          var k = 0
+          while (k < numHashes) {
+            val v = (h0 * a(k) + b(k)) % Prime
+            if (v < sig(k)) sig(k) = v
+            k += 1
+          }
+        }
+        j += 1
+      }
+      sig
+    })
+  }
+
   /** Estimated Jaccard similarity = fraction of agreeing signature slots. */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
     aggregate(
@@ -131,10 +175,13 @@ object Dedup {
     val r = numHashes / bands
     val sigs = df.select(
       col(idCol).cast("long").as("id"),
-      minHashSignature(wordShingles(col(textCol), shingleN), numHashes).as("sig"))
+      minHashSignatureUdf(shingleN, numHashes)(col(textCol)).as("sig"))
+      .persist() // reused for banding and for the post-dedup re-attach
+    // Payload discipline: only (band_key, id) — 16 bytes — flows through the
+    // band join and the pair dedup; the 8*numHashes-byte signatures are
+    // re-attached per unique pair afterwards by id join.
     val banded = sigs
-      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
-    banded.persist()
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
     // Bucket-size cap: a bucket of n rows yields n(n-1)/2 pairs, so one
     // degenerate mega-bucket (boilerplate, empty docs, …) dominates the whole
     // join quadratically. Production corpus-dedup pipelines cap or drop such
@@ -144,13 +191,14 @@ object Dedup {
       .where(col("count") >= 2 && col("count") <= maxBucketSize)
       .select("band_key")
     val capped = banded.join(buckets, Seq("band_key"))
-    val left   = capped.select(col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val right  = capped.select(col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    left
-      .join(right, Seq("band_key"))
+    val pairs = capped.select(col("band_key"), col("id").as("id_a"))
+      .join(capped.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= minJaccard)
   }
@@ -177,6 +225,33 @@ object Dedup {
       (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Tight-loop JVM SimHash kernel — same rationale as
+    * [[minHashSignatureUdf]]: the 64-lane counter update per token is
+    * interpreted under Catalyst HOFs; a while-loop UDF wins decisively. */
+  val simHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val toks     = text.trim.toLowerCase.split("\\s+")
+      val counters = new Array[Int](64)
+      var i        = 0
+      while (i < toks.length) {
+        val s = toks(i)
+        var h = 1125899906842597L
+        var c = 0
+        while (c < s.length) { h = 31 * h + s.charAt(c); c += 1 }
+        h = splitmix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b   = 0
+      while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+      out
+    })
+
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -191,26 +266,28 @@ object Dedup {
       maxBucketSize: Int = 64): DataFrame = {
     val hashed = df.select(
       col(idCol).cast("long").as("id"),
-      simHash(TextAnalysis.tokens(col(textCol))).as("sh"))
+      simHashUdf(col(textCol)).as("sh"))
+      .persist() // reused for blocking and for the post-dedup re-attach
     val blocked = hashed.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("blk"), shiftright(col("sh"), j * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("block"))
-      .select(col("id"), col("sh"), col("block.blk"), col("block.key"))
-    blocked.persist()
+      .select(col("id"), col("block.blk"), col("block.key"))
     // Same quadratic-bucket cap as MinHash LSH (see minHashCandidatePairs).
     val buckets = blocked.groupBy("blk", "key").count()
       .where(col("count") >= 2 && col("count") <= maxBucketSize)
       .select("blk", "key")
     val capped = blocked.join(buckets, Seq("blk", "key"))
-    val left   = capped.select(col("blk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right  = capped.select(col("blk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    left
-      .join(right, Seq("blk", "key"))
+    val pairs = capped.select(col("blk"), col("key"), col("id").as("id_a"))
+      .join(capped.select(col("blk"), col("key"), col("id").as("id_b")), Seq("blk", "key"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   // ------------------------------------------------------ n-gram jaccard
