@@ -3,7 +3,8 @@ package graft
 import graft.functions.VectorFunctions
 import graft.image.{ImageFixtures, ImagePipeline, ImageUdfs}
 import graft.operators._
-import graft.streaming.StreamingInference
+import graft.multimodal.Multimodal
+import graft.streaming.{Stateful, StreamingInference}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -245,6 +246,26 @@ object SparkEntry {
       Similarity.cosineTopK(emb, "embedding", "vec_id", q, 20)
     }),
 
+    // -- watermark-style tumbling-window aggregation (epoch-aligned) ------
+    "q_windowed_agg" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      ev.groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(Dec)).cast(Dec).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start_s", "event_type")
+    }),
+
+    // -- north-star: BPE-ish subword count heuristic ----------------------
+    "q_subword_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.subwordCountApprox(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+
     // -- L4 repartition preserves content --------------------------------
     "q_repartition_stable" -> ((s, d) =>
       t(s, d, "lineitem").repartition(8)
@@ -282,6 +303,33 @@ object SparkEntry {
       val q   = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       Similarity.annLshTopK(emb, "embedding", "vec_id", q, k = 20)
+    }),
+
+    // -- north-star: embedding-cosine near-dup pairs (LSH-blocked) --------
+    "q_embedding_neardup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.cosineNearDupPairs(emb, "embedding", "vec_id", dim = 64,
+          minCosine = 0.2, nBits = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- stateful: flatMapGroupsWithState gap sessionization --------------
+    "q_sessionize" -> ((s, d) =>
+      Stateful.sessionizeEvents(s, t(s, d, "events"), gapNanos = 3600L * 1000000000L)
+        .toDF().orderBy("user_id", "start_ns")),
+
+    // -- multimodal: binary payload + typed meta + batch feature extract --
+    // (audio/video decode are deterministic STUBS — no codecs here; the
+    //  schema/partitioning/mapPartitions plumbing is the real deliverable)
+    "q_multimodal_features" -> ((s, _) => {
+      val dir   = ImageFixtures.shared()
+      val files = ImagePipeline.readBinaryImages(s, dir)
+      val media = Multimodal.fromBinaryFiles(files, "image")
+        .unionAll(Multimodal.fromBinaryFiles(files.limit(10), "audio"))
+        .unionAll(Multimodal.fromBinaryFiles(files.limit(10), "video"))
+      Multimodal.extractFeatures(media, dim = 16)
+        .select(col("media_id"), col("modality"), size(col("features")).as("feat_dim"))
+        .orderBy("modality", "media_id")
     }),
 
     // -- S2+I1+A4 image ingest: binaryFile scan → label → size → index -----
@@ -445,6 +493,15 @@ object SparkEntry {
         s"ELSE CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+')))) AS DOUBLE) / " +
         s"CAST(len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) AS DOUBLE) END, 6) AS jaccard " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    "q_windowed_agg" ->
+      ("SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s, event_type, " +
+        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value " +
+        "FROM events GROUP BY window_start_s, event_type ORDER BY window_start_s, event_type"),
+
+    "q_subword_count" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords " +
+        "FROM documents ORDER BY doc_id"),
 
     "q_similarity_cosine" ->
       ("SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +

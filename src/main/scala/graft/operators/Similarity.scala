@@ -88,15 +88,10 @@ object Similarity {
       df: DataFrame,
       vecCol: String,
       idCol: String,
+      dim: Int,
       minCosine: Double = 0.95,
       nBits: Int = 16,
       seed: Long = 42L): DataFrame = {
-    // Dim probed lazily from the schema is overkill here: hyperplane count is
-    // fixed; derive dim from the first row at plan-build time is not possible
-    // relationally, so callers pass vectors of a consistent dimension and we
-    // read it from the schema metadata-free path: use a 64-dim default via
-    // the fixture contract. Kept explicit:
-    val dim = 64
     val planes = hyperplanes(dim, nBits, seed)
     val sigs = df.select(
       col(idCol).cast("long").as("id"),
@@ -109,5 +104,42 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), round(cosine(col("vec_a"), col("vec_b")), 6).as("cos"))
       .where(col("cos") >= minCosine)
+  }
+
+  /** IVF-flat ANN: assign every vector to its nearest of `centroids`
+    * (map-side argmax over literal centroid columns — no shuffle), then
+    * answer a query by probing the `nProbes` nearest centroid cells and
+    * re-ranking exactly within them.
+    *
+    * At 100 TB the assignment is a one-pass projection and the partition
+    * pruning comes from writing the table partitioned/bucketed by
+    * `ivf_cell` ([[assignCells]] output) so a probe reads only its cells'
+    * files. Centroids would come from a sampled k-means; any deterministic
+    * centroid set (e.g. sampled rows) preserves correctness — IVF affects
+    * recall/cost only. */
+  def assignCells(df: DataFrame, vecCol: String, centroids: Array[Array[Float]]): DataFrame = {
+    val sims = array(centroids.map(c => cosine(col(vecCol), typedLit(c))): _*)
+    df.withColumn("ivf_cell", (array_position(sims, array_max(sims)) - 1).cast("int"))
+  }
+
+  def annIvfTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      q: Array[Float],
+      centroids: Array[Array[Float]],
+      k: Int,
+      nProbes: Int = 2): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = centroids.indices.sortBy(i => -cos(q, centroids(i))).take(nProbes)
+    assignCells(df, vecCol, centroids)
+      .where(col("ivf_cell").isin(probeCells: _*))
+      .select(col(idCol), round(cosine(col(vecCol), queryVec(q)), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
   }
 }

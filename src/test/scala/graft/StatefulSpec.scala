@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.Stateful
+import graft.streaming.Stateful.SessionEvent
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class StatefulSpec extends SparkSpec {
+
+  test("windowedCounts matches a manual epoch-bucket aggregation (batch)") {
+    val ev  = Tables.load(spark, sfDir, "events")
+    val out = Stateful.windowedCounts(ev, windowDur = "1 hour")
+      .select(unix_timestamp(col("window_start")).as("s"), col("event_type"), col("n"))
+      .orderBy("s", "event_type").collect()
+    val manual = ev
+      .groupBy(expr("(ts div 3600000000000) * 3600").as("s"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("s", "event_type").collect()
+    assert(out.length == manual.length)
+    out.zip(manual).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getString(1) == b.getString(1) && a.getLong(2) == b.getLong(2))
+    }
+  }
+
+  test("windowedCounts on a file stream equals the batch result (watermarked)") {
+    val work   = Files.createTempDirectory("graft_stateful").toString
+    val srcDir = s"$work/src"
+    Tables.load(spark, sfDir, "events").select("event_id", "ts", "event_type", "value")
+      .repartition(3).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val batch = Stateful.windowedCounts(spark.read.parquet(srcDir))
+      .orderBy("window_start", "event_type").collect()
+
+    // All files in one micro-batch: with per-file batches the watermark
+    // would close windows after batch 1 and correctly DROP later files'
+    // events as late data (files are round-robin partitioned, so every
+    // window spans all files). Single-batch ingestion has no late data.
+    val stream = Stateful.windowedCounts(
+      spark.readStream.schema(schema).parquet(srcDir))
+    val q = stream.writeStream.format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$work/sink")
+      .orderBy("window_start", "event_type").collect()
+
+    // Append mode only emits windows the watermark has closed; every emitted
+    // window must match batch, and all but the trailing open window(s) emit.
+    assert(streamed.nonEmpty)
+    val batchMap = batch.map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    streamed.foreach { r =>
+      val k = (r.get(0), r.getString(1))
+      assert(batchMap.contains(k))
+      assert(batchMap(k) == ((r.getLong(2), r.getDouble(3))))
+    }
+    assert(streamed.length >= batch.length - 10, "only trailing open windows may be withheld")
+  }
+
+  test("sessionize splits on gaps and preserves event counts") {
+    import spark.implicits._
+    val h = 3600L * 1000000000L // one hour in nanos
+    val events = Seq(
+      SessionEvent(1L, 0L, "a"), SessionEvent(1L, h / 2, "b"),      // session 1
+      SessionEvent(1L, 3 * h, "c"),                                 // session 2 (gap 2.5h)
+      SessionEvent(2L, h, "x")).toDS()                              // session for user 2
+    val out = Stateful.sessionize(events, gapNanos = h).collect().sortBy(s => (s.user_id, s.start_ns))
+    assert(out.length == 3)
+    assert(out(0) == Stateful.Session(1L, 0L, h / 2, 2L))
+    assert(out(1) == Stateful.Session(1L, 3 * h, 3 * h, 1L))
+    assert(out(2) == Stateful.Session(2L, h, h, 1L))
+  }
+
+  test("sessionize on fixture events: totals preserved, sessions ordered") {
+    val ev  = Tables.load(spark, sfDir, "events")
+    val out = Stateful.sessionizeEvents(spark, ev, gapNanos = 3600L * 1000000000L).collect()
+    assert(out.map(_.n_events).sum == ev.count())
+    assert(out.forall(s => s.end_ns >= s.start_ns))
+  }
+}

@@ -40,6 +40,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(cs.sameElements(cs.sortBy(-_)))
   }
 
+  test("IVF ANN: self survives probing, results are exact within probed cells") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val q   = emb.where(col("vec_id") === 11).select("embedding").head().getSeq[Float](0).toArray
+    val ann = Similarity.annIvfTopK(emb, "embedding", "vec_id", q, centroids, k = 10, nProbes = 3)
+      .collect()
+    assert(ann.map(_.getLong(0)).contains(11L))
+    assert(ann.head.getLong(0) == 11L && ann.head.getDouble(1) == 1.0)
+    val cells = Similarity.assignCells(emb, "embedding", centroids)
+    assert(cells.select("ivf_cell").distinct().count() <= 8)
+    assert(cells.count() == emb.count())
+  }
+
+  test("entry: flagship query returns aggregated rows (driver smoke contract)") {
+    val out = SparkEntry.entry(spark).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(2)).sum == 6000L) // total lineitem rows at sf0.001
+  }
+
   test("ANN recall: LSH top-k overlaps brute-force top-k") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val q   = emb.where(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
