@@ -24,6 +24,7 @@ object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder = {
     System.setProperty("java.awt.headless", "true")
     b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

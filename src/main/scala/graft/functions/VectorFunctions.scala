@@ -35,6 +35,13 @@ object VectorFunctions {
     dot(ad, bd) / (norm2(ad) * norm2(bd))
   }
 
+  /** Native-expression cosine (see [[graft.plans.CosineSimilarity]]):
+    * bit-identical to [[cosine]] but runs as a primitive codegen loop —
+    * use on hot paths over float-array columns. Requires the
+    * `GraftExtensions` session extension (GraftSession sets it). */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   /** 0-based index of the max element (F4, the reference's `np.argmax`,
     * `02.a …:226,230`). Ties resolve to the first occurrence, matching
     * numpy. */

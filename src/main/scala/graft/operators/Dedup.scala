@@ -290,6 +290,45 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ---------------------------------------------------- minhash UDAF
+
+  /** MinHash set-union sketch as a custom `Aggregator` (the one genuine
+    * UDAF this engine needs — SURVEY.md §2h): aggregating row signatures
+    * with element-wise min yields the signature of the UNION of the rows'
+    * shingle sets, so `groupBy(k).agg(minHashUnion(sig))` estimates
+    * cross-group Jaccard on arbitrarily large groups in one distributive
+    * pass (partial aggregation map-side, like sum). */
+  class MinHashUnion extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] =
+      if (b.isEmpty) a.toArray
+      else { var i = 0; while (i < b.length) { if (a(i) < b(i)) b(i) = a(i); i += 1 }; b }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      if (b1.isEmpty) b2 else if (b2.isEmpty) b1
+      else { var i = 0; while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }; b1 }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form of [[MinHashUnion]] for `agg(...)`. */
+  def minHashUnion(sig: Column): Column =
+    udaf(new MinHashUnion()).apply(sig)
+
+  /** Per-group MinHash signatures: estimate Jaccard between whole groups
+    * (e.g. near-duplicate SOURCES, not documents). */
+  def groupMinHashSignatures(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      shingleN: Int = 1,
+      numHashes: Int = 64): DataFrame =
+    df.select(col(groupCol), minHashSignatureUdf(shingleN, numHashes)(col(textCol)).as("sig"))
+      .groupBy(groupCol)
+      .agg(minHashUnion(col("sig")).as("group_sig"))
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Exact Jaccard similarity between two shingle-set columns. */

@@ -39,6 +39,24 @@ object Relational {
   def unionEvolved(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
 
+  /** Skew-safe aggregation by salting: phase 1 aggregates on
+    * (key, salt ∈ [0, saltBuckets)) so a hot key's rows spread over
+    * `saltBuckets` reducers; phase 2 merges the partials per key. Use when
+    * one key dominates (AQE skew handling covers joins; pre-AQE aggregation
+    * skew needs this classic two-phase form). `aggs` must be algebraic
+    * (sum/count/min/max) — supply both the partial and the merge form. */
+  def saltedAggregate(
+      df: DataFrame,
+      keyCol: String,
+      saltBuckets: Int,
+      partialAggs: Seq[Column],
+      mergeAggs: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keyCol)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+
   /** L3: seeded random split (reference train/val split, `02.a …:79`).
     * Direct built-in; engine-specific sampling, so never oracle-checked
     * (SURVEY.md §5 hazard 3) — self-tested for disjointness + completeness. */

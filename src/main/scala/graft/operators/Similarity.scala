@@ -27,7 +27,7 @@ object Similarity {
   def cosineTopK(df: DataFrame, vecCol: String, idCol: String, q: Array[Float], k: Int): DataFrame =
     df.select(
         col(idCol),
-        round(cosine(col(vecCol), queryVec(q)), 6).as("cos"))
+        round(cosineNative(col(vecCol), queryVec(q)), 6).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
 
@@ -75,7 +75,7 @@ object Similarity {
     }.reduce(_ | _)
     df.select(col(idCol), col(vecCol), lshSignature(col(vecCol), planes).as("sig"))
       .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming)
-      .select(col(idCol), round(cosine(col(vecCol), queryVec(q)), 6).as("cos"))
+      .select(col(idCol), round(cosineNative(col(vecCol), queryVec(q)), 6).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
@@ -102,7 +102,7 @@ object Similarity {
     left
       .join(right, Seq("sig"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("vec_a"), col("vec_b")), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), round(cosineNative(col("vec_a"), col("vec_b")), 6).as("cos"))
       .where(col("cos") >= minCosine)
   }
 
@@ -118,7 +118,7 @@ object Similarity {
     * centroid set (e.g. sampled rows) preserves correctness — IVF affects
     * recall/cost only. */
   def assignCells(df: DataFrame, vecCol: String, centroids: Array[Array[Float]]): DataFrame = {
-    val sims = array(centroids.map(c => cosine(col(vecCol), typedLit(c))): _*)
+    val sims = array(centroids.map(c => cosineNative(col(vecCol), typedLit(c))): _*)
     df.withColumn("ivf_cell", (array_position(sims, array_max(sims)) - 1).cast("int"))
   }
 
@@ -138,7 +138,7 @@ object Similarity {
     val probeCells = centroids.indices.sortBy(i => -cos(q, centroids(i))).take(nProbes)
     assignCells(df, vecCol, centroids)
       .where(col("ivf_cell").isin(probeCells: _*))
-      .select(col(idCol), round(cosine(col(vecCol), queryVec(q)), 6).as("cos"))
+      .select(col(idCol), round(cosineNative(col(vecCol), queryVec(q)), 6).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }

@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions with the
+  * function registry (activated via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, which
+  * `GraftSession.configure` sets). After registration the expressions are
+  * callable from SQL and from `functions.call_function` — they resolve and
+  * codegen like built-ins, with no UDF boundary.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine(arrayA, arrayB)")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

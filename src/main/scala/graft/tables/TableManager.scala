@@ -62,6 +62,17 @@ object TableManager {
     fs.listStatus(new Path(dir)).count(s => s.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Bucketed managed table: pre-shuffles once at write time so subsequent
+    * equi-joins and aggregations on `bucketCol` between co-bucketed tables
+    * plan WITHOUT an Exchange — the decisive layout optimization for
+    * repeated large-fact joins at 100 TB (pay one shuffle at ingest, never
+    * again). Verify with `.explain`: no `Exchange` above the scans. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** S11: run `body` with a specific Parquet compression codec, restoring the
     * previous codec after — the reference brackets binary-payload writes with
     * `uncompressed` (`01. Ingest.py:176-183`: JPEG bytes don't recompress). */

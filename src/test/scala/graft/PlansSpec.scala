@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Relational}
+import graft.tables.TableManager
+import org.apache.spark.sql.functions._
+
+/** Catalyst-extension and physical-layout checks: the native expression,
+  * the UDAF, bucketed exchange-free joins, and salted aggregation. */
+class PlansSpec extends SparkSpec {
+
+  test("graft_cosine native expression is bit-identical to the HOF form") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q   = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val both = emb.select(
+      VectorFunctions.cosine(col("embedding"), typedLit(q)).as("hof"),
+      VectorFunctions.cosineNative(col("embedding"), typedLit(q)).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("graft_cosine is callable from SQL (extension registration)") {
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb_v")
+    val n = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM emb_v").collect()
+    assert(n.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("graft_cosine rejects wrong input types with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine") || e.getMessage.contains("DATATYPE"))
+  }
+
+  test("MinHashUnion UDAF: group signature = element-wise min of row signatures") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", "alpha beta gamma"),
+      ("g1", "delta epsilon zeta"),
+      ("g2", "eta theta iota")).toDF("grp", "text")
+    val sigUdf = Dedup.minHashSignatureUdf(1, 16)
+    val rows   = df.select(col("grp"), sigUdf(col("text")).as("sig"))
+    val manual = rows.collect().filter(_.getString(0) == "g1").map(_.getSeq[Long](1))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => math.min(x, y) })
+    val grouped = Dedup.groupMinHashSignatures(df, "text", "grp", shingleN = 1, numHashes = 16)
+      .where(col("grp") === "g1").head().getSeq[Long](1)
+    assert(grouped == manual)
+  }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    // clear any stale warehouse leftovers from interrupted earlier runs
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      TableManager.dropTable(spark, t)
+      TableManager.deleteDir(spark, s"spark-warehouse/$t")
+    }
+    val orders = Tables.load(spark, sfDir, "orders")
+    val li     = Tables.load(spark, sfDir, "lineitem")
+    TableManager.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    TableManager.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4)
+    // Force the sort-merge path (at fixture scale Spark would broadcast and
+    // ignore bucketing; at 100 TB neither side broadcasts).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+      val plan   = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use bucket layout:\n$plan")
+      assert(joined.count() == li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    TableManager.dropTable(spark, "b_orders"); TableManager.dropTable(spark, "b_lineitem")
+  }
+
+  test("saltedAggregate matches direct aggregation (algebraic aggs)") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val salted = Relational.saltedAggregate(
+      ev, "event_type", saltBuckets = 8,
+      partialAggs = Seq(count(lit(1)).as("pc"), max("value").as("pm")),
+      mergeAggs = Seq(sum("pc").as("n"), max("pm").as("max_value")))
+      .orderBy("event_type").collect()
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("value").as("max_value"))
+      .orderBy("event_type").collect()
+    assert(salted.length == direct.length)
+    salted.zip(direct).foreach { case (s, d) =>
+      assert(s.getString(0) == d.getString(0) && s.getLong(1) == d.getLong(1) && s.getDouble(2) == d.getDouble(2))
+    }
+  }
+}
