@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Dedup, Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.3), using ScalaCheck generators
+  * with deterministic seeds (samples drawn explicitly — the scalatest
+  * bridge artifact is not available offline).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val tokenGen = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota", "kappa")
+  private val docGen = Gen.nonEmptyListOf(tokenGen).map(_.mkString(" "))
+
+  test("property: dedup is idempotent (dedup(dedup(x)) == dedup(x))") {
+    import spark.implicits._
+    samples(Gen.listOfN(30, docGen), 5).foreach { texts =>
+      val df    = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once  = Dedup.dropExactDuplicates(df, "text", "doc_id")
+      val twice = Dedup.dropExactDuplicates(once, "text", "doc_id")
+      assert(once.count() == twice.count())
+      assert(once.select("doc_id").except(twice.select("doc_id")).count() == 0)
+      // every surviving text is unique
+      assert(once.select("text").distinct().count() == once.count())
+    }
+  }
+
+  test("property: label index is a bijection to 0-based lexicographic ranks") {
+    import spark.implicits._
+    val labelsGen = Gen.nonEmptyListOf(Gen.identifier.map(_.take(8))).map(_.distinct)
+    samples(labelsGen, 8).foreach { labels =>
+      val rows = labels.flatMap(l => Seq.fill(3)(l))
+      val out = Relational.withDictIndex(rows.toDF("label"), "label", "idx")
+        .select("label", "idx").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = labels.sorted.zipWithIndex.map { case (l, i) => l -> i.toLong }.toMap
+      assert(out == expected)
+    }
+  }
+
+  test("property: fingerprint is invariant under token permutation and duplication") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(tokenGen), 10).foreach { toks =>
+      val variants = Seq(
+        toks.mkString(" "),
+        scala.util.Random.javaRandomToRandom(new java.util.Random(42)).shuffle(toks).mkString(" "),
+        (toks ++ toks).mkString(" "))
+      val fps = variants.toDF("text")
+        .select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+      assert(fps.distinct.length == 1, s"fingerprints diverged for $toks")
+    }
+  }
+
+  test("property: jaccard is symmetric, bounded, and 1 iff equal sets") {
+    import spark.implicits._
+    val pairGen = for {
+      a <- Gen.nonEmptyListOf(tokenGen).map(_.distinct)
+      b <- Gen.nonEmptyListOf(tokenGen).map(_.distinct)
+    } yield (a, b)
+    samples(pairGen, 10).foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("x", "y")
+      val (j1, j2) = (
+        df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0),
+        df.select(Dedup.jaccard(col("y"), col("x"))).head().getDouble(0))
+      assert(j1 == j2 && j1 >= 0.0 && j1 <= 1.0)
+      if (a.toSet == b.toSet) assert(j1 == 1.0)
+      else assert(j1 < 1.0)
+    }
+  }
+
+  test("property: quality score bounded in [0,1] for arbitrary printable text") {
+    import spark.implicits._
+    val textGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val texts   = samples(textGen, 30).filter(_.nonEmpty)
+    val scores = texts.toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    scores.foreach(s => assert(s >= 0.0 && s <= 1.0))
+  }
+
+  test("property: left-outer re-attach preserves left cardinality for unique right keys") {
+    import spark.implicits._
+    // the J1 invariant the reference relies on (01. Ingest.py:128-129)
+    samples(Gen.listOfN(50, Gen.choose(0L, 20L)), 5).foreach { keys =>
+      val left  = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("row_id", "k")
+      val right = keys.distinct.map(k => (k, s"v$k")).toDF("k", "v")
+      assert(left.join(right, Seq("k"), "left_outer").count() == left.count())
+    }
+  }
+}
