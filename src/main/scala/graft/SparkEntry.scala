@@ -314,9 +314,17 @@ object SparkEntry {
     }),
 
     // -- stateful: flatMapGroupsWithState gap sessionization --------------
-    "q_sessionize" -> ((s, d) =>
-      Stateful.sessionizeEvents(s, t(s, d, "events"), gapNanos = 3600L * 1000000000L)
-        .toDF().orderBy("user_id", "start_ns")),
+    // µs precision on both sides (DuckDB truncates nanos, SURVEY §5.1);
+    // oracle replicates the gap logic with lag + cumulative-sum windows.
+    "q_sessionize" -> ((s, d) => {
+      val evUs = t(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_type"))
+      Stateful.sessionizeEvents(s, evUs, gapNanos = 3600L * 1000000L /* 1h in µs */ )
+        .toDF()
+        .select(col("user_id"), col("start_ns").as("start_us"),
+          col("end_ns").as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
 
     // -- multimodal: binary payload + typed meta + batch feature extract --
     // (audio/video decode are deterministic STUBS — no codecs here; the
@@ -493,6 +501,14 @@ object SparkEntry {
         s"ELSE CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+')))) AS DOUBLE) / " +
         s"CAST(len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) AS DOUBLE) END, 6) AS jaccard " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    "q_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+        "m AS (SELECT user_id, t, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+        "OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > 3600000000 THEN 1 ELSE 0 END AS brk FROM e), " +
+        "s AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
+        "SELECT user_id, MIN(t) AS start_us, MAX(t) AS end_us, COUNT(*) AS n_events " +
+        "FROM s GROUP BY user_id, sess ORDER BY user_id, start_us"),
 
     "q_windowed_agg" ->
       ("SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s, event_type, " +
