@@ -28,6 +28,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batchResult))
   }
 
+  test("streaming image inference equals batch inference (03. Inference shape)") {
+    import graft.image.{ImageFixtures, ImagePipeline, ImageUdfs, LinearScoringModel}
+    val work   = Files.createTempDirectory("graft_stream_img").toString
+    val imgDir = ImageFixtures.generate(s"$work/fixtures")
+    val model  = new LinearScoringModel(ImageFixtures.Classes.toList)
+
+    def score(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("scored", ImageUdfs.score(model)(col("content")))
+      .select(col("path").as("origin"),
+        col("scored").getItem(0).as("prediction"),
+        col("scored").getItem(1).as("probabilities"))
+
+    val batch = score(ImagePipeline.readBinaryImages(spark, imgDir))
+      .orderBy("origin").collect()
+
+    val stream = spark.readStream
+      .format("binaryFile")
+      .schema(ImagePipeline.readBinaryImages(spark, imgDir).schema)
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 7) // several micro-batches over 30 files
+      .load(imgDir)
+    val streamed = StreamingInference.runToCompletion(
+      score(stream), s"$work/sink", s"$work/ckpt")
+      .orderBy("origin").collect()
+
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
   test("checkpoint makes re-run a no-op (exactly-once append)") {
     val work   = Files.createTempDirectory("graft_stream_spec2").toString
     val srcDir = s"$work/src"
