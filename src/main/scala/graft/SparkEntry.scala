@@ -246,6 +246,25 @@ object SparkEntry {
       Similarity.cosineTopK(emb, "embedding", "vec_id", q, 20)
     }),
 
+    // -- set operations: intersect / except (distinct-set semantics) ------
+    "q_set_ops" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.where(col("c_acctbal") > 0).select("c_custkey")
+      val b = c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionAll(a.except(b).withColumn("tag", lit("only_a")))
+        .orderBy("tag", "c_custkey")
+    }),
+
+    // -- date/time family: month truncation + per-month aggregates --------
+    "q_date_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Dec)).cast(Dec).as("sum_price"))
+        .orderBy("month")
+    }),
+
     // -- watermark-style tumbling-window aggregation (epoch-aligned) ------
     "q_windowed_agg" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -501,6 +520,21 @@ object SparkEntry {
         s"ELSE CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+')))) AS DOUBLE) / " +
         s"CAST(len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) AS DOUBLE) END, 6) AS jaccard " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    "q_set_ops" ->
+      ("SELECT c_custkey, 'both' AS tag FROM " +
+        "((SELECT c_custkey FROM customer WHERE c_acctbal > 0) INTERSECT " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) " +
+        "UNION ALL " +
+        "SELECT c_custkey, 'only_a' AS tag FROM " +
+        "((SELECT c_custkey FROM customer WHERE c_acctbal > 0) EXCEPT " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) " +
+        "ORDER BY tag, c_custkey"),
+
+    "q_date_agg" ->
+      ("SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price " +
+        "FROM orders GROUP BY month ORDER BY month"),
 
     "q_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
