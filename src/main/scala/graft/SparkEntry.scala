@@ -246,6 +246,35 @@ object SparkEntry {
       Similarity.cosineTopK(emb, "embedding", "vec_id", q, 20)
     }),
 
+    // -- generator family: explode + token frequency top-k ----------------
+    "q_explode_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token"))
+        .limit(20)
+    }),
+
+    // -- pivot: per-lang counts spread over source columns ----------------
+    "q_pivot" -> ((s, d) => {
+      val srcs = Seq("src0", "src1", "src2", "src3")
+      t(s, d, "documents")
+        .where(col("source").isin(srcs: _*))
+        .groupBy("lang").pivot("source", srcs).count()
+        .select(col("lang") +: srcs.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("lang")
+    }),
+
+    // -- exact interpolated percentiles per group -------------------------
+    "q_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
     // -- set operations: intersect / except (distinct-set semantics) ------
     "q_set_ops" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -520,6 +549,25 @@ object SparkEntry {
         s"ELSE CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+')))) AS DOUBLE) / " +
         s"CAST(len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) AS DOUBLE) END, 6) AS jaccard " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    "q_explode_tokens" ->
+      (s"SELECT token, COUNT(*) AS n FROM " +
+        s"(SELECT unnest($tokensSql) AS token FROM documents) " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+
+    "q_pivot" ->
+      ("SELECT lang, " +
+        "COUNT(*) FILTER (WHERE source = 'src0') AS src0, " +
+        "COUNT(*) FILTER (WHERE source = 'src1') AS src1, " +
+        "COUNT(*) FILTER (WHERE source = 'src2') AS src2, " +
+        "COUNT(*) FILTER (WHERE source = 'src3') AS src3 " +
+        "FROM documents WHERE source IN ('src0','src1','src2','src3') " +
+        "GROUP BY lang ORDER BY lang"),
+
+    "q_percentile" ->
+      ("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
+        "ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_set_ops" ->
       ("SELECT c_custkey, 'both' AS tag FROM " +
