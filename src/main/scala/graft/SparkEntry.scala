@@ -275,6 +275,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- rollup: hierarchical subtotals + grand total ---------------------
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(Dec)).cast(Dec).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // -- set operations: intersect / except (distinct-set semantics) ------
     "q_set_ops" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -568,6 +577,12 @@ object SparkEntry {
       ("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
         "ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
 
     "q_set_ops" ->
       ("SELECT c_custkey, 'both' AS tag FROM " +
