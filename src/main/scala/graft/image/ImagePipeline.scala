@@ -51,6 +51,10 @@ object ImagePipeline {
     val labeled = readBinaryImages(spark, dir)
       .withColumn("label", regexp_extract(col("path"), "flower_photos/label=([^/]+)/", 1))
       .withColumn("size", ImageUdfs.imageSize(col("content")))
+      // The grouped-map side of the self-join below would otherwise re-scan
+      // and re-decode every image; at the 100 TB design point that doubles
+      // the dominant I/O+decode cost, so the scan is cached (spills to disk).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = Relational.withDictIndex(labeled, "label", "label_index")
 
     // A5 grouped-map (the reference's applyInPandas grayscale kernel),

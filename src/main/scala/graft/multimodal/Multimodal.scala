@@ -62,6 +62,8 @@ object Multimodal {
             Row("audio/wav", 0, 0, (content.length.toLong * 1000) / 32000, 16000)
           case "video" =>
             Row("video/mp4", 320, 240, (content.length.toLong * 1000) / 250000, 0)
+          case _ =>
+            Row("application/octet-stream", 0, 0, 0L, 0)
         }
         Row(stableId(path), modality, content, meta)
       }
@@ -83,6 +85,7 @@ object Multimodal {
     * downstream features consume. */
   def decodeAudioStub(bytes: Array[Byte], samples: Int = 1024): Array[Float] = {
     val out = new Array[Float](samples)
+    if (bytes.isEmpty) return out // zero-byte payloads decode to silence
     var i   = 0
     while (i < samples) {
       out(i) = ((bytes(i % bytes.length) & 0xff) - 128) / 128.0f
@@ -122,7 +125,9 @@ object Multimodal {
         val id       = r.getLong(0)
         val modality = r.getString(1)
         val content  = r.getAs[Array[Byte]](2)
-        val feats = modality match {
+        // Corrupt/empty payloads are routine in a 100 TB corpus: a row that
+        // fails to decode yields a zero vector instead of failing the job.
+        val feats = try { modality match {
           case "image" =>
             val f   = Kernels.normalizedFeatures(content, 8, 8)
             val out = new Array[Float](dim)
@@ -139,7 +144,7 @@ object Multimodal {
             val frames = sampleFramesStub(content, dim)
             frames.map(fr => if (fr.isEmpty) 0f else fr.map(b => (b & 0xff).toFloat).sum / (255f * fr.length))
           case _ => new Array[Float](dim)
-        }
+        } } catch { case _: Exception => new Array[Float](dim) }
         Row(id, modality, feats.toSeq)
       }
     }(Encoders.row(featureSchema))

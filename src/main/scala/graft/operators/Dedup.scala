@@ -28,7 +28,9 @@ object Dedup {
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
       .groupBy("content_hash")
-      .agg(min(idCol).cast("long").as("keep_id"), count(lit(1)).as("n_dup"))
+      // keep_id keeps the id column's own type (string ids stay strings —
+      // a long cast would NULL them and silently drop every row downstream)
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dup"))
 
   /** Keep exactly one row (the min-id one) per distinct text. */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -109,6 +111,14 @@ object Dedup {
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val (a, b) = coeffs(numHashes, seed)
     udf((text: String) => {
+      if (text == null) null // null-propagate like the Catalyst HOF form
+      else minHashSignatureKernel(text, shingleN, numHashes, a, b)
+    })
+  }
+
+  private def minHashSignatureKernel(
+      text: String, shingleN: Int, numHashes: Int, a: Array[Long], b: Array[Long]): Array[Long] = {
+    {
       val toks = text.trim.toLowerCase.split("\\s+")
       val sig  = Array.fill(numHashes)(Long.MaxValue)
       val seen = new java.util.HashSet[Long]()
@@ -138,7 +148,7 @@ object Dedup {
         j += 1
       }
       sig
-    })
+    }
   }
 
   /** Estimated Jaccard similarity = fraction of agreeing signature slots. */
@@ -174,9 +184,10 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
     val sigs = df.select(
-      col(idCol).cast("long").as("id"),
+      col(idCol).as("id"),
       minHashSignatureUdf(shingleN, numHashes)(col(textCol)).as("sig"))
-      .persist() // reused for banding and for the post-dedup re-attach
+      .where(col("sig").isNotNull) // null-text rows can't near-dup; drop before banding
+      .persist() // reused for banding and for the post-dedup re-attach; stays cached for the session
     // Payload discipline: only (band_key, id) — 16 bytes — flows through the
     // band join and the pair dedup; the 8*numHashes-byte signatures are
     // re-attached per unique pair afterwards by id join.
@@ -227,9 +238,16 @@ object Dedup {
 
   /** Tight-loop JVM SimHash kernel — same rationale as
     * [[minHashSignatureUdf]]: the 64-lane counter update per token is
-    * interpreted under Catalyst HOFs; a while-loop UDF wins decisively. */
+    * interpreted under Catalyst HOFs; a while-loop UDF wins decisively.
+    * Null text null-propagates (boxed return type). */
   val simHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => {
+      if (text == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(simHashKernel(text))
+    })
+
+  private def simHashKernel(text: String): Long = {
+    {
       val toks     = text.trim.toLowerCase.split("\\s+")
       val counters = new Array[Int](64)
       var i        = 0
@@ -250,23 +268,31 @@ object Dedup {
       var b   = 0
       while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
       out
-    })
+    }
+  }
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidate pairs: block on 4 × 16-bit sub-hashes (two
     * hashes within Hamming distance ≤3 of each other share at least one
-    * exact 16-bit block — pigeonhole), then filter on true distance. */
+    * exact 16-bit block — pigeonhole), then filter on true distance.
+    * `maxHamming` is capped at 3: beyond that the 4-block scheme can no
+    * longer guarantee candidate recall, so larger radii are rejected rather
+    * than silently under-reporting. The (id, hash) projection stays cached
+    * for the session (it feeds both blocking and re-attach). */
   def simHashCandidatePairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0,3]: the 4-block pigeonhole only guarantees recall to distance 3")
     val hashed = df.select(
-      col(idCol).cast("long").as("id"),
+      col(idCol).as("id"),
       simHashUdf(col(textCol)).as("sh"))
+      .where(col("sh").isNotNull) // null-text rows can't near-dup; drop before blocking
       .persist() // reused for blocking and for the post-dedup re-attach
     val blocked = hashed.select(
       col("id"),

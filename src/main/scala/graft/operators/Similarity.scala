@@ -80,10 +80,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs cosine above a threshold via LSH blocking (embedding-cosine
-    * near-dup dedup). Same shuffle discipline as [[Dedup]]: only
-    * (bucket, id, vec) flows through the join — at 100 TB, bucket count and
-    * vector width bound the shuffle, not document payloads. */
+  /** Embedding-cosine near-dup candidate pairs via banded LSH blocking:
+    * the nBits signature splits into 4 bands and rows sharing ANY band key
+    * become candidates (pigeonhole: any pair within signature Hamming
+    * distance ≤3 is guaranteed to meet — exact-full-signature blocking
+    * would drop most qualifying pairs). Candidates are exact-re-ranked by
+    * cosine. Same shuffle discipline as [[Dedup]]: only (band, id) flows
+    * through the pair join; vectors re-attach per unique pair by id, and
+    * degenerate mega-buckets are capped (quadratic-pair guard). */
   def cosineNearDupPairs(
       df: DataFrame,
       vecCol: String,
@@ -91,17 +95,33 @@ object Similarity {
       dim: Int,
       minCosine: Double = 0.95,
       nBits: Int = 16,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, nBits, seed)
+      seed: Long = 42L,
+      maxBucketSize: Int = 256): DataFrame = {
+    require(nBits % 4 == 0 && nBits <= 64, "nBits must be a multiple of 4, at most 64")
+    val bandBits = nBits / 4
+    val mask     = (1L << bandBits) - 1
+    val planes   = hyperplanes(dim, nBits, seed)
     val sigs = df.select(
-      col(idCol).cast("long").as("id"),
+      col(idCol).as("id"),
       col(vecCol).as("vec"),
       lshSignature(col(vecCol), planes).as("sig"))
-    val left  = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val right = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    left
-      .join(right, Seq("sig"))
+    val blocked = sigs.select(
+      col("id"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("blk"), shiftright(col("sig"), j * bandBits).bitwiseAND(mask).as("key"))): _*)).as("b"))
+      .select(col("id"), col("b.blk"), col("b.key"))
+    val buckets = blocked.groupBy("blk", "key").count()
+      .where(col("count") >= 2 && col("count") <= maxBucketSize)
+      .select("blk", "key")
+    val capped = blocked.join(buckets, Seq("blk", "key"))
+    val pairs = capped.select(col("blk"), col("key"), col("id").as("id_a"))
+      .join(capped.select(col("blk"), col("key"), col("id").as("id_b")), Seq("blk", "key"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cosineNative(col("vec_a"), col("vec_b")), 6).as("cos"))
       .where(col("cos") >= minCosine)
   }

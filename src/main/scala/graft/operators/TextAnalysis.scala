@@ -79,9 +79,14 @@ object TextAnalysis {
     val zh = struct(
       (length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) * 2).cast("double").as("score"),
       lit("zh").as("lang"))
+    // Fallback floor: text matching no markers at all scores below 0.5 for
+    // every language and classifies as "und" (undetermined) — without this,
+    // the all-zero tie would resolve to the lexicographically greatest code
+    // and label markerless Latin text as zh.
+    val und = struct(lit(0.5).as("score"), lit("und").as("lang"))
     // greatest() over (score, lang) structs: max score, ties → lexicographically
     // greatest language code (deterministic).
-    greatest((scores :+ zh): _*).getField("lang")
+    greatest((scores :+ zh :+ und): _*).getField("lang")
   }
 
   /** Canonical bag-of-words fingerprint: sha256 over the sorted distinct

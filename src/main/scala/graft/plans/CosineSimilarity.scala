@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * a sequential left-to-right double fold, `dot / (sqrt(na) * sqrt(nb))`,
   * so results are bit-equal across all three implementations.
   * Null handling: null if either array is null; array elements are assumed
-  * non-null (embedding contract).
+  * non-null (embedding contract). Mismatched dimensions fail fast with an
+  * explicit error (like DuckDB) rather than silently truncating — a short
+  * corrupt embedding must surface, not rank.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,7 +44,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: mismatched vector dimensions ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var dot = 0.0
     var na  = 0.0
     var nb  = 0.0
@@ -68,7 +73,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi  = ctx.freshName("xi")
       val yi  = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException("graft_cosine: mismatched vector dimensions " +
+         |    $x.numElements() + " vs " + $y.numElements());
+         |}
+         |int $n = $x.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = (double) $x.getFloat($i);

@@ -63,6 +63,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("null text rows are skipped, not fatal, in LSH candidate generation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minHashCandidatePairs(df, "text", "doc_id",
+      shingleN = 1, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((1L, 2L)))
+    val sh = Dedup.simHashCandidatePairs(df, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh == Set((1L, 2L)))
+  }
+
+  test("string ids survive exact dedup (no silent long cast)") {
+    import spark.implicits._
+    val df  = Seq(("docB", "same"), ("docA", "same"), ("docC", "other")).toDF("doc_id", "text")
+    val out = Dedup.dropExactDuplicates(df, "text", "doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("docA", "docC"))
+  }
+
+  test("simHashCandidatePairs rejects maxHamming beyond the pigeonhole guarantee") {
+    val df = docs(1L -> "a b c")
+    intercept[IllegalArgumentException] {
+      Dedup.simHashCandidatePairs(df, "text", "doc_id", maxHamming = 4)
+    }
+  }
+
   test("jaccard exact values") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")

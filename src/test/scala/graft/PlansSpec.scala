@@ -26,6 +26,16 @@ class PlansSpec extends SparkSpec {
     assert(n.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("graft_cosine fails fast on mismatched vector dimensions") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.cosineNative(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("mismatched vector dimensions") ||
+      e.getCause != null && e.getCause.getMessage.contains("mismatched vector dimensions"))
+  }
+
   test("graft_cosine rejects wrong input types with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_cosine('a', 'b')").collect()

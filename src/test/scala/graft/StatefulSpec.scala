@@ -74,6 +74,38 @@ class StatefulSpec extends SparkSpec {
     assert(out(2) == Stateful.Session(2L, h, h, 1L))
   }
 
+  test("streaming sessionize carries the open session across micro-batches") {
+    import spark.implicits._
+    val h    = 3600L * 1000000000L
+    val work = Files.createTempDirectory("graft_sess_stream").toString
+    // one file per micro-batch: session spans files 1+2; file 3's event
+    // (far in the future) closes it; its own session stays open (unemitted)
+    Seq(Stateful.SessionEvent(1L, 0L, "a"), Stateful.SessionEvent(1L, h / 4, "b"))
+      .toDS().coalesce(1).write.parquet(s"$work/src/f1")
+    Seq(Stateful.SessionEvent(1L, h / 2, "c"))
+      .toDS().coalesce(1).write.parquet(s"$work/src/f2")
+    Seq(Stateful.SessionEvent(1L, 100L * h, "d"))
+      .toDS().coalesce(1).write.parquet(s"$work/src/f3")
+
+    val schema = spark.read.parquet(s"$work/src/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$work/src/*")
+      .as[Stateful.SessionEvent]
+    val q = Stateful.sessionize(stream, gapNanos = h)
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val emitted = spark.read.parquet(s"$work/sink").as[Stateful.Session].collect()
+    // exactly one complete session, not split/double-emitted per batch
+    assert(emitted.toSeq == Seq(Stateful.Session(1L, 0L, h / 2, 3L)))
+  }
+
   test("sessionize on fixture events: totals preserved, sessions ordered") {
     val ev  = Tables.load(spark, sfDir, "events")
     val out = Stateful.sessionizeEvents(spark, ev, gapNanos = 3600L * 1000000000L).collect()

@@ -39,6 +39,10 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langId returns 'und' for text matching no language markers") {
+    assert(one("hello world friends forever", TextAnalysis.langId(col("text"))).getString(0) == "und")
+  }
+
   test("fingerprint is order- and duplication-invariant") {
     val a = one("b a c a", TextAnalysis.fingerprint(col("text"))).getString(0)
     val b = one("c b a", TextAnalysis.fingerprint(col("text"))).getString(0)
