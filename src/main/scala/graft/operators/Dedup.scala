@@ -151,12 +151,20 @@ object Dedup {
     }
   }
 
-  /** Estimated Jaccard similarity = fraction of agreeing signature slots. */
+  /** Estimated Jaccard similarity = fraction of agreeing signature slots.
+    * Composable Catalyst form; [[estimatedJaccardNative]] is the codegen
+    * expression used on the per-pair hot path. */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
     aggregate(
       zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
       (acc, x) => acc + x).cast("double") / size(sigA).cast("double")
+
+  /** Native-expression form of [[estimatedJaccard]]
+    * (see [[graft.plans.MinHashAgreement]]) — identical values, primitive
+    * codegen loop. Requires the GraftExtensions session extension. */
+  def estimatedJaccardNative(sigA: Column, sigB: Column): Column =
+    call_function("graft_minhash_est", sigA, sigB)
 
   /** LSH band keys: hash each of `bands` contiguous signature slices
     * (band index is mixed in so identical slices in different bands do not
@@ -210,7 +218,7 @@ object Dedup {
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), estimatedJaccardNative(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= minJaccard)
   }
 

@@ -21,5 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_cosine(arrayA, arrayB)")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_est"),
+      new ExpressionInfo(classOf[MinHashAgreement].getName, "graft_minhash_est"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_minhash_est(sigA, sigB)")
+        MinHashAgreement(children.head, children(1))
+      }))
   }
 }

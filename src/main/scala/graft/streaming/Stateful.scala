@@ -34,6 +34,20 @@ object Stateful {
       .select(col("w.start").as("window_start"), col(keyCol), col("n"), col("sum_value"))
   }
 
+  /** Streaming exact deduplication on key columns: on a stream the seen-key
+    * state is bounded by the watermark (`dropDuplicatesWithinWatermark`
+    * evicts keys older than the horizon — without this, seen-state grows
+    * without bound on an unbounded 100 TB/day feed); in batch mode it is a
+    * plain `dropDuplicates`. `eventTimeCol` must be a timestamp column. */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      watermarkDur: String = "10 minutes"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(eventTimeCol, watermarkDur).dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+
   case class SessionEvent(user_id: Long, ts: Long, event_type: String)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)
 

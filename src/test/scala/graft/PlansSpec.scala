@@ -83,6 +83,38 @@ class PlansSpec extends SparkSpec {
     TableManager.dropTable(spark, "b_orders"); TableManager.dropTable(spark, "b_lineitem")
   }
 
+  test("MinHashAgreement native expression matches the HOF estimatedJaccard") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)),
+      (Seq(5L, 5L), Seq(5L, 5L))).toDF("a", "b")
+    val rows = df.select(
+      Dedup.estimatedJaccard(col("a"), col("b")).as("hof"),
+      Dedup.estimatedJaccardNative(col("a"), col("b")).as("native")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(1) == 0.5 && rows(1).getDouble(1) == 1.0)
+  }
+
+  test("hive-style partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    Tables.load(spark, sfDir, "documents").write.partitionBy("lang").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected partition filters in:\n$scan")
+    val expected = Tables.load(spark, sfDir, "documents").where(col("lang") === "en").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("approx_count_distinct (HLL) lands within 5% of exact") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("saltedAggregate matches direct aggregation (algebraic aggs)") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Relational.saltedAggregate(

@@ -60,6 +60,38 @@ class StatefulSpec extends SparkSpec {
     assert(streamed.length >= batch.length - 10, "only trailing open windows may be withheld")
   }
 
+  test("streaming dedup drops cross-batch duplicate keys within the watermark") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_dedup_stream").toString
+    // same event_id appears in both files (duplicate delivery across batches)
+    Seq((1L, "2024-01-01 00:00:01"), (2L, "2024-01-01 00:00:02"))
+      .toDF("event_id", "t").withColumn("event_time", col("t").cast("timestamp")).drop("t")
+      .coalesce(1).write.parquet(s"$work/src/f1")
+    Seq((2L, "2024-01-01 00:00:03"), (3L, "2024-01-01 00:00:04"))
+      .toDF("event_id", "t").withColumn("event_time", col("t").cast("timestamp")).drop("t")
+      .coalesce(1).write.parquet(s"$work/src/f2")
+
+    val schema = spark.read.parquet(s"$work/src/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/src/*")
+    val q = Stateful.dedupWithinWatermark(stream, Seq("event_id"), "event_time", "1 hour")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.read.parquet(s"$work/sink").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    // batch mode path
+    val batchIds = Stateful.dedupWithinWatermark(
+      spark.read.parquet(s"$work/src/*"), Seq("event_id"), "event_time")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(batchIds.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("sessionize splits on gaps and preserves event counts") {
     import spark.implicits._
     val h = 3600L * 1000000000L // one hour in nanos
