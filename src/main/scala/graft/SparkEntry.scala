@@ -275,6 +275,39 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- TPC-H Q3 shape: selective 3-way join → agg → top-k by revenue ----
+    "q_mjoin_agg_topk" -> ((s, d) => {
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, d, "lineitem").where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec)).cast(Dec).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // -- TPC-H Q5 shape: 6-way snowflake join → per-nation revenue --------
+    "q_mjoin_regional" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val sup = t(s, d, "supplier")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region").where(col("r_name") === "ASIA"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec)).cast(Dec).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
     // -- rollup: hierarchical subtotals + grand total ---------------------
     "q_rollup" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -577,6 +610,28 @@ object SparkEntry {
       ("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
         "ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_mjoin_agg_topk" ->
+      ("SELECT o_orderkey, " +
+        "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate >= TIMESTAMP '1998-01-01' " +
+        "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+
+    "q_mjoin_regional" ->
+      ("SELECT n_name, " +
+        "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
 
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +

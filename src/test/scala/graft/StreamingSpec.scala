@@ -58,6 +58,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("checkpoint restart processes only newly arrived files (incremental exactly-once)") {
+    import spark.implicits._
+    val work   = Files.createTempDirectory("graft_stream_inc").toString
+    val srcDir = s"$work/src"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "value")
+      .coalesce(1).write.parquet(s"$srcDir/f1")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+
+    def run(): Long = StreamingInference.streamTransform(
+      spark, s"$srcDir/*", schema,
+      df => df.select(col("event_id"), (col("value") * 2.0).as("score")),
+      s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1).count()
+
+    assert(run() == 2L)
+    // new file lands; restart from the same checkpoint picks up ONLY it
+    Seq((3L, 30.0)).toDF("event_id", "value")
+      .coalesce(1).write.parquet(s"$srcDir/f2")
+    assert(run() == 3L)
+    val ids = spark.read.parquet(s"$work/sink").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), "no duplicates, no gaps after restart")
+  }
+
   test("checkpoint makes re-run a no-op (exactly-once append)") {
     val work   = Files.createTempDirectory("graft_stream_spec2").toString
     val srcDir = s"$work/src"
