@@ -219,6 +219,23 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // -- north-star: LLM-corpus chunking (stride + overlap, posexplode) ---
+    "q_chunk_docs" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), chunkSize = 256, stride = 200)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          length(col("col")).cast("long").as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // -- north-star: deterministic hash split (reproducible train/val) ----
+    "q_hash_split" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), Relational.hashSplitTag(col("doc_id"), 80).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // -- north-star: bag-of-words fingerprint dedup ----------------------
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -580,6 +597,15 @@ object SparkEntry {
         s"ELSE CAST(len(list_filter($tokensSql, w -> w IN ($stopInList))) AS DOUBLE) / " +
         s"CAST(len($tokensSql) AS DOUBLE) END) * 5.0, 1.0) * 0.3" +
         ", 6) AS quality FROM documents ORDER BY doc_id"),
+
+    "q_chunk_docs" ->
+      ("SELECT doc_id, i AS chunk_idx, CAST(len(substr(text, CAST(i AS INT) * 200 + 1, 256)) AS BIGINT) AS chunk_len " +
+        "FROM documents, UNNEST(range(0, GREATEST(CAST(ceil(len(text) / 200.0) AS BIGINT), 1))) AS t(i) " +
+        "ORDER BY doc_id, chunk_idx"),
+
+    "q_hash_split" ->
+      ("SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'val' END AS split " +
+        "FROM documents ORDER BY doc_id"),
 
     "q_fingerprint" ->
       (s"SELECT doc_id, sha256(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fp " +

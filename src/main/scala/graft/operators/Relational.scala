@@ -39,6 +39,18 @@ object Relational {
   def unionEvolved(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
 
+  /** Deterministic hash-based split: assigns each row to train/val by a
+    * multiplicative hash of its id — reproducible across runs, engines, and
+    * repartitionings (unlike `randomSplit`, whose sampling is
+    * partition-seeded). The standard way to cut a training corpus so the
+    * same document always lands in the same split. */
+  def hashSplitTag(idCol: Column, trainPct: Int): Column = {
+    require(trainPct > 0 && trainPct < 100)
+    // Knuth multiplicative hash; ids up to ~3.5e9 stay within long range
+    // (ANSI-mode overflow-safe for the fixture and any 32-bit id space).
+    when(pmod(idCol * lit(2654435761L), lit(100L)) < trainPct, lit("train")).otherwise(lit("val"))
+  }
+
   /** Skew-safe aggregation by salting: phase 1 aggregates on
     * (key, salt ∈ [0, saltBuckets)) so a hot key's rows spread over
     * `saltBuckets` reducers; phase 2 merges the partials per key. Use when

@@ -89,6 +89,17 @@ object TextAnalysis {
     greatest((scores :+ zh :+ und): _*).getField("lang")
   }
 
+  /** Split text into fixed-size character chunks on a stride, with overlap
+    * `chunkSize - stride` — the standard LLM-corpus chunking shape. Returns
+    * an array column; pair with `posexplode` for (chunk_idx, chunk) rows.
+    * Pure per-row Catalyst expressions: chunking 100 TB is a map-side
+    * projection, no shuffle. */
+  def chunks(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(stride > 0 && chunkSize >= stride, "need chunkSize >= stride > 0")
+    val nChunks = greatest(ceil(length(text).cast("double") / lit(stride)).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1), i => text.substr(i * stride + 1, lit(chunkSize)))
+  }
+
   /** Canonical bag-of-words fingerprint: sha256 over the sorted distinct
     * lowercase token set. Two documents with the same token set (any order,
     * any duplication) collide — the classic "fingerprint dedup" canonical

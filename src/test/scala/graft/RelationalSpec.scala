@@ -38,6 +38,19 @@ class RelationalSpec extends SparkSpec {
     assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 3.5)
   }
 
+  test("hashSplitTag is deterministic, complete, and near the target ratio") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tagged = docs.select(col("doc_id"), Relational.hashSplitTag(col("doc_id"), 80).as("split"))
+    val counts = tagged.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count())
+    val trainFrac = counts("train").toDouble / docs.count()
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    // same id → same split, always
+    val again = docs.select(col("doc_id"), Relational.hashSplitTag(col("doc_id"), 80).as("split"))
+    assert(tagged.except(again).count() == 0)
+  }
+
   test("seededSplit is disjoint, complete, and reproducible (L3 self-check)") {
     val li           = Tables.load(spark, sfDir, "lineitem")
     val n            = li.count()

@@ -51,6 +51,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("chunks cover the text with the configured overlap") {
+    import spark.implicits._
+    val text = "x" * 500
+    val out  = Seq(text).toDF("text")
+      .select(TextAnalysis.chunks(col("text"), chunkSize = 256, stride = 200))
+      .head().getSeq[String](0)
+    assert(out.length == 3) // ceil(500/200)
+    assert(out(0).length == 256 && out(1).length == 256 && out(2).length == 100)
+    // consecutive chunks overlap by chunkSize - stride = 56 chars
+    assert(out(0).takeRight(56) == out(1).take(56))
+    // short text yields exactly one chunk
+    val one = Seq("short").toDF("text")
+      .select(TextAnalysis.chunks(col("text"), 256, 200)).head().getSeq[String](0)
+    assert(one == Seq("short"))
+  }
+
   test("subwordCountApprox counts words, digit runs, punctuation") {
     assert(one("hello, world 42", TextAnalysis.subwordCountApprox(col("text"))).getLong(0) == 4L)
   }
