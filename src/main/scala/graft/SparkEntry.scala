@@ -415,8 +415,10 @@ object SparkEntry {
     // -- north-star: embedding-cosine near-dup pairs (LSH-blocked) --------
     "q_embedding_neardup" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      // 24-bit signatures: 6-bit bands keep bucket sizes ~n/64 — the 8-bit
+      // variant had only 4 distinct keys per band and hit the bucket cap.
       Similarity.cosineNearDupPairs(emb, "embedding", "vec_id", dim = 64,
-          minCosine = 0.2, nBits = 8)
+          minCosine = 0.2, nBits = 24)
         .orderBy("id_a", "id_b")
     }),
 
