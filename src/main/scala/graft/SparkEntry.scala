@@ -394,6 +394,13 @@ object SparkEntry {
       Dedup.minHashCandidatePairs(t(s, d, "documents"), "text", "doc_id",
         shingleN = 2, numHashes = 64, bands = 16, minJaccard = 0.3)),
 
+    // -- north-star: end-to-end near-dedup (candidates → confirm → drop) --
+    "q_dedup_near_drop" -> ((s, d) =>
+      Dedup.dropNearDuplicates(t(s, d, "documents"), "text", "doc_id",
+          shingleN = 1, minJaccard = 0.8)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // -- north-star: SimHash near-dup candidates --------------------------
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashCandidatePairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 3)),

@@ -324,6 +324,33 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** End-to-end near-dedup: generate MinHash+LSH candidates, confirm them
+    * with exact n-gram Jaccard, then keep one representative per pair by
+    * dropping the larger id (standard "keep first" policy — for chains
+    * a~b~c this conservatively drops b and c; exact transitive clustering
+    * would need iterative connected components, which near-dedup pipelines
+    * typically skip in favor of this one-pass rule).
+    *
+    * Scale shape: candidates + confirmation shuffle only ids/signatures;
+    * the final anti-join removes the drop-set from the full corpus in one
+    * broadcast-able pass (the drop-set is pairs-bounded, far smaller than
+    * the corpus). */
+  def dropNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.8): DataFrame = {
+    val candidates = minHashCandidatePairs(df, textCol, idCol, shingleN, numHashes, bands,
+      minJaccard = minJaccard * 0.8) // permissive estimate; exact check decides
+    val confirmed = verifyPairsExactJaccard(candidates, df, textCol, idCol, shingleN)
+      .where(col("jaccard") >= minJaccard)
+    val toDrop = confirmed.select(col("id_b").as(idCol)).distinct()
+    df.join(toDrop, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------- minhash UDAF
 
   /** MinHash set-union sketch as a custom `Aggregator` (the one genuine
@@ -382,7 +409,7 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleN: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).cast("long").as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+    val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

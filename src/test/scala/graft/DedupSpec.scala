@@ -99,6 +99,22 @@ class DedupSpec extends SparkSpec {
     assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("dropNearDuplicates keeps one representative per near-dup group") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 38).map(i => s"tok$i").mkString(" ") + " o1 o2"
+    val far  = (100 to 140).map(i => s"alt$i").mkString(" ")
+    val df   = docs(1L -> base, 2L -> near, 3L -> far)
+    val kept = Dedup.dropNearDuplicates(df, "text", "doc_id",
+      shingleN = 1, minJaccard = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // 2 is the near-dup of 1 with larger id
+    // idempotent
+    val again = Dedup.dropNearDuplicates(
+      df.where(col("doc_id").isin(kept.toSeq: _*)), "text", "doc_id",
+      shingleN = 1, minJaccard = 0.7)
+    assert(again.count() == 2)
+  }
+
   test("verifyPairsExactJaccard re-attaches payload and confirms candidates") {
     val df    = docs(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "z z2 z3 z4 z5 z6")
     val pairs = Dedup.minHashCandidatePairs(df, "text", "doc_id",
