@@ -60,9 +60,6 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
-  /** 2^61 - 1 (Mersenne prime) for the (a*h+b) mod p hash family. */
-  private val Prime = 2305843009213693951L
-
   private def splitmix64(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -70,31 +67,24 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** Deterministic (a_i, b_i) coefficients for the permutation family.
-    * Sized so `a * h + b` never overflows a long under ANSI mode: the base
-    * hash is reduced to 32 bits and `a < 2^29`, so `a*h < 2^61` and adding
-    * `b < 2^31` stays below 2^62. */
-  private def coeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
-    val a = Array.tabulate(numHashes)(i => (splitmix64(seed + 2L * i) & Long.MaxValue) % ((1L << 29) - 1) + 1)
-    val b = Array.tabulate(numHashes)(i => (splitmix64(seed + 2L * i + 1) & Long.MaxValue) % ((1L << 31) - 1))
-    (a, b)
-  }
-
   /** MinHash signature (array of `numHashes` longs) of a shingle-set column.
     *
-    * One sequential fold over the shingle array: for each shingle the base
-    * xxhash64 is permuted through `numHashes` affine maps and the
-    * element-wise minimum is kept. Pure per-row computation — embarrassingly
-    * parallel, zero shuffle. */
+    * Hash family: an INDEPENDENT hash per slot — slot i takes the min over
+    * shingles of `xxhash64(shingle, i)`. (An affine `(a*h+b) mod p` family
+    * sized to avoid ANSI-mode long overflow is a trap: with `a*h < p` the
+    * map never wraps, is monotone in `h`, and every slot collapses to the
+    * same min-base-hash shingle — the Jaccard estimate degenerates toward
+    * 1.0. Independent slot hashes have no multiplication and no bias.)
+    *
+    * One sequential fold over the shingle array; pure per-row computation —
+    * embarrassingly parallel, zero shuffle. */
   def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val (a, b) = coeffs(numHashes, seed)
-    val init   = array(Array.fill(numHashes)(lit(Long.MaxValue)): _*)
+    val init = array(Array.fill(numHashes)(lit(Long.MaxValue)): _*)
     aggregate(
       shingles,
       init,
       (acc, s) => {
-        val h     = pmod(xxhash64(s), lit(1L << 32)) // 32-bit base hash (overflow-safe family)
-        val perms = array((0 until numHashes).map(i => pmod(h * lit(a(i)) + lit(b(i)), lit(Prime))): _*)
+        val perms = array((0 until numHashes).map(i => xxhash64(s, lit(seed), lit(i))): _*)
         zip_with(acc, perms, (x, y) => least(x, y))
       })
   }
@@ -109,15 +99,17 @@ object Dedup {
     * Tungsten boundary. */
   def minHashSignatureUdf(shingleN: Int, numHashes: Int, seed: Long = 42L)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val (a, b) = coeffs(numHashes, seed)
+    // independent per-slot seeds (see minHashSignature: affine families
+    // constrained to avoid overflow degenerate; slot-wise mixing does not)
+    val slotSeeds = Array.tabulate(numHashes)(i => splitmix64(seed + i))
     udf((text: String) => {
       if (text == null) null // null-propagate like the Catalyst HOF form
-      else minHashSignatureKernel(text, shingleN, numHashes, a, b)
+      else minHashSignatureKernel(text, shingleN, numHashes, slotSeeds)
     })
   }
 
   private def minHashSignatureKernel(
-      text: String, shingleN: Int, numHashes: Int, a: Array[Long], b: Array[Long]): Array[Long] = {
+      text: String, shingleN: Int, numHashes: Int, slotSeeds: Array[Long]): Array[Long] = {
     {
       val toks = text.trim.toLowerCase.split("\\s+")
       val sig  = Array.fill(numHashes)(Long.MaxValue)
@@ -136,11 +128,11 @@ object Dedup {
           h = 31 * h + ' '
           t += 1
         }
-        val h0 = splitmix64(h) & 0xffffffffL
+        val h0 = splitmix64(h)
         if (seen.add(h0)) {
           var k = 0
           while (k < numHashes) {
-            val v = (h0 * a(k) + b(k)) % Prime
+            val v = splitmix64(h0 ^ slotSeeds(k))
             if (v < sig(k)) sig(k) = v
             k += 1
           }
@@ -348,6 +340,64 @@ object Dedup {
     val confirmed = verifyPairsExactJaccard(candidates, df, textCol, idCol, shingleN)
       .where(col("jaccard") >= minJaccard)
     val toDrop = confirmed.select(col("id_b").as(idCol)).distinct()
+    df.join(toDrop, Seq(idCol), "left_anti")
+  }
+
+  /** Distributed connected components over an undirected pair-edge list by
+    * iterative min-label propagation: every vertex repeatedly adopts the
+    * minimum component id among itself and its neighbors, converging in
+    * O(graph diameter) rounds — near-dup graphs are shallow (dup clusters
+    * are dense), so a handful of rounds suffices at corpus scale. Each round
+    * is one join + aggregation over (id, comp) pairs only; lineage is cut
+    * with localCheckpoint per round so plans stay flat. Returns
+    * (id, component) with component = min id of the cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i         = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("id_b"), col("component").as("ncomp")), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min("ncomp").as("ncomp"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
+        .where(col("component") =!= col("prev")).limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Transitive near-dedup: clusters ALL connected candidates (a~c through
+    * b even when (a,c) was never a candidate pair) and keeps the min-id
+    * representative of each component — the exact clustering the one-pass
+    * keep-first policy of [[dropNearDuplicates]] approximates. */
+  def dropNearDuplicatesTransitive(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.8): DataFrame = {
+    val candidates = minHashCandidatePairs(df, textCol, idCol, shingleN, numHashes, bands,
+      minJaccard = minJaccard * 0.8)
+    val confirmed = verifyPairsExactJaccard(candidates, df, textCol, idCol, shingleN)
+      .where(col("jaccard") >= minJaccard)
+    val comps = connectedComponents(confirmed.select("id_a", "id_b"))
+    val toDrop = comps.where(col("id") =!= col("component")).select(col("id").as(idCol))
     df.join(toDrop, Seq(idCol), "left_anti")
   }
 

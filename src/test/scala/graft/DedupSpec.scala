@@ -115,6 +115,28 @@ class DedupSpec extends SparkSpec {
     assert(again.count() == 2)
   }
 
+  test("connectedComponents merges transitive clusters to min-id labels") {
+    import spark.implicits._
+    // edges (1,3),(2,3): 1 and 2 connect only through 3; plus isolated pair (10,11)
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("transitive near-dedup keeps one representative per connected cluster") {
+    // j(t1,t2)=j(t2,t3)=17/23≈0.74 confirm at 0.7; j(t1,t3)=14/26≈0.54 does
+    // not — clustering through t2 must still collapse all three to doc 1.
+    // (0.74 keeps the 16-band hit probability at ~99.7%; pairs nearer the
+    // threshold can legitimately be missed by LSH.)
+    val w    = (n: Range) => n.map(i => s"w$i").mkString(" ")
+    val df   = docs(1L -> w(1 to 20), 2L -> w(4 to 23), 3L -> w(7 to 26), 9L -> w(200 to 240))
+    val kept = Dedup.dropNearDuplicatesTransitive(df, "text", "doc_id",
+      shingleN = 1, minJaccard = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L))
+  }
+
   test("verifyPairsExactJaccard re-attaches payload and confirms candidates") {
     val df    = docs(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "z z2 z3 z4 z5 z6")
     val pairs = Dedup.minHashCandidatePairs(df, "text", "doc_id",
