@@ -138,6 +138,38 @@ class StatefulSpec extends SparkSpec {
     assert(emitted.toSeq == Seq(Stateful.Session(1L, 0L, h / 2, 3L)))
   }
 
+  test("sessionizeStream flushes an idle user's session via event-time timeout") {
+    import spark.implicits._
+    val h    = 3600L * 1000000000L
+    val base = 1704067200L * 1000000000L // 2024-01-01 in epoch nanos
+    val work = Files.createTempDirectory("graft_sess_timeout").toString
+    // file 1: user 1's whole activity; file 2: user 2 ten hours later —
+    // its event advances the watermark far past user 1's gap horizon, so
+    // user 1's session must flush WITHOUT any further user-1 event.
+    Seq((1L, base, "a"), (1L, base + h / 2, "b"))
+      .toDF("user_id", "ts", "event_type").coalesce(1).write.parquet(s"$work/src/f1")
+    Seq((2L, base + 10L * h, "x"))
+      .toDF("user_id", "ts", "event_type").coalesce(1).write.parquet(s"$work/src/f2")
+
+    val schema = spark.read.parquet(s"$work/src/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/src/*")
+    val q = Stateful.sessionizeStream(stream, gapNanos = h, watermarkDur = "1 minute")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val emitted = spark.read.parquet(s"$work/sink").as[Stateful.Session]
+      .collect().sortBy(_.user_id)
+    assert(emitted.map(_.user_id).toSeq == Seq(1L),
+      s"only user 1's idle session should flush, got ${emitted.toSeq}")
+    assert(emitted.head == Stateful.Session(1L, base, base + h / 2, 2L))
+  }
+
   test("sessionize on fixture events: totals preserved, sessions ordered") {
     val ev  = Tables.load(spark, sfDir, "events")
     val out = Stateful.sessionizeEvents(spark, ev, gapNanos = 3600L * 1000000000L).collect()
