@@ -56,8 +56,11 @@ object Multimodal {
         val content = r.getAs[Array[Byte]](1)
         val meta = modality match {
           case "image" =>
-            val (w, h) = Kernels.size(content)
-            Row("image/jpeg", w, h, 0L, 0)
+            // corrupt payloads are routine at corpus scale: fall back to
+            // opaque metadata instead of failing the whole ingest (same
+            // policy as extractFeatures)
+            try { val (w, h) = Kernels.size(content); Row("image/jpeg", w, h, 0L, 0) }
+            catch { case _: Exception => Row("application/octet-stream", 0, 0, 0L, 0) }
           case "audio" =>
             Row("audio/wav", 0, 0, (content.length.toLong * 1000) / 32000, 16000)
           case "video" =>

@@ -351,7 +351,7 @@ object Dedup {
     * is one join + aggregation over (id, comp) pairs only; lineage is cut
     * with localCheckpoint per round so plans stay flat. Returns
     * (id, component) with component = min id of the cluster. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist()
@@ -376,6 +376,10 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponents: not converged after $maxIter rounds — " +
+          "a component wider than the iteration budget may report multiple representatives")
     edges.unpersist()
     labels
   }
@@ -412,11 +416,20 @@ object Dedup {
   class MinHashUnion extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.empty
     override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] =
-      if (b.isEmpty) a.toArray
-      else { var i = 0; while (i < b.length) { if (a(i) < b(i)) b(i) = a(i); i += 1 }; b }
+      if (a == null) b // null-text rows contribute nothing to the union
+      else if (b.isEmpty) a.toArray
+      else {
+        require(a.length == b.length,
+          s"MinHashUnion: mixed signature lengths ${a.length} vs ${b.length} in one group")
+        var i = 0; while (i < b.length) { if (a(i) < b(i)) b(i) = a(i); i += 1 }; b
+      }
     override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
       if (b1.isEmpty) b2 else if (b2.isEmpty) b1
-      else { var i = 0; while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }; b1 }
+      else {
+        require(b1.length == b2.length,
+          s"MinHashUnion: mixed signature lengths ${b1.length} vs ${b2.length} in one group")
+        var i = 0; while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }; b1
+      }
     override def finish(r: Array[Long]): Seq[Long] = r.toSeq
     override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

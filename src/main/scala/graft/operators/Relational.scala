@@ -22,9 +22,12 @@ object Relational {
   def withDictIndex(df: DataFrame, labelCol: String, indexCol: String): DataFrame = {
     val labels = df
       .select(labelCol)
+      .where(col(labelCol).isNotNull) // null is not a label; see join below
       .distinct()
       .withColumn(indexCol, (dense_rank().over(Window.orderBy(col(labelCol))) - 1).cast("long"))
-    df.join(broadcast(labels), Seq(labelCol))
+    // left-outer: rows with a null label keep their row (null index) rather
+    // than silently vanishing through an inner join's null-key non-match
+    df.join(broadcast(labels), Seq(labelCol), "left_outer")
   }
 
   /** Top-k by explicit order. Plans as TakeOrderedAndProject: per-partition

@@ -44,13 +44,15 @@ object Similarity {
     })
   }
 
-  /** Signature: bit i = (v · hyperplane_i) > 0, packed into a long (nBits ≤ 64). */
+  /** Signature: bit i = (v · hyperplane_i) > 0, packed into a long (nBits ≤ 64).
+    * Null vectors yield a null signature (not an all-zero one, which would
+    * slip junk rows through Hamming candidate filters). */
   def lshSignature(vec: Column, planes: Array[Array[Float]]): Column = {
     require(planes.length <= 64, "signature packs into a single long")
     val bits = planes.zipWithIndex.map { case (p, i) =>
       when(dot(toDoubleArray(vec), toDoubleArray(typedLit(p))) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    when(vec.isNotNull, bits.reduce((a, b) => a.bitwiseOR(b))).otherwise(lit(null).cast("long"))
   }
 
   /** ANN top-k: LSH-bucketed candidate generation + exact re-rank.

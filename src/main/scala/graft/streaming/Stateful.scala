@@ -24,8 +24,11 @@ object Stateful {
       keyCol: String = "event_type",
       windowDur: String = "1 hour",
       watermarkDur: String = "10 minutes"): DataFrame = {
+    // integer division: long/long in the Column DSL is DOUBLE division, and
+    // epoch-nanos exceed double's 53-bit mantissa (~256 ns ULP) — an event
+    // within that of an hour boundary would land in the wrong window
     val withTime = events.withColumn("event_time",
-      timestamp_seconds(col(tsNanosCol) / lit(1000000000L)))
+      timestamp_seconds(expr(s"`$tsNanosCol` div 1000000000")))
     val watermarked =
       if (withTime.isStreaming) withTime.withWatermark("event_time", watermarkDur) else withTime
     watermarked
@@ -111,7 +114,7 @@ object Stateful {
     require(events.isStreaming, "sessionizeStream is the streaming variant; use sessionize for batch")
     val gapMs = gapNanos / 1000000L
     events
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1000000000.0)))
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
       .withWatermark("event_time", watermarkDur)
       // the watermarked attribute must remain in the stateful operator's
       // input schema — group the timed shape and convert inside the kernel

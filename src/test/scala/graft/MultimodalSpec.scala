@@ -37,6 +37,14 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("corrupt image payloads degrade to opaque metadata, not job failure") {
+    import spark.implicits._
+    val corrupt = Seq(("mem://bad", Array[Byte](1, 2, 3))).toDF("path", "content")
+    val media = Multimodal.fromBinaryFiles(corrupt, "image").collect()
+    assert(media.length == 1)
+    assert(media.head.getStruct(3).getString(0) == "application/octet-stream")
+  }
+
   test("stub decoders are deterministic") {
     val bytes = Array.tabulate[Byte](300)(i => (i * 7).toByte)
     assert(Multimodal.decodeAudioStub(bytes).sameElements(Multimodal.decodeAudioStub(bytes)))

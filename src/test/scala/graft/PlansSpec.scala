@@ -58,6 +58,14 @@ class PlansSpec extends SparkSpec {
     assert(grouped == manual)
   }
 
+  test("MinHashUnion skips null signatures (null-text rows in a group)") {
+    import spark.implicits._
+    val df = Seq(("g", "alpha beta"), ("g", null.asInstanceOf[String])).toDF("grp", "text")
+    val out = Dedup.groupMinHashSignatures(df, "text", "grp", shingleN = 1, numHashes = 16)
+    assert(out.count() == 1)
+    assert(out.head().getSeq[Long](1).length == 16)
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     // clear any stale warehouse leftovers from interrupted earlier runs
     Seq("b_orders", "b_lineitem").foreach { t =>

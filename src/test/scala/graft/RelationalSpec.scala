@@ -14,6 +14,16 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map("daisy" -> 0L, "roses" -> 1L, "tulips" -> 2L))
   }
 
+  test("withDictIndex keeps null-label rows with a null index") {
+    import spark.implicits._
+    val df = Seq(Some("b"), None, Some("a"), Some("b")).toDF("label")
+    val out = Relational.withDictIndex(df, "label", "idx")
+    assert(out.count() == 4)
+    val nullRow = out.where(col("label").isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(1))
+    assert(out.where(col("label") === "a").head().getLong(1) == 0L)
+  }
+
   test("withDictIndex preserves row count (re-attach join is 1:1)") {
     val docs = Tables.load(spark, sfDir, "documents")
     assert(Relational.withDictIndex(docs, "lang", "idx").count() == docs.count())
