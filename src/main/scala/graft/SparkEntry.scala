@@ -263,6 +263,26 @@ object SparkEntry {
       Similarity.cosineTopK(emb, "embedding", "vec_id", q, 20)
     }),
 
+    // -- MapType: parse JSON to map, explode to key/value rows ------------
+    "q_json_map" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          explode(from_json(col("props"), MapType(StringType, LongType))))
+        .select(col("event_id"), col("key"), col("value"))
+        .orderBy("event_id", "key")
+    }),
+
+    // -- edit distance (levenshtein) between adjacent docs' sources -------
+    "q_levenshtein" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "source")
+      val a = docs.select(col("doc_id").as("id_a"), col("source").as("src_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("source").as("src_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("src_a"), col("src_b")).cast("long").as("edit_dist"))
+        .orderBy("id_a")
+    }),
+
     // -- generator family: explode + token frequency top-k ----------------
     "q_explode_tokens" -> ((s, d) => {
       t(s, d, "documents")
@@ -625,6 +645,17 @@ object SparkEntry {
         s"ROUND(CASE WHEN len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) = 0 THEN 0.0 " +
         s"ELSE CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+')))) AS DOUBLE) / " +
         s"CAST(len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) AS DOUBLE) END, 6) AS jaccard " +
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    "q_json_map" ->
+      // fixture props carry exactly one key ('k'); DuckDB 1.0 lacks
+      // json_each, so the oracle enumerates that key explicitly
+      ("SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS value " +
+        "FROM events ORDER BY event_id, key"),
+
+    "q_levenshtein" ->
+      ("SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(levenshtein(a.source, b.source) AS BIGINT) AS edit_dist " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
 
     "q_explode_tokens" ->
