@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for LLM training-data pipelines: exact,
   * fingerprint, MinHash+LSH, SimHash, and n-gram Jaccard.
   *
+  * Algorithms follow the published literature: min-wise hashing and shingle
+  * resemblance (Broder, "On the resemblance and containment of documents",
+  * 1997), LSH banding over signature slices (Leskovec/Rajaraman/Ullman,
+  * "Mining of Massive Datasets" ch. 3), SimHash random-projection
+  * fingerprints (Charikar 2002; Manku et al., "Detecting near-duplicates
+  * for web crawling", WWW 2007 — the 4-block Hamming pigeonhole comes from
+  * there), and quadratic-bucket capping as practiced by large-corpus
+  * dedup pipelines (e.g. Lee et al., "Deduplicating training data makes
+  * language models better", 2022).
+  *
   * Scale design (100 TB):
   *  - Never shuffle the document payload. Every shuffling stage projects to
   *    (key, id) or (key, signature) first; full rows are re-attached by key
