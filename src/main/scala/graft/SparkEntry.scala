@@ -354,6 +354,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // -- cube: all grouping-set combinations ------------------------------
+    "q_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Dec)).cast(Dec).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
     // -- set operations: intersect / except (distinct-set semantics) ------
     "q_set_ops" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -474,6 +483,15 @@ object SparkEntry {
       Multimodal.extractFeatures(media, dim = 16)
         .select(col("media_id"), col("modality"), size(col("features")).as("feat_dim"))
         .orderBy("modality", "media_id")
+    }),
+
+    // -- north-star: IVF ANN with learned (k-means) centroids -------------
+    "q_similarity_ivf" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val q         = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val centroids = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
+      Similarity.annIvfTopK(emb, "embedding", "vec_id", q, centroids, k = 20, nProbes = 3)
     }),
 
     // -- S2+I1+A4 image ingest: binaryFile scan → label → size → index -----
@@ -704,6 +722,12 @@ object SparkEntry {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "q_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
 
     "q_set_ops" ->
       ("SELECT c_custkey, 'both' AS tag FROM " +

@@ -144,6 +144,25 @@ object Similarity {
     df.withColumn("ivf_cell", (array_position(sims, array_max(sims)) - 1).cast("int"))
   }
 
+  /** Learn IVF centroids with MLlib k-means (seeded, deterministic given a
+    * fixed input): the real centroid path for [[annIvfTopK]] — sampled-row
+    * centroids work, learned ones probe fewer cells for the same recall.
+    * The fit runs on a (sampled) pass over the vectors; at 100 TB fit on a
+    * sample, not the corpus. */
+  def fitIvfCentroids(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      seed: Long = 42L,
+      maxIter: Int = 10): Array[Array[Float]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feats = df.select(toVec(col(vecCol)).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    model.clusterCenters.map((v: Vector) => v.toArray.map(_.toFloat))
+  }
+
   def annIvfTopK(
       df: DataFrame,
       vecCol: String,

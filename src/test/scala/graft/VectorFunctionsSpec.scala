@@ -54,6 +54,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(cells.count() == emb.count())
   }
 
+  test("IVF with learned k-means centroids: deterministic fit, self in top-k") {
+    val emb       = Tables.load(spark, sfDir, "embeddings")
+    val centroids = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
+    assert(centroids.length == 8 && centroids.forall(_.length == 64))
+    val again = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
+    assert(centroids.zip(again).forall { case (a, b) => a.sameElements(b) })
+    val q   = emb.where(col("vec_id") === 5).select("embedding").head().getSeq[Float](0).toArray
+    val ann = Similarity.annIvfTopK(emb, "embedding", "vec_id", q, centroids, k = 10, nProbes = 2)
+      .collect()
+    assert(ann.head.getLong(0) == 5L && ann.head.getDouble(1) == 1.0)
+  }
+
   test("entry: flagship query returns aggregated rows (driver smoke contract)") {
     val out = SparkEntry.entry(spark).collect()
     assert(out.nonEmpty)
