@@ -266,8 +266,10 @@ object SparkEntry {
     // -- MapType: parse JSON to map, explode to key/value rows ------------
     "q_json_map" -> ((s, d) => {
       t(s, d, "events")
+        // explode_outer: a null/unparseable props row must still emit one
+        // row (null key/value) — the oracle emits one row per event
         .select(col("event_id"),
-          explode(from_json(col("props"), MapType(StringType, LongType))))
+          explode_outer(from_json(col("props"), MapType(StringType, LongType))))
         .select(col("event_id"), col("key"), col("value"))
         .orderBy("event_id", "key")
     }),

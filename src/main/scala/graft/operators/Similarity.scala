@@ -158,8 +158,14 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector, Vectors}
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feats = df.select(toVec(col(vecCol)).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    val feats = df.where(col(vecCol).isNotNull) // null-vector discipline, as in lshSignature
+      .select(toVec(col(vecCol)).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      // cells are assigned and probed by cosine (assignCells/annIvfTopK) —
+      // train with the same geometry or the learned Voronoi cells disagree
+      // with query-time assignment
+      .setDistanceMeasure("cosine")
+      .fit(feats)
     model.clusterCenters.map((v: Vector) => v.toArray.map(_.toFloat))
   }
 

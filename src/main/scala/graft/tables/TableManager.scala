@@ -41,19 +41,25 @@ object TableManager {
     deleteDir(spark, staging)
   }
 
+  /** Atomic rename-swap shared by the compaction procedures: stage the
+    * current dir to `.bak`, move the rewritten `tmp` into place, roll back
+    * on failure. One copy of the crash-safety-critical protocol. */
+  private def swapDir(spark: SparkSession, dir: String, tmp: Path, bak: Path, label: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(new Path(dir), bak)) sys.error(s"$label: could not stage $dir")
+    if (!fs.rename(tmp, new Path(dir))) { fs.rename(bak, new Path(dir)); sys.error(s"$label: swap failed for $dir") }
+    fs.delete(bak, true)
+  }
+
   /** S10: OPTIMIZE-style small-file compaction (`00. Explore.py:89-90`,
     * `01. Ingest.py:188-189`) for a path table: rewrite the directory into
     * `targetFiles` files via an atomic rename swap. A maintenance procedure,
     * not a Catalyst rule (SURVEY.md §4). */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
-    val fs   = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp  = new Path(dir + ".__compact_tmp")
-    val bak  = new Path(dir + ".__compact_bak")
+    val tmp = new Path(dir + ".__compact_tmp")
     spark.read.parquet(dir).repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (!fs.rename(new Path(dir), bak)) sys.error(s"compact: could not stage $dir")
-    if (!fs.rename(tmp, new Path(dir))) { fs.rename(bak, new Path(dir)); sys.error(s"compact: swap failed for $dir") }
-    fs.delete(bak, true)
+    swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compact")
   }
 
   /** Z-order value: bit-interleave two columns' 16-bit bucket ranks so rows
@@ -83,24 +89,27 @@ object TableManager {
     * predicates; here it is the same atomic rename-swap procedure as
     * [[compact]]. */
   def compactZOrder(spark: SparkSession, dir: String, colA: String, colB: String, targetFiles: Int): Unit = {
-    val df    = spark.read.parquet(dir)
-    val stats = df.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val df = spark.read.parquet(dir)
+    // z-ordering is defined for numeric range-bucketable columns only —
+    // reject anything else up front with a clear message (an ANSI cast
+    // failure deep in the stats job would be opaque)
+    Seq(colA, colB).foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"compactZOrder: column '$c' is ${df.schema(c).dataType.catalogString}; z-order requires numeric columns")
+    }
+    // nanvl: NaN would poison min/max and then fail the ANSI cast to long
+    def clean(c: String) = nanvl(col(c).cast("double"), lit(null).cast("double"))
+    val stats = df.agg(min(clean(colA)), max(clean(colA)), min(clean(colB)), max(clean(colB))).head()
+    require(!stats.anyNull, s"compactZOrder: $colA/$colB have no non-null, non-NaN values to bucket")
     val z = zValue(col(colA), stats.getDouble(0), stats.getDouble(1),
                    col(colB), stats.getDouble(2), stats.getDouble(3))
-    val fs  = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + ".__zorder_tmp")
-    val bak = new Path(dir + ".__zorder_bak")
     df.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (!fs.rename(new Path(dir), bak)) sys.error(s"compactZOrder: could not stage $dir")
-    if (!fs.rename(tmp, new Path(dir))) { fs.rename(bak, new Path(dir)); sys.error(s"compactZOrder: swap failed for $dir") }
-    fs.delete(bak, true)
+    swapDir(spark, dir, tmp, new Path(dir + ".__zorder_bak"), "compactZOrder")
   }
 
   /** Number of data files currently backing a path table (compaction metric). */
