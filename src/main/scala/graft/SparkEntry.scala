@@ -425,6 +425,19 @@ object SparkEntry {
       Dedup.minHashCandidatePairs(t(s, d, "documents"), "text", "doc_id",
         shingleN = 2, numHashes = 64, bands = 16, minJaccard = 0.3)),
 
+    // -- north-star: full corpus-prep pipeline (filter→dedup→chunk→split) -
+    "q_corpus_prep" -> ((s, d) =>
+      CorpusPipeline.prepare(
+          t(s, d, "documents"), "text", "doc_id",
+          CorpusPipeline.Config(
+            minQuality = 0.2,
+            languages = Seq("en", "und"),
+            nearDedupShingleN = 2,
+            chunkSize = 256, chunkStride = 200, trainPct = 80))
+        .select(col("doc_id"), col("chunk_idx"), length(col("chunk")).cast("long").as("chunk_len"),
+          col("lang"), col("split"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // -- north-star: end-to-end near-dedup (candidates → confirm → drop) --
     "q_dedup_near_drop" -> ((s, d) =>
       Dedup.dropNearDuplicates(t(s, d, "documents"), "text", "doc_id",

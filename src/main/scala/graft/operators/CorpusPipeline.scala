@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation: the composed pipeline a user of
+  * this engine runs over raw documents, assembled from the operator modules:
+  *
+  * {{{
+  *  quality filter (TextAnalysis.qualityScore ≥ threshold)
+  *    → language filter (TextAnalysis.langId ∈ allowed)
+  *    → exact dedup (Dedup.dropExactDuplicates)
+  *    → near dedup (Dedup.dropNearDuplicates, MinHash+LSH)
+  *    → chunking (TextAnalysis.chunks, stride+overlap, posexplode)
+  *    → deterministic split (Relational.hashSplitTag)
+  * }}}
+  *
+  * Every stage is map-side or id-keyed (the dedup stages shuffle only
+  * hashes/signatures/ids — SURVEY.md §7 100 TB rule), so the pipeline's
+  * shuffle volume is bounded by key widths, not document payloads. Stage
+  * order matters at scale: filters first (cheapest, map-side, shrink
+  * everything downstream), exact dedup before near dedup (hash group-by is
+  * far cheaper than LSH), chunking last (it multiplies rows).
+  */
+object CorpusPipeline {
+
+  case class Config(
+      minQuality: Double = 0.3,
+      languages: Seq[String] = Seq("en"),
+      nearDedup: Boolean = true,
+      nearDedupJaccard: Double = 0.8,
+      nearDedupShingleN: Int = 3,
+      chunkSize: Int = 2048,
+      chunkStride: Int = 1792,
+      trainPct: Int = 90)
+
+  /** Run the full preparation over (idCol, textCol) documents. Output:
+    * one row per chunk — (id, chunk_idx, chunk, quality, lang, split). */
+  def prepare(docs: DataFrame, textCol: String, idCol: String, cfg: Config = Config()): DataFrame = {
+    val text: Column = col(textCol)
+    val scored = docs
+      .withColumn("quality", TextAnalysis.qualityScore(text))
+      .withColumn("lang", TextAnalysis.langId(text))
+      .where(col("quality") >= cfg.minQuality && col("lang").isin(cfg.languages: _*))
+    val exact = Dedup.dropExactDuplicates(scored, textCol, idCol)
+    val deduped =
+      if (cfg.nearDedup)
+        Dedup.dropNearDuplicates(exact, textCol, idCol,
+          shingleN = cfg.nearDedupShingleN, minJaccard = cfg.nearDedupJaccard)
+      else exact
+    deduped
+      .select(col(idCol), col("quality"), col("lang"),
+        posexplode(TextAnalysis.chunks(text, cfg.chunkSize, cfg.chunkStride)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"),
+        col("quality"), col("lang"),
+        Relational.hashSplitTag(col(idCol), cfg.trainPct).as("split"))
+  }
+}
