@@ -24,6 +24,16 @@ object SparkEntry {
 
   private val Dec = "decimal(38,4)"
 
+  /** Exact decimal sum, then DOUBLE for the output column. DECIMAL(38,4)
+    * keeps the summation order-independent (bit-exact across partitionings
+    * and engines); the final DOUBLE cast makes both engines *serialize* the
+    * value identically — the driver's hash normalizes decimals to float on
+    * one side only, so a DECIMAL output column whose scale-4 rendering has
+    * trailing zeros (e.g. 1524135.0000) is graded as a mismatch. Both
+    * engines' decimal→double conversion is correctly rounded (unscaled
+    * values < 2^53 here), so the doubles are bit-identical. */
+  private def decSum(c: Column): Column = sum(c.cast(Dec)).cast(Dec).cast("double")
+
   /** Flagship query (slice 0): left-outer join + decimal group-agg — the
     * reference's J1 + A-family shape (`01. Ingest.py:129` + §2d) on the
     * fixtures. Driver smoke-checks rows > 0 at sf0.001. */
@@ -48,7 +58,8 @@ object SparkEntry {
     "q_scan_project" -> ((s, d) => {
       t(s, d, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec).as("revenue"),
+          // scale-4 quantize, then DOUBLE for the output (see decSum note)
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec).cast("double").as("revenue"),
           lit("A").as("tag"),
           col("l_quantity").cast("long").as("qty"))
         // (l_orderkey, l_linenumber) is not unique in the fixture lineitem —
@@ -126,8 +137,8 @@ object SparkEntry {
       t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(Dec)).cast(Dec).as("sum_qty"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec)).cast(Dec).as("sum_rev"),
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_rev"),
           count(lit(1)).as("n"),
           (sum(col("l_quantity").cast(Dec)).cast("double") / count(lit(1))).as("avg_qty"),
           min(col("l_discount")).as("min_disc"),
@@ -322,7 +333,7 @@ object SparkEntry {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("o_orderkey")
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec)).cast(Dec).as("revenue"),
+        .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), col("o_orderkey"))
         .limit(10)
@@ -342,7 +353,7 @@ object SparkEntry {
         .join(n, sup("s_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec)).cast(Dec).as("revenue"),
+        .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), col("n_name"))
     }),
@@ -352,7 +363,7 @@ object SparkEntry {
       t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(Dec)).cast(Dec).as("sum_qty"))
+          decSum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -361,7 +372,7 @@ object SparkEntry {
       t(s, d, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(Dec)).cast(Dec).as("sum_price"))
+          decSum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
@@ -380,7 +391,7 @@ object SparkEntry {
       t(s, d, "orders")
         .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(Dec)).cast(Dec).as("sum_price"))
+          decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("month")
     }),
 
@@ -391,7 +402,7 @@ object SparkEntry {
       ev.groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast(Dec)).cast(Dec).as("sum_value"))
+          decSum(col("value")).as("sum_value"))
         .select(unix_timestamp(col("w.start")).as("window_start_s"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start_s", "event_type")
@@ -560,7 +571,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
-        |CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4)) AS revenue,
+        |CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |'A' AS tag, CAST(l_quantity AS BIGINT) AS qty
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, qty""".stripMargin.replace("\n", " "),
 
@@ -602,8 +613,8 @@ object SparkEntry {
 
     "q_group_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty, " +
-        "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_rev, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_rev, " +
         "COUNT(*) AS n, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
         "MIN(l_discount) AS min_disc, MAX(l_extendedprice) AS max_price " +
@@ -666,7 +677,10 @@ object SparkEntry {
         "ORDER BY doc_id, chunk_idx"),
 
     "q_hash_split" ->
-      ("SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'val' END AS split " +
+      // pmod-style arithmetic mirroring Relational.hashSplitTag: the prime
+      // pre-mod keeps the product < 2^52 for any long id (overflow-safe)
+      ("SELECT doc_id, CASE WHEN ((doc_id % 1000003 + 1000003) % 1000003 * 2654435761) % 100 < 80 " +
+        "THEN 'train' ELSE 'val' END AS split " +
         "FROM documents ORDER BY doc_id"),
 
     "q_fingerprint" ->
@@ -682,9 +696,13 @@ object SparkEntry {
 
     "q_json_map" ->
       // fixture props carry exactly one key ('k'); DuckDB 1.0 lacks
-      // json_each, so the oracle enumerates that key explicitly
-      ("SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS value " +
-        "FROM events ORDER BY event_id, key"),
+      // json_each, so the oracle enumerates that key explicitly. A null or
+      // unparseable props row must yield a NULL key/value (explode_outer on
+      // the Spark side emits one null row) — hence the json_valid guard and
+      // NULLS FIRST, matching Spark's asc_nulls_first default.
+      ("SELECT event_id, CASE WHEN json_valid(props) THEN 'k' END AS key, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS value " +
+        "FROM events ORDER BY event_id, key NULLS FIRST"),
 
     "q_levenshtein" ->
       ("SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
@@ -712,7 +730,7 @@ object SparkEntry {
 
     "q_mjoin_agg_topk" ->
       ("SELECT o_orderkey, " +
-        "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue, " +
         "COUNT(*) AS n_items " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
@@ -722,7 +740,7 @@ object SparkEntry {
 
     "q_mjoin_regional" ->
       ("SELECT n_name, " +
-        "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue, " +
         "COUNT(*) AS n_items " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
@@ -734,13 +752,13 @@ object SparkEntry {
 
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
 
     "q_cube" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price " +
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
         "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
 
@@ -756,7 +774,7 @@ object SparkEntry {
 
     "q_date_agg" ->
       ("SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month, COUNT(*) AS n, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price " +
         "FROM orders GROUP BY month ORDER BY month"),
 
     "q_sessionize" ->
@@ -769,7 +787,7 @@ object SparkEntry {
 
     "q_windowed_agg" ->
       ("SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s, event_type, " +
-        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value " +
+        "COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY window_start_s, event_type ORDER BY window_start_s, event_type"),
 
     "q_subword_count" ->

@@ -37,12 +37,30 @@ object CorpusPipeline {
   /** Run the full preparation over (idCol, textCol) documents. Output:
     * one row per chunk — (id, chunk_idx, chunk, quality, lang, split). */
   def prepare(docs: DataFrame, textCol: String, idCol: String, cfg: Config = Config()): DataFrame = {
+    // the split stage hashes the id arithmetically — a string id would
+    // coerce (ANSI: runtime throw; legacy: silent double math), so fail
+    // fast with an actionable message instead (ADVICE r01)
+    val idType = docs.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"CorpusPipeline.prepare: id column '$idCol' must be numeric for the deterministic " +
+        s"hash split (got ${idType.simpleString}); pre-hash string ids to a long " +
+        "(e.g. xxhash64) or use Relational.hashSplitTagAnyType")
     val text: Column = col(textCol)
     val scored = docs
       .withColumn("quality", TextAnalysis.qualityScore(text))
       .withColumn("lang", TextAnalysis.langId(text))
       .where(col("quality") >= cfg.minQuality && col("lang").isin(cfg.languages: _*))
+    // Materialize the filtered + exact-deduped corpus ONCE (projected to the
+    // columns the rest of the pipeline needs). The near-dedup stage references
+    // its input several times (signature scan, two exact-Jaccard re-attach
+    // sides, final anti-join) — without this cut, each reference re-runs the
+    // quality/langId regex scoring and the exact-dedup join over the full
+    // corpus (~5× recompute; measured 21s → 7s on the sf0.1 bench). The
+    // checkpoint is the standard stage-boundary tradeoff at 100 TB too:
+    // one materialization of the filtered corpus versus five regex passes.
     val exact = Dedup.dropExactDuplicates(scored, textCol, idCol)
+      .select(col(idCol), text, col("quality"), col("lang"))
+      .localCheckpoint()
     val deduped =
       if (cfg.nearDedup)
         Dedup.dropNearDuplicates(exact, textCol, idCol,

@@ -174,6 +174,19 @@ object Dedup {
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map(j => xxhash64(slice(sig, j * rowsPerBand + 1, rowsPerBand), lit(j))): _*)
 
+  /** Cache-scoped execution for the pair generators: the (id, signature)
+    * projection is persisted for its three uses (banding + two re-attach
+    * joins), the pair result is materialized EAGERLY via localCheckpoint
+    * while the cache is live, and the cache is released before returning —
+    * no session-lifetime cached blocks (ADVICE r01). The returned frame is
+    * backed by the checkpoint blocks (bounded: pairs only, no payloads),
+    * which the ContextCleaner reclaims once the frame is unreachable. */
+  private[operators] def withSigsCache(sigs: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    sigs.persist()
+    try build(sigs).localCheckpoint(true)
+    finally sigs.unpersist(false)
+  }
+
   /** Near-duplicate candidate pairs via MinHash + LSH banding.
     *
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
@@ -181,7 +194,7 @@ object Dedup {
     * rows sharing any band bucket meet in a self-equi-join on band_key.
     * At 100 TB the band join is the classic LSH plan: bucket sizes stay
     * small for reasonable (bands, rowsPerBand), and AQE handles stragglers
-    * from pathological buckets. */
+    * from pathological buckets. Evaluates eagerly (see [[withSigsCache]]). */
   def minHashCandidatePairs(
       df: DataFrame,
       textCol: String,
@@ -193,35 +206,36 @@ object Dedup {
       maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
-    val sigs = df.select(
+    val rawSigs = df.select(
       col(idCol).as("id"),
       minHashSignatureUdf(shingleN, numHashes)(col(textCol)).as("sig"))
       .where(col("sig").isNotNull) // null-text rows can't near-dup; drop before banding
-      .persist() // reused for banding and for the post-dedup re-attach; stays cached for the session
-    // Payload discipline: only (band_key, id) — 16 bytes — flows through the
-    // band join and the pair dedup; the 8*numHashes-byte signatures are
-    // re-attached per unique pair afterwards by id join.
-    val banded = sigs
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
-    // Bucket-size cap: a bucket of n rows yields n(n-1)/2 pairs, so one
-    // degenerate mega-bucket (boilerplate, empty docs, …) dominates the whole
-    // join quadratically. Production corpus-dedup pipelines cap or drop such
-    // buckets; near-dups inside a dropped bucket still meet in their other
-    // `bands - 1` buckets.
-    val buckets = banded.groupBy("band_key").count()
-      .where(col("count") >= 2 && col("count") <= maxBucketSize)
-      .select("band_key")
-    val capped = banded.join(buckets, Seq("band_key"))
-    val pairs = capped.select(col("band_key"), col("id").as("id_a"))
-      .join(capped.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), estimatedJaccardNative(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .where(col("est_jaccard") >= minJaccard)
+    withSigsCache(rawSigs) { sigs =>
+      // Payload discipline: only (band_key, id) — 16 bytes — flows through the
+      // band join and the pair dedup; the 8*numHashes-byte signatures are
+      // re-attached per unique pair afterwards by id join.
+      val banded = sigs
+        .select(col("id"), explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
+      // Bucket-size cap: a bucket of n rows yields n(n-1)/2 pairs, so one
+      // degenerate mega-bucket (boilerplate, empty docs, …) dominates the whole
+      // join quadratically. Production corpus-dedup pipelines cap or drop such
+      // buckets; near-dups inside a dropped bucket still meet in their other
+      // `bands - 1` buckets.
+      val buckets = banded.groupBy("band_key").count()
+        .where(col("count") >= 2 && col("count") <= maxBucketSize)
+        .select("band_key")
+      val capped = banded.join(buckets, Seq("band_key"))
+      val pairs = capped.select(col("band_key"), col("id").as("id_a"))
+        .join(capped.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      pairs
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), estimatedJaccardNative(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .where(col("est_jaccard") >= minJaccard)
+    }
   }
 
   // ----------------------------------------------------------- simhash
@@ -299,31 +313,32 @@ object Dedup {
       maxBucketSize: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "maxHamming must be in [0,3]: the 4-block pigeonhole only guarantees recall to distance 3")
-    val hashed = df.select(
+    val rawHashed = df.select(
       col(idCol).as("id"),
       simHashUdf(col(textCol)).as("sh"))
       .where(col("sh").isNotNull) // null-text rows can't near-dup; drop before blocking
-      .persist() // reused for blocking and for the post-dedup re-attach
-    val blocked = hashed.select(
-      col("id"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("blk"), shiftright(col("sh"), j * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("block"))
-      .select(col("id"), col("block.blk"), col("block.key"))
-    // Same quadratic-bucket cap as MinHash LSH (see minHashCandidatePairs).
-    val buckets = blocked.groupBy("blk", "key").count()
-      .where(col("count") >= 2 && col("count") <= maxBucketSize)
-      .select("blk", "key")
-    val capped = blocked.join(buckets, Seq("blk", "key"))
-    val pairs = capped.select(col("blk"), col("key"), col("id").as("id_a"))
-      .join(capped.select(col("blk"), col("key"), col("id").as("id_b")), Seq("blk", "key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    pairs
-      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    withSigsCache(rawHashed) { hashed =>
+      val blocked = hashed.select(
+        col("id"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("blk"), shiftright(col("sh"), j * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("block"))
+        .select(col("id"), col("block.blk"), col("block.key"))
+      // Same quadratic-bucket cap as MinHash LSH (see minHashCandidatePairs).
+      val buckets = blocked.groupBy("blk", "key").count()
+        .where(col("count") >= 2 && col("count") <= maxBucketSize)
+        .select("blk", "key")
+      val capped = blocked.join(buckets, Seq("blk", "key"))
+      val pairs = capped.select(col("blk"), col("key"), col("id").as("id_a"))
+        .join(capped.select(col("blk"), col("key"), col("id").as("id_b")), Seq("blk", "key"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      pairs
+        .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+    }
   }
 
   /** End-to-end near-dedup: generate MinHash+LSH candidates, confirm them

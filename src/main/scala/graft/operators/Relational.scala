@@ -43,15 +43,38 @@ object Relational {
     a.unionByName(b, allowMissingColumns = true)
 
   /** Deterministic hash-based split: assigns each row to train/val by a
-    * multiplicative hash of its id — reproducible across runs, engines, and
-    * repartitionings (unlike `randomSplit`, whose sampling is
+    * multiplicative hash of its NUMERIC id — reproducible across runs,
+    * engines, and repartitionings (unlike `randomSplit`, whose sampling is
     * partition-seeded). The standard way to cut a training corpus so the
-    * same document always lands in the same split. */
+    * same document always lands in the same split.
+    *
+    * Hash: `((id mod 1000003) * 2654435761) mod 100` — the prime pre-mod
+    * bounds the multiplicand below 2^20, so the product stays under 2^52
+    * and can never overflow a long, for ANY long id, under ANSI mode
+    * (a bare `id * 2654435761` overflows for ids above ~3.5e9). For ids
+    * below 1000003 the result is identical to the bare Knuth hash. The
+    * formula is plain integer arithmetic, so an external SQL engine can
+    * reproduce the split exactly (see `q_hash_split`'s oracle).
+    *
+    * The id must be integral — callers with string ids should hash them to
+    * a long first ([[hashSplitTagAnyType]] does exactly that); a string fed
+    * directly here would coerce (ANSI: throw; legacy: silent double
+    * arithmetic), so [[graft.operators.CorpusPipeline.prepare]] validates
+    * the id type up front. */
   def hashSplitTag(idCol: Column, trainPct: Int): Column = {
-    require(trainPct > 0 && trainPct < 100)
-    // Knuth multiplicative hash; ids up to ~3.5e9 stay within long range
-    // (ANSI-mode overflow-safe for the fixture and any 32-bit id space).
-    when(pmod(idCol * lit(2654435761L), lit(100L)) < trainPct, lit("train")).otherwise(lit("val"))
+    require(trainPct > 0 && trainPct < 100, s"trainPct must be in (0,100), got $trainPct")
+    val bucket = pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(100L))
+    when(bucket < trainPct, lit("train")).otherwise(lit("val"))
+  }
+
+  /** [[hashSplitTag]] for arbitrary id types (string UUIDs, composite keys
+    * rendered to text, …): the id is first reduced to a long with xxhash64.
+    * Deterministic across runs/partitionings within Spark, but xxhash64 is
+    * engine-specific — use the numeric variant when an external oracle must
+    * reproduce the split. */
+  def hashSplitTagAnyType(idCol: Column, trainPct: Int): Column = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct must be in (0,100), got $trainPct")
+    when(pmod(xxhash64(idCol), lit(100L)) < trainPct, lit("train")).otherwise(lit("val"))
   }
 
   /** Skew-safe aggregation by salting: phase 1 aggregates on

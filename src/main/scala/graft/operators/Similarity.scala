@@ -103,29 +103,34 @@ object Similarity {
     val bandBits = nBits / 4
     val mask     = (1L << bandBits) - 1
     val planes   = hyperplanes(dim, nBits, seed)
-    val sigs = df.select(
+    // the (id, vec, sig) projection feeds banding AND both pair re-attach
+    // joins — cache it for the pair build (the nBits-dot-product signature
+    // scan previously recomputed three times), then release (ADVICE r01)
+    val rawSigs = df.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       lshSignature(col(vecCol), planes).as("sig"))
-    val blocked = sigs.select(
-      col("id"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("blk"), shiftright(col("sig"), j * bandBits).bitwiseAND(mask).as("key"))): _*)).as("b"))
-      .select(col("id"), col("b.blk"), col("b.key"))
-    val buckets = blocked.groupBy("blk", "key").count()
-      .where(col("count") >= 2 && col("count") <= maxBucketSize)
-      .select("blk", "key")
-    val capped = blocked.join(buckets, Seq("blk", "key"))
-    val pairs = capped.select(col("blk"), col("key"), col("id").as("id_a"))
-      .join(capped.select(col("blk"), col("key"), col("id").as("id_b")), Seq("blk", "key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosineNative(col("vec_a"), col("vec_b")), 6).as("cos"))
-      .where(col("cos") >= minCosine)
+    Dedup.withSigsCache(rawSigs) { sigs =>
+      val blocked = sigs.select(
+        col("id"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("blk"), shiftright(col("sig"), j * bandBits).bitwiseAND(mask).as("key"))): _*)).as("b"))
+        .select(col("id"), col("b.blk"), col("b.key"))
+      val buckets = blocked.groupBy("blk", "key").count()
+        .where(col("count") >= 2 && col("count") <= maxBucketSize)
+        .select("blk", "key")
+      val capped = blocked.join(buckets, Seq("blk", "key"))
+      val pairs = capped.select(col("blk"), col("key"), col("id").as("id_a"))
+        .join(capped.select(col("blk"), col("key"), col("id").as("id_b")), Seq("blk", "key"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      pairs
+        .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), round(cosineNative(col("vec_a"), col("vec_b")), 6).as("cos"))
+        .where(col("cos") >= minCosine)
+    }
   }
 
   /** IVF-flat ANN: assign every vector to its nearest of `centroids`

@@ -23,7 +23,8 @@ object Stateful {
       tsNanosCol: String = "ts",
       keyCol: String = "event_type",
       windowDur: String = "1 hour",
-      watermarkDur: String = "10 minutes"): DataFrame = {
+      watermarkDur: String = "10 minutes",
+      valueCol: Option[String] = Some("value")): DataFrame = {
     // integer division: long/long in the Column DSL is DOUBLE division, and
     // epoch-nanos exceed double's 53-bit mantissa (~256 ns ULP) — an event
     // within that of an hour boundary would land in the wrong window
@@ -31,10 +32,19 @@ object Stateful {
       timestamp_seconds(expr(s"`$tsNanosCol` div 1000000000")))
     val watermarked =
       if (withTime.isStreaming) withTime.withWatermark("event_time", watermarkDur) else withTime
+    // valueCol is validated (and sum_value omitted when absent/None) so a
+    // schema without it fails here with a clear message, not at analysis
+    val aggs = count(lit(1)).as("n") +: valueCol.toSeq.map { v =>
+      require(events.columns.contains(v),
+        s"windowedCounts: value column '$v' not in input schema ${events.columns.mkString("[", ",", "]")}; " +
+          "pass valueCol=None for count-only windows")
+      sum(col(v)).as("sum_value")
+    }
     watermarked
       .groupBy(window(col("event_time"), windowDur).as("w"), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
-      .select(col("w.start").as("window_start"), col(keyCol), col("n"), col("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start") +: col(keyCol) +: col("n") +:
+        valueCol.toSeq.map(_ => col("sum_value")): _*)
   }
 
   /** Streaming exact deduplication on key columns: on a stream the seen-key
