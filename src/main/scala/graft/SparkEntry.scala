@@ -421,6 +421,137 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
+    // -- as-of join: point-in-time attach of latest purchase per user -----
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t"), col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click").select("event_id", "user_id", "t")
+      // right side unique per (user, ts): asofJoin contract
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "t").agg(max("value").as("pval"))
+      Relational.asofJoin(clicks, purchases, Seq("user_id"), "t", "t", Seq("pval"))
+        .select(col("event_id"), col("user_id"), col("t").as("ts_us"),
+          col("asof_pval").as("last_purchase"))
+        .orderBy("event_id")
+    }),
+
+    // -- range (band) join: broadcast interval table, no equi-key ----------
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(("b0", 0e0, 1e5), ("b1", 1e5, 2e5), ("b2", 2e5, 3e5),
+        ("b3", 3e5, 4e5), ("b4", 4e5, 6e5)).toDF("band", "lo", "hi")
+      // tiny interval dim × big fact: broadcast nested-loop is the RIGHT
+      // plan (5 bands); an equi-bucketing rewrite only pays above ~1e3 bands
+      t(s, d, "orders")
+        .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // -- grouping sets (beyond rollup/cube): explicit set list + grouping()
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }),
+
+    // -- left-semi + left-anti joins ---------------------------------------
+    "q_join_semi_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey")).withColumn("tag", lit("has_orders"))
+        .unionAll(
+          c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+            .select(col("c_custkey")).withColumn("tag", lit("no_orders")))
+        .orderBy("tag", "c_custkey")
+    }),
+
+    // -- window navigation: lag / lead / first_value -----------------------
+    "q_window_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          first("o_totalprice")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // -- window distribution: ntile / percent_rank / cume_dist -------------
+    "q_window_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
+
+    // -- deterministic moment statistics (stddev/corr from decimal sums) ---
+    // built-in stddev/corr merge partial moments in partition order —
+    // nondeterministic in the last double bits; exact decimal power sums
+    // fed through an identical double formula are bit-stable on both engines
+    "q_stats_agg" -> ((s, d) => {
+      val q  = col("l_quantity")
+      val p  = col("l_extendedprice")
+      val g = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(q.cast(Dec)).cast(Dec).as("sx"),
+        sum((q * q).cast(Dec)).cast(Dec).as("sxx"),
+        sum(p.cast(Dec)).cast(Dec).as("sy"),
+        sum((p * p).cast(Dec)).cast(Dec).as("syy"),
+        sum((q * p).cast(Dec)).cast(Dec).as("sxy"))
+      val n   = col("n")
+      val sx  = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+      val sy  = col("sy").cast("double"); val syy = col("syy").cast("double")
+      val sxy = col("sxy").cast("double")
+      g.select(col("l_returnflag"), n,
+          round(sx / n, 6).as("mean_qty"),
+          round(sqrt((sxx - sx * sx / n) / (n - 1)), 6).as("std_qty"),
+          round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- array higher-order functions (exact ops only — no float folds) ----
+    "q_array_funcs" -> ((s, d) =>
+      t(s, d, "embeddings").select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          size(filter(col("embedding"), x => abs(x) > lit(0.5))).cast("long").as("n_big"),
+          round(array_min(col("embedding")).cast("double"), 6).as("min_v"),
+          round(element_at(col("embedding"), 5).cast("double"), 6).as("elem5"))
+        .orderBy("vec_id")),
+
+    // -- HAVING: post-aggregation predicate --------------------------------
+    "q_having" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("c_acctbal").cast(Dec)).cast(Dec).cast("double") / count(lit(1))).as("avg_bal"))
+        .where(col("n") > 100)
+        .orderBy("c_mktsegment")),
+
+    // -- salted two-phase aggregation (skew guard), oracle = plain group-by
+    "q_skew_salted" -> ((s, d) =>
+      Relational.saltedAggregate(
+          t(s, d, "events"), "event_type", saltBuckets = 8,
+          partialAggs = Seq(sum(col("value").cast(Dec)).as("ps"), count(lit(1)).as("pn")),
+          mergeAggs = Seq(sum(col("ps")).cast(Dec).cast("double").as("sum_value"),
+            sum(col("pn")).as("n")))
+        .orderBy("event_type")),
+
     // ================= non-oracle queries (rows-only check) =============
 
     // -- L3 seeded random split (engine-specific RNG, SURVEY §5 hazard 3) -
@@ -800,6 +931,85 @@ object SparkEntry {
         "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20"),
 
     "q_repartition_stable" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity",
+
+    "q_asof_join" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type, value FROM events), " +
+        "c AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, t, MAX(value) AS pval FROM ev WHERE event_type = 'purchase' GROUP BY user_id, t) " +
+        "SELECT c.event_id, c.user_id, c.t AS ts_us, p.pval AS last_purchase " +
+        "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.t <= c.t " +
+        "ORDER BY event_id"),
+
+    "q_range_join" ->
+      ("SELECT band, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price " +
+        "FROM orders JOIN (VALUES ('b0', 0, 100000), ('b1', 100000, 200000), ('b2', 200000, 300000), " +
+        "('b3', 300000, 400000), ('b4', 400000, 600000)) AS bands(band, lo, hi) " +
+        "ON o_totalprice >= lo AND o_totalprice < hi " +
+        "GROUP BY band ORDER BY band"),
+
+    "q_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls, " +
+        "COUNT(*) AS n, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "q_join_semi_anti" ->
+      ("SELECT c_custkey, 'has_orders' AS tag FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "UNION ALL " +
+        "SELECT c_custkey, 'no_orders' AS tag FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY tag, c_custkey"),
+
+    "q_window_lag" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price, " +
+        "LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price, " +
+        "FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "q_window_ntile" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank, " +
+        "ROUND(CUME_DIST() OVER w, 6) AS cdist " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_orderkey"),
+
+    "q_stats_agg" ->
+      ("SELECT l_returnflag, n, ROUND(sx / n, 6) AS mean_qty, " +
+        "ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty, " +
+        "ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price " +
+        "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sx, " +
+        "CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sy, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy, " +
+        "CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy " +
+        "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"),
+
+    "q_array_funcs" ->
+      ("SELECT vec_id, " +
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, " +
+        "CAST(len(list_filter(embedding, x -> abs(x) > 0.5)) AS BIGINT) AS n_big, " +
+        "ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v, " +
+        "ROUND(CAST(embedding[5] AS DOUBLE), 6) AS elem5 " +
+        "FROM embeddings ORDER BY vec_id"),
+
+    "q_having" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(*) AS avg_bal " +
+        "FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 100 ORDER BY c_mktsegment"),
+
+    "q_skew_salted" ->
+      ("SELECT event_type, " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value, " +
+        "COUNT(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
   )
 }

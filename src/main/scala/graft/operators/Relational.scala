@@ -77,6 +77,58 @@ object Relational {
     when(pmod(xxhash64(idCol), lit(100L)) < trainPct, lit("train")).otherwise(lit("val"))
   }
 
+  /** As-of join: attach to every left row the `valueCols` of the LATEST
+    * right row with `right.tsCol <= left.tsCol` within the same key group
+    * (inclusive tie: a right row at exactly the left timestamp matches).
+    * Left rows with no earlier right row keep null values (left-outer
+    * semantics) — the time-series point-in-time join (trades ⋈ quotes).
+    *
+    * Plan shape (100 TB): NOT a range join — an inequality join explodes
+    * quadratically per key and Spark would plan a nested-loop. Instead both
+    * sides union into one relation tagged by side and a single
+    * `last(value, ignoreNulls) OVER (PARTITION BY key ORDER BY ts, side
+    * ROWS UNBOUNDED PRECEDING)` carries each right value forward to the
+    * left rows that follow it. Cost: ONE shuffle on the key columns and a
+    * per-key sort — the same price as a regular sort-merge join, no
+    * blow-up. Right rows sort before left rows at equal ts (side 0 < 1),
+    * which is what makes the tie inclusive.
+    *
+    * Contract: the right side should be unique per (keys, ts) — pre-
+    * aggregate it otherwise (ambiguous same-timestamp rows have no defined
+    * winner); a null in a right `valueCol` is skipped by ignoreNulls (the
+    * previous non-null value carries forward) rather than emitted. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      outPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val lt = left.schema(leftTsCol).dataType
+    val rt = right.schema(rightTsCol).dataType
+    require(lt == rt, s"asofJoin: timestamp types differ (left $lt vs right $rt) — cast one side first")
+    val payload = left.columns.filterNot(keys.contains).toSeq // left keeps every non-key column
+    val lU = left.select(
+      keys.map(col) ++
+        Seq(col(leftTsCol).as("__asof_ts"), lit(1).as("__asof_side")) ++
+        payload.map(col) ++
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"$outPrefix$v")): _*)
+    val rU = right.select(
+      keys.map(col) ++
+        Seq(col(rightTsCol).as("__asof_ts"), lit(0).as("__asof_side")) ++
+        payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(v => col(v).as(s"$outPrefix$v")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(lU.unionByName(rU)) { (d, v) =>
+      d.withColumn(s"$outPrefix$v", last(col(s"$outPrefix$v"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__asof_side") === 1).drop("__asof_ts", "__asof_side")
+  }
+
   /** Skew-safe aggregation by salting: phase 1 aggregates on
     * (key, salt ∈ [0, saltBuckets)) so a hot key's rows spread over
     * `saltBuckets` reducers; phase 2 merges the partials per key. Use when

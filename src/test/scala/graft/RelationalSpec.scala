@@ -61,6 +61,67 @@ class RelationalSpec extends SparkSpec {
     assert(tagged.except(again).count() == 0)
   }
 
+  test("hashSplitTag never overflows for extreme long ids (ANSI mode)") {
+    import spark.implicits._
+    // ids beyond ~3.5e9 overflowed the bare Knuth multiply under ANSI mode
+    val ids = Seq(0L, 1L, 3499999999L, Long.MaxValue, Long.MinValue, -17L).toDF("id")
+    val out = ids.select(col("id"), Relational.hashSplitTag(col("id"), 80).as("split")).collect()
+    assert(out.length == 6 && out.forall(r => Set("train", "val")(r.getString(1))))
+    // below the pre-mod prime the split matches the original bare hash
+    assert(out.find(_.getLong(0) == 1L).get.getString(1) ==
+      (if ((1L * 2654435761L) % 100 < 80) "train" else "val"))
+  }
+
+  test("hashSplitTagAnyType splits string ids deterministically") {
+    import spark.implicits._
+    val ids = (0 until 500).map(i => s"doc-uuid-$i").toDF("id")
+    val tag = Relational.hashSplitTagAnyType(col("id"), 80).as("split")
+    val counts = ids.select(tag).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500)
+    assert(counts("train") > 350 && counts("train") < 450, s"got $counts")
+    assert(ids.select(col("id"), tag).except(ids.select(col("id"), tag)).count() == 0)
+  }
+
+  test("asofJoin attaches the latest right value at or before each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 50L, "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (3L, 1L, 9.0))
+      .toDF("k", "t", "v")
+    val out = Relational.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+    // (1,5): no right ≤ 5 → null; (1,10): tie is inclusive → 1.0;
+    // (1,20): latest ≤ 20 is 15 → 2.0; (2,50): no right rows for key → null
+    assert(out.length == 4)
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_v")))
+    assert(out(1).getDouble(out(1).fieldIndex("asof_v")) == 1.0)
+    assert(out(2).getDouble(out(2).fieldIndex("asof_v")) == 2.0)
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_v")))
+  }
+
+  test("asofJoin preserves left cardinality and all left columns") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
+    val clicks = ev.where(col("event_type") === "click").drop("event_type")
+    val buys   = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "t").agg(count(lit(1)).cast("double").as("n_buy"))
+    val joined = Relational.asofJoin(clicks, buys, Seq("user_id"), "t", "t", Seq("n_buy"))
+    assert(joined.count() == clicks.count())
+    assert(joined.columns.toSet == Set("user_id", "event_id", "t", "asof_n_buy"))
+  }
+
+  test("saltedAggregate matches the plain group-by on exact decimal sums") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val dec = "decimal(38,4)"
+    val salted = Relational.saltedAggregate(ev, "event_type", 8,
+      partialAggs = Seq(sum(col("value").cast(dec)).as("ps"), count(lit(1)).as("pn")),
+      mergeAggs = Seq(sum(col("ps")).cast(dec).as("s"), sum(col("pn")).as("n")))
+    val plain = ev.groupBy("event_type")
+      .agg(sum(col("value").cast(dec)).cast(dec).as("s"), count(lit(1)).as("n"))
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
   test("seededSplit is disjoint, complete, and reproducible (L3 self-check)") {
     val li           = Tables.load(spark, sfDir, "lineitem")
     val n            = li.count()

@@ -22,6 +22,17 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("windowedCounts works without a value column and rejects a missing one") {
+    val ev = Tables.load(spark, sfDir, "events").select("event_id", "ts", "event_type")
+    val out = Stateful.windowedCounts(ev, valueCol = None)
+    assert(out.columns.toSeq == Seq("window_start", "event_type", "n"))
+    assert(out.count() > 0)
+    val err = intercept[IllegalArgumentException] {
+      Stateful.windowedCounts(ev) // default valueCol "value" absent
+    }
+    assert(err.getMessage.contains("value"))
+  }
+
   test("windowedCounts on a file stream equals the batch result (watermarked)") {
     val work   = Files.createTempDirectory("graft_stateful").toString
     val srcDir = s"$work/src"
