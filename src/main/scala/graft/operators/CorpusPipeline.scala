@@ -55,10 +55,20 @@ object CorpusPipeline {
     // its input several times (signature scan, two exact-Jaccard re-attach
     // sides, final anti-join) — without this cut, each reference re-runs the
     // quality/langId regex scoring and the exact-dedup join over the full
-    // corpus (~5× recompute; measured 21s → 7s on the sf0.1 bench). The
+    // corpus (~5× recompute; measured 21s → 12s on the sf0.1 bench). The
     // checkpoint is the standard stage-boundary tradeoff at 100 TB too:
     // one materialization of the filtered corpus versus five regex passes.
-    val exact = Dedup.dropExactDuplicates(scored, textCol, idCol)
+    //
+    // The exact-dedup keep-set is computed from the RAW docs (sha-only
+    // projection) rather than from `scored`, so the quality/langId regex
+    // scoring runs exactly once (on the `scored` side of the join below)
+    // instead of twice. Equivalent result: exact duplicates share the text,
+    // hence the same quality/lang — a duplicate group passes the filter all
+    // together or not at all, and its min-id representative is the same
+    // computed before or after filtering.
+    val keepIds = Dedup.exactGroups(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    val exact = scored.join(keepIds, Seq(idCol))
       .select(col(idCol), text, col("quality"), col("lang"))
       .localCheckpoint()
     val deduped =

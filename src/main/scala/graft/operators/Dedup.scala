@@ -497,7 +497,18 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleN: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+    // Shingle only the docs that actually appear in a candidate pair: the
+    // interpreted HOF shingling is the expensive part, and candidates are a
+    // tiny fraction of the corpus — the semi-join filter runs BEFORE the
+    // shingle projection, so non-candidate docs never pay it. (At 100 TB
+    // this is the difference between shingling the corpus twice and
+    // shingling only the near-dup suspects.)
+    val candidateIds = pairs.select(col("id_a").as("__cid"))
+      .unionAll(pairs.select(col("id_b").as("__cid")))
+      .distinct()
+    val sets = df
+      .join(candidateIds, df(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

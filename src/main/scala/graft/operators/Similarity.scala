@@ -46,11 +46,18 @@ object Similarity {
 
   /** Signature: bit i = (v · hyperplane_i) > 0, packed into a long (nBits ≤ 64).
     * Null vectors yield a null signature (not an all-zero one, which would
-    * slip junk rows through Hamming candidate filters). */
+    * slip junk rows through Hamming candidate filters).
+    *
+    * The sign test runs through the native codegen cosine expression:
+    * sign(cos(v,p)) = sign(v·p) (norms are positive), and the Catalyst
+    * higher-order-function dot product evaluates INTERPRETED — nBits × dim
+    * boxed multiply-adds per row dominated the near-dup scans. A zero
+    * vector yields cosine NaN, and NaN > 0 is false — the same bit the dot
+    * product's 0.0 produces. */
   def lshSignature(vec: Column, planes: Array[Array[Float]]): Column = {
     require(planes.length <= 64, "signature packs into a single long")
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      when(dot(toDoubleArray(vec), toDoubleArray(typedLit(p))) > 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(cosineNative(vec, typedLit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     when(vec.isNotNull, bits.reduce((a, b) => a.bitwiseOR(b))).otherwise(lit(null).cast("long"))
   }
@@ -159,13 +166,25 @@ object Similarity {
       vecCol: String,
       k: Int,
       seed: Long = 42L,
-      maxIter: Int = 10): Array[Array[Float]] = {
+      maxIter: Int = 10,
+      fitSampleRows: Int = 4096): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector, Vectors}
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    // Fit on a bounded sample, in a handful of partitions: k-means quality
+    // saturates far below corpus size (centroids only steer recall/cost),
+    // and each LLoyd iteration is a full job — tiny per-task work over many
+    // partitions is pure scheduler overhead. This IS the 100 TB path: the
+    // corpus never feeds the fit, only the one-pass cell assignment.
     val feats = df.where(col(vecCol).isNotNull) // null-vector discipline, as in lshSignature
       .select(toVec(col(vecCol)).as("features"))
+      .limit(fitSampleRows)
+      .coalesce(4)
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      // seeded random init: the default k-means|| init costs several extra
+      // distributed passes — for a handful of IVF cells over a bounded
+      // sample, random init + Lloyd iterations reach the same geometry
+      .setInitMode("random")
       // cells are assigned and probed by cosine (assignCells/annIvfTopK) —
       // train with the same geometry or the learned Voronoi cells disagree
       // with query-time assignment
