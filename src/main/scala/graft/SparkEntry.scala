@@ -552,6 +552,24 @@ object SparkEntry {
             sum(col("pn")).as("n")))
         .orderBy("event_type")),
 
+    // -- unpivot (wide → long melt) ----------------------------------------
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")), "attr", "val")
+        .orderBy("p_partkey", "attr")),
+
+    // -- max_by / min_by: value of one column at the extreme of another ----
+    // ordering column (o_orderkey) is unique per group → deterministic
+    "q_agg_minmax_by" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_totalprice"), col("o_orderkey")).as("price_of_last_order"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("price_of_first_order"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")),
+
     // ================= non-oracle queries (rows-only check) =============
 
     // -- L3 seeded random split (engine-specific RNG, SURVEY §5 hazard 3) -
@@ -1005,6 +1023,17 @@ object SparkEntry {
       ("SELECT c_mktsegment, COUNT(*) AS n, " +
         "CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(*) AS avg_bal " +
         "FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 100 ORDER BY c_mktsegment"),
+
+    "q_unpivot" ->
+      ("SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part " +
+        "UNION ALL " +
+        "SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part " +
+        "ORDER BY p_partkey, attr"),
+
+    "q_agg_minmax_by" ->
+      ("SELECT o_custkey, arg_max(o_totalprice, o_orderkey) AS price_of_last_order, " +
+        "arg_min(o_totalprice, o_orderkey) AS price_of_first_order, COUNT(*) AS n " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
 
     "q_skew_salted" ->
       ("SELECT event_type, " +

@@ -61,6 +61,37 @@ object Stateful {
       df.withWatermark(eventTimeCol, watermarkDur).dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 
+  /** Stream-stream (or batch) interval equi-join: rows join when the keys
+    * match and `rightTimeCol` falls within `[leftTimeCol - gap, leftTimeCol]`
+    * — "attach the right-side events from the preceding gap window".
+    *
+    * On streams BOTH sides are watermarked and the time bound is what lets
+    * Structured Streaming evict buffered rows: without it, a stream-stream
+    * join must keep every past row forever (unbounded state on an unbounded
+    * feed). With it, state per side is O(watermark + gap) of data — the
+    * standard production shape for click-attribution joins. In batch mode
+    * the same plan is a plain join with a range predicate.
+    *
+    * Column names must be globally unique across the two sides (rename
+    * before calling) so the condition resolves unambiguously. */
+  def streamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String,
+      rightKeyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      gap: String = "1 hour",
+      watermarkDur: String = "10 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTimeCol, watermarkDur) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTimeCol, watermarkDur) else right
+    l.join(r,
+      col(leftKeyCol) === col(rightKeyCol) &&
+        col(rightTimeCol) >= col(leftTimeCol) - expr(s"INTERVAL $gap") &&
+        col(rightTimeCol) <= col(leftTimeCol),
+      "inner")
+  }
+
   case class SessionEvent(user_id: Long, ts: Long, event_type: String)
   case class TimedSessionEvent(user_id: Long, ts: Long, event_type: String, event_time: java.sql.Timestamp)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)

@@ -22,6 +22,40 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("streamIntervalJoin: stream-stream join equals the batch join") {
+    val work = Files.createTempDirectory("graft_ssjoin").toString
+    val src  = s"$work/src"
+    Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "event_type")
+      .repartition(2).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def clicks(df: org.apache.spark.sql.DataFrame) = df.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        timestamp_seconds(expr("ts div 1000000000")).as("c_time"))
+    def buys(df: org.apache.spark.sql.DataFrame) = df.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        timestamp_seconds(expr("ts div 1000000000")).as("p_time"))
+
+    val batchDf = spark.read.parquet(src)
+    val batch = Stateful.streamIntervalJoin(clicks(batchDf), buys(batchDf),
+        "c_user", "p_user", "c_time", "p_time", gap = "30 minutes")
+      .select("c_id", "p_id").orderBy("c_id", "p_id").collect()
+    assert(batch.nonEmpty, "fixture should produce at least one click⋈purchase match")
+
+    val q = Stateful.streamIntervalJoin(
+        clicks(spark.readStream.schema(schema).parquet(src)),
+        buys(spark.readStream.schema(schema).parquet(src)),
+        "c_user", "p_user", "c_time", "p_time", gap = "30 minutes")
+      .select("c_id", "p_id")
+      .writeStream.format("parquet").outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt").option("path", s"$work/sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$work/sink").orderBy("c_id", "p_id").collect()
+    assert(streamed.length == batch.length)
+    assert(batch.sameElements(streamed))
+  }
+
   test("windowedCounts works without a value column and rejects a missing one") {
     val ev = Tables.load(spark, sfDir, "events").select("event_id", "ts", "event_type")
     val out = Stateful.windowedCounts(ev, valueCol = None)
