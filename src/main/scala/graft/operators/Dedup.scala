@@ -187,6 +187,30 @@ object Dedup {
     finally sigs.unpersist(false)
   }
 
+  /** Bucketed pair generation shared by the LSH candidate generators:
+    * one aggregation collects each bucket's id list (cap applied directly
+    * on the list length — no separate bucket-count pre-pass and join-back),
+    * and the pair cartesian is a MAP-SIDE double explode over the ≤
+    * `maxBucketSize` ids — no self-join shuffle. Versus the join
+    * formulation this removes two shuffles and two stages; at 100 TB the
+    * aggregation shuffle carries the same (bucket, id) volume the join
+    * would have, so the saving is pure. A bucket of n rows yields n(n-1)/2
+    * pairs — the cap keeps one degenerate mega-bucket (boilerplate, empty
+    * docs, …) from dominating quadratically; near-dups inside a dropped
+    * bucket still meet in their other buckets. */
+  private[operators] def bucketedPairs(
+      banded: DataFrame, // (bucketCols…, id)
+      bucketCols: Seq[String],
+      maxBucketSize: Int): DataFrame =
+    banded.groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(col("id")).as("__ids"))
+      .where(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
   /** Near-duplicate candidate pairs via MinHash + LSH banding.
     *
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
@@ -216,20 +240,7 @@ object Dedup {
       // re-attached per unique pair afterwards by id join.
       val banded = sigs
         .select(col("id"), explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
-      // Bucket-size cap: a bucket of n rows yields n(n-1)/2 pairs, so one
-      // degenerate mega-bucket (boilerplate, empty docs, …) dominates the whole
-      // join quadratically. Production corpus-dedup pipelines cap or drop such
-      // buckets; near-dups inside a dropped bucket still meet in their other
-      // `bands - 1` buckets.
-      val buckets = banded.groupBy("band_key").count()
-        .where(col("count") >= 2 && col("count") <= maxBucketSize)
-        .select("band_key")
-      val capped = banded.join(buckets, Seq("band_key"))
-      val pairs = capped.select(col("band_key"), col("id").as("id_a"))
-        .join(capped.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+      val pairs = bucketedPairs(banded, Seq("band_key"), maxBucketSize)
       pairs
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -323,16 +334,7 @@ object Dedup {
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("blk"), shiftright(col("sh"), j * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("block"))
         .select(col("id"), col("block.blk"), col("block.key"))
-      // Same quadratic-bucket cap as MinHash LSH (see minHashCandidatePairs).
-      val buckets = blocked.groupBy("blk", "key").count()
-        .where(col("count") >= 2 && col("count") <= maxBucketSize)
-        .select("blk", "key")
-      val capped = blocked.join(buckets, Seq("blk", "key"))
-      val pairs = capped.select(col("blk"), col("key"), col("id").as("id_a"))
-        .join(capped.select(col("blk"), col("key"), col("id").as("id_b")), Seq("blk", "key"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+      val pairs = bucketedPairs(blocked, Seq("blk", "key"), maxBucketSize)
       pairs
         .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -487,9 +489,44 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") / uni.cast("double"))
   }
 
+  /** Tight-loop exact word-shingle Jaccard between two raw texts — value-
+    * identical to `jaccard(wordShingles(a,n), wordShingles(b,n))` (HashSet
+    * intersect over the same distinct shingle sets, same division), but a
+    * single JVM kernel instead of interpreted HOF shingling + array
+    * intersect/union (the same rationale as [[minHashSignatureUdf]]).
+    * Null text null-propagates like the HOF form. */
+  def jaccardTextUdf(shingleN: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: String, b: String) => {
+      if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val sa = shingleSetKernel(a, shingleN)
+        val sb = shingleSetKernel(b, shingleN)
+        var inter = 0
+        val it = sa.iterator
+        while (it.hasNext) if (sb.contains(it.next())) inter += 1
+        val uni = sa.size + sb.size - inter
+        java.lang.Double.valueOf(if (uni == 0) 0.0 else inter.toDouble / uni)
+      }
+    })
+
+  /** Distinct word n-gram set, mirroring [[wordShingles]] exactly: tokens =
+    * `trim.toLowerCase.split("\\s+")`, shingle start positions 0..max(len-n,0)
+    * (so short texts yield one truncated shingle, like `greatest(..., 1)`). */
+  private def shingleSetKernel(text: String, n: Int): java.util.HashSet[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val set  = new java.util.HashSet[String]()
+    val last = math.max(0, toks.length - n)
+    var j    = 0
+    while (j <= last) {
+      set.add(toks.slice(j, math.min(toks.length, j + n)).mkString(" "))
+      j += 1
+    }
+    set
+  }
+
   /** Exact n-gram Jaccard verification of candidate pairs: re-attach the
-    * shingle sets by id join (payload never rides through the LSH shuffle)
-    * and compute the true Jaccard. Typical use: filter
+    * raw texts by id join (payload never rides through the LSH shuffle)
+    * and compute the true Jaccard in the JVM kernel. Typical use: filter
     * `minHashCandidatePairs` output to confirmed near-duplicates. */
   def verifyPairsExactJaccard(
       pairs: DataFrame, // (id_a, id_b, …)
@@ -497,21 +534,21 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleN: Int = 3): DataFrame = {
-    // Shingle only the docs that actually appear in a candidate pair: the
-    // interpreted HOF shingling is the expensive part, and candidates are a
-    // tiny fraction of the corpus — the semi-join filter runs BEFORE the
-    // shingle projection, so non-candidate docs never pay it. (At 100 TB
-    // this is the difference between shingling the corpus twice and
-    // shingling only the near-dup suspects.)
+    // Only docs that actually appear in a candidate pair are re-attached:
+    // the semi-join filter runs BEFORE the text projection, so
+    // non-candidate docs never feed the pair join. (At 100 TB this is the
+    // difference between shipping the corpus twice and shipping only the
+    // near-dup suspects.)
     val candidateIds = pairs.select(col("id_a").as("__cid"))
       .unionAll(pairs.select(col("id_b").as("__cid")))
       .distinct()
-    val sets = df
+    val texts = df
       .join(candidateIds, df(idCol) === col("__cid"), "left_semi")
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
     pairs
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(texts.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardTextUdf(shingleN)(col("txt_a"), col("txt_b")).as("jaccard"))
   }
 }

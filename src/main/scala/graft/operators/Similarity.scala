@@ -123,15 +123,7 @@ object Similarity {
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("blk"), shiftright(col("sig"), j * bandBits).bitwiseAND(mask).as("key"))): _*)).as("b"))
         .select(col("id"), col("b.blk"), col("b.key"))
-      val buckets = blocked.groupBy("blk", "key").count()
-        .where(col("count") >= 2 && col("count") <= maxBucketSize)
-        .select("blk", "key")
-      val capped = blocked.join(buckets, Seq("blk", "key"))
-      val pairs = capped.select(col("blk"), col("key"), col("id").as("id_a"))
-        .join(capped.select(col("blk"), col("key"), col("id").as("id_b")), Seq("blk", "key"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+      val pairs = Dedup.bucketedPairs(blocked, Seq("blk", "key"), maxBucketSize)
       pairs
         .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
         .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))

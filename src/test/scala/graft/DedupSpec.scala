@@ -137,6 +137,35 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 9L))
   }
 
+  test("jaccardTextUdf kernel is value-identical to the HOF shingle jaccard") {
+    // fixture docs: adjacent pairs, several shingle widths, incl. the
+    // short-text truncated-shingle edge case and empty-ish strings
+    val d = Tables.load(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+    for (n <- Seq(1, 2, 3)) {
+      val mismatch = pairs.select(
+          Dedup.jaccardTextUdf(n)(col("ta"), col("tb")).as("kernel"),
+          Dedup.jaccard(
+            Dedup.wordShingles(col("ta"), n), Dedup.wordShingles(col("tb"), n)).as("hof"))
+        .where(col("kernel") =!= col("hof")).count()
+      assert(mismatch == 0, s"shingleN=$n")
+    }
+    // edge cases the fixture may not cover
+    import spark.implicits._
+    val edge = Seq(("a", "a"), ("a b", "b a"), ("", ""), ("  ", "x"), ("one two", "one"))
+      .toDF("ta", "tb")
+    for (n <- Seq(1, 3)) {
+      val rows = edge.select(
+        Dedup.jaccardTextUdf(n)(col("ta"), col("tb")).as("kernel"),
+        Dedup.jaccard(
+          Dedup.wordShingles(col("ta"), n), Dedup.wordShingles(col("tb"), n)).as("hof")).collect()
+      rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"n=$n row=$r"))
+    }
+  }
+
   test("verifyPairsExactJaccard re-attaches payload and confirms candidates") {
     val df    = docs(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "z z2 z3 z4 z5 z6")
     val pairs = Dedup.minHashCandidatePairs(df, "text", "doc_id",
