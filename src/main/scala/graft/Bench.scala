@@ -33,14 +33,17 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failures keep their -1 sentinel per-query but must not subtract from
+    // the headline total (a broken query would read as a speedup)
+    val total   = results.collect { case (_, v) if v >= 0 => v }.sum
+    val nFailed = results.count(_._2 < 0)
     // subtotal over the 8 baseline-class ops of BASELINE.md §B — the subset
     // the measured PySpark ≈11.7s total actually covers (the full query set
     // is ~7× wider than the baseline's op list)
     val baselineOps = Seq("q_scan_project", "q_regexp_extract", "q_distinct_labels",
       "q_count_distinct", "q_join_leftouter", "q_group_agg", "q_topk", "q_random_split")
     val baseTotal = results.collect { case (k, v) if baselineOps.contains(k) && v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","baseline_ops_total":$baseTotal,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"baseline_ops_total":$baseTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -502,10 +502,15 @@ object SparkEntry {
     // -- deterministic moment statistics (stddev/corr from decimal sums) ---
     // built-in stddev/corr merge partial moments in partition order —
     // nondeterministic in the last double bits; exact decimal power sums
-    // fed through an identical double formula are bit-stable on both engines
+    // fed through an identical double formula are bit-stable on both
+    // engines. The price is pre-scaled by 1/1000 (identically on both
+    // sides) so the squared-price sum's DECIMAL(38,4) unscaled value stays
+    // below 2^53 — beyond that the decimal→double cast is inexact and the
+    // engines' rounding need not agree. corr is invariant under the
+    // scaling; std/mean are only reported for the (small) quantity.
     "q_stats_agg" -> ((s, d) => {
       val q  = col("l_quantity")
-      val p  = col("l_extendedprice")
+      val p  = col("l_extendedprice") / lit(1000.0)
       val g = t(s, d, "lineitem").groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
         sum(q.cast(Dec)).cast(Dec).as("sx"),
@@ -1006,9 +1011,9 @@ object SparkEntry {
         "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
         "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sx, " +
         "CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx, " +
-        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sy, " +
-        "CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy, " +
-        "CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy " +
+        "CAST(CAST(SUM(CAST((l_extendedprice / 1000.0) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sy, " +
+        "CAST(CAST(SUM(CAST((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy, " +
+        "CAST(CAST(SUM(CAST(l_quantity * (l_extendedprice / 1000.0) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy " +
         "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"),
 
     "q_array_funcs" ->

@@ -70,6 +70,19 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
+  /** JVM replica of `TextAnalysis.tokens` (= `split(trim(lower(text)),
+    * "\\s+")`) — the kernels MUST tokenize exactly like the Catalyst form:
+    * Spark's `trim` strips only 0x20 spaces (Java's `String.trim` also
+    * strips tabs/newlines/control chars — a real divergence on texts edged
+    * with them), and Spark's `split` keeps leading AND trailing empty
+    * tokens (Java's one-arg `split` drops trailing empties). */
+  private[operators] def sparkTokens(text: String): Array[String] = {
+    var s = 0; var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(s, e).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+  }
+
   private def splitmix64(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -121,7 +134,7 @@ object Dedup {
   private def minHashSignatureKernel(
       text: String, shingleN: Int, numHashes: Int, slotSeeds: Array[Long]): Array[Long] = {
     {
-      val toks = text.trim.toLowerCase.split("\\s+")
+      val toks = sparkTokens(text)
       val sig  = Array.fill(numHashes)(Long.MaxValue)
       val seen = new java.util.HashSet[Long]()
       val last = math.max(0, toks.length - shingleN)
@@ -187,29 +200,39 @@ object Dedup {
     finally sigs.unpersist(false)
   }
 
-  /** Bucketed pair generation shared by the LSH candidate generators:
-    * one aggregation collects each bucket's id list (cap applied directly
-    * on the list length — no separate bucket-count pre-pass and join-back),
-    * and the pair cartesian is a MAP-SIDE double explode over the ≤
-    * `maxBucketSize` ids — no self-join shuffle. Versus the join
-    * formulation this removes two shuffles and two stages; at 100 TB the
-    * aggregation shuffle carries the same (bucket, id) volume the join
-    * would have, so the saving is pure. A bucket of n rows yields n(n-1)/2
-    * pairs — the cap keeps one degenerate mega-bucket (boilerplate, empty
-    * docs, …) from dominating quadratically; near-dups inside a dropped
-    * bucket still meet in their other buckets. */
+  /** Bucketed pair generation shared by the LSH candidate generators: a
+    * count pre-pass caps bucket sizes, then ONE aggregation collects each
+    * surviving bucket's (bounded) id list and the pair cartesian is a
+    * MAP-SIDE double explode — no self-join shuffle. Versus the self-join
+    * formulation this removes a shuffle and two stages. A bucket of n rows
+    * yields n(n-1)/2 pairs — the cap keeps one degenerate mega-bucket
+    * (boilerplate, empty docs, …) from dominating quadratically; near-dups
+    * inside a dropped bucket still meet in their other buckets. */
   private[operators] def bucketedPairs(
       banded: DataFrame, // (bucketCols…, id)
       bucketCols: Seq[String],
-      maxBucketSize: Int): DataFrame =
-    banded.groupBy(bucketCols.map(col): _*)
+      maxBucketSize: Int): DataFrame = {
+    // The cap is enforced BEFORE any id list materializes: collecting a
+    // degenerate mega-bucket's full id array into one aggregation buffer
+    // just to discard it is the exact OOM the cap exists to prevent. The
+    // count pre-pass carries an 8-byte buffer per bucket; the join back is
+    // AQE-broadcast when the surviving bucket set is small and a plain
+    // shuffle join otherwise — memory-safe either way. Post-cap lists are
+    // ≤ maxBucketSize ids, so the collect_list buffers and the map-side
+    // double-explode pair cartesian are bounded by construction.
+    val keep = banded.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2, maxBucketSize))
+      .drop("__n")
+    banded.join(keep, bucketCols)
+      .groupBy(bucketCols.map(col): _*)
       .agg(collect_list(col("id")).as("__ids"))
-      .where(size(col("__ids")).between(2, maxBucketSize))
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
 
   /** Near-duplicate candidate pairs via MinHash + LSH banding.
     *
@@ -283,7 +306,7 @@ object Dedup {
 
   private def simHashKernel(text: String): Long = {
     {
-      val toks     = text.trim.toLowerCase.split("\\s+")
+      val toks     = sparkTokens(text)
       val counters = new Array[Int](64)
       var i        = 0
       while (i < toks.length) {
@@ -510,10 +533,11 @@ object Dedup {
     })
 
   /** Distinct word n-gram set, mirroring [[wordShingles]] exactly: tokens =
-    * `trim.toLowerCase.split("\\s+")`, shingle start positions 0..max(len-n,0)
-    * (so short texts yield one truncated shingle, like `greatest(..., 1)`). */
+    * [[sparkTokens]] (Spark trim/split semantics, incl. kept empty tokens),
+    * shingle start positions 0..max(len-n,0) (so short texts yield one
+    * truncated shingle, like `greatest(..., 1)`). */
   private def shingleSetKernel(text: String, n: Int): java.util.HashSet[String] = {
-    val toks = text.trim.toLowerCase.split("\\s+")
+    val toks = sparkTokens(text)
     val set  = new java.util.HashSet[String]()
     val last = math.max(0, toks.length - n)
     var j    = 0

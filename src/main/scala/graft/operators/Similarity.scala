@@ -168,9 +168,15 @@ object Similarity {
     // and each LLoyd iteration is a full job — tiny per-task work over many
     // partitions is pure scheduler overhead. This IS the 100 TB path: the
     // corpus never feeds the fit, only the one-pass cell assignment.
+    // The sample is the fitSampleRows lowest content-hash rows (a
+    // per-partition top-k + driver merge, no full sort): pseudo-random and
+    // layout-independent, where a bare limit() would take the first files
+    // in partition order — on a corpus written clustered by topic/source
+    // that biases every centroid into one region of embedding space.
     val feats = df.where(col(vecCol).isNotNull) // null-vector discipline, as in lshSignature
-      .select(toVec(col(vecCol)).as("features"))
+      .orderBy(xxhash64(col(vecCol)))
       .limit(fitSampleRows)
+      .select(toVec(col(vecCol)).as("features"))
       .coalesce(4)
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       // seeded random init: the default k-means|| init costs several extra

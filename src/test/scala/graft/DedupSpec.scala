@@ -153,9 +153,13 @@ class DedupSpec extends SparkSpec {
         .where(col("kernel") =!= col("hof")).count()
       assert(mismatch == 0, s"shingleN=$n")
     }
-    // edge cases the fixture may not cover
+    // edge cases the fixture may not cover — incl. tab/newline-edged texts,
+    // where Spark's trim (0x20 only) and split (keeps trailing empties)
+    // diverge from Java's String.trim/one-arg split
     import spark.implicits._
-    val edge = Seq(("a", "a"), ("a b", "b a"), ("", ""), ("  ", "x"), ("one two", "one"))
+    val edge = Seq(("a", "a"), ("a b", "b a"), ("", ""), ("  ", "x"), ("one two", "one"),
+      ("hello world\n", "hello world"), ("\thello world", "hello world"),
+      ("a\tb\nc", "a b c"), ("x \n", "x"))
       .toDF("ta", "tb")
     for (n <- Seq(1, 3)) {
       val rows = edge.select(
