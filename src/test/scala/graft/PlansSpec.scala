@@ -91,6 +91,21 @@ class PlansSpec extends SparkSpec {
     TableManager.dropTable(spark, "b_orders"); TableManager.dropTable(spark, "b_lineitem")
   }
 
+  test("asofJoin plans as union + window: no join operator, no pair blowup") {
+    val ev = Tables.load(spark, sfDir, "events").select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("t"), col("event_type"), col("value"))
+    val clicks = ev.where(col("event_type") === "click").select("event_id", "user_id", "t")
+    val buys = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "t").agg(max("value").as("v"))
+    val out  = Relational.asofJoin(clicks, buys, Seq("user_id"), "t", "t", Seq("v"))
+    val plan = out.queryExecution.executedPlan.toString
+    // the scalable property: an inequality join would plan a nested-loop /
+    // range join that explodes per key; the union+window shape never joins
+    assert(!plan.toLowerCase.contains("join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window operator:\n$plan")
+    assert(out.count() == clicks.count())
+  }
+
   test("MinHashAgreement native expression matches the HOF estimatedJaccard") {
     import spark.implicits._
     val df = Seq(
