@@ -575,6 +575,35 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_custkey")),
 
+    // -- string function family --------------------------------------------
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          substring(col("p_name"), 1, 8).as("prefix8"),
+          lpad(col("p_brand"), 12, "_").as("brand_lpad"),
+          rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          reverse(col("p_name")).as("rev_name"),
+          upper(col("p_type")).as("type_up"),
+          length(col("p_type")).cast("long").as("type_len"))
+        .orderBy("p_partkey")),
+
+    // -- date/time function family ----------------------------------------
+    // (dayofweek conventions differ: Spark is 1=Sunday, DuckDB 0=Sunday —
+    //  the oracle adds 1)
+    "q_date_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          weekofyear(col("o_orderdate")).cast("long").as("wk"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+          datediff(to_date(lit("1999-01-01")), col("o_orderdate")).cast("long").as("days_to_99"))
+        .orderBy("o_orderkey")),
+
     // ================= non-oracle queries (rows-only check) =============
 
     // -- L3 seeded random split (engine-specific RNG, SURVEY §5 hazard 3) -
@@ -1039,6 +1068,23 @@ object SparkEntry {
       ("SELECT o_custkey, arg_max(o_totalprice, o_orderkey) AS price_of_last_order, " +
         "arg_min(o_totalprice, o_orderkey) AS price_of_first_order, COUNT(*) AS n " +
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+
+    "q_string_funcs" ->
+      ("SELECT p_partkey, substring(p_name, 1, 8) AS prefix8, " +
+        "lpad(p_brand, 12, '_') AS brand_lpad, rpad(p_brand, 12, '.') AS brand_rpad, " +
+        "concat_ws('|', p_brand, p_type) AS brand_type, reverse(p_name) AS rev_name, " +
+        "upper(p_type) AS type_up, CAST(length(p_type) AS BIGINT) AS type_len " +
+        "FROM part ORDER BY p_partkey"),
+
+    "q_date_funcs" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+        "CAST(month(o_orderdate) AS BIGINT) AS mo, CAST(day(o_orderdate) AS BIGINT) AS dom, " +
+        "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, " +
+        "CAST(weekofyear(o_orderdate) AS BIGINT) AS wk, " +
+        "strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30, " +
+        "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom, " +
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_99 " +
+        "FROM orders ORDER BY o_orderkey"),
 
     "q_skew_salted" ->
       ("SELECT event_type, " +
