@@ -5,6 +5,7 @@ import graft.image.{ImageFixtures, ImagePipeline, ImageUdfs}
 import graft.operators._
 import graft.multimodal.Multimodal
 import graft.streaming.{Stateful, StreamingInference}
+import graft.tables.TableManager
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -740,8 +741,136 @@ object SparkEntry {
           (col("value") * 2.0 + 1.0).as("score")),
         s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 2)
         .orderBy("event_id")
+    }),
+
+    // -- math function family (abs/ceil/floor/sqrt/sign/mod) ---------------
+    // sqrt is IEEE-754 correctly rounded in both engines (bit-identical);
+    // ln/exp are libm-dependent and deliberately excluded.
+    "q_math_funcs" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_disc"),
+          ceil(col("l_quantity")).as("ceil_qty"),
+          floor(col("l_quantity")).as("floor_qty"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          signum(col("l_discount") - 0.05).cast("long").as("sgn"),
+          pmod(col("l_orderkey"), lit(7L)).as("mod7"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // -- conditional aggregates: FILTER-style count, bool_or/bool_and ------
+    "q_cond_agg" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_or(col("o_orderstatus") === "F").as("any_f"),
+          bool_and(col("o_totalprice") > lit(0.0)).as("all_pos"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // -- exact median per group (interpolating, matches quantile_cont 0.5) -
+    "q_median" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"),
+          median(col("l_tax")).as("med_tax"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // -- window frames: bounded rolling sum + running count ----------------
+    "q_window_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(Dec)).over(w.rowsBetween(-3, 0))
+            .cast(Dec).cast("double").as("roll4"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("n_sofar"))
+        .orderBy("o_orderkey")
+    }),
+
+    // -- time-series gap fill: densify daily counts over a generated -------
+    // calendar (sequence + explode ⋈ agg; the agg side broadcasts)
+    "q_gap_fill" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val cal = daily.agg(min("d").as("lo"), max("d").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+      cal.join(daily, Seq("d"), "left_outer")
+        .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("d")
+    }),
+
+    // -- Delta MERGE INTO emulation: upsert aggregated balances ------------
+    // (even keys update existing customers, odd keys insert new rows)
+    "q_merge_upsert" -> ((s, d) => {
+      val target = t(s, d, "customer")
+      val upd = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(Dec)).cast(Dec).cast("double").as("c_acctbal"))
+        .select(
+          when(col("o_custkey") % 2 === 0, col("o_custkey"))
+            .otherwise(col("o_custkey") + 1000000).as("c_custkey"),
+          col("c_acctbal"))
+      TableManager.mergeUpsert(target, upd, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- correlated scalar subqueries (spark.sql surface; same text runs ---
+    // on the oracle — Catalyst decorrelates both into aggregate+join)
+    "q_corr_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(corrSubquerySql)
+    }),
+
+    // -- bitwise aggregates ------------------------------------------------
+    "q_bitwise_agg" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(bit_and(col("event_id")).as("b_and"),
+          bit_or(col("event_id")).as("b_or"),
+          bit_xor(col("event_id")).as("b_xor"))
+        .orderBy("event_type")),
+
+    // -- ordered string aggregation (collect_list is unordered by contract;
+    // array_sort before render makes the result deterministic)
+    "q_collect_sorted" -> ((s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      n.join(c, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("n_nationkey")
+    }),
+
+    // -- regexp occurrence count + substring position ----------------------
+    "q_regexp_count" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("the")).cast("long").as("n_the"),
+          instr(col("text"), "data").cast("long").as("pos_data"))
+        .orderBy("doc_id")),
+
+    // -- equi-width histogram: two-pass numeric binning (bounds agg ---------
+    // broadcasts under the cross join; arithmetic order mirrors the oracle)
+    "q_histogram" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val b = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      o.crossJoin(b)
+        .select(floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 10.0))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
     })
   )
+
+  /** Shared text for q_corr_subquery: the SAME SQL runs in Spark and DuckDB
+    * (ANSI-portable correlated scalar subqueries). */
+  private val corrSubquerySql: String =
+    "SELECT c_custkey, c_name, " +
+      "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders, " +
+      "(SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price " +
+      "FROM customer c ORDER BY c_custkey"
 
   // =====================================================================
   // Oracle SQL (DuckDB 1.0.0) — names and arithmetic order mirror the
@@ -1090,6 +1219,82 @@ object SparkEntry {
       ("SELECT event_type, " +
         "CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value, " +
         "COUNT(*) AS n " +
-        "FROM events GROUP BY event_type ORDER BY event_type")
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_math_funcs" ->
+      ("SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS abs_disc, " +
+        "CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty, " +
+        "CAST(floor(l_quantity) AS BIGINT) AS floor_qty, " +
+        "round(sqrt(l_extendedprice), 6) AS sqrt_price, " +
+        "CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn, " +
+        "l_orderkey % 7 AS mod7 " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+    "q_cond_agg" ->
+      ("SELECT o_orderpriority, " +
+        "count(*) FILTER (WHERE o_totalprice > 100000) AS n_big, " +
+        "bool_or(o_orderstatus = 'F') AS any_f, " +
+        "bool_and(o_totalprice > 0.0) AS all_pos, " +
+        "count(*) AS n " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "q_median" ->
+      // both engines interpolate the even-count midpoint as (a+b)/2 over
+      // exact small doubles — bit-identical
+      ("SELECT l_returnflag, median(l_quantity) AS med_qty, " +
+        "median(l_tax) AS med_tax, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_window_frame" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS roll4, " +
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_sofar " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "q_gap_fill" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily), " +
+        "cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b) " +
+        "SELECT cal.d AS d, COALESCE(daily.n_orders, 0) AS n_orders " +
+        "FROM cal LEFT JOIN daily ON cal.d = daily.d ORDER BY d"),
+
+    "q_merge_upsert" ->
+      ("WITH upd AS (SELECT CASE WHEN o_custkey % 2 = 0 THEN o_custkey " +
+        "ELSE o_custkey + 1000000 END AS c_custkey, " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS c_acctbal " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey, c.c_name AS c_name, " +
+        "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE c.c_acctbal END AS c_acctbal, " +
+        "c.c_mktsegment AS c_mktsegment " +
+        "FROM customer c FULL JOIN upd u ON c.c_custkey = u.c_custkey " +
+        "ORDER BY c_custkey"),
+
+    "q_corr_subquery" -> corrSubquerySql,
+
+    "q_bitwise_agg" ->
+      ("SELECT event_type, bit_and(event_id) AS b_and, bit_or(event_id) AS b_or, " +
+        "bit_xor(event_id) AS b_xor " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_collect_sorted" ->
+      ("SELECT n_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names, " +
+        "count(*) AS n_cust " +
+        "FROM nation JOIN customer ON c_nationkey = n_nationkey " +
+        "GROUP BY n_nationkey ORDER BY n_nationkey"),
+
+    "q_regexp_count" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the, " +
+        "CAST(strpos(text, 'data') AS BIGINT) AS pos_data " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_histogram" ->
+      ("SELECT CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT) AS bin, " +
+        "count(*) AS n " +
+        "FROM orders, (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) " +
+        "GROUP BY 1 ORDER BY bin")
   )
 }

@@ -149,4 +149,48 @@ object TableManager {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(dir), true)
   }
+
+  /** Delta `MERGE INTO` emulation (upsert): WHEN MATCHED THEN UPDATE SET
+    * <source columns>, WHEN NOT MATCHED THEN INSERT. The reference's storage
+    * layer (Delta Lake) ships MERGE as its canonical upsert; on plain Parquet
+    * we express the same semantics relationally, then the caller overwrites
+    * the table ([[overwriteTable]]) for persistence.
+    *
+    * Result schema = target schema. For each matched key, non-key columns
+    * present in `source` take the source value; columns absent from `source`
+    * keep the target value. Source rows with no target match are inserted
+    * (target-only columns null). Unmatched target rows pass through.
+    *
+    * 100 TB plan shape: ONE shuffle — a full-outer sort-merge join on the
+    * key columns (or broadcast when the update batch is small, the common
+    * case for incremental upserts: Spark's AQE/broadcast threshold picks it
+    * automatically since the source sits under the join). No driver-side
+    * state; arbitrarily large update batches stream through the join.
+    *
+    * Contract: `source` must contain all `keyCols` plus a subset of target
+    * columns, and be unique per key (pre-aggregate otherwise — MERGE on
+    * duplicate source keys is ambiguous and Delta itself rejects it). */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val tCols = target.columns.toSeq
+    val extra = source.columns.filterNot(tCols.contains)
+    require(keyCols.forall(source.columns.contains),
+      s"mergeUpsert: source lacks key column(s) ${keyCols.filterNot(source.columns.contains).mkString(", ")}")
+    require(extra.isEmpty,
+      s"mergeUpsert: source column(s) ${extra.mkString(", ")} not in target schema " +
+        "(schema evolution goes through overwriteTableMergeSchema)")
+    // string-qualified references (not df(...)): the source typically derives
+    // from the target (read-modify-upsert), and shared-lineage attribute ids
+    // would make unqualified references ambiguous after the join
+    val cond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val out  = tCols.map { c =>
+      if (keyCols.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+      else if (source.columns.contains(c)) {
+        // matched → source value; a source row may legitimately carry null,
+        // so branch on the key match, not on the column value itself
+        val matched = keyCols.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+        when(matched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      } else col(s"t.$c").as(c)
+    }
+    target.alias("t").join(source.alias("s"), cond, "full_outer").select(out: _*)
+  }
 }

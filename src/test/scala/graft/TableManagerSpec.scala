@@ -86,4 +86,44 @@ class TableManagerSpec extends SparkSpec {
     }
     assert(spark.conf.get("spark.sql.parquet.compression.codec") == prev)
   }
+
+  test("mergeUpsert: matched rows update, new keys insert, others pass through") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    // id=2 updates bal only (name keeps target value); id=9 inserts
+    val source = Seq((2L, 99.0), (9L, 5.0)).toDF("id", "bal")
+    val out = TableManager.mergeUpsert(target, source, Seq("id"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(out(1).getString(1) == "b" && out(1).getDouble(2) == 99.0)
+    assert(out(0).getDouble(2) == 10.0 && out(2).getDouble(2) == 30.0)
+    assert(out(3).isNullAt(1) && out(3).getDouble(2) == 5.0)
+  }
+
+  test("mergeUpsert: a null in a matched source column overwrites (UPDATE SET semantics)") {
+    import spark.implicits._
+    val target = Seq((1L, Some(10.0))).toDF("id", "bal")
+    val source = Seq((1L, Option.empty[Double])).toDF("id", "bal")
+    val out = TableManager.mergeUpsert(target, source, Seq("id")).collect()
+    assert(out.length == 1 && out(0).isNullAt(1))
+  }
+
+  test("mergeUpsert: source derived from target (shared lineage) resolves unambiguously") {
+    import spark.implicits._
+    val target = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal")
+    val source = target.where(col("id") === 1).withColumn("bal", col("bal") * 2)
+    val out = TableManager.mergeUpsert(target, source, Seq("id")).orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 20.0), (2L, 20.0)))
+  }
+
+  test("mergeUpsert rejects source columns outside the target schema") {
+    import spark.implicits._
+    val target = Seq((1L, 10.0)).toDF("id", "bal")
+    val source = Seq((1L, "x")).toDF("id", "extra")
+    val e = intercept[IllegalArgumentException] {
+      TableManager.mergeUpsert(target, source, Seq("id"))
+    }
+    assert(e.getMessage.contains("extra"))
+  }
 }
