@@ -1295,6 +1295,26 @@ object SparkEntry {
       ("SELECT CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT) AS bin, " +
         "count(*) AS n " +
         "FROM orders, (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) " +
-        "GROUP BY 1 ORDER BY bin")
+        "GROUP BY 1 ORDER BY bin"),
+
+    "q_lang_id" -> langIdOracleSql
   )
+
+  /** DuckDB replica of `TextAnalysis.langId`, generated from the SAME
+    * `langMarkers` table so the two can't drift. Semantics mirrored exactly:
+    * marker-hit counts over identical tokenization, CJK chars weighted 2
+    * (RE2 needs `\x{...}` — Java's `\uXXXX` class silently matches nothing
+    * there), 0.5 'und' floor, and `list_sort(...)[-1]` = Spark's
+    * `greatest(structs)`: max score, ties to the lexicographically greatest
+    * code. */
+  private def langIdOracleSql: String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"{'score': CAST(len(list_filter($tokensSql, w -> w IN ($inList))) AS DOUBLE), 'lang': '$lang'}"
+    }
+    val zh  = "{'score': CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 2 AS DOUBLE), 'lang': 'zh'}"
+    val und = "{'score': CAST(0.5 AS DOUBLE), 'lang': 'und'}"
+    s"SELECT doc_id, lang, list_sort([${(scores :+ zh :+ und).mkString(", ")}])[-1].lang AS guessed_lang " +
+      "FROM documents ORDER BY doc_id"
+  }
 }

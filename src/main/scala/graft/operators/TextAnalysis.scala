@@ -60,7 +60,7 @@ object TextAnalysis {
   /** Per-language marker tokens for the n-gram/stopword language-ID
     * heuristic. Small closed sets keep the generated `In` predicates
     * codegen-friendly. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "you", "that", "with", "this", "have"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu"),
     "es" -> Seq("el", "la", "los", "las", "que", "es", "una", "y", "con"),

@@ -161,11 +161,14 @@ object TableManager {
     * keep the target value. Source rows with no target match are inserted
     * (target-only columns null). Unmatched target rows pass through.
     *
-    * 100 TB plan shape: ONE shuffle — a full-outer sort-merge join on the
-    * key columns (or broadcast when the update batch is small, the common
-    * case for incremental upserts: Spark's AQE/broadcast threshold picks it
-    * automatically since the source sits under the join). No driver-side
-    * state; arbitrarily large update batches stream through the join.
+    * 100 TB plan shape: NOT a full-outer join — Spark cannot broadcast
+    * FullOuter, so that formulation sort-merge-shuffles the ENTIRE target
+    * (payload columns included) even for a 10-row update batch. Instead:
+    * update path = left-outer join (source broadcasts when small — the
+    * common incremental-upsert case — and the target's rows never move);
+    * insert path = left-anti of the source against the target's KEY
+    * PROJECTION (column pruning means at worst the target ships keys only);
+    * union the two. Worst case shuffles keys, never target payloads.
     *
     * Contract: `source` must contain all `keyCols` plus a subset of target
     * columns, and be unique per key (pre-aggregate otherwise — MERGE on
@@ -182,15 +185,22 @@ object TableManager {
     // from the target (read-modify-upsert), and shared-lineage attribute ids
     // would make unqualified references ambiguous after the join
     val cond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val out  = tCols.map { c =>
-      if (keyCols.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
-      else if (source.columns.contains(c)) {
-        // matched → source value; a source row may legitimately carry null,
-        // so branch on the key match, not on the column value itself
-        val matched = keyCols.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
-        when(matched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-      } else col(s"t.$c").as(c)
-    }
-    target.alias("t").join(source.alias("s"), cond, "full_outer").select(out: _*)
+    // explicit match marker: a source row may carry null in any column
+    // (including, under null-safe keys, a key), so neither key nor value
+    // nullness can stand in for "this row matched"
+    val marked  = source.withColumn("__matched", lit(true))
+    val updated = target.alias("t").join(marked.alias("s"), cond, "left_outer")
+      .select(tCols.map { c =>
+        if (!keyCols.contains(c) && source.columns.contains(c))
+          when(col("s.__matched"), col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+        else col(s"t.$c").as(c)
+      }: _*)
+    val inserts = source.alias("s")
+      .join(target.select(keyCols.map(col): _*).alias("t"), cond, "left_anti")
+      .select(tCols.map { c =>
+        if (source.columns.contains(c)) col(s"s.$c").as(c)
+        else lit(null).cast(target.schema(c).dataType).as(c)
+      }: _*)
+    updated.unionByName(inserts)
   }
 }

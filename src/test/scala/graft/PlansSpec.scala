@@ -138,6 +138,23 @@ class PlansSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("mergeUpsert never plans a full-outer join; small update batch broadcasts") {
+    val target = Tables.load(spark, sfDir, "customer")
+    val src = target.limit(10)
+      .select(col("c_custkey"), (col("c_acctbal") * 2).as("c_acctbal"))
+    val out = TableManager.mergeUpsert(target, src, Seq("c_custkey"))
+    // logical shape: LeftOuter (update) + LeftAnti (insert), never FullOuter —
+    // FullOuter cannot broadcast, so it would shuffle the whole target
+    val logical = out.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("FullOuter"), s"merge must not plan FullOuter:\n$logical")
+    assert(logical.contains("LeftOuter") && logical.contains("LeftAnti"),
+      s"expected LeftOuter + LeftAnti:\n$logical")
+    out.collect() // let AQE finalize join strategies
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"small source must broadcast under the update join:\n$physical")
+  }
+
   test("saltedAggregate matches direct aggregation (algebraic aggs)") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Relational.saltedAggregate(
