@@ -851,6 +851,13 @@ object SparkEntry {
           instr(col("text"), "data").cast("long").as("pos_data"))
         .orderBy("doc_id")),
 
+    // -- north-star: TF-IDF term relevance (ratio idf — IEEE-exact) --------
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdf(t(s, d, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("token"), col("tf"), col("df"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("token"))
+        .limit(100)),
+
     // -- equi-width histogram: two-pass numeric binning (bounds agg ---------
     // broadcasts under the cross join; arithmetic order mirrors the oracle)
     "q_histogram" -> ((s, d) => {
@@ -1297,7 +1304,17 @@ object SparkEntry {
         "FROM orders, (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) " +
         "GROUP BY 1 ORDER BY bin"),
 
-    "q_lang_id" -> langIdOracleSql
+    "q_lang_id" -> langIdOracleSql,
+
+    "q_tfidf" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents) " +
+        "SELECT tf.doc_id AS doc_id, tf.token AS token, tf.tf AS tf, dfq.df AS df, " +
+        "CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score " +
+        "FROM tf JOIN dfq USING (token), n " +
+        "ORDER BY score DESC, doc_id, token LIMIT 100")
   )
 
   /** DuckDB replica of `TextAnalysis.langId`, generated from the SAME

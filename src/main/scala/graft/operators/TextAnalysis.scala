@@ -106,4 +106,29 @@ object TextAnalysis {
     * form. */
   def fingerprint(text: Column): Column =
     sha2(array_join(array_sort(array_distinct(tokens(text))), " "), 256)
+
+  /** TF-IDF term relevance over a document corpus: one row per (doc, token)
+    * with term frequency, document frequency, and `score = tf * (N / df)`
+    * (ratio idf — double mul/div are IEEE-exact, so the score is
+    * bit-reproducible across engines; `ln`-damped idf is libm-dependent and
+    * callers wanting it can apply `log(n_docs / df)` on top of the returned
+    * tf/df columns).
+    *
+    * Scale shape (100 TB): tokenize+explode is map-side; tf is one shuffle
+    * on (id, token); df aggregates the tf output by token (vocabulary-sized,
+    * far smaller than the corpus) and re-attaches by broadcast when it fits,
+    * AQE-planned otherwise. Stopword df rows are the classic skew keys —
+    * AQE skew-join handles them (GraftSession). The corpus count comes from
+    * a 1-row aggregate cross join, not a driver round-trip. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    val tf   = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfq  = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n    = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfq, Seq("token")).crossJoin(n)
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        (col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+          .as("score"))
+  }
 }

@@ -138,6 +138,17 @@ class PlansSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile (quantile sketch) lands within the accuracy bound of exact") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val row = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    // accuracy=1000 bounds the RANK error to n/1000; translate to a loose
+    // value-relative check appropriate for this distribution
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("mergeUpsert never plans a full-outer join; small update batch broadcasts") {
     val target = Tables.load(spark, sfDir, "customer")
     val src = target.limit(10)

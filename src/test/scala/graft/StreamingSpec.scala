@@ -95,4 +95,27 @@ class StreamingSpec extends SparkSpec {
       spark, srcDir, schema, transform, s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1).count()
     assert(first == 100L && second == 100L)
   }
+
+  test("stream-static broadcast enrichment equals the batch join") {
+    // the standard streaming-enrichment shape: per-micro-batch join against a
+    // static dimension; the dim broadcasts, so no stateful join machinery and
+    // no watermark is involved — per batch it is a plain broadcast hash join
+    val work   = Files.createTempDirectory("graft_stream_enrich").toString
+    val srcDir = s"$work/src"
+    Tables.load(spark, sfDir, "events")
+      .select(expr("event_id % 25").as("n_nationkey"), col("event_id"), col("value"))
+      .repartition(3).write.parquet(srcDir)
+    val dim = Tables.load(spark, sfDir, "nation")
+
+    def enrich(df: DataFrame): DataFrame =
+      df.join(broadcast(dim), Seq("n_nationkey"), "left_outer")
+        .select(col("event_id"), col("n_name"), col("value"))
+
+    val batch  = enrich(spark.read.parquet(srcDir)).orderBy("event_id").collect()
+    val schema = spark.read.parquet(srcDir).schema
+    val streamed = StreamingInference.streamTransform(
+      spark, srcDir, schema, enrich, s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1)
+      .orderBy("event_id").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
 }

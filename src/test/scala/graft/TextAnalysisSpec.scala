@@ -70,4 +70,20 @@ class TextAnalysisSpec extends SparkSpec {
   test("subwordCountApprox counts words, digit runs, punctuation") {
     assert(one("hello, world 42", TextAnalysis.subwordCountApprox(col("text"))).getLong(0) == 4L)
   }
+
+  test("tfIdf: tf counts repeats, df counts docs, rare terms outscore stopwords") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the dog"),
+      (3L, "the bird flew away")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // 'the' appears twice in doc 2, in all 3 docs → score 2 * (3/3) = 2
+    assert(out((2L, "the")) == ((2L, 3L, 2.0)))
+    // 'cat' appears once, in 1 doc → score 1 * (3/1) = 3 > any 'the' score
+    assert(out((1L, "cat")) == ((1L, 1L, 3.0)))
+    assert(out.keys.count(_._2 == "the") == 3)
+  }
 }
