@@ -744,15 +744,16 @@ object SparkEntry {
     }),
 
     // -- math function family (abs/ceil/floor/sqrt/sign/mod) ---------------
-    // sqrt is IEEE-754 correctly rounded in both engines (bit-identical);
-    // ln/exp are libm-dependent and deliberately excluded.
+    // sqrt is IEEE-754 correctly rounded in both engines (bit-identical,
+    // emitted RAW — a decimal round on top would reintroduce engine-specific
+    // rounding paths); ln/exp are libm-dependent and deliberately excluded.
     "q_math_funcs" -> ((s, d) =>
       t(s, d, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
           abs(col("l_discount") - 0.05).as("abs_disc"),
           ceil(col("l_quantity")).as("ceil_qty"),
           floor(col("l_quantity")).as("floor_qty"),
-          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          sqrt(col("l_extendedprice")).as("sqrt_price"),
           signum(col("l_discount") - 0.05).cast("long").as("sgn"),
           pmod(col("l_orderkey"), lit(7L)).as("mod7"))
         .orderBy("l_orderkey", "l_linenumber")),
@@ -802,14 +803,17 @@ object SparkEntry {
     }),
 
     // -- Delta MERGE INTO emulation: upsert aggregated balances ------------
-    // (even keys update existing customers, odd keys insert new rows)
+    // (even keys update existing customers; odd keys map to NEGATIVE ids so
+    // the insert branch never collides with a real custkey at ANY scale
+    // factor — a fixed positive offset would alias back into the key space
+    // once custkeys outgrow it)
     "q_merge_upsert" -> ((s, d) => {
       val target = t(s, d, "customer")
       val upd = t(s, d, "orders").groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice").cast(Dec)).cast(Dec).cast("double").as("c_acctbal"))
+        .agg(decSum(col("o_totalprice")).as("c_acctbal"))
         .select(
           when(col("o_custkey") % 2 === 0, col("o_custkey"))
-            .otherwise(col("o_custkey") + 1000000).as("c_custkey"),
+            .otherwise(-col("o_custkey") - 1).as("c_custkey"),
           col("c_acctbal"))
       TableManager.mergeUpsert(target, upd, Seq("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
@@ -859,12 +863,17 @@ object SparkEntry {
         .limit(100)),
 
     // -- equi-width histogram: two-pass numeric binning (bounds agg ---------
-    // broadcasts under the cross join; arithmetic order mirrors the oracle)
+    // broadcasts under the cross join; arithmetic order mirrors the oracle).
+    // least(bin, 9): the max value computes bin==10 exactly, and standard
+    // equi-width binning clamps it into the last bin rather than emitting a
+    // spurious 11th bucket.
     "q_histogram" -> ((s, d) => {
       val o = t(s, d, "orders")
       val b = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
       o.crossJoin(b)
-        .select(floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 10.0))
+        .select(least(
+            floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 10.0)),
+            lit(9.0))
           .cast("long").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
         .orderBy("bin")
@@ -1232,7 +1241,7 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS abs_disc, " +
         "CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty, " +
         "CAST(floor(l_quantity) AS BIGINT) AS floor_qty, " +
-        "round(sqrt(l_extendedprice), 6) AS sqrt_price, " +
+        "sqrt(l_extendedprice) AS sqrt_price, " +
         "CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn, " +
         "l_orderkey % 7 AS mod7 " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
@@ -1271,7 +1280,7 @@ object SparkEntry {
 
     "q_merge_upsert" ->
       ("WITH upd AS (SELECT CASE WHEN o_custkey % 2 = 0 THEN o_custkey " +
-        "ELSE o_custkey + 1000000 END AS c_custkey, " +
+        "ELSE -o_custkey - 1 END AS c_custkey, " +
         "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS c_acctbal " +
         "FROM orders GROUP BY o_custkey) " +
         "SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey, c.c_name AS c_name, " +
@@ -1299,7 +1308,7 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
 
     "q_histogram" ->
-      ("SELECT CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT) AS bin, " +
+      ("SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10.0)), 9.0) AS BIGINT) AS bin, " +
         "count(*) AS n " +
         "FROM orders, (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) " +
         "GROUP BY 1 ORDER BY bin"),

@@ -171,8 +171,10 @@ object TableManager {
     * union the two. Worst case shuffles keys, never target payloads.
     *
     * Contract: `source` must contain all `keyCols` plus a subset of target
-    * columns, and be unique per key (pre-aggregate otherwise — MERGE on
-    * duplicate source keys is ambiguous and Delta itself rejects it). */
+    * columns, and be unique per key. Like Delta MERGE, a duplicate source
+    * key fails LOUDLY at execution time (a per-row assertion riding the
+    * plan — silent fan-out of matched target rows would be corrupted
+    * output); pre-aggregate the source to choose a winner. */
   def mergeUpsert(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame = {
     val tCols = target.columns.toSeq
     val extra = source.columns.filterNot(tCols.contains)
@@ -183,22 +185,39 @@ object TableManager {
         "(schema evolution goes through overwriteTableMergeSchema)")
     // string-qualified references (not df(...)): the source typically derives
     // from the target (read-modify-upsert), and shared-lineage attribute ids
-    // would make unqualified references ambiguous after the join
-    val cond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    // explicit match marker: a source row may carry null in any column
-    // (including, under null-safe keys, a key), so neither key nor value
-    // nullness can stand in for "this row matched"
-    val marked  = source.withColumn("__matched", lit(true))
+    // would make unqualified references ambiguous after the join. Backticks
+    // keep dotted column names from parsing as nested-field access.
+    def tc(c: String) = col(s"t.`$c`")
+    def sc(c: String) = col(s"s.`$c`")
+    val cond = keyCols.map(k => tc(k) <=> sc(k)).reduce(_ && _)
+    // Match marker doubling as the duplicate-key tripwire: a source row may
+    // carry null in any column (even, under null-safe keys, a key), so
+    // nullness can't stand in for "matched"; and a window count over the
+    // source's keys (source-sized shuffle only — the cheap side) detects
+    // contract violations where they corrupt output instead of trusting docs.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(c => col(s"`$c`")): _*)
+    val marked = source
+      .withColumn("__matched",
+        when(count(lit(1)).over(w) === 1, lit(true))
+          .otherwise(raise_error(concat(
+            lit("mergeUpsert: duplicate source key ("),
+            concat_ws(",", keyCols.map(c => col(s"`$c`").cast("string")): _*),
+            lit(") — MERGE requires a unique source per key; pre-aggregate the source")))
+            .cast("boolean")))
     val updated = target.alias("t").join(marked.alias("s"), cond, "left_outer")
       .select(tCols.map { c =>
         if (!keyCols.contains(c) && source.columns.contains(c))
-          when(col("s.__matched"), col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-        else col(s"t.$c").as(c)
+          when(col("s.__matched"), sc(c)).otherwise(tc(c)).as(c)
+        else tc(c).as(c)
       }: _*)
-    val inserts = source.alias("s")
-      .join(target.select(keyCols.map(col): _*).alias("t"), cond, "left_anti")
+    // insert path re-uses `marked` and filters on the (always-true) marker so
+    // the duplicate tripwire also fires for dup keys that match no target row
+    // (column pruning would silently drop an unreferenced assertion column)
+    val inserts = marked.alias("s")
+      .join(target.select(keyCols.map(c => col(s"`$c`")): _*).alias("t"), cond, "left_anti")
+      .where(col("s.__matched"))
       .select(tCols.map { c =>
-        if (source.columns.contains(c)) col(s"s.$c").as(c)
+        if (source.columns.contains(c)) sc(c).as(c)
         else lit(null).cast(target.schema(c).dataType).as(c)
       }: _*)
     updated.unionByName(inserts)

@@ -117,6 +117,24 @@ class TableManagerSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 20.0), (2L, 20.0)))
   }
 
+  test("mergeUpsert fails loudly on duplicate source keys (Delta MERGE semantics)") {
+    import spark.implicits._
+    val target = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal")
+    val dupSrc = Seq((1L, 50.0), (1L, 60.0), (9L, 5.0)).toDF("id", "bal")
+    val e = intercept[Exception] {
+      TableManager.mergeUpsert(target, dupSrc, Seq("id")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate source key")), s"got: ${msgs(e)}")
+    // dup keys that match no target row must also trip (insert path)
+    val dupInsert = Seq((9L, 5.0), (9L, 6.0)).toDF("id", "bal")
+    val e2 = intercept[Exception] {
+      TableManager.mergeUpsert(target, dupInsert, Seq("id")).collect()
+    }
+    assert(msgs(e2).exists(_.contains("duplicate source key")), s"got: ${msgs(e2)}")
+  }
+
   test("mergeUpsert rejects source columns outside the target schema") {
     import spark.implicits._
     val target = Seq((1L, 10.0)).toDF("id", "bal")
