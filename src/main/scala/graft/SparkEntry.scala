@@ -855,6 +855,22 @@ object SparkEntry {
           instr(col("text"), "data").cast("long").as("pos_data"))
         .orderBy("doc_id")),
 
+    // -- built-in session_window gap sessionization ------------------------
+    // (the native complement of the custom flatMapGroupsWithState
+    // sessionizer in q_sessionize; batch mode here, streaming-capable by
+    // construction). Boundary semantics: windows are [start, last+gap), so
+    // an event at exactly prev+gap starts a NEW session — the oracle's
+    // lag-diff break is >= gap, unlike q_sessionize's strictly-greater gap.
+    "q_session_window" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("event_time"))
+      ev.groupBy(session_window(col("event_time"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // -- north-star: TF-IDF term relevance (ratio idf — IEEE-exact) --------
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdf(t(s, d, "documents"), "text", "doc_id")
@@ -1314,6 +1330,14 @@ object SparkEntry {
         "GROUP BY 1 ORDER BY bin"),
 
     "q_lang_id" -> langIdOracleSql,
+
+    "q_session_window" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+        "m AS (SELECT user_id, t, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+        "OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 3600000000 THEN 1 ELSE 0 END AS brk FROM e), " +
+        "s AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
+        "SELECT user_id, MIN(t) AS start_us, MAX(t) + 3600000000 AS end_us, COUNT(*) AS n_events " +
+        "FROM s GROUP BY user_id, sess ORDER BY user_id, start_us"),
 
     "q_tfidf" ->
       (s"WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents), " +
