@@ -46,9 +46,15 @@ object CorpusPipeline {
         s"hash split (got ${idType.simpleString}); pre-hash string ids to a long " +
         "(e.g. xxhash64) or use Relational.hashSplitTagAnyType")
     val text: Column = col(textCol)
+    // fused JVM kernel: one tokenization + one char scan per doc instead of
+    // the six interpreted HOF/regex passes of the composable Catalyst forms
+    // (bit-identical — parity asserted in TextAnalysisSpec); at 100 TB the
+    // per-document scoring pass is the dominant map-side CPU of corpus prep
     val scored = docs
-      .withColumn("quality", TextAnalysis.qualityScore(text))
-      .withColumn("lang", TextAnalysis.langId(text))
+      .withColumn("__ql", TextAnalysis.qualityLangUdf(text))
+      .withColumn("quality", col("__ql.quality"))
+      .withColumn("lang", col("__ql.lang"))
+      .drop("__ql")
       .where(col("quality") >= cfg.minQuality && col("lang").isin(cfg.languages: _*))
     // Materialize the filtered + exact-deduped corpus ONCE (projected to the
     // columns the rest of the pipeline needs). The near-dedup stage references

@@ -107,6 +107,88 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(array_join(array_sort(array_distinct(tokens(text))), " "), 256)
 
+  /** Fused (quality, lang) result of [[qualityLangUdf]]. */
+  case class QualityLang(quality: Double, lang: String)
+
+  /** Tight-loop JVM kernel computing [[qualityScore]] AND [[langId]] in ONE
+    * pass over the text — the corpus-prep hot path. The Catalyst forms
+    * re-tokenize and re-scan the text six times (stopword filter, punct
+    * regexes, four marker filters), all interpreted HOFs; the kernel does
+    * one tokenization + one character scan (same escape-hatch rationale as
+    * `Dedup.minHashSignatureUdf`). Bit-identical to the Catalyst forms —
+    * `TextAnalysisSpec` asserts parity on the fixtures — so CorpusPipeline
+    * can swap it in without moving the quality/language cut lines. Null
+    * text null-propagates. */
+  def qualityLangUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => if (text == null) null else qualityLangKernel(text))
+
+  private val stopSet = stopwordsEn.toSet
+  private val markerSets: Seq[(String, Set[String])] =
+    langMarkers.map { case (l, ws) => (l, ws.toSet) }
+
+  private[operators] def qualityLangKernel(text: String): QualityLang = {
+    val toks = Dedup.sparkTokens(text) // trim/lower/split exactly like tokens()
+    // one pass over tokens: stopword hits + per-language marker hits
+    var nStop = 0
+    val hits  = new Array[Int](markerSets.length)
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      if (stopSet.contains(w)) nStop += 1
+      var j = 0
+      while (j < markerSets.length) {
+        if (markerSets(j)._2.contains(w)) hits(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    // one pass over chars: punct/non-ws counts on the LOWERED text (exactly
+    // punctRatio's regexes: \s is Java's [ \t\n\x0B\f\r]) + CJK count on the
+    // RAW text (exactly langId's [一-鿿] class)
+    // iterate CODE POINTS, not UTF-16 units: Spark's length() counts code
+    // points, so a supplementary-plane char (emoji) is ONE punct char there
+    // — a charAt loop would count its two surrogate units twice
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    var punct = 0; var nonWs = 0
+    var c = 0
+    while (c < lowered.length) {
+      val cp = lowered.codePointAt(c)
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\u000B' || cp == '\f' || cp == '\r'
+      if (!isWs) {
+        nonWs += 1
+        if (!((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9'))) punct += 1
+      }
+      c += Character.charCount(cp)
+    }
+    var cjk = 0
+    c = 0
+    while (c < text.length) {
+      val cp = text.codePointAt(c)
+      if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+      c += Character.charCount(cp)
+    }
+    // quality: identical formula and operation order as qualityScore()
+    val lengthScore = math.min(toks.length.toDouble / 100.0, 1.0)
+    val punctScore  = 1.0 - (if (nonWs == 0) 0.0 else punct.toDouble / nonWs.toDouble)
+    val stopScore   = math.min((nStop.toDouble / toks.length.toDouble) * 5.0, 1.0)
+    val raw         = lengthScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
+    // Spark's Round(double, 6): BigDecimal(x) (shortest-repr) HALF_UP
+    val quality = BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // lang: greatest (score, lang) struct — max score, ties to the
+    // lexicographically greatest code (langId's tie rule)
+    var bestScore = 0.5; var bestLang = "und"
+    def consider(score: Double, lang: String): Unit =
+      if (score > bestScore || (score == bestScore && lang.compareTo(bestLang) > 0)) {
+        bestScore = score; bestLang = lang
+      }
+    var j = 0
+    while (j < markerSets.length) {
+      consider(hits(j).toDouble, markerSets(j)._1); j += 1
+    }
+    consider(cjk.toDouble * 2.0, "zh")
+    QualityLang(quality, bestLang)
+  }
+
   /** TF-IDF term relevance over a document corpus: one row per (doc, token)
     * with term frequency, document frequency, and `score = tf * (N / df)`
     * (ratio idf — double mul/div are IEEE-exact, so the score is

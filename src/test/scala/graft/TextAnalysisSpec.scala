@@ -71,6 +71,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("hello, world 42", TextAnalysis.subwordCountApprox(col("text"))).getLong(0) == 4L)
   }
 
+  test("qualityLangKernel is bit-identical to the Catalyst qualityScore + langId") {
+    import spark.implicits._
+    val fixture = Tables.load(spark, sfDir, "documents").select(col("text"))
+    val edges = Seq(
+      "", "   ", "...", "!!!?", "the the the", "der die das und ist",
+      "le la le les et", "一鿿 mixed 中文 text",
+      "tabs\tand\nnewlineshere", "MiXeD CaSe The AND of",
+      "numbers 123 456", "😀 emoji a1", "x").toDF("text")
+    val all = fixture.unionByName(edges)
+    val rows = all.select(
+      TextAnalysis.qualityScore(col("text")).as("q_cat"),
+      TextAnalysis.langId(col("text")).as("l_cat"),
+      TextAnalysis.qualityLangUdf(col("text")).as("ql"))
+      .select(col("q_cat"), col("l_cat"), col("ql.quality").as("q_k"), col("ql.lang").as("l_k"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"quality mismatch: catalyst=${r.getDouble(0)} kernel=${r.getDouble(2)}")
+      assert(r.getString(1) == r.getString(3),
+        s"lang mismatch: catalyst=${r.getString(1)} kernel=${r.getString(3)}")
+    }
+    assert(rows.length > 500)
+  }
+
   test("tfIdf: tf counts repeats, df counts docs, rare terms outscore stopwords") {
     import spark.implicits._
     val docs = Seq(
