@@ -855,6 +855,23 @@ object SparkEntry {
           instr(col("text"), "data").cast("long").as("pos_data"))
         .orderBy("doc_id")),
 
+    // -- north-star: group-level MinHash (the UDAF) — pairwise est. --------
+    // Jaccard between whole SOURCES' shingle-set unions: per-row signatures
+    // map-side, one distributive aggregation (partial min merge like sum),
+    // then a tiny #groups×#groups pair comparison. Rows-only: the signature
+    // hash family is engine-specific (kernel splitmix), self-checked in
+    // PlansSpec/DedupSpec.
+    "q_group_minhash" -> ((s, d) => {
+      val sigs = Dedup.groupMinHashSignatures(
+        t(s, d, "documents"), "text", "source", shingleN = 1, numHashes = 64)
+      val a = sigs.select(col("source").as("src_a"), col("group_sig").as("sig_a"))
+      val b = sigs.select(col("source").as("src_b"), col("group_sig").as("sig_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          Dedup.estimatedJaccardNative(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // -- built-in session_window gap sessionization ------------------------
     // (the native complement of the custom flatMapGroupsWithState
     // sessionizer in q_sessionize; batch mode here, streaming-capable by
