@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM default locale: locale-sensitive lowercasing (tr/az
+  // dotted/dotless i) would otherwise make Catalyst lower() and the JVM
+  // scoring kernels disagree on such JVMs
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

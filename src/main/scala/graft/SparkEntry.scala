@@ -903,10 +903,13 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => {
       val o = t(s, d, "orders")
       val b = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      // degenerate range (all values equal): everything lands in bin 0 —
+      // without the guard the width is 0.0 and ANSI mode throws DIVIDE_BY_ZERO
       o.crossJoin(b)
-        .select(least(
+        .select(when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(least(
             floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 10.0)),
-            lit(9.0))
+            lit(9.0)))
           .cast("long").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
         .orderBy("bin")
@@ -1341,7 +1344,8 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
 
     "q_histogram" ->
-      ("SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10.0)), 9.0) AS BIGINT) AS bin, " +
+      ("SELECT CAST(CASE WHEN mx = mn THEN 0.0 " +
+        "ELSE least(floor((o_totalprice - mn) / ((mx - mn) / 10.0)), 9.0) END AS BIGINT) AS bin, " +
         "count(*) AS n " +
         "FROM orders, (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) " +
         "GROUP BY 1 ORDER BY bin"),
@@ -1381,7 +1385,12 @@ object SparkEntry {
     }
     val zh  = "{'score': CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 2 AS DOUBLE), 'lang': 'zh'}"
     val und = "{'score': CAST(0.5 AS DOUBLE), 'lang': 'und'}"
-    s"SELECT doc_id, lang, list_sort([${(scores :+ zh :+ und).mkString(", ")}])[-1].lang AS guessed_lang " +
+    // NULL text: every marker/CJK score is NULL and Spark's struct greatest()
+    // orders null fields FIRST, so the 0.5 'und' floor wins; DuckDB's sort
+    // puts NULLs last, so without the CASE a null-score struct would win and
+    // [-1] would pick the wrong code
+    "SELECT doc_id, lang, CASE WHEN text IS NULL THEN 'und' ELSE " +
+      s"list_sort([${(scores :+ zh :+ und).mkString(", ")}])[-1].lang END AS guessed_lang " +
       "FROM documents ORDER BY doc_id"
   }
 }

@@ -49,9 +49,14 @@ object CorpusPipeline {
     // fused JVM kernel: one tokenization + one char scan per doc instead of
     // the six interpreted HOF/regex passes of the composable Catalyst forms
     // (bit-identical — parity asserted in TextAnalysisSpec); at 100 TB the
-    // per-document scoring pass is the dominant map-side CPU of corpus prep
+    // per-document scoring pass is the dominant map-side CPU of corpus prep.
+    // asNondeterministic is an optimizer fence, not a semantic claim: a
+    // deterministic UDF gets substituted into the pushed-down filter's two
+    // struct-field branches and re-evaluated 2-3x per row — the fence keeps
+    // the kernel at exactly ONE invocation per document (CorpusPipelineSpec
+    // asserts the invocation count)
     val scored = docs
-      .withColumn("__ql", TextAnalysis.qualityLangUdf(text))
+      .withColumn("__ql", TextAnalysis.qualityLangUdf.asNondeterministic()(text))
       .withColumn("quality", col("__ql.quality"))
       .withColumn("lang", col("__ql.lang"))
       .drop("__ql")

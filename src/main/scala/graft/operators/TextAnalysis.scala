@@ -4,10 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: tokenization,
-  * quality scoring, language identification, fingerprinting. All pure
-  * Catalyst expressions (no UDFs) so they pushdown/prune/codegen like any
-  * built-in and run identically at 100 TB — the only shuffles are whatever
-  * aggregation the caller adds on top.
+  * quality scoring, language identification, fingerprinting. Pure Catalyst
+  * expressions (pushdown/prune/codegen like any built-in; the only shuffles
+  * are whatever aggregation the caller adds on top) — with two deliberate
+  * escape hatches mirroring `Dedup`'s kernel rationale: [[qualityLangUdf]]
+  * (fused per-row scoring kernel) and the DataFrame-level [[tfIdf]].
   */
 object TextAnalysis {
 
@@ -118,7 +119,13 @@ object TextAnalysis {
     * `Dedup.minHashSignatureUdf`). Bit-identical to the Catalyst forms —
     * `TextAnalysisSpec` asserts parity on the fixtures — so CorpusPipeline
     * can swap it in without moving the quality/language cut lines. Null
-    * text null-propagates. */
+    * text null-propagates.
+    *
+    * Locale note: the kernel lowercases with Locale.ROOT (as the tokenizer
+    * kernels do), while Catalyst's `lower()` may route through the JVM
+    * default locale for non-ASCII text — identical under the en/root
+    * locales this engine pins via `-Duser.language=en` (build.sbt); on an
+    * unpinned tr/az JVM the dotted/dotless-i mapping could differ. */
   def qualityLangUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => if (text == null) null else qualityLangKernel(text))
 

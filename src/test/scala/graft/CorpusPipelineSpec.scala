@@ -42,4 +42,42 @@ class CorpusPipelineSpec extends SparkSpec {
       .orderBy("doc_id", "chunk_idx").collect()
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  test("scoring kernel runs exactly once per document (optimizer fence holds)") {
+    import graft.operators.TextAnalysis
+    // 1) plan shape of the scoring stage (pre-checkpoint — prepare()'s final
+    // plan starts at the checkpoint RDD, so inspect the same shape directly):
+    // the fenced UDF must appear exactly once in the optimized plan, while
+    // the unfenced one is substituted by pushdown into the filter's
+    // struct-field branches (2-3 evals per row)
+    // a file-backed frame: a LocalRelation (Seq.toDF) would be constant-folded
+    // by ConvertToLocalRelation and no UDF would survive into the plan at all
+    val df = Tables.load(spark, sfDir, "documents")
+    def scoringPlan(fence: Boolean): String = {
+      val u = if (fence) TextAnalysis.qualityLangUdf.asNondeterministic()
+              else TextAnalysis.qualityLangUdf
+      df.withColumn("__ql", u(col("text")))
+        .withColumn("quality", col("__ql.quality"))
+        .withColumn("lang", col("__ql.lang"))
+        .drop("__ql")
+        .where(col("quality") >= 0.0 && col("lang").isin("en", "fr", "und"))
+        .queryExecution.optimizedPlan.toString
+    }
+    val fenced   = "UDF".r.findAllIn(scoringPlan(fence = true)).length
+    val unfenced = "UDF".r.findAllIn(scoringPlan(fence = false)).length
+    assert(fenced == 1, s"expected exactly 1 UDF occurrence with the fence, got $fenced")
+    assert(unfenced > 1, s"negative control: expected duplicated UDF without the fence, got $unfenced")
+    // 2) mechanism: a counting nondeterministic UDF in the same
+    // withColumn+filter shape is invoked exactly once per input row
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val counting = udf((s: String) => { counter.incrementAndGet(); (s.length, "x") })
+      .asNondeterministic()
+    val n = docs((1L to 50L).map(i => i -> s"text $i"): _*)
+      .withColumn("__ql", counting(col("text")))
+      .withColumn("q", col("__ql._1")).withColumn("l", col("__ql._2")).drop("__ql")
+      .where(col("q") >= 0 && col("l") === "x")
+      .count()
+    assert(n == 50 && counter.get() == 50,
+      s"expected 50 invocations for 50 rows, got ${counter.get()}")
+  }
 }
