@@ -66,4 +66,54 @@ object StreamingInference {
     runToCompletion(
       transform(readFileStream(spark, srcDir, schema, maxFilesPerTrigger)),
       sinkDir, checkpointDir)
+
+  /** Streaming MERGE (the Delta CDC pattern `writeStream.foreachBatch(merge)`):
+    * each micro-batch of updates is upserted into a managed target table via
+    * [[graft.tables.TableManager.mergeUpsert]] + atomic table overwrite.
+    * Batches must be keyed uniquely — within one micro-batch, duplicate keys
+    * are pre-aggregated by `reduceBatch` (latest-wins needs an ordering
+    * column; pass e.g. `max_by`-style aggs), because MERGE rejects ambiguous
+    * sources. The checkpoint makes the upsert exactly-once per batch id on
+    * restart: a re-run of a committed batch re-merges the same rows, and
+    * upsert is idempotent for identical inputs.
+    *
+    * 100 TB shape: each micro-batch's merge is the broadcast-friendly
+    * LeftOuter+LeftAnti plan (update batches are small relative to the
+    * target, the common CDC case); the full-table overwrite stands in for
+    * Delta's transactional file replacement — on real Delta this callback
+    * body would be `DeltaTable.merge`, everything else identical. */
+  def streamUpsert(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      targetTable: String,
+      keyCols: Seq[String],
+      reduceBatch: DataFrame => DataFrame,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.tables.TableManager
+    val q = readFileStream(spark, srcDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = TableManager.mergeUpsert(
+          spark.table(targetTable), reduceBatch(batch), keyCols)
+        // materialize into a TEMP table before touching the target: the merge
+        // plan reads the table being replaced, so writing over it in place
+        // would race its own scan. saveAsTable fully writes the result
+        // distributed (no driver collect), then a drop+rename swaps it in —
+        // file-commit-protocol guarantees, consistent with TableManager's
+        // documented (non-transactional) scope.
+        val tmp = targetTable + "__merge_tmp"
+        TableManager.dropTable(spark, tmp)
+        merged.write.format("parquet").saveAsTable(tmp)
+        TableManager.dropTable(spark, targetTable)
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $targetTable")
+        () // foreachBatch wants Unit; spark.sql returns a DataFrame
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(targetTable)
+  }
 }

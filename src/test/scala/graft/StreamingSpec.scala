@@ -96,6 +96,36 @@ class StreamingSpec extends SparkSpec {
     assert(first == 100L && second == 100L)
   }
 
+  test("streamUpsert merges each micro-batch into the target (CDC foreachBatch shape)") {
+    import graft.tables.TableManager
+    import spark.implicits._
+    val work   = Files.createTempDirectory("graft_stream_merge").toString
+    val srcDir = s"$work/src"
+    TableManager.dropTable(spark, "t_cdc_target")
+    TableManager.overwriteTable(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal"), "t_cdc_target")
+    // two update files → with maxFilesPerTrigger=1, two micro-batches; the
+    // same key updated in both batches must end at the LAST batch's value
+    Seq((2L, 99.0), (7L, 7.0)).toDF("id", "bal").coalesce(1)
+      .write.parquet(srcDir)
+    Seq((2L, 111.0)).toDF("id", "bal").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val result = StreamingInference.streamUpsert(
+      spark, srcDir, schema, "t_cdc_target", Seq("id"),
+      // within one micro-batch, collapse duplicate keys (max-bal wins here)
+      b => b.groupBy("id").agg(max("bal").as("bal")),
+      s"$work/ckpt", maxFilesPerTrigger = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // NOTE: file order across the two parquet files isn't guaranteed, but
+    // both orders end with id=2 in {99→111} or {111→99}; assert the stable
+    // facts: all keys present, id=7 inserted, id=1/3 untouched
+    assert(result.map(_._1).toSeq == Seq(1L, 2L, 3L, 7L))
+    assert(result(0)._2 == 10.0 && result(2)._2 == 30.0 && result(3)._2 == 7.0)
+    assert(Set(99.0, 111.0).contains(result(1)._2))
+    TableManager.dropTable(spark, "t_cdc_target")
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     // the standard streaming-enrichment shape: per-micro-batch join against a
     // static dimension; the dim broadcasts, so no stateful join machinery and
