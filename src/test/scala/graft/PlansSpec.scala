@@ -166,6 +166,22 @@ class PlansSpec extends SparkSpec {
       s"small source must broadcast under the update join:\n$physical")
   }
 
+  test("declared scan queries push filters and prune columns at the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+        .collect { case s: FileSourceScanExec => s }
+    // q_filter_pushdown: the shipdate/quantity predicates must reach the scan
+    val f = scans("q_filter_pushdown")
+    assert(f.nonEmpty && f.exists(s => s.metadata("PushedFilters") != "[]"),
+      s"expected non-empty PushedFilters, got ${f.map(_.metadata("PushedFilters"))}")
+    // q_scan_project: a 5-column projection over the 16-column lineitem must
+    // prune the read schema — a scan reading all columns is wrong (§2 P1)
+    val p = scans("q_scan_project")
+    assert(p.nonEmpty && p.forall(_.requiredSchema.fields.length <= 6),
+      s"expected pruned ReadSchema (<=6 cols), got ${p.map(_.requiredSchema.fields.length)}")
+  }
+
   test("saltedAggregate matches direct aggregation (algebraic aggs)") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Relational.saltedAggregate(
