@@ -20,9 +20,13 @@ object VectorFunctions {
   /** Widen a float array to double before arithmetic (exact conversion). */
   def toDoubleArray(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Dot product: sequential fold, double precision. */
+  /** Dot product: sequential fold, double precision. The per-element widen
+    * makes the MULTIPLY double-precision too — without it a float-array
+    * input would round each product to float before the double accumulation
+    * (diverging from this doc's contract and the DOUBLE[] oracle). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm. */
   def norm2(a: Column): Column = sqrt(dot(a, a))

@@ -168,12 +168,15 @@ object Dedup {
 
   /** Estimated Jaccard similarity = fraction of agreeing signature slots.
     * Composable Catalyst form; [[estimatedJaccardNative]] is the codegen
-    * expression used on the per-pair hot path. */
+    * expression used on the per-pair hot path. Empty signatures estimate
+    * 0.0 (matching the native expression — a bare divide would yield null
+    * and silently change filter semantics between the two forms). */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(
-      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0),
-      (acc, x) => acc + x).cast("double") / size(sigA).cast("double")
+    when(size(sigA) === 0, lit(0.0)).otherwise(
+      aggregate(
+        zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0),
+        (acc, x) => acc + x).cast("double") / size(sigA).cast("double"))
 
   /** Native-expression form of [[estimatedJaccard]]
     * (see [[graft.plans.MinHashAgreement]]) — identical values, primitive

@@ -21,13 +21,21 @@ object Similarity {
   /** Literal column for a query vector. */
   def queryVec(q: Array[Float]): Column = typedLit(q)
 
+  /** Rank/threshold guard: a zero-norm (or null) vector yields cosine
+    * NaN/null, and since SPARK-32110 NaN orders ABOVE every real double —
+    * unguarded, degenerate rows would capture the whole top-k and pass any
+    * `>= threshold` filter. Drop them before ranking. */
+  private def validCos(c: Column): Column = c.isNotNull && !isnan(c)
+
   /** Brute-force exact cosine top-k against a single query vector.
     * `cos` is rounded to 6 decimals (bit-stable vs the DuckDB oracle) and
-    * the ordering ties on id for determinism. */
+    * the ordering ties on id for determinism. Zero-norm/null vectors are
+    * excluded (see [[validCos]]). */
   def cosineTopK(df: DataFrame, vecCol: String, idCol: String, q: Array[Float], k: Int): DataFrame =
     df.select(
         col(idCol),
         round(cosineNative(col(vecCol), queryVec(q)), 6).as("cos"))
+      .where(validCos(col("cos")))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
 
@@ -85,6 +93,7 @@ object Similarity {
     df.select(col(idCol), col(vecCol), lshSignature(col(vecCol), planes).as("sig"))
       .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming)
       .select(col(idCol), round(cosineNative(col(vecCol), queryVec(q)), 6).as("cos"))
+      .where(validCos(col("cos")))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
@@ -117,6 +126,10 @@ object Similarity {
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       lshSignature(col(vecCol), planes).as("sig"))
+      // null vectors can't near-dup — drop before banding (their null band
+      // keys would otherwise group into junk buckets; same discipline as
+      // minHashCandidatePairs / simHashCandidatePairs)
+      .where(col("sig").isNotNull)
     Dedup.withSigsCache(rawSigs) { sigs =>
       val blocked = sigs.select(
         col("id"),
@@ -128,7 +141,9 @@ object Similarity {
         .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
         .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"), round(cosineNative(col("vec_a"), col("vec_b")), 6).as("cos"))
-        .where(col("cos") >= minCosine)
+        // validCos: NaN >= threshold is TRUE under Spark's nan-safe ordering,
+        // so two zero-norm vectors would otherwise report a confirmed pair
+        .where(validCos(col("cos")) && col("cos") >= minCosine)
     }
   }
 
@@ -145,7 +160,7 @@ object Similarity {
     * recall/cost only. */
   def assignCells(df: DataFrame, vecCol: String, centroids: Array[Array[Float]]): DataFrame = {
     val sims = array(centroids.map(c => cosineNative(col(vecCol), typedLit(c))): _*)
-    df.withColumn("ivf_cell", (array_position(sims, array_max(sims)) - 1).cast("int"))
+    df.withColumn("ivf_cell", argmax(sims).cast("int"))
   }
 
   /** Learn IVF centroids with MLlib k-means (seeded, deterministic given a
@@ -173,7 +188,11 @@ object Similarity {
     // layout-independent, where a bare limit() would take the first files
     // in partition order — on a corpus written clustered by topic/source
     // that biases every centroid into one region of embedding space.
-    val feats = df.where(col(vecCol).isNotNull) // null-vector discipline, as in lshSignature
+    // null AND zero-norm discipline: MLlib's cosine k-means asserts norm > 0
+    // ("Cosine distance is not defined for zero-length vectors") — one
+    // all-zero embedding in the sample would crash the whole fit
+    val feats = df.where(col(vecCol).isNotNull &&
+        exists(col(vecCol), x => x =!= lit(0.0f)))
       .orderBy(xxhash64(col(vecCol)))
       .limit(fitSampleRows)
       .select(toVec(col(vecCol)).as("features"))
@@ -208,6 +227,7 @@ object Similarity {
     assignCells(df, vecCol, centroids)
       .where(col("ivf_cell").isin(probeCells: _*))
       .select(col(idCol), round(cosineNative(col(vecCol), queryVec(q)), 6).as("cos"))
+      .where(validCos(col("cos")))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }

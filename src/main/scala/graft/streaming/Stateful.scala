@@ -179,12 +179,26 @@ object Stateful {
               if (e.ts - segments.last.last.ts > gapNanos) segments += scala.collection.mutable.ListBuffer(e)
               else segments.last += e
             }
-            state.update(segments.last.toList)
-            // timeout when the watermark passes the open session's gap horizon
+            val closed    = segments.init.map(s => Session(userId, s.head.ts, s.last.ts, s.size.toLong))
             val lastMs    = segments.last.last.ts / 1000000L
-            val horizonMs = math.max(lastMs + gapMs, state.getCurrentWatermarkMs() + 1)
-            state.setTimeoutTimestamp(horizonMs)
-            segments.init.map(s => Session(userId, s.head.ts, s.last.ts, s.size.toLong)).iterator
+            val horizonMs = lastMs + gapMs
+            if (horizonMs <= state.getCurrentWatermarkMs()) {
+              // the open session's gap horizon already lies at/behind the
+              // watermark: no in-watermark event can ever extend it (an
+              // extender would be dropped as late), so emit it NOW — a
+              // deferred timeout only fires after the watermark advances
+              // again, which never happens on a source that goes idle
+              val open = segments.last
+              state.remove()
+              (closed :+ Session(userId, open.head.ts, open.last.ts, open.size.toLong)).iterator
+            } else {
+              state.update(segments.last.toList)
+              // timeout when the watermark passes the open session's gap
+              // horizon (strictly ahead of the watermark here, as the API
+              // requires)
+              state.setTimeoutTimestamp(horizonMs)
+              closed.iterator
+            }
           }
       }
   }

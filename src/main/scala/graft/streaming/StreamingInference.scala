@@ -49,7 +49,15 @@ object StreamingInference {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    transformed.sparkSession.read.parquet(sinkDir)
+    val spark = transformed.sparkSession
+    // an empty source commits no files: read.parquet on the bare sink would
+    // throw (no schema to infer) — return an empty frame of the sink schema
+    try spark.read.schema(transformed.schema).parquet(sinkDir)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          transformed.schema)
+    }
   }
 
   /** Full stream pipeline: source → stateless transform → sink; returns the
@@ -101,15 +109,20 @@ object StreamingInference {
         // materialize into a TEMP table before touching the target: the merge
         // plan reads the table being replaced, so writing over it in place
         // would race its own scan. saveAsTable fully writes the result
-        // distributed (no driver collect), then a drop+rename swaps it in —
-        // file-commit-protocol guarantees, consistent with TableManager's
-        // documented (non-transactional) scope.
+        // distributed (no driver collect). The swap then renames the OLD
+        // target aside before renaming tmp in — a crash between the two
+        // renames leaves both tables recoverable (old data under __merge_old,
+        // new data under __merge_tmp); a drop-then-rename ordering would have
+        // a window with NO target at all. File-commit-protocol guarantees,
+        // consistent with TableManager's documented (non-transactional) scope.
         val tmp = targetTable + "__merge_tmp"
+        val old = targetTable + "__merge_old"
         TableManager.dropTable(spark, tmp)
+        TableManager.dropTable(spark, old)
         merged.write.format("parquet").saveAsTable(tmp)
-        TableManager.dropTable(spark, targetTable)
+        spark.sql(s"ALTER TABLE $targetTable RENAME TO $old")
         spark.sql(s"ALTER TABLE $tmp RENAME TO $targetTable")
-        () // foreachBatch wants Unit; spark.sql returns a DataFrame
+        TableManager.dropTable(spark, old)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -96,6 +96,20 @@ class StreamingSpec extends SparkSpec {
     assert(first == 100L && second == 100L)
   }
 
+  test("empty source yields an empty typed frame, not a schema-inference crash") {
+    val work   = Files.createTempDirectory("graft_stream_empty").toString
+    val srcDir = s"$work/src"
+    // a dir with schema but no data files: write then delete the data
+    Tables.load(spark, sfDir, "events").select("event_id", "event_type", "value")
+      .limit(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    new java.io.File(srcDir).listFiles.filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val out = StreamingInference.streamTransform(
+      spark, srcDir, schema, transform, s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1)
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.toSeq == Seq("event_id", "event_type", "score"))
+  }
+
   test("streamUpsert merges each micro-batch into the target (CDC foreachBatch shape)") {
     import graft.tables.TableManager
     import spark.implicits._

@@ -82,4 +82,40 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(ann.contains(3L), "self must survive the LSH filter")
     assert((exact & ann).size >= 5, s"recall too low: ${(exact & ann).size}/10")
   }
+
+  test("zero-norm vectors never rank, pair, or crash the centroid fit") {
+    import spark.implicits._
+    val zeroA = (100L, Array.fill(4)(0.0f))
+    val zeroB = (101L, Array.fill(4)(0.0f))
+    val real = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    val df = (real :+ zeroA :+ zeroB).toDF("vec_id", "embedding")
+    val q  = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    // NaN cosines (0/0) sort ABOVE every real double since SPARK-32110 —
+    // unguarded, the two zero vectors would capture the top of the ranking
+    val top = Similarity.cosineTopK(df, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0))
+    assert(!top.contains(100L) && !top.contains(101L), s"zero vecs ranked: ${top.toSeq}")
+    assert(top.take(2).toSeq == Seq(1L, 2L))
+    // ...and NaN >= threshold is TRUE, so the zero pair would be "confirmed"
+    val pairs = Similarity.cosineNearDupPairs(df, "embedding", "vec_id",
+      dim = 4, minCosine = 0.9, nBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((100L, 101L)), s"zero-vector pair reported: $pairs")
+    // ...and MLlib's cosine k-means asserts norm > 0 on every fit row
+    val centroids = Similarity.fitIvfCentroids(df, "embedding", k = 2)
+    assert(centroids.length == 2)
+  }
+
+  test("estimatedJaccard HOF and native agree on empty signatures (0.0, not null)") {
+    import spark.implicits._
+    val df = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    val r = df.select(
+      graft.operators.Dedup.estimatedJaccard(col("a"), col("b")).as("hof"),
+      graft.operators.Dedup.estimatedJaccardNative(col("a"), col("b")).as("native")).head()
+    assert(!r.isNullAt(0) && r.getDouble(0) == 0.0)
+    assert(!r.isNullAt(1) && r.getDouble(1) == 0.0)
+  }
 }
