@@ -66,8 +66,15 @@ object ImagePipeline {
       }
     }
 
-    // J1: left-outer re-attach by unique key (01. Ingest.py:129).
-    indexed.join(gray, Seq("path"), "left_outer")
+    // J1: left-outer re-attach by unique key (01. Ingest.py:129). The result
+    // is materialized eagerly so the scan cache can be released here — a
+    // bare return would leak the pinned image payloads for the session
+    // lifetime (no unpersist handle reaches the caller); the checkpoint
+    // blocks are reclaimed by the ContextCleaner once the frame is
+    // unreachable (same scoping pattern as Dedup.withSigsCache).
+    val result = indexed.join(gray, Seq("path"), "left_outer").localCheckpoint(true)
+    labeled.unpersist(false)
+    result
   }
 
   /** The training-prep shape (`02.a …:74-97`): project to (content,
@@ -81,6 +88,9 @@ object ImagePipeline {
       splitWeights: Array[Double] = Array(0.6, 0.4),
       seed: Long = 12345L,
       minPartitions: Int = 2): (DataFrame, DataFrame) = {
+    require(splitWeights.length == 2,
+      s"trainingPrep is a train/val split (got ${splitWeights.length} weights); " +
+        "use Relational.seededSplit directly for other arities")
     val slim = ingested
       .select(col("content"), col("label_index").cast("long").as("label_index"))
       .limit(limit)

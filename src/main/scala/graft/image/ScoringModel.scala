@@ -32,8 +32,17 @@ trait ScoringModel extends Serializable {
   final def predict(features: Array[Float]): Array[String] = {
     val probs = probabilities(features)
     val best  = probs.indices.maxBy(probs)
+    // class names are implementation-supplied — escape them, or a quote or
+    // backslash in a name emits malformed JSON that breaks any downstream
+    // from_json over the probabilities column
+    def esc(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
     val json = classes.zip(probs)
-      .map { case (c, p) => s""""$c": ${math.rint(p * 1000) / 1000.0}""" }
+      .map { case (c, p) => s""""${esc(c)}": ${math.rint(p * 1000) / 1000.0}""" }
       .mkString("{", ", ", "}")
     Array(classes(best), json)
   }

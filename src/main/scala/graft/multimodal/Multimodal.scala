@@ -54,20 +54,22 @@ object Multimodal {
       it.map { r =>
         val path    = r.getString(0)
         val content = r.getAs[Array[Byte]](1)
-        val meta = modality match {
-          case "image" =>
-            // corrupt payloads are routine at corpus scale: fall back to
-            // opaque metadata instead of failing the whole ingest (same
-            // policy as extractFeatures)
-            try { val (w, h) = Kernels.size(content); Row("image/jpeg", w, h, 0L, 0) }
-            catch { case _: Exception => Row("application/octet-stream", 0, 0, 0L, 0) }
-          case "audio" =>
-            Row("audio/wav", 0, 0, (content.length.toLong * 1000) / 32000, 16000)
-          case "video" =>
-            Row("video/mp4", 320, 240, (content.length.toLong * 1000) / 250000, 0)
-          case _ =>
-            Row("application/octet-stream", 0, 0, 0L, 0)
-        }
+        // corrupt or NULL payloads are routine at corpus scale: fall back to
+        // opaque metadata instead of failing the whole ingest (same policy
+        // as extractFeatures) — EVERY modality branch, not just image
+        val meta =
+          if (content == null) Row("application/octet-stream", 0, 0, 0L, 0)
+          else modality match {
+            case "image" =>
+              try { val (w, h) = Kernels.size(content); Row("image/jpeg", w, h, 0L, 0) }
+              catch { case _: Exception => Row("application/octet-stream", 0, 0, 0L, 0) }
+            case "audio" =>
+              Row("audio/wav", 0, 0, (content.length.toLong * 1000) / 32000, 16000)
+            case "video" =>
+              Row("video/mp4", 320, 240, (content.length.toLong * 1000) / 250000, 0)
+            case _ =>
+              Row("application/octet-stream", 0, 0, 0L, 0)
+          }
         Row(stableId(path), modality, content, meta)
       }
     }(Encoders.row(mediaSchema))

@@ -115,7 +115,10 @@ object Relational {
         Seq(col(leftTsCol).as("__asof_ts"), lit(1).as("__asof_side")) ++
         payload.map(col) ++
         valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"$outPrefix$v")): _*)
-    val rU = right.select(
+    // 'right.ts <= left.ts' is never true for a null right timestamp — but
+    // asc sort is NULLS FIRST, so an unfiltered null-ts row would sort as
+    // "earlier than everything" and silently attach to matchless left rows
+    val rU = right.where(col(rightTsCol).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTsCol).as("__asof_ts"), lit(0).as("__asof_side")) ++
         payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
@@ -141,7 +144,9 @@ object Relational {
       saltBuckets: Int,
       partialAggs: Seq[Column],
       mergeAggs: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    // monotonically_increasing_id already embeds the partition id in its
+    // high bits; pmod of it alone round-robins rows across salt buckets
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets)))
       .groupBy(col(keyCol), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keyCol)

@@ -26,10 +26,19 @@ object TableManager {
     if (!spark.catalog.tableExists(table)) { overwriteTable(df, table); return }
     val existing = spark.table(table).schema
     val incoming = df.schema
-    val missing  = existing.filterNot(f => incoming.fieldNames.contains(f.name))
+    // Name matching must follow the analyzer's case sensitivity (default:
+    // INsensitive): a case-sensitive contains() would classify 'Score' as
+    // missing next to incoming 'score', null it out via withColumn (which
+    // resolves case-insensitively and REPLACES the real column), then emit
+    // duplicate columns. Delta's mergeSchema matches case-insensitively.
+    val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String)  = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val incomingN = incoming.fieldNames.map(norm).toSet
+    val existingN = existing.fieldNames.map(norm).toSet
+    val missing  = existing.filterNot(f => incomingN.contains(norm(f.name)))
     val widened  = missing.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     // Stable column order: existing columns first, then genuinely new ones.
-    val ordered = existing.fieldNames ++ incoming.fieldNames.filterNot(existing.fieldNames.contains)
+    val ordered = existing.fieldNames ++ incoming.fieldNames.filterNot(n => existingN.contains(norm(n)))
     val aligned = widened.select(ordered.map(col).toIndexedSeq: _*)
     // Overwriting the table being read requires materializing the plan first
     // (Delta does this via the transaction log; we stage through a temp view
@@ -101,8 +110,11 @@ object TableManager {
     def clean(c: String) = nanvl(col(c).cast("double"), lit(null).cast("double"))
     val stats = df.agg(min(clean(colA)), max(clean(colA)), min(clean(colB)), max(clean(colB))).head()
     require(!stats.anyNull, s"compactZOrder: $colA/$colB have no non-null, non-NaN values to bucket")
-    val z = zValue(col(colA), stats.getDouble(0), stats.getDouble(1),
-                   col(colB), stats.getDouble(2), stats.getDouble(3))
+    // feed the CLEANED columns into the bucket arithmetic too: a raw NaN row
+    // would reach the ANSI cast-to-long inside zValue and crash the rewrite;
+    // cleaned, a NaN/null row gets a null z and clusters into one range
+    val z = zValue(clean(colA), stats.getDouble(0), stats.getDouble(1),
+                   clean(colB), stats.getDouble(2), stats.getDouble(3))
     val tmp = new Path(dir + ".__zorder_tmp")
     df.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))

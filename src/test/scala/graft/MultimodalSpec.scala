@@ -45,6 +45,16 @@ class MultimodalSpec extends SparkSpec {
     assert(media.head.getStruct(3).getString(0) == "application/octet-stream")
   }
 
+  test("null payloads degrade to opaque metadata in EVERY modality branch") {
+    import spark.implicits._
+    val nulls = Seq(("mem://gone", Option.empty[Array[Byte]])).toDF("path", "content")
+    Seq("image", "audio", "video").foreach { m =>
+      val row = Multimodal.fromBinaryFiles(nulls, m).collect()
+      assert(row.length == 1 && row.head.getStruct(3).getString(0) == "application/octet-stream",
+        s"modality $m must tolerate null content")
+    }
+  }
+
   test("stub decoders are deterministic") {
     val bytes = Array.tabulate[Byte](300)(i => (i * 7).toByte)
     assert(Multimodal.decodeAudioStub(bytes).sameElements(Multimodal.decodeAudioStub(bytes)))

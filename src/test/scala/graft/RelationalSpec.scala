@@ -100,6 +100,18 @@ class RelationalSpec extends SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("asof_v")))
   }
 
+  test("asofJoin ignores right rows with null timestamps (no phantom matches)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1")).toDF("k", "t", "ev")
+    // asc sort is NULLS FIRST: unfiltered, this null-ts row would sort as
+    // "earlier than everything" and attach 99.0 to the matchless left row
+    val right = Seq((1L, Option.empty[Long], 99.0), (1L, Some(200L), 1.0))
+      .toDF("k", "t", "v")
+    val out = Relational.asofJoin(left, right, Seq("k"), "t", "t", Seq("v")).head()
+    assert(out.isNullAt(out.fieldIndex("asof_v")),
+      s"null-ts right row must match nothing, got ${out.get(out.fieldIndex("asof_v"))}")
+  }
+
   test("asofJoin preserves left cardinality and all left columns") {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
