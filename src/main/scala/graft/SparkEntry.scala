@@ -1013,8 +1013,11 @@ object SparkEntry {
         "FROM embeddings ORDER BY vec_id"),
 
     "q_dedup_exact" ->
+      // WHERE text IS NOT NULL mirrors exactGroups' null discipline (a null
+      // text can't duplicate anything; without the filter, sha256(null)=null
+      // would form one spurious all-nulls group)
       ("SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_dup " +
-        "FROM documents GROUP BY content_hash ORDER BY content_hash"),
+        "FROM documents WHERE text IS NOT NULL GROUP BY content_hash ORDER BY content_hash"),
 
     "q_text_stats" ->
       (s"SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +

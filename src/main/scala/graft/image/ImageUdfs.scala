@@ -17,34 +17,46 @@ case class ImgSize(width: Int, height: Int)
   */
 object ImageUdfs {
 
+  // Every UDF null-propagates (null payload → null result, same discipline
+  // as Dedup's text kernels): binary columns are nullable — a left-outer
+  // re-attach or a corpus row with missing content would otherwise NPE
+  // inside the kernel and abort the whole job.
+
   /** I1 `(width, height)` struct. */
   val imageSize: UserDefinedFunction =
-    udf((b: Array[Byte]) => { val (w, h) = Kernels.size(b); ImgSize(w, h) })
+    udf((b: Array[Byte]) =>
+      if (b == null) null.asInstanceOf[ImgSize]
+      else { val (w, h) = Kernels.size(b); ImgSize(w, h) })
 
   /** I3 grayscale PNG bytes. */
-  val grayscalePng: UserDefinedFunction = udf((b: Array[Byte]) => Kernels.grayscalePng(b))
+  val grayscalePng: UserDefinedFunction =
+    udf((b: Array[Byte]) => if (b == null) null else Kernels.grayscalePng(b))
 
   /** I2 bilinear resize (JPEG out). */
   val resizeJpg: UserDefinedFunction =
-    udf((b: Array[Byte], w: Int, h: Int) => Kernels.resizeJpg(b, w, h))
+    udf((b: Array[Byte], w: Int, h: Int) => if (b == null) null else Kernels.resizeJpg(b, w, h))
 
   /** Center crop (eval-time transform shape). */
   val centerCropJpg: UserDefinedFunction =
-    udf((b: Array[Byte], side: Int) => Kernels.centerCropJpg(b, side))
+    udf((b: Array[Byte], side: Int) => if (b == null) null else Kernels.centerCropJpg(b, side))
 
   /** I5 seeded random crop+flip augmentation. */
   val randomCropFlipJpg: UserDefinedFunction =
-    udf((b: Array[Byte], side: Int, seed: Long) => Kernels.randomCropFlipJpg(b, side, seed))
+    udf((b: Array[Byte], side: Int, seed: Long) =>
+      if (b == null) null else Kernels.randomCropFlipJpg(b, side, seed))
 
   /** Decoded-pixel checksum (test/verification helper — SURVEY §5 hazard 4). */
-  val pixelChecksum: UserDefinedFunction = udf((b: Array[Byte]) => Kernels.decodedPixelChecksum(b))
+  val pixelChecksum: UserDefinedFunction =
+    udf((b: Array[Byte]) =>
+      if (b == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(Kernels.decodedPixelChecksum(b)))
 
   /** I6 model-as-UDF: decode → featurize → score → `[prediction, json]`,
     * the reference's `mlflow.pyfunc.spark_udf` contract
     * (`03. Inference.py:28,86`). The model instance rides the closure once
     * per task, not per row. */
   def scoringUdf(model: ScoringModel): UserDefinedFunction =
-    udf((b: Array[Byte]) => model.predict(Kernels.normalizedFeatures(b)))
+    udf((b: Array[Byte]) => if (b == null) null else model.predict(Kernels.normalizedFeatures(b)))
 
   /** Convenience: apply scoring to a content column. */
   def score(model: ScoringModel)(content: Column): Column = scoringUdf(model)(content)

@@ -50,10 +50,19 @@ object Kernels {
     }
 
   /** I1: decode + size — the reference's `Image.open(BytesIO(content)).size`
-    * (`01. Ingest.py:54-62`). */
+    * (`01. Ingest.py:54-62`). Like PIL's lazy open, this parses only the
+    * image HEADER via an ImageReader — a full `ImageIO.read` would decode
+    * every pixel just to report dimensions (~10-100x the work, paid per row
+    * of the ingest scan). */
   def size(bytes: Array[Byte]): (Int, Int) = {
-    val img = decode(bytes)
-    (img.getWidth, img.getHeight)
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "undecodable image payload")
+      val r = readers.next()
+      try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+      finally r.dispose()
+    } finally iis.close()
   }
 
   /** I3: grayscale conversion + PNG encode — `convert('L')` + `save(format=
@@ -91,23 +100,23 @@ object Kernels {
     * inside the consuming operator only — never persisted (§4 design rule). */
   def normalizedFeatures(bytes: Array[Byte], w: Int = 224, h: Int = 224): Array[Float] = {
     val img = resize(decode(bytes), w, h)
-    val out = new Array[Float](w * h * 3)
-    var y   = 0
-    var i   = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val r   = ((rgb >> 16) & 0xff) / 255.0f
-        val gC  = ((rgb >> 8) & 0xff) / 255.0f
-        val b   = (rgb & 0xff) / 255.0f
-        out(i) = (r - ImageNetMean(0)) / ImageNetStd(0)
-        out(i + 1) = (gC - ImageNetMean(1)) / ImageNetStd(1)
-        out(i + 2) = (b - ImageNetMean(2)) / ImageNetStd(2)
-        i += 3
-        x += 1
-      }
-      y += 1
+    // bulk getRGB: one array fetch instead of w*h per-pixel calls (each of
+    // which pays ColorModel conversion + bounds checks) — this sits inside
+    // the per-row inference hot loop
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+    val out  = new Array[Float](w * h * 3)
+    var p = 0
+    var i = 0
+    while (p < rgbs.length) {
+      val rgb = rgbs(p)
+      val r   = ((rgb >> 16) & 0xff) / 255.0f
+      val gC  = ((rgb >> 8) & 0xff) / 255.0f
+      val b   = (rgb & 0xff) / 255.0f
+      out(i) = (r - ImageNetMean(0)) / ImageNetStd(0)
+      out(i + 1) = (gC - ImageNetMean(1)) / ImageNetStd(1)
+      out(i + 2) = (b - ImageNetMean(2)) / ImageNetStd(2)
+      i += 3
+      p += 1
     }
     out
   }
@@ -158,16 +167,14 @@ object Kernels {
     * image results without depending on encoder byte-stability (SURVEY.md §5
     * hazard 4: assert on decoded pixels, never encoded bytes). */
   def decodedPixelChecksum(bytes: Array[Byte]): Long = {
-    val img = decode(bytes)
+    val img  = decode(bytes)
+    val w    = img.getWidth
+    val rgbs = img.getRGB(0, 0, w, img.getHeight, null, 0, w) // bulk fetch, row-major
     var acc = 1469598103934665603L // FNV offset
-    var y   = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        acc = (acc ^ (img.getRGB(x, y) & 0xffffff)) * 1099511628211L
-        x += 1
-      }
-      y += 1
+    var p   = 0
+    while (p < rgbs.length) {
+      acc = (acc ^ (rgbs(p) & 0xffffff)) * 1099511628211L
+      p += 1
     }
     acc
   }

@@ -34,19 +34,37 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup groups: sha256 content hash → (keep_id = min id, count).
-    * Only (hash, id) flows through the shuffle. */
+    * Only (hash, id) flows through the shuffle. Null-text rows are excluded
+    * — a null can't duplicate anything, and sha2(null) = null would
+    * otherwise collapse every missing-text row into ONE group (silently
+    * "deduplicating" unrelated rows; same null discipline as the
+    * MinHash/SimHash generators). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .where(col("content_hash").isNotNull)
       .groupBy("content_hash")
       // keep_id keeps the id column's own type (string ids stay strings —
       // a long cast would NULL them and silently drop every row downstream)
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dup"))
 
-  /** Keep exactly one row (the min-id one) per distinct text. */
-  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.join(
-      exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol)),
-      Seq(idCol))
+  /** Keep exactly one row (the min-id one) per distinct text; null-text
+    * rows pass through untouched.
+    *
+    * Plan shape (100 TB): compute the DROP set — ids that lost their hash
+    * group, bounded by the duplicate count — in one (hash, id) window pass,
+    * then left-anti it against the corpus. The previous inner-join-on-
+    * keep-ids formulation shuffled a corpus-sized key set; the drop set is
+    * usually tiny and AQE broadcasts the anti join. Payloads never shuffle
+    * either way. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toDrop = df.select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .where(col("content_hash").isNotNull)
+      .withColumn("__keep", min(idCol).over(Window.partitionBy("content_hash")))
+      .where(col(idCol) =!= col("__keep"))
+      .select(idCol)
+    df.join(toDrop, Seq(idCol), "left_anti")
+  }
 
   // ---------------------------------------------------------- shingling
 
@@ -168,15 +186,21 @@ object Dedup {
 
   /** Estimated Jaccard similarity = fraction of agreeing signature slots.
     * Composable Catalyst form; [[estimatedJaccardNative]] is the codegen
-    * expression used on the per-pair hot path. Empty signatures estimate
-    * 0.0 (matching the native expression — a bare divide would yield null
-    * and silently change filter semantics between the two forms). */
+    * expression used on the per-pair hot path. Value-identical edge
+    * contract: either side empty (the MinHashUnion zero of an all-null
+    * group) → 0.0; mismatched non-empty lengths → runtime error (zip_with
+    * would silently null-pad and return a plausible-looking number for
+    * signatures from different numHashes configs). */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
-    when(size(sigA) === 0, lit(0.0)).otherwise(
-      aggregate(
-        zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0),
-        (acc, x) => acc + x).cast("double") / size(sigA).cast("double"))
+    when(size(sigA) === 0 || size(sigB) === 0, lit(0.0))
+      .when(size(sigA) =!= size(sigB),
+        raise_error(concat(lit("estimatedJaccard: mismatched signature lengths "),
+          size(sigA).cast("string"), lit(" vs "), size(sigB).cast("string"))).cast("double"))
+      .otherwise(
+        aggregate(
+          zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, x) => acc + x).cast("double") / size(sigA).cast("double"))
 
   /** Native-expression form of [[estimatedJaccard]]
     * (see [[graft.plans.MinHashAgreement]]) — identical values, primitive
@@ -244,7 +268,13 @@ object Dedup {
     * rows sharing any band bucket meet in a self-equi-join on band_key.
     * At 100 TB the band join is the classic LSH plan: bucket sizes stay
     * small for reasonable (bands, rowsPerBand), and AQE handles stragglers
-    * from pathological buckets. Evaluates eagerly (see [[withSigsCache]]). */
+    * from pathological buckets. Evaluates eagerly (see [[withSigsCache]]).
+    *
+    * Requires the `GraftExtensions` session extension (the per-pair Jaccard
+    * estimate runs through the native `graft_minhash_est` expression);
+    * `GraftSession.configure` registers it — a bare SparkSession fails at
+    * analysis with an unresolved-function error. Same requirement for
+    * [[dropNearDuplicates]] / [[dropNearDuplicatesTransitive]]. */
   def minHashCandidatePairs(
       df: DataFrame,
       textCol: String,
@@ -340,8 +370,9 @@ object Dedup {
     * exact 16-bit block — pigeonhole), then filter on true distance.
     * `maxHamming` is capped at 3: beyond that the 4-block scheme can no
     * longer guarantee candidate recall, so larger radii are rejected rather
-    * than silently under-reporting. The (id, hash) projection stays cached
-    * for the session (it feeds both blocking and re-attach). */
+    * than silently under-reporting. The (id, hash) projection is cached for
+    * the duration of the pair build and released before returning
+    * ([[withSigsCache]] — it feeds blocking plus both re-attach joins). */
   def simHashCandidatePairs(
       df: DataFrame,
       textCol: String,
@@ -551,10 +582,11 @@ object Dedup {
     set
   }
 
-  /** Exact n-gram Jaccard verification of candidate pairs: re-attach the
-    * raw texts by id join (payload never rides through the LSH shuffle)
-    * and compute the true Jaccard in the JVM kernel. Typical use: filter
-    * `minHashCandidatePairs` output to confirmed near-duplicates. */
+  /** Exact n-gram Jaccard verification of candidate pairs: re-attach each
+    * candidate doc's PRE-COMPUTED shingle set by id join (payload never
+    * rides through the LSH shuffle) and intersect the sets in the JVM
+    * kernel. Typical use: filter `minHashCandidatePairs` output to
+    * confirmed near-duplicates. */
   def verifyPairsExactJaccard(
       pairs: DataFrame, // (id_a, id_b, …)
       df: DataFrame,
@@ -562,20 +594,50 @@ object Dedup {
       idCol: String,
       shingleN: Int = 3): DataFrame = {
     // Only docs that actually appear in a candidate pair are re-attached:
-    // the semi-join filter runs BEFORE the text projection, so
+    // the semi-join filter runs BEFORE the shingle projection, so
     // non-candidate docs never feed the pair join. (At 100 TB this is the
     // difference between shipping the corpus twice and shipping only the
-    // near-dup suspects.)
+    // near-dup suspects.) Shingling happens ONCE PER DOC in that projection
+    // — a per-pair text kernel would re-tokenize a hot document (boilerplate
+    // appearing in k pairs) k times, exactly where near-dup corpora are
+    // most expensive.
     val candidateIds = pairs.select(col("id_a").as("__cid"))
       .unionAll(pairs.select(col("id_b").as("__cid")))
       .distinct()
+    val shingleArr = udf((t: String) => {
+      if (t == null) null
+      else {
+        val s   = shingleSetKernel(t, shingleN)
+        val out = new Array[String](s.size)
+        s.toArray(out)
+        out
+      }
+    })
     val texts = df
       .join(candidateIds, df(idCol) === col("__cid"), "left_semi")
-      .select(col(idCol).as("id"), col(textCol).as("txt"))
+      .select(col(idCol).as("id"), shingleArr(col(textCol)).as("sh"))
     pairs
-      .join(texts.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
-      .join(texts.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
+      .join(texts.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccardTextUdf(shingleN)(col("txt_a"), col("txt_b")).as("jaccard"))
+        jaccardSetsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
   }
+
+  /** Set-Jaccard over two pre-shingled arrays — value-identical to
+    * [[jaccardTextUdf]] on the originating texts (same distinct sets, same
+    * division; both-empty → 0.0; null propagates). */
+  private val jaccardSetsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[String], b: Seq[String]) => {
+      if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val sa = new java.util.HashSet[String](a.size * 2)
+        a.foreach(sa.add)
+        var inter = 0
+        b.foreach(s => if (sa.contains(s)) inter += 1)
+        val uni = sa.size + b.size - inter
+        // b is a set by construction (distinct shingles), so b.size is its
+        // cardinality and the union arithmetic is exact
+        java.lang.Double.valueOf(if (uni == 0) 0.0 else inter.toDouble / uni)
+      }
+    })
 }

@@ -33,15 +33,19 @@ case class MinHashAgreement(left: Expression, right: Expression)
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
+  // An EMPTY sketch is legitimate — MinHashUnion.zero for a group whose
+  // texts are all null — and an empty set's Jaccard estimate against
+  // anything is 0.0, so either-side-empty short-circuits BEFORE the length
+  // fail-fast (which still guards genuinely mixed numHashes configs).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements())
+    if (x.numElements() == 0 || y.numElements() == 0) 0.0
+    else if (x.numElements() != y.numElements())
       throw new IllegalArgumentException(
         s"$prettyName: mismatched signature lengths ${x.numElements()} vs ${y.numElements()}")
-    val n = x.numElements()
-    if (n == 0) 0.0
     else {
+      val n     = x.numElements()
       var agree = 0
       var i     = 0
       while (i < n) {
@@ -58,16 +62,19 @@ case class MinHashAgreement(left: Expression, right: Expression)
       val i     = ctx.freshName("i")
       val agree = ctx.freshName("agree")
       s"""
-         |if ($x.numElements() != $y.numElements()) {
+         |if ($x.numElements() == 0 || $y.numElements() == 0) {
+         |  ${ev.value} = 0.0;
+         |} else if ($x.numElements() != $y.numElements()) {
          |  throw new IllegalArgumentException("graft_minhash_est: mismatched signature lengths " +
          |    $x.numElements() + " vs " + $y.numElements());
+         |} else {
+         |  int $n = $x.numElements();
+         |  int $agree = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.getLong($i) == $y.getLong($i)) $agree++;
+         |  }
+         |  ${ev.value} = ((double) $agree) / $n;
          |}
-         |int $n = $x.numElements();
-         |int $agree = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.getLong($i) == $y.getLong($i)) $agree++;
-         |}
-         |${ev.value} = $n == 0 ? 0.0 : ((double) $agree) / $n;
        """.stripMargin
     })
 

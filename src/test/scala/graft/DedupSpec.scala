@@ -24,6 +24,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropExactDuplicates(once, "text", "doc_id").count() == 2)
   }
 
+  test("null-text rows are never merged as duplicates of each other") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Option.empty[String]), (3L, Option.empty[String]),
+      (4L, Some("a"))).toDF("doc_id", "text")
+    // sha2(null)=null would otherwise collapse rows 2 and 3 into one group
+    val groups = Dedup.exactGroups(df, "text", "doc_id").collect()
+    assert(groups.length == 1 && groups.head.getLong(2) == 2L, "only the 'a' group exists")
+    val kept = Dedup.dropExactDuplicates(df, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L), s"both null-text rows must survive, got $kept")
+  }
+
   test("minHash LSH surfaces a planted near-duplicate pair") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = (1 to 38).map(i => s"tok$i").mkString(" ") + " other1 other2"

@@ -1,6 +1,6 @@
 package graft
 
-import graft.image.{ImageFixtures, Kernels, LinearScoringModel}
+import graft.image.{ImageFixtures, ImageUdfs, Kernels, LinearScoringModel}
 import java.awt.image.BufferedImage
 import java.io.ByteArrayOutputStream
 import javax.imageio.ImageIO
@@ -64,5 +64,16 @@ class ImageKernelsSpec extends SparkSpec {
     assert(out(1).startsWith("{") && ImageFixtures.Classes.forall(c => out(1).contains(s""""$c"""")))
     // deterministic
     assert(model.predict(Kernels.normalizedFeatures(jpeg(12, 12), 8, 8)).sameElements(out))
+  }
+
+  test("image UDFs null-propagate (left-outer re-attach yields null content)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Array[Byte]])).toDF("id", "content")
+    val row = df.select(
+      ImageUdfs.imageSize(col("content")).as("s"),
+      ImageUdfs.grayscalePng(col("content")).as("g"),
+      ImageUdfs.pixelChecksum(col("content")).as("c")).head()
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
   }
 }
