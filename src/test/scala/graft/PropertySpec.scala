@@ -92,4 +92,44 @@ class PropertySpec extends SparkSpec {
       assert(left.join(right, Seq("k"), "left_outer").count() == left.count())
     }
   }
+
+  test("property: mergeUpsert output keys = target ∪ source; unmatched rows unchanged") {
+    import graft.tables.TableManager
+    import spark.implicits._
+    val kvGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 30L), Gen.choose(-1e4, 1e4)))
+      .map(_.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toSeq) // unique keys
+    samples(Gen.zip(kvGen, kvGen), 6).foreach { case (t, s) =>
+      val target = t.toDF("id", "bal")
+      val source = s.toDF("id", "bal")
+      val out = TableManager.mergeUpsert(target, source, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val tM = t.toMap; val sM = s.toMap
+      assert(out.keySet == tM.keySet ++ sM.keySet)
+      out.foreach { case (k, v) =>
+        // matched/inserted keys carry the source value; the rest keep target
+        assert(v == sM.getOrElse(k, tM(k)), s"key $k: got $v")
+      }
+    }
+  }
+
+  test("property: asofJoin value equals the brute-force latest-at-or-before lookup") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 100L)))
+    samples(Gen.zip(evGen, evGen), 5).foreach { case (l, r) =>
+      val left  = l.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("row_id", "k", "t")
+      // unique (k, ts) on the right, per the operator contract
+      val rDistinct = r.distinct.map { case (k, ts) => (k, ts, k * 1000.0 + ts) }
+      val right = rDistinct.toDF("k", "t", "v")
+      val out = Relational.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+        .collect().map(row => (row.getLong(row.fieldIndex("row_id")),
+          if (row.isNullAt(row.fieldIndex("asof_v"))) None
+          else Some(row.getDouble(row.fieldIndex("asof_v"))))).toMap
+      l.zipWithIndex.foreach { case ((k, ts), i) =>
+        val expect = rDistinct.filter(e => e._1 == k && e._2 <= ts)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(out(i.toLong) == expect, s"row $i key $k ts $ts")
+      }
+    }
+  }
 }
