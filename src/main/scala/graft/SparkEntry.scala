@@ -855,6 +855,41 @@ object SparkEntry {
           instr(col("text"), "data").cast("long").as("pos_data"))
         .orderBy("doc_id")),
 
+    // -- null-handling function family (coalesce/nullif/greatest/least) ----
+    "q_null_funcs" -> ((s, d) =>
+      t(s, d, "customer").select(
+          col("c_custkey"),
+          coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("OTHER")).as("seg2"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+          least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+        .orderBy("c_custkey")),
+
+    // -- MapType function family over parsed JSON (keys/lookup/cardinality);
+    // keys rendered to a string — array-valued output columns don't survive
+    // the driver's value compare
+    "q_map_funcs" -> ((s, d) => {
+      val m = from_json(col("props"), MapType(StringType, LongType))
+      t(s, d, "events")
+        .where(m.isNotNull)
+        .select(col("event_id"),
+          concat_ws(",", map_keys(m)).as("keys"),
+          element_at(m, "k").as("val_k"),
+          size(m).cast("long").as("n_entries"))
+        .orderBy("event_id")
+    }),
+
+    // -- value-based RANGE window frames (vs q_window_frame's ROWS) --------
+    "q_window_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderkey"))
+        .rangeBetween(-100, Window.currentRow)
+      t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          count(lit(1)).over(w).as("n_nearby"),
+          sum(col("o_totalprice").cast(Dec)).over(w).cast(Dec).cast("double").as("sum_nearby"))
+        .orderBy("o_orderkey")
+    }),
+
     // -- north-star: group-level MinHash (the UDAF) — pairwise est. --------
     // Jaccard between whole SOURCES' shingle-set unions: per-row signatures
     // map-side, one distributive aggregation (partial min merge like sum),
@@ -1354,6 +1389,27 @@ object SparkEntry {
         "GROUP BY 1 ORDER BY bin"),
 
     "q_lang_id" -> langIdOracleSql,
+
+    "q_null_funcs" ->
+      ("SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2, " +
+        "greatest(c_acctbal, 0.0) AS bal_pos, least(c_acctbal, 1000.0) AS bal_cap " +
+        "FROM customer ORDER BY c_custkey"),
+
+    "q_map_funcs" ->
+      ("SELECT event_id, " +
+        "array_to_string(map_keys(CAST(props AS JSON)::MAP(VARCHAR, BIGINT)), ',') AS keys, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS val_k, " +
+        "CAST(cardinality(CAST(props AS JSON)::MAP(VARCHAR, BIGINT)) AS BIGINT) AS n_entries " +
+        "FROM events WHERE json_valid(props) ORDER BY event_id"),
+
+    "q_window_range" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey " +
+        "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_nearby, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) OVER " +
+        "(PARTITION BY o_orderstatus ORDER BY o_orderkey " +
+        "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS sum_nearby " +
+        "FROM orders ORDER BY o_orderkey"),
 
     "q_session_window" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
