@@ -16,6 +16,10 @@ run / fork := true
 // parse Bench's single JSON output line (BENCH_r01.json: "parsed": null).
 outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// The bench driver keeps only the last ~2000 chars of output and parses a
+// JSON line from that window: sbt's "[success] Total time ..." trailer
+// would otherwise sit between Bench's final JSON line and the window edge.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,8 +31,6 @@ object Bench {
       // a failed query must not read as a fast success: report -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // failures keep their -1 sentinel per-query but must not subtract from
     // the headline total (a broken query would read as a speedup)
     val total   = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -43,7 +41,24 @@ object Bench {
     val baselineOps = Seq("q_scan_project", "q_regexp_extract", "q_distinct_labels",
       "q_count_distinct", "q_join_leftouter", "q_group_agg", "q_topk", "q_random_split")
     val baseTotal = results.collect { case (k, v) if baselineOps.contains(k) && v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"baseline_ops_total":$baseTotal,"queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    def r2d(v: Double) = math.rint(v * 100) / 100
+    def line(vals: Seq[(String, Double)], tot: Double, base: Double) = {
+      val qs = vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$tot,"unit":"sec","failed":$nFailed,"baseline_ops_total":$base,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full-precision line for human reading, then — as the VERY LAST line of
+    // the run — a compact 2-decimal duplicate. The driver keeps only the
+    // final ~2000 chars of output and JSON-parses a line inside that window:
+    // in r1 the line was "[info] "-prefixed (fixed via StdoutOutput), in r2
+    // the full-precision line was ~4.5 KB and its head fell outside the
+    // window, so both rounds recorded parsed:null. The compact line is
+    // ~1.9 KB and nothing prints after it (spark.stop() runs first;
+    // build.sbt sets Global/showSuccess := false to drop sbt's trailer).
+    val verbose = line(results, total, baseTotal)
+    val compact = line(results.map { case (k, v) => k -> r2d(v) }, r3(total), r3(baseTotal))
     spark.stop()
+    println(verbose)
+    println(compact)
   }
 }

@@ -634,9 +634,18 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")),
 
     // -- north-star: end-to-end near-dedup (candidates → confirm → drop) --
+    // Word BIGRAM shingles: at this corpus's ~30-word vocabulary, unigram
+    // token sets make nearly every doc pair resemble every other (30k+ true
+    // pairs at sf0.01 — candidate recall through capped LSH buckets is then
+    // structurally impossible), while bigrams isolate the generator's
+    // planted near-dup pairs. Oracle-checked against brute-force all-pairs
+    // exact Jaccard in DuckDB — the LSH path must achieve full recall on
+    // the >= 0.8 pairs for the hash to match (bands=16, r=4: per-pair miss
+    // probability <= (1-0.8^4)^16 ≈ 2e-4, and the hash family is fixed-seed
+    // deterministic, so a green run stays green).
     "q_dedup_near_drop" -> ((s, d) =>
       Dedup.dropNearDuplicates(t(s, d, "documents"), "text", "doc_id",
-          shingleN = 1, minJaccard = 0.8)
+          shingleN = 2, minJaccard = 0.8)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
@@ -1110,6 +1119,25 @@ object SparkEntry {
       ("SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(levenshtein(a.source, b.source) AS BIGINT) AS edit_dist " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    // Brute-force ground truth for the LSH near-dedup: all-pairs exact
+    // word-BIGRAM Jaccard >= 0.8, drop the larger id of every qualifying
+    // pair (the one-pass keep-first rule of Dedup.dropNearDuplicates).
+    // Shingle construction mirrors Dedup.shingleSetKernel(n=2) exactly:
+    // Spark-split token list (trailing empties kept), positions
+    // 1..greatest(len-1,1), final shingle truncated for 1-token texts,
+    // then distinct. Null-text docs pair with nothing and survive.
+    "q_dedup_near_drop" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1,1)+1), " +
+        "i -> array_to_string(tk[i:least(i+1, len(tk))], ' '))) AS ts FROM toks), " +
+        "drops AS (SELECT DISTINCT b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE (CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS DOUBLE)) >= 0.8) " +
+        "SELECT d.doc_id, d.lang FROM documents d " +
+        "WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id_b = d.doc_id) " +
+        "ORDER BY d.doc_id"),
 
     "q_explode_tokens" ->
       (s"SELECT token, COUNT(*) AS n FROM " +
