@@ -23,6 +23,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Build-once IVF index shared by `q_ivf_build` (always rebuilds — its
+    * bench line IS the build cost) and `q_similarity_ivf` (probe-only when
+    * the index exists). Disk state is validated against the live table's
+    * row count, so a stale index from a regenerated dataset rebuilds
+    * instead of serving wrong cells. */
+  private val ivfMemo = scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]()
+
+  private def ivfIndexPath(dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf$tag"
+  }
+
+  private def ensureIvfIndex(s: SparkSession, dir: String): (String, Array[Array[Float]]) = {
+    val path = ivfIndexPath(dir)
+    val cent = ivfMemo.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      Similarity.loadIvfCentroids(s, path, expectRows = Some(emb.count()))
+        .getOrElse(Similarity.buildIvfIndex(emb, "embedding", "vec_id", k = 8, path))
+    })
+    (path, cent)
+  }
+
   private val Dec = "decimal(38,4)"
 
   /** Exact decimal sum, then DOUBLE for the output column. DECIMAL(38,4)
@@ -704,13 +726,28 @@ object SparkEntry {
         .orderBy("modality", "media_id")
     }),
 
-    // -- north-star: IVF ANN with learned (k-means) centroids -------------
+    // -- north-star: IVF index build (fit + partitioned write) ------------
+    // Deliberately rebuilds every call: its bench line is the honest
+    // build cost, separated from the probe (`q_similarity_ivf`) the way a
+    // real deployment amortizes it. Returns the per-cell histogram.
+    "q_ivf_build" -> ((s, d) => {
+      val emb  = t(s, d, "embeddings")
+      val path = ivfIndexPath(d)
+      val cent = Similarity.buildIvfIndex(emb, "embedding", "vec_id", k = 8, path)
+      ivfMemo.put(d, cent)
+      s.read.parquet(path)
+        .groupBy("ivf_cell").agg(count(lit(1)).as("n"))
+        .orderBy("ivf_cell")
+    }),
+
+    // -- north-star: IVF ANN probe over the persisted index ---------------
+    // Partition-pruned read: only the 3 probed cells' directories are
+    // scanned (PlansSpec asserts the selected-partition count).
     "q_similarity_ivf" -> ((s, d) => {
-      val emb       = t(s, d, "embeddings")
-      val q         = emb.where(col("vec_id") === 0).select("embedding")
+      val (path, centroids) = ensureIvfIndex(s, d)
+      val q = t(s, d, "embeddings").where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val centroids = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
-      Similarity.annIvfTopK(emb, "embedding", "vec_id", q, centroids, k = 20, nProbes = 3)
+      Similarity.probeIvfIndex(s, path, "vec_id", "embedding", q, centroids, k = 20, nProbes = 3)
     }),
 
     // -- S2+I1+A4 image ingest: binaryFile scan → label → size → index -----

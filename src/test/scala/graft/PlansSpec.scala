@@ -129,6 +129,32 @@ class PlansSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("persisted IVF index: probe scans only the probed cells' partitions") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb  = Tables.load(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString + "/idx"
+    val centroids = Similarity.buildIvfIndex(emb, "embedding", "vec_id", k = 8, path)
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val probe = Similarity.probeIvfIndex(spark, path, "vec_id", "embedding", q, centroids,
+      k = 10, nProbes = 3)
+    val scan = probe.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }
+    assert(scan.nonEmpty, "expected a file scan in the probe plan")
+    // partition pruning is THE point of the persisted index: the pruned scan
+    // must select exactly the probed cells' directories, not the whole table
+    val selected = scan.map(_.selectedPartitions.partitionCount).sum
+    assert(selected == 3, s"probe must read exactly nProbes=3 partitions, read $selected")
+    assert(probe.count() == 10)
+    // stale-index guard: a row-count mismatch refuses the persisted centroids
+    assert(Similarity.loadIvfCentroids(spark, path, Some(emb.count())).isDefined)
+    assert(Similarity.loadIvfCentroids(spark, path, Some(emb.count() + 1)).isEmpty)
+    // probe results match the direct (unpersisted) IVF path on the same centroids
+    val direct = Similarity.annIvfTopK(emb, "embedding", "vec_id", q, centroids,
+      k = 10, nProbes = 3).collect()
+    assert(probe.collect().toSeq == direct.toSeq)
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact") {
     val ev = Tables.load(spark, sfDir, "events")
     val row = ev.agg(
