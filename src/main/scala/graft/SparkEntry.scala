@@ -750,6 +750,20 @@ object SparkEntry {
       Similarity.probeIvfIndex(s, path, "vec_id", "embedding", q, centroids, k = 20, nProbes = 3)
     }),
 
+    // -- S1 image source: spark-mllib ImageFileFormat nested struct --------
+    // (rows-only: the image struct's decode metadata has no SQL oracle; the
+    //  decoded dims are cross-checked against the binary pipeline's header
+    //  kernel in ImagePipelineSpec — 00. Explore.py:45)
+    "q_image_source" -> ((s, _) => {
+      val dir = ImageFixtures.shared()
+      ImagePipeline.readImageSource(s, dir)
+        .select(
+          regexp_extract(col("image.origin"), "(flower_photos/.*)$", 1).as("rel_path"),
+          col("image.width").as("width"), col("image.height").as("height"),
+          col("image.nChannels").as("n_channels"))
+        .orderBy("rel_path")
+    }),
+
     // -- S2+I1+A4 image ingest: binaryFile scan → label → size → index -----
     // (binary pipeline; self-checked in ImagePipelineSpec — no SQL oracle)
     "q_image_size" -> ((s, _) => {

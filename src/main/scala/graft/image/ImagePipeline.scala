@@ -44,16 +44,35 @@ object ImagePipeline {
     StructField("grayscale_image", BinaryType),
     StructField("grayscale_format", StringType)))
 
+  /** Deterministic staging dir per source dir (repeat ingests overwrite in
+    * place instead of accumulating temp dirs). */
+  private def defaultStageDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ingest${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   /** Full ingest: returns
     * `(path, modificationTime, length, content, label, size{width,height},
-    *   label_index, grayscale_image, grayscale_format)`. */
-  def ingest(spark: SparkSession, dir: String): DataFrame = {
+    *   label_index, grayscale_image, grayscale_format)`.
+    *
+    * The result is STAGED — written once as uncompressed parquet under
+    * `stageDir` and read back — mirroring the reference's own
+    * materialize-then-train shape (`01. Ingest.py:176-183`). The earlier
+    * `localCheckpoint(true)` form pinned a corpus-sized unreplicated copy
+    * (payload included) in executor block storage: one executor loss
+    * invalidated the frame with no recomputation path, and nothing could
+    * evict it. A staged table is the 100 TB-safe materialization — durable,
+    * rescannable, droppable — and releasing the scan cache here still
+    * happens after one single scan+decode pass. */
+  def ingest(spark: SparkSession, dir: String): DataFrame =
+    ingest(spark, dir, defaultStageDir(dir))
+
+  def ingest(spark: SparkSession, dir: String, stageDir: String): DataFrame = {
     val labeled = readBinaryImages(spark, dir)
       .withColumn("label", regexp_extract(col("path"), "flower_photos/label=([^/]+)/", 1))
       .withColumn("size", ImageUdfs.imageSize(col("content")))
       // The grouped-map side of the self-join below would otherwise re-scan
       // and re-decode every image; at the 100 TB design point that doubles
-      // the dominant I/O+decode cost, so the scan is cached (spills to disk).
+      // the dominant I/O+decode cost, so the scan is cached (spills to disk)
+      // for the duration of the staging write, then released.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = Relational.withDictIndex(labeled, "label", "label_index")
 
@@ -66,15 +85,17 @@ object ImagePipeline {
       }
     }
 
-    // J1: left-outer re-attach by unique key (01. Ingest.py:129). The result
-    // is materialized eagerly so the scan cache can be released here — a
-    // bare return would leak the pinned image payloads for the session
-    // lifetime (no unpersist handle reaches the caller); the checkpoint
-    // blocks are reclaimed by the ContextCleaner once the frame is
-    // unreachable (same scoping pattern as Dedup.withSigsCache).
-    val result = indexed.join(gray, Seq("path"), "left_outer").localCheckpoint(true)
-    labeled.unpersist(false)
-    result
+    // J1: left-outer re-attach by unique key (01. Ingest.py:129), staged so
+    // the scan cache can be released here without leaking pinned payloads.
+    // Uncompressed codec: payloads are already-compressed JPEG/PNG bytes —
+    // recompressing burns CPU for ~0 ratio (same rationale as trainingPrep).
+    try {
+      graft.tables.TableManager.withParquetCodec(spark, "uncompressed") {
+        indexed.join(gray, Seq("path"), "left_outer")
+          .write.mode("overwrite").parquet(stageDir)
+      }
+    } finally labeled.unpersist(false)
+    spark.read.parquet(stageDir)
   }
 
   /** The training-prep shape (`02.a …:74-97`): project to (content,

@@ -48,12 +48,62 @@ trait ScoringModel extends Serializable {
   }
 }
 
+/** Model registry surface (the reference's MLflow load-by-URI shape,
+  * `03. Inference.py:24-28`, `02.a …:241-253`): persist a model under a
+  * path, load it back eagerly on the driver, or hand executors a lazy
+  * reference that materializes once per JVM ([[ScoringModel.lazyRef]] —
+  * the per-worker load of `02.b …:311-318`).
+  *
+  * Storage is a 3-line text artifact via Hadoop FS (works on file://, HDFS,
+  * S3): format tag, seed, URL-encoded class names. A [[LinearScoringModel]]
+  * is fully determined by (classes, seed) — weights re-derive on load. */
+object ScoringModel {
+
+  private val FormatTag = "graft-linear-v1"
+
+  def save(model: LinearScoringModel, path: String,
+      conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): Unit = {
+    val enc = model.classes.map(c =>
+      java.net.URLEncoder.encode(c, java.nio.charset.StandardCharsets.UTF_8))
+    val body = s"$FormatTag\nseed=${model.seed}\nclasses=${enc.mkString(",")}\n"
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def load(path: String,
+      conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): LinearScoringModel = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val body = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = body.split("\n")
+    require(lines.headOption.contains(FormatTag), s"not a $FormatTag artifact: $path")
+    val fields = lines.tail.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    val classes = fields("classes").split(",").toSeq.map(c =>
+      java.net.URLDecoder.decode(c, java.nio.charset.StandardCharsets.UTF_8))
+    new LinearScoringModel(classes, fields("seed").toLong)
+  }
+
+  /** Executor-side lazy reference: ships only the path; the artifact loads
+    * once per executor JVM on first use (transient lazy val), so a scoring
+    * UDF over 100 TB does one registry read per executor, not per row or
+    * per task. */
+  def lazyRef(path: String): ScoringModel = new ScoringModel {
+    @transient private lazy val inner: LinearScoringModel = load(path)
+    override def classes: Seq[String] = inner.classes
+    override def scores(features: Array[Float]): Array[Double] = inner.scores(features)
+  }
+}
+
 /** Deterministic stand-in model: linear layer over channel statistics with
   * splitmix64-derived fixed weights. No DL runtime exists in this
   * environment (SURVEY.md §1) — this preserves the I6 pipeline shape
   * (decode → featurize → score → [prediction, json]) with reproducible
   * outputs that tests can assert on. */
-final class LinearScoringModel(val classes: Seq[String], seed: Long = 42L) extends ScoringModel {
+final class LinearScoringModel(val classes: Seq[String], val seed: Long = 42L) extends ScoringModel {
 
   private def splitmix64(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L

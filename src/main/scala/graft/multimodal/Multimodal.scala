@@ -15,12 +15,13 @@ import org.apache.spark.sql.types._
   * the TransformSpec surface is `mapPartitions` over rows (SURVEY.md §2h),
   * which amortizes codec/model setup per partition rather than per row.
   *
-  * Decoders: image is real (`javax.imageio`); **audio and video decode are
-  * STUBS** — this container ships no audio/video codec libraries, so
-  * [[decodeAudioStub]] / [[sampleFramesStub]] produce deterministic fakes
-  * from the payload bytes. The Spark-side plumbing (schema, partitioning,
-  * batch iteration, feature shapes) is real and tested; swap the stub for a
-  * JavaCV/ffmpeg binding to productionize.
+  * Decoders: image is real (`javax.imageio`); audio is real for WAV/PCM
+  * (`javax.sound.sampled`, [[decodeWav]]) with a deterministic stub fallback
+  * for compressed codecs the JDK can't parse (MP3/OGG — no such library in
+  * this container); **video decode is a STUB** ([[sampleFramesStub]]
+  * produces deterministic payload slices). The Spark-side plumbing (schema,
+  * partitioning, batch iteration, feature shapes) is real and tested; swap
+  * the stubs for a JavaCV/ffmpeg binding to productionize.
   *
   * 100 TB notes: payload bytes never shuffle — every operator here is a
   * map-side projection; write media tables with
@@ -64,7 +65,12 @@ object Multimodal {
               try { val (w, h) = Kernels.size(content); Row("image/jpeg", w, h, 0L, 0) }
               catch { case _: Exception => Row("application/octet-stream", 0, 0, 0L, 0) }
             case "audio" =>
-              Row("audio/wav", 0, 0, (content.length.toLong * 1000) / 32000, 16000)
+              // real WAV header metadata when the payload parses; the
+              // byte-length heuristic only for non-WAV payloads
+              wavMeta(content) match {
+                case Some((rate, durMs)) => Row("audio/wav", 0, 0, durMs, rate)
+                case None => Row("audio/wav", 0, 0, (content.length.toLong * 1000) / 32000, 16000)
+              }
             case "video" =>
               Row("video/mp4", 320, 240, (content.length.toLong * 1000) / 250000, 0)
             case _ =>
@@ -82,11 +88,84 @@ object Multimodal {
     h & Long.MaxValue
   }
 
+  // ------------------------------------------------------- audio (REAL) --
+
+  /** REAL WAV/PCM decode via the JDK's `javax.sound.sampled` — zero new
+    * dependencies. Returns mono samples in [-1, 1] (channels averaged).
+    * Handles the WAV encodings the JDK parser emits: unsigned 8-bit and
+    * signed 16/24/32-bit, either endianness. Throws on non-WAV or
+    * non-PCM payloads — [[decodeAudio]] wraps with the stub fallback. */
+  def decodeWav(bytes: Array[Byte]): Array[Float] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt      = in.getFormat
+      val bits     = fmt.getSampleSizeInBits
+      val channels = fmt.getChannels
+      val signed   = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+      require(
+        (signed || fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) &&
+          bits % 8 == 0 && bits >= 8 && bits <= 32 && channels >= 1,
+        s"unsupported PCM shape: $fmt")
+      val data       = in.readAllBytes()
+      val bytesPerS  = bits / 8
+      val frameBytes = bytesPerS * channels
+      val nFrames    = data.length / frameBytes
+      val half       = (1L << (bits - 1)).toDouble
+      val out        = new Array[Float](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c   = 0
+        while (c < channels) {
+          val base = f * frameBytes + c * bytesPerS
+          // assemble the sample integer at the format's endianness
+          var v = 0L
+          var b = 0
+          while (b < bytesPerS) {
+            val by = data(base + (if (fmt.isBigEndian) b else bytesPerS - 1 - b)) & 0xffL
+            v = (v << 8) | by
+            b += 1
+          }
+          val s =
+            if (!signed) v - half // WAV 8-bit convention: unsigned, midpoint 2^(bits-1)
+            else { val shift = 64 - bits; (v << shift) >> shift } // sign-extend
+          acc += s / half
+          c += 1
+        }
+        out(f) = (acc / channels).toFloat
+        f += 1
+      }
+      out
+    } finally in.close()
+  }
+
+  /** WAV metadata (sample rate, duration) or None for non-WAV payloads. */
+  def wavMeta(bytes: Array[Byte]): Option[(Int, Long)] =
+    try {
+      import javax.sound.sampled.AudioSystem
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val durationMs = (in.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
+        Some((fmt.getSampleRate.toInt, durationMs))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Audio decode with corpus-grade tolerance: real WAV decode when the
+    * payload parses, deterministic stub otherwise (mirrors the corrupt-row
+    * policy of [[extractFeatures]] — one undecodable file must not fail a
+    * 100 TB job). */
+  def decodeAudio(bytes: Array[Byte]): Array[Float] =
+    if (bytes == null || bytes.isEmpty) new Array[Float](0)
+    else try decodeWav(bytes) catch { case _: Exception => decodeAudioStub(bytes) }
+
   // ------------------------------------------------------------- STUBS --
 
-  /** STUB audio decode: deterministic fake PCM derived from payload bytes
-    * (no audio codec in this environment). Real impl: javax.sound or an
-    * ffmpeg binding. Shape contract (n samples of Float in [-1, 1]) is what
+  /** STUB audio decode: deterministic fake PCM derived from payload bytes —
+    * the fallback for payloads the JDK WAV parser rejects (MP3/OGG/…: no
+    * such codec ships in this container; swap in an ffmpeg binding to
+    * productionize). Shape contract (n samples of Float in [-1, 1]) is what
     * downstream features consume. */
   def decodeAudioStub(bytes: Array[Byte], samples: Int = 1024): Array[Float] = {
     val out = new Array[Float](samples)
@@ -140,7 +219,7 @@ object Multimodal {
             while (i < f.length) { out(i % dim) += f(i) / (f.length / dim.toFloat); i += 1 }
             out
           case "audio" =>
-            val pcm = decodeAudioStub(content)
+            val pcm = decodeAudio(content) // real WAV decode, stub fallback
             val out = new Array[Float](dim)
             var i   = 0
             while (i < pcm.length) { out(i % dim) += math.abs(pcm(i)) / (pcm.length / dim.toFloat); i += 1 }

@@ -48,6 +48,21 @@ class ImagePipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ingest stages to parquet and leaves no blocks pinned in the block manager") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val stage  = Files.createTempDirectory("graft_stage").toString + "/ingested"
+    val out    = ImagePipeline.ingest(spark, fixtureDir, stage)
+    // result is backed by the staged files, not block-manager checkpoint state
+    assert(out.count() == ImageFixtures.Classes.size * 6)
+    assert(spark.read.parquet(stage).count() == out.count())
+    // the scan cache (and any checkpoint blocks — there are none anymore)
+    // must be released before ingest returns: an executor loss must not be
+    // able to invalidate the returned frame, and 100 TB of payload must not
+    // sit pinned in executor storage
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"ingest leaked persistent RDDs: $leaked")
+  }
+
   test("trainingPrep writes split parquet caches with uncompressed codec (S11/S12)") {
     val cache = Files.createTempDirectory("graft_cache").toString
     val (train, va) = ImagePipeline.trainingPrep(
@@ -68,5 +83,28 @@ class ImagePipelineSpec extends SparkSpec {
       assert(ImageFixtures.Classes.contains(r.getString(1)))
       assert(r.getString(2).startsWith("{"))
     }
+  }
+
+  test("ScoringModel save/load round-trips; batchInference scores from a loaded ref") {
+    import graft.image.ScoringModel
+    val model = new LinearScoringModel(List("daisy", "weird/class name+sym", "tulips"), seed = 7L)
+    val path  = Files.createTempDirectory("graft_model").toString + "/model.graft"
+    ScoringModel.save(model, path)
+    val loaded = ScoringModel.load(path)
+    assert(loaded.classes == model.classes && loaded.seed == model.seed)
+    // identical predictions on a probe vector (weights re-derive from seed)
+    val probe = Array.tabulate(48)(i => (i % 7 - 3) / 3.0f)
+    assert(loaded.predict(probe).toSeq == model.predict(probe).toSeq)
+    // the registry shape end-to-end: executors score through a lazy ref that
+    // ships only the path (03. Inference.py:24-28)
+    val viaRef = ImagePipeline.batchInference(
+      ImagePipeline.readBinaryImages(spark, fixtureDir).limit(4), ScoringModel.lazyRef(path))
+    val direct = ImagePipeline.batchInference(
+      ImagePipeline.readBinaryImages(spark, fixtureDir).limit(4), model)
+    assert(viaRef.orderBy("origin").collect().toSeq == direct.orderBy("origin").collect().toSeq)
+    // a corrupted artifact fails loudly, not with a garbage model
+    val bad = Files.createTempDirectory("graft_model_bad").toString + "/model.graft"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), "not-a-model".getBytes)
+    intercept[IllegalArgumentException](ScoringModel.load(bad))
   }
 }

@@ -55,6 +55,72 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** 16-bit mono little-endian WAV with the given samples, via the JDK's
+    * own writer (round-trip independence: writer and [[Multimodal.decodeWav]]
+    * share only the format spec). */
+  private def wavBytes(samples: Array[Short], sampleRate: Float = 16000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt  = new AudioFormat(sampleRate, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte; data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val in  = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeWav recovers known 16-bit PCM samples from a generated WAV") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 100, -1)
+    val decoded = Multimodal.decodeWav(wavBytes(samples))
+    assert(decoded.length == samples.length)
+    decoded.zip(samples).foreach { case (f, s) =>
+      assert(math.abs(f - s / 32768.0f) < 1e-6, s"sample $s decoded as $f")
+    }
+  }
+
+  test("decodeWav averages stereo channels to mono") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt  = new AudioFormat(8000f, 16, 2, true, false)
+    // frames: (L=8192, R=-8192) -> 0; (L=16384, R=16384) -> 0.5
+    val pcm  = Array[Short](8192, -8192, 16384, 16384)
+    val data = new Array[Byte](pcm.length * 2)
+    pcm.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte; data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val in  = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, 2)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    val decoded = Multimodal.decodeWav(out.toByteArray)
+    assert(decoded.length == 2)
+    assert(math.abs(decoded(0)) < 1e-6 && math.abs(decoded(1) - 0.5f) < 1e-6)
+  }
+
+  test("wavMeta reads real sample rate and duration; audio branch uses them") {
+    import spark.implicits._
+    val bytes = wavBytes(new Array[Short](8000), sampleRate = 16000f) // 0.5s of silence
+    assert(Multimodal.wavMeta(bytes).contains((16000, 500L)))
+    val media = Multimodal.fromBinaryFiles(
+      Seq(("mem://a.wav", bytes)).toDF("path", "content"), "audio").select("meta.*").head()
+    assert(media.getString(0) == "audio/wav")
+    assert(media.getLong(3) == 500L && media.getInt(4) == 16000)
+    // non-WAV payloads still fall back to the stub heuristic, not a failure
+    val junk = Multimodal.fromBinaryFiles(
+      Seq(("mem://x.mp3", Array.tabulate[Byte](320)(_.toByte))).toDF("path", "content"),
+      "audio").select("meta.*").head()
+    assert(junk.getString(0) == "audio/wav" && junk.getInt(4) == 16000)
+  }
+
+  test("decodeAudio: real decode for WAV, deterministic stub for junk, empty for null") {
+    val samples = Array[Short](1000, -1000, 2000)
+    val real = Multimodal.decodeAudio(wavBytes(samples))
+    assert(real.length == 3 && math.abs(real(0) - 1000 / 32768.0f) < 1e-6)
+    val junk = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    assert(Multimodal.decodeAudio(junk).sameElements(Multimodal.decodeAudioStub(junk)))
+    assert(Multimodal.decodeAudio(null).isEmpty && Multimodal.decodeAudio(Array[Byte]()).isEmpty)
+  }
+
   test("stub decoders are deterministic") {
     val bytes = Array.tabulate[Byte](300)(i => (i * 7).toByte)
     assert(Multimodal.decodeAudioStub(bytes).sameElements(Multimodal.decodeAudioStub(bytes)))
