@@ -14,20 +14,76 @@ object Relational {
     * Scale design (100 TB): the reference collects the distinct labels to the
     * driver and closes a Python UDF over the dict — a driver round-trip plus
     * a per-row Python hop. Here the distinct aggregation reduces the table to
-    * the (tiny) label set, the rank window runs on that tiny set only (a
-    * single partition of |labels| rows — never a full-table window), and the
-    * re-attach is an explicit broadcast hash join, so the big side is
-    * neither shuffled nor collected.
+    * the label set, and the rank runs on that reduced set only. Two regimes,
+    * picked by the measured dictionary cardinality (one count job over the
+    * already-reduced set):
+    *
+    *  - label-cardinality dictionaries (≤ `twoPhaseThreshold`): rank via a
+    *    single-partition window over the tiny set, re-attach by broadcast
+    *    hash join — the big side neither shuffles nor collects.
+    *  - vocab-sized dictionaries: a single-partition window would serialize
+    *    on one task, so rank goes TWO-PHASE — range-repartition the distinct
+    *    set by label, rank within each partition in parallel, then add
+    *    per-partition offsets (a P-row driver collect). The re-attach is a
+    *    plain shuffle join: a multi-GB dictionary must not broadcast.
     */
-  def withDictIndex(df: DataFrame, labelCol: String, indexCol: String): DataFrame = {
+  def withDictIndex(df: DataFrame, labelCol: String, indexCol: String,
+      maxDictSize: Long = 1000000): DataFrame = {
     val labels = df
       .select(labelCol)
       .where(col(labelCol).isNotNull) // null is not a label; see join below
       .distinct()
       .withColumn(indexCol, (dense_rank().over(Window.orderBy(col(labelCol))) - 1).cast("long"))
+      // Cardinality tripwire (same fail-loud discipline as mergeUpsert's
+      // duplicate-key assertion): the single-partition rank and the
+      // broadcast both assume a label-cardinality dictionary. A vocab-sized
+      // one would silently serialize on one task and then blow the
+      // broadcast — fail with directions instead. Costs nothing: the rank
+      // already evaluated.
+      .withColumn(indexCol,
+        when(col(indexCol) < maxDictSize, col(indexCol))
+          .otherwise(raise_error(lit(s"withDictIndex: dictionary exceeds $maxDictSize " +
+            s"distinct labels — use withDictIndexLarge for vocab-sized dictionaries"))
+            .cast("long")))
     // left-outer: rows with a null label keep their row (null index) rather
     // than silently vanishing through an inner join's null-key non-match
     df.join(broadcast(labels), Seq(labelCol), "left_outer")
+  }
+
+  /** [[withDictIndex]] for vocab-sized dictionaries (beyond broadcast /
+    * single-task-rank range): TWO-PHASE rank — range-repartition the
+    * distinct label set, rank within each partition in parallel, then add
+    * per-partition offsets (a ≤`numParts`-row driver collect; the label
+    * VALUES never reach the driver). The re-attach is a plain shuffle join:
+    * a multi-GB dictionary must not broadcast. The distinct set is cached
+    * for the range-partitioner's sampling pass and the ranked result is
+    * localCheckpointed (dictionary-sized blocks, reclaimed on GC) so the
+    * collected offsets can never disagree with a re-sampled partitioning. */
+  def withDictIndexLarge(df: DataFrame, labelCol: String, indexCol: String,
+      numParts: Int = 256): DataFrame = {
+    val labels = df
+      .select(labelCol)
+      .where(col(labelCol).isNotNull)
+      .distinct()
+      .persist() // one distinct computation feeds both the sampling + shuffle passes
+    val local = labels
+      .repartitionByRange(numParts, col(labelCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__li", (row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col(labelCol))) - 1).cast("long"))
+      .localCheckpoint()
+    labels.unpersist(false) // the checkpoint cut the lineage
+    val counts = local.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .orderBy("__pid").collect() // ≤ numParts rows — driver-safe
+    // offset(pid) = labels in lexicographically-earlier partitions
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = r.getInt(0) -> acc; acc += r.getLong(1); o
+    }.toMap
+    val ranked = local
+      .withColumn(indexCol, col("__li") + element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid", "__li")
+    df.join(ranked, Seq(labelCol), "left_outer")
   }
 
   /** Top-k by explicit order. Plans as TakeOrderedAndProject: per-partition

@@ -182,21 +182,25 @@ object Stateful {
             val closed    = segments.init.map(s => Session(userId, s.head.ts, s.last.ts, s.size.toLong))
             val lastMs    = segments.last.last.ts / 1000000L
             val horizonMs = lastMs + gapMs
-            if (horizonMs <= state.getCurrentWatermarkMs()) {
-              // the open session's gap horizon already lies at/behind the
-              // watermark: no in-watermark event can ever extend it (an
-              // extender would be dropped as late), so emit it NOW — a
-              // deferred timeout only fires after the watermark advances
-              // again, which never happens on a source that goes idle
+            val wmMs      = state.getCurrentWatermarkMs()
+            // STRICTLY behind the watermark: an extender needs
+            // e.ts <= last + gap, i.e. e_ms <= horizonMs < wmMs — late,
+            // dropped, so nothing admissible can extend the session
+            if (horizonMs < wmMs) {
+              // emit NOW — a deferred timeout only fires after the watermark
+              // advances again, which never happens on a source that goes idle
               val open = segments.last
               state.remove()
               (closed :+ Session(userId, open.head.ts, open.last.ts, open.size.toLong)).iterator
             } else {
+              // horizonMs == wmMs is deliberately NOT flushed: an on-time
+              // event AT the watermark (not late) can still land exactly on
+              // the horizon and extend the session (extension test is
+              // `<= gap`) — flushing here would split one logical session
+              // in two. Park it with a timeout just past the watermark
+              // (the API requires timeout > watermark).
               state.update(segments.last.toList)
-              // timeout when the watermark passes the open session's gap
-              // horizon (strictly ahead of the watermark here, as the API
-              // requires)
-              state.setTimeoutTimestamp(horizonMs)
+              state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1))
               closed.iterator
             }
           }

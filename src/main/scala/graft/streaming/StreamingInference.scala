@@ -104,6 +104,13 @@ object StreamingInference {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // crash recovery BEFORE reading the target: the two renames below are
+        // not atomic together — a crash between them leaves the target parked
+        // under __merge_old (and the merged batch under __merge_tmp). Roll
+        // BACK by restoring old→target and dropping tmp: the interrupted
+        // batch never committed to the checkpoint, so it re-runs and
+        // re-merges idempotently.
+        recoverSwappedTable(spark, targetTable)
         val merged = TableManager.mergeUpsert(
           spark.table(targetTable), reduceBatch(batch), keyCols)
         // materialize into a TEMP table before touching the target: the merge
@@ -112,13 +119,16 @@ object StreamingInference {
         // distributed (no driver collect). The swap then renames the OLD
         // target aside before renaming tmp in — a crash between the two
         // renames leaves both tables recoverable (old data under __merge_old,
-        // new data under __merge_tmp); a drop-then-rename ordering would have
-        // a window with NO target at all. File-commit-protocol guarantees,
-        // consistent with TableManager's documented (non-transactional) scope.
+        // new data under __merge_tmp) and auto-restores on the next batch /
+        // next streamUpsert call; a drop-then-rename ordering would have an
+        // unrecoverable window with NO copy of the target at all.
+        // File-commit-protocol guarantees, consistent with TableManager's
+        // documented (non-transactional) scope. For a partition-scoped swap
+        // that does not rewrite the whole table, use
+        // [[streamUpsertPartitioned]] — the 100 TB-shaped variant.
         val tmp = targetTable + "__merge_tmp"
         val old = targetTable + "__merge_old"
         TableManager.dropTable(spark, tmp)
-        TableManager.dropTable(spark, old)
         merged.write.format("parquet").saveAsTable(tmp)
         spark.sql(s"ALTER TABLE $targetTable RENAME TO $old")
         spark.sql(s"ALTER TABLE $tmp RENAME TO $targetTable")
@@ -128,5 +138,53 @@ object StreamingInference {
       .start()
     q.awaitTermination()
     spark.table(targetTable)
+  }
+
+  /** Restore a target orphaned by a crash between [[streamUpsert]]'s two
+    * renames: if the target is gone but its `__merge_old` copy exists,
+    * rename it back; stale `__merge_tmp`/`__merge_old` leftovers are
+    * dropped. Safe to call when no orphan exists (no-op). */
+  def recoverSwappedTable(spark: SparkSession, targetTable: String): Unit = {
+    import graft.tables.TableManager
+    val old = targetTable + "__merge_old"
+    if (!spark.catalog.tableExists(targetTable) && spark.catalog.tableExists(old))
+      spark.sql(s"ALTER TABLE $old RENAME TO $targetTable")
+    TableManager.dropTable(spark, targetTable + "__merge_tmp")
+    TableManager.dropTable(spark, old)
+  }
+
+  /** Streaming MERGE into a BUCKET-PARTITIONED path target — the scale-safe
+    * CDC sink. Where [[streamUpsert]] rewrites the whole table per
+    * micro-batch (O(target) I/O — Delta-emulation fidelity, but a
+    * scale-killer), this variant lays the target out partitioned by
+    * `key_bucket` and each batch rewrites ONLY the partitions its keys hash
+    * into ([[graft.tables.TableManager.upsertPartitioned]]): per-batch I/O
+    * is O(touched buckets), untouched partitions' files stay byte-identical,
+    * and an interrupted partition swap rolls forward from the recovery
+    * marker on the next batch. Initialize the target with
+    * [[graft.tables.TableManager.initPartitionedTarget]]. Returns the final
+    * target contents (without the internal `key_bucket` column). */
+  def streamUpsertPartitioned(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      targetDir: String,
+      keyCols: Seq[String],
+      reduceBatch: DataFrame => DataFrame,
+      checkpointDir: String,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.tables.TableManager
+    val q = readFileStream(spark, srcDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TableManager.upsertPartitioned(
+          spark, targetDir, reduceBatch(batch), keyCols, nBuckets)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(targetDir).drop("key_bucket")
   }
 }

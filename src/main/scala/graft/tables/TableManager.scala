@@ -38,8 +38,14 @@ object TableManager {
     val missing  = existing.filterNot(f => incomingN.contains(norm(f.name)))
     val widened  = missing.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     // Stable column order: existing columns first, then genuinely new ones.
-    val ordered = existing.fieldNames ++ incoming.fieldNames.filterNot(n => existingN.contains(norm(n)))
-    val aligned = widened.select(ordered.map(col).toIndexedSeq: _*)
+    // Existing columns are aliased BACK to their existing-schema casing:
+    // under the case-insensitive analyzer, col("Score") happily resolves to
+    // an incoming 'score' attribute and the evolved table would silently
+    // adopt the incoming casing — Delta's mergeSchema keeps the existing one.
+    val aligned = widened.select(
+      (existing.fieldNames.map(n => col(s"`$n`").as(n)) ++
+        incoming.fieldNames.filterNot(n => existingN.contains(norm(n))).map(n => col(s"`$n`")))
+        .toIndexedSeq: _*)
     // Overwriting the table being read requires materializing the plan first
     // (Delta does this via the transaction log; we stage through a temp view
     // of collected files by writing to a staging dir and swapping).
@@ -162,6 +168,109 @@ object TableManager {
     fs.delete(new Path(dir), true)
   }
 
+  // ---- partition-scoped upsert target (the streaming-CDC table layout) ----
+  //
+  // A CDC stream's target must absorb small keyed update batches without
+  // rewriting itself: lay the table out partitioned by a stable key bucket
+  // (`key_bucket = pmod(xxhash64(keys), nBuckets)`), merge each batch against
+  // ONLY the buckets its keys hash into, and swap just those partition
+  // directories. Per batch, I/O is O(touched buckets), not O(target) — at
+  // 100 TB with 4096 buckets, a 10-key batch rewrites ≤10 buckets (~0.25% of
+  // the table), and every other partition's files are untouched bytes.
+  // Crash-safety: the staged files are fully written BEFORE a marker lists
+  // the buckets being swapped; recovery rolls the swap forward from the
+  // marker (stage survives), and a re-run of the uncommitted micro-batch
+  // re-merges idempotently.
+
+  /** Stable bucket column over the key columns. xxhash64 never yields null
+    * (null keys hash to the seed), so every row lands in a real partition. */
+  def keyBucket(keyCols: Seq[String], nBuckets: Int): Column =
+    pmod(xxhash64(keyCols.map(c => col(s"`$c`")): _*), lit(nBuckets.toLong)).cast("int")
+
+  /** Lay out the initial target: one shuffle by bucket, then a partitioned
+    * write (each bucket directory gets contiguous files). */
+  def initPartitionedTarget(df: DataFrame, targetDir: String, keyCols: Seq[String], nBuckets: Int): Unit =
+    df.withColumn("key_bucket", keyBucket(keyCols, nBuckets))
+      .repartition(col("key_bucket"))
+      .write.mode("overwrite").partitionBy("key_bucket").parquet(targetDir)
+
+  private def upsertStageDir(targetDir: String) = targetDir + ".__upsert_stage"
+  private def upsertMarker(targetDir: String)   = new Path(targetDir, "_merge_inprogress")
+
+  /** Roll forward a swap interrupted by a crash: the marker file lists the
+    * buckets being swapped and only exists while the fully-written stage
+    * directory does. Any bucket whose staged partition is still present is
+    * re-swapped (delete-then-atomic-rename is idempotent); buckets already
+    * moved have no staged copy left and are skipped. Returns true if there
+    * was orphaned state. Runs automatically at the start of every
+    * [[upsertPartitioned]]. */
+  def recoverPartitionedTarget(spark: SparkSession, targetDir: String): Boolean = {
+    val fs     = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = upsertMarker(targetDir)
+    val stage  = upsertStageDir(targetDir)
+    if (!fs.exists(marker)) {
+      // no marker ⇒ no swap in flight; a leftover stage dir is pre-marker
+      // garbage from a crash during the stage write — safe to drop
+      if (fs.exists(new Path(stage))) fs.delete(new Path(stage), true)
+      return false
+    }
+    val in = fs.open(marker)
+    val buckets = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map(_.toInt).toSeq finally in.close()
+    buckets.foreach { b =>
+      val sp = new Path(stage, s"key_bucket=$b")
+      if (fs.exists(sp)) {
+        val tp = new Path(targetDir, s"key_bucket=$b")
+        if (fs.exists(tp)) fs.delete(tp, true)
+        if (!fs.rename(sp, tp)) sys.error(s"recoverPartitionedTarget: could not restore bucket $b")
+      }
+    }
+    fs.delete(marker, false)
+    fs.delete(new Path(stage), true)
+    true
+  }
+
+  /** Merge `updates` (unique per key, NO `key_bucket` column — it derives
+    * here) into a bucket-partitioned target: read only the touched buckets,
+    * [[mergeUpsert]] against them, stage the rewritten buckets, then swap
+    * just those partition directories. Untouched partitions' files are never
+    * opened, rewritten, or moved. */
+  def upsertPartitioned(
+      spark: SparkSession,
+      targetDir: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      nBuckets: Int): Unit = {
+    recoverPartitionedTarget(spark, targetDir)
+    val withBucket = updates.withColumn("key_bucket", keyBucket(keyCols, nBuckets))
+    val touched = withBucket.select("key_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nBuckets — driver-safe
+    if (touched.isEmpty) return
+    val current = spark.read.parquet(targetDir)
+      .where(col("key_bucket").isin(touched.map(Int.box).toIndexedSeq: _*))
+    val merged = mergeUpsert(current, withBucket, keyCols)
+    val stage  = upsertStageDir(targetDir)
+    deleteDir(spark, stage)
+    merged.repartition(col("key_bucket"))
+      .write.mode("overwrite").partitionBy("key_bucket").parquet(stage)
+    // marker AFTER the stage is fully written: its existence is the recovery
+    // contract ("stage is complete — roll forward")
+    val fs  = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(upsertMarker(targetDir), true)
+    try out.write(touched.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    touched.foreach { b =>
+      val sp = new Path(stage, s"key_bucket=$b")
+      val tp = new Path(targetDir, s"key_bucket=$b")
+      if (fs.exists(sp)) { // a touched bucket always stages: merged ⊇ updates
+        if (fs.exists(tp)) fs.delete(tp, true)
+        if (!fs.rename(sp, tp)) sys.error(s"upsertPartitioned: swap failed for bucket $b")
+      }
+    }
+    fs.delete(upsertMarker(targetDir), false)
+    fs.delete(new Path(stage), true)
+  }
+
   /** Delta `MERGE INTO` emulation (upsert): WHEN MATCHED THEN UPDATE SET
     * <source columns>, WHEN NOT MATCHED THEN INSERT. The reference's storage
     * layer (Delta Lake) ships MERGE as its canonical upsert; on plain Parquet
@@ -189,9 +298,18 @@ object TableManager {
     * output); pre-aggregate the source to choose a winner. */
   def mergeUpsert(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame = {
     val tCols = target.columns.toSeq
-    val extra = source.columns.filterNot(tCols.contains)
-    require(keyCols.forall(source.columns.contains),
-      s"mergeUpsert: source lacks key column(s) ${keyCols.filterNot(source.columns.contains).mkString(", ")}")
+    // Membership checks follow the analyzer's case sensitivity (default:
+    // INsensitive) — a source column cased differently from the target must
+    // match here exactly as the join/select resolution below will match it,
+    // not get spuriously rejected as "not in target schema".
+    val caseSensitive = target.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val tColsN   = tCols.map(norm).toSet
+    val srcColsN = source.columns.map(norm).toSet
+    val keyColsN = keyCols.map(norm).toSet
+    val extra = source.columns.filterNot(c => tColsN.contains(norm(c)))
+    require(keyCols.forall(k => srcColsN.contains(norm(k))),
+      s"mergeUpsert: source lacks key column(s) ${keyCols.filterNot(k => srcColsN.contains(norm(k))).mkString(", ")}")
     require(extra.isEmpty,
       s"mergeUpsert: source column(s) ${extra.mkString(", ")} not in target schema " +
         "(schema evolution goes through overwriteTableMergeSchema)")
@@ -218,7 +336,7 @@ object TableManager {
             .cast("boolean")))
     val updated = target.alias("t").join(marked.alias("s"), cond, "left_outer")
       .select(tCols.map { c =>
-        if (!keyCols.contains(c) && source.columns.contains(c))
+        if (!keyColsN.contains(norm(c)) && srcColsN.contains(norm(c)))
           when(col("s.__matched"), sc(c)).otherwise(tc(c)).as(c)
         else tc(c).as(c)
       }: _*)
@@ -229,7 +347,7 @@ object TableManager {
       .join(target.select(keyCols.map(c => col(s"`$c`")): _*).alias("t"), cond, "left_anti")
       .where(col("s.__matched"))
       .select(tCols.map { c =>
-        if (source.columns.contains(c)) sc(c).as(c)
+        if (srcColsN.contains(norm(c))) sc(c).as(c)
         else lit(null).cast(target.schema(c).dataType).as(c)
       }: _*)
     updated.unionByName(inserts)

@@ -31,6 +31,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: connectedComponents equals brute-force union-find on random graphs") {
+    import spark.implicits._
+    // driver-side union-find ground truth
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      // fully compress, then component id = min id of the set (find yields it:
+      // unions always point larger roots at smaller ones)
+      (0L until n.toLong).map(i => i -> find(i)).toMap
+    }
+    val n = 24
+    val edgeGen = Gen.listOfN(18,
+      Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)).suchThat { case (a, b) => a != b })
+    samples(edgeGen, 6).foreach { edges =>
+      val expected = unionFind(n, edges)
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // connectedComponents only labels vertices that appear in some edge
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched)
+      touched.foreach { v =>
+        assert(got(v) == expected(v),
+          s"vertex $v: got component ${got(v)}, union-find says ${expected(v)} (edges=$edges)")
+      }
+    }
+  }
+
+  test("property: near-dedup drop is idempotent (drop(drop(x)) == drop(x))") {
+    import spark.implicits._
+    // bigram shingles over a tiny vocabulary generate plenty of near-dup
+    // pairs; idempotence must hold regardless
+    samples(Gen.listOfN(40, docGen), 4).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.dropNearDuplicates(df, "text", "doc_id", shingleN = 2, minJaccard = 0.8)
+        .localCheckpoint() // freeze: the second pass must see the surviving set
+      val twice = Dedup.dropNearDuplicates(once, "text", "doc_id", shingleN = 2, minJaccard = 0.8)
+      assert(twice.count() == once.count(),
+        s"second near-dedup pass dropped rows: ${once.count()} -> ${twice.count()}")
+      assert(once.select("doc_id").except(twice.select("doc_id")).count() == 0)
+    }
+  }
+
+  test("property: transitive near-dedup keeps exactly one representative per component") {
+    import spark.implicits._
+    samples(Gen.listOfN(30, docGen), 3).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val kept = Dedup.dropNearDuplicatesTransitive(df, "text", "doc_id",
+        shingleN = 2, minJaccard = 0.8)
+      // survivors must be pairwise below the threshold on exact bigram jaccard
+      def shingles(t: String): Set[String] = {
+        // trim/lower/split exactly like the engine's tokenizer kernels
+        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        if (toks.length <= 2) Set(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val rows = kept.collect().map(r => (r.getLong(0), r.getString(1)))
+      for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      } {
+        val (sa, sb) = (shingles(ta), shingles(tb))
+        val j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+        assert(j < 0.8, s"survivors $ia,$ib still near-dup (jaccard=$j)")
+      }
+    }
+  }
+
   test("property: label index is a bijection to 0-based lexicographic ranks") {
     import spark.implicits._
     val labelsGen = Gen.nonEmptyListOf(Gen.identifier.map(_.take(8))).map(_.distinct)

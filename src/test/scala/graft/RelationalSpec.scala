@@ -29,6 +29,39 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.withDictIndex(docs, "lang", "idx").count() == docs.count())
   }
 
+  test("withDictIndexLarge (two-phase rank) matches withDictIndex exactly") {
+    // a "vocabulary" big enough to spread over several range partitions
+    val words = spark.range(0, 3000)
+      .selectExpr("concat('w', lpad(cast(id as string), 5, '0')) AS label",
+        "id % 7 AS payload")
+    val fast = Relational.withDictIndex(words, "label", "idx")
+      .select("label", "idx").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val twoPhase = Relational.withDictIndexLarge(words, "label", "idx", numParts = 16)
+      .select("label", "idx").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPhase == fast)
+    assert(twoPhase.size == 3000 && twoPhase("w00000") == 0L && twoPhase("w02999") == 2999L)
+  }
+
+  test("withDictIndexLarge keeps null-label rows and the 1:1 re-attach") {
+    import spark.implicits._
+    val df  = Seq(Some("b"), None, Some("a"), Some("b")).toDF("label")
+    val out = Relational.withDictIndexLarge(df, "label", "idx", numParts = 2)
+    assert(out.count() == 4)
+    assert(out.where(col("label").isNull).head().isNullAt(1))
+    assert(out.where(col("label") === "a").head().getLong(1) == 0L)
+  }
+
+  test("withDictIndex fails loudly past the dictionary-cardinality contract") {
+    val words = spark.range(0, 100).selectExpr("cast(id as string) AS label")
+    val e = intercept[Exception] {
+      Relational.withDictIndex(words, "label", "idx", maxDictSize = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("withDictIndexLarge")),
+      s"expected the guard message, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("topK returns exactly k rows in order") {
     val orders = Tables.load(spark, sfDir, "orders")
     val top    = Relational.topK(orders, 5, col("o_totalprice").desc, col("o_orderkey")).collect()

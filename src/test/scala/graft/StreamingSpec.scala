@@ -140,6 +140,111 @@ class StreamingSpec extends SparkSpec {
     TableManager.dropTable(spark, "t_cdc_target")
   }
 
+  test("streamUpsertPartitioned: only touched partitions change; others stay byte-identical") {
+    import graft.tables.TableManager
+    import spark.implicits._
+    val work      = Files.createTempDirectory("graft_stream_pmerge").toString
+    val srcDir    = s"$work/src"
+    val targetDir = s"$work/target"
+    val nBuckets  = 8
+    val init = (1L to 64L).map(i => (i, i * 10.0)).toDF("id", "bal")
+    TableManager.initPartitionedTarget(init, targetDir, Seq("id"), nBuckets)
+
+    // fingerprint every partition's files before the stream
+    def fileState(dir: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = fileState(targetDir)
+
+    // updates touch two keys → at most two buckets
+    Seq((2L, 999.0), (7L, 777.0)).toDF("id", "bal").coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val result = StreamingInference.streamUpsertPartitioned(
+      spark, srcDir, schema, targetDir, Seq("id"),
+      b => b.groupBy("id").agg(max("bal").as("bal")),
+      s"$work/ckpt", nBuckets = nBuckets, maxFilesPerTrigger = 1)
+    val byId = result.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId.size == 64 && byId(2L) == 999.0 && byId(7L) == 777.0 && byId(1L) == 10.0)
+
+    // the scale contract: partitions whose bucket no update key hashed into
+    // must be EXACTLY the same files (same paths, lengths, mtimes)
+    val touched = Seq(2L, 7L).map(k =>
+      init.where(col("id") === k)
+        .select(TableManager.keyBucket(Seq("id"), nBuckets)).head().getInt(0))
+      .map(b => s"key_bucket=$b").toSet
+    val after = fileState(targetDir)
+    val untouchedBefore = before.filterNot { case (p, _) => touched.exists(p.contains) }
+    val untouchedAfter  = after.filterNot { case (p, _) => touched.exists(p.contains) }
+    assert(untouchedBefore.nonEmpty, "test needs untouched partitions to compare")
+    assert(untouchedAfter == untouchedBefore,
+      s"untouched partitions were rewritten:\n${(untouchedAfter.toSet diff untouchedBefore.toSet).mkString("\n")}")
+    // no recovery litter
+    assert(!new java.io.File(s"$targetDir/_merge_inprogress").exists)
+    assert(!new java.io.File(s"$targetDir.__upsert_stage").exists)
+  }
+
+  test("upsertPartitioned recovery rolls an interrupted swap forward from the marker") {
+    import graft.tables.TableManager
+    import spark.implicits._
+    val work      = Files.createTempDirectory("graft_pmerge_recover").toString
+    val targetDir = s"$work/target"
+    val nBuckets  = 4
+    val init = (1L to 16L).map(i => (i, 1.0)).toDF("id", "bal")
+    TableManager.initPartitionedTarget(init, targetDir, Seq("id"), nBuckets)
+    val bucketOf1 = init.where(col("id") === 1L)
+      .select(TableManager.keyBucket(Seq("id"), nBuckets)).head().getInt(0)
+
+    // simulate a crash AFTER the stage write + marker, BEFORE the swap:
+    // stage the new version of bucketOf1 by hand, then write the marker
+    val stage = s"$targetDir.__upsert_stage"
+    val newBucket = init.withColumn("key_bucket", TableManager.keyBucket(Seq("id"), nBuckets))
+      .where(col("key_bucket") === bucketOf1)
+      .withColumn("bal", when(col("id") === 1L, 42.0).otherwise(col("bal")))
+    newBucket.repartition(col("key_bucket"))
+      .write.partitionBy("key_bucket").parquet(stage)
+    java.nio.file.Files.write(java.nio.file.Paths.get(targetDir, "_merge_inprogress"),
+      bucketOf1.toString.getBytes)
+
+    assert(TableManager.recoverPartitionedTarget(spark, targetDir), "must report recovery")
+    val rows = spark.read.parquet(targetDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) == 42.0, "staged bucket must be rolled forward")
+    assert(rows.size == 16 && rows(2L) == 1.0)
+    assert(!new java.io.File(s"$targetDir/_merge_inprogress").exists)
+    assert(!new java.io.File(stage).exists)
+    // idempotent when clean
+    assert(!TableManager.recoverPartitionedTarget(spark, targetDir))
+  }
+
+  test("streamUpsert auto-restores a target orphaned between the swap renames") {
+    import graft.tables.TableManager
+    import spark.implicits._
+    val work   = Files.createTempDirectory("graft_swap_recover").toString
+    val srcDir = s"$work/src"
+    Seq("t_rec_target", "t_rec_target__merge_old", "t_rec_target__merge_tmp")
+      .foreach(TableManager.dropTable(spark, _))
+    TableManager.overwriteTable(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), "t_rec_target")
+    // simulate the crash window: target renamed aside, tmp never swapped in
+    spark.sql("ALTER TABLE t_rec_target RENAME TO t_rec_target__merge_old")
+    assert(!spark.catalog.tableExists("t_rec_target"))
+
+    Seq((2L, 99.0)).toDF("id", "bal").coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val result = StreamingInference.streamUpsert(
+      spark, srcDir, schema, "t_rec_target", Seq("id"),
+      b => b.groupBy("id").agg(max("bal").as("bal")),
+      s"$work/ckpt", maxFilesPerTrigger = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(result.toSeq == Seq((1L, 10.0), (2L, 99.0)),
+      "restored target must carry pre-crash rows plus the re-merged batch")
+    assert(!spark.catalog.tableExists("t_rec_target__merge_old"))
+    TableManager.dropTable(spark, "t_rec_target")
+  }
+
   test("stream-static broadcast enrichment equals the batch join") {
     // the standard streaming-enrichment shape: per-micro-batch join against a
     // static dimension; the dim broadcasts, so no stateful join machinery and

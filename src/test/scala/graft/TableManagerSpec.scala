@@ -29,6 +29,30 @@ class TableManagerSpec extends SparkSpec {
     TableManager.dropTable(spark, "t_evolve")
   }
 
+  test("overwriteTableMergeSchema keeps the EXISTING column casing on a case-variant write") {
+    import spark.implicits._
+    TableManager.dropTable(spark, "t_evolve_case")
+    TableManager.overwriteTableMergeSchema(spark, Seq((1L, 1.0)).toDF("id", "Score"), "t_evolve_case")
+    // incoming 'score' differs only by case: Delta's mergeSchema keeps 'Score'
+    TableManager.overwriteTableMergeSchema(spark, Seq((2L, 9.5)).toDF("id", "score"), "t_evolve_case")
+    val out = spark.table("t_evolve_case")
+    assert(out.columns.toSeq == Seq("id", "Score"),
+      s"evolved schema must keep existing casing, got ${out.columns.toSeq}")
+    assert(out.head().getDouble(1) == 9.5)
+    TableManager.dropTable(spark, "t_evolve_case")
+  }
+
+  test("mergeUpsert matches case-variant source columns like the analyzer does") {
+    import spark.implicits._
+    val target = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "Bal", "tag")
+    // source columns cased differently from the target (and the key arg
+    // cased differently from both) must resolve, not be rejected
+    val source = Seq((2L, 99.0), (3L, 33.0)).toDF("ID", "bal")
+    val out = TableManager.mergeUpsert(target, source, Seq("Id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 10.0, "a"), (2L, 99.0, "b"), (3L, 33.0, null)))
+  }
+
   test("compact rewrites a many-file dir into target file count, content-stable (S10)") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/data"
     val li  = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
