@@ -15,10 +15,12 @@ object QueryTimer {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val release = args.contains("--release")
+    // same parallelism knob as Bench so interactions reproduce
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder()
-        .master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

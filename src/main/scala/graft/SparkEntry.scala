@@ -26,20 +26,19 @@ object SparkEntry {
   /** Build-once IVF index shared by `q_ivf_build` (always rebuilds — its
     * bench line IS the build cost) and `q_similarity_ivf` (probe-only when
     * the index exists). Disk state is validated against the live table's
-    * row count, so a stale index from a regenerated dataset rebuilds
-    * instead of serving wrong cells. */
+    * SOURCE-FILE fingerprint (names/sizes/mtimes), so a stale index from a
+    * regenerated dataset rebuilds even when the row count is unchanged. */
   private val ivfMemo = scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]()
 
-  private def ivfIndexPath(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf$tag"
-  }
+  private def ivfIndexPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf${graft.tables.FsIO.tmpTag(dir)}"
 
   private def ensureIvfIndex(s: SparkSession, dir: String): (String, Array[Array[Float]]) = {
     val path = ivfIndexPath(dir)
     val cent = ivfMemo.getOrElseUpdate(dir, {
       val emb = t(s, dir, "embeddings")
-      Similarity.loadIvfCentroids(s, path, expectRows = Some(emb.count()))
+      Similarity.loadIvfCentroids(s, path,
+          expectSource = Some(Similarity.sourceFingerprint(emb)))
         .getOrElse(Similarity.buildIvfIndex(emb, "embedding", "vec_id", k = 8, path))
     })
     (path, cent)

@@ -44,10 +44,17 @@ object ImagePipeline {
     StructField("grayscale_image", BinaryType),
     StructField("grayscale_format", StringType)))
 
-  /** Deterministic staging dir per source dir (repeat ingests overwrite in
-    * place instead of accumulating temp dirs). */
-  private def defaultStageDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ingest${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  /** Staging dir for one ingest call: unique per call (a shared
+    * deterministic path would let the NEXT ingest's overwrite delete the
+    * files backing a previously returned frame mid-lifetime, and two JVMs
+    * ingesting the same source would clobber each other's in-flight reads).
+    * Small price: repeated ingests accumulate staged copies until the
+    * caller (or tmp cleaning) removes them — callers managing lifetime pass
+    * an explicit `stageDir` and delete it via `TableManager.deleteDir`. */
+  private def defaultStageDir(dir: String): String = {
+    val base = s"graft_ingest_${graft.tables.FsIO.tmpTag(dir)}_"
+    java.nio.file.Files.createTempDirectory(base).toString + "/staged"
+  }
 
   /** Full ingest: returns
     * `(path, modificationTime, length, content, label, size{width,height},

@@ -61,24 +61,20 @@ object ScoringModel {
 
   private val FormatTag = "graft-linear-v1"
 
-  def save(model: LinearScoringModel, path: String,
-      conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): Unit = {
+  /** FS access goes through [[graft.tables.FsIO]]: one copy of the text-IO
+    * plumbing, and a Hadoop configuration that carries the session's
+    * `spark.hadoop.*` settings on executors too (a bare `Configuration`
+    * would lack S3/HDFS credentials inside a task). */
+  def save(model: LinearScoringModel, path: String): Unit = {
     val enc = model.classes.map(c =>
       java.net.URLEncoder.encode(c, java.nio.charset.StandardCharsets.UTF_8))
-    val body = s"$FormatTag\nseed=${model.seed}\nclasses=${enc.mkString(",")}\n"
-    val p  = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    graft.tables.FsIO.writeText(path,
+      s"$FormatTag\nseed=${model.seed}\nclasses=${enc.mkString(",")}\n")
   }
 
-  def load(path: String,
-      conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): LinearScoringModel = {
-    val p  = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    val body = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+  def load(path: String): LinearScoringModel = {
+    val body = graft.tables.FsIO.readText(path)
+      .getOrElse(throw new IllegalArgumentException(s"no model artifact at $path"))
     val lines = body.split("\n")
     require(lines.headOption.contains(FormatTag), s"not a $FormatTag artifact: $path")
     val fields = lines.tail.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
@@ -87,12 +83,22 @@ object ScoringModel {
     new LinearScoringModel(classes, fields("seed").toLong)
   }
 
+  /** Per-JVM artifact cache: a `@transient lazy val` inside the UDF closure
+    * would re-load once per TASK (each task deserializes a fresh closure
+    * instance) — the object-level map is the actual once-per-executor-JVM
+    * registry read the reference's per-worker model load does
+    * (`02.b …:311-318`). */
+  private val loaded = scala.collection.concurrent.TrieMap[String, LinearScoringModel]()
+
+  private[image] def cachedLoad(path: String): LinearScoringModel =
+    loaded.getOrElseUpdate(path, load(path))
+
   /** Executor-side lazy reference: ships only the path; the artifact loads
-    * once per executor JVM on first use (transient lazy val), so a scoring
+    * once per executor JVM on first use (via [[cachedLoad]]), so a scoring
     * UDF over 100 TB does one registry read per executor, not per row or
     * per task. */
   def lazyRef(path: String): ScoringModel = new ScoringModel {
-    @transient private lazy val inner: LinearScoringModel = load(path)
+    @transient private lazy val inner: LinearScoringModel = cachedLoad(path)
     override def classes: Seq[String] = inner.classes
     override def scores(features: Array[Float]): Array[Double] = inner.scores(features)
   }

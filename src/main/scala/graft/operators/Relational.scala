@@ -18,14 +18,14 @@ object Relational {
     * picked by the measured dictionary cardinality (one count job over the
     * already-reduced set):
     *
-    *  - label-cardinality dictionaries (≤ `twoPhaseThreshold`): rank via a
-    *    single-partition window over the tiny set, re-attach by broadcast
-    *    hash join — the big side neither shuffles nor collects.
-    *  - vocab-sized dictionaries: a single-partition window would serialize
-    *    on one task, so rank goes TWO-PHASE — range-repartition the distinct
-    *    set by label, rank within each partition in parallel, then add
-    *    per-partition offsets (a P-row driver collect). The re-attach is a
-    *    plain shuffle join: a multi-GB dictionary must not broadcast.
+    *  - label-cardinality dictionaries (≤ `maxDictSize`): THIS method —
+    *    rank via a single-partition window over the tiny set, re-attach by
+    *    broadcast hash join; the big side neither shuffles nor collects,
+    *    and a fail-loud tripwire fires if the dictionary outgrows the
+    *    contract.
+    *  - vocab-sized dictionaries: [[withDictIndexLarge]] — a
+    *    single-partition window would serialize on one task, so rank goes
+    *    two-phase and the re-attach is a plain shuffle join.
     */
   def withDictIndex(df: DataFrame, labelCol: String, indexCol: String,
       maxDictSize: Long = 1000000): DataFrame = {

@@ -247,32 +247,32 @@ object Similarity {
   // corpus. Mirrors the reference's petastorm cache-then-train shape
   // (01. Ingest.py:176-183): one expensive materialization, many cheap reads.
 
-  /** Hadoop-FS text write (path-scheme-agnostic: local now, HDFS/S3 at scale). */
-  private def writeText(spark: org.apache.spark.sql.SparkSession, path: String, text: String): Unit = {
-    val p  = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-  }
-
-  private def readText(spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
-    val p  = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)) finally in.close()
-    }
-  }
-
   private def centroidsFile(indexPath: String) = s"$indexPath.centroids"
+
+  /** Staleness fingerprint of a DataFrame's SOURCE FILES: name + length +
+    * mtime of every backing file, hashed. Metadata-only (no data scan) and
+    * catches a regenerated dataset even when the row count is unchanged —
+    * a row-count-only guard cannot. Frames not backed by files (in-memory
+    * test fixtures) fingerprint to the empty-listing hash, which still
+    * round-trips consistently. */
+  def sourceFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val parts = df.inputFiles.sorted.map { f =>
+      val p  = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.arrayHash(parts).toLong & 0xffffffffL)
+  }
 
   /** Fit centroids (bounded sample), assign every row, and write the index:
     * `(idCol, vecCol, ivf_cell)` parquet partitioned by `ivf_cell`, plus the
-    * centroid matrix as a sidecar text file (`rows` header line guards
-    * against a stale index when the underlying table was regenerated).
-    * Returns the centroids. One corpus pass; the shuffle-free assignment
-    * rides the write. */
+    * centroid matrix as a sidecar text file whose header carries the source
+    * fingerprint ([[sourceFingerprint]] — file names/sizes/mtimes, so a
+    * regenerated source invalidates the index even at an identical row
+    * count). Returns the centroids. One corpus pass; the shuffle-free
+    * assignment rides the write. */
   def buildIvfIndex(
       df: DataFrame,
       vecCol: String,
@@ -289,26 +289,23 @@ object Similarity {
       // count per cell (repartition(n, col)) sized to the target file size.
       .repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(indexPath)
-    val spark = df.sparkSession
-    // staleness sidecar: source-table row count (parquet-footer metadata
-    // read on the input — the index itself is never re-scanned)
-    val rows = df.count()
-    val body = s"rows=$rows\n" +
+    val body = s"source=${sourceFingerprint(df)}\n" +
       centroids.map(_.mkString(",")).mkString("\n")
-    writeText(spark, centroidsFile(indexPath), body)
+    graft.tables.FsIO.writeText(centroidsFile(indexPath), body)
     centroids
   }
 
-  /** Load a persisted index's centroids, or None if absent/stale (row-count
-    * sidecar disagrees with `expectRows`, e.g. the source table changed). */
+  /** Load a persisted index's centroids, or None if absent/stale (the
+    * sidecar's source fingerprint disagrees with `expectSource` — e.g. the
+    * source table was regenerated, even at the same row count). */
   def loadIvfCentroids(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
-      expectRows: Option[Long] = None): Option[Array[Array[Float]]] =
-    readText(spark, centroidsFile(indexPath)).flatMap { body =>
+      expectSource: Option[String] = None): Option[Array[Array[Float]]] =
+    graft.tables.FsIO.readText(centroidsFile(indexPath)).flatMap { body =>
       val lines = body.split("\n").toSeq
-      val rows  = lines.head.stripPrefix("rows=").toLong
-      if (expectRows.exists(_ != rows)) None
+      val src   = lines.head.stripPrefix("source=")
+      if (expectSource.exists(_ != src)) None
       else Some(lines.tail.map(_.split(",").map(_.toFloat)).toArray)
     }
 

@@ -188,11 +188,29 @@ object TableManager {
     pmod(xxhash64(keyCols.map(c => col(s"`$c`")): _*), lit(nBuckets.toLong)).cast("int")
 
   /** Lay out the initial target: one shuffle by bucket, then a partitioned
-    * write (each bucket directory gets contiguous files). */
-  def initPartitionedTarget(df: DataFrame, targetDir: String, keyCols: Seq[String], nBuckets: Int): Unit =
+    * write (each bucket directory gets contiguous files), plus a `_layout`
+    * sidecar recording (nBuckets, keyCols) — [[upsertPartitioned]] refuses
+    * to merge under a different layout, because a mismatched bucket count
+    * would hash a key into the wrong partition and silently DUPLICATE it
+    * (the lookup misses, the "insert" lands in a new bucket while the old
+    * row survives in the original one). */
+  def initPartitionedTarget(df: DataFrame, targetDir: String, keyCols: Seq[String], nBuckets: Int): Unit = {
     df.withColumn("key_bucket", keyBucket(keyCols, nBuckets))
       .repartition(col("key_bucket"))
       .write.mode("overwrite").partitionBy("key_bucket").parquet(targetDir)
+    FsIO.writeText(s"$targetDir/_layout", s"nBuckets=$nBuckets\nkeyCols=${keyCols.mkString(",")}\n")
+  }
+
+  private def requireLayout(targetDir: String, keyCols: Seq[String], nBuckets: Int): Unit =
+    FsIO.readText(s"$targetDir/_layout").foreach { body =>
+      val fields = body.split("\n").map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      val declared = (fields("nBuckets").toInt, fields("keyCols").split(",").toSeq)
+      require(declared == ((nBuckets, keyCols)),
+        s"upsertPartitioned: target $targetDir was initialized with " +
+          s"(nBuckets=${declared._1}, keyCols=${declared._2.mkString(",")}) but this merge " +
+          s"uses (nBuckets=$nBuckets, keyCols=${keyCols.mkString(",")}) — a layout mismatch " +
+          "would silently duplicate keys across buckets")
+    }
 
   private def upsertStageDir(targetDir: String) = targetDir + ".__upsert_stage"
   private def upsertMarker(targetDir: String)   = new Path(targetDir, "_merge_inprogress")
@@ -242,10 +260,25 @@ object TableManager {
       keyCols: Seq[String],
       nBuckets: Int): Unit = {
     recoverPartitionedTarget(spark, targetDir)
-    val withBucket = updates.withColumn("key_bucket", keyBucket(keyCols, nBuckets))
-    val touched = withBucket.select("key_bucket").distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by nBuckets — driver-safe
-    if (touched.isEmpty) return
+    requireLayout(targetDir, keyCols, nBuckets)
+    // cache the (small) update batch: it feeds the touched-bucket probe AND
+    // both mergeUpsert join branches during the stage write — uncached, a
+    // reduceBatch shuffle upstream would re-run three times per micro-batch
+    val withBucket = updates.withColumn("key_bucket", keyBucket(keyCols, nBuckets)).persist()
+    try {
+      val touched = withBucket.select("key_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // bounded by nBuckets — driver-safe
+      if (touched.isEmpty) return
+      upsertBuckets(spark, targetDir, withBucket, keyCols, touched)
+    } finally withBucket.unpersist(false)
+  }
+
+  private def upsertBuckets(
+      spark: SparkSession,
+      targetDir: String,
+      withBucket: DataFrame,
+      keyCols: Seq[String],
+      touched: Array[Int]): Unit = {
     val current = spark.read.parquet(targetDir)
       .where(col("key_bucket").isin(touched.map(Int.box).toIndexedSeq: _*))
     val merged = mergeUpsert(current, withBucket, keyCols)

@@ -63,6 +63,12 @@ class ImagePipelineSpec extends SparkSpec {
     assert(leaked.isEmpty, s"ingest leaked persistent RDDs: $leaked")
   }
 
+  test("a second ingest does not invalidate a previously returned frame") {
+    val a = ImagePipeline.ingest(spark, fixtureDir)
+    ImagePipeline.ingest(spark, fixtureDir) // stages to its own dir
+    assert(a.count() == ImageFixtures.Classes.size * 6) // first frame still readable
+  }
+
   test("trainingPrep writes split parquet caches with uncompressed codec (S11/S12)") {
     val cache = Files.createTempDirectory("graft_cache").toString
     val (train, va) = ImagePipeline.trainingPrep(

@@ -146,9 +146,11 @@ class PlansSpec extends SparkSpec {
     val selected = scan.map(_.selectedPartitions.partitionCount).sum
     assert(selected == 3, s"probe must read exactly nProbes=3 partitions, read $selected")
     assert(probe.count() == 10)
-    // stale-index guard: a row-count mismatch refuses the persisted centroids
-    assert(Similarity.loadIvfCentroids(spark, path, Some(emb.count())).isDefined)
-    assert(Similarity.loadIvfCentroids(spark, path, Some(emb.count() + 1)).isEmpty)
+    // stale-index guard: a source-fingerprint mismatch (regenerated dataset,
+    // even at identical row count) refuses the persisted centroids
+    val fp = Similarity.sourceFingerprint(emb)
+    assert(Similarity.loadIvfCentroids(spark, path, Some(fp)).isDefined)
+    assert(Similarity.loadIvfCentroids(spark, path, Some(fp + "x")).isEmpty)
     // probe results match the direct (unpersisted) IVF path on the same centroids
     val direct = Similarity.annIvfTopK(emb, "embedding", "vec_id", q, centroids,
       k = 10, nProbes = 3).collect()

@@ -219,6 +219,24 @@ class StreamingSpec extends SparkSpec {
     assert(!TableManager.recoverPartitionedTarget(spark, targetDir))
   }
 
+  test("upsertPartitioned refuses a bucket-layout mismatch instead of duplicating keys") {
+    import graft.tables.TableManager
+    import spark.implicits._
+    val targetDir = Files.createTempDirectory("graft_pmerge_layout").toString + "/target"
+    TableManager.initPartitionedTarget(
+      (1L to 8L).map(i => (i, 1.0)).toDF("id", "bal"), targetDir, Seq("id"), nBuckets = 8)
+    val updates = Seq((2L, 9.0)).toDF("id", "bal")
+    val e = intercept[IllegalArgumentException] {
+      TableManager.upsertPartitioned(spark, targetDir, updates, Seq("id"), nBuckets = 4)
+    }
+    assert(e.getMessage.contains("layout mismatch"))
+    // matching layout still merges
+    TableManager.upsertPartitioned(spark, targetDir, updates, Seq("id"), nBuckets = 8)
+    val byId = spark.read.parquet(targetDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId.size == 8 && byId(2L) == 9.0)
+  }
+
   test("streamUpsert auto-restores a target orphaned between the swap renames") {
     import graft.tables.TableManager
     import spark.implicits._
