@@ -275,6 +275,49 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // -- north-star: PII redaction (corpus hygiene) ------------------------
+    // The fixture text carries no PII, so deterministic email/phone/IP spans
+    // are synthesized from doc_id before scrubbing — the query checks the
+    // REDACTION parity (same RE2-safe patterns, same order) across engines.
+    "q_pii_scrub" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.piiScrub(concat(
+            substring(col("text"), 1, 40),
+            lit(" mail u"), col("doc_id").cast("string"),
+            lit("@ex.org tel 555-01"), (col("doc_id") % 100).cast("string"),
+            lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 end"))).as("scrubbed"))
+        .orderBy("doc_id")),
+
+    // -- north-star: duplicated-bigram repetition signal (quality filter) --
+    "q_repetition_ratio" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id")),
+
+    // -- north-star: embedding L2 norm (raw IEEE — no rounding) -----------
+    "q_vector_norm" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.norm2(col("embedding")).as("l2"))
+        .orderBy("vec_id")),
+
+    // -- north-star: symmetric int8 embedding quantization ----------------
+    "q_int8_quantize" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q   = VectorFunctions.quantizeInt8(col("embedding"))
+      emb.where(VectorFunctions.maxAbs(col("embedding")) > 0.0)
+        .select(col("vec_id"),
+          element_at(q, 1).as("q0"),
+          element_at(q, 2).as("q1"),
+          size(filter(col("embedding"),
+            x => abs(x.cast("double")) === VectorFunctions.maxAbs(col("embedding"))))
+            .cast("long").as("n_sat"))
+        .orderBy("vec_id")
+    }),
+
     // -- north-star: exact n-gram (token-set) Jaccard of adjacent docs ----
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1147,6 +1190,47 @@ object SparkEntry {
     "q_fingerprint" ->
       (s"SELECT doc_id, sha256(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fp " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_pii_scrub" -> {
+      // the redaction chain is GENERATED from TextAnalysis.piiPatterns, so
+      // the two engines can never disagree on pattern text or order
+      val input = "concat(substr(text,1,40), ' mail u', CAST(doc_id AS VARCHAR), " +
+        "'@ex.org tel 555-01', CAST(doc_id % 100 AS VARCHAR), " +
+        "' ip 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 end')"
+      val scrubbed = TextAnalysis.piiPatterns.foldLeft(input) { case (acc, (p, r)) =>
+        s"regexp_replace($acc, '${p.replace("\\", "\\")}', '$r', 'g')"
+      }
+      s"SELECT doc_id, $scrubbed AS scrubbed FROM documents " +
+        "WHERE text IS NOT NULL ORDER BY doc_id"
+    },
+
+    "q_repetition_ratio" ->
+      // gram construction mirrors TextAnalysis.repetitionRatio(gramWidth=2):
+      // positions 1..greatest(len-1,1), final gram truncated on 1-token texts
+      (s"WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sh AS (SELECT doc_id, list_transform(range(1, greatest(len(tk)-1,1)+1), " +
+        "i -> array_to_string(tk[i:least(i+1, len(tk))], ' ')) AS grams FROM toks) " +
+        "SELECT doc_id, CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / " +
+        "CAST(len(grams) AS DOUBLE) AS rep_ratio FROM sh ORDER BY doc_id"),
+
+    "q_vector_norm" ->
+      // raw IEEE sqrt of the sequential double fold — identical operation
+      // order to VectorFunctions.dot, so the doubles are bit-identical
+      ("SELECT vec_id, sqrt(list_aggregate(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2 " +
+        "FROM embeddings ORDER BY vec_id"),
+
+    "q_int8_quantize" ->
+      // floor (not round): identical semantics across engines
+      ("WITH m AS (SELECT vec_id, embedding, " +
+        "list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx " +
+        "FROM embeddings) " +
+        "SELECT vec_id, " +
+        "CAST(floor(CAST(embedding[1] AS DOUBLE) * 127.0 / mx) AS BIGINT) AS q0, " +
+        "CAST(floor(CAST(embedding[2] AS DOUBLE) * 127.0 / mx) AS BIGINT) AS q1, " +
+        "CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) = mx)) AS BIGINT) AS n_sat " +
+        "FROM m WHERE mx > 0 ORDER BY vec_id"),
 
     "q_ngram_jaccard" ->
       (s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

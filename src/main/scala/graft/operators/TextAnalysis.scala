@@ -101,6 +101,36 @@ object TextAnalysis {
     transform(sequence(lit(0), nChunks - 1), i => text.substr(i * stride + 1, lit(chunkSize)))
   }
 
+  /** PII patterns for corpus scrubbing (emails, phone-shaped numbers, IPv4),
+    * each RE2-compatible so an external engine applies them identically —
+    * the pre-training hygiene pass every public corpus pipeline runs (C4
+    * strips lines by pattern; this is the redaction variant). Order matters:
+    * emails go first so their digits can't be half-eaten by the phone rule. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2,4}\\b" -> "<PHONE>")
+
+  /** Redact PII spans with typed tags. Pure per-row Catalyst `regexp_replace`
+    * chain — scrubbing 100 TB is a map-side projection, no shuffle. */
+  def piiScrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Duplicated word-n-gram fraction in [0,1] — the repetition signal of
+    * Gopher/C4-style quality filtering (a looping generation or boilerplate
+    * page repeats its n-grams; natural prose doesn't). 0 = all n-grams
+    * distinct. Gram construction matches the near-dedup shingler: positions
+    * `1..max(len-(width-1),1)`, the final gram truncated on short texts. */
+  def repetitionRatio(text: Column, gramWidth: Int = 2): Column = {
+    require(gramWidth >= 1, s"gramWidth must be >= 1, got $gramWidth")
+    val tk    = tokens(text)
+    val grams = transform(
+      sequence(lit(1), greatest(size(tk) - (gramWidth - 1), lit(1))),
+      i => concat_ws(" ", slice(tk, i, lit(gramWidth))))
+    (size(grams) - size(array_distinct(grams))).cast("double") /
+      size(grams).cast("double")
+  }
+
   /** Canonical bag-of-words fingerprint: sha256 over the sorted distinct
     * lowercase token set. Two documents with the same token set (any order,
     * any duplication) collide — the classic "fingerprint dedup" canonical

@@ -96,6 +96,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.length > 500)
   }
 
+  test("piiScrub redacts emails, phones, IPs — email first so digits survive whole") {
+    val s = one("mail bob.smith+x@ex.co.uk tel 555-0142 ip 192.168.0.1 done",
+      TextAnalysis.piiScrub(col("text"))).getString(0)
+    assert(s == "mail <EMAIL> tel <PHONE> ip <IP> done")
+    // the email's local-part digits must not be half-eaten by the phone rule
+    val s2 = one("x 555-0142@ex.org y", TextAnalysis.piiScrub(col("text"))).getString(0)
+    assert(s2 == "x <EMAIL> y", s"got '$s2'")
+    // non-PII digits survive
+    val s3 = one("version 1.2 of 2024", TextAnalysis.piiScrub(col("text"))).getString(0)
+    assert(s3 == "version 1.2 of 2024")
+  }
+
+  test("repetitionRatio: looping text high, distinct text zero, degenerate safe") {
+    // "the the the" → bigrams ["the the", "the the"] → (2-1)/2 = 0.5
+    assert(one("the the the", TextAnalysis.repetitionRatio(col("text"))).getDouble(0) == 0.5)
+    assert(one("all words here differ", TextAnalysis.repetitionRatio(col("text"))).getDouble(0) == 0.0)
+    // single token: one (truncated) gram, all distinct
+    assert(one("x", TextAnalysis.repetitionRatio(col("text"))).getDouble(0) == 0.0)
+  }
+
   test("tfIdf: tf counts repeats, df counts docs, rare terms outscore stopwords") {
     import spark.implicits._
     val docs = Seq(

@@ -109,6 +109,28 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(centroids.length == 2)
   }
 
+  test("norm2, maxAbs: known values in double precision") {
+    import spark.implicits._
+    val df = Seq(Seq(3f, -4f)).toDF("a")
+    val r  = df.select(
+      VectorFunctions.norm2(col("a")).as("n"),
+      VectorFunctions.maxAbs(col("a")).as("m")).head()
+    assert(r.getDouble(0) == 5.0)
+    assert(r.getDouble(1) == 4.0)
+  }
+
+  test("quantizeInt8: floor semantics, saturation at ±127, zero vec → null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1f, -1f, 0.5f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 0f))).toDF("id", "a")
+    val rows = df.orderBy("id")
+      .select(VectorFunctions.quantizeInt8(col("a"))).collect()
+    // max|x| = 1: 1→127, -1→floor(-127)=-127, 0.5→floor(63.5)=63, 0→0
+    assert(rows(0).getSeq[Long](0) == Seq(127L, -127L, 63L, 0L))
+    assert(rows(1).isNullAt(0), "zero vector must quantize to null")
+  }
+
   test("estimatedJaccard HOF and native agree on empty signatures (0.0, not null)") {
     import spark.implicits._
     val df = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
