@@ -25,20 +25,21 @@ object SparkEntry {
 
   /** Build-once IVF index shared by `q_ivf_build` (always rebuilds — its
     * bench line IS the build cost) and `q_similarity_ivf` (probe-only when
-    * the index exists). Disk state is validated against the live table's
-    * SOURCE-FILE fingerprint (names/sizes/mtimes), so a stale index from a
-    * regenerated dataset rebuilds even when the row count is unchanged. */
-  private val ivfMemo = scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]()
+    * the index exists). Memoized per (dir, SOURCE-FILE fingerprint): the
+    * fingerprint (file names/sizes/mtimes — a metadata-only listing, no data
+    * read) is re-derived on EVERY call, so an embeddings table regenerated
+    * mid-process invalidates the memo instead of probing stale centroids. */
+  private val ivfMemo = scala.collection.concurrent.TrieMap[(String, String), Array[Array[Float]]]()
 
   private def ivfIndexPath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf${graft.tables.FsIO.tmpTag(dir)}"
 
   private def ensureIvfIndex(s: SparkSession, dir: String): (String, Array[Array[Float]]) = {
     val path = ivfIndexPath(dir)
-    val cent = ivfMemo.getOrElseUpdate(dir, {
-      val emb = t(s, dir, "embeddings")
-      Similarity.loadIvfCentroids(s, path,
-          expectSource = Some(Similarity.sourceFingerprint(emb)))
+    val emb  = t(s, dir, "embeddings")
+    val fp   = Similarity.sourceFingerprint(emb)
+    val cent = ivfMemo.getOrElseUpdate((dir, fp), {
+      Similarity.loadIvfCentroids(s, path, expectSource = Some(fp))
         .getOrElse(Similarity.buildIvfIndex(emb, "embedding", "vec_id", k = 8, path))
     })
     (path, cent)
@@ -775,8 +776,9 @@ object SparkEntry {
     "q_ivf_build" -> ((s, d) => {
       val emb  = t(s, d, "embeddings")
       val path = ivfIndexPath(d)
+      val fp   = Similarity.sourceFingerprint(emb)
       val cent = Similarity.buildIvfIndex(emb, "embedding", "vec_id", k = 8, path)
-      ivfMemo.put(d, cent)
+      ivfMemo.put((d, fp), cent)
       s.read.parquet(path)
         .groupBy("ivf_cell").agg(count(lit(1)).as("n"))
         .orderBy("ivf_cell")
@@ -1197,8 +1199,10 @@ object SparkEntry {
       val input = "concat(substr(text,1,40), ' mail u', CAST(doc_id AS VARCHAR), " +
         "'@ex.org tel 555-01', CAST(doc_id % 100 AS VARCHAR), " +
         "' ip 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 end')"
+      // DuckDB single-quoted literals process no backslash escapes, so the
+      // Java pattern text passes through verbatim; only ' needs doubling
       val scrubbed = TextAnalysis.piiPatterns.foldLeft(input) { case (acc, (p, r)) =>
-        s"regexp_replace($acc, '${p.replace("\\", "\\")}', '$r', 'g')"
+        s"regexp_replace($acc, '${p.replace("'", "''")}', '$r', 'g')"
       }
       s"SELECT doc_id, $scrubbed AS scrubbed FROM documents " +
         "WHERE text IS NOT NULL ORDER BY doc_id"

@@ -50,10 +50,26 @@ object ImagePipeline {
     * ingesting the same source would clobber each other's in-flight reads).
     * Small price: repeated ingests accumulate staged copies until the
     * caller (or tmp cleaning) removes them — callers managing lifetime pass
-    * an explicit `stageDir` and delete it via `TableManager.deleteDir`. */
-  private def defaultStageDir(dir: String): String = {
-    val base = s"graft_ingest_${graft.tables.FsIO.tmpTag(dir)}_"
-    java.nio.file.Files.createTempDirectory(base).toString + "/staged"
+    * an explicit `stageDir` and delete it via `TableManager.deleteDir`.
+    *
+    * The default must live on a filesystem ALL executors and the driver
+    * share: a driver-local `java.io.tmpdir` path is only that on a
+    * single-JVM master (executors would write their own local disks and the
+    * read-back would see partial data). Local scheme → JVM temp dir;
+    * any other scheme (HDFS/S3/...) → a sibling of the source directory on
+    * the SAME filesystem, which is shared by construction. */
+  private def defaultStageDir(spark: SparkSession, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(dir)
+    val fs  = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val local = fs.getUri.getScheme == null || fs.getUri.getScheme == "file"
+    if (local) {
+      val base = s"graft_ingest_${graft.tables.FsIO.tmpTag(dir)}_"
+      java.nio.file.Files.createTempDirectory(base).toString + "/staged"
+    } else {
+      val parent = Option(src.getParent).getOrElse(src)
+      new org.apache.hadoop.fs.Path(parent,
+        s".graft_ingest_stage_${src.getName}_${java.util.UUID.randomUUID().toString.take(8)}").toString
+    }
   }
 
   /** Full ingest: returns
@@ -70,7 +86,7 @@ object ImagePipeline {
     * rescannable, droppable — and releasing the scan cache here still
     * happens after one single scan+decode pass. */
   def ingest(spark: SparkSession, dir: String): DataFrame =
-    ingest(spark, dir, defaultStageDir(dir))
+    ingest(spark, dir, defaultStageDir(spark, dir))
 
   def ingest(spark: SparkSession, dir: String, stageDir: String): DataFrame = {
     val labeled = readBinaryImages(spark, dir)

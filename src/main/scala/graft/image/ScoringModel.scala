@@ -87,7 +87,10 @@ object ScoringModel {
     * would re-load once per TASK (each task deserializes a fresh closure
     * instance) — the object-level map is the actual once-per-executor-JVM
     * registry read the reference's per-worker model load does
-    * (`02.b …:311-318`). */
+    * (`02.b …:311-318`). The cache is path-keyed for the JVM lifetime:
+    * registry artifacts are immutable-at-a-version by contract (a new model
+    * gets a new path), so in-place mutation of an artifact file is only
+    * observed across JVM restarts — not detected mid-process. */
   private val loaded = scala.collection.concurrent.TrieMap[String, LinearScoringModel]()
 
   private[image] def cachedLoad(path: String): LinearScoringModel =

@@ -198,18 +198,39 @@ object TableManager {
     df.withColumn("key_bucket", keyBucket(keyCols, nBuckets))
       .repartition(col("key_bucket"))
       .write.mode("overwrite").partitionBy("key_bucket").parquet(targetDir)
-    FsIO.writeText(s"$targetDir/_layout", s"nBuckets=$nBuckets\nkeyCols=${keyCols.mkString(",")}\n")
+    // The sidecar must land after the data (overwrite clears the dir) but
+    // atomically: write-to-temp-then-rename, so no reader ever observes a
+    // partially written layout record. A crash in the window between the
+    // data write and this rename leaves a target WITHOUT a sidecar — which
+    // requireLayout treats as a hard error, not a bypassed check.
+    val layout = new Path(targetDir, "_layout")
+    val tmp    = new Path(targetDir, "_layout.tmp")
+    FsIO.writeText(tmp.toString, s"nBuckets=$nBuckets\nkeyCols=${keyCols.mkString(",")}\n")
+    val fs = layout.getFileSystem(FsIO.hadoopConf())
+    fs.delete(layout, false)
+    if (!fs.rename(tmp, layout)) sys.error(s"initPartitionedTarget: could not publish $layout")
   }
 
+  /** Every [[upsertPartitioned]] target MUST carry the `_layout` sidecar
+    * [[initPartitionedTarget]] writes. A missing sidecar is a hard error
+    * (crashed init, or a directory that was never initialized) — silently
+    * skipping the check would let a mismatched nBuckets merge duplicate
+    * keys across buckets, the exact failure the guard exists to stop. */
   private def requireLayout(targetDir: String, keyCols: Seq[String], nBuckets: Int): Unit =
-    FsIO.readText(s"$targetDir/_layout").foreach { body =>
-      val fields = body.split("\n").map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-      val declared = (fields("nBuckets").toInt, fields("keyCols").split(",").toSeq)
-      require(declared == ((nBuckets, keyCols)),
-        s"upsertPartitioned: target $targetDir was initialized with " +
-          s"(nBuckets=${declared._1}, keyCols=${declared._2.mkString(",")}) but this merge " +
-          s"uses (nBuckets=$nBuckets, keyCols=${keyCols.mkString(",")}) — a layout mismatch " +
-          "would silently duplicate keys across buckets")
+    FsIO.readText(s"$targetDir/_layout") match {
+      case None =>
+        sys.error(s"upsertPartitioned: target $targetDir has no _layout sidecar — " +
+          "it was not initialized by initPartitionedTarget (or init crashed before " +
+          "publishing the sidecar). Re-run initPartitionedTarget before merging; " +
+          "merging unguarded could silently duplicate keys across buckets")
+      case Some(body) =>
+        val fields = body.split("\n").map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+        val declared = (fields("nBuckets").toInt, fields("keyCols").split(",").toSeq)
+        require(declared == ((nBuckets, keyCols)),
+          s"upsertPartitioned: target $targetDir was initialized with " +
+            s"(nBuckets=${declared._1}, keyCols=${declared._2.mkString(",")}) but this merge " +
+            s"uses (nBuckets=$nBuckets, keyCols=${keyCols.mkString(",")}) — a layout mismatch " +
+            "would silently duplicate keys across buckets")
     }
 
   private def upsertStageDir(targetDir: String) = targetDir + ".__upsert_stage"
