@@ -270,6 +270,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- north-star: sequence packing (chunks → token-budget sequences) ---
+    // Non-overlapping 128-char chunks, token-counted, packed into 32-token
+    // sequences per document (window partitioned by doc — parallel at scale)
+    "q_pack_sequences" -> ((s, d) => {
+      val chunked = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), chunkSize = 128, stride = 128)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          TextAnalysis.tokenCount(col("col")).as("n_tokens"))
+      TextAnalysis.packSequences(chunked, "doc_id", "chunk_idx", "n_tokens", budget = 32L)
+        .groupBy("doc_id", "seq_idx")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").cast("long").as("seq_tokens"))
+        .orderBy("doc_id", "seq_idx")
+    }),
+
+    // -- north-star: train/eval decontamination (n-gram collision) --------
+    // Eval set = every 10th doc; a shared word-trigram with any training
+    // doc marks contamination (the GPT-3-style n-gram overlap check)
+    "q_decontaminate" -> ((s, d) =>
+      TextAnalysis.contamination(t(s, d, "documents"), "text", "doc_id",
+          isEval = col("doc_id") % 10 === 0, n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // -- north-star: deterministic stratified sampling (corpus rebalance) --
+    "q_stratified_sample" -> ((s, d) =>
+      Relational.hashStratifiedSample(t(s, d, "documents"),
+          col("doc_id"), col("lang"), Map("en" -> 60, "de" -> 30), defaultPct = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // -- north-star: bag-of-words fingerprint dedup ----------------------
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -1071,6 +1102,28 @@ object SparkEntry {
   private val tokensSql  = "string_split_regex(trim(lower(text)), '\\s+')"
   private val stopInList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB replica of `Dedup.wordShingles(_, n)` over a token-list column
+    * named `tk`: start positions 1..greatest(len-(n-1),1), final shingle
+    * truncated on short texts, distinct — ONE definition shared by every
+    * shingle-consuming oracle (near-drop, corpus-prep, decontaminate) so
+    * the engines can't drift on what an n-gram is. */
+  private def shinglesSql(n: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(len(tk)-${n - 1},1)+1), " +
+      s"i -> array_to_string(tk[i:least(i+${n - 1}, len(tk))], ' ')))"
+
+  /** DuckDB expression replica of `TextAnalysis.qualityScore` over a column
+    * named `text` — shared by `q_quality_score` and the end-to-end
+    * `q_corpus_prep` oracle so the two can't drift. Both engines round to 6
+    * decimals, so threshold comparisons against the score agree bit-wise. */
+  private def qualityExprSql: String =
+    s"ROUND(LEAST(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.4 + " +
+      s"(1.0 - (CASE WHEN len(regexp_replace(lower(text), '\\s', '', 'g')) = 0 THEN 0.0 " +
+      s"ELSE CAST(len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / " +
+      s"CAST(len(regexp_replace(lower(text), '\\s', '', 'g')) AS DOUBLE) END)) * 0.3 + " +
+      s"LEAST((CASE WHEN len($tokensSql) = 0 THEN 0.0 " +
+      s"ELSE CAST(len(list_filter($tokensSql, w -> w IN ($stopInList))) AS DOUBLE) / " +
+      s"CAST(len($tokensSql) AS DOUBLE) END) * 5.0, 1.0) * 0.3, 6)"
+
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
@@ -1167,15 +1220,7 @@ object SparkEntry {
       (s"SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"),
 
     "q_quality_score" ->
-      (s"SELECT doc_id, ROUND(" +
-        s"LEAST(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.4 + " +
-        s"(1.0 - (CASE WHEN len(regexp_replace(lower(text), '\\s', '', 'g')) = 0 THEN 0.0 " +
-        s"ELSE CAST(len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / " +
-        s"CAST(len(regexp_replace(lower(text), '\\s', '', 'g')) AS DOUBLE) END)) * 0.3 + " +
-        s"LEAST((CASE WHEN len($tokensSql) = 0 THEN 0.0 " +
-        s"ELSE CAST(len(list_filter($tokensSql, w -> w IN ($stopInList))) AS DOUBLE) / " +
-        s"CAST(len($tokensSql) AS DOUBLE) END) * 5.0, 1.0) * 0.3" +
-        ", 6) AS quality FROM documents ORDER BY doc_id"),
+      s"SELECT doc_id, $qualityExprSql AS quality FROM documents ORDER BY doc_id",
 
     "q_chunk_docs" ->
       ("SELECT doc_id, i AS chunk_idx, CAST(len(substr(text, CAST(i AS INT) * 200 + 1, 256)) AS BIGINT) AS chunk_len " +
@@ -1192,6 +1237,43 @@ object SparkEntry {
     "q_fingerprint" ->
       (s"SELECT doc_id, sha256(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fp " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_pack_sequences" ->
+      // chunk construction mirrors q_chunk_docs (128/128); seq_idx is the
+      // stride-fill rule: integer division of the tokens-before running sum
+      ("WITH chunks AS (SELECT doc_id, i AS chunk_idx, " +
+        "substr(text, CAST(i AS INT) * 128 + 1, 128) AS chunk " +
+        "FROM documents, UNNEST(range(0, GREATEST(CAST(ceil(len(text) / 128.0) AS BIGINT), 1))) AS t(i) " +
+        "WHERE text IS NOT NULL), " +
+        "tk AS (SELECT doc_id, chunk_idx, " +
+        "CAST(len(string_split_regex(trim(lower(chunk)), '\\s+')) AS BIGINT) AS n_tokens FROM chunks), " +
+        "cum AS (SELECT doc_id, chunk_idx, n_tokens, " +
+        "SUM(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx ROWS UNBOUNDED PRECEDING) AS cum FROM tk) " +
+        "SELECT doc_id, CAST((cum - n_tokens) // 32 AS BIGINT) AS seq_idx, " +
+        "COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens " +
+        "FROM cum GROUP BY doc_id, seq_idx ORDER BY doc_id, seq_idx"),
+
+    "q_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS is_eval, " +
+        s"$tokensSql AS tk FROM documents WHERE text IS NOT NULL), " +
+        s"grams AS (SELECT doc_id, is_eval, unnest(${shinglesSql(3)}) AS gram FROM toks), " +
+        "train AS (SELECT DISTINCT gram FROM grams WHERE NOT is_eval), " +
+        "eg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE is_eval), " +
+        "sh AS (SELECT doc_id, COUNT(*) AS n_shared FROM eg " +
+        "WHERE EXISTS (SELECT 1 FROM train WHERE train.gram = eg.gram) GROUP BY doc_id), " +
+        "ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM eg GROUP BY doc_id) " +
+        "SELECT ng.doc_id AS doc_id, ng.n_grams AS n_grams, " +
+        "COALESCE(sh.n_shared, 0) AS n_shared, " +
+        "CAST(COALESCE(sh.n_shared, 0) > 0 AS BIGINT) AS contaminated " +
+        "FROM ng LEFT JOIN sh USING (doc_id) ORDER BY doc_id"),
+
+    "q_stratified_sample" ->
+      // same overflow-safe pmod arithmetic as q_hash_split; CASE order is
+      // irrelevant (strata are disjoint), null lang falls to the default
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE ((doc_id % 1000003 + 1000003) % 1000003 * 2654435761) % 100 < " +
+        "CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 30 ELSE 10 END " +
+        "ORDER BY doc_id"),
 
     "q_pii_scrub" -> {
       // the redaction chain is GENERATED from TextAnalysis.piiPatterns, so
@@ -1261,21 +1343,50 @@ object SparkEntry {
     // Brute-force ground truth for the LSH near-dedup: all-pairs exact
     // word-BIGRAM Jaccard >= 0.8, drop the larger id of every qualifying
     // pair (the one-pass keep-first rule of Dedup.dropNearDuplicates).
-    // Shingle construction mirrors Dedup.shingleSetKernel(n=2) exactly:
-    // Spark-split token list (trailing empties kept), positions
-    // 1..greatest(len-1,1), final shingle truncated for 1-token texts,
-    // then distinct. Null-text docs pair with nothing and survive.
+    // Shingle construction = shinglesSql(2) (mirrors Dedup.shingleSetKernel:
+    // Spark-split token list with kept trailing empties, truncated final
+    // shingle, distinct). Null-text docs pair with nothing and survive.
     "q_dedup_near_drop" ->
-      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk " +
+      (s"WITH toks AS (SELECT doc_id, $tokensSql AS tk " +
         "FROM documents WHERE text IS NOT NULL), " +
-        "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1,1)+1), " +
-        "i -> array_to_string(tk[i:least(i+1, len(tk))], ' '))) AS ts FROM toks), " +
+        s"sh AS (SELECT doc_id, ${shinglesSql(2)} AS ts FROM toks), " +
         "drops AS (SELECT DISTINCT b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
         "WHERE (CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
         "CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS DOUBLE)) >= 0.8) " +
         "SELECT d.doc_id, d.lang FROM documents d " +
         "WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id_b = d.doc_id) " +
         "ORDER BY d.doc_id"),
+
+    // End-to-end ground truth for the FULL corpus-prep pipeline — the same
+    // composition CorpusPipeline.prepare runs, each stage the already-proven
+    // oracle fragment: quality filter (round-6 score, both engines bit-equal)
+    // + langId replica, exact dedup (sha256 keep-min-id over RAW docs —
+    // duplicates share text hence quality/lang, so filtering before or after
+    // the keep-join is equivalent), brute-force all-pairs word-bigram Jaccard
+    // >= 0.8 with the one-pass keep-smaller-id drop rule AMONG THE SURVIVORS
+    // of the earlier stages, stride-200/size-256 chunking, and the
+    // deterministic 80/20 hash split. LSH candidate recall is the one
+    // divergence risk and is exactly what this surfaces (same bands/rows
+    // bound as q_dedup_near_drop: per-pair miss <= 2e-4, fixed-seed family).
+    "q_corpus_prep" ->
+      (s"WITH filt AS (SELECT doc_id, text, $langIdExprSql AS lang FROM documents " +
+        s"WHERE text IS NOT NULL AND $qualityExprSql >= 0.2), " +
+        "keep AS (SELECT MIN(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)), " +
+        "s AS (SELECT f.doc_id, f.text, f.lang FROM filt f JOIN keep USING (doc_id) " +
+        "WHERE f.lang IN ('en','und')), " +
+        s"toks AS (SELECT doc_id, $tokensSql AS tk FROM s), " +
+        s"sh AS (SELECT doc_id, ${shinglesSql(2)} AS ts FROM toks), " +
+        "drops AS (SELECT DISTINCT b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE (CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS DOUBLE)) >= 0.8), " +
+        "surv AS (SELECT * FROM s WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id_b = s.doc_id)) " +
+        "SELECT doc_id, i AS chunk_idx, " +
+        "CAST(len(substr(text, CAST(i AS INT) * 200 + 1, 256)) AS BIGINT) AS chunk_len, lang, " +
+        "CASE WHEN ((doc_id % 1000003 + 1000003) % 1000003 * 2654435761) % 100 < 80 " +
+        "THEN 'train' ELSE 'val' END AS split " +
+        "FROM surv, UNNEST(range(0, GREATEST(CAST(ceil(len(text) / 200.0) AS BIGINT), 1))) AS t(i) " +
+        "ORDER BY doc_id, chunk_idx"
+    },
 
     "q_explode_tokens" ->
       (s"SELECT token, COUNT(*) AS n FROM " +
@@ -1603,7 +1714,10 @@ object SparkEntry {
     * there), 0.5 'und' floor, and `list_sort(...)[-1]` = Spark's
     * `greatest(structs)`: max score, ties to the lexicographically greatest
     * code. */
-  private def langIdOracleSql: String = {
+  /** DuckDB expression replica of `TextAnalysis.langId` over a column named
+    * `text`, generated from the SAME `langMarkers` table so the two can't
+    * drift. Shared by `q_lang_id` and the `q_corpus_prep` oracle. */
+  private def langIdExprSql: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
       s"{'score': CAST(len(list_filter($tokensSql, w -> w IN ($inList))) AS DOUBLE), 'lang': '$lang'}"
@@ -1614,8 +1728,10 @@ object SparkEntry {
     // orders null fields FIRST, so the 0.5 'und' floor wins; DuckDB's sort
     // puts NULLs last, so without the CASE a null-score struct would win and
     // [-1] would pick the wrong code
-    "SELECT doc_id, lang, CASE WHEN text IS NULL THEN 'und' ELSE " +
-      s"list_sort([${(scores :+ zh :+ und).mkString(", ")}])[-1].lang END AS guessed_lang " +
-      "FROM documents ORDER BY doc_id"
+    "CASE WHEN text IS NULL THEN 'und' ELSE " +
+      s"list_sort([${(scores :+ zh :+ und).mkString(", ")}])[-1].lang END"
   }
+
+  private def langIdOracleSql: String =
+    s"SELECT doc_id, lang, $langIdExprSql AS guessed_lang FROM documents ORDER BY doc_id"
 }

@@ -133,6 +133,35 @@ object Relational {
     when(pmod(xxhash64(idCol), lit(100L)) < trainPct, lit("train")).otherwise(lit("val"))
   }
 
+  /** Deterministic stratified sampling: keep a per-stratum percentage of
+    * rows, selected by the same overflow-safe id-hash bucket as
+    * [[hashSplitTag]] (NOT an RNG — `df.stat.sampleBy` draws per-row
+    * Bernoulli from a seeded stream, which is engine-internal and
+    * irreproducible outside Spark; the hash rule is plain integer
+    * arithmetic any engine replays, see `q_stratified_sample`'s oracle).
+    * Rebalancing a skewed corpus (downsample the dominant language, keep
+    * the rare ones) is the canonical use.
+    *
+    * A stratum absent from `pctByStratum` keeps `defaultPct`% of its rows;
+    * a null stratum value matches no map entry and falls to `defaultPct`.
+    * Purely map-side: a filter over existing columns — no shuffle, pushdown
+    * stays intact, and the same row set is kept at any partitioning. */
+  def hashStratifiedSample(
+      df: DataFrame,
+      idCol: Column,
+      stratumCol: Column,
+      pctByStratum: Map[String, Int],
+      defaultPct: Int = 0): DataFrame = {
+    require(pctByStratum.values.forall(p => p >= 0 && p <= 100) &&
+      defaultPct >= 0 && defaultPct <= 100, "percentages must be in [0,100]")
+    val bucket = pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(100L))
+    // deterministic CASE order (sorted keys) so plans are stable run-to-run
+    val pct = pctByStratum.toSeq.sortBy(_._1).foldRight(lit(defaultPct): Column) {
+      case ((s, p), other) => when(stratumCol === s, lit(p)).otherwise(other)
+    }
+    df.where(bucket < pct)
+  }
+
   /** As-of join: attach to every left row the `valueCols` of the LATEST
     * right row with `right.tsCol <= left.tsCol` within the same key group
     * (inclusive tie: a right row at exactly the left timestamp matches).

@@ -250,4 +250,76 @@ object TextAnalysis {
         (col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
           .as("score"))
   }
+
+  /** Sequence packing: assign ordered chunks of each document to fixed
+    * token-budget training sequences. A chunk goes to the sequence its
+    * CUMULATIVE starting offset falls in (`seq_idx = tokens-before div
+    * budget`) — the deterministic stride-fill rule. Chunks are never split:
+    * a chunk straddling a boundary stays with the sequence it started in
+    * (that sequence runs over budget, and the next one starts short by the
+    * same amount), and a single chunk larger than the budget can make the
+    * per-doc seq_idx sequence skip values. What IS guaranteed: every chunk
+    * is assigned to exactly one sequence, assignment depends only on
+    * (order, token counts, budget), and sequence boundaries land on budget
+    * multiples of the cumulative token stream.
+    *
+    * Scale shape (100 TB): the window partitions by DOCUMENT — millions of
+    * independent partitions, no global ordering, no single-partition window
+    * (packing across documents needs a global running sum, which serializes;
+    * cross-document packing at scale is a per-executor-partition concern,
+    * not a relational one). One shuffle on the doc key, arithmetic after
+    * that is map-side. */
+  def packSequences(
+      chunked: org.apache.spark.sql.DataFrame,
+      docCol: String,
+      orderCol: String,
+      tokensCol: String,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(docCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chunked
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      // integer division of non-negative longs: exact on both engines
+      .withColumn("seq_idx", expr(s"(__cum - `$tokensCol`) div ${budget}L"))
+      .drop("__cum")
+  }
+
+  /** Train/eval decontamination: for each eval document, count the distinct
+    * word n-grams it shares with ANY training document — the standard
+    * pre-training hygiene check (eval contamination via n-gram collision).
+    * Returns one row per eval doc: (id, n_grams, n_shared, contaminated).
+    *
+    * Scale shape (100 TB): n-grams explode map-side; the train side is
+    * reduced to DISTINCT grams (vocabulary-bounded, far smaller than the
+    * corpus) before the join, and the join carries (gram, id) only — no
+    * document payloads shuffle. Gram-frequency skew (stopword-ish grams)
+    * is AQE skew-join territory, same as tfIdf's df join. */
+  def contamination(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      isEval: Column,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__text"), isEval.as("__is_eval"))
+    // wordShingles is per-doc distinct, so (id, gram) pairs are unique here
+    val grams = base.select(col("id"), col("__is_eval"),
+      explode(Dedup.wordShingles(col("__text"), n)).as("gram"))
+    // ONE pass over the shingled corpus: a gram-partitioned window marks
+    // grams any training doc holds, then eval rows aggregate per doc.
+    // Splitting train/eval into separate plan branches (semi-join shape)
+    // would scan + tokenize + explode the whole corpus TWICE — the dominant
+    // map-side cost at scale — because the differing filters block exchange
+    // reuse between the branches.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    grams
+      .withColumn("__in_train", max(when(!col("__is_eval"), lit(1)).otherwise(lit(0))).over(w))
+      .where(col("__is_eval"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__in_train")).cast("long").as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
+  }
 }

@@ -176,4 +176,27 @@ class RelationalSpec extends SparkSpec {
     assert(a.count() == a2.count())
     assert(a.intersect(b).count() == 0)
   }
+
+  test("hashStratifiedSample: per-stratum rates, determinism, subset, default for unmapped/null") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 4 == 3) null else s"s${i % 3}")).toDF("id", "stratum")
+    def sample() = Relational.hashStratifiedSample(
+      df, col("id"), col("stratum"), Map("s0" -> 100, "s1" -> 50, "s2" -> 0), defaultPct = 100)
+    val kept = sample().collect().map(r => (r.getLong(0), r.getString(1)))
+    // pct=100 keeps every row, pct=0 none; the hash rule decides in between
+    assert(kept.count(_._2 == "s0") == df.where($"stratum" === "s0").count())
+    assert(kept.count(_._2 == "s2") == 0)
+    assert(kept.count(_._2 == null) == df.where($"stratum".isNull).count()) // default applies to null
+    val s1Kept  = kept.count(_._2 == "s1").toDouble
+    val s1Total = df.where($"stratum" === "s1").count().toDouble
+    assert(s1Kept / s1Total > 0.3 && s1Kept / s1Total < 0.7, s"s1 rate ${s1Kept / s1Total}")
+    // deterministic: same rows kept on a re-run, and a subset of the input
+    assert(sample().collect().map(r => r.getLong(0)).toSet == kept.map(_._1).toSet)
+    // consistency with hashSplitTag's bucket: s1 at 50% keeps exactly the
+    // ids whose bucket < 50
+    val expected = df.where($"stratum" === "s1").collect().map(_.getLong(0))
+      .filter(id => ((id % 1000003L) * 2654435761L) % 100L < 50L).toSet
+    assert(kept.filter(_._2 == "s1").map(_._1).toSet == expected)
+  }
 }

@@ -131,4 +131,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((1L, "cat")) == ((1L, 1L, 3.0)))
     assert(out.keys.count(_._2 == "the") == 3)
   }
+
+  test("packSequences: stride-fill rule — chunk joins the sequence its offset starts in") {
+    import spark.implicits._
+    // doc 1 chunk tokens: 10, 10, 10, 10 with budget 16:
+    //   offsets-before 0,10,20,30 → seq 0,0,1,1
+    // doc 2 single 40-token chunk: offset 0 → seq 0 (over budget, no gap)
+    val chunked = Seq(
+      (1L, 0L, 10L), (1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 10L),
+      (2L, 0L, 40L)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val packed = TextAnalysis.packSequences(chunked, "doc_id", "chunk_idx", "n_tokens", budget = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(packed == Set((1L, 0L, 0L), (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 1L), (2L, 0L, 0L)))
+  }
+
+  test("packSequences: every sequence except a doc's last reaches the budget") {
+    import spark.implicits._
+    val chunked = (0L until 50L).map(i => (i % 5, i, 7L)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val seqs = TextAnalysis.packSequences(chunked, "doc_id", "chunk_idx", "n_tokens", budget = 20L)
+      .groupBy("doc_id", "seq_idx").agg(sum("n_tokens").as("tot"))
+    val maxSeq = seqs.groupBy("doc_id").agg(max("seq_idx").as("last")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    seqs.collect().foreach { r =>
+      val (doc, seq, tot) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (seq != maxSeq(doc)) assert(tot >= 20L, s"non-final seq $seq of doc $doc under budget: $tot")
+    }
+  }
+
+  test("contamination counts shared eval/train n-grams; clean docs report zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),          // eval: shares trigrams with doc 1
+      (1L, "alpha beta gamma delta epsilon"),  // train
+      (10L, "zz yy xx ww"),                    // eval: no shared grams
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(docs, "text", "doc_id",
+        isEval = col("doc_id") % 10 === 0, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0 grams: "alpha beta gamma", "beta gamma delta" — both in doc 1
+    assert(out(0L) == ((2L, 2L, 1L)))
+    assert(out(10L) == ((2L, 0L, 0L)))
+    assert(!out.contains(1L) && !out.contains(3L)) // train docs don't report
+  }
+
+  test("contamination: null-text rows are ignored on both sides") {
+    import spark.implicits._
+    val docs = Seq((0L, null: String), (1L, "a b c"), (20L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(docs, "text", "doc_id",
+        isEval = col("doc_id") % 10 === 0, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(20L -> 1L)) // null eval doc absent; doc 20 matches doc 1
+  }
 }
