@@ -1385,8 +1385,7 @@ object SparkEntry {
         "CASE WHEN ((doc_id % 1000003 + 1000003) % 1000003 * 2654435761) % 100 < 80 " +
         "THEN 'train' ELSE 'val' END AS split " +
         "FROM surv, UNNEST(range(0, GREATEST(CAST(ceil(len(text) / 200.0) AS BIGINT), 1))) AS t(i) " +
-        "ORDER BY doc_id, chunk_idx"
-    },
+        "ORDER BY doc_id, chunk_idx"),
 
     "q_explode_tokens" ->
       (s"SELECT token, COUNT(*) AS n FROM " +
