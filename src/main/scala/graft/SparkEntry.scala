@@ -28,7 +28,10 @@ object SparkEntry {
     * the index exists). Memoized per (dir, SOURCE-FILE fingerprint): the
     * fingerprint (file names/sizes/mtimes — a metadata-only listing, no data
     * read) is re-derived on EVERY call, so an embeddings table regenerated
-    * mid-process invalidates the memo instead of probing stale centroids. */
+    * mid-process invalidates the memo instead of probing stale centroids.
+    * A new fingerprint for a dir evicts that dir's superseded entries —
+    * otherwise a long-lived JVM repeatedly regenerating a dataset grows the
+    * map (and its centroid arrays) without bound. */
   private val ivfMemo = scala.collection.concurrent.TrieMap[(String, String), Array[Array[Float]]]()
 
   private def ivfIndexPath(dir: String): String =
@@ -39,6 +42,7 @@ object SparkEntry {
     val emb  = t(s, dir, "embeddings")
     val fp   = Similarity.sourceFingerprint(emb)
     val cent = ivfMemo.getOrElseUpdate((dir, fp), {
+      ivfMemo.filterInPlace { case ((d, _), _) => d != dir }
       Similarity.loadIvfCentroids(s, path, expectSource = Some(fp))
         .getOrElse(Similarity.buildIvfIndex(emb, "embedding", "vec_id", k = 8, path))
     })

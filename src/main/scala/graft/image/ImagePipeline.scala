@@ -55,20 +55,29 @@ object ImagePipeline {
     * The default must live on a filesystem ALL executors and the driver
     * share: a driver-local `java.io.tmpdir` path is only that on a
     * single-JVM master (executors would write their own local disks and the
-    * read-back would see partial data). Local scheme → JVM temp dir;
-    * any other scheme (HDFS/S3/...) → a sibling of the source directory on
-    * the SAME filesystem, which is shared by construction. */
+    * read-back would see partial data). Local scheme → JVM temp dir.
+    * Non-local schemes (HDFS/S3/...): `spark.graft.stageRoot`, when set,
+    * names a shared writable staging root and every ingest stages under it;
+    * otherwise the fallback is a sibling of the source directory on the
+    * SAME filesystem (shared by construction) — which requires WRITE
+    * permission next to the data and leaves `.graft_ingest_stage_*` dirs
+    * there until the caller cleans them, so production jobs whose source
+    * tree is read-only must set the conf key. */
   private def defaultStageDir(spark: SparkSession, dir: String): String = {
     val src = new org.apache.hadoop.fs.Path(dir)
     val fs  = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val local = fs.getUri.getScheme == null || fs.getUri.getScheme == "file"
-    if (local) {
-      val base = s"graft_ingest_${graft.tables.FsIO.tmpTag(dir)}_"
-      java.nio.file.Files.createTempDirectory(base).toString + "/staged"
-    } else {
-      val parent = Option(src.getParent).getOrElse(src)
-      new org.apache.hadoop.fs.Path(parent,
-        s".graft_ingest_stage_${src.getName}_${java.util.UUID.randomUUID().toString.take(8)}").toString
+    val root = spark.conf.getOption("spark.graft.stageRoot").filter(_.nonEmpty)
+    val tag  = s".graft_ingest_stage_${src.getName}_${java.util.UUID.randomUUID().toString.take(8)}"
+    (local, root) match {
+      case (true, None) =>
+        val base = s"graft_ingest_${graft.tables.FsIO.tmpTag(dir)}_"
+        java.nio.file.Files.createTempDirectory(base).toString + "/staged"
+      case (_, Some(r)) =>
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(r), tag).toString
+      case (false, None) =>
+        val parent = Option(src.getParent).getOrElse(src)
+        new org.apache.hadoop.fs.Path(parent, tag).toString
     }
   }
 

@@ -63,6 +63,18 @@ class ImagePipelineSpec extends SparkSpec {
     assert(leaked.isEmpty, s"ingest leaked persistent RDDs: $leaked")
   }
 
+  test("spark.graft.stageRoot routes default staging under the configured root") {
+    val root = Files.createTempDirectory("graft_stage_root").toString
+    spark.conf.set("spark.graft.stageRoot", root)
+    try {
+      val out = ImagePipeline.ingest(spark, fixtureDir)
+      assert(out.count() == ImageFixtures.Classes.size * 6)
+      val staged = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith(".graft_ingest_stage_"))
+      assert(staged.nonEmpty, s"no staging dir created under $root")
+    } finally spark.conf.unset("spark.graft.stageRoot")
+  }
+
   test("a second ingest does not invalidate a previously returned frame") {
     val a = ImagePipeline.ingest(spark, fixtureDir)
     ImagePipeline.ingest(spark, fixtureDir) // stages to its own dir
