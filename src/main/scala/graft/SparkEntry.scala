@@ -305,6 +305,54 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // -- north-star: Bloom-prefiltered decontamination ---------------------
+    // Same contract and SAME ORACLE as q_decontaminate — the Bloom stage
+    // only prunes the train-side shuffle (the 100 TB scan); an exact confirm
+    // join removes its false positives, so the result is bit-identical.
+    "q_decontaminate_bloom" -> ((s, d) =>
+      TextAnalysis.contaminationBloom(t(s, d, "documents"), "text", "doc_id",
+          isEval = col("doc_id") % 10 === 0, n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // -- north-star: target-mixture corpus rebalance -----------------------
+    // Keep the largest subset whose expected lang mixture is en:de:zh=3:1:1;
+    // rates derived IN THE PLAN from the observed counts (no driver collect),
+    // row choice by the engine-replayable id-hash bucket.
+    "q_mixture_sample" -> ((s, d) =>
+      Relational.mixtureSample(t(s, d, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 3.0, "de" -> 1.0, "zh" -> 1.0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // -- north-star: frequency-ranked vocabulary build ---------------------
+    // Two-phase global rank (withGlobalRank): no single-partition window,
+    // vocab ids assigned in parallel — the vocab-scale dictionary path.
+    "q_vocab_build" -> ((s, d) =>
+      TextAnalysis.buildVocab(t(s, d, "documents"), "text", minCount = 5, numParts = 32)
+        .select(col("token"), col("n"), col("vocab_id"))
+        .orderBy("vocab_id")),
+
+    // -- interchange formats: exact CSV / JSON-lines round-trips -----------
+    // Write the parquet table out and read it back under an explicit schema;
+    // the oracle reads the ORIGINAL parquet — hash equality proves the text
+    // round-trip is lossless (types, nulls, timestamps).
+    "q_csv_roundtrip" -> ((s, d) => {
+      val src = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString + "/orders_csv"
+      graft.tables.FormatIO.writeCsv(src, dir)
+      graft.tables.FormatIO.readCsv(s, dir, src.schema)
+        .orderBy("o_orderkey")
+    }),
+
+    "q_json_roundtrip" -> ((s, d) => {
+      val src = t(s, d, "customer")
+      val dir = java.nio.file.Files.createTempDirectory("graft_json_rt").toString + "/customer_json"
+      graft.tables.FormatIO.writeJsonLines(src, dir)
+      graft.tables.FormatIO.readJsonLines(s, dir, src.schema)
+        .orderBy("c_custkey")
+    }),
+
     // -- north-star: bag-of-words fingerprint dedup ----------------------
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -1115,6 +1163,24 @@ object SparkEntry {
     s"list_distinct(list_transform(range(1, greatest(len(tk)-${n - 1},1)+1), " +
       s"i -> array_to_string(tk[i:least(i+${n - 1}, len(tk))], ' ')))"
 
+  /** Ground truth for BOTH decontamination plans (`q_decontaminate` exact
+    * one-pass window; `q_decontaminate_bloom` Bloom-prefilter + exact
+    * confirm) — the two are contractually bit-identical, so they share one
+    * oracle definition. */
+  private def decontaminateSql: String =
+    "WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS is_eval, " +
+      s"$tokensSql AS tk FROM documents WHERE text IS NOT NULL), " +
+      s"grams AS (SELECT doc_id, is_eval, unnest(${shinglesSql(3)}) AS gram FROM toks), " +
+      "train AS (SELECT DISTINCT gram FROM grams WHERE NOT is_eval), " +
+      "eg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE is_eval), " +
+      "sh AS (SELECT doc_id, COUNT(*) AS n_shared FROM eg " +
+      "WHERE EXISTS (SELECT 1 FROM train WHERE train.gram = eg.gram) GROUP BY doc_id), " +
+      "ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM eg GROUP BY doc_id) " +
+      "SELECT ng.doc_id AS doc_id, ng.n_grams AS n_grams, " +
+      "COALESCE(sh.n_shared, 0) AS n_shared, " +
+      "CAST(COALESCE(sh.n_shared, 0) > 0 AS BIGINT) AS contaminated " +
+      "FROM ng LEFT JOIN sh USING (doc_id) ORDER BY doc_id"
+
   /** DuckDB expression replica of `TextAnalysis.qualityScore` over a column
     * named `text` — shared by `q_quality_score` and the end-to-end
     * `q_corpus_prep` oracle so the two can't drift. Both engines round to 6
@@ -1257,19 +1323,40 @@ object SparkEntry {
         "COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens " +
         "FROM cum GROUP BY doc_id, seq_idx ORDER BY doc_id, seq_idx"),
 
-    "q_decontaminate" ->
-      ("WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS is_eval, " +
-        s"$tokensSql AS tk FROM documents WHERE text IS NOT NULL), " +
-        s"grams AS (SELECT doc_id, is_eval, unnest(${shinglesSql(3)}) AS gram FROM toks), " +
-        "train AS (SELECT DISTINCT gram FROM grams WHERE NOT is_eval), " +
-        "eg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE is_eval), " +
-        "sh AS (SELECT doc_id, COUNT(*) AS n_shared FROM eg " +
-        "WHERE EXISTS (SELECT 1 FROM train WHERE train.gram = eg.gram) GROUP BY doc_id), " +
-        "ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM eg GROUP BY doc_id) " +
-        "SELECT ng.doc_id AS doc_id, ng.n_grams AS n_grams, " +
-        "COALESCE(sh.n_shared, 0) AS n_shared, " +
-        "CAST(COALESCE(sh.n_shared, 0) > 0 AS BIGINT) AS contaminated " +
-        "FROM ng LEFT JOIN sh USING (doc_id) ORDER BY doc_id"),
+    "q_decontaminate" -> decontaminateSql,
+
+    // the Bloom variant is contractually bit-identical to the exact plan —
+    // ONE oracle definition keeps the two from drifting
+    "q_decontaminate_bloom" -> decontaminateSql,
+
+    "q_mixture_sample" ->
+      // rate arithmetic ordered exactly as Relational.mixtureSample builds
+      // it ((c * w) / n, counts cast to DOUBLE before the division), so the
+      // derived doubles — and hence the kept row set — are bit-identical
+      ("WITH counts AS (SELECT lang AS s, CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CASE WHEN lang = 'de' THEN 1.0 WHEN lang = 'en' THEN 3.0 WHEN lang = 'zh' THEN 1.0 END AS w " +
+        "FROM documents WHERE lang IN ('de','en','zh') GROUP BY lang), " +
+        "mn AS (SELECT MIN(n / w) AS c FROM counts), " +
+        "rates AS (SELECT s, (mn.c * w / n) AS rate FROM counts, mn) " +
+        "SELECT doc_id, lang FROM documents d JOIN rates ON d.lang = rates.s " +
+        "WHERE CAST(((doc_id % 1000003 + 1000003) % 1000003 * 2654435761) % 1000000 AS DOUBLE) " +
+        "< rate * 1000000.0 ORDER BY doc_id"),
+
+    "q_vocab_build" ->
+      ("WITH tok AS (SELECT unnest(" + tokensSql + ") AS token " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "cnt AS (SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' " +
+        "GROUP BY token HAVING COUNT(*) >= 5) " +
+        "SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS vocab_id " +
+        "FROM cnt ORDER BY vocab_id"),
+
+    // round-trips: the oracle reads the ORIGINAL parquet — equality means
+    // the text-format hop lost nothing
+    "q_csv_roundtrip" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "q_json_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
 
     "q_stratified_sample" ->
       // same overflow-safe pmod arithmetic as q_hash_split; CASE order is

@@ -65,25 +65,43 @@ object Relational {
       .select(labelCol)
       .where(col(labelCol).isNotNull)
       .distinct()
-      .persist() // one distinct computation feeds both the sampling + shuffle passes
-    val local = labels
-      .repartitionByRange(numParts, col(labelCol))
+    val ranked = withGlobalRank(labels, indexCol, numParts, col(labelCol))
+    df.join(ranked, Seq(labelCol), "left_outer")
+  }
+
+  /** TWO-PHASE global rank: attach `indexCol` = 0-based position of each row
+    * under the total order `order` — without a single-partition window.
+    * Range-repartition on the order keys, rank within each partition in
+    * parallel, then add per-partition offsets (a ≤`numParts`-row driver
+    * collect of COUNTS; row values never reach the driver). `order` must be
+    * a total order over `df`'s rows (ties across rows would make ranks
+    * nondeterministic between runs). The input is cached for the range
+    * partitioner's sampling pass and the ranked result localCheckpointed so
+    * the collected offsets can never disagree with a re-sampled
+    * partitioning. The backbone of [[withDictIndexLarge]] and
+    * `TextAnalysis.buildVocab`. */
+  def withGlobalRank(df: DataFrame, indexCol: String, numParts: Int,
+      order: Column*): DataFrame = {
+    val in = df.persist() // one computation feeds both the sampling + shuffle passes
+    val local = in
+      .repartitionByRange(numParts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__li", (row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(col(labelCol))) - 1).cast("long"))
+        Window.partitionBy(col("__pid")).orderBy(order: _*)) - 1).cast("long"))
       .localCheckpoint()
-    labels.unpersist(false) // the checkpoint cut the lineage
+    in.unpersist(false) // the checkpoint cut the lineage
     val counts = local.groupBy("__pid").agg(count(lit(1)).as("c"))
       .orderBy("__pid").collect() // ≤ numParts rows — driver-safe
-    // offset(pid) = labels in lexicographically-earlier partitions
+    // offset(pid) = rows in order-earlier partitions (range partition ids
+    // ascend with the sort order, including for descending order columns)
     var acc = 0L
     val offsets = counts.map { r =>
       val o = r.getInt(0) -> acc; acc += r.getLong(1); o
     }.toMap
-    val ranked = local
+    if (offsets.isEmpty) local.drop("__pid", "__li").withColumn(indexCol, lit(0L).cast("long"))
+    else local
       .withColumn(indexCol, col("__li") + element_at(typedLit(offsets), col("__pid")))
       .drop("__pid", "__li")
-    df.join(ranked, Seq(labelCol), "left_outer")
   }
 
   /** Top-k by explicit order. Plans as TakeOrderedAndProject: per-partition
@@ -160,6 +178,46 @@ object Relational {
       case ((s, p), other) => when(stratumCol === s, lit(p)).otherwise(other)
     }
     df.where(bucket < pct)
+  }
+
+  /** Rebalance a corpus to a TARGET mixture: given relative weights per
+    * stratum (domain/source/language), keep the LARGEST subset whose
+    * expected stratum proportions equal the weights. Per-stratum keep rate
+    * `r_s = c·w_s/N_s` with `c = min_s(N_s/w_s)` — the binding stratum (the
+    * one scarcest relative to its target share) is kept whole and every
+    * other stratum downsamples to match. Strata not in `weights` are
+    * dropped. Row selection is the same overflow-safe id-hash bucket as
+    * [[hashSplitTag]] (deterministic, engine-replayable — see
+    * `q_mixture_sample`'s oracle), over 1e6 buckets for rate resolution.
+    *
+    * Scale shape (100 TB): pass 1 is a map-side-combined count per stratum
+    * (output rows = #strata, tiny); the rate arithmetic happens IN THE PLAN
+    * on that tiny frame (stratum counts never reach the driver), and pass 2
+    * re-attaches rates by broadcast join + map-side filter. Nothing large
+    * ever shuffles. The double arithmetic deriving `r_s` is ordered
+    * identically in the oracle SQL, so the kept row set is bit-reproducible
+    * across engines. */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: Column,
+      stratumCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and strictly positive")
+    val counts = df.where(stratumCol.isin(weights.keys.toSeq: _*))
+      .groupBy(stratumCol.as("__stratum"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", weights.toSeq.sortBy(_._1).foldRight(lit(null).cast("double"): Column) {
+        case ((s, w), other) => when(col("__stratum") === s, lit(w)).otherwise(other)
+      })
+    // c = min_s(N_s/w_s): a one-row frame, cross-joined back (both sides tiny)
+    val c = counts.agg(min(col("__n") / col("__w")).as("__c"))
+    val rates = counts.crossJoin(c)
+      .select(col("__stratum"), (col("__c") * col("__w") / col("__n")).as("__rate"))
+    val bucket = pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(1000000L))
+    df.join(broadcast(rates), stratumCol === col("__stratum"))
+      .where(bucket.cast("double") < col("__rate") * lit(1000000.0))
+      .drop("__stratum", "__rate")
   }
 
   /** As-of join: attach to every left row the `valueCols` of the LATEST

@@ -322,4 +322,99 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"), sum(col("__in_train")).cast("long").as("n_shared"))
       .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
   }
+
+  /** [[contamination]] restructured for the 100 TB regime, same exact
+    * result. There the corpus sides are wildly asymmetric: the TRAIN corpus
+    * is the 100 TB scan while the eval/benchmark set is tiny (thousands of
+    * docs, millions of grams). The one-pass window plan above shuffles the
+    * ENTIRE train gram stream on `gram` to answer a question about the tiny
+    * side — at scale that shuffle IS the job.
+    *
+    * This variant broadcasts a Bloom filter built over the distinct EVAL
+    * grams (MBs for millions of grams at 1% fpp) and prunes the train gram
+    * stream MAP-SIDE against it: only grams that possibly collide with an
+    * eval gram (true hits + `fpp` of the rest) ever shuffle. An exact inner
+    * join against the true eval-gram set then discards the false positives,
+    * so the output is bit-identical to [[contamination]] — the Bloom stage
+    * only prunes, never decides. This is the sketch-prefilter + exact-confirm
+    * pattern (the same shape Spark's own runtime bloom-join pushdown
+    * applies, made explicit and sized by the caller).
+    *
+    * Cost model vs [[contamination]]: two passes over the (cheap, map-side)
+    * eval shingling instead of one, plus a driver-aggregated Bloom build over
+    * the distinct eval grams, in exchange for reducing the train-side
+    * shuffle from O(|train grams|) to O(|hits| + fpp·|train grams|). Choose
+    * it whenever |eval| ≪ |train| — i.e. always, for real decontamination. */
+  def contaminationBloom(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      isEval: Column,
+      n: Int,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = docs.sparkSession
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__text"), isEval.as("__is_eval"))
+    // (id, gram) unique per doc — wordShingles is per-doc distinct
+    val evalGrams = base.where(col("__is_eval"))
+      .select(col("id"), explode(Dedup.wordShingles(col("__text"), n)).as("gram"))
+      // consumed three times (distinct-gram set, Bloom build via that set,
+      // final join + per-doc counts); eval side is small by contract
+      .persist()
+    val evalGramSet = evalGrams.select("gram").distinct().persist()
+    val nEvalGrams  = evalGramSet.count() // also materializes both caches
+    val bloomBc = spark.sparkContext.broadcast(
+      evalGramSet.stat.bloomFilter("gram", math.max(nEvalGrams, 1L), fpp))
+    val mightHit = udf((g: String) => bloomBc.value.mightContainString(g))
+    // Train side: explode map-side, drop Bloom misses BEFORE the distinct's
+    // shuffle — the only train grams that cross the wire are possible hits.
+    val trainHits = base.where(!col("__is_eval"))
+      .select(explode(Dedup.wordShingles(col("__text"), n)).as("gram"))
+      .where(mightHit(col("gram")))
+      .distinct()
+      // exact confirm: false positives fail this join; survivors are
+      // precisely the train∩eval grams
+      .join(evalGramSet, Seq("gram"))
+    val shared = evalGrams.join(trainHits, Seq("gram"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    val out = evalGrams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+      .join(shared, Seq("id"), "left_outer")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
+      // flatten lineage off the caches so they can be released eagerly
+      // (dropping blocks later would force recomputation of the Bloom build)
+      .localCheckpoint()
+    evalGrams.unpersist(false)
+    evalGramSet.unpersist(false)
+    out
+  }
+
+  /** Build a frequency-ranked vocabulary over a corpus: one row per token
+    * with its corpus count and a dense 0-based `vocab_id` assigned by
+    * (count DESC, token ASC) — the conventional id order (id 0 = most
+    * frequent; the tie-break makes the ranking a total order). Tokens below
+    * `minCount` are pruned BEFORE ranking, the standard rare-token cutoff.
+    *
+    * Scale shape (100 TB): the explode+count is map-side-combined (partial
+    * aggregation reduces each task's stream to its local distinct tokens
+    * before the shuffle), the count shuffle carries (token, long) only, and
+    * the global id assignment is `Relational.withGlobalRank`'s two-phase
+    * rank — a vocab of hundreds of millions of tokens ranks in parallel
+    * with no single-partition window and no value collect. */
+  def buildVocab(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long = 1,
+      numParts: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val counts = docs
+      .where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "") // trim+split leaves one empty token on blank text
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    Relational.withGlobalRank(counts, "vocab_id", numParts, col("n").desc, col("token"))
+  }
 }

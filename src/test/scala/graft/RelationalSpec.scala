@@ -199,4 +199,41 @@ class RelationalSpec extends SparkSpec {
       .filter(id => ((id % 1000003L) * 2654435761L) % 100L < 50L).toSet
     assert(kept.filter(_._2 == "s1").map(_._1).toSet == expected)
   }
+
+  test("withGlobalRank matches a single-partition row_number for any order") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, (i * 7919L) % 97L)).toDF("id", "v")
+    val got = Relational.withGlobalRank(df, "rnk", numParts = 8, col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val want = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, v) => (-v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got == want)
+    // empty input ranks to an empty frame, not an error
+    assert(Relational.withGlobalRank(df.where(lit(false)), "rnk", 8, col("id")).count() == 0)
+  }
+
+  test("mixtureSample: binding stratum kept whole, target mixture achieved, deterministic") {
+    import spark.implicits._
+    // n: a=1200, b=300, c=500; weights 3:1:1 → c = min(1200/3, 300/1, 500/1) = 300
+    // → keep a: 900, b: 300 (whole — binding), c: 300 in expectation
+    val df = (0L until 2000L).map { i =>
+      val s = if (i < 1200) "a" else if (i < 1500) "b" else "c"
+      (i, s)
+    }.toDF("id", "stratum").union(Seq((9999L, "drop_me")).toDF("id", "stratum"))
+    val kept = Relational.mixtureSample(df, col("id"), col("stratum"),
+        Map("a" -> 3.0, "b" -> 1.0, "c" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byS = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byS.contains("drop_me"))                 // unlisted strata drop
+    assert(byS("b") == 300)                          // binding stratum kept whole
+    // hash buckets are uniform but not exact — allow ±12% around the target
+    assert(math.abs(byS("a") - 900) < 108, s"a kept ${byS("a")}")
+    assert(math.abs(byS("c") - 300) < 36, s"c kept ${byS("c")}")
+    // deterministic and a subset of the input
+    val again = Relational.mixtureSample(df, col("id"), col("stratum"),
+        Map("a" -> 3.0, "b" -> 1.0, "c" -> 1.0)).collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+    assert(kept.map(_._1).toSet.subsetOf(df.collect().map(_.getLong(0)).toSet))
+  }
 }

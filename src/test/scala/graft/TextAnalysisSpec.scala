@@ -182,4 +182,35 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out == Map(20L -> 1L)) // null eval doc absent; doc 20 matches doc 1
   }
+
+  test("contaminationBloom is bit-identical to the exact contamination plan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isEval = col("doc_id") % 10 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val exact = rows(TextAnalysis.contamination(docs, "text", "doc_id", isEval, n = 3))
+    // a tight fpp AND a sloppy one — false positives must never show through
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = rows(TextAnalysis.contaminationBloom(docs, "text", "doc_id", isEval, n = 3, fpp))
+      assert(bloom == exact, s"bloom(fpp=$fpp) diverged from exact")
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("buildVocab: ids dense in (count desc, token asc) order, minCount prunes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b  c d"),
+      (3L, null: String),
+      (4L, "   ")).toDF("doc_id", "text")
+    val v = TextAnalysis.buildVocab(docs, "text", minCount = 1, numParts = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // counts: b=4, a=3, c=2, d=1; blank text contributes nothing
+    assert(v.sortBy(_._3).toSeq == Seq(("b", 4L, 0L), ("a", 3L, 1L), ("c", 2L, 2L), ("d", 1L, 3L)))
+    val pruned = TextAnalysis.buildVocab(docs, "text", minCount = 2, numParts = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(pruned.sortBy(_._2).toSeq == Seq(("b", 0L), ("a", 1L), ("c", 2L)))
+  }
 }
