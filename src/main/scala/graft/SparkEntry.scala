@@ -325,6 +325,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // -- north-star: deterministic training-order shuffle -------------------
+    // Epoch reshuffle without RNG state: multiplicative hash of (id, salt),
+    // range-exchange sort — reproducible across runs/engines/partitionings.
+    "q_shuffle_order" -> ((s, d) =>
+      Relational.deterministicShuffle(t(s, d, "documents"), col("doc_id"), salt = 7L)
+        .select(col("doc_id"), col("shuffle_key"))),
+
+    // -- approximate aggregates (the 100 TB cardinality path) --------------
+    // HLL++ distinct + approx percentile: sketches merge as partial
+    // aggregates (map-side combined, no key shuffle). Engine-specific sketch
+    // values → no cross-engine oracle by contract; tolerance vs the exact
+    // answers is asserted in RelationalSpec.
+    "q_approx_agg" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_quantity").cast("double"), lit(0.5), lit(10000))
+          .as("approx_median_qty"))),
+
     // -- north-star: frequency-ranked vocabulary build ---------------------
     // Two-phase global rank (withGlobalRank): no single-partition window,
     // vocab ids assigned in parallel — the vocab-scale dictionary path.
@@ -1341,6 +1360,13 @@ object SparkEntry {
         "SELECT doc_id, lang FROM documents d JOIN rates ON d.lang = rates.s " +
         "WHERE CAST(((doc_id % 1000003 + 1000003) % 1000003 * 2654435761) % 1000000 AS DOUBLE) " +
         "< rate * 1000000.0 ORDER BY doc_id"),
+
+    "q_shuffle_order" ->
+      // same overflow-safe pmod chain as Relational.deterministicShuffle;
+      // the row ORDER is the payload here — the hash covers it
+      ("SELECT doc_id, (((doc_id % 1000003 + 1000003) % 1000003 + 7) % 1000003) " +
+        "* 2654435761 % 1000000 AS shuffle_key " +
+        "FROM documents ORDER BY shuffle_key, doc_id"),
 
     "q_vocab_build" ->
       ("WITH tok AS (SELECT unnest(" + tokensSql + ") AS token " +

@@ -210,14 +210,35 @@ object Relational {
       .withColumn("__w", weights.toSeq.sortBy(_._1).foldRight(lit(null).cast("double"): Column) {
         case ((s, w), other) => when(col("__stratum") === s, lit(w)).otherwise(other)
       })
-    // c = min_s(N_s/w_s): a one-row frame, cross-joined back (both sides tiny)
-    val c = counts.agg(min(col("__n") / col("__w")).as("__c"))
-    val rates = counts.crossJoin(c)
+    // c = min_s(N_s/w_s) attached by an unpartitioned window over the counts
+    // frame — ≤|weights| rows, so the single-partition window is free, and
+    // unlike an agg + crossJoin (two plan branches over the same aggregate)
+    // the counts subtree — and the corpus scan under it — evaluates ONCE
+    val rates = counts
+      .withColumn("__c", min(col("__n") / col("__w")).over(Window.partitionBy()))
       .select(col("__stratum"), (col("__c") * col("__w") / col("__n")).as("__rate"))
     val bucket = pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(1000000L))
     df.join(broadcast(rates), stratumCol === col("__stratum"))
       .where(bucket.cast("double") < col("__rate") * lit(1000000.0))
       .drop("__stratum", "__rate")
+  }
+
+  /** Deterministic global shuffle — the "randomize training order" step of
+    * a pretraining pipeline, without RNG state: sort by the overflow-safe
+    * multiplicative hash of (id, salt). Same salt → same order across runs,
+    * engines, partitionings (epoch reshuffles pass a different salt);
+    * contrast `orderBy(rand(seed))`, whose draws are partition-seeded and
+    * change with the input layout. The returned `shuffle_key` column makes
+    * the order itself checkable (ties broken by id).
+    *
+    * Scale shape (100 TB): a sort is a range exchange — sampled boundaries,
+    * balanced output partitions, no single-task bottleneck; hash values are
+    * uniform by construction so the ranges carry equal weight. */
+  def deterministicShuffle(df: DataFrame, idCol: Column, salt: Long): DataFrame = {
+    require(salt >= 0 && salt < 1000003L, s"salt must be in [0, 1000003), got $salt")
+    val key = pmod(pmod(pmod(idCol.cast("long"), lit(1000003L)) + lit(salt), lit(1000003L)) *
+      lit(2654435761L), lit(1000000L))
+    df.withColumn("shuffle_key", key).orderBy(col("shuffle_key"), idCol)
   }
 
   /** As-of join: attach to every left row the `valueCols` of the LATEST

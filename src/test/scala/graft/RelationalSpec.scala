@@ -200,6 +200,34 @@ class RelationalSpec extends SparkSpec {
     assert(kept.filter(_._2 == "s1").map(_._1).toSet == expected)
   }
 
+  test("deterministicShuffle: reproducible order, salt changes it, key matches the hash rule") {
+    import spark.implicits._
+    val df = (0L until 300L).toDF("id")
+    def order(salt: Long) =
+      Relational.deterministicShuffle(df, col("id"), salt).collect().map(_.getLong(0)).toSeq
+    assert(order(7L) == order(7L))                       // same salt → same order
+    assert(order(7L) != order(8L))                       // epoch reshuffle
+    assert(order(7L).sorted == (0L until 300L))          // a permutation, nothing lost
+    val keyed = Relational.deterministicShuffle(df, col("id"), 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    keyed.foreach { case (id, k) =>
+      assert(k == ((id % 1000003L) + 7L) % 1000003L * 2654435761L % 1000000L)
+    }
+  }
+
+  test("approximate aggregates land within tolerance of exact answers") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("a"),
+      countDistinct(col("l_orderkey")).as("e"),
+      percentile_approx(col("l_quantity").cast("double"), lit(0.5), lit(10000)).as("am"),
+      expr("median(CAST(l_quantity AS DOUBLE))").as("em")).head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"HLL estimate $a vs exact $e")
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 1.0,
+      s"approx median ${r.getDouble(2)} vs exact ${r.getDouble(3)}")
+  }
+
   test("withGlobalRank matches a single-partition row_number for any order") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, (i * 7919L) % 97L)).toDF("id", "v")
