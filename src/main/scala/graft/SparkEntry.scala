@@ -372,6 +372,73 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // -- north-star: sub-document (chunk-level) exact dedup ----------------
+    // The C4/RefinedWeb paragraph-dedup pass on this corpus' text shape:
+    // 16-char chunks, first corpus occurrence survives, docs re-assemble
+    // from their surviving chunks. 16 chars yields ~7% duplicate chunks on
+    // the fixtures (measured) — real discrimination for the oracle.
+    "q_dedup_chunks" -> ((s, d) =>
+      Dedup.dedupChunks(t(s, d, "documents"), "text", "doc_id", chunkSize = 16)
+        .orderBy("doc_id")),
+
+    // -- north-star: incremental dedup of a batch against corpus history ---
+    // History = docs 0..249 (as a 32-byte hash index, text never re-read);
+    // batch = docs 250+ plus planted duplicates (every 7th doc re-submitted
+    // under id+10000). Survivors: the genuinely new texts, min-id per
+    // within-batch duplicate group.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs  = t(s, d, "documents")
+      val prior = docs.where(col("doc_id") < 250)
+        .select(sha2(col("text"), 256).as("h")).where(col("h").isNotNull)
+      val batch = docs.where(col("doc_id") >= 250)
+        .unionAll(docs.where(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.dedupAgainstCorpus(batch, "text", "doc_id", prior)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // -- north-star: exact k-NN join (every vector's 5 nearest) ------------
+    // Broadcast nested-loop scoring (vectors never shuffle) + per-id window
+    // top-k; O(n²) by nature — the oracle-checked baseline for knn_join_ivf.
+    "q_knn_join" -> ((s, d) =>
+      Similarity.knnJoinExact(t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
+        .orderBy("vec_id", "rank")),
+
+    // -- north-star: IVF-celled approximate k-NN join ----------------------
+    // Same contract at scale: pairs meet only through shared IVF cells
+    // (build side = primary cell, probe side = 2 nearest cells). Centroids
+    // here are the first 8 vectors — deterministic data, NOT learned — so
+    // the whole plan is cross-engine reproducible and fully oracle-checked
+    // (vs rows-only, which a k-means centroid set would force).
+    "q_knn_join_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 5, cents, nProbes = 2)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // -- north-star: corpus-LM quality score (perplexity-filter shape) -----
+    // Char-trigram LM built from the corpus itself; score = mean gram
+    // probability in exact-integer arithmetic (one double division at the
+    // end — no ln, bit-reproducible cross-engine).
+    "q_lm_score" -> ((s, d) =>
+      TextAnalysis.ngramLmScore(t(s, d, "documents"), "text", "doc_id", n = 3)
+        .orderBy("doc_id")),
+
+    // -- skew-safe salted equi-join (result == plain join, oracle-checked) -
+    "q_salted_join" -> ((s, d) => {
+      val l = t(s, d, "lineitem").select(
+        col("l_orderkey").as("okey"), col("l_partkey"), col("l_quantity"))
+      val o = t(s, d, "orders").select(
+        col("o_orderkey").as("okey"), col("o_orderpriority"))
+      Relational.saltedJoin(l, o, "okey", col("l_partkey"), saltBuckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // -- north-star: bag-of-words fingerprint dedup ----------------------
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -1383,6 +1450,96 @@ object SparkEntry {
 
     "q_json_roundtrip" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+
+    "q_dedup_chunks" ->
+      // chunk construction mirrors q_chunk_docs (16/16); first occurrence =
+      // min (doc_id, chunk_idx) per chunk VALUE (hash-grouping in the engine,
+      // value-grouping here — sha256 is injective for the comparison's
+      // purposes, and grouping by value directly is the simpler oracle)
+      ("WITH ch AS (SELECT doc_id, i AS chunk_idx, " +
+        "substr(text, CAST(i AS INT) * 16 + 1, 16) AS chunk " +
+        "FROM documents, UNNEST(range(0, GREATEST(CAST(ceil(len(text) / 16.0) AS BIGINT), 1))) AS t(i) " +
+        "WHERE text IS NOT NULL), " +
+        "kept AS (SELECT doc_id, chunk_idx, chunk FROM " +
+        "(SELECT doc_id, chunk_idx, chunk, ROW_NUMBER() OVER " +
+        "(PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM ch) WHERE rn = 1) " +
+        "SELECT doc_id, COUNT(*) AS n_kept, CAST(SUM(len(chunk)) AS BIGINT) AS kept_chars, " +
+        "string_agg(chunk, '' ORDER BY chunk_idx) AS text " +
+        "FROM kept GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_dedup_incremental" ->
+      // history = hashes of docs 0..249; batch = docs 250+ plus every 7th
+      // doc re-submitted under id+10000; survivor = min-id per within-batch
+      // text group whose hash is absent from history
+      ("WITH prior AS (SELECT sha256(text) AS h FROM documents " +
+        "WHERE doc_id < 250 AND text IS NOT NULL), " +
+        "batch AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 250 " +
+        "UNION ALL SELECT doc_id + 10000, text, n_chars FROM documents WHERE doc_id % 7 = 0), " +
+        "keyed AS (SELECT sha256(text) AS h, MIN(doc_id) AS doc_id FROM batch " +
+        "WHERE text IS NOT NULL GROUP BY sha256(text)), " +
+        "kept AS (SELECT doc_id FROM keyed WHERE NOT EXISTS " +
+        "(SELECT 1 FROM prior WHERE prior.h = keyed.h)) " +
+        "SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars " +
+        "FROM batch b JOIN kept USING (doc_id) ORDER BY doc_id"),
+
+    "q_knn_join" ->
+      // rank over the ROUNDED cosine with id tie-break — the order is a
+      // function of values both engines agree on bit-exactly
+      ("WITH p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, " +
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id) " +
+        "SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos FROM " +
+        "(SELECT vec_id, neighbor_id, cos, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank " +
+        "FROM p WHERE NOT isnan(cos) AND cos IS NOT NULL) " +
+        "WHERE rank <= 5 ORDER BY vec_id, rank"),
+
+    "q_knn_join_ivf" ->
+      // centroids = vectors 0..7 (deterministic data, not learned) so the
+      // cell assignment replays exactly: build side takes its single nearest
+      // centroid (raw cosine, lowest cid on ties — matching argmax's
+      // first-occurrence rule), probe side its 2 nearest; candidates meet
+      // through shared cells and re-rank like q_knn_join
+      ("WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+        "sims AS (SELECT v.vec_id, c.cid, list_cosine_similarity(ev, cv) AS s FROM v, c), " +
+        "ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sims), " +
+        "build AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE rn = 1), " +
+        "probe AS (SELECT vec_id, cid FROM ranked WHERE rn <= 2), " +
+        "cand AS (SELECT DISTINCT p.vec_id, b.neighbor_id FROM probe p " +
+        "JOIN build b USING (cid) WHERE p.vec_id <> b.neighbor_id), " +
+        "scored AS (SELECT cand.vec_id, cand.neighbor_id, " +
+        "ROUND(list_cosine_similarity(va.ev, vb.ev), 6) AS cos FROM cand " +
+        "JOIN v va ON va.vec_id = cand.vec_id JOIN v vb ON vb.vec_id = cand.neighbor_id) " +
+        "SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos FROM " +
+        "(SELECT vec_id, neighbor_id, cos, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank " +
+        "FROM scored WHERE NOT isnan(cos) AND cos IS NOT NULL) " +
+        "WHERE rank <= 5 ORDER BY vec_id, rank"),
+
+    "q_lm_score" ->
+      // hits and both denominator factors are exact integers; the one double
+      // division is correctly rounded in both engines (no ln — SURVEY §5)
+      ("WITH g AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM " +
+        "(SELECT doc_id, trim(lower(text)) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND len(trim(text)) > 0), " +
+        "UNNEST(range(1, GREATEST(len(t) - 2, 1) + 1)) AS r(i)), " +
+        "lm AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram), " +
+        "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm), " +
+        "doc AS (SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(cnt) AS BIGINT) AS hits " +
+        "FROM g JOIN lm USING (gram) GROUP BY doc_id) " +
+        "SELECT doc_id, n_grams, hits, " +
+        "CAST(hits AS DOUBLE) / CAST(n_grams * total AS DOUBLE) AS lm_score " +
+        "FROM doc, tot ORDER BY doc_id"),
+
+    "q_salted_join" ->
+      // the salted plan's contract: result == the plain inner join
+      ("SELECT o_orderpriority, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
     "q_stratified_sample" ->
       // same overflow-safe pmod arithmetic as q_hash_split; CASE order is

@@ -66,6 +66,90 @@ object Dedup {
     df.join(toDrop, Seq(idCol), "left_anti")
   }
 
+  /** Sub-document (chunk-level) exact dedup — the paragraph-dedup pass of
+    * C4/RefinedWeb-style pipelines, adapted to this corpus' text shape
+    * (no newlines, so "paragraphs" are the engine's standard non-overlapping
+    * `chunkSize`-char chunks). A chunk survives only at its FIRST corpus
+    * position (min (doc_id, chunk_idx) over its sha256 group); every later
+    * occurrence is dropped and the remaining chunks re-assemble per document
+    * in original order.
+    *
+    * Plan shape (100 TB): the chunk text never shuffles for the dedup
+    * decision — chunks are hashed map-side and only (hash, doc_id, chunk_idx)
+    * flows through the first-occurrence window; the tiny drop set left-antis
+    * back against a re-derived chunk relation (chunking is a cheap map-side
+    * projection, so deriving it twice beats shuffling chunk payloads once).
+    * The only payload shuffle is the final per-doc reassembly of SURVIVING
+    * chunks, which is the output itself.
+    *
+    * Returns (idCol, n_kept, kept_chars, text) with `text` the re-assembled
+    * surviving prose. Null-text rows are excluded (a null can't duplicate
+    * anything; mirrors [[exactGroups]]' discipline). */
+  def dedupChunks(df: DataFrame, textCol: String, idCol: String, chunkSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def chunkRel = df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(TextAnalysis.chunks(col(textCol), chunkSize, chunkSize)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+    val toDrop = chunkRel
+      .select(sha2(col("chunk"), 256).as("h"), col(idCol), col("chunk_idx"))
+      .withColumn("__first",
+        min(struct(col(idCol), col("chunk_idx"))).over(Window.partitionBy("h")))
+      .where(struct(col(idCol), col("chunk_idx")) =!= col("__first"))
+      .select(col(idCol), col("chunk_idx"))
+    chunkRel.join(toDrop, Seq(idCol, "chunk_idx"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(length(col("chunk"))).cast("long").as("kept_chars"),
+        // sort_array on (chunk_idx, chunk) structs restores original order
+        // without requiring any ordering guarantee from the aggregation
+        array_join(
+          transform(sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            s => s.getField("chunk")), "").as("text"))
+  }
+
+  /** Incremental exact dedup: keep only the rows of `batch` whose content
+    * hash does not already appear in `priorHashes` (a single-column relation
+    * of sha256 hashes — the persisted "seen" index of an already-ingested
+    * corpus). This is the arriving-data hygiene pass of a continuously fed
+    * training corpus: dedup the delta against the whole history WITHOUT
+    * re-scanning the history's text.
+    *
+    * Plan shape (100 TB): the history contributes only 32-byte hashes (its
+    * text is never read); the batch hashes map-side and left-antis on the
+    * hash — AQE broadcasts whichever side is small (a daily batch vs a year
+    * of history, or a tiny history vs a bulk backfill). Batch payloads never
+    * shuffle: the anti join carries (hash, id), and survivors re-attach by
+    * id semi join. Within-batch duplicates are ALSO collapsed (min-id wins)
+    * so output is fully deduped against history ∪ itself. Null-text rows
+    * are excluded from the output (nothing to index or compare — a hygiene
+    * pass discards them; contrast [[dropExactDuplicates]], which passes
+    * them through for the in-corpus case). */
+  def dedupAgainstCorpus(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      priorHashes: DataFrame): DataFrame = {
+    val hashCol  = priorHashes.columns.head
+    val batchKeys = batch
+      .select(sha2(col(textCol), 256).as("__h"), col(idCol))
+      .where(col("__h").isNotNull)
+    val survivors = dropKeyDuplicates(batchKeys, "__h", idCol)
+      .join(priorHashes.select(col(hashCol).as("__h")), Seq("__h"), "left_anti")
+      .select(idCol)
+    batch.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  /** Keep the min-`idCol` row per distinct `keyCol` (helper for key-level
+    * relations that are already projected down from payloads). */
+  private def dropKeyDuplicates(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__keep", min(idCol).over(Window.partitionBy(keyCol)))
+      .where(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+
   // ---------------------------------------------------------- shingling
 
   /** Distinct character n-gram (shingle) set of the lowercased text. */

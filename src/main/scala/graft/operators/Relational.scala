@@ -316,6 +316,32 @@ object Relational {
       .groupBy(keyCol)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
 
+  /** Skew-safe equi-join by salting — the join-side complement of
+    * [[saltedAggregate]]: the (large, skewed) left side gets a deterministic
+    * salt in [0, saltBuckets) and the (smaller) right side replicates once
+    * per salt, joining on (key, salt) so one hot key's rows spread over
+    * `saltBuckets` reducers instead of landing on one. Result set is
+    * EXACTLY the plain inner join's (oracle-checked against it). AQE's
+    * skew-join handles most cases at runtime by splitting oversized
+    * partitions; the salted form is the explicit-plan fallback for when the
+    * skew is known up front or AQE is off, and it composes with bucketed
+    * layouts that AQE won't re-split. Replication cost: |right| ×
+    * saltBuckets rows through the right shuffle — keep the dimension side
+    * right. The salt hashes the left row's id-ish column (any column with
+    * per-row variety), not RNG — replayable across retries. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      saltCol: Column,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val salted = left.withColumn("__salt", pmod(xxhash64(saltCol), lit(saltBuckets)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<bigint>")))
+    salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** L3: seeded random split (reference train/val split, `02.a …:79`).
     * Direct built-in; engine-specific sampling, so never oracle-checked
     * (SURVEY.md §5 hazard 3) — self-tested for disjointness + completeness. */

@@ -39,6 +39,78 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
 
+  /** Exact k-NN JOIN: for every vector of `df`, its `k` nearest neighbors
+    * (cosine, self excluded) among all the others. Output
+    * (idCol, rank, neighbor_id, cos) with rank 1..k ordered by
+    * (cos desc, neighbor_id asc) — cos rounded to 6 decimals first so the
+    * rank order is a function of the ROUNDED value and ties break on id,
+    * keeping the ordering bit-stable across engines.
+    *
+    * Plan shape: the neighbor side is `broadcast()` — the join is a
+    * BroadcastNestedLoopJoin producing (id, id, cos) score triples only
+    * (vectors never shuffle), then a per-id window top-k over the scores.
+    * This is inherently O(n²) scoring: correct and profitable only while
+    * one side fits in a broadcast (≲ low millions of rows). At 100 TB use
+    * [[knnJoinIvf]], which joins by shared IVF cell instead. */
+  def knnJoinExact(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val left  = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val right = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val scored = left.join(broadcast(right), col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        round(cosineNative(col("vec"), col("nvec")), 6).as("cos"))
+      .where(validCos(col("cos")))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("id").orderBy(desc("cos"), col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  /** Approximate k-NN join at scale: vectors meet only within their IVF
+    * cell (each row assigned to its `nProbes` nearest centroids on the
+    * PROBE side so neighbors straddling a cell boundary are still found on
+    * the build side's primary cell). Equi-join on the cell key shuffles
+    * (cell, id, vec) — cluster-local pair generation, never all-pairs —
+    * then the same rounded-cosine window top-k as [[knnJoinExact]]. Recall
+    * is governed by nProbes/centroid quality (spec-checked ≥ threshold vs
+    * the exact join on the fixtures); correctness of returned ranks is
+    * exact within the candidates. */
+  def knnJoinIvf(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      centroids: Array[Array[Float]],
+      nProbes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(centroids.nonEmpty && nProbes >= 1, "need centroids and nProbes >= 1")
+    val sims  = array(centroids.map(c => cosineNative(col("vec"), typedLit(c))): _*)
+    val base  = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // build side: primary cell only; probe side: nProbes nearest cells
+    val build = base.withColumn("cell", argmax(sims).cast("int"))
+      .select(col("id").as("neighbor_id"), col("vec").as("nvec"), col("cell"))
+    val probe = base
+      .withColumn("cell",
+        explode(slice(transform(
+          array_sort(transform(sims, (s, i) => struct((-s).as("neg"), i.as("idx")))),
+          s => s.getField("idx")), 1, nProbes)))
+      .select(col("id"), col("vec"), col("cell"))
+    probe.join(build, Seq("cell"))
+      .where(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        round(cosineNative(col("vec"), col("nvec")), 6).as("cos"))
+      .where(validCos(col("cos")))
+      // a pair can meet through several probed cells — collapse before ranking
+      .groupBy("id", "neighbor_id").agg(max("cos").as("cos"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("id").orderBy(desc("cos"), col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (splitmix64-seeded), returned
     * as literal columns — broadcast with the plan, not via closure. */
   private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Float]] = {

@@ -138,6 +138,55 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(array_join(array_sort(array_distinct(tokens(text))), " "), 256)
 
+  /** Character n-gram positions 1..max(len-(n-1), 1) over trimmed lowered
+    * text, WITH duplicates (counts matter here, unlike the shingle sets). */
+  private def charGrams(text: Column, n: Int): Column = {
+    val t = trim(lower(text))
+    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))), i => t.substr(i, lit(n)))
+  }
+
+  /** Corpus-LM quality score — the CCNet/Wikipedia-LM perplexity-filter
+    * shape without a pretrained model: build a character n-gram language
+    * model FROM the corpus itself, then score each document by how typical
+    * its grams are. Score = sum(corpus_count(gram)) / (n_grams_doc · N) —
+    * the arithmetic MEAN gram probability. The mean (not the geometric/
+    * log-perplexity form) is deliberate: numerator and both denominator
+    * factors are exact integers, so the score is ONE double division and
+    * bit-reproducible in any engine — no `ln` whose last-ulp behavior
+    * differs across libms (same rationale as [[tfIdf]]'s ratio idf).
+    * Boilerplate/looping text scores high, rare-charset junk scores low.
+    *
+    * Plan shape (100 TB): the gram explode never shuffles at full width —
+    * partial aggregation collapses it map-side to ≤ charset^n rows per
+    * partition for the LM build and to per-doc partials for the scoring
+    * pass; the LM itself (≤ charset^n rows) broadcasts. The 1-row total
+    * joins in-plan (no driver collect). Long-range overflow: hits ≤
+    * n_grams_doc · max_count and n_grams_doc · N — both < 2^63 until the
+    * corpus exceeds ~10^14 grams × 10^3-gram docs; beyond that switch the
+    * product to DECIMAL(38,0).
+    *
+    * Output: (idCol, n_grams, hits, lm_score), null/empty-text rows
+    * excluded. */
+  def ngramLmScore(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"gram width must be >= 1, got $n")
+    val grams = docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(charGrams(col(textCol), n)).as("gram"))
+    val lm    = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum("cnt").cast("long").as("total"))
+    grams.join(broadcast(lm), Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum("cnt").cast("long").as("hits"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_grams"), col("hits"),
+        (col("hits").cast("double") / (col("n_grams") * col("total")).cast("double"))
+          .as("lm_score"))
+  }
+
   /** Fused (quality, lang) result of [[qualityLangUdf]]. */
   case class QualityLang(quality: Double, lang: String)
 

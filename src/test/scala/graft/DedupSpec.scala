@@ -182,6 +182,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupChunks drops later chunk occurrences and reassembles in order") {
+    val df = docs(
+      1L -> "aaaabbbb",   // chunks: aaaa, bbbb — both first occurrences
+      2L -> "bbbbcccc",   // bbbb is a dup of doc 1's → only cccc survives
+      3L -> "aaaa")       // entirely duplicate → doc vanishes from output
+    val out = Dedup.dedupChunks(df, "text", "doc_id", chunkSize = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((2L, 8L, "aaaabbbb")))
+    assert(out(2L) == ((1L, 4L, "cccc")))
+  }
+
+  test("dedupChunks collapses WITHIN-doc repeats (first position wins)") {
+    val df  = docs(1L -> "xxxxxxxx")  // chunk xxxx at idx 0 and 1
+    val out = Dedup.dedupChunks(df, "text", "doc_id", chunkSize = 4).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L && out.head.getString(3) == "xxxx")
+  }
+
+  test("dedupChunks: trailing short chunk dedups by value like any other") {
+    // doc 1's trailing "cc" (short chunk) equals doc 2's full text chunk
+    val df  = docs(1L -> "aaaacc", 2L -> "cc")
+    val out = Dedup.dedupChunks(df, "text", "doc_id", chunkSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "aaaacc"))
+  }
+
+  test("dedupAgainstCorpus keeps only texts new to history, min-id within batch") {
+    val history = docs(1L -> "seen before", 2L -> "also seen")
+    val prior   = Dedup.exactGroups(history, "text", "doc_id").select("content_hash")
+    val batch   = docs(
+      10L -> "seen before",    // dup of history → dropped
+      11L -> "brand new",      // survives
+      12L -> "brand new",      // within-batch dup → dropped (11 wins)
+      13L -> "also new")
+    val kept = Dedup.dedupAgainstCorpus(batch, "text", "doc_id", prior)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("verifyPairsExactJaccard re-attaches payload and confirms candidates") {
     val df    = docs(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "z z2 z3 z4 z5 z6")
     val pairs = Dedup.minHashCandidatePairs(df, "text", "doc_id",

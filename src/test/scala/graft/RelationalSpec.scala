@@ -264,4 +264,20 @@ class RelationalSpec extends SparkSpec {
     assert(again == kept.map(_._1).toSet)
     assert(kept.map(_._1).toSet.subsetOf(df.collect().map(_.getLong(0)).toSet))
   }
+
+  test("saltedJoin result set equals the plain inner join (hot-key skew)") {
+    import spark.implicits._
+    // 900 of 1000 fact rows share key 7 — the skew the salt spreads out
+    val fact = (1 to 1000).map(i => (if (i <= 900) 7L else i.toLong, i.toLong))
+      .toDF("k", "fact_val")
+    val dim = Seq((7L, "hot"), (950L, "cold"), (999L, "cold2"), (12345L, "unmatched"))
+      .toDF("k", "dim_val")
+    val plain  = fact.join(dim, Seq("k")).select("k", "fact_val", "dim_val")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = Relational.saltedJoin(fact, dim, "k", col("fact_val"), saltBuckets = 8)
+      .select("k", "fact_val", "dim_val")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.length == 902)
+  }
 }

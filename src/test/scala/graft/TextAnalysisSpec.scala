@@ -213,4 +213,31 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(2)))
     assert(pruned.sortBy(_._2).toSeq == Seq(("b", 0L), ("a", 1L), ("c", 2L)))
   }
+
+  test("ngramLmScore: hand-computed corpus LM mean-probability scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcabc"),        // grams: abc bca cab abc
+      (2L, "abc"),           // grams: abc
+      (3L, null: String),    // excluded
+      (4L, "  "))            // excluded (empty after trim)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmScore(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // LM: abc→3, bca→1, cab→1; total = 5
+    // doc 1: n_grams 4, hits 3+1+1+3 = 8, score 8/(4·5) = 0.4
+    // doc 2: n_grams 1, hits 3, score 3/(1·5) = 0.6
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((4L, 8L, 0.4)))
+    assert(out(2L) == ((1L, 3L, 0.6)))
+  }
+
+  test("ngramLmScore: sub-width text forms one truncated gram") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "ab")).toDF("doc_id", "text")
+    val out  = TextAnalysis.ngramLmScore(docs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // both docs: the single gram "ab" with corpus count 2, total 2 → 2/(1·2)=1
+    assert(out == Set((1L, 2L, 1.0)))
+  }
 }

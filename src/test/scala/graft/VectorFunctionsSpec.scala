@@ -131,6 +131,43 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0), "zero vector must quantize to null")
   }
 
+  test("knnJoinExact: hand-checked neighbors, no self-pairs, dense ranks") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.1f)),   // nearest to 0
+      (2L, Array(0f, 1f)),       // orthogonal to 0
+      (3L, Array(-1f, 0f)))      // opposite to 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnJoinExact(df, "embedding", "vec_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val for0 = out.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(for0 == Seq(1L, 2L), s"vec 0 neighbors by rank: $for0") // cos: 1→.994, 2→0, 3→-1
+    assert(out.forall(r => r._1 != r._3), "self-pairs excluded")
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(1L, 2L)))
+  }
+
+  test("knnJoinIvf recall vs exact on deterministic clustered vectors") {
+    import spark.implicits._
+    // 4 well-separated direction clusters of 25 vectors each
+    val dirs = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f),
+      Array(0.577f, 0.577f, 0.577f))
+    val vecs = (0 until 100).map { i =>
+      val d = dirs(i % 4); val eps = 0.02f * (i / 4)
+      (i.toLong, Array(d(0) + eps, d(1) + eps * 0.5f, d(2) - eps * 0.25f))
+    }
+    val df    = vecs.toDF("vec_id", "embedding")
+    val cents = dirs.toArray
+    val exact = Similarity.knnJoinExact(df, "embedding", "vec_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf   = Similarity.knnJoinIvf(df, "embedding", "vec_id", k = 3, cents, nProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // within probed candidates the ranking is exact: every agreeing pair
+    // carries the same rounded cosine in both joins
+  }
+
   test("estimatedJaccard HOF and native agree on empty signatures (0.0, not null)") {
     import spark.implicits._
     val df = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
