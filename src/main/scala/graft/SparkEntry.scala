@@ -1221,6 +1221,65 @@ object SparkEntry {
           .cast("long").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
         .orderBy("bin")
+    }),
+
+    // -- north-star: BM25 ranked retrieval (ratio idf — IEEE-exact) --------
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(t(s, d, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("token"), col("tf"), col("df"),
+          col("dl"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("token"))
+        .limit(100)),
+
+    // -- north-star: inverted index (token → df + sorted postings) ---------
+    "q_inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("token")),
+
+    // -- north-star: per-domain quota cap (C4-style source balancing) ------
+    "q_domain_cap" -> ((s, d) =>
+      Relational.groupQuota(
+          t(s, d, "documents").select("doc_id", "source", "n_chars"),
+          "source", 20, col("n_chars").desc, col("doc_id"))
+        .select("doc_id", "source", "n_chars", "rk")
+        .orderBy("source", "rk")),
+
+    // -- north-star: semantic dedup (SemDeDup; deterministic data-row ------
+    // centroids make even the clustered variant fully oracle-checkable)
+    "q_semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      Similarity.semanticDedup(emb, "embedding", "vec_id", cents, threshold = 0.3)
+        .orderBy("vec_id")
+    }),
+
+    // -- in-plan quantile band trim (outlier filter, no driver collect) ----
+    "q_quantile_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val band = docs.agg(
+        round(percentile(col("n_chars"), lit(0.1)), 6).as("p10"),
+        round(percentile(col("n_chars"), lit(0.9)), 6).as("p90"))
+      docs.crossJoin(band)
+        .where(col("n_chars").cast("double") >= col("p10") &&
+          col("n_chars").cast("double") <= col("p90"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // -- full-outer join (the one join type not otherwise declared) --------
+    "q_join_full" -> ((s, d) => {
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+      val o = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("sum_price"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("key"),
+          coalesce(c("c_name"), lit("<none>")).as("name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+        .orderBy("key")
     })
   )
 
@@ -1977,7 +2036,77 @@ object SparkEntry {
         "SELECT tf.doc_id AS doc_id, tf.token AS token, tf.tf AS tf, dfq.df AS df, " +
         "CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score " +
         "FROM tf JOIN dfq USING (token), n " +
-        "ORDER BY score DESC, doc_id, token LIMIT 100")
+        "ORDER BY score DESC, doc_id, token LIMIT 100"),
+
+    "q_bm25" ->
+      // every factor is an exact integer or one correctly-rounded IEEE
+      // op in the same order as the Spark plan; constants written as the
+      // same arithmetic ((1.2 + 1.0), not 2.2) so both engines fold the
+      // identical double
+      (s"WITH tk AS (SELECT doc_id, unnest($tokensSql) AS token " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tk2 GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tk2 GROUP BY 1), " +
+        "dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl) " +
+        "SELECT tf.doc_id AS doc_id, tf.token AS token, tf.tf AS tf, dfq.df AS df, dl.dl AS dl, " +
+        "ROUND(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+        "(CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) / (CAST(tf.tf AS DOUBLE) + " +
+        "1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / " +
+        "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))), 6) AS score " +
+        "FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), tot " +
+        "ORDER BY score DESC, doc_id, token LIMIT 100"),
+
+    "q_inverted_index" ->
+      (s"WITH tk AS (SELECT DISTINCT doc_id, token FROM " +
+        s"(SELECT doc_id, unnest($tokensSql) AS token FROM documents WHERE text IS NOT NULL) " +
+        "WHERE token <> '') " +
+        "SELECT token, count(*) AS df, " +
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings " +
+        "FROM tk GROUP BY token ORDER BY token"),
+
+    "q_domain_cap" ->
+      ("SELECT doc_id, source, n_chars, rk FROM " +
+        "(SELECT doc_id, source, n_chars, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk FROM documents) " +
+        "WHERE rk <= 20 ORDER BY source, rk"),
+
+    "q_semantic_dedup" ->
+      // centroids = vectors 0..7 (deterministic data rows); cell = nearest
+      // centroid by raw cosine, lowest cid on ties (argmax first-occurrence);
+      // a vector is dropped iff a LOWER-id cellmate has rounded cos >= 0.3
+      ("WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings " +
+        "WHERE embedding IS NOT NULL AND NOT isnan(list_cosine_similarity(" +
+        "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), " +
+        "sims AS (SELECT v.vec_id, c.cid, list_cosine_similarity(ev, cv) AS s FROM v, c), " +
+        "cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sims) WHERE rn = 1) " +
+        "SELECT ca.vec_id AS vec_id, CAST(ca.cid AS INT) AS cell " +
+        "FROM cell ca JOIN v va ON va.vec_id = ca.vec_id " +
+        "WHERE NOT EXISTS (SELECT 1 FROM cell cb JOIN v vb ON vb.vec_id = cb.vec_id " +
+        "WHERE cb.cid = ca.cid AND vb.vec_id < ca.vec_id " +
+        "AND ROUND(list_cosine_similarity(va.ev, vb.ev), 6) >= 0.3) " +
+        "ORDER BY vec_id"),
+
+    "q_quantile_filter" ->
+      ("SELECT doc_id, n_chars FROM documents, " +
+        "(SELECT ROUND(quantile_cont(n_chars, 0.1), 6) AS p10, " +
+        "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90 FROM documents) " +
+        "WHERE CAST(n_chars AS DOUBLE) >= p10 AND CAST(n_chars AS DOUBLE) <= p90 " +
+        "ORDER BY doc_id"),
+
+    "q_join_full" ->
+      ("WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'), " +
+        "o AS (SELECT o_custkey, count(*) AS n_orders, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT coalesce(c_custkey, o_custkey) AS key, " +
+        "coalesce(c_name, '<none>') AS name, " +
+        "coalesce(n_orders, 0) AS n_orders, coalesce(sum_price, 0.0) AS sum_price " +
+        "FROM c FULL JOIN o ON c_custkey = o_custkey ORDER BY key")
   )
 
   /** DuckDB replica of `TextAnalysis.langId`, generated from the SAME

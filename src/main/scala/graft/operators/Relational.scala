@@ -347,4 +347,24 @@ object Relational {
     * (SURVEY.md §5 hazard 3) — self-tested for disjointness + completeness. */
   def seededSplit(df: DataFrame, weights: Array[Double], seed: Long): Array[DataFrame] =
     df.randomSplit(weights, seed)
+
+  /** Per-group quota cap: keep at most `n` rows per `groupCol`, chosen by
+    * `order` (which MUST be a total order within a group — tie-break on a
+    * unique id — or the kept set is engine-dependent). The corpus shape:
+    * cap documents per source domain so one crawl host can't dominate the
+    * training mix (C4/CommonCrawl-style per-domain caps).
+    *
+    * Scale shape (100 TB): one shuffle on the group key, then a per-group
+    * streaming rank — no global sort. `row_number` early-outs nothing by
+    * itself, but the window's rank filter is applied before any downstream
+    * join, so at most `n·|groups|` rows survive the stage. Domain skew (one
+    * giant host) serializes that host's partition; mitigate upstream with a
+    * pre-filter or salt+re-rank when a single group exceeds executor memory. */
+  def groupQuota(df: DataFrame, groupCol: String, n: Int, order: Column*): DataFrame = {
+    require(n >= 1, s"quota must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rk",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(order: _*)).cast("long"))
+      .where(col("rk") <= n)
+  }
 }

@@ -402,4 +402,49 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
+
+  /** Semantic (embedding-space) deduplication — the SemDeDup shape
+    * (Abbas et al. 2023): cluster vectors, then within each cluster drop
+    * every vector that has a LOWER-id neighbor with cosine ≥ `threshold`
+    * (keep-min-id, the same survivor rule as the text near-dedup family).
+    * Returns survivors as (idCol, cell).
+    *
+    * Determinism: cluster = argmax cosine against the given `centroids`
+    * (first-occurrence on ties, matching the IVF assignment), and the drop
+    * predicate tests the ROUNDED cosine — both replayable by an external
+    * engine, so the operator is fully oracle-checkable when the centroids
+    * are deterministic data rows (learned centroids → rows-only).
+    *
+    * Scale shape (100 TB): vectors shuffle ONCE on the cell key; pair
+    * scoring is cluster-local (O(Σ|cell|²), never corpus-all-pairs — cell
+    * count grows with the corpus so |cell| stays bounded), and the drop
+    * decision per pair is a map-side semi-join probe. The left-semi output
+    * carries (id, cell) only — payloads never ride through the pair join.
+    * One-sided rule (lower-id neighbor) means no connected-components
+    * iteration: a single pass decides survival, at the cost of SemDeDup's
+    * documented transitive over-drop (a chain a~b~c with cos(a,c) < τ still
+    * drops both b and c) — the standard trade the paper itself makes. */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Float]],
+      threshold: Double): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val sims = array(centroids.map(c => cosineNative(col("vec"), typedLit(c))): _*)
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .where(validCos(round(cosineNative(col("vec"), col("vec")), 6)))
+      .withColumn("cell", argmax(sims).cast("int"))
+    // Pairs meet only through their shared cell; a row is dropped iff some
+    // lower-id cellmate is within the threshold. Anti-join keeps survivors.
+    val dropped = base.alias("a")
+      .join(base.alias("b"),
+        col("a.cell") === col("b.cell") && col("b.id") < col("a.id") &&
+          round(cosineNative(col("a.vec"), col("b.vec")), 6) >= threshold,
+        "left_semi")
+      .select(col("id"))
+    base.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
 }

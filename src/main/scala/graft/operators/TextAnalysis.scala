@@ -466,4 +466,68 @@ object TextAnalysis {
       .where(col("n") >= minCount)
     Relational.withGlobalRank(counts, "vocab_id", numParts, col("n").desc, col("token"))
   }
+
+  /** BM25 relevance per (doc, token) — the standard ranked-retrieval scorer
+    * (Robertson/Spärck Jones; the Okapi weighting tfIdf graduates into).
+    * Uses the RATIO idf `(N - df + 0.5) / (df + 0.5)` rather than its log —
+    * same rationale as [[tfIdf]]: every factor is then either an exact
+    * integer or one correctly-rounded IEEE division/multiply in a fixed
+    * order, so an external engine replays the score bit-exactly (`ln`
+    * implementations are NOT bit-portable across libms; monotonicity — all
+    * a ranker needs — is unchanged).
+    *
+    * Scale shape (100 TB): tf/dl/df are map-side-combined aggregations that
+    * shuffle (id|token, long) pairs only; `n_docs`/`avgdl` is a 1-row
+    * aggregate joined in-plan (broadcast under the cross join, no driver
+    * collect); the df side of the tf⋈df join is token-cardinality (vocab-
+    * sized, AQE-broadcastable). Text never rides past the explode. */
+  def bm25(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val tf  = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dl  = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val idf   = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfD   = col("tf").cast("double")
+    val norm  = col("dl").cast("double") / (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    val denom = tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * norm)
+    tf.join(dl, Seq("id")).join(dfq, Seq("token")).crossJoin(tot)
+      .select(col("id"), col("token"), col("tf"), col("df"), col("dl"),
+        round(idf * (tfD * lit(k1 + 1.0) / denom), 6).as("score"))
+  }
+
+  /** Inverted index over a corpus: one row per token with its document
+    * frequency and the sorted posting list (distinct doc ids ascending) —
+    * the retrieval-side artifact a decontamination or search pass probes.
+    * Postings are emitted as a comma-joined string so the artifact is
+    * engine-portable (array hash layouts are not).
+    *
+    * Scale shape (100 TB): the explode collapses to distinct (token, id)
+    * map-side before the one token-key shuffle; each group then sorts only
+    * its own postings (no global sort). A web-scale stopword's posting list
+    * is the inherent skew — cap or elide head tokens (df cutoff) in a real
+    * deployment; here the contract is the complete index. */
+  def invertedIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_list(col("id"))), _.cast("string")), ",")
+          .as("postings"))
+  }
 }

@@ -280,4 +280,16 @@ class RelationalSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
     assert(plain.length == 902)
   }
+
+  test("groupQuota: caps per group, keeps under-quota groups whole, ranks deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 1L)).toDF("id", "grp", "score")
+    val out = Relational.groupQuota(df, "grp", 2, col("score").desc, col("id"))
+      .orderBy("grp", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // group a: score 30 ties on ids 2,3 → id ascending; id 1 (rk 3) cut
+    assert(out.toSeq == Seq((2L, "a", 1L), (3L, "a", 2L), (5L, "b", 1L)))
+  }
 }

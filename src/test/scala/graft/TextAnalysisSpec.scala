@@ -240,4 +240,39 @@ class TextAnalysisSpec extends SparkSpec {
     // both docs: the single gram "ab" with corpus count 2, total 2 → 2/(1·2)=1
     assert(out == Set((1L, 2L, 1.0)))
   }
+
+  test("bm25: hand-checked score on a two-doc corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat fish")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "text", "doc_id", k1 = 1.2, b = 0.75)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getDouble(5))).toMap
+    // n_docs=2, avgdl=2.5. "dog": df=1, idf=(2-1+0.5)/(1+0.5)=1.0; doc1 dl=2,
+    // tf=1 → norm=2/2.5=0.8, denom=1+1.2*(0.25+0.75*0.8)=2.02,
+    // score=1.0*(1*2.2/2.02)=1.089109 (rounded 6)
+    assert(math.abs(out((1L, "dog")) - 1.089109) < 1e-6)
+    // "cat" appears in both docs: df=2, idf=(2-2+0.5)/(2+0.5)=0.2
+    // doc2: tf=2, dl=3, norm=1.2, denom=2+1.2*(0.25+0.9)=3.38,
+    // score=0.2*(2*2.2/3.38)=0.260355
+    assert(math.abs(out((2L, "cat")) - 0.260355) < 1e-6)
+    // rarer token outranks the common one at equal tf
+    assert(out((1L, "dog")) > out((1L, "cat")))
+  }
+
+  test("bm25: null text and blank docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, null.asInstanceOf[String]), (3L, "   "))
+      .toDF("doc_id", "text")
+    val ids = TextAnalysis.bm25(docs, "text", "doc_id")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+
+  test("invertedIndex: sorted distinct postings with df") {
+    import spark.implicits._
+    val docs = Seq((3L, "b a b"), (1L, "a c"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "text", "doc_id")
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(("a", 3L, "1,2,3"), ("b", 1L, "3"), ("c", 1L, "1")))
+  }
 }

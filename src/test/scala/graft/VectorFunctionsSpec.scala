@@ -177,4 +177,37 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(!r.isNullAt(0) && r.getDouble(0) == 0.0)
     assert(!r.isNullAt(1) && r.getDouble(1) == 0.0)
   }
+
+  test("semanticDedup: keep-min-id within cell, cross-cell twins survive, zero-norm dropped") {
+    import spark.implicits._
+    // two orthogonal centroids; ids 1,2 near-identical in cell 0 (drop 2),
+    // id 3 also cell 0 but dissimilar (survives), id 4 in cell 1 is an exact
+    // copy of id 1 but in a DIFFERENT cell — cluster-local dedup keeps it;
+    // id 5 is zero-norm (excluded entirely)
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    val df = Seq(
+      1L -> Seq(10f, 0f, 1f),
+      2L -> Seq(10f, 0f, 1.01f),
+      3L -> Seq(1f, 0.9f, -9f),
+      4L -> Seq(0.1f, 10f, 0.01f),
+      5L -> Seq(0f, 0f, 0f)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "embedding", "vec_id", cents, threshold = 0.95)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((1L, 0), (3L, 0), (4L, 1)))
+  }
+
+  test("semanticDedup is idempotent and one-sided (documented transitive over-drop)") {
+    import spark.implicits._
+    val cents = Array(Array(1f, 0f))
+    // chain a~b (cos≈1), b~c (cos≈1), a~c below threshold is impossible in
+    // 2d with these; instead verify idempotence: survivors re-deduped = same
+    val df = Seq(1L -> Seq(1f, 0f), 2L -> Seq(1f, 0.01f), 3L -> Seq(1f, 0.02f))
+      .toDF("vec_id", "embedding")
+    val once = Similarity.semanticDedup(df, "embedding", "vec_id", cents, 0.99)
+    val twice = Similarity.semanticDedup(
+      once.join(df, "vec_id"), "embedding", "vec_id", cents, 0.99)
+    assert(once.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      twice.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(once.count() == 1L) // only vec 1 survives the chain
+  }
 }
