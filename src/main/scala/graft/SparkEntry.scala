@@ -1280,6 +1280,131 @@ object SparkEntry {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
         .orderBy("key")
+    }),
+
+    // -- interchange: ORC round-trip (columnar, splittable, stats-pruned) --
+    // Write the parquet table out as ORC and read it back; the oracle reads
+    // the ORIGINAL parquet — hash equality proves the columnar hop is
+    // lossless. (l_orderkey, l_linenumber) is NOT unique in the fixtures,
+    // so the total order lists every column (full-duplicate rows then tie
+    // only with identical content — hash-safe).
+    "q_orc_roundtrip" -> ((s, d) => {
+      val src = t(s, d, "lineitem")
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString + "/lineitem_orc"
+      graft.tables.FormatIO.writeOrc(src, dir)
+      val back = graft.tables.FormatIO.readOrc(s, dir, src.schema)
+      back.orderBy(src.columns.map(col).toIndexedSeq: _*)
+    }),
+
+    // -- north-star: Gopher-rule composite quality filter ------------------
+    // Word-level subset of Rae et al. 2021 table A1 (the corpus has no line
+    // structure): word-count bounds, mean-word-length band, stopword floor,
+    // alpha-word floor. Metrics + verdict per doc; exact integer counts,
+    // two final double divisions — bit-reproducible in the oracle.
+    "q_gopher_filter" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.gopherFlags(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.alpha_ratio").as("alpha_ratio"),
+          col("g.keep").cast("long").as("keep"))
+        .orderBy("doc_id")),
+
+    // -- north-star: sparse random projection (64-d → 16-d) ----------------
+    // Deterministic Achlioptas matrix + floor-quantized exact-integer
+    // accumulation (see VectorFunctions.sparseRandomProject) — the
+    // dimensionality-reduction step ahead of ANN, fully oracle-checked.
+    "q_random_projection" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(VectorFunctions.sparseRandomProject(col("embedding"), 64, 16))
+            .as(Seq("j", "proj")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+        .orderBy("vec_id", "j")),
+
+    // -- north-star: edit-distance fuzzy join (FastSS deletion blocking) ---
+    // All customer-name pairs within Levenshtein distance 1 — candidates
+    // from deletion neighborhoods (recall-complete), exact verify; the
+    // oracle brute-forces all pairs, so equality proves full recall.
+    "q_fuzzy_join" -> ((s, d) =>
+      Dedup.editDistanceJoinPairs(t(s, d, "customer"), "c_name", "c_custkey", maxDist = 1)
+        .orderBy("id_a", "id_b")),
+
+    // -- in-plan winsorize (percentile clamp; keeps rows, caps values) -----
+    "q_winsorize" -> ((s, d) =>
+      Relational.winsorize(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", 0.05, 0.95)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_totalprice_w"))
+        .orderBy("o_orderkey")),
+
+    // -- equi-depth histogram without a global-window ntile ----------------
+    "q_equidepth_hist" -> ((s, d) =>
+      Relational.equiDepthHistogram(
+          t(s, d, "orders").select(col("o_totalprice")), "o_totalprice", buckets = 8)
+        .orderBy("bucket")),
+
+    // -- north-star: URL domain extraction + blocklist filter --------------
+    // Fixture text carries no URLs, so deterministic hosts are synthesized
+    // from doc_id (same device as q_pii_scrub); the query checks extraction
+    // + normalization + anti-join parity across engines.
+    "q_url_filter" -> ((s, d) => {
+      val aug = t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), concat(
+          substring(col("text"), 1, 20),
+          lit(" HTTP://Site"), (col("doc_id") % 20).cast("string"),
+          lit(".Example.com/p/"), col("doc_id").cast("string"),
+          lit(" and https://www.site"), (col("doc_id") % 7).cast("string"),
+          lit(".org/x")).as("aug"))
+      val blocked = Seq("site3.example.com", "www.site2.org")
+      aug.select(col("doc_id"), explode(TextAnalysis.extractDomains(col("aug"))).as("domain"))
+        .where(!col("domain").isInCollection(blocked))
+        .orderBy("doc_id", "domain")
+    }),
+
+    // -- north-star: learned BPE tokenizer (train + encode) ----------------
+    // Iterative merge learning on the word-frequency dict (rows-only by
+    // contract: a 40-step argmax recursion is not SQL-expressible; the
+    // classic Sennrich merge sequence is hand-verified in TextAnalysisSpec).
+    "q_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.bpeTrain(t(s, d, "documents"), "text", numMerges = 40)
+        .zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
+    }),
+
+    "q_bpe_encode" -> ((s, d) => {
+      val docs   = t(s, d, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 40)
+      val enc    = TextAnalysis.bpeEncodeUdf(merges)
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"), size(enc(col("text"))).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // -- north-star: incremental NEAR-dedup vs a persisted signature index -
+    // History = docs 0..249 as a MinHash index (text never re-read); batch
+    // = docs 250+ plus every 9th historical doc re-submitted lightly edited
+    // (near-dup, not exact) under id+20000. Rows-only by contract (estimates
+    // are a function of the engine hash family; planted-dup behavior is
+    // spec-checked in DedupSpec).
+    "q_dedup_near_incr" -> ((s, d) => {
+      val docs  = t(s, d, "documents")
+      val index = Dedup.minHashIndex(docs.where(col("doc_id") < 250), "text", "doc_id")
+      val resub = docs
+        .where(col("doc_id") < 250 && col("doc_id") % 9 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" resub")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val batch = docs.where(col("doc_id") >= 250).unionAll(resub)
+      Dedup.nearDedupAgainstIndex(batch, "text", "doc_id", index, minEstJaccard = 0.7)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2106,7 +2231,76 @@ object SparkEntry {
         "SELECT coalesce(c_custkey, o_custkey) AS key, " +
         "coalesce(c_name, '<none>') AS name, " +
         "coalesce(n_orders, 0) AS n_orders, coalesce(sum_price, 0.0) AS sum_price " +
-        "FROM c FULL JOIN o ON c_custkey = o_custkey ORDER BY key")
+        "FROM c FULL JOIN o ON c_custkey = o_custkey ORDER BY key"),
+
+    // ORC round-trip: oracle reads the ORIGINAL parquet (see q_csv_roundtrip)
+    "q_orc_roundtrip" ->
+      ("SELECT * FROM lineitem ORDER BY l_orderkey, l_partkey, l_suppkey, " +
+        "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, " +
+        "l_returnflag, l_linestatus, l_shipdate"),
+
+    "q_gopher_filter" ->
+      (s"WITH g AS (SELECT doc_id, $tokensSql AS tk, " +
+        "CAST(len(regexp_replace(trim(lower(text)), '\\s', '', 'g')) AS BIGINT) AS wc " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, wc, " +
+        s"CAST(len(list_filter(tk, w -> w IN ($stopInList))) AS BIGINT) AS stop_hits, " +
+        "CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words " +
+        "FROM g) " +
+        "SELECT doc_id, n_words, " +
+        "CAST(wc AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len, stop_hits, " +
+        "CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_ratio, " +
+        "CAST((n_words BETWEEN 50 AND 100000) AND " +
+        "(CAST(wc AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0) AND " +
+        "stop_hits >= 2 AND " +
+        "CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8 AS BIGINT) AS keep " +
+        "FROM m ORDER BY doc_id"),
+
+    // sparse random projection: identical cell formula + floor quantization,
+    // exact long accumulation on both sides (order-free)
+    "q_random_projection" ->
+      ("SELECT vec_id, j, CAST(SUM(q * r) AS BIGINT) AS proj FROM (" +
+        "SELECT e.vec_id, jj.j AS j, " +
+        "CAST(floor(CAST(e.embedding[CAST(ii.i AS INTEGER) + 1] AS DOUBLE) * 1000) AS BIGINT) AS q, " +
+        "CASE (((ii.i * 16 + jj.j) * 2654435761) % 1000003) % 6 " +
+        "WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r " +
+        "FROM embeddings e, range(0, 64) ii(i), range(0, 16) jj(j)) " +
+        "GROUP BY vec_id, j ORDER BY vec_id, j"),
+
+    // fuzzy join: brute-force all pairs — equality proves the deletion-
+    // neighborhood blocking has full recall
+    "q_fuzzy_join" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "levenshtein(a.c_name, b.c_name) AS dist " +
+        "FROM customer a, customer b " +
+        "WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1 " +
+        "ORDER BY id_a, id_b"),
+
+    "q_winsorize" ->
+      ("SELECT o_orderkey, o_totalprice, " +
+        "LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), lo), hi) AS o_totalprice_w " +
+        "FROM orders, (SELECT ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo, " +
+        "ROUND(quantile_cont(o_totalprice, 0.95), 6) AS hi FROM orders) " +
+        "ORDER BY o_orderkey"),
+
+    "q_equidepth_hist" ->
+      ("WITH b AS (SELECT list_transform(quantile_cont(CAST(o_totalprice AS DOUBLE), " +
+        s"[${(1 until 8).map(_.toDouble / 8).mkString(", ")}]), c -> ROUND(c, 6)) AS cuts " +
+        "FROM orders), " +
+        "r AS (SELECT CAST(len(list_filter(cuts, x -> x <= CAST(o_totalprice AS DOUBLE))) + 1 " +
+        "AS BIGINT) AS bucket, CAST(o_totalprice AS DOUBLE) AS v FROM orders, b) " +
+        "SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi " +
+        "FROM r GROUP BY bucket ORDER BY bucket"),
+
+    "q_url_filter" ->
+      ("SELECT doc_id, domain FROM (SELECT doc_id, " +
+        "unnest(regexp_extract_all(lower(substr(text, 1, 20) || ' HTTP://Site' || " +
+        "CAST(doc_id % 20 AS VARCHAR) || '.Example.com/p/' || CAST(doc_id AS VARCHAR) || " +
+        "' and https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.org/x'), " +
+        "'https?://([a-z0-9.-]+)', 1)) AS domain " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "WHERE domain NOT IN ('site3.example.com', 'www.site2.org') " +
+        "ORDER BY doc_id, domain")
   )
 
   /** DuckDB replica of `TextAnalysis.langId`, generated from the SAME

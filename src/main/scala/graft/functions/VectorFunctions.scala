@@ -70,4 +70,31 @@ object VectorFunctions {
       transform(a, x => floor(x.cast("double") * lit(127.0) / mx).cast("long")))
       .otherwise(lit(null))
   }
+
+  /** Deterministic sparse random projection (Achlioptas 2003, "Database-
+    * friendly random projections"): out[j] = Σ_i q(in[i]) · r(i,j) with
+    * r ∈ {+1, −1, 0} at density 1/3, the dimensionality-reduction step that
+    * makes downstream ANN/clustering cheap (64-d → 16-d cuts every cosine
+    * 4×). Two determinism choices make it bit-reproducible in an external
+    * SQL oracle:
+    *
+    *  - the projection matrix is not sampled but COMPUTED per cell from the
+    *    mixed cell index `((i·outDim + j) · 2654435761) % 1000003 % 6`
+    *    (0→+1, 1→−1, else 0) — the prime modulus breaks the affine-mod-6
+    *    structure a direct `(ai+bj) % 6` would have (which makes columns
+    *    j and j+6 identical shifts of each other);
+    *  - inputs are `floor`-quantized to integers (same rationale as
+    *    [[quantizeInt8]]) so the accumulation is exact long arithmetic —
+    *    order-free, no float-sum nondeterminism cross-engine.
+    *
+    * Map-side projection: reducing 100 TB of embeddings is one scan, no
+    * shuffle, fully codegen'd (nested HOFs, no UDF boundary). */
+  def sparseRandomProject(a: Column, inDim: Int, outDim: Int,
+      quantScale: Int = 1000): Column =
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), lit(inDim - 1)), lit(0L), (acc, i) => {
+        val cell = (i * outDim + j).cast("long") * lit(2654435761L) % 1000003L % 6L
+        val sign = when(cell === 0L, lit(1L)).when(cell === 1L, lit(-1L)).otherwise(lit(0L))
+        acc + floor(element_at(a, i + 1).cast("double") * quantScale).cast("long") * sign
+      }))
 }

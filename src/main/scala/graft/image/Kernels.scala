@@ -25,7 +25,7 @@ object Kernels {
     img
   }
 
-  private def encodePng(img: BufferedImage): Array[Byte] = {
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray

@@ -150,6 +150,83 @@ object Dedup {
       .drop("__keep")
   }
 
+  /** MinHash signature index of a corpus — the NEAR-dup analogue of
+    * [[dedupAgainstCorpus]]'s hash index: persist this (id, sig) relation
+    * and incremental batches near-dedup against it without ever re-reading
+    * the corpus text (8·numHashes bytes per historical doc). */
+  def minHashIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+        minHashSignatureUdf(shingleN, numHashes)(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
+
+  /** Incremental NEAR-dedup of an arriving batch against a persisted
+    * [[minHashIndex]]: drop batch docs whose estimated Jaccard vs ANY
+    * historical doc reaches `minEstJaccard`, and collapse within-batch
+    * near-dup groups to the min id (one-pass rule, as
+    * [[dropNearDuplicates]]). Returns surviving batch rows.
+    *
+    * Confirmation is the SIGNATURE estimate on both legs — the index
+    * deliberately holds no text, so the exact-Jaccard re-check of the
+    * in-corpus path is unavailable; with 64 hashes the estimate's standard
+    * error is ≈ 1/√64 ≈ 0.125, which is the documented precision contract
+    * of this operator (tighten with more hashes, not with a text re-read).
+    *
+    * Plan shape (100 TB): both sides band map-side; candidates meet in the
+    * (band_key, id) join, signatures re-attach per unique candidate pair by
+    * id join, batch payloads shuffle never (survivor semi join at the end).
+    * History bands are index-derived — the corpus text stays cold. */
+  def nearDedupAgainstIndex(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      index: DataFrame, // (id, sig) from minHashIndex
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.8,
+      maxBucketSize: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val r = numHashes / bands
+    val batchSigs = minHashIndex(batch, textCol, idCol, shingleN, numHashes)
+    batchSigs.persist()
+    try {
+      val histSigs   = index.select(col("id"), col("sig"))
+      val batchBands = batchSigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
+      val histBands  = histSigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
+
+      // leg 1: batch vs history — candidate (batch_id, hist_id) meet on a band
+      val histMatched = batchBands.select(col("band_key"), col("id").as("b_id"))
+        .join(histBands.select(col("band_key"), col("id").as("h_id")), Seq("band_key"))
+        .select("b_id", "h_id").distinct()
+        .join(batchSigs.select(col("id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
+        .join(histSigs.select(col("id").as("h_id"), col("sig").as("sig_h")), Seq("h_id"))
+        .where(estimatedJaccardNative(col("sig_b"), col("sig_h")) >= minEstJaccard)
+        .select(col("b_id").as("id")).distinct()
+
+      // leg 2: within-batch — the standard capped-bucket pair path
+      val pairs = bucketedPairs(batchBands, Seq("band_key"), maxBucketSize)
+        .join(batchSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(batchSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .where(estimatedJaccardNative(col("sig_a"), col("sig_b")) >= minEstJaccard)
+      val batchLosers = pairs.select(col("id_b").as("id")).distinct()
+
+      // checkpoint the DROP SET (ids only, bounded) while the signature
+      // cache is live — never the payload-carrying result (withSigsCache's
+      // discipline); the anti join then evaluates lazily against it
+      val dropIds = histMatched.unionAll(batchLosers).distinct()
+        .withColumnRenamed("id", idCol)
+        .localCheckpoint(true)
+      batch.join(dropIds, Seq(idCol), "left_anti")
+    } finally batchSigs.unpersist(false)
+  }
+
   // ---------------------------------------------------------- shingling
 
   /** Distinct character n-gram (shingle) set of the lowercased text. */
@@ -482,6 +559,63 @@ object Dedup {
         .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
         .where(col("hamming") <= maxHamming)
     }
+  }
+
+  // ------------------------------------------------- edit-distance join
+
+  /** All strings reachable from `s` by deleting exactly one character —
+    * pure Catalyst HOF (codegen'd), no UDF. */
+  private def deleteOne(s: Column): Column =
+    transform(sequence(lit(1), length(s)), i =>
+      concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+
+  /** The up-to-`d`-deletions neighborhood of `s` (including `s` itself),
+    * distinct. Size is O(len^d) — intended for short strings (names,
+    * titles, codes), per [[editDistanceJoinPairs]]'s contract. */
+  def deletionVariants(s: Column, d: Int): Column = {
+    var vs = array(s)
+    (1 to d).foreach { _ =>
+      vs = array_distinct(concat(vs, flatten(transform(vs, v => deleteOne(v)))))
+    }
+    vs
+  }
+
+  /** Edit-distance fuzzy self-join: all pairs within Levenshtein distance
+    * `maxDist`, exactly (full recall, no false positives). Candidate
+    * generation is FastSS deletion neighborhoods (Bocek et al., "Fast
+    * Similarity Search in Large Dictionaries", 2007): if dist(s,t) ≤ d,
+    * deleting the ≤d unaligned characters of an optimal alignment from each
+    * side yields a COMMON string, so the ≤d-deletion neighborhoods
+    * intersect — joining on neighborhood members is recall-complete, and the
+    * exact `levenshtein` verify removes false candidates.
+    *
+    * Scale shape (100 TB): per row this emits O(len^d) short keys; the
+    * shuffle carries (variant_key, id, short string) — never a document
+    * payload. Contract: `strCol` holds NAME/TITLE-length strings and should
+    * be exact-deduped first (identical strings share every variant key, so
+    * k identical copies cost k² candidate pairs — run
+    * [[dropExactDuplicates]] upstream, which a dedup pipeline does anyway);
+    * document-scale similarity belongs to MinHash/SimHash above. */
+  def editDistanceJoinPairs(
+      df: DataFrame,
+      strCol: String,
+      idCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (neighborhood size is O(len^d)), got $maxDist")
+    val keyed = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+      .select(col("id"), col("s"), explode(deletionVariants(col("s"), maxDist)).as("k"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .distinct() // pairs sharing several variant keys verify once, not once per key
+    cand
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
   }
 
   /** End-to-end near-dedup: generate MinHash+LSH candidates, confirm them

@@ -367,4 +367,48 @@ object Relational {
         row_number().over(Window.partitionBy(col(groupCol)).orderBy(order: _*)).cast("long"))
       .where(col("rk") <= n)
   }
+
+  /** Winsorize: clamp `valueCol` to its [pLo, pHi] percentile band — the
+    * outlier-taming variant of the quantile band FILTER (q_quantile_filter
+    * drops the tails; winsorizing keeps the rows and caps the values, the
+    * usual choice when a training pipeline can't afford to lose documents).
+    * Bounds are computed IN THE PLAN (1-row aggregate, broadcast cross
+    * join — no driver collect) and rounded to 6 decimals so an external
+    * engine's `quantile_cont` agrees bit-wise. Adds `<valueCol>_w`.
+    *
+    * Scale note: exact `percentile` is a sort-based aggregate; at 100 TB
+    * swap the bounds aggregate for `percentile_approx` (same plan shape —
+    * only the 1-row aggregate changes, and the clamp is map-side either
+    * way). */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(
+      round(percentile(v, lit(pLo)), 6).as("__lo"),
+      round(percentile(v, lit(pHi)), 6).as("__hi"))
+    df.crossJoin(bounds)
+      .withColumn(s"${valueCol}_w", least(greatest(v, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** Equi-depth histogram WITHOUT a global window: bucket boundaries come
+    * from one exact-percentile aggregate (interior cut points, rounded to 6
+    * decimals for cross-engine agreement), then every row buckets map-side
+    * by counting boundaries ≤ its value — no `ntile` over a single
+    * partition, which is the usual (and scale-fatal) way to write this.
+    * Rows equal to a rounded cut point land in the upper bucket on both
+    * engines (same `<=` rule), so bucket populations are reproducible.
+    * Returns (bucket 1..buckets, n, lo, hi) — min/max are exact doubles,
+    * no float summation anywhere. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val v = col(valueCol).cast("double")
+    val cuts = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.agg(
+      transform(percentile(v, typedLit(cuts)), c => round(c, 6)).as("__cuts"))
+    df.crossJoin(bounds)
+      .withColumn("bucket", (size(filter(col("__cuts"), b => b <= v)) + 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+  }
 }

@@ -116,6 +116,16 @@ object TextAnalysis {
   def piiScrub(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
+  /** Extract normalized URL hosts from text: every `http(s)://host` match,
+    * lowercased (URL authority is case-insensitive). RE2-safe ASCII pattern
+    * so an external engine extracts the identical set; pure map-side
+    * `regexp_extract_all`. The building block of domain-level corpus
+    * hygiene — blocklist filtering and per-domain quotas both join on the
+    * host this returns (see `q_url_filter` / `Relational.groupQuota`). */
+  val urlHostPattern = "https?://([a-z0-9.-]+)"
+  def extractDomains(text: Column): Column =
+    regexp_extract_all(lower(text), lit(urlHostPattern), lit(1))
+
   /** Duplicated word-n-gram fraction in [0,1] — the repetition signal of
     * Gopher/C4-style quality filtering (a looping generation or boilerplate
     * page repeats its n-grams; natural prose doesn't). 0 = all n-grams
@@ -129,6 +139,36 @@ object TextAnalysis {
       i => concat_ws(" ", slice(tk, i, lit(gramWidth))))
     (size(grams) - size(array_distinct(grams))).cast("double") /
       size(grams).cast("double")
+  }
+
+  /** Gopher-style composite quality rules (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", table A1 — word-count bounds, mean-word-
+    * length band, stopword floor, alpha-word floor), restricted to the
+    * word-level subset since the fixture corpus has no line structure.
+    * Returns a struct of the per-document metrics plus the combined `keep`
+    * verdict, so a pipeline can either filter on `keep` or log the metric
+    * distribution. Pure map-side Catalyst expressions — filtering 100 TB is
+    * a projection + predicate, no shuffle; the only doubles are two final
+    * divisions of exact integer counts, so the DuckDB oracle reproduces
+    * every value bit-exactly. */
+  def gopherFlags(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopHits: Int = 2, minAlphaRatio: Double = 0.8): Column = {
+    val tk        = tokens(text)
+    val nWords    = size(tk).cast("long")
+    // Total in-word characters = length of the text with all whitespace
+    // removed (tokens are whitespace-delimited, so nothing else is lost).
+    val wordChars = length(regexp_replace(trim(lower(text)), "\\s", "")).cast("long")
+    val meanLen   = wordChars.cast("double") / nWords.cast("double")
+    val stopHits  = size(filter(tk, w => w.isInCollection(stopwordsEn))).cast("long")
+    val alphaRatio =
+      size(filter(tk, w => w.rlike("[a-z]"))).cast("double") / nWords.cast("double")
+    val keep = nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      stopHits >= minStopHits && alphaRatio >= minAlphaRatio
+    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      stopHits.as("stop_hits"), alphaRatio.as("alpha_ratio"), keep.as("keep"))
   }
 
   /** Canonical bag-of-words fingerprint: sha256 over the sorted distinct
@@ -529,5 +569,108 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"),
         array_join(transform(array_sort(collect_list(col("id"))), _.cast("string")), ",")
           .as("postings"))
+  }
+
+  // -------------------------------------------------------------- BPE
+
+  /** Merge every non-overlapping left-to-right adjacent (a, b) symbol pair
+    * into the single symbol a+b — pure Catalyst `aggregate` fold, no UDF. */
+  private def mergeAdjacent(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn byte-pair-encoding merges (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the real-tokenizer
+    * counterpart of [[subwordCountApprox]].
+    *
+    * Architecture is the paper's own: corpus-scale work is ONE
+    * tokenize+count shuffle producing the word-frequency DICTIONARY; every
+    * merge iteration then runs on that compact dict (vocabulary-sized —
+    * tens of millions of rows for a web corpus, a rounding error next to
+    * the corpus), as one pair-count aggregate + one map-side fold. The only
+    * driver traffic is the 1-row argmax per iteration (the merge decision
+    * itself, which IS the model being built). Ties break (count desc, pair
+    * lexicographic asc) so the learned merge table is deterministic.
+    * Per-iteration `localCheckpoint` keeps the dict's plan flat (same
+    * device as [[Dedup.connectedComponents]]); superseded checkpoint blocks
+    * are unreferenced and reclaimed by the ContextCleaner. */
+  def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var dict = docs
+      .where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (!exhausted && merges.size < numMerges) {
+      val top = dict
+        .where(size(col("syms")) >= 2) // keeps the position sequence ascending
+        .select(col("n"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        dict = dict.select(mergeAdjacent(col("syms"), a, b).as("syms"), col("n"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode text with a learned merge table: per word, repeatedly apply the
+    * LOWEST-RANK applicable merge until none applies (the standard BPE
+    * encode loop — rank order, not left-to-right scan order, so encoding
+    * agrees with training). Imperative per-row kernel → UDF (the documented
+    * escape hatch; the merge table ships once per executor in the closure,
+    * the loop allocates per word, not per merge). Null text → null. */
+  def bpeEncodeUdf(merges: Seq[(String, String)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val byRank = merges.toIndexedSeq
+    val rank   = merges.zipWithIndex.toMap
+    udf((text: String) =>
+      if (text == null) null
+      else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => bpeEncodeWord(w, rank, byRank)))
+  }
+
+  private[operators] def bpeEncodeWord(
+      w: String,
+      rank: Map[(String, String), Int],
+      byRank: IndexedSeq[(String, String)]): Seq[String] = {
+    var syms = w.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      val cands = (0 until syms.length - 1)
+        .flatMap(i => rank.get((syms(i), syms(i + 1))))
+      if (cands.isEmpty) done = true
+      else {
+        val (a, b) = byRank(cands.min)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    syms
   }
 }

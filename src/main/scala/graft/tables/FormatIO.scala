@@ -71,4 +71,22 @@ object FormatIO {
     * (e.g. written-null) come back null. */
   def readJsonLines(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(dir)
+
+  /** Write `df` as ORC under `dir`. ORC is the other columnar interchange
+    * format a lake-adjacent pipeline meets (Hive-era warehouses); unlike the
+    * text formats it carries its own typed schema, per-stripe min/max
+    * statistics (predicate pushdown works on read — same
+    * `PushedFilters` contract as parquet) and splittable stripes, so the
+    * 100 TB read path parallelizes and prunes exactly like our parquet
+    * tables. Types round-trip natively — no sentinel conventions needed. */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
+  /** Read ORC under an EXPLICIT schema — the no-inference rule costs
+    * nothing here (ORC footers carry the schema) but keeps the contract
+    * uniform: the caller states what the table IS, and drift between the
+    * files and the declared schema surfaces as an error at the scan, not as
+    * silently widened types downstream. */
+  def readOrc(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
 }

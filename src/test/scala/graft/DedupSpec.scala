@@ -230,4 +230,51 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(math.abs(exact.head.getDouble(2) - 5.0 / 7.0) < 1e-9)
   }
+
+  test("editDistanceJoinPairs: substitution, deletion, insertion pairs found; distant pairs not") {
+    import spark.implicits._
+    val names = Seq(1L -> "alpha", 2L -> "alphb", 3L -> "alpa", 4L -> "beta",
+      5L -> "betas", 6L -> "gamma", 7L -> null.asInstanceOf[String])
+      .toDF("id", "name")
+    val got = Dedup.editDistanceJoinPairs(names, "name", "id", maxDist = 1)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // alpha~alphb (sub), alpha~alpa (del), alphb~alpa dist 2 (excluded),
+    // beta~betas (ins); gamma pairs with nothing; null never pairs
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 1L), (4L, 5L, 1L)))
+  }
+
+  test("nearDedupAgainstIndex: drops history near-dups and collapses batch groups; nulls pass") {
+    import spark.implicits._
+    val history = docs(
+      1L -> "the quick brown fox jumps over the lazy dog and keeps on running far away",
+      2L -> "completely different text about spark engines and columnar execution at scale")
+    val index = Dedup.minHashIndex(history, "text", "doc_id", shingleN = 2)
+    val batch = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog and keeps on running far away", // exact vs history → est 1.0
+      11L -> "the quick brown fox jumps over the lazy dog and keeps on running far off",  // near vs history 1
+      12L -> "unrelated novel content entirely fresh words never indexed anywhere before",
+      13L -> "unrelated novel content entirely fresh words never indexed anywhere before", // in-batch dup of 12
+      14L -> null.asInstanceOf[String]).toDF("doc_id", "text")
+    val out = Dedup.nearDedupAgainstIndex(batch, "text", "doc_id", index,
+        shingleN = 2, minEstJaccard = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L, 14L)) // 10/11 match history, 13 loses to 12, null passes
+  }
+
+  test("editDistanceJoinPairs: full recall vs brute force at maxDist=2") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet").limit(120)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val got = Dedup.editDistanceJoinPairs(cust, "name", "id", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = cust.select(col("id").as("id_a"), col("name").as("n_a"))
+    val b = cust.select(col("id").as("id_b"), col("name").as("n_b"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("n_a"), col("n_b")).cast("long").as("dist"))
+      .where(col("dist") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the sequential fixture names guarantee close pairs
+  }
 }

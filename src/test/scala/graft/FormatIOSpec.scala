@@ -62,4 +62,23 @@ class FormatIOSpec extends SparkSpec {
     assert(back.count() == src.count())
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("ORC round-trip preserves the awkward cases (nulls, unicode, exact decimals, dates)") {
+    val dir = Files.createTempDirectory("graft_fmt_orc").toString + "/t"
+    FormatIO.writeOrc(awkward, dir)
+    val back = FormatIO.readOrc(spark, dir, awkward.schema)
+    assert(back.schema == awkward.schema)
+    assert(rows(back) == rows(awkward))
+    assert(back.where("id = 3").head().isNullAt(1))
+  }
+
+  test("ORC round-trips a real table exactly (lineitem, timestamp column included)") {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val dir = Files.createTempDirectory("graft_fmt_orc_li").toString + "/t"
+    FormatIO.writeOrc(src, dir)
+    val back = FormatIO.readOrc(spark, dir, src.schema)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
 }

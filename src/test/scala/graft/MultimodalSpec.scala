@@ -128,4 +128,63 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.sampleFramesStub(bytes, 4)
     assert(f1.length == 4 && f1.zip(f2).forall { case (a, b) => a.sameElements(b) })
   }
+
+  // -------------------------------------------------------- GIF (real) --
+
+  /** Animated GIF with uniform-gray frames of level 40·i (exactly palette-
+    * representable, so decode recovers the exact value). */
+  private def grayGif(nFrames: Int, w: Int = 8, h: Int = 6): Array[Byte] = {
+    import javax.imageio.ImageIO
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val baos   = new java.io.ByteArrayOutputStream()
+    val ios    = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { i =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g   = img.createGraphics()
+      g.setColor(new java.awt.Color(40 * i, 40 * i, 40 * i))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  private def pngBrightness(png: Array[Byte]): Double = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val vals = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) yield {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+    }
+    vals.sum / vals.length
+  }
+
+  test("sampleGifFrames: real decode, even sampling, exact frame content recovered") {
+    val gif = grayGif(6)
+    assert(Multimodal.gifMeta(gif).contains((8, 6, 6)))
+    val sampled = Multimodal.sampleGifFrames(gif, 3) // frames 0, 2, 4
+    assert(sampled.length == 3)
+    assert(sampled.map(pngBrightness).toSeq == Seq(0.0, 80.0, 160.0))
+    // asking for more frames than exist returns every frame once
+    assert(Multimodal.sampleGifFrames(gif, 10).length == 6)
+  }
+
+  test("GIF payloads get real video metadata; extractFeatures uses decoded frames") {
+    import spark.implicits._
+    val gif = grayGif(4)
+    val df  = Seq(("mem://anim.gif", gif)).toDF("path", "content")
+    val meta = Multimodal.fromBinaryFiles(df, "video").select("meta.*").head()
+    assert(meta.getString(0) == "image/gif")
+    assert(meta.getInt(1) == 8 && meta.getInt(2) == 6)
+    assert(meta.getLong(3) == 400L) // 4 frames x 100 ms nominal tick
+    val media = Multimodal.fromBinaryFiles(df, "video")
+    val feats = Multimodal.extractFeatures(media, dim = 4).head().getSeq[Float](2)
+    // per-frame mean brightness of gray levels 0,40,80,120 over 255
+    val want = Seq(0f, 40f, 80f, 120f).map(_ / 255f)
+    assert(feats.length == 4)
+    feats.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-6, s"$g vs $w") }
+  }
 }

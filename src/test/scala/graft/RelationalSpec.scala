@@ -292,4 +292,31 @@ class RelationalSpec extends SparkSpec {
     // group a: score 30 ties on ids 2,3 → id ascending; id 1 (rk 3) cut
     assert(out.toSeq == Seq((2L, "a", 1L), (3L, "a", 2L), (5L, "b", 1L)))
   }
+
+  test("winsorize clamps tails to the percentile band and keeps every row") {
+    import spark.implicits._
+    // values 1..100: p10 = 10.9, p90 = 90.1 (linear interpolation)
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Relational.winsorize(df, "v", 0.1, 0.9)
+    assert(out.count() == 100)
+    val m = out.collect().map(r => r.getAs[Double]("v") -> r.getAs[Double]("v_w")).toMap
+    assert(m(1.0) == 10.9 && m(5.0) == 10.9)   // low tail clamped up
+    assert(m(100.0) == 90.1 && m(95.0) == 90.1) // high tail clamped down
+    assert(m(50.0) == 50.0)                     // interior untouched
+  }
+
+  test("equiDepthHistogram: near-equal buckets, exact edges, no global window") {
+    import spark.implicits._
+    val df = (1 to 80).map(i => i.toDouble).toDF("v")
+    val out = Relational.equiDepthHistogram(df, "v", buckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // cuts at p25/p50/p75 of 1..80 = 20.75, 40.5, 60.25 → buckets of 20
+    assert(out.toSeq == Seq(
+      (1L, 20L, 1.0, 20.0), (2L, 20L, 21.0, 40.0),
+      (3L, 20L, 41.0, 60.0), (4L, 20L, 61.0, 80.0)))
+    // plan must not contain a single-partition global sort window
+    val plan = Relational.equiDepthHistogram(df, "v", 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "equi-depth histogram must not use a global window")
+  }
 }

@@ -275,4 +275,70 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     assert(out.toSeq == Seq(("a", 3L, "1,2,3"), ("b", 1L, "3"), ("c", 1L, "1")))
   }
+
+  test("gopherFlags: hand-computed metrics, each rule rejects independently") {
+    import spark.implicits._
+    val good  = ("the quick brown fox jumps over the lazy dog today " * 6).trim // 60 words, mean 4.0, 12 stop hits
+    val stopy = ("the and of to in is it that for on " * 6).trim               // 60 words, mean 2.5 → mean-len reject
+    val short = "alpha beta gamma delta epsilon"                               // 5 words → word-count reject
+    val nums  = ("12345 67890 " * 30).trim                                     // 60 words, alpha 0.0 → alpha reject
+    val docs = Seq((1L, good), (2L, stopy), (3L, short), (4L, nums)).toDF("doc_id", "text")
+    val out = docs
+      .select($"doc_id", TextAnalysis.gopherFlags($"text").as("g"))
+      .select($"doc_id", $"g.n_words", $"g.mean_word_len", $"g.stop_hits",
+        $"g.alpha_ratio", $"g.keep")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out(0) == ((1L, 60L, 4.0, 12L, 1.0, true)))
+    assert(out(1) == ((2L, 60L, 2.5, 60L, 1.0, false)))
+    assert(out(2) == ((3L, 5L, 5.2, 0L, 1.0, false)))
+    assert(out(3) == ((4L, 60L, 5.0, 0L, 0.0, false)))
+  }
+
+  test("extractDomains: lowercased hosts, both schemes, path/port stripped, no-URL text empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see HTTP://Example.COM/a/b and https://Sub.Host.org?q=1 done"),
+      (2L, "no urls here"),
+      (3L, "https://a-b.c99.net/x http://a-b.c99.net/y")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextAnalysis.extractDomains($"text").as("ds"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
+    assert(got(0) == ((1L, Seq("example.com", "sub.host.org"))))
+    assert(got(1) == ((2L, Seq())))
+    assert(got(2) == ((3L, Seq("a-b.c99.net", "a-b.c99.net")))) // duplicates preserved
+  }
+
+  private val sennrichCorpus: String =
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+
+  test("bpeTrain learns the classic Sennrich merge sequence, ties lexicographic") {
+    import spark.implicits._
+    val df = Seq((1L, sennrichCorpus)).toDF("doc_id", "text")
+    // pair counts: (e,s)=9 ties (s,t)=9 → lex picks (e,s); then (es,t)=9;
+    // then (l,o)=7 ties (o,w)=7 → (l,o); then (lo,w)=7
+    val merges = TextAnalysis.bpeTrain(df, "text", numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("bpeTrain stops early when every word is a single symbol") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "text", numMerges = 10)
+    assert(merges == Seq(("a", "b"))) // one possible merge, then exhausted
+  }
+
+  test("bpeEncodeUdf segments unseen words by rank order; null text stays null") {
+    import spark.implicits._
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val enc = TextAnalysis.bpeEncodeUdf(merges)
+    val df = Seq((1L, "lowest"), (2L, "newest wider"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = df.select($"id", enc($"text").as("toks")).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[String](1).toSeq))
+    assert(got(0) == ((1L, Seq("low", "est"))))
+    assert(got(1) == ((2L, Seq("n", "e", "w", "est", "w", "i", "d", "e", "r"))))
+    assert(got(2) == ((3L, null)))
+  }
 }

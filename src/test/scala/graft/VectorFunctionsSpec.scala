@@ -210,4 +210,40 @@ class VectorFunctionsSpec extends SparkSpec {
       twice.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
     assert(once.count() == 1L) // only vec 1 survives the chain
   }
+
+  test("sparseRandomProject: exact-long projection matches a scalar reimplementation") {
+    import spark.implicits._
+    val inDim = 8; val outDim = 4
+    val vecs = Seq(
+      0L -> Array.tabulate(inDim)(i => i * 0.25f - 1.0f),
+      1L -> Array.fill(inDim)(0.5f),
+      2L -> Array.tabulate(inDim)(i => -0.1f * i))
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        VectorFunctions.sparseRandomProject($"embedding", inDim, outDim).as("p"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    def sign(i: Int, j: Int): Long =
+      (i.toLong * outDim + j) * 2654435761L % 1000003L % 6L match {
+        case 0L => 1L; case 1L => -1L; case _ => 0L
+      }
+    val want = vecs.map { case (id, v) =>
+      (id, (0 until outDim).map(j => (0 until inDim).map(i =>
+        math.floor(v(i).toDouble * 1000).toLong * sign(i, j)).sum).toSeq)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("sparseRandomProject: no two output dimensions are identical on real embeddings") {
+    // guards the matrix-mixing choice — a plain affine (ai+bj) % 6 cell rule
+    // would make columns j and j+6 identical shifts of each other
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val proj = emb.select(col("vec_id"),
+      VectorFunctions.sparseRandomProject(col("embedding"), 64, 16).as("p"))
+    val cols = (0 until 16).map(j => element_at(col("p"), j + 1).as(s"c$j"))
+    val rows = proj.select(cols: _*).collect()
+    val series = (0 until 16).map(j => rows.map(_.getLong(j)).toSeq)
+    for (a <- 0 until 16; b <- a + 1 until 16)
+      assert(series(a) != series(b), s"projection dims $a and $b are identical")
+  }
 }
