@@ -45,6 +45,7 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // stable alphabetical order: per-round BENCH numbers stay comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench] running $name") // progress marker (untimed)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false

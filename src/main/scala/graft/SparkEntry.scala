@@ -1405,7 +1405,127 @@ object SparkEntry {
       Dedup.nearDedupAgainstIndex(batch, "text", "doc_id", index, minEstJaccard = 0.7)
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // -- north-star: max-inner-product top-k (un-normalized retrieval) -----
+    "q_mips_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.mipsTopK(emb, "embedding", "vec_id", q, 20)
+    }),
+
+    // -- incremental distinct-count sketches (DataSketches HLL) ------------
+    // Sketches built per (event_type, half-of-stream), merged per type —
+    // the persist-then-union workflow of incremental corpus statistics.
+    // Rows-only by contract (estimates are a function of the engine's
+    // sketch implementation; ±2% accuracy and union≡whole are spec-checked).
+    "q_hll_sketch" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("half", (col("event_id") % 2).cast("int"))
+      val sketches = Relational.distinctSketches(ev, Seq("event_type", "half"), "user_id")
+      Relational.unionSketchEstimate(sketches, Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
+    // -- lexical statistics (diversity / randomness / distribution shape) --
+    "q_ttr" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.typeTokenRatio(col("text")).as("ttr"))
+        .orderBy("doc_id")),
+
+    "q_char_entropy" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")),
+
+    "q_zipf_slope" -> ((s, d) =>
+      TextAnalysis.zipfSlope(t(s, d, "documents"), "text", topN = 1000)),
+
+    // -- north-star: PMI collocation mining (phrase detection) -------------
+    "q_pmi" -> ((s, d) =>
+      TextAnalysis.bigramPmi(t(s, d, "documents"), "text", minCount = 5)
+        .orderBy(desc("pmi"), col("a"), col("b"))
+        .limit(50)),
+
+    // -- positional token explode (UDTF-shape: one row per token position) -
+    "q_pos_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(col("text").isNotNull && col("doc_id") < 40)
+        .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+        .toDF("doc_id", "pos", "token")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")),
+
+    // -- PII audit: redaction (piiScrub, cf. q_pii_scrub) + match counts ---
+    // Synthetic contact block appended per doc so every pattern fires; the
+    // new surface here is the n_pii AUDIT column a compliance log records.
+    "q_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text").substr(1, 40),
+        lit(" contact user"), (col("doc_id") % 5).cast("string"),
+        lit("@mail"), (col("doc_id") % 3).cast("string"), lit(".example.com"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+        lit(" tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-4321"))
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          TextAnalysis.piiScrub(col("aug")).as("redacted"),
+          TextAnalysis.piiCount(col("aug")).as("n_pii"))
+        .orderBy("doc_id")
+    }),
+
+    // -- north-star: boilerplate line removal (CCNet/C4 hygiene) ----------
+    // Docs rebuilt as multi-line pages: a banner line planted in EVERY doc
+    // (dropped at docFreq > 300 of ~475 non-null docs), a second banner in
+    // every other doc (kept — under the cutoff), body, and a unique tail.
+    "q_boilerplate_strip" -> ((s, d) => {
+      val paged = t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), concat(
+          lit("subscribe to our newsletter\n"),
+          when(col("doc_id") % 2 === 0, lit("cookie policy applies\n")).otherwise(lit("")),
+          col("text").substr(1, 60),
+          lit("\nunique tail "), col("doc_id").cast("string")).as("text"))
+      TextAnalysis.stripBoilerplate(paged, "text", "doc_id", maxDocFreq = 300)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // -- north-star: hybrid retrieval via reciprocal-rank fusion -----------
+    // Lexical leg: docs ranked by tf of the query token; dense leg: cosine
+    // top-100 against vec 0's embedding (doc_id and vec_id share the id
+    // space in the fixtures). Both legs are top-k bounded BEFORE ranking,
+    // so the global row_number windows each see ≤100 rows.
+    "q_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val emb  = t(s, d, "embeddings")
+      val tf = docs.where(col("text").isNotNull)
+        .select(col("doc_id").as("id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token") === "join")
+        .groupBy("id").agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), col("id")).limit(100)
+      val lex = tf.withColumn("rank",
+        row_number().over(Window.orderBy(desc("tf"), col("id"))).cast("long"))
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val dense = Similarity.cosineTopK(emb, "embedding", "vec_id", q, 100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("cos"), col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("id"), col("rank"))
+      Similarity.rrfFuse(lex.select(col("id"), col("rank")), dense, "id")
+        .orderBy(desc("rrf"), col("id"))
+    }),
+
+    // -- deterministic per-group uniform sample (md5 priority) -------------
+    "q_priority_sample" -> ((s, d) =>
+      Relational.hashPrioritySample(t(s, d, "events"), "event_type", 5, "event_id")
+        .select(col("event_type"), col("event_id"), col("user_id"))
+        .orderBy("event_type", "event_id"))
   )
 
   /** Shared text for q_corr_subquery: the SAME SQL runs in Spark and DuckDB
@@ -2291,6 +2411,112 @@ object SparkEntry {
         "AS BIGINT) AS bucket, CAST(o_totalprice AS DOUBLE) AS v FROM orders, b) " +
         "SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi " +
         "FROM r GROUP BY bucket ORDER BY bucket"),
+
+    "q_mips_topk" ->
+      ("SELECT vec_id, ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)), 6) AS ip " +
+        "FROM embeddings ORDER BY ip DESC, vec_id LIMIT 20"),
+
+    "q_ttr" ->
+      (s"SELECT doc_id, ROUND(CAST(len(list_distinct($tokensSql)) AS DOUBLE) / " +
+        s"CAST(len($tokensSql) AS DOUBLE), 6) AS ttr " +
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"),
+
+    // Entropy fold mirrors the Spark expression: sorted distinct chars,
+    // cnt·ln(cnt) terms summed in list order, ln(n) − sum/n, round 6.
+    "q_char_entropy" ->
+      ("WITH c AS (SELECT doc_id, string_split(text, '') AS cs, " +
+        "CAST(len(string_split(text, '')) AS DOUBLE) AS n, " +
+        "list_sort(list_distinct(string_split(text, ''))) AS uq " +
+        "FROM documents WHERE text IS NOT NULL AND len(text) > 0) " +
+        "SELECT doc_id, ROUND(ln(n) - list_aggregate(list_transform(uq, " +
+        "ch -> CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) * " +
+        "ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE))), 'sum') / n, 6) " +
+        "AS entropy FROM c ORDER BY doc_id"),
+
+    "q_zipf_slope" ->
+      (s"WITH counts AS (SELECT token, COUNT(*) AS n FROM " +
+        s"(SELECT unnest($tokensSql) AS token FROM documents WHERE text IS NOT NULL) " +
+        "WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 1000), " +
+        "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM counts) " +
+        "SELECT ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) " +
+        "AS zipf_slope, COUNT(*) AS n_ranks FROM r"),
+
+    // PMI keeps one fixed double-op order on both engines:
+    // ln(((cab·n1)·n1) / ((n2·ca)·cb)).
+    "q_pmi" ->
+      (s"WITH tk AS (SELECT $tokensSql AS tk FROM documents WHERE text IS NOT NULL), " +
+        "uni AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w), " +
+        "n1t AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n1 FROM uni), " +
+        "bi AS (SELECT a, b, COUNT(*) AS cab FROM " +
+        "(SELECT list_extract(tk, CAST(i AS INT)) AS a, list_extract(tk, CAST(i AS INT) + 1) AS b " +
+        "FROM tk, UNNEST(range(1, len(tk))) AS t(i) WHERE len(tk) >= 2) GROUP BY a, b), " +
+        "n2t AS (SELECT CAST(SUM(cab) AS DOUBLE) AS n2 FROM bi) " +
+        "SELECT a, b, cab, ROUND(ln((CAST(cab AS DOUBLE) * n1 * n1) / " +
+        "(n2 * CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 6) AS pmi " +
+        "FROM bi JOIN (SELECT w AS a, cw AS ca FROM uni) ua USING (a) " +
+        "JOIN (SELECT w AS b, cw AS cb FROM uni) ub USING (b), n1t, n2t " +
+        "WHERE cab >= 5 ORDER BY pmi DESC, a, b LIMIT 50"),
+
+    "q_pos_tokens" ->
+      (s"SELECT doc_id, CAST(i AS BIGINT) AS pos, token FROM " +
+        s"(SELECT doc_id, unnest(range(len($tokensSql))) AS i, " +
+        s"unnest($tokensSql) AS token " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id < 40) " +
+        "ORDER BY doc_id, pos"),
+
+    // Redaction/count SQL is GENERATED from TextAnalysis.piiPatterns so the
+    // two engines can never drift on the pattern table.
+    "q_pii_redact" -> {
+      val augSql = "substr(text, 1, 40) || ' contact user' || CAST(doc_id % 5 AS VARCHAR) || " +
+        "'@mail' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' || " +
+        "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' || " +
+        "' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4321'"
+      val redSql = graft.operators.TextAnalysis.piiPatterns.foldLeft("aug") {
+        case (e, (re, tag)) => s"regexp_replace($e, '${re.replace("'", "''")}', '$tag', 'g')"
+      }
+      val cntSql = graft.operators.TextAnalysis.piiPatterns
+        .map { case (re, _) => s"len(regexp_extract_all(aug, '${re.replace("'", "''")}'))" }
+        .mkString(" + ")
+      s"WITH a AS (SELECT doc_id, $augSql AS aug FROM documents WHERE text IS NOT NULL) " +
+        s"SELECT doc_id, $redSql AS redacted, CAST($cntSql AS BIGINT) AS n_pii " +
+        "FROM a ORDER BY doc_id"
+    },
+
+    "q_boilerplate_strip" ->
+      ("WITH src AS (SELECT doc_id, 'subscribe to our newsletter' || chr(10) || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'cookie policy applies' || chr(10) ELSE '' END) || " +
+        "substr(text, 1, 60) || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM src), " +
+        "l AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, " +
+        "list_extract(parts, CAST(t.i AS INT)) AS ln " +
+        "FROM ls, UNNEST(range(1, len(parts) + 1)) AS t(i)), " +
+        "blocked AS (SELECT trim(ln) AS nline FROM l WHERE trim(ln) <> '' " +
+        "GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 300) " +
+        "SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text FROM l " +
+        "WHERE trim(ln) NOT IN (SELECT nline FROM blocked) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_rrf_fusion" ->
+      (s"WITH tf AS (SELECT id, tf FROM (SELECT doc_id AS id, COUNT(*) AS tf FROM " +
+        s"(SELECT doc_id, unnest($tokensSql) AS token FROM documents WHERE text IS NOT NULL) " +
+        "WHERE token = 'join' GROUP BY doc_id) ORDER BY tf DESC, id LIMIT 100), " +
+        "lex AS (SELECT id, ROW_NUMBER() OVER (ORDER BY tf DESC, id) AS rank_a FROM tf), " +
+        "cosd AS (SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos " +
+        "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 100), " +
+        "dense AS (SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank_b FROM cosd) " +
+        "SELECT COALESCE(lex.id, dense.id) AS id, " +
+        "ROUND(COALESCE(1.0 / (60.0 + CAST(rank_a AS DOUBLE)), 0.0) + " +
+        "COALESCE(1.0 / (60.0 + CAST(rank_b AS DOUBLE)), 0.0), 6) AS rrf " +
+        "FROM lex FULL OUTER JOIN dense ON lex.id = dense.id ORDER BY rrf DESC, id"),
+
+    "q_priority_sample" ->
+      ("SELECT event_type, event_id, user_id FROM (SELECT event_type, event_id, user_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type " +
+        "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk FROM events) " +
+        "WHERE rk <= 5 ORDER BY event_type, event_id"),
 
     "q_url_filter" ->
       ("SELECT doc_id, domain FROM (SELECT doc_id, " +

@@ -613,9 +613,11 @@ object Dedup {
         col("a.s").as("s_a"), col("b.s").as("s_b"))
       .distinct() // pairs sharing several variant keys verify once, not once per key
     cand
+      // threshold form = banded DP, O(len·d) per pair instead of O(len²);
+      // returns -1 above the threshold, hence the >= 0 guard
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
-      .where(col("dist") <= maxDist)
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long").as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** End-to-end near-dedup: generate MinHash+LSH candidates, confirm them

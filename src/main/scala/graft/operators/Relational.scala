@@ -368,6 +368,37 @@ object Relational {
       .where(col("rk") <= n)
   }
 
+  /** Deterministic per-group uniform sample: keep `n` rows per group
+    * chosen by md5-of-id priority — hash order is uniform over ids but
+    * REPRODUCIBLE across runs, engines, and partitionings (the property
+    * plain `rand()` sampling can't give a data pipeline that must be
+    * replayable). md5 rather than the engine-native 64-bit hashes because
+    * its hex form is identical everywhere (xxhash64 seeds differ by
+    * engine). Same plan shape as [[groupQuota]]: one group-key shuffle,
+    * per-group streaming rank, no global sort. */
+  def hashPrioritySample(df: DataFrame, groupCol: String, n: Int, idCol: String): DataFrame =
+    groupQuota(df, groupCol, n, md5(col(idCol).cast("string")), col(idCol))
+
+  /** Per-group HLL distinct-count SKETCHES (Apache DataSketches HllSketch,
+    * built into Spark 4) — the persistable form of approx_count_distinct.
+    * The sketch column is a mergeable partial aggregate: persist per
+    * batch/day/source, then [[unionSketchEstimate]] combines ANY grouping
+    * of them later without re-reading the data — incremental corpus
+    * statistics (distinct users/tokens/urls so far) at a few KB per group
+    * instead of a corpus re-scan. lgK 12 ≈ ±1.6% standard error. */
+  def distinctSketches(
+      df: DataFrame, groupCols: Seq[String], valueCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Merge persisted sketches to a coarser grouping and estimate: the
+    * union is exact over sketch state (no re-count error beyond the
+    * sketches' own), so sketch-of-whole ≡ union-of-parts — spec-verified. */
+  def unionSketchEstimate(
+      sketches: DataFrame, groupCols: Seq[String], sketchCol: String = "sketch"): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("approx_distinct"))
+
   /** Winsorize: clamp `valueCol` to its [pLo, pHi] percentile band — the
     * outlier-taming variant of the quantile band FILTER (q_quantile_filter
     * drops the tails; winsorizing keeps the rows and caps the values, the

@@ -39,6 +39,45 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
 
+  /** Brute-force MAX-INNER-PRODUCT top-k against a single query vector —
+    * the retrieval scoring for un-normalized embeddings (two-tower
+    * recommenders, learned-sparse retrieval), where magnitude carries
+    * signal and cosine's normalization would erase it. Same determinism
+    * contract as [[cosineTopK]]: sequential double fold, rounded to 6
+    * decimals, id tie-break; same plan shape (one scan →
+    * TakeOrderedAndProject, no shuffle of vectors). The classic
+    * norm-augmentation reduction (Bachrach et al. 2014) maps MIPS onto any
+    * cosine ANN index when the brute-force scan outgrows one pass. */
+  def mipsTopK(df: DataFrame, vecCol: String, idCol: String, q: Array[Float], k: Int): DataFrame =
+    df.select(
+        col(idCol),
+        round(graft.functions.VectorFunctions.dot(col(vecCol), queryVec(q)), 6).as("ip"))
+      .where(validCos(col("ip")))
+      .orderBy(desc("ip"), col(idCol))
+      .limit(k)
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval rank
+    * lists — the standard hybrid-search combiner (lexical BM25/tf leg +
+    * dense embedding leg): `rrf(d) = Σ_leg 1/(kRrf + rank_leg(d))`, robust
+    * to the legs' incomparable score scales because only RANKS enter.
+    * Inputs carry (`idCol`, `rank`); a doc absent from one leg contributes
+    * 0 for it (full-outer join). The two reciprocal terms are each one
+    * IEEE division of exact integers and are added in a fixed order
+    * (a-leg + b-leg), rounded to 6 decimals — bit-reproducible across
+    * engines.
+    *
+    * Scale shape: rank lists are top-k bounded by construction (each leg
+    * is already a TakeOrdered result), so the fusion join is k-vs-k —
+    * broadcast territory regardless of corpus size. */
+  def rrfFuse(rankA: DataFrame, rankB: DataFrame, idCol: String, kRrf: Int = 60): DataFrame = {
+    val termA = lit(1.0) / (lit(kRrf).cast("double") + col("rank_a").cast("double"))
+    val termB = lit(1.0) / (lit(kRrf).cast("double") + col("rank_b").cast("double"))
+    rankA.select(col(idCol), col("rank").as("rank_a"))
+      .join(rankB.select(col(idCol), col("rank").as("rank_b")), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(coalesce(termA, lit(0.0)) + coalesce(termB, lit(0.0)), 6).as("rrf"))
+  }
+
   /** Exact k-NN JOIN: for every vector of `df`, its `k` nearest neighbors
     * (cosine, self excluded) among all the others. Output
     * (idCol, rank, neighbor_id, cos) with rank 1..k ordered by

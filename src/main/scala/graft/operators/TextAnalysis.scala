@@ -586,31 +586,92 @@ object TextAnalysis {
     * counterpart of [[subwordCountApprox]].
     *
     * Architecture is the paper's own: corpus-scale work is ONE
-    * tokenize+count shuffle producing the word-frequency DICTIONARY; every
-    * merge iteration then runs on that compact dict (vocabulary-sized —
-    * tens of millions of rows for a web corpus, a rounding error next to
-    * the corpus), as one pair-count aggregate + one map-side fold. The only
-    * driver traffic is the 1-row argmax per iteration (the merge decision
-    * itself, which IS the model being built). Ties break (count desc, pair
-    * lexicographic asc) so the learned merge table is deterministic.
-    * Per-iteration `localCheckpoint` keeps the dict's plan flat (same
-    * device as [[Dedup.connectedComponents]]); superseded checkpoint blocks
-    * are unreferenced and reclaimed by the ContextCleaner. */
+    * tokenize+count shuffle producing the word-frequency DICTIONARY; the
+    * merge loop then runs on that compact dict. When the dict fits the
+    * documented bound (`maxDriverVocab`, default 2²⁰ word forms — a full
+    * web-corpus word-form dict is tens of millions of SHORT strings, so
+    * even 100 TB corpora usually fit) it is collected ONCE and the
+    * iterative argmax runs as a driver loop — the dict here is the MODEL
+    * being built, vocabulary-bounded not corpus-bounded, the same
+    * sanctioned exception as `ScoringModel`'s weights; 40 merges cost
+    * milliseconds instead of 120 scheduler round-trips. Above the bound the
+    * loop stays fully distributed (one pair-count aggregate + map-side HOF
+    * fold per merge, 1-row argmax to the driver, lineage flattened via
+    * localCheckpoint every few rounds). Both paths implement identical
+    * semantics — ties break (count desc, pair lexicographic asc) so the
+    * learned merge table is deterministic — and the spec runs the classic
+    * Sennrich corpus through BOTH. */
   def bpeTrain(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String,
-      numMerges: Int): Seq[(String, String)] = {
+      numMerges: Int,
+      maxDriverVocab: Int = 1 << 20): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    var dict = docs
+    val wordCounts = docs
       .where(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    if (wordCounts.count() <= maxDriverVocab)
+      bpeTrainDriver(
+        wordCounts.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+    else bpeTrainDistributed(wordCounts, numMerges)
+  }
+
+  /** In-memory merge loop over the collected word-frequency dict (the
+    * standard fast-BPE trainer shape). */
+  private def bpeTrainDriver(
+      dict: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words  = dict.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (!exhausted && merges.size < numMerges) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), n, _ + _); i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && Ordering[(String, String)].lt(p, best._1))) best = (p, c)
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        words = words.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), n)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed merge loop for dicts beyond the driver bound: identical
+    * semantics, one pair-count aggregate + map-side fold per merge. */
+  private def bpeTrainDistributed(
+      wordCounts: org.apache.spark.sql.DataFrame, numMerges: Int): Seq[(String, String)] = {
+    var dict = wordCounts
       .select(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))).as("syms"), col("n"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
+    var sinceCheckpoint = 0
     while (!exhausted && merges.size < numMerges) {
       val top = dict
         .where(size(col("syms")) >= 2) // keeps the position sequence ascending
@@ -626,7 +687,10 @@ object TextAnalysis {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         dict = dict.select(mergeAdjacent(col("syms"), a, b).as("syms"), col("n"))
-          .localCheckpoint(true)
+        // flatten lineage every few rounds, not every round — the HOF fold
+        // plans stack only a few expressions deep per merge
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= 4) { dict = dict.localCheckpoint(true); sinceCheckpoint = 0 }
       }
     }
     merges.toSeq
@@ -672,5 +736,155 @@ object TextAnalysis {
       }
     }
     syms
+  }
+
+  // ------------------------------------------------- lexical statistics
+
+  /** Type-token ratio — distinct tokens / total tokens, the classic
+    * lexical-diversity signal (low TTR flags template/spam text the way
+    * [[repetitionRatio]] flags verbatim loops, but at whole-vocabulary
+    * rather than n-gram granularity). Pure map-side Catalyst; empty/blank
+    * text → 1.0 (single empty token over itself). */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+  }
+
+  /** Character-level Shannon entropy (nats) — the randomness signal that
+    * separates natural prose (≈2.5–3.3 nats) from base64/hex blobs (high)
+    * and repeated-character padding (near 0); a standard cheap filter
+    * column next to [[qualityScore]].
+    *
+    * Computed as `ln(n) − (Σ_c cnt_c·ln cnt_c)/n` over the SORTED distinct
+    * characters so the fold order (and hence the last-ulp of the double
+    * sum) is engine-reproducible; the per-row cost is O(distinct·len),
+    * bounded by alphabet size, and the whole thing is one codegen'd
+    * expression — no shuffle, no UDF. */
+  def charEntropy(text: Column): Column = {
+    // Spark's split(limit=-1) keeps the zero-width trailing match as an
+    // empty string — drop it so char counts (and n) match a plain
+    // char-by-char split
+    val cs   = filter(split(text, ""), c => c =!= "")
+    val n    = size(cs).cast("double")
+    val uniq = array_sort(array_distinct(cs))
+    val sumClnC = aggregate(
+      uniq,
+      lit(0.0),
+      (acc, c) => {
+        val cnt = size(filter(cs, x => x === c)).cast("double")
+        acc + cnt * log(cnt)
+      })
+    round(log(n) - sumClnC / n, 6)
+  }
+
+  /** Zipf slope of the corpus token-frequency distribution: OLS slope of
+    * `ln(count)` against `ln(rank)` over the top `topN` token ranks —
+    * natural corpora sit near −1 (Zipf's law); a slope far from it flags
+    * synthetic or truncated corpora. One tokenize+count shuffle, a
+    * vocabulary-sized rank (top-N via one TakeOrdered), and a 1-row
+    * regression aggregate; ranks tie-break lexicographically so the fit is
+    * deterministic. */
+  def zipfSlope(
+      docs: org.apache.spark.sql.DataFrame, textCol: String, topN: Int = 1000)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(topN)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n"), col("token"))))
+    counts.agg(
+      round(regr_slope(log(col("n").cast("double")), log(col("rank").cast("double"))), 6)
+        .as("zipf_slope"),
+      count(lit(1)).as("n_ranks"))
+  }
+
+  /** Pointwise mutual information for adjacent-token bigrams —
+    * collocation mining (`ln(p(ab)/(p(a)p(b)))`), the standard phrase
+    * detector over a training corpus. Three token-level aggregates
+    * (unigram counts, bigram counts, two 1-row totals attached by cross
+    * join — never a driver round-trip); the unigram side is
+    * vocabulary-sized, so both attach joins broadcast under AQE. `minCount`
+    * suppresses the unstable low-frequency tail. The PMI expression keeps
+    * one fixed operation order (all-integer products cast to double,
+    * single `ln`) so both engines serialize identical doubles. */
+  def bigramPmi(
+      docs: org.apache.spark.sql.DataFrame, textCol: String, minCount: Long = 5L)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .where(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nUni = uni.agg(sum(col("cw")).as("n1"))
+    val bi = toks
+      .where(size(col("tk")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => struct(
+          element_at(col("tk"), i).as("a"),
+          element_at(col("tk"), i + 1).as("b")))).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val nBi = bi.agg(sum(col("cab")).as("n2"))
+    bi.where(col("cab") >= minCount)
+      .join(uni.withColumnRenamed("w", "a").withColumnRenamed("cw", "ca"), Seq("a"))
+      .join(uni.withColumnRenamed("w", "b").withColumnRenamed("cw", "cb"), Seq("b"))
+      .crossJoin(nUni).crossJoin(nBi)
+      .select(col("a"), col("b"), col("cab"),
+        round(log(
+          (col("cab").cast("double") * col("n1").cast("double") * col("n1").cast("double")) /
+            (col("n2").cast("double") * col("ca").cast("double") * col("cb").cast("double"))), 6)
+          .as("pmi"))
+  }
+
+  // --------------------------------------------------- PII audit / boilerplate
+
+  /** Count of [[piiPatterns]] matches over the ORIGINAL text (counts are
+    * independent per pattern — a span matched by two patterns counts
+    * twice; [[piiScrub]]'s sequential replacement is what resolves the
+    * overlap in the redacted output). The audit column a compliance log
+    * records next to the scrub. */
+  def piiCount(text: Column): Column =
+    piiPatterns
+      .map { case (re, _) => size(regexp_extract_all(text, lit(re), lit(0))).cast("long") }
+      .reduce(_ + _)
+
+  /** Boilerplate line removal (CCNet/C4-style): drop every line whose
+    * trimmed form appears in more than `maxDocFreq` DISTINCT documents
+    * (nav bars, cookie banners, newsletter prompts), and reassemble each
+    * document from its surviving lines in original order.
+    *
+    * Scale shape (100 TB): the doc-frequency side collapses to distinct
+    * (id, line) map-side before one line-key shuffle, and the blocked set
+    * (lines over the cutoff) is tiny by construction — boilerplate is
+    * what repeats — so the anti-join broadcasts. Reassembly shuffles each
+    * doc's surviving lines once on the doc key; the per-doc sort is local
+    * (`array_sort` of that doc's lines, never a global sort). */
+  def stripBoilerplate(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
+    val lines = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("nline", trim(col("line")))
+    val blocked = lines
+      .where(col("nline") =!= "")
+      .select(col("id"), col("nline")).distinct()
+      .groupBy("nline").agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") > maxDocFreq)
+      .select(col("nline"))
+    lines
+      .join(blocked, Seq("nline"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -186,5 +187,70 @@ object StreamingInference {
       .start()
     q.awaitTermination()
     spark.read.parquet(targetDir).drop("key_bucket")
+  }
+
+  /** Streaming NEAR-dedup of an arriving document stream against the
+    * corpus-so-far: each micro-batch near-dedups via
+    * [[graft.operators.Dedup.nearDedupAgainstIndex]] against the
+    * accumulated MinHash signature index, survivors append to `outDir` and
+    * their signatures extend the index — the continuous-ingest form of the
+    * corpus hygiene pass (history text is never re-read; the index carries
+    * 8·numHashes bytes per accepted doc).
+    *
+    * Exactly-once without a table swap: both sinks partition by `batch_id`
+    * and use DYNAMIC partition overwrite, so a crashed-and-replayed batch
+    * rewrites exactly its own partition instead of appending duplicates —
+    * the idempotence device for foreachBatch appends (the checkpoint
+    * replays uncommitted batch ids only).
+    *
+    * 100 TB notes: per batch the work is bands-join(batch, index) +
+    * bands-join(batch, batch) — payloads never shuffle and the index side
+    * carries (id, sig) only. A long-lived deployment should periodically
+    * compact the index's batch_id partitions and bucket them by band for
+    * probe locality (TableManager.compact / writeBucketed); the per-batch
+    * plan is unchanged by that maintenance. */
+  def streamNearDedup(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      textCol: String,
+      idCol: String,
+      outDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.8,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.Dedup
+    val q = readFileStream(spark, srcDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+            spark.read.parquet(indexDir)
+          else // empty index with the right (id, sig) shape for the joins
+            Dedup.minHashIndex(batch.limit(0), textCol, idCol, shingleN, numHashes)
+        val survivors = Dedup.nearDedupAgainstIndex(
+          batch, textCol, idCol, index, shingleN, numHashes, bands,
+          minEstJaccard).localCheckpoint(true) // two sinks below: compute once
+        survivors.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        Dedup.minHashIndex(survivors, textCol, idCol, shingleN, numHashes)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).drop("batch_id")
   }
 }

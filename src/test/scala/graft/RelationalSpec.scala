@@ -293,6 +293,25 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, "a", 1L), (3L, "a", 2L), (5L, "b", 1L)))
   }
 
+  test("HLL sketches: union-of-parts ≡ sketch-of-whole, estimates within 2% of exact") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("half", (col("event_id") % 2).cast("int"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val parts = Relational.distinctSketches(ev, Seq("event_type", "half"), "user_id")
+    val merged = Relational.unionSketchEstimate(parts, Seq("event_type")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = Relational.unionSketchEstimate(
+      Relational.distinctSketches(ev, Seq("event_type"), "user_id"), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == whole, "union of half-sketches must equal the whole-stream sketch")
+    merged.foreach { case (t, est) =>
+      val ex = exact(t).toDouble
+      assert(math.abs(est - ex) / ex <= 0.02, s"$t: est $est vs exact $ex")
+    }
+  }
+
   test("winsorize clamps tails to the percentile band and keeps every row") {
     import spark.implicits._
     // values 1..100: p10 = 10.9, p90 = 90.1 (linear interpolation)
@@ -318,5 +337,17 @@ class RelationalSpec extends SparkSpec {
     // plan must not contain a single-partition global sort window
     val plan = Relational.equiDepthHistogram(df, "v", 4).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "equi-depth histogram must not use a global window")
+  }
+
+  test("hashPrioritySample: n per group, reproducible across partitionings") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (if (i % 2 == 0) "a" else "b", i)).toDF("g", "id")
+    def sampled(d: org.apache.spark.sql.DataFrame) =
+      Relational.hashPrioritySample(d, "g", 5, "id")
+        .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s1 = sampled(df)
+    val s2 = sampled(df.repartition(7))
+    assert(s1 == s2, "sample must not depend on physical layout")
+    assert(s1.size == 10 && s1.count(_._1 == "a") == 5)
   }
 }

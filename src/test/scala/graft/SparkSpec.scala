@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (getOrCreate → one JVM-wide session). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", shufflePartitions = 8).getOrCreate()
+    val s = GraftSession.builder("local[8]", shufflePartitions = 8).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

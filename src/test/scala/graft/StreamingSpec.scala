@@ -81,6 +81,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L), "no duplicates, no gaps after restart")
   }
 
+  test("streamNearDedup: batches dedup against the growing index; restart is incremental") {
+    import spark.implicits._
+    val work   = Files.createTempDirectory("graft_stream_nd").toString
+    val srcDir = s"$work/src"
+    val t1 = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    val t2 = "completely different text about spark engines and columnar execution at scale"
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$srcDir/f1")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+
+    def run(): Set[Long] = StreamingInference.streamNearDedup(
+      spark, s"$srcDir/*", schema, "text", "doc_id",
+      s"$work/out", s"$work/index", s"$work/ckpt",
+      shingleN = 2, minEstJaccard = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(run() == Set(1L, 2L))
+    // second arrival: a near-dup of 1, a novel doc, an exact copy of 2
+    Seq((3L, t1.replace("far away", "far off")),
+        (4L, "a third genuinely novel document with entirely fresh vocabulary inside"),
+        (5L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$srcDir/f2")
+    assert(run() == Set(1L, 2L, 4L))
+    // the index holds signatures for exactly the survivors
+    assert(spark.read.parquet(s"$work/index").count() == 3L)
+    // no new files → no change (exactly-once)
+    assert(run() == Set(1L, 2L, 4L))
+  }
+
   test("checkpoint makes re-run a no-op (exactly-once append)") {
     val work   = Files.createTempDirectory("graft_stream_spec2").toString
     val srcDir = s"$work/src"

@@ -322,6 +322,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
   }
 
+  test("bpeTrain distributed path learns the identical merge sequence") {
+    import spark.implicits._
+    val df = Seq((1L, sennrichCorpus)).toDF("doc_id", "text")
+    // maxDriverVocab = 0 forces the distributed merge loop
+    val merges = TextAnalysis.bpeTrain(df, "text", numMerges = 4, maxDriverVocab = 0)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
   test("bpeTrain stops early when every word is a single symbol") {
     import spark.implicits._
     val df = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
@@ -340,5 +348,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0) == ((1L, Seq("low", "est"))))
     assert(got(1) == ((2L, Seq("n", "e", "w", "est", "w", "i", "d", "e", "r"))))
     assert(got(2) == ((3L, null)))
+  }
+
+  test("typeTokenRatio: distinct over total tokens") {
+    assert(one("a a b c", TextAnalysis.typeTokenRatio(col("text"))).getDouble(0) == 0.75)
+    assert(one("same same same same", TextAnalysis.typeTokenRatio(col("text"))).getDouble(0) == 0.25)
+  }
+
+  test("charEntropy: 0 for constant text, ln 2 for a two-symbol balance") {
+    assert(one("aaaa", TextAnalysis.charEntropy(col("text"))).getDouble(0) == 0.0)
+    val ln2 = BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(one("aabb", TextAnalysis.charEntropy(col("text"))).getDouble(0) == ln2)
+    // no phantom empty-string char from Spark's trailing-empty split
+    assert(one("ab", TextAnalysis.charEntropy(col("text"))).getDouble(0) == ln2)
+  }
+
+  test("zipfSlope matches a hand-computed OLS fit of ln(count) on ln(rank)") {
+    import spark.implicits._
+    // counts: aa=4, bb=2, cc=1 → ranks 1,2,3
+    val df = Seq((1L, "aa aa aa aa bb bb cc")).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(df, "text").head()
+    val (xs, ys) = (Seq(1.0, 2.0, 3.0).map(math.log), Seq(4.0, 2.0, 1.0).map(math.log))
+    val (mx, my) = (xs.sum / 3, ys.sum / 3)
+    val want = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(row.getDouble(0) - want) < 1e-6)
+    assert(row.getLong(1) == 3L)
+  }
+
+  test("bigramPmi: hand-checked counts on a 4-token corpus") {
+    import spark.implicits._
+    // tokens x y x y: bigrams (x,y)×2, (y,x)×1; uni x=2 y=2; n1=4, n2=3
+    val df = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPmi(df, "text", minCount = 1)
+      .orderBy(desc("pmi")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def pmi(cab: Double) = BigDecimal(math.log(cab * 4 * 4 / (3 * 2 * 2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("x", "y", 2L, pmi(2)), ("y", "x", 1L, pmi(1))))
+  }
+
+  test("piiCount audits what piiScrub redacts") {
+    val s = "mail bob.smith+x@corp.example.org from 192.168.0.1 call 555-1234 done"
+    assert(one(s, TextAnalysis.piiScrub(col("text"))).getString(0) ==
+      "mail <EMAIL> from <IP> call <PHONE> done")
+    assert(one(s, TextAnalysis.piiCount(col("text"))).getLong(0) == 3L)
+    val clean = "no pii in this sentence at all"
+    assert(one(clean, TextAnalysis.piiScrub(col("text"))).getString(0) == clean)
+    assert(one(clean, TextAnalysis.piiCount(col("text"))).getLong(0) == 0L)
+  }
+
+  test("stripBoilerplate drops lines above the doc-frequency cutoff, keeps order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "banner\nalpha\ntail 0"),
+      (1L, "banner\nbeta\ntail 1"),
+      (2L, "banner\ngamma\ntail 2")).toDF("id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "text", "id", maxDocFreq = 2)
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("alpha\ntail 0", "beta\ntail 1", "gamma\ntail 2"))
+    // the cutoff is strict: a line in exactly maxDocFreq docs survives
+    val kept = TextAnalysis.stripBoilerplate(docs, "text", "id", maxDocFreq = 3)
+      .orderBy("id").collect().map(_.getString(1))
+    assert(kept.toSeq == Seq(
+      "banner\nalpha\ntail 0", "banner\nbeta\ntail 1", "banner\ngamma\ntail 2"))
   }
 }

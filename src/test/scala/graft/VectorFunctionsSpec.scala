@@ -234,6 +234,22 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("mipsTopK ranks by magnitude-weighted inner product, not cosine") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> Seq(3f, 4f),     // ip = 3, cos = 0.6  → MIPS winner
+      2L -> Seq(0.99f, 0f),  // ip = 0.99, cos = 1.0 → cosine winner
+      3L -> Seq(-5f, 0f))    // ip = -5
+      .toDF("vec_id", "embedding")
+    val q = Array(1f, 0f)
+    val mips = Similarity.mipsTopK(df, "embedding", "vec_id", q, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mips.toSeq == Seq((1L, 3.0), (2L, 0.99), (3L, -5.0)))
+    val cos = Similarity.cosineTopK(df, "embedding", "vec_id", q, 1)
+      .head().getLong(0)
+    assert(cos == 2L) // same data, different winner — MIPS keeps magnitude
+  }
+
   test("sparseRandomProject: no two output dimensions are identical on real embeddings") {
     // guards the matrix-mixing choice — a plain affine (ai+bj) % 6 cell rule
     // would make columns j and j+6 identical shifts of each other
@@ -245,5 +261,18 @@ class VectorFunctionsSpec extends SparkSpec {
     val series = (0 until 16).map(j => rows.map(_.getLong(j)).toSeq)
     for (a <- 0 until 16; b <- a + 1 until 16)
       assert(series(a) != series(b), s"projection dims $a and $b are identical")
+  }
+
+  test("rrfFuse: reciprocal weights, fixed leg order, absent leg contributes 0") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val m = Similarity.rrfFuse(a, b, "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(1L) == r6(1.0 / 61.0))            // only leg A
+    assert(m(3L) == r6(1.0 / 62.0))            // only leg B
+    assert(m(2L) == r6(1.0 / 62.0 + 1.0 / 61.0)) // both legs, A term first
   }
 }
