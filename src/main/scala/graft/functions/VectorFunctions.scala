@@ -46,6 +46,17 @@ object VectorFunctions {
   def cosineNative(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Native-expression dot product (see [[graft.plans.DotProduct]]): the
+    * norm-free core of [[cosineNative]], for plans that cache per-row norms
+    * and pay only the dot per PAIR (k-NN joins). Bit-identical accumulation
+    * to [[dot]] over float arrays. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Native L2 norm of a float array: `sqrt(graft_dot(a, a))` — the exact
+    * double [[cosineNative]] computes internally for each side. */
+  def norm2Native(a: Column): Column = sqrt(dotNative(a, a))
+
   /** 0-based index of the max element (F4, the reference's `np.argmax`,
     * `02.a …:226,230`). Ties resolve to the first occurrence, matching
     * numpy. */

@@ -51,7 +51,7 @@ object Similarity {
   def mipsTopK(df: DataFrame, vecCol: String, idCol: String, q: Array[Float], k: Int): DataFrame =
     df.select(
         col(idCol),
-        round(graft.functions.VectorFunctions.dot(col(vecCol), queryVec(q)), 6).as("ip"))
+        round(dotNative(col(vecCol), queryVec(q)), 6).as("ip"))
       .where(validCos(col("ip")))
       .orderBy(desc("ip"), col(idCol))
       .limit(k)
@@ -93,11 +93,15 @@ object Similarity {
     * [[knnJoinIvf]], which joins by shared IVF cell instead. */
   def knnJoinExact(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val left  = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val right = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    // norms cached once per ROW; each of the O(n²) pairs then pays one dot
+    // instead of three (dot + both norms) — bit-identical (see DotProduct)
+    val left  = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm2Native(col(vecCol)).as("nrm"))
+    val right = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      norm2Native(col(vecCol)).as("nnrm"))
     val scored = left.join(broadcast(right), col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id"),
-        round(cosineNative(col("vec"), col("nvec")), 6).as("cos"))
+        round(dotNative(col("vec"), col("nvec")) / (col("nrm") * col("nnrm")), 6).as("cos"))
       .where(validCos(col("cos")))
     scored
       .withColumn("rank",
@@ -126,20 +130,22 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(centroids.nonEmpty && nProbes >= 1, "need centroids and nProbes >= 1")
     val sims  = array(centroids.map(c => cosineNative(col("vec"), typedLit(c))): _*)
-    val base  = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base  = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm2Native(col(vecCol)).as("nrm"))
     // build side: primary cell only; probe side: nProbes nearest cells
     val build = base.withColumn("cell", argmax(sims).cast("int"))
-      .select(col("id").as("neighbor_id"), col("vec").as("nvec"), col("cell"))
+      .select(col("id").as("neighbor_id"), col("vec").as("nvec"),
+        col("nrm").as("nnrm"), col("cell"))
     val probe = base
       .withColumn("cell",
         explode(slice(transform(
           array_sort(transform(sims, (s, i) => struct((-s).as("neg"), i.as("idx")))),
           s => s.getField("idx")), 1, nProbes)))
-      .select(col("id"), col("vec"), col("cell"))
+      .select(col("id"), col("vec"), col("nrm"), col("cell"))
     probe.join(build, Seq("cell"))
       .where(col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id"),
-        round(cosineNative(col("vec"), col("nvec")), 6).as("cos"))
+        round(dotNative(col("vec"), col("nvec")) / (col("nrm") * col("nnrm")), 6).as("cos"))
       .where(validCos(col("cos")))
       // a pair can meet through several probed cells — collapse before ranking
       .groupBy("id", "neighbor_id").agg(max("cos").as("cos"))

@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash_est"),
       new ExpressionInfo(classOf[MinHashAgreement].getName, "graft_minhash_est"),
       (children: Seq[Expression]) => {

@@ -19,6 +19,25 @@ class PlansSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("graft_dot native expression is bit-identical to the HOF dot; cached-norm cosine is bit-identical to fused") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q   = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val rows = emb.select(
+      VectorFunctions.dot(col("embedding"), typedLit(q)).as("hof"),
+      VectorFunctions.dotNative(col("embedding"), typedLit(q)).as("native"),
+      VectorFunctions.cosineNative(col("embedding"), typedLit(q)).as("fused"),
+      (VectorFunctions.dotNative(col("embedding"), typedLit(q)) /
+        (VectorFunctions.norm2Native(col("embedding")) *
+          VectorFunctions.norm2Native(typedLit(q)))).as("cached"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot: HOF vs native")
+      // the k-NN join's cached-norm decomposition must reproduce the fused
+      // cosine EXACTLY — same folds, same final multiply/divide order
+      assert(r.getDouble(2) == r.getDouble(3), "cosine: fused vs cached-norm")
+    }
+  }
+
   test("graft_cosine is callable from SQL (extension registration)") {
     Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb_v")
     val n = spark.sql(
