@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's fixture tables (TESTDATA.md / FIXTURES.md §A).
   *
@@ -16,7 +18,23 @@ object Tables {
 
   /** S5 path table scan. Column pruning + predicate pushdown reach the
     * Parquet reader automatically (verify via `PushedFilters`/`ReadSchema`
-    * in `.explain("formatted")`). */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    * in `.explain("formatted")`).
+    *
+    * The engine's `events.ts` contract is LongType epoch-NANOSECONDS
+    * (SURVEY.md §5.1; oracle SQL compares via `epoch_ns`). The fixture's
+    * physical type has varied across driver generations — TIMESTAMP(NANOS)
+    * (read as long via `nanosAsLong`) vs TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ) — so the loader normalizes any timestamp-typed `ts`
+    * back to epoch-nanos here, in ONE place, instead of forking every
+    * downstream operator and oracle on the fixture vintage. The session
+    * time zone is pinned to UTC (GraftSession), so the NTZ→LTZ cast is
+    * instant-preserving; micros→nanos multiplication is exact. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
 }
