@@ -1525,7 +1525,99 @@ object SparkEntry {
     "q_priority_sample" -> ((s, d) =>
       Relational.hashPrioritySample(t(s, d, "events"), "event_type", 5, "event_id")
         .select(col("event_type"), col("event_id"), col("user_id"))
-        .orderBy("event_type", "event_id"))
+        .orderBy("event_type", "event_id")),
+
+    // -- north-star: temperature-scaled mixture rebalance (α = 0.5) --------
+    // Weights derived IN THE PLAN from the observed lang counts (mT5 rule):
+    // rate_s = min_t(√N_t)·√N_s/N_s — every term correctly rounded (sqrt/
+    // mul/div, no pow, no float summation), so the kept set replays
+    // bit-exactly in the oracle.
+    "q_temperature_sample" -> ((s, d) =>
+      Relational.temperatureSample(t(s, d, "documents"), col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // -- data-quality expectations: validate + quarantine in one pass ------
+    // Named rules over lineitem; `violations` = comma-joined failed rule
+    // names in declaration order, '' when clean. One scan, purely map-side.
+    "q_validate" -> ((s, d) =>
+      Relational.validateRules(t(s, d, "lineitem"), Seq(
+          "qty_le_45"    -> (col("l_quantity") <= 45),
+          "disc_le_8pct" -> (col("l_discount") <= 0.08),
+          "price_pos"    -> (col("l_extendedprice") > 0),
+          "flag_known"   -> col("l_returnflag").isin("A", "N", "R")))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("violations"), col("is_valid"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "violations")),
+
+    // -- SCD Type-2 dimension versioning ------------------------------------
+    // Dim = customer snapshot opened 2020-01-01; update batch derived
+    // in-plan: acctbal+100 for custkey%7=0 (changed versions), '_new'
+    // clones under custkey+1000000 for custkey%97=0 (new keys). Changed
+    // rows close at 2021-06-01 and reopen; unchanged/unmatched untouched.
+    "q_scd2" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"), col("c_acctbal"))
+      val dim = c
+        .withColumn("valid_from", to_date(lit("2020-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val updates = c.where(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(c.where(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("c_name", concat(col("c_name"), lit("_new"))))
+      Relational.scd2Merge(dim, updates, "c_custkey",
+          Seq("c_name", "c_nationkey", "c_acctbal"), to_date(lit("2021-06-01")))
+        .withColumn("is_current", col("is_current").cast("long"))
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // -- north-star: normalization-insensitive exact dedup ------------------
+    // Every 11th doc re-enters under id+10000 uppercased with '!!' noise
+    // and padding — raw-byte dedup misses them, canonicalized dedup
+    // collapses them. Group key is the sha of the NORMALIZED text, so the
+    // only shuffle carries (32-byte hash, id), never the text.
+    "q_dedup_normalized" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val noisy = docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" !! ")).as("text"))
+      docs.unionByName(noisy)
+        .select(col("doc_id"), sha2(TextAnalysis.normalizeText(col("text")), 256).as("h"))
+        .withColumn("keep",
+          (col("doc_id") === min("doc_id").over(Window.partitionBy("h"))).cast("long"))
+        .select(col("doc_id"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // -- north-star: C4 mechanical page cleaning ----------------------------
+    // Docs rebuilt as 10-line pages (lines vary by terminal punctuation and
+    // word count); page_id%13 pages get a code line ('{' → page dropped),
+    // page_id%17 pages get a 'Lorem Ipsum…' line (dropped, case-folded).
+    // The filter itself is pure per-row HOFs — no shuffle beyond assembly.
+    "q_c4_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val line = concat(
+        col("text").substr(lit(1), when(col("doc_id") % 4 === 0, 12).otherwise(45)),
+        when(col("doc_id") % 3 =!= 0, lit(".")).otherwise(lit("")))
+      val pages = docs
+        .select(floor(col("doc_id") / 10).cast("long").as("page_id"),
+          col("doc_id"), line.as("line"))
+        .groupBy("page_id")
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("line")))),
+            x => x.getField("line"))).as("body"))
+        .withColumn("text", concat(col("body"),
+          when(col("page_id") % 13 === 0, lit("\nfunction() { var x = 1; }")).otherwise(lit("")),
+          when(col("page_id") % 17 === 0, lit("\nLorem Ipsum dolor sit amet.")).otherwise(lit(""))))
+      pages.select(col("page_id"), TextAnalysis.c4Clean(col("text")).as("c"))
+        .select(col("page_id"), col("c.keep").cast("long").as("keep"),
+          col("c.n_kept").as("n_kept"), col("c.text").as("clean_text"))
+        .orderBy("page_id")
+    })
   )
 
   /** Shared text for q_corr_subquery: the SAME SQL runs in Spark and DuckDB
@@ -2526,7 +2618,92 @@ object SparkEntry {
         "'https?://([a-z0-9.-]+)', 1)) AS domain " +
         "FROM documents WHERE text IS NOT NULL) " +
         "WHERE domain NOT IN ('site3.example.com', 'www.site2.org') " +
-        "ORDER BY doc_id, domain")
+        "ORDER BY doc_id, domain"),
+
+    "q_temperature_sample" ->
+      // same arithmetic order as Relational.temperatureSample: rate =
+      // (min_t(sqrt(n_t)) * sqrt(n_s)) / n_s — sqrt is correctly rounded in
+      // both engines and no float summation occurs, so the doubles (and the
+      // kept set) are bit-identical
+      ("WITH counts AS (SELECT lang AS s, CAST(COUNT(*) AS DOUBLE) AS n " +
+        "FROM documents WHERE lang IS NOT NULL GROUP BY lang), " +
+        "mn AS (SELECT MIN(sqrt(n)) AS c FROM counts), " +
+        "rates AS (SELECT s, (mn.c * sqrt(n) / n) AS rate FROM counts, mn) " +
+        "SELECT doc_id, lang FROM documents d JOIN rates ON d.lang = rates.s " +
+        "WHERE CAST(((doc_id % 1000003 + 1000003) % 1000003 * 2654435761) % 1000000 AS DOUBLE) " +
+        "< rate * 1000000.0 ORDER BY doc_id"),
+
+    "q_validate" ->
+      // concat_ws skips NULLs in both engines; a NULL predicate counts as a
+      // violation (coalesce to false) exactly as Relational.validateRules
+      ("SELECT l_orderkey, l_linenumber, l_quantity, violations, " +
+        "CAST(violations = '' AS BIGINT) AS is_valid FROM (" +
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, " +
+        "concat_ws(',', " +
+        "CASE WHEN NOT coalesce(l_quantity <= 45, false) THEN 'qty_le_45' END, " +
+        "CASE WHEN NOT coalesce(l_discount <= 0.08, false) THEN 'disc_le_8pct' END, " +
+        "CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 'price_pos' END, " +
+        "CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 'flag_known' END" +
+        ") AS violations FROM lineitem) " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, violations"),
+
+    "q_scd2" ->
+      // null-safe change detection (IS DISTINCT FROM ≡ Spark <=> negated);
+      // legs mirror scd2Merge: kept/closed from dim by changed-key membership,
+      // opened = changed updates + new keys
+      ("WITH dim AS (SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey, " +
+        "c_acctbal FROM customer), " +
+        "upd AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal " +
+        "FROM dim WHERE c_custkey % 7 = 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, c_name || '_new', c_nationkey, c_acctbal " +
+        "FROM dim WHERE c_custkey % 97 = 0), " +
+        "chg AS (SELECT u.c_custkey FROM upd u JOIN dim d USING (c_custkey) " +
+        "WHERE u.c_name IS DISTINCT FROM d.c_name " +
+        "OR u.c_nationkey IS DISTINCT FROM d.c_nationkey " +
+        "OR u.c_acctbal IS DISTINCT FROM d.c_acctbal) " +
+        "SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, " +
+        "DATE '2020-01-01' AS valid_from, " +
+        "CASE WHEN chg.c_custkey IS NOT NULL THEN DATE '2021-06-01' END AS valid_to, " +
+        "CAST(chg.c_custkey IS NULL AS BIGINT) AS is_current " +
+        "FROM dim d LEFT JOIN chg ON d.c_custkey = chg.c_custkey " +
+        "UNION ALL SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, " +
+        "DATE '2021-06-01', CAST(NULL AS DATE), CAST(1 AS BIGINT) " +
+        "FROM upd u JOIN chg ON u.c_custkey = chg.c_custkey " +
+        "UNION ALL SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, " +
+        "DATE '2021-06-01', CAST(NULL AS DATE), CAST(1 AS BIGINT) " +
+        "FROM upd u LEFT JOIN dim d ON u.c_custkey = d.c_custkey WHERE d.c_custkey IS NULL " +
+        "ORDER BY c_custkey, valid_from"),
+
+    "q_dedup_normalized" ->
+      // the oracle groups by the normalized text itself (the engine groups
+      // by its sha256 — same partition, text never shuffles on the Spark side)
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL " +
+        "UNION ALL SELECT doc_id + 10000, '  ' || upper(text) || ' !! ' " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id % 11 = 0), " +
+        "n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM all_docs) " +
+        "SELECT doc_id, CAST(doc_id = MIN(doc_id) OVER (PARTITION BY norm) AS BIGINT) AS keep " +
+        "FROM n ORDER BY doc_id"),
+
+    "q_c4_filter" ->
+      // identical page assembly (string_agg ORDER BY doc_id ≡ array_sort of
+      // (doc_id, line) structs) and identical line/page predicates
+      ("WITH lines AS (SELECT doc_id // 10 AS page_id, doc_id, " +
+        "substr(text, 1, CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 45 END) || " +
+        "CASE WHEN doc_id % 3 <> 0 THEN '.' ELSE '' END AS line " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "pages AS (SELECT page_id, string_agg(line, chr(10) ORDER BY doc_id) || " +
+        "CASE WHEN page_id % 13 = 0 THEN chr(10) || 'function() { var x = 1; }' ELSE '' END || " +
+        "CASE WHEN page_id % 17 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit amet.' ELSE '' END " +
+        "AS text FROM lines GROUP BY page_id), " +
+        "f AS (SELECT page_id, text, list_filter(string_split(text, chr(10)), " +
+        "l -> regexp_matches(l, '[.!?]$') AND len(string_split_regex(trim(l), ' +')) >= 5) " +
+        "AS kept FROM pages), " +
+        "v AS (SELECT page_id, kept, (len(kept) >= 3 " +
+        "AND NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')) AS ok FROM f) " +
+        "SELECT page_id, CAST(ok AS BIGINT) AS keep, CAST(len(kept) AS BIGINT) AS n_kept, " +
+        "CASE WHEN ok THEN array_to_string(kept, chr(10)) END AS clean_text " +
+        "FROM v ORDER BY page_id")
   )
 
   /** DuckDB replica of `TextAnalysis.langId`, generated from the SAME

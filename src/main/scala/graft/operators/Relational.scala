@@ -422,6 +422,130 @@ object Relational {
       .drop("__lo", "__hi")
   }
 
+  /** Temperature-scaled mixture sampling (the mT5/XLM-R corpus-balancing
+    * rule, Xue et al. 2021 §3.1): resample strata toward weights
+    * `w_s ∝ N_s^α` with α = 0.5, damping the head languages/domains
+    * without flattening to uniform. Built on [[mixtureSample]]'s machinery,
+    * but the weights are DERIVED IN THE PLAN from the observed counts —
+    * keep rate `r_s = min_t(√N_t) · √N_s / N_s`, so the binding (smallest)
+    * stratum is kept whole and every other stratum is thinned toward the
+    * α = 0.5 curve.
+    *
+    * α is FIXED at 0.5 by design: `sqrt` is correctly rounded in IEEE 754
+    * (both engines produce the identical double), while a general `pow(n,
+    * α)` is not guaranteed bit-identical across libm implementations — and
+    * because the constant is `min_t(√N_t)` rather than a normalizing SUM,
+    * no floating-point summation (whose order differs across engines) ever
+    * occurs: every rate is a product/quotient of exactly-rounded terms.
+    * Row choice is the overflow-safe id-hash bucket of [[hashSplitTag]] —
+    * deterministic across runs, engines, partitionings.
+    *
+    * Scale shape (100 TB): identical to [[mixtureSample]] — one tiny
+    * count-per-stratum aggregate (map-side combined), rate arithmetic on
+    * that frame, broadcast re-attach, map-side filter. Nothing large
+    * shuffles. */
+  def temperatureSample(df: DataFrame, idCol: Column, stratumCol: Column): DataFrame = {
+    val counts = df.where(stratumCol.isNotNull)
+      .groupBy(stratumCol.as("__stratum"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val rates = counts
+      .withColumn("__c", min(sqrt(col("__n"))).over(Window.partitionBy()))
+      .select(col("__stratum"), (col("__c") * sqrt(col("__n")) / col("__n")).as("__rate"))
+    val bucket = pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(1000000L))
+    df.join(broadcast(rates), stratumCol === col("__stratum"))
+      .where(bucket.cast("double") < col("__rate") * lit(1000000.0))
+      .drop("__stratum", "__rate")
+  }
+
+  /** Data-quality expectations (the Delta Live Tables / Great Expectations
+    * shape): evaluate named rule predicates per row and attach
+    * `violations` — the comma-joined names of FAILED rules in declaration
+    * order ('' when all pass) — plus `is_valid` (1/0). A rule evaluating
+    * to NULL counts as a violation: ANSI three-valued logic must not let a
+    * null slip through as "valid" (the same reason SQL CHECK constraints
+    * accept NULL is exactly what a data-quality gate must NOT do).
+    * Callers split valid rows from the quarantine with one map-side
+    * filter on `is_valid`; keeping both in one pass means the source is
+    * scanned ONCE, not once per destination.
+    *
+    * Scale shape (100 TB): purely map-side — no shuffle, no driver
+    * round-trip; predicates stay inside whole-stage codegen. */
+  def validateRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate rule names in $names")
+    val viol = concat_ws(",", rules.map { case (n, p) =>
+      when(coalesce(p, lit(false)), lit(null).cast("string")).otherwise(lit(n))
+    }: _*)
+    df.withColumn("violations", viol)
+      .withColumn("is_valid", (col("violations") === "").cast("long"))
+  }
+
+  /** SCD Type-2 merge — the warehouse dimension-versioning pattern: apply
+    * an update batch to a dimension that carries `(validFrom, validTo,
+    * currentCol)` validity metadata. Per key:
+    *  - current row matched with a change in any `trackedCols` → the old
+    *    version CLOSES (`validTo` = effectiveDate, current = false) and a
+    *    new version OPENS from the update row;
+    *  - matched with no tracked change → untouched (no spurious version);
+    *  - update key absent from the dimension → a brand-new open version;
+    *  - historical (non-current) rows pass through untouched.
+    * Change detection is null-safe (`<=>`): null → value and value → null
+    * both count as changes. `updates` must carry exactly the business
+    * columns (dimension schema minus the three SCD columns).
+    *
+    * Scale shape (100 TB): the dimension never shuffles — the only join
+    * against it is on the key with the (small, by contract) update batch
+    * on the other side, and the derived changed-key set is explicitly
+    * broadcast for the semi/anti splits; the same LeftOuter+LeftAnti
+    * discipline as `TableManager.mergeUpsert` (never FullOuter, which
+    * cannot broadcast). */
+  def scd2Merge(
+      dim: DataFrame,
+      updates: DataFrame,
+      keyCol: String,
+      trackedCols: Seq[String],
+      effectiveDate: Column,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      currentCol: String = "is_current"): DataFrame = {
+    val scdCols = Seq(validFrom, validTo, currentCol)
+    val bizCols = dim.columns.toSeq.filterNot(scdCols.contains)
+    require(updates.columns.toSeq.sorted == bizCols.sorted,
+      s"updates must carry exactly the business columns $bizCols, got ${updates.columns.toSeq}")
+    require(trackedCols.forall(bizCols.contains), s"trackedCols must be business columns")
+    val outCols = (bizCols ++ scdCols).map(col)
+
+    val cur  = dim.where(col(currentCol))
+    val hist = dim.where(!col(currentCol)).select(outCols: _*)
+    val d = cur.alias("d")
+    val u = updates.alias("u")
+
+    val changed = trackedCols
+      .map(c => !(col(s"d.$c") <=> col(s"u.$c")))
+      .reduce(_ || _)
+    // bounded by the update batch — broadcastable by contract
+    val changedKeys = d.join(u, col(s"d.$keyCol") === col(s"u.$keyCol"))
+      .where(changed)
+      .select(col(s"u.$keyCol").as("__ck"))
+
+    val kept = cur.join(broadcast(changedKeys), col(keyCol) === col("__ck"), "left_anti")
+      .select(outCols: _*)
+    val closed = cur.join(broadcast(changedKeys), col(keyCol) === col("__ck"), "left_semi")
+      .withColumn(validTo, effectiveDate.cast("date"))
+      .withColumn(currentCol, lit(false))
+      .select(outCols: _*)
+    val openedChanged = updates.join(broadcast(changedKeys), col(keyCol) === col("__ck"), "left_semi")
+    val openedNew = updates.join(cur.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val opened = openedChanged.unionByName(openedNew)
+      .withColumn(validFrom, effectiveDate.cast("date"))
+      .withColumn(validTo, lit(null).cast("date"))
+      .withColumn(currentCol, lit(true))
+      .select(outCols: _*)
+
+    hist.unionByName(kept).unionByName(closed).unionByName(opened)
+  }
+
   /** Equi-depth histogram WITHOUT a global window: bucket boundaries come
     * from one exact-percentile aggregate (interior cut points, rounded to 6
     * decimals for cross-engine agreement), then every row buckets map-side

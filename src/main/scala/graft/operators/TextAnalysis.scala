@@ -887,4 +887,36 @@ object TextAnalysis {
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line"))).as("clean_text"))
   }
+
+  // ------------------------------------------------- canonicalization / C4
+
+  /** Canonical text form for normalization-insensitive exact dedup: lower,
+    * map every non-alphanumeric to a space, collapse whitespace runs, trim.
+    * Catches the trivial mutations (case, punctuation, spacing) that defeat
+    * raw-byte exact dedup while staying a pure per-row Catalyst chain. The
+    * regexes use only the RE2-compatible subset (`[^a-z0-9\s]`, `\s+`), so
+    * an external engine replays them byte-identically. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** C4 page cleaning (Raffel et al. 2020 §2.2 — the three mechanical
+    * rules that need no model): keep only lines that end in terminal
+    * punctuation AND have ≥ `minWords` words; drop the whole page when
+    * fewer than `minLines` lines survive, or the page contains "lorem
+    * ipsum" (any case), or a curly brace (code, not prose). Returns a
+    * struct `(text, keep, n_kept)` — cleaned text is null when the page
+    * is dropped.
+    *
+    * Scale shape (100 TB): entirely per-row higher-order functions over
+    * the split line array — no shuffle, no UDF, stays in codegen. */
+  def c4Clean(text: Column, minWords: Int = 5, minLines: Int = 3): Column = {
+    val kept = filter(split(text, "\n"),
+      l => l.rlike("[.!?]$") && size(split(trim(l), " +")) >= minWords)
+    val pageOk = size(kept) >= minLines &&
+      !lower(text).contains("lorem ipsum") && !text.contains("{")
+    struct(
+      when(pageOk, array_join(kept, "\n")).as("text"),
+      pageOk.as("keep"),
+      size(kept).cast("long").as("n_kept"))
+  }
 }

@@ -350,4 +350,70 @@ class RelationalSpec extends SparkSpec {
     assert(s1 == s2, "sample must not depend on physical layout")
     assert(s1.size == 10 && s1.count(_._1 == "a") == 5)
   }
+
+  test("temperatureSample keeps the binding stratum whole, thins the head") {
+    import spark.implicits._
+    // strata: a=400 rows, b=100, c=25 → rates sqrt(25)*sqrt(n)/n = 5/sqrt(n)
+    val df = ((0L until 400L).map(i => ("a", i)) ++
+      (400L until 500L).map(i => ("b", i)) ++
+      (500L until 525L).map(i => ("c", i))).toDF("g", "id")
+    val kept = Relational.temperatureSample(df, col("id"), col("g"))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c (the binding stratum, rate 1.0) survives completely
+    assert(kept("c") == 25L)
+    // expected keep rates: a → 5/20 = 0.25, b → 5/10 = 0.5; the id-hash
+    // bucket is uniform so counts land near expectation
+    assert(kept("a") > 60 && kept("a") < 140, s"a kept ${kept("a")}, expected ~100")
+    assert(kept("b") > 30 && kept("b") < 70, s"b kept ${kept("b")}, expected ~50")
+    // deterministic across physical layout
+    val again = Relational.temperatureSample(df.repartition(7), col("id"), col("g"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val first = Relational.temperatureSample(df, col("id"), col("g"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(first == again)
+  }
+
+  test("validateRules: declaration-order violations, null counts as failure") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10.0), "ok"),
+      (2L, Some(99.0), "ok"),   // fails r1
+      (3L, None, "bad"),        // null v → fails r1; fails r2
+      (4L, Some(5.0), "bad")    // fails r2
+    ).toDF("id", "v", "s")
+    val out = Relational.validateRules(df, Seq(
+        "v_small" -> (col("v") < 50), "s_ok" -> (col("s") === "ok")))
+      .select("id", "violations", "is_valid").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "", 1L), (2L, "v_small", 0L), (3L, "v_small,s_ok", 0L), (4L, "s_ok", 0L)))
+  }
+
+  test("scd2Merge: closes changed versions, passes history through, inserts new keys") {
+    import spark.implicits._
+    val d0 = java.sql.Date.valueOf("2020-01-01")
+    val dim = Seq(
+      (1L, "alice", 10.0, d0, Option.empty[java.sql.Date], true),  // will change
+      (2L, "bob", 20.0, d0, None, true),                           // unchanged
+      (3L, "carol", 5.0, d0, Some(java.sql.Date.valueOf("2020-06-01")), false), // history
+      (3L, "carol", 30.0, java.sql.Date.valueOf("2020-06-01"), None, true)      // current v2
+    ).toDF("k", "name", "bal", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "alice", 99.0),   // tracked change
+      (2L, "bob", 20.0),     // no change → untouched
+      (9L, "zoe", 1.0)       // new key
+    ).toDF("k", "name", "bal")
+    val out = Relational.scd2Merge(dim, updates, "k", Seq("name", "bal"),
+        to_date(lit("2021-06-01")))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), Option(r.getDate(4)).map(_.toString),
+        r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, Some("2021-06-01"), false),  // closed
+      (1L, 99.0, None, true),                 // reopened
+      (2L, 20.0, None, true),                 // untouched
+      (3L, 5.0, Some("2020-06-01"), false),   // history passthrough
+      (3L, 30.0, None, true),                 // current, unchanged
+      (9L, 1.0, None, true)))                 // new key
+  }
 }

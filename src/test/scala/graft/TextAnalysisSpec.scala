@@ -413,4 +413,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.toSeq == Seq(
       "banner\nalpha\ntail 0", "banner\nbeta\ntail 1", "banner\ngamma\ntail 2"))
   }
+
+  test("normalizeText: case/punct/space-insensitive canonical form, idempotent") {
+    val a = one("  Hello,   WORLD!! 42 ", TextAnalysis.normalizeText(col("text"))).getString(0)
+    assert(a == "hello world 42")
+    // idempotence: normalizing a normalized form is the identity
+    val b = one(a, TextAnalysis.normalizeText(col("text"))).getString(0)
+    assert(b == a)
+  }
+
+  test("c4Clean keeps punctuated >=minWords lines, drops brace/lorem/thin pages") {
+    def clean(s: String) = one(s, TextAnalysis.c4Clean(col("text"), minWords = 3, minLines = 2))
+      .getStruct(0)
+    val good = clean("one two three.\nshort.\nno terminal punct here\nfour five six ok!\nx y z?")
+    assert(good.getBoolean(1) && good.getLong(2) == 3L)
+    assert(good.getString(0) == "one two three.\nfour five six ok!\nx y z?")
+    // fewer than minLines survivors → page dropped, text null
+    val thin = clean("one two three.\nnope\nnah")
+    assert(!thin.getBoolean(1) && thin.isNullAt(0))
+    // curly brace anywhere → dropped even with enough good lines
+    val code = clean("one two three.\nfour five six.\nvar f = { a: 1 }")
+    assert(!code.getBoolean(1))
+    // lorem ipsum, case-insensitive → dropped
+    val lorem = clean("one two three.\nfour five six.\nLoReM IpSuM dolor sit.")
+    assert(!lorem.getBoolean(1))
+  }
 }
