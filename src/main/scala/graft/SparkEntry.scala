@@ -1617,6 +1617,42 @@ object SparkEntry {
         .select(col("page_id"), col("c.keep").cast("long").as("keep"),
           col("c.n_kept").as("n_kept"), col("c.text").as("clean_text"))
         .orderBy("page_id")
+    }),
+
+    // -- PageRank over a derived link graph (fixed-point, bit-exact) --------
+    // Edges: distinct (l_partkey%200 → l_suppkey%200) — a dense determin-
+    // istic digraph. Integer micro-unit arithmetic makes 3 iterations of
+    // ranks replay EXACTLY in the oracle (no float summation anywhere).
+    "q_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .select((col("l_partkey") % 200).as("src"), (col("l_suppkey") % 200).as("dst"))
+      Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+        .select(col("node").as("node_id"), col("r").as("rank_fp"))
+        .orderBy("node_id")
+    }),
+
+    // -- north-star: product-quantization encode (memory-bounded ANN) ------
+    // 64-d float → 8 subvector codes over a 16-centroid codebook (data-row
+    // centroids ids 0..15, the knnJoinIvf rule). floor(x·1000) quantization
+    // → exact long distances → fully oracle-checkable.
+    "q_pq_encode" -> ((s, d) =>
+      Similarity.pqEncode(t(s, d, "embeddings"), "embedding", "vec_id",
+          m = 8, k = 16, dim = 64)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("codes"))
+        .orderBy("vec_id")),
+
+    // -- north-star: ADC top-k scan over PQ codes ---------------------------
+    // Query = vector 0; approximate distance = Σ_j d²(query_j,
+    // centroid[code_j]_j), exact longs, ranked (adc, id) — a total order,
+    // so the top-20 cut is engine-stable.
+    "q_pq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.pqAdcTopK(emb, "embedding", "vec_id", q,
+          m = 8, k = 16, dim = 64, n = 20)
+        .orderBy("adc", "vec_id")
     })
   )
 
@@ -2703,8 +2739,63 @@ object SparkEntry {
         "AND NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')) AS ok FROM f) " +
         "SELECT page_id, CAST(ok AS BIGINT) AS keep, CAST(len(kept) AS BIGINT) AS n_kept, " +
         "CASE WHEN ok THEN array_to_string(kept, chr(10)) END AS clean_text " +
-        "FROM v ORDER BY page_id")
+        "FROM v ORDER BY page_id"),
+
+    "q_pagerank" ->
+      // 3 unrolled iterations of the identical integer recurrence; `//`
+      // floors where Spark's `div` truncates — equal on positive operands
+      ("WITH edges AS (SELECT DISTINCT l_partkey % 200 AS src, l_suppkey % 200 AS dst " +
+        "FROM lineitem), " +
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), " +
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src), " +
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes), " +
+        "c1 AS (SELECT e.dst AS node, SUM((r.r * 85) // (100 * g.deg)) AS s " +
+        "FROM edges e JOIN r0 r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst), " +
+        "r1 AS (SELECT n.node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS r " +
+        "FROM nodes n LEFT JOIN c1 c ON n.node = c.node), " +
+        "c2 AS (SELECT e.dst AS node, SUM((r.r * 85) // (100 * g.deg)) AS s " +
+        "FROM edges e JOIN r1 r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst), " +
+        "r2 AS (SELECT n.node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS r " +
+        "FROM nodes n LEFT JOIN c2 c ON n.node = c.node), " +
+        "c3 AS (SELECT e.dst AS node, SUM((r.r * 85) // (100 * g.deg)) AS s " +
+        "FROM edges e JOIN r2 r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst), " +
+        "r3 AS (SELECT n.node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS r " +
+        "FROM nodes n LEFT JOIN c3 c ON n.node = c.node) " +
+        "SELECT node AS node_id, r AS rank_fp FROM r3 ORDER BY node_id"),
+
+    // PQ: shared quantize/codebook/argmin CTE text (see pqOracleCtes)
+    "q_pq_encode" ->
+      (pqOracleCtes +
+        " SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes " +
+        "FROM enc GROUP BY vec_id ORDER BY vec_id"),
+
+    "q_pq_topk" ->
+      (pqOracleCtes +
+        ", qv0 AS (SELECT qv AS q0 FROM q WHERE vec_id = 0), " +
+        // d²(query_j, centroid_c_j) for every (j, c): exact longs
+        "dt AS (SELECT jj.j, c.cid, CAST(list_sum(list_transform(range(8), " +
+        "i -> (q0[jj.j*8+i+1] - c.cqv[jj.j*8+i+1]) * (q0[jj.j*8+i+1] - c.cqv[jj.j*8+i+1]))) " +
+        "AS BIGINT) AS d2q FROM qv0, range(0, 8) jj(j), c), " +
+        "adc AS (SELECT e.vec_id, CAST(SUM(dt.d2q) AS BIGINT) AS adc " +
+        "FROM enc e JOIN dt ON e.j = dt.j AND e.cid = dt.cid GROUP BY e.vec_id) " +
+        "SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 20")
   )
+
+  /** Shared DuckDB CTE prefix for the PQ queries: floor(x·1000) long
+    * quantization (the q_random_projection discipline), data-row codebook
+    * (cids 0..15), and per-(vector, subvector) nearest-centroid codes with
+    * (d2, cid) tie-break — exactly `Similarity.pqEncode`'s argmin. */
+  private val pqOracleCtes: String =
+    "WITH q AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings), " +
+      "c AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cqv FROM q WHERE vec_id < 16), " +
+      "grid AS (SELECT v.vec_id, jj.j, c.cid, " +
+      "CAST(list_sum(list_transform(range(8), " +
+      "i -> (v.qv[jj.j*8+i+1] - c.cqv[jj.j*8+i+1]) * (v.qv[jj.j*8+i+1] - c.cqv[jj.j*8+i+1]))) " +
+      "AS BIGINT) AS d2 FROM q v, range(0, 8) jj(j), c), " +
+      "enc AS (SELECT vec_id, j, cid FROM (SELECT vec_id, j, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn FROM grid) " +
+      "WHERE rn = 1)"
 
   /** DuckDB replica of `TextAnalysis.langId`, generated from the SAME
     * `langMarkers` table so the two can't drift. Semantics mirrored exactly:

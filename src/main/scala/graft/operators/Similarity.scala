@@ -492,4 +492,94 @@ object Similarity {
     base.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cell"))
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** Element-wise floor(x·1000) quantization to long — the same exact-
+    * integer discipline as `VectorFunctions.sparseRandomProject`: every
+    * distance below becomes order-free long arithmetic, so PQ stays fully
+    * oracle-checkable (float-sum order never enters). */
+  private def pqQuantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** 1-row codebook frame: centroids are the DATA ROWS `id < k` (the
+    * knnJoinIvf deterministic-centroid rule — a learned codebook would
+    * force rows-only), quantized, cid-sorted so argmin ties resolve to the
+    * lowest cid by scan order. */
+  private def pqCodebook(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
+    df.where(col(idCol) < k)
+      .select(col(idCol).cast("int").as("cid"), pqQuantize(col(vecCol)).as("qv"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("qv")))).as("__cents"))
+
+  /** Exact squared L2 distance between subvector `j` (of width `sub`) of
+    * two quantized long arrays — an in-order HOF fold, but the terms are
+    * longs so the sum is the same in any order. */
+  private def pqSubDist2(a: Column, b: Column, j: Column, sub: Int): Column =
+    aggregate(sequence(lit(0), lit(sub - 1)), lit(0L), (acc, i) => {
+      val idx  = j * sub + i + 1
+      val diff = element_at(a, idx) - element_at(b, idx)
+      acc + diff * diff
+    })
+
+  /** [[pqEncode]] keeping the codebook and quantized-vector work columns
+    * for [[pqAdcTopK]] to reuse. */
+  private def pqEncodeRaw(
+      df: DataFrame, vecCol: String, idCol: String,
+      m: Int, k: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val sub = dim / m
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .crossJoin(broadcast(pqCodebook(df, vecCol, idCol, k)))
+      .withColumn("__qv", pqQuantize(col(vecCol)))
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), j => {
+        val scored = transform(col("__cents"), c =>
+          struct(pqSubDist2(col("__qv"), c.getField("qv"), j, sub).as("d2"),
+            c.getField("cid").as("cid")))
+        aggregate(scored,
+          struct(lit(Long.MaxValue).as("d2"), lit(-1).as("cid")),
+          (best, s) => when(s.getField("d2") < best.getField("d2"), s).otherwise(best))
+          .getField("cid")
+      }))
+  }
+
+  /** Product quantization encode (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): split each `dim`-d vector into `m`
+    * subvectors and store, per subvector, the id of the nearest of `k`
+    * codebook centroids — `m` small ints instead of `dim` floats (64-d
+    * float → 8 bytes here), the memory-bounded ANN representation for a
+    * corpus whose raw vectors no longer fit the cluster.
+    *
+    * Scale shape (100 TB): the codebook is one broadcast row; encoding is
+    * pure per-row HOF arithmetic — no shuffle, no UDF, embarrassingly
+    * parallel. Ties (equal d2) take the lowest cid on both engines. */
+  def pqEncode(
+      df: DataFrame, vecCol: String, idCol: String,
+      m: Int, k: Int, dim: Int): DataFrame =
+    pqEncodeRaw(df, vecCol, idCol, m, k, dim).drop("__cents", "__qv")
+
+  /** Asymmetric-distance top-n over PQ codes: approximate squared L2 from
+    * the query to each vector = Σ_j d²(query_j, centroid[code_j]_j) —
+    * the classic ADC scan, evaluated here against the broadcast codebook
+    * (per-row lookups into the cid-indexed array; exact long arithmetic).
+    * Returns (id, adc) ranked by (adc, id) — a deterministic total order,
+    * so the top-n cut is engine-stable. Plans as one map-side scan +
+    * TakeOrderedAndProject, like [[cosineTopK]]. */
+  def pqAdcTopK(
+      df: DataFrame, vecCol: String, idCol: String, q: Array[Float],
+      m: Int, k: Int, dim: Int, n: Int): DataFrame = {
+    val sub  = dim / m
+    val qq   = q.map(f => math.floor(f.toDouble * 1000).toLong).toSeq
+    val qlit = typedLit(qq)
+    pqEncodeRaw(df, vecCol, idCol, m, k, dim)
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) => {
+        // codes are 0-based cids; __cents is cid-sorted, so cid c sits at
+        // array position c+1
+        val centQv = element_at(col("__cents"), element_at(col("codes"), j + 1) + 1)
+          .getField("qv")
+        acc + pqSubDist2(qlit, centQv, j, sub)
+      }))
+      .select(col(idCol), col("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(n)
+  }
 }

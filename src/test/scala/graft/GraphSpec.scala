@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  test("pageRankFixedPoint: hand-computed star graph, dangling mass dropped") {
+    import spark.implicits._
+    // a → {b, c, d}; b/c/d dangle
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r1 = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a: no in-edges → base 150000; b/c/d: 150000 + floor(1000000·85/300)
+    assert(r1 == Map(0L -> 150000L, 1L -> 433333L, 2L -> 433333L, 3L -> 433333L))
+    val r2 = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 2 redistributes a's new rank 150000: floor(150000·85/300) = 42500
+    assert(r2 == Map(0L -> 150000L, 1L -> 192500L, 2L -> 192500L, 3L -> 192500L))
+  }
+
+  test("pageRankFixedPoint: a cycle is a fixed point at full scale") {
+    import spark.implicits._
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    // deg 1 everywhere: r = 150000 + floor(r·85/100) has fixed point 1000000
+    val out = Graph.pageRankFixedPoint(cycle, "src", "dst", iterations = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(1000000L))
+  }
+
+  test("pageRankFixedPoint: ranks independent of physical layout, dups collapse") {
+    import spark.implicits._
+    val edges = (0L until 60L).map(i => (i % 12, (i * 7 + 3) % 12)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRankFixedPoint(df, "src", "dst", iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(edges)
+    val b = run(edges.repartition(7).unionAll(edges.limit(10))) // dup edges dedup
+    assert(a == b, "fixed-point ranks must be layout- and duplicate-invariant")
+  }
+}

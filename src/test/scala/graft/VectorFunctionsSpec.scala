@@ -275,4 +275,31 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(m(3L) == r6(1.0 / 62.0))            // only leg B
     assert(m(2L) == r6(1.0 / 62.0 + 1.0 / 61.0)) // both legs, A term first
   }
+
+  test("pqEncode: centroid rows encode to their own cid, codes bounded by k") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val enc = Similarity.pqEncode(emb, "embedding", "vec_id", m = 8, k = 16, dim = 64)
+    val rows = enc.select(col("vec_id"), col("codes")).collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+      // a codebook row is its own nearest centroid in every subspace
+      if (r.getLong(0) < 16) assert(codes.forall(_ == r.getLong(0).toInt),
+        s"centroid row ${r.getLong(0)} got codes $codes")
+    }
+  }
+
+  test("pqAdcTopK: the query vector attains the minimal ADC distance") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = Similarity.pqAdcTopK(emb, "embedding", "vec_id", q,
+      m = 8, k = 16, dim = 64, n = 5).collect()
+    // adc(x) ≥ Σ_j min_c d²(q_j, c_j) = adc(q) for every x, so the query
+    // row itself must head the ranking (ties break on id)
+    assert(top.head.getLong(0) == 3L, s"query row not first: ${top.toSeq}")
+    val adcs = top.map(_.getLong(1))
+    assert(adcs.sameElements(adcs.sorted))
+  }
 }
