@@ -1653,7 +1653,26 @@ object SparkEntry {
       Similarity.pqAdcTopK(emb, "embedding", "vec_id", q,
           m = 8, k = 16, dim = 64, n = 20)
         .orderBy("adc", "vec_id")
-    })
+    }),
+
+    // -- north-star: cross-doc duplicated-substring detection ---------------
+    // ExactSubstr (Lee et al. 2022) reduced to strided 32-char windows:
+    // a window is duplicated when its exact text recurs in another doc.
+    // Per-doc (n_windows, n_dup) — the flag/removal criterion.
+    "q_dup_substring" -> ((s, d) =>
+      Dedup.duplicateWindowStats(t(s, d, "documents"), "text", "doc_id",
+          width = 32, stride = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // -- north-star: DSIR-style domain-affinity score ----------------------
+    // Target domain = source 'src0'; affinity = target-gram mass over
+    // raw-gram mass, exact longs + one final division — bit-exact.
+    "q_domain_affinity" -> ((s, d) =>
+      TextAnalysis.domainAffinity(t(s, d, "documents"), "text", "doc_id",
+          col("source") === "src0")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
   )
 
   /** Shared text for q_corr_subquery: the SAME SQL runs in Spark and DuckDB
@@ -2778,7 +2797,35 @@ object SparkEntry {
         "AS BIGINT) AS d2q FROM qv0, range(0, 8) jj(j), c), " +
         "adc AS (SELECT e.vec_id, CAST(SUM(dt.d2q) AS BIGINT) AS adc " +
         "FROM enc e JOIN dt ON e.j = dt.j AND e.cid = dt.cid GROUP BY e.vec_id) " +
-        "SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 20")
+        "SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 20"),
+
+    "q_dup_substring" ->
+      // identical strided-window generation; `//` ≡ `div` on positives
+      ("WITH w AS (SELECT doc_id, unnest(list_transform(" +
+        "range((len(text) - 32) // 16 + 1), " +
+        "p -> substr(text, CAST(p * 16 + 1 AS INTEGER), 32))) AS win " +
+        "FROM documents WHERE text IS NOT NULL AND len(text) >= 32), " +
+        "dup AS (SELECT win FROM (SELECT win, COUNT(DISTINCT doc_id) AS df " +
+        "FROM w GROUP BY win) WHERE df > 1) " +
+        "SELECT doc_id, COUNT(*) AS n_windows, " +
+        "CAST(SUM(CASE WHEN win IN (SELECT win FROM dup) THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup FROM w GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_domain_affinity" ->
+      // exact long masses, one final double division — same operation order
+      ("WITH t2 AS (SELECT doc_id, (source = 'src0') AS is_t, tok FROM (" +
+        s"SELECT doc_id, source, unnest($tokensSql) AS tok " +
+        "FROM documents WHERE text IS NOT NULL) WHERE tok <> ''), " +
+        "stats AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_r, " +
+        "CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t FROM t2 GROUP BY tok), " +
+        "tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS t_r, CAST(SUM(c_t) AS BIGINT) AS t_t " +
+        "FROM stats), " +
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n FROM t2 GROUP BY doc_id, tok), " +
+        "j AS (SELECT tf.doc_id, CAST(SUM(tf.n * s.c_t) AS BIGINT) AS num, " +
+        "CAST(SUM(tf.n * s.c_r) AS BIGINT) AS den FROM tf JOIN stats s ON tf.tok = s.tok " +
+        "GROUP BY tf.doc_id) " +
+        "SELECT doc_id, CAST(num * t_r AS DOUBLE) / CAST(den * t_t AS DOUBLE) AS affinity " +
+        "FROM j, tot ORDER BY doc_id")
   )
 
   /** Shared DuckDB CTE prefix for the PQ queries: floor(x·1000) long

@@ -860,4 +860,42 @@ object Dedup {
         java.lang.Double.valueOf(if (uni == 0) 0.0 else inter.toDouble / uni)
       }
     })
+
+  /** Cross-document duplicated-substring detection — the ExactSubstr signal
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), reduced from suffix-array joins to strided fixed-width
+    * windows: a `width`-char window starting every `stride` chars is
+    * "duplicated" when the IDENTICAL window text occurs in more than one
+    * distinct document. Returns per-doc `(n_windows, n_dup)` — the dup
+    * fraction is the usual removal/flagging criterion. Stride > 1 trades
+    * recall of unaligned overlaps for a bounded window count (the paper's
+    * suffix automaton finds all offsets; at 100 TB the strided variant is
+    * what pipelines actually run first).
+    *
+    * Scale shape: the one shuffle carries (width-byte window, id) — never
+    * the document; doc-frequency is map-side combined; the duplicated-
+    * window set is small by construction (duplication is the anomaly), so
+    * the flag-back join broadcasts under AQE. */
+  def duplicateWindowStats(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 32,
+      stride: Int = 16): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val wins = docs
+      .where(col(textCol).isNotNull && length(col(textCol)) >= width)
+      .select(col(idCol).as("id"),
+        explode(transform(
+          expr(s"sequence(0, (length(`$textCol`) - $width) div $stride)"),
+          p => col(textCol).substr(p * stride + 1, lit(width)))).as("win"))
+    val dup = wins.groupBy("win")
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") > 1)
+      .select(col("win"), lit(1L).as("isdup"))
+    wins.join(dup, Seq("win"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+  }
 }

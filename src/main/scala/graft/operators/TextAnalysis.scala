@@ -888,6 +888,48 @@ object TextAnalysis {
           s => s.getField("line"))).as("clean_text"))
   }
 
+  /** DSIR-style domain-affinity score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — simplified from the
+    * hashed-n-gram log-likelihood ratio to a RATIO OF GRAM MASSES so the
+    * arithmetic stays bit-reproducible; `ln` would not be):
+    *
+    *   affinity(d) = (Σ_g n_d[g]·c_tgt[g] · T_raw) / (Σ_g n_d[g]·c_raw[g] · T_tgt)
+    *
+    * where c_·[g] are corpus token counts over the target subset vs the
+    * whole corpus, T_· the corpus totals, and the sums run over the doc's
+    * token occurrences with multiplicity. > 1 ⇒ the doc's vocabulary leans
+    * toward the target domain. Numerator/denominator are exact long sums
+    * and products with ONE final double division (the tfIdf/lm-score
+    * discipline) — bit-identical across engines. At true corpus scale the
+    * products approach long range; switch the two sums to DECIMAL(38,0)
+    * there (same plan shape).
+    *
+    * Scale shape (100 TB): one token shuffle to (doc, tok, n) — the tfIdf
+    * shape — one stats join on tok, one doc-sum; the 1-row totals frame
+    * broadcasts. Document payloads never shuffle. */
+  def domainAffinity(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      targetPred: Column): org.apache.spark.sql.DataFrame = {
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), coalesce(targetPred, lit(false)).as("is_t"),
+        explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    val stats = toks.groupBy("tok").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = stats.agg(sum("c_r").as("t_r"), sum("c_t").as("t_t"))
+    val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("n"))
+    tf.join(stats, "tok")
+      .groupBy(col("id"))
+      .agg(sum(col("n") * col("c_t")).as("num"), sum(col("n") * col("c_r")).as("den"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        ((col("num") * col("t_r")).cast("double") /
+          (col("den") * col("t_t")).cast("double")).as("affinity"))
+  }
+
   // ------------------------------------------------- canonicalization / C4
 
   /** Canonical text form for normalization-insensitive exact dedup: lower,

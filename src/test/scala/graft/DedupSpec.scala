@@ -277,4 +277,24 @@ class DedupSpec extends SparkSpec {
     assert(got == brute)
     assert(got.nonEmpty) // the sequential fixture names guarantee close pairs
   }
+
+  test("duplicateWindowStats flags planted cross-doc spans, strided window count") {
+    import spark.implicits._
+    val shared = "X" * 40 // spans windows at strides 0 and 16 in both docs
+    val docs = Seq(
+      (0L, shared + ("a" * 60)),
+      (1L, shared + ("b" * 60)),
+      (2L, "c" * 100),      // unique content → no dup windows
+      (3L, "tiny")          // shorter than width → no windows, absent row
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateWindowStats(docs, "text", "doc_id", width = 32, stride = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // len 100 → (100-32) div 16 + 1 = 5 windows per doc
+    assert(out(2L) == (5L, 0L))
+    // windows at offset 0 ("X"*32) match across docs 0/1; offset 16 mixes
+    // X and a/b so only the aligned all-X window duplicates
+    assert(out(0L)._1 == 5L && out(0L)._2 >= 1L)
+    assert(out(0L)._2 == out(1L)._2)
+  }
 }

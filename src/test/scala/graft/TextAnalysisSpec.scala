@@ -438,4 +438,21 @@ class TextAnalysisSpec extends SparkSpec {
     val lorem = clean("one two three.\nfour five six.\nLoReM IpSuM dolor sit.")
     assert(!lorem.getBoolean(1))
   }
+
+  test("domainAffinity ranks target-vocabulary docs above off-domain docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha alpha beta", true),   // target docs use alpha/beta
+      (1L, "alpha beta beta", true),
+      (2L, "gamma delta gamma", false), // off-domain vocabulary
+      (3L, "alpha beta gamma", false)   // mixed
+    ).toDF("doc_id", "text", "tgt")
+    val m = TextAnalysis.domainAffinity(docs, "text", "doc_id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 4)
+    // pure-target vocab docs score highest, pure-off-domain lowest
+    assert(m(0L) > m(3L) && m(1L) > m(3L) && m(3L) > m(2L))
+    // off-domain-only grams have zero target mass → affinity exactly 0
+    assert(m(2L) == 0.0)
+  }
 }
