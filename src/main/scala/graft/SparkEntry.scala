@@ -1672,7 +1672,27 @@ object SparkEntry {
       TextAnalysis.domainAffinity(t(s, d, "documents"), "text", "doc_id",
           col("source") === "src0")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // -- north-star: audio spectral analysis (real DFT on real WAV) ---------
+    // Per-row sine WAV (200 + id%10·100 Hz) → decode → RMS/ZCR/centroid/
+    // dominant frequency. Rows-only by contract (binary + trig kernel);
+    // the 440 Hz ground truth is spec-checked in MultimodalSpec.
+    "q_audio_features" -> ((s, d) => {
+      val gen = udf((id: Long) =>
+        Multimodal.sineWav(200.0 + (id % 10) * 100.0, 8000, 2000))
+      val feat = udf((b: Array[Byte]) => {
+        val pcm = Multimodal.decodeAudio(b)
+        val sr  = Multimodal.wavMeta(b).map(_._1).getOrElse(0)
+        Multimodal.audioSpectralFeatures(pcm, sr)
+      })
+      t(s, d, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), feat(gen(col("doc_id"))).as("f"))
+        .select(col("doc_id"), round(col("f._1"), 6).as("rms"),
+          round(col("f._2"), 6).as("zcr"), round(col("f._3"), 2).as("centroid_hz"),
+          col("f._4").as("dominant_hz"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared text for q_corr_subquery: the SAME SQL runs in Spark and DuckDB

@@ -170,6 +170,76 @@ object Multimodal {
 
   // ------------------------------------------------------- video (REAL for GIF) --
 
+  /** Deterministic sine-tone WAV generator (16-bit mono little-endian, via
+    * the JDK writer) — the audio fixture utility, paralleling
+    * `ImageFixtures` for pixels: real container + real PCM so decode and
+    * analysis paths exercise genuine bytes without shipping media files. */
+  def sineWav(freqHz: Double, sampleRate: Int, nSamples: Int, amplitude: Double = 0.8): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / sampleRate) * amplitude * 32767).toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val in  = new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Spectral features from decoded PCM — the audio-analysis step a
+    * training pipeline runs between decode and filtering (silence/noise
+    * gating, music-vs-speech heuristics): RMS energy, zero-crossing rate,
+    * spectral centroid (Hz), and dominant frequency (Hz) from a plain
+    * real DFT over the first `window` samples. O(window²/2) multiply-adds
+    * per row — a fixed per-row kernel like the image resize, independent
+    * of corpus size; swap in an FFT if `window` ever grows past a few K.
+    * Single-threaded per row with a fixed operation order, so results are
+    * deterministic across partitionings. */
+  def audioSpectralFeatures(
+      pcm: Array[Float], sampleRate: Int, window: Int = 2048): (Double, Double, Double, Double) = {
+    val n = math.min(pcm.length, window)
+    if (n == 0 || sampleRate <= 0) return (0.0, 0.0, 0.0, 0.0)
+    var sumSq = 0.0
+    var zc    = 0
+    var i     = 0
+    while (i < n) {
+      val x = pcm(i)
+      sumSq += x.toDouble * x
+      if (i > 0 && (pcm(i - 1) >= 0) != (x >= 0)) zc += 1
+      i += 1
+    }
+    val rms  = math.sqrt(sumSq / n)
+    val zcr  = zc.toDouble / n
+    val half = n / 2
+    var centNum = 0.0
+    var centDen = 0.0
+    var bestMag = -1.0
+    var bestK   = 0
+    var k = 1
+    while (k <= half) {
+      var re = 0.0
+      var im = 0.0
+      val w  = -2.0 * math.Pi * k / n
+      var t  = 0
+      while (t < n) { val a = w * t; re += pcm(t) * math.cos(a); im += pcm(t) * math.sin(a); t += 1 }
+      val mag = math.sqrt(re * re + im * im)
+      val freq = k.toDouble * sampleRate / n
+      centNum += freq * mag
+      centDen += mag
+      if (mag > bestMag) { bestMag = mag; bestK = k }
+      k += 1
+    }
+    val centroid = if (centDen == 0) 0.0 else centNum / centDen
+    // silence has no dominant bin — report 0 rather than bin 1
+    val dominant = if (bestMag <= 0.0) 0.0 else bestK.toDouble * sampleRate / n
+    (rms, zcr, centroid, dominant)
+  }
+
   /** GIF metadata (logical width, height, frame count) or None for payloads
     * the GIF reader rejects. */
   def gifMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] =

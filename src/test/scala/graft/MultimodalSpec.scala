@@ -71,6 +71,25 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("audioSpectralFeatures recovers a bin-aligned tone's signature") {
+    val sr = 8000
+    // bin-aligned tone (bin 112 of 2048 at 8 kHz = 437.5 Hz) → negligible
+    // spectral leakage, so both dominant bin and centroid sit on the tone
+    val f   = 112 * sr / 2048.0
+    val wav = Multimodal.sineWav(f, sr, 2048, amplitude = 0.8)
+    val pcm = Multimodal.decodeWav(wav)
+    val (rms, zcr, centroid, dom) = Multimodal.audioSpectralFeatures(pcm, sr)
+    // sine RMS = amplitude/√2; 16-bit quantization keeps it within 1%
+    assert(math.abs(rms - 0.8 / math.sqrt(2.0)) < 0.01, s"rms $rms")
+    // two crossings per cycle: 2·437.5/8000 ≈ 0.109
+    assert(math.abs(zcr - 2 * f / sr) < 0.01, s"zcr $zcr")
+    assert(dom == f, s"dominant $dom")
+    assert(math.abs(centroid - f) < 5.0, s"centroid $centroid")
+    // silence → all-zero features (no phantom dominant bin)
+    assert(Multimodal.audioSpectralFeatures(new Array[Float](2048), sr) ==
+      ((0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("decodeWav recovers known 16-bit PCM samples from a generated WAV") {
     val samples = Array[Short](0, 16384, -16384, 32767, -32768, 100, -1)
     val decoded = Multimodal.decodeWav(wavBytes(samples))
