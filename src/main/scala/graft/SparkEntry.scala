@@ -1692,7 +1692,28 @@ object SparkEntry {
           round(col("f._2"), 6).as("zcr"), round(col("f._3"), 2).as("centroid_hz"),
           col("f._4").as("dominant_hz"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // -- north-star: whole-doc example packing (FFD bins) -------------------
+    // Pack short docs into 512-token windows; rows-only by contract (bin
+    // ids depend on the engine's fixed hash bucketing), FFD quality and
+    // budget invariants spec-checked in TextAnalysisSpec.
+    "q_pack_examples" -> ((s, d) =>
+      TextAnalysis.packExamples(
+          t(s, d, "documents").where(col("text").isNotNull)
+            .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // -- north-star: zlib redundancy signal ---------------------------------
+    // Compression ratio per doc (repetitive text ⇒ low ratio). Deflater-
+    // specific byte counts → rows-only; ordering spec-checked.
+    "q_compression_ratio" -> ((s, d) =>
+      t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          round(TextAnalysis.compressionRatioUdf(col("text")), 6).as("zratio"))
+        .orderBy("doc_id"))
   )
 
   /** Shared text for q_corr_subquery: the SAME SQL runs in Spark and DuckDB

@@ -376,6 +376,84 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** Multi-document example packing — the "many short docs per context
+    * window" training-prep step ([[packSequences]] splits LONG docs across
+    * windows; this fills windows with SHORT docs): first-fit-decreasing
+    * bin packing of whole documents into `budget`-token bins. FFD is the
+    * classic 11/9·OPT+1 guarantee (Johnson 1973); docs longer than the
+    * budget are rejected loudly rather than silently dropped.
+    *
+    * Determinism WITHOUT a global sort: rows hash into `buckets` fixed
+    * partitions by id (a pure function of the data, not the input
+    * layout), each partition packs its own docs — so bin assignments are
+    * reproducible across runs and upstream partitionings, which is what a
+    * resumable pipeline needs. Global FFD would need a total sort and
+    * serialize; per-partition FFD is the standard distributed form (each
+    * bucket's packing is independent, bin ids namespace by partition).
+    *
+    * Scale shape (100 TB): one hash exchange of (id, n_tokens) pairs —
+    * the document text is NOT needed here; join the assignment back by id
+    * to materialize packed sequences. Per-partition state is the bin
+    * capacity array (bounded by bucket row count). */
+  def packExamples(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      buckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(buckets > 0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n_tokens", LongType),
+      StructField("bin_id", LongType)))
+    val rows = df
+      .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("n"))
+      .where(col("n") > 0)
+    val over = rows.where(col("n") > budget).limit(1).collect()
+    require(over.isEmpty,
+      s"doc ${over.headOption.map(_.getLong(0))} exceeds the $budget-token budget; " +
+        "split it with packSequences first")
+    rows.repartition(buckets, pmod(col("id"), lit(buckets.toLong)))
+      .mapPartitions { it =>
+        val part = it.map(r => (r.getLong(0), r.getLong(1))).toArray
+          .sortBy { case (id, n) => (-n, id) } // FFD: size desc, id tiebreak
+        val pid  = org.apache.spark.TaskContext.getPartitionId().toLong
+        val free = scala.collection.mutable.ArrayBuffer.empty[Long]
+        part.iterator.map { case (id, n) =>
+          var b = free.indexWhere(_ >= n)
+          if (b < 0) { free += budget; b = free.length - 1 }
+          free(b) -= n
+          Row(id, n, (pid << 32) | b.toLong)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Per-document zlib compression ratio (compressed/raw bytes) — the
+    * cheap redundancy signal corpus pipelines run next to the word-level
+    * filters (highly repetitive machine-generated text compresses far
+    * below prose). JVM-Deflater-specific byte counts → rows-only by
+    * contract; the prose-vs-repetition ordering is spec-checked. Pure
+    * per-row kernel, no shuffle. */
+  def compressionRatioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => {
+      if (s == null) null
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (raw.isEmpty) java.lang.Double.valueOf(1.0)
+        else {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf, 0, buf.length) // count only
+          d.end()
+          java.lang.Double.valueOf(n.toDouble / raw.length)
+        }
+      }
+    })
+
   /** Train/eval decontamination: for each eval document, count the distinct
     * word n-grams it shares with ANY training document — the standard
     * pre-training hygiene check (eval contamination via n-gram collision).

@@ -455,4 +455,40 @@ class TextAnalysisSpec extends SparkSpec {
     // off-domain-only grams have zero target mass → affinity exactly 0
     assert(m(2L) == 0.0)
   }
+
+  test("packExamples: budget respected, FFD beats naive, layout-invariant") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, 50L + (i * 37) % 400)).toDF("doc_id", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packExamples(d, "doc_id", "n", budget = 512, buckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run(docs)
+    assert(out.length == 200)
+    // no bin exceeds the budget
+    val perBin = out.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(perBin.values.forall(_ <= 512L))
+    // FFD fill beats the one-doc-per-bin degenerate packing by a wide margin
+    val total = out.map(_._2).sum.toDouble
+    assert(total / (perBin.size * 512.0) > 0.7, s"fill ${total / (perBin.size * 512)}")
+    // reproducible across upstream layouts
+    assert(run(docs.repartition(13)).toSet == out.toSet)
+    // over-budget doc rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq((0L, 600L)).toDF("doc_id", "n"))
+    }
+    assert(ex.getMessage.contains("budget"))
+  }
+
+  test("compressionRatio orders repetitive text below prose-like text") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "spark " * 200),                                   // degenerate repetition
+      (1L, (0 until 200).map(i => s"w${i * 7919 % 997}").mkString(" ")), // varied
+      (2L, ""), (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val m = df.select(col("id"), TextAnalysis.compressionRatioUdf(col("text")).as("z"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(m(0L).get < 0.1, s"repetitive ${m(0L)}")
+    assert(m(1L).get > m(0L).get * 3, s"varied ${m(1L)} vs ${m(0L)}")
+    assert(m(2L).contains(1.0) && m(3L).isEmpty)
+  }
 }
