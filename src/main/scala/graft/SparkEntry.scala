@@ -1713,7 +1713,31 @@ object SparkEntry {
       t(s, d, "documents").where(col("text").isNotNull)
         .select(col("doc_id"),
           round(TextAnalysis.compressionRatioUdf(col("text")), 6).as("zratio"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // -- batch CDC: snapshot diff -------------------------------------------
+    // New snapshot derived in-plan: acctbal+50 for %13 (updates), %17 keys
+    // removed (deletes), '_v2' clones under +2000000 for %29 (inserts).
+    // Output = the minimal change set; unchanged keys omitted.
+    "q_snapshot_diff" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val newSnap = c.where(col("c_custkey") % 17 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 13 === 0, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(c.where(col("c_custkey") % 29 === 0)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"),
+            concat(col("c_name"), lit("_v2")).as("c_name"), col("c_acctbal")))
+      Relational.snapshotDiff(c, newSnap, "c_custkey", Seq("c_name", "c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- ANALYZE-style one-scan column statistics ---------------------------
+    "q_column_stats" -> ((s, d) =>
+      Relational.columnStats(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_discount", "l_extendedprice", "l_returnflag"))
+        .orderBy("column"))
   )
 
   /** Shared text for q_corr_subquery: the SAME SQL runs in Spark and DuckDB
@@ -2866,7 +2890,31 @@ object SparkEntry {
         "CAST(SUM(tf.n * s.c_r) AS BIGINT) AS den FROM tf JOIN stats s ON tf.tok = s.tok " +
         "GROUP BY tf.doc_id) " +
         "SELECT doc_id, CAST(num * t_r AS DOUBLE) / CAST(den * t_t AS DOUBLE) AS affinity " +
-        "FROM j, tot ORDER BY doc_id")
+        "FROM j, tot ORDER BY doc_id"),
+
+    "q_snapshot_diff" ->
+      ("WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer), " +
+        "n AS (SELECT c_custkey, c_name, CASE WHEN c_custkey % 13 = 0 " +
+        "THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal " +
+        "FROM c WHERE c_custkey % 17 <> 0 " +
+        "UNION ALL SELECT c_custkey + 2000000, c_name || '_v2', c_acctbal " +
+        "FROM c WHERE c_custkey % 29 = 0) " +
+        "SELECT * FROM (SELECT COALESCE(n.c_custkey, c.c_custkey) AS c_custkey, " +
+        "CASE WHEN c.c_custkey IS NULL THEN 'insert' " +
+        "WHEN n.c_custkey IS NULL THEN 'delete' " +
+        "WHEN c.c_name IS DISTINCT FROM n.c_name " +
+        "OR c.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update' END AS op " +
+        "FROM c FULL OUTER JOIN n ON c.c_custkey = n.c_custkey) " +
+        "WHERE op IS NOT NULL ORDER BY c_custkey"),
+
+    "q_column_stats" ->
+      (Seq("l_discount", "l_extendedprice", "l_quantity", "l_returnflag").map { c =>
+        s"SELECT '$c' AS \"column\", CAST(COUNT($c) AS BIGINT) AS n_notnull, " +
+          s"CAST((SELECT COUNT(*) FROM lineitem) - COUNT($c) AS BIGINT) AS n_null, " +
+          s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"MIN(TRY_CAST($c AS DOUBLE)) AS min_d, MAX(TRY_CAST($c AS DOUBLE)) AS max_d " +
+          "FROM lineitem"
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\""))
   )
 
   /** Shared DuckDB CTE prefix for the PQ queries: floor(x·1000) long

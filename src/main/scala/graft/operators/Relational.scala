@@ -546,6 +546,66 @@ object Relational {
     hist.unionByName(kept).unionByName(closed).unionByName(opened)
   }
 
+  /** Snapshot diff — the batch CDC primitive for incremental pipelines:
+    * compare two versions of a keyed table and emit one row per CHANGED
+    * key with `op` ∈ insert (key only in `newDf`), delete (only in
+    * `oldDf`), update (in both, any `compareCols` differs null-safely).
+    * Unchanged keys are omitted — the output is the minimal change set a
+    * downstream incremental job replays.
+    *
+    * Scale shape (100 TB): ONE full-outer sort-merge join on the key —
+    * unavoidable for a symmetric diff (either side may hold keys the
+    * other lacks; contrast scd2Merge, whose update side is small by
+    * contract) — carrying key + compared columns only; callers should
+    * project payload columns away first. With both snapshots bucketed by
+    * key (TableManager.writeBucketed) the exchange disappears entirely. */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val o = oldDf.select((keyCol +: compareCols).map(col): _*).alias("o")
+    val n = newDf.select((keyCol +: compareCols).map(col): _*).alias("n")
+    val changed = compareCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+      .withColumn("op",
+        when(col(s"o.$keyCol").isNull, "insert")
+          .when(col(s"n.$keyCol").isNull, "delete")
+          .when(changed, "update"))
+      .where(col("op").isNotNull)
+      .select(coalesce(col(s"n.$keyCol"), col(s"o.$keyCol")).as(keyCol), col("op"))
+  }
+
+  /** ANALYZE-style column statistics in ONE scan: per listed column the
+    * non-null count, null count, exact distinct count, and numeric
+    * min/max (null for non-numeric columns — the double cast yields null
+    * there). Exact distincts expand the aggregate per column (the
+    * Expand-operator plan Spark builds for multi-distinct); at 100 TB
+    * swap `countDistinct` for `approx_count_distinct` — same one-scan
+    * shape, sketch-sized state. */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    // try_cast: under ANSI mode a plain string→double cast THROWS on
+    // non-numeric values; try_cast yields null (≡ DuckDB TRY_CAST)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__${c}__cnt"),
+      countDistinct(col(c)).as(s"__${c}__nd"),
+      min(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"__${c}__min"),
+      max(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"__${c}__max")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stats = cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"__${c}__cnt").as("n_notnull"),
+      (col("__n") - col(s"__${c}__cnt")).as("n_null"),
+      col(s"__${c}__nd").as("n_distinct"),
+      col(s"__${c}__min").as("min_d"),
+      col(s"__${c}__max").as("max_d")))
+    one.select(explode(array(stats: _*)).as("s")).select(col("s.*"))
+  }
+
   /** Equi-depth histogram WITHOUT a global window: bucket boundaries come
     * from one exact-percentile aggregate (interior cut points, rounded to 6
     * decimals for cross-engine agreement), then every row buckets map-side

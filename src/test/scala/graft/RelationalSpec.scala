@@ -416,4 +416,27 @@ class RelationalSpec extends SparkSpec {
       (3L, 30.0, None, true),                 // current, unchanged
       (9L, 1.0, None, true)))                 // new key
   }
+
+  test("snapshotDiff emits the minimal change set with null-safe compares") {
+    import spark.implicits._
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d"))).toDF("k", "v")
+    val neu = Seq((1L, Some("a")), (2L, Some("B")), (3L, Some("c")),
+      (5L, Some("e"))).toDF("k", "v")
+    val out = Relational.snapshotDiff(old, neu, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged → omitted; 2 value change; 3 null→value counts as change
+    assert(out == Map(2L -> "update", 3L -> "update", 4L -> "delete", 5L -> "insert"))
+  }
+
+  test("columnStats: one-scan exact stats, non-numeric min/max null") {
+    import spark.implicits._
+    val df = Seq((1.0, "x"), (2.0, "y"), (Double.NaN, "x"))
+      .toDF("v", "s").withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
+    val m = Relational.columnStats(df, Seq("v", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(m("v") == ((2L, 1L, 2L, Some(1.0), Some(2.0))))
+    assert(m("s") == ((3L, 0L, 2L, None, None)))
+  }
 }
