@@ -1737,7 +1737,42 @@ object SparkEntry {
     "q_column_stats" -> ((s, d) =>
       Relational.columnStats(t(s, d, "lineitem"),
           Seq("l_quantity", "l_discount", "l_extendedprice", "l_returnflag"))
-        .orderBy("column"))
+        .orderBy("column")),
+
+    // -- CDC round trip: APPLY CHANGES INTO ---------------------------------
+    // Change set = q_snapshot_diff's ops joined to the new values; applying
+    // it to the OLD snapshot must reproduce the NEW snapshot exactly — the
+    // oracle IS the new-snapshot definition (round-trip law).
+    "q_apply_changes" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val newSnap = c.where(col("c_custkey") % 17 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 13 === 0, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(c.where(col("c_custkey") % 29 === 0)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"),
+            concat(col("c_name"), lit("_v2")).as("c_name"), col("c_acctbal")))
+      val changes = Relational
+        .snapshotDiff(c, newSnap, "c_custkey", Seq("c_name", "c_acctbal"))
+        .join(newSnap, Seq("c_custkey"), "left_outer")
+      Relational.applyChangeSet(c, changes, "c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    // -- within-doc line dedup (C4 page hygiene) ----------------------------
+    // Pages planted with repeated lines; array_distinct keeps the first
+    // occurrence in order, the oracle reconstructs via MIN(pos) per line.
+    "q_dedup_doc_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val paged = docs.select(col("doc_id"), concat(
+        col("text").substr(1, 30), lit("\nfollow us on social media\n"),
+        col("text").substr(1, 30), lit("\n"),
+        col("text").substr(31, 30), lit("\nfollow us on social media")).as("text"))
+      paged.select(col("doc_id"),
+          TextAnalysis.dedupDocLines(col("text")).as("clean"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared text for q_corr_subquery: the SAME SQL runs in Spark and DuckDB
@@ -2914,7 +2949,31 @@ object SparkEntry {
           s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
           s"MIN(TRY_CAST($c AS DOUBLE)) AS min_d, MAX(TRY_CAST($c AS DOUBLE)) AS max_d " +
           "FROM lineitem"
-      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\""))
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\"")),
+
+    "q_apply_changes" ->
+      // the round-trip law: old snapshot + change set = new snapshot, so
+      // the oracle is simply the new-snapshot definition
+      ("WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer), " +
+        "n AS (SELECT c_custkey, c_name, CASE WHEN c_custkey % 13 = 0 " +
+        "THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal " +
+        "FROM c WHERE c_custkey % 17 <> 0 " +
+        "UNION ALL SELECT c_custkey + 2000000, c_name || '_v2', c_acctbal " +
+        "FROM c WHERE c_custkey % 29 = 0) " +
+        "SELECT c_custkey, c_name, c_acctbal FROM n ORDER BY c_custkey"),
+
+    "q_dedup_doc_lines" ->
+      // first-occurrence line dedup reconstructed via MIN(pos) per line
+      ("WITH p AS (SELECT doc_id, substr(text, 1, 30) || chr(10) || " +
+        "'follow us on social media' || chr(10) || substr(text, 1, 30) || chr(10) || " +
+        "substr(text, 31, 30) || chr(10) || 'follow us on social media' AS text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "e AS (SELECT doc_id, unnest(list_transform(range(len(sp)), " +
+        "i -> struct_pack(p := i, line := sp[i+1]))) AS u " +
+        "FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM p)), " +
+        "m AS (SELECT doc_id, u.line AS line, MIN(u.p) AS mp FROM e GROUP BY doc_id, u.line) " +
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY mp) AS clean " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id")
   )
 
   /** Shared DuckDB CTE prefix for the PQ queries: floor(x·1000) long

@@ -579,6 +579,33 @@ object Relational {
       .select(coalesce(col(s"n.$keyCol"), col(s"o.$keyCol")).as(keyCol), col("op"))
   }
 
+  /** Apply a CDC change set to a keyed snapshot — the DLT "APPLY CHANGES
+    * INTO" batch primitive, inverse of [[snapshotDiff]]: `changes` carries
+    * the key, an `op` column (insert | update | delete), and the full new
+    * row values for insert/update. Delete keys drop, update keys replace,
+    * insert keys append. `applyChangeSet(old, snapshotDiff-with-values)`
+    * reproduces the new snapshot exactly — the round-trip law the oracle
+    * checks.
+    *
+    * Scale shape (100 TB): the change set is small by contract, so both
+    * the removal anti-join and the replacement union broadcast; the
+    * target never shuffles (the mergeUpsert discipline). */
+  def applyChangeSet(
+      target: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      opCol: String = "op"): DataFrame = {
+    val valCols = target.columns.toSeq
+    require(changes.columns.contains(opCol), s"changes must carry `$opCol`")
+    require(valCols.filterNot(_ == keyCol).forall(changes.columns.contains),
+      "changes must carry every target column for insert/update rows")
+    val touched = changes.select(col(keyCol).as("__k")).distinct()
+    val kept = target.join(broadcast(touched), col(keyCol) === col("__k"), "left_anti")
+    val applied = changes.where(col(opCol).isin("insert", "update"))
+      .select(valCols.map(col): _*)
+    kept.unionByName(applied)
+  }
+
   /** ANALYZE-style column statistics in ONE scan: per listed column the
     * non-null count, null count, exact distinct count, and numeric
     * min/max (null for non-numeric columns — the double cast yields null

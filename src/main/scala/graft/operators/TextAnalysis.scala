@@ -1008,6 +1008,15 @@ object TextAnalysis {
           (col("den") * col("t_t")).cast("double")).as("affinity"))
   }
 
+  /** Per-document line dedup — the within-page "discard duplicate lines"
+    * hygiene pass (C4 runs it before the corpus-level filters; nav menus
+    * and footers repeat WITHIN a page too): keep each line's first
+    * occurrence, preserving order. Pure per-row HOF (`array_distinct`
+    * keeps first-occurrence order by contract); no shuffle. Contrast
+    * [[stripBoilerplate]], which drops lines repeating ACROSS documents. */
+  def dedupDocLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
   // ------------------------------------------------- canonicalization / C4
 
   /** Canonical text form for normalization-insensitive exact dedup: lower,

@@ -429,6 +429,18 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(2L -> "update", 3L -> "update", 4L -> "delete", 5L -> "insert"))
   }
 
+  test("applyChangeSet inverts snapshotDiff (round-trip law)") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val neu = Seq((1L, "a"), (2L, "B"), (5L, "e")).toDF("k", "v")
+    val changes = Relational.snapshotDiff(old, neu, "k", Seq("v"))
+      .join(neu, Seq("k"), "left_outer")
+    val applied = Relational.applyChangeSet(old, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = neu.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(applied == expected)
+  }
+
   test("columnStats: one-scan exact stats, non-numeric min/max null") {
     import spark.implicits._
     val df = Seq((1.0, "x"), (2.0, "y"), (Double.NaN, "x"))

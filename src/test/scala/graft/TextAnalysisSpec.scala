@@ -456,6 +456,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L) == 0.0)
   }
 
+  test("dedupDocLines keeps first occurrence of each line, in order") {
+    val got = one("b\na\nb\nc\na\nb", TextAnalysis.dedupDocLines(col("text"))).getString(0)
+    assert(got == "b\na\nc")
+  }
+
   test("packExamples: budget respected, FFD beats naive, layout-invariant") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, 50L + (i * 37) % 400)).toDF("doc_id", "n")
