@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -252,5 +252,53 @@ object StreamingInference {
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir).drop("batch_id")
+  }
+
+  /** Continuous data-quality routing — `Relational.validateRules` in a
+    * stream: each micro-batch splits into the valid sink and the
+    * quarantine sink (rows annotated with their `violations`), both
+    * written in the SAME foreachBatch so the source is read once per
+    * batch. Exactly-once without a table swap, [[streamNearDedup]]'s
+    * discipline: both sinks partition by `batch_id` under dynamic
+    * partition overwrite, so a replayed batch rewrites its own partition
+    * instead of appending duplicates.
+    *
+    * Scale shape: validation is map-side (one scan, no shuffle); the
+    * split is two filters over the one validated frame, localCheckpointed
+    * so scoring runs once, not once per sink. */
+  def streamValidateRoute(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      validDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): (DataFrame, DataFrame) = {
+    import graft.operators.Relational
+    val q = readFileStream(spark, srcDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val checked = Relational.validateRules(batch, rules)
+          .localCheckpoint(true) // two sinks below: validate once
+        checked.where(col("is_valid") === 1L)
+          .drop("violations", "is_valid")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(validDir)
+        checked.where(col("is_valid") === 0L)
+          .drop("is_valid")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(quarantineDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (spark.read.parquet(validDir).drop("batch_id"),
+      spark.read.parquet(quarantineDir).drop("batch_id"))
   }
 }

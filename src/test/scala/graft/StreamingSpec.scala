@@ -110,6 +110,33 @@ class StreamingSpec extends SparkSpec {
     assert(run() == Set(1L, 2L, 4L))
   }
 
+  test("streamValidateRoute: valid/quarantine dual sink, exactly-once replay") {
+    import spark.implicits._
+    val work   = Files.createTempDirectory("graft_stream_vr").toString
+    val srcDir = s"$work/src"
+    Seq((1L, 10.0), (2L, 99.0), (3L, 20.0)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/f1")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+
+    def run() = StreamingInference.streamValidateRoute(
+      spark, s"$srcDir/*", schema, Seq("v_small" -> (col("v") < 50)),
+      s"$work/valid", s"$work/quar", s"$work/ckpt")
+
+    val (v1, q1) = run()
+    assert(v1.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val quar = q1.select("id", "violations").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(quar == Map(2L -> "v_small"))
+    // second arrival routes incrementally; re-run without new files = no-op
+    Seq((4L, 70.0), (5L, 5.0)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/f2")
+    val (v2, q2) = run()
+    assert(v2.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    assert(q2.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    val (v3, q3) = run()
+    assert(v3.count() == 3 && q3.count() == 2)
+  }
+
   test("checkpoint makes re-run a no-op (exactly-once append)") {
     val work   = Files.createTempDirectory("graft_stream_spec2").toString
     val srcDir = s"$work/src"
