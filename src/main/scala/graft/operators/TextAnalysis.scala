@@ -185,6 +185,26 @@ object TextAnalysis {
     transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))), i => t.substr(i, lit(n)))
   }
 
+  /** Counting kernel replicating [[charGrams]] + per-doc counting in one
+    * pass: grams of `trim(lower(text))` at positions 1..max(len-(n-1),1),
+    * the final gram truncated at the string end exactly as `substr` does.
+    * Locale.ROOT lowercasing — same parity contract (and caveat) as
+    * [[qualityLangKernel]]. */
+  private[graft] def charGramCounts(text: String, n: Int): Map[String, Int] = {
+    val t    = text.trim.toLowerCase(java.util.Locale.ROOT)
+    val len  = t.length
+    val last = math.max(len - (n - 1), 1)
+    val m    = new java.util.HashMap[String, Int]()
+    var i = 1
+    while (i <= last && len > 0) {
+      val g = t.substring(i - 1, math.min(i - 1 + n, len))
+      m.merge(g, 1, (a, b) => a + b)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    m.asScala.toMap
+  }
+
   /** Corpus-LM quality score — the CCNet/Wikipedia-LM perplexity-filter
     * shape without a pretrained model: build a character n-gram language
     * model FROM the corpus itself, then score each document by how typical
@@ -213,14 +233,29 @@ object TextAnalysis {
       idCol: String,
       n: Int = 3): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"gram width must be >= 1, got $n")
-    val grams = docs
+    // Per-doc gram counts come from ONE pass of a tight counting kernel
+    // (the qualityLangUdf escape-hatch rationale): the HOF form explodes
+    // every gram occurrence (len-2 rows per doc) through an interpreted
+    // substring lambda and then shuffles (id, gram) pairs to count them —
+    // the kernel emits the already-counted per-doc map, so the explode is
+    // distinct-grams-sized and the (id, gram) count shuffle disappears.
+    // Value-identical (exact integer counts over the same trim/lower
+    // grams; CharGram parity asserted in TextAnalysisSpec). The skinny
+    // (id, gram, n) frame feeds the LM build AND the scoring join; it is
+    // materialized once (eager localCheckpoint) so the kernel runs one
+    // time, not once per plan branch.
+    val gramCountsUdf = udf((s: String) => charGramCounts(s, n))
+    val tf = docs
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(col(idCol), explode(charGrams(col(textCol), n)).as("gram"))
-    val lm    = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .select(col(idCol), explode(gramCountsUdf(col(textCol))))
+      .select(col(idCol), col("key").as("gram"), col("value").cast("long").as("n"))
+      .localCheckpoint(true)
+    val lm    = tf.groupBy("gram").agg(sum("n").as("cnt"))
     val total = lm.agg(sum("cnt").cast("long").as("total"))
-    grams.join(broadcast(lm), Seq("gram"))
+    tf.join(broadcast(lm), Seq("gram"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"), sum("cnt").cast("long").as("hits"))
+      .agg(sum("n").cast("long").as("n_grams"),
+        sum(col("n") * col("cnt")).cast("long").as("hits"))
       .crossJoin(broadcast(total))
       .select(col(idCol), col("n_grams"), col("hits"),
         (col("hits").cast("double") / (col("n_grams") * col("total")).cast("double"))

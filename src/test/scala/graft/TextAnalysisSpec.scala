@@ -456,6 +456,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L) == 0.0)
   }
 
+  test("charGramCounts kernel ≡ Catalyst charGram explode + count") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .where(col("text").isNotNull).limit(100)
+    val t = trim(lower(col("text")))
+    val hof = docs.select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(length(t) - 2, lit(1))), i => t.substr(i, lit(3)))).as("gram"))
+      .groupBy("doc_id", "gram").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val kudf = org.apache.spark.sql.functions.udf(
+      (s: String) => TextAnalysis.charGramCounts(s, 3))
+    val kernel = docs.select(col("doc_id"), explode(kudf(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong)).toSet
+    assert(kernel == hof)
+    // substr end-truncation edge: len < n yields the whole string once
+    assert(TextAnalysis.charGramCounts(" ab ", 3) == Map("ab" -> 1))
+  }
+
   test("dedupDocLines keeps first occurrence of each line, in order") {
     val got = one("b\na\nb\nc\na\nb", TextAnalysis.dedupDocLines(col("text"))).getString(0)
     assert(got == "b\na\nc")
