@@ -229,6 +229,21 @@ class PlansSpec extends SparkSpec {
       s"expected pruned ReadSchema (<=6 cols), got ${p.map(_.requiredSchema.fields.length)}")
   }
 
+  test("pqEncode: big side never shuffles — codebook broadcasts, codes are map-side") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val enc = graft.operators.Similarity.pqEncode(emb, "embedding", "vec_id",
+      m = 8, k = 16, dim = 64)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"codebook should broadcast:\n$plan")
+    // the only shuffle allowed is the 16-row codebook aggregation's
+    // single-partition exchange; the embedding scan side must be
+    // exchange-free (encoding is embarrassingly parallel)
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findAllIn(plan).length
+    assert(shuffles <= 1, s"expected at most the codebook exchange, got $shuffles:\n$plan")
+  }
+
   test("saltedAggregate matches direct aggregation (algebraic aggs)") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Relational.saltedAggregate(

@@ -200,4 +200,64 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: scd2Merge is idempotent — re-applying the same batch is a no-op") {
+    import spark.implicits._
+    val valGen = Gen.chooseNum(0, 5).map(_.toDouble)
+    samples(Gen.listOfN(20, valGen), 5).foreach { vals =>
+      val dim = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v, java.sql.Date.valueOf("2020-01-01"),
+          Option.empty[java.sql.Date], true)
+      }.toDF("k", "v", "valid_from", "valid_to", "is_current")
+      val updates = vals.zipWithIndex.collect {
+        case (v, i) if i % 3 == 0 => (i.toLong, v + 1.0)
+      }.toDF("k", "v")
+      val eff   = to_date(lit("2021-01-01"))
+      val once  = graft.operators.Relational.scd2Merge(dim, updates, "k", Seq("v"), eff)
+      val twice = graft.operators.Relational.scd2Merge(once, updates, "k", Seq("v"), eff)
+      // after the first apply every update key's current row already holds
+      // the new value → the second apply changes nothing
+      assert(twice.count() == once.count())
+      val a = once.collect().map(_.toSeq).toSet
+      val b = twice.collect().map(_.toSeq).toSet
+      assert(a == b, "second application must be a no-op")
+    }
+  }
+
+  test("property: pageRank total mass bounded by N·scale, every rank >= base") {
+    import spark.implicits._
+    val edgeGen = for {
+      s <- Gen.chooseNum(0L, 19L); d <- Gen.chooseNum(0L, 19L)
+    } yield (s, d)
+    samples(Gen.listOfN(40, edgeGen), 5).foreach { edges =>
+      val df  = edges.toDF("src", "dst")
+      val out = graft.operators.Graph.pageRankFixedPoint(df, "src", "dst", iterations = 3)
+        .collect().map(_.getLong(1))
+      val n = out.length
+      assert(out.forall(_ >= 150000L), "every node keeps at least the base mass")
+      // damping conserves at most the full mass; dangling nodes only lose
+      assert(out.sum <= n.toLong * 1000000L, s"mass ${out.sum} exceeds ${n} * scale")
+    }
+  }
+
+  test("property: temperatureSample keeps the binding stratum whole, never upsamples") {
+    import spark.implicits._
+    val sizeGen = Gen.chooseNum(5, 60)
+    samples(Gen.listOfN(4, sizeGen), 5).foreach { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, s) =>
+        (0 until sz).map(i => (s"s$s", (s * 1000 + i).toLong))
+      }
+      val df = rows.toDF("g", "id")
+      val kept = graft.operators.Relational
+        .temperatureSample(df, col("id"), col("g"))
+        .groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ns = sizes.zipWithIndex.map { case (sz, s) => s"s$s" -> sz.toLong }.toMap
+      // no stratum ever grows
+      kept.foreach { case (g, k) => assert(k <= ns(g), s"$g upsampled: $k > ${ns(g)}") }
+      // the smallest stratum has rate 1.0 → kept in full
+      val binding = ns.minBy { case (g, n) => (n, g) }._1
+      assert(kept(binding) == ns(binding), s"binding stratum $binding thinned")
+    }
+  }
 }
