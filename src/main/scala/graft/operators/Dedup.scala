@@ -603,16 +603,23 @@ object Dedup {
       maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2 (neighborhood size is O(len^d)), got $maxDist")
-    val keyed = df
+    val strs = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .where(col("s").isNotNull)
-      .select(col("id"), col("s"), explode(deletionVariants(col("s"), maxDist)).as("k"))
+    // The variant join shuffles (key, id) ONLY — attaching the strings here
+    // would replicate each string once per deletion variant (O(len^d)
+    // copies) through the join and the distinct; instead the deduped pair
+    // list re-attaches both strings by two id joins afterwards (pairs ≪
+    // variants, and the id side is the original table, broadcast under AQE).
+    val keyed = strs
+      .select(col("id"), explode(deletionVariants(col("s"), maxDist)).as("k"))
     val cand = keyed.as("a")
       .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // pairs sharing several variant keys verify once, not once per key
     cand
+      .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       // threshold form = banded DP, O(len·d) per pair instead of O(len²);
       // returns -1 above the threshold, hence the >= 0 guard
       .select(col("id_a"), col("id_b"),
