@@ -92,7 +92,6 @@ object Similarity {
     * one side fits in a broadcast (≲ low millions of rows). At 100 TB use
     * [[knnJoinIvf]], which joins by shared IVF cell instead. */
   def knnJoinExact(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // norms cached once per ROW; each of the O(n²) pairs then pays one dot
     // instead of three (dot + both norms) — bit-identical (see DotProduct)
     val left  = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -103,12 +102,11 @@ object Similarity {
       .select(col("id"), col("neighbor_id"),
         round(dotNative(col("vec"), col("nvec")) / (col("nrm") * col("nnrm")), 6).as("cos"))
       .where(validCos(col("cos")))
-    scored
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("id").orderBy(desc("cos"), col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("id").as(idCol), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cos"))
+    // bounded partial top-k: each id's pairs are already co-located after
+    // the broadcast join, so the aggregation truncates to k map-side and
+    // the shuffle carries n·k rows, not the O(n²) scored pairs a window
+    // rank would move
+    topKPerId(scored, idCol, k)
   }
 
   /** Approximate k-NN join at scale: vectors meet only within their IVF
@@ -127,7 +125,6 @@ object Similarity {
       k: Int,
       centroids: Array[Array[Float]],
       nProbes: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(centroids.nonEmpty && nProbes >= 1, "need centroids and nProbes >= 1")
     val sims  = array(centroids.map(c => cosineNative(col("vec"), typedLit(c))): _*)
     val base  = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -147,13 +144,10 @@ object Similarity {
       .select(col("id"), col("neighbor_id"),
         round(dotNative(col("vec"), col("nvec")) / (col("nrm") * col("nnrm")), 6).as("cos"))
       .where(validCos(col("cos")))
-      // a pair can meet through several probed cells — collapse before ranking
+      // a pair can meet through several probed cells — collapse before
+      // ranking, then the same bounded partial top-k as knnJoinExact
       .groupBy("id", "neighbor_id").agg(max("cos").as("cos"))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("id").orderBy(desc("cos"), col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("id").as(idCol), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cos"))
+      .transform(topKPerId(_, idCol, k))
   }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64-seeded), returned
@@ -491,6 +485,50 @@ object Similarity {
       .select(col("id"))
     base.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cell"))
+  }
+
+  /** Bounded per-group top-k heap — a true PARTIAL aggregate, unlike the
+    * `row_number` window the k-NN joins previously used: the window form
+    * shuffles every scored pair (O(n²) rows for the exact join) to sort
+    * whole groups, while this buffer truncates to k elements map-side, so
+    * only n·k skinny rows cross the wire. Ordering (cos DESC, id ASC) is
+    * total, so results are bit-identical to the window form — spec-checked
+    * in VectorFunctionsSpec, and the oracle queries re-verified unchanged.
+    * The buffer is a k-bounded sorted insert (k is single digits here;
+    * switch to a real heap if k grows). */
+  class TopKNeighbors(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+      // rank order: cos DESC, id ASC
+      val pos = buf.indexWhere(e => e._1 < x._1 || (e._1 == x._1 && e._2 > x._2))
+      val merged =
+        if (pos < 0) buf :+ x
+        else { val (a, b) = buf.splitAt(pos); (a :+ x) ++ b }
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      insert(b, a)
+    override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Per-id top-k of a (id, neighbor_id, cos) frame via [[TopKNeighbors]],
+    * emitted as (idCol, rank, neighbor_id, cos) in rank order. */
+  private def topKPerId(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKNeighbors(k))
+    scored
+      .groupBy(col("id"))
+      .agg(agg(col("cos"), col("neighbor_id")).as("nn"))
+      .select(col("id"), posexplode(col("nn")))
+      .select(col("id").as(idCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col").getField("_2").as("neighbor_id"), col("col").getField("_1").as("cos"))
   }
 
   // ------------------------------------------------- product quantization
