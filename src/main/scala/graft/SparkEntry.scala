@@ -1760,6 +1760,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // -- crawl-frontier URL canonicalization + dedup ------------------------
+    // Four in-plan variants of each logical URL (case, tracking params,
+    // param order, fragment, trailing slash); canonical forms collapse and
+    // keep-min-id decides. Map-side regexp/HOF canonicalization; the only
+    // shuffle carries (canonical, id).
+    "q_url_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val base = concat(lit("Site"), (col("doc_id") % 20).cast("string"),
+        lit(".Example.com/page/"), (col("doc_id") % 50).cast("string"))
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://"), base, lit("?utm_source=x&b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1, concat(lit("http://"), base, lit("/?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2, concat(lit("http://"), base, lit("?b=2&a=1&gclid=zz")))
+        .otherwise(concat(lit("http://"), base, lit("#section")))
+      docs.select(col("doc_id"), TextAnalysis.canonicalizeUrl(url).as("canonical"))
+        .withColumn("keep",
+          (col("doc_id") === min("doc_id").over(Window.partitionBy("canonical"))).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // -- within-doc line dedup (C4 page hygiene) ----------------------------
     // Pages planted with repeated lines; array_distinct keeps the first
     // occurrence in order, the oracle reconstructs via MIN(pos) per line.
@@ -2961,6 +2982,33 @@ object SparkEntry {
         "UNION ALL SELECT c_custkey + 2000000, c_name || '_v2', c_acctbal " +
         "FROM c WHERE c_custkey % 29 = 0) " +
         "SELECT c_custkey, c_name, c_acctbal FROM n ORDER BY c_custkey"),
+
+    "q_url_canonical" ->
+      // identical regexp splits (RE2-safe), tracking-param filter, and
+      // lexicographic param sort; binary collation on both engines
+      ("WITH u AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 4 = 0 THEN 'HTTP://' || b || '?utm_source=x&b=2&a=1#frag' " +
+        "WHEN doc_id % 4 = 1 THEN 'http://' || b || '/?a=1&b=2' " +
+        "WHEN doc_id % 4 = 2 THEN 'http://' || b || '?b=2&a=1&gclid=zz' " +
+        "ELSE 'http://' || b || '#section' END AS url FROM (" +
+        "SELECT doc_id, 'Site' || CAST(doc_id % 20 AS VARCHAR) || " +
+        "'.Example.com/page/' || CAST(doc_id % 50 AS VARCHAR) AS b " +
+        "FROM documents WHERE text IS NOT NULL)), " +
+        "p AS (SELECT doc_id, " +
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch, " +
+        "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host, " +
+        "regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), " +
+        "'/$', '') AS path, " +
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), " +
+        "c AS (SELECT doc_id, CASE WHEN sch <> '' AND host <> '' THEN " +
+        "sch || '://' || host || path || " +
+        "CASE WHEN len(prm) > 0 THEN '?' || array_to_string(list_sort(prm), '&') " +
+        "ELSE '' END END AS canonical FROM (SELECT *, " +
+        "list_filter(string_split(query, '&'), x -> x <> '' AND " +
+        "NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')) AS prm FROM p)) " +
+        "SELECT doc_id, canonical, " +
+        "CAST(doc_id = MIN(doc_id) OVER (PARTITION BY canonical) AS BIGINT) AS keep " +
+        "FROM c ORDER BY doc_id"),
 
     "q_dedup_doc_lines" ->
       // first-occurrence line dedup reconstructed via MIN(pos) per line

@@ -1043,6 +1043,29 @@ object TextAnalysis {
           (col("den") * col("t_t")).cast("double")).as("affinity"))
   }
 
+  /** URL canonicalization — the crawl-frontier dedup key (the same page
+    * arrives as http/HTTP, with tracking params, reordered queries,
+    * fragments, trailing slashes): lowercase scheme+host, drop the
+    * fragment, drop `utm_*`/`fbclid`/`gclid` tracking params, SORT the
+    * surviving params (order never distinguishes resources), strip one
+    * trailing path slash. Pure per-row Catalyst (regexp splits + HOF
+    * filter/sort) in the RE2-safe subset, so an external engine replays
+    * it byte-identically. Malformed URLs (no scheme://host match)
+    * canonicalize to null. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host   = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val path0  = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path   = regexp_replace(path0, "/$", "")
+    val query  = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)="))
+    val q = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
+    when(scheme =!= "" && host =!= "",
+      concat(scheme, lit("://"), host, path, q))
+  }
+
   /** Per-document line dedup — the within-page "discard duplicate lines"
     * hygiene pass (C4 runs it before the corpus-level filters; nav menus
     * and footers repeat WITHIN a page too): keep each line's first

@@ -473,6 +473,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.charGramCounts(" ab ", 3) == Map("ab" -> 1))
   }
 
+  test("canonicalizeUrl: case, tracking params, order, fragment, slash all collapse") {
+    def canon(u: String) =
+      Option(one(u, TextAnalysis.canonicalizeUrl(col("text"))).get(0)).map(_.toString)
+    val want = Some("http://site.example.com/a?a=1&b=2")
+    assert(canon("HTTP://Site.Example.COM/a?utm_source=x&b=2&a=1#frag") == want)
+    assert(canon("http://site.example.com/a/?a=1&b=2") == want)
+    assert(canon("http://site.example.com/a?b=2&a=1&gclid=zz") == want)
+    // no query → no '?'
+    assert(canon("https://Host.com/path#x") == Some("https://host.com/path"))
+    // all params tracking → query dropped entirely
+    assert(canon("http://h.com/p?utm_campaign=c&fbclid=f") == Some("http://h.com/p"))
+    // malformed (no scheme) → null
+    assert(canon("not a url").isEmpty)
+  }
+
   test("dedupDocLines keeps first occurrence of each line, in order") {
     val got = one("b\na\nb\nc\na\nb", TextAnalysis.dedupDocLines(col("text"))).getString(0)
     assert(got == "b\na\nc")
