@@ -580,6 +580,62 @@ object Similarity {
       }))
   }
 
+  /** Relational (pure-HOF) PQ encode — the oracle-shaped reference form:
+    * broadcast codebook row, nested HOF argmin. The declared queries run
+    * [[pqEncode]]'s kernel instead (the HOFs evaluate interpreted, ~µs per
+    * lambda — an order of magnitude slower); PlansSpec asserts the two
+    * are value-identical on the fixtures, the qualityLangUdf parity
+    * discipline. */
+  private[graft] def pqEncodeRelational(
+      df: DataFrame, vecCol: String, idCol: String,
+      m: Int, k: Int, dim: Int): DataFrame =
+    pqEncodeRaw(df, vecCol, idCol, m, k, dim).drop("__cents", "__qv")
+
+  /** Quantized codebook collected to the driver — k rows by CONTRACT (a
+    * codebook is small by definition; the fitIvfCentroids precedent),
+    * cid-ascending so argmin tie-breaks resolve to the lowest cid. */
+  private def pqCollectCodebook(
+      df: DataFrame, vecCol: String, idCol: String, k: Int, dim: Int): Array[Array[Long]] = {
+    val cents = df.where(col(idCol) < k && col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .orderBy(col(idCol))
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(f => math.floor(f * 1000.0).toLong))
+    require(cents.nonEmpty, s"no codebook rows with $idCol < $k")
+    cents
+  }
+
+  /** Per-row PQ encode kernel over the closure-shipped quantized codebook.
+    * Same exact integers as the HOF form: floor(x·1000) quantization,
+    * per-subspace squared-L2 argmin, strict `<` so the lowest cid wins
+    * ties. */
+  private def pqEncodeUdf(cents: Array[Array[Long]], m: Int, sub: Int, dim: Int) =
+    udf((v: Seq[Float]) => {
+      val qv = new Array[Long](dim)
+      var i = 0
+      while (i < dim) { qv(i) = math.floor(v(i) * 1000.0).toLong; i += 1 }
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        var best = Long.MaxValue
+        var bc   = -1
+        var c    = 0
+        while (c < cents.length) {
+          var d = 0L
+          var t = 0
+          while (t < sub) {
+            val diff = qv(j * sub + t) - cents(c)(j * sub + t)
+            d += diff * diff
+            t += 1
+          }
+          if (d < best) { best = d; bc = c }
+          c += 1
+        }
+        codes(j) = bc
+        j += 1
+      }
+      codes
+    })
+
   /** Product quantization encode (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search"): split each `dim`-d vector into `m`
     * subvectors and store, per subvector, the id of the nearest of `k`
@@ -587,36 +643,50 @@ object Similarity {
     * float → 8 bytes here), the memory-bounded ANN representation for a
     * corpus whose raw vectors no longer fit the cluster.
     *
-    * Scale shape (100 TB): the codebook is one broadcast row; encoding is
-    * pure per-row HOF arithmetic — no shuffle, no UDF, embarrassingly
-    * parallel. Ties (equal d2) take the lowest cid on both engines. */
+    * Scale shape (100 TB): the codebook (k rows by contract) ships in the
+    * task closure; encoding is one map-side kernel pass — no shuffle, no
+    * join, embarrassingly parallel. Ties (equal d2) take the lowest cid.
+    * Value-identical to [[pqEncodeRelational]] (parity spec). */
   def pqEncode(
       df: DataFrame, vecCol: String, idCol: String,
-      m: Int, k: Int, dim: Int): DataFrame =
-    pqEncodeRaw(df, vecCol, idCol, m, k, dim).drop("__cents", "__qv")
+      m: Int, k: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val cents = pqCollectCodebook(df, vecCol, idCol, k, dim)
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .withColumn("codes", pqEncodeUdf(cents, m, dim / m, dim)(col(vecCol)))
+  }
 
   /** Asymmetric-distance top-n over PQ codes: approximate squared L2 from
     * the query to each vector = Σ_j d²(query_j, centroid[code_j]_j) —
-    * the classic ADC scan, evaluated here against the broadcast codebook
-    * (per-row lookups into the cid-indexed array; exact long arithmetic).
-    * Returns (id, adc) ranked by (adc, id) — a deterministic total order,
-    * so the top-n cut is engine-stable. Plans as one map-side scan +
-    * TakeOrderedAndProject, like [[cosineTopK]]. */
+    * the classic ADC scan. The (m × k) query-to-centroid distance table is
+    * precomputed ONCE driver-side (that is the entire point of ADC) and
+    * ships in the closure; each row then pays m encode argmins + m table
+    * lookups. Exact long arithmetic throughout; ranked by (adc, id) — a
+    * deterministic total order, so the top-n cut is engine-stable. Plans
+    * as one map-side scan + TakeOrderedAndProject, like [[cosineTopK]]. */
   def pqAdcTopK(
       df: DataFrame, vecCol: String, idCol: String, q: Array[Float],
       m: Int, k: Int, dim: Int, n: Int): DataFrame = {
-    val sub  = dim / m
-    val qq   = q.map(f => math.floor(f.toDouble * 1000).toLong).toSeq
-    val qlit = typedLit(qq)
-    pqEncodeRaw(df, vecCol, idCol, m, k, dim)
-      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) => {
-        // codes are 0-based cids; __cents is cid-sorted, so cid c sits at
-        // array position c+1
-        val centQv = element_at(col("__cents"), element_at(col("codes"), j + 1) + 1)
-          .getField("qv")
-        acc + pqSubDist2(qlit, centQv, j, sub)
-      }))
-      .select(col(idCol), col("adc"))
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val sub   = dim / m
+    val cents = pqCollectCodebook(df, vecCol, idCol, k, dim)
+    val qq    = q.map(f => math.floor(f.toDouble * 1000).toLong)
+    // dtable(j)(c) = d²(query_j, centroid_c_j)
+    val dtable = Array.tabulate(m, cents.length) { (j, c) =>
+      var d = 0L
+      var t = 0
+      while (t < sub) { val diff = qq(j * sub + t) - cents(c)(j * sub + t); d += diff * diff; t += 1 }
+      d
+    }
+    val enc = pqEncodeUdf(cents, m, sub, dim)
+    val adcUdf = udf((codes: Seq[Int]) => {
+      var s = 0L
+      var j = 0
+      while (j < m) { s += dtable(j)(codes(j)); j += 1 }
+      s
+    })
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol), adcUdf(enc(col(vecCol))).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(n)
   }

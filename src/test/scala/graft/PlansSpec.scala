@@ -229,19 +229,23 @@ class PlansSpec extends SparkSpec {
       s"expected pruned ReadSchema (<=6 cols), got ${p.map(_.requiredSchema.fields.length)}")
   }
 
-  test("pqEncode: big side never shuffles — codebook broadcasts, codes are map-side") {
+  test("pqEncode kernel: exchange-free map-side plan, codes ≡ relational HOF form") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val enc = graft.operators.Similarity.pqEncode(emb, "embedding", "vec_id",
       m = 8, k = 16, dim = 64)
+    // closure-shipped codebook → scan + project only, no join, no exchange
     val plan = enc.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"codebook should broadcast:\n$plan")
-    // the only shuffle allowed is the 16-row codebook aggregation's
-    // single-partition exchange; the embedding scan side must be
-    // exchange-free (encoding is embarrassingly parallel)
     val shuffles = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
       .findAllIn(plan).length
-    assert(shuffles <= 1, s"expected at most the codebook exchange, got $shuffles:\n$plan")
+    assert(shuffles == 0, s"kernel encode must be exchange-free, got $shuffles:\n$plan")
+    // kernel ≡ relational HOF reference, code for code
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val hof = codes(graft.operators.Similarity.pqEncodeRelational(
+      emb, "embedding", "vec_id", m = 8, k = 16, dim = 64))
+    val kernel = codes(enc)
+    assert(kernel == hof, "kernel and relational PQ codes must be identical")
   }
 
   test("saltedAggregate matches direct aggregation (algebraic aggs)") {
