@@ -1760,6 +1760,15 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // -- decontamination, the dropping side ---------------------------------
+    // Score TRAIN docs by eval-gram overlap; kept = n_shared < 3. Same
+    // one-pass gram window as q_decontaminate, roles reversed.
+    "q_decontaminate_drop" -> ((s, d) =>
+      TextAnalysis.decontaminateDrop(t(s, d, "documents"), "text", "doc_id",
+          isEval = col("doc_id") % 10 === 0, n = 3, minShared = 3L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // -- crawl-frontier URL canonicalization + dedup ------------------------
     // Four in-plan variants of each logical URL (case, tracking params,
     // param order, fragment, trailing slash); canonical forms collapse and
@@ -2982,6 +2991,20 @@ object SparkEntry {
         "UNION ALL SELECT c_custkey + 2000000, c_name || '_v2', c_acctbal " +
         "FROM c WHERE c_custkey % 29 = 0) " +
         "SELECT c_custkey, c_name, c_acctbal FROM n ORDER BY c_custkey"),
+
+    "q_decontaminate_drop" ->
+      // train-side mirror of decontaminateSql: per train doc, distinct
+      // grams present in ANY eval doc
+      ("WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS is_eval, " +
+        s"$tokensSql AS tk FROM documents WHERE text IS NOT NULL), " +
+        s"grams AS (SELECT doc_id, is_eval, unnest(${shinglesSql(3)}) AS gram FROM toks), " +
+        "ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval), " +
+        "tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE NOT is_eval), " +
+        "sh AS (SELECT doc_id, CAST(SUM(CASE WHEN EXISTS " +
+        "(SELECT 1 FROM ev WHERE ev.gram = tg.gram) THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_shared FROM tg GROUP BY doc_id) " +
+        "SELECT doc_id, n_shared, CAST(n_shared < 3 AS BIGINT) AS kept " +
+        "FROM sh ORDER BY doc_id"),
 
     "q_url_canonical" ->
       // identical regexp splits (RE2-safe), tracking-param filter, and

@@ -525,6 +525,33 @@ object TextAnalysis {
       .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
   }
 
+  /** The DROPPING side of decontamination — [[contamination]] audits the
+    * EVAL set; this scores the TRAIN docs (the set you actually filter
+    * before pretraining): per train doc, how many of its distinct n-grams
+    * any eval doc holds, and `kept` = n_shared < minShared. Same one-pass
+    * gram-window plan as [[contamination]] with the roles reversed —
+    * corpus scanned and shingled ONCE. */
+  def decontaminateDrop(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      isEval: Column,
+      n: Int,
+      minShared: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__text"), isEval.as("__is_eval"))
+    val grams = base.select(col("id"), col("__is_eval"),
+      explode(Dedup.wordShingles(col("__text"), n)).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    grams
+      .withColumn("__in_eval", max(when(col("__is_eval"), lit(1)).otherwise(lit(0))).over(w))
+      .where(!col("__is_eval"))
+      .groupBy(col("id"))
+      .agg(sum(col("__in_eval")).cast("long").as("n_shared"))
+      .withColumn("kept", (col("n_shared") < minShared).cast("long"))
+  }
+
   /** [[contamination]] restructured for the 100 TB regime, same exact
     * result. There the corpus sides are wildly asymmetric: the TRAIN corpus
     * is the 100 TB scan while the eval/benchmark set is tiny (thousands of

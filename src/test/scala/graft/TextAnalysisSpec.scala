@@ -473,6 +473,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.charGramCounts(" ab ", 3) == Map("ab" -> 1))
   }
 
+  test("decontaminateDrop scores train docs by eval-gram overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox", true),   // eval
+      (1L, "the quick brown dog runs", false), // shares 'the quick brown'
+      (2L, "completely different words here", false), // clean
+      (3L, "quick brown fox jumps", false) // shares 'quick brown fox'
+    ).toDF("doc_id", "text", "ev")
+    val m = TextAnalysis.decontaminateDrop(docs, "text", "doc_id", col("ev"), n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L)) // eval docs not scored
+    assert(m(1L) == ((1L, 0L)) && m(3L) == ((1L, 0L))) // contaminated at minShared=1
+    assert(m(2L) == ((0L, 1L)))                        // clean survives
+  }
+
   test("canonicalizeUrl: case, tracking params, order, fragment, slash all collapse") {
     def canon(u: String) =
       Option(one(u, TextAnalysis.canonicalizeUrl(col("text"))).get(0)).map(_.toString)
