@@ -1760,6 +1760,15 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // -- group-wise z-score feature standardization -------------------------
+    // Exact decimal power sums → one double conversion → map-side z after
+    // a broadcast stats join (no float aggregation anywhere).
+    "q_zscore" -> ((s, d) =>
+      Relational.zscoreNormalize(t(s, d, "lineitem"), "l_quantity", "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"), col("l_quantity_z"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
     // -- decontamination, the dropping side ---------------------------------
     // Score TRAIN docs by eval-gram overlap; kept = n_shared < 3. Same
     // one-pass gram window as q_decontaminate, roles reversed.
@@ -2991,6 +3000,21 @@ object SparkEntry {
         "UNION ALL SELECT c_custkey + 2000000, c_name || '_v2', c_acctbal " +
         "FROM c WHERE c_custkey % 29 = 0) " +
         "SELECT c_custkey, c_name, c_acctbal FROM n ORDER BY c_custkey"),
+
+    "q_zscore" ->
+      // identical decimal power sums and operation order; lineitem
+      // quantities are integers so the sums are exact at scale 4
+      ("WITH s AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sx, " +
+        "CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, " +
+        "l_returnflag, CASE WHEN n > 1.0 THEN " +
+        "(CASE WHEN (sxx - sx * sx / n) / (n - 1.0) > 0.0 THEN " +
+        "ROUND((CAST(l_quantity AS DOUBLE) - sx / n) / " +
+        "sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) END) END AS l_quantity_z " +
+        "FROM lineitem JOIN s ON l_returnflag = s.g " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"),
 
     "q_decontaminate_drop" ->
       // train-side mirror of decontaminateSql: per train doc, distinct

@@ -579,6 +579,38 @@ object Relational {
       .select(coalesce(col(s"n.$keyCol"), col(s"o.$keyCol")).as(keyCol), col("op"))
   }
 
+  /** Group-wise z-score standardization — the per-stratum feature scaling
+    * step of an ML-prep pipeline ((v − μ_g)/σ_g with the sample std):
+    * group moments come from ORDER-INDEPENDENT exact decimal power sums
+    * (the q_stats_agg discipline — a float `avg`/`stddev` is not
+    * reproducible across partitionings), convert to double once, and the
+    * z expression applies map-side after a broadcast join of the tiny
+    * per-group stats frame. Rounded to 6 decimals for cross-engine
+    * agreement. Integer-valued (or low-scale) columns keep the power sums
+    * exact in DECIMAL(38,4); single-member groups (σ undefined) yield
+    * null. Adds `<valueCol>_z`. */
+  def zscoreNormalize(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val dec = "decimal(38,4)"
+    val v   = col(valueCol)
+    val stats = df.groupBy(col(groupCol).as("__g")).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(v.cast(dec)).cast(dec).cast("double").as("__sx"),
+      sum((v * v).cast(dec)).cast(dec).cast("double").as("__sxx"))
+    val n  = col("__n")
+    val sx = col("__sx")
+    val sxx = col("__sxx")
+    // CaseWhen evaluates only the matched branch, so the divisions are
+    // guarded against ANSI DIVIDE_BY_ZERO: n = 1 (σ undefined) and
+    // zero-variance groups both yield null
+    val variance = (sxx - sx * sx / n) / (n - lit(1.0))
+    df.join(broadcast(stats), col(groupCol) === col("__g"))
+      .withColumn(s"${valueCol}_z",
+        when(n > lit(1.0),
+          when(variance > lit(0.0),
+            round((v.cast("double") - sx / n) / sqrt(variance), 6))))
+      .drop("__g", "__n", "__sx", "__sxx")
+  }
+
   /** Apply a CDC change set to a keyed snapshot — the DLT "APPLY CHANGES
     * INTO" batch primitive, inverse of [[snapshotDiff]]: `changes` carries
     * the key, an `op` column (insert | update | delete), and the full new

@@ -429,6 +429,21 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(2L -> "update", 3L -> "update", 4L -> "delete", 5L -> "insert"))
   }
 
+  test("zscoreNormalize: hand-checked moments, layout-invariant, 1-row group null") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)).toDF("g", "v")
+    val out = Relational.zscoreNormalize(df, "v", "g")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    // group a: mean 2, sample std 1 → z = v - 2; group b: n=1 → null
+    assert(out == Set(("a", 1.0, Some(-1.0)), ("a", 2.0, Some(0.0)),
+      ("a", 3.0, Some(1.0)), ("b", 5.0, None)))
+    val re = Relational.zscoreNormalize(df.repartition(5), "v", "g")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(re == out, "z-scores must not depend on physical layout")
+  }
+
   test("applyChangeSet inverts snapshotDiff (round-trip law)") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
