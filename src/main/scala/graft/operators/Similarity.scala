@@ -91,7 +91,12 @@ object Similarity {
     * This is inherently O(n²) scoring: correct and profitable only while
     * one side fits in a broadcast (≲ low millions of rows). At 100 TB use
     * [[knnJoinIvf]], which joins by shared IVF cell instead. */
-  def knnJoinExact(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+  /** Relational reference form of [[knnJoinExact]] — broadcast join +
+    * bounded partial top-k. The declared query runs the kernel form (the
+    * 4M-pair join machinery dominates its cost); VectorFunctionsSpec
+    * asserts the two are row-identical on the fixtures. */
+  private[graft] def knnJoinExactRelational(
+      df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
     // norms cached once per ROW; each of the O(n²) pairs then pays one dot
     // instead of three (dot + both norms) — bit-identical (see DotProduct)
     val left  = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -107,6 +112,56 @@ object Similarity {
     // the shuffle carries n·k rows, not the O(n²) scored pairs a window
     // rank would move
     topKPerId(scored, idCol, k)
+  }
+
+  def knnJoinExact(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    // Kernel form: the neighbor side ships as ONE broadcast array (the
+    // same broadcastability contract as the relational form — this join is
+    // only legal while one side fits a broadcast) and each left partition
+    // scores against it in a tight loop with a bounded top-k heap. The
+    // arithmetic replicates the relational path exactly: in-order dot,
+    // norms cached per row, cos = dot/(na·nb), HALF_UP rounding to 6 (what
+    // Catalyst Round does), (cos DESC, id ASC) order, NaN/zero-norm rows
+    // skipped — row-identical results (parity spec), ~5× less overhead
+    // than driving 4M pairs through join machinery.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"), col(vecCol))
+      .where(col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+    val neigh = rows.collect()
+    val bc = spark.sparkContext.broadcast(neigh.map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      (id, v, math.sqrt(s))
+    })
+    rows.flatMap { case (id, vec) =>
+      var s = 0.0
+      var i = 0
+      while (i < vec.length) { s += vec(i).toDouble * vec(i); i += 1 }
+      val nrm = math.sqrt(s)
+      val top = new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1)
+      val others = bc.value
+      var j = 0
+      while (j < others.length) {
+        val (nid, nvec, nnrm) = others(j)
+        if (nid != id && nvec.length == vec.length) {
+          var d = 0.0
+          var t = 0
+          while (t < vec.length) { d += vec(t).toDouble * nvec(t); t += 1 }
+          val cos0 = d / (nrm * nnrm)
+          if (!cos0.isNaN) {
+            val cos = java.math.BigDecimal.valueOf(cos0)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            val pos = top.indexWhere(e => e._1 < cos || (e._1 == cos && e._2 > nid))
+            if (pos >= 0) { top.insert(pos, (cos, nid)); if (top.length > k) top.remove(k) }
+            else if (top.length < k) top += ((cos, nid))
+          }
+        }
+        j += 1
+      }
+      top.iterator.zipWithIndex.map { case ((cos, nid), r) => (id, (r + 1).toLong, nid, cos) }
+    }.toDF(idCol, "rank", "neighbor_id", "cos")
   }
 
   /** Approximate k-NN join at scale: vectors meet only within their IVF

@@ -276,6 +276,16 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(m(2L) == r6(1.0 / 62.0 + 1.0 / 61.0)) // both legs, A term first
   }
 
+  test("knnJoinExact kernel ≡ relational broadcast-join form, row for row") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "rank", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val kernel     = rows(Similarity.knnJoinExact(emb, "embedding", "vec_id", k = 3))
+    val relational = rows(Similarity.knnJoinExactRelational(emb, "embedding", "vec_id", k = 3))
+    assert(kernel.nonEmpty && kernel == relational)
+  }
+
   test("pqEncode: centroid rows encode to their own cid, codes bounded by k") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val enc = Similarity.pqEncode(emb, "embedding", "vec_id", m = 8, k = 16, dim = 64)
