@@ -255,11 +255,19 @@ object Dedup {
     * strips tabs/newlines/control chars — a real divergence on texts edged
     * with them), and Spark's `split` keeps leading AND trailing empty
     * tokens (Java's one-arg `split` drops trailing empties). */
-  private[operators] def sparkTokens(text: String): Array[String] = {
+  private[operators] def sparkTokens(text: String): Array[String] =
+    sparkTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+
+  /** JVM replica of Catalyst `trim`: strips ONLY leading/trailing 0x20
+    * spaces. Java's `String.trim` also strips tabs/newlines/control chars
+    * (everything <= 0x20) — a real divergence on texts edged with them, so
+    * every kernel that must match a `trim(...)` Catalyst plan or the DuckDB
+    * oracle has to route through this instead. */
+  private[operators] def sparkTrim(text: String): String = {
     var s = 0; var e = text.length
     while (s < e && text.charAt(s) == ' ') s += 1
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
-    text.substring(s, e).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    text.substring(s, e)
   }
 
   private def splitmix64(x0: Long): Long = {

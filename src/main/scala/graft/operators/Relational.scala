@@ -603,7 +603,10 @@ object Relational {
     // guarded against ANSI DIVIDE_BY_ZERO: n = 1 (σ undefined) and
     // zero-variance groups both yield null
     val variance = (sxx - sx * sx / n) / (n - lit(1.0))
-    df.join(broadcast(stats), col(groupCol) === col("__g"))
+    // Null-safe join keeps rows with a NULL group key (their stats group is
+    // the null group; a plain === join would silently drop them, breaking
+    // the row-preserving contract)
+    df.join(broadcast(stats), col(groupCol) <=> col("__g"))
       .withColumn(s"${valueCol}_z",
         when(n > lit(1.0),
           when(variance > lit(0.0),

@@ -114,7 +114,8 @@ object Similarity {
     topKPerId(scored, idCol, k)
   }
 
-  def knnJoinExact(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+  def knnJoinExact(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      maxBroadcastRows: Long = 4000000L): DataFrame = {
     // Kernel form: the neighbor side ships as ONE broadcast array (the
     // same broadcastability contract as the relational form — this join is
     // only legal while one side fits a broadcast) and each left partition
@@ -129,6 +130,17 @@ object Similarity {
     val rows = df.select(col(idCol).cast("long"), col(vecCol))
       .where(col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
+    // ENFORCED broadcastability contract (not just documented): a count
+    // pre-pass (cheap — column-pruned scan) fails loudly BEFORE the driver
+    // attempts to collect a neighbor side that cannot fit, instead of
+    // dying opaquely in collect(). The exact join is O(n²) by nature; past
+    // this bound it is the wrong operator, not a tuning problem.
+    val n = rows.count()
+    require(n <= maxBroadcastRows,
+      s"knnJoinExact needs the neighbor side collected + broadcast to every " +
+        s"executor, but it has $n rows (> maxBroadcastRows=$maxBroadcastRows). " +
+        s"At this scale use knnJoinIvf (cell-local candidate generation, no " +
+        s"broadcast of the corpus) or raise maxBroadcastRows deliberately.")
     val neigh = rows.collect()
     val bc = spark.sparkContext.broadcast(neigh.map { case (id, v) =>
       var s = 0.0; var i = 0
@@ -164,16 +176,13 @@ object Similarity {
     }.toDF(idCol, "rank", "neighbor_id", "cos")
   }
 
-  /** Approximate k-NN join at scale: vectors meet only within their IVF
-    * cell (each row assigned to its `nProbes` nearest centroids on the
-    * PROBE side so neighbors straddling a cell boundary are still found on
-    * the build side's primary cell). Equi-join on the cell key shuffles
-    * (cell, id, vec) — cluster-local pair generation, never all-pairs —
-    * then the same rounded-cosine window top-k as [[knnJoinExact]]. Recall
-    * is governed by nProbes/centroid quality (spec-checked ≥ threshold vs
-    * the exact join on the fixtures); correctness of returned ranks is
-    * exact within the candidates. */
-  def knnJoinIvf(
+  /** Relational reference form of [[knnJoinIvf]] — cell equi-join +
+    * rounded-cosine collapse + bounded partial top-k. The declared query
+    * runs the kernel form (cell-local scoring through join machinery
+    * dominated its cost the same way the exact join's did);
+    * VectorFunctionsSpec asserts the two are row-identical on the
+    * fixtures. */
+  private[graft] def knnJoinIvfRelational(
       df: DataFrame,
       vecCol: String,
       idCol: String,
@@ -201,6 +210,91 @@ object Similarity {
       .where(validCos(col("cos")))
       // a pair can meet through several probed cells — collapse before
       // ranking, then the same bounded partial top-k as knnJoinExact
+      .groupBy("id", "neighbor_id").agg(max("cos").as("cos"))
+      .transform(topKPerId(_, idCol, k))
+  }
+
+  /** Approximate k-NN join at scale: vectors meet only within their IVF
+    * cell (each row assigned to its `nProbes` nearest centroids on the
+    * PROBE side so neighbors straddling a cell boundary are still found on
+    * the build side's primary cell). Recall is governed by nProbes/centroid
+    * quality (spec-checked ≥ threshold vs the exact join on the fixtures);
+    * correctness of returned ranks is exact within the candidates.
+    *
+    * Plan shape: cell assignment is the native-cosine argmax map-side;
+    * the ONE shuffle co-groups build and probe rows by cell key (cluster-
+    * local pair generation, never all-pairs). Cell-local scoring then runs
+    * the [[knnJoinExact]] kernel per cell — build-side norms cached once
+    * per cell group, in-order dot, HALF_UP rounding to 6, bounded
+    * (cos DESC, id ASC) heap — instead of driving the per-cell O(n²/cells)
+    * pairs through join + aggregate machinery. Emitting only the per-cell
+    * top-k is lossless: a pair in some probe row's GLOBAL top-k is beaten
+    * by < k candidates overall, hence by < k within any one cell, so it
+    * survives every cell-local truncation (same total order both levels).
+    * Per-group memory is one cell's build vectors — bounded by centroid
+    * count/quality, the quantity IVF exists to control.
+    *
+    * Arithmetic is bit-identical to [[knnJoinIvfRelational]] (parity spec
+    * in VectorFunctionsSpec, the knnJoinExact discipline). */
+  def knnJoinIvf(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      centroids: Array[Array[Float]],
+      nProbes: Int = 2): DataFrame = {
+    require(centroids.nonEmpty && nProbes >= 1, "need centroids and nProbes >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Cell assignment: the EXACT expressions of the relational form, so
+    // build/probe candidate sets are identical by construction.
+    val sims = array(centroids.map(c => cosineNative(col("vec"), typedLit(c))): _*)
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .where(col("vec").isNotNull)
+    val build = base.withColumn("cell", argmax(sims).cast("int"))
+      .as[(Long, Array[Float], Int)]
+    val probe = base
+      .withColumn("cell",
+        explode(slice(transform(
+          array_sort(transform(sims, (s, i) => struct((-s).as("neg"), i.as("idx")))),
+          s => s.getField("idx")), 1, nProbes)))
+      .as[(Long, Array[Float], Int)]
+    val candidates = probe.groupByKey(_._3).cogroup(build.groupByKey(_._3)) {
+      (_, probes, builds) =>
+        val others = builds.map { case (nid, nvec, _) =>
+          var s = 0.0; var i = 0
+          while (i < nvec.length) { s += nvec(i).toDouble * nvec(i); i += 1 }
+          (nid, nvec, math.sqrt(s))
+        }.toArray
+        probes.flatMap { case (id, vec, _) =>
+          var s = 0.0; var i = 0
+          while (i < vec.length) { s += vec(i).toDouble * vec(i); i += 1 }
+          val nrm = math.sqrt(s)
+          val top = new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1)
+          var j = 0
+          while (j < others.length) {
+            val (nid, nvec, nnrm) = others(j)
+            if (nid != id && nvec.length == vec.length) {
+              var d = 0.0; var t = 0
+              while (t < vec.length) { d += vec(t).toDouble * nvec(t); t += 1 }
+              val cos0 = d / (nrm * nnrm)
+              if (!cos0.isNaN) {
+                val cos = java.math.BigDecimal.valueOf(cos0)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                val pos = top.indexWhere(e => e._1 < cos || (e._1 == cos && e._2 > nid))
+                if (pos >= 0) { top.insert(pos, (cos, nid)); if (top.length > k) top.remove(k) }
+                else if (top.length < k) top += ((cos, nid))
+              }
+            }
+            j += 1
+          }
+          top.iterator.map { case (cos, nid) => (id, nid, cos) }
+        }
+    }.toDF("id", "neighbor_id", "cos")
+    candidates
+      // a pair can meet through several probed cells (same cos each time —
+      // cos is a function of the vectors alone) — collapse, then the same
+      // bounded partial top-k as the relational form
       .groupBy("id", "neighbor_id").agg(max("cos").as("cos"))
       .transform(topKPerId(_, idCol, k))
   }
@@ -598,9 +692,11 @@ object Similarity {
   /** 1-row codebook frame: centroids are the DATA ROWS `id < k` (the
     * knnJoinIvf deterministic-centroid rule — a learned codebook would
     * force rows-only), quantized, cid-sorted so argmin ties resolve to the
-    * lowest cid by scan order. */
-  private def pqCodebook(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
-    df.where(col(idCol) < k)
+    * lowest cid by scan order. Null/mis-sized centroid rows are excluded
+    * with the SAME filter as [[pqCollectCodebook]] so the two parity forms
+    * always build an identical codebook. */
+  private def pqCodebook(df: DataFrame, vecCol: String, idCol: String, k: Int, dim: Int): DataFrame =
+    df.where(col(idCol) < k && col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).cast("int").as("cid"), pqQuantize(col(vecCol)).as("qv"))
       .agg(array_sort(collect_list(struct(col("cid"), col("qv")))).as("__cents"))
 
@@ -622,7 +718,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
     val sub = dim / m
     df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .crossJoin(broadcast(pqCodebook(df, vecCol, idCol, k)))
+      .crossJoin(broadcast(pqCodebook(df, vecCol, idCol, k, dim)))
       .withColumn("__qv", pqQuantize(col(vecCol)))
       .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), j => {
         val scored = transform(col("__cents"), c =>
@@ -655,7 +751,13 @@ object Similarity {
       .orderBy(col(idCol))
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(f => math.floor(f * 1000.0).toLong))
-    require(cents.nonEmpty, s"no codebook rows with $idCol < $k")
+    // The encode kernel emits the ARRAY INDEX as the code; that is only the
+    // real cid when every id in [0,k) contributed a valid centroid row. A
+    // sparse/filtered codebook would silently shift codes off the cids the
+    // relational form (which carries real cids) emits — fail loudly instead.
+    require(cents.length == k,
+      s"PQ codebook needs exactly $k valid centroid rows ($idCol in [0,$k) with " +
+        s"non-null $dim-d vectors); found ${cents.length}")
     cents
   }
 

@@ -189,9 +189,11 @@ object TextAnalysis {
     * pass: grams of `trim(lower(text))` at positions 1..max(len-(n-1),1),
     * the final gram truncated at the string end exactly as `substr` does.
     * Locale.ROOT lowercasing — same parity contract (and caveat) as
-    * [[qualityLangKernel]]. */
+    * [[qualityLangKernel]]. Trim is [[Dedup.sparkTrim]] (0x20 spaces only),
+    * NOT `String.trim` — Catalyst/DuckDB `trim` keeps edge tabs/newlines
+    * and the kernel must count the same grams they do. */
   private[graft] def charGramCounts(text: String, n: Int): Map[String, Int] = {
-    val t    = text.trim.toLowerCase(java.util.Locale.ROOT)
+    val t    = Dedup.sparkTrim(text).toLowerCase(java.util.Locale.ROOT)
     val len  = t.length
     val last = math.max(len - (n - 1), 1)
     val m    = new java.util.HashMap[String, Int]()

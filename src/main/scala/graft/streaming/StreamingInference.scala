@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Structured-Streaming re-expression of the reference's streaming inference
   * (`03. Inference.py:73-115`): a rate-limited file stream over a Parquet
@@ -298,7 +298,17 @@ object StreamingInference {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    (spark.read.parquet(validDir).drop("batch_id"),
-      spark.read.parquet(quarantineDir).drop("batch_id"))
+    // Explicit schemas on the final reads: when EVERY batch routed one way,
+    // the other sink directory holds no part files and a schema-inferring
+    // read would throw "unable to infer schema". The sink schemas are
+    // knowable without inference (input schema, + violations for the
+    // quarantine side, + the batch_id partition column).
+    val validSchema = new StructType(
+      schema.fields :+ StructField("batch_id", LongType))
+    val quarantineSchema = new StructType(
+      (schema.fields :+ StructField("violations", StringType)) :+
+        StructField("batch_id", LongType))
+    (spark.read.schema(validSchema).parquet(validDir).drop("batch_id"),
+      spark.read.schema(quarantineSchema).parquet(quarantineDir).drop("batch_id"))
   }
 }

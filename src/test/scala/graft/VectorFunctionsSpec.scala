@@ -286,6 +286,29 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(kernel.nonEmpty && kernel == relational)
   }
 
+  test("knnJoinExact broadcast guard fails loudly past the row bound, naming knnJoinIvf") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoinExact(emb, "embedding", "vec_id", k = 3, maxBroadcastRows = 5L)
+    }
+    assert(e.getMessage.contains("knnJoinIvf"), e.getMessage)
+    assert(e.getMessage.contains("maxBroadcastRows"), e.getMessage)
+  }
+
+  test("knnJoinIvf cogroup kernel ≡ relational cell-join form, row for row") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "rank", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val kernel = rows(
+      Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 3, cents, nProbes = 2))
+    val relational = rows(
+      Similarity.knnJoinIvfRelational(emb, "embedding", "vec_id", k = 3, cents, nProbes = 2))
+    assert(kernel.nonEmpty && kernel == relational)
+  }
+
   test("pqEncode: centroid rows encode to their own cid, codes bounded by k") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val enc = Similarity.pqEncode(emb, "embedding", "vec_id", m = 8, k = 16, dim = 64)
