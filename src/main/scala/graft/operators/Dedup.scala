@@ -801,6 +801,26 @@ object Dedup {
       }
     })
 
+  /** UDF form of [[wordShingles]] over [[shingleSetKernel]] — the same
+    * distinct word n-gram SET (explode/join/count consumers are order-
+    * insensitive), one tight tokenize+shingle pass per doc instead of the
+    * interpreted HOF chain (sequence → slice → concat_ws per position →
+    * array_distinct), whose lambda evaluation dominates the shingling
+    * stage of the decontamination family. Null text propagates null like
+    * the Catalyst form. Set-parity spec in DedupSpec. */
+  def wordShinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null) null
+      else {
+        val s   = shingleSetKernel(text, n)
+        val arr = new Array[String](s.size)
+        val it  = s.iterator
+        var i   = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        arr
+      }
+    })
+
   /** Distinct word n-gram set, mirroring [[wordShingles]] exactly: tokens =
     * [[sparkTokens]] (Spark trim/split semantics, incl. kept empty tokens),
     * shingle start positions 0..max(len-n,0) (so short texts yield one

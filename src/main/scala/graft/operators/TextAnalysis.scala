@@ -509,9 +509,11 @@ object TextAnalysis {
       n: Int): org.apache.spark.sql.DataFrame = {
     val base = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("__text"), isEval.as("__is_eval"))
-    // wordShingles is per-doc distinct, so (id, gram) pairs are unique here
+    // wordShingles is per-doc distinct, so (id, gram) pairs are unique here.
+    // Kernel UDF form: same shingle SET, one pass per doc — the interpreted
+    // HOF chain was the dominant cost of the decontamination family.
     val grams = base.select(col("id"), col("__is_eval"),
-      explode(Dedup.wordShingles(col("__text"), n)).as("gram"))
+      explode(Dedup.wordShinglesUdf(n)(col("__text"))).as("gram"))
     // ONE pass over the shingled corpus: a gram-partitioned window marks
     // grams any training doc holds, then eval rows aggregate per doc.
     // Splitting train/eval into separate plan branches (semi-join shape)
@@ -544,7 +546,7 @@ object TextAnalysis {
     val base = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("__text"), isEval.as("__is_eval"))
     val grams = base.select(col("id"), col("__is_eval"),
-      explode(Dedup.wordShingles(col("__text"), n)).as("gram"))
+      explode(Dedup.wordShinglesUdf(n)(col("__text"))).as("gram"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
     grams
       .withColumn("__in_eval", max(when(col("__is_eval"), lit(1)).otherwise(lit(0))).over(w))
@@ -589,7 +591,7 @@ object TextAnalysis {
       .select(col(idCol).as("id"), col(textCol).as("__text"), isEval.as("__is_eval"))
     // (id, gram) unique per doc — wordShingles is per-doc distinct
     val evalGrams = base.where(col("__is_eval"))
-      .select(col("id"), explode(Dedup.wordShingles(col("__text"), n)).as("gram"))
+      .select(col("id"), explode(Dedup.wordShinglesUdf(n)(col("__text"))).as("gram"))
       // consumed three times (distinct-gram set, Bloom build via that set,
       // final join + per-doc counts); eval side is small by contract
       .persist()
@@ -601,7 +603,7 @@ object TextAnalysis {
     // Train side: explode map-side, drop Bloom misses BEFORE the distinct's
     // shuffle — the only train grams that cross the wire are possible hits.
     val trainHits = base.where(!col("__is_eval"))
-      .select(explode(Dedup.wordShingles(col("__text"), n)).as("gram"))
+      .select(explode(Dedup.wordShinglesUdf(n)(col("__text"))).as("gram"))
       .where(mightHit(col("gram")))
       .distinct()
       // exact confirm: false positives fail this join; survivors are

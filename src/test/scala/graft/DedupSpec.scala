@@ -182,6 +182,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("wordShinglesUdf kernel emits the exact wordShingles set, doc for doc") {
+    val d = Tables.load(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    import spark.implicits._
+    val edge = Seq((9001L, "hello world\n"), (9002L, "\thello a b c"),
+      (9003L, ""), (9004L, "  "), (9005L, "one"), (9006L, "a\tb\nc d"))
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val mismatch = d.unionByName(edge).select(
+          array_sort(Dedup.wordShinglesUdf(n)(col("text"))).as("kernel"),
+          array_sort(Dedup.wordShingles(col("text"), n)).as("hof"))
+        .where(col("kernel") =!= col("hof")).count()
+      assert(mismatch == 0, s"shingleN=$n")
+    }
+  }
+
   test("dedupChunks drops later chunk occurrences and reassembles in order") {
     val df = docs(
       1L -> "aaaabbbb",   // chunks: aaaa, bbbb — both first occurrences
