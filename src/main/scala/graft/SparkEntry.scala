@@ -419,6 +419,43 @@ object SparkEntry {
         .orderBy("vec_id", "rank")
     }),
 
+    // -- learned-centroid IVF: index QUALITY is the gated quantity ---------
+    // The production path (k-means fitIvfCentroids) is inherently rows-only
+    // (learned centroids are engine-specific), so the query grades what
+    // actually matters about it: recall of the learned-cell ANN join vs the
+    // exact join on the same fixtures, asserted IN-QUERY — a centroid
+    // regression fails the driver gate instead of shipping silently. The
+    // fixture embeddings are near-random (the ANN worst case: no cluster
+    // structure to exploit), so the gate probes half the cells and floors
+    // at 0.6 (measured ~0.77); a real corpus clusters and probes fewer.
+    // Recall alone can't catch a COLLAPSED fit (one giant cell ⇒ brute
+    // force ⇒ recall 1.0), so the max-cell population share is gated too.
+    // Output: 1-row summary (rows-only by contract — learned values).
+    "q_knn_join_ivf_learned" -> ((s, d) => {
+      import s.implicits._
+      val emb   = t(s, d, "embeddings")
+      val cents = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
+      val pair  = (df: DataFrame) => df.select("vec_id", "neighbor_id")
+      val exact = pair(Similarity.knnJoinExact(emb, "embedding", "vec_id", k = 5))
+        .localCheckpoint(true) // two consumers: count + intersect
+      val ivf = pair(
+        Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 5, cents, nProbes = 4))
+      val nExact = exact.count()
+      val nAgree = exact.intersect(ivf).count()
+      val recall = nAgree.toDouble / math.max(nExact, 1L)
+      require(recall >= 0.6,
+        f"learned-centroid IVF recall $recall%.3f < 0.6 vs exact k-NN " +
+          s"($nAgree/$nExact pairs) — centroid fit or probe path regressed")
+      val cellRows = Similarity.assignCells(
+          emb.select(col("vec_id"), col("embedding")), "embedding", cents)
+        .groupBy("ivf_cell").count().agg(max("count"), sum("count")).head()
+      val maxShare = cellRows.getLong(0).toDouble / cellRows.getLong(1)
+      require(maxShare <= 0.5,
+        f"IVF fit collapsed: largest cell holds $maxShare%.2f of the corpus")
+      Seq((nExact, nAgree, math.round(recall * 1000), math.round(maxShare * 1000)))
+        .toDF("n_exact_pairs", "n_agree_pairs", "recall_permille", "max_cell_permille")
+    }),
+
     // -- north-star: corpus-LM quality score (perplexity-filter shape) -----
     // Char-trigram LM built from the corpus itself; score = mean gram
     // probability in exact-integer arithmetic (one double division at the

@@ -295,6 +295,20 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBroadcastRows"), e.getMessage)
   }
 
+  test("learned-centroid IVF (fitIvfCentroids) recall vs exact on fixture embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnJoinExact(emb, "embedding", "vec_id", k = 5))
+    // fixture embeddings are near-random — the ANN worst case (measured
+    // recall ~0.54/0.67/0.77 at nProbes 2/3/4); gate at half the cells
+    val ivf   = pairs(Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 5, cents, nProbes = 4))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"learned-centroid recall $recall")
+  }
+
   test("knnJoinIvf cogroup kernel ≡ relational cell-join form, row for row") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
