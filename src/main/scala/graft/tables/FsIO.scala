@@ -45,4 +45,78 @@ object FsIO {
   /** Deterministic tmp-dir tag for a source path (shared by the IVF index
     * path and the ingest staging default). */
   def tmpTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  // ------------------------------------------------------ write lease lock
+
+  /** A held write lease (see [[acquireWriteLock]]). */
+  final case class WriteLock private[FsIO] (path: Path, owner: String)
+
+  /** Acquire an exclusive write lease for `dir` — the concurrent-writer
+    * guard for the rename-swap protocols (compact/zorder/upsertPartitioned):
+    * two writers interleaving `swapDir`'s stage/rename steps can corrupt
+    * the target, so the WHOLE stage+swap must be single-writer.
+    *
+    * The lock is a SIBLING file (`<dir>.__write_lock` — it cannot live
+    * inside `dir`, which the swap renames away) holding (owner, acquire
+    * millis, label). Acquisition is create-no-overwrite + read-back-verify:
+    * atomic on HDFS; on stores whose no-overwrite create is check-then-act
+    * (local FS, S3A) the read-back closes most of the race window —
+    * best-effort there, exact where the FS contract allows.
+    *
+    * Lease, not lock: a holder that crashed can't release, so a lock older
+    * than `staleMs` is taken over (deleted + one re-acquire attempt) on the
+    * assumption the writer is gone — size `staleMs` above the longest
+    * legitimate stage+swap. A LIVE contender inside the lease window fails
+    * loudly with the holder's label/age instead of corrupting the target. */
+  def acquireWriteLock(dir: String, label: String, staleMs: Long,
+      conf: Configuration = hadoopConf()): WriteLock = {
+    require(staleMs > 0, s"staleMs must be positive, got $staleMs")
+    val lock  = new Path(dir + ".__write_lock")
+    val fs    = lock.getFileSystem(conf)
+    val owner = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false) // no-overwrite: fails if held
+        try out.write(s"owner=$owner\nts=${System.currentTimeMillis()}\nlabel=$label\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // read-back: if two creates raced, exactly one body survives
+        readText(lock.toString, conf).exists(_.contains(s"owner=$owner"))
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val body   = readText(lock.toString, conf).getOrElse("")
+      val fields = body.split("\n").map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      val ageMs = fields.get("ts").flatMap(_.toLongOption)
+        .map(System.currentTimeMillis() - _)
+      if (ageMs.exists(_ <= staleMs))
+        sys.error(s"$label: ${new Path(dir).getName} is being written by another " +
+          s"writer (label=${fields.getOrElse("label", "?")}, lock age ${ageMs.get} ms, " +
+          s"lease $staleMs ms) — concurrent swap would corrupt the target; retry " +
+          "after it finishes or take over once the lease expires")
+      // stale (or unreadable) lease: take over once, loudly
+      System.err.println(s"[graft] $label: taking over stale write lock on $dir " +
+        s"(age ${ageMs.map(_.toString).getOrElse("unknown")} ms > lease $staleMs ms)")
+      fs.delete(lock, false)
+      if (!tryCreate())
+        sys.error(s"$label: lost the write-lock takeover race on $dir — " +
+          "another writer re-acquired it; retry later")
+    }
+    WriteLock(lock, owner)
+  }
+
+  /** Release a held lease. Only deletes the file if this holder still owns
+    * it (a stale takeover may have replaced it mid-operation — in that
+    * case the takeover's lock must survive). */
+  def releaseWriteLock(l: WriteLock, conf: Configuration = hadoopConf()): Unit = {
+    val fs = l.path.getFileSystem(conf)
+    if (readText(l.path.toString, conf).exists(_.contains(s"owner=${l.owner}")))
+      fs.delete(l.path, false)
+  }
+
+  /** Run `body` under the write lease for `dir`. */
+  def withWriteLock[A](dir: String, label: String, staleMs: Long)(body: => A): A = {
+    val l = acquireWriteLock(dir, label, staleMs)
+    try body finally releaseWriteLock(l)
+  }
 }

@@ -67,15 +67,23 @@ object TableManager {
     fs.delete(bak, true)
   }
 
+  /** Default write-lease length for the swap-protocol writers: long enough
+    * for any legitimate local stage+swap, short enough that a crashed
+    * holder doesn't block maintenance for hours. */
+  val DefaultLockLeaseMs: Long = 15L * 60 * 1000
+
   /** S10: OPTIMIZE-style small-file compaction (`00. Explore.py:89-90`,
     * `01. Ingest.py:188-189`) for a path table: rewrite the directory into
     * `targetFiles` files via an atomic rename swap. A maintenance procedure,
-    * not a Catalyst rule (SURVEY.md §4). */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
-    val tmp = new Path(dir + ".__compact_tmp")
-    spark.read.parquet(dir).repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
-    swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compact")
-  }
+    * not a Catalyst rule (SURVEY.md §4). Single-writer by lease lock — a
+    * second writer entering the swap mid-flight would interleave renames. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
+    FsIO.withWriteLock(dir, "compact", lockLeaseMs) {
+      val tmp = new Path(dir + ".__compact_tmp")
+      spark.read.parquet(dir).repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+      swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compact")
+    }
 
   /** Z-order value: bit-interleave two columns' 16-bit bucket ranks so rows
     * close in BOTH dimensions are close in the one-dimensional sort order.
@@ -103,7 +111,8 @@ object TableManager {
     * a 100 TB full scan into a handful of file reads for selective
     * predicates; here it is the same atomic rename-swap procedure as
     * [[compact]]. */
-  def compactZOrder(spark: SparkSession, dir: String, colA: String, colB: String, targetFiles: Int): Unit = {
+  def compactZOrder(spark: SparkSession, dir: String, colA: String, colB: String, targetFiles: Int,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit = FsIO.withWriteLock(dir, "compactZOrder", lockLeaseMs) {
     val df = spark.read.parquet(dir)
     // z-ordering is defined for numeric range-bucketable columns only —
     // reject anything else up front with a clear message (an ANSI cast
@@ -279,20 +288,25 @@ object TableManager {
       targetDir: String,
       updates: DataFrame,
       keyCols: Seq[String],
-      nBuckets: Int): Unit = {
-    recoverPartitionedTarget(spark, targetDir)
-    requireLayout(targetDir, keyCols, nBuckets)
-    // cache the (small) update batch: it feeds the touched-bucket probe AND
-    // both mergeUpsert join branches during the stage write — uncached, a
-    // reduceBatch shuffle upstream would re-run three times per micro-batch
-    val withBucket = updates.withColumn("key_bucket", keyBucket(keyCols, nBuckets)).persist()
-    try {
-      val touched = withBucket.select("key_bucket").distinct()
-        .collect().map(_.getInt(0)).sorted // bounded by nBuckets — driver-safe
-      if (touched.isEmpty) return
-      upsertBuckets(spark, targetDir, withBucket, keyCols, touched)
-    } finally withBucket.unpersist(false)
-  }
+      nBuckets: Int,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
+    // single-writer lease over recover + stage + swap: two upserts
+    // interleaving the marker/rename steps could each roll forward the
+    // other's half-finished swap
+    FsIO.withWriteLock(targetDir, "upsertPartitioned", lockLeaseMs) {
+      recoverPartitionedTarget(spark, targetDir)
+      requireLayout(targetDir, keyCols, nBuckets)
+      // cache the (small) update batch: it feeds the touched-bucket probe AND
+      // both mergeUpsert join branches during the stage write — uncached, a
+      // reduceBatch shuffle upstream would re-run three times per micro-batch
+      val withBucket = updates.withColumn("key_bucket", keyBucket(keyCols, nBuckets)).persist()
+      try {
+        val touched = withBucket.select("key_bucket").distinct()
+          .collect().map(_.getInt(0)).sorted // bounded by nBuckets — driver-safe
+        if (touched.nonEmpty)
+          upsertBuckets(spark, targetDir, withBucket, keyCols, touched)
+      } finally withBucket.unpersist(false)
+    }
 
   private def upsertBuckets(
       spark: SparkSession,

@@ -293,6 +293,63 @@ class StreamingSpec extends SparkSpec {
     assert(byId.size == 8 && byId(2L) == 9.0)
   }
 
+  test("upsertPartitioned: live second writer loses loudly, target untouched; stale lease taken over") {
+    import graft.tables.{FsIO, TableManager}
+    import spark.implicits._
+    val targetDir = Files.createTempDirectory("graft_pmerge_lock").toString + "/target"
+    TableManager.initPartitionedTarget(
+      (1L to 8L).map(i => (i, 1.0)).toDF("id", "bal"), targetDir, Seq("id"), nBuckets = 4)
+    def fileState(dir: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    // writer A holds a live lease; writer B's whole upsert must fail loudly
+    // BEFORE touching the target
+    val lockA  = FsIO.acquireWriteLock(targetDir, "upsertPartitioned", staleMs = 600000)
+    val before = fileState(targetDir)
+    val e = intercept[RuntimeException] {
+      TableManager.upsertPartitioned(spark, targetDir,
+        Seq((2L, 9.0)).toDF("id", "bal"), Seq("id"), nBuckets = 4)
+    }
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    assert(fileState(targetDir) == before, "loser must not have touched the target")
+    // A releases → the same upsert applies cleanly
+    FsIO.releaseWriteLock(lockA)
+    TableManager.upsertPartitioned(spark, targetDir,
+      Seq((2L, 9.0)).toDF("id", "bal"), Seq("id"), nBuckets = 4)
+    assert(spark.read.parquet(targetDir).where(col("id") === 2L).head().getDouble(1) == 9.0)
+    // a crashed writer's EXPIRED lease is taken over instead of deadlocking
+    FsIO.writeText(s"$targetDir.__write_lock", "owner=dead\nts=1\nlabel=upsertPartitioned\n")
+    TableManager.upsertPartitioned(spark, targetDir,
+      Seq((3L, 7.0)).toDF("id", "bal"), Seq("id"), nBuckets = 4)
+    assert(spark.read.parquet(targetDir).where(col("id") === 3L).head().getDouble(1) == 7.0)
+    assert(!new java.io.File(s"$targetDir.__write_lock").exists, "lease released after takeover")
+    // double-release of a superseded lock must not delete a later holder's lease
+    val lockB = FsIO.acquireWriteLock(targetDir, "t", staleMs = 600000)
+    FsIO.releaseWriteLock(lockA) // stale handle — must be a no-op
+    assert(new java.io.File(s"$targetDir.__write_lock").exists)
+    FsIO.releaseWriteLock(lockB)
+  }
+
+  test("compact under a live foreign lease fails loudly and leaves the dir intact") {
+    import graft.tables.{FsIO, TableManager}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_lock").toString + "/t"
+    (1L to 100L).toDF("v").repartition(10).write.parquet(dir)
+    val lock = FsIO.acquireWriteLock(dir, "other-compactor", staleMs = 600000)
+    val e = intercept[RuntimeException] {
+      TableManager.compact(spark, dir, targetFiles = 2)
+    }
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 100)
+    FsIO.releaseWriteLock(lock)
+    TableManager.compact(spark, dir, targetFiles = 2)
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(TableManager.dataFileCount(spark, dir) == 2)
+  }
+
   test("streamUpsert auto-restores a target orphaned between the swap renames") {
     import graft.tables.TableManager
     import spark.implicits._
