@@ -1053,6 +1053,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // -- streaming LLM-pipeline: incremental near-dedup --------------------
+    // The arrival-order near-dedup shape: each micro-batch LSH-probes the
+    // persisted MinHash index of all PRIOR survivors (payloads never
+    // shuffle; the index carries (id, sig) only), survivors append to both
+    // sink and index under batch_id dynamic-partition overwrite
+    // (replay-idempotent). Run-to-completion on fixture documents split
+    // into deterministic micro-batches. Rows-only by contract: the result
+    // depends on arrival order (a batch semantics no SQL oracle replays);
+    // batch-equivalence + exactly-once specs in StreamingSpec.
+    "q_stream_near_dedup" -> ((s, d) => {
+      val work   = java.nio.file.Files.createTempDirectory("graft_snd").toString
+      val srcDir = s"$work/src"
+      t(s, d, "documents").select("doc_id", "text")
+        .repartition(4).write.parquet(srcDir)
+      StreamingInference.streamNearDedup(
+        s, srcDir, s.read.parquet(srcDir).schema, "text", "doc_id",
+        s"$work/sink", s"$work/index", s"$work/ckpt",
+        maxFilesPerTrigger = 2)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // -- math function family (abs/ceil/floor/sqrt/sign/mod) ---------------
     // sqrt is IEEE-754 correctly rounded in both engines (bit-identical,
     // emitted RAW — a decimal round on top would reintroduce engine-specific
@@ -1775,6 +1796,27 @@ object SparkEntry {
       Relational.columnStats(t(s, d, "lineitem"),
           Seq("l_quantity", "l_discount", "l_extendedprice", "l_returnflag"))
         .orderBy("column")),
+
+    // -- the 100 TB stats variant: HLL++ distinct counts --------------------
+    // Same one-scan shape without the per-column Expand replication;
+    // n_distinct is a sketch estimate (engine-specific bytes → rows-only by
+    // contract; tolerance-vs-exact spec in RelationalSpec). The in-query
+    // require makes gross sketch regressions fail the gate.
+    "q_column_stats_approx" -> ((s, d) => {
+      val out = Relational.columnStatsApprox(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_discount", "l_extendedprice", "l_returnflag"))
+        .orderBy("column")
+      val exact = Relational.columnStats(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_discount", "l_extendedprice", "l_returnflag"))
+        .select(col("column"), col("n_distinct"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.select("column", "n_distinct").collect().foreach { r =>
+        val (c, est, ex) = (r.getString(0), r.getLong(1), exact(r.getString(0)))
+        require(math.abs(est - ex) <= math.max(5L, (ex * 0.15).toLong),
+          s"approx n_distinct for $c: $est vs exact $ex — sketch off > 15%")
+      }
+      out
+    }),
 
     // -- CDC round trip: APPLY CHANGES INTO ---------------------------------
     // Change set = q_snapshot_diff's ops joined to the new values; applying

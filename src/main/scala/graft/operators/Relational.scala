@@ -668,6 +668,33 @@ object Relational {
     one.select(explode(array(stats: _*)).as("s")).select(col("s.*"))
   }
 
+  /** [[columnStats]] with the 100 TB distinct-count plan the exact form's
+    * doc promises: `approx_count_distinct` (HLL++, default rsd 5%) instead
+    * of `countDistinct`. Same one-scan shape and output schema, but the
+    * multi-distinct Expand operator disappears — the scan stream is no
+    * longer replicated once per profiled column, and per-column state is a
+    * fixed-size sketch instead of a distinct-values hash set. This is the
+    * variant to run on a wide 100 TB table; the exact form remains for
+    * when distinct counts feed correctness decisions. Tolerance-vs-exact
+    * spec in RelationalSpec. */
+  def columnStatsApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__${c}__cnt"),
+      approx_count_distinct(col(c), rsd).as(s"__${c}__nd"),
+      min(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"__${c}__min"),
+      max(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"__${c}__max")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stats = cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"__${c}__cnt").as("n_notnull"),
+      (col("__n") - col(s"__${c}__cnt")).as("n_null"),
+      col(s"__${c}__nd").as("n_distinct"),
+      col(s"__${c}__min").as("min_d"),
+      col(s"__${c}__max").as("max_d")))
+    one.select(explode(array(stats: _*)).as("s")).select(col("s.*"))
+  }
+
   /** Equi-depth histogram WITHOUT a global window: bucket boundaries come
     * from one exact-percentile aggregate (interior cut points, rounded to 6
     * decimals for cross-engine agreement), then every row buckets map-side

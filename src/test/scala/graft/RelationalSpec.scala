@@ -466,4 +466,23 @@ class RelationalSpec extends SparkSpec {
     assert(m("v") == ((2L, 1L, 2L, Some(1.0), Some(2.0))))
     assert(m("s") == ((3L, 0L, 2L, None, None)))
   }
+
+  test("columnStatsApprox: same schema/counts/min/max as exact, n_distinct within rsd tolerance") {
+    val li   = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_discount", "l_extendedprice", "l_returnflag")
+    val exact  = Relational.columnStats(li, cols).orderBy("column").collect()
+    val approx = Relational.columnStatsApprox(li, cols).orderBy("column").collect()
+    assert(Relational.columnStatsApprox(li, cols).schema ==
+      Relational.columnStats(li, cols).schema)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      // everything except the sketch estimate is identical
+      assert(e.getLong(1) == a.getLong(1) && e.getLong(2) == a.getLong(2))
+      assert(Option(e.get(4)) == Option(a.get(4)) && Option(e.get(5)) == Option(a.get(5)))
+      // HLL++ at rsd 5%: generous 3-sigma-ish bound, floor for tiny counts
+      val (nd, est) = (e.getLong(3), a.getLong(3))
+      assert(math.abs(est - nd) <= math.max(5L, (nd * 0.15).toLong),
+        s"${e.getString(0)}: est $est vs exact $nd")
+    }
+  }
 }
