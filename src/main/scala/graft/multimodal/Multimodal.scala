@@ -74,12 +74,18 @@ object Multimodal {
                 case None => Row("audio/wav", 0, 0, (content.length.toLong * 1000) / 32000, 16000)
               }
             case "video" =>
-              // real GIF header metadata when the payload parses (duration =
-              // frames × the 100 ms nominal GIF tick); byte-length heuristic
-              // only for containers the JDK can't read (MP4/H.264 …)
+              // real header metadata when the container parses — GIF
+              // (duration = frames × the 100 ms nominal GIF tick) or
+              // RIFF/AVI (frames × µs-per-frame from avih); byte-length
+              // heuristic only for containers the JDK can't read (MP4/H.264)
               gifMeta(content) match {
                 case Some((w, h, frames)) => Row("image/gif", w, h, frames.toLong * 100, 0)
-                case None => Row("video/mp4", 320, 240, (content.length.toLong * 1000) / 250000, 0)
+                case None => aviMeta(content) match {
+                  case Some((w, h, frames, usPerFrame)) =>
+                    Row("video/x-msvideo", w, h, frames.toLong * usPerFrame / 1000, 0)
+                  case None =>
+                    Row("video/mp4", 320, 240, (content.length.toLong * 1000) / 250000, 0)
+                }
               }
             case _ =>
               Row("application/octet-stream", 0, 0, 0L, 0)
@@ -312,12 +318,151 @@ object Multimodal {
     finally { reader.dispose(); in.close() }
   }
 
-  /** Video frame sampling with corpus-grade tolerance: real GIF decode when
-    * the payload parses, deterministic stub otherwise (same policy as
-    * [[decodeAudio]]). */
+  // --------------------------------------------- video (REAL for MJPEG-AVI) --
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def isRiffAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI "
+
+  /** Walk a RIFF chunk sequence in [start, end), descending into LISTs and
+    * calling `onChunk(id, dataOff, size)` for every leaf chunk. Sizes are
+    * clamped to the buffer — a truncated download yields the frames that
+    * fit rather than an out-of-bounds crash (corpus-grade tolerance). */
+  private def walkRiff(bytes: Array[Byte], start: Int, end: Int)
+      (onChunk: (String, Int, Int) => Unit): Unit = {
+    var p = start
+    while (p + 8 <= end) {
+      val id   = fourcc(bytes, p)
+      val sz   = leInt(bytes, p + 4)
+      val data = p + 8
+      if (sz < 0) return // garbled size: stop walking, keep what we have
+      val lim = math.min(data + sz, end)
+      if (id == "LIST" && sz >= 4) walkRiff(bytes, data + 4, lim)(onChunk)
+      else if (lim <= end) onChunk(id, data, sz)
+      p = data + sz + (sz & 1) // chunks pad to even offsets
+    }
+  }
+
+  /** AVI main-header metadata (width, height, total frames, µs per frame)
+    * from the `avih` chunk, or None for payloads that aren't RIFF/AVI. */
+  def aviMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    try {
+      if (!isRiffAvi(bytes)) None
+      else {
+        var found: Option[(Int, Int, Int, Int)] = None
+        walkRiff(bytes, 12, bytes.length) { (id, off, sz) =>
+          if (id == "avih" && sz >= 40 && found.isEmpty)
+            found = Some((leInt(bytes, off + 32), leInt(bytes, off + 36),
+              leInt(bytes, off + 16), leInt(bytes, off)))
+        }
+        found
+      }
+    } catch { case _: Exception => None }
+
+  /** Raw compressed-frame payloads of the FIRST video stream (`00dc`/`00db`
+    * chunks under the `movi` list — `rec ` grouping lists are descended
+    * transparently). For an MJPEG AVI each payload is one complete JPEG;
+    * no inter-frame state exists in the codec, which is exactly why MJPEG
+    * is decodable with the JDK alone. */
+  private[multimodal] def aviFramePayloads(bytes: Array[Byte]): Array[Array[Byte]] = {
+    require(isRiffAvi(bytes), "payload is not a RIFF/AVI container")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    walkRiff(bytes, 12, bytes.length) { (id, off, sz) =>
+      if ((id == "00dc" || id == "00db") && sz > 0)
+        out += java.util.Arrays.copyOfRange(bytes, off, off + sz)
+    }
+    out.toArray
+  }
+
+  /** REAL multi-frame decode for MJPEG-in-AVI — the second video container
+    * (after GIF) the JDK can decode natively: the RIFF walk above finds the
+    * frame chunks and each is a standalone JPEG for `javax.imageio`.
+    * Samples `n` frames evenly (always including frame 0) and returns them
+    * PNG-encoded, the [[sampleGifFrames]] contract. Unlike GIF there is no
+    * canvas compositing — MJPEG frames are independent, so only the wanted
+    * frames decode. An AVI whose `00dc` payloads are NOT JPEG (H.264 etc.)
+    * fails the ImageIO read and [[decodeVideoFrames]] falls back to the
+    * honest stub — the H.264 gap stays a labeled stub, never fake decode. */
+  def sampleAviFrames(bytes: Array[Byte], n: Int): Array[Array[Byte]] = {
+    require(n >= 1, s"need n >= 1 frames, got $n")
+    val payloads = aviFramePayloads(bytes)
+    require(payloads.nonEmpty, "no video frame chunks in AVI payload")
+    val take   = math.min(n, payloads.length)
+    val wanted = (0 until take).map(i => i.toLong * payloads.length / take).map(_.toInt)
+    wanted.map { i =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payloads(i)))
+      require(img != null, s"frame $i is not a JDK-decodable image (non-MJPEG codec)")
+      Kernels.encodePng(img)
+    }.toArray
+  }
+
+  /** Deterministic MJPEG-AVI generator — the video fixture utility,
+    * paralleling [[sineWav]]: a structurally valid RIFF/AVI (hdrl with
+    * avih + vids/MJPG strh/strf, movi with one `00dc` JPEG per frame,
+    * idx1) built byte-by-byte, so decode paths exercise a genuine
+    * container without shipping media files. */
+  def mjpegAvi(frames: Seq[java.awt.image.BufferedImage], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0, "need frames and fps > 0")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val jpegs = frames.map { f =>
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(f, "jpg", bo)
+      bo.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le(body.length) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le(body.length + 4) ++ cc(listType) ++ body
+    val maxJpeg = jpegs.map(_.length).max
+    val avih = le(1000000 / fps) ++ le(maxJpeg * fps) ++ le(0) ++ le(0x10 /*HASINDEX*/) ++
+      le(jpegs.length) ++ le(0) ++ le(1) ++ le(maxJpeg) ++ le(w) ++ le(h) ++
+      le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le(0) ++ le(0) ++ le(0) ++
+      le(1) ++ le(fps) ++ le(0) ++ le(jpegs.length) ++ le(maxJpeg) ++
+      le(-1 /*default quality*/) ++ le(0) ++
+      le(0) ++ le((h << 16) | (w & 0xffff)) // rcFrame: (0,0)-(w,h) as 4 shorts
+    val strf = le(40) ++ le(w) ++ le(h) ++
+      le((24 << 16) | 1 /*biPlanes=1, biBitCount=24*/) ++ cc("MJPG") ++
+      le(w * h * 3) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val moviBody  = jpegs.flatMap(j => chunk("00dc", j)).toArray
+    val movi      = list("movi", moviBody)
+    // idx1 offsets are relative to the 'movi' fourcc position + 4
+    val offsets = jpegs.scanLeft(4) { (acc, j) => acc + 8 + j.length + (j.length & 1) }
+    val idx1 = chunk("idx1", jpegs.zip(offsets).flatMap { case (j, off) =>
+      cc("00dc") ++ le(0x10 /*KEYFRAME*/) ++ le(off) ++ le(j.length)
+    }.toArray)
+    val riffBody = cc("AVI ") ++ hdrl ++ movi ++ idx1
+    out.write(cc("RIFF")); out.write(le(riffBody.length)); out.write(riffBody)
+    out.toByteArray
+  }
+
+  /** Video frame sampling with corpus-grade tolerance: real decode for the
+    * containers the JDK handles (animated GIF, MJPEG-AVI), deterministic
+    * stub otherwise (same policy as [[decodeAudio]]). H.264/MP4 remain
+    * stubbed — no JVM codec in this environment. */
   def decodeVideoFrames(bytes: Array[Byte], n: Int = 4): Array[Array[Byte]] =
     if (bytes == null || bytes.isEmpty) Array.empty
-    else try sampleGifFrames(bytes, n) catch { case _: Exception => sampleFramesStub(bytes, n) }
+    else try sampleGifFrames(bytes, n) catch {
+      case _: Exception =>
+        try sampleAviFrames(bytes, n)
+        catch { case _: Exception => sampleFramesStub(bytes, n) }
+    }
 
   // ------------------------------------------------------------- STUBS --
 
