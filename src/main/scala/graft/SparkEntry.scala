@@ -5,7 +5,7 @@ import graft.image.{ImageFixtures, ImagePipeline, ImageUdfs}
 import graft.operators._
 import graft.multimodal.Multimodal
 import graft.streaming.{Stateful, StreamingInference}
-import graft.tables.TableManager
+import graft.tables.{TableManager, VersionedTable}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1074,6 +1074,27 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // -- streaming data-quality routing, fully oracle-checked --------------
+    // The split is batch-deterministic (map-side rules), so unlike the
+    // arrival-order near-dedup the STREAMING machinery's output equals a
+    // plain filter — the oracle replays rules + violations string in SQL
+    // while the engine side routes through foreachBatch dual sinks with
+    // batch_id overwrite idempotence. Quarantine side declared (it carries
+    // the violations annotation; the valid side is its complement).
+    "q_stream_validate_route" -> ((s, d) => {
+      val work   = java.nio.file.Files.createTempDirectory("graft_svr").toString
+      val srcDir = s"$work/src"
+      t(s, d, "events").select("event_id", "event_type", "value")
+        .repartition(4).write.parquet(srcDir)
+      val (_, quarantine) = StreamingInference.streamValidateRoute(
+        s, srcDir, s.read.parquet(srcDir).schema,
+        Seq("no_error"  -> (col("event_type") =!= "error"),
+            "value_cap" -> (col("value") <= 100.0)),
+        s"$work/valid", s"$work/quarantine", s"$work/ckpt",
+        maxFilesPerTrigger = 2)
+      quarantine.orderBy("event_id")
+    }),
+
     // -- math function family (abs/ceil/floor/sqrt/sign/mod) ---------------
     // sqrt is IEEE-754 correctly rounded in both engines (bit-identical,
     // emitted RAW — a decimal round on top would reintroduce engine-specific
@@ -1816,6 +1837,33 @@ object SparkEntry {
           s"approx n_distinct for $c: $est vs exact $ex — sketch off > 15%")
       }
       out
+    }),
+
+    // -- Delta-style time travel over versioned path tables -----------------
+    // Three commits (base → update → delete), then the output joins the
+    // TIME-TRAVELED v0 read against the latest read. The versioned layer is
+    // engine machinery, but the committed contents derive deterministically
+    // from `customer`, so the whole pipeline is DuckDB-oracle-checked: the
+    // oracle replays both snapshots from the base table. v2 is derived from
+    // a pinned v1 read — the time-travel path sits IN the lineage, not just
+    // in the final comparison.
+    "q_time_travel" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      VersionedTable.commit(s, c, dir) // v0: base
+      VersionedTable.commit(s, c.withColumn("c_acctbal", // v1: +100 on %10 keys
+        when(pmod(col("c_custkey"), lit(10L)) === 0L, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal"))), dir)
+      VersionedTable.commit(s, // v2: delete %7 keys, FROM the pinned v1 read
+        VersionedTable.read(s, dir, Some(1L))
+          .where(pmod(col("c_custkey"), lit(7L)) =!= 0L), dir)
+      val v0     = VersionedTable.read(s, dir, Some(0L))
+      val latest = VersionedTable.read(s, dir)
+      v0.as("a").join(latest.as("b"), col("a.c_custkey") === col("b.c_custkey"), "left_outer")
+        .select(col("a.c_custkey").as("c_custkey"),
+          col("a.c_acctbal").cast("double").as("bal_v0"),
+          col("b.c_acctbal").cast("double").as("bal_latest"))
+        .orderBy("c_custkey")
     }),
 
     // -- CDC round trip: APPLY CHANGES INTO ---------------------------------
@@ -3068,6 +3116,28 @@ object SparkEntry {
           s"MIN(TRY_CAST($c AS DOUBLE)) AS min_d, MAX(TRY_CAST($c AS DOUBLE)) AS max_d " +
           "FROM lineitem"
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\"")),
+
+    "q_stream_validate_route" ->
+      // rules + violations string replayed in SQL; quarantine = any rule
+      // failed (null-failing via COALESCE, matching validateRules)
+      ("SELECT event_id, event_type, \"value\", " +
+        "CONCAT_WS(',', " +
+        "CASE WHEN COALESCE(event_type <> 'error', FALSE) THEN NULL ELSE 'no_error' END, " +
+        "CASE WHEN COALESCE(\"value\" <= 100.0, FALSE) THEN NULL ELSE 'value_cap' END" +
+        ") AS violations " +
+        "FROM events " +
+        "WHERE NOT (COALESCE(event_type <> 'error', FALSE) " +
+        "AND COALESCE(\"value\" <= 100.0, FALSE)) " +
+        "ORDER BY event_id"),
+
+    "q_time_travel" ->
+      // both snapshots replayed from the base table: v0 = customer, latest =
+      // v1's +100-on-%10 update minus the %7 deletes (null bal for deleted)
+      ("SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal_v0, " +
+        "CAST(CASE WHEN c_custkey % 7 = 0 THEN NULL " +
+        "WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 " +
+        "ELSE c_acctbal END AS DOUBLE) AS bal_latest " +
+        "FROM customer ORDER BY c_custkey"),
 
     "q_apply_changes" ->
       // the round-trip law: old snapshot + change set = new snapshot, so
