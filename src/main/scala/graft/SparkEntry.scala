@@ -352,6 +352,14 @@ object SparkEntry {
         .select(col("token"), col("n"), col("vocab_id"))
         .orderBy("vocab_id")),
 
+    // -- exact heavy hitters at Misra-Gries sketch cost --------------------
+    // Per-partition MG candidates (guaranteed superset) + exact confirm
+    // count; the sketch only prunes, so the oracle is the brute-force
+    // token groupBy with the same support threshold.
+    "q_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(t(s, d, "documents"), "text", support = 0.002)
+        .orderBy("token")),
+
     // -- interchange formats: exact CSV / JSON-lines round-trips -----------
     // Write the parquet table out and read it back under an explicit schema;
     // the oracle reads the ORIGINAL parquet — hash equality proves the text
@@ -2159,6 +2167,16 @@ object SparkEntry {
         "GROUP BY token HAVING COUNT(*) >= 5) " +
         "SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS vocab_id " +
         "FROM cnt ORDER BY vocab_id"),
+
+    "q_heavy_hitters" ->
+      // brute force IS the oracle: the MG sketch on the engine side only
+      // prunes candidates, never changes the answer
+      ("WITH tok AS (SELECT unnest(" + tokensSql + ") AS token " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "ne AS (SELECT token FROM tok WHERE token <> '') " +
+        "SELECT token, COUNT(*) AS n FROM ne GROUP BY token " +
+        "HAVING CAST(COUNT(*) AS DOUBLE) > 0.002 * (SELECT CAST(COUNT(*) AS DOUBLE) FROM ne) " +
+        "ORDER BY token"),
 
     // round-trips: the oracle reads the ORIGINAL parquet — equality means
     // the text-format hop lost nothing

@@ -651,6 +651,77 @@ object TextAnalysis {
     Relational.withGlobalRank(counts, "vocab_id", numParts, col("n").desc, col("token"))
   }
 
+  /** EXACT corpus heavy hitters at sketch cost: the tokens whose total
+    * occurrence count exceeds `support` × (total non-empty tokens). Two
+    * passes, the sketch-prune + exact-confirm pattern of
+    * [[contaminationBloom]]:
+    *  1. per-partition Misra–Gries with k = ⌈1/support⌉ counters — a
+    *     bounded-memory one-pass sketch whose candidate union is a
+    *     GUARANTEED superset of every true heavy hitter (pigeonhole: a
+    *     token with global count > N/k must exceed N_p/k in at least one
+    *     partition's stream);
+    *  2. exact count restricted to the candidates (broadcast equi-join
+    *     prunes the token stream map-side), thresholded on the true total.
+    * The sketch only PRUNES, never decides — the output is bit-identical
+    * to the brute-force token groupBy, which is exactly what the DuckDB
+    * oracle runs.
+    *
+    * Scale shape (100 TB): the naive plan's (token, count) shuffle is
+    * vocabulary-sized — fine — but its map-side hash aggregate holds the
+    * full per-partition vocabulary; MG caps pass-1 state AND shuffle at k
+    * rows per partition, and pass 2 shuffles only candidate occurrences
+    * (≤ k·partitions tokens survive the broadcast prune). The corpus is
+    * scanned twice — the standard price for exact answers in bounded
+    * memory. Tokenization inside the kernel is [[Dedup.sparkTokens]], the
+    * proven `tokens()` replica, so pass 1 and pass 2 see identical tokens. */
+  def heavyHitters(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      support: Double): org.apache.spark.sql.DataFrame = {
+    require(support > 0 && support < 1, s"support must be in (0,1), got $support")
+    val k     = math.ceil(1.0 / support).toInt
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val texts = docs.where(col(textCol).isNotNull).select(col(textCol)).as[String]
+    val candidates = texts.mapPartitions { it =>
+      // Misra–Gries: k counters; on overflow decrement ALL (dropping
+      // zeros) — each decrement round retires k+1 occurrences, so a token
+      // with count_p > N_p/k cannot be fully cancelled within the partition
+      val counters = new java.util.HashMap[String, java.lang.Long]()
+      it.foreach { text =>
+        val toks = Dedup.sparkTokens(text)
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          if (t.nonEmpty) {
+            val cur = counters.get(t)
+            if (cur != null) counters.put(t, cur + 1L)
+            else if (counters.size < k) counters.put(t, 1L)
+            else {
+              val itr = counters.entrySet().iterator()
+              while (itr.hasNext) {
+                val e = itr.next()
+                if (e.getValue <= 1L) itr.remove() else e.setValue(e.getValue - 1L)
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      counters.keySet().asScala.iterator
+    }.toDF("token").distinct()
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val total = toks.agg(count(lit(1)).cast("long").as("total"))
+    toks.join(broadcast(candidates), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n").cast("double") > lit(support) * col("total").cast("double"))
+      .select(col("token"), col("n"))
+  }
+
   /** BM25 relevance per (doc, token) — the standard ranked-retrieval scorer
     * (Robertson/Spärck Jones; the Okapi weighting tfIdf graduates into).
     * Uses the RATIO idf `(N - df + 0.5) / (df + 0.5)` rather than its log —

@@ -543,4 +543,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L).get > m(0L).get * 3, s"varied ${m(1L)} vs ${m(0L)}")
     assert(m(2L).contains(1.0) && m(3L).isEmpty)
   }
+
+  test("heavyHitters: MG-pruned result equals brute-force groupBy at several supports") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.where(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val total = toks.count().toDouble
+    for (support <- Seq(0.001, 0.005, 0.02)) {
+      val brute = toks.groupBy("token").count()
+        .where(col("count").cast("double") > support * total)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val hh = TextAnalysis.heavyHitters(docs, "text", support)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hh == brute, s"support=$support: ${hh.size} vs ${brute.size}")
+    }
+    // skew-free sanity: a corpus where NOTHING crosses the threshold
+    import spark.implicits._
+    val uniform = (1 to 50).map(i => (i.toLong, s"tok$i unique$i")).toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHitters(uniform, "text", support = 0.5).count() == 0L)
+  }
 }
