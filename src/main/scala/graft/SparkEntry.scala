@@ -1082,6 +1082,48 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // -- streaming partitioned CDC upsert, fully oracle-checked ------------
+    // Two COMMUTATIVE update batches (disjoint key sets: +50 on %3 keys,
+    // zero-out on %5∖%3 keys, inserts on %11 shifted keys) stream through
+    // foreachBatch → upsertPartitioned (O(touched-bucket) I/O per batch,
+    // lease-locked partition swaps). Disjointness makes the final state
+    // independent of file-discovery order, so the streaming merge is
+    // DuckDB-replayable: the oracle applies both batches as one CASE.
+    "q_stream_upsert" -> ((s, d) => {
+      val work   = java.nio.file.Files.createTempDirectory("graft_sup").toString
+      val srcDir = s"$work/src"
+      val target = s"$work/target"
+      val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      // cast updates to the table's OWN balance type — fixture vintages
+      // have shipped both DECIMAL(15,2) and DOUBLE here
+      val balType = c.schema("c_acctbal").dataType
+      TableManager.initPartitionedTarget(c, target, Seq("c_custkey"), nBuckets = 8)
+      val u1 = c.where(pmod(col("c_custkey"), lit(3L)) === 0L)
+        .withColumn("c_acctbal", (col("c_acctbal") + 50).cast(balType))
+      val u2 = c.where(pmod(col("c_custkey"), lit(5L)) === 0L &&
+          pmod(col("c_custkey"), lit(3L)) =!= 0L)
+        .withColumn("c_acctbal", lit(0).cast(balType))
+        .unionByName(c.where(pmod(col("c_custkey"), lit(11L)) === 0L)
+          .select((col("c_custkey") + 3000000L).as("c_custkey"),
+            concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal")))
+      new java.io.File(srcDir).mkdirs()
+      Seq(("b1", u1), ("b2", u2)).foreach { case (nm, u) =>
+        val tmp = s"$work/$nm"
+        u.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(srcDir, s"$nm.parquet"))
+      }
+      StreamingInference.streamUpsertPartitioned(
+        s, srcDir, s.read.parquet(s"$srcDir/b1.parquet").schema, target,
+        Seq("c_custkey"), identity, s"$work/ckpt",
+        nBuckets = 8, maxFilesPerTrigger = 1)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     // -- streaming data-quality routing, fully oracle-checked --------------
     // The split is batch-deterministic (map-side rules), so unlike the
     // arrival-order near-dedup the STREAMING machinery's output equals a
@@ -3134,6 +3176,18 @@ object SparkEntry {
           s"MIN(TRY_CAST($c AS DOUBLE)) AS min_d, MAX(TRY_CAST($c AS DOUBLE)) AS max_d " +
           "FROM lineitem"
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\"")),
+
+    "q_stream_upsert" ->
+      // both commutative batches applied as one CASE over the base table,
+      // plus the shifted-key inserts
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, c_name, CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50 " +
+        "WHEN c_custkey % 5 = 0 THEN 0 ELSE c_acctbal END AS DOUBLE) AS bal " +
+        "FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey + 3000000 AS c_custkey, c_name || '_new' AS c_name, " +
+        "CAST(c_acctbal AS DOUBLE) AS bal FROM customer WHERE c_custkey % 11 = 0" +
+        ") ORDER BY c_custkey"),
 
     "q_stream_validate_route" ->
       // rules + violations string replayed in SQL; quarantine = any rule
