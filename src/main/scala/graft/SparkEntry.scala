@@ -1871,20 +1871,21 @@ object SparkEntry {
     // -- the 100 TB stats variant: HLL++ distinct counts --------------------
     // Same one-scan shape without the per-column Expand replication;
     // n_distinct is a sketch estimate (engine-specific bytes → rows-only by
-    // contract; tolerance-vs-exact spec in RelationalSpec). The in-query
-    // require makes gross sketch regressions fail the gate.
+    // contract). Sketch-vs-exact TOLERANCE is guarded in RelationalSpec;
+    // the in-query check is limited to invariants that cost nothing (an
+    // exact compare here would price the Expand plan this variant exists
+    // to avoid into its own bench line).
     "q_column_stats_approx" -> ((s, d) => {
       val out = Relational.columnStatsApprox(t(s, d, "lineitem"),
           Seq("l_quantity", "l_discount", "l_extendedprice", "l_returnflag"))
         .orderBy("column")
-      val exact = Relational.columnStats(t(s, d, "lineitem"),
-          Seq("l_quantity", "l_discount", "l_extendedprice", "l_returnflag"))
-        .select(col("column"), col("n_distinct"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      out.select("column", "n_distinct").collect().foreach { r =>
-        val (c, est, ex) = (r.getString(0), r.getLong(1), exact(r.getString(0)))
-        require(math.abs(est - ex) <= math.max(5L, (ex * 0.15).toLong),
-          s"approx n_distinct for $c: $est vs exact $ex — sketch off > 15%")
+        .localCheckpoint(true) // sanity check + returned frame: compute once
+      out.collect().foreach { r =>
+        val (c, notnull, nd) = (r.getString(0), r.getLong(1), r.getLong(3))
+        // estimate may legitimately exceed a fully-distinct column's true
+        // count by ~rsd — bound with slack, not equality
+        require(nd > 0 && nd <= notnull + notnull / 5 + 5,
+          s"approx n_distinct for $c out of bounds: $nd vs $notnull non-null rows")
       }
       out
     }),
