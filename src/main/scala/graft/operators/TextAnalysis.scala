@@ -683,17 +683,23 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val texts = docs.where(col(textCol).isNotNull).select(col(textCol)).as[String]
-    val candidates = texts.mapPartitions { it =>
+    // Pass 1 emits the MG candidates AND a null-token row carrying the
+    // partition's exact token count — the threshold total comes from the
+    // same scan instead of a third one. Tiny frame (≤ k+1 rows/partition),
+    // checkpointed eagerly so its two consumers don't re-run the pass.
+    val pass1 = texts.mapPartitions { it =>
       // Misra–Gries: k counters; on overflow decrement ALL (dropping
       // zeros) — each decrement round retires k+1 occurrences, so a token
       // with count_p > N_p/k cannot be fully cancelled within the partition
       val counters = new java.util.HashMap[String, java.lang.Long]()
+      var nTokens  = 0L
       it.foreach { text =>
         val toks = Dedup.sparkTokens(text)
         var i = 0
         while (i < toks.length) {
           val t = toks(i)
           if (t.nonEmpty) {
+            nTokens += 1
             val cur = counters.get(t)
             if (cur != null) counters.put(t, cur + 1L)
             else if (counters.size < k) counters.put(t, 1L)
@@ -709,13 +715,16 @@ object TextAnalysis {
         }
       }
       import scala.jdk.CollectionConverters._
-      counters.keySet().asScala.iterator
-    }.toDF("token").distinct()
-    val toks = docs.where(col(textCol).isNotNull)
+      counters.keySet().asScala.iterator.map(t => (t, 0L)) ++
+        Iterator((null: String, nTokens))
+    }.toDF("token", "cnt").localCheckpoint(true)
+    val candidates = pass1.where(col("token").isNotNull).select("token").distinct()
+    val total      = pass1.where(col("token").isNull)
+      .agg(sum("cnt").cast("long").as("total"))
+    docs.where(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
-    val total = toks.agg(count(lit(1)).cast("long").as("total"))
-    toks.join(broadcast(candidates), Seq("token"))
+      .join(broadcast(candidates), Seq("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
       .where(col("n").cast("double") > lit(support) * col("total").cast("double"))

@@ -263,4 +263,32 @@ class PlansSpec extends SparkSpec {
       assert(s.getString(0) == d.getString(0) && s.getLong(1) == d.getLong(1) && s.getDouble(2) == d.getDouble(2))
     }
   }
+
+  test("heavyHitters confirm pass: candidate prune is a broadcast join, no sort-merge") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sfDir, "documents")
+    val hh   = TextAnalysis.heavyHitters(docs, "text", support = 0.005)
+    val plan = hh.queryExecution.executedPlan.toString
+    // the candidate set is ≤ k·partitions rows by construction — if it ever
+    // sort-merge-joined, the full token stream would shuffle, which is
+    // exactly what the MG prune exists to avoid
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast candidate join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"token stream must not shuffle for the join:\n$plan")
+  }
+
+  test("VersionedTable.read scans exactly one version directory") {
+    import graft.tables.VersionedTable
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt_plan").toString + "/t"
+    (0 until 3).foreach(i =>
+      VersionedTable.commit(spark, Seq((i.toLong, i)).toDF("id", "v"), dir))
+    val pinned = VersionedTable.read(spark, dir, Some(1L))
+    val scans = pinned.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // time travel must not list or read sibling versions: the scan's root
+    // paths point at the single pinned v= directory
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.forall(_.endsWith("v=00001")), s"scan roots: $roots")
+  }
 }
