@@ -331,21 +331,26 @@ object Multimodal {
     bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI "
 
   /** Walk a RIFF chunk sequence in [start, end), descending into LISTs and
-    * calling `onChunk(id, dataOff, size)` for every leaf chunk. Sizes are
-    * clamped to the buffer — a truncated download yields the frames that
-    * fit rather than an out-of-bounds crash (corpus-grade tolerance). */
+    * calling `onChunk(id, dataOff, size)` for every COMPLETE leaf chunk.
+    * A truncated container yields the chunks that fully fit and stops — a
+    * cut-off final frame is dropped, not zero-padded into a corrupt decode
+    * — and garbled sizes (negative, or past Int range when added to the
+    * offset) end the walk instead of wrapping into index exceptions
+    * (corpus-grade tolerance; arithmetic in Long). */
   private def walkRiff(bytes: Array[Byte], start: Int, end: Int)
       (onChunk: (String, Int, Int) => Unit): Unit = {
     var p = start
     while (p + 8 <= end) {
-      val id   = fourcc(bytes, p)
-      val sz   = leInt(bytes, p + 4)
-      val data = p + 8
+      val id  = fourcc(bytes, p)
+      val sz  = leInt(bytes, p + 4)
       if (sz < 0) return // garbled size: stop walking, keep what we have
-      val lim = math.min(data + sz, end)
-      if (id == "LIST" && sz >= 4) walkRiff(bytes, data + 4, lim)(onChunk)
-      else if (lim <= end) onChunk(id, data, sz)
-      p = data + sz + (sz & 1) // chunks pad to even offsets
+      val data       = p + 8
+      val endOfChunk = data.toLong + sz.toLong // overflow-safe
+      if (id == "LIST" && sz >= 4)
+        walkRiff(bytes, data + 4, math.min(endOfChunk, end.toLong).toInt)(onChunk)
+      else if (endOfChunk <= end) onChunk(id, data, sz)
+      if (endOfChunk + (sz & 1) > end) return // truncated tail: done
+      p = (endOfChunk + (sz & 1)).toInt // chunks pad to even offsets
     }
   }
 

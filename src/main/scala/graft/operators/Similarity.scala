@@ -114,6 +114,47 @@ object Similarity {
     topKPerId(scored, idCol, k)
   }
 
+  /** Cache (id, vec, ‖vec‖) for a neighbor array — in-order double fold,
+    * the same arithmetic norm2Native performs. */
+  private def withNorms(rows: Array[(Long, Array[Float])]): Array[(Long, Array[Float], Double)] =
+    rows.map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      (id, v, math.sqrt(s))
+    }
+
+  /** THE shared exact-scoring kernel of [[knnJoinExact]] and [[knnJoinIvf]]
+    * (one copy so the parity/oracle contracts can't de-sync): in-order dot,
+    * cos = dot/(‖a‖·‖b‖), HALF_UP rounding to 6 (what Catalyst Round does),
+    * NaN and self pairs skipped, bounded insertion heap in (cos DESC,
+    * id ASC) order. Emits this row's top-k as rank-ordered (cos, id). */
+  private def scoreTopK(
+      id: Long, vec: Array[Float],
+      others: Array[(Long, Array[Float], Double)], k: Int): Iterator[(Double, Long)] = {
+    var s = 0.0; var i = 0
+    while (i < vec.length) { s += vec(i).toDouble * vec(i); i += 1 }
+    val nrm = math.sqrt(s)
+    val top = new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1)
+    var j = 0
+    while (j < others.length) {
+      val (nid, nvec, nnrm) = others(j)
+      if (nid != id && nvec.length == vec.length) {
+        var d = 0.0; var t = 0
+        while (t < vec.length) { d += vec(t).toDouble * nvec(t); t += 1 }
+        val cos0 = d / (nrm * nnrm)
+        if (!cos0.isNaN) {
+          val cos = java.math.BigDecimal.valueOf(cos0)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val pos = top.indexWhere(e => e._1 < cos || (e._1 == cos && e._2 > nid))
+          if (pos >= 0) { top.insert(pos, (cos, nid)); if (top.length > k) top.remove(k) }
+          else if (top.length < k) top += ((cos, nid))
+        }
+      }
+      j += 1
+    }
+    top.iterator
+  }
+
   def knnJoinExact(df: DataFrame, vecCol: String, idCol: String, k: Int,
       maxBroadcastRows: Long = 4000000L): DataFrame = {
     // Kernel form: the neighbor side ships as ONE broadcast array (the
@@ -142,37 +183,10 @@ object Similarity {
         s"At this scale use knnJoinIvf (cell-local candidate generation, no " +
         s"broadcast of the corpus) or raise maxBroadcastRows deliberately.")
     val neigh = rows.collect()
-    val bc = spark.sparkContext.broadcast(neigh.map { case (id, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-      (id, v, math.sqrt(s))
-    })
+    val bc = spark.sparkContext.broadcast(withNorms(neigh))
     rows.flatMap { case (id, vec) =>
-      var s = 0.0
-      var i = 0
-      while (i < vec.length) { s += vec(i).toDouble * vec(i); i += 1 }
-      val nrm = math.sqrt(s)
-      val top = new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1)
-      val others = bc.value
-      var j = 0
-      while (j < others.length) {
-        val (nid, nvec, nnrm) = others(j)
-        if (nid != id && nvec.length == vec.length) {
-          var d = 0.0
-          var t = 0
-          while (t < vec.length) { d += vec(t).toDouble * nvec(t); t += 1 }
-          val cos0 = d / (nrm * nnrm)
-          if (!cos0.isNaN) {
-            val cos = java.math.BigDecimal.valueOf(cos0)
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-            val pos = top.indexWhere(e => e._1 < cos || (e._1 == cos && e._2 > nid))
-            if (pos >= 0) { top.insert(pos, (cos, nid)); if (top.length > k) top.remove(k) }
-            else if (top.length < k) top += ((cos, nid))
-          }
-        }
-        j += 1
-      }
-      top.iterator.zipWithIndex.map { case ((cos, nid), r) => (id, (r + 1).toLong, nid, cos) }
+      scoreTopK(id, vec, bc.value, k).zipWithIndex
+        .map { case ((cos, nid), r) => (id, (r + 1).toLong, nid, cos) }
     }.toDF(idCol, "rank", "neighbor_id", "cos")
   }
 
@@ -261,34 +275,9 @@ object Similarity {
       .as[(Long, Array[Float], Int)]
     val candidates = probe.groupByKey(_._3).cogroup(build.groupByKey(_._3)) {
       (_, probes, builds) =>
-        val others = builds.map { case (nid, nvec, _) =>
-          var s = 0.0; var i = 0
-          while (i < nvec.length) { s += nvec(i).toDouble * nvec(i); i += 1 }
-          (nid, nvec, math.sqrt(s))
-        }.toArray
+        val others = withNorms(builds.map { case (nid, nvec, _) => (nid, nvec) }.toArray)
         probes.flatMap { case (id, vec, _) =>
-          var s = 0.0; var i = 0
-          while (i < vec.length) { s += vec(i).toDouble * vec(i); i += 1 }
-          val nrm = math.sqrt(s)
-          val top = new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1)
-          var j = 0
-          while (j < others.length) {
-            val (nid, nvec, nnrm) = others(j)
-            if (nid != id && nvec.length == vec.length) {
-              var d = 0.0; var t = 0
-              while (t < vec.length) { d += vec(t).toDouble * nvec(t); t += 1 }
-              val cos0 = d / (nrm * nnrm)
-              if (!cos0.isNaN) {
-                val cos = java.math.BigDecimal.valueOf(cos0)
-                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-                val pos = top.indexWhere(e => e._1 < cos || (e._1 == cos && e._2 > nid))
-                if (pos >= 0) { top.insert(pos, (cos, nid)); if (top.length > k) top.remove(k) }
-                else if (top.length < k) top += ((cos, nid))
-              }
-            }
-            j += 1
-          }
-          top.iterator.map { case (cos, nid) => (id, nid, cos) }
+          scoreTopK(id, vec, others, k).map { case (cos, nid) => (id, nid, cos) }
         }
     }.toDF("id", "neighbor_id", "cos")
     candidates

@@ -232,7 +232,13 @@ object StreamingInference {
           spark.sparkContext.hadoopConfiguration)
         val index =
           if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+            // STRICTLY EARLIER batches only: a replayed batch (crash after a
+            // partial index write, before the checkpoint commit) would
+            // otherwise probe its own batch_id partition, match every doc
+            // against itself at Jaccard 1.0, and dynamically overwrite the
+            // sink partition with an emptied survivor set
             spark.read.parquet(indexDir)
+              .where(col("batch_id") < batchId).drop("batch_id")
           else // empty index with the right (id, sig) shape for the joins
             Dedup.minHashIndex(batch.limit(0), textCol, idCol, shingleN, numHashes)
         val survivors = Dedup.nearDedupAgainstIndex(
@@ -302,13 +308,20 @@ object StreamingInference {
     // the other sink directory holds no part files and a schema-inferring
     // read would throw "unable to infer schema". The sink schemas are
     // knowable without inference (input schema, + violations for the
-    // quarantine side, + the batch_id partition column).
+    // quarantine side, + the batch_id partition column). An EMPTY SOURCE
+    // runs zero batches and creates neither directory — return empty
+    // frames of the known schemas rather than throwing path-not-found.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def readSink(dir: String, s: StructType): DataFrame =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(s.fields.filterNot(_.name == "batch_id")))
+      else spark.read.schema(s).parquet(dir).drop("batch_id")
     val validSchema = new StructType(
       schema.fields :+ StructField("batch_id", LongType))
     val quarantineSchema = new StructType(
       (schema.fields :+ StructField("violations", StringType)) :+
         StructField("batch_id", LongType))
-    (spark.read.schema(validSchema).parquet(validDir).drop("batch_id"),
-      spark.read.schema(quarantineSchema).parquet(quarantineDir).drop("batch_id"))
+    (readSink(validDir, validSchema), readSink(quarantineDir, quarantineSchema))
   }
 }

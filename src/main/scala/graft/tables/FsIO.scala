@@ -87,16 +87,28 @@ object FsIO {
       val body   = readText(lock.toString, conf).getOrElse("")
       val fields = body.split("\n").map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
-      val ageMs = fields.get("ts").flatMap(_.toLongOption)
+      // Liveness: the body's ts when present; otherwise the lock FILE's
+      // mtime. An absent/unparsable ts must read as LIVE, not stale — a
+      // contender racing the winner's create-to-body-write window sees an
+      // empty body, and classifying that as stale would steal a live lease
+      // (both writers then interleave the swap). If even the mtime is
+      // unreadable (lock vanished — holder released between our create
+      // attempt and now), retry the create rather than deleting anything.
+      val ageMs: Option[Long] = fields.get("ts").flatMap(_.toLongOption)
+        .orElse(try Some(fs.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.IOException => None })
         .map(System.currentTimeMillis() - _)
-      if (ageMs.exists(_ <= staleMs))
+      if (ageMs.isEmpty || ageMs.exists(_ <= staleMs)) {
+        if (ageMs.isEmpty && tryCreate()) return WriteLock(lock, owner)
         sys.error(s"$label: ${new Path(dir).getName} is being written by another " +
-          s"writer (label=${fields.getOrElse("label", "?")}, lock age ${ageMs.get} ms, " +
-          s"lease $staleMs ms) — concurrent swap would corrupt the target; retry " +
-          "after it finishes or take over once the lease expires")
-      // stale (or unreadable) lease: take over once, loudly
+          s"writer (label=${fields.getOrElse("label", "?")}, lock age " +
+          s"${ageMs.map(_.toString).getOrElse("unknown")} ms, lease $staleMs ms) — " +
+          "concurrent swap would corrupt the target; retry after it finishes or " +
+          "take over once the lease expires")
+      }
+      // stale lease (age measured and past the window): take over once, loudly
       System.err.println(s"[graft] $label: taking over stale write lock on $dir " +
-        s"(age ${ageMs.map(_.toString).getOrElse("unknown")} ms > lease $staleMs ms)")
+        s"(age ${ageMs.get} ms > lease $staleMs ms)")
       fs.delete(lock, false)
       if (!tryCreate())
         sys.error(s"$label: lost the write-lock takeover race on $dir — " +

@@ -10,15 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory away mid-read).
   *
   * Layout: `<dir>/v=<n>/` holds version n's parquet in full; the
-  * table-level `_log` file (one `version,commitMs` line per commit,
-  * rewritten tmp-then-rename under the write lease) IS the commit point —
-  * a version exists for readers iff it appears in the log. A crash after
-  * the data write but before the log rewrite leaves an orphan directory
-  * that was never committed and never becomes visible (version numbers are
-  * never reused, so it can't be resurrected by a later commit either); the
-  * next [[vacuum]] sweeps it. This is a deliberate miniature of the Delta
-  * transaction log: commit = one atomic metadata rename, data files are
-  * immutable once written.
+  * `<dir>/_log/<n>.commit` entry (write-once: staged as `.tmp`, renamed
+  * into place) IS the commit point — a version exists for readers iff its
+  * commit file exists. Append-only per-version files rather than one
+  * rewritten log: a rewrite needs delete-then-rename (no atomic
+  * rename-over on HDFS), and a crash or concurrent read in that window
+  * would observe NO log at all — vanishing committed history. With
+  * one-file-per-commit there is nothing to rewrite and no such window.
+  * A crash after the data write but before the commit-file rename leaves
+  * an orphan directory that was never committed and never becomes visible
+  * (version numbers are never reused, so it can't be resurrected by a
+  * later commit either); the next [[vacuum]] sweeps it. This is a
+  * deliberate miniature of the Delta transaction log: commit = one atomic
+  * metadata rename, data files are immutable once written.
   *
   * Scale notes (100 TB): each version is a FULL snapshot — this is
   * versioning for the overwrite-table cadence the reference uses
@@ -36,19 +40,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object VersionedTable {
 
   private def vDir(dir: String, v: Long) = new Path(dir, f"v=$v%05d")
-  private def logFile(dir: String)       = s"$dir/_log"
+  private def logDir(dir: String)        = new Path(dir, "_log")
+  private def commitEntry(dir: String, v: Long) = new Path(logDir(dir), f"$v%05d.commit")
   private val versionName = "^v=(\\d+)$".r
+  private val commitName  = "^(\\d+)\\.commit$".r
 
-  /** Committed (version, commitMs) pairs in commit order — the log,
+  /** Committed (version, commitMs) pairs in version order — the log,
     * verbatim. Includes versions later vacuumed (history stays; their DATA
     * is gone — [[read]] distinguishes). */
-  def log(dir: String): Seq[(Long, Long)] =
-    FsIO.readText(logFile(dir)).toSeq.flatMap(_.split("\n").toSeq
-      .filter(_.nonEmpty)
-      .map { l =>
-        val Array(v, ms) = l.split(",", 2)
-        (v.toLong, ms.toLong)
-      })
+  def log(dir: String): Seq[(Long, Long)] = {
+    val ld = logDir(dir)
+    val fs = ld.getFileSystem(FsIO.hadoopConf())
+    if (!fs.exists(ld)) Seq.empty
+    else fs.listStatus(ld).toSeq
+      .flatMap(s => commitName.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
+      .sorted
+      .flatMap { v =>
+        FsIO.readText(commitEntry(dir, v).toString).flatMap(_.split("\n").collectFirst {
+          case l if l.startsWith("commitMs=") => v -> l.stripPrefix("commitMs=").toLong
+        })
+      }
+  }
 
   /** Latest committed version, or None for an empty/uninitialized table. */
   def latestVersion(dir: String): Option[Long] = log(dir).lastOption.map(_._1)
@@ -70,10 +82,10 @@ object VersionedTable {
       .sorted
 
   /** Commit `df` as the next version. Returns the new version number.
-    * Serialized by the write lease; the data rename and the log rewrite are
-    * each atomic, and the log rewrite is the commit point — every crash
-    * window leaves either the old log visible or the new one, never a torn
-    * table. */
+    * Serialized by the write lease; the data rename and the commit-file
+    * rename are each atomic creates (never a delete of existing metadata),
+    * so every crash window leaves the previously committed history fully
+    * visible — never a torn table. */
   def commit(spark: SparkSession, df: DataFrame, dir: String,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
     FsIO.withWriteLock(dir, "VersionedTable.commit", lockLeaseMs) {
@@ -86,13 +98,11 @@ object VersionedTable {
       df.write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(tmp, vDir(dir, next)))
         sys.error(s"VersionedTable.commit: could not publish version $next in $dir")
-      // the commit point: log rewrite, tmp-then-rename
-      val body   = (log(dir) :+ (next, System.currentTimeMillis()))
-        .map { case (v, ms) => s"$v,$ms" }.mkString("", "\n", "\n")
-      val logTmp = new Path(logFile(dir) + ".tmp")
-      FsIO.writeText(logTmp.toString, body)
-      fs.delete(new Path(logFile(dir)), false)
-      if (!fs.rename(logTmp, new Path(logFile(dir))))
+      // the commit point: a write-once entry staged then renamed into the
+      // log dir (readers never observe a partially written commit file)
+      val entryTmp = new Path(logDir(dir), f"$next%05d.commit.tmp")
+      FsIO.writeText(entryTmp.toString, s"commitMs=${System.currentTimeMillis()}\n")
+      if (!fs.rename(entryTmp, commitEntry(dir, next)))
         sys.error(s"VersionedTable.commit: could not commit log entry $next in $dir")
       next
     }
@@ -127,11 +137,16 @@ object VersionedTable {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     FsIO.withWriteLock(dir, "VersionedTable.vacuum", lockLeaseMs) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // crashed-before-rename staging litter goes too
+      // crashed-before-rename staging litter goes too: data-dir stages and
+      // commit-entry stages alike
       if (fs.exists(new Path(dir)))
         fs.listStatus(new Path(dir)).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.endsWith(".__tmp"))
           .foreach(s => fs.delete(s.getPath, true))
+      if (fs.exists(logDir(dir)))
+        fs.listStatus(logDir(dir)).toSeq
+          .filter(_.getPath.getName.endsWith(".commit.tmp"))
+          .foreach(s => fs.delete(s.getPath, false))
       val committed = log(dir).map(_._1)
       val keep      = committed.takeRight(retainLast).toSet
       val drop      = listVersionDirs(fs, dir).filterNot(keep) // old + orphans

@@ -267,4 +267,28 @@ class MultimodalSpec extends SparkSpec {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)) == null),
       "stub output must not masquerade as decoded frames")
   }
+
+  test("truncated AVI yields the complete frames and drops the cut-off tail") {
+    val avi = Multimodal.mjpegAvi((0 until 4).map(i => grayFrame(40 * i)), fps = 10)
+    // chop mid-way through the LAST frame's payload (the idx1 tail and half
+    // a JPEG vanish — a partial download)
+    val lastJpegStart = {
+      // find the 4th 00dc marker
+      var pos = -1; var found = 0; var i = 0
+      while (i < avi.length - 4 && found < 4) {
+        if (avi(i) == '0' && avi(i + 1) == '0' && avi(i + 2) == 'd' && avi(i + 3) == 'c') {
+          found += 1; pos = i
+        }
+        i += 1
+      }
+      pos
+    }
+    assert(lastJpegStart > 0)
+    val truncated = java.util.Arrays.copyOfRange(avi, 0, lastJpegStart + 20)
+    val frames = Multimodal.sampleAviFrames(truncated, 10)
+    assert(frames.length == 3, s"3 complete frames must survive, got ${frames.length}")
+    frames.map(pngBrightness).zip(Seq(0.0, 40.0, 80.0)).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 2.5, s"$got vs $want")
+    }
+  }
 }

@@ -110,6 +110,45 @@ class StreamingSpec extends SparkSpec {
     assert(run() == Set(1L, 2L, 4L))
   }
 
+  test("streamNearDedup replay safety: a batch never probes its own (or later) index partitions") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val work   = Files.createTempDirectory("graft_stream_ndr").toString
+    val srcDir = s"$work/src"
+    val text   = "one single document that must survive its own replayed signatures intact"
+    Seq((1L, text)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f1")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+    // forge the crash artifact: the index already holds THIS batch's own
+    // signatures under a batch_id >= the replaying batch (partial index
+    // write landed, checkpoint did not) — pre-fix the doc matched itself
+    // at Jaccard 1.0 and was dropped from its own sink partition
+    Dedup.minHashIndex(Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+        shingleN = 2, numHashes = 64)
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$work/index")
+    val survivors = StreamingInference.streamNearDedup(
+      spark, s"$srcDir/*", schema, "text", "doc_id",
+      s"$work/out", s"$work/index", s"$work/ckpt",
+      shingleN = 2, minEstJaccard = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L),
+      "replayed batch must not be deduped against its own partial index write")
+  }
+
+  test("streamValidateRoute: empty source runs zero batches and returns empty frames, not errors") {
+    import spark.implicits._
+    val work   = Files.createTempDirectory("graft_stream_vr0").toString
+    val srcDir = s"$work/src"
+    new java.io.File(srcDir).mkdirs()
+    val schema = Seq((1L, 1.0)).toDF("id", "v").schema
+    val (v, q) = StreamingInference.streamValidateRoute(
+      spark, srcDir, schema, Seq("v_small" -> (col("v") < 50)),
+      s"$work/valid", s"$work/quar", s"$work/ckpt")
+    assert(v.count() == 0L && q.count() == 0L)
+    assert(v.columns.toSeq == Seq("id", "v"))
+    assert(q.columns.toSeq == Seq("id", "v", "violations"))
+  }
+
   test("streamValidateRoute: valid/quarantine dual sink, exactly-once replay") {
     import spark.implicits._
     val work   = Files.createTempDirectory("graft_stream_vr").toString
