@@ -232,13 +232,18 @@ object StreamingInference {
           spark.sparkContext.hadoopConfiguration)
         val index =
           if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
-            // STRICTLY EARLIER batches only: a replayed batch (crash after a
-            // partial index write, before the checkpoint commit) would
-            // otherwise probe its own batch_id partition, match every doc
+            // Exclude THIS batch id's partition: a replayed batch (crash
+            // after a partial index write, before the checkpoint commit)
+            // would otherwise probe its own signatures, match every doc
             // against itself at Jaccard 1.0, and dynamically overwrite the
-            // sink partition with an emptied survivor set
+            // sink partition with an emptied survivor set. `=!=` rather
+            // than `<`: under the documented checkpoint+index PAIRING
+            // contract later partitions don't exist, and if an operator
+            // re-points a fresh checkpoint at a retained index (batch ids
+            // restart, a contract violation), `<` would silently probe
+            // NOTHING while `=!=` still dedups against all other history.
             spark.read.parquet(indexDir)
-              .where(col("batch_id") < batchId).drop("batch_id")
+              .where(col("batch_id") =!= batchId).drop("batch_id")
           else // empty index with the right (id, sig) shape for the joins
             Dedup.minHashIndex(batch.limit(0), textCol, idCol, shingleN, numHashes)
         val survivors = Dedup.nearDedupAgainstIndex(
@@ -311,12 +316,16 @@ object StreamingInference {
     // quarantine side, + the batch_id partition column). An EMPTY SOURCE
     // runs zero batches and creates neither directory — return empty
     // frames of the known schemas rather than throwing path-not-found.
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    def readSink(dir: String, s: StructType): DataFrame =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    def readSink(dir: String, s: StructType): DataFrame = {
+      // per-path FS resolution (not FileSystem.get): sink paths may carry a
+      // scheme that differs from the default filesystem
+      val p  = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(s.fields.filterNot(_.name == "batch_id")))
       else spark.read.schema(s).parquet(dir).drop("batch_id")
+    }
     val validSchema = new StructType(
       schema.fields :+ StructField("batch_id", LongType))
     val quarantineSchema = new StructType(

@@ -106,10 +106,16 @@ object FsIO {
           "concurrent swap would corrupt the target; retry after it finishes or " +
           "take over once the lease expires")
       }
-      // stale lease (age measured and past the window): take over once, loudly
+      // stale lease (age measured and past the window): take over once,
+      // loudly. Guarded delete: re-read immediately before deleting and
+      // only proceed if the lock is STILL the same stale instance — an
+      // unguarded delete could destroy a rival takeover's FRESH lock and
+      // let two writers both "win". (Without an atomic compare-and-delete
+      // primitive a thin race window remains on stores with non-atomic
+      // create; on HDFS the subsequent create-no-overwrite arbitrates.)
       System.err.println(s"[graft] $label: taking over stale write lock on $dir " +
         s"(age ${ageMs.get} ms > lease $staleMs ms)")
-      fs.delete(lock, false)
+      if (readText(lock.toString, conf).getOrElse("") == body) fs.delete(lock, false)
       if (!tryCreate())
         sys.error(s"$label: lost the write-lock takeover race on $dir — " +
           "another writer re-acquired it; retry later")

@@ -41,9 +41,13 @@ object VersionedTable {
 
   private def vDir(dir: String, v: Long) = new Path(dir, f"v=$v%05d")
   private def logDir(dir: String)        = new Path(dir, "_log")
-  private def commitEntry(dir: String, v: Long) = new Path(logDir(dir), f"$v%05d.commit")
   private val versionName = "^v=(\\d+)$".r
-  private val commitName  = "^(\\d+)\\.commit$".r
+  // version AND commit-millis both ride in the entry NAME, so resolving the
+  // log is ONE listStatus — no per-commit file read (O(versions) small-file
+  // opens per read()/commit(), all inside the commit lease hold)
+  private val commitName = "^(\\d+)-(\\d+)\\.commit$".r
+  private def commitEntry(dir: String, v: Long, ms: Long) =
+    new Path(logDir(dir), f"$v%05d-$ms%d.commit")
 
   /** Committed (version, commitMs) pairs in version order — the log,
     * verbatim. Includes versions later vacuumed (history stays; their DATA
@@ -52,14 +56,19 @@ object VersionedTable {
     val ld = logDir(dir)
     val fs = ld.getFileSystem(FsIO.hadoopConf())
     if (!fs.exists(ld)) Seq.empty
-    else fs.listStatus(ld).toSeq
-      .flatMap(s => commitName.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
-      .sorted
-      .flatMap { v =>
-        FsIO.readText(commitEntry(dir, v).toString).flatMap(_.split("\n").collectFirst {
-          case l if l.startsWith("commitMs=") => v -> l.stripPrefix("commitMs=").toLong
-        })
-      }
+    else {
+      // fail LOUDLY on a foreign layout at this path (e.g. a plain file
+      // named _log): silently-empty here would make vacuum classify every
+      // live version as an orphan and delete committed data
+      require(fs.getFileStatus(ld).isDirectory,
+        s"VersionedTable: $ld is not a log directory — $dir was not written " +
+          "by this layer (or by an incompatible version of it); refusing to " +
+          "treat its versions as uncommitted")
+      fs.listStatus(ld).toSeq
+        .flatMap(s => commitName.findFirstMatchIn(s.getPath.getName)
+          .map(m => (m.group(1).toLong, m.group(2).toLong)))
+        .sortBy(_._1)
+    }
   }
 
   /** Latest committed version, or None for an empty/uninitialized table. */
@@ -99,10 +108,11 @@ object VersionedTable {
       if (!fs.rename(tmp, vDir(dir, next)))
         sys.error(s"VersionedTable.commit: could not publish version $next in $dir")
       // the commit point: a write-once entry staged then renamed into the
-      // log dir (readers never observe a partially written commit file)
-      val entryTmp = new Path(logDir(dir), f"$next%05d.commit.tmp")
-      FsIO.writeText(entryTmp.toString, s"commitMs=${System.currentTimeMillis()}\n")
-      if (!fs.rename(entryTmp, commitEntry(dir, next)))
+      // log dir (readers never observe a partially named commit entry)
+      val ms       = System.currentTimeMillis()
+      val entryTmp = new Path(logDir(dir), f"$next%05d-$ms%d.commit.tmp")
+      FsIO.writeText(entryTmp.toString, s"commitMs=$ms\n")
+      if (!fs.rename(entryTmp, commitEntry(dir, next, ms)))
         sys.error(s"VersionedTable.commit: could not commit log entry $next in $dir")
       next
     }

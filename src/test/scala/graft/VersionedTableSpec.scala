@@ -68,6 +68,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir, Some(3L)).count() == 1L)
   }
 
+  test("a foreign _log layout fails loudly instead of reading as an empty history") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commit(spark, Seq((1L, 1)).toDF("id", "v"), dir)
+    // replace the log DIRECTORY with a plain file of the same name — a
+    // foreign/incompatible layout; silently-empty here would let vacuum
+    // classify every live version as an orphan and delete committed data
+    val ld = new java.io.File(s"$dir/_log")
+    ld.listFiles.foreach(_.delete()); ld.delete()
+    graft.tables.FsIO.writeText(ld.getPath, "not a log dir\n")
+    val e = intercept[IllegalArgumentException] { VersionedTable.log(dir) }
+    assert(e.getMessage.contains("not a log directory"), e.getMessage)
+    intercept[IllegalArgumentException] { VersionedTable.vacuum(spark, dir, 1) }
+    assert(new java.io.File(f"$dir/v=${0L}%05d").exists, "data must survive the refusal")
+  }
+
   test("commit serializes through the write lease: live contender fails loudly") {
     import spark.implicits._
     val dir  = dirOf()
