@@ -1008,6 +1008,30 @@ object SparkEntry {
       Similarity.probeIvfIndex(s, path, "vec_id", "embedding", q, centroids, k = 20, nProbes = 3)
     }),
 
+    // -- IVF index incremental append (continuous ingest, no refit) --------
+    // Build on half the corpus, append the other half to the EXISTING
+    // cells, probe the appended index. Rows-only (learned centroids), but
+    // self-gating: the in-query require proves the appended index answers
+    // probes IDENTICALLY to a direct assignment scan of the full corpus —
+    // if append ever drops/misroutes a cell, the gate fails.
+    "q_ivf_append" -> ((s, d) => {
+      val emb  = t(s, d, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_qivfapp").toString + "/idx"
+      val base  = emb.where(pmod(col("vec_id"), lit(2L)) === 0L)
+      val batch = emb.where(pmod(col("vec_id"), lit(2L)) === 1L)
+      val cents = Similarity.buildIvfIndex(base, "embedding", "vec_id", k = 8, path)
+      Similarity.appendToIvfIndex(batch, "embedding", "vec_id", path)
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val out = Similarity.probeIvfIndex(s, path, "vec_id", "embedding", q,
+        cents, k = 20, nProbes = 3).localCheckpoint(true)
+      val direct = Similarity.annIvfTopK(emb, "embedding", "vec_id", q,
+        cents, k = 20, nProbes = 3)
+      require(out.collect().toSeq == direct.collect().toSeq,
+        "appended IVF index diverged from the direct assignment scan")
+      out
+    }),
+
     // -- S1 image source: spark-mllib ImageFileFormat nested struct --------
     // (rows-only: the image struct's decode metadata has no SQL oracle; the
     //  decoded dims are cross-checked against the binary pipeline's header

@@ -546,7 +546,9 @@ object Similarity {
 
   /** Load a persisted index's centroids, or None if absent/stale (the
     * sidecar's source fingerprint disagrees with `expectSource` — e.g. the
-    * source table was regenerated, even at the same row count). */
+    * source table was regenerated, even at the same row count).
+    * `appended=` lineage lines ([[appendToIvfIndex]]) are metadata, not
+    * centroids, and are skipped. */
   def loadIvfCentroids(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -555,7 +557,52 @@ object Similarity {
       val lines = body.split("\n").toSeq
       val src   = lines.head.stripPrefix("source=")
       if (expectSource.exists(_ != src)) None
-      else Some(lines.tail.map(_.split(",").map(_.toFloat)).toArray)
+      else Some(lines.tail.filterNot(l => l.startsWith("appended=") || l.isEmpty)
+        .map(_.split(",").map(_.toFloat)).toArray)
+    }
+
+  /** Fingerprints of every batch appended to a persisted index since its
+    * build, in append order — the index's ingest lineage. */
+  def ivfAppendedFingerprints(indexPath: String): Seq[String] =
+    graft.tables.FsIO.readText(centroidsFile(indexPath)).toSeq.flatMap(
+      _.split("\n").toSeq.filter(_.startsWith("appended="))
+        .map(_.stripPrefix("appended=")))
+
+  /** Append NEW vectors to a persisted IVF index without a refit or a
+    * rewrite — the continuous-ingest maintenance op. Arrivals assign to
+    * the EXISTING centroids (cell geometry unchanged, so every prior probe
+    * plan, pruning property, and recall characteristic is preserved) and
+    * append files into their cells' partition directories; untouched
+    * cells' files never move (spec-checked). The sidecar gains one
+    * `appended=<fingerprint>` lineage line per batch; its `source=` line
+    * still names the base corpus, so [[loadIvfCentroids]]' staleness check
+    * is unchanged.
+    *
+    * At 100 TB: one map-side assignment scan of the batch, appended files
+    * in ≤ |touched cells| directories — the base index is never read or
+    * rewritten. Centroid DRIFT is the caller's rebuild trigger: once
+    * appended volume rivals the base corpus, [[buildIvfIndex]] again (IVF
+    * recall degrades gracefully under drift, not catastrophically).
+    * Serialized against concurrent appends/rebuilds by the write lease. */
+  def appendToIvfIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      lockLeaseMs: Long = graft.tables.TableManager.DefaultLockLeaseMs): Array[Array[Float]] =
+    graft.tables.FsIO.withWriteLock(indexPath, "appendToIvfIndex", lockLeaseMs) {
+      val spark = df.sparkSession
+      val centroids = loadIvfCentroids(spark, indexPath).getOrElse(
+        sys.error(s"appendToIvfIndex: no IVF index at $indexPath — build one " +
+          "with buildIvfIndex first"))
+      assignCells(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+        .repartition(col("ivf_cell"))
+        .write.mode("append").partitionBy("ivf_cell").parquet(indexPath)
+      val sidecar = centroidsFile(indexPath)
+      val body    = graft.tables.FsIO.readText(sidecar).get // loaded above ⇒ present
+      graft.tables.FsIO.writeText(sidecar,
+        body.stripSuffix("\n") + s"\nappended=${sourceFingerprint(df)}\n")
+      centroids
     }
 
   /** Probe a persisted IVF index: plans as a pruned parquet read over ONLY

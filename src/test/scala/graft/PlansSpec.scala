@@ -264,6 +264,52 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndex: probe ≡ direct scan over base+batch; untouched cells byte-identical; pruning intact") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb  = Tables.load(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/idx"
+    val base  = emb.where(col("vec_id") < 400)
+    val batch = emb.where(col("vec_id") >= 400 && col("vec_id") < 405) // tiny: leaves cells untouched
+    val centroids = Similarity.buildIvfIndex(base, "embedding", "vec_id", k = 8, path)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    assert(Similarity.appendToIvfIndex(batch, "embedding", "vec_id", path)
+      .map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq, "centroids unchanged by append")
+    // cells the 5-vector batch didn't hash into keep byte-identical files
+    val touched = Similarity.assignCells(batch, "embedding", centroids)
+      .select("ivf_cell").distinct().collect().map(r => f"ivf_cell=${r.getInt(0)}").toSet
+    assert(touched.size < 8, "test needs untouched cells to compare")
+    val untouchedBefore = before.filterNot { case (p, _) => touched.exists(p.contains) }
+    assert(untouchedBefore.nonEmpty &&
+      files().filterNot { case (p, _) => touched.exists(p.contains) } == untouchedBefore,
+      "append must not rewrite untouched cell partitions")
+    // probe over the appended index ≡ the direct assignment scan over base+batch
+    val q = emb.where(col("vec_id") === 1).select("embedding").head().getSeq[Float](0).toArray
+    val viaIndex = Similarity.probeIvfIndex(spark, path, "vec_id", "embedding", q,
+      centroids, k = 10, nProbes = 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Similarity.annIvfTopK(base.unionByName(batch), "embedding", "vec_id", q,
+      centroids, k = 10, nProbes = 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == direct)
+    // partition pruning and sidecar semantics survive the append
+    val scan = Similarity.probeIvfIndex(spark, path, "vec_id", "embedding", q,
+        centroids, k = 10, nProbes = 3)
+      .queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scan.map(_.selectedPartitions.partitionCount).sum == 3)
+    assert(Similarity.ivfAppendedFingerprints(path).size == 1)
+    assert(Similarity.loadIvfCentroids(spark, path).exists(_.length == 8))
+    // appending to a non-index fails loudly
+    val e = intercept[RuntimeException] {
+      Similarity.appendToIvfIndex(batch, "embedding", "vec_id", path + "_missing")
+    }
+    assert(e.getMessage.contains("buildIvfIndex"), e.getMessage)
+  }
+
   test("heavyHitters confirm pass: candidate prune is a broadcast join, no sort-merge") {
     import graft.operators.TextAnalysis
     val docs = Tables.load(spark, sfDir, "documents")
