@@ -1106,6 +1106,38 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // -- watermarked stream-stream interval join, fully oracle-checked -----
+    // The click-attribution shape: purchases within 30 minutes before each
+    // click of the same user, joined STREAM-TO-STREAM (both sides
+    // watermarked; state bounded by watermark + gap) and run to
+    // completion. The result is time-deterministic, so the oracle replays
+    // the interval predicate as plain SQL over the base table — the
+    // streaming state machinery must agree with the batch join bit-for-bit
+    // (StatefulSpec proves batch ≡ stream; this puts it in the gate).
+    "q_stream_interval_join" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+      val src  = s"$work/src"
+      t(s, d, "events").select("event_id", "user_id", "ts", "event_type")
+        .repartition(2).write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      def clicks(df: DataFrame) = df.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          timestamp_seconds(expr("ts div 1000000000")).as("c_time"))
+      def buys(df: DataFrame) = df.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          timestamp_seconds(expr("ts div 1000000000")).as("p_time"))
+      val q = Stateful.streamIntervalJoin(
+          clicks(s.readStream.schema(schema).parquet(src)),
+          buys(s.readStream.schema(schema).parquet(src)),
+          "c_user", "p_user", "c_time", "p_time", gap = "30 minutes")
+        .select("c_id", "p_id")
+        .writeStream.format("parquet").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt").option("path", s"$work/sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/sink").orderBy("c_id", "p_id")
+    }),
+
     // -- streaming partitioned CDC upsert, fully oracle-checked ------------
     // Two COMMUTATIVE update batches (disjoint key sets: +50 on %3 keys,
     // zero-out on %5∖%3 keys, inserts on %11 shifted keys) stream through
@@ -3201,6 +3233,16 @@ object SparkEntry {
           s"MIN(TRY_CAST($c AS DOUBLE)) AS min_d, MAX(TRY_CAST($c AS DOUBLE)) AS max_d " +
           "FROM lineitem"
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\"")),
+
+    "q_stream_interval_join" ->
+      // the interval predicate replayed in SQL on second-truncated epochs
+      // (both engines compare the identical integers)
+      ("SELECT c.event_id AS c_id, p.event_id AS p_id " +
+        "FROM events c JOIN events p ON c.user_id = p.user_id " +
+        "WHERE c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND (epoch_ns(p.ts) // 1000000000) >= (epoch_ns(c.ts) // 1000000000) - 1800 " +
+        "AND (epoch_ns(p.ts) // 1000000000) <= (epoch_ns(c.ts) // 1000000000) " +
+        "ORDER BY c_id, p_id"),
 
     "q_stream_upsert" ->
       // both commutative batches applied as one CASE over the base table,

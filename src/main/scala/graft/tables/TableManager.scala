@@ -85,6 +85,24 @@ object TableManager {
       swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compact")
     }
 
+  /** [[compact]] for a PARTITIONED path table (e.g. the IVF index's
+    * `ivf_cell=` layout, whose per-cell file count grows with every
+    * incremental append): rewrites each partition's rows into contiguous
+    * few files while PRESERVING the partition directory structure —
+    * `compact` would flatten it and destroy partition pruning. One shuffle
+    * on the partition column (each partition value lands wholly in one
+    * task → one file per partition dir), then the same lease-locked atomic
+    * rename swap. */
+  def compactPartitioned(spark: SparkSession, dir: String, partitionCol: String,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
+    FsIO.withWriteLock(dir, "compactPartitioned", lockLeaseMs) {
+      val tmp = new Path(dir + ".__compact_tmp")
+      spark.read.parquet(dir)
+        .repartition(col(partitionCol))
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+      swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compactPartitioned")
+    }
+
   /** Z-order value: bit-interleave two columns' 16-bit bucket ranks so rows
     * close in BOTH dimensions are close in the one-dimensional sort order.
     * Buckets come from min/max range normalization (two aggregates,
