@@ -1106,6 +1106,43 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // -- co-bucketed join: the layout optimization in the gate -------------
+    // Both tables bucketed+sorted on the join key at write time, so the
+    // join AND the downstream key aggregation plan with ZERO shuffle
+    // exchanges — pay one shuffle at ingest, never again (the decisive
+    // repeated-fact-join layout at 100 TB). Self-gating: the in-query
+    // require fails if the plan ever re-acquires an Exchange; values are
+    // DuckDB-oracle-checked like any join.
+    "q_bucketed_join" -> ((s, d) => {
+      val c = t(s, d, "customer").select("c_custkey", "c_name")
+      val o = t(s, d, "orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      Seq("bj_cust", "bj_ord").foreach { tbl => // stale-warehouse hygiene
+        TableManager.dropTable(s, tbl)
+        TableManager.deleteDir(s,
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/" + tbl)
+      }
+      TableManager.writeBucketed(c, "bj_cust", "c_custkey", 8)
+      TableManager.writeBucketed(o, "bj_ord", "c_custkey", 8)
+      // disable broadcast: at fixture scale Spark would broadcast the small
+      // side and ignore the bucket layout — at 100 TB neither side
+      // broadcasts, and THAT plan (sort-merge over co-bucketed scans, zero
+      // shuffles through join AND aggregation) is the gated property
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.table("bj_cust").join(s.table("bj_ord"), "c_custkey")
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(Dec)).cast(Dec).cast("double").as("total"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+          s"co-bucketed join+agg must plan with zero shuffles; got:\n$plan")
+        require(plan.contains("Bucketed: true"),
+          s"scan must use the bucket layout; got:\n$plan")
+        joined.orderBy("c_custkey").localCheckpoint(true) // materialize under the conf
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // -- watermarked stream-stream interval join, fully oracle-checked -----
     // The click-attribution shape: purchases within 30 minutes before each
     // click of the same user, joined STREAM-TO-STREAM (both sides
@@ -3233,6 +3270,12 @@ object SparkEntry {
           s"MIN(TRY_CAST($c AS DOUBLE)) AS min_d, MAX(TRY_CAST($c AS DOUBLE)) AS max_d " +
           "FROM lineitem"
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\"")),
+
+    "q_bucketed_join" ->
+      ("SELECT c.c_custkey, COUNT(*) AS n_orders, " +
+        "CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "GROUP BY c.c_custkey ORDER BY c.c_custkey"),
 
     "q_stream_interval_join" ->
       // the interval predicate replayed in SQL on second-truncated epochs
