@@ -554,6 +554,25 @@ object SparkEntry {
       Similarity.cosineTopK(emb, "embedding", "vec_id", q, 20)
     }),
 
+    // -- matryoshka (MRL) coarse-to-fine retrieval -------------------------
+    // The truncated-embedding two-stage shape: rank the corpus by cosine
+    // over the FIRST 16 dims (the cheap MRL prefix — at 100 TB this scan
+    // reads 1/4 of the vector bytes), keep top-100, then exact full-dim
+    // re-rank to the final top-20. Both stages order by (rounded cos DESC,
+    // id) so the candidate cut is deterministic and the whole pipeline is
+    // DuckDB-oracle-checked.
+    "q_matryoshka" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val sliced = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val q16 = sliced.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val q64 = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val coarse = Similarity.cosineTopK(sliced, "embedding", "vec_id", q16, 100)
+        .select("vec_id")
+      Similarity.cosineTopK(emb.join(coarse, "vec_id"), "embedding", "vec_id", q64, 20)
+    }),
+
     // -- MapType: parse JSON to map, explode to key/value rows ------------
     "q_json_map" -> ((s, d) => {
       t(s, d, "events")
@@ -2621,6 +2640,17 @@ object SparkEntry {
       ("SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos " +
         "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20"),
+
+    "q_matryoshka" ->
+      // same two stages replayed: 16-dim prefix cut to 100, full-dim rerank
+      ("WITH coarse AS (SELECT vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[])[1:16], " +
+        "(SELECT CAST(embedding AS DOUBLE[])[1:16] FROM embeddings WHERE vec_id = 0)), 6) AS c16 " +
+        "FROM embeddings ORDER BY c16 DESC, vec_id LIMIT 100) " +
+        "SELECT e.vec_id, ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos " +
+        "FROM embeddings e JOIN coarse USING (vec_id) " +
+        "ORDER BY cos DESC, vec_id LIMIT 20"),
 
     "q_repartition_stable" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity",
