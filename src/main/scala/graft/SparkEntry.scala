@@ -1872,6 +1872,17 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // -- graph: exact triangle count, skew-safe forward algorithm ----------
+    // Degree-ordered orientation concentrates wedge fan-out at low-degree
+    // vertices (Σ min-degree per edge, not Σ deg² — the hub-skew killer);
+    // the count is exact and the oracle replays the canonical u<v<w triple
+    // join.
+    "q_triangle_count" -> ((s, d) =>
+      Graph.triangleCount(
+        t(s, d, "lineitem")
+          .select((col("l_partkey") % 200).as("src"), (col("l_suppkey") % 200).as("dst")),
+        "src", "dst")),
+
     // -- north-star: product-quantization encode (memory-bounded ANN) ------
     // 64-d float → 8 subvector codes over a 16-centroid codebook (data-row
     // centroids ids 0..15, the knnJoinIvf rule). floor(x·1000) quantization
@@ -3210,6 +3221,15 @@ object SparkEntry {
         "CASE WHEN ok THEN array_to_string(kept, chr(10)) END AS clean_text " +
         "FROM v ORDER BY page_id"),
 
+    "q_triangle_count" ->
+      ("WITH edges AS (SELECT l_partkey % 200 AS src, l_suppkey % 200 AS dst FROM lineitem), " +
+        "e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v " +
+        "FROM edges WHERE src <> dst) " +
+        "SELECT (SELECT COUNT(DISTINCT x) FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)) AS n_nodes, " +
+        "(SELECT COUNT(*) FROM e) AS n_edges, " +
+        "(SELECT COUNT(*) FROM e e1 " +
+        "JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v " +
+        "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles"),
     "q_pagerank" ->
       // 3 unrolled iterations of the identical integer recurrence; `//`
       // floors where Spark's `div` truncates — equal on positive operands

@@ -38,4 +38,30 @@ class GraphSpec extends SparkSpec {
     val b = run(edges.repartition(7).unionAll(edges.limit(10))) // dup edges dedup
     assert(a == b, "fixed-point ranks must be layout- and duplicate-invariant")
   }
+
+  test("triangleCount: hand graphs, direction/duplicate/self-loop invariance, brute-force parity") {
+    import spark.implicits._
+    def tri(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = Graph.triangleCount(df, "src", "dst").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4: 4 nodes, 6 edges, 4 triangles — plus noise: reversed duplicates,
+    // a self-loop, and a pendant edge that joins no triangle
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (2L,1L),(3L,3L),(4L,9L)).toDF("src","dst")
+    assert(tri(k4) == ((5L, 7L, 4L)))
+    // a triangle-free path
+    assert(tri(Seq((1L,2L),(2L,3L),(3L,4L)).toDF("src","dst")) == ((4L, 3L, 0L)))
+    // fixture-scale parity vs the canonical u<v<w brute-force triple join
+    val edges = Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_partkey") % 50).as("src"), (col("l_suppkey") % 50).as("dst"))
+    val e = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(e.as("e3"), col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .count()
+    assert(tri(edges)._3 == brute, s"forward algorithm vs brute force: ${tri(edges)._3} vs $brute")
+  }
 }
