@@ -413,6 +413,14 @@ object SparkEntry {
       Similarity.knnJoinExact(t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
         .orderBy("vec_id", "rank")),
 
+    // -- contrastive hard-negative mining ----------------------------------
+    // Top-k most-similar CROSS-LABEL neighbors per vector (the negative-
+    // sampling pass of contrastive embedding training); knnJoinExact plan
+    // + per-(partition,label) complement arrays — no per-pair label branch.
+    "q_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(t(s, d, "embeddings"), "embedding", "vec_id", "label", k = 5)
+        .orderBy("vec_id", "rank")),
+
     // -- north-star: IVF-celled approximate k-NN join ----------------------
     // Same contract at scale: pairs meet only through shared IVF cells
     // (build side = primary cell, probe side = 2 nearest cells). Centroids
@@ -1160,6 +1168,43 @@ object SparkEntry {
           s"scan must use the bucket layout; got:\n$plan")
         joined.orderBy("c_custkey").localCheckpoint(true) // materialize under the conf
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
+    // -- watermarked streaming dedup, fully oracle-checked -----------------
+    // The duplicated-delivery shape (at-least-once upstream): the SAME
+    // event file lands twice; dropDuplicatesWithinWatermark keeps the
+    // first-seen row per event_id with seen-key state bounded by the
+    // watermark horizon (plain streaming dropDuplicates state grows
+    // without bound on an unbounded feed — the 100 TB/day contract).
+    // Copies are bit-identical rows, so the run-to-completion output is
+    // order-independent and the oracle is a plain scan of the base table
+    // (event_id is unique in the fixture): a late copy is either still in
+    // state (suppressed) or below the watermark (dropped) — either way it
+    // never re-emits, which is exactly the property being gated.
+    "q_stream_dedup" -> ((s, d) => {
+      val work   = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+      val srcDir = s"$work/src"
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
+      new java.io.File(srcDir).mkdirs()
+      Seq("c1", "c2").foreach { nm => // two identical deliveries
+        val tmp = s"$work/$nm"
+        ev.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(srcDir, s"$nm.parquet"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      val q = Stateful.dedupWithinWatermark(stream, Seq("event_id"), "event_time", "1 hour")
+        .select("event_id", "user_id", "event_type", "ts")
+        .writeStream.format("parquet").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt").option("path", s"$work/sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/sink").orderBy("event_id")
     }),
 
     // -- watermarked stream-stream interval join, fully oracle-checked -----
@@ -2395,6 +2440,19 @@ object SparkEntry {
         "FROM p WHERE NOT isnan(cos) AND cos IS NOT NULL) " +
         "WHERE rank <= 5 ORDER BY vec_id, rank"),
 
+    "q_hard_negatives" ->
+      // q_knn_join's oracle with the cross-label predicate: rank over the
+      // ROUNDED cosine with id tie-break, self and same-label pairs excluded
+      ("WITH p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, " +
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id " +
+        "AND a.label IS NOT NULL AND b.label IS NOT NULL AND a.label <> b.label) " +
+        "SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos FROM " +
+        "(SELECT vec_id, neighbor_id, cos, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank " +
+        "FROM p WHERE NOT isnan(cos) AND cos IS NOT NULL) " +
+        "WHERE rank <= 5 ORDER BY vec_id, rank"),
+
     "q_knn_join_ivf" ->
       // centroids = vectors 0..7 (deterministic data, not learned) so the
       // cell assignment replays exactly: build side takes its single nearest
@@ -3326,6 +3384,12 @@ object SparkEntry {
         "CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total " +
         "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
         "GROUP BY c.c_custkey ORDER BY c.c_custkey"),
+
+    "q_stream_dedup" ->
+      // first-seen-per-key over two bit-identical deliveries = the base
+      // table itself (event_id is unique in the fixture)
+      ("SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts " +
+        "FROM events ORDER BY event_id"),
 
     "q_stream_interval_join" ->
       // the interval predicate replayed in SQL on second-truncated epochs

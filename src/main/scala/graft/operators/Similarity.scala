@@ -190,6 +190,76 @@ object Similarity {
     }.toDF(idCol, "rank", "neighbor_id", "cos")
   }
 
+  /** Relational reference form of [[hardNegatives]] — the knnJoinExact
+    * broadcast join with the cross-label predicate added. Declared query
+    * runs the kernel form; parity spec in VectorFunctionsSpec. */
+  private[graft] def hardNegativesRelational(
+      df: DataFrame, vecCol: String, idCol: String, labelCol: String, k: Int): DataFrame = {
+    val base  = df.where(col(labelCol).isNotNull)
+    val left  = base.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm2Native(col(vecCol)).as("nrm"), col(labelCol).cast("int").as("lbl"))
+    val right = base.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      norm2Native(col(vecCol)).as("nnrm"), col(labelCol).cast("int").as("nlbl"))
+    val scored = left.join(broadcast(right),
+        col("id") =!= col("neighbor_id") && col("lbl") =!= col("nlbl"))
+      .select(col("id"), col("neighbor_id"),
+        round(dotNative(col("vec"), col("nvec")) / (col("nrm") * col("nnrm")), 6).as("cos"))
+      .where(validCos(col("cos")))
+    topKPerId(scored, idCol, k)
+  }
+
+  /** Contrastive hard-negative mining: for every labeled vector, its `k`
+    * most-similar vectors carrying a DIFFERENT label — the standard
+    * negative-sampling pass for contrastive/triplet embedding training
+    * (high-cosine cross-class pairs are exactly the ones a margin loss
+    * learns most from). Output (idCol, rank, neighbor_id, cos), rank 1..k
+    * by (cos DESC, id ASC) on the 6-decimal-rounded cosine — the
+    * [[knnJoinExact]] determinism contract, so the operator is fully
+    * oracle-checkable. Null-label and null-vector rows are excluded from
+    * both sides (a row with no class can be neither anchor nor negative).
+    *
+    * Plan shape: identical to [[knnJoinExact]] — the labeled neighbor side
+    * ships as ONE broadcast array (bound ENFORCED, same loud guard) and
+    * each anchor partition scores a tight loop with the shared
+    * [[scoreTopK]] kernel. The cross-label exclusion is precomputed ONCE
+    * per (partition, label) as a complement array — labels are few, so
+    * that is a handful of array copies, zero per-row allocation — not a
+    * per-pair branch in the hot loop and not a per-row filter. At corpus
+    * scale mine within IVF cells first ([[knnJoinIvf]] candidates), then
+    * apply the label exclusion to the candidate pairs. */
+  def hardNegatives(df: DataFrame, vecCol: String, idCol: String, labelCol: String, k: Int,
+      maxBroadcastRows: Long = 4000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("int"))
+      .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .as[(Long, Array[Float], Int)]
+    val n = rows.count()
+    require(n <= maxBroadcastRows,
+      s"hardNegatives scores every cross-label pair against a broadcast " +
+        s"neighbor side, but it has $n rows (> maxBroadcastRows=$maxBroadcastRows). " +
+        s"At this scale generate candidates with knnJoinIvf (cell-local " +
+        s"pairs) and filter to cross-label, or raise maxBroadcastRows " +
+        s"deliberately.")
+    val neigh = rows.collect()
+    val labeled = neigh.map { case (id, v, l) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      (id, v, math.sqrt(s), l)
+    }
+    val bc = spark.sparkContext.broadcast(labeled)
+    rows.mapPartitions { it =>
+      val all  = bc.value
+      val comp = scala.collection.mutable.Map.empty[Int, Array[(Long, Array[Float], Double)]]
+      it.flatMap { case (id, vec, lbl) =>
+        val others = comp.getOrElseUpdate(lbl,
+          all.collect { case (nid, nv, nn, nl) if nl != lbl => (nid, nv, nn) })
+        scoreTopK(id, vec, others, k).zipWithIndex
+          .map { case ((cos, nid), r) => (id, (r + 1).toLong, nid, cos) }
+      }
+    }.toDF(idCol, "rank", "neighbor_id", "cos")
+  }
+
   /** Relational reference form of [[knnJoinIvf]] — cell equi-join +
     * rounded-cosine collapse + bounded partial top-k. The declared query
     * runs the kernel form (cell-local scoring through join machinery

@@ -286,6 +286,23 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(kernel.nonEmpty && kernel == relational)
   }
 
+  test("hardNegatives kernel ≡ relational form; every pair crosses labels") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "rank", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val kernel = rows(Similarity.hardNegatives(emb, "embedding", "vec_id", "label", k = 3))
+    val relational = rows(
+      Similarity.hardNegativesRelational(emb, "embedding", "vec_id", "label", k = 3))
+    assert(kernel.nonEmpty && kernel == relational)
+    // no returned negative shares its anchor's label
+    val lbl = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    kernel.foreach { case (id, _, nid, _) =>
+      assert(lbl(id) != lbl(nid), s"pair ($id, $nid) shares label ${lbl(id)}")
+    }
+  }
+
   test("knnJoinExact broadcast guard fails loudly past the row bound, naming knnJoinIvf") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val e = intercept[IllegalArgumentException] {
