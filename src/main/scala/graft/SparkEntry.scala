@@ -756,6 +756,25 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // -- binned range join: the interval-join SCALE path in the gate -------
+    // 1000 deterministic overlapping bands — the regime where q_range_join's
+    // broadcast nested loop stops being the right plan. Self-gating: the
+    // require fails if the plan ever degrades to a nested loop / cartesian;
+    // values are checked against DuckDB's plain inequality join.
+    "q_range_join_binned" -> ((s, d) => {
+      val bands = s.range(1000).select(col("id").as("band"),
+        (col("id") * 600).cast("double").as("lo"),
+        (col("id") * 600 + 300 + pmod(col("id"), lit(7)) * 150).cast("double").as("hi"))
+      val joined = Relational.binnedRangeJoin(
+        t(s, d, "orders"), "o_totalprice", bands, "lo", "hi", binWidth = 600.0)
+      val agg = joined.groupBy("band")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+        s"binned range join must plan as an equi-join; got:\n$plan")
+      agg.orderBy("band")
+    }),
+
     // -- grouping sets (beyond rollup/cube): explicit set list + grouping()
     "q_grouping_sets" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("gs_lineitem")
@@ -2738,6 +2757,16 @@ object SparkEntry {
         "FROM orders JOIN (VALUES ('b0', 0, 100000), ('b1', 100000, 200000), ('b2', 200000, 300000), " +
         "('b3', 300000, 400000), ('b4', 400000, 600000)) AS bands(band, lo, hi) " +
         "ON o_totalprice >= lo AND o_totalprice < hi " +
+        "GROUP BY band ORDER BY band"),
+
+    "q_range_join_binned" ->
+      // the SAME inequality join, unbinned — proves the bin rewrite is a
+      // pure plan transformation, not a semantics change
+      ("WITH bands AS (SELECT i AS band, CAST(i*600 AS DOUBLE) AS lo, " +
+        "CAST(i*600 + 300 + (i%7)*150 AS DOUBLE) AS hi FROM range(1000) t(i)) " +
+        "SELECT band, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price " +
+        "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi " +
         "GROUP BY band ORDER BY band"),
 
     "q_grouping_sets" ->

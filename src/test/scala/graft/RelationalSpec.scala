@@ -281,6 +281,23 @@ class RelationalSpec extends SparkSpec {
     assert(plain.length == 902)
   }
 
+  test("binnedRangeJoin equals the plain inequality join; multi-bin + overlap + edge cases") {
+    import spark.implicits._
+    // intervals: multi-bin spans, overlaps, a degenerate (lo == hi), an
+    // exact-bin-edge hi, and values sitting exactly on lo and hi bounds
+    val dim = Seq(("a", 0.0, 25.0), ("b", 10.0, 40.0), ("c", 30.0, 30.0),
+      ("d", 20.0, 20.00001), ("e", 35.0, 50.0)).toDF("band", "lo", "hi")
+    val fact = (0 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "band").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val binned = rows(Relational.binnedRangeJoin(fact, "v", dim, "lo", "hi", binWidth = 10.0))
+    val plain  = rows(fact.join(dim, col("v") >= col("lo") && col("v") < col("hi")))
+    assert(binned == plain && binned.nonEmpty)
+    assert(!binned.exists(_._2 == "c"))                  // degenerate interval drops
+    assert(binned.contains((39L, "b")) && !binned.contains((40L, "b"))) // hi exclusive
+    assert(binned.contains((10L, "a")) && binned.contains((10L, "b")))  // overlap: both match
+  }
+
   test("groupQuota: caps per group, keeps under-quota groups whole, ranks deterministically") {
     import spark.implicits._
     val df = Seq(
