@@ -1981,6 +1981,23 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // -- ExactSubstr span GEOMETRY: merged duplicate intervals -------------
+    // duplicateWindowStats upgraded to WHAT to cut: cross-doc hit windows
+    // merged into maximal [span_start, span_end) islands per doc.
+    "q_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t(s, d, "documents"), "text", "doc_id",
+          width = 32, stride = 16)
+        .orderBy("doc_id", "span_start")),
+
+    // -- ExactSubstr span REMOVAL: excised text, oracle-checked ------------
+    // Every duplicate span cut from every copy (the Lee et al. 2022
+    // default); per-row Catalyst fold rebuilds the kept segments — the
+    // char-exact clean text is compared against DuckDB's reconstruction.
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(t(s, d, "documents"), "text", "doc_id",
+          width = 32, stride = 16)
+        .orderBy("doc_id")),
+
     // -- north-star: DSIR-style domain-affinity score ----------------------
     // Target domain = source 'src0'; affinity = target-gram mass over
     // raw-gram mass, exact longs + one final division — bit-exact.
@@ -2203,6 +2220,29 @@ object SparkEntry {
   private def shinglesSql(n: Int): String =
     s"list_distinct(list_transform(range(1, greatest(len(tk)-${n - 1},1)+1), " +
       s"i -> array_to_string(tk[i:least(i+${n - 1}, len(tk))], ' ')))"
+
+  /** Shared CTE prefix of the ExactSubstr span oracles (`q_dup_spans`,
+    * `q_dedup_spans`): positioned strided 32/16 windows → cross-doc
+    * duplicated window set → hit intervals → merged islands `m(doc_id,
+    * span_start, span_end)`. One definition so geometry and removal can't
+    * drift on what a duplicate span is. */
+  private val dupSpanCte: String =
+    "WITH wins AS (SELECT doc_id, u.s AS start, u.w AS win FROM (" +
+      "SELECT doc_id, unnest(list_transform(range((len(text) - 32) // 16 + 1), " +
+      "p -> {'s': p * 16, 'w': substr(text, CAST(p * 16 + 1 AS INTEGER), 32)})) AS u " +
+      "FROM documents WHERE text IS NOT NULL AND len(text) >= 32) z), " +
+      "dupw AS (SELECT win FROM (SELECT win, COUNT(DISTINCT doc_id) AS df " +
+      "FROM wins GROUP BY win) y WHERE df > 1), " +
+      "hits AS (SELECT doc_id, start, start + 32 AS e FROM wins " +
+      "WHERE win IN (SELECT win FROM dupw)), " +
+      "isl AS (SELECT doc_id, start, e, CASE WHEN start > COALESCE(MAX(e) OVER " +
+      "(PARTITION BY doc_id ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+      "THEN 1 ELSE 0 END AS brk FROM hits), " +
+      "m AS (SELECT doc_id, CAST(MIN(start) AS BIGINT) AS span_start, " +
+      "CAST(MAX(e) AS BIGINT) AS span_end FROM " +
+      "(SELECT doc_id, start, e, SUM(brk) OVER " +
+      "(PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS g FROM isl) x " +
+      "GROUP BY doc_id, g) "
 
   /** Ground truth for BOTH decontamination plans (`q_decontaminate` exact
     * one-pass window; `q_decontaminate_bloom` Bloom-prefilter + exact
@@ -3367,6 +3407,28 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_windows, " +
         "CAST(SUM(CASE WHEN win IN (SELECT win FROM dup) THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_dup FROM w GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_dup_spans" ->
+      // same windows WITH offsets; islands via the standard gaps pass
+      (dupSpanCte +
+        "SELECT doc_id, span_start, span_end FROM m ORDER BY doc_id, span_start"),
+
+    "q_dedup_spans" ->
+      // kept segments = gap before each span (LAG of span_end) + the tail
+      // after the last span, string_agg'd in offset order; span-free docs
+      // pass through via the left join
+      (dupSpanCte +
+        ", base AS (SELECT doc_id, text, len(text) AS L FROM documents WHERE text IS NOT NULL)" +
+        ", segs AS (SELECT doc_id, COALESCE(LAG(span_end) OVER " +
+        "(PARTITION BY doc_id ORDER BY span_start), 0) AS ks, span_start AS ke FROM m " +
+        "UNION ALL SELECT m.doc_id, MAX(m.span_end) AS ks, MAX(b.L) AS ke " +
+        "FROM m JOIN base b USING (doc_id) GROUP BY m.doc_id)" +
+        ", cln AS (SELECT b.doc_id, CASE WHEN COUNT(s.ks) = 0 THEN b.text " +
+        "ELSE string_agg(substr(b.text, CAST(s.ks AS INTEGER) + 1, " +
+        "CAST(s.ke - s.ks AS INTEGER)), '' ORDER BY s.ks) END AS clean " +
+        "FROM base b LEFT JOIN segs s USING (doc_id) GROUP BY b.doc_id, b.text) " +
+        "SELECT c.doc_id, c.clean, CAST(b.L - len(c.clean) AS BIGINT) AS n_removed " +
+        "FROM cln c JOIN base b USING (doc_id) ORDER BY doc_id"),
 
     "q_domain_affinity" ->
       // exact long masses, one final double division — same operation order

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines: exact,
@@ -932,5 +933,97 @@ object Dedup {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+  }
+
+  /** Positioned strided windows — the [[duplicateWindowStats]] extraction
+    * with each window's char offset kept: (id, start, win). */
+  private def positionedWindows(
+      docs: DataFrame, textCol: String, idCol: String, width: Int, stride: Int): DataFrame =
+    docs
+      .where(col(textCol).isNotNull && length(col(textCol)) >= width)
+      .select(col(idCol).as("id"),
+        explode(transform(
+          expr(s"sequence(0, (length(`$textCol`) - $width) div $stride)"),
+          p => struct((p * stride).cast("long").as("s"),
+            col(textCol).substr(p * stride + 1, lit(width)).as("w")))).as("u"))
+      .select(col("id"), col("u.s").as("start"), col("u.w").as("win"))
+
+  /** Cross-document duplicate SPANS — [[duplicateWindowStats]] upgraded
+    * from a per-doc count to the actual char intervals: every strided
+    * window whose text occurs in >1 distinct document is a hit, and
+    * overlapping/adjacent hit windows within a doc merge into maximal
+    * half-open intervals [span_start, span_end) via the classic
+    * gaps-and-islands pass (an island breaks where a hit starts past the
+    * running max end of everything before it). This is the removal
+    * geometry of ExactSubstr dedup (Lee et al. 2022) — what you cut, not
+    * just how much.
+    *
+    * Scale shape: the one wide shuffle carries (width-char window, id) —
+    * the fixed-width window string IS its own bounded fingerprint; the
+    * document payload never moves. The islands pass windows over (id,
+    * start, end) hit triples only, partitioned by doc — hits are the
+    * anomaly, so that frame is small by construction. Within-doc repeats
+    * are NOT flagged (df counts distinct docs): that signal is
+    * [[duplicateWindowStats]]/repetition territory. */
+  def duplicateSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 32,
+      stride: Int = 16): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val wins = positionedWindows(docs, textCol, idCol, width, stride)
+    val dup = wins.groupBy("win")
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") > 1)
+      .select("win")
+    val hits = wins.join(dup, Seq("win"), "left_semi")
+      .select(col("id"), col("start"), (col("start") + width).as("e"))
+    val prev = Window.partitionBy("id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.partitionBy("id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hits
+      .withColumn("brk",
+        when(col("start") > coalesce(max("e").over(prev), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("g", sum("brk").over(cum))
+      .groupBy(col("id"), col("g"))
+      .agg(min("start").as("span_start"), max("e").as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** ExactSubstr REMOVAL: excise every [[duplicateSpans]] interval from
+    * the text (all copies cut — the paper's default), emitting
+    * (idCol, clean, n_removed) for every non-null-text doc; span-free docs
+    * pass through with n_removed = 0. The excision is a per-row Catalyst
+    * `aggregate` fold over the doc's sorted span list (keep the gap before
+    * each span, then the tail) — no UDF, no second shuffle beyond
+    * [[duplicateSpans]]' own: the span list rides a per-doc collect_list
+    * (bounded: spans ≤ windows of ONE doc) joined back to the payload. */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 32,
+      stride: Int = 16): DataFrame = {
+    val spans = duplicateSpans(docs, textCol, idCol, width, stride)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("__spans"))
+    val zero = struct(lit(0L).as("pos"), lit("").as("acc"))
+    val excised = aggregate(col("__spans"), zero,
+      (acc, iv) => struct(
+        iv.getField("span_end").as("pos"),
+        concat(acc.getField("acc"),
+          col(textCol).substr((acc.getField("pos") + 1).cast("int"),
+            (iv.getField("span_start") - acc.getField("pos")).cast("int"))).as("acc")),
+      acc => concat(acc.getField("acc"),
+        col(textCol).substr((acc.getField("pos") + 1).cast("int"),
+          (length(col(textCol)) - acc.getField("pos")).cast("int"))))
+    docs.where(col(textCol).isNotNull)
+      .join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol), col(textCol).as("__orig"),
+        when(col("__spans").isNull, col(textCol)).otherwise(excised).as("clean"))
+      .select(col(idCol), col("clean"),
+        (length(col("__orig")) - length(col("clean"))).cast("long").as("n_removed"))
   }
 }

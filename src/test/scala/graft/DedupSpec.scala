@@ -313,4 +313,34 @@ class DedupSpec extends SparkSpec {
     assert(out(0L)._1 == 5L && out(0L)._2 >= 1L)
     assert(out(0L)._2 == out(1L)._2)
   }
+
+  test("duplicateSpans merges hit windows into maximal islands; removeDuplicateSpans excises them") {
+    import spark.implicits._
+    // doc 0/1 share a 48-char prefix (hit windows at 0 and 16 merge into
+    // one island [0, 48)); doc 2 is clean; doc 3 shares a MIDDLE span with
+    // doc 0 so excision must stitch head + tail around it
+    val mid = "M" * 32
+    val docs = Seq(
+      (0L, ("P" * 48) + ("a" * 16) + mid + ("a" * 16)),
+      (1L, ("P" * 48) + ("b" * 80)),
+      (2L, "c" * 100),
+      (3L, ("d" * 32) + mid + ("e" * 48))).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", width = 32, stride = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // doc 0: island [0,48) from the shared prefix; mid sits at offset 64 —
+    // NOT stride-aligned to a window in doc 0 (windows at 64 exist: 64%16=0,
+    // so [64,96) is a window there) and doc 3 has it at 32 ([32,64) window)
+    // — identical 32-char text at aligned strides in both → flagged
+    assert(spans.contains((0L, 0L, 48L)), spans.toString)
+    assert(spans.contains((0L, 64L, 96L)) && spans.contains((3L, 32L, 64L)), spans.toString)
+    assert(!spans.exists(_._1 == 2L))
+    val byId = Dedup.removeDuplicateSpans(docs, "text", "doc_id", width = 32, stride = 16)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byId(2L) == ("c" * 100, 0L))               // untouched pass-through
+    val (c0, n0) = byId(0L)
+    assert(n0 == 48L + 32L && c0 == ("a" * 16) + ("a" * 16)) // head island + mid span cut
+    val (c3, n3) = byId(3L)
+    assert(n3 == 32L && c3 == ("d" * 32) + ("e" * 48))       // middle stitch
+    byId.foreach { case (_, (c, n)) => assert(n >= 0 && c != null) }
+  }
 }
