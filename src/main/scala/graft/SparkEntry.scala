@@ -2048,6 +2048,27 @@ object SparkEntry {
           round(TextAnalysis.compressionRatioUdf(col("text")), 6).as("zratio"))
         .orderBy("doc_id")),
 
+    // -- file-stat data skipping: the lakehouse manifest-pruning read ------
+    // lineitem range-clustered on l_orderkey into 16 files + min/max
+    // manifest; the range read prunes the file list BEFORE the scan plans
+    // (self-gated: require fails unless files were actually skipped) and
+    // must be row-identical to the full-scan filter the oracle runs.
+    "q_skipping_scan" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      val tbl  = s"$work/t"
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      graft.tables.SkippingIndex.writeClustered(
+        li, tbl, "l_orderkey", Seq("l_orderkey"), nFiles = 16)
+      val (kept, total) = graft.tables.SkippingIndex.prunedFiles(
+        s, tbl, "l_orderkey", lit(1000L), lit(2000L))
+      require(kept.size < total,
+        s"manifest must prune the range scan; kept ${kept.size} of $total files")
+      graft.tables.SkippingIndex.readPruned(s, tbl, "l_orderkey", lit(1000L), lit(2000L))
+        .withColumn("l_extendedprice", col("l_extendedprice").cast(Dec).cast("double"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
     // -- batch CDC: snapshot diff -------------------------------------------
     // New snapshot derived in-plan: acctbal+50 for %13 (updates), %17 keys
     // removed (deletes), '_v2' clones under +2000000 for %29 (inserts).
@@ -3407,6 +3428,14 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_windows, " +
         "CAST(SUM(CASE WHEN win IN (SELECT win FROM dup) THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_dup FROM w GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_skipping_scan" ->
+      // the skipping read is a pure I/O optimization: values must equal
+      // the plain full-scan range filter
+      ("SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(38,4)) AS DOUBLE) AS l_extendedprice " +
+        "FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey <= 2000 " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"),
 
     "q_dup_spans" ->
       // same windows WITH offsets; islands via the standard gaps pass

@@ -1,0 +1,108 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max data skipping — the lakehouse stat-pruning feature
+  * (Delta/Iceberg manifests) the emulated table layer was missing: writes
+  * range-cluster the data so each file covers a narrow key interval, a
+  * sidecar manifest records per-file min/max per stat column, and range
+  * reads prune the file LIST before the scan plans — I/O proportional to
+  * the selected key range, not the table.
+  *
+  * The manifest lives under `<path>/_graft_stats`: Spark's file index
+  * ignores underscore-prefixed dirs (the `_delta_log` convention), so
+  * plain `spark.read.parquet(path)` sees only the data files and the
+  * manifest rides along through copies/renames of the table dir.
+  *
+  * 100 TB shape: the manifest is ONE row per file (a few thousand rows per
+  * PB at healthy file sizes) — reading it is a driver-trivial scan, and
+  * pruning is a filter over it, not a listing of the data dir. The kept
+  * file list is collected to the driver exactly like every FileIndex
+  * does; [[MaxPrunedFiles]] guards the degenerate no-pruning-possible
+  * case with an actionable error instead of a silent giant plan.
+  */
+object SkippingIndex {
+
+  val StatsDir = "_graft_stats"
+
+  /** Refuse to materialize absurd kept-file lists (no-stat overlap on every
+    * file = the clustering is wrong for this predicate, not a read problem). */
+  val MaxPrunedFiles = 1000000
+
+  /** Write `df` range-clustered on `sortCol` into `nFiles` files and
+    * record per-file min/max for `statCols` in the sidecar manifest.
+    * Range clustering is what makes the stats SELECTIVE: random placement
+    * gives every file the full value range and no read can skip anything
+    * (same reason Delta pairs skipping with Z-order). Stats are computed
+    * from a read-back of the written files, so they describe exactly what
+    * a reader will see. */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      sortCol: String,
+      statCols: Seq[String],
+      nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    require(statCols.nonEmpty, "need at least one stat column")
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+    val back = df.sparkSession.read.parquet(path)
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    back.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
+  /** (kept file list, total file count) for a closed range [lo, hi] on
+    * `statCol`: a file survives iff its [min, max] interval intersects the
+    * predicate interval. An all-null-stat file drops — a column of nulls
+    * cannot satisfy a range predicate. Fails loudly when the manifest is
+    * absent (a skipping read against an unindexed table is a deployment
+    * bug, not a fallback case). */
+  def prunedFiles(
+      spark: SparkSession,
+      path: String,
+      statCol: String,
+      lo: Column,
+      hi: Column): (Seq[String], Long) = {
+    val stats =
+      try spark.read.parquet(s"$path/$StatsDir")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"no skipping manifest at $path/$StatsDir — write this table " +
+              s"with SkippingIndex.writeClustered (or read it plainly)", e)
+      }
+    val total = stats.count()
+    val kept = stats
+      .where(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    require(kept.size <= MaxPrunedFiles,
+      s"pruning kept ${kept.size} files (> $MaxPrunedFiles) — the table's " +
+        s"clustering does not discriminate on $statCol for this predicate; " +
+        s"rewrite with writeClustered(sortCol = $statCol) or read plainly")
+    (kept, total)
+  }
+
+  /** Range read through the manifest: scan ONLY the surviving files, then
+    * apply the exact residual predicate (file stats admit false positives
+    * at interval edges, never false negatives). Result is row-identical to
+    * a full-scan filter — the skipping is purely an I/O plan change. */
+  def readPruned(
+      spark: SparkSession,
+      path: String,
+      statCol: String,
+      lo: Column,
+      hi: Column): DataFrame = {
+    val (kept, _) = prunedFiles(spark, path, statCol, lo, hi)
+    val base =
+      if (kept.isEmpty)
+        spark.read.parquet(path).limit(0) // schema-preserving empty result
+      else spark.read.parquet(kept: _*)
+    base.where(col(statCol) >= lo && col(statCol) <= hi)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.tables.SkippingIndex
+import org.apache.spark.sql.functions._
+
+class SkippingIndexSpec extends SparkSpec {
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_skiptest").toString + "/t"
+
+  test("skipping read ≡ full-scan filter; manifest actually prunes files") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val path = freshDir()
+    SkippingIndex.writeClustered(li, path, "l_orderkey", Seq("l_orderkey"), nFiles = 8)
+    val (kept, total) = SkippingIndex.prunedFiles(
+      spark, path, "l_orderkey", lit(100L), lit(900L))
+    assert(total == 8, s"expected 8 data files, manifest saw $total")
+    assert(kept.nonEmpty && kept.size < total, s"kept ${kept.size} of $total")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), String.valueOf(r.get(1)), String.valueOf(r.get(2)))).sorted.toSeq
+    val pruned = rows(SkippingIndex.readPruned(spark, path, "l_orderkey", lit(100L), lit(900L)))
+    val full   = rows(spark.read.parquet(path)
+      .where(col("l_orderkey") >= 100L && col("l_orderkey") <= 900L))
+    assert(pruned == full && pruned.nonEmpty)
+  }
+
+  test("manifest dir is invisible to plain reads; empty-range read returns schema-stable empty") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val path = freshDir()
+    SkippingIndex.writeClustered(li, path, "l_orderkey", Seq("l_orderkey"), nFiles = 4)
+    // underscore-prefixed sidecar must not leak into a normal table read
+    assert(spark.read.parquet(path).count() == li.count())
+    val none = SkippingIndex.readPruned(
+      spark, path, "l_orderkey", lit(-500L), lit(-100L))
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+  }
+
+  test("reading an unindexed table through the manifest fails loudly") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey")
+    val path = freshDir()
+    li.write.parquet(path) // plain write — no manifest
+    val e = intercept[IllegalStateException] {
+      SkippingIndex.prunedFiles(spark, path, "l_orderkey", lit(0L), lit(10L))
+    }
+    assert(e.getMessage.contains("writeClustered"), e.getMessage)
+  }
+}
