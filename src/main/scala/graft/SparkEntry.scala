@@ -756,6 +756,17 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // -- robust outliers: Hampel rule on group medians ---------------------
+    // MAD flagging where zscore's mean/std would move with the outliers;
+    // both medians ride the q_median interpolation contract.
+    "q_mad_outliers" -> ((s, d) =>
+      Relational.madOutliers(
+          t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+          "l_quantity", "l_returnflag", nMads = 3.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "med", "mad", "outlier")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
     // -- binned range join: the interval-join SCALE path in the gate -------
     // 1000 deterministic overlapping bands — the regime where q_range_join's
     // broadcast nested loop stops being the right plan. Self-gating: the
@@ -2819,6 +2830,19 @@ object SparkEntry {
         "('b3', 300000, 400000), ('b4', 400000, 600000)) AS bands(band, lo, hi) " +
         "ON o_totalprice >= lo AND o_totalprice < hi " +
         "GROUP BY band ORDER BY band"),
+
+    "q_mad_outliers" ->
+      // identical two-level median + one multiply; the flag is a function
+      // of values both engines hold bit-exactly
+      ("WITH med AS (SELECT l_returnflag AS g, median(l_quantity) AS med " +
+        "FROM lineitem GROUP BY 1), " +
+        "dev AS (SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, med, " +
+        "abs(l_quantity - med) AS adev FROM lineitem JOIN med ON l_returnflag = g), " +
+        "mad AS (SELECT l_returnflag AS g2, median(adev) AS mad FROM dev GROUP BY 1) " +
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, med, mad, " +
+        "CAST(adev > 3.0 * mad AS BIGINT) AS outlier " +
+        "FROM dev JOIN mad ON l_returnflag = g2 " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"),
 
     "q_range_join_binned" ->
       // the SAME inequality join, unbinned — proves the bin rewrite is a

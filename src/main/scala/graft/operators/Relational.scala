@@ -342,6 +342,40 @@ object Relational {
     salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
   }
 
+  /** Robust per-group outlier flagging via Median Absolute Deviation —
+    * the heavy-tail-safe sibling of [[zscoreNormalize]]: mean/std both
+    * move with the outliers they're meant to find, medians don't
+    * (breakdown point 50% vs 0%). A row is flagged when
+    * `|x - median(group)| > nMads · median(|x - median(group)|)` — the
+    * classic Hampel rule. Adds (med, mad, outlier) to every non-null-group
+    * row; outlier is null when the value is null (unknown, not clean).
+    *
+    * Determinism: both medians interpolate the even-count midpoint as
+    * (a+b)/2 over exact doubles (the q_median cross-engine contract), the
+    * deviations are exact IEEE subtractions, and the flag compares
+    * `adev > nMads·mad` — one multiply, same result bit in any engine.
+    *
+    * Scale shape: two skinny (group, value) shuffles for the two medians
+    * (EXACT median buffers a group's values — at 100 TB swap both
+    * aggregations to `approx_percentile(…, 0.5)`, the columnStatsApprox
+    * precedent; plan shape is unchanged), then two broadcast joins of the
+    * per-group stat rows back to the payload — the payload never
+    * shuffles. */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      nMads: Double = 3.0): DataFrame = {
+    require(nMads > 0, s"nMads must be > 0, got $nMads")
+    val med = df.groupBy(groupCol).agg(median(col(valueCol)).as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(groupCol).agg(median(col("__adev")).as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("outlier", (col("__adev") > lit(nMads) * col("mad")).cast("long"))
+      .drop("__adev")
+  }
+
   /** Equi-bucketed interval join — the SCALE form of a range join. The
     * broadcast-nested-loop plan Spark picks for `fact JOIN dim ON v >= lo
     * AND v < hi` evaluates |fact|·|dim| predicate pairs; right for a

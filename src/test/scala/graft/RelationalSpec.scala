@@ -281,6 +281,26 @@ class RelationalSpec extends SparkSpec {
     assert(plain.length == 902)
   }
 
+  test("madOutliers: Hampel flag on a known group; null value yields null flag") {
+    import spark.implicits._
+    // group a: values 1..9 + spike 100 → med 5.5 (even count midpoint),
+    // adevs {4.5,3.5,...,0.5,0.5,...,94.5} → mad 2.5 → threshold 7.5:
+    // only the spike exceeds it. group b: constant → mad 0, nothing flagged
+    // except deviants (none).
+    val rows = ((1 to 9).map(v => ("a", Some(v.toDouble))) :+ ("a", Some(100.0)) :+
+      ("a", Option.empty[Double]) :+ ("b", Some(7.0)) :+ ("b", Some(7.0))).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = rows.toDF("id", "g", "v")
+    val out = Relational.madOutliers(df, "v", "g").collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        (Option(r.get(r.fieldIndex("outlier"))).map(_.asInstanceOf[Long]),
+          r.getDouble(r.fieldIndex("med")))).toMap
+    assert(out(9L)._1.contains(1L))                    // the spike
+    (0 to 8).foreach(i => assert(out(i.toLong)._1.contains(0L), s"row $i"))
+    assert(out(10L)._1.isEmpty)                        // null value → null flag
+    assert(out(11L)._1.contains(0L) && out(11L)._2 == 7.0)
+  }
+
   test("binnedRangeJoin equals the plain inequality join; multi-bin + overlap + edge cases") {
     import spark.implicits._
     // intervals: multi-bin spans, overlaps, a degenerate (lo == hi), an
