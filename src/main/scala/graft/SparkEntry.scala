@@ -1992,6 +1992,23 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // -- unicode canonicalization: NFC + accent strip ----------------------
+    // Accents are SYNTHESIZED identically in both engines (every 'e' gets
+    // a combining acute — decomposed NFD spelling), then: NFC must compose
+    // them (n_nfc < n_raw) and strip_accents must recover the original
+    // ASCII text — so the oracle checks real normalization work, not an
+    // ASCII no-op.
+    "q_unicode_normalize" -> ((s, d) => {
+      val acc = regexp_replace(col("text"), "e", "e\u0301") // e + combining acute (decomposed NFD)
+      t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeNfc(acc).as("nfc"),
+          TextAnalysis.stripAccents(acc).as("stripped"),
+          length(acc).cast("long").as("n_raw"),
+          length(TextAnalysis.normalizeNfc(acc)).cast("long").as("n_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // -- ExactSubstr span GEOMETRY: merged duplicate intervals -------------
     // duplicateWindowStats upgraded to WHAT to cut: cross-doc hit windows
     // merged into maximal [span_start, span_end) islands per doc.
@@ -3460,6 +3477,16 @@ object SparkEntry {
         "CAST(CAST(l_extendedprice AS DECIMAL(38,4)) AS DOUBLE) AS l_extendedprice " +
         "FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey <= 2000 " +
         "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"),
+
+    "q_unicode_normalize" ->
+      // same synthesized decomposed accents; DuckDB's utf8proc NFC /
+      // strip_accents vs the JVM Normalizer must agree char-for-char
+      ("WITH a AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS acc " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT doc_id, nfc_normalize(acc) AS nfc, strip_accents(acc) AS stripped, " +
+        "CAST(len(acc) AS BIGINT) AS n_raw, " +
+        "CAST(len(nfc_normalize(acc)) AS BIGINT) AS n_nfc " +
+        "FROM a ORDER BY doc_id"),
 
     "q_dup_spans" ->
       // same windows WITH offsets; islands via the standard gaps pass

@@ -1188,6 +1188,34 @@ object TextAnalysis {
 
   // ------------------------------------------------- canonicalization / C4
 
+  /** Unicode NFC canonicalization — composes decomposed sequences (e +
+    * U+0301 → é) so byte-level ops (exact dedup hashes, shingles,
+    * fingerprints) see ONE canonical form regardless of how upstream
+    * encoders spelled the text; without it the same sentence in NFC and
+    * NFD hashes differently and defeats exact dedup. JVM `Normalizer`
+    * implements the same Unicode normalization the external engines do
+    * (oracle-checked vs DuckDB's `nfc_normalize`). Per-row UDF — no
+    * Catalyst builtin exists; map-side only, nothing shuffles. */
+  def normalizeNfc(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    f(text)
+  }
+
+  /** Accent stripping: NFD-decompose, then drop every combining mark
+    * (`\p{M}`) — mühleisen → muhleisen, é → e, composed or decomposed
+    * input alike. The standard search/dedup-key fold for Latin-script
+    * diacritics (oracle-checked vs DuckDB's `strip_accents`); lossy by
+    * design, so it belongs in KEY derivation, not in the stored text. */
+  def stripAccents(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", ""))
+    f(text)
+  }
+
   /** Canonical text form for normalization-insensitive exact dedup: lower,
     * map every non-alphanumeric to a space, collapse whitespace runs, trim.
     * Catches the trivial mutations (case, punctuation, spacing) that defeat

@@ -563,4 +563,22 @@ class TextAnalysisSpec extends SparkSpec {
     val uniform = (1 to 50).map(i => (i.toLong, s"tok$i unique$i")).toDF("doc_id", "text")
     assert(TextAnalysis.heavyHitters(uniform, "text", support = 0.5).count() == 0L)
   }
+
+  test("normalizeNfc composes decomposed sequences; stripAccents folds both spellings; null passes") {
+    import spark.implicits._
+    val composed   = "caf\u00e9"      // e-acute as one code point
+    val decomposed = "cafe\u0301"     // e + combining acute
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "mühle"), (4L, null))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        TextAnalysis.normalizeNfc(col("t")).as("nfc"),
+        TextAnalysis.stripAccents(col("t")).as("st"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == ((composed, "cafe")))    // NFC composes; accent folds
+    assert(out(2L) == ((composed, "cafe")))    // composed input is a fixpoint
+    assert(out(3L)._2 == "muhle")              // diaeresis folds too
+    assert(out(4L) == ((null, null)))
+    // the dedup motivation: NFC makes the two spellings hash-identical
+    assert(out(1L)._1 == out(2L)._1 && composed != decomposed)
+  }
 }
