@@ -756,6 +756,20 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // -- deterministic negative sampling (implicit-feedback training) ------
+    // k non-interacted parts per sampled customer, chosen by an exact
+    // arithmetic hash both engines replay bit-for-bit — no RNG in the
+    // training-pair generator, so shards rebuild identically.
+    "q_negative_sample" -> ((s, d) => {
+      val pos = t(s, d, "orders").join(t(s, d, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey").as("user_id"), col("l_partkey").cast("long").as("item_id"))
+      Relational.negativeSample(pos, "user_id", "item_id",
+          t(s, d, "part"), "p_partkey", k = 5)
+        .orderBy("user_id", "rk")
+    }),
+
     // -- robust outliers: Hampel rule on group medians ---------------------
     // MAD flagging where zscore's mean/std would move with the outliers;
     // both medians ride the q_median interpolation contract.
@@ -2847,6 +2861,23 @@ object SparkEntry {
         "('b3', 300000, 400000), ('b4', 400000, 600000)) AS bands(band, lo, hi) " +
         "ON o_totalprice >= lo AND o_totalprice < hi " +
         "GROUP BY band ORDER BY band"),
+
+    "q_negative_sample" ->
+      // same hash, same knockout, same (hash, item) rank — % on positive
+      // operands ≡ pmod
+      ("WITH pos AS (SELECT DISTINCT o_custkey AS user_id, CAST(l_partkey AS BIGINT) AS item_id " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE o_custkey % 50 = 0), " +
+        "cand AS (SELECT u.user_id, CAST(p.p_partkey AS BIGINT) AS item_id " +
+        "FROM (SELECT DISTINCT user_id FROM pos) u, part p), " +
+        "neg AS (SELECT c.user_id, c.item_id FROM cand c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM pos WHERE pos.user_id = c.user_id AND pos.item_id = c.item_id)), " +
+        "px AS (SELECT user_id, item_id, " +
+        "(user_id * 2654435761 + item_id * 40503) % 2147483647 AS x FROM neg), " +
+        "scored AS (SELECT user_id, item_id, (x * x) % 2147483647 AS h FROM px) " +
+        "SELECT user_id, item_id, CAST(rk AS BIGINT) AS rk FROM " +
+        "(SELECT user_id, item_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY h, item_id) AS rk FROM scored) z " +
+        "WHERE rk <= 5 ORDER BY user_id, rk"),
 
     "q_mad_outliers" ->
       // identical two-level median + one multiply; the flag is a function

@@ -342,6 +342,51 @@ object Relational {
     salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
   }
 
+  /** Deterministic negative sampling for implicit-feedback / contrastive
+    * training: for every user appearing in `positives`, `k` items they did
+    * NOT interact with, chosen by a replayable arithmetic hash instead of
+    * RNG: `x = (user·2654435761 + item·(40503 + 2·salt) + salt) mod
+    * (2³¹−1)`, then MID-SQUARE `h = x² mod (2³¹−1)` — exact long
+    * arithmetic end to end (x < 2³¹ so x² < 2⁶², no overflow; ids must
+    * stay < ~10⁹ and salts moderate), so ANY engine replays the choice
+    * bit-exactly (same rationale as [[hashPrioritySample]]). The squaring
+    * is load-bearing: the linear form alone is ORDER-PRESERVING over
+    * dense id ranges (consecutive items step the hash by a constant —
+    * the "sample" degenerates to the lowest item ids, and an additive
+    * salt shifts every hash equally without re-rolling anything); x²
+    * moves ~2x·step per item step and wraps many times, scrambling
+    * consecutive ids. Salt enters the item MULTIPLIER (kept odd) so each
+    * epoch's sample is a genuinely different permutation. Output
+    * (userCol, itemCol, rk), rk 1..k by (hash asc, item asc).
+    *
+    * Plan shape: the item catalog broadcasts (recommender catalogs are
+    * dim-table-sized; for a catalog beyond broadcast, hash-filter it to a
+    * per-user candidate budget FIRST — rejection sampling — and keep this
+    * plan), users×items fan out map-side, positives knock out true
+    * interactions via left-anti, and the per-user top-k is one group-key
+    * window. Nothing but (user, item, hash) triples ever shuffles. */
+  def negativeSample(
+      positives: DataFrame,
+      userCol: String,
+      itemCol: String,
+      items: DataFrame,
+      itemKeyCol: String,
+      k: Int,
+      salt: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = positives.select(col(userCol), col(itemCol)).distinct()
+    val cand = pos.select(col(userCol)).distinct()
+      .crossJoin(broadcast(items.select(col(itemKeyCol).cast("long").as(itemCol))))
+    val neg = cand.join(pos, Seq(userCol, itemCol), "left_anti")
+      .withColumn("__x", pmod(
+        col(userCol).cast("long") * 2654435761L +
+          col(itemCol) * (40503L + 2L * salt) + salt,
+        lit(2147483647L)))
+      .withColumn("__h", pmod(col("__x") * col("__x"), lit(2147483647L)))
+      .drop("__x")
+    groupQuota(neg, userCol, k, col("__h").asc, col(itemCol).asc).drop("__h")
+  }
+
   /** Robust per-group outlier flagging via Median Absolute Deviation —
     * the heavy-tail-safe sibling of [[zscoreNormalize]]: mean/std both
     * move with the outliers they're meant to find, medians don't

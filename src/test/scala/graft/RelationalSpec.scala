@@ -281,6 +281,23 @@ class RelationalSpec extends SparkSpec {
     assert(plain.length == 902)
   }
 
+  test("negativeSample: never a positive, k per user, partitioning-invariant, salt-sensitive") {
+    import spark.implicits._
+    val pos = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
+      .toDF("user_id", "item_id")
+    val items = (10L to 29L).map(Tuple1(_)).toDF("p_partkey")
+    def run(df: org.apache.spark.sql.DataFrame, salt: Long = 0L) =
+      Relational.negativeSample(df, "user_id", "item_id", items, "p_partkey", k = 4, salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val out = run(pos)
+    val posSet = Set((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
+    out.foreach { case (u, i, _) => assert(!posSet((u, i)), s"sampled a positive ($u,$i)") }
+    assert(out.groupBy(_._1).forall(_._2.length == 4)) // 20 items, ≤2 positives → full k
+    assert(out.map(_._1).distinct.sorted == Seq(1L, 2L, 3L))
+    assert(run(pos.repartition(7)) == out)             // layout-invariant
+    assert(run(pos, salt = 99L) != out)                // salt re-rolls the choice
+  }
+
   test("madOutliers: Hampel flag on a known group; null value yields null flag") {
     import spark.implicits._
     // group a: values 1..9 + spike 100 → med 5.5 (even count midpoint),
