@@ -2111,6 +2111,32 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
+    // -- 2-D skipping: Z-order layout + multi-column manifest --------------
+    // The space-filling curve makes BOTH columns' per-file ranges narrow,
+    // so one layout serves range predicates on either or both — the reason
+    // lakehouses pair data skipping with Z-order rather than one sort key.
+    // Self-gated on each dimension pruning ALONE, then read with the AND.
+    "q_skipping_zorder" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+      val tbl  = s"$work/t"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+        .write.parquet(tbl)
+      TableManager.compactZOrder(s, tbl, "l_orderkey", "l_partkey", targetFiles = 16)
+      graft.tables.SkippingIndex.refreshStats(s, tbl, Seq("l_orderkey", "l_partkey"))
+      def keptOn(c: String, lo: Long, hi: Long) =
+        graft.tables.SkippingIndex.prunedFiles(s, tbl, c, lit(lo), lit(hi))
+      val (kA, tot) = keptOn("l_orderkey", 1000L, 4000L)
+      val (kB, _)   = keptOn("l_partkey", 100L, 400L)
+      require(kA.size < tot && kB.size < tot,
+        s"z-order manifest must prune on BOTH dimensions; kept " +
+          s"${kA.size}/$tot on l_orderkey, ${kB.size}/$tot on l_partkey")
+      graft.tables.SkippingIndex.readPrunedMulti(s, tbl, Seq(
+          ("l_orderkey", lit(1000L), lit(4000L)),
+          ("l_partkey", lit(100L), lit(400L))))
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    }),
+
     // -- batch CDC: snapshot diff -------------------------------------------
     // New snapshot derived in-plan: acctbal+50 for %13 (updates), %17 keys
     // removed (deletes), '_v2' clones under +2000000 for %29 (inserts).
@@ -3518,6 +3544,14 @@ object SparkEntry {
         "CAST(len(acc) AS BIGINT) AS n_raw, " +
         "CAST(len(nfc_normalize(acc)) AS BIGINT) AS n_nfc " +
         "FROM a ORDER BY doc_id"),
+
+    "q_skipping_zorder" ->
+      // layout + manifest are pure I/O concerns: values equal the plain
+      // two-range filter
+      ("SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_orderkey >= 1000 AND l_orderkey <= 4000 " +
+        "AND l_partkey >= 100 AND l_partkey <= 400 " +
+        "ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity"),
 
     "q_dup_spans" ->
       // same windows WITH offsets; islands via the standard gaps pass

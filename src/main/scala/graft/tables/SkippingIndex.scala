@@ -57,6 +57,66 @@ object SkippingIndex {
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
   }
 
+  /** (Re)compute the manifest over the files ALREADY at `path` — the
+    * post-layout-change hook: after [[TableManager.compactZOrder]] (or any
+    * rewrite that didn't go through [[writeClustered]]) the old per-file
+    * stats describe files that no longer exist; this rebuilds them from a
+    * read-back without touching the data. Z-order + a multi-column
+    * manifest is the 2-D skipping story: the space-filling curve makes
+    * BOTH columns' per-file ranges narrow, so range predicates on EITHER
+    * (or both) prune. */
+  def refreshStats(spark: SparkSession, path: String, statCols: Seq[String]): Unit = {
+    require(statCols.nonEmpty, "need at least one stat column")
+    val back = spark.read.parquet(path)
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    back.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
+  /** Multi-predicate pruning: a file survives only if EVERY (col, lo, hi)
+    * interval intersects that file's [min, max] — predicates AND together,
+    * so each extra clause can only shrink the kept set. */
+  def prunedFilesMulti(
+      spark: SparkSession,
+      path: String,
+      preds: Seq[(String, Column, Column)]): (Seq[String], Long) = {
+    require(preds.nonEmpty, "need at least one predicate")
+    val stats =
+      try spark.read.parquet(s"$path/$StatsDir")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"no skipping manifest at $path/$StatsDir — write this table " +
+              s"with SkippingIndex.writeClustered (or read it plainly)", e)
+      }
+    val total = stats.count()
+    val cond = preds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    val kept = stats.where(cond).select("file").collect().map(_.getString(0)).toSeq
+    require(kept.size <= MaxPrunedFiles,
+      s"pruning kept ${kept.size} files (> $MaxPrunedFiles) — the table's " +
+        s"clustering does not discriminate for this predicate; " +
+        s"re-cluster on the filtered columns or read plainly")
+    (kept, total)
+  }
+
+  /** Multi-predicate skipping read — [[readPruned]]'s AND-of-ranges form. */
+  def readPrunedMulti(
+      spark: SparkSession,
+      path: String,
+      preds: Seq[(String, Column, Column)]): DataFrame = {
+    val (kept, _) = prunedFilesMulti(spark, path, preds)
+    val base =
+      if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(kept: _*)
+    base.where(preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _))
+  }
+
   /** (kept file list, total file count) for a closed range [lo, hi] on
     * `statCol`: a file survives iff its [min, max] interval intersects the
     * predicate interval. An all-null-stat file drops — a column of nulls
@@ -68,25 +128,8 @@ object SkippingIndex {
       path: String,
       statCol: String,
       lo: Column,
-      hi: Column): (Seq[String], Long) = {
-    val stats =
-      try spark.read.parquet(s"$path/$StatsDir")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalStateException(
-            s"no skipping manifest at $path/$StatsDir — write this table " +
-              s"with SkippingIndex.writeClustered (or read it plainly)", e)
-      }
-    val total = stats.count()
-    val kept = stats
-      .where(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
-      .select("file").collect().map(_.getString(0)).toSeq
-    require(kept.size <= MaxPrunedFiles,
-      s"pruning kept ${kept.size} files (> $MaxPrunedFiles) — the table's " +
-        s"clustering does not discriminate on $statCol for this predicate; " +
-        s"rewrite with writeClustered(sortCol = $statCol) or read plainly")
-    (kept, total)
-  }
+      hi: Column): (Seq[String], Long) =
+    prunedFilesMulti(spark, path, Seq((statCol, lo, hi)))
 
   /** Range read through the manifest: scan ONLY the surviving files, then
     * apply the exact residual predicate (file stats admit false positives
@@ -97,12 +140,6 @@ object SkippingIndex {
       path: String,
       statCol: String,
       lo: Column,
-      hi: Column): DataFrame = {
-    val (kept, _) = prunedFiles(spark, path, statCol, lo, hi)
-    val base =
-      if (kept.isEmpty)
-        spark.read.parquet(path).limit(0) // schema-preserving empty result
-      else spark.read.parquet(kept: _*)
-    base.where(col(statCol) >= lo && col(statCol) <= hi)
-  }
+      hi: Column): DataFrame =
+    readPrunedMulti(spark, path, Seq((statCol, lo, hi)))
 }

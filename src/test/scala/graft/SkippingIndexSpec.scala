@@ -37,6 +37,30 @@ class SkippingIndexSpec extends SparkSpec {
     assert(none.columns.toSeq == Seq("l_orderkey", "l_quantity"))
   }
 
+  test("z-order + refreshStats: both dimensions prune; AND-read ≡ plain two-range filter") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val path = freshDir()
+    li.write.parquet(path)
+    graft.tables.TableManager.compactZOrder(spark, path, "l_orderkey", "l_partkey", targetFiles = 8)
+    SkippingIndex.refreshStats(spark, path, Seq("l_orderkey", "l_partkey"))
+    val (kA, tot) = SkippingIndex.prunedFiles(spark, path, "l_orderkey", lit(1L), lit(600L))
+    val (kB, _)   = SkippingIndex.prunedFiles(spark, path, "l_partkey", lit(1L), lit(50L))
+    assert(kA.size < tot, s"orderkey kept ${kA.size}/$tot")
+    assert(kB.size < tot, s"partkey kept ${kB.size}/$tot")
+    val preds = Seq(("l_orderkey", lit(1L), lit(600L)), ("l_partkey", lit(1L), lit(50L)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), String.valueOf(r.get(1)), String.valueOf(r.get(2))))
+        .sorted.toSeq
+    val pruned = rows(SkippingIndex.readPrunedMulti(spark, path, preds))
+    val full = rows(spark.read.parquet(path).where(
+      col("l_orderkey").between(1L, 600L) && col("l_partkey").between(1L, 50L)))
+    assert(pruned == full && pruned.nonEmpty)
+    // the AND keeps at most what either dimension keeps alone
+    val (kAB, _) = SkippingIndex.prunedFilesMulti(spark, path, preds)
+    assert(kAB.size <= math.min(kA.size, kB.size))
+  }
+
   test("reading an unindexed table through the manifest fails loudly") {
     val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey")
     val path = freshDir()
