@@ -439,22 +439,37 @@ object Relational {
     * half-open [lo, hi); degenerate (null / lo >= hi) intervals drop. The
     * upper bin is `floor(hi / binWidth)` even when `hi` lands exactly on a
     * bin edge — at most one empty-bin replica per interval, filtered by
-    * the residual, in exchange for no float edge-case arithmetic. */
+    * the residual, in exchange for no float edge-case arithmetic.
+    *
+    * `maxBinsPerInterval` is a loud guard, not a tuning knob: ONE interval
+    * spanning millions of bins (a mis-set binWidth, or an outlier
+    * [0, 10⁹) catch-all band) would explode into that many replicas inside
+    * a single task — the failure is an executor OOM with no actionable
+    * message. The guard raises per-row with the offending interval
+    * instead; widen binWidth (or split the outlier band) and rerun. */
   def binnedRangeJoin(
       fact: DataFrame,
       valueCol: String,
       dim: DataFrame,
       loCol: String,
       hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double,
+      maxBinsPerInterval: Int = 65536): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     val factB = fact.where(col(valueCol).isNotNull)
       .withColumn("__bin", floor(col(valueCol).cast("double") / binWidth).cast("long"))
+    val loBin = floor(col(loCol).cast("double") / binWidth).cast("long")
+    val hiBin = floor(col(hiCol).cast("double") / binWidth).cast("long")
     val dimB = dim
       .where(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) < col(hiCol))
-      .withColumn("__bin", explode(sequence(
-        floor(col(loCol).cast("double") / binWidth).cast("long"),
-        floor(col(hiCol).cast("double") / binWidth).cast("long"))))
+      .withColumn("__binspan",
+        when(hiBin - loBin < maxBinsPerInterval, hiBin - loBin)
+          .otherwise(raise_error(concat(
+            lit(s"binnedRangeJoin: interval ["), col(loCol), lit(", "), col(hiCol),
+            lit(s") spans more than $maxBinsPerInterval bins at binWidth=$binWidth — " +
+              "widen binWidth or split the outlier band")))))
+      .withColumn("__bin", explode(sequence(loBin, loBin + col("__binspan"))))
+      .drop("__binspan")
     factB.join(dimB, Seq("__bin"))
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")

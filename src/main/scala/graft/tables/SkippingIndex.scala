@@ -93,6 +93,20 @@ object SkippingIndex {
               s"with SkippingIndex.writeClustered (or read it plainly)", e)
       }
     val total = stats.count()
+    // STALENESS GUARD: a file appended (or rewritten) after the manifest
+    // was built is invisible to pruning — the read would silently MISS its
+    // rows, which is a correctness bug, not a performance one. The data
+    // dir's actual parquet file count must match the manifest exactly;
+    // on drift, fail with the fix (refreshStats) instead of lying.
+    val actual = {
+      val p  = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet"))
+    }
+    require(actual == total,
+      s"skipping manifest at $path/$StatsDir is STALE: it describes $total " +
+        s"files but the table has $actual — run SkippingIndex.refreshStats " +
+        s"after any append/rewrite that bypassed writeClustered")
     val cond = preds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)

@@ -298,6 +298,17 @@ class RelationalSpec extends SparkSpec {
     assert(run(pos, salt = 99L) != out)                // salt re-rolls the choice
   }
 
+  test("binnedRangeJoin: an interval spanning too many bins fails loudly, not OOM") {
+    import spark.implicits._
+    val dim  = Seq(("catchall", 0.0, 1e9)).toDF("band", "lo", "hi")
+    val fact = Seq((1L, 5.0)).toDF("id", "v")
+    val e = intercept[Exception] { // SparkRuntimeException (USER_RAISED_EXCEPTION)
+      Relational.binnedRangeJoin(fact, "v", dim, "lo", "hi",
+        binWidth = 1.0, maxBinsPerInterval = 1000).collect()
+    }
+    assert(e.getMessage.contains("widen binWidth"), e.getMessage)
+  }
+
   test("madOutliers: Hampel flag on a known group; null value yields null flag") {
     import spark.implicits._
     // group a: values 1..9 + spike 100 → med 5.5 (even count midpoint),

@@ -61,6 +61,23 @@ class SkippingIndexSpec extends SparkSpec {
     assert(kAB.size <= math.min(kA.size, kB.size))
   }
 
+  test("stale manifest (file appended after stats) fails loudly naming refreshStats") {
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val path = freshDir()
+    SkippingIndex.writeClustered(li, path, "l_orderkey", Seq("l_orderkey"), nFiles = 4)
+    // sneak a file in behind the manifest's back
+    li.limit(10).coalesce(1).write.mode("append").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      SkippingIndex.prunedFiles(spark, path, "l_orderkey", lit(0L), lit(10L))
+    }
+    assert(e.getMessage.contains("STALE") && e.getMessage.contains("refreshStats"), e.getMessage)
+    // refreshStats heals it
+    SkippingIndex.refreshStats(spark, path, Seq("l_orderkey"))
+    val (_, total) = SkippingIndex.prunedFiles(spark, path, "l_orderkey", lit(0L), lit(10L))
+    assert(total == 5)
+  }
+
   test("reading an unindexed table through the manifest fails loudly") {
     val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey")
     val path = freshDir()
