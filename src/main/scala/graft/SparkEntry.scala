@@ -1140,6 +1140,32 @@ object SparkEntry {
         .orderBy("rel_path")
     }),
 
+    // -- north-star: perceptual-hash image near-dedup ----------------------
+    // LAION-shape image dedup: each fixture image plus a brightness-shifted
+    // re-encode (every byte differs; the dHash barely moves) run through
+    // banded near-dup grouping. Rows-only by contract (no SQL engine
+    // decodes JPEGs); PerceptualSpec proves shifted copies group with
+    // their originals and distinct images keep distinct groups. The
+    // in-query require makes the driver gate itself fail if recall breaks.
+    "q_image_phash" -> ((s, _) => {
+      val dir  = ImageFixtures.shared()
+      val base = ImagePipeline.readBinaryImages(s, dir)
+        .select(regexp_extract(col("path"), "(flower_photos/.*)$", 1).as("img_id"),
+          col("content"))
+      val shifted = base.select(concat(col("img_id"), lit("#b")).as("img_id"),
+        ImageUdfs.brightnessShift(col("content"), lit(8)).as("content"))
+      val out = graft.image.Perceptual
+        .nearDupGroups(base.unionByName(shifted), "content", "img_id",
+          maxHamming = 6, bands = 8) // 8×8-bit bands: JPEG re-encode noise headroom
+        .select(col("img_id"), col("phash"), col("rep"))
+        .localCheckpoint(true) // grouped twice below: hash images once
+      val nPaired = out.where(col("rep") =!= col("img_id")).count()
+      val nSrc    = out.where(!col("img_id").endsWith("#b")).count()
+      require(nPaired >= nSrc / 2,
+        s"phash near-dup recall collapsed: only $nPaired of ~$nSrc shifted copies paired")
+      out.orderBy("img_id")
+    }),
+
     // -- S6+S9 micro-batch file stream → stateless transform → append sink
     // (batch-equivalence self-checked in StreamingSpec — no SQL oracle)
     "q_stream_inference" -> ((s, d) => {
@@ -1624,6 +1650,25 @@ object SparkEntry {
       graft.tables.FormatIO.writeOrc(src, dir)
       val back = graft.tables.FormatIO.readOrc(s, dir, src.schema)
       back.orderBy(src.columns.map(col).toIndexedSeq: _*)
+    }),
+
+    // -- north-star: WebDataset-style tar shard export + scan --------------
+    // documents → `<doc_id>.txt` members packed into hash-assigned ustar
+    // shards, scanned back via binaryFile + the in-task parser. The oracle
+    // is the base table itself — equality proves the archive bytes round-
+    // trip every document (incl. empty and multi-byte UTF-8 texts) and
+    // that member↔row is a bijection.
+    "q_tar_roundtrip" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_tar").toString + "/shards"
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(format_string("%012d.txt", col("doc_id")).as("member"),
+          encode(col("text"), "UTF-8").as("payload"))
+      graft.sources.TarShards.writeShards(docs, "member", "payload", work, nShards = 8)
+      graft.sources.TarShards.readShards(s, work)
+        .select(regexp_extract(col("member"), "([0-9]+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("content"), "UTF-8").as("text"))
+        .orderBy("doc_id")
     }),
 
     // -- north-star: Gopher-rule composite quality filter ------------------
@@ -3212,6 +3257,11 @@ object SparkEntry {
       ("SELECT * FROM lineitem ORDER BY l_orderkey, l_partkey, l_suppkey, " +
         "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, " +
         "l_returnflag, l_linestatus, l_shipdate"),
+
+    // tar-shard round-trip: oracle is the base table — equality proves the
+    // ustar encode → binaryFile scan → parse pipeline loses nothing
+    "q_tar_roundtrip" ->
+      "SELECT doc_id, text FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
 
     "q_gopher_filter" ->
       (s"WITH g AS (SELECT doc_id, $tokensSql AS tk, " +

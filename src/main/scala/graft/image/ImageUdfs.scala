@@ -45,6 +45,10 @@ object ImageUdfs {
     udf((b: Array[Byte], side: Int, seed: Long) =>
       if (b == null) null else Kernels.randomCropFlipJpg(b, side, seed))
 
+  /** Deterministic near-duplicate generator (uniform brightness shift). */
+  val brightnessShift: UserDefinedFunction =
+    udf((b: Array[Byte], delta: Int) => if (b == null) null else Kernels.brightnessShiftJpg(b, delta))
+
   /** Decoded-pixel checksum (test/verification helper — SURVEY §5 hazard 4). */
   val pixelChecksum: UserDefinedFunction =
     udf((b: Array[Byte]) =>

@@ -163,6 +163,28 @@ object Kernels {
     encodeJpg(outImg)
   }
 
+  /** Uniform brightness shift (each channel +delta, clamped to [0,255]),
+    * re-encoded as JPEG — a deterministic "near-duplicate generator" for
+    * the perceptual-hash pipeline: every output byte differs from the
+    * input, but luma GRADIENTS are preserved except at clamp saturation,
+    * so the dHash moves by at most a few bits. */
+  def brightnessShiftJpg(bytes: Array[Byte], delta: Int): Array[Byte] = {
+    val src = toType(decode(bytes), BufferedImage.TYPE_3BYTE_BGR)
+    val w   = src.getWidth
+    val h   = src.getHeight
+    val rgbs = src.getRGB(0, 0, w, h, null, 0, w)
+    var p = 0
+    while (p < rgbs.length) {
+      val rgb = rgbs(p)
+      def c(v: Int) = math.min(255, math.max(0, v + delta))
+      rgbs(p) = (c((rgb >> 16) & 0xff) << 16) | (c((rgb >> 8) & 0xff) << 8) | c(rgb & 0xff)
+      p += 1
+    }
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    out.setRGB(0, 0, w, h, rgbs, 0, w)
+    encodeJpg(out)
+  }
+
   /** Decoded grayscale pixel checksum — for tests/queries that must compare
     * image results without depending on encoder byte-stability (SURVEY.md §5
     * hazard 4: assert on decoded pixels, never encoded bytes). */

@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TarShardsSpec extends SparkSpec {
+
+  import scala.sys.process._
+
+  private def mkDocs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val text = i % 7 match {
+        case 0 => "" // empty payload: zero data blocks
+        case 1 => "unicode ✓ 中文 émoji " * (i % 5 + 1)
+        case _ => s"doc $i body " * (i % 97 + 1) // crosses 512-byte blocks
+      }
+      (f"$i%012d.txt", text.getBytes(StandardCharsets.UTF_8), i.toLong, text)
+    }.toDF("member", "payload", "id", "text")
+  }
+
+  test("shard round-trip is lossless and shard assignment is deterministic") {
+    val docs = mkDocs(200).cache()
+    val dir1 = Files.createTempDirectory("graft_tar_a").toString + "/s"
+    val dir2 = Files.createTempDirectory("graft_tar_b").toString + "/s"
+    TarShards.writeShards(docs, "member", "payload", dir1, nShards = 5)
+    TarShards.writeShards(docs.repartition(11), "member", "payload", dir2, nShards = 5)
+
+    val back = TarShards.readShards(spark, dir1)
+      .select(regexp_extract(col("member"), "([0-9]+)\\.txt$", 1).cast("long").as("id"),
+        decode(col("content"), "UTF-8").as("text"))
+    val diff = back.union(docs.select("id", "text"))
+      .groupBy("id", "text").count().where(col("count") =!= 2)
+    assert(diff.count() == 0, "round-tripped rows differ from the source")
+
+    // byte-determinism: same rows → same shard bytes, regardless of the
+    // input partitioning (hash assignment + intra-shard sort)
+    val files1 = new java.io.File(dir1).listFiles().filter(_.getName.endsWith(".tar"))
+      .sortBy(_.getName)
+    val files2 = new java.io.File(dir2).listFiles().filter(_.getName.endsWith(".tar"))
+      .sortBy(_.getName)
+    assert(files1.map(_.getName).toSeq == files2.map(_.getName).toSeq)
+    files1.zip(files2).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(Files.readAllBytes(a.toPath), Files.readAllBytes(b.toPath)),
+        s"${a.getName} bytes differ across runs")
+    }
+    assert(files1.forall(f => !f.getName.contains("tmp")), "tmp files leaked")
+  }
+
+  test("shards are standard archives readable by GNU tar") {
+    val docs = mkDocs(40)
+    val dir  = Files.createTempDirectory("graft_tar_gnu").toString + "/s"
+    TarShards.writeShards(docs, "member", "payload", dir, nShards = 2)
+    val shard = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar")).head
+    // cross-implementation check: GNU tar must list every member (it
+    // validates magic + checksum on the way)
+    val listed = Seq("tar", "-tf", shard.getAbsolutePath).!!.split("\n").filter(_.nonEmpty).toSet
+    val expected = TarShards.readShards(spark, dir)
+      .where(col("shard") === shard.getName)
+      .select("member").collect().map(_.getString(0)).toSet
+    assert(listed == expected, "GNU tar listing disagrees with our parser")
+    // and payloads must extract byte-identical
+    val work = Files.createTempDirectory("graft_tar_x").toFile
+    assert(Seq("tar", "-xf", shard.getAbsolutePath, "-C", work.getAbsolutePath).! == 0)
+    val member = expected.toSeq.sorted.last
+    val extracted = Files.readAllBytes(new java.io.File(work, member).toPath)
+    val ours = TarShards.readShards(spark, dir)
+      .where(col("member") === member).select("content")
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(extracted, ours))
+  }
+
+  test("truncated shard fails loudly, not with partial rows") {
+    val docs = mkDocs(10)
+    val dir  = Files.createTempDirectory("graft_tar_tr").toString + "/s"
+    TarShards.writeShards(docs, "member", "payload", dir, nShards = 1)
+    val shard = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar")).head
+    val bytes = Files.readAllBytes(shard.toPath)
+    Files.write(shard.toPath, java.util.Arrays.copyOf(bytes, bytes.length - 1536))
+    val ex = intercept[Exception] {
+      TarShards.readShards(spark, dir).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("member names over 100 bytes are rejected with a clear error") {
+    val ex = intercept[IllegalArgumentException] {
+      TarShards.memberBytes("x" * 101, Array.emptyByteArray)
+    }
+    assert(ex.getMessage.contains("too long"))
+  }
+}
