@@ -2182,6 +2182,23 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
     }),
 
+    // -- metadata-only aggregation from the skipping manifest --------------
+    // The Delta/Iceberg "min/max/count from the log" fast path: the
+    // aggregate is answered entirely from the per-file manifest (one row
+    // per file; data files never open — SkippingIndexSpec proves it by
+    // corrupting them first). Oracle is the same aggregate as a full
+    // table scan — equality proves exact mergeability of the file stats.
+    "q_stats_pushdown" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_statsagg").toString
+      val tbl  = s"$work/t"
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+      graft.tables.SkippingIndex.writeClustered(
+        t(s, d, "lineitem").select(cols.map(col): _*),
+        tbl, "l_orderkey", cols, nFiles = 16)
+      graft.tables.SkippingIndex.statsOnlyAggregate(s, tbl, cols)
+        .orderBy("column")
+    }),
+
     // -- batch CDC: snapshot diff -------------------------------------------
     // New snapshot derived in-plan: acctbal+50 for %13 (updates), %17 keys
     // removed (deletes), '_v2' clones under +2000000 for %29 (inserts).
@@ -3602,6 +3619,15 @@ object SparkEntry {
         "WHERE l_orderkey >= 1000 AND l_orderkey <= 4000 " +
         "AND l_partkey >= 100 AND l_partkey <= 400 " +
         "ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity"),
+
+    // manifest-only aggregate must equal the full-scan aggregate
+    "q_stats_pushdown" ->
+      (Seq("l_extendedprice", "l_orderkey", "l_quantity").map(c =>
+        s"SELECT '$c' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"CAST(COUNT($c) AS BIGINT) AS n_notnull, " +
+          s"CAST(MIN($c) AS DOUBLE) AS min_d, CAST(MAX($c) AS DOUBLE) AS max_d " +
+          "FROM lineitem").mkString(" UNION ALL ") +
+        " ORDER BY \"column\""),
 
     "q_dup_spans" ->
       // same windows WITH offsets; islands via the standard gaps pass

@@ -48,14 +48,18 @@ object SkippingIndex {
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
-    val back = df.sparkSession.read.parquet(path)
-    val aggs = statCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    back.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+    refreshStats(df.sparkSession, path, statCols)
   }
+
+  /** Per-file stat aggregates: min/max (pruning) + row/non-null counts
+    * (metadata-only aggregation) per stat column. All four are exactly
+    * mergeable across files — the property [[statsOnlyAggregate]] relies
+    * on. Sums are deliberately absent: a per-file double sum depends on
+    * intra-file ordering and would make the manifest non-reproducible. */
+  private def statAggs(statCols: Seq[String]): Seq[Column] =
+    count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"cnt_$c")))
 
   /** (Re)compute the manifest over the files ALREADY at `path` — the
     * post-layout-change hook: after [[TableManager.compactZOrder]] (or any
@@ -67,23 +71,44 @@ object SkippingIndex {
     * (or both) prune. */
   def refreshStats(spark: SparkSession, path: String, statCols: Seq[String]): Unit = {
     require(statCols.nonEmpty, "need at least one stat column")
-    val back = spark.read.parquet(path)
-    val aggs = statCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    back.groupBy(input_file_name().as("file"))
+    val aggs = statAggs(statCols)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
   }
 
-  /** Multi-predicate pruning: a file survives only if EVERY (col, lo, hi)
-    * interval intersects that file's [min, max] — predicates AND together,
-    * so each extra clause can only shrink the kept set. */
-  def prunedFilesMulti(
-      spark: SparkSession,
-      path: String,
-      preds: Seq[(String, Column, Column)]): (Seq[String], Long) = {
-    require(preds.nonEmpty, "need at least one predicate")
+  /** Metadata-only aggregation: MIN/MAX/COUNT per stat column answered
+    * entirely from the manifest — the data files are never opened (the
+    * Delta/Iceberg "SELECT min(x), max(x), count(*)" log-only fast path).
+    * Per-file min/max/count merge exactly (min-of-mins, max-of-maxes,
+    * sum-of-counts), so the result is row-identical to the full scan; at
+    * 100 TB this turns a table-wide scan into a manifest read of one row
+    * per file. min/max are reported as DOUBLE via try_cast (null for
+    * non-numeric stat columns). Same staleness guard as pruning reads —
+    * a manifest that drifted from the data dir must fail, not answer. */
+  def statsOnlyAggregate(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val stats = loadManifest(spark, path)
+    cols.foreach(c => require(stats.columns.contains(s"min_$c"),
+      s"column $c is not in the skipping manifest at $path/$StatsDir — " +
+        "rebuild with refreshStats including it"))
+    val aggs = sum(col("n_rows")).cast("long").as("__n") +: cols.flatMap(c => Seq(
+      sum(col(s"cnt_$c")).cast("long").as(s"__${c}__cnt"),
+      min(expr(s"try_cast(`min_$c` AS DOUBLE)")).as(s"__${c}__min"),
+      max(expr(s"try_cast(`max_$c` AS DOUBLE)")).as(s"__${c}__max")))
+    val one = stats.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map(c => struct(
+      lit(c).as("column"), col("__n").as("n_rows"),
+      col(s"__${c}__cnt").as("n_notnull"),
+      col(s"__${c}__min").as("min_d"), col(s"__${c}__max").as("max_d")))
+    one.select(explode(array(perCol: _*)).as("s")).select(col("s.*"))
+  }
+
+  /** Manifest read shared by pruning and metadata-only aggregation:
+    * loud on absence, loud on staleness (see [[prunedFilesMulti]]). */
+  private def loadManifest(spark: SparkSession, path: String): DataFrame = {
     val stats =
       try spark.read.parquet(s"$path/$StatsDir")
       catch {
@@ -94,10 +119,9 @@ object SkippingIndex {
       }
     val total = stats.count()
     // STALENESS GUARD: a file appended (or rewritten) after the manifest
-    // was built is invisible to pruning — the read would silently MISS its
-    // rows, which is a correctness bug, not a performance one. The data
-    // dir's actual parquet file count must match the manifest exactly;
-    // on drift, fail with the fix (refreshStats) instead of lying.
+    // was built is invisible here — answering from a stale manifest would
+    // silently MISS rows, a correctness bug. The data dir's parquet file
+    // count must match the manifest exactly; on drift, fail with the fix.
     val actual = {
       val p  = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,6 +131,19 @@ object SkippingIndex {
       s"skipping manifest at $path/$StatsDir is STALE: it describes $total " +
         s"files but the table has $actual — run SkippingIndex.refreshStats " +
         s"after any append/rewrite that bypassed writeClustered")
+    stats
+  }
+
+  /** Multi-predicate pruning: a file survives only if EVERY (col, lo, hi)
+    * interval intersects that file's [min, max] — predicates AND together,
+    * so each extra clause can only shrink the kept set. */
+  def prunedFilesMulti(
+      spark: SparkSession,
+      path: String,
+      preds: Seq[(String, Column, Column)]): (Seq[String], Long) = {
+    require(preds.nonEmpty, "need at least one predicate")
+    val stats = loadManifest(spark, path)
+    val total = stats.count()
     val cond = preds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)

@@ -78,6 +78,34 @@ class SkippingIndexSpec extends SparkSpec {
     assert(total == 5)
   }
 
+  test("statsOnlyAggregate ≡ full-scan aggregate, handles nulls, and never opens data files") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.5), (2L, null), (3L, -2.0), (4L, 7.25), (5L, null), (6L, 0.0))
+      .toDF("k", "v")
+    val path = freshDir()
+    SkippingIndex.writeClustered(df, path, "k", Seq("k", "v"), nFiles = 3)
+    def asMap(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    val stats = asMap(SkippingIndex.statsOnlyAggregate(spark, path, Seq("k", "v")))
+    assert(stats("k") == ((6L, 6L, Some(1.0), Some(6.0))))
+    assert(stats("v") == ((6L, 4L, Some(-2.0), Some(10.5))))
+    // metadata-only proof: corrupt every data file (names survive, so the
+    // staleness guard still matches) — a scan would now crash, the
+    // manifest answer must not change
+    new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "not parquet".getBytes)
+    }
+    intercept[Exception] { spark.read.parquet(path).count() }
+    assert(asMap(SkippingIndex.statsOnlyAggregate(spark, path, Seq("k", "v"))) == stats)
+    // asking for a column the manifest doesn't carry fails actionably
+    val e = intercept[IllegalArgumentException] {
+      SkippingIndex.statsOnlyAggregate(spark, path, Seq("missing"))
+    }
+    assert(e.getMessage.contains("refreshStats"), e.getMessage)
+  }
+
   test("reading an unindexed table through the manifest fails loudly") {
     val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey")
     val path = freshDir()
