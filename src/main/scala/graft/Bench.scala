@@ -60,11 +60,16 @@ object Bench {
       // a failed query must not read as a fast success: report -1
       dt
     }
+    // optional comma-separated name filter (local perf iteration only; the
+    // driver never sets it, so round benches always cover the full set)
+    val onlyQ = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // stable alphabetical order: per-round BENCH numbers stay comparable
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.err.println(s"[bench] running $name") // progress marker (untimed)
-      (name, fn, timeOne(name, fn))
-    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => onlyQ.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        System.err.println(s"[bench] running $name") // progress marker (untimed)
+        (name, fn, timeOne(name, fn))
+      }
     // Noise-robust outlier re-measure: this host is co-tenant VM hardware
     // with intermittent near-total CPU-steal windows (measured: a contention
     // burst mid-run inflated one alphabetical stretch 50-300× while queries

@@ -2311,6 +2311,55 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // -- fractional contamination severity (GPT-3 appendix-C measure) ------
+    // Per train doc: share of its distinct 3-grams present in the eval
+    // set. Gram totals are map-side (size of the shingle array, zero
+    // shuffle); only Bloom-pruned hit candidates shuffle (exact confirm
+    // join discards false positives) — result exact, oracle-checked.
+    "q_contamination_frac" -> ((s, d) =>
+      TextAnalysis.contaminationFraction(t(s, d, "documents"), "text", "doc_id",
+          isEval = col("doc_id") % 10 === 0, n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // -- HTML → text extraction (crawl-corpus front door) ------------------
+    // Deterministic HTML synthesized around each doc's text (script/style
+    // with content, comments, entities, nested tags), then extracted with
+    // the pure-Column regexp chain. Oracle runs the IDENTICAL chain in
+    // DuckDB — char-for-char agreement across engines.
+    "q_html_extract" -> ((s, d) =>
+      t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), concat(
+          lit("<html><head><style>p { color: red; }</style>" +
+            "<script type=\"text/javascript\">if (1 < 2) { alert(\"x&y\"); }</script>" +
+            "</head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1>\n<p>"), substring(col("text"), 1, 80),
+          lit("</p><!-- hidden --> <div>tail &amp; more &lt;b&gt; &quot;q&quot;&nbsp;end</div></body></html>"))
+          .as("html"))
+        .select(col("doc_id"), TextAnalysis.htmlExtract(col("html")).as("clean"))
+        .orderBy("doc_id")),
+
+    // -- sentence segmentation (posexplode with stable ordinals) -----------
+    // Regex in the Java∩RE2 subset (no lookbehind — RE2 lacks it): maximal
+    // runs of non-terminators plus their trailing terminators, trimmed,
+    // empties dropped. The fixture text carries no punctuation, so
+    // terminators are synthesized deterministically first (the q_pii_scrub
+    // pattern) — the split then produces real multi-sentence output.
+    // Map-side generate; the ordinal is the in-doc position.
+    "q_sentence_split" -> ((s, d) =>
+      t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          replace(replace(replace(col("text"),
+            lit("table"), lit("table.")),
+            lit("fast"), lit("fast!")),
+            lit("value"), lit("value?")).as("marked"))
+        .select(col("doc_id"), posexplode(expr(
+          "filter(transform(regexp_extract_all(marked, '[^.!?]+[.!?]*', 0), " +
+            "x -> trim(x)), x -> x != '')")).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"), col("sentence"))
+        .orderBy("doc_id", "sent_idx")),
+
     // -- crawl-frontier URL canonicalization + dedup ------------------------
     // Four in-plan variants of each logical URL (case, tracking params,
     // param order, fragment, trailing slash); canonical forms collapse and
@@ -3786,6 +3835,51 @@ object SparkEntry {
         "AS n_shared FROM tg GROUP BY doc_id) " +
         "SELECT doc_id, n_shared, CAST(n_shared < 3 AS BIGINT) AS kept " +
         "FROM sh ORDER BY doc_id"),
+
+    "q_contamination_frac" ->
+      // per-train-doc distinct grams, eval-hit count, rounded ratio —
+      // identical CTE skeleton to q_decontaminate_drop
+      ("WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS is_eval, " +
+        s"$tokensSql AS tk FROM documents WHERE text IS NOT NULL), " +
+        s"grams AS (SELECT doc_id, is_eval, unnest(${shinglesSql(3)}) AS gram FROM toks), " +
+        "ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval), " +
+        "tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE NOT is_eval), " +
+        "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+        "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM ev WHERE ev.gram = tg.gram) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_shared FROM tg GROUP BY doc_id) " +
+        "SELECT doc_id, n_grams, n_shared, " +
+        "ROUND(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS overlap_frac " +
+        "FROM agg ORDER BY doc_id"),
+
+    "q_html_extract" ->
+      // identical synthesis + extraction chain; DuckDB regexp_replace needs
+      // the explicit 'g' flag (Spark's is always global)
+      ("WITH h AS (SELECT doc_id, '<html><head><style>p { color: red; }</style>" +
+        "<script type=\"text/javascript\">if (1 < 2) { alert(\"x&y\"); }</script>" +
+        "</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || " +
+        "'<p>' || substring(text, 1, 80) || '</p><!-- hidden --> <div>tail &amp; more " +
+        "&lt;b&gt; &quot;q&quot;&nbsp;end</div></body></html>' AS html " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g'), '(?s)<[^>]+>', ' ', 'g') AS t FROM h), " +
+        "e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t, " +
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', chr(39)), '&amp;', '&') AS t FROM s1) " +
+        "SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean " +
+        "FROM e ORDER BY doc_id"),
+
+    "q_sentence_split" ->
+      ("WITH m AS (SELECT doc_id, replace(replace(replace(text, " +
+        "'table', 'table.'), 'fast', 'fast!'), 'value', 'value?') AS marked " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "l AS (SELECT doc_id, list_filter(list_transform(" +
+        "regexp_extract_all(marked, '[^.!?]+[.!?]*'), x -> trim(x)), x -> x != '') AS sents " +
+        "FROM m) " +
+        "SELECT doc_id, i AS sent_idx, sents[CAST(i AS INT) + 1] AS sentence " +
+        "FROM l, UNNEST(range(0, len(sents))) AS t(i) " +
+        "ORDER BY doc_id, sent_idx"),
 
     "q_url_canonical" ->
       // identical regexp splits (RE2-safe), tracking-param filter, and

@@ -624,6 +624,87 @@ object TextAnalysis {
     out
   }
 
+  /** Fractional contamination score per TRAIN document — the GPT-3 appendix
+    * C measure: what fraction of a training doc's distinct word n-grams
+    * also appear in the eval/benchmark set. [[decontaminateDrop]] answers
+    * the binary keep/drop question; this grades SEVERITY (a doc quoting one
+    * benchmark sentence scores 0.02, a verbatim copy scores 1.0), which is
+    * what a contamination-budget policy thresholds on.
+    *
+    * Plan shape (100 TB): the per-doc gram total is `size(shingles)` —
+    * computed MAP-SIDE, zero shuffle — so the only shuffled stream is the
+    * Bloom-pruned hit candidates (the [[contaminationBloom]] asymmetric
+    * discipline: eval is tiny by contract, its gram set broadcasts as a
+    * Bloom filter, and only possible hits cross the wire for the exact
+    * confirm join). Result is exact — the Bloom only prunes.
+    *
+    * Output: (id, n_grams, n_shared, overlap_frac) for every train doc
+    * with ≥1 gram; frac = round(n_shared / n_grams, 6) in identical
+    * double-operation order on both engines. */
+  def contaminationFraction(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      isEval: Column,
+      n: Int,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = docs.sparkSession
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__text"), isEval.as("__is_eval"))
+    val evalGramSet = base.where(col("__is_eval"))
+      .select(explode(Dedup.wordShinglesUdf(n)(col("__text"))).as("gram"))
+      .distinct().persist()
+    val nEvalGrams = evalGramSet.count()
+    val bloomBc = spark.sparkContext.broadcast(
+      evalGramSet.stat.bloomFilter("gram", math.max(nEvalGrams, 1L), fpp))
+    val mightHit = udf((g: String) => bloomBc.value.mightContainString(g))
+    val train = base.where(!col("__is_eval"))
+      .select(col("id"), Dedup.wordShinglesUdf(n)(col("__text")).as("__grams"))
+      .where(size(col("__grams")) > 0)
+      .persist() // two consumers: map-side totals + the hit-candidate explode
+    val totals = train.select(col("id"), size(col("__grams")).cast("long").as("n_grams"))
+    val shared = train
+      .select(col("id"), explode(col("__grams")).as("gram"))
+      .where(mightHit(col("gram")))
+      .join(evalGramSet, Seq("gram")) // exact confirm: false positives drop
+      .groupBy("id").agg(count(lit(1)).cast("long").as("n_shared"))
+    val out = totals.join(shared, Seq("id"), "left_outer")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6))
+      .localCheckpoint()
+    train.unpersist(false)
+    evalGramSet.unpersist(false)
+    out
+  }
+
+  /** HTML → text extraction — the step a crawl-derived corpus runs BEFORE
+    * every quality/dedup operator in this file (C4/RefinedWeb start from
+    * WET/WARC HTML). Deliberately a pure `Column` regexp/replace chain —
+    * whole-stage-codegen'd, no UDF, and expressible verbatim in any other
+    * engine (the oracle runs the identical chain):
+    * script/style blocks (with their CONTENT) → comments → all tags →
+    * named-entity decode (`&amp;` LAST — the standard double-decode rule)
+    * → whitespace collapse + trim. Patterns stay in the Java∩RE2 regex
+    * subset (inline `(?is)` flags, lazy `.*?`, no lookaround). This is the
+    * tag-stripping core, not a DOM parser: malformed nesting degrades
+    * gracefully (identically in every engine) rather than erroring. */
+  def htmlExtract(html: Column): Column = {
+    val stripped = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "(?s)<[^>]+>")
+      .foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    // & last: "&amp;lt;" must decode to "&lt;", not "<"
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(stripped) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Build a frequency-ranked vocabulary over a corpus: one row per token
     * with its corpus count and a dense 0-based `vocab_id` assigned by
     * (count DESC, token ASC) — the conventional id order (id 0 = most

@@ -198,6 +198,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("contaminationFraction: exact severity ratios; sloppy bloom never shows through") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),              // eval
+      (1L, "alpha beta gamma delta epsilon"),      // train: 2 of 3 grams shared
+      (2L, "alpha beta gamma"),                    // train: 1 of 1 shared (full copy)
+      (3L, "totally different words entirely ok"), // train: 0 shared
+      (4L, "xy"),                                  // train: sub-n doc = 1 whole-doc gram
+      (5L, null: String)).toDF("doc_id", "text")   // train: null text → absent
+    for (fpp <- Seq(0.01, 0.5)) { // fpp 0.5 floods false positives at the confirm join
+      val out = TextAnalysis.contaminationFraction(docs, "text", "doc_id",
+          isEval = col("doc_id") === 0L, n = 3, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(out(1L) == ((3L, 2L, 0.666667)), s"fpp=$fpp: ${out(1L)}")
+      assert(out(2L) == ((1L, 1L, 1.0)))
+      assert(out(3L) == ((3L, 0L, 0.0)))
+      assert(out(4L) == ((1L, 0L, 0.0)))
+      assert(!out.contains(0L) && !out.contains(5L))
+    }
+  }
+
+  test("htmlExtract strips script/style content, comments, tags; decodes entities safely") {
+    def x(h: String) = one(h, TextAnalysis.htmlExtract(col("text"))).getString(0)
+    assert(x("<p>Hello <b>world</b></p>") == "Hello world")
+    assert(x("<script>if (1 < 2) alert('x');</script>after") == "after")
+    assert(x("<style type=\"a\">p { color: red }</style>text") == "text")
+    assert(x("a<!-- hidden <b>bold</b> -->b") == "a b")
+    assert(x("x &amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end") ==
+      "x & y <tag> \"q\" 's' end")
+    // double-encoded entity must single-decode (& LAST in the chain)
+    assert(x("&amp;lt;") == "&lt;")
+    assert(x("  spaced\n\tout  ") == "spaced out")
+    // multi-line script block (the (?s) flag) and nested tags inside it
+    assert(x("<script>\nvar a = \"<div>\";\n</script>kept") == "kept")
+  }
+
   test("buildVocab: ids dense in (count desc, token asc) order, minCount prunes") {
     import spark.implicits._
     val docs = Seq(
