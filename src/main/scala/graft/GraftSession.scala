@@ -39,4 +39,24 @@ object GraftSession {
         .master(master)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", shufflePartitions.toString))
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily overridden —
+    * the per-query state-store sizing knob for STREAMING pipelines. A
+    * stateful streaming query materializes one state store per shuffle
+    * partition per stateful operator (a stream-stream join keeps four);
+    * each store pays checkpoint/commit I/O EVERY micro-batch regardless of
+    * how little state it holds, so the right partition count tracks state
+    * VOLUME, not the session's batch-parallelism default — Structured
+    * Streaming pins the count from the first run's checkpoint, making this
+    * a deliberate per-pipeline choice, not a tuning afterthought. Queries
+    * running under the override produce identical results (hash
+    * partitioning only relocates keys). Scoped + restored; the session's
+    * batch default is untouched outside `body`. */
+  def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    require(n >= 1, s"shuffle partitions must be >= 1, got $n")
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
 }

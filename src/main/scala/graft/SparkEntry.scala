@@ -1251,14 +1251,18 @@ object SparkEntry {
     // (event_id is unique in the fixture): a late copy is either still in
     // state (suppressed) or below the watermark (dropped) — either way it
     // never re-emits, which is exactly the property being gated.
-    "q_stream_dedup" -> ((s, d) => {
+    "q_stream_dedup" -> ((s, d) => GraftSession.withShufflePartitions(s, 8) {
+      // per-query state-store sizing: tiny dedup state, 8 stores not 32
       val work   = java.nio.file.Files.createTempDirectory("graft_sdd").toString
       val srcDir = s"$work/src"
       val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
       new java.io.File(srcDir).mkdirs()
       Seq("c1", "c2").foreach { nm => // two identical deliveries
         val tmp = s"$work/$nm"
-        ev.coalesce(1).write.parquet(tmp)
+        // repartition(1), not coalesce(1): coalesce collapses the UPSTREAM
+        // read to one thread; repartition keeps the scan parallel and only
+        // funnels the write
+        ev.repartition(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet")).get
         java.nio.file.Files.move(part.toPath,
@@ -1285,7 +1289,11 @@ object SparkEntry {
     // the interval predicate as plain SQL over the base table — the
     // streaming state machinery must agree with the batch join bit-for-bit
     // (StatefulSpec proves batch ≡ stream; this puts it in the gate).
-    "q_stream_interval_join" -> ((s, d) => {
+    "q_stream_interval_join" -> ((s, d) => GraftSession.withShufflePartitions(s, 8) {
+      // 8 state partitions, not the batch default: a stream-stream join
+      // keeps FOUR state stores per partition, each paying commit I/O
+      // every micro-batch — state volume here is tiny, so store count is
+      // pure overhead (see withShufflePartitions)
       val work = java.nio.file.Files.createTempDirectory("graft_ssj").toString
       val src  = s"$work/src"
       t(s, d, "events").select("event_id", "user_id", "ts", "event_type")
