@@ -453,11 +453,14 @@ object SparkEntry {
       val cents = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
       val pair  = (df: DataFrame) => df.select("vec_id", "neighbor_id")
       val exact = pair(Similarity.knnJoinExact(emb, "embedding", "vec_id", k = 5))
-        .localCheckpoint(true) // two consumers: count + intersect
       val ivf = pair(
         Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 5, cents, nProbes = 4))
-      val nExact = exact.count()
-      val nAgree = exact.intersect(ivf).count()
+      // one pass for both counts: (pairs are distinct by construction on
+      // both sides, so the left-outer match count IS the intersection size)
+      val cnt = exact.join(ivf.withColumn("__m", lit(1)),
+          Seq("vec_id", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n"), count(col("__m")).as("m")).head()
+      val (nExact, nAgree) = (cnt.getLong(0), cnt.getLong(1))
       val recall = nAgree.toDouble / math.max(nExact, 1L)
       require(recall >= 0.6,
         f"learned-centroid IVF recall $recall%.3f < 0.6 vs exact k-NN " +
@@ -2122,6 +2125,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- north-star: energy-based speech/silence segmentation (VAD shape) --
+    // Known-geometry tone-burst WAVs (doc_id%3+1 bursts separated by
+    // silence) run through the windowed-RMS segmenter; the in-query gate
+    // requires segment count == burst count for EVERY row, so the driver
+    // gate itself fails if the detector drifts. Rows-only by contract
+    // (no SQL engine decodes WAV); exact geometry asserted in
+    // MultimodalSpec.
+    "q_audio_segments" -> ((s, d) => {
+      val gen = udf((id: Long) =>
+        Multimodal.toneBurstWav((id % 3 + 1).toInt, 8000))
+      val seg = udf((b: Array[Byte]) => Multimodal.speechSegments(b))
+      val out = t(s, d, "documents").where(col("doc_id") < 120)
+        .select(col("doc_id"), posexplode(seg(gen(col("doc_id")))).as(Seq("seg_idx", "seg")))
+        .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+          col("seg.start_ms").as("start_ms"), col("seg.end_ms").as("end_ms"),
+          col("seg.rms_db").as("rms_db"))
+        .localCheckpoint(true) // two consumers: per-row gate + output
+      val bad = out.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .where(col("n") =!= (col("doc_id") % 3 + 1)).count()
+      require(bad == 0, s"segment detector missed geometry on $bad fixtures")
+      out.orderBy("doc_id", "seg_idx")
+    }),
+
     // -- north-star: whole-doc example packing (FFD bins) -------------------
     // Pack short docs into 512-token windows; rows-only by contract (bin
     // ids depend on the engine's fixed hash bucketing), FFD quality and
@@ -2329,6 +2355,23 @@ object SparkEntry {
           isEval = col("doc_id") % 10 === 0, n = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+
+    // -- leakage-safe grouped train/val split ------------------------------
+    // Split by GROUP (site/domain), not by doc: near-duplicate pages from
+    // one site must land on the same side or the val set leaks training
+    // data (the classic eval-inflation bug). Same overflow-safe integer
+    // hash as q_hash_split applied to the group key; the in-query gate
+    // proves no domain straddles the split.
+    "q_group_split" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .withColumn("domain", concat(lit("site"), (col("doc_id") % 20).cast("string")))
+        .withColumn("split", Relational.hashSplitTag(col("doc_id") % 20, 80))
+        .localCheckpoint(true) // two consumers: leakage gate + output
+      val leaked = docs.groupBy("domain")
+        .agg(countDistinct("split").as("n")).where(col("n") > 1).count()
+      require(leaked == 0, s"group split leaked $leaked domains across sides")
+      docs.select("doc_id", "domain", "split").orderBy("doc_id")
+    }),
 
     // -- HTML → text extraction (crawl-corpus front door) ------------------
     // Deterministic HTML synthesized around each doc's text (script/style
@@ -3858,6 +3901,13 @@ object SparkEntry {
         "SELECT doc_id, n_grams, n_shared, " +
         "ROUND(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS overlap_frac " +
         "FROM agg ORDER BY doc_id"),
+
+    "q_group_split" ->
+      // group key < 1000003, so the pre-mod is identity and the bare Knuth
+      // product form replays the Spark pmod chain exactly
+      ("SELECT doc_id, 'site' || CAST(doc_id % 20 AS VARCHAR) AS domain, " +
+        "CASE WHEN ((doc_id % 20) * 2654435761) % 100 < 80 THEN 'train' ELSE 'val' END AS split " +
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"),
 
     "q_html_extract" ->
       // identical synthesis + extraction chain; DuckDB regexp_replace needs

@@ -197,6 +197,112 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Encode float PCM [-1, 1] as a 16-bit mono little-endian WAV — the
+    * inverse of [[decodeWav]] for fixture construction and re-export. */
+  def pcmToWav(samples: Array[Float], sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val clamped = math.max(-1.0f, math.min(1.0f, samples(i)))
+      val s = (clamped * 32767).toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val in  = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic fixture: `nBursts` sine bursts separated by silence
+    * (tone `toneMs`, gap `gapMs`), with leading and trailing silence —
+    * the known-geometry input for [[speechSegments]]. */
+  def toneBurstWav(nBursts: Int, sampleRate: Int, toneMs: Int = 150, gapMs: Int = 150,
+      freqHz: Double = 440.0): Array[Byte] = {
+    require(nBursts >= 0, s"nBursts must be >= 0, got $nBursts")
+    val toneN = sampleRate * toneMs / 1000
+    val gapN  = sampleRate * gapMs / 1000
+    val total = gapN + nBursts * (toneN + gapN)
+    val pcm   = new Array[Float](total)
+    var b = 0
+    while (b < nBursts) {
+      val start = gapN + b * (toneN + gapN)
+      var i = 0
+      while (i < toneN) {
+        pcm(start + i) = (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 0.8).toFloat
+        i += 1
+      }
+      b += 1
+    }
+    pcmToWav(pcm, sampleRate)
+  }
+
+  /** One detected speech/sound segment (inclusive start, exclusive end, in
+    * milliseconds, plus the segment's overall RMS in dBFS rounded to 3
+    * decimals). */
+  case class AudioSegment(start_ms: Long, end_ms: Long, rms_db: Double)
+
+  /** Energy-based speech/silence segmentation — the VAD-shaped front door
+    * of every speech-corpus pipeline (silence trimming, chunk-by-pause,
+    * billable-duration accounting): frame the signal into `windowMs`
+    * windows, mark windows whose RMS clears `thresholdDb` (dBFS), merge
+    * consecutive voiced windows into segments, drop segments shorter than
+    * `minMs`. Pure per-row JVM kernel with a fixed operation order —
+    * deterministic across partitionings, same discipline as the image
+    * kernels; runs inside the consuming operator (decode late, never
+    * persist PCM). */
+  def speechSegments(wav: Array[Byte], windowMs: Int = 10, thresholdDb: Double = -40.0,
+      minMs: Int = 50): Seq[AudioSegment] = {
+    require(windowMs > 0 && minMs >= 0, s"bad segmentation params ($windowMs ms, min $minMs ms)")
+    wavMeta(wav) match {
+      case None => Seq.empty
+      case Some((rate, _)) => segmentPcm(decodeAudio(wav), rate, windowMs, thresholdDb, minMs)
+    }
+  }
+
+  private def segmentPcm(pcm: Array[Float], rate: Int, windowMs: Int,
+      thresholdDb: Double, minMs: Int): Seq[AudioSegment] = {
+    val w    = math.max(1, rate * windowMs / 1000)
+    val nWin = pcm.length / w
+    if (nWin == 0) return Seq.empty
+    // voiced flags per window
+    val voiced = new Array[Boolean](nWin)
+    var i = 0
+    while (i < nWin) {
+      var sumSq = 0.0
+      var j = 0
+      while (j < w) { val x = pcm(i * w + j).toDouble; sumSq += x * x; j += 1 }
+      val rms = math.sqrt(sumSq / w)
+      voiced(i) = 20.0 * math.log10(rms + 1e-12) > thresholdDb
+      i += 1
+    }
+    // merge runs, re-measure each segment's RMS over its exact sample span
+    val out = Seq.newBuilder[AudioSegment]
+    var s = 0
+    while (s < nWin) {
+      if (!voiced(s)) s += 1
+      else {
+        var e = s
+        while (e < nWin && voiced(e)) e += 1
+        val startMs = s.toLong * w * 1000 / rate
+        val endMs   = e.toLong * w * 1000 / rate
+        if (endMs - startMs >= minMs) {
+          var sumSq = 0.0
+          var p = s * w
+          while (p < e * w) { val x = pcm(p).toDouble; sumSq += x * x; p += 1 }
+          val db = 20.0 * math.log10(math.sqrt(sumSq / ((e - s) * w)) + 1e-12)
+          out += AudioSegment(startMs, endMs, math.rint(db * 1000) / 1000)
+        }
+        s = e
+      }
+    }
+    out.result()
+  }
+
   /** Spectral features from decoded PCM — the audio-analysis step a
     * training pipeline runs between decode and filtering (silence/noise
     * gating, music-vs-speech heuristics): RMS energy, zero-crossing rate,

@@ -291,4 +291,39 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(got - want) <= 2.5, s"$got vs $want")
     }
   }
+
+  test("speechSegments recovers tone-burst geometry exactly") {
+    for (bursts <- 0 to 3) {
+      val wav  = Multimodal.toneBurstWav(bursts, 8000, toneMs = 150, gapMs = 150)
+      val segs = Multimodal.speechSegments(wav)
+      assert(segs.length == bursts, s"$bursts bursts → ${segs.length} segments")
+      segs.zipWithIndex.foreach { case (seg, i) =>
+        val expectStart = 150L + i * 300L
+        assert(math.abs(seg.start_ms - expectStart) <= 20,
+          s"burst $i start ${seg.start_ms} vs ~$expectStart")
+        assert(math.abs((seg.end_ms - seg.start_ms) - 150L) <= 20,
+          s"burst $i length ${seg.end_ms - seg.start_ms} vs ~150")
+        // a 0.8-amplitude sine sits near -4.9 dBFS
+        assert(seg.rms_db > -8 && seg.rms_db < 0, s"burst rms ${seg.rms_db}")
+      }
+    }
+  }
+
+  test("speechSegments: pcmToWav round-trip, min-length filter, junk input") {
+    // 30ms blip below the 50ms floor must be filtered out
+    val rate = 8000
+    val pcm = new Array[Float](rate) // 1s silence
+    var i = 0
+    while (i < rate * 30 / 1000) { pcm(400 + i) = 0.5f; i += 1 }
+    assert(Multimodal.speechSegments(Multimodal.pcmToWav(pcm, rate)).isEmpty)
+    // the same blip passes with the floor lowered
+    assert(Multimodal.speechSegments(Multimodal.pcmToWav(pcm, rate), minMs = 10).length == 1)
+    // decodeWav(pcmToWav(x)) ≈ x (16-bit quantization)
+    val tone = (0 until 800).map(t => (math.sin(t * 0.1) * 0.5).toFloat).toArray
+    val back = Multimodal.decodeWav(Multimodal.pcmToWav(tone, rate))
+    assert(back.length == tone.length)
+    tone.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+    // non-WAV payloads yield no segments, never throw
+    assert(Multimodal.speechSegments("junk".getBytes).isEmpty)
+  }
 }
