@@ -2125,6 +2125,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- north-star: paired multimodal WebDataset export -------------------
+    // The (image, caption) training-shard pipeline end-to-end: fixture
+    // JPEGs + derived captions pack as `<key>.jpg`/`<key>.txt` members,
+    // SHARDED BY EXAMPLE KEY (both members of a pair must land in the
+    // same shard — a loader reads one shard sequentially and needs
+    // complete examples), scanned back and re-paired. In-query gates:
+    // pair co-location per shard, bijective pairing, caption↔label
+    // agreement. Rows-only by contract (image bytes).
+    "q_webdataset_export" -> ((s, _) => {
+      val dir  = ImageFixtures.shared()
+      val work = java.nio.file.Files.createTempDirectory("graft_wds").toString + "/shards"
+      val keyed = ImagePipeline.readBinaryImages(s, dir)
+        .select(concat(
+          regexp_extract(col("path"), "label=([a-z]+)/", 1), lit("_"),
+          regexp_extract(col("path"), "img_([0-9]+)\\.jpg", 1)).as("key"),
+          col("content"))
+      val members = keyed
+        .select(col("key"), concat(col("key"), lit(".jpg")).as("member"),
+          col("content").as("payload"))
+        .unionByName(keyed.select(col("key"),
+          concat(col("key"), lit(".txt")).as("member"),
+          encode(concat(lit("a photo of a "),
+            regexp_extract(col("key"), "^([a-z]+)_", 1)), "UTF-8").as("payload")))
+      graft.sources.TarShards.writeShards(members, "member", "payload", work,
+        nShards = 4, shardBy = col("key"))
+      val back = graft.sources.TarShards.readShards(s, work)
+        .select(col("shard"),
+          regexp_extract(col("member"), "^(.*)\\.(jpg|txt)$", 1).as("key"),
+          regexp_extract(col("member"), "\\.(jpg|txt)$", 1).as("ext"),
+          col("content"))
+        .localCheckpoint(true) // consumed by two gates + the pairing
+      val split = back.groupBy("key")
+        .agg(countDistinct("shard").as("n_shards"), count(lit(1)).as("n_members"))
+        .where(col("n_shards") =!= 1 || col("n_members") =!= 2).count()
+      require(split == 0, s"$split examples split across shards or missing a member")
+      val out = back.where(col("ext") === "jpg")
+        .select(col("key"), ImageUdfs.pixelChecksum(col("content")).as("img_checksum"))
+        .join(back.where(col("ext") === "txt")
+          .select(col("key"), decode(col("content"), "UTF-8").as("caption")), Seq("key"))
+        .localCheckpoint(true)
+      val badCap = out
+        .where(col("caption") =!= concat(lit("a photo of a "),
+          regexp_extract(col("key"), "^([a-z]+)_", 1))).count()
+      require(badCap == 0, s"$badCap captions disagree with their image label")
+      out.orderBy("key")
+    }),
+
     // -- north-star: energy-based speech/silence segmentation (VAD shape) --
     // Known-geometry tone-burst WAVs (doc_id%3+1 bursts separated by
     // silence) run through the windowed-RMS segmenter; the in-query gate

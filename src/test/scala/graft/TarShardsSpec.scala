@@ -74,6 +74,29 @@ class TarShardsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(extracted, ours))
   }
 
+  test("shardBy co-locates multi-member examples in one shard") {
+    import spark.implicits._
+    val members = (0 until 60).flatMap { i =>
+      Seq((s"k$i", f"k$i%s.jpg", Array[Byte](1, 2, 3)),
+        (s"k$i", f"k$i%s.txt", s"caption $i".getBytes(StandardCharsets.UTF_8)))
+    }.toDF("key", "member", "payload")
+    val dir = Files.createTempDirectory("graft_tar_co").toString + "/s"
+    TarShards.writeShards(members, "member", "payload", dir, nShards = 4,
+      shardBy = col("key"))
+    val placement = TarShards.readShards(spark, dir)
+      .select(regexp_extract(col("member"), "^(.*)\\.", 1).as("key"), col("shard"))
+      .groupBy("key").agg(countDistinct("shard").as("n"), count(lit(1)).as("m"))
+      .collect()
+    assert(placement.length == 60)
+    placement.foreach { r =>
+      assert(r.getLong(1) == 1L, s"${r.getString(0)} split across shards")
+      assert(r.getLong(2) == 2L, s"${r.getString(0)} lost a member")
+    }
+    // and the shards genuinely spread (not all in one)
+    val nShardsUsed = TarShards.readShards(spark, dir).select("shard").distinct().count()
+    assert(nShardsUsed >= 2)
+  }
+
   test("truncated shard fails loudly, not with partial rows") {
     val docs = mkDocs(10)
     val dir  = Files.createTempDirectory("graft_tar_tr").toString + "/s"
