@@ -125,10 +125,12 @@ object Perceptual {
       maxHamming: Int = 3, bands: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
     val hashes = phashDf(df, bytesCol, idCol).localCheckpoint(true) // decode once: banding + output
     val pairs  = nearDupPairs(hashes, idCol, maxHamming, bands, maxBucketSize)
-    val minNbr = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
-      .groupBy("id").agg(min("nbr").as("__min_nbr"))
-    hashes.join(minNbr, col(idCol) === col("id"), "left_outer")
+    // "__nbr_id", not "id": a caller whose id column IS named "id" would
+    // otherwise make the join condition ambiguous
+    val minNbr = pairs.select(col("id_a").as("__nbr_id"), col("id_b").as("nbr"))
+      .union(pairs.select(col("id_b").as("__nbr_id"), col("id_a").as("nbr")))
+      .groupBy("__nbr_id").agg(min("nbr").as("__min_nbr"))
+    hashes.join(minNbr, col(idCol) === col("__nbr_id"), "left_outer")
       .select(col(idCol), col("phash"),
         least(coalesce(col("__min_nbr"), col(idCol)), col(idCol)).as("rep"))
   }

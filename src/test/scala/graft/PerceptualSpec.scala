@@ -65,6 +65,15 @@ class PerceptualSpec extends SparkSpec {
     }
   }
 
+  test("nearDupGroups works when the caller's id column is literally named 'id'") {
+    import spark.implicits._
+    val b = png(noiseImage(42))
+    val df = Seq(("x", b), ("y", Kernels.brightnessShiftJpg(b, 8))).toDF("id", "content")
+    val out = Perceptual.nearDupGroups(df, "content", "id", maxHamming = 6, bands = 8)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("x" -> "x", "y" -> "x"))
+  }
+
   test("band recall guarantee is enforced and the bucket cap drops mega-buckets") {
     import spark.implicits._
     val hashes = Seq(("a", 0L), ("b", 1L), ("c", 2L), ("d", 3L)).toDF("img_id", "phash")

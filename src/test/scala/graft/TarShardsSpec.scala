@@ -97,6 +97,16 @@ class TarShardsSpec extends SparkSpec {
     assert(nShardsUsed >= 2)
   }
 
+  test("re-export with fewer shards leaves no stale shards behind") {
+    val docs = mkDocs(100)
+    val dir  = Files.createTempDirectory("graft_tar_re").toString + "/s"
+    TarShards.writeShards(docs, "member", "payload", dir, nShards = 8)
+    TarShards.writeShards(docs, "member", "payload", dir, nShards = 2)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+    assert(files.length <= 2, s"stale shards survived: ${files.map(_.getName).mkString(",")}")
+    assert(TarShards.readShards(spark, dir).count() == 100)
+  }
+
   test("truncated shard fails loudly, not with partial rows") {
     val docs = mkDocs(10)
     val dir  = Files.createTempDirectory("graft_tar_tr").toString + "/s"
