@@ -986,6 +986,22 @@ object SparkEntry {
           col("lang"), col("split"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // -- corpus-pipeline dropout provenance (observability) ----------------
+    // One row per input doc: which stage of the SAME pipeline as
+    // q_corpus_prep would drop it (quality/lang gate, exact-dup rep,
+    // near-dedup) and how many chunks it contributes. Fully
+    // oracle-replayed — the "why did my document disappear" answer is a
+    // deterministic set-membership question.
+    "q_corpus_audit" -> ((s, d) =>
+      CorpusPipeline.audit(
+          t(s, d, "documents"), "text", "doc_id",
+          CorpusPipeline.Config(
+            minQuality = 0.2,
+            languages = Seq("en", "und"),
+            nearDedupShingleN = 2,
+            chunkSize = 256, chunkStride = 200, trainPct = 80))
+        .orderBy("doc_id")),
+
     // -- north-star: end-to-end near-dedup (candidates → confirm → drop) --
     // Word BIGRAM shingles: at this corpus's ~30-word vocabulary, unigram
     // token sets make nearly every doc pair resemble every other (30k+ true
@@ -2976,6 +2992,28 @@ object SparkEntry {
         "THEN 'train' ELSE 'val' END AS split " +
         "FROM surv, UNNEST(range(0, GREATEST(CAST(ceil(len(text) / 200.0) AS BIGINT), 1))) AS t(i) " +
         "ORDER BY doc_id, chunk_idx"),
+
+    "q_corpus_audit" ->
+      // same CTE skeleton as q_corpus_prep, re-aimed at per-doc flags
+      (s"WITH sc AS (SELECT doc_id, text, $qualityExprSql AS quality, " +
+        s"$langIdExprSql AS lang FROM documents WHERE text IS NOT NULL), " +
+        "keep AS (SELECT MIN(doc_id) AS kid FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)), " +
+        "s AS (SELECT sc.doc_id, sc.text FROM sc JOIN keep ON doc_id = kid " +
+        "WHERE quality >= 0.2 AND lang IN ('en','und')), " +
+        s"toks AS (SELECT doc_id, $tokensSql AS tk FROM s), " +
+        s"sh AS (SELECT doc_id, ${shinglesSql(2)} AS ts FROM toks), " +
+        "drops AS (SELECT DISTINCT b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE (CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS DOUBLE)) >= 0.8), " +
+        "k AS (SELECT sc.doc_id, sc.quality, sc.lang, sc.text, " +
+        "CAST(sc.quality >= 0.2 AND sc.lang IN ('en','und') AS BIGINT) AS passed_filter, " +
+        "CAST(EXISTS (SELECT 1 FROM keep WHERE kid = sc.doc_id) AS BIGINT) AS is_rep, " +
+        "CAST(EXISTS (SELECT 1 FROM s WHERE s.doc_id = sc.doc_id) AND NOT EXISTS " +
+        "(SELECT 1 FROM drops WHERE id_b = sc.doc_id) AS BIGINT) AS kept FROM sc) " +
+        "SELECT doc_id, quality, lang, passed_filter, is_rep, kept, " +
+        "CASE WHEN kept = 1 THEN GREATEST(CAST(ceil(len(text) / 200.0) AS BIGINT), 1) " +
+        "ELSE 0 END AS n_chunks " +
+        "FROM k ORDER BY doc_id"),
 
     "q_explode_tokens" ->
       (s"SELECT token, COUNT(*) AS n FROM " +

@@ -94,4 +94,54 @@ object CorpusPipeline {
         col("quality"), col("lang"),
         Relational.hashSplitTag(col(idCol), cfg.trainPct).as("split"))
   }
+
+  /** Per-document dropout provenance for the SAME pipeline as [[prepare]] —
+    * the observability counterpart every production corpus run needs
+    * ("why did my document disappear?", "what did each stage cost us?").
+    * One row per non-null-text input doc:
+    *
+    *  - `passed_filter` — cleared the quality + language gate,
+    *  - `is_rep`        — is its exact-duplicate group's min-id representative
+    *                      (computed over ALL docs, the [[prepare]] rule),
+    *  - `kept`          — survived near-dedup among the filtered reps
+    *                      (the docs that reach [[prepare]]'s output),
+    *  - `n_chunks`      — chunks it contributes (0 unless kept).
+    *
+    * Stage-level funnel counts are one `sum()` aggregation over this frame.
+    * Same plan discipline as [[prepare]] (score once behind the optimizer
+    * fence, sha/signature/id-only shuffles); the extra cost over a bare run
+    * is just the flag joins. Fully oracle-replayable — every flag derives
+    * from deterministic set membership. */
+  def audit(docs: DataFrame, textCol: String, idCol: String, cfg: Config = Config()): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"CorpusPipeline.audit: id column '$idCol' must be numeric (got ${idType.simpleString})")
+    val text = col(textCol)
+    val scored = docs.where(text.isNotNull)
+      .withColumn("__ql", TextAnalysis.qualityLangUdf.asNondeterministic()(text))
+      .select(col(idCol), text, col("__ql.quality").as("quality"), col("__ql.lang").as("lang"))
+      .localCheckpoint() // consumed by the flag joins AND the survivors leg
+    val passed = col("quality") >= cfg.minQuality && col("lang").isin(cfg.languages: _*)
+    val reps = Dedup.exactGroups(docs, textCol, idCol)
+      .select(col("keep_id").as("__rep_id"), lit(1L).as("__is_rep"))
+    val s = scored.where(passed)
+      .join(reps.select(col("__rep_id").as(idCol)), Seq(idCol))
+      .select(col(idCol), text, col("quality"), col("lang"))
+    val survivors =
+      (if (cfg.nearDedup)
+        Dedup.dropNearDuplicates(s, textCol, idCol,
+          shingleN = cfg.nearDedupShingleN, minJaccard = cfg.nearDedupJaccard)
+      else s)
+        .select(col(idCol), lit(1L).as("__kept"))
+    scored
+      .join(reps, col(idCol) === col("__rep_id"), "left_outer")
+      .join(survivors, Seq(idCol), "left_outer")
+      .select(col(idCol), round(col("quality"), 6).as("quality"), col("lang"),
+        passed.cast("long").as("passed_filter"),
+        coalesce(col("__is_rep"), lit(0L)).as("is_rep"),
+        coalesce(col("__kept"), lit(0L)).as("kept"),
+        when(col("__kept") === 1L,
+          size(TextAnalysis.chunks(text, cfg.chunkSize, cfg.chunkStride)).cast("long"))
+          .otherwise(lit(0L)).as("n_chunks"))
+  }
 }

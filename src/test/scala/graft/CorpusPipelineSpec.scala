@@ -32,6 +32,35 @@ class CorpusPipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("audit flags agree with prepare's output (funnel consistency)") {
+    val good = "the cat and the dog is in the house with you and that is fine " * 8
+    val near = good + "okay" // one extra token: bigram jaccard stays >= 0.8
+    val df = docs(
+      1L -> good,
+      2L -> good,                        // exact dup → is_rep=0
+      3L -> "!!!",                       // junk → passed_filter=0
+      4L -> near,                        // near-dup of 1 → kept=0
+      5L -> ("zzz qqq xxx " * 30).trim,  // und, kept
+      6L -> null)                        // null text → absent from audit
+    val cfg = CorpusPipeline.Config(minQuality = 0.2, languages = Seq("en", "und"),
+      nearDedupShingleN = 2, chunkSize = 200, chunkStride = 150, trainPct = 80)
+    val audit = CorpusPipeline.audit(df, "text", "doc_id", cfg).cache()
+    val byId = audit.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(byId(1L)._1 == 1 && byId(1L)._2 == 1 && byId(1L)._3 == 1)
+    assert(byId(2L)._2 == 0 && byId(2L)._3 == 0, s"exact dup must lose rep: ${byId(2L)}")
+    assert(byId(3L)._1 == 0 && byId(3L)._3 == 0)
+    assert(byId(4L)._3 == 0, s"near-dup must be dropped: ${byId(4L)}")
+    assert(byId(5L)._3 == 1)
+    // the audit's kept set and chunk totals must equal prepare's actual output
+    val out = CorpusPipeline.prepare(df, "text", "doc_id", cfg).cache()
+    val preparedIds = out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(byId.collect { case (id, f) if f._3 == 1 => id }.toSet == preparedIds)
+    val chunkTotal = audit.agg(sum("n_chunks")).head().getLong(0)
+    assert(chunkTotal == out.count(), s"audit chunk total $chunkTotal vs ${out.count()}")
+  }
+
   test("prepare is deterministic: identical runs, identical output") {
     val docsDf = Tables.load(spark, sfDir, "documents")
     val cfg = CorpusPipeline.Config(minQuality = 0.2, languages = Seq("en", "und"),

@@ -120,6 +120,23 @@ class TarShardsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("property: arbitrary binary payloads round-trip bit-exact through encode+parse") {
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 60).map { i =>
+      val n = if (i % 10 == 0) 0 else rnd.nextInt(2000) // empties + block-crossers
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      (f"m$i%04d.bin", b)
+    }
+    val archive = cases.toArray.flatMap { case (n, b) => TarShards.memberBytes(n, b) } ++
+      new Array[Byte](1024)
+    val parsed = TarShards.parseTar(archive)
+    assert(parsed.map(_._1) == cases.map(_._1))
+    parsed.zip(cases).foreach { case ((_, got), (name, want)) =>
+      assert(java.util.Arrays.equals(got, want), s"$name payload corrupted")
+    }
+  }
+
   test("member names over 100 bytes are rejected with a clear error") {
     val ex = intercept[IllegalArgumentException] {
       TarShards.memberBytes("x" * 101, Array.emptyByteArray)
