@@ -933,7 +933,20 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
     val sub   = dim / m
     val cents = pqCollectCodebook(df, vecCol, idCol, k, dim)
-    val qq    = q.map(f => math.floor(f.toDouble * 1000).toLong)
+    val adc   = adcColumn(q, cents, m, sub, dim)
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol), adc(col(vecCol)).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(n)
+  }
+
+  /** encode→table-lookup ADC as a single column function: the (m × k)
+    * query-to-centroid distance table is precomputed driver-side and rides
+    * the closure (the whole point of ADC — each row pays m argmins + m
+    * lookups, no per-row query math). */
+  private def adcColumn(q: Array[Float], cents: Array[Array[Long]],
+      m: Int, sub: Int, dim: Int): Column => Column = {
+    val qq = q.map(f => math.floor(f.toDouble * 1000).toLong)
     // dtable(j)(c) = d²(query_j, centroid_c_j)
     val dtable = Array.tabulate(m, cents.length) { (j, c) =>
       var d = 0L
@@ -948,8 +961,36 @@ object Similarity {
       while (j < m) { s += dtable(j)(codes(j)); j += 1 }
       s
     })
-    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol), adcUdf(enc(col(vecCol))).as("adc"))
+    (v: Column) => adcUdf(enc(v))
+  }
+
+  /** IVF-PQ composed ANN (the FAISS `IVFPQ` shape, Jégou et al. 2011 §V):
+    * coarse-quantize the corpus into IVF cells, probe the `nProbes` cells
+    * nearest the query, and ADC-scan PQ codes ONLY within those cells.
+    * This is the memory-AND-compute-bounded 100 TB read path: the probe
+    * touches `nProbes/k_cells` of the corpus (partition-pruned when the
+    * assignment is persisted via [[buildIvfIndex]]'s layout), and each
+    * touched row costs m table lookups on an 8-byte code instead of a
+    * `dim`-float cosine.
+    *
+    * Exactness contract: cell assignment + probe selection are the
+    * [[annIvfTopK]] rules (raw-cosine argmax, ties to the lowest cell);
+    * ADC is exact long arithmetic over floor(x·1000) quantization; final
+    * rank is the total order (adc, id) — all deterministic, so the whole
+    * composition is oracle-replayable when the centroids/codebook are
+    * data rows. */
+  def ivfPqTopK(
+      df: DataFrame, vecCol: String, idCol: String, q: Array[Float],
+      centroids: Array[Array[Float]], nProbes: Int,
+      m: Int, k: Int, dim: Int, n: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val sub        = dim / m
+    val cents      = pqCollectCodebook(df, vecCol, idCol, k, dim)
+    val adc        = adcColumn(q, cents, m, sub, dim)
+    val probeCells = probeCellsFor(q, centroids, nProbes)
+    assignCells(df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim), vecCol, centroids)
+      .where(col("ivf_cell").isin(probeCells: _*))
+      .select(col(idCol), col("ivf_cell").cast("long").as("ivf_cell"), adc(col(vecCol)).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(n)
   }

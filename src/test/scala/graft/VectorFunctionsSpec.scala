@@ -366,4 +366,28 @@ class VectorFunctionsSpec extends SparkSpec {
     val adcs = top.map(_.getLong(1))
     assert(adcs.sameElements(adcs.sorted))
   }
+
+  test("ivfPqTopK: probing every cell equals the full ADC scan; probes restrict the scan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val q = emb.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "adc").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // nProbes = all 8 cells → the cell filter keeps everything → identical
+    // ranking to the plain ADC scan
+    val all  = rows(Similarity.ivfPqTopK(emb, "embedding", "vec_id", q, cents,
+      nProbes = 8, m = 8, k = 16, dim = 64, n = 12))
+    val full = rows(Similarity.pqAdcTopK(emb, "embedding", "vec_id", q,
+      m = 8, k = 16, dim = 64, n = 12))
+    assert(all == full, "all-cells IVF-PQ must equal the full ADC scan")
+    // a restricted probe returns only rows from probed cells, query row first
+    val narrow = Similarity.ivfPqTopK(emb, "embedding", "vec_id", q, cents,
+      nProbes = 2, m = 8, k = 16, dim = 64, n = 12).collect()
+    assert(narrow.head.getLong(0) == 3L, "query row must head its own probe")
+    val probed = Similarity.probeCellsFor(q, cents, 2).toSet
+    narrow.foreach(r => assert(probed.contains(r.getLong(1).toInt),
+      s"row ${r.getLong(0)} from unprobed cell ${r.getLong(1)}"))
+  }
 }
