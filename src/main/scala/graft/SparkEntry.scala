@@ -2204,6 +2204,50 @@ object SparkEntry {
       out.orderBy("key")
     }),
 
+    // -- streaming multimodal: perceptual-hash image dedup -----------------
+    // Batch 1 streams mutually-distinct originals (pre-collapsed to phash
+    // reps), batch 2 their brightness-shifted re-encodes; the second batch
+    // probes the persisted 16-byte/image hash index and drops. Rows-only
+    // by contract (arrival-order + image bytes); in-query gates: every rep
+    // survives, survivors never leave the rep set, most copies drop.
+    "q_stream_image_dedup" -> ((s, _) => {
+      val dir  = ImageFixtures.shared()
+      val work = java.nio.file.Files.createTempDirectory("graft_sid").toString
+      val base = ImagePipeline.readBinaryImages(s, dir)
+        .select(regexp_extract(col("path"), "(flower_photos/.*)$", 1).as("img_id"),
+          col("content"))
+      val reps = graft.image.Perceptual
+        .nearDupGroups(base, "content", "img_id", maxHamming = 6, bands = 8)
+        .where(col("rep") === col("img_id")).select("img_id")
+        .join(base, Seq("img_id")) // mutually-distinct originals
+        .localCheckpoint(true)     // reused: b1 write + copies + gates
+      val copies = reps.select(concat(col("img_id"), lit("#b")).as("img_id"),
+        ImageUdfs.brightnessShift(col("content"), lit(8)).as("content"))
+      val srcDir = s"$work/src"
+      new java.io.File(srcDir).mkdirs()
+      Seq(("b1", reps.select("img_id", "content")), ("b2", copies)).foreach { case (nm, df) =>
+        val tmp = s"$work/$nm"
+        df.repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(srcDir, s"$nm.parquet"))
+      }
+      val out = StreamingInference.streamImageDedup(
+          s, srcDir, s.read.parquet(srcDir).schema, "content", "img_id",
+          s"$work/sink", s"$work/index", s"$work/ckpt")
+        .select(col("img_id"), ImageUdfs.pixelChecksum(col("content")).as("checksum"))
+        .localCheckpoint(true)
+      val nReps     = reps.count()
+      val nSurv     = out.count()
+      val survCopies = out.where(col("img_id").endsWith("#b")).count()
+      require(nSurv >= nReps && nSurv - nReps == survCopies,
+        s"survivors ($nSurv) must be the $nReps reps plus $survCopies border copies")
+      require(survCopies <= nReps / 2,
+        s"$survCopies of $nReps shifted copies escaped the hash index")
+      out.orderBy("img_id")
+    }),
+
     // -- north-star: energy-based speech/silence segmentation (VAD shape) --
     // Known-geometry tone-burst WAVs (doc_id%3+1 bursts separated by
     // silence) run through the windowed-RMS segmenter; the in-query gate

@@ -116,6 +116,39 @@ object Perceptual {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Arrival-order batch dedup against a persisted hash index — the image
+    * side of `Dedup.nearDedupAgainstIndex`: a batch row drops when its
+    * dHash is within `maxHamming` of ANY history hash (the index carries
+    * (id, phash) only — 16 bytes/image; payloads never re-read) or of a
+    * LOWER-id batch sibling (within-batch min-id-wins). Returns the batch
+    * survivors with their hashes; the caller appends `survivors.select(id,
+    * phash)` to the index. Same banding + bucket-cap discipline as
+    * [[nearDupPairs]]. */
+  def dedupAgainstIndex(batch: DataFrame, bytesCol: String, idCol: String,
+      index: DataFrame, maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val hashes = phashDf(batch, bytesCol, idCol).localCheckpoint(true) // decode once
+    // within-batch: min-id-wins on direct neighbors
+    val innerDrops = nearDupPairs(hashes, idCol, maxHamming, bands, maxBucketSize)
+      .select(col("id_b").as("__drop_id")).distinct()
+    // vs history: band join against the index, exact hamming verify
+    require(64 % bands == 0 && maxHamming < bands, "see nearDupPairs contract")
+    val bandBits = 64 / bands
+    def banded(df: DataFrame, id: String, h: String) =
+      df.select(col(id), col(h),
+          explode(array((0 until bands).map(j =>
+            struct(lit(j).as("b"), bandKey(col(h), j, bandBits).as("k"))): _*)).as("bk"))
+        .select(col(id), col(h), col("bk.b").as("b"), col("bk.k").as("k"))
+    val histDrops = banded(hashes.select(col(idCol).as("__bid"), col("phash")), "__bid", "phash")
+      .join(banded(index.select(col(idCol).as("__hid"), col("phash").as("__hh")), "__hid", "__hh"),
+        Seq("b", "k"))
+      .where(bit_count(col("phash").bitwiseXOR(col("__hh"))) <= maxHamming)
+      .select(col("__bid").as("__drop_id")).distinct()
+    hashes.join(innerDrops.union(histDrops).distinct(),
+        col(idCol) === col("__drop_id"), "left_anti")
+      .join(batch, Seq(idCol))
+  }
+
   /** One row per input id with its hash and a near-dup group representative
     * (the min id among direct band-neighbors within `maxHamming`, or the id
     * itself). Direct-neighbor grouping, not transitive closure — the

@@ -265,6 +265,57 @@ object StreamingInference {
     spark.read.parquet(outDir).drop("batch_id")
   }
 
+  /** Streaming perceptual-hash image dedup — [[streamNearDedup]]'s
+    * multimodal sibling: each micro-batch dHashes its images, drops rows
+    * within `maxHamming` of the persisted hash index (all PRIOR survivors;
+    * 16 bytes per image, payloads never re-read) or of a lower-id batch
+    * sibling, then appends survivors to sink and index under the same
+    * batch_id dynamic-partition-overwrite replay contract (the index
+    * excludes the CURRENT batch id when probing, so a crash-replayed
+    * batch never matches itself). */
+  def streamImageDedup(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      bytesCol: String,
+      idCol: String,
+      outDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 6,
+      bands: Int = 8,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.image.Perceptual
+    val q = readFileStream(spark, srcDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+            spark.read.parquet(indexDir)
+              .where(col("batch_id") =!= batchId).drop("batch_id")
+          else batch.limit(0).select(col(idCol), lit(0L).as("phash"))
+        val survivors = Perceptual.dedupAgainstIndex(
+            batch, bytesCol, idCol, index, maxHamming, bands)
+          .localCheckpoint(true) // two sinks below: hash/join once
+        survivors.drop("phash").withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        survivors.select(col(idCol), col("phash"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).drop("batch_id")
+  }
+
   /** Continuous data-quality routing — `Relational.validateRules` in a
     * stream: each micro-batch splits into the valid sink and the
     * quarantine sink (rows annotated with their `violations`), both

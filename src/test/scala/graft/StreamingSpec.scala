@@ -110,6 +110,37 @@ class StreamingSpec extends SparkSpec {
     assert(run() == Set(1L, 2L, 4L))
   }
 
+  test("streamImageDedup: later batches drop re-encodes against the hash index; restart incremental") {
+    import spark.implicits._
+    val work   = Files.createTempDirectory("graft_stream_id").toString
+    val srcDir = s"$work/src"
+    def png(seed: Long): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 48; x <- 0 until 64) img.setRGB(x, y, rnd.nextInt(1 << 24))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val a = png(1); val b = png(2)
+    Seq(("a", a), ("b", b)).toDF("img_id", "content")
+      .coalesce(1).write.parquet(s"$srcDir/f1")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+    def run(): Set[String] = StreamingInference.streamImageDedup(
+      spark, s"$srcDir/*", schema, "content", "img_id",
+      s"$work/out", s"$work/index", s"$work/ckpt")
+      .select("img_id").collect().map(_.getString(0)).toSet
+    assert(run() == Set("a", "b"))
+    // second arrival: a shifted re-encode of a (dropped), a novel image (kept)
+    Seq(("a2", graft.image.Kernels.brightnessShiftJpg(a, 8)), ("c", png(3)))
+      .toDF("img_id", "content")
+      .coalesce(1).write.parquet(s"$srcDir/f2")
+    assert(run() == Set("a", "b", "c"))
+    // index = one 16-byte row per survivor; no new files → no change
+    assert(spark.read.parquet(s"$work/index").count() == 3L)
+    assert(run() == Set("a", "b", "c"))
+  }
+
   test("streamNearDedup replay safety: a batch never probes its own (or later) index partitions") {
     import spark.implicits._
     import graft.operators.Dedup
