@@ -103,6 +103,43 @@ object TableManager {
       swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compactPartitioned")
     }
 
+  /** Small-file maintenance for the STREAMING dedup indexes
+    * (`StreamingInference.streamNearDedup` / `streamImageDedup`), whose
+    * `batch_id=` partitions accrete one per micro-batch forever: fold every
+    * partition EXCEPT the newest into the sentinel partition
+    * `batch_id=-1`, each as few contiguous files.
+    *
+    * Why the newest partition survives untouched: the streams' replay
+    * contract excludes only the CURRENT batch id when probing
+    * (`batch_id =!= batchId`), and the only partition that can belong to
+    * an un-checkpointed (hence replayable) batch is the newest one —
+    * earlier batches committed before later ones ran. Folding the newest
+    * into the sentinel would let its crash-replay probe its own partial
+    * signatures (self-match → mass drop); leaving it keeps the exclusion
+    * rule airtight. The sentinel can never collide with a real batch id
+    * (ids are ≥ 0) and re-folds idempotently on the next compaction.
+    * Same lease-locked atomic rename swap as [[compactPartitioned]]. */
+  def compactBatchIndex(spark: SparkSession, dir: String, targetFiles: Int = 1,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
+    FsIO.withWriteLock(dir, "compactBatchIndex", lockLeaseMs) {
+      val raw = spark.read.parquet(dir)
+      require(raw.columns.contains("batch_id"),
+        s"$dir is not a batch-partitioned dedup index (no batch_id)")
+      // partition discovery may infer batch_id as INT — normalize to the
+      // writers' LONG so the sentinel partition name stays consistent
+      val all = raw.withColumn("batch_id", col("batch_id").cast("long"))
+      val maxRow = all.agg(max("batch_id")).head()
+      require(!maxRow.isNullAt(0), s"$dir holds no index rows — nothing to compact")
+      val maxId = maxRow.getLong(0)
+      val tmp   = new Path(dir + ".__compact_tmp")
+      all.where(col("batch_id") =!= maxId).drop("batch_id")
+        .withColumn("batch_id", lit(-1L))
+        .repartition(targetFiles)
+        .unionByName(all.where(col("batch_id") === maxId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+      swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compactBatchIndex")
+    }
+
   /** Z-order value: bit-interleave two columns' 16-bit bucket ranks so rows
     * close in BOTH dimensions are close in the one-dimensional sort order.
     * Buckets come from min/max range normalization (two aggregates,

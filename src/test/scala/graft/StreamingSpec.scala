@@ -141,6 +141,39 @@ class StreamingSpec extends SparkSpec {
     assert(run() == Set("a", "b", "c"))
   }
 
+  test("compactBatchIndex folds old partitions to the sentinel, keeps the newest, history intact") {
+    import spark.implicits._
+    val work   = Files.createTempDirectory("graft_stream_cbi").toString
+    val srcDir = s"$work/src"
+    val t1 = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    val t2 = "completely different text about spark engines and columnar execution at scale"
+    Seq((1L, t1)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f1")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+    def run(): Set[Long] = StreamingInference.streamNearDedup(
+      spark, s"$srcDir/*", schema, "text", "doc_id",
+      s"$work/out", s"$work/index", s"$work/ckpt",
+      shingleN = 2, minEstJaccard = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run() == Set(1L))
+    Seq((2L, t2)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f2")
+    assert(run() == Set(1L, 2L))
+    graft.tables.TableManager.compactBatchIndex(spark, s"$work/index")
+    // layout: exactly {-1, newest}; rows preserved
+    val parts = spark.read.parquet(s"$work/index")
+      .select(col("batch_id").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(parts.size == 2 && parts.contains(-1L), s"unexpected partitions $parts")
+    assert(spark.read.parquet(s"$work/index").count() == 2L)
+    // history folded into the sentinel still dedups: near-dup of the
+    // batch-0 doc (now in -1) must drop, a novel doc must survive
+    Seq((3L, t1.replace("far away", "far off")),
+        (4L, "a fourth genuinely novel document with entirely fresh vocabulary inside"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f3")
+    assert(run() == Set(1L, 2L, 4L))
+    // idempotent re-fold
+    graft.tables.TableManager.compactBatchIndex(spark, s"$work/index")
+    assert(spark.read.parquet(s"$work/index").count() == 3L)
+  }
+
   test("streamNearDedup replay safety: a batch never probes its own (or later) index partitions") {
     import spark.implicits._
     import graft.operators.Dedup
