@@ -248,6 +248,47 @@ class PlansSpec extends SparkSpec {
     assert(kernel == hof, "kernel and relational PQ codes must be identical")
   }
 
+  test("ivfPqTopK plans exchange-free: cell filter + ADC kernel + TakeOrdered") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val q = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = graft.operators.Similarity.ivfPqTopK(emb, "embedding", "vec_id", q,
+      cents, nProbes = 3, m = 8, k = 16, dim = 64, n = 10)
+    // probe = map-side cell filter over the scan, ADC via closure-shipped
+    // tables, rank via TakeOrderedAndProject — no join, no wide exchange
+    val plan = top.queryExecution.executedPlan.toString
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findAllIn(plan).length
+    assert(shuffles == 0, s"IVF-PQ probe must be exchange-free, got $shuffles:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+
+  test("phashDf is a map-side pass; statsOnlyAggregate never touches data files in-plan") {
+    import spark.implicits._
+    // a real 1×1 PNG: ConvertToLocalRelation evaluates UDFs over local
+    // relations at optimization time, so the payload must decode
+    val img = new java.awt.image.BufferedImage(1, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val imgs = Seq(("a", out.toByteArray)).toDF("img_id", "content")
+    val plan = graft.image.Perceptual.phashDf(imgs, "content", "img_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"phash must be map-side:\n$plan")
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_stats").toString + "/t"
+    graft.tables.SkippingIndex.writeClustered(
+      Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity"),
+      dir, "l_orderkey", Seq("l_orderkey"), nFiles = 4)
+    val stats = graft.tables.SkippingIndex.statsOnlyAggregate(spark, dir, Seq("l_orderkey"))
+    // the only file source in the plan is the sidecar manifest
+    val scan = stats.queryExecution.executedPlan.toString
+    assert(scan.contains("_graft_stats"), s"manifest scan missing:\n$scan")
+    val dataScans = scan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && !l.contains("_graft_stats"))
+    assert(dataScans == 0, s"data files entered the stats-only plan:\n$scan")
+  }
+
   test("saltedAggregate matches direct aggregation (algebraic aggs)") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Relational.saltedAggregate(
