@@ -43,12 +43,39 @@ object Bench {
         .toDF("features")
       new KMeans().setK(2).setSeed(1L).setMaxIter(2).setInitMode("random").fit(toy)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Per-query shuffle-volume accounting: a stage-completion listener sums
+    // shuffle bytes written; each query reports the delta across its run.
+    // Listener delivery is async, so the snapshot after a query drains for
+    // up to ~200ms — attribution is approximate at the margin (and labeled
+    // so), but a query whose plan shuffles payloads vs one that shuffles
+    // ids differs by ORDERS of magnitude, which is the signal that matters.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def drainedShuffleBytes(): Long = {
+      val t0 = System.nanoTime()
+      var last = shuffleBytes.get()
+      while ((System.nanoTime() - t0) < 200e6) {
+        Thread.sleep(20)
+        val now = shuffleBytes.get()
+        if (now == last) return now
+        last = now
+      }
+      last
+    }
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val s0 = drainedShuffleBytes()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      shuffleMb(name) = math.rint((drainedShuffleBytes() - s0) / 1048576.0 * 100) / 100
       // Deterministic block release between queries (untimed): operators
       // that localCheckpoint (dedup candidates, CC rounds) leave RDD blocks
       // pinned until the ContextCleaner GC-detects them — across 84 queries
@@ -100,7 +127,11 @@ object Bench {
     def r2d(v: Double) = math.rint(v * 100) / 100
     def line(vals: Seq[(String, Double)], tot: Double, base: Double) = {
       val qs = vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$tot,"unit":"sec","failed":$nFailed,"baseline_ops_total":$base,"queries":$qs,"sf":"$sfDir"}"""
+      // shuffle_mb: approximate per-query shuffle WRITE volume (see the
+      // listener note) — an extra top-level key so the {"queries": sec}
+      // shape every consumer parses stays untouched
+      val sh = shuffleMb.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$tot,"unit":"sec","failed":$nFailed,"baseline_ops_total":$base,"queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
     }
     // Full-precision line for human reading, then — as the VERY LAST line of
     // the run — a compact 2-decimal duplicate. The driver keeps only the
