@@ -2429,6 +2429,20 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // -- key-addressed DELETE (right-to-be-forgotten) ----------------------
+    // Partition-scoped anti-rewrite: only the buckets holding doomed keys
+    // are read/rewritten/swapped; oracle = the surviving-row filter.
+    "q_delete_keys" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_delk").toString + "/t"
+      val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      TableManager.initPartitionedTarget(c, work, Seq("c_custkey"), nBuckets = 8)
+      TableManager.deletePartitioned(s, work,
+        c.where(col("c_custkey") % 7 === 0).select("c_custkey"), Seq("c_custkey"), nBuckets = 8)
+      s.read.parquet(work)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     // -- CDC round trip: APPLY CHANGES INTO ---------------------------------
     // Change set = q_snapshot_diff's ops joined to the new values; applying
     // it to the OLD snapshot must reproduce the NEW snapshot exactly — the
@@ -4071,6 +4085,10 @@ object SparkEntry {
         "SELECT doc_id, n_grams, n_shared, " +
         "ROUND(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS overlap_frac " +
         "FROM agg ORDER BY doc_id"),
+
+    "q_delete_keys" ->
+      ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal " +
+        "FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"),
 
     "q_group_split" ->
       // group key < 1000003, so the pre-mod is identity and the bare Knuth

@@ -372,27 +372,78 @@ object TableManager {
     val current = spark.read.parquet(targetDir)
       .where(col("key_bucket").isin(touched.map(Int.box).toIndexedSeq: _*))
     val merged = mergeUpsert(current, withBucket, keyCols)
-    val stage  = upsertStageDir(targetDir)
+    commitStagedBuckets(spark, targetDir, merged, touched, "upsertPartitioned")
+  }
+
+  /** Shared stage→marker→swap tail of the partition-scoped writers: write
+    * the rewritten buckets to the stage dir, ensure every touched bucket
+    * has a staged partition (an all-rows-deleted bucket stages EMPTY —
+    * parquet's writer drops empty partitions, and skipping the swap would
+    * resurrect the deleted rows), then the marker/rename/cleanup protocol
+    * [[recoverPartitionedTarget]] rolls forward. */
+  private def commitStagedBuckets(
+      spark: SparkSession,
+      targetDir: String,
+      rewritten: DataFrame,
+      touched: Array[Int],
+      label: String): Unit = {
+    val stage = upsertStageDir(targetDir)
     deleteDir(spark, stage)
-    merged.repartition(col("key_bucket"))
+    rewritten.repartition(col("key_bucket"))
       .write.mode("overwrite").partitionBy("key_bucket").parquet(stage)
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { b =>
+      val sp = new Path(stage, s"key_bucket=$b")
+      if (!fs.exists(sp)) fs.mkdirs(sp) // bucket emptied: stage an empty dir
+    }
     // marker AFTER the stage is fully written: its existence is the recovery
     // contract ("stage is complete — roll forward")
-    val fs  = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(upsertMarker(targetDir), true)
     try out.write(touched.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     touched.foreach { b =>
       val sp = new Path(stage, s"key_bucket=$b")
       val tp = new Path(targetDir, s"key_bucket=$b")
-      if (fs.exists(sp)) { // a touched bucket always stages: merged ⊇ updates
-        if (fs.exists(tp)) fs.delete(tp, true)
-        if (!fs.rename(sp, tp)) sys.error(s"upsertPartitioned: swap failed for bucket $b")
-      }
+      if (fs.exists(tp)) fs.delete(tp, true)
+      if (!fs.rename(sp, tp)) sys.error(s"$label: swap failed for bucket $b")
     }
     fs.delete(upsertMarker(targetDir), false)
     fs.delete(new Path(stage), true)
   }
+
+  /** Key-addressed DELETE (the GDPR right-to-be-forgotten shape) over a
+    * bucket-partitioned target: read ONLY the buckets holding the doomed
+    * keys, anti-join them out, and swap just those partitions — O(touched
+    * buckets) I/O like [[upsertPartitioned]], same lease lock, marker
+    * recovery, and crash-safe rename protocol. A bucket whose every row
+    * dies swaps in as an empty partition rather than being skipped (the
+    * correctness trap [[commitStagedBuckets]] documents). */
+  def deletePartitioned(
+      spark: SparkSession,
+      targetDir: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      nBuckets: Int,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
+    FsIO.withWriteLock(targetDir, "deletePartitioned", lockLeaseMs) {
+      recoverPartitionedTarget(spark, targetDir)
+      requireLayout(targetDir, keyCols, nBuckets)
+      val delKeys = keys.select(keyCols.map(col): _*).distinct()
+        .withColumn("key_bucket", keyBucket(keyCols, nBuckets)).persist()
+      try {
+        val touched = delKeys.select("key_bucket").distinct()
+          .collect().map(_.getInt(0)).sorted // bounded by nBuckets — driver-safe
+        if (touched.nonEmpty) {
+          val current = spark.read.parquet(targetDir)
+            .where(col("key_bucket").isin(touched.map(Int.box).toIndexedSeq: _*))
+          // delete set is small by contract → broadcast anti join; the
+          // target's payload never shuffles
+          val remaining = current.join(
+            broadcast(delKeys.select(keyCols.map(col): _*)), keyCols, "left_anti")
+          commitStagedBuckets(spark, targetDir, remaining, touched, "deletePartitioned")
+        }
+      } finally delKeys.unpersist(false)
+    }
 
   /** Delta `MERGE INTO` emulation (upsert): WHEN MATCHED THEN UPDATE SET
     * <source columns>, WHEN NOT MATCHED THEN INSERT. The reference's storage

@@ -345,6 +345,44 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$targetDir.__upsert_stage").exists)
   }
 
+  test("deletePartitioned: key-scoped buckets rewritten, emptied buckets swap in empty, others untouched") {
+    import graft.tables.TableManager
+    import spark.implicits._
+    val work      = Files.createTempDirectory("graft_delete_p").toString
+    val targetDir = s"$work/target"
+    val nBuckets  = 8
+    val init = (1L to 64L).map(i => (i, i * 10.0)).toDF("id", "bal")
+    TableManager.initPartitionedTarget(init, targetDir, Seq("id"), nBuckets)
+    def fileState(dir: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = fileState(targetDir)
+    // doomed: key 5, plus EVERY key of key 9's bucket (the empty-bucket trap)
+    val b9 = init.select(col("id"), TableManager.keyBucket(Seq("id"), nBuckets).as("b"))
+      .collect().filter(_.getInt(1) == init.select(TableManager.keyBucket(Seq("id"), nBuckets))
+        .where(col("id") === 9L).head().getInt(0)).map(_.getLong(0)).toSet
+    val doomed = b9 + 5L
+    TableManager.deletePartitioned(spark, targetDir,
+      doomed.toSeq.toDF("id"), Seq("id"), nBuckets)
+    val left = spark.read.parquet(targetDir).select("id").collect().map(_.getLong(0)).toSet
+    assert(left == (1L to 64L).toSet -- doomed, s"wrong survivors: missing/extra keys")
+    // untouched buckets byte-identical
+    val touchedDirs = doomed.map(k => s"key_bucket=${
+      init.where(col("id") === k).select(TableManager.keyBucket(Seq("id"), nBuckets)).head().getInt(0)}")
+    val after = fileState(targetDir)
+    val ub = before.filterNot { case (p, _) => touchedDirs.exists(p.contains) }
+    val ua = after.filterNot { case (p, _) => touchedDirs.exists(p.contains) }
+    assert(ub.nonEmpty && ua == ub, "untouched partitions were rewritten")
+    // idempotent re-delete; no recovery litter
+    TableManager.deletePartitioned(spark, targetDir, doomed.toSeq.toDF("id"), Seq("id"), nBuckets)
+    assert(spark.read.parquet(targetDir).count() == 64L - doomed.size)
+    assert(!new java.io.File(s"$targetDir/_merge_inprogress").exists)
+    assert(!new java.io.File(s"$targetDir.__upsert_stage").exists)
+  }
+
   test("upsertPartitioned recovery rolls an interrupted swap forward from the marker") {
     import graft.tables.TableManager
     import spark.implicits._
