@@ -2339,6 +2339,29 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
     }),
 
+    // -- skipping table under continuous ingest ----------------------------
+    // Half the table lands via writeClustered, half via an O(batch)
+    // appendClustered (history never re-read); the pruned range read must
+    // still equal the plain filter over BOTH generations, and the manifest
+    // must still prune (in-query gate).
+    "q_skipping_append" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_skipapp").toString
+      val tbl  = s"$work/t"
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.tables.SkippingIndex.writeClustered(
+        li.where(pmod(col("l_orderkey"), lit(2L)) === 0L),
+        tbl, "l_orderkey", Seq("l_orderkey"), nFiles = 8)
+      graft.tables.SkippingIndex.appendClustered(
+        li.where(pmod(col("l_orderkey"), lit(2L)) === 1L),
+        tbl, "l_orderkey", Seq("l_orderkey"), nFiles = 8)
+      val (kept, total) = graft.tables.SkippingIndex.prunedFiles(
+        s, tbl, "l_orderkey", lit(1000L), lit(2000L))
+      require(total == 16 && kept.size < total,
+        s"append must extend the manifest and still prune; kept ${kept.size} of $total")
+      graft.tables.SkippingIndex.readPruned(s, tbl, "l_orderkey", lit(1000L), lit(2000L))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     // -- metadata-only aggregation from the skipping manifest --------------
     // The Delta/Iceberg "min/max/count from the log" fast path: the
     // aggregate is answered entirely from the per-file manifest (one row
@@ -3903,6 +3926,11 @@ object SparkEntry {
         "WHERE l_orderkey >= 1000 AND l_orderkey <= 4000 " +
         "AND l_partkey >= 100 AND l_partkey <= 400 " +
         "ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity"),
+
+    "q_skipping_append" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_orderkey >= 1000 AND l_orderkey <= 2000 " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity"),
 
     // manifest-only aggregate must equal the full-scan aggregate
     "q_stats_pushdown" ->

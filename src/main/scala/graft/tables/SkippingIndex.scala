@@ -61,6 +61,62 @@ object SkippingIndex {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         count(col(c)).as(s"cnt_$c")))
 
+  /** Incremental ingest for a skipping table: append `df` range-clustered
+    * as `nFiles` NEW files and extend the manifest with exactly their
+    * stats — history files are neither re-read nor rewritten, so append
+    * cost is O(batch), not O(table). This is what makes skipping usable
+    * under continuous ingest (the staleness guard otherwise forces a full
+    * `refreshStats` table scan after every arrival). Batch files cluster
+    * within themselves; cross-batch ranges may overlap (pruning stays
+    * CORRECT — each file's own min/max bounds it — just less selective
+    * until a `writeClustered`/compaction re-sorts). Lease-locked: two
+    * appends interleaving the manifest read-modify-write would lose one
+    * batch's stats rows and trip the guard. */
+  def appendClustered(
+      df: DataFrame,
+      path: String,
+      sortCol: String,
+      statCols: Seq[String],
+      nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    require(statCols.nonEmpty, "need at least one stat column")
+    val spark = df.sparkSession
+    graft.tables.FsIO.withWriteLock(path, "appendClustered",
+      TableManager.DefaultLockLeaseMs) {
+      // eager checkpoint: the manifest rewrite below overwrites the very
+      // files a lazy `old` would still be reading from
+      val old = loadManifest(spark, path).localCheckpoint(true)
+      statCols.foreach(c => require(old.columns.contains(s"min_$c"),
+        s"manifest at $path lacks stats for $c — refreshStats with the full column set first"))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def listing(): Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.toUri.getPath).toSet
+      val before = listing()
+      df.repartitionByRange(nFiles, col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .write.mode("append").parquet(path)
+      val fresh = (listing() -- before).toSeq.sorted
+      require(fresh.nonEmpty, "append produced no files — empty batch?")
+      val aggs = statAggs(statCols)
+      val freshStats = spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint(true) // consumed twice: empty-file sweep + manifest
+      // ZERO-ROW appended files (an empty batch, or empty range partitions)
+      // yield no stats row, which would break the file↔manifest count
+      // parity the staleness guard enforces — delete them; they carry no
+      // data a reader could miss
+      val statedFiles = freshStats.select("file").collect().map(_.getString(0))
+        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+      fresh.filterNot(statedFiles.contains)
+        .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      // rewrite the (tiny) manifest with old ∪ fresh rows
+      old.unionByName(freshStats).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/$StatsDir")
+    }
+  }
+
   /** (Re)compute the manifest over the files ALREADY at `path` — the
     * post-layout-change hook: after [[TableManager.compactZOrder]] (or any
     * rewrite that didn't go through [[writeClustered]]) the old per-file

@@ -78,6 +78,36 @@ class SkippingIndexSpec extends SparkSpec {
     assert(total == 5)
   }
 
+  test("appendClustered extends the manifest incrementally; history files untouched") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val path = freshDir()
+    SkippingIndex.writeClustered(li.where(col("l_orderkey") <= 700L),
+      path, "l_orderkey", Seq("l_orderkey"), nFiles = 4)
+    def dataFiles() = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = dataFiles()
+    SkippingIndex.appendClustered(li.where(col("l_orderkey") > 700L),
+      path, "l_orderkey", Seq("l_orderkey"), nFiles = 4)
+    // history generation byte-identical; 4 new files; manifest covers all 8
+    val after = dataFiles()
+    assert(before.forall { case (n, st) => after.get(n).contains(st) },
+      "append rewrote history files")
+    val (_, total) = SkippingIndex.prunedFiles(spark, path, "l_orderkey", lit(0L), lit(1L))
+    assert(total == 8, s"manifest rows: $total")
+    // pruned read across generations ≡ plain filter
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), String.valueOf(r.get(1)))).sorted.toSeq
+    val pruned = rows(SkippingIndex.readPruned(spark, path, "l_orderkey", lit(600L), lit(900L)))
+    val full   = rows(spark.read.parquet(path)
+      .where(col("l_orderkey") >= 600L && col("l_orderkey") <= 900L))
+    assert(pruned == full && pruned.nonEmpty)
+    // metadata-only aggregate also sees both generations
+    val stats = SkippingIndex.statsOnlyAggregate(spark, path, Seq("l_orderkey"))
+      .head()
+    assert(stats.getLong(1) == li.count(), s"stats rows ${stats.getLong(1)} vs ${li.count()}")
+  }
+
   test("statsOnlyAggregate ≡ full-scan aggregate, handles nulls, and never opens data files") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double)](
