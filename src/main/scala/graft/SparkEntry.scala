@@ -2084,6 +2084,29 @@ object SparkEntry {
         .orderBy("adc", "vec_id")
     }),
 
+    // -- persisted IVF-PQ index: build once, probe from codes only ---------
+    // The serving layout: (id, codes) partitioned by cell + centroid and
+    // codebook sidecars — a probe partition-prunes to nProbes cells and
+    // never loads a raw vector. Rank-identical to q_ivfpq_topk by
+    // contract (shared oracle); the in-query require proves the sidecar
+    // codebook round-trips exactly.
+    "q_ivfpq_index" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+      val codebook = Similarity.buildIvfPqIndex(emb, "embedding", "vec_id",
+        cents, m = 8, kCodes = 16, dim = 64, indexPath = path)
+      val loaded = Similarity.loadPqCodebook(path)
+      require(loaded.exists(_.map(_.toSeq).toSeq == codebook.map(_.toSeq).toSeq),
+        "codebook sidecar did not round-trip")
+      Similarity.probeIvfPqIndex(s, path, "vec_id", q, cents, loaded.get,
+          m = 8, dim = 64, n = 20, nProbes = 3)
+        .orderBy("adc", "vec_id")
+    }),
+
     // -- north-star: cross-doc duplicated-substring detection ---------------
     // ExactSubstr (Lee et al. 2022) reduced to strided 32-char windows:
     // a window is duplicated when its exact text recurs in another doc.
@@ -3864,30 +3887,11 @@ object SparkEntry {
         "FROM enc e JOIN dt ON e.j = dt.j AND e.cid = dt.cid GROUP BY e.vec_id) " +
         "SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 20"),
 
-    "q_ivfpq_topk" ->
-      // PQ codes/distance table from pqOracleCtes; cell assignment + probe
-      // selection replayed per the q_knn_join_ivf rules (raw cosine,
-      // ROW_NUMBER ties → lowest cell); the final rank is the exact-long
-      // (adc, vec_id) total order over rows in probed cells only
-      (pqOracleCtes +
-        ", pq0 AS (SELECT qv AS q0 FROM q WHERE vec_id = 0), " +
-        "dt AS (SELECT jj.j, c.cid, CAST(list_sum(list_transform(range(8), " +
-        "i -> (q0[jj.j*8+i+1] - c.cqv[jj.j*8+i+1]) * (q0[jj.j*8+i+1] - c.cqv[jj.j*8+i+1]))) " +
-        "AS BIGINT) AS d2q FROM pq0, range(0, 8) jj(j), c), " +
-        "cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS cv " +
-        "FROM embeddings WHERE vec_id < 8), " +
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
-        "assign AS (SELECT vec_id, ccid AS cell FROM (SELECT v.vec_id, cc.ccid, " +
-        "ROW_NUMBER() OVER (PARTITION BY v.vec_id " +
-        "ORDER BY list_cosine_similarity(ev, cv) DESC, ccid) AS rn FROM v, cc) WHERE rn = 1), " +
-        "qv AS (SELECT ev AS qe FROM v WHERE vec_id = 0), " +
-        "probe AS (SELECT ccid FROM (SELECT cc.ccid, ROW_NUMBER() OVER " +
-        "(ORDER BY list_cosine_similarity(qe, cv) DESC, ccid) AS rn FROM qv, cc) WHERE rn <= 3), " +
-        "adc AS (SELECT e.vec_id, CAST(SUM(dt.d2q) AS BIGINT) AS adc " +
-        "FROM enc e JOIN dt ON e.j = dt.j AND e.cid = dt.cid GROUP BY e.vec_id) " +
-        "SELECT a.vec_id, CAST(s.cell AS BIGINT) AS ivf_cell, a.adc FROM adc a " +
-        "JOIN assign s ON a.vec_id = s.vec_id " +
-        "WHERE s.cell IN (SELECT ccid FROM probe) ORDER BY adc, a.vec_id LIMIT 20"),
+    "q_ivfpq_topk" -> ivfPqOracleSql,
+
+    // the persisted-index probe is contractually rank-identical to the
+    // in-plan composition — ONE oracle definition keeps them from drifting
+    "q_ivfpq_index" -> ivfPqOracleSql,
 
     "q_dup_substring" ->
       // identical strided-window generation; `//` ≡ `div` on positives
@@ -4211,6 +4215,33 @@ object SparkEntry {
       "enc AS (SELECT vec_id, j, cid FROM (SELECT vec_id, j, cid, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn FROM grid) " +
       "WHERE rn = 1)"
+
+  /** Shared IVF-PQ oracle (q_ivfpq_topk + q_ivfpq_index — the persisted-
+    * index probe is contractually rank-identical to the in-plan
+    * composition): PQ codes/distance table from [[pqOracleCtes]]; cell
+    * assignment + probe selection per the q_knn_join_ivf rules (raw
+    * cosine, ROW_NUMBER ties → lowest cell); final rank is the exact-long
+    * (adc, vec_id) total order over rows in probed cells only. */
+  private def ivfPqOracleSql: String =
+    (pqOracleCtes +
+      ", pq0 AS (SELECT qv AS q0 FROM q WHERE vec_id = 0), " +
+      "dt AS (SELECT jj.j, c.cid, CAST(list_sum(list_transform(range(8), " +
+      "i -> (q0[jj.j*8+i+1] - c.cqv[jj.j*8+i+1]) * (q0[jj.j*8+i+1] - c.cqv[jj.j*8+i+1]))) " +
+      "AS BIGINT) AS d2q FROM pq0, range(0, 8) jj(j), c), " +
+      "cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS cv " +
+      "FROM embeddings WHERE vec_id < 8), " +
+      "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+      "assign AS (SELECT vec_id, ccid AS cell FROM (SELECT v.vec_id, cc.ccid, " +
+      "ROW_NUMBER() OVER (PARTITION BY v.vec_id " +
+      "ORDER BY list_cosine_similarity(ev, cv) DESC, ccid) AS rn FROM v, cc) WHERE rn = 1), " +
+      "qv AS (SELECT ev AS qe FROM v WHERE vec_id = 0), " +
+      "probe AS (SELECT ccid FROM (SELECT cc.ccid, ROW_NUMBER() OVER " +
+      "(ORDER BY list_cosine_similarity(qe, cv) DESC, ccid) AS rn FROM qv, cc) WHERE rn <= 3), " +
+      "adc AS (SELECT e.vec_id, CAST(SUM(dt.d2q) AS BIGINT) AS adc " +
+      "FROM enc e JOIN dt ON e.j = dt.j AND e.cid = dt.cid GROUP BY e.vec_id) " +
+      "SELECT a.vec_id, CAST(s.cell AS BIGINT) AS ivf_cell, a.adc FROM adc a " +
+      "JOIN assign s ON a.vec_id = s.vec_id " +
+      "WHERE s.cell IN (SELECT ccid FROM probe) ORDER BY adc, a.vec_id LIMIT 20")
 
   /** DuckDB replica of `TextAnalysis.langId`, generated from the SAME
     * `langMarkers` table so the two can't drift. Semantics mirrored exactly:

@@ -964,6 +964,79 @@ object Similarity {
     (v: Column) => adcUdf(enc(v))
   }
 
+  /** Query-to-centroid ADC lookup over STORED codes: the probe-side half
+    * of [[adcColumn]], for indexes that persist codes instead of vectors. */
+  private def adcLookupUdf(q: Array[Float], cents: Array[Array[Long]],
+      m: Int, sub: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val qq = q.map(f => math.floor(f.toDouble * 1000).toLong)
+    val dtable = Array.tabulate(m, cents.length) { (j, c) =>
+      var d = 0L
+      var t = 0
+      while (t < sub) { val diff = qq(j * sub + t) - cents(c)(j * sub + t); d += diff * diff; t += 1 }
+      d
+    }
+    udf((codes: Seq[Int]) => {
+      var s = 0L
+      var j = 0
+      while (j < m) { s += dtable(j)(codes(j)); j += 1 }
+      s
+    })
+  }
+
+  private def codebookFile(indexPath: String) = s"$indexPath.codebook"
+
+  /** Persist a quantized PQ codebook sidecar / load it back. */
+  def loadPqCodebook(indexPath: String): Option[Array[Array[Long]]] =
+    graft.tables.FsIO.readText(codebookFile(indexPath)).map(
+      _.split("\n").filter(_.nonEmpty).map(_.split(",").map(_.toLong)))
+
+  /** Build the SERVING-side IVF-PQ index: (id, codes) partitioned by
+    * `ivf_cell`, centroids + quantized codebook as sidecars. The stored
+    * index is m ints per vector instead of `dim` floats (~32× smaller at
+    * the defaults), and [[probeIvfPqIndex]] reads ONLY the probed cells'
+    * code files — the raw vectors never load at query time. This is the
+    * layout a 100 TB embedding corpus actually serves from: nProbes/k of
+    * the (already 32×-compressed) index scanned per query, everything else
+    * cold. `centroids` come from the caller ([[fitIvfCentroids]] for the
+    * learned path; deterministic data rows for oracle-replayable builds). */
+  def buildIvfPqIndex(
+      df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Float]],
+      m: Int, kCodes: Int, dim: Int, indexPath: String): Array[Array[Long]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val cents = pqCollectCodebook(df, vecCol, idCol, kCodes, dim)
+    val enc   = pqEncodeUdf(cents, m, dim / m, dim)
+    assignCells(df.select(col(idCol), col(vecCol))
+        .where(col(vecCol).isNotNull && size(col(vecCol)) === dim), vecCol, centroids)
+      .select(col(idCol), enc(col(vecCol)).as("codes"), col("ivf_cell"))
+      .repartition(col("ivf_cell")) // contiguous files per cell dir (see buildIvfIndex)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(indexPath)
+    graft.tables.FsIO.writeText(centroidsFile(indexPath),
+      s"source=${sourceFingerprint(df)}\n" + centroids.map(_.mkString(",")).mkString("\n"))
+    graft.tables.FsIO.writeText(codebookFile(indexPath),
+      cents.map(_.mkString(",")).mkString("\n"))
+    cents
+  }
+
+  /** Probe a [[buildIvfPqIndex]] layout: partition-pruned read of the
+    * probed cells' (id, codes) files + the driver-side ADC distance table
+    * — no vector column exists in the plan at all. Same (adc, id) total
+    * order as [[ivfPqTopK]], hence the same oracle. */
+  def probeIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, q: Array[Float],
+      centroids: Array[Array[Float]], codebook: Array[Array[Long]],
+      m: Int, dim: Int, n: Int, nProbes: Int): DataFrame = {
+    val probeCells = probeCellsFor(q, centroids, nProbes)
+    val adc = adcLookupUdf(q, codebook, m, dim / m)
+    spark.read.parquet(indexPath)
+      .where(col("ivf_cell").isin(probeCells: _*))
+      .select(col(idCol), col("ivf_cell").cast("long").as("ivf_cell"),
+        adc(col("codes")).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(n)
+  }
+
   /** IVF-PQ composed ANN (the FAISS `IVFPQ` shape, Jégou et al. 2011 §V):
     * coarse-quantize the corpus into IVF cells, probe the `nProbes` cells
     * nearest the query, and ADC-scan PQ codes ONLY within those cells.

@@ -176,6 +176,33 @@ class PlansSpec extends SparkSpec {
     assert(probe.collect().toSeq == direct.toSeq)
   }
 
+  test("persisted IVF-PQ index: code-only probe partition-prunes and matches the in-plan composition") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb  = Tables.load(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString + "/idx"
+    val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", cents,
+      m = 8, kCodes = 16, dim = 64, indexPath = path)
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val probe = Similarity.probeIvfPqIndex(spark, path, "vec_id", q, cents,
+      Similarity.loadPqCodebook(path).get, m = 8, dim = 64, n = 15, nProbes = 3)
+    val scans = probe.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 3,
+      "probe must read exactly nProbes=3 cell partitions")
+    // no vector column anywhere in the probe plan — codes only
+    val schemaStr = scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")
+    assert(!schemaStr.contains("embedding"), s"probe read raw vectors: $schemaStr")
+    // rank-identical to the in-plan composition over the same parameters
+    val direct = Similarity.ivfPqTopK(emb, "embedding", "vec_id", q, cents,
+      nProbes = 3, m = 8, k = 16, dim = 64, n = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val stored = probe.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(stored == direct, "stored-code probe diverged from the in-plan IVF-PQ")
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact") {
     val ev = Tables.load(spark, sfDir, "events")
     val row = ev.agg(
