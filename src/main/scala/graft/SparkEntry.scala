@@ -2385,6 +2385,32 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // -- per-file Bloom index: point lookups min/max stats can't prune -----
+    // Arrival-order layout (every file spans the full key range — range
+    // stats keep everything); the per-file Bloom prunes each equality
+    // lookup to ~1 file with zero false negatives. In-query gate: the five
+    // lookups together open far fewer than files×lookups.
+    "q_bloom_lookup" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_bloomq").toString + "/t"
+      val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      c.repartition(16).write.parquet(work) // hash-random placement
+      graft.tables.BloomIndex.write(s, work, "c_custkey", expectedPerFile = 10000L)
+      val keys = Seq(3L, 500L, 777L, 1234L, 123456789L) // last key absent
+      var keptTotal = 0L
+      var files     = 0L
+      val frames = keys.map { k =>
+        val (kept, total) = graft.tables.BloomIndex.prunedFiles(s, work, "c_custkey", k.toString)
+        keptTotal += kept.size
+        files = total
+        graft.tables.BloomIndex.lookup(s, work, "c_custkey", k.toString)
+      }
+      require(keptTotal < keys.size * files / 2,
+        s"bloom barely pruned: opened $keptTotal of ${keys.size * files} file-lookups")
+      frames.reduce(_ unionByName _)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     // -- metadata-only aggregation from the skipping manifest --------------
     // The Delta/Iceberg "min/max/count from the log" fast path: the
     // aggregate is answered entirely from the per-file manifest (one row
@@ -3930,6 +3956,10 @@ object SparkEntry {
         "WHERE l_orderkey >= 1000 AND l_orderkey <= 4000 " +
         "AND l_partkey >= 100 AND l_partkey <= 400 " +
         "ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity"),
+
+    "q_bloom_lookup" ->
+      ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal FROM customer " +
+        "WHERE c_custkey IN (3, 500, 777, 1234, 123456789) ORDER BY c_custkey"),
 
     "q_skipping_append" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
