@@ -2385,6 +2385,27 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // -- hidden time-partitioning (Iceberg days(ts) transform) -------------
+    // The table partitions by a derived day key; the READER maps the raw
+    // nanos range onto partition filters — forgetting the partition column
+    // can't cause a full scan. In-query gate: the range scan plans fewer
+    // partitions than the table holds (directory pruning, PlansSpec
+    // asserts the exact count). Oracle = the plain nanos filter.
+    "q_time_partition" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_tp").toString + "/t"
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
+      graft.tables.TimePartitioned.write(ev, work, "ts")
+      val from = 1704672000000000000L // 2024-01-08 UTC
+      val to   = 1705104000000000000L // 2024-01-13 UTC
+      val out = graft.tables.TimePartitioned.readRange(s, work, "ts", from, to)
+      val scanned = out.queryExecution.executedPlan
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.selectedPartitions.partitionCount).sum
+      require(scanned > 0 && scanned <= 7,
+        s"day pruning failed: $scanned partitions planned for a 6-day window")
+      out.orderBy("event_id")
+    }),
+
     // -- per-file Bloom index: point lookups min/max stats can't prune -----
     // Arrival-order layout (every file spans the full key range — range
     // stats keep everything); the per-file Bloom prunes each equality
@@ -3956,6 +3977,11 @@ object SparkEntry {
         "WHERE l_orderkey >= 1000 AND l_orderkey <= 4000 " +
         "AND l_partkey >= 100 AND l_partkey <= 400 " +
         "ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity"),
+
+    "q_time_partition" ->
+      ("SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events " +
+        "WHERE epoch_ns(ts) BETWEEN 1704672000000000000 AND 1705104000000000000 " +
+        "ORDER BY event_id"),
 
     "q_bloom_lookup" ->
       ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal FROM customer " +

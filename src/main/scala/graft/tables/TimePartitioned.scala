@@ -1,0 +1,49 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hidden time-partitioning — the Iceberg `days(ts)` transform contract:
+  * the table partitions by a DERIVED day key, but readers query the raw
+  * timestamp column and the reader maps their time-range predicate onto
+  * partition filters automatically. Users never see (or mis-filter) the
+  * partition column; forgetting it cannot cause a full scan, because the
+  * mapping lives in the read path, not in query discipline.
+  *
+  * Timestamps follow the engine contract (epoch-nanos longs, UTC — see
+  * `Tables.load`); the day key derives with integer division before the
+  * date cast so the boundary is exact. 100 TB shape: an event table
+  * partitioned by day turns every time-windowed query into an
+  * O(window/retention) directory-pruned scan — the single most load-
+  * bearing layout decision for an events pipeline.
+  */
+object TimePartitioned {
+
+  private val DayFmt = "yyyy-MM-dd"
+
+  private def dayOfNanos(tsNanos: Long): String =
+    java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(Math.floorDiv(tsNanos, 1000000000L), 86400L)).toString
+
+  /** Write `df` partitioned by the UTC day of `tsNanosCol`. One shuffle on
+    * the day key so each partition directory gets contiguous files (the
+    * partitionBy small-file discipline of `buildIvfIndex`). */
+  def write(df: DataFrame, dir: String, tsNanosCol: String): Unit =
+    df.withColumn("p_day",
+        date_format(timestamp_seconds(expr(s"`$tsNanosCol` div 1000000000")), DayFmt))
+      .repartition(col("p_day"))
+      .write.mode("overwrite").partitionBy("p_day").parquet(dir)
+
+  /** Time-range read: the [fromNanos, toNanos] predicate maps to a day-key
+    * partition filter (directory pruning at planning time) plus the exact
+    * nanos residual. Row-identical to a full-scan filter; the partition
+    * column never escapes. */
+  def readRange(spark: SparkSession, dir: String, tsNanosCol: String,
+      fromNanos: Long, toNanos: Long): DataFrame = {
+    require(fromNanos <= toNanos, s"empty range: $fromNanos > $toNanos")
+    spark.read.parquet(dir)
+      .where(col("p_day") >= dayOfNanos(fromNanos) && col("p_day") <= dayOfNanos(toNanos))
+      .where(col(tsNanosCol).between(fromNanos, toNanos))
+      .drop("p_day")
+  }
+}
