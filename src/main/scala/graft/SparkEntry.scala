@@ -2385,6 +2385,31 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // -- error-tolerant CSV ingest: bad-record routing ---------------------
+    // Three malformed lines injected into a vendor-drop CSV (bad type,
+    // extra columns, junk) must each land verbatim in quarantine while
+    // every well-formed row parses — the batch validate/quarantine split.
+    // Oracle = the clean base table; the in-query gate pins the
+    // quarantine count.
+    "q_csv_badrecords" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_csvbad").toString + "/t"
+      val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      graft.tables.FormatIO.writeCsv(c.coalesce(1), work)
+      val part = new java.io.File(work).listFiles()
+        .find(_.getName.endsWith(".csv")).get
+      java.nio.file.Files.write(part.toPath,
+        "99x,bad type,12.5\n5,extra columns,1.0,surplus,fields\njustgarbage\n".getBytes,
+        java.nio.file.StandardOpenOption.APPEND)
+      // the local FS keeps a checksum sidecar; the injected bytes invalidate it
+      new java.io.File(part.getParent, s".${part.getName}.crc").delete()
+      val (good, bad) = graft.tables.FormatIO.readCsvRouted(s, work, c.schema)
+      val nBad = bad.count()
+      require(nBad == 3, s"expected 3 quarantined records, got $nBad")
+      good.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     // -- hidden time-partitioning (Iceberg days(ts) transform) -------------
     // The table partitions by a derived day key; the READER maps the raw
     // nanos range onto partition filters — forgetting the partition column
@@ -3977,6 +4002,11 @@ object SparkEntry {
         "WHERE l_orderkey >= 1000 AND l_orderkey <= 4000 " +
         "AND l_partkey >= 100 AND l_partkey <= 400 " +
         "ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity"),
+
+    "q_csv_badrecords" ->
+      // good-side routing must recover exactly the clean base table
+      ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal " +
+        "FROM customer ORDER BY c_custkey"),
 
     "q_time_partition" ->
       ("SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events " +

@@ -60,6 +60,38 @@ object FormatIO {
     spark.read.options(csvOptions(Map("multiLine" -> multiLine.toString)))
       .schema(schema).csv(dir)
 
+  /** Error-tolerant CSV ingest with bad-record routing — the batch
+    * counterpart of `StreamingInference.streamValidateRoute`: rows that
+    * parse under the explicit schema flow to the first frame, rows that
+    * don't (wrong arity, unparsable types, broken quoting) arrive VERBATIM
+    * in the second as (`raw_record`) — quarantined for inspection and
+    * replay, never silently nulled or dropped. One vendor's malformed
+    * line must cost one quarantine row, not a 100 TB job.
+    *
+    * Implementation notes: PERMISSIVE mode + `columnNameOfCorruptRecord`;
+    * the parsed frame is cached before the corrupt-column filters because
+    * Spark forbids filtering the internal corrupt column on a raw file
+    * scan (the column only materializes when the row is actually
+    * malformed). Callers should `unpersist` the returned frames' shared
+    * cache when done via the third element. */
+  def readCsvRouted(spark: SparkSession, dir: String, schema: StructType,
+      multiLine: Boolean = false): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val corrupt = "_graft_corrupt"
+    val parsed = spark.read
+      .options(csvOptions(Map(
+        "multiLine" -> multiLine.toString,
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corrupt)))
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .csv(dir)
+      .cache()
+    val good = parsed.where(col(corrupt).isNull).drop(corrupt)
+    val bad  = parsed.where(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_record"))
+    (good, bad)
+  }
+
   /** Write `df` as JSON-lines under `dir`. Decimals serialize as plain JSON
     * numbers (exact digits, no float hop); dates/timestamps as ISO strings. */
   def writeJsonLines(df: DataFrame, dir: String): Unit =

@@ -33,6 +33,23 @@ class FormatIOSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 
+  test("readCsvRouted: malformed rows quarantine verbatim, clean rows parse, none lost") {
+    val dir = Files.createTempDirectory("graft_fmt_route").toString + "/t"
+    FormatIO.writeCsv(awkward.coalesce(1), dir)
+    val part = new java.io.File(dir).listFiles().find(_.getName.endsWith(".csv")).get
+    java.nio.file.Files.write(part.toPath,
+      "zz,bad id,1.00,2020-01-01,0.5\n1,too,2.00,2020-01-01,0.5,many,cols\n".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    // the local FS keeps a checksum sidecar; the injected bytes invalidate it
+    new java.io.File(part.getParent, s".${part.getName}.crc").delete()
+    val (good, bad) = FormatIO.readCsvRouted(spark, dir, awkward.schema)
+    assert(good.count() == awkward.count(), "clean rows must all parse")
+    assert(rows(good) == rows(awkward), "routing must not mutate parsed values")
+    val quarantined = bad.collect().map(_.getString(0)).toSet
+    assert(quarantined.size == 2 && quarantined.exists(_.startsWith("zz,bad id")),
+      s"quarantine wrong: $quarantined")
+  }
+
   test("CSV round-trip preserves nulls, empty strings, quoting, unicode, decimals, dates") {
     val dir = Files.createTempDirectory("graft_fmt_csv").toString + "/t"
     FormatIO.writeCsv(awkward, dir)
