@@ -764,9 +764,11 @@ object SparkEntry {
     // arithmetic hash both engines replay bit-for-bit — no RNG in the
     // training-pair generator, so shards rebuild identically.
     "q_negative_sample" -> ((s, d) => {
-      val pos = t(s, d, "orders").join(t(s, d, "lineitem"),
+      // filter orders to the sampled users BEFORE the join and broadcast
+      // that side: lineitem (the big side) then never shuffles
+      val pos = t(s, d, "lineitem").join(
+          broadcast(t(s, d, "orders").where(col("o_custkey") % 50 === 0)),
           col("l_orderkey") === col("o_orderkey"))
-        .where(col("o_custkey") % 50 === 0)
         .select(col("o_custkey").as("user_id"), col("l_partkey").cast("long").as("item_id"))
       Relational.negativeSample(pos, "user_id", "item_id",
           t(s, d, "part"), "p_partkey", k = 5)
