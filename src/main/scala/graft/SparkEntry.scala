@@ -2387,6 +2387,22 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // -- ordered funnel over the events stream -----------------------------
+    // Strict progression view → click → purchase: each step's earliest
+    // time at or after the previous step's. Skinny (user, min-ts)
+    // aggregations + user-key joins — no window, no event-list collect.
+    "q_funnel" -> ((s, d) =>
+      Events.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // -- cohort retention matrix -------------------------------------------
+    // Cohort = UTC day index of first activity (exact integer nanos
+    // division); rows = (cohort, day_offset, distinct active users).
+    "q_retention" -> ((s, d) =>
+      Events.retention(t(s, d, "events"), "user_id", "ts")
+        .orderBy("cohort", "day_offset")),
+
     // -- error-tolerant CSV ingest: bad-record routing ---------------------
     // Three malformed lines injected into a vendor-drop CSV (bad type,
     // extra columns, junk) must each land verbatim in quarantine while
@@ -4004,6 +4020,28 @@ object SparkEntry {
         "WHERE l_orderkey >= 1000 AND l_orderkey <= 4000 " +
         "AND l_partkey >= 100 AND l_partkey <= 400 " +
         "ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity"),
+
+    "q_funnel" ->
+      ("WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2 FROM events e " +
+        "JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= v.t1 GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3 FROM events e " +
+        "JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= c.t2 GROUP BY e.user_id) " +
+        "SELECT v.user_id, t1, t2, t3 FROM v " +
+        "LEFT JOIN c ON v.user_id = c.user_id " +
+        "LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id"),
+
+    "q_retention" ->
+      ("WITH days AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "first AS (SELECT user_id, MIN(day) AS cohort FROM days GROUP BY user_id) " +
+        "SELECT cohort, day - cohort AS day_offset, " +
+        "CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users " +
+        "FROM days d JOIN first f ON d.user_id = f.user_id " +
+        "GROUP BY cohort, day - cohort ORDER BY cohort, day_offset"),
 
     "q_csv_badrecords" ->
       // good-side routing must recover exactly the clean base table

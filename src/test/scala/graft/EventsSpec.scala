@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+
+  private val Day = 86400L * 1000000000L
+
+  test("funnel enforces strict step ordering; unreached steps are null") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: clicks BEFORE its first view — click must not count,
+      // the later click does
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "click", 150L),
+      // user 3: view only
+      (3L, "view", 10L),
+      // user 4: purchase before click — purchase must not count
+      (4L, "view", 10L), (4L, "purchase", 20L), (4L, "click", 30L),
+      // user 5: never views → absent from the funnel
+      (5L, "click", 10L), (5L, "purchase", 20L))
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((Some(100L), Some(200L), Some(300L))))
+    assert(out(2L) == ((Some(100L), Some(150L), None)), s"early click leaked: ${out(2L)}")
+    assert(out(3L) == ((Some(10L), None, None)))
+    assert(out(4L) == ((Some(10L), Some(30L), None)), s"early purchase leaked: ${out(4L)}")
+  }
+
+  test("retention: cohort day from first activity, distinct users per offset") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, 1L), (1L, 3L), // cohort 0, returns d1 (twice), d3
+      (2L, 0L), (2L, 3L),                     // cohort 0, returns d3
+      (3L, 1L))                               // cohort 1, never returns
+      .map { case (u, d) => (u, "view", d * Day + 7L) }
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 2L,
+      (1L, 0L) -> 1L), s"got $out")
+  }
+}
