@@ -2403,6 +2403,36 @@ object SparkEntry {
       Events.retention(t(s, d, "events"), "user_id", "ts")
         .orderBy("cohort", "day_offset")),
 
+    // -- rolling 7-day active users (WAU) ----------------------------------
+    // Distinct (user, day) grains each contribute to their next 7 window
+    // days via a bounded map-side explode — no day-range self-join; the
+    // one shuffle is the final (day, user) count-distinct.
+    "q_rolling_active" -> ((s, d) =>
+      Events.rollingActiveUsers(t(s, d, "events"), "user_id", "ts", windowDays = 7)
+        .orderBy("day")),
+
+    // -- error-tolerant JSONL ingest: bad-record routing -------------------
+    // Same contract as q_csv_badrecords on the other interchange format —
+    // and it routes around JSON's nastier default (malformed lines
+    // silently become all-null rows).
+    "q_json_badrecords" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_jsonbad").toString + "/t"
+      val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      graft.tables.FormatIO.writeJsonLines(c.coalesce(1), work)
+      val part = new java.io.File(work).listFiles()
+        .find(_.getName.endsWith(".json")).get
+      java.nio.file.Files.write(part.toPath,
+        "{\"c_custkey\": \"zz\", \"c_name\": 1}\nnot json at all\n{broken\n".getBytes,
+        java.nio.file.StandardOpenOption.APPEND)
+      new java.io.File(part.getParent, s".${part.getName}.crc").delete()
+      val (good, bad) = graft.tables.FormatIO.readJsonLinesRouted(s, work, c.schema)
+      val nBad = bad.count()
+      require(nBad == 3, s"expected 3 quarantined records, got $nBad")
+      good.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     // -- error-tolerant CSV ingest: bad-record routing ---------------------
     // Three malformed lines injected into a vendor-drop CSV (bad type,
     // extra columns, junk) must each land verbatim in quarantine while
@@ -4047,6 +4077,18 @@ object SparkEntry {
       // good-side routing must recover exactly the clean base table
       ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal " +
         "FROM customer ORDER BY c_custkey"),
+
+    "q_json_badrecords" ->
+      ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal " +
+        "FROM customer ORDER BY c_custkey"),
+
+    "q_rolling_active" ->
+      ("WITH days AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "hi AS (SELECT MAX(day) AS h FROM days), " +
+        "w AS (SELECT user_id, day + i AS w_day FROM days, UNNEST(range(0, 7)) AS t(i)) " +
+        "SELECT w_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM w, hi WHERE w_day <= hi.h GROUP BY w_day ORDER BY day"),
 
     "q_time_partition" ->
       ("SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events " +

@@ -42,6 +42,32 @@ object Events {
     acc
   }
 
+  /** Rolling active users: for every day, the count of DISTINCT users
+    * active within the trailing `windowDays`-day window (WAU at 7, MAU at
+    * 30). Scalable form: collapse to distinct (user, day) grains first,
+    * then each grain CONTRIBUTES to its next `windowDays` window days via
+    * a bounded map-side explode — no day-range self-join, no window over
+    * a global sort; the only shuffle is the final (window_day, user)
+    * count-distinct. Output: (day, n_users) restricted to days the data
+    * actually spans. */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val DayNs = 86400L * 1000000000L
+    val days = events.select(col(userCol),
+        expr(s"`$tsCol` div ${DayNs}L").as("day"))
+      .where(col(userCol).isNotNull)
+      .distinct()
+    val bounds = days.agg(min("day").as("__lo"), max("day").as("__hi"))
+    days
+      .select(col(userCol),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("w_day"))
+      .crossJoin(broadcast(bounds)) // 1 row: keep only real days, in-plan
+      .where(col("w_day") <= col("__hi"))
+      .groupBy(col("w_day").as("day"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Cohort retention: cohort = the UTC day index of a user's first
     * activity; for every (cohort, day offset ≥ 0) the count of distinct
     * cohort users active that day. The standard triangular retention

@@ -104,6 +104,29 @@ object FormatIO {
   def readJsonLines(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(dir)
 
+  /** [[readCsvRouted]] for JSON-lines: rows that parse under the explicit
+    * schema flow to the first frame; lines that don't (broken JSON, type
+    * conflicts) quarantine verbatim in the second. Same PERMISSIVE +
+    * corrupt-column mechanics and the same cache requirement. Note the
+    * JSON-specific trap this routes around: under plain PERMISSIVE reads
+    * a malformed line silently becomes an all-null row — here it is
+    * preserved for inspection instead. */
+  def readJsonLinesRouted(spark: SparkSession, dir: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val corrupt = "_graft_corrupt"
+    val parsed = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .json(dir)
+      .cache()
+    val good = parsed.where(col(corrupt).isNull).drop(corrupt)
+    val bad  = parsed.where(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_record"))
+    (good, bad)
+  }
+
   /** Write `df` as ORC under `dir`. ORC is the other columnar interchange
     * format a lake-adjacent pipeline meets (Hive-era warehouses); unlike the
     * text formats it carries its own typed schema, per-stripe min/max

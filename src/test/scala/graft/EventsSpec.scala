@@ -33,6 +33,23 @@ class EventsSpec extends SparkSpec {
     assert(out(4L) == ((Some(10L), Some(30L), None)), s"early purchase leaked: ${out(4L)}")
   }
 
+  test("rollingActiveUsers counts each user once per trailing window, clamps to real days") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L), (1L, 0L), (1L, 2L), // user 1 on days 0 (twice) and 2
+      (2L, 0L),                     // user 2 on day 0 only
+      (3L, 9L))                     // user 3 far later
+      .map { case (u, d) => (u, "view", d * Day + 5L) }
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.rollingActiveUsers(ev, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // trailing-3-day windows: day 0 {1,2}=2, day 1 {1,2}=2, day 2 {1,2,+1@2}=2,
+    // day 3 {1@2}=1, day 4 {1@2}=1, days 5-8 empty (absent), day 9 {3}=1
+    assert(out == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 9L -> 1L),
+      s"got $out")
+    assert(!out.keySet.exists(_ > 9L), "windows past the data's last day must clamp")
+  }
+
   test("retention: cohort day from first activity, distinct users per offset") {
     import spark.implicits._
     val ev = Seq(
