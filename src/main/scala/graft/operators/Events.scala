@@ -58,7 +58,7 @@ object Events {
         expr(s"`$tsCol` div ${DayNs}L").as("day"))
       .where(col(userCol).isNotNull)
       .distinct()
-    val bounds = days.agg(min("day").as("__lo"), max("day").as("__hi"))
+    val bounds = days.agg(max("day").as("__hi"))
     days
       .select(col(userCol),
         explode(sequence(col("day"), col("day") + (windowDays - 1))).as("w_day"))
