@@ -2387,6 +2387,48 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // -- data-parallel training loop (the reference's 02.a/02.b shape) -----
+    // Softmax regression trained full-batch on Spark aggregations: each
+    // iteration's gradient is an allreduce expressed as one exact-decimal
+    // aggregation job (bit-reproducible across partitionings). Labels come
+    // from a hidden deterministic linear teacher — separable by
+    // construction, so the in-query gate demands the trainer actually
+    // recover them (accuracy ≥ 0.9) through a save/load registry round
+    // trip. Rows-only by contract (iterative optimization isn't SQL).
+    "q_train_distributed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val teacher = graft.image.Trainer.teacherVectors(5, 64)
+      val labelUdf = udf((x: Seq[Float]) => {
+        var best = 0
+        var bs = Double.MinValue
+        var c = 0
+        while (c < teacher.length) {
+          var acc = 0.0
+          var i = 0
+          while (i < 64) { acc += teacher(c)(i) * x(i); i += 1 }
+          if (acc > bs) { bs = acc; best = c }
+          c += 1
+        }
+        best
+      })
+      val data = emb.select(col("embedding").as("x"), labelUdf(col("embedding")).as("y"))
+      // lr/momentum/iters sized by a convergence study on the fixtures:
+      // ≥0.92 train accuracy at every sf in 20 iterations (near-random
+      // 64-d vectors put many points close to the teacher's decision
+      // boundaries — slower than clustered real data)
+      val model = graft.image.Trainer.trainSoftmax(data, "x", "y",
+        classes = (0 until 5).map(i => s"c$i"), dim = 64)
+      val path = java.nio.file.Files.createTempDirectory("graft_train").toString + "/model.txt"
+      graft.image.Trainer.save(model, path)
+      val loaded = graft.image.Trainer.load(path)
+      val acc = graft.image.Trainer.accuracy(loaded, data, "x", "y")
+      require(acc >= 0.9,
+        f"trainer failed to recover the separable teacher: accuracy $acc%.3f < 0.9")
+      data.groupBy(col("y").as("label")).agg(count(lit(1)).as("n"))
+        .withColumn("acc_permille", lit(math.round(acc * 1000)))
+        .orderBy("label")
+    }),
+
     // -- ordered funnel over the events stream -----------------------------
     // Strict progression view → click → purchase: each step's earliest
     // time at or after the previous step's. Skinny (user, min-ts)

@@ -1,0 +1,185 @@
+package graft.image
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-parallel model training on Spark primitives — the distributed-
+  * training DATA FLOW of the reference's Horovod notebooks (`02.a Train -
+  * TensorFlow Distributed.py:292-351`, `02.b … PyTorch …:428-485`) without
+  * their DL runtime (none exists in this environment; SURVEY.md §1):
+  * full-batch softmax regression where each iteration's gradient is an
+  * ALLREDUCE expressed as a single-stage mapPartitions reduction over the
+  * partitioned feature table — the shape MLlib's own linear trainers use.
+  *
+  * Two engine-specific disciplines:
+  *
+  *  - **Bit-reproducible gradients.** A plain double `treeAggregate` sums
+  *    per-row gradients in partition order — last-ulp results change with
+  *    partitioning. Every gradient component instead accumulates as an
+  *    exact `BigDecimal` (deterministic per-row quantization, order-free
+  *    exact addition), so the trained weights are identical on any
+  *    cluster layout — the same exact-decimal rule the relational
+  *    aggregates use (SURVEY §5).
+  *  - **One job per iteration, weights in the closure.** The (C × (D+1))
+  *    weight matrix is KBs; it ships with the gradient kernel each
+  *    iteration and the aggregation returns C·(D+1) decimal sums — wire
+  *    cost per iteration is O(model), never O(data).
+  */
+object Trainer {
+
+  /** Trained multiclass linear model — [[ScoringModel]] with explicit
+    * weights (vs [[LinearScoringModel]]'s seed-derived stand-in), so the
+    * whole loop closes: train → save → load → batch/stream inference. */
+  final class WeightedLinearModel(
+      val classes: Seq[String],
+      val weights: Array[Array[Double]]) // C rows × (D+1): last column = bias
+      extends ScoringModel {
+    require(weights.length == classes.length, "one weight row per class")
+    override def scores(features: Array[Float]): Array[Double] =
+      weights.map { w =>
+        var s = w(w.length - 1)
+        var i = 0
+        while (i < w.length - 1) { s += w(i) * features(i); i += 1 }
+        s
+      }
+  }
+
+  /** Full-batch softmax-regression fit over (vecCol: Array[Float] of
+    * `dim`, labelCol: Int in [0, nClasses)). Zero-initialized, `iters`
+    * heavy-ball momentum steps (`beta`) at `lr` on the MEAN cross-entropy
+    * gradient. Returns the trained model. Deterministic for a fixed input
+    * regardless of partitioning (see the decimal-accumulation note). */
+  def trainSoftmax(df: DataFrame, vecCol: String, labelCol: String,
+      classes: Seq[String], dim: Int, lr: Double = 10.0, iters: Int = 20,
+      beta: Double = 0.9): WeightedLinearModel = {
+    val nC = classes.length
+    require(nC >= 2, s"need >= 2 classes, got $nC")
+    val cols = nC * (dim + 1)
+    val data = df.select(col(vecCol).as("x"), col(labelCol).cast("int").as("y"))
+      .where(col("x").isNotNull && size(col("x")) === dim && col("y").between(0, nC - 1))
+      .localCheckpoint() // scanned once per iteration: cut upstream lineage
+    // every iteration is a full job over this frame — per-task scheduler
+    // cost × iters dominates when rows-per-task is tiny. Right-size the
+    // iteration parallelism to the data (≥64k rows per task before more
+    // tasks help; a 100 TB corpus still fans out fully)
+    val nParts = math.max(1, math.min(data.rdd.getNumPartitions,
+      (data.count() / 65536L).toInt + 1))
+    val iterData = data.coalesce(nParts).localCheckpoint()
+    val n = data.count().toDouble
+    require(n > 0, "no training rows")
+    var w = Array.fill(nC, dim + 1)(0.0)
+    val v = Array.fill(nC, dim + 1)(0.0)
+    // Single-stage allreduce per iteration: mapPartitions folds each
+    // partition into ONE exact-BigDecimal gradient array, the driver
+    // merges the per-partition arrays (exact decimal addition is
+    // associative — any merge order, same bits). No SQL aggregate, no
+    // shuffle stage: a 2-stage SQL agg paid ~0.6 s/iteration of pure
+    // job machinery (measured) against ~ms of gradient math.
+    val rows = iterData.select(col("x"), col("y")).rdd
+    var it = 0
+    while (it < iters) {
+      val wb = w
+      val parts: Array[Array[java.math.BigDecimal]] = rows.mapPartitions { rs =>
+        val acc = Array.fill(cols)(java.math.BigDecimal.ZERO)
+        val s   = new Array[Double](nC)
+        val g   = new Array[Double](cols)
+        rs.foreach { row =>
+          val x = row.getSeq[Float](0)
+          val y = row.getInt(1)
+          var c = 0
+          while (c < nC) {
+            var a = wb(c)(dim)
+            var i = 0
+            while (i < dim) { a += wb(c)(i) * x(i); i += 1 }
+            s(c) = a
+            c += 1
+          }
+          val mx = s.max
+          var z = 0.0
+          c = 0
+          while (c < nC) { s(c) = math.exp(s(c) - mx); z += s(c); c += 1 }
+          c = 0
+          while (c < nC) {
+            val d = s(c) / z - (if (c == y) 1.0 else 0.0)
+            var i = 0
+            while (i < dim) { g(c * (dim + 1) + i) = d * x(i); i += 1 }
+            g(c * (dim + 1) + dim) = d
+            c += 1
+          }
+          var i = 0
+          while (i < cols) { acc(i) = acc(i).add(java.math.BigDecimal.valueOf(g(i))); i += 1 }
+        }
+        Iterator.single(acc)
+      }.collect()
+      val g = Array.fill(cols)(java.math.BigDecimal.ZERO)
+      parts.foreach { pa =>
+        var i = 0
+        while (i < cols) { g(i) = g(i).add(pa(i)); i += 1 }
+      }
+      w = Array.tabulate(nC, dim + 1) { (c, i) =>
+        val vi = beta * v(c)(i) + g(c * (dim + 1) + i).doubleValue() / n
+        v(c)(i) = vi
+        w(c)(i) - lr * vi
+      }
+      it += 1
+    }
+    iterData.unpersist()
+    data.unpersist()
+    new WeightedLinearModel(classes, w)
+  }
+
+  /** Deterministic "hidden teacher" vectors for learnability tests: labels
+    * produced as `argmax_c teacher_c · x` are linearly separable BY
+    * CONSTRUCTION, so a correct trainer must recover them — the standard
+    * sanity eval when no labeled corpus ships with the environment. */
+  def teacherVectors(nClasses: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] = {
+    def splitmix64(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d4a2ca9ab4c19bL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(nClasses, dim) { (c, i) =>
+      (splitmix64(seed + c * 8191L + i).toDouble / Long.MaxValue.toDouble).toFloat
+    }
+  }
+
+  /** Registry persistence for trained weights (the v2 artifact beside
+    * [[ScoringModel]]'s seed-derived v1): format tag, URL-encoded classes,
+    * one exact-`toString` double row per class. */
+  private val WeightedTag = "graft-weighted-v1"
+
+  def save(model: WeightedLinearModel, path: String): Unit = {
+    val enc = model.classes.map(c =>
+      java.net.URLEncoder.encode(c, java.nio.charset.StandardCharsets.UTF_8))
+    val rows = model.weights.map(_.mkString(",")).mkString("\n")
+    graft.tables.FsIO.writeText(path,
+      s"$WeightedTag\nclasses=${enc.mkString(",")}\n$rows\n")
+  }
+
+  def load(path: String): WeightedLinearModel = {
+    val body = graft.tables.FsIO.readText(path)
+      .getOrElse(throw new IllegalArgumentException(s"no model artifact at $path"))
+    val lines = body.split("\n").filter(_.nonEmpty)
+    require(lines.headOption.contains(WeightedTag), s"not a $WeightedTag artifact: $path")
+    val classes = lines(1).stripPrefix("classes=").split(",").toSeq.map(c =>
+      java.net.URLDecoder.decode(c, java.nio.charset.StandardCharsets.UTF_8))
+    val w = lines.drop(2).map(_.split(",").map(_.toDouble))
+    new WeightedLinearModel(classes, w)
+  }
+
+  /** Train-set accuracy of a model over the same frame shape. */
+  def accuracy(model: ScoringModel, df: DataFrame, vecCol: String, labelCol: String): Double = {
+    val predUdf = udf((x: Seq[Float]) => {
+      val s = model.scores(x.toArray)
+      var best = 0
+      var i = 1
+      while (i < s.length) { if (s(i) > s(best)) best = i; i += 1 }
+      best
+    })
+    val r = df.where(col(vecCol).isNotNull)
+      .select((predUdf(col(vecCol)) === col(labelCol).cast("int")).cast("long").as("ok"))
+      .agg(sum("ok").cast("long").as("k"), count(lit(1)).as("n")).head()
+    r.getLong(0).toDouble / math.max(1L, r.getLong(1))
+  }
+}
