@@ -2513,8 +2513,12 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft_tp").toString + "/t"
       val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
       graft.tables.TimePartitioned.write(ev, work, "ts")
-      val from = 1704672000000000000L // 2024-01-08 UTC
-      val to   = 1705104000000000000L // 2024-01-13 UTC
+      // window derived from the data (fixture time ranges drift between
+      // vintages): days [first+7, first+12], mirrored in the oracle
+      val DayNs  = 86400L * 1000000000L
+      val day0   = Math.floorDiv(ev.agg(min("ts")).head().getLong(0), DayNs)
+      val from   = (day0 + 7) * DayNs
+      val to     = (day0 + 13) * DayNs - 1
       val out = graft.tables.TimePartitioned.readRange(s, work, "ts", from, to)
       val scanned = out.queryExecution.executedPlan
         .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
@@ -4136,9 +4140,11 @@ object SparkEntry {
         "FROM w, hi WHERE w_day <= hi.h GROUP BY w_day ORDER BY day"),
 
     "q_time_partition" ->
-      ("SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events " +
-        "WHERE epoch_ns(ts) BETWEEN 1704672000000000000 AND 1705104000000000000 " +
-        "ORDER BY event_id"),
+      // same data-derived day window as the Spark side
+      ("WITH d0 AS (SELECT MIN(epoch_ns(ts)) // 86400000000000 AS day0 FROM events) " +
+        "SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events, d0 " +
+        "WHERE epoch_ns(ts) BETWEEN (day0 + 7) * 86400000000000 " +
+        "AND (day0 + 13) * 86400000000000 - 1 ORDER BY event_id"),
 
     "q_bloom_lookup" ->
       ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal FROM customer " +
