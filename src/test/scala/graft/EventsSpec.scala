@@ -50,6 +50,53 @@ class EventsSpec extends SparkSpec {
     assert(!out.keySet.exists(_ > 9L), "windows past the data's last day must clamp")
   }
 
+  test("property: funnel equals a brute-force per-user replay on random event streams") {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val ev = (0 until 300).map { _ =>
+        (rnd.nextInt(20).toLong, steps(rnd.nextInt(3)), rnd.nextInt(1000).toLong)
+      }
+      // driver-side ground truth: strict forward replay over sorted events
+      def truth(user: Long): Option[(Long, Option[Long], Option[Long])] = {
+        val mine = ev.filter(_._1 == user).sortBy(e => (e._3, e._2))
+        def earliest(step: String, atOrAfter: Long): Option[Long] =
+          mine.filter(e => e._2 == step && e._3 >= atOrAfter).map(_._3).minOption
+        earliest("view", Long.MinValue).map { t1 =>
+          val t2 = earliest("click", t1)
+          (t1, t2, t2.flatMap(earliest("purchase", _)))
+        }
+      }
+      val got = Events.funnel(ev.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+      val want = (0L until 20L).flatMap(u => truth(u).map(u -> _)).toMap
+      assert(got == want, s"seed $seed: funnel diverged from brute force")
+    }
+  }
+
+  test("property: rollingActiveUsers equals the brute-force window count") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val grains = (0 until 200).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(20).toLong))
+      val ev = grains.map { case (u, d) => (u, "e", d * Day + rnd.nextInt(1000)) }
+      val got = Events.rollingActiveUsers(ev.toDF("user_id", "event_type", "ts"),
+          "user_id", "ts", windowDays = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val maxDay = grains.map(_._2).max
+      val want = (0L to maxDay).map { day =>
+        day -> grains.collect {
+          case (u, d) if d <= day && d > day - 5 => u
+        }.distinct.size.toLong
+      }.filter(_._2 > 0).toMap
+      assert(got == want, s"seed $seed: rolling counts diverged from brute force")
+    }
+  }
+
   test("retention: cohort day from first activity, distinct users per offset") {
     import spark.implicits._
     val ev = Seq(
