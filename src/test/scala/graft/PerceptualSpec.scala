@@ -74,6 +74,33 @@ class PerceptualSpec extends SparkSpec {
     assert(out == Map("x" -> "x", "y" -> "x"))
   }
 
+  test("property: banding finds EVERY pair within maxHamming on random hashes (pigeonhole)") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd  = new scala.util.Random(seed)
+      val base = Array.fill(30)(rnd.nextLong())
+      // plant near-pairs at hamming 1..7 off random bases
+      val planted = base.zipWithIndex.map { case (h, i) =>
+        var x = h
+        val flips = i % 8
+        val bits  = rnd.shuffle((0 until 64).toList).take(flips)
+        bits.foreach(b => x ^= (1L << b))
+        (s"p$i", x, s"b$i", h, flips)
+      }
+      val hashes = (planted.map(p => (p._1, p._2)) ++ planted.map(p => (p._3, p._4)))
+        .toSeq.toDF("img_id", "phash")
+      val pairs = Perceptual.nearDupPairs(hashes, "img_id", maxHamming = 7, bands = 8)
+        .collect().map(r => Set(r.getString(0), r.getString(1)) -> r.getInt(2).toLong).toMap
+      planted.foreach { case (a, _, b, _, flips) =>
+        if (flips <= 7)
+          assert(pairs.get(Set(a, b)).contains(flips.toLong),
+            s"seed $seed: planted pair ($a,$b) at hamming $flips missed")
+      }
+      // and nothing beyond the threshold leaks through
+      assert(pairs.values.forall(_ <= 7))
+    }
+  }
+
   test("band recall guarantee is enforced and the bucket cap drops mega-buckets") {
     import spark.implicits._
     val hashes = Seq(("a", 0L), ("b", 1L), ("c", 2L), ("d", 3L)).toDF("img_id", "phash")

@@ -97,6 +97,28 @@ class TarShardsSpec extends SparkSpec {
     assert(nShardsUsed >= 2)
   }
 
+  test("reverse interop: archives CREATED BY GNU tar parse back byte-exact") {
+    val work = Files.createTempDirectory("graft_tar_rev").toFile
+    val payloads = Map(
+      "a.txt" -> "hello tar".getBytes(StandardCharsets.UTF_8),
+      "b.bin" -> Array.tabulate(700)(i => (i * 7 % 251).toByte), // crosses a block
+      "empty.txt" -> Array.emptyByteArray)
+    payloads.foreach { case (n, b) =>
+      Files.write(new java.io.File(work, n).toPath, b)
+    }
+    val shardDir = Files.createTempDirectory("graft_tar_revs").toString
+    val tarPath  = s"$shardDir/gnu.tar"
+    // GNU tar's own writer (its default format, nonzero mtimes/uids)
+    assert(Seq("tar", "-cf", tarPath, "-C", work.getAbsolutePath,
+      "a.txt", "b.bin", "empty.txt").! == 0)
+    val back = TarShards.readShards(spark, shardDir)
+      .collect().map(r => r.getString(1) -> r.getAs[Array[Byte]](2)).toMap
+    assert(back.keySet == payloads.keySet, s"members: ${back.keySet}")
+    payloads.foreach { case (n, b) =>
+      assert(java.util.Arrays.equals(back(n), b), s"$n payload corrupted")
+    }
+  }
+
   test("re-export with fewer shards leaves no stale shards behind") {
     val docs = mkDocs(100)
     val dir  = Files.createTempDirectory("graft_tar_re").toString + "/s"
