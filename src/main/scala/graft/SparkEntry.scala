@@ -920,6 +920,22 @@ object SparkEntry {
         .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")), "attr", "val")
         .orderBy("p_partkey", "attr")),
 
+    // -- pivot (long → wide), the symmetric twin of q_unpivot --------------
+    // EXPLICIT pivot-value list — the scale-safe form: without it Spark
+    // runs a hidden distinct-scan job over the pivot column just to
+    // discover the output schema (a full extra pass at 100 TB), and the
+    // schema becomes data-dependent. With the list, the plan is a single
+    // groupBy with conditional partial aggregates — one shuffle, map-side
+    // combined, schema fixed at plan time.
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "part")
+        .groupBy("p_brand")
+        .pivot("p_mfgr", (1 to 5).map(i => s"Manufacturer#$i"))
+        .agg(sum(col("p_retailprice").cast(Dec)).cast(Dec).cast("double"))
+        .select(col("p_brand") +: (1 to 5).map(i =>
+          col(s"`Manufacturer#$i`").as(s"mfgr$i")): _*)
+        .orderBy("p_brand")),
+
     // -- max_by / min_by: value of one column at the extreme of another ----
     // ordering column (o_orderkey) is unique per group → deterministic
     "q_agg_minmax_by" -> ((s, d) =>
@@ -2470,7 +2486,7 @@ object SparkEntry {
         "{\"c_custkey\": \"zz\", \"c_name\": 1}\nnot json at all\n{broken\n".getBytes,
         java.nio.file.StandardOpenOption.APPEND)
       new java.io.File(part.getParent, s".${part.getName}.crc").delete()
-      val (good, bad) = graft.tables.FormatIO.readJsonLinesRouted(s, work, c.schema)
+      val (good, bad, _) = graft.tables.FormatIO.readJsonLinesRouted(s, work, c.schema)
       val nBad = bad.count()
       require(nBad == 3, s"expected 3 quarantined records, got $nBad")
       good.select(col("c_custkey"), col("c_name"),
@@ -2495,7 +2511,7 @@ object SparkEntry {
         java.nio.file.StandardOpenOption.APPEND)
       // the local FS keeps a checksum sidecar; the injected bytes invalidate it
       new java.io.File(part.getParent, s".${part.getName}.crc").delete()
-      val (good, bad) = graft.tables.FormatIO.readCsvRouted(s, work, c.schema)
+      val (good, bad, _) = graft.tables.FormatIO.readCsvRouted(s, work, c.schema)
       val nBad = bad.count()
       require(nBad == 3, s"expected 3 quarantined records, got $nBad")
       good.select(col("c_custkey"), col("c_name"),
@@ -3526,6 +3542,14 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part " +
         "ORDER BY p_partkey, attr"),
+
+    "q_pivot" ->
+      ("SELECT p_brand, " +
+        (1 to 5).map(i =>
+          s"CAST(CAST(SUM(CASE WHEN p_mfgr = 'Manufacturer#$i' " +
+          s"THEN CAST(p_retailprice AS DECIMAL(38,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS mfgr$i"
+        ).mkString(", ") +
+        " FROM part GROUP BY p_brand ORDER BY p_brand"),
 
     "q_agg_minmax_by" ->
       ("SELECT o_custkey, arg_max(o_totalprice, o_orderkey) AS price_of_last_order, " +

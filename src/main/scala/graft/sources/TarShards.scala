@@ -136,6 +136,10 @@ object TarShards {
     // readShards silently includes (duplicate/ghost examples).
     Option(fs.globStatus(new Path(p, "*.tar"))).getOrElse(Array.empty)
       .foreach(st => fs.delete(st.getPath, false))
+    // ...and any tmp files a previously failed/killed task left behind
+    // (dot-prefixed, so readers never saw them — but they'd accrete forever).
+    Option(fs.globStatus(new Path(p, ".shard-*.tmp"))).getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, false))
     val shardKey = Option(shardBy).getOrElse(col(nameCol)).cast("string")
     df.select(
         pmod(xxhash64(shardKey), lit(nShards.toLong)).as("__shard"),
@@ -175,7 +179,13 @@ object TarShards {
               if (payload == null) Array.emptyByteArray else payload))
           }
           commit()
-        } finally if (out != null) out.close()
+        } finally if (out != null) {
+          // failed mid-shard: close AND delete the orphan tmp so a killed
+          // attempt leaves nothing behind (commit() nulls `out` on success,
+          // so this path only runs on failure).
+          out.close(); out = null
+          try fsx.delete(tmp, false) catch { case _: java.io.IOException => () }
+        }
       }
   }
 

@@ -72,10 +72,10 @@ object FormatIO {
     * the parsed frame is cached before the corrupt-column filters because
     * Spark forbids filtering the internal corrupt column on a raw file
     * scan (the column only materializes when the row is actually
-    * malformed). Callers should `unpersist` the returned frames' shared
-    * cache when done via the third element. */
+    * malformed). The third element releases that shared cache — call it
+    * once both frames have been consumed. */
   def readCsvRouted(spark: SparkSession, dir: String, schema: StructType,
-      multiLine: Boolean = false): (DataFrame, DataFrame) = {
+      multiLine: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions.col
     val corrupt = "_graft_corrupt"
     val parsed = spark.read
@@ -89,7 +89,7 @@ object FormatIO {
     val good = parsed.where(col(corrupt).isNull).drop(corrupt)
     val bad  = parsed.where(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_record"))
-    (good, bad)
+    (good, bad, () => { parsed.unpersist(); () })
   }
 
   /** Write `df` as JSON-lines under `dir`. Decimals serialize as plain JSON
@@ -107,12 +107,12 @@ object FormatIO {
   /** [[readCsvRouted]] for JSON-lines: rows that parse under the explicit
     * schema flow to the first frame; lines that don't (broken JSON, type
     * conflicts) quarantine verbatim in the second. Same PERMISSIVE +
-    * corrupt-column mechanics and the same cache requirement. Note the
+    * corrupt-column mechanics and cache-release thunk. Note the
     * JSON-specific trap this routes around: under plain PERMISSIVE reads
     * a malformed line silently becomes an all-null row — here it is
     * preserved for inspection instead. */
   def readJsonLinesRouted(spark: SparkSession, dir: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions.col
     val corrupt = "_graft_corrupt"
     val parsed = spark.read
@@ -124,7 +124,7 @@ object FormatIO {
     val good = parsed.where(col(corrupt).isNull).drop(corrupt)
     val bad  = parsed.where(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_record"))
-    (good, bad)
+    (good, bad, () => { parsed.unpersist(); () })
   }
 
   /** Write `df` as ORC under `dir`. ORC is the other columnar interchange

@@ -25,12 +25,23 @@ object TimePartitioned {
     java.time.LocalDate.ofEpochDay(
       Math.floorDiv(Math.floorDiv(tsNanos, 1000000000L), 86400L)).toString
 
+  /** Floor-division day key as a Column — MUST match `dayOfNanos` exactly.
+    * SQL `div` truncates toward zero, which disagrees with Math.floorDiv for
+    * pre-epoch timestamps with a sub-unit remainder (e.g. ts = -0.5 s would
+    * truncate to second 0 → 1970-01-01 while the reader floors to 1969-12-31
+    * and prunes the row away). `pmod` is non-negative for a positive divisor,
+    * so `(x - pmod(x, d)) div d` is exact floor division. */
+  private def dayColExpr(tsNanosCol: String) = {
+    val sec = s"((`$tsNanosCol` - pmod(`$tsNanosCol`, 1000000000L)) div 1000000000L)"
+    val day = s"(($sec - pmod($sec, 86400L)) div 86400L)"
+    expr(s"date_format(date_add(to_date('1970-01-01'), cast($day as int)), '$DayFmt')")
+  }
+
   /** Write `df` partitioned by the UTC day of `tsNanosCol`. One shuffle on
     * the day key so each partition directory gets contiguous files (the
     * partitionBy small-file discipline of `buildIvfIndex`). */
   def write(df: DataFrame, dir: String, tsNanosCol: String): Unit =
-    df.withColumn("p_day",
-        date_format(timestamp_seconds(expr(s"`$tsNanosCol` div 1000000000")), DayFmt))
+    df.withColumn("p_day", dayColExpr(tsNanosCol))
       .repartition(col("p_day"))
       .write.mode("overwrite").partitionBy("p_day").parquet(dir)
 

@@ -24,14 +24,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * deliberate miniature of the Delta transaction log: commit = one atomic
   * metadata rename, data files are immutable once written.
   *
-  * Scale notes (100 TB): each version is a FULL snapshot — this is
-  * versioning for the overwrite-table cadence the reference uses
-  * (`01. Ingest.py:176-189` rewrites whole tables per run), where Delta
-  * itself would also rewrite the data files; only the log machinery is
-  * emulated. Incremental commits sharing unchanged files through per-file
-  * log entries are deliberately out of scope — stated, not faked. Reads
-  * touch exactly one immutable `v=<n>` directory; the log is O(commits)
-  * text, not data-sized.
+  * Two commit flavors:
+  *
+  *  - **Snapshot** ([[commit]]): `<dir>/v=<n>/` holds version n's parquet
+  *    in full — the overwrite-table cadence the reference uses
+  *    (`01. Ingest.py:176-189` rewrites whole tables per run), where Delta
+  *    itself would also rewrite the data files.
+  *  - **Incremental** ([[commitAppend]] / [[commitUpdate]] /
+  *    [[commitDelete]]): the commit entry carries a MANIFEST (`file=<rel>`
+  *    lines) and versions SHARE unchanged data files — append writes only
+  *    the new rows' files; update/delete rewrite only the files that
+  *    actually contain matching rows (file-level copy-on-write, the Delta
+  *    MERGE discipline). COMMIT cost is O(change), never O(table) — the
+  *    property that makes versioning affordable on a 100 TB corpus, where
+  *    a daily append must not re-copy the year.
+  *
+  * Both flavors interoperate: an incremental commit on top of a snapshot
+  * references the snapshot's files in place; [[vacuum]] refcounts files
+  * across retained manifests before deleting anything.
   *
   * Concurrency: commits and vacuums serialize through
   * [[FsIO.acquireWriteLock]] (the lease guard); readers take no lock ever —

@@ -42,12 +42,14 @@ class FormatIOSpec extends SparkSpec {
       java.nio.file.StandardOpenOption.APPEND)
     // the local FS keeps a checksum sidecar; the injected bytes invalidate it
     new java.io.File(part.getParent, s".${part.getName}.crc").delete()
-    val (good, bad) = FormatIO.readCsvRouted(spark, dir, awkward.schema)
+    val (good, bad, release) = FormatIO.readCsvRouted(spark, dir, awkward.schema)
     assert(good.count() == awkward.count(), "clean rows must all parse")
     assert(rows(good) == rows(awkward), "routing must not mutate parsed values")
     val quarantined = bad.collect().map(_.getString(0)).toSet
     assert(quarantined.size == 2 && quarantined.exists(_.startsWith("zz,bad id")),
       s"quarantine wrong: $quarantined")
+    release() // frees the shared parse cache; idempotent
+    release()
   }
 
   test("CSV round-trip preserves nulls, empty strings, quoting, unicode, decimals, dates") {

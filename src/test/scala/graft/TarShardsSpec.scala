@@ -51,6 +51,18 @@ class TarShardsSpec extends SparkSpec {
     assert(files1.forall(f => !f.getName.contains("tmp")), "tmp files leaked")
   }
 
+  test("orphaned tmp files from a killed attempt are swept on the next write") {
+    val docs = mkDocs(20)
+    val dir  = Files.createTempDirectory("graft_tar_tmp").toString + "/s"
+    TarShards.writeShards(docs, "member", "payload", dir, nShards = 2)
+    // forge the artifact a killed task leaves behind
+    val orphan = new java.io.File(dir, ".shard-00001.tar.999.tmp")
+    Files.write(orphan.toPath, "partial bytes".getBytes(StandardCharsets.UTF_8))
+    TarShards.writeShards(docs, "member", "payload", dir, nShards = 2)
+    assert(!orphan.exists(), "re-export must sweep orphaned .tmp files")
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar")) == 2)
+  }
+
   test("shards are standard archives readable by GNU tar") {
     val docs = mkDocs(40)
     val dir  = Files.createTempDirectory("graft_tar_gnu").toString + "/s"

@@ -44,4 +44,16 @@ class TimePartitionedSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().exists(_.getName == "p_day=1969-12-29"))
     assert(TimePartitioned.readRange(spark, dir, "ts", t, t).count() == 1)
   }
+
+  test("pre-epoch ts in the last second of a UTC day floors (not truncates) to that day") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tp_floor").toString + "/t"
+    // 1969-12-31 23:59:59.5 — trunc-div would store it under p_day=1970-01-01
+    // and readRange's floorDiv pruning would silently drop it.
+    val t = -500000000L
+    TimePartitioned.write(Seq((1L, t)).toDF("id", "ts"), dir, "ts")
+    assert(new java.io.File(dir).listFiles().exists(_.getName == "p_day=1969-12-31"),
+      "write path must floor the day key like the reader does")
+    assert(TimePartitioned.readRange(spark, dir, "ts", t, t).count() == 1)
+  }
 }
