@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Empirical SCALING study — converts the "scale-safe by plan shape"
+  * arguments into measurements. Amplifies the sf0.1 fixtures ×F with
+  * STRUCTURE-PRESERVING transforms (below), then runs each scale-critical
+  * workload at every factor, recording wall seconds, shuffle-write MB and
+  * output rows. Results feed `SCALING.md`; linear shuffle growth per factor
+  * is the claim under test.
+  *
+  * Amplification must preserve the workload's character, not just its row
+  * count — naive row replication would make every replica a near-duplicate
+  * of its siblings and blow the dedup workloads up quadratically with a
+  * structure the real corpus doesn't have. Per copy k:
+  *
+  *  - documents: ids shift by k·10⁶; every token gets a copy-specific
+  *    suffix (`word` → `word~k`). A token bijection preserves every
+  *    within-copy shingle/Jaccard relation EXACTLY while making cross-copy
+  *    token sets disjoint — duplicate structure per document stays constant
+  *    as the corpus grows, the honest 100 TB shape.
+  *  - embeddings: ids shift; each copy applies its own fixed PERMUTATION of
+  *    the 64 dimensions — an isometry (all within-copy cosines exactly
+  *    preserved), while cross-copy similarities decorrelate.
+  *  - lineitem/orders: key ranges shift per copy (orderkey +k·10⁷, custkey
+  *    +k·10⁶ — multiples of every modulus the workloads filter on);
+  *    part stays FIXED (the item catalog is not data-sized in reality —
+  *    interactions grow, the catalog doesn't).
+  *
+  * Scale-dependent knobs are derived from N exactly as a production
+  * deployment would derive them (and SCALING.md documents each formula):
+  * IVF centroid count ∝ √N, LSH band bits + log₂F, z-order target file
+  * count ∝ F (constant file SIZE), streaming trigger size ∝ F (constant
+  * trigger COUNT). Everything else runs with the declared queries' knobs.
+  */
+object ScaleBench {
+
+  private val IdStride    = 1000000L  // divisible by 10, 50 — the workload moduli
+  private val OrderStride = 10000000L
+
+  // ------------------------------------------------------------ amplifier
+
+  private def fisherYates(n: Int, seed: Long): Array[Int] = {
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d4a2ca9ab4c19bL
+      z ^ (z >>> 31)
+    }
+    val a = Array.range(0, n)
+    var i = n - 1
+    while (i > 0) {
+      val j = (math.floorMod(mix(seed * 1013904223L + i), i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+
+  def amplify(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    import spark.implicits._
+    require(factor >= 1)
+    val copies = spark.range(factor).select(col("id").cast("int").as("k"))
+
+    val docs = Tables.load(spark, srcDir, "documents")
+    docs.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") + col("k") * lit(IdStride)).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1~"), col("k")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+      .repartition(4 * factor)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val perms = (0 until factor).map(k => (k, fisherYates(64, k.toLong)))
+    val permDf = broadcast(perms.toDF("k", "perm"))
+    Tables.load(spark, srcDir, "embeddings").crossJoin(permDf)
+      .select(
+        (col("vec_id") + col("k") * lit(IdStride)).as("vec_id"),
+        when(col("k") === 0, col("embedding")).otherwise(
+          transform(col("perm"), i => element_at(col("embedding"), i + 1))).as("embedding"),
+        col("label"))
+      .repartition(2 * factor)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    Tables.load(spark, srcDir, "lineitem").crossJoin(broadcast(copies))
+      .select(
+        (col("l_orderkey") + col("k") * lit(OrderStride)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(8 * factor)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    Tables.load(spark, srcDir, "orders").crossJoin(broadcast(copies))
+      .select(
+        (col("o_orderkey") + col("k") * lit(OrderStride)).as("o_orderkey"),
+        (col("o_custkey") + col("k") * lit(IdStride)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .repartition(4 * factor)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // fixed catalog: copied verbatim
+    Tables.load(spark, srcDir, "part")
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+  }
+
+  // ------------------------------------------------------------ workloads
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** (name, fn(spark, dir, factor) => result-to-count). Knob formulas in
+    * the scaladoc above; each mirrors its declared q_* twin's plan. */
+  private def workloads: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
+
+    "dedup_exact" -> ((s, d, _) =>
+      Dedup.exactGroups(t(s, d, "documents"), "text", "doc_id")),
+
+    "dedup_near_drop" -> ((s, d, _) =>
+      Dedup.dropNearDuplicates(t(s, d, "documents"), "text", "doc_id",
+        shingleN = 2, minJaccard = 0.8)),
+
+    "minhash_index" -> ((s, d, _) =>
+      Dedup.minHashIndex(t(s, d, "documents"), "text", "doc_id")),
+
+    // fixed base index (copy-0's first 250 docs), growing batch
+    "dedup_near_incr" -> ((s, d, _) => {
+      val docs  = t(s, d, "documents")
+      val index = Dedup.minHashIndex(
+        docs.where(col("doc_id") < 250), "text", "doc_id")
+      Dedup.nearDedupAgainstIndex(
+        docs.where(col("doc_id") >= 250), "text", "doc_id", index, minEstJaccard = 0.7)
+    }),
+
+    // FIXED eval set (copy-0's %10 docs), growing train side — the real
+    // decontamination shape at 100 TB
+    "decontaminate" -> ((s, d, _) =>
+      TextAnalysis.contamination(t(s, d, "documents"), "text", "doc_id",
+        isEval = col("doc_id") < IdStride && col("doc_id") % 10 === 0, n = 3)),
+
+    "decontaminate_bloom" -> ((s, d, _) =>
+      TextAnalysis.contaminationBloom(t(s, d, "documents"), "text", "doc_id",
+        isEval = col("doc_id") < IdStride && col("doc_id") % 10 === 0, n = 3)),
+
+    "heavy_hitters" -> ((s, d, _) =>
+      TextAnalysis.heavyHitters(t(s, d, "documents"), "text", support = 0.002)),
+
+    // band bits grow with log2(F): constant expected bucket size
+    "embedding_neardup" -> ((s, d, f) => {
+      val bandBits = 6 + (math.log(f.toDouble) / math.log(2)).ceil.toInt
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        dim = 64, minCosine = 0.2, nBits = 4 * math.min(16, bandBits))
+    }),
+
+    // centroid count ∝ √N — the production IVF sizing rule
+    "knn_join_ivf" -> ((s, d, _) => {
+      val emb = t(s, d, "embeddings")
+      val n   = emb.count()
+      val c   = math.max(8, math.sqrt(n.toDouble).round.toInt)
+      val cents = emb.where(col("vec_id") < c).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 5, cents, nProbes = 2)
+    }),
+
+    // growing users/interactions, fixed catalog
+    "negative_sample" -> ((s, d, _) => {
+      val pos = t(s, d, "lineitem").join(
+          broadcast(t(s, d, "orders").where(col("o_custkey") % 50 === 0)),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("l_partkey").cast("long").as("item_id"))
+      Relational.negativeSample(pos, "user_id", "item_id",
+        t(s, d, "part"), "p_partkey", k = 5)
+    }),
+
+    // node space ∝ F: constant average degree (the honest graph growth)
+    "triangle_count" -> ((s, d, f) =>
+      Graph.triangleCount(
+        t(s, d, "lineitem").select(
+          (col("l_orderkey") % (200L * f)).as("src"),
+          ((col("l_suppkey") * 31 + col("l_orderkey")) % (200L * f)).as("dst")),
+        "src", "dst")),
+
+    // file COUNT ∝ F (constant file size); prune ranges constant → the
+    // pruned read must stay ~flat while the write/compact side grows
+    "skipping_zorder" -> ((s, d, f) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_z").toString
+      val tbl  = s"$work/t"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+        .write.parquet(tbl)
+      tables.TableManager.compactZOrder(s, tbl, "l_orderkey", "l_partkey",
+        targetFiles = 16 * f)
+      tables.SkippingIndex.refreshStats(s, tbl, Seq("l_orderkey", "l_partkey"))
+      tables.SkippingIndex.readPrunedMulti(s, tbl, Seq(
+        ("l_orderkey", lit(1000L), lit(4000L)),
+        ("l_partkey", lit(100L), lit(400L))))
+    }),
+
+    // trigger SIZE ∝ F (constant trigger count): per-byte streaming cost
+    "stream_near_dedup" -> ((s, d, f) => {
+      val work   = java.nio.file.Files.createTempDirectory("graft_scale_snd").toString
+      val srcDir = s"$work/src"
+      t(s, d, "documents").select("doc_id", "text")
+        .repartition(4 * f).write.parquet(srcDir)
+      streaming.StreamingInference.streamNearDedup(
+        s, srcDir, s.read.parquet(srcDir).schema, "text", "doc_id",
+        s"$work/sink", s"$work/index", s"$work/ckpt",
+        maxFilesPerTrigger = 2 * f)
+    })
+  )
+
+  // ------------------------------------------------------------ harness
+
+  def main(args: Array[String]): Unit = {
+    val factors = (if (args.nonEmpty) args(0) else
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,30"))
+      .split(",").map(_.trim.toInt).toSeq
+    val only    = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val srcDir  = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baseOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
+    val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def drained(): Long = {
+      val t0 = System.nanoTime()
+      var last = shuffleBytes.get()
+      while ((System.nanoTime() - t0) < 200e6) {
+        Thread.sleep(20)
+        val now = shuffleBytes.get()
+        if (now == last) return now
+        last = now
+      }
+      last
+    }
+
+    val results = new StringBuilder
+    factors.foreach { f =>
+      val dir = s"$baseOut/f$f"
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+        System.err.println(s"[scale] amplifying x$f into $dir")
+        amplify(spark, srcDir, dir, f)
+      }
+      workloads.filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (name, fn) =>
+          System.err.println(s"[scale] f=$f $name")
+          val s0 = drained()
+          val t0 = System.nanoTime()
+          val res = try {
+            val rows = fn(spark, dir, f).count()
+            val sec  = (System.nanoTime() - t0) / 1e9
+            val mb   = (drained() - s0) / 1048576.0
+            f"""{"workload":"$name","factor":$f,"sec":${math.rint(sec * 100) / 100},"shuffle_mb":${math.rint(mb * 100) / 100},"rows":$rows}"""
+          } catch {
+            case e: Throwable =>
+              s"""{"workload":"$name","factor":$f,"error":"${e.getMessage.take(120).replace('"', '\'')}"}"""
+          }
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+          println(res)
+          results.append(res).append('\n')
+        }
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALING_RAW.jsonl"), results.toString.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[scale] dump failed: ${e.getMessage}") }
+    spark.stop()
+  }
+}

@@ -51,6 +51,33 @@ object SparkEntry {
 
   private val Dec = "decimal(38,4)"
 
+  /** SQL-text twins (`q_sql_*`): ONE string per query runs verbatim on BOTH
+    * engines — Spark executes it via [[graft.Sql.run]] over the fixture
+    * views, DuckDB executes it as the oracle. Strongest form of the
+    * "SQL-first users get the same engine" claim: not equivalent SQL, the
+    * IDENTICAL text. Portability constraints: ANSI-only syntax, aliased
+    * subqueries, decimal-cast sums (the §5 determinism discipline). */
+  private val SqlTextQueries: Map[String, String] = Map(
+    "q_sql_group_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n, MIN(l_discount) AS min_disc, MAX(l_extendedprice) AS max_price " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "q_sql_window_rank" ->
+      ("SELECT * FROM (SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk " +
+        "FROM orders) t WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey"),
+    "q_sql_mjoin_topk" ->
+      ("SELECT o_orderkey, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate >= TIMESTAMP '1998-01-01' " +
+        "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"))
+
   /** Exact decimal sum, then DOUBLE for the output column. DECIMAL(38,4)
     * keeps the summation order-independent (bit-exact across partitionings
     * and engines); the final DOUBLE cast makes both engines *serialize* the
@@ -920,21 +947,23 @@ object SparkEntry {
         .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")), "attr", "val")
         .orderBy("p_partkey", "attr")),
 
-    // -- pivot (long → wide), the symmetric twin of q_unpivot --------------
+    // -- sum-valued pivot (long → wide), q_pivot's aggregating sibling -----
     // EXPLICIT pivot-value list — the scale-safe form: without it Spark
     // runs a hidden distinct-scan job over the pivot column just to
     // discover the output schema (a full extra pass at 100 TB), and the
     // schema becomes data-dependent. With the list, the plan is a single
     // groupBy with conditional partial aggregates — one shuffle, map-side
     // combined, schema fixed at plan time.
-    "q_pivot" -> ((s, d) =>
-      t(s, d, "part")
-        .groupBy("p_brand")
-        .pivot("p_mfgr", (1 to 5).map(i => s"Manufacturer#$i"))
-        .agg(sum(col("p_retailprice").cast(Dec)).cast(Dec).cast("double"))
-        .select(col("p_brand") +: (1 to 5).map(i =>
-          col(s"`Manufacturer#$i`").as(s"mfgr$i")): _*)
-        .orderBy("p_brand")),
+    "q_pivot_sum" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(sum(col("c_acctbal").cast(Dec)).cast(Dec).cast("double"))
+        .select(col("c_nationkey") +: segs.map(v =>
+          col(s"`$v`").as(s"bal_${v.toLowerCase}")): _*)
+        .orderBy("c_nationkey")
+    }),
 
     // -- max_by / min_by: value of one column at the extreme of another ----
     // ordering column (o_orderkey) is unique per group → deterministic
@@ -1848,6 +1877,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- persistable quantile sketch (KLL), the HLL index's rank twin ------
+    // Build per-(type, half) partial sketches, PERSIST the bytes, read
+    // back, union to per-type, read p50/p90 — the full incremental-stats
+    // loop. KLL compaction is randomized (rows-only by contract, like
+    // q_hll_sketch); the in-query gate pins the rank-error bound: the
+    // empirical rank of each returned quantile must sit within ±4% of its
+    // target, and n must be EXACT. Output = the deterministic columns.
+    "q_quantile_sketch" -> ((s, d) => {
+      val ev = t(s, d, "events").where(col("value").isNotNull)
+        .withColumn("half", (col("event_id") % 2).cast("int"))
+      val parts = operators.Quantiles.quantileSketches(ev, Seq("event_type", "half"), "value")
+      val dir = java.nio.file.Files.createTempDirectory("graft_kllq").toString + "/s"
+      parts.write.parquet(dir)
+      val merged = operators.Quantiles.mergeSketches(s.read.parquet(dir), Seq("event_type"))
+      val q = operators.Quantiles.sketchQuantiles(merged, Seq("event_type"), Seq(0.5, 0.9))
+      val graded = ev.join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"), count(lit(1)).as("n_exact"),
+          avg((col("value").cast("double") <= col("p50")).cast("double")).as("r50"),
+          avg((col("value").cast("double") <= col("p90")).cast("double")).as("r90"))
+      val bad = graded.where(col("n") =!= col("n_exact") ||
+        abs(col("r50") - 0.5) > 0.04 || abs(col("r90") - 0.9) > 0.04).count()
+      require(bad == 0, s"$bad groups outside the KLL rank-error contract")
+      graded.select("event_type", "n").orderBy("event_type")
+    }),
+
     // -- lexical statistics (diversity / randomness / distribution shape) --
     "q_ttr" -> ((s, d) =>
       t(s, d, "documents")
@@ -2660,6 +2715,29 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // -- incremental (file-sharing) versioned commits ----------------------
+    // append + append + copy-on-write update + delete, each commit O(change)
+    // with unchanged files SHARED across versions (manifest commits —
+    // VersionedTableSpec proves the file-level sharing); the query reads
+    // the latest version joined against a time-traveled middle version.
+    // Oracle replays the same history from the base table in SQL.
+    "q_versioned_incremental" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vti").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), dir)
+      VersionedTable.commitUpdate(s, dir, col("c_acctbal") < 0,
+        Map("c_acctbal" -> (col("c_acctbal") + 1000)))
+      VersionedTable.commitDelete(s, dir, pmod(col("c_custkey"), lit(13L)) === 0L)
+      val v1     = VersionedTable.read(s, dir, Some(1L)) // pre-update, full key set
+      val latest = VersionedTable.read(s, dir)
+      latest.as("b").join(v1.as("a"), col("a.c_custkey") === col("b.c_custkey"))
+        .select(col("a.c_custkey").as("c_custkey"),
+          col("a.c_acctbal").cast("double").as("bal_v1"),
+          col("b.c_acctbal").cast("double").as("bal_latest"))
+        .orderBy("c_custkey")
+    }),
+
     // -- key-addressed DELETE (right-to-be-forgotten) ----------------------
     // Partition-scoped anti-rewrite: only the buckets holding doomed keys
     // are read/rewritten/swapped; oracle = the surviving-row filter.
@@ -2812,7 +2890,13 @@ object SparkEntry {
       paged.select(col("doc_id"),
           TextAnalysis.dedupDocLines(col("text")).as("clean"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // -- SQL entry surface: the IDENTICAL text runs on both engines --------
+    // (graft.Sql views + spark.sql on this side, DuckDB as the oracle)
+    "q_sql_group_agg" -> ((s, d) => graft.Sql.run(s, d, SqlTextQueries("q_sql_group_agg"))),
+    "q_sql_window_rank" -> ((s, d) => graft.Sql.run(s, d, SqlTextQueries("q_sql_window_rank"))),
+    "q_sql_mjoin_topk" -> ((s, d) => graft.Sql.run(s, d, SqlTextQueries("q_sql_mjoin_topk")))
   )
 
   /** Shared text for q_corr_subquery: the SAME SQL runs in Spark and DuckDB
@@ -3543,13 +3627,14 @@ object SparkEntry {
         "SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part " +
         "ORDER BY p_partkey, attr"),
 
-    "q_pivot" ->
-      ("SELECT p_brand, " +
-        (1 to 5).map(i =>
-          s"CAST(CAST(SUM(CASE WHEN p_mfgr = 'Manufacturer#$i' " +
-          s"THEN CAST(p_retailprice AS DECIMAL(38,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS mfgr$i"
+    "q_pivot_sum" ->
+      ("SELECT c_nationkey, " +
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").map(v =>
+          s"CAST(CAST(SUM(CASE WHEN c_mktsegment = '$v' " +
+          s"THEN CAST(c_acctbal AS DECIMAL(38,4)) END) AS DECIMAL(38,4)) AS DOUBLE) " +
+          s"AS bal_${v.toLowerCase}"
         ).mkString(", ") +
-        " FROM part GROUP BY p_brand ORDER BY p_brand"),
+        " FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
 
     "q_agg_minmax_by" ->
       ("SELECT o_custkey, arg_max(o_totalprice, o_orderkey) AS price_of_last_order, " +
@@ -4306,6 +4391,14 @@ object SparkEntry {
         "ELSE c_acctbal END AS DOUBLE) AS bal_latest " +
         "FROM customer ORDER BY c_custkey"),
 
+    "q_versioned_incremental" ->
+      // v1 = both appends (the full customer key set, original balances);
+      // latest = +1000 on negative balances, minus the %13 deletes
+      ("SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal_v1, " +
+        "CAST(CASE WHEN c_acctbal < 0 THEN c_acctbal + 1000 " +
+        "ELSE c_acctbal END AS DOUBLE) AS bal_latest " +
+        "FROM customer WHERE c_custkey % 13 <> 0 ORDER BY c_custkey"),
+
     "q_apply_changes" ->
       // the round-trip law: old snapshot + change set = new snapshot, so
       // the oracle is simply the new-snapshot definition
@@ -4441,7 +4534,7 @@ object SparkEntry {
         "m AS (SELECT doc_id, u.line AS line, MIN(u.p) AS mp FROM e GROUP BY doc_id, u.line) " +
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY mp) AS clean " +
         "FROM m GROUP BY doc_id ORDER BY doc_id")
-  )
+  ) ++ SqlTextQueries // q_sql_*: the Spark-side text IS the oracle text
 
   /** Shared DuckDB CTE prefix for the PQ queries: floor(x·1000) long
     * quantization (the q_random_projection discipline), data-row codebook

@@ -36,9 +36,15 @@ object FsIO {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
+      // exists→open is check-then-act: a concurrent writer can delete the
+      // file (e.g. a lock holder releasing) between the two — absent-at-open
+      // must read as None, same as absent-at-exists. Found by the
+      // cross-process lock stress (LockStressSpec); unreachable single-JVM.
+      try {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
     }
   }
 
@@ -58,10 +64,13 @@ object FsIO {
     *
     * The lock is a SIBLING file (`<dir>.__write_lock` — it cannot live
     * inside `dir`, which the swap renames away) holding (owner, acquire
-    * millis, label). Acquisition is create-no-overwrite + read-back-verify:
-    * atomic on HDFS; on stores whose no-overwrite create is check-then-act
-    * (local FS, S3A) the read-back closes most of the race window —
-    * best-effort there, exact where the FS contract allows.
+    * millis, label). Acquisition: on `file://` a POSIX O_EXCL create
+    * (`Files.createFile` — truly atomic; Hadoop's local create-no-overwrite
+    * is check-then-act and the cross-process stress caught two writers both
+    * passing the check), on other schemes create-no-overwrite (atomic on
+    * HDFS) — plus a read-back-verify either way; on stores with neither
+    * primitive (S3A without conditional writes) the read-back closes most
+    * of the race window — best-effort there, exact where the FS allows.
     *
     * Lease, not lock: a holder that crashed can't release, so a lock older
     * than `staleMs` is taken over (deleted + one re-acquire attempt) on the
@@ -74,13 +83,24 @@ object FsIO {
     val lock  = new Path(dir + ".__write_lock")
     val fs    = lock.getFileSystem(conf)
     val owner = java.util.UUID.randomUUID().toString
+    val body = s"owner=$owner\nts=${System.currentTimeMillis()}\nlabel=$label\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def tryCreate(): Boolean =
       try {
-        val out = fs.create(lock, false) // no-overwrite: fails if held
-        try out.write(s"owner=$owner\nts=${System.currentTimeMillis()}\nlabel=$label\n"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        // read-back: if two creates raced, exactly one body survives
+        val scheme = lock.toUri.getScheme
+        if (scheme == null || scheme == "file") {
+          // POSIX O_CREAT|O_EXCL: the kernel arbitrates — exactly one
+          // process creates. Body written after the create; the empty-body
+          // window reads as LIVE below, never as stale.
+          val nio = java.nio.file.Paths.get(lock.toUri.getPath)
+          try java.nio.file.Files.createFile(nio)
+          catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+          java.nio.file.Files.write(nio, body)
+        } else {
+          val out = fs.create(lock, false) // no-overwrite: atomic on HDFS
+          try out.write(body) finally out.close()
+        }
+        // read-back: if two creates still raced, exactly one body survives
         readText(lock.toString, conf).exists(_.contains(s"owner=$owner"))
       } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {

@@ -51,6 +51,7 @@ object VersionedTable {
 
   private def vDir(dir: String, v: Long) = new Path(dir, f"v=$v%05d")
   private def logDir(dir: String)        = new Path(dir, "_log")
+  private def dataDir(dir: String)       = new Path(dir, "data")
   private val versionName = "^v=(\\d+)$".r
   // version AND commit-millis both ride in the entry NAME, so resolving the
   // log is ONE listStatus — no per-commit file read (O(versions) small-file
@@ -58,6 +59,71 @@ object VersionedTable {
   private val commitName = "^(\\d+)-(\\d+)\\.commit$".r
   private def commitEntry(dir: String, v: Long, ms: Long) =
     new Path(logDir(dir), f"$v%05d-$ms%d.commit")
+
+  /** Manifest of an incremental commit: the `file=<relative>` lines of its
+    * entry, or None for a full-snapshot commit (whose data is the `v=<n>`
+    * directory). Detection is by the explicit `kind=manifest` marker, never
+    * by file-list emptiness — an empty manifest must not silently demote to
+    * the snapshot read path. */
+  private def manifestOf(dir: String, v: Long, ms: Long): Option[Seq[String]] =
+    FsIO.readText(commitEntry(dir, v, ms).toString).flatMap { body =>
+      val lines = body.split("\n").toSeq
+      if (!lines.contains("kind=manifest")) None
+      else Some(lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")))
+    }
+
+  /** Stage the commit entry (with optional manifest lines) and rename it
+    * into the log — the atomic commit point for both flavors. */
+  private def publishEntry(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long, rels: Option[Seq[String]]): Unit = {
+    val ms       = System.currentTimeMillis()
+    val entryTmp = new Path(logDir(dir), f"$v%05d-$ms%d.commit.tmp")
+    FsIO.writeText(entryTmp.toString,
+      s"commitMs=$ms\n" + rels.map(rs =>
+        "kind=manifest\n" + rs.map(r => s"file=$r\n").mkString).getOrElse(""))
+    if (!fs.rename(entryTmp, commitEntry(dir, v, ms)))
+      sys.error(s"VersionedTable: could not commit log entry $v in $dir")
+  }
+
+  /** Relative data files of a committed version — manifest lines for an
+    * incremental commit, the `v=<n>` directory's parquet listing for a
+    * snapshot. Fails loudly if the version's data was vacuumed. */
+  private def relsOfVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long, ms: Long): Seq[String] =
+    manifestOf(dir, v, ms) match {
+      case Some(rels) =>
+        val missing = rels.filterNot(rel => fs.exists(new Path(dir, rel)))
+        require(missing.isEmpty,
+          s"version $v of $dir was vacuumed (missing: ${missing.take(3).mkString(", ")})")
+        rels
+      case None =>
+        require(fs.exists(vDir(dir, v)), s"version $v of $dir was vacuumed")
+        fs.listStatus(vDir(dir, v)).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(s => f"v=$v%05d/${s.getPath.getName}")
+    }
+
+  /** Write `df`'s parquet into a staging dir, then move each part file into
+    * `<dir>/data/` under a version-prefixed UUID name (immutable once moved;
+    * a crashed attempt's moved files are unreferenced orphans that the next
+    * [[vacuum]] sweeps — never resurrected, because entry publication is the
+    * only commit point). Returns the new relative paths. */
+  private def stageDataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      df: DataFrame, v: Long): Seq[String] = {
+    val stage = new Path(dir, s".stage-${java.util.UUID.randomUUID().toString.take(12)}.__tmp")
+    df.write.parquet(stage.toString)
+    fs.mkdirs(dataDir(dir))
+    val rels = fs.listStatus(stage).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val name = f"c$v%05d-${java.util.UUID.randomUUID().toString.take(8)}-${s.getPath.getName}"
+        if (!fs.rename(s.getPath, new Path(dataDir(dir), name)))
+          sys.error(s"VersionedTable: could not stage data file $name in $dir")
+        s"data/$name"
+      }
+    fs.delete(stage, true)
+    rels
+  }
 
   /** Committed (version, commitMs) pairs in version order — the log,
     * verbatim. Includes versions later vacuumed (history stays; their DATA
@@ -88,7 +154,12 @@ object VersionedTable {
     * ascending, with commit timestamps. */
   def versions(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    log(dir).filter { case (v, _) => fs.exists(vDir(dir, v)) }
+    log(dir).filter { case (v, ms) =>
+      manifestOf(dir, v, ms) match {
+        case Some(rels) => rels.forall(rel => fs.exists(new Path(dir, rel)))
+        case None       => fs.exists(vDir(dir, v))
+      }
+    }
   }
 
   /** Version numbers of all `v=<n>` dirs (committed or orphaned), ignoring
@@ -119,13 +190,93 @@ object VersionedTable {
         sys.error(s"VersionedTable.commit: could not publish version $next in $dir")
       // the commit point: a write-once entry staged then renamed into the
       // log dir (readers never observe a partially named commit entry)
-      val ms       = System.currentTimeMillis()
-      val entryTmp = new Path(logDir(dir), f"$next%05d-$ms%d.commit.tmp")
-      FsIO.writeText(entryTmp.toString, s"commitMs=$ms\n")
-      if (!fs.rename(entryTmp, commitEntry(dir, next, ms)))
-        sys.error(s"VersionedTable.commit: could not commit log entry $next in $dir")
+      publishEntry(fs, dir, next, None)
       next
     }
+
+  /** Commit `df` as the next version by APPENDING: the new version's
+    * manifest = the previous version's files (shared in place, never
+    * copied) + files holding only `df`'s rows. O(appended-rows) write cost
+    * regardless of table size. Works on top of either commit flavor. */
+  def commitAppend(spark: SparkSession, df: DataFrame, dir: String,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    FsIO.withWriteLock(dir, "VersionedTable.commitAppend", lockLeaseMs) {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = log(dir)
+      val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+        listVersionDirs(fs, dir)).max: Long) + 1
+      val prevRels = committed.lastOption
+        .map { case (v, ms) => relsOfVersion(fs, dir, v, ms) }
+        .getOrElse(Seq.empty)
+      val newRels = stageDataFiles(fs, dir, df, next)
+      publishEntry(fs, dir, next, Some(prevRels ++ newRels))
+      next
+    }
+
+  /** File-level copy-on-write core for update/delete: files with no row
+    * matching `cond` carry over into the new manifest untouched (shared);
+    * only files that actually contain matching rows are rewritten through
+    * `rewrite`. One pruning pass + one rewrite of the touched files —
+    * O(touched), not O(table). */
+  private def copyOnWrite(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column, rewrite: DataFrame => DataFrame,
+      op: String, lockLeaseMs: Long): Long =
+    FsIO.withWriteLock(dir, op, lockLeaseMs) {
+      import org.apache.spark.sql.functions.input_file_name
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = log(dir)
+      require(committed.nonEmpty, s"$op: $dir has no committed version")
+      val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+        listVersionDirs(fs, dir)).max: Long) + 1
+      val (pv, pms) = committed.last
+      val rels = relsOfVersion(fs, dir, pv, pms)
+      def absPathOf(rel: String) = new Path(new Path(dir), rel).toUri.getPath
+      val full = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+      // which FILES contain a matching row — parquet stats prune the scan,
+      // and only (file-name) strings come back to the driver (O(files))
+      val touchedAbs = full.where(cond).select(input_file_name()).distinct()
+        .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+      val (touched, untouched) = rels.partition(rel => touchedAbs.contains(absPathOf(rel)))
+      val newRels =
+        if (touched.isEmpty) Seq.empty
+        else {
+          val touchedDf = spark.read.parquet(
+            touched.map(rel => new Path(new Path(dir), rel).toString): _*)
+          val rewritten = rewrite(touchedDf)
+          val staged = stageDataFiles(fs, dir, rewritten, next)
+          // a rewrite that emptied every touched file can write zero part
+          // files; a single-partition re-stage guarantees one schema-bearing
+          // file so the version never publishes an empty manifest
+          if (staged.nonEmpty || untouched.nonEmpty) staged
+          else stageDataFiles(fs, dir, rewritten.coalesce(1), next)
+        }
+      publishEntry(fs, dir, next, Some(untouched ++ newRels))
+      next
+    }
+
+  /** Commit a row-level UPDATE as the next version: for rows matching
+    * `cond`, each (column -> expression) in `set` applies; all other rows
+    * and all untouched FILES are shared with the previous version. */
+  def commitUpdate(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long = {
+    require(set.nonEmpty, "commitUpdate: empty SET clause")
+    copyOnWrite(spark, dir, cond,
+      df => set.foldLeft(df) { case (d, (c, e)) =>
+        require(d.columns.contains(c), s"commitUpdate: no column `$c` to set")
+        d.withColumn(c, org.apache.spark.sql.functions.when(cond, e)
+          .otherwise(org.apache.spark.sql.functions.col(s"`$c`")))
+      },
+      "VersionedTable.commitUpdate", lockLeaseMs)
+  }
+
+  /** Commit a row-level DELETE as the next version: rows matching `cond`
+    * disappear; files with no matching row are shared, not rewritten. */
+  def commitDelete(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    copyOnWrite(spark, dir, cond, _.where(!cond), "VersionedTable.commitDelete", lockLeaseMs)
 
   /** Read a table version — the latest by default, or a pinned one (time
     * travel). The returned plan reads exactly one immutable `v=<n>`
@@ -135,13 +286,24 @@ object VersionedTable {
     val committed = log(dir)
     require(committed.nonEmpty, s"VersionedTable.read: $dir has no committed version")
     val v = version.getOrElse(committed.last._1)
-    require(committed.exists(_._1 == v),
+    val entry = committed.find(_._1 == v)
+    require(entry.isDefined,
       s"version $v does not exist (committed: ${committed.map(_._1).mkString(", ")})")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(vDir(dir, v)),
-      s"version $v of $dir was vacuumed " +
-        s"(data retained for: ${versions(spark, dir).map(_._1).mkString(", ")})")
-    spark.read.parquet(vDir(dir, v).toString)
+    manifestOf(dir, v, entry.get._2) match {
+      case Some(rels) =>
+        require(rels.nonEmpty, s"version $v of $dir committed no data files")
+        val missing = rels.filterNot(rel => fs.exists(new Path(dir, rel)))
+        require(missing.isEmpty,
+          s"version $v of $dir was vacuumed " +
+            s"(data retained for: ${versions(spark, dir).map(_._1).mkString(", ")})")
+        spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+      case None =>
+        require(fs.exists(vDir(dir, v)),
+          s"version $v of $dir was vacuumed " +
+            s"(data retained for: ${versions(spark, dir).map(_._1).mkString(", ")})")
+        spark.read.parquet(vDir(dir, v).toString)
+    }
   }
 
   /** Drop the data of all but the last `retainLast` committed versions,
@@ -167,11 +329,34 @@ object VersionedTable {
         fs.listStatus(logDir(dir)).toSeq
           .filter(_.getPath.getName.endsWith(".commit.tmp"))
           .foreach(s => fs.delete(s.getPath, false))
-      val committed = log(dir).map(_._1)
-      val keep      = committed.takeRight(retainLast).toSet
-      val drop      = listVersionDirs(fs, dir).filterNot(keep) // old + orphans
-      drop.foreach(v => fs.delete(vDir(dir, v), true))
-      drop
+      val committed = log(dir)
+      val keep      = committed.map(_._1).takeRight(retainLast).toSet
+      // FILE REFCOUNT across retained manifests: a data file (or a snapshot
+      // directory an incremental commit references into) lives as long as
+      // ANY retained version lists it — sharing means deletion must check
+      // every retained manifest, not just the version being dropped.
+      val keepRels: Set[String] = committed.filter(e => keep(e._1))
+        .flatMap { case (v, ms) => manifestOf(dir, v, ms).getOrElse(Seq.empty) }.toSet
+      // legacy snapshot dirs: droppable only when not retained AND no
+      // retained manifest references a file inside them
+      val legacyDrop = listVersionDirs(fs, dir).filterNot(keep)
+        .filterNot(v => keepRels.exists(_.startsWith(f"v=$v%05d/")))
+      // manifest versions being dropped (data present now, swept below) —
+      // reported alongside the directory drops
+      val manifestDrop = committed.filterNot(e => keep(e._1))
+        .filter { case (v, ms) =>
+          manifestOf(dir, v, ms).exists(rels =>
+            rels.nonEmpty && rels.forall(rel => fs.exists(new Path(dir, rel))) &&
+              rels.exists(rel => !keepRels.contains(rel)))
+        }.map(_._1)
+      legacyDrop.foreach(v => fs.delete(vDir(dir, v), true))
+      // data/ sweep: anything not referenced by a retained manifest goes —
+      // dropped versions' exclusive files and crashed-attempt orphans alike
+      if (fs.exists(dataDir(dir)))
+        fs.listStatus(dataDir(dir)).toSeq
+          .filterNot(s => keepRels.contains("data/" + s.getPath.getName))
+          .foreach(s => fs.delete(s.getPath, false))
+      (legacyDrop ++ manifestDrop).distinct.sorted
     }
   }
 }

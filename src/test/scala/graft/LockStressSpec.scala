@@ -1,0 +1,61 @@
+package graft
+
+import scala.sys.process._
+
+/** Cross-PROCESS write-lease stress: two real JVMs contend for the same
+  * target's [[graft.tables.FsIO]] lock across ≥20 successful critical
+  * sections each side. In-JVM interleaving specs (TableManagerSpec) can't
+  * catch a lock whose atomicity accidentally relies on JVM-local state —
+  * this one drives the actual filesystem arbitration two separate Spark
+  * drivers would hit.
+  *
+  * Pass criteria: zero TORN critical sections (mutual exclusion held),
+  * ≥20 wins per child (the protocol makes progress), ≥1 denial observed
+  * (contention actually happened and the loser failed loudly), and the
+  * final target is a consistent single-writer image.
+  */
+class LockStressSpec extends SparkSpec {
+
+  test("two JVMs contending for the write lease: losers fail loudly, target never tears") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lockstress").toString + "/t"
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp   = sys.props("java.class.path")
+    // the test JVM's own module flags (hadoop/spark on JDK 17+)
+    val moduleFlags = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+      .toSeq
+    val rounds = 60
+    def cmd(id: String) = Seq(javaBin) ++ moduleFlags ++
+      Seq("-cp", cp, "graft.LockStressChild", dir, id, rounds.toString, "60000")
+    val outs = Seq("A", "B").map { id =>
+      val buf = new StringBuilder
+      def log(l: String): Unit = buf.synchronized { buf.append(l).append('\n') }
+      val p = Process(cmd(id)).run(ProcessLogger(log, log))
+      (id, p, buf)
+    }
+    val exits = outs.map { case (id, p, buf) => (id, p.exitValue(), buf.toString) }
+    exits.foreach { case (id, code, out) =>
+      assert(code == 0, s"child $id exited $code:\n$out")
+      assert(!out.contains("TORN"), s"child $id saw a torn critical section:\n$out")
+    }
+    val results = exits.map { case (id, _, out) =>
+      val m = "RESULT id=(\\w+) wins=(\\d+) denied=(\\d+) torn=(\\d+)".r
+        .findFirstMatchIn(out).getOrElse(fail(s"no RESULT line from $id:\n$out"))
+      (m.group(1), m.group(2).toInt, m.group(3).toInt, m.group(4).toInt)
+    }
+    results.foreach { case (id, wins, _, torn) =>
+      assert(torn == 0, s"child $id: $torn torn sections")
+      assert(wins >= 20, s"child $id made too little progress: $wins wins of $rounds")
+    }
+    assert(results.map(_._3).sum >= 1,
+      s"no contention observed across ${results.map(_._2).sum} wins — stress did not stress")
+    // final image: one writer's complete rewrite, all five files one token
+    val finals = (0 until 5).map { i =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"f$i")), "UTF-8")
+    }
+    assert(finals.distinct.size == 1, s"final target mixes writers: ${finals.distinct}")
+    assert(!new java.io.File(dir + ".__write_lock").exists, "lock released at the end")
+  }
+}

@@ -84,6 +84,137 @@ class VersionedTableSpec extends SparkSpec {
     assert(new java.io.File(f"$dir/v=${0L}%05d").exists, "data must survive the refusal")
   }
 
+  // ---- incremental (file-sharing) commits --------------------------------
+
+  private def dataFiles(dir: String): Map[String, (Long, Long)] = {
+    val dd = new java.io.File(s"$dir/data")
+    if (!dd.exists) Map.empty
+    else dd.listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("commitAppend shares the previous version's files: only new rows' files are written") {
+    import spark.implicits._
+    val dir = dirOf()
+    val v0 = VersionedTable.commitAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(2), dir)
+    val after0 = dataFiles(dir)
+    assert(v0 == 0L && after0.nonEmpty)
+    val v1 = VersionedTable.commitAppend(spark, Seq((3L, "c")).toDF("id", "s"), dir)
+    val after1 = dataFiles(dir)
+    // v0's files are SHARED: byte-identical at the same path, not copied
+    after0.foreach { case (name, sig) =>
+      assert(after1.get(name).contains(sig), s"$name must be untouched by the append")
+    }
+    assert(after1.size > after0.size, "append must add at least one new file")
+    assert(VersionedTable.read(spark, dir, Some(v0)).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), "time travel to the pre-append version")
+    assert(VersionedTable.read(spark, dir, Some(v1)).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+  }
+
+  test("commitAppend on top of a legacy snapshot references its files in place") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir) // snapshot v0
+    val snapFiles = {
+      val vd = new java.io.File(f"$dir/v=${0L}%05d")
+      vd.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val v1 = VersionedTable.commitAppend(spark, Seq((2L, "b")).toDF("id", "s"), dir)
+    // the snapshot's files never moved or re-wrote
+    snapFiles.foreach { case (p, sig) =>
+      val f = new java.io.File(p)
+      assert(f.exists && (f.length(), f.lastModified()) == sig, s"$p must be shared in place")
+    }
+    assert(VersionedTable.read(spark, dir, Some(v1)).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+  }
+
+  test("commitUpdate rewrites ONLY files containing matching rows (copy-on-write)") {
+    import spark.implicits._
+    val dir = dirOf()
+    // two files with disjoint key ranges: the update touches only one
+    VersionedTable.commitAppend(spark,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v").repartitionByRange(2, col("id")), dir)
+    val before = dataFiles(dir)
+    assert(before.size == 2, s"expected 2 data files, got ${before.size}")
+    val v1 = VersionedTable.commitUpdate(spark, dir,
+      cond = col("id") <= 10L, set = Map("v" -> (col("v") + 1000.0)))
+    val after = dataFiles(dir)
+    // nothing rewritten IN PLACE (v0 still references both originals), and
+    // exactly ONE new file appeared — the rewrite of the single touched file
+    before.foreach { case (n, sig) =>
+      assert(after.get(n).contains(sig), s"$n must stay byte-identical (v0 references it)")
+    }
+    assert(after.size == before.size + 1,
+      s"one touched file -> one rewritten file; got ${after.size - before.size} new")
+    val got = VersionedTable.read(spark, dir, Some(v1))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size == 100 && got(5L) == 1005.0 && got(50L) == 50.0)
+    // time travel: v0 still reads the original values through its manifest
+    val v0got = VersionedTable.read(spark, dir, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(v0got(5L) == 5.0)
+    // vacuum to v1 only: the touched ORIGINAL (now v0-exclusive) is swept,
+    // the untouched original survives as v1's shared file
+    assert(VersionedTable.vacuum(spark, dir, retainLast = 1) == Seq(0L))
+    val afterVac = dataFiles(dir)
+    assert(afterVac.size == before.size, s"${afterVac.size} files after vacuum")
+    assert(before.count { case (n, sig) => afterVac.get(n).contains(sig) } == 1,
+      "exactly the untouched original is shared into v1")
+    assert(VersionedTable.read(spark, dir).count() == 100L)
+  }
+
+  test("commitDelete shares untouched files; vacuum refcounts shared files before deleting") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      (1L to 100L).map(i => (i, i)).toDF("id", "v").repartitionByRange(4, col("id")), dir)
+    val v1 = VersionedTable.commitDelete(spark, dir, col("id").between(1L, 20L))
+    assert(VersionedTable.read(spark, dir, Some(v1)).count() == 80L)
+    val sharedNow = dataFiles(dir)
+    // vacuum to the latest version only: v0's EXCLUSIVE file (the rewritten
+    // range) goes, but every file v1 still references survives
+    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(dropped == Seq(0L), s"dropped $dropped")
+    val afterVac = dataFiles(dir)
+    assert(afterVac.size < sharedNow.size, "v0's exclusive file must be swept")
+    assert(VersionedTable.read(spark, dir, Some(v1)).count() == 80L,
+      "retained version must be fully readable after vacuum")
+    val e = intercept[IllegalArgumentException] { VersionedTable.read(spark, dir, Some(0L)) }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
+  test("vacuum protects a legacy snapshot dir that a retained manifest references") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir) // snapshot v0
+    VersionedTable.commitAppend(spark, Seq((2L, "b")).toDF("id", "s"), dir) // v1 shares v0's files
+    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(!dropped.contains(0L), s"v0's dir is still referenced by v1: $dropped")
+    assert(new java.io.File(f"$dir/v=${0L}%05d").exists, "referenced snapshot dir must survive")
+    assert(VersionedTable.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("crashed incremental commit: orphan data files never become visible and vacuum sweeps them") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+    // forge the artifact of an attempt that crashed after moving its data
+    // files but before publishing the commit entry
+    val orphan = new java.io.File(s"$dir/data/c00009-deadbeef-part-00000.parquet")
+    Seq((99L, "zz")).toDF("id", "s").coalesce(1).write.parquet(s"$dir/.stage-forged.__tmp")
+    val part = new java.io.File(s"$dir/.stage-forged.__tmp").listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, orphan.toPath)
+    assert(VersionedTable.read(spark, dir).count() == 1L, "orphan must be invisible")
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(!orphan.exists, "vacuum must sweep unreferenced data files")
+    assert(VersionedTable.read(spark, dir).count() == 1L)
+  }
+
   test("commit serializes through the write lease: live contender fails loudly") {
     import spark.implicits._
     val dir  = dirOf()
