@@ -418,13 +418,24 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup candidate pairs via banded LSH blocking:
-    * the nBits signature splits into 4 bands and rows sharing ANY band key
-    * become candidates (pigeonhole: any pair within signature Hamming
-    * distance ≤3 is guaranteed to meet — exact-full-signature blocking
-    * would drop most qualifying pairs). Candidates are exact-re-ranked by
-    * cosine. Same shuffle discipline as [[Dedup]]: only (band, id) flows
-    * through the pair join; vectors re-attach per unique pair by id, and
-    * degenerate mega-buckets are capped (quadratic-pair guard). */
+    * the nBits signature splits into `bands` bands and rows sharing ANY
+    * band key become candidates (pigeonhole: any pair within signature
+    * Hamming distance < bands is guaranteed to meet — exact-full-signature
+    * blocking would drop most qualifying pairs). Candidates are
+    * exact-re-ranked by cosine. Same shuffle discipline as [[Dedup]]: only
+    * (band, id) flows through the pair join; vectors re-attach per unique
+    * pair by id, and degenerate mega-buckets are capped (quadratic-pair
+    * guard).
+    *
+    * `bands`/`nBits` are the AND–OR amplification dials, and the scale
+    * story lives in them: a RANDOM pair collides in a band with odds
+    * 2^-(nBits/bands) (SRP bits on near-orthogonal vectors are fair
+    * coins), so candidate volume is ~ bands · N² · 2^-(nBits/bands).
+    * Growing the per-band bit count with log₂(corpus growth) holds the
+    * candidate volume linear in N; growing `bands` alongside buys back
+    * the recall the longer bands cost on true near-dups (per-bit
+    * agreement 1-θ/π ≈ 0.92 at cosine 0.97). ScaleBench measures exactly
+    * this schedule against planted duplicates. */
   def cosineNearDupPairs(
       df: DataFrame,
       vecCol: String,
@@ -433,9 +444,11 @@ object Similarity {
       minCosine: Double = 0.95,
       nBits: Int = 16,
       seed: Long = 42L,
-      maxBucketSize: Int = 256): DataFrame = {
-    require(nBits % 4 == 0 && nBits <= 64, "nBits must be a multiple of 4, at most 64")
-    val bandBits = nBits / 4
+      maxBucketSize: Int = 256,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && nBits % bands == 0 && nBits <= 64,
+      s"nBits must be a multiple of bands and at most 64, got nBits=$nBits bands=$bands")
+    val bandBits = nBits / bands
     val mask     = (1L << bandBits) - 1
     val planes   = hyperplanes(dim, nBits, seed)
     // the (id, vec, sig) projection feeds banding AND both pair re-attach
@@ -452,7 +465,7 @@ object Similarity {
     Dedup.withSigsCache(rawSigs) { sigs =>
       val blocked = sigs.select(
         col("id"),
-        explode(array((0 until 4).map(j =>
+        explode(array((0 until bands).map(j =>
           struct(lit(j).as("blk"), shiftright(col("sig"), j * bandBits).bitwiseAND(mask).as("key"))): _*)).as("b"))
         .select(col("id"), col("b.blk"), col("b.key"))
       val pairs = Dedup.bucketedPairs(blocked, Seq("blk", "key"), maxBucketSize)
