@@ -219,6 +219,18 @@ object ScaleBench {
       Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 5, cents, nProbes = 2)
     }),
 
+    // same sizing rule, candidates as 8-byte PQ codes + ADC lookups — the
+    // constant-factor answer to the IVF-flat N^1.5 compute shape
+    "knn_join_ivfpq" -> ((s, d, _) => {
+      val emb = t(s, d, "embeddings")
+      val n   = emb.count()
+      val c   = math.max(8, math.sqrt(n.toDouble).round.toInt)
+      val cents = emb.where(col("vec_id") < c).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      Similarity.knnJoinIvfPq(emb, "embedding", "vec_id", k = 5, cents,
+        nProbes = 2, m = 8, kCodes = 16, dim = 64)
+    }),
+
     // growing users/interactions, fixed catalog
     "negative_sample" -> ((s, d, _) => {
       val pos = t(s, d, "lineitem").join(

@@ -2180,6 +2180,20 @@ object SparkEntry {
         .orderBy("adc", "vec_id")
     }),
 
+    // -- k-NN JOIN over PQ codes within IVF cells (FAISS IVFPQ as a join) --
+    // q_knn_join_ivf's cogroup plan with the REPLICATED side compressed to
+    // m-byte codes (~32× fewer bytes on the wire) and each cell-local
+    // comparison reduced to m exact-long table lookups. Deterministic
+    // data-row centroids/codebook ⇒ the whole composition oracle-replays.
+    "q_knn_join_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      Similarity.knnJoinIvfPq(emb, "embedding", "vec_id", k = 5, cents,
+          nProbes = 2, m = 8, kCodes = 16, dim = 64)
+        .orderBy("vec_id", "rank")
+    }),
+
     // -- north-star: cross-doc duplicated-substring detection ---------------
     // ExactSubstr (Lee et al. 2022) reduced to strided 32-char windows:
     // a window is duplicated when its exact text recurs in another doc.
@@ -4170,6 +4184,31 @@ object SparkEntry {
     // the persisted-index probe is contractually rank-identical to the
     // in-plan composition — ONE oracle definition keeps them from drifting
     "q_ivfpq_index" -> ivfPqOracleSql,
+
+    "q_knn_join_ivfpq" ->
+      // PQ codes/per-query distance grid from pqOracleCtes (grid IS every
+      // query's ADC table); cells/probes per the q_knn_join_ivf rules;
+      // ADC(u,w) = Σ_j grid[u, j, enc[w].cid_j] in exact longs; rank =
+      // (adc ASC, neighbor ASC)
+      (pqOracleCtes +
+        ", cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+        "simr AS (SELECT v.vec_id, cc.ccid, ROW_NUMBER() OVER " +
+        "(PARTITION BY v.vec_id ORDER BY list_cosine_similarity(ev, cv) DESC, ccid) AS rn " +
+        "FROM v, cc), " +
+        "build AS (SELECT vec_id AS neighbor_id, ccid AS cell FROM simr WHERE rn = 1), " +
+        "probe AS (SELECT vec_id, ccid AS cell FROM simr WHERE rn <= 2), " +
+        "cand AS (SELECT DISTINCT p.vec_id, b.neighbor_id FROM probe p " +
+        "JOIN build b USING (cell) WHERE p.vec_id <> b.neighbor_id), " +
+        "adc AS (SELECT cand.vec_id, cand.neighbor_id, CAST(SUM(g.d2) AS BIGINT) AS adc " +
+        "FROM cand JOIN enc e ON e.vec_id = cand.neighbor_id " +
+        "JOIN grid g ON g.vec_id = cand.vec_id AND g.j = e.j AND g.cid = e.cid " +
+        "GROUP BY cand.vec_id, cand.neighbor_id) " +
+        "SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc FROM " +
+        "(SELECT vec_id, neighbor_id, adc, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY adc, neighbor_id) AS rank FROM adc) " +
+        "WHERE rank <= 5 ORDER BY vec_id, rank"),
 
     "q_dup_substring" ->
       // identical strided-window generation; `//` ≡ `div` on positives

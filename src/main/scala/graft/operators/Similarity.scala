@@ -1080,4 +1080,121 @@ object Similarity {
       .orderBy(col("adc"), col(idCol))
       .limit(n)
   }
+
+  /** [[TopKNeighbors]]' ascending exact-long twin for ADC ranking:
+    * (adc ASC, id ASC), k-bounded map-side insert — only n·k skinny rows
+    * cross the wire, same as the cosine form. */
+  class TopKNeighborsAdc(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private def insert(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] = {
+      val pos = buf.indexWhere(e => e._1 > x._1 || (e._1 == x._1 && e._2 > x._2))
+      val merged =
+        if (pos < 0) buf :+ x
+        else { val (a, b) = buf.splitAt(pos); (a :+ x) ++ b }
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: Seq[(Long, Long)] = Seq.empty
+    override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+      insert(b, a)
+    override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** Approximate k-NN JOIN over PQ codes within IVF cells — [[knnJoinIvf]]
+    * with the candidate side compressed: build rows carry (id, cell,
+    * m-byte codes) instead of (id, cell, dim-float vector), so THE
+    * replicated side of the one cell cogroup shuffles ~32× fewer bytes at
+    * the defaults, and each cell-local comparison is m table lookups
+    * instead of a dim-float dot — the FAISS IVFPQ search loop as a join.
+    * Probe rows keep their raw vector (each query precomputes its own
+    * (m × kCodes) exact-long distance table once per cell group — the ADC
+    * trick amortized across the cell's candidates).
+    *
+    * Exactness contract: cell assignment + probe selection are
+    * [[knnJoinIvf]]'s rules; encode/ADC are [[pqEncode]]'s exact-long
+    * arithmetic; rank is the (adc ASC, id ASC) total order. Everything is
+    * deterministic data-row-derived, so the whole join is DuckDB-oracle
+    * replayable (q_knn_join_ivfpq). Approximation (vs [[knnJoinIvf]]) is
+    * confined to ADC distance quality — candidates are identical.
+    *
+    * Per-cell top-k truncation is lossless by the [[knnJoinIvf]] argument
+    * (same total order at cell and global level); a pair meeting through
+    * several probed cells has the SAME adc each time (function of codes +
+    * query alone), collapsed by min before the global rank. */
+  def knnJoinIvfPq(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      centroids: Array[Array[Float]],
+      nProbes: Int,
+      m: Int,
+      kCodes: Int,
+      dim: Int): DataFrame = {
+    require(centroids.nonEmpty && nProbes >= 1, "need centroids and nProbes >= 1")
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sub   = dim / m
+    val cents = pqCollectCodebook(df, vecCol, idCol, kCodes, dim)
+    val enc   = pqEncodeUdf(cents, m, sub, dim)
+    val sims  = array(centroids.map(c => cosineNative(col("vec"), typedLit(c))): _*)
+    val base  = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .where(col("vec").isNotNull && size(col("vec")) === dim)
+    val build = base.withColumn("cell", argmax(sims).cast("int"))
+      .select(col("id"), enc(col("vec")).as("codes"), col("cell"))
+      .as[(Long, Array[Int], Int)]
+    val probe = base
+      .withColumn("cell",
+        explode(slice(transform(
+          array_sort(transform(sims, (s, i) => struct((-s).as("neg"), i.as("idx")))),
+          s => s.getField("idx")), 1, nProbes)))
+      .as[(Long, Array[Float], Int)]
+    val candidates = probe.groupByKey(_._3).cogroup(build.groupByKey(_._3)) {
+      (_, probes, builds) =>
+        val cands = builds.map { case (nid, codes, _) => (nid, codes) }.toArray
+        probes.flatMap { case (id, vec, _) =>
+          // per-query ADC distance table: exact-long d²(query_j, centroid_c_j)
+          val qq = new Array[Long](dim)
+          var i = 0
+          while (i < dim) { qq(i) = math.floor(vec(i).toDouble * 1000.0).toLong; i += 1 }
+          val dtable = Array.tabulate(m, cents.length) { (j, c) =>
+            var d = 0L
+            var t = 0
+            while (t < sub) { val diff = qq(j * sub + t) - cents(c)(j * sub + t); d += diff * diff; t += 1 }
+            d
+          }
+          // bounded (adc ASC, id ASC) insertion — this row's cell-local top-k
+          val top = new scala.collection.mutable.ArrayBuffer[(Long, Long)](k + 1)
+          var ci = 0
+          while (ci < cands.length) {
+            val (nid, codes) = cands(ci)
+            if (nid != id) {
+              var adc = 0L
+              var j = 0
+              while (j < m) { adc += dtable(j)(codes(j)); j += 1 }
+              val pos = top.indexWhere(e => e._1 > adc || (e._1 == adc && e._2 > nid))
+              if (pos >= 0) { top.insert(pos, (adc, nid)); if (top.length > k) top.remove(k) }
+              else if (top.length < k) top += ((adc, nid))
+            }
+            ci += 1
+          }
+          top.iterator.map { case (adc, nid) => (id, nid, adc) }
+        }
+    }.toDF("id", "neighbor_id", "adc")
+    val agg = udaf(new TopKNeighborsAdc(k))
+    candidates
+      .groupBy("id", "neighbor_id").agg(min("adc").as("adc"))
+      .groupBy(col("id"))
+      .agg(agg(col("adc"), col("neighbor_id")).as("nn"))
+      .select(col("id"), posexplode(col("nn")))
+      .select(col("id").as(idCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col").getField("_2").as("neighbor_id"), col("col").getField("_1").as("adc"))
+  }
 }

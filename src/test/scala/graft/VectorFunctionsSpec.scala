@@ -168,6 +168,35 @@ class VectorFunctionsSpec extends SparkSpec {
     // carries the same rounded cosine in both joins
   }
 
+  test("knnJoinIvfPq: ADC neighbors track exact kNN, invariant to partitioning") {
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(400)
+    val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val pq = Similarity.knnJoinIvfPq(emb, "embedding", "vec_id", k = 5, cents,
+      nProbes = 2, m = 8, kCodes = 16, dim = 64)
+    val rows = pq.collect()
+    // ranks are 1..k and adc non-decreasing within a query
+    val byId = rows.groupBy(_.getLong(0))
+    byId.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val adcs = sorted.map(_.getLong(3))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b }, adcs.toSeq.toString)
+    }
+    // ADC ranking approximates the cosine IVF join on the SAME candidates:
+    // top-k sets overlap well past chance (candidate sets are identical by
+    // construction, so disagreement is pure PQ quantization error)
+    val ivf = Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 5, cents, nProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqPairs = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (ivf & pqPairs).size.toDouble / math.max(1, ivf.size)
+    assert(overlap >= 0.25, s"ADC/cosine top-k overlap $overlap — PQ ranking broken")
+    // deterministic under any layout: exact-long ADC + total-order ranks
+    val repart = Similarity.knnJoinIvfPq(emb.repartition(13), "embedding", "vec_id",
+      k = 5, cents, nProbes = 2, m = 8, kCodes = 16, dim = 64)
+    assert(repart.collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
   test("estimatedJaccard HOF and native agree on empty signatures (0.0, not null)") {
     import spark.implicits._
     val df = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
