@@ -202,11 +202,14 @@ object ScaleBench {
     // 1.6σ from random admits a quadratic share of random pairs at ANY
     // engine's hands; the planted population sits safely above 0.9.
     // rows ≈ recovered planted pairs; denominator = N_base·F/PlantEvery.
+    // bands 4→5→8 as r grows (multi-word band keys lift the old r·b ≤ 64
+    // single-long ceiling, so the recall the longer bands cost is bought
+    // back instead of surrendered — the measured recall-vs-scale table)
     "embedding_neardup" -> ((s, d, f) => {
       val r = 6 + (math.log(f.toDouble) / math.log(2)).round.toInt
-      val b = if (f >= 4) 5 else 4
+      val b = if (f >= 16) 8 else if (f >= 4) 5 else 4
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
-        dim = 64, minCosine = 0.9, nBits = math.min(64, r * b), bands = b)
+        dim = 64, minCosine = 0.9, nBits = r * b, bands = b)
     }),
 
     // centroid count ∝ √N — the production IVF sizing rule

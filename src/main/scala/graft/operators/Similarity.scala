@@ -435,7 +435,13 @@ object Similarity {
     * candidate volume linear in N; growing `bands` alongside buys back
     * the recall the longer bands cost on true near-dups (per-bit
     * agreement 1-θ/π ≈ 0.92 at cosine 0.97). ScaleBench measures exactly
-    * this schedule against planted duplicates. */
+    * this schedule against planted duplicates.
+    *
+    * Each band packs its own ≤64-bit key from its own hyperplane slice
+    * (collision semantics identical to slicing one packed signature, but
+    * with no TOTAL bit bound), so nBits/bands ≤ 64 is the only geometry
+    * limit — the r·bands ≤ 64 single-long ceiling the ×30/×60 recall
+    * schedule used to hit is gone. */
   def cosineNearDupPairs(
       df: DataFrame,
       vecCol: String,
@@ -446,28 +452,27 @@ object Similarity {
       seed: Long = 42L,
       maxBucketSize: Int = 256,
       bands: Int = 4): DataFrame = {
-    require(bands >= 1 && nBits % bands == 0 && nBits <= 64,
-      s"nBits must be a multiple of bands and at most 64, got nBits=$nBits bands=$bands")
+    require(bands >= 1 && nBits % bands == 0 && nBits / bands <= 64,
+      s"per-band bits (nBits/bands) must be in [1,64], got nBits=$nBits bands=$bands")
     val bandBits = nBits / bands
-    val mask     = (1L << bandBits) - 1
     val planes   = hyperplanes(dim, nBits, seed)
-    // the (id, vec, sig) projection feeds banding AND both pair re-attach
-    // joins — cache it for the pair build (the nBits-dot-product signature
-    // scan previously recomputed three times), then release (ADVICE r01)
-    val rawSigs = df.select(
-      col(idCol).as("id"),
-      col(vecCol).as("vec"),
-      lshSignature(col(vecCol), planes).as("sig"))
+    // the (id, vec, per-band keys) projection feeds banding AND both pair
+    // re-attach joins — cache it for the pair build (the nBits-dot-product
+    // signature scan previously recomputed three times), then release
+    // (ADVICE r01)
+    val rawSigs = df
       // null vectors can't near-dup — drop before banding (their null band
       // keys would otherwise group into junk buckets; same discipline as
       // minHashCandidatePairs / simHashCandidatePairs)
-      .where(col("sig").isNotNull)
+      .where(col(vecCol).isNotNull)
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        array((0 until bands).map(j =>
+          lshSignature(col(vecCol), planes.slice(j * bandBits, (j + 1) * bandBits))): _*).as("sig"))
     Dedup.withSigsCache(rawSigs) { sigs =>
-      val blocked = sigs.select(
-        col("id"),
-        explode(array((0 until bands).map(j =>
-          struct(lit(j).as("blk"), shiftright(col("sig"), j * bandBits).bitwiseAND(mask).as("key"))): _*)).as("b"))
-        .select(col("id"), col("b.blk"), col("b.key"))
+      val blocked = sigs.select(col("id"), posexplode(col("sig")))
+        .select(col("id"), col("pos").as("blk"), col("col").as("key"))
       val pairs = Dedup.bucketedPairs(blocked, Seq("blk", "key"), maxBucketSize)
       pairs
         .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
