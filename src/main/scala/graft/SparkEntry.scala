@@ -528,6 +528,19 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // -- north-star: winnowing fingerprints (MOSS overlap detection) -------
+    // Schleimer et al. 2003: k-gram rolling-hash window-min fingerprints,
+    // selected doc-locally in one kernel pass (only (id, fp) pairs
+    // shuffle); per-doc (n_fp, n_shared-with-another-doc) is the overlap
+    // report shape. Exact positive long arithmetic end to end — the hash,
+    // the (hash, pos) selection key, and the sharing counts all replay in
+    // DuckDB.
+    "q_winnow" -> ((s, d) =>
+      TextAnalysis.winnowStats(t(s, d, "documents"), "text", "doc_id",
+          k = 8, w = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // -- north-star: PII redaction (corpus hygiene) ------------------------
     // The fixture text carries no PII, so deterministic email/phone/IP spans
     // are synthesized from doc_id before scrubbing — the query checks the
@@ -3105,6 +3118,33 @@ object SparkEntry {
     "q_fingerprint" ->
       (s"SELECT doc_id, sha256(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fp " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_winnow" -> {
+      // constants GENERATED from TextAnalysis.winnowPowers so the gram-hash
+      // weights can't drift between engines; ord(substr) ≡ the kernel's
+      // charAt on the all-ASCII fixtures (the kernel itself is BMP-correct).
+      // Window-min selection + i >= w emission + DISTINCT replay the
+      // kernel's trailing-window rule exactly.
+      val k = 8; val w = 16
+      val powers = graft.operators.TextAnalysis.winnowPowers(k).mkString(", ")
+      val M = graft.operators.TextAnalysis.WinnowMod
+      val cap = graft.operators.TextAnalysis.WinnowPosCap
+      s"WITH t AS (SELECT doc_id, lower(text) AS t FROM documents " +
+        s"WHERE text IS NOT NULL AND len(lower(text)) - $k + 1 >= $w), " +
+        s"g AS (SELECT doc_id, i, CAST(list_sum(list_transform(range($k), " +
+        s"j -> CAST(ord(substr(t, CAST(i + j AS INT), 1)) AS BIGINT) * ([$powers])[j + 1])) % $M AS BIGINT) AS h " +
+        s"FROM t, UNNEST(range(1, len(t) - $k + 2)) AS r(i)), " +
+        s"k2 AS (SELECT doc_id, i, h * $cap + (i - 1) AS key FROM g), " +
+        s"sel AS (SELECT doc_id, i, MIN(key) OVER (PARTITION BY doc_id ORDER BY i " +
+        s"ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS skey FROM k2), " +
+        s"fp AS (SELECT DISTINCT doc_id, skey FROM sel WHERE i >= $w), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id), " +
+        s"dh AS (SELECT DISTINCT doc_id, skey // $cap AS fph FROM fp), " +
+        "sh AS (SELECT fph FROM dh GROUP BY fph HAVING COUNT(*) > 1), " +
+        "ns AS (SELECT doc_id, COUNT(*) AS n_shared FROM dh JOIN sh USING (fph) GROUP BY doc_id) " +
+        "SELECT c.doc_id, c.n_fp, CAST(COALESCE(ns.n_shared, 0) AS BIGINT) AS n_shared " +
+        "FROM cnt c LEFT JOIN ns ON c.doc_id = ns.doc_id ORDER BY c.doc_id"
+    },
 
     "q_pack_sequences" ->
       // chunk construction mirrors q_chunk_docs (128/128); seq_idx is the

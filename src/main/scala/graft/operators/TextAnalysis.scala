@@ -1326,4 +1326,137 @@ object TextAnalysis {
       pageOk.as("keep"),
       size(kept).cast("long").as("n_kept"))
   }
+
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing constants (Schleimer, Wilkerson, Aiken 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting"): k-gram rolling
+    * polynomial hash h = Σ cᵢ·B^(k-1-i) mod M over lowercased text, all
+    * exact positive long arithmetic — cross-engine reproducible, so the
+    * whole pipeline (hash, selection, sharing stats) oracle-replays. */
+  val WinnowBase: Long = 257L
+  val WinnowMod: Long  = 1000000007L
+
+  /** 2²¹: packs (hash, position) as one orderable long key
+    * `h·PosCap + pos` (h < M ⇒ key < 2.2e15, exact in a long). Bounds
+    * document length — enforced in the kernel. */
+  val WinnowPosCap: Long = 1L << 21
+
+  /** P(j) = B^(k-1-j) mod M — the per-position gram-hash weights; shared
+    * with the generated oracle SQL so the engines cannot drift. */
+  def winnowPowers(k: Int): Array[Long] = {
+    val p = new Array[Long](k)
+    p(k - 1) = 1L
+    var j = k - 2
+    while (j >= 0) { p(j) = p(j + 1) * WinnowBase % WinnowMod; j -= 1 }
+    p
+  }
+
+  /** Doc-local winnowing kernel: one O(len) pass computes the rolling
+    * gram hashes AND the window-min selection — only the selected
+    * fingerprints (density ~2/(w+1) of grams) ever leave the row. This is
+    * the 100 TB shape: fingerprint selection is per-document by
+    * definition, so it must not cost a (doc, gram-position) shuffle; the
+    * skinny (id, fingerprint) pairs are all that reaches the sharing
+    * aggregation. Selection rule: minimal (hash, position) per trailing
+    * w-window (deterministic total order; any fixed rule preserves the
+    * winnowing guarantee that a shared substring of length ≥ w+k-1 yields
+    * a shared fingerprint), consecutive re-selections collapsed. */
+  private def winnowKernelUdf(k: Int, w: Int) =
+    udf((text: String) => {
+      if (text == null) null
+      else {
+        val t = text.toLowerCase(java.util.Locale.ROOT)
+        val n = t.length
+        require(n < WinnowPosCap, s"winnowing caps documents at ${WinnowPosCap} chars, got $n")
+        val nGrams = n - k + 1
+        if (nGrams < w) Array.empty[Long]
+        else {
+          val topPow = winnowPowers(k)(0)
+          val keys   = new Array[Long](nGrams)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = (h * WinnowBase + t.charAt(i)) % WinnowMod; i += 1 }
+          keys(0) = h * WinnowPosCap
+          i = 1
+          while (i < nGrams) {
+            h = ((h - t.charAt(i - 1) * topPow % WinnowMod + WinnowMod) * WinnowBase
+              + t.charAt(i + k - 1)) % WinnowMod
+            keys(i) = h * WinnowPosCap + i
+            i += 1
+          }
+          val out  = new scala.collection.mutable.ArrayBuffer[Long](2 * nGrams / (w + 1) + 2)
+          var last = -1L
+          var e    = w - 1
+          while (e < nGrams) {
+            var min = keys(e)
+            var b   = e - w + 1
+            while (b < e) { if (keys(b) < min) min = keys(b); b += 1 }
+            if (min != last) { out += min; last = min }
+            e += 1
+          }
+          out.toArray
+        }
+      }
+    })
+
+  /** Winnowing fingerprints: (id, pos, fp) — the selected k-gram hashes
+    * and their 0-based character positions. Docs with fewer than `w`
+    * grams emit nothing (both engines share the rule). */
+  def winnowFingerprints(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(winnowKernelUdf(k, w)(col(textCol))).as("key"))
+      // exact unpack: keys are positive, PosCap is 2²¹ — shift, don't divide
+      .select(col("id"),
+        (col("key") % WinnowPosCap).as("pos"),
+        shiftright(col("key"), 21).as("fp"))
+  }
+
+  /** Relational reference form of the winnow selection — gram hashes via
+    * Horner-HOF, window-min via a frame spec — the oracle-shaped plan the
+    * kernel must match bit-for-bit (parity spec in TextAnalysisSpec). */
+  private[graft] def winnowFingerprintsRelational(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    val t = lower(col(textCol))
+    val grams = transform(sequence(lit(0), length(t) - k), p =>
+      aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+        (acc, j) => (acc * WinnowBase + ascii(t.substr(p + j + 1, lit(1)))) % WinnowMod))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("i").rowsBetween(-(w - 1), 0)
+    df.where(col(textCol).isNotNull && length(t) - k + 1 >= w)
+      .select(col(idCol).as("id"), posexplode(grams))
+      .select(col("id"), col("pos").as("i"),
+        (col("col") * WinnowPosCap + col("pos")).as("key"))
+      .withColumn("skey", min(col("key")).over(win))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("i")))
+      .where(col("rn") >= w)
+      .select(col("id"), col("skey")).distinct()
+      .select(col("id"),
+        (col("skey") % WinnowPosCap).as("pos"),
+        shiftright(col("skey"), 21).as("fp"))
+  }
+
+  /** Per-doc winnowing summary for cross-doc overlap detection (the MOSS
+    * report shape): n_fp = selected fingerprints, n_shared = distinct
+    * fingerprint hashes of this doc that also occur in ≥1 other doc.
+    * Only (id, fp) pairs shuffle. */
+  def winnowStats(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, k, w)
+      .localCheckpoint(true) // two consumers below — don't re-run the kernel scan
+    val perDoc = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val docHash = fps.select("id", "fp").distinct()
+    val shared = docHash.groupBy("fp")
+      .agg(count(lit(1)).as("nd")).where(col("nd") > 1).select("fp")
+    val nShared = docHash.join(shared, Seq("fp"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    perDoc.join(nShared, Seq("id"), "left_outer")
+      .select(col("id"), col("n_fp"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
 }

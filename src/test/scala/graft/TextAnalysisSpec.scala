@@ -617,4 +617,53 @@ class TextAnalysisSpec extends SparkSpec {
     // the dedup motivation: NFC makes the two spellings hash-identical
     assert(out(1L)._1 == out(2L)._1 && composed != decomposed)
   }
+
+  test("winnowing: kernel matches the relational window-min form on fixtures") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    val kern = TextAnalysis.winnowFingerprints(docs, "text", "doc_id", k = 8, w = 16)
+      .collect().map(_.toSeq).toSet
+    val rel = TextAnalysis.winnowFingerprintsRelational(
+        docs.select(col("doc_id"), col("text")), "text", "doc_id", k = 8, w = 16)
+      .collect().map(_.toSeq).toSet
+    assert(kern.nonEmpty && kern == rel,
+      s"kernel ${kern.size} vs relational ${rel.size}; diff sample: ${(kern diff rel).take(3)} / ${(rel diff kern).take(3)}")
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint; gaps bounded by w") {
+    import spark.implicits._
+    val shared = "the common stretch of text that both documents carry verbatim"
+    assert(shared.length >= 16 + 8 - 1)
+    val df = Seq(
+      (1L, "first document prefix aaaa " + shared + " and a distinct tail zzz"),
+      (2L, "completely different opening qqqq " + shared + " different ending yyy"),
+      (3L, "no overlap here at all - this text shares nothing with the others beyond stopwords")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "text", "doc_id", k = 8, w = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val f1 = fps.collect { case (1L, fp) => fp }.toSet
+    val f2 = fps.collect { case (2L, fp) => fp }.toSet
+    val f3 = fps.collect { case (3L, fp) => fp }.toSet
+    assert((f1 & f2).nonEmpty, "shared substring must yield a shared fingerprint")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty, "unrelated docs should not collide at these sizes")
+    // density guarantee: every w-window selects, so consecutive selected
+    // positions are at most w apart
+    val pos1 = TextAnalysis.winnowFingerprints(df.where(col("doc_id") === 1), "text", "doc_id", k = 8, w = 16)
+      .orderBy("pos").collect().map(_.getLong(1))
+    assert(pos1.zip(pos1.tail).forall { case (a, b) => b - a <= 16 }, pos1.toSeq.toString)
+  }
+
+  test("winnowStats: n_shared counts distinct cross-doc hashes, zero for unrelated docs") {
+    import spark.implicits._
+    val shared = "the common stretch of text that both documents carry verbatim"
+    val df = Seq(
+      (1L, "first document prefix aaaa " + shared + " and a distinct tail zzz"),
+      (2L, "completely different opening qqqq " + shared + " different ending yyy"),
+      (3L, "no overlap here at all - this text shares nothing with the others beyond stopwords")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.winnowStats(df, "text", "doc_id", k = 8, w = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L)._2 > 0 && rows(2L)._2 > 0, rows.toString)
+    assert(rows(3L)._2 == 0, rows.toString)
+    assert(rows.values.forall { case (nFp, nSh) => nSh <= nFp })
+  }
 }
