@@ -397,33 +397,50 @@ object Dedup {
     finally sigs.unpersist(false)
   }
 
-  /** Bucketed pair generation shared by the LSH candidate generators: a
-    * count pre-pass caps bucket sizes, then ONE aggregation collects each
-    * surviving bucket's (bounded) id list and the pair cartesian is a
-    * MAP-SIDE double explode — no self-join shuffle. Versus the self-join
-    * formulation this removes a shuffle and two stages. A bucket of n rows
-    * yields n(n-1)/2 pairs — the cap keeps one degenerate mega-bucket
-    * (boilerplate, empty docs, …) from dominating quadratically; near-dups
-    * inside a dropped bucket still meet in their other buckets. */
+  /** Size-capped bucket collector: counts every row exactly, collects ids
+    * only up to cap+1 (enough to DETECT overflow without ever buffering a
+    * mega-bucket), and finishes to the id list iff 2 ≤ n ≤ cap — empty
+    * otherwise. Buffer memory is ≤ (cap+1) longs per bucket by
+    * construction, on the partial (map) side too. */
+  private class BoundedBucket(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, (Long, Seq[Long]), Seq[Long]] {
+    override def zero: (Long, Seq[Long]) = (0L, Vector.empty)
+    override def reduce(b: (Long, Seq[Long]), id: Long): (Long, Seq[Long]) =
+      (b._1 + 1, if (b._2.length <= cap) b._2 :+ id else b._2)
+    override def merge(a: (Long, Seq[Long]), b: (Long, Seq[Long])): (Long, Seq[Long]) =
+      (a._1 + b._1, (a._2 ++ b._2).take(cap + 1))
+    override def finish(b: (Long, Seq[Long])): Seq[Long] =
+      if (b._1 >= 2 && b._1 <= cap) b._2 else Seq.empty
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Seq[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Bucketed pair generation shared by the LSH candidate generators: ONE
+    * size-capped aggregation collects each surviving bucket's (bounded) id
+    * list and the pair cartesian is a MAP-SIDE double explode — no
+    * self-join shuffle, no pre-pass. A bucket of n rows yields n(n-1)/2
+    * pairs — the cap keeps one degenerate mega-bucket (boilerplate, empty
+    * docs, …) from dominating quadratically; near-dups inside a dropped
+    * bucket still meet in their other buckets.
+    *
+    * The r8 scaling study (SCALING.md) showed the previous two-pass form
+    * (count pre-pass + keep-join + collect) shuffling the banded frame
+    * TWICE once the surviving-bucket frame outgrew the broadcast
+    * threshold (×60+ fixtures); [[BoundedBucket]] enforces the cap inside
+    * the single aggregation instead — same surviving-bucket semantics
+    * (exact count gate, ids only materialized for buckets under the cap),
+    * half the wire. */
   private[operators] def bucketedPairs(
       banded: DataFrame, // (bucketCols…, id)
       bucketCols: Seq[String],
       maxBucketSize: Int): DataFrame = {
-    // The cap is enforced BEFORE any id list materializes: collecting a
-    // degenerate mega-bucket's full id array into one aggregation buffer
-    // just to discard it is the exact OOM the cap exists to prevent. The
-    // count pre-pass carries an 8-byte buffer per bucket; the join back is
-    // AQE-broadcast when the surviving bucket set is small and a plain
-    // shuffle join otherwise — memory-safe either way. Post-cap lists are
-    // ≤ maxBucketSize ids, so the collect_list buffers and the map-side
-    // double-explode pair cartesian are bounded by construction.
-    val keep = banded.groupBy(bucketCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n").between(2, maxBucketSize))
-      .drop("__n")
-    banded.join(keep, bucketCols)
-      .groupBy(bucketCols.map(col): _*)
-      .agg(collect_list(col("id")).as("__ids"))
+    val bounded = udaf(new BoundedBucket(maxBucketSize))
+    banded.groupBy(bucketCols.map(col): _*)
+      .agg(bounded(col("id")).as("__ids"))
+      .where(size(col("__ids")) >= 2)
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
