@@ -597,6 +597,16 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // -- exact-threshold Jaccard set-similarity join (AllPairs prefix) ----
+    // The no-false-negative complement to the MinHash/LSH family: prefix
+    // filtering under a rarest-first global shingle order + exact
+    // integer-rational threshold tests. The oracle is the full O(n²)
+    // brute force — candidate pruning must lose NOTHING to hash-match it.
+    "q_jaccard_join" -> ((s, d) =>
+      Dedup.jaccardJoinExact(t(s, d, "documents"), "text", "doc_id",
+          minJaccard = 0.8, shingleN = 2)
+        .orderBy("id_a", "id_b")),
+
     // -- north-star: brute-force cosine top-k ----------------------------
     "q_similarity_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -3373,6 +3383,20 @@ object SparkEntry {
         s"ELSE CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+')))) AS DOUBLE) / " +
         s"CAST(len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) AS DOUBLE) END, 6) AS jaccard " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    "q_jaccard_join" ->
+      // FULL brute force — every pair, exact integer-rational threshold
+      // (i·10⁶ ≥ u·num), the same shinglesSql definition as the other
+      // shingle oracles. The engine's prefix-filtered plan must reproduce
+      // this exactly: pruning that loses a pair fails the hash.
+      (s"WITH tkt AS (SELECT doc_id, $tokensSql AS tk FROM documents WHERE text IS NOT NULL), " +
+        s"s AS (SELECT doc_id, ${shinglesSql(2)} AS toks FROM tkt), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS i, " +
+        "CAST(len(list_distinct(a.toks || b.toks)) AS BIGINT) AS u " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / CAST(u AS DOUBLE), 6) AS jaccard " +
+        "FROM p WHERE i * 1000000 >= u * 800000 AND u > 0 ORDER BY id_a, id_b"),
 
     "q_json_map" ->
       // fixture props carry exactly one key ('k'); DuckDB 1.0 lacks

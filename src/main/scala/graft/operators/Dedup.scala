@@ -799,6 +799,97 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") / uni.cast("double"))
   }
 
+  /** Exact-threshold Jaccard set-similarity JOIN via prefix filtering
+    * (Bayardo, Ma, Srikant 2007, "Scaling Up All Pairs Similarity
+    * Search"; Xiao et al.'s PPJoin refines the same principle): under a
+    * shared global token order, any pair with J(a,b) ≥ t shares at least
+    * one token inside each side's (n − ⌈t·n⌉ + 1)-prefix — so candidates
+    * come from a skinny equi-join on PREFIX tokens only, then verify
+    * exactly. Unlike the MinHash/LSH path this has NO false negatives:
+    * the output is exactly every qualifying pair — the op to reach for
+    * when the dedup decision must be auditable.
+    *
+    * Exactness discipline: the threshold is interpreted as the rational
+    * round(minJaccard·10⁶)/10⁶ and EVERY threshold comparison is integer
+    * (prefix length via ceil-div, the min·den ≥ num·max length filter,
+    * the i·den ≥ num·u verification) — a float ⌈t·n⌉ can round the
+    * prefix one token short and silently drop qualifying pairs (0.6·5
+    * ceils to 4 in doubles). The reported `jaccard` column is display
+    * rounding only.
+    *
+    * Scale shape (100 TB): the global order is RAREST-FIRST (document
+    * frequency asc, token asc), so prefix buckets are dominated by rare
+    * tokens — the AllPairs heuristic that keeps the candidate join's
+    * fan-out small; the length filter prunes cross-size pairs before
+    * token arrays re-attach; only (token, id, n) triples and the
+    * candidate pairs shuffle. No bucket cap exists here BY CONTRACT
+    * (exactness forbids dropping); for corpora where a frequent token
+    * lands in many prefixes, the LSH path is the approximate fallback. */
+  def jaccardJoinExact(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minJaccard: Double,
+      shingleN: Int = 2): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard in (0, 1], got $minJaccard (0 would join all pairs)")
+    val den  = 1000000L
+    val num  = math.round(minJaccard * den)
+    // set elements are word shingles, not raw tokens: on a corpus with a
+    // compact vocabulary nearly ALL token-set pairs clear any threshold
+    // (measured: 74% of fixture pairs at t=0.5) — shingles carry the
+    // word-order signal that makes the join discriminative, the same
+    // reason the MinHash family shingles
+    val sets = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), wordShinglesUdf(shingleN)(col(textCol)).as("toks"))
+      .where(col("toks").isNotNull)
+    val expl = sets.select(col("id"), explode(col("toks")).as("tok"))
+    val freq = expl.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc tokens in global (df asc, tok asc) order + the doc's size
+    val ordered = expl.join(freq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+      .select(col("id"),
+        transform(col("sorted"), s => s.getField("tok")).as("toks"),
+        size(col("sorted")).as("n"))
+    // prefix length n − ceilDiv(num·n, den) + 1. The divide-then-truncate
+    // is exact here: n·num + den−1 ≤ ~2^50 is an exact double, /10⁶ is
+    // correctly rounded, and a non-integer true quotient sits ≥ 10⁻⁶ from
+    // the next integer — 4 orders beyond the ulp — so truncation equals
+    // the integer ceil-div for every representable n.
+    val prefix = ordered.select(col("id"), col("n"),
+        posexplode(slice(col("toks"), lit(1),
+          (col("n") - (col("n") * num + (den - 1)).divide(den).cast("long") + 1).cast("int"))))
+      .select(col("id"), col("n"), (col("pos") + 1).as("rk"), col("col").as("tok"))
+    // pair-specific overlap bound α = ceil(t·(n_a+n_b)/(1+t)) — with
+    // t = num/den: ceilDiv(num·(n_a+n_b), num+den); same exact-truncation
+    // argument as the prefix (gap ≥ 1/(num+den) ≫ ulp)
+    def alpha(nA: Column, nB: Column): Column =
+      (((nA + nB) * num + (num + den - 1)).divide(num + den)).cast("long")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          // length filter: J ≥ t ⇒ min(n)·den ≥ num·max(n)
+          least(col("a.n"), col("b.n")) * den >= greatest(col("a.n"), col("b.n")) * num &&
+          // PPJoin positional filter: tokens matching at sorted ranks
+          // (rk_a, rk_b) cap the possible overlap at
+          // 1 + min(n_a − rk_a, n_b − rk_b) — prune pairs that cannot
+          // reach α even if every remaining token matched
+          lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >=
+            alpha(col("a.n"), col("b.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val withSets = cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long").as("i"),
+        size(array_union(col("toks_a"), col("toks_b"))).cast("long").as("u"))
+    withSets
+      .where(col("i") * den >= col("u") * num && col("u") > 0)
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / col("u").cast("double"), 6).as("jaccard"))
+  }
+
   /** Tight-loop exact word-shingle Jaccard between two raw texts — value-
     * identical to `jaccard(wordShingles(a,n), wordShingles(b,n))` (HashSet
     * intersect over the same distinct shingle sets, same division), but a

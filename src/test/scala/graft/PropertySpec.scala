@@ -260,4 +260,46 @@ class PropertySpec extends SparkSpec {
       assert(kept(binding) == ns(binding), s"binding stratum $binding thinned")
     }
   }
+
+  test("property: jaccardJoinExact equals brute force on random docs, several thresholds") {
+    import spark.implicits._
+    // thresholds chosen to include the float-ceil hazard class (0.6*5 -> 4
+    // under double ceil) and a high selective cut
+    val thresholds = Seq(0.3, 0.5, 0.6, 0.8)
+    samples(Gen.listOfN(40, docGen), 3).zipWithIndex.foreach { case (texts, si) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sets = df.select(col("doc_id"),
+        graft.operators.Dedup.wordShinglesUdf(2)(col("text")).as("toks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      thresholds.foreach { t =>
+        val num = math.round(t * 1000000L)
+        val expected = (for {
+          a <- sets.keys; b <- sets.keys; if a < b
+          i = (sets(a) & sets(b)).size.toLong
+          u = (sets(a) | sets(b)).size.toLong
+          if u > 0 && i * 1000000L >= u * num
+        } yield (a, b)).toSet
+        val got = graft.operators.Dedup.jaccardJoinExact(df, "text", "doc_id", t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expected,
+          s"sample $si t=$t: missing ${(expected diff got).take(5)} extra ${(got diff expected).take(5)}")
+      }
+    }
+  }
+
+  test("jaccardJoinExact: reported jaccard is the exact rounded ratio and respects the threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),       // shingles: ab bc cd de ef (5)
+      (2L, "a b c d e x"),       // shares ab bc cd de (4 of 6-union... )
+      (3L, "q r s t u v")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.jaccardJoinExact(df, "text", "doc_id", 0.5)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // shingle sets: {ab,bc,cd,de,ef} vs {ab,bc,cd,de,ex}: i=4, u=6
+    assert(r.getDouble(2) == math.rint(4.0 / 6.0 * 1e6) / 1e6 || math.abs(r.getDouble(2) - 0.666667) < 1e-9)
+  }
 }
