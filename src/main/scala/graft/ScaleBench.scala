@@ -162,6 +162,18 @@ object ScaleBench {
       Dedup.dropNearDuplicates(t(s, d, "documents"), "text", "doc_id",
         shingleN = 2, minJaccard = 0.8)),
 
+    // exact-threshold similarity join: the token bijection keeps cross-copy
+    // shingle sets disjoint, so candidates stay frequency-localized within
+    // copies — the claim under test is candidates ∝ N (not N²)
+    "jaccard_join" -> ((s, d, _) =>
+      Dedup.jaccardJoinExact(t(s, d, "documents"), "text", "doc_id",
+        minJaccard = 0.8, shingleN = 2)),
+
+    // winnowing: doc-local kernel selection, only (id, fp) pairs shuffle
+    "winnow" -> ((s, d, _) =>
+      TextAnalysis.winnowStats(t(s, d, "documents"), "text", "doc_id",
+        k = 8, w = 16)),
+
     "minhash_index" -> ((s, d, _) =>
       Dedup.minHashIndex(t(s, d, "documents"), "text", "doc_id")),
 

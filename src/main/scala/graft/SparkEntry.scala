@@ -597,6 +597,29 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // -- ranked-retrieval evaluation (P@k/R@k/MRR/MAP) ---------------------
+    // The measurement half of the ANN stack: truth = each sampled
+    // customer's purchased parts; results = a deterministic integer-hash
+    // ranking over the part catalog. AP sums are lcm-scaled exact
+    // integers (Ranking scaladoc) so the whole metric table hash-matches
+    // DuckDB.
+    "q_ranking_metrics" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("score"), col("item"))
+      val qids = t(s, d, "orders").where(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey").as("qid")).distinct()
+      val truth = t(s, d, "orders").where(col("o_custkey") % 50 === 0)
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("qid"), col("l_partkey").as("item"))
+      val results = qids
+        .crossJoin(broadcast(t(s, d, "part").select(col("p_partkey").as("item"))))
+        .withColumn("score", pmod(col("qid") * 31 + col("item") * 7, lit(97)))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+      Ranking.metricsAtK(results, truth, "qid", "rank", "item", k = 10)
+        .orderBy("qid")
+    }),
+
     // -- exact-threshold Jaccard set-similarity join (AllPairs prefix) ----
     // The no-false-negative complement to the MinHash/LSH family: prefix
     // filtering under a rarest-first global shingle order + exact
@@ -3383,6 +3406,29 @@ object SparkEntry {
         s"ELSE CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+')))) AS DOUBLE) / " +
         s"CAST(len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) AS DOUBLE) END, 6) AS jaccard " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    "q_ranking_metrics" ->
+      // lcm(1..10) = 2520: ap terms are exact integers in both engines;
+      // the ROUND(…, 6) divisions are single correctly-rounded double ops
+      ("WITH qids AS (SELECT DISTINCT o_custkey AS qid FROM orders WHERE o_custkey % 50 = 0), " +
+        "truth AS (SELECT DISTINCT o_custkey AS qid, l_partkey AS item FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey % 50 = 0), " +
+        "nrel AS (SELECT qid, COUNT(*) AS n_rel FROM truth GROUP BY qid), " +
+        "cand AS (SELECT q.qid, p.p_partkey AS item, (q.qid * 31 + p.p_partkey * 7) % 97 AS score " +
+        "FROM qids q, part p), " +
+        "res AS (SELECT qid, item, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score, item) AS rank FROM cand), " +
+        "top AS (SELECT r.qid, r.rank, CASE WHEN t.item IS NULL THEN 0 ELSE 1 END AS rel " +
+        "FROM res r LEFT JOIN truth t ON t.qid = r.qid AND t.item = r.item WHERE r.rank <= 10), " +
+        "sc AS (SELECT qid, rank, rel, SUM(rel) OVER (PARTITION BY qid ORDER BY rank) AS hits_r FROM top), " +
+        "ag AS (SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_hits, " +
+        "CAST(SUM(rel * hits_r * (2520 // rank)) AS BIGINT) AS ap_num, " +
+        "MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel FROM sc GROUP BY qid) " +
+        "SELECT a.qid, n.n_rel, a.n_hits, " +
+        "ROUND(CAST(a.n_hits AS DOUBLE) / 10, 6) AS p_at_k, " +
+        "ROUND(CAST(a.n_hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE), 6) AS r_at_k, " +
+        "ROUND(COALESCE(1.0 / CAST(a.first_rel AS DOUBLE), 0.0), 6) AS rr, " +
+        "ROUND(CAST(a.ap_num AS DOUBLE) / CAST(LEAST(n.n_rel, 10) * 2520 AS DOUBLE), 6) AS ap " +
+        "FROM ag a JOIN nrel n USING (qid) ORDER BY a.qid"),
 
     "q_jaccard_join" ->
       // FULL brute force — every pair, exact integer-rational threshold

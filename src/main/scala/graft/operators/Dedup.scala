@@ -878,12 +878,24 @@ object Dedup {
             alpha(col("a.n"), col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // Verification wire discipline: candidates re-attach 64-bit shingle
+    // HASHES, not the shingle strings — ~2.5× fewer bytes through the two
+    // pair joins (the dominant wire term: the f=200 scaling run exhausted
+    // 70 GB of spill disk on string arrays), and the union is never
+    // materialized (u = n_a + n_b − i). Set identity via xxhash64 carries
+    // the same 2⁻⁶⁴-collision contract as sha256 content-hash dedup
+    // ([[exactGroups]]): a collision inside one candidate pair's union is
+    // the only way engine and oracle can disagree.
+    val setsH = sets.select(col("id"),
+      array_sort(transform(col("toks"), t => xxhash64(t))).as("h"),
+      size(col("toks")).cast("long").as("hn"))
     val withSets = cand
-      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .join(setsH.select(col("id").as("id_a"), col("h").as("h_a"), col("hn").as("n_a")), Seq("id_a"))
+      .join(setsH.select(col("id").as("id_b"), col("h").as("h_b"), col("hn").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long").as("i"),
-        size(array_union(col("toks_a"), col("toks_b"))).cast("long").as("u"))
+        size(array_intersect(col("h_a"), col("h_b"))).cast("long").as("i"),
+        col("n_a"), col("n_b"))
+      .withColumn("u", col("n_a") + col("n_b") - col("i"))
     withSets
       .where(col("i") * den >= col("u") * num && col("u") > 0)
       .select(col("id_a"), col("id_b"),
