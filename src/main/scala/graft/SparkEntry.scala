@@ -597,6 +597,19 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // -- time-series resample + gap-fill + forward fill --------------------
+    // The regularization step before windowed features: hourly grid per
+    // sampled user from first to last event, missing buckets generated
+    // (was_gap=1) and values carried forward. Floor-div bucketing (the
+    // ADVICE-r7 truncate hazard avoided by construction), total-order
+    // per-bucket argmax, deterministic running fill — fully oracle-replayed.
+    "q_resample_ffill" -> ((s, d) =>
+      TimeSeries.resampleFill(
+          t(s, d, "events").where(col("user_id") % 100 === 0),
+          "user_id", "ts", "value", intervalNanos = 3600L * 1000000000L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "bucket_ns")),
+
     // -- ranked-retrieval evaluation (P@k/R@k/MRR/MAP) ---------------------
     // The measurement half of the ANN stack: truth = each sampled
     // customer's purchased parts; results = a deterministic integer-hash
@@ -3406,6 +3419,26 @@ object SparkEntry {
         s"ELSE CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+')))) AS DOUBLE) / " +
         s"CAST(len(list_distinct(list_concat(list_distinct(string_split_regex(trim(lower(a.text)), '\\s+')), list_distinct(string_split_regex(trim(lower(b.text)), '\\s+'))))) AS DOUBLE) END, 6) AS jaccard " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+
+    "q_resample_ffill" ->
+      // pmod-shifted floor-div bucketing (exact: the numerator is an exact
+      // interval multiple), ROW_NUMBER argmax with the same NULLS LAST tie
+      // order, IGNORE NULLS running fill — value passes through with no
+      // arithmetic, so doubles hash-match verbatim
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, value FROM events " +
+        "WHERE user_id % 100 = 0 AND ts IS NOT NULL AND user_id IS NOT NULL), " +
+        "b AS (SELECT user_id, (tn - ((tn % 3600000000000) + 3600000000000) % 3600000000000) // 3600000000000 AS bucket, tn, value FROM e), " +
+        "lastv AS (SELECT user_id, bucket, value FROM (SELECT user_id, bucket, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY tn DESC, value DESC NULLS LAST) AS rn FROM b) WHERE rn = 1), " +
+        "span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b GROUP BY user_id), " +
+        "grid AS (SELECT span.user_id, r.bucket FROM span, UNNEST(range(b0, b1 + 1)) AS r(bucket)), " +
+        "j AS (SELECT g.user_id, g.bucket, l.value AS v, " +
+        "CASE WHEN l.user_id IS NULL THEN 1 ELSE 0 END AS was_gap " +
+        "FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.bucket = g.bucket) " +
+        "SELECT user_id, CAST(bucket * 3600000000000 AS BIGINT) AS bucket_ns, " +
+        "LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value, " +
+        "CAST(was_gap AS BIGINT) AS was_gap FROM j ORDER BY user_id, bucket_ns"),
 
     "q_ranking_metrics" ->
       // lcm(1..10) = 2520: ap terms are exact integers in both engines;

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-interval time-series regularization: bucket events to an
+  * interval grid per key, GENERATE the missing buckets, and forward-fill
+  * values — the resample→ffill step every metrics/feature pipeline runs
+  * before windowed models see the data.
+  *
+  * Exactness discipline: bucketing is integer `div` on epoch-nanos after
+  * a pmod shift (true floor — the truncate-vs-floor pre-epoch hazard of
+  * ADVICE r7 item 1, avoided by construction), per-bucket representative
+  * is a total-order argmax (ts DESC, value DESC NULLS LAST), and the fill
+  * is a deterministic running last-non-null — every row replays in
+  * DuckDB.
+  */
+object TimeSeries {
+
+  /** Per-key fixed-interval grid with forward fill.
+    *
+    * Output: (key, bucket_ns, value, was_gap) — one row per key per
+    * interval from the key's first to last event bucket; `value` is the
+    * latest event value in the bucket (by ts, ties to the larger value),
+    * forward-filled from the previous non-null bucket value when the
+    * bucket has no event (`was_gap` = 1) or only null-valued events.
+    *
+    * Scale shape (100 TB): one skinny (key, bucket) reduction, one grid
+    * explode bounded by `maxBucketsPerKey` (ENFORCED loudly with a
+    * pre-pass over per-key spans — a mis-sized interval over a year of
+    * nanos would otherwise detonate the sequence), one per-key window.
+    * Keys are independent; nothing global. */
+  def resampleFill(
+      df: DataFrame,
+      keyCol: String,
+      tsNanosCol: String,
+      valueCol: String,
+      intervalNanos: Long,
+      maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    require(intervalNanos > 0, s"intervalNanos must be positive, got $intervalNanos")
+    val bucket = expr(
+      s"(`$tsNanosCol` - pmod(`$tsNanosCol`, ${intervalNanos}L)) div ${intervalNanos}L")
+    val b = df.where(col(tsNanosCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"), bucket.as("bucket"),
+        col(tsNanosCol).as("tn"), col(valueCol).as("value"))
+    val lastv = b
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("key", "bucket")
+          .orderBy(col("tn").desc, col("value").desc_nulls_last)))
+      .where(col("__rn") === 1)
+      .select("key", "bucket", "value")
+    val span = b.groupBy("key").agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val worst = span.agg(max(col("b1") - col("b0"))).head()
+    if (!worst.isNullAt(0)) {
+      val w = worst.getLong(0) + 1
+      require(w <= maxBucketsPerKey,
+        s"resampleFill: a key spans $w buckets at interval ${intervalNanos}ns " +
+          s"(> $maxBucketsPerKey) — widen the interval or raise maxBucketsPerKey")
+    }
+    val grid = span.select(col("key"),
+      explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    grid.join(lastv.withColumn("__hit", lit(1L)), Seq("key", "bucket"), "left_outer")
+      .withColumn("was_gap", when(col("__hit").isNull, 1L).otherwise(0L))
+      .withColumn("value", last(col("value"), ignoreNulls = true).over(
+        Window.partitionBy("key").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("key"), (col("bucket") * intervalNanos).as("bucket_ns"),
+        col("value"), col("was_gap"))
+  }
+}
