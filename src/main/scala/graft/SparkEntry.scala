@@ -2811,6 +2811,68 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // -- version DIFF: what changed between two committed versions ---------
+    // Same replay as q_versioned_incremental; diff v0 (first append only)
+    // against v3 (both appends + update + delete) — all three change
+    // types appear: evens added, %13 odds removed, negative-balance odds
+    // updated. One full-outer key join over column-pruned version scans.
+    "q_versioned_diff" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vtd").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), dir)
+      VersionedTable.commitUpdate(s, dir, col("c_acctbal") < 0,
+        Map("c_acctbal" -> (col("c_acctbal") + 1000)))
+      VersionedTable.commitDelete(s, dir, pmod(col("c_custkey"), lit(13L)) === 0L)
+      VersionedTable.diff(s, dir, 0L, 3L, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- CHANGE-DATA FEED over a version span ------------------------------
+    // Same replay; the feed emits one row per (key, step) with old/new
+    // values: step 1 adds the evens, step 2 updates negative balances,
+    // step 3 removes the %13 keys. Each step diffs ONLY its changed files.
+    "q_versioned_changes" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vtc").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), dir)
+      VersionedTable.commitUpdate(s, dir, col("c_acctbal") < 0,
+        Map("c_acctbal" -> (col("c_acctbal") + 1000)))
+      VersionedTable.commitDelete(s, dir, pmod(col("c_custkey"), lit(13L)) === 0L)
+      VersionedTable.changes(s, dir, 0L, 3L, Seq("c_custkey"), Seq("c_acctbal"))
+        .select(col("c_custkey"), col("version"), col("change_type"),
+          col("c_acctbal_old").cast("double").as("c_acctbal_old"),
+          col("c_acctbal_new").cast("double").as("c_acctbal_new"))
+        .orderBy("version", "c_custkey")
+    }),
+
+    // -- INCREMENTALLY-MAINTAINED MATERIALIZED AGGREGATE -------------------
+    // Build the view at v0 (odd keys only), then refresh once after three
+    // more source commits (evens appended, negative balances updated,
+    // %13 keys deleted). The refresh folds ONLY the change feed into the
+    // state — O(changed files) + O(groups), the corpus never re-scanned —
+    // and must land bit-identical to the full recompute the oracle runs.
+    "q_matview_refresh" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      val src  = root + "/src"
+      val view = root + "/view"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), src)
+      graft.tables.MaterializedAgg.create(s, src, view,
+        Seq("c_custkey"), Seq("c_nationkey"), Seq("c_acctbal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), src)
+      VersionedTable.commitUpdate(s, src, col("c_acctbal") < 0,
+        Map("c_acctbal" -> (col("c_acctbal") + 1000).cast("decimal(18,2)")))
+      VersionedTable.commitDelete(s, src, pmod(col("c_custkey"), lit(13L)) === 0L)
+      graft.tables.MaterializedAgg.refresh(s, view)
+      graft.tables.MaterializedAgg.read(s, view)
+        .select(col("c_nationkey"), col("cnt"),
+          col("sum_c_acctbal").cast("decimal(38,2)").as("bal_sum"))
+        .orderBy("c_nationkey")
+    }),
+
     // -- key-addressed DELETE (right-to-be-forgotten) ----------------------
     // Partition-scoped anti-rewrite: only the buckets holding doomed keys
     // are read/rewritten/swapped; oracle = the surviving-row filter.
@@ -4572,6 +4634,44 @@ object SparkEntry {
         "WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 " +
         "ELSE c_acctbal END AS DOUBLE) AS bal_latest " +
         "FROM customer ORDER BY c_custkey"),
+
+    "q_versioned_diff" ->
+      // replay the commit semantics directly: v0 = odd keys only;
+      // v3 = all keys minus %13, negatives updated — so evens (non-%13)
+      // are added, %13 odds removed, negative-balance surviving odds
+      // updated; everything else is unchanged and must NOT appear
+      ("SELECT c_custkey, CASE " +
+        "WHEN c_custkey % 2 = 1 AND c_custkey % 13 = 0 THEN 'removed' " +
+        "WHEN c_custkey % 2 = 1 AND c_acctbal < 0 THEN 'updated' " +
+        "WHEN c_custkey % 2 = 0 AND c_custkey % 13 <> 0 THEN 'added' " +
+        "END AS change_type FROM customer WHERE " +
+        "(c_custkey % 2 = 1 AND c_custkey % 13 = 0) OR " +
+        "(c_custkey % 2 = 1 AND c_acctbal < 0) OR " +
+        "(c_custkey % 2 = 0 AND c_custkey % 13 <> 0) " +
+        "ORDER BY c_custkey"),
+
+    "q_versioned_changes" ->
+      // replay the three steps directly: step 1 adds evens, step 2 updates
+      // negative balances (+1000), step 3 removes %13 keys (at their
+      // post-update balance)
+      ("SELECT c_custkey, CAST(1 AS BIGINT) AS version, 'added' AS change_type, " +
+        "CAST(NULL AS DOUBLE) AS c_acctbal_old, CAST(c_acctbal AS DOUBLE) AS c_acctbal_new " +
+        "FROM customer WHERE c_custkey % 2 = 0 " +
+        "UNION ALL SELECT c_custkey, 2, 'updated', CAST(c_acctbal AS DOUBLE), " +
+        "CAST(c_acctbal + 1000 AS DOUBLE) FROM customer WHERE c_acctbal < 0 " +
+        "UNION ALL SELECT c_custkey, 3, 'removed', " +
+        "CAST(CASE WHEN c_acctbal < 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS DOUBLE), " +
+        "CAST(NULL AS DOUBLE) FROM customer WHERE c_custkey % 13 = 0 " +
+        "ORDER BY version, c_custkey"),
+
+    "q_matview_refresh" ->
+      // the incremental state must equal the full recompute over the
+      // replayed final source: all keys minus %13, negatives +1000
+      ("SELECT c_nationkey, COUNT(*) AS cnt, CAST(SUM(" +
+        "CASE WHEN c_acctbal < 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) + 1000 " +
+        "ELSE CAST(c_acctbal AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS bal_sum " +
+        "FROM customer WHERE c_custkey % 13 <> 0 " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
 
     "q_versioned_incremental" ->
       // v1 = both appends (the full customer key set, original balances);

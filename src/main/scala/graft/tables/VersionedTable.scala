@@ -202,7 +202,7 @@ object VersionedTable {
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
     FsIO.withWriteLock(dir, "VersionedTable.commitAppend", lockLeaseMs) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val committed = log(dir)
+      val committed = VersionedTable.log(dir)
       val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
         listVersionDirs(fs, dir)).max: Long) + 1
       val prevRels = committed.lastOption
@@ -224,7 +224,7 @@ object VersionedTable {
     FsIO.withWriteLock(dir, op, lockLeaseMs) {
       import org.apache.spark.sql.functions.input_file_name
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val committed = log(dir)
+      val committed = VersionedTable.log(dir)
       require(committed.nonEmpty, s"$op: $dir has no committed version")
       val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
         listVersionDirs(fs, dir)).max: Long) + 1
@@ -283,7 +283,7 @@ object VersionedTable {
     * directory: later commits and vacuums of OTHER versions never touch
     * its files. */
   def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
-    val committed = log(dir)
+    val committed = VersionedTable.log(dir)
     require(committed.nonEmpty, s"VersionedTable.read: $dir has no committed version")
     val v = version.getOrElse(committed.last._1)
     val entry = committed.find(_._1 == v)
@@ -329,7 +329,7 @@ object VersionedTable {
         fs.listStatus(logDir(dir)).toSeq
           .filter(_.getPath.getName.endsWith(".commit.tmp"))
           .foreach(s => fs.delete(s.getPath, false))
-      val committed = log(dir)
+      val committed = VersionedTable.log(dir)
       val keep      = committed.map(_._1).takeRight(retainLast).toSet
       // FILE REFCOUNT across retained manifests: a data file (or a snapshot
       // directory an incremental commit references into) lives as long as
@@ -358,5 +358,135 @@ object VersionedTable {
           .foreach(s => fs.delete(s.getPath, false))
       (legacyDrop ++ manifestDrop).distinct.sorted
     }
+  }
+
+  /** Row-level DIFF between two committed versions, keyed by `keyCols`:
+    * one row per changed key with change_type ∈ added | removed |
+    * updated. "updated" means the versions disagree (null-safely) on at
+    * least one COMMON non-key column; columns present in only one
+    * version's schema (mergeSchema evolution) are ignored — a pure
+    * schema-widening commit diffs as empty, which is the truthful answer
+    * about the ROWS. Keys are assumed unique per version (the upsert/
+    * delete key contract) and non-null.
+    *
+    * Scale shape (100 TB): **O(changed files), not O(table)** — a data
+    * file listed by BOTH versions' manifests holds bit-identical rows on
+    * both sides of the join, every one of which diffs to "unchanged", so
+    * shared files are pruned from BOTH scans before any I/O (sound
+    * because keys are unique per version: a key in a shared file cannot
+    * also appear in an exclusive file of either version). A daily
+    * incremental commit on a 100 TB corpus diffs against yesterday by
+    * reading only the day's rewritten files. The residue is one
+    * full-outer join over the exclusive files — skinny keys + only the
+    * compared columns are read (column pruning reaches both scans). The
+    * spec proves the pruning physically: shared files are corrupted on
+    * disk after commit and the diff still answers. */
+  def diff(spark: SparkSession, dir: String,
+      vFrom: Long, vTo: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (a, b) = prunedScans(spark, dir, vFrom, vTo, keyCols)
+    a.as("a").join(b.as("b"), stepJoinCond(keyCols), "full_outer")
+      .withColumn("change_type", stepChangeType(a, b, keyCols))
+      .where(col("change_type").isNotNull)
+      .select(keyCols.map(k => coalesce(col(s"a.`$k`"), col(s"b.`$k`")).as(k)) :+
+        col("change_type"): _*)
+  }
+
+  /** Change-data feed over a version span: one row per (key, version step)
+    * that changed, with `version` = the step's TO version, `change_type`,
+    * and for each requested value column `<c>_old` / `<c>_new` (null on the
+    * absent side of added/removed). Each consecutive step (v, v+1) in
+    * (vFrom, vTo] diffs independently with the same shared-file pruning as
+    * [[diff]], so a span of N daily incremental commits costs N × O(that
+    * day's changed files) — the feed never rereads the corpus. `valueCols`
+    * must exist in every version of the span (explicit, not inferred: at
+    * 100 TB, schema resolution must not require touching every version's
+    * footers). "updated" still means ANY common non-key column disagrees —
+    * a step that changed only an unrequested column reports `updated` with
+    * identical old/new requested values, which is the truthful feed. */
+  def changes(spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(vFrom <= vTo, s"changes: vFrom $vFrom > vTo $vTo")
+    require(valueCols.nonEmpty, "changes: need at least one value column")
+    val steps = (vFrom until vTo).map { v =>
+      val (a, b) = prunedScans(spark, dir, v, v + 1, keyCols)
+      require(valueCols.forall(a.columns.contains) && valueCols.forall(b.columns.contains),
+        s"value columns ${valueCols.mkString(",")} must exist in versions $v and ${v + 1}")
+      a.as("a").join(b.as("b"), stepJoinCond(keyCols), "full_outer")
+        .withColumn("change_type", stepChangeType(a, b, keyCols))
+        .where(col("change_type").isNotNull)
+        .select(
+          keyCols.map(k => coalesce(col(s"a.`$k`"), col(s"b.`$k`")).as(k)) ++
+            Seq(lit(v + 1).as("version"), col("change_type")) ++
+            valueCols.flatMap(c => Seq(
+              col(s"a.`$c`").as(s"${c}_old"), col(s"b.`$c`").as(s"${c}_new"))): _*)
+    }
+    steps.reduceOption(_.unionByName(_))
+      .getOrElse(sys.error(s"changes: empty span ($vFrom, $vFrom] has no steps"))
+  }
+
+  private def stepJoinCond(keyCols: Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    keyCols.map(k => col(s"a.`$k`") === col(s"b.`$k`")).reduce(_ && _)
+  }
+
+  /** added/removed/updated classifier over the aliased a/b join (null when
+    * the key is present and identical on both sides). */
+  private def stepChangeType(a: DataFrame, b: DataFrame, keyCols: Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    val nonKey = a.columns.intersect(b.columns).filterNot(keyCols.contains)
+    val eq = nonKey.map(c => col(s"a.`$c`") <=> col(s"b.`$c`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    when(col(s"b.`${keyCols.head}`").isNull, lit("removed"))
+      .when(col(s"a.`${keyCols.head}`").isNull, lit("added"))
+      .when(!eq, lit("updated"))
+  }
+
+  /** The two scan sides of a version-pair diff, with files listed by BOTH
+    * versions' manifests pruned from BOTH sides before any I/O (they hold
+    * bit-identical rows, every one of which diffs to "unchanged" — sound
+    * because keys are unique per version). Existence (vacuum detection) is
+    * checked only for the files actually read. */
+  private def prunedScans(spark: SparkSession, dir: String,
+      vFrom: Long, vTo: Long, keyCols: Seq[String]): (DataFrame, DataFrame) = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = VersionedTable.log(dir)
+    def relsOf(v: Long): Seq[String] = {
+      val entry = committed.find(_._1 == v)
+      require(entry.isDefined,
+        s"version $v does not exist (committed: ${committed.map(_._1).mkString(", ")})")
+      manifestOf(dir, v, entry.get._2) match {
+        case Some(rels) => rels
+        case None =>
+          require(fs.exists(vDir(dir, v)), s"version $v of $dir was vacuumed")
+          fs.listStatus(vDir(dir, v)).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(s => f"v=$v%05d/${s.getPath.getName}")
+      }
+    }
+    val relsA  = relsOf(vFrom)
+    val relsB  = relsOf(vTo)
+    val shared = relsA.toSet.intersect(relsB.toSet)
+    def scan(rels: Seq[String]): DataFrame = {
+      val excl = rels.filterNot(shared)
+      val missing = excl.filterNot(rel => fs.exists(new Path(dir, rel)))
+      require(missing.isEmpty,
+        s"diff: data files of $dir were vacuumed (missing: ${missing.take(3).mkString(", ")})")
+      if (excl.nonEmpty)
+        spark.read.parquet(excl.map(rel => new Path(new Path(dir), rel).toString): _*)
+      else {
+        // schema-only touch of one shared file (footer read, no row scan —
+        // limit 0 collapses to an empty LocalRelation before any I/O)
+        require(rels.nonEmpty, s"diff: version has no data files in $dir")
+        spark.read.parquet(new Path(new Path(dir), rels.head).toString).limit(0)
+      }
+    }
+    val a = scan(relsA)
+    val b = scan(relsB)
+    require(keyCols.forall(a.columns.contains) && keyCols.forall(b.columns.contains),
+      s"key columns ${keyCols.mkString(",")} must exist in both versions")
+    (a, b)
   }
 }
