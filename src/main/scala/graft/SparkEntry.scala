@@ -2869,7 +2869,7 @@ object SparkEntry {
       graft.tables.MaterializedAgg.refresh(s, view)
       graft.tables.MaterializedAgg.read(s, view)
         .select(col("c_nationkey"), col("cnt"),
-          col("sum_c_acctbal").cast("decimal(38,2)").as("bal_sum"))
+          col("sum_c_acctbal").cast("double").as("bal_sum"))
         .orderBy("c_nationkey")
     }),
 
@@ -4669,7 +4669,7 @@ object SparkEntry {
       // replayed final source: all keys minus %13, negatives +1000
       ("SELECT c_nationkey, COUNT(*) AS cnt, CAST(SUM(" +
         "CASE WHEN c_acctbal < 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) + 1000 " +
-        "ELSE CAST(c_acctbal AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS bal_sum " +
+        "ELSE CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS bal_sum " +
         "FROM customer WHERE c_custkey % 13 <> 0 " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
 

@@ -19,7 +19,22 @@ import org.apache.spark.sql.types._
   * previous state with one more SUM yields the new state; groups whose
   * count reaches zero vanish. COUNT and SUM are the self-maintainable
   * aggregates under deletes; MIN/MAX are not (a deleted minimum forces a
-  * group re-scan) and are deliberately not offered.
+  * group re-scan) and are maintained HYBRID instead (see below).
+  *
+  * MIN/MAX hybrid maintenance (`minMaxCols`): inserts self-maintain —
+  * `new_min = least(state_min, min(inserted))` — but a retraction has no
+  * inverse, so a group whose retracted values REACH its stored extremum
+  * (`min(deleted) <= state_min` or `max(deleted) >= state_max`) is DIRTY
+  * and its extrema are recomputed by re-scanning ONLY that group's rows at
+  * the current source version (the standard IVM answer: self-maintained on
+  * insert, O(affected groups) rescan on delete). The dirty test and the
+  * clean-path merge ride ONE union-aggregate over (state ∪ change rows) —
+  * no joins, so NULL group keys group correctly — and the rescan pushes an
+  * IN filter on the group columns down to parquet, so with group-clustered
+  * files the untouched groups' data pages are never read (the spec proves
+  * this physically by corrupting them). Retracting a NULL never dirties
+  * (NULL never contributes to MIN/MAX); an all-NULL group stores NULL
+  * extrema natively, no `nn` sidecar needed.
   *
   * Sum columns must be EXACT types (integral or decimal) — refused loudly
   * for float/double, because incremental refresh must reach bit-identical
