@@ -2873,6 +2873,35 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // -- hybrid MIN/MAX maintenance in the materialized aggregate ----------
+    // Inserts self-maintain (least/greatest fold); the delete removes most
+    // nations' minimum balance and the update retracts their maxima (the
+    // -20000 rewrite also plants new global minima), forcing the
+    // O(affected-groups) rescan path. One refresh at the end must equal the
+    // oracle's full recompute over the replayed final source.
+    "q_matview_minmax" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mvmm").toString
+      val src  = root + "/src"
+      val view = root + "/view"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal_dec"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), src)
+      graft.tables.MaterializedAgg.create(s, src, view,
+        Seq("c_custkey"), Seq("c_nationkey"), Seq("bal_dec"), Seq("bal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), src)
+      VersionedTable.commitDelete(s, src, col("bal") < -800.0)
+      VersionedTable.commitUpdate(s, src, col("bal") > 9800.0,
+        Map("bal" -> (col("bal") - 20000.0),
+          "bal_dec" -> (col("bal_dec") - 20000).cast("decimal(18,2)")))
+      graft.tables.MaterializedAgg.refresh(s, view)
+      graft.tables.MaterializedAgg.read(s, view)
+        .select(col("c_nationkey"), col("cnt"),
+          col("sum_bal_dec").cast("double").as("bal_sum"),
+          col("min_bal").as("bal_min"), col("max_bal").as("bal_max"))
+        .orderBy("c_nationkey")
+    }),
+
     // -- key-addressed DELETE (right-to-be-forgotten) ----------------------
     // Partition-scoped anti-rewrite: only the buckets holding doomed keys
     // are read/rewritten/swapped; oracle = the surviving-row filter.
@@ -4672,6 +4701,22 @@ object SparkEntry {
         "ELSE CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS bal_sum " +
         "FROM customer WHERE c_custkey % 13 <> 0 " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "q_matview_minmax" ->
+      // replay: delete bal < -800 first (on original values), then the
+      // -20000 rewrite of bal > 9800 applies to the survivors
+      ("WITH final AS (SELECT c_nationkey, " +
+        "CASE WHEN CAST(c_acctbal AS DOUBLE) > 9800.0 " +
+        "THEN CAST(c_acctbal AS DECIMAL(18,2)) - 20000 " +
+        "ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal_dec, " +
+        "CASE WHEN CAST(c_acctbal AS DOUBLE) > 9800.0 " +
+        "THEN CAST(c_acctbal AS DOUBLE) - 20000.0 " +
+        "ELSE CAST(c_acctbal AS DOUBLE) END AS bal " +
+        "FROM customer WHERE NOT (CAST(c_acctbal AS DOUBLE) < -800.0)) " +
+        "SELECT c_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(bal_dec) AS DOUBLE) AS bal_sum, " +
+        "MIN(bal) AS bal_min, MAX(bal) AS bal_max " +
+        "FROM final GROUP BY c_nationkey ORDER BY c_nationkey"),
 
     "q_versioned_incremental" ->
       // v1 = both appends (the full customer key set, original balances);

@@ -58,7 +58,14 @@ import org.apache.spark.sql.types._
 object MaterializedAgg {
 
   final case class Meta(sourceDir: String, sourceVersion: Long,
-      keyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String])
+      keyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String])
+
+  /** Refuse rescans past this many dirty groups: collecting the dirty key
+    * set to the driver (and broadcasting it back) is the hybrid plan's one
+    * driver-sized structure. A change batch dirtying more groups than this
+    * is a table-rewrite, not an increment — rebuild with [[create]]. */
+  val MaxDirtyGroups = 100000
 
   private def metaDir(viewDir: String) = new Path(viewDir, "_matview")
   private def metaPath(viewDir: String, v: Long) =
@@ -71,7 +78,8 @@ object MaterializedAgg {
       s"sourceDir=${m.sourceDir}\nsourceVersion=${m.sourceVersion}\n" +
         m.keyCols.map(c => s"key=$c\n").mkString +
         m.groupCols.map(c => s"group=$c\n").mkString +
-        m.sumCols.map(c => s"sum=$c\n").mkString)
+        m.sumCols.map(c => s"sum=$c\n").mkString +
+        m.minMaxCols.map(c => s"minmax=$c\n").mkString)
     if (!fs.rename(tmp, metaPath(viewDir, v)))
       sys.error(s"MaterializedAgg: could not publish meta for view version $v in $viewDir")
   }
@@ -83,7 +91,7 @@ object MaterializedAgg {
     def one(k: String)  = lines.find(_.startsWith(s"$k=")).get.stripPrefix(s"$k=")
     def many(k: String) = lines.filter(_.startsWith(s"$k=")).map(_.stripPrefix(s"$k="))
     Meta(one("sourceDir"), one("sourceVersion").toLong,
-      many("key"), many("group"), many("sum"))
+      many("key"), many("group"), many("sum"), many("minmax"))
   }
 
   /** Latest view version that has BOTH a committed state and a published
@@ -115,6 +123,18 @@ object MaterializedAgg {
 
   private def sumColName(c: String) = s"sum_$c"
   private def nnColName(c: String)  = s"nn_$c"
+  private def minColName(c: String) = s"min_$c"
+  private def maxColName(c: String) = s"max_$c"
+
+  /** MIN/MAX columns keep their source type (no arithmetic, so no exactness
+    * constraint) but must be orderable atomics — nested types have no total
+    * order a rescan and a fold would agree on. */
+  private def requireOrderable(c: String, dt: DataType): Unit = dt match {
+    case _: NumericType | _: StringType | _: DateType | _: TimestampType |
+         _: TimestampNTZType | _: BooleanType => ()
+    case other => sys.error(
+      s"MaterializedAgg: min/max column `$c` has non-orderable type $other")
+  }
 
   /** Build the view: full aggregate of the source's latest version,
     * committed as view version 0. Returns the view version. State schema:
@@ -123,6 +143,7 @@ object MaterializedAgg {
     * for an all-null group). */
   def create(spark: SparkSession, sourceDir: String, viewDir: String,
       keyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long = {
     require(groupCols.nonEmpty, "MaterializedAgg: need at least one group column")
     require(keyCols.nonEmpty, "MaterializedAgg: need the source's key columns")
@@ -130,14 +151,22 @@ object MaterializedAgg {
       .getOrElse(sys.error(s"MaterializedAgg: $sourceDir has no committed version"))
     val full  = VersionedTable.read(spark, sourceDir, Some(srcV))
     val types = canonTypes(full, sumCols)
+    minMaxCols.foreach { c =>
+      val f = full.schema.fields.find(_.name == c)
+        .getOrElse(sys.error(s"MaterializedAgg: no column `$c` in the source"))
+      requireOrderable(c, f.dataType)
+    }
     val state = full.groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.flatMap { c =>
+        (sumCols.flatMap { c =>
           Seq(sum(col(s"`$c`").cast(types(c))).cast(types(c)).as(sumColName(c)),
             count(col(s"`$c`")).as(nnColName(c)))
-        }: _*)
+        } ++ minMaxCols.flatMap { c =>
+          Seq(min(col(s"`$c`")).as(minColName(c)),
+            max(col(s"`$c`")).as(maxColName(c)))
+        }): _*)
     val v = VersionedTable.commit(spark, state, viewDir, lockLeaseMs)
-    writeMeta(viewDir, v, Meta(sourceDir, srcV, keyCols, groupCols, sumCols))
+    writeMeta(viewDir, v, Meta(sourceDir, srcV, keyCols, groupCols, sumCols, minMaxCols))
     v
   }
 
@@ -168,7 +197,8 @@ object MaterializedAgg {
       if (srcV == meta.sourceVersion) viewV
       else {
         val ch = VersionedTable.changes(spark, meta.sourceDir,
-          meta.sourceVersion, srcV, meta.keyCols, meta.groupCols ++ meta.sumCols)
+          meta.sourceVersion, srcV, meta.keyCols,
+          (meta.groupCols ++ meta.sumCols ++ meta.minMaxCols).distinct)
         // sum-column types come from the change feed's own schema (`<c>_new`
         // carries the source type) — NOT from a source-table read, whose
         // footer resolution would touch files the feed just pruned (the
@@ -189,20 +219,135 @@ object MaterializedAgg {
                   when(v.isNotNull, sign.toLong).otherwise(0L).as(nnColName(c)))
               }: _*)
         }
-        val state  = VersionedTable.read(spark, viewDir, Some(viewV))
-        val merged = state.unionByName(contrib("old", -1)).unionByName(contrib("new", 1))
-          .groupBy(meta.groupCols.map(c => col(s"`$c`")): _*)
+        val state = VersionedTable.read(spark, viewDir, Some(viewV))
+        val gCols = meta.groupCols.map(c => col(s"`$c`"))
+        val merged = state
+          .select(gCols ++ Seq(col("cnt")) ++ meta.sumCols.flatMap(c =>
+            Seq(col(sumColName(c)), col(nnColName(c)))): _*)
+          .unionByName(contrib("old", -1)).unionByName(contrib("new", 1))
+          .groupBy(gCols: _*)
           .agg(sum(col("cnt")).as("cnt"),
             meta.sumCols.flatMap { c =>
               Seq(sum(col(sumColName(c))).cast(types(c)).as(sumColName(c)),
                 sum(col(nnColName(c))).as(nnColName(c)))
             }: _*)
           .where(col("cnt") > 0)
-        val v = VersionedTable.commit(spark, merged, viewDir, lockLeaseMs)
+        val finalState =
+          if (meta.minMaxCols.isEmpty) merged
+          else foldMinMax(spark, meta, srcV, state, ch, merged)
+        val v = VersionedTable.commit(spark, finalState, viewDir, lockLeaseMs)
         writeMeta(viewDir, v, meta.copy(sourceVersion = srcV))
         v
       }
     }
+
+  /** Hybrid MIN/MAX maintenance (see class doc). One union-aggregate over
+    * (state ∪ old-side change rows ∪ new-side change rows) yields, per
+    * group: the stored extrema (`st_*`), the asserted extrema (`ins_*`) and
+    * the retracted extrema (`del_*`) — no joins, so NULL group keys group
+    * correctly. Clean groups merge as least/greatest; groups whose
+    * retractions reach a stored extremum rescan their own source rows at
+    * `srcV` through a pushed-down IN filter on the group columns. */
+  private def foldMinMax(spark: SparkSession, meta: Meta, srcV: Long,
+      state: DataFrame, ch: DataFrame, merged: DataFrame): DataFrame = {
+    val gCols  = meta.groupCols.map(c => col(s"`$c`"))
+    val mm     = meta.minMaxCols
+    val mmType = mm.map { c =>
+      val f = ch.schema.fields.find(_.name == s"${c}_new")
+        .getOrElse(sys.error(s"MaterializedAgg: change feed lost column `$c`"))
+      c -> f.dataType
+    }.toMap
+    // three legs with identical (group ++ st/ins/del min-max) schemas
+    val stLeg = state.select(gCols ++ mm.flatMap(c => Seq(
+      col(minColName(c)).as(s"st_min_$c"), col(maxColName(c)).as(s"st_max_$c"),
+      lit(null).cast(mmType(c)).as(s"ins_min_$c"), lit(null).cast(mmType(c)).as(s"ins_max_$c"),
+      lit(null).cast(mmType(c)).as(s"del_min_$c"), lit(null).cast(mmType(c)).as(s"del_max_$c"))): _*)
+    def chLeg(side: String, pfx: String) = {
+      val kinds = if (pfx == "ins") Seq("added", "updated") else Seq("removed", "updated")
+      ch.where(col("change_type").isin(kinds: _*)).select(
+        meta.groupCols.map(g => col(s"`${g}_$side`").as(g)) ++ mm.flatMap { c =>
+          val v = col(s"`${c}_$side`")
+          Seq(lit(null).cast(mmType(c)).as(s"st_min_$c"), lit(null).cast(mmType(c)).as(s"st_max_$c"),
+            (if (pfx == "ins") v else lit(null).cast(mmType(c))).as(s"ins_min_$c"),
+            (if (pfx == "ins") v else lit(null).cast(mmType(c))).as(s"ins_max_$c"),
+            (if (pfx == "del") v else lit(null).cast(mmType(c))).as(s"del_min_$c"),
+            (if (pfx == "del") v else lit(null).cast(mmType(c))).as(s"del_max_$c"))
+        }: _*)
+    }
+    val perGroup = stLeg.unionByName(chLeg("new", "ins")).unionByName(chLeg("old", "del"))
+      .groupBy(gCols: _*)
+      .agg(min(col(s"st_min_${mm.head}")).as(s"st_min_${mm.head}"),
+        (Seq(max(col(s"st_max_${mm.head}")).as(s"st_max_${mm.head}"),
+          min(col(s"ins_min_${mm.head}")).as(s"ins_min_${mm.head}"),
+          max(col(s"ins_max_${mm.head}")).as(s"ins_max_${mm.head}"),
+          min(col(s"del_min_${mm.head}")).as(s"del_min_${mm.head}"),
+          max(col(s"del_max_${mm.head}")).as(s"del_max_${mm.head}")) ++
+          mm.tail.flatMap(c => Seq(
+            min(col(s"st_min_$c")).as(s"st_min_$c"), max(col(s"st_max_$c")).as(s"st_max_$c"),
+            min(col(s"ins_min_$c")).as(s"ins_min_$c"), max(col(s"ins_max_$c")).as(s"ins_max_$c"),
+            min(col(s"del_min_$c")).as(s"del_min_$c"), max(col(s"del_max_$c")).as(s"del_max_$c")))): _*)
+      .localCheckpoint(true) // consumed by the dirty collect AND both legs below
+    // dirty iff a retraction reaches a stored extremum; NULL-valued
+    // comparisons (no retraction, or all-NULL retraction) coalesce to clean
+    val dirtyCond = coalesce(mm.map(c =>
+      col(s"del_min_$c") <= col(s"st_min_$c") || col(s"del_max_$c") >= col(s"st_max_$c"))
+      .reduce(_ || _), lit(false))
+    val cleanMm = perGroup.where(!dirtyCond).select(gCols ++ mm.flatMap(c => Seq(
+      least(col(s"st_min_$c"), col(s"ins_min_$c")).as(minColName(c)),
+      greatest(col(s"st_max_$c"), col(s"ins_max_$c")).as(maxColName(c)))): _*)
+    val dirtyKeys = perGroup.where(dirtyCond).select(gCols: _*).collect()
+    val mmState =
+      if (dirtyKeys.isEmpty) cleanMm
+      else {
+        require(dirtyKeys.length <= MaxDirtyGroups,
+          s"MaterializedAgg: ${dirtyKeys.length} dirty groups (> $MaxDirtyGroups) — " +
+            "this change batch rewrote the table; rebuild the view with create()")
+        val src = VersionedTable.read(spark, meta.sourceDir, Some(srcV))
+        // coarse pushed-down prune: per-column IN over the dirty key values
+        // (parquet row-group stats skip untouched groups' pages when the
+        // table is group-clustered), then the exact null-safe membership join
+        val coarse = meta.groupCols.zipWithIndex.map { case (g, i) =>
+          val vs = dirtyKeys.map(_.get(i)).toSeq
+          val nn = vs.filter(_ != null).distinct
+          val in = if (nn.isEmpty) lit(false) else col(s"`$g`").isin(nn: _*)
+          if (vs.exists(_ == null)) in || col(s"`$g`").isNull else in
+        }.reduce(_ && _)
+        val keyDf = spark.createDataFrame(
+          java.util.Arrays.asList(dirtyKeys: _*),
+          StructType(meta.groupCols.map(g =>
+            perGroup.schema.fields.find(_.name == g).get)))
+        val joinCond = meta.groupCols.map(g => src(s"`$g`") <=> keyDf(s"`$g`")).reduce(_ && _)
+        val rescan = src.where(coarse)
+          .join(broadcast(keyDf), joinCond, "left_semi")
+          .groupBy(gCols: _*)
+          .agg(min(col(s"`${mm.head}`")).as(minColName(mm.head)),
+            (max(col(s"`${mm.head}`")).as(maxColName(mm.head)) +:
+              mm.tail.flatMap(c => Seq(min(col(s"`$c`")).as(minColName(c)),
+                max(col(s"`$c`")).as(maxColName(c))))): _*)
+        cleanMm.unionByName(rescan)
+      }
+    // attach extrema to the core fold by one more union-aggregate (again no
+    // join: each group has ≤1 core row and ≤1 mm row, so max() selects the
+    // lone non-NULL); groups present only in mm (vanished, or stale-clean)
+    // carry NULL cnt and drop
+    val coreU = merged.select(gCols ++ Seq(col("cnt")) ++
+      meta.sumCols.flatMap(c => Seq(col(sumColName(c)), col(nnColName(c)))) ++
+      mm.flatMap(c => Seq(lit(null).cast(mmType(c)).as(minColName(c)),
+        lit(null).cast(mmType(c)).as(maxColName(c)))): _*)
+    val sumTypes = meta.sumCols.map(c =>
+      c -> merged.schema.fields.find(_.name == sumColName(c)).get.dataType).toMap
+    val mmU = mmState.select(gCols ++ Seq(lit(null).cast("long").as("cnt")) ++
+      meta.sumCols.flatMap(c => Seq(lit(null).cast(sumTypes(c)).as(sumColName(c)),
+        lit(null).cast("long").as(nnColName(c)))) ++
+      mm.flatMap(c => Seq(col(minColName(c)), col(maxColName(c)))): _*)
+    coreU.unionByName(mmU).groupBy(gCols: _*)
+      .agg(max(col("cnt")).as("cnt"),
+        (meta.sumCols.flatMap(c => Seq(max(col(sumColName(c))).as(sumColName(c)),
+          max(col(nnColName(c))).as(nnColName(c)))) ++
+          mm.flatMap(c => Seq(max(col(minColName(c))).as(minColName(c)),
+            max(col(maxColName(c))).as(maxColName(c))))): _*)
+      .where(col("cnt").isNotNull)
+  }
 
   /** The view's query surface: groupCols, `cnt`, and `sum_<c>` per sum
     * column — with an all-null group's sum reported as NULL (SQL SUM
@@ -215,6 +360,8 @@ object MaterializedAgg {
     val state = VersionedTable.read(spark, viewDir, Some(v))
     state.select(meta.groupCols.map(c => col(s"`$c`")) ++ Seq(col("cnt")) ++
       meta.sumCols.map(c =>
-        when(col(nnColName(c)) > 0, col(sumColName(c))).as(sumColName(c))): _*)
+        when(col(nnColName(c)) > 0, col(sumColName(c))).as(sumColName(c))) ++
+      meta.minMaxCols.flatMap(c =>
+        Seq(col(minColName(c)), col(maxColName(c)))): _*)
   }
 }

@@ -262,11 +262,19 @@ object VersionedTable {
       set: Map[String, org.apache.spark.sql.Column],
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long = {
     require(set.nonEmpty, "commitUpdate: empty SET clause")
+    // ONE withColumns, not a fold of withColumn: SQL UPDATE evaluates every
+    // SET expression (and the WHERE) against the OLD row, so no assignment
+    // may observe another's result — a fold would let a later column's
+    // `when(cond, …)` re-evaluate `cond` against an already-mutated column
+    // (silently skipping the update when the first assignment falsifies it)
     copyOnWrite(spark, dir, cond,
-      df => set.foldLeft(df) { case (d, (c, e)) =>
-        require(d.columns.contains(c), s"commitUpdate: no column `$c` to set")
-        d.withColumn(c, org.apache.spark.sql.functions.when(cond, e)
-          .otherwise(org.apache.spark.sql.functions.col(s"`$c`")))
+      df => {
+        set.keys.foreach(c =>
+          require(df.columns.contains(c), s"commitUpdate: no column `$c` to set"))
+        df.withColumns(set.map { case (c, e) =>
+          c -> org.apache.spark.sql.functions.when(cond, e)
+            .otherwise(org.apache.spark.sql.functions.col(s"`$c`"))
+        })
       },
       "VersionedTable.commitUpdate", lockLeaseMs)
   }

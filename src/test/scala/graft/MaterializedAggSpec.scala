@@ -106,6 +106,110 @@ class MaterializedAggSpec extends SparkSpec {
     assert(stateOf(view) == Set((Some("g1"), 2L, None), (None, 1L, Some(5L))))
   }
 
+  private def mmState(view: String) =
+    MaterializedAgg.read(spark, view).collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+
+  private def mmRecompute(src: String) =
+    VersionedTable.read(spark, src)
+      .groupBy("g").agg(count(lit(1)), sum("x"), min("x"), max("x"))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+
+  test("hybrid MIN/MAX: clean inserts, dirty rescans, group moves, null keys/values ≡ recompute") {
+    import spark.implicits._
+    val (src, view) = dirs()
+    val base = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L), (4L, "g2", 40L))
+      .toDF("k", "g", "x")
+    VersionedTable.commit(spark, base, src)
+    MaterializedAgg.create(spark, src, view, Seq("k"), Seq("g"), Seq("x"), Seq("x"))
+    assert(mmState(view) == Set(
+      (Some("g1"), 2L, Some(30L), Some(10L), Some(20L)),
+      (Some("g2"), 2L, Some(70L), Some(30L), Some(40L))))
+    // CLEAN path: inserts only — g3 new group, g1 gains a new minimum
+    VersionedTable.commitAppend(spark,
+      Seq((5L, "g3", 50L), (6L, "g1", 5L)).toDF("k", "g", "x"), src)
+    MaterializedAgg.refresh(spark, view)
+    assert(mmState(view) == mmRecompute(src))
+    assert(mmState(view).contains((Some("g1"), 3L, Some(35L), Some(5L), Some(20L))))
+    // DIRTY path: delete g1's minimum; update retracts g2's maximum (40→15,
+    // which also becomes g2's new minimum through the same rescan)
+    VersionedTable.commitDelete(spark, src, col("k") === 6L)
+    VersionedTable.commitUpdate(spark, src, col("k") === 4L, Map("x" -> lit(15L)))
+    MaterializedAgg.refresh(spark, view)
+    assert(mmState(view) == mmRecompute(src))
+    assert(mmState(view).contains((Some("g1"), 2L, Some(30L), Some(10L), Some(20L))))
+    assert(mmState(view).contains((Some("g2"), 2L, Some(45L), Some(15L), Some(30L))))
+    // group vanish + group move + NULL value (never dirties, never counts)
+    VersionedTable.commitDelete(spark, src, col("g") === "g3")
+    VersionedTable.commitUpdate(spark, src, col("k") === 3L, Map("g" -> lit("g1")))
+    VersionedTable.commitAppend(spark, Seq((7L, Some("g1"), Option.empty[Long]))
+      .toDF("k", "g", "x"), src)
+    MaterializedAgg.refresh(spark, view)
+    assert(mmState(view) == mmRecompute(src))
+    assert(!mmState(view).exists(_._1.contains("g3")))
+    // NULL group key: its min retracted → dirty rescan through an IS NULL leg
+    VersionedTable.commitAppend(spark,
+      Seq((8L, Option.empty[String], Some(3L)), (9L, Option.empty[String], Some(9L)))
+        .toDF("k", "g", "x"), src)
+    MaterializedAgg.refresh(spark, view)
+    VersionedTable.commitDelete(spark, src, col("k") === 8L)
+    MaterializedAgg.refresh(spark, view)
+    assert(mmState(view) == mmRecompute(src))
+    assert(mmState(view).contains((None, 1L, Some(9L), Some(9L), Some(9L))))
+    // all-NULL group stores NULL extrema
+    VersionedTable.commitAppend(spark, Seq((10L, Some("gn"), Option.empty[Long]))
+      .toDF("k", "g", "x"), src)
+    MaterializedAgg.refresh(spark, view)
+    assert(mmState(view).contains((Some("gn"), 1L, None, None, None)))
+  }
+
+  test("dirty rescan reads ONLY the dirty groups' files: others corrupted, refresh still answers") {
+    val (src, view) = dirs()
+    // 4 whole-group files (range-clustered on g) so parquet row-group stats
+    // discriminate: the rescan's pushed-down IN(g) must skip groups 1-3
+    val base = spark.range(0L, 400L).select(col("id").as("k"),
+      pmod(col("id"), lit(4L)).as("g"), (col("id") * 2).as("x"))
+      .repartitionByRange(4, col("g"))
+    VersionedTable.commitAppend(spark, base, src)
+    MaterializedAgg.create(spark, src, view, Seq("k"), Seq("g"), Seq("x"), Seq("x"))
+    // delete group 0's minimum (k=0, x=0) → rewrites only group 0's file,
+    // dirties only group 0
+    VersionedTable.commitDelete(spark, src, col("k") === 0L)
+    // corrupt the DATA PAGES (row-group byte ranges, from the footer's block
+    // metadata) of every file shared between v0 and v1 — the three files
+    // holding groups 1-3. Footers stay valid, so stats-based skipping still
+    // plans; any actual page read now throws.
+    val logLines = new java.io.File(src, "_log").listFiles().toSeq
+      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      .map(_.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet)
+    val shared = logLines(0).intersect(logLines(1))
+    assert(shared.size == 3, s"expected 3 shared files, got ${shared.size}")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    shared.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(src, rel)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      val blocks = try reader.getFooter.getBlocks finally reader.close()
+      val raf = new java.io.RandomAccessFile(new java.io.File(src, rel), "rw")
+      try blocks.forEach { b =>
+        raf.seek(b.getStartingPos)
+        raf.write(Array.fill[Byte](b.getCompressedSize.toInt)(0x5a))
+      } finally raf.close()
+    }
+    MaterializedAgg.refresh(spark, view)
+    val g0 = mmState(view).find(_._1.contains(0L)).get
+    assert(g0 == (Some(0L), 99L, Some((4L until 400L by 4L).map(_ * 2).sum),
+      Some(8L), Some(792L)), g0.toString)
+    // untouched groups' extrema survive untouched (their files were never read)
+    assert(mmState(view).find(_._1.contains(1L)).get ==
+      (Some(1L), 100L, Some((1L until 400L by 4L).map(_ * 2).sum), Some(2L), Some(794L)))
+    // a full recompute WOULD have to read the corrupted pages
+    intercept[Throwable] { VersionedTable.read(spark, src).agg(min("x")).collect() }
+  }
+
   test("float sum columns are refused loudly; decimal is the suggested path") {
     import spark.implicits._
     val (src, view) = dirs()

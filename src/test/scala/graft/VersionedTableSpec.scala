@@ -305,4 +305,17 @@ class VersionedTableSpec extends SparkSpec {
     // sanity: a full read of either version DOES fail on the corrupted files
     intercept[Throwable] { VersionedTable.read(spark, dir, Some(0L)).count() }
   }
+  test("commitUpdate SET expressions all evaluate against the OLD row (SQL UPDATE semantics)") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commit(spark, Seq((1L, 10L, 100L), (2L, 5L, 200L)).toDF("k", "a", "b"), dir)
+    // swap a and b where a > 7: both assignments must read the pre-update
+    // row, and the second assignment must not observe `a` already swapped
+    // (which would falsify the condition and silently skip `b`)
+    VersionedTable.commitUpdate(spark, dir, col("a") > 7L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 100L, 10L), (2L, 5L, 200L)), rows.toString)
+  }
 }
