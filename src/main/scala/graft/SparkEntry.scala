@@ -2902,6 +2902,30 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // -- STREAMING MATERIALIZED VIEW ---------------------------------------
+    // The Delta "streaming aggregate table" shape: a 4-file customer stream
+    // lands micro-batch by micro-batch in a versioned bronze table (each
+    // append carrying Delta-style (appId, batchId) txn idempotence), and
+    // after every batch the gold aggregate folds forward incrementally —
+    // O(batch) per refresh, the history never re-scanned. Run to
+    // completion, the view must equal the oracle's one-shot recompute.
+    "q_stream_matview" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_smv").toString
+      val src  = root + "/src"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal_dec"),
+        col("c_acctbal").cast("double").as("bal"))
+      c.repartition(4).write.parquet(src)
+      graft.streaming.StreamingMatview.streamMatview(
+        s, src, s.read.parquet(src).schema, root + "/table", root + "/view",
+        Seq("c_custkey"), Seq("c_nationkey"), Seq("bal_dec"), Seq("bal"),
+        root + "/ckpt", maxFilesPerTrigger = 1)
+        .select(col("c_nationkey"), col("cnt"),
+          col("sum_bal_dec").cast("double").as("bal_sum"),
+          col("min_bal").as("bal_min"), col("max_bal").as("bal_max"))
+        .orderBy("c_nationkey")
+    }),
+
     // -- key-addressed DELETE (right-to-be-forgotten) ----------------------
     // Partition-scoped anti-rewrite: only the buckets holding doomed keys
     // are read/rewritten/swapped; oracle = the surviving-row filter.
@@ -4717,6 +4741,14 @@ object SparkEntry {
         "CAST(SUM(bal_dec) AS DOUBLE) AS bal_sum, " +
         "MIN(bal) AS bal_min, MAX(bal) AS bal_max " +
         "FROM final GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "q_stream_matview" ->
+      // the incrementally-folded stream must equal the one-shot recompute
+      ("SELECT c_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum, " +
+        "MIN(CAST(c_acctbal AS DOUBLE)) AS bal_min, " +
+        "MAX(CAST(c_acctbal AS DOUBLE)) AS bal_max " +
+        "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
 
     "q_versioned_incremental" ->
       // v1 = both appends (the full customer key set, original balances);

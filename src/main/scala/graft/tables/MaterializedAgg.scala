@@ -109,6 +109,13 @@ object MaterializedAgg {
     (v, readMeta(viewDir, v))
   }
 
+  /** Whether `viewDir` holds a created materialized view (used by streaming
+    * drivers to decide create-vs-refresh across restarts). */
+  def exists(viewDir: String): Boolean = {
+    val md = metaDir(viewDir)
+    md.getFileSystem(FsIO.hadoopConf()).exists(md)
+  }
+
   /** Canonical stored type for a sum column: decimals widen to the
     * precision-38 cap (so the stored type never creeps across refreshes);
     * integrals store as long. Floats are refused — see class doc. */

@@ -72,17 +72,41 @@ object VersionedTable {
       else Some(lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")))
     }
 
-  /** Stage the commit entry (with optional manifest lines) and rename it
-    * into the log — the atomic commit point for both flavors. */
+  /** Stage the commit entry (with optional manifest lines and optional
+    * idempotent-transaction marker) and rename it into the log — the atomic
+    * commit point for both flavors. The txn marker riding IN the commit
+    * entry (not a sidecar) is what makes [[commitAppend]]'s replay check
+    * transactional: the data and the "this batch landed" fact become
+    * visible in one rename, so no crash window can separate them. */
   private def publishEntry(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      v: Long, rels: Option[Seq[String]]): Unit = {
+      v: Long, rels: Option[Seq[String]], txn: Option[(String, Long)] = None): Unit = {
     val ms       = System.currentTimeMillis()
     val entryTmp = new Path(logDir(dir), f"$v%05d-$ms%d.commit.tmp")
     FsIO.writeText(entryTmp.toString,
-      s"commitMs=$ms\n" + rels.map(rs =>
-        "kind=manifest\n" + rs.map(r => s"file=$r\n").mkString).getOrElse(""))
+      s"commitMs=$ms\n" +
+        txn.map { case (app, tv) => s"txnApp=$app\ntxnVersion=$tv\n" }.getOrElse("") +
+        rels.map(rs =>
+          "kind=manifest\n" + rs.map(r => s"file=$r\n").mkString).getOrElse(""))
     if (!fs.rename(entryTmp, commitEntry(dir, v, ms)))
       sys.error(s"VersionedTable: could not commit log entry $v in $dir")
+  }
+
+  /** Highest `txnVersion` ever committed for `appId` (Delta's
+    * `txnAppId`/`txnVersion` idempotence device). Scans commit entries
+    * newest-first and stops at the first match — streaming writers commit
+    * monotonically increasing txn versions, so the newest match IS the
+    * maximum. O(versions) small reads in the worst case; vacuum keeps the
+    * log, so the marker survives data retention. */
+  def lastTxnVersion(dir: String, appId: String): Option[Long] = {
+    val entries = log(dir).reverse
+    entries.iterator.flatMap { case (v, ms) =>
+      FsIO.readText(commitEntry(dir, v, ms).toString).toSeq.flatMap { body =>
+        val lines = body.split("\n")
+        if (lines.contains(s"txnApp=$appId"))
+          lines.find(_.startsWith("txnVersion=")).map(_.stripPrefix("txnVersion=").toLong)
+        else None
+      }
+    }.nextOption()
   }
 
   /** Relative data files of a committed version — manifest lines for an
@@ -197,20 +221,35 @@ object VersionedTable {
   /** Commit `df` as the next version by APPENDING: the new version's
     * manifest = the previous version's files (shared in place, never
     * copied) + files holding only `df`'s rows. O(appended-rows) write cost
-    * regardless of table size. Works on top of either commit flavor. */
+    * regardless of table size. Works on top of either commit flavor.
+    *
+    * `txn = Some((appId, txnVersion))` makes the append IDEMPOTENT per
+    * (appId, txnVersion): if a commit for `appId` with an equal-or-higher
+    * txn version already landed, the append is skipped and the current
+    * latest version returned. The check runs inside the write lease and the
+    * marker rides in the commit entry itself, so a foreachBatch replay
+    * after a crash (batch ran, checkpoint didn't commit) cannot double the
+    * rows — the exactly-once contract streaming writers rely on. */
   def commitAppend(spark: SparkSession, df: DataFrame, dir: String,
-      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      txn: Option[(String, Long)] = None): Long =
     FsIO.withWriteLock(dir, "VersionedTable.commitAppend", lockLeaseMs) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val committed = VersionedTable.log(dir)
-      val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-        listVersionDirs(fs, dir)).max: Long) + 1
-      val prevRels = committed.lastOption
-        .map { case (v, ms) => relsOfVersion(fs, dir, v, ms) }
-        .getOrElse(Seq.empty)
-      val newRels = stageDataFiles(fs, dir, df, next)
-      publishEntry(fs, dir, next, Some(prevRels ++ newRels))
-      next
+      val replayed = txn.flatMap { case (app, tv) =>
+        lastTxnVersion(dir, app).filter(_ >= tv) }
+      if (replayed.isDefined) latestVersion(dir).getOrElse(
+        sys.error(s"VersionedTable.commitAppend: txn marker without a committed version in $dir"))
+      else {
+        val committed = VersionedTable.log(dir)
+        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+          listVersionDirs(fs, dir)).max: Long) + 1
+        val prevRels = committed.lastOption
+          .map { case (v, ms) => relsOfVersion(fs, dir, v, ms) }
+          .getOrElse(Seq.empty)
+        val newRels = stageDataFiles(fs, dir, df, next)
+        publishEntry(fs, dir, next, Some(prevRels ++ newRels), txn)
+        next
+      }
     }
 
   /** File-level copy-on-write core for update/delete: files with no row
