@@ -1135,11 +1135,30 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // -- north-star: LSH-bucketed approximate nearest neighbors -----------
+    // Gated like q_knn_join_ivf_learned: the LSH result is rows-only by
+    // contract (hash-family-specific candidates), so the query computes the
+    // exact top-k IN-QUERY and fails itself if recall drops below 0.7 —
+    // an LSH-parameter regression (bits/bands/seed) trips the driver gate
+    // instead of shipping a silently-degraded index. Adding the gate
+    // exposed that the old radius-4 default had recall 0.10 on these
+    // fixtures: near-random embeddings (the ANN worst case) put even true
+    // top-20 neighbors at cosine ~0.4, where a 16-bit SRP signature
+    // disagrees on ~6 bits in expectation. Radius 8 measures recall
+    // 0.80/0.85/1.0 at sf0.001/0.01/0.1 (deterministic: fixed seed + fixed
+    // fixtures); a real clustered corpus runs a tighter radius cheaper.
     "q_similarity_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q   = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      Similarity.annLshTopK(emb, "embedding", "vec_id", q, k = 20)
+      val ann = Similarity.annLshTopK(emb, "embedding", "vec_id", q, k = 20,
+        maxHamming = 8)
+      val annIds   = ann.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exactIds = Similarity.cosineTopK(emb, "embedding", "vec_id", q, k = 20)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = annIds.intersect(exactIds).size.toDouble / math.max(exactIds.size, 1)
+      require(recall >= 0.7,
+        f"ANN LSH recall $recall%.3f < 0.7 vs exact top-20 — LSH parameters regressed")
+      ann
     }),
 
     // -- north-star: embedding-cosine near-dup pairs (LSH-blocked) --------
