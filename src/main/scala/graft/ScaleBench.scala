@@ -284,6 +284,34 @@ object ScaleBench {
         ("l_partkey", lit(100L), lit(400L))))
     }),
 
+    // IVM refresh claim: with the table range-clustered on the key and a
+    // FIXED change batch (copy-0 keys %97 — constant count and constant
+    // touched-file set at every F), refresh cost must be O(batch)+O(groups)
+    // — flat while the table grows ∝F. Build (O(table): append + full
+    // create aggregate + the localized delete) is measured separately so
+    // the refresh row isolates the fold itself.
+    "matview_build" -> ((s, d, f) => {
+      val work = s"$d/matview"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(work), true)
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .repartitionByRange(4 * f, col("o_orderkey"))
+      tables.VersionedTable.commitAppend(s, o, s"$work/src")
+      tables.MaterializedAgg.create(s, s"$work/src", s"$work/view",
+        Seq("o_orderkey"), Seq("o_orderpriority"), Seq("price"))
+      tables.VersionedTable.commitDelete(s, s"$work/src",
+        col("o_orderkey") < OrderStride && col("o_orderkey") % 97 === 0)
+      tables.MaterializedAgg.read(s, s"$work/view")
+    }),
+
+    "matview_refresh" -> ((s, d, _) => {
+      val work = s"$d/matview"
+      tables.MaterializedAgg.refresh(s, s"$work/view")
+      tables.MaterializedAgg.read(s, s"$work/view")
+    }),
+
     // trigger SIZE ∝ F (constant trigger count): per-byte streaming cost
     "stream_near_dedup" -> ((s, d, f) => {
       val work   = java.nio.file.Files.createTempDirectory("graft_scale_snd").toString
@@ -361,7 +389,8 @@ object ScaleBench {
         }
     }
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALING_RAW.jsonl"), results.toString.getBytes("UTF-8"))
+      java.nio.file.Paths.get("SCALING_RAW.jsonl"), results.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[scale] dump failed: ${e.getMessage}") }
     spark.stop()
   }

@@ -91,8 +91,11 @@ object FsIO {
         if (scheme == null || scheme == "file") {
           // POSIX O_CREAT|O_EXCL: the kernel arbitrates — exactly one
           // process creates. Body written after the create; the empty-body
-          // window reads as LIVE below, never as stale.
+          // window reads as LIVE below, never as stale. The parent dir is
+          // created first: a first write into a fresh table path must not
+          // have its NoSuchFileException read as "another writer".
           val nio = java.nio.file.Paths.get(lock.toUri.getPath)
+          if (nio.getParent != null) java.nio.file.Files.createDirectories(nio.getParent)
           try java.nio.file.Files.createFile(nio)
           catch { case _: java.nio.file.FileAlreadyExistsException => return false }
           java.nio.file.Files.write(nio, body)

@@ -79,17 +79,28 @@ object VersionedTable {
     * transactional: the data and the "this batch landed" fact become
     * visible in one rename, so no crash window can separate them. */
   private def publishEntry(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      v: Long, rels: Option[Seq[String]], txn: Option[(String, Long)] = None): Unit = {
+      v: Long, rels: Option[Seq[String]], txn: Option[(String, Long)] = None,
+      dataChange: Boolean = true): Unit = {
     val ms       = System.currentTimeMillis()
     val entryTmp = new Path(logDir(dir), f"$v%05d-$ms%d.commit.tmp")
     FsIO.writeText(entryTmp.toString,
       s"commitMs=$ms\n" +
+        (if (dataChange) "" else "dataChange=false\n") +
         txn.map { case (app, tv) => s"txnApp=$app\ntxnVersion=$tv\n" }.getOrElse("") +
         rels.map(rs =>
           "kind=manifest\n" + rs.map(r => s"file=$r\n").mkString).getOrElse(""))
     if (!fs.rename(entryTmp, commitEntry(dir, v, ms)))
       sys.error(s"VersionedTable: could not commit log entry $v in $dir")
   }
+
+  /** Whether version `v` was committed with `dataChange=false` (a pure
+    * re-layout: identical rows, different files). Only [[commitCompact]]
+    * writes the flag, and it rewrites the previous version's rows verbatim
+    * inside the commit lease — that invariant is what lets [[changes]]
+    * skip the step wholesale. */
+  private def isNoDataChange(dir: String, v: Long, ms: Long): Boolean =
+    FsIO.readText(commitEntry(dir, v, ms).toString)
+      .exists(_.split("\n").contains("dataChange=false"))
 
   /** Highest `txnVersion` ever committed for `appId` (Delta's
     * `txnAppId`/`txnVersion` idempotence device). Scans commit entries
