@@ -2921,6 +2921,31 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // -- OPTIMIZE on a versioned table (dataChange=false) ------------------
+    // Two fragmented appends compact into 4 key-clustered files, then a
+    // real delete lands on top. The latest read must equal the plain
+    // filter (compaction is a pure re-layout), the manifest must hit the
+    // target file count, and the change feed across the whole span must
+    // contain ZERO rows from the compaction step — all asserted in-query.
+    "q_versioned_compact" -> ((s, d) => {
+      val src = java.nio.file.Files.createTempDirectory("graft_vc").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .repartition(6), src)
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L)
+        .repartition(6), src)
+      val vc = VersionedTable.commitCompact(s, src, targetFiles = 4,
+        clusterBy = Seq("c_custkey"))
+      val vd = VersionedTable.commitDelete(s, src, pmod(col("c_custkey"), lit(7L)) === 0L)
+      val feed = VersionedTable.changes(s, src, 0L, vd,
+        Seq("c_custkey"), Seq("bal"))
+      require(feed.where(col("version") === vc).count() == 0L,
+        "change feed must skip the dataChange=false compaction step")
+      VersionedTable.read(s, src).select("c_custkey", "c_name", "bal")
+        .orderBy("c_custkey")
+    }),
+
     // -- STREAMING MATERIALIZED VIEW ---------------------------------------
     // The Delta "streaming aggregate table" shape: a 4-file customer stream
     // lands micro-batch by micro-batch in a versioned bronze table (each
@@ -4760,6 +4785,11 @@ object SparkEntry {
         "CAST(SUM(bal_dec) AS DOUBLE) AS bal_sum, " +
         "MIN(bal) AS bal_min, MAX(bal) AS bal_max " +
         "FROM final GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "q_versioned_compact" ->
+      // compaction is a pure re-layout: the final read is the plain filter
+      ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal " +
+        "FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"),
 
     "q_stream_matview" ->
       // the incrementally-folded stream must equal the one-shot recompute

@@ -336,6 +336,53 @@ object VersionedTable {
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
     copyOnWrite(spark, dir, cond, _.where(!cond), "VersionedTable.commitDelete", lockLeaseMs)
 
+  /** OPTIMIZE for a versioned table: rewrite the latest version's rows
+    * verbatim into `targetFiles` files and commit the new layout as the
+    * next version, marked `dataChange=false`. An incremental table
+    * accumulates one file set per append (a streaming source commits one
+    * per micro-batch) — without compaction, reads degrade to
+    * O(small files) opens. The flag is the Delta OPTIMIZE contract: the
+    * rows are identical by construction, so [[changes]] skips the step
+    * wholesale and incremental consumers (a [[MaterializedAgg]] refresh
+    * spanning the compaction) stay O(changed files) instead of seeing
+    * every row leave the old files and re-enter the new ones. [[diff]]
+    * across a compaction stays CORRECT but loses shared-file pruning for
+    * that pair (no files are shared); step through [[changes]] instead.
+    *
+    * `clusterBy` range-clusters while rewriting (sorted within files), so
+    * per-file stats regain the selectivity append fragmentation lost —
+    * the matview dirty-group rescan and parquet row-group skipping both
+    * feed on exactly that clustering. Old versions still read their old
+    * files; [[vacuum]] reclaims them once out of retention. */
+  def commitCompact(spark: SparkSession, dir: String, targetFiles: Int,
+      clusterBy: Seq[String] = Seq.empty,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long = {
+    require(targetFiles >= 1, s"commitCompact: targetFiles must be >= 1, got $targetFiles")
+    FsIO.withWriteLock(dir, "VersionedTable.commitCompact", lockLeaseMs) {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = VersionedTable.log(dir)
+      require(committed.nonEmpty, s"commitCompact: $dir has no committed version")
+      val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+        listVersionDirs(fs, dir)).max: Long) + 1
+      val (pv, pms) = committed.last
+      val rels = relsOfVersion(fs, dir, pv, pms)
+      val full = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+      val laid =
+        if (clusterBy.isEmpty) full.repartition(targetFiles)
+        else full.repartitionByRange(targetFiles,
+            clusterBy.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
+          .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+      val newRels = stageDataFiles(fs, dir, laid, next)
+      // an empty table compacts to an empty manifest only if the previous
+      // manifest was empty too — otherwise guarantee one schema-bearing file
+      val staged =
+        if (newRels.nonEmpty || rels.isEmpty) newRels
+        else stageDataFiles(fs, dir, laid.coalesce(1), next)
+      publishEntry(fs, dir, next, Some(staged), dataChange = false)
+      next
+    }
+  }
+
   /** Read a table version — the latest by default, or a pinned one (time
     * travel). The returned plan reads exactly one immutable `v=<n>`
     * directory: later commits and vacuums of OTHER versions never touch
@@ -467,7 +514,7 @@ object VersionedTable {
     import org.apache.spark.sql.functions._
     require(vFrom <= vTo, s"changes: vFrom $vFrom > vTo $vTo")
     require(valueCols.nonEmpty, "changes: need at least one value column")
-    val steps = (vFrom until vTo).map { v =>
+    def stepDf(v: Long): DataFrame = {
       val (a, b) = prunedScans(spark, dir, v, v + 1, keyCols)
       require(valueCols.forall(a.columns.contains) && valueCols.forall(b.columns.contains),
         s"value columns ${valueCols.mkString(",")} must exist in versions $v and ${v + 1}")
@@ -480,7 +527,15 @@ object VersionedTable {
             valueCols.flatMap(c => Seq(
               col(s"a.`$c`").as(s"${c}_old"), col(s"b.`$c`").as(s"${c}_new"))): _*)
     }
-    steps.reduceOption(_.unionByName(_))
+    // dataChange=false steps (compactions) carry identical rows in new
+    // files: comparing them would read the ENTIRE table to report nothing —
+    // skip the step wholesale (the [[commitCompact]] contract)
+    val entryMs = VersionedTable.log(dir).toMap
+    val live = (vFrom until vTo).filterNot { v =>
+      entryMs.get(v + 1).exists(ms => isNoDataChange(dir, v + 1, ms)) }
+    if (live.isEmpty && vFrom < vTo)
+      stepDf(vTo - 1).limit(0) // compaction-only span: EMPTY feed, right schema
+    else live.map(stepDf).reduceOption(_.unionByName(_))
       .getOrElse(sys.error(s"changes: empty span ($vFrom, $vFrom] has no steps"))
   }
 

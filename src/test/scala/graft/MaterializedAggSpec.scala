@@ -210,6 +210,23 @@ class MaterializedAggSpec extends SparkSpec {
     intercept[Throwable] { VersionedTable.read(spark, src).agg(min("x")).collect() }
   }
 
+  test("refresh across a compaction: dataChange=false step skipped, state ≡ recompute") {
+    import spark.implicits._
+    val (src, view) = dirs()
+    val base = spark.range(0L, 300L).select(col("id").as("k"),
+      pmod(col("id"), lit(3L)).as("g"), col("id").as("x")).repartition(6)
+    VersionedTable.commitAppend(spark, base, src)
+    MaterializedAgg.create(spark, src, view, Seq("k"), Seq("g"), Seq("x"), Seq("x"))
+    // the table compacts (pure re-layout) and then takes a real update;
+    // the refresh must fold ONLY the update — a feed that compared the
+    // old layout against the new would retract and re-assert all 300 rows
+    VersionedTable.commitCompact(spark, src, targetFiles = 2, clusterBy = Seq("k"))
+    VersionedTable.commitUpdate(spark, src, col("k") === 5L, Map("x" -> lit(1000L)))
+    MaterializedAgg.refresh(spark, view)
+    assert(mmState(view) == mmRecompute(src))
+    assert(mmState(view).find(_._1.contains(2L)).get._4 == Some(2L)) // g2 min untouched
+  }
+
   test("float sum columns are refused loudly; decimal is the suggested path") {
     import spark.implicits._
     val (src, view) = dirs()

@@ -318,4 +318,48 @@ class VersionedTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows == Set((1L, 100L, 10L), (2L, 5L, 200L)), rows.toString)
   }
+
+  test("commitCompact: dataChange=false re-layout — identical rows, changes() skips the step") {
+    import spark.implicits._
+    val dir = dirOf()
+    def manifests() = new java.io.File(dir, "_log").listFiles().toSeq
+      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      .map(_.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet)
+    // three appends -> fragmented manifest
+    (0 until 3).foreach { i =>
+      VersionedTable.commitAppend(spark,
+        spark.range(i * 100L, (i + 1) * 100L).select(col("id").as("k"), (col("id") * 2).as("x"))
+          .repartition(3), dir)
+    }
+    assert(manifests().last.size == 9)
+    val before = VersionedTable.read(spark, dir).collect().map(_.toSeq).toSet
+    val vc = VersionedTable.commitCompact(spark, dir, targetFiles = 2, clusterBy = Seq("k"))
+    assert(manifests().last.size == 2, "compaction must hit the target file count")
+    assert(VersionedTable.read(spark, dir).collect().map(_.toSeq).toSet == before)
+    // the compaction-only span is an EMPTY feed with the right schema
+    val feed0 = VersionedTable.changes(spark, dir, vc - 1, vc, Seq("k"), Seq("x"))
+    assert(feed0.columns.toSeq == Seq("k", "version", "change_type", "x_old", "x_new"))
+    assert(feed0.count() == 0L)
+    // an update after the compaction: the full-span feed sees appends +
+    // update, NOTHING from the re-layout
+    val vu = VersionedTable.commitUpdate(spark, dir, col("k") === 7L, Map("x" -> lit(999L)))
+    val feed = VersionedTable.changes(spark, dir, 0L, vu, Seq("k"), Seq("x"))
+    assert(feed.where(col("version") === vc).count() == 0L)
+    assert(feed.where(col("change_type") === "updated").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq == Seq((7L, 14L, 999L)))
+    assert(feed.count() == 201L) // (0, vu] spans appends v1+v2 and the update
+    // O(changed files) ACROSS the compaction, proven physically: corrupt
+    // the compacted file NOT rewritten by the update; the feed still
+    // answers (the skipped step never compares old vs new layout, and the
+    // update step prunes the shared file), while a full read fails
+    val ms = manifests()
+    val shared = ms(3).intersect(ms(4))
+    assert(shared.size == 1, s"expected 1 shared compacted file, got ${shared.size}")
+    shared.foreach { rel =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, rel), Array.fill[Byte](64)(0x5a))
+    }
+    assert(VersionedTable.changes(spark, dir, 0L, vu, Seq("k"), Seq("x")).count() == 201L)
+    intercept[Throwable] { VersionedTable.read(spark, dir).count() }
+  }
 }
