@@ -2921,6 +2921,26 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // -- MERGE INTO a versioned table --------------------------------------
+    // One source batch carrying both updates (+100 on %3 keys, covering
+    // only the balance column — the name must survive untouched) and
+    // inserts (shifted keys, no name column — must land NULL). Whole-row
+    // Delta MERGE semantics, file-grain copy-on-write on a key-clustered
+    // table; the oracle replays the merge as CASE + UNION ALL.
+    "q_versioned_merge" -> ((s, d) => {
+      val src = java.nio.file.Files.createTempDirectory("graft_vm").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), src)
+      val batch = c.where(pmod(col("c_custkey"), lit(3L)) === 0L)
+          .select(col("c_custkey"), (col("bal") + 100.0).as("bal"))
+        .unionByName(c.where(pmod(col("c_custkey"), lit(11L)) === 0L)
+          .select((col("c_custkey") + 3000000L).as("c_custkey"), col("bal")))
+      VersionedTable.commitMerge(s, src, batch, Seq("c_custkey"))
+      VersionedTable.read(s, src).select("c_custkey", "c_name", "bal")
+        .orderBy("c_custkey")
+    }),
+
     // -- OPTIMIZE on a versioned table (dataChange=false) ------------------
     // Two fragmented appends compact into 4 key-clustered files, then a
     // real delete lands on top. The latest read must equal the plain
@@ -4785,6 +4805,17 @@ object SparkEntry {
         "CAST(SUM(bal_dec) AS DOUBLE) AS bal_sum, " +
         "MIN(bal) AS bal_min, MAX(bal) AS bal_max " +
         "FROM final GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "q_versioned_merge" ->
+      // updates keep uncovered columns; inserts fill them with NULL
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, c_name, " +
+        "CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 " +
+        "ELSE c_acctbal END AS DOUBLE) AS bal FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey + 3000000 AS c_custkey, CAST(NULL AS VARCHAR) AS c_name, " +
+        "CAST(c_acctbal AS DOUBLE) AS bal FROM customer WHERE c_custkey % 11 = 0" +
+        ") ORDER BY c_custkey"),
 
     "q_versioned_compact" ->
       // compaction is a pure re-layout: the final read is the plain filter

@@ -336,6 +336,84 @@ object VersionedTable {
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
     copyOnWrite(spark, dir, cond, _.where(!cond), "VersionedTable.commitDelete", lockLeaseMs)
 
+  /** Past this many distinct source keys, the merge probe stops collecting
+    * keys for pushed-down file pruning and falls back to a keys-only scan
+    * join (column pruning still reads just the key columns). */
+  val MaxMergeProbeKeys = 100000
+
+  /** MERGE INTO (Delta semantics, whole-row): source rows matching a target
+    * key UPDATE that row's source-covered columns; unmatched source rows
+    * INSERT (missing columns null). Copy-on-write at file grain: only files
+    * holding a matching row are rewritten — with a driver-sized source key
+    * set the probe pushes an IN filter down to parquet, so a key-clustered
+    * table never opens untouched files' pages (past [[MaxMergeProbeKeys]]
+    * the probe degrades to a keys-only column scan, loudly linear in table
+    * KEY bytes, never full rows). Source key uniqueness is enforced by
+    * [[TableManager.mergeUpsert]]'s in-plan tripwire. `txn` gives the same
+    * replay idempotence as [[commitAppend]] — the streaming CDC upsert
+    * contract. The source is eagerly checkpointed: the probe and the merge
+    * must see the same rows even if the source plan is nondeterministic. */
+  def commitMerge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String],
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "commitMerge: need at least one key column")
+    FsIO.withWriteLock(dir, "VersionedTable.commitMerge", lockLeaseMs) {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val replayed = txn.flatMap { case (app, tv) =>
+        lastTxnVersion(dir, app).filter(_ >= tv) }
+      if (replayed.isDefined) latestVersion(dir).getOrElse(
+        sys.error(s"VersionedTable.commitMerge: txn marker without a committed version in $dir"))
+      else {
+        val committed = VersionedTable.log(dir)
+        require(committed.nonEmpty, s"commitMerge: $dir has no committed version")
+        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+          listVersionDirs(fs, dir)).max: Long) + 1
+        val (pv, pms) = committed.last
+        val rels = relsOfVersion(fs, dir, pv, pms)
+        def absPathOf(rel: String) = new Path(new Path(dir), rel).toUri.getPath
+        val full   = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+        val srcChk = source.localCheckpoint(true)
+        val keyDf  = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
+        val nKeys  = keyDf.count()
+        val touchedAbs: Set[String] = (
+          if (nKeys <= MaxMergeProbeKeys) {
+            val keys = keyDf.collect()
+            val coarse = keyCols.zipWithIndex.map { case (k, i) =>
+              val vs = keys.map(_.get(i)).toSeq
+              val nn = vs.filter(_ != null).distinct
+              val in = if (nn.isEmpty) lit(false) else col(s"`$k`").isin(nn: _*)
+              if (vs.exists(_ == null)) in || col(s"`$k`").isNull else in
+            }.reduce(_ && _)
+            val keyLit = spark.createDataFrame(
+              java.util.Arrays.asList(keys: _*),
+              org.apache.spark.sql.types.StructType(keyCols.map(k => keyDf.schema(k))))
+            full.where(coarse)
+              .join(broadcast(keyLit),
+                keyCols.map(k => full(s"`$k`") <=> keyLit(s"`$k`")).reduce(_ && _), "left_semi")
+              .select(input_file_name()).distinct().collect()
+          } else {
+            full.as("t").join(keyDf.as("s"),
+                keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_semi")
+              .select(input_file_name()).distinct().collect()
+          }
+        ).map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+        val (touched, untouched) = rels.partition(rel => touchedAbs.contains(absPathOf(rel)))
+        val targetDf =
+          if (touched.isEmpty) full.limit(0)
+          else spark.read.parquet(touched.map(rel => new Path(new Path(dir), rel).toString): _*)
+        val merged = TableManager.mergeUpsert(targetDf, srcChk, keyCols)
+        val staged = stageDataFiles(fs, dir, merged, next)
+        val manifest =
+          if (staged.nonEmpty || untouched.nonEmpty) untouched ++ staged
+          else stageDataFiles(fs, dir, merged.coalesce(1), next)
+        publishEntry(fs, dir, next, Some(manifest), txn)
+        next
+      }
+    }
+  }
+
   /** OPTIMIZE for a versioned table: rewrite the latest version's rows
     * verbatim into `targetFiles` files and commit the new layout as the
     * next version, marked `dataChange=false`. An incremental table

@@ -362,4 +362,60 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.changes(spark, dir, 0L, vu, Seq("k"), Seq("x")).count() == 201L)
     intercept[Throwable] { VersionedTable.read(spark, dir).count() }
   }
+
+  test("commitMerge: updates + inserts at file grain; untouched files never opened; txn replay skips") {
+    import spark.implicits._
+    val dir = dirOf()
+    // key-clustered layout so the pushed-down probe can prune files
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 400L).select(col("id").as("k"), (col("id") * 2).as("x"),
+        lit("base").as("tag")).repartitionByRange(4, col("k")), dir)
+    def manifests() = new java.io.File(dir, "_log").listFiles().toSeq
+      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      .map(_.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet)
+    // corrupt the files that hold NO source key (k 10..19 live in file 0):
+    // the probe and the rewrite must both skip them
+    val src = Seq((10L, 1000L), (15L, 1500L), (450L, 4500L)).toDF("k", "x")
+    val before = manifests().last
+    val keep = VersionedTable.read(spark, dir).where(col("k") < 100)
+      .select(input_file_name()).distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+    // corrupt DATA PAGES only (row-group byte ranges from the footer):
+    // schema resolution may read any file's FOOTER — that is metadata, not
+    // row I/O — but no untouched file's pages may be decoded
+    val hconf = spark.sparkContext.hadoopConfiguration
+    before.filterNot(rel => keep.contains(new java.io.File(dir, rel).getAbsolutePath)).foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(dir, rel)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      val blocks = try reader.getFooter.getBlocks finally reader.close()
+      val raf = new java.io.RandomAccessFile(new java.io.File(dir, rel), "rw")
+      try blocks.forEach { b =>
+        raf.seek(b.getStartingPos)
+        raf.write(Array.fill[Byte](b.getCompressedSize.toInt)(0x5a))
+      } finally raf.close()
+    }
+    val app = "merge-test"
+    val v1 = VersionedTable.commitMerge(spark, dir, src, Seq("k"), txn = Some((app, 1L)))
+    // shared: the 3 untouched (corrupted) files carry over into the manifest
+    assert(manifests().last.intersect(before).size == 3,
+      s"expected 3 shared files, got ${manifests().last.intersect(before).size}")
+    // replay with the same txn: skipped entirely
+    assert(VersionedTable.commitMerge(spark, dir, src, Seq("k"), txn = Some((app, 1L))) == v1)
+    assert(manifests().size == 2)
+    // verify merged content through the SURVIVING file only
+    val f0 = spark.read.parquet(
+      manifests().last.diff(before).map(rel => s"$dir/$rel").toSeq: _*)
+    val rows = f0.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(rows(10L) == (1000L, "base")) // update keeps uncovered column
+    assert(rows(15L) == (1500L, "base"))
+    assert(rows(450L) == (4500L, null))  // insert fills missing column with null
+    assert(f0.count() == 101L)           // file 0's 100 rows + 1 insert
+    // duplicate source keys trip the in-plan guard
+    intercept[Throwable] {
+      VersionedTable.commitMerge(spark, dir,
+        Seq((7L, 1L), (7L, 2L)).toDF("k", "x"), Seq("k"))
+    }
+  }
 }
