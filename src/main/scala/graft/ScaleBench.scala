@@ -312,6 +312,40 @@ object ScaleBench {
       tables.MaterializedAgg.read(s, s"$work/view")
     }),
 
+    // hybrid MIN/MAX rescan claim: deleting ONE group's minimum dirties
+    // only that group, and the rescan's pushed-down IN(g) reads only its
+    // rows — flat while the table grows ∝F (groups grow ∝F at FIXED
+    // ~2.4k-row size, so per-group work is constant; the O(groups) state
+    // merge is the only ∝F term and it is ~62F skinny rows). Build pays
+    // O(table); the rescan row isolates the dirty rescan + fold.
+    "matview_minmax_build" -> ((s, d, f) => {
+      val work = s"$d/matview_mm"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(work), true)
+      // g is monotone in the cluster key → group-contiguous files → the
+      // rescan's group filter prunes at file/row-group grain. Divisor
+      // 2441 slices each copy's ~150k dense keys into ~62 fixed-size
+      // groups (copies shift by OrderStride, keeping g disjoint per copy)
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+          (col("o_orderkey") / lit(2441L)).cast("long").as("g"),
+          col("o_totalprice").cast("double").as("price"))
+        .repartitionByRange(4 * f, col("o_orderkey"))
+      tables.VersionedTable.commitAppend(s, o, s"$work/src")
+      tables.MaterializedAgg.create(s, s"$work/src", s"$work/view",
+        Seq("o_orderkey"), Seq("g"), Seq.empty, Seq("price"))
+      // remove group 0's cheapest orders: retracts its stored minimum
+      tables.VersionedTable.commitDelete(s, s"$work/src",
+        col("g") === 0L && col("price") < 5000.0)
+      tables.MaterializedAgg.read(s, s"$work/view")
+    }),
+
+    "matview_minmax_rescan" -> ((s, d, _) => {
+      val work = s"$d/matview_mm"
+      tables.MaterializedAgg.refresh(s, s"$work/view")
+      tables.MaterializedAgg.read(s, s"$work/view")
+    }),
+
     // trigger SIZE ∝ F (constant trigger count): per-byte streaming cost
     "stream_near_dedup" -> ((s, d, f) => {
       val work   = java.nio.file.Files.createTempDirectory("graft_scale_snd").toString

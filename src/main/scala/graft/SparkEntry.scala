@@ -2921,6 +2921,33 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // -- CDC bronze→silver replication through the change feed -------------
+    // The medallion shape: a consumer with a durable offset bootstraps from
+    // a snapshot, then applies each unseen span (update + delete + append,
+    // with a compaction the feed must skip) to the silver mirror via
+    // txn-marked MERGE/DELETE — exactly-once end to end. Two polls run; the
+    // final silver must equal the oracle's replay of bronze's latest state.
+    "q_cdc_replicate" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val (bronze, silver) = (root + "/bronze", root + "/silver")
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), bronze)
+      def poll() = graft.tables.ChangeFeedConsumer.replicate(
+        s, bronze, silver, "mirror", Seq("c_custkey"), Seq("c_custkey", "c_name", "bal"))
+      poll() // bootstrap snapshot
+      VersionedTable.commitUpdate(s, bronze, pmod(col("c_custkey"), lit(3L)) === 0L,
+        Map("bal" -> (col("bal") + 100.0)))
+      VersionedTable.commitDelete(s, bronze, pmod(col("c_custkey"), lit(13L)) === 0L)
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(11L)) === 0L)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+          concat(col("c_name"), lit("_new")).as("c_name"), col("bal")), bronze)
+      VersionedTable.commitCompact(s, bronze, targetFiles = 4, clusterBy = Seq("c_custkey"))
+      poll() // incremental span
+      VersionedTable.read(s, silver).select("c_custkey", "c_name", "bal")
+        .orderBy("c_custkey")
+    }),
+
     // -- MERGE INTO a versioned table --------------------------------------
     // One source batch carrying both updates (+100 on %3 keys, covering
     // only the balance column — the name must survive untouched) and
@@ -4805,6 +4832,19 @@ object SparkEntry {
         "CAST(SUM(bal_dec) AS DOUBLE) AS bal_sum, " +
         "MIN(bal) AS bal_min, MAX(bal) AS bal_max " +
         "FROM final GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "q_cdc_replicate" ->
+      // replay bronze's final state: +100 on %3, %13 deleted, %11 inserts
+      // shifted (update precedes delete; the insert keys don't collide)
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, c_name, " +
+        "CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 " +
+        "ELSE c_acctbal END AS DOUBLE) AS bal " +
+        "FROM customer WHERE c_custkey % 13 <> 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey + 3000000 AS c_custkey, c_name || '_new' AS c_name, " +
+        "CAST(c_acctbal AS DOUBLE) AS bal FROM customer WHERE c_custkey % 11 = 0" +
+        ") ORDER BY c_custkey"),
 
     "q_versioned_merge" ->
       // updates keep uncovered columns; inserts fill them with NULL

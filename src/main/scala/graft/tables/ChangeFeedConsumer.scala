@@ -1,0 +1,125 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental consumer over a [[VersionedTable]]'s change feed — the Delta
+  * `readChangeFeed` connector shape (reference streams its inference results
+  * the same way, `03. Inference.py`'s always-on consumer): a durable
+  * per-consumer offset under `<dir>/_consumers/` records the last source
+  * version handled, and each poll delivers exactly the unseen span's
+  * changes. Bootstrap follows the standard CDC-connector contract: the
+  * first poll delivers a full SNAPSHOT of the current version (a change
+  * feed cannot express the first version's contents — [[VersionedTable
+  * .changes]] spans are predecessor-exclusive), and every later poll
+  * delivers `changes(offset, latest)`.
+  *
+  * Delivery is at-least-once (a crash between the handler and the offset
+  * write re-delivers the span); end-to-end exactly-once composes with
+  * txn-marked sinks — pass the span's `to` version as the sink's
+  * txnVersion ([[VersionedTable.commitAppend]]/[[VersionedTable
+  * .commitMerge]]) and a re-delivered span's writes skip. The offset write
+  * and each poll run under a consumer-scoped lease, so two instances of
+  * the same consumer cannot interleave polls and double-process a span.
+  *
+  * 100 TB shape: each poll costs O(that span's changed files) — the
+  * change feed prunes every file shared across the span's version steps
+  * and skips dataChange=false (compaction) steps wholesale; the corpus is
+  * re-read never, the offset is one tiny file. */
+object ChangeFeedConsumer {
+
+  private def consumersDir(dir: String) = new Path(dir, "_consumers")
+  private def offsetPath(dir: String, id: String) = {
+    require(id.matches("[A-Za-z0-9._:-]+"), s"consumer id `$id` must be filename-safe")
+    new Path(consumersDir(dir), s"$id.offset")
+  }
+
+  /** Last source version this consumer has fully handled, if any. */
+  def offset(dir: String, id: String): Option[Long] =
+    FsIO.readText(offsetPath(dir, id).toString)
+      .flatMap(_.split("\n").find(_.startsWith("version="))
+        .map(_.stripPrefix("version=").toLong))
+
+  private def writeOffset(dir: String, id: String, v: Long): Unit = {
+    val fs  = consumersDir(dir).getFileSystem(FsIO.hadoopConf())
+    val tmp = new Path(consumersDir(dir), s"$id.offset.tmp")
+    FsIO.writeText(tmp.toString, s"version=$v\n")
+    fs.delete(offsetPath(dir, id), false)
+    if (!fs.rename(tmp, offsetPath(dir, id)))
+      sys.error(s"ChangeFeedConsumer: could not publish offset $v for $id in $dir")
+  }
+
+  /** Poll once. On first contact, `snapshot(currentState, version)` runs;
+    * afterwards `changes(feed, fromVersion, toVersion)` runs with the
+    * unseen span's change feed (columns per [[VersionedTable.changes]]).
+    * Neither runs when the source hasn't moved. Returns the new offset.
+    * The handler must be idempotent under re-delivery (at-least-once). */
+  def poll(spark: SparkSession, dir: String, id: String,
+      keyCols: Seq[String], valueCols: Seq[String])(
+      snapshot: (DataFrame, Long) => Unit)(
+      changes: (DataFrame, Long, Long) => Unit,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    FsIO.withWriteLock(offsetPath(dir, id).toString, s"ChangeFeedConsumer($id)",
+        lockLeaseMs) {
+      val latest = VersionedTable.latestVersion(dir)
+        .getOrElse(sys.error(s"ChangeFeedConsumer: $dir has no committed version"))
+      offset(dir, id) match {
+        case None =>
+          snapshot(VersionedTable.read(spark, dir, Some(latest)), latest)
+          writeOffset(dir, id, latest)
+          latest
+        case Some(from) if from < latest =>
+          changes(VersionedTable.changes(spark, dir, from, latest, keyCols, valueCols),
+            from, latest)
+          writeOffset(dir, id, latest)
+          latest
+        case Some(from) =>
+          require(from == latest,
+            s"ChangeFeedConsumer: offset $from is ahead of the source ($latest) — " +
+              "the source table was rebuilt; drop the consumer offset to re-bootstrap")
+          from
+      }
+    }
+
+  /** Bronze→silver replication through the feed: maintains `silverDir` as a
+    * row-identical mirror of `bronzeDir`'s latest version, incrementally —
+    * each poll merges the span's upserts ([[VersionedTable.commitMerge]])
+    * and deletes its removed keys, both txn-marked with the span's `to`
+    * version, so a crash-replayed span applies exactly once. The mirror is
+    * the degenerate transform; real silver tables put a projection/filter
+    * in `silverTransform`. */
+  def replicate(spark: SparkSession, bronzeDir: String, silverDir: String,
+      id: String, keyCols: Seq[String], valueCols: Seq[String],
+      silverTransform: DataFrame => DataFrame = identity): Long = {
+    import org.apache.spark.sql.functions._
+    poll(spark, bronzeDir, id, keyCols, valueCols) { (state, v) =>
+      VersionedTable.commitAppend(spark, silverTransform(state), silverDir,
+        txn = Some((s"replicate:$id", v)))
+    } { (feed, _, to) =>
+      // per key, the span's LAST step wins (a key can change many times in
+      // one span); surviving upserts carry the final new-side values
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(c => col(s"`$c`")): _*)
+        .orderBy(col("version").desc)
+      val last = feed.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      val ups = silverTransform(last.where(col("change_type").isin("added", "updated"))
+        .select(keyCols.map(c => col(s"`$c`")) ++
+          valueCols.filterNot(keyCols.contains)
+            .map(c => col(s"`${c}_new`").as(c)): _*))
+      VersionedTable.commitMerge(spark, silverDir, ups, keyCols,
+        txn = Some((s"replicate:$id:merge", to)))
+      val dels = last.where(col("change_type") === "removed")
+        .select(keyCols.map(c => col(s"`$c`")): _*).collect()
+      require(dels.length <= VersionedTable.MaxMergeProbeKeys,
+        s"replicate: span removes ${dels.length} keys (> ${VersionedTable.MaxMergeProbeKeys}) " +
+          "— a table-rewrite span; re-bootstrap the consumer instead")
+      if (dels.nonEmpty) {
+        val cond = dels.map(r => keyCols.zipWithIndex.map { case (k, i) =>
+          if (r.get(i) == null) col(s"`$k`").isNull else col(s"`$k`") === lit(r.get(i))
+        }.reduce(_ && _)).reduce(_ || _)
+        VersionedTable.commitDelete(spark, silverDir, cond,
+          txn = Some((s"replicate:$id:delete", to)))
+      }
+    }
+  }
+}

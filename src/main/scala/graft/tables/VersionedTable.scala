@@ -270,38 +270,45 @@ object VersionedTable {
     * O(touched), not O(table). */
   private def copyOnWrite(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column, rewrite: DataFrame => DataFrame,
-      op: String, lockLeaseMs: Long): Long =
+      op: String, lockLeaseMs: Long,
+      txn: Option[(String, Long)] = None): Long =
     FsIO.withWriteLock(dir, op, lockLeaseMs) {
       import org.apache.spark.sql.functions.input_file_name
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val committed = VersionedTable.log(dir)
-      require(committed.nonEmpty, s"$op: $dir has no committed version")
-      val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-        listVersionDirs(fs, dir)).max: Long) + 1
-      val (pv, pms) = committed.last
-      val rels = relsOfVersion(fs, dir, pv, pms)
-      def absPathOf(rel: String) = new Path(new Path(dir), rel).toUri.getPath
-      val full = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
-      // which FILES contain a matching row — parquet stats prune the scan,
-      // and only (file-name) strings come back to the driver (O(files))
-      val touchedAbs = full.where(cond).select(input_file_name()).distinct()
-        .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
-      val (touched, untouched) = rels.partition(rel => touchedAbs.contains(absPathOf(rel)))
-      val newRels =
-        if (touched.isEmpty) Seq.empty
-        else {
-          val touchedDf = spark.read.parquet(
-            touched.map(rel => new Path(new Path(dir), rel).toString): _*)
-          val rewritten = rewrite(touchedDf)
-          val staged = stageDataFiles(fs, dir, rewritten, next)
-          // a rewrite that emptied every touched file can write zero part
-          // files; a single-partition re-stage guarantees one schema-bearing
-          // file so the version never publishes an empty manifest
-          if (staged.nonEmpty || untouched.nonEmpty) staged
-          else stageDataFiles(fs, dir, rewritten.coalesce(1), next)
-        }
-      publishEntry(fs, dir, next, Some(untouched ++ newRels))
-      next
+      val replayed = txn.flatMap { case (app, tv) =>
+        lastTxnVersion(dir, app).filter(_ >= tv) }
+      if (replayed.isDefined) latestVersion(dir).getOrElse(
+        sys.error(s"$op: txn marker without a committed version in $dir"))
+      else {
+        val committed = VersionedTable.log(dir)
+        require(committed.nonEmpty, s"$op: $dir has no committed version")
+        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+          listVersionDirs(fs, dir)).max: Long) + 1
+        val (pv, pms) = committed.last
+        val rels = relsOfVersion(fs, dir, pv, pms)
+        def absPathOf(rel: String) = new Path(new Path(dir), rel).toUri.getPath
+        val full = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+        // which FILES contain a matching row — parquet stats prune the scan,
+        // and only (file-name) strings come back to the driver (O(files))
+        val touchedAbs = full.where(cond).select(input_file_name()).distinct()
+          .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+        val (touched, untouched) = rels.partition(rel => touchedAbs.contains(absPathOf(rel)))
+        val newRels =
+          if (touched.isEmpty) Seq.empty
+          else {
+            val touchedDf = spark.read.parquet(
+              touched.map(rel => new Path(new Path(dir), rel).toString): _*)
+            val rewritten = rewrite(touchedDf)
+            val staged = stageDataFiles(fs, dir, rewritten, next)
+            // a rewrite that emptied every touched file can write zero part
+            // files; a single-partition re-stage guarantees one schema-bearing
+            // file so the version never publishes an empty manifest
+            if (staged.nonEmpty || untouched.nonEmpty) staged
+            else stageDataFiles(fs, dir, rewritten.coalesce(1), next)
+          }
+        publishEntry(fs, dir, next, Some(untouched ++ newRels), txn)
+        next
+      }
     }
 
   /** Commit a row-level UPDATE as the next version: for rows matching
@@ -310,7 +317,8 @@ object VersionedTable {
   def commitUpdate(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long = {
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      txn: Option[(String, Long)] = None): Long = {
     require(set.nonEmpty, "commitUpdate: empty SET clause")
     // ONE withColumns, not a fold of withColumn: SQL UPDATE evaluates every
     // SET expression (and the WHERE) against the OLD row, so no assignment
@@ -326,15 +334,17 @@ object VersionedTable {
             .otherwise(org.apache.spark.sql.functions.col(s"`$c`"))
         })
       },
-      "VersionedTable.commitUpdate", lockLeaseMs)
+      "VersionedTable.commitUpdate", lockLeaseMs, txn)
   }
 
   /** Commit a row-level DELETE as the next version: rows matching `cond`
     * disappear; files with no matching row are shared, not rewritten. */
   def commitDelete(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column,
-      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
-    copyOnWrite(spark, dir, cond, _.where(!cond), "VersionedTable.commitDelete", lockLeaseMs)
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      txn: Option[(String, Long)] = None): Long =
+    copyOnWrite(spark, dir, cond, _.where(!cond), "VersionedTable.commitDelete",
+      lockLeaseMs, txn)
 
   /** Past this many distinct source keys, the merge probe stops collecting
     * keys for pushed-down file pruning and falls back to a keys-only scan

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.{ChangeFeedConsumer, VersionedTable}
+import org.apache.spark.sql.functions._
+
+class ChangeFeedConsumerSpec extends SparkSpec {
+
+  private def mirror(bronze: String, silver: String): Long =
+    ChangeFeedConsumer.replicate(spark, bronze, silver, "mirror",
+      Seq("k"), Seq("k", "x", "tag"))
+
+  private def rowsOf(dir: String) =
+    VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("replicate: snapshot bootstrap, incremental spans, deletes, compaction-skip — silver ≡ bronze") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cfc").toString
+    val (bronze, silver) = (s"$root/bronze", s"$root/silver")
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 200L).select(col("id").as("k"), (col("id") * 2).as("x"),
+        lit("base").as("tag")).repartitionByRange(4, col("k")), bronze)
+    // bootstrap = snapshot
+    mirror(bronze, silver)
+    assert(rowsOf(silver) == rowsOf(bronze))
+    // span of update + delete + append, then a compaction the feed must skip
+    VersionedTable.commitUpdate(spark, bronze, col("k") < 10L, Map("x" -> (col("x") + 1000L)))
+    VersionedTable.commitDelete(spark, bronze, col("k") % 50L === 7L)
+    VersionedTable.commitAppend(spark,
+      Seq((500L, 1L, "new"), (501L, 2L, "new")).toDF("k", "x", "tag"), bronze)
+    VersionedTable.commitCompact(spark, bronze, targetFiles = 2, clusterBy = Seq("k"))
+    mirror(bronze, silver)
+    assert(rowsOf(silver) == rowsOf(bronze))
+    assert(rowsOf(silver).exists(_ == ((0L, 1000L, "base"))))
+    assert(!rowsOf(silver).exists(_._1 == 7L))
+    // no new commits: poll is a no-op (offset == latest)
+    val off = ChangeFeedConsumer.offset(bronze, "mirror").get
+    assert(mirror(bronze, silver) == off)
+    // a key touched TWICE in one span: the last step must win
+    VersionedTable.commitUpdate(spark, bronze, col("k") === 20L, Map("x" -> lit(1L)))
+    VersionedTable.commitUpdate(spark, bronze, col("k") === 20L, Map("x" -> lit(2L)))
+    mirror(bronze, silver)
+    assert(rowsOf(silver) == rowsOf(bronze))
+    assert(rowsOf(silver).exists(_ == ((20L, 2L, "base"))))
+  }
+
+  test("crash-replay: a rewound offset re-delivers the span; txn-marked sinks apply it exactly once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cfc2").toString
+    val (bronze, silver) = (s"$root/bronze", s"$root/silver")
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 100L).select(col("id").as("k"), col("id").as("x"),
+        lit("base").as("tag")), bronze)
+    mirror(bronze, silver)
+    val offBefore = ChangeFeedConsumer.offset(bronze, "mirror").get
+    VersionedTable.commitUpdate(spark, bronze, col("k") === 3L, Map("x" -> lit(333L)))
+    VersionedTable.commitDelete(spark, bronze, col("k") === 4L)
+    mirror(bronze, silver)
+    val want = rowsOf(bronze)
+    assert(rowsOf(silver) == want)
+    val silverVersions = VersionedTable.log(silver).size
+    // simulate the crash window: span handled, offset write lost (rewind
+    // through the hadoop fs so the checksum sidecar stays consistent)
+    val fs = new org.apache.hadoop.fs.Path(bronze)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val offPath = new org.apache.hadoop.fs.Path(bronze, "_consumers/mirror.offset")
+    val out = fs.create(offPath, true)
+    try out.write(s"version=$offBefore\n".getBytes) finally out.close()
+    mirror(bronze, silver) // re-delivers; merge + delete both skip via txn
+    assert(rowsOf(silver) == want)
+    assert(VersionedTable.log(silver).size == silverVersions,
+      "re-delivered span must not commit new silver versions")
+    assert(ChangeFeedConsumer.offset(bronze, "mirror").get > offBefore)
+  }
+}
