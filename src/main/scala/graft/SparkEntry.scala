@@ -2921,6 +2921,32 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // -- per-version file stats + pruned range read ------------------------
+    // Delta's stats-in-the-log, emulated per version: two clustered appends
+    // (the second statted INCREMENTALLY — only its new files read back),
+    // then a range read that prunes the file LIST through the version's
+    // stats manifest before any scan plans. In-query gates: pruning must
+    // actually discriminate (kept < 40% of files) and both appends' stats
+    // must be 1:1 with the manifest. Oracle = the plain range filter.
+    "q_versioned_skipping" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vsk").toString + "/t"
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("double").as("qty"))
+      def clustered(df: DataFrame, n: Int) =
+        df.repartitionByRange(n, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+      VersionedTable.commitAppend(s, clustered(li.where(col("l_orderkey") % 2 === 1), 8), dir)
+      graft.tables.VersionedStats.refresh(s, dir, Seq("l_orderkey"))
+      VersionedTable.commitAppend(s, clustered(li.where(col("l_orderkey") % 2 === 0), 8), dir)
+      graft.tables.VersionedStats.refreshIncremental(s, dir, Seq("l_orderkey"))
+      val (kept, total) = graft.tables.VersionedStats.prunedFiles(s, dir,
+        Seq(("l_orderkey", lit(1000L), lit(5000L))))
+      require(kept.size.toDouble / total < 0.4,
+        s"stats pruning kept ${kept.size}/$total files — clustering regressed")
+      graft.tables.VersionedStats.readPruned(s, dir,
+          Seq(("l_orderkey", lit(1000L), lit(5000L))))
+        .orderBy("l_orderkey", "l_partkey", "qty")
+    }),
+
     // -- CDC bronze→silver replication through the change feed -------------
     // The medallion shape: a consumer with a durable offset bootstraps from
     // a snapshot, then applies each unseen span (update + delete + append,
@@ -4832,6 +4858,12 @@ object SparkEntry {
         "CAST(SUM(bal_dec) AS DOUBLE) AS bal_sum, " +
         "MIN(bal) AS bal_min, MAX(bal) AS bal_max " +
         "FROM final GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "q_versioned_skipping" ->
+      // list-level pruning is an I/O plan change only: result = plain filter
+      ("SELECT l_orderkey, l_partkey, CAST(l_quantity AS DOUBLE) AS qty " +
+        "FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey <= 5000 " +
+        "ORDER BY l_orderkey, l_partkey, qty"),
 
     "q_cdc_replicate" ->
       // replay bronze's final state: +100 on %3, %13 deleted, %11 inserts

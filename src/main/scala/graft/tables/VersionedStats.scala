@@ -1,0 +1,162 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-version file statistics for a [[VersionedTable]] — the Delta
+  * per-file-stats-in-the-log design (stats ride the commit, not a mutable
+  * sidecar), emulated as an immutable stats manifest per version under
+  * `<dir>/_stats/v=<n>`: one row per data file of that version's manifest
+  * with `n_rows` and min/max/non-null-count per stat column. What
+  * [[SkippingIndex]] does for flat dirs, keyed instead by the version's
+  * RELATIVE file list, which buys three things the flat layout can't give:
+  * time travel (each version's stats are its own immutable row set),
+  * vacuum-safety (no staleness window — the stats row set and the manifest
+  * are checked 1:1 at read), and O(new files) maintenance
+  * ([[refreshIncremental]] carries forward the stats of every file shared
+  * with the previous statted version and reads back only the files the new
+  * version added — the exact file-sharing structure commitAppend/
+  * copy-on-write produce).
+  *
+  * 100 TB shape: the stats manifest is one row per file; a range read
+  * prunes the FILE LIST driver-side before any scan plans (I/O ∝ selected
+  * key range, not table), and daily stats maintenance costs one read-back
+  * of the day's new files. */
+object VersionedStats {
+
+  private def statsRoot(dir: String)          = new Path(dir, "_stats")
+  private def statsDir(dir: String, v: Long)  = new Path(statsRoot(dir), f"v=$v%05d")
+
+  private def statAggs(statCols: Seq[String]): Seq[Column] =
+    count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(s"`$c`")).as(s"min_$c"), max(col(s"`$c`")).as(s"max_$c"),
+        count(col(s"`$c`")).as(s"cnt_$c")))
+
+  /** Versions (ascending) that currently have a published stats manifest. */
+  def stattedVersions(dir: String): Seq[Long] = {
+    val root = statsRoot(dir)
+    val fs   = root.getFileSystem(FsIO.hadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(s => "^v=(\\d+)$".r.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
+      .sorted
+  }
+
+  private def writeStats(spark: SparkSession, dir: String, v: Long, stats: DataFrame): Unit = {
+    val fs  = statsRoot(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(statsRoot(dir), f"v=$v%05d.__tmp")
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(statsDir(dir, v), true)
+    if (!fs.rename(tmp, statsDir(dir, v)))
+      sys.error(s"VersionedStats: could not publish stats for version $v in $dir")
+  }
+
+  private def readBack(spark: SparkSession, dir: String, rels: Seq[String],
+      statCols: Seq[String]): DataFrame = {
+    val aggs = statAggs(statCols)
+    val byAbs = rels.map(rel =>
+      new Path(new Path(dir), rel).toUri.getPath -> rel).toMap
+    val relOf = udf((f: String) =>
+      byAbs.getOrElse(new Path(new java.net.URI(f)).toUri.getPath, null: String))
+    spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+      .groupBy(relOf(input_file_name()).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (Re)build the stats manifest for `version` (default latest) from a
+    * full read-back of its files. The bootstrap / re-key path; steady-state
+    * maintenance is [[refreshIncremental]]. */
+  def refresh(spark: SparkSession, dir: String, statCols: Seq[String],
+      version: Option[Long] = None): Long = {
+    require(statCols.nonEmpty, "VersionedStats: need at least one stat column")
+    val v = version.getOrElse(VersionedTable.latestVersion(dir)
+      .getOrElse(sys.error(s"VersionedStats: $dir has no committed version")))
+    writeStats(spark, dir, v, readBack(spark, dir, VersionedTable.filesOf(dir, v), statCols))
+    v
+  }
+
+  /** Stats for the LATEST version at O(new files) cost: rows for files
+    * shared with the newest already-statted version carry forward verbatim
+    * (their files are immutable), only the latest version's fresh files are
+    * read back. Falls back to a full [[refresh]] when nothing is statted
+    * yet or the stat column set changed. */
+  def refreshIncremental(spark: SparkSession, dir: String,
+      statCols: Seq[String]): Long = {
+    require(statCols.nonEmpty, "VersionedStats: need at least one stat column")
+    val v = VersionedTable.latestVersion(dir)
+      .getOrElse(sys.error(s"VersionedStats: $dir has no committed version"))
+    val base = stattedVersions(dir).filter(_ < v).lastOption
+    base match {
+      case None => refresh(spark, dir, statCols)
+      case Some(w) =>
+        val prev = spark.read.parquet(statsDir(dir, w).toString)
+        if (!statCols.forall(c => prev.columns.contains(s"min_$c")))
+          refresh(spark, dir, statCols) // column set changed: re-key
+        else {
+          val rels    = VersionedTable.filesOf(dir, v)
+          val prevSet = VersionedTable.filesOf(dir, w).toSet
+          val (carried, fresh) = rels.partition(prevSet.contains)
+          val carriedDf = prev.where(col("file").isin(carried: _*))
+          val stats =
+            if (fresh.isEmpty) carriedDf
+            else carriedDf.unionByName(readBack(spark, dir, fresh, statCols))
+          writeStats(spark, dir, v, stats)
+          v
+        }
+    }
+  }
+
+  private def loadStats(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val sd = statsDir(dir, v)
+    val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sd),
+      s"VersionedStats: no stats manifest for version $v of $dir — run refresh/refreshIncremental")
+    val stats = spark.read.parquet(sd.toString)
+    // 1:1 integrity check against the version's manifest — a stats set that
+    // drifted (partial write, foreign tool) must fail, not silently miss rows
+    val rels = VersionedTable.filesOf(dir, v).toSet
+    val statted = stats.select("file").collect().map(_.getString(0)).toSet
+    require(statted == rels,
+      s"VersionedStats: stats manifest for version $v of $dir does not match its " +
+        s"file manifest (${(rels -- statted).size} missing, ${(statted -- rels).size} extra) " +
+        "— re-run refresh")
+    stats
+  }
+
+  /** Relative files of `version` whose [min, max] intersects EVERY
+    * (col, lo, hi) predicate, plus the version's total file count. */
+  def prunedFiles(spark: SparkSession, dir: String,
+      preds: Seq[(String, Column, Column)],
+      version: Option[Long] = None): (Seq[String], Long) = {
+    require(preds.nonEmpty, "VersionedStats: need at least one predicate")
+    val v = version.getOrElse(VersionedTable.latestVersion(dir)
+      .getOrElse(sys.error(s"VersionedStats: $dir has no committed version")))
+    val stats = loadStats(spark, dir, v)
+    preds.foreach { case (c, _, _) => require(stats.columns.contains(s"min_$c"),
+      s"VersionedStats: column $c is not statted for version $v — refresh including it") }
+    val cond = preds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    val kept = stats.where(cond).select("file").collect().map(_.getString(0)).toSeq
+    require(kept.size <= SkippingIndex.MaxPrunedFiles,
+      s"VersionedStats: pruning kept ${kept.size} files — the clustering does not " +
+        "discriminate for this predicate; re-cluster (commitCompact clusterBy) or read plainly")
+    (kept, stats.count())
+  }
+
+  /** Range read through the stats manifest: scan ONLY surviving files, then
+    * the exact residual predicate. Row-identical to a full-scan filter. */
+  def readPruned(spark: SparkSession, dir: String,
+      preds: Seq[(String, Column, Column)],
+      version: Option[Long] = None): DataFrame = {
+    val (kept, _) = prunedFiles(spark, dir, preds, version)
+    val base =
+      if (kept.isEmpty) {
+        val v = version.getOrElse(VersionedTable.latestVersion(dir).get)
+        VersionedTable.read(spark, dir, Some(v)).limit(0)
+      } else spark.read.parquet(kept.map(rel => new Path(new Path(dir), rel).toString): _*)
+    base.where(preds.map { case (c, lo, hi) => col(s"`$c`") >= lo && col(s"`$c`") <= hi }
+      .reduce(_ && _))
+  }
+}

@@ -185,6 +185,16 @@ object VersionedTable {
   /** Latest committed version, or None for an empty/uninitialized table. */
   def latestVersion(dir: String): Option[Long] = log(dir).lastOption.map(_._1)
 
+  /** Relative data files of a committed version — the public manifest
+    * accessor for stats/tooling layers ([[VersionedStats]]). Fails loudly
+    * on vacuumed data, like [[read]]. */
+  def filesOf(dir: String, v: Long): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(FsIO.hadoopConf())
+    val entry = log(dir).find(_._1 == v)
+      .getOrElse(sys.error(s"VersionedTable.filesOf: version $v does not exist in $dir"))
+    relsOfVersion(fs, dir, v, entry._2)
+  }
+
   /** Committed versions whose data is still present (not vacuumed),
     * ascending, with commit timestamps. */
   def versions(spark: SparkSession, dir: String): Seq[(Long, Long)] = {

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.{VersionedStats, VersionedTable}
+import org.apache.spark.sql.functions._
+
+class VersionedStatsSpec extends SparkSpec {
+
+  private def corruptPages(dir: String, rels: Iterable[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    rels.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(dir, rel)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      val blocks = try reader.getFooter.getBlocks finally reader.close()
+      val raf = new java.io.RandomAccessFile(new java.io.File(dir, rel), "rw")
+      try blocks.forEach { b =>
+        raf.seek(b.getStartingPos)
+        raf.write(Array.fill[Byte](b.getCompressedSize.toInt)(0x5a))
+      } finally raf.close()
+    }
+  }
+
+  test("pruned read: only intersecting files scanned (others corrupted); result = full filter") {
+    val dir = Files.createTempDirectory("graft_vs").toString + "/t"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 800L).select(col("id").as("k"), (col("id") * 3).as("x"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"), dir)
+    VersionedStats.refresh(spark, dir, Seq("k"))
+    val (kept, total) = VersionedStats.prunedFiles(spark, dir,
+      Seq(("k", lit(100L), lit(199L))))
+    assert(total == 8L && kept.size == 1, s"kept ${kept.size}/$total")
+    // corrupt every file OUTSIDE the kept set: the pruned read never plans
+    // a scan over them (file-LIST pruning, stronger than row-group stats —
+    // their footers are never even opened by the pruned plan)
+    corruptPages(dir, VersionedTable.filesOf(dir, 0L).filterNot(kept.contains))
+    val got = VersionedStats.readPruned(spark, dir, Seq(("k", lit(100L), lit(199L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (100L until 200L).map(k => (k, k * 3)).toSet)
+    // negative control: an unfiltered read must hit the corrupted pages
+    intercept[Throwable] { VersionedTable.read(spark, dir).count() }
+  }
+
+  test("refreshIncremental is O(new files): base files corrupted, stats still advance") {
+    val dir = Files.createTempDirectory("graft_vs2").toString + "/t"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 400L).select(col("id").as("k"), col("id").as("x"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"), dir)
+    VersionedStats.refresh(spark, dir, Seq("k"))
+    // base files become unreadable at the PAGE level; only the appended
+    // batch's fresh files may be read back
+    corruptPages(dir, VersionedTable.filesOf(dir, 0L))
+    VersionedTable.commitAppend(spark,
+      spark.range(400L, 500L).select(col("id").as("k"), col("id").as("x"))
+        .repartitionByRange(1, col("k")).sortWithinPartitions("k"), dir)
+    val v = VersionedStats.refreshIncremental(spark, dir, Seq("k"))
+    assert(v == 1L)
+    // stats for v1 cover all 5 files; the pruned read over the FRESH range
+    // touches only the new file
+    val (kept, total) = VersionedStats.prunedFiles(spark, dir,
+      Seq(("k", lit(420L), lit(480L))), Some(1L))
+    assert(total == 5L && kept.size == 1)
+    assert(VersionedStats.readPruned(spark, dir,
+      Seq(("k", lit(420L), lit(480L))), Some(1L)).count() == 61L)
+    // time travel: v0's stats manifest is untouched and still 1:1
+    assert(VersionedStats.prunedFiles(spark, dir,
+      Seq(("k", lit(0L), lit(1000L))), Some(0L))._2 == 4L)
+  }
+
+  test("stats/manifest drift fails loudly; unstatted column refused") {
+    val dir = Files.createTempDirectory("graft_vs3").toString + "/t"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 10L).select(col("id").as("k"), col("id").as("x")), dir)
+    VersionedStats.refresh(spark, dir, Seq("k"))
+    intercept[IllegalArgumentException] {
+      VersionedStats.prunedFiles(spark, dir, Seq(("x", lit(0L), lit(5L))))
+    }
+    // a new commit without a stats refresh: reading ITS stats must fail
+    VersionedTable.commitAppend(spark,
+      spark.range(10L, 20L).select(col("id").as("k"), col("id").as("x")), dir)
+    intercept[IllegalArgumentException] {
+      VersionedStats.prunedFiles(spark, dir, Seq(("k", lit(0L), lit(5L))), Some(1L))
+    }
+  }
+}
