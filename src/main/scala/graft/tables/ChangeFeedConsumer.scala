@@ -114,9 +114,24 @@ object ChangeFeedConsumer {
         s"replicate: span removes ${dels.length} keys (> ${VersionedTable.MaxMergeProbeKeys}) " +
           "— a table-rewrite span; re-bootstrap the consumer instead")
       if (dels.nonEmpty) {
-        val cond = dels.map(r => keyCols.zipWithIndex.map { case (k, i) =>
-          if (r.get(i) == null) col(s"`$k`").isNull else col(s"`$k`") === lit(r.get(i))
-        }.reduce(_ && _)).reduce(_ || _)
+        // a FLAT In for the common single-column key (a linear OR chain
+        // overflows the stack past ~1k keys during expression conversion);
+        // composite keys get a balanced OR tree (depth log n)
+        val cond: org.apache.spark.sql.Column =
+          if (keyCols.size == 1) {
+            val vs = dels.map(_.get(0)).toSeq
+            val nn = vs.filter(_ != null).distinct
+            val in = if (nn.isEmpty) lit(false) else col(s"`${keyCols.head}`").isin(nn: _*)
+            if (vs.exists(_ == null)) in || col(s"`${keyCols.head}`").isNull else in
+          } else {
+            def orAll(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+              if (cs.size == 1) cs.head
+              else orAll(cs.grouped(2).map(g =>
+                if (g.size == 2) g(0) || g(1) else g(0)).toSeq)
+            orAll(dels.toSeq.map(r => keyCols.zipWithIndex.map { case (k, i) =>
+              if (r.get(i) == null) col(s"`$k`").isNull else col(s"`$k`") === lit(r.get(i))
+            }.reduce(_ && _)))
+          }
         VersionedTable.commitDelete(spark, silverDir, cond,
           txn = Some((s"replicate:$id:delete", to)))
       }
