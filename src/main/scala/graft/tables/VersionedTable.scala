@@ -559,6 +559,17 @@ object VersionedTable {
         fs.listStatus(dataDir(dir)).toSeq
           .filterNot(s => keepRels.contains("data/" + s.getPath.getName))
           .foreach(s => fs.delete(s.getPath, false))
+      // per-version stats manifests ([[VersionedStats]]) of dropped
+      // versions describe files that no longer exist — sweep them (and
+      // their crashed staging litter) so the stats root mirrors retention
+      val statsRoot = new Path(dir, "_stats")
+      if (fs.exists(statsRoot))
+        fs.listStatus(statsRoot).toSeq.foreach { s =>
+          val n = s.getPath.getName
+          val vOf = "^v=(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toLong)
+          if (n.endsWith(".__tmp") || vOf.exists(!keep(_)))
+            fs.delete(s.getPath, true)
+        }
       (legacyDrop ++ manifestDrop).distinct.sorted
     }
   }

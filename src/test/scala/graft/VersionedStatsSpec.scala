@@ -68,6 +68,21 @@ class VersionedStatsSpec extends SparkSpec {
       Seq(("k", lit(0L), lit(1000L))), Some(0L))._2 == 4L)
   }
 
+  test("vacuum sweeps dropped versions' stats manifests; retained stats keep working") {
+    val dir = Files.createTempDirectory("graft_vs4").toString + "/t"
+    (0 until 3).foreach { i =>
+      VersionedTable.commitAppend(spark,
+        spark.range(i * 100L, (i + 1) * 100L).select(col("id").as("k"), col("id").as("x"))
+          .repartitionByRange(1, col("k")), dir)
+      VersionedStats.refreshIncremental(spark, dir, Seq("k"))
+    }
+    assert(VersionedStats.stattedVersions(dir) == Seq(0L, 1L, 2L))
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(VersionedStats.stattedVersions(dir) == Seq(2L))
+    assert(VersionedStats.prunedFiles(spark, dir,
+      Seq(("k", lit(0L), lit(1000L))), Some(2L))._2 == 3L)
+  }
+
   test("stats/manifest drift fails loudly; unstatted column refused") {
     val dir = Files.createTempDirectory("graft_vs3").toString + "/t"
     VersionedTable.commitAppend(spark,
