@@ -239,6 +239,36 @@ object VersionedTable {
       next
     }
 
+  /** Order-insensitive, nullability-insensitive (name, type) schema
+    * equality — the append/rewrite gate. A manifest mixing files of
+    * different schemas reads NON-DETERMINISTICALLY (plain parquet schema
+    * resolution samples one footer), so an incompatible commit must fail
+    * at write time, not corrupt reads later. Schema EVOLUTION is a
+    * deliberate separate path (TableManager.overwriteTableMergeSchema);
+    * silent drift is not evolution. */
+  private def requireCompatibleSchema(op: String,
+      existing: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType): Unit = {
+    def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          StructField(f.name.toLowerCase(java.util.Locale.ROOT), norm(f.dataType))))
+        case a: ArrayType  => ArrayType(norm(a.elementType), containsNull = true)
+        case m: MapType    => MapType(norm(m.keyType), norm(m.valueType), valueContainsNull = true)
+        case other         => other
+      }
+    }
+    def keyed(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), norm(f.dataType)))
+        .sortBy(_._1).toSeq
+    require(keyed(existing) == keyed(incoming),
+      s"$op: schema mismatch — table has ${existing.simpleString}, " +
+        s"incoming is ${incoming.simpleString}; a mixed-schema manifest reads " +
+        "non-deterministically. Cast to the table schema, or evolve explicitly " +
+        "through the mergeSchema overwrite path.")
+  }
+
   /** Commit `df` as the next version by APPENDING: the new version's
     * manifest = the previous version's files (shared in place, never
     * copied) + files holding only `df`'s rows. O(appended-rows) write cost
@@ -267,6 +297,11 @@ object VersionedTable {
         val prevRels = committed.lastOption
           .map { case (v, ms) => relsOfVersion(fs, dir, v, ms) }
           .getOrElse(Seq.empty)
+        // one footer read: the schema gate must not scan the table
+        prevRels.headOption.foreach { rel =>
+          requireCompatibleSchema("commitAppend",
+            spark.read.parquet(new Path(new Path(dir), rel).toString).schema, df.schema)
+        }
         val newRels = stageDataFiles(fs, dir, df, next)
         publishEntry(fs, dir, next, Some(prevRels ++ newRels), txn)
         next
@@ -309,6 +344,10 @@ object VersionedTable {
             val touchedDf = spark.read.parquet(
               touched.map(rel => new Path(new Path(dir), rel).toString): _*)
             val rewritten = rewrite(touchedDf)
+            // an UPDATE expression that silently changes a column's TYPE
+            // would split the manifest's schema between rewritten and
+            // shared files — same hazard as a foreign append
+            requireCompatibleSchema(op, touchedDf.schema, rewritten.schema)
             val staged = stageDataFiles(fs, dir, rewritten, next)
             // a rewrite that emptied every touched file can write zero part
             // files; a single-partition re-stage guarantees one schema-bearing

@@ -48,12 +48,13 @@ class VersionedStatsSpec extends SparkSpec {
       spark.range(0L, 400L).select(col("id").as("k"), col("id").as("x"))
         .repartitionByRange(4, col("k")).sortWithinPartitions("k"), dir)
     VersionedStats.refresh(spark, dir, Seq("k"))
-    // base files become unreadable at the PAGE level; only the appended
-    // batch's fresh files may be read back
-    corruptPages(dir, VersionedTable.filesOf(dir, 0L))
     VersionedTable.commitAppend(spark,
       spark.range(400L, 500L).select(col("id").as("k"), col("id").as("x"))
         .repartitionByRange(1, col("k")).sortWithinPartitions("k"), dir)
+    // base files become unreadable at the PAGE level AFTER the append (the
+    // append's schema gate legitimately reads one footer); the incremental
+    // stats refresh may read back ONLY the appended batch's fresh files
+    corruptPages(dir, VersionedTable.filesOf(dir, 0L))
     val v = VersionedStats.refreshIncremental(spark, dir, Seq("k"))
     assert(v == 1L)
     // stats for v1 cover all 5 files; the pruned read over the FRESH range

@@ -418,4 +418,30 @@ class VersionedTableSpec extends SparkSpec {
         Seq((7L, 1L), (7L, 2L)).toDF("k", "x"), Seq("k"))
     }
   }
+  test("schema drift refused at write time: incompatible append and type-changing update fail loudly") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark, Seq((1L, 10L)).toDF("k", "x"), dir)
+    // extra column
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(spark, Seq((2L, 20L, "boom")).toDF("k", "x", "y"), dir)
+    }
+    assert(e1.getMessage.contains("schema mismatch"), e1.getMessage)
+    // same names, different type
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(spark, Seq((3L, "s")).toDF("k", "x"), dir)
+    }
+    assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
+    // an UPDATE whose SET silently WIDENS the column type (when/otherwise
+    // coerces to the common type, splitting the manifest between DOUBLE
+    // rewritten files and BIGINT shared files)
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.commitUpdate(spark, dir, col("k") === 1L, Map("x" -> (col("x") * 1.5)))
+    }
+    assert(e3.getMessage.contains("schema mismatch"), e3.getMessage)
+    // column ORDER and case do not matter (parquet reads by name)
+    VersionedTable.commitAppend(spark, Seq((9L, 2L)).toDF("x", "k")
+      .select(col("x").as("X"), col("k")), dir)
+    assert(VersionedTable.read(spark, dir).count() == 2L)
+  }
 }
