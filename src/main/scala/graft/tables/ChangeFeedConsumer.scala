@@ -101,7 +101,11 @@ object ChangeFeedConsumer {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(c => col(s"`$c`")): _*)
         .orderBy(col("version").desc)
+      // eager checkpoint: `last` (the span's changed keys only — skinny)
+      // feeds BOTH the upsert and the delete legs; uncheckpointed, the
+      // whole multi-step feed would recompute once per leg
       val last = feed.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .localCheckpoint(true)
       val ups = silverTransform(last.where(col("change_type").isin("added", "updated"))
         .select(keyCols.map(c => col(s"`$c`")) ++
           valueCols.filterNot(keyCols.contains)
