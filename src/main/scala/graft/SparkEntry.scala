@@ -387,6 +387,26 @@ object SparkEntry {
       TextAnalysis.heavyHitters(t(s, d, "documents"), "text", support = 0.002)
         .orderBy("token")),
 
+    // -- exact heavy keys at count-min sketch cost -------------------------
+    // The point-query sibling of q_heavy_hitters: a 4x32768 CMS (1 MB,
+    // size-invariant in input and cardinality) estimates every key's count
+    // map-side as a codegen'd literal-array lookup; its one-sided error
+    // (never underestimates) makes the >=T filter a no-false-negative
+    // prune, so sketch-filter + exact-confirm is EXACTLY the plain
+    // GROUP BY HAVING — at the shuffle cost of the heavy tail only.
+    // In-query gate: the sketch must discard >=80% of the key universe.
+    "q_countmin_heavy" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val sk = graft.operators.CountMin.build(o, "o_custkey", depth = 4, width = 32768)
+      val keys = o.select("o_custkey").distinct()
+      val nTot  = keys.count()
+      val nCand = keys.where(sk.estimateCol(col("o_custkey")) >= 18L).count()
+      require(nCand * 5 <= nTot,
+        s"count-min must prune the key universe: $nCand of $nTot keys survived")
+      graft.operators.CountMin.heavyKeys(o, "o_custkey", 18L, sk)
+        .orderBy("o_custkey")
+    }),
+
     // -- interchange formats: exact CSV / JSON-lines round-trips -----------
     // Write the parquet table out and read it back under an explicit schema;
     // the oracle reads the ORIGINAL parquet — hash equality proves the text
@@ -3019,6 +3039,90 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // -- RESTORE: roll the table back to an earlier version ----------------
+    // base → +100 update on %10 keys → a "bad" delete of the %7 keys →
+    // RESTORE to the pre-delete version. Delta semantics: the restore is a
+    // NEW commit (history intact, the bad version still readable) with
+    // ZERO data movement — asserted in-query: the restored manifest must
+    // equal v1's file list verbatim, and the restore step's change feed
+    // must be exactly the deleted keys coming back as `added`.
+    "q_versioned_restore" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vr").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
+      VersionedTable.commitUpdate(s, dir, pmod(col("c_custkey"), lit(10L)) === 0L,
+        Map("bal" -> (col("bal") + 100.0)))
+      VersionedTable.commitDelete(s, dir, pmod(col("c_custkey"), lit(7L)) === 0L)
+      val rv = VersionedTable.commitRestore(s, dir, 1L)
+      require(VersionedTable.filesOf(dir, rv) == VersionedTable.filesOf(dir, 1L),
+        "restore must share the target version's files verbatim (zero data movement)")
+      val feed = VersionedTable.changes(s, dir, rv - 1, rv, Seq("c_custkey"), Seq("bal"))
+      require(feed.where(col("change_type") =!= "added").count() == 0L,
+        "the restore step's change feed must contain only the re-added deleted keys")
+      VersionedTable.read(s, dir).orderBy("c_custkey")
+    }),
+
+    // -- SHALLOW CLONE + DML on the clone ----------------------------------
+    // Metadata-only fork of the source (manifest references the source's
+    // files in place — zero bytes copied), then UPDATE + DELETE applied to
+    // the CLONE copy-on-write: touched files rewrite into the clone's own
+    // data/, untouched entries keep pointing at the source, and the source
+    // table is asserted byte-untouched (still at v0, deleted keys present).
+    "q_versioned_clone" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_vcl").toString
+      val (src, dst) = (root + "/src", root + "/clone")
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), src)
+      VersionedTable.cloneShallow(s, src, dst)
+      VersionedTable.commitUpdate(s, dst, pmod(col("c_custkey"), lit(5L)) === 0L,
+        Map("bal" -> (col("bal") + 500.0)))
+      VersionedTable.commitDelete(s, dst, pmod(col("c_custkey"), lit(9L)) === 0L)
+      require(VersionedTable.latestVersion(src).contains(0L),
+        "DML on the clone must never commit to the source")
+      require(VersionedTable.read(s, src)
+          .where(pmod(col("c_custkey"), lit(9L)) === 0L).count() > 0L,
+        "the clone's delete must not reach the source's rows")
+      VersionedTable.read(s, dst).orderBy("c_custkey")
+    }),
+
+    // -- write-time CHECK constraints --------------------------------------
+    // Delta's ADD CONSTRAINT ... CHECK: a clean base commits, then two
+    // constraints attach; adding one the data already violates must FAIL;
+    // an append carrying violating rows and an update whose rewrite would
+    // violate are both rejected ATOMICALLY (version unchanged — asserted);
+    // the clipped-valid append then lands. Enforcement reads only each
+    // commit's new files, never the table.
+    "q_constraint_enforce" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.where(col("bal") >= 0.0), dir)
+      graft.tables.Constraints.add(s, dir, "bal_nonneg", "bal >= 0.0")
+      graft.tables.Constraints.add(s, dir, "key_notnull", "c_custkey IS NOT NULL")
+      val badAdd =
+        try { graft.tables.Constraints.add(s, dir, "bal_huge", "bal > 100000"); false }
+        catch { case _: graft.tables.Constraints.ConstraintViolation => true }
+      require(badAdd, "adding a constraint the table violates must fail")
+      val before = VersionedTable.latestVersion(dir)
+      val rejectedAppend =
+        try { VersionedTable.commitAppend(s, c.where(col("bal") < 0.0), dir); false }
+        catch { case _: graft.tables.Constraints.ConstraintViolation => true }
+      require(rejectedAppend && VersionedTable.latestVersion(dir) == before,
+        "a violating append must be rejected without committing")
+      val rejectedUpdate =
+        try {
+          VersionedTable.commitUpdate(s, dir, pmod(col("c_custkey"), lit(3L)) === 0L,
+            Map("bal" -> (col("bal") - 100000.0))); false
+        } catch { case _: graft.tables.Constraints.ConstraintViolation => true }
+      require(rejectedUpdate && VersionedTable.latestVersion(dir) == before,
+        "a violating update rewrite must be rejected without committing")
+      VersionedTable.commitAppend(s,
+        c.where(col("bal") < 0.0).withColumn("bal", lit(0.0)), dir)
+      VersionedTable.read(s, dir).orderBy("c_custkey")
+    }),
+
     // -- STREAMING MATERIALIZED VIEW ---------------------------------------
     // The Delta "streaming aggregate table" shape: a 4-file customer stream
     // lands micro-batch by micro-batch in a versioned bronze table (each
@@ -3482,6 +3586,12 @@ object SparkEntry {
         "SELECT token, COUNT(*) AS n FROM ne GROUP BY token " +
         "HAVING CAST(COUNT(*) AS DOUBLE) > 0.002 * (SELECT CAST(COUNT(*) AS DOUBLE) FROM ne) " +
         "ORDER BY token"),
+
+    "q_countmin_heavy" ->
+      // the CMS filter never drops a true heavy (one-sided error) and the
+      // exact confirm drops every collision — plain HAVING is the oracle
+      ("SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey " +
+        "HAVING COUNT(*) >= 18 ORDER BY o_custkey"),
 
     // round-trips: the oracle reads the ORIGINAL parquet — equality means
     // the text-format hop lost nothing
@@ -4893,6 +5003,26 @@ object SparkEntry {
       // compaction is a pure re-layout: the final read is the plain filter
       ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal " +
         "FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"),
+
+    "q_versioned_restore" ->
+      // restore to v1 undoes the %7 delete: every key present, +100 on %10
+      ("SELECT c_custkey, CAST(CASE WHEN c_custkey % 10 = 0 " +
+        "THEN c_acctbal + 100 ELSE c_acctbal END AS DOUBLE) AS bal " +
+        "FROM customer ORDER BY c_custkey"),
+
+    "q_versioned_clone" ->
+      // the clone's own history: +500 on %5 keys, %9 keys deleted — the
+      // source (asserted in-query) never sees either
+      ("SELECT c_custkey, c_name, CAST(CASE WHEN c_custkey % 5 = 0 " +
+        "THEN c_acctbal + 500 ELSE c_acctbal END AS DOUBLE) AS bal " +
+        "FROM customer WHERE c_custkey % 9 <> 0 ORDER BY c_custkey"),
+
+    "q_constraint_enforce" ->
+      // the rejected batches left no trace; the final state is the clean
+      // base plus the clipped negatives
+      ("SELECT c_custkey, CAST(CASE WHEN c_acctbal < 0 THEN 0.0 " +
+        "ELSE c_acctbal END AS DOUBLE) AS bal " +
+        "FROM customer ORDER BY c_custkey"),
 
     "q_stream_matview" ->
       // the incrementally-folded stream must equal the one-shot recompute

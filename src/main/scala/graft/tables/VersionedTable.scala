@@ -160,6 +160,21 @@ object VersionedTable {
     rels
   }
 
+  /** Enforce the table's CHECK constraints ([[Constraints]]) against the
+    * files a commit is about to publish — and ONLY those files, never the
+    * shared remainder (O(change) enforcement; shared files passed their own
+    * commit's check, and [[Constraints.add]] re-proves the whole table).
+    * Reads back the STAGED parquet rather than re-evaluating the incoming
+    * plan, so a nondeterministic source can't pass validation with rows
+    * other than the ones actually landing. A throw here precedes the
+    * commit-entry rename, so the rejected batch is invisible to readers;
+    * its staged files are orphans the next [[vacuum]] sweeps. */
+  private def validateStaged(spark: SparkSession, dir: String,
+      rels: Seq[String], op: String): Unit =
+    if (rels.nonEmpty)
+      Constraints.validate(spark, dir,
+        spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*), op)
+
   /** Committed (version, commitMs) pairs in version order — the log,
     * verbatim. Includes versions later vacuumed (history stays; their DATA
     * is gone — [[read]] distinguishes). */
@@ -233,6 +248,11 @@ object VersionedTable {
       df.write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(tmp, vDir(dir, next)))
         sys.error(s"VersionedTable.commit: could not publish version $next in $dir")
+      validateStaged(spark, dir,
+        fs.listStatus(vDir(dir, next)).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(s => f"v=$next%05d/${s.getPath.getName}"),
+        "VersionedTable.commit")
       // the commit point: a write-once entry staged then renamed into the
       // log dir (readers never observe a partially named commit entry)
       publishEntry(fs, dir, next, None)
@@ -303,6 +323,7 @@ object VersionedTable {
             spark.read.parquet(new Path(new Path(dir), rel).toString).schema, df.schema)
         }
         val newRels = stageDataFiles(fs, dir, df, next)
+        validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
         publishEntry(fs, dir, next, Some(prevRels ++ newRels), txn)
         next
       }
@@ -355,6 +376,7 @@ object VersionedTable {
             if (staged.nonEmpty || untouched.nonEmpty) staged
             else stageDataFiles(fs, dir, rewritten.coalesce(1), next)
           }
+        validateStaged(spark, dir, newRels, op)
         publishEntry(fs, dir, next, Some(untouched ++ newRels), txn)
         next
       }
@@ -467,6 +489,8 @@ object VersionedTable {
         val manifest =
           if (staged.nonEmpty || untouched.nonEmpty) untouched ++ staged
           else stageDataFiles(fs, dir, merged.coalesce(1), next)
+        validateStaged(spark, dir, manifest.filterNot(untouched.contains),
+          "VersionedTable.commitMerge")
         publishEntry(fs, dir, next, Some(manifest), txn)
         next
       }
@@ -519,6 +543,91 @@ object VersionedTable {
       next
     }
   }
+
+  /** RESTORE the table to the content of an earlier committed version, as
+    * a NEW commit (Delta `RESTORE TABLE ... TO VERSION AS OF` semantics:
+    * history is never rewritten — a restore is just the next version, so
+    * the "bad" versions stay readable and the restore itself is
+    * time-travelable and shows up in the change feed as the rows it
+    * re-adds/removes). ZERO data movement: the new commit's manifest is
+    * the restored version's file list verbatim, every file shared in
+    * place — O(1) data cost no matter the table size, which is what makes
+    * "roll back the bad batch" affordable on a 100 TB table. Fails loudly
+    * if the target version's data was vacuumed (Delta's documented RESTORE
+    * hazard). Returns the new version number. */
+  def commitRestore(spark: SparkSession, dir: String, toVersion: Long,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    FsIO.withWriteLock(dir, "VersionedTable.commitRestore", lockLeaseMs) {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = VersionedTable.log(dir)
+      val entry = committed.find(_._1 == toVersion).getOrElse(sys.error(
+        s"commitRestore: version $toVersion does not exist in $dir " +
+          s"(committed: ${committed.map(_._1).mkString(", ")})"))
+      val rels = relsOfVersion(fs, dir, toVersion, entry._2) // loud on vacuumed data
+      val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+        listVersionDirs(fs, dir)).max: Long) + 1
+      publishEntry(fs, dir, next, Some(rels))
+      next
+    }
+
+  /** SHALLOW CLONE: create `dstDir` as a new versioned table whose v0
+    * manifest references `srcDir`'s files of `version` (latest by default)
+    * IN PLACE — metadata-only, zero data copied, O(files) commit cost on
+    * any table size (the Delta `CREATE TABLE ... SHALLOW CLONE` shape for
+    * cheap dev/test forks of a production table). Manifest entries are
+    * ABSOLUTE paths into the source; later DML on the clone copy-on-writes
+    * touched files into the clone's own `data/` while untouched entries
+    * keep pointing at the source — the source table is never modified
+    * through the clone. Hazard (Delta's, documented verbatim): a VACUUM of
+    * the SOURCE that drops the cloned version's files breaks the clone's
+    * shared entries; deep-clone ([[cloneDeep]]) when the source's
+    * retention is not under your control. Fails if `dstDir` already has
+    * commits. */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long] = None,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    clone0(spark, srcDir, dstDir, version, deep = false, lockLeaseMs)
+
+  /** DEEP CLONE: like [[cloneShallow]] but every referenced file is COPIED
+    * into the clone's `data/` — O(table) once, and from then on the clone
+    * is fully self-contained (source vacuums/drops can't break it). */
+  def cloneDeep(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long] = None,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    clone0(spark, srcDir, dstDir, version, deep = true, lockLeaseMs)
+
+  private def clone0(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long], deep: Boolean, lockLeaseMs: Long): Long =
+    FsIO.withWriteLock(dstDir, "VersionedTable.clone", lockLeaseMs) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs   = new Path(dstDir).getFileSystem(conf)
+      require(VersionedTable.log(dstDir).isEmpty,
+        s"clone: $dstDir already has commits — clone only creates new tables")
+      val srcCommitted = VersionedTable.log(srcDir)
+      require(srcCommitted.nonEmpty, s"clone: $srcDir has no committed version")
+      val v = version.getOrElse(srcCommitted.last._1)
+      val entry = srcCommitted.find(_._1 == v).getOrElse(sys.error(
+        s"clone: version $v does not exist in $srcDir"))
+      val srcFs   = new Path(srcDir).getFileSystem(conf)
+      val srcRels = relsOfVersion(srcFs, srcDir, v, entry._2)
+      val rels =
+        if (!deep) // absolute entries: Path(dst, abs) resolves to abs —
+          // every existing read/DML/vacuum path handles them unchanged
+          srcRels.map(rel => new Path(new Path(srcDir), rel).toUri.getPath)
+        else {
+          fs.mkdirs(dataDir(dstDir))
+          srcRels.map { rel =>
+            val from = new Path(new Path(srcDir), rel)
+            val name = f"c$v%05d-${java.util.UUID.randomUUID().toString.take(8)}-${from.getName}"
+            if (!org.apache.hadoop.fs.FileUtil.copy(
+                srcFs, from, fs, new Path(dataDir(dstDir), name), false, conf))
+              sys.error(s"cloneDeep: could not copy $from into $dstDir")
+            s"data/$name"
+          }
+        }
+      publishEntry(fs, dstDir, 0L, Some(rels))
+      0L
+    }
 
   /** Read a table version — the latest by default, or a pinned one (time
     * travel). The returned plan reads exactly one immutable `v=<n>`
