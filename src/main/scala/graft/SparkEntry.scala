@@ -1782,6 +1782,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- deterministic Lloyd k-means over the embedding corpus -------------
+    // One full fit (seed on the k smallest ids, one Lloyd update, final
+    // assignment) with every float reduction rounded to 6 dp before any
+    // comparison — so the ENTIRE fit replays in DuckDB and the oracle
+    // checks the algorithm end-to-end, not just output shape. Vectors
+    // never shuffle: centroids broadcast for assignment, the update moves
+    // only k x dims rounded cells.
+    "q_kmeans" -> ((s, d) =>
+      graft.operators.Clustering.kmeansAssign(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 1)
+        .orderBy("vec_id")),
+
     // -- in-plan quantile band trim (outlier filter, no driver collect) ----
     "q_quantile_filter" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
@@ -4332,6 +4344,29 @@ object SparkEntry {
         "WHERE NOT EXISTS (SELECT 1 FROM cell cb JOIN v vb ON vb.vec_id = cb.vec_id " +
         "WHERE cb.cid = ca.cid AND vb.vec_id < ca.vec_id " +
         "AND ROUND(list_cosine_similarity(va.ev, vb.ev), 6) >= 0.3) " +
+        "ORDER BY vec_id"),
+
+    "q_kmeans" ->
+      // full replay of the deterministic fit: seeds = 8 smallest ids,
+      // assignment by ROUNDED euclidean distance (id tie-break), centroid
+      // update = per-dimension ROUNDED means, final re-assignment
+      ("WITH pts AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), " +
+        "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS BIGINT) AS cid, v AS c " +
+        "FROM (SELECT pid, v FROM pts ORDER BY pid LIMIT 8)), " +
+        "d1 AS (SELECT p.pid, p.v, c.cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.pid " +
+        "ORDER BY ROUND(list_distance(p.v, c.c), 6) ASC, c.cid ASC) AS rn " +
+        "FROM pts p CROSS JOIN c0 c), " +
+        "a1 AS (SELECT pid, v, cid FROM d1 WHERE rn = 1), " +
+        "e1 AS (SELECT cid, generate_subscripts(v, 1) AS p, unnest(v) AS x FROM a1), " +
+        "c1 AS (SELECT cid, list(m ORDER BY p) AS c FROM " +
+        "(SELECT cid, p, ROUND(AVG(x), 6) AS m FROM e1 GROUP BY cid, p) GROUP BY cid), " +
+        "d2 AS (SELECT p.pid, c.cid, ROUND(list_distance(p.v, c.c), 6) AS d, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.pid " +
+        "ORDER BY ROUND(list_distance(p.v, c.c), 6) ASC, c.cid ASC) AS rn " +
+        "FROM pts p CROSS JOIN c1 c) " +
+        "SELECT pid AS vec_id, cid AS cluster, d AS dist FROM d2 WHERE rn = 1 " +
         "ORDER BY vec_id"),
 
     "q_quantile_filter" ->
