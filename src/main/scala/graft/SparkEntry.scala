@@ -3135,6 +3135,40 @@ object SparkEntry {
       VersionedTable.read(s, dir).orderBy("c_custkey")
     }),
 
+    // -- STREAM FROM A VERSIONED TABLE (the Delta streaming-source shape) --
+    // A real Structured Streaming SOURCE whose offsets are commit versions:
+    // run 1 drains the initial snapshot (odd keys); then two appends land
+    // around an OPTIMIZE; run 2 resumes from the SAME checkpoint and must
+    // emit exactly the appended files — the compaction wholesale-skipped,
+    // nothing re-emitted (exactly-once across restart rides offset replay
+    // + immutable manifests). Oracle = replay of everything ever appended.
+    "q_stream_versioned" -> ((s, d) => {
+      val root  = java.nio.file.Files.createTempDirectory("graft_vstr").toString
+      val table = root + "/t"
+      val (out, ckpt) = (root + "/out", root + "/ckpt")
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      def drain(): Unit = {
+        val q = s.readStream.format(graft.sources.VersionedStream.format)
+          .option("path", table).load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .repartitionByRange(4, col("c_custkey")), table)
+      drain() // initial snapshot
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), table)
+      VersionedTable.commitCompact(s, table, targetFiles = 4, clusterBy = Seq("c_custkey"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(11L)) === 0L)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"), col("c_name"), col("bal")),
+        table)
+      drain() // tail: two appended file sets, compaction skipped
+      s.read.parquet(out).orderBy("c_custkey")
+    }),
+
     // -- STREAMING MATERIALIZED VIEW ---------------------------------------
     // The Delta "streaming aggregate table" shape: a 4-file customer stream
     // lands micro-batch by micro-batch in a versioned bronze table (each
@@ -5058,6 +5092,17 @@ object SparkEntry {
       ("SELECT c_custkey, CAST(CASE WHEN c_acctbal < 0 THEN 0.0 " +
         "ELSE c_acctbal END AS DOUBLE) AS bal " +
         "FROM customer ORDER BY c_custkey"),
+
+    "q_stream_versioned" ->
+      // exactly-once across the restart and the skipped compaction:
+      // every key exactly once — odds (snapshot), evens (tail), shifted
+      // %11 inserts (tail); a duplicate or loss breaks the hash
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey + 3000000 AS c_custkey, c_name, " +
+        "CAST(c_acctbal AS DOUBLE) AS bal FROM customer WHERE c_custkey % 11 = 0" +
+        ") ORDER BY c_custkey"),
 
     "q_stream_matview" ->
       // the incrementally-folded stream must equal the one-shot recompute

@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.tables.VersionedTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.StreamShim
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[VersionedTable]] — the "stream
+  * from a Delta table" shape: `spark.readStream.format(<this class>)
+  * .option("path", dir).load()` turns every commit into a micro-batch.
+  *
+  * Implemented as a DSv1 `StreamSourceProvider`/`Source` pair — the same
+  * contract Delta Lake's own streaming source uses — because V1's
+  * `getBatch(start, end): DataFrame` is exactly the right altitude for a
+  * manifest-based table: a batch IS "the files these commits added", and
+  * the returned plan is a plain parquet scan of just those files (column
+  * pruning and predicate pushdown reach it like any batch read).
+  *
+  * Semantics (Delta's, deliberately):
+  *  - OFFSET = committed version number. Exactly-once riding the sink's
+  *    checkpoint: offsets are replayed by the engine, and a version's
+  *    file set is immutable, so re-planning a batch yields identical rows.
+  *  - INITIAL batch = the full file list of the latest version at stream
+  *    start (Delta's initial snapshot), then one batch per commit.
+  *  - APPEND commits stream their NEW files only — O(appended data) per
+  *    batch regardless of table size, the property that makes tailing a
+  *    100 TB bronze table affordable.
+  *  - `dataChange=false` re-layouts (OPTIMIZE) are SKIPPED wholesale.
+  *  - UPDATE/DELETE/MERGE commits FAIL the stream by default (their
+  *    rewritten files would re-emit shared rows); `.option
+  *    ("ignoreChanges", "true")` opts into Delta's documented relaxation:
+  *    rewritten files are re-emitted in full (downstream must be
+  *    idempotent/upserting).
+  *
+  * Reads never lock: a batch plans from immutable committed manifests.
+  * Vacuum of a version the stream still needs fails loudly at plan time
+  * (the Delta retention hazard, surfaced not swallowed).
+  */
+class VersionedStream extends StreamSourceProvider {
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(sys.error("VersionedStream: .option(\"path\", <table dir>) is required"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft-versioned",
+      schema.getOrElse(VersionedTable.read(
+        sqlContext.sparkSession, dirOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val dir = dirOf(parameters)
+    val ignoreChanges = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("ignoreChanges") => v }
+      .exists(_.toBoolean)
+    new VersionedStream.VersionedTableSource(
+      sqlContext.sparkSession, dir,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2, ignoreChanges)
+  }
+}
+
+object VersionedStream {
+
+  /** `readStream.format(...)` string for this source. */
+  val format: String = classOf[VersionedStream].getName
+
+  private[sources] class VersionedTableSource(spark: SparkSession, dir: String,
+      override val schema: StructType, ignoreChanges: Boolean) extends Source {
+
+    override def getOffset: Option[Offset] =
+      VersionedTable.latestVersion(dir).map(LongOffset(_))
+
+    override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+      val endV = versionOf(end)
+      val files: Seq[String] = start match {
+        case None => VersionedTable.filesOf(dir, endV) // initial snapshot
+        case Some(s) =>
+          val startV = versionOf(s)
+          (startV + 1 to endV).flatMap { v =>
+            if (!VersionedTable.dataChanged(dir, v)) Nil // OPTIMIZE: skip
+            else {
+              val prev  = VersionedTable.filesOf(dir, v - 1).toSet
+              val cur   = VersionedTable.filesOf(dir, v)
+              val added = cur.filterNot(prev)
+              if (cur.size - added.size < prev.size && !ignoreChanges)
+                sys.error(s"VersionedStream: version $v of $dir rewrote or " +
+                  "removed data files (UPDATE/DELETE/MERGE). A pure-append " +
+                  "stream cannot represent it; restart from a fresh " +
+                  "checkpoint, or set .option(\"ignoreChanges\", \"true\") " +
+                  "to re-emit rewritten files (downstream must be idempotent).")
+              added
+            }
+          }
+      }
+      if (files.isEmpty) StreamShim.emptyStreaming(spark, schema)
+      else StreamShim.asStreaming(
+        spark.read.schema(schema).parquet(
+          files.map(rel => new Path(new Path(dir), rel).toString): _*))
+    }
+
+    private def versionOf(o: Offset): Long = o match {
+      case l: LongOffset => l.offset
+      case other         => LongOffset(other.json().toLong).offset
+    }
+
+    override def stop(): Unit = ()
+
+    override def toString: String = s"VersionedTableSource[$dir]"
+  }
+}

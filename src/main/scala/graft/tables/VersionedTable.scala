@@ -210,6 +210,15 @@ object VersionedTable {
     relsOfVersion(fs, dir, v, entry._2)
   }
 
+  /** Whether version `v` changed rows (false only for [[commitCompact]]'s
+    * `dataChange=false` re-layouts) — the public flag incremental
+    * consumers (change feed, streaming source) branch on. */
+  def dataChanged(dir: String, v: Long): Boolean = {
+    val entry = log(dir).find(_._1 == v)
+      .getOrElse(sys.error(s"dataChanged: version $v does not exist in $dir"))
+    !isNoDataChange(dir, v, entry._2)
+  }
+
   /** Committed versions whose data is still present (not vacuumed),
     * ascending, with commit timestamps. */
   def versions(spark: SparkSession, dir: String): Seq[(Long, Long)] = {

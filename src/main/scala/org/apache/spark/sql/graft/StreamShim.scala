@@ -1,0 +1,41 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` bridge a DSv1 streaming `Source` needs.
+  *
+  * `MicroBatchExecution` asserts that the DataFrame a V1
+  * `Source.getBatch` returns carries `isStreaming = true` on its leaf
+  * relation — but every public way to read parquet produces a BATCH
+  * `LogicalRelation`. Connectors that implement the V1 source contract
+  * (Delta Lake's `DeltaSource` is the canonical example) solve this by
+  * living inside the `org.apache.spark.sql` namespace so they can build
+  * the streaming-flagged plan directly; this object is the minimal such
+  * shim — two constructors, nothing else, everything else in the engine
+  * stays in the `graft` namespace against public APIs.
+  */
+object StreamShim {
+
+  /** Re-flag a batch relation plan as streaming (the FileStreamSource
+    * recipe: same files, same schema, streaming leaf). */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    Dataset.ofRows(df.sparkSession.asInstanceOf[ClassicSession], plan)
+  }
+
+  /** An empty streaming-flagged relation of `schema` — the "no files in
+    * this batch" result. */
+  def emptyStreaming(spark: org.apache.spark.sql.SparkSession, schema: StructType): DataFrame = {
+    val attrs = schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable, f.metadata)())
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession],
+      LocalRelation(attrs, Nil, isStreaming = true))
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.VersionedStream
+import graft.tables.VersionedTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class VersionedStreamSpec extends SparkSpec {
+
+  private def run(table: String, out: String, ckpt: String,
+      opts: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format(VersionedStream.format).option("path", table)
+    val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("initial snapshot + per-commit tail, exactly-once across restarts") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream").toString
+    val table = root + "/t"
+    val (out, ckpt) = (root + "/out", root + "/ckpt")
+    VersionedTable.commitAppend(spark, (1L to 10L).map(i => (i, s"a$i")).toDF("id", "s"), table)
+    VersionedTable.commitAppend(spark, (11L to 15L).map(i => (i, s"b$i")).toDF("id", "s"), table)
+
+    run(table, out, ckpt) // initial snapshot: both appends' files at once
+    assert(spark.read.parquet(out).count() == 15L)
+
+    // two more commits; SAME checkpoint resumes and emits ONLY their files
+    VersionedTable.commitAppend(spark, (16L to 18L).map(i => (i, s"c$i")).toDF("id", "s"), table)
+    VersionedTable.commitAppend(spark, Seq((19L, "d")).toDF("id", "s"), table)
+    run(table, out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 19L, "tail batches must append exactly the new rows")
+    assert(got.select("id").as[Long].collect().toSet == (1L to 19L).toSet)
+
+    // re-running with nothing new emits nothing (offset replay, no dup)
+    run(table, out, ckpt)
+    assert(spark.read.parquet(out).count() == 19L)
+  }
+
+  test("OPTIMIZE (dataChange=false) commits are skipped wholesale") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream_opt").toString
+    val table = root + "/t"
+    val (out, ckpt) = (root + "/out", root + "/ckpt")
+    VersionedTable.commitAppend(spark,
+      (1L to 12L).map(i => (i, i * 2.0)).toDF("id", "v").repartition(6), table)
+    run(table, out, ckpt)
+    assert(spark.read.parquet(out).count() == 12L)
+    VersionedTable.commitCompact(spark, table, targetFiles = 2)
+    run(table, out, ckpt)
+    assert(spark.read.parquet(out).count() == 12L,
+      "a pure re-layout must not re-emit rows")
+    // and a real append AFTER the compaction still streams
+    VersionedTable.commitAppend(spark, Seq((13L, 26.0)).toDF("id", "v"), table)
+    run(table, out, ckpt)
+    assert(spark.read.parquet(out).count() == 13L)
+  }
+
+  test("UPDATE fails the tail by default; ignoreChanges re-emits rewritten files") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream_upd").toString
+    val table = root + "/t"
+    VersionedTable.commitAppend(spark,
+      (1L to 8L).map(i => (i, i * 1.0)).toDF("id", "v").repartition(2), table)
+    val (out1, ckpt1) = (root + "/out1", root + "/ckpt1")
+    run(table, out1, ckpt1) // snapshot drains fine
+    VersionedTable.commitUpdate(spark, table, col("id") === 1L, Map("v" -> lit(99.0)))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(table, out1, ckpt1)
+    }
+    assert(err.getMessage.contains("ignoreChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")))
+
+    // ignoreChanges: the rewritten file's rows re-emit (documented dup)
+    val (out2, ckpt2) = (root + "/out2", root + "/ckpt2")
+    run(table, out2, ckpt2, Map("ignoreChanges" -> "true")) // fresh snapshot of v1
+    val n0 = spark.read.parquet(out2).count()
+    assert(n0 == 8L)
+    VersionedTable.commitUpdate(spark, table, col("id") === 2L, Map("v" -> lit(77.0)))
+    run(table, out2, ckpt2, Map("ignoreChanges" -> "true"))
+    val rows = spark.read.parquet(out2)
+    assert(rows.count() > 8L, "rewritten files re-emit under ignoreChanges")
+    assert(rows.where(col("id") === 2L && col("v") === 77.0).count() == 1L)
+  }
+
+  test("streamed plan is a pruned parquet scan (pushdown reaches the batch)") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream_plan").toString
+    val table = root + "/t"
+    VersionedTable.commitAppend(spark,
+      (1L to 100L).map(i => (i, s"x$i", i * 1.0)).toDF("id", "s", "v"), table)
+    var scanned: Option[org.apache.spark.sql.DataFrame] = None
+    val q = spark.readStream.format(VersionedStream.format).option("path", table)
+      .load()
+      .select("id", "v").where(col("id") <= 10L)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        scanned = Some(df); ()
+      }
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(scanned.get.count() == 10L)
+  }
+}
