@@ -3169,6 +3169,41 @@ object SparkEntry {
       s.read.parquet(out).orderBy("c_custkey")
     }),
 
+    // -- versioned source -> versioned SINK mirror -------------------------
+    // The full streaming pair behind the standard DataStreamWriter API:
+    // poll 1 snapshots bronze into the mirror as one txn-marked commit;
+    // two appends (around a skipped OPTIMIZE) land in bronze; poll 2
+    // resumes from the checkpoint and commits exactly ONE more version to
+    // the mirror holding only the new files' rows (asserted). Exactly-once
+    // end to end: source offset replay + sink (appId, batchId) txn marker.
+    "q_stream_versioned_mirror" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_vmir").toString
+      val (bronze, mirror, ckpt) = (root + "/bronze", root + "/mirror", root + "/ckpt")
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      def drain(): Unit = {
+        val q = s.readStream.format(graft.sources.VersionedStream.format)
+          .option("path", bronze).load()
+          .writeStream.format(graft.sources.VersionedStream.format)
+          .option("path", mirror).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .repartitionByRange(4, col("c_custkey")), bronze)
+      drain() // snapshot poll
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), bronze)
+      VersionedTable.commitCompact(s, bronze, targetFiles = 4, clusterBy = Seq("c_custkey"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(11L)) === 0L)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"), col("c_name"), col("bal")),
+        bronze)
+      drain() // tail poll
+      require(VersionedTable.latestVersion(mirror).contains(1L),
+        "the tail poll must land as exactly one more mirror commit")
+      VersionedTable.read(s, mirror).orderBy("c_custkey")
+    }),
+
     // -- STREAMING MATERIALIZED VIEW ---------------------------------------
     // The Delta "streaming aggregate table" shape: a 4-file customer stream
     // lands micro-batch by micro-batch in a versioned bronze table (each
@@ -5097,6 +5132,15 @@ object SparkEntry {
       // exactly-once across the restart and the skipped compaction:
       // every key exactly once — odds (snapshot), evens (tail), shifted
       // %11 inserts (tail); a duplicate or loss breaks the hash
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey + 3000000 AS c_custkey, c_name, " +
+        "CAST(c_acctbal AS DOUBLE) AS bal FROM customer WHERE c_custkey % 11 = 0" +
+        ") ORDER BY c_custkey"),
+
+    "q_stream_versioned_mirror" ->
+      // the mirror must equal bronze's final state: every key exactly once
       ("SELECT * FROM (" +
         "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal FROM customer " +
         "UNION ALL " +

@@ -3,10 +3,11 @@ package graft.sources
 import graft.tables.VersionedTable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamShim
-import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.sources.{StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[VersionedTable]] — the "stream
@@ -40,11 +41,34 @@ import org.apache.spark.sql.types.StructType
   * Vacuum of a version the stream still needs fails loudly at plan time
   * (the Delta retention hazard, surfaced not swallowed).
   */
-class VersionedStream extends StreamSourceProvider {
+class VersionedStream extends StreamSourceProvider with StreamSinkProvider {
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .getOrElse(sys.error("VersionedStream: .option(\"path\", <table dir>) is required"))
+
+  /** SINK side: `writeStream.format(<this class>).option("path", dir)`
+    * lands each micro-batch as a versioned COMMIT — Append mode appends
+    * (O(batch) file writes, unchanged files shared), Complete mode
+    * snapshots the whole state per batch (the streaming-aggregate shape).
+    * Exactly-once for Append rides the (txnAppId, txnVersion) marker
+    * INSIDE the commit entry: appId derives from the checkpoint location,
+    * txnVersion is the batch id, so a replayed `addBatch` after a crash
+    * between data-commit and checkpoint-commit is recognized and skipped
+    * — the same device [[graft.streaming.StreamingMatview]] uses, now
+    * behind the standard DataStreamWriter API. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "VersionedStream sink: partitionBy is not supported — cluster with commitCompact instead")
+    val dir = dirOf(parameters)
+    val appId = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v }
+      .map(cp => s"graft-sink:${new Path(cp).toUri.getPath}")
+      .getOrElse(s"graft-sink:$dir")
+    new VersionedStream.VersionedTableSink(
+      sqlContext.sparkSession, dir, appId, outputMode)
+  }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
@@ -112,5 +136,30 @@ object VersionedStream {
     override def stop(): Unit = ()
 
     override def toString: String = s"VersionedTableSource[$dir]"
+  }
+
+  private[sources] class VersionedTableSink(spark: SparkSession, dir: String,
+      appId: String, mode: OutputMode) extends Sink {
+
+    override def addBatch(batchId: Long, data: DataFrame): Unit = {
+      // pin the batch to its planned rows and strip the streaming flag —
+      // the commit paths re-read STAGED files for constraint checks and
+      // must see exactly these rows
+      val batch = StreamShim.asBatch(data)
+      mode match {
+        case m if m == OutputMode.Append() =>
+          VersionedTable.commitAppend(spark, batch, dir, txn = Some((appId, batchId)))
+        case m if m == OutputMode.Complete() =>
+          // Complete rewrites the whole (small, aggregated) state each
+          // batch; a replay commits an identical snapshot — same content,
+          // one extra version (documented, like Delta's complete mode)
+          VersionedTable.commit(spark, batch, dir)
+        case other =>
+          sys.error(s"VersionedStream sink: unsupported output mode $other " +
+            "(Append and Complete are supported)")
+      }
+    }
+
+    override def toString: String = s"VersionedTableSink[$dir]"
   }
 }

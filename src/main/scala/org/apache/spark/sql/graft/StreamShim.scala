@@ -30,6 +30,18 @@ object StreamShim {
     Dataset.ofRows(df.sparkSession.asInstanceOf[ClassicSession], plan)
   }
 
+  /** Pin a sink-side micro-batch DataFrame to its already-planned rows and
+    * strip the streaming flag, so batch writers (`df.write`, a versioned
+    * commit) accept it — exactly `ForeachBatchSink`'s device: the batch's
+    * physical RDD wrapped in a fresh `LogicalRDD`. Without this, the
+    * DataFrame handed to `Sink.addBatch` re-analyzes as a streaming plan
+    * and every batch-only operation on it throws. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      df.queryExecution.toRdd, df.asInstanceOf[Dataset[_]], isStreaming = false)
+    Dataset.ofRows(df.sparkSession.asInstanceOf[ClassicSession], node)
+  }
+
   /** An empty streaming-flagged relation of `schema` — the "no files in
     * this batch" result. */
   def emptyStreaming(spark: org.apache.spark.sql.SparkSession, schema: StructType): DataFrame = {
