@@ -2898,6 +2898,54 @@ object SparkEntry {
         .orderBy("version", "c_custkey")
     }),
 
+    // -- DELETION VECTORS: merge-on-read DELETE ----------------------------
+    // Two DV deletes (no data file rewritten — O(deleted rows) sidecars
+    // only), then a copy-on-write UPDATE that must apply the masks while
+    // rewriting its touched files. The read path anti-joins (file, pos)
+    // against the sidecars; the oracle replays the whole history in SQL.
+    "q_versioned_dv" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), dir)
+      VersionedTable.commitDeleteDV(s, dir, pmod(col("c_custkey"), lit(13L)) === 0L)
+      VersionedTable.commitDeleteDV(s, dir, col("bal") < 0)
+      VersionedTable.commitUpdate(s, dir, pmod(col("c_custkey"), lit(7L)) === 0L,
+        Map("bal" -> (col("bal") + 100)))
+      VersionedTable.read(s, dir).orderBy("c_custkey")
+    }),
+
+    // -- DV change feed: a deletion-vector commit in the CDC span ----------
+    // The span crosses a DV delete; shared-file pruning must NOT prune the
+    // masked files (same file, different mask = changed rows), and the feed
+    // reports exactly the masked keys as removed.
+    "q_dv_changes" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dvc").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), dir)
+      VersionedTable.commitDeleteDV(s, dir, pmod(col("c_custkey"), lit(13L)) === 0L)
+      VersionedTable.changes(s, dir, 1L, 2L, Seq("c_custkey"), Seq("bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- MERGE-ON-READ UPDATE: DV-mask matched rows + append rewrites ------
+    // A DV delete, then an MoR update over the masked table (cond must see
+    // live rows only; SET evaluates against old values), then a read. Write
+    // cost O(matched rows); the oracle replays the history in SQL.
+    "q_versioned_update_mor" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mor").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c, dir)
+      VersionedTable.commitDeleteDV(s, dir, pmod(col("c_custkey"), lit(11L)) === 0L)
+      VersionedTable.commitUpdateDV(s, dir, col("bal") < 0,
+        Map("bal" -> (-col("bal"))))
+      VersionedTable.read(s, dir).orderBy("c_custkey")
+    }),
+
     // -- INCREMENTALLY-MAINTAINED MATERIALIZED AGGREGATE -------------------
     // Build the view at v0 (odd keys only), then refresh once after three
     // more source commits (evens appended, negative balances updated,
@@ -5047,6 +5095,26 @@ object SparkEntry {
         "CAST(CASE WHEN c_acctbal < 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS DOUBLE), " +
         "CAST(NULL AS DOUBLE) FROM customer WHERE c_custkey % 13 = 0 " +
         "ORDER BY version, c_custkey"),
+
+    "q_versioned_dv" ->
+      // replay: DV-delete %13 keys and negative balances (order-free:
+      // both conds read original values), then +100 on surviving %7 keys
+      ("SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + " +
+        "CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS bal " +
+        "FROM customer WHERE c_custkey % 13 <> 0 AND CAST(c_acctbal AS DOUBLE) >= 0 " +
+        "ORDER BY c_custkey"),
+
+    "q_dv_changes" ->
+      // the masked keys surface as 'removed' with their pre-delete balance
+      ("SELECT c_custkey, 2 AS version, 'removed' AS change_type, " +
+        "CAST(c_acctbal AS DOUBLE) AS bal_old, CAST(NULL AS DOUBLE) AS bal_new " +
+        "FROM customer WHERE c_custkey % 13 = 0 ORDER BY c_custkey"),
+
+    "q_versioned_update_mor" ->
+      // replay: drop %11 keys (DV delete), then flip surviving negative
+      // balances positive (MoR update reads the old value)
+      ("SELECT c_custkey, ABS(CAST(c_acctbal AS DOUBLE)) AS bal " +
+        "FROM customer WHERE c_custkey % 11 <> 0 ORDER BY c_custkey"),
 
     "q_matview_refresh" ->
       // the incremental state must equal the full recompute over the

@@ -102,30 +102,46 @@ object VersionedStream {
 
     override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
       val endV = versionOf(end)
-      val files: Seq[String] = start match {
-        case None => VersionedTable.filesOf(dir, endV) // initial snapshot
+      val emit: Seq[(String, Seq[String])] = start match {
+        case None => VersionedTable.entriesOf(dir, endV) // initial snapshot
         case Some(s) =>
           val startV = versionOf(s)
           (startV + 1 to endV).flatMap { v =>
             if (!VersionedTable.dataChanged(dir, v)) Nil // OPTIMIZE: skip
             else {
-              val prev  = VersionedTable.filesOf(dir, v - 1).toSet
-              val cur   = VersionedTable.filesOf(dir, v)
-              val added = cur.filterNot(prev)
-              if (cur.size - added.size < prev.size && !ignoreChanges)
-                sys.error(s"VersionedStream: version $v of $dir rewrote or " +
-                  "removed data files (UPDATE/DELETE/MERGE). A pure-append " +
-                  "stream cannot represent it; restart from a fresh " +
-                  "checkpoint, or set .option(\"ignoreChanges\", \"true\") " +
-                  "to re-emit rewritten files (downstream must be idempotent).")
-              added
+              val prev = VersionedTable.entriesOf(dir, v - 1)
+                .map { case (rel, dvs) => rel -> dvs.toSet }.toMap
+              val cur       = VersionedTable.entriesOf(dir, v)
+              val added     = cur.filterNot { case (rel, _) => prev.contains(rel) }
+              // a DV-only commit adds no files but removes rows — the same
+              // pure-append violation as a rewrite, detected at entry grain
+              val dvChanged = cur.filter { case (rel, dvs) =>
+                prev.get(rel).exists(_ != dvs.toSet) }
+              val removed   = prev.keySet -- cur.map(_._1)
+              if ((removed.nonEmpty || dvChanged.nonEmpty) && !ignoreChanges)
+                sys.error(s"VersionedStream: version $v of $dir rewrote, " +
+                  "removed, or deletion-vector-masked data files " +
+                  "(UPDATE/DELETE/MERGE). A pure-append stream cannot " +
+                  "represent it; restart from a fresh checkpoint, or set " +
+                  ".option(\"ignoreChanges\", \"true\") to re-emit changed " +
+                  "files' live rows (downstream must be idempotent).")
+              // under ignoreChanges, Delta's relaxation: re-emit the changed
+              // files' (masked) row sets alongside genuinely new files
+              added ++ (if (ignoreChanges) dvChanged else Nil)
             }
           }
       }
-      if (files.isEmpty) StreamShim.emptyStreaming(spark, schema)
-      else StreamShim.asStreaming(
-        spark.read.schema(schema).parquet(
-          files.map(rel => new Path(new Path(dir), rel).toString): _*))
+      if (emit.isEmpty) StreamShim.emptyStreaming(spark, schema)
+      else if (emit.forall(_._2.isEmpty))
+        StreamShim.asStreaming(
+          spark.read.schema(schema).parquet(
+            emit.map { case (rel, _) => new Path(new Path(dir), rel).toString }: _*))
+      else
+        // masked entries: the mask anti-join is a composite plan — pin it
+        // under one streaming-flagged node instead of re-flagging leaves
+        StreamShim.asStreamingPinned(
+          VersionedTable.readEntries(spark, dir, emit)
+            .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     }
 
     private def versionOf(o: Offset): Long = o match {

@@ -146,16 +146,23 @@ object VersionedStats {
   }
 
   /** Range read through the stats manifest: scan ONLY surviving files, then
-    * the exact residual predicate. Row-identical to a full-scan filter. */
+    * the exact residual predicate. Row-identical to a full-scan filter.
+    * Stats describe PHYSICAL files, so under deletion vectors min/max stay
+    * conservative (a masked row can only widen, never narrow, the range) —
+    * pruning is sound; the kept files then read through the version's DV
+    * masks so deleted rows never surface. */
   def readPruned(spark: SparkSession, dir: String,
       preds: Seq[(String, Column, Column)],
       version: Option[Long] = None): DataFrame = {
-    val (kept, _) = prunedFiles(spark, dir, preds, version)
+    val v = version.getOrElse(VersionedTable.latestVersion(dir).get)
+    val (kept, _) = prunedFiles(spark, dir, preds, Some(v))
     val base =
-      if (kept.isEmpty) {
-        val v = version.getOrElse(VersionedTable.latestVersion(dir).get)
-        VersionedTable.read(spark, dir, Some(v)).limit(0)
-      } else spark.read.parquet(kept.map(rel => new Path(new Path(dir), rel).toString): _*)
+      if (kept.isEmpty) VersionedTable.read(spark, dir, Some(v)).limit(0)
+      else {
+        val keptSet = kept.toSet
+        VersionedTable.readEntries(spark, dir,
+          VersionedTable.entriesOf(dir, v).filter(e => keptSet(e._1)))
+      }
     base.where(preds.map { case (c, lo, hi) => col(s"`$c`") >= lo && col(s"`$c`") <= hi }
       .reduce(_ && _))
   }

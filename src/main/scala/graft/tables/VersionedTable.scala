@@ -72,6 +72,41 @@ object VersionedTable {
       else Some(lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")))
     }
 
+  /** One data file of a version's manifest plus the DELETION VECTORS
+    * masking it: `dvs` are relative paths of skinny `(fname, pos)` parquet
+    * sidecars ([[commitDeleteDV]]); a row of the file is live iff its
+    * physical position appears in none of them. Files rewritten by
+    * copy-on-write start with `dvs = Nil`. */
+  final case class FileEntry(rel: String, dvs: List[String])
+
+  /** The `dv=<fileRel>|<dvRel>` lines of a commit entry, grouped by data
+    * file. Stacked deletes append lines for the same file, in commit
+    * order. */
+  private def dvLinesOf(dir: String, v: Long, ms: Long): Map[String, List[String]] =
+    FsIO.readText(commitEntry(dir, v, ms).toString).map { body =>
+      body.split("\n").toList.filter(_.startsWith("dv="))
+        .map(_.stripPrefix("dv=").split("\\|", 2))
+        .collect { case Array(f, d) => (f, d) }
+        .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
+    }.getOrElse(Map.empty)
+
+  /** Full (file, deletion-vector) entries of a committed version — manifest
+    * commits carry them explicitly; snapshot commits are DV-free by
+    * construction. No existence checks (log truth only); [[read]] and the
+    * scan paths check what they actually touch. */
+  private def entriesOfVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long, ms: Long): Seq[FileEntry] =
+    manifestOf(dir, v, ms) match {
+      case Some(rels) =>
+        val dvs = dvLinesOf(dir, v, ms)
+        rels.map(rel => FileEntry(rel, dvs.getOrElse(rel, Nil)))
+      case None =>
+        require(fs.exists(vDir(dir, v)), s"version $v of $dir was vacuumed")
+        fs.listStatus(vDir(dir, v)).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(s => FileEntry(f"v=$v%05d/${s.getPath.getName}", Nil))
+    }
+
   /** Stage the commit entry (with optional manifest lines and optional
     * idempotent-transaction marker) and rename it into the log — the atomic
     * commit point for both flavors. The txn marker riding IN the commit
@@ -80,6 +115,13 @@ object VersionedTable {
     * visible in one rename, so no crash window can separate them. */
   private def publishEntry(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       v: Long, rels: Option[Seq[String]], txn: Option[(String, Long)] = None,
+      dataChange: Boolean = true): Unit =
+    publishEntries(fs, dir, v, rels.map(_.map(FileEntry(_, Nil))), txn, dataChange)
+
+  /** Like [[publishEntry]] but carrying full (file, deletion-vector)
+    * entries — the manifest serialization both flavors share. */
+  private def publishEntries(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long, entries: Option[Seq[FileEntry]], txn: Option[(String, Long)] = None,
       dataChange: Boolean = true): Unit = {
     val ms       = System.currentTimeMillis()
     val entryTmp = new Path(logDir(dir), f"$v%05d-$ms%d.commit.tmp")
@@ -87,8 +129,9 @@ object VersionedTable {
       s"commitMs=$ms\n" +
         (if (dataChange) "" else "dataChange=false\n") +
         txn.map { case (app, tv) => s"txnApp=$app\ntxnVersion=$tv\n" }.getOrElse("") +
-        rels.map(rs =>
-          "kind=manifest\n" + rs.map(r => s"file=$r\n").mkString).getOrElse(""))
+        entries.map(es =>
+          "kind=manifest\n" + es.map(e => s"file=${e.rel}\n").mkString +
+            es.flatMap(e => e.dvs.map(d => s"dv=${e.rel}|$d\n")).mkString).getOrElse(""))
     if (!fs.rename(entryTmp, commitEntry(dir, v, ms)))
       sys.error(s"VersionedTable: could not commit log entry $v in $dir")
   }
@@ -125,18 +168,92 @@ object VersionedTable {
     * snapshot. Fails loudly if the version's data was vacuumed. */
   private def relsOfVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       v: Long, ms: Long): Seq[String] =
-    manifestOf(dir, v, ms) match {
-      case Some(rels) =>
-        val missing = rels.filterNot(rel => fs.exists(new Path(dir, rel)))
-        require(missing.isEmpty,
-          s"version $v of $dir was vacuumed (missing: ${missing.take(3).mkString(", ")})")
-        rels
-      case None =>
-        require(fs.exists(vDir(dir, v)), s"version $v of $dir was vacuumed")
-        fs.listStatus(vDir(dir, v)).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(s => f"v=$v%05d/${s.getPath.getName}")
+    checkedEntries(fs, dir, v, ms).map(_.rel)
+
+  /** [[entriesOfVersion]] with existence (vacuum) checks on every data AND
+    * deletion-vector file — the gate every scan path goes through. */
+  private def checkedEntries(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long, ms: Long): Seq[FileEntry] = {
+    val entries = entriesOfVersion(fs, dir, v, ms)
+    val missing = entries.flatMap(e => e.rel +: e.dvs)
+      .filterNot(rel => fs.exists(new Path(dir, rel)))
+    require(missing.isEmpty,
+      s"version $v of $dir was vacuumed (missing: ${missing.take(3).mkString(", ")})")
+    entries
+  }
+
+  // helper columns the masked scan materializes from the parquet reader's
+  // hidden `_metadata` struct; dropped before any caller-visible result
+  private val FnameCol = "__graft_dv_fname"
+  private val PosCol   = "__graft_dv_pos"
+
+  /** Past this many total deletion-vector BYTES, the mask anti-join stops
+    * hinting broadcast and lets AQE plan it (a shuffled anti-join on
+    * (fname, pos) — still O(deleted rows), never O(table)). */
+  val MaxBroadcastDvBytes: Long = 64L * 1024 * 1024
+
+  private def absOf(dir: String, rel: String) = new Path(new Path(dir), rel)
+  private def baseName(rel: String)           = new Path(rel).getName
+
+  /** DV-masked scan of `entries` with [[FnameCol]]/[[PosCol]] still
+    * attached (write paths key touched-file detection on them). Row
+    * identity: file base name + physical row index — base names are
+    * globally unique by construction (staged files carry a commit+UUID
+    * prefix; snapshot part files carry Spark's job UUID), and the check
+    * below makes the assumption loud rather than silent. */
+  private def scanEntriesMeta(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(entries.nonEmpty, s"VersionedTable: empty file manifest in $dir")
+    val names = entries.map(e => baseName(e.rel))
+    require(names.distinct.size == names.size,
+      s"VersionedTable: duplicate data-file base names in $dir manifest — " +
+        "deletion-vector row identity would be ambiguous")
+    val base = spark.read
+      .parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
+      .withColumn(FnameCol, element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val dvRels = entries.flatMap(_.dvs).distinct
+    if (dvRels.isEmpty) base
+    else {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dvBytes = dvRels.map(r => fs.getFileStatus(absOf(dir, r)).getLen).sum
+      val dv0 = spark.read.parquet(dvRels.map(r => absOf(dir, r).toString): _*)
+        .select(col("fname"), col("pos")).distinct()
+      val dv = if (dvBytes <= MaxBroadcastDvBytes) broadcast(dv0) else dv0
+      base.join(dv,
+        base(FnameCol) === dv("fname") && base(PosCol) === dv("pos"), "left_anti")
     }
+  }
+
+  /** DV-masked scan with the helper columns dropped — the caller-facing
+    * row set of `entries`. DV-free entries take the plain parquet path
+    * (zero plan overhead — the common case must not pay for the feature). */
+  private def scanEntries(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry]): DataFrame =
+    if (entries.forall(_.dvs.isEmpty)) {
+      require(entries.nonEmpty, s"VersionedTable: empty file manifest in $dir")
+      spark.read.parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
+    } else scanEntriesMeta(spark, dir, entries).drop(FnameCol, PosCol)
+
+  /** Public (file, deletion-vectors) entries of a committed version — what
+    * incremental consumers ([[graft.sources.VersionedStream]]) compare to
+    * detect DV-only commits that add no files but remove rows. */
+  def entriesOf(dir: String, v: Long): Seq[(String, Seq[String])] = {
+    val fs = new Path(dir).getFileSystem(FsIO.hadoopConf())
+    val entry = log(dir).find(_._1 == v)
+      .getOrElse(sys.error(s"VersionedTable.entriesOf: version $v does not exist in $dir"))
+    entriesOfVersion(fs, dir, v, entry._2).map(e => (e.rel, e.dvs))
+  }
+
+  /** DV-masked batch scan of an explicit entry subset (as returned by
+    * [[entriesOf]]) — the building block for pruned reads
+    * ([[VersionedStats.readPruned]]) and streaming emission, where the
+    * caller selects WHICH files to read but row-level masking must still
+    * apply. */
+  def readEntries(spark: SparkSession, dir: String,
+      entries: Seq[(String, Seq[String])]): DataFrame =
+    scanEntries(spark, dir, entries.map { case (rel, dvs) => FileEntry(rel, dvs.toList) })
 
   /** Write `df`'s parquet into a staging dir, then move each part file into
     * `<dir>/data/` under a version-prefixed UUID name (immutable once moved;
@@ -225,8 +342,9 @@ object VersionedTable {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     log(dir).filter { case (v, ms) =>
       manifestOf(dir, v, ms) match {
-        case Some(rels) => rels.forall(rel => fs.exists(new Path(dir, rel)))
-        case None       => fs.exists(vDir(dir, v))
+        case Some(_) => entriesOfVersion(fs, dir, v, ms)
+          .flatMap(e => e.rel +: e.dvs).forall(rel => fs.exists(new Path(dir, rel)))
+        case None    => fs.exists(vDir(dir, v))
       }
     }
   }
@@ -323,17 +441,18 @@ object VersionedTable {
         val committed = VersionedTable.log(dir)
         val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
           listVersionDirs(fs, dir)).max: Long) + 1
-        val prevRels = committed.lastOption
-          .map { case (v, ms) => relsOfVersion(fs, dir, v, ms) }
+        val prevEntries = committed.lastOption
+          .map { case (v, ms) => checkedEntries(fs, dir, v, ms) }
           .getOrElse(Seq.empty)
         // one footer read: the schema gate must not scan the table
-        prevRels.headOption.foreach { rel =>
+        prevEntries.headOption.foreach { e =>
           requireCompatibleSchema("commitAppend",
-            spark.read.parquet(new Path(new Path(dir), rel).toString).schema, df.schema)
+            spark.read.parquet(absOf(dir, e.rel).toString).schema, df.schema)
         }
         val newRels = stageDataFiles(fs, dir, df, next)
         validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
-        publishEntry(fs, dir, next, Some(prevRels ++ newRels), txn)
+        publishEntries(fs, dir, next,
+          Some(prevEntries ++ newRels.map(FileEntry(_, Nil))), txn)
         next
       }
     }
@@ -348,7 +467,7 @@ object VersionedTable {
       op: String, lockLeaseMs: Long,
       txn: Option[(String, Long)] = None): Long =
     FsIO.withWriteLock(dir, op, lockLeaseMs) {
-      import org.apache.spark.sql.functions.input_file_name
+      import org.apache.spark.sql.functions.col
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val replayed = txn.flatMap { case (app, tv) =>
         lastTxnVersion(dir, app).filter(_ >= tv) }
@@ -360,19 +479,21 @@ object VersionedTable {
         val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
           listVersionDirs(fs, dir)).max: Long) + 1
         val (pv, pms) = committed.last
-        val rels = relsOfVersion(fs, dir, pv, pms)
-        def absPathOf(rel: String) = new Path(new Path(dir), rel).toUri.getPath
-        val full = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
-        // which FILES contain a matching row — parquet stats prune the scan,
-        // and only (file-name) strings come back to the driver (O(files))
-        val touchedAbs = full.where(cond).select(input_file_name()).distinct()
-          .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
-        val (touched, untouched) = rels.partition(rel => touchedAbs.contains(absPathOf(rel)))
+        val entries = checkedEntries(fs, dir, pv, pms)
+        // which FILES contain a LIVE matching row — the DV-masked scan, so
+        // a row already deleted by a deletion vector can't drag its file
+        // into the rewrite; parquet stats still prune the cond scan, and
+        // only (file-name) strings come back to the driver (O(files))
+        val touchedNames = scanEntriesMeta(spark, dir, entries)
+          .where(cond).select(col(FnameCol)).distinct()
+          .collect().map(_.getString(0)).toSet
+        val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
         val newRels =
           if (touched.isEmpty) Seq.empty
           else {
-            val touchedDf = spark.read.parquet(
-              touched.map(rel => new Path(new Path(dir), rel).toString): _*)
+            // masked read: the rewrite sees only live rows, and the
+            // rewritten files shed their deletion vectors (materialized)
+            val touchedDf = scanEntries(spark, dir, touched)
             val rewritten = rewrite(touchedDf)
             // an UPDATE expression that silently changes a column's TYPE
             // would split the manifest's schema between rewritten and
@@ -386,7 +507,8 @@ object VersionedTable {
             else stageDataFiles(fs, dir, rewritten.coalesce(1), next)
           }
         validateStaged(spark, dir, newRels, op)
-        publishEntry(fs, dir, next, Some(untouched ++ newRels), txn)
+        publishEntries(fs, dir, next,
+          Some(untouched ++ newRels.map(FileEntry(_, Nil))), txn)
         next
       }
     }
@@ -426,6 +548,148 @@ object VersionedTable {
     copyOnWrite(spark, dir, cond, _.where(!cond), "VersionedTable.commitDelete",
       lockLeaseMs, txn)
 
+  /** DELETE via DELETION VECTORS (Delta's merge-on-read delete): instead of
+    * rewriting every file that holds a matching row (copy-on-write — write
+    * amplification ∝ touched FILE bytes), commit one skinny `(fname, pos)`
+    * sidecar listing the deleted rows' physical positions and attach it to
+    * the touched files' manifest entries. Write cost is **O(deleted rows)**
+    * no matter how the matches scatter: a 0.1% delete spread across every
+    * file of a 100 TB table — the case that makes copy-on-write rewrite
+    * nearly the whole corpus — commits in seconds. Readers anti-join the
+    * masked files' rows against the vectors on (file base name, physical
+    * row index), broadcast while the vectors are small; [[commitCompact]]
+    * materializes the masks away (merge-on-read's compaction discipline),
+    * and any copy-on-write rewrite of a masked file does the same for that
+    * file. Positions are physical (the parquet reader's `row_index`), so
+    * stacked DV deletes compose by union without rebasing.
+    *
+    * `cond` is evaluated against LIVE rows only — re-deleting an already
+    * masked row is a no-op by construction. A delete matching nothing still
+    * commits a (data-identical) version, like its CoW sibling. `txn` gives
+    * [[commitAppend]]'s replay idempotence. */
+  def commitDeleteDV(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      txn: Option[(String, Long)] = None): Long =
+    FsIO.withWriteLock(dir, "VersionedTable.commitDeleteDV", lockLeaseMs) {
+      import org.apache.spark.sql.functions.col
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val replayed = txn.flatMap { case (app, tv) =>
+        lastTxnVersion(dir, app).filter(_ >= tv) }
+      if (replayed.isDefined) latestVersion(dir).getOrElse(
+        sys.error(s"commitDeleteDV: txn marker without a committed version in $dir"))
+      else {
+        val committed = VersionedTable.log(dir)
+        require(committed.nonEmpty, s"commitDeleteDV: $dir has no committed version")
+        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+          listVersionDirs(fs, dir)).max: Long) + 1
+        val (pv, pms) = committed.last
+        val entries = checkedEntries(fs, dir, pv, pms)
+        val hits = scanEntriesMeta(spark, dir, entries).where(cond)
+          .select(col(FnameCol).as("fname"), col(PosCol).as("pos"))
+        // one skinny sidecar per commit (shared by every touched file's
+        // entry); a production port would shard past ~10^8 positions
+        val staged = stageDataFiles(fs, dir, hits.coalesce(1), next)
+        val touchedNames: Set[String] =
+          if (staged.isEmpty) Set.empty
+          else spark.read.parquet(staged.map(absOf(dir, _).toString): _*)
+            .select("fname").distinct().collect().map(_.getString(0)).toSet
+        if (touchedNames.isEmpty) {
+          // nothing matched: drop the empty sidecar (orphan either way) and
+          // commit the unchanged manifest — the truthful no-op version
+          staged.foreach(rel => fs.delete(absOf(dir, rel), false))
+          publishEntries(fs, dir, next, Some(entries), txn)
+        } else {
+          val dvRel = staged match {
+            case Seq(one) => one
+            case other => sys.error(
+              s"commitDeleteDV: expected one staged sidecar, got ${other.size}")
+          }
+          publishEntries(fs, dir, next, Some(entries.map(e =>
+            if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e)), txn)
+        }
+        next
+      }
+    }
+
+  /** UPDATE via DELETION VECTORS (merge-on-read UPDATE, Delta's
+    * `delta.enableDeletionVectors` update path): mask every matched row
+    * with a (fname, pos) sidecar — exactly [[commitDeleteDV]]'s device —
+    * and APPEND the rewritten rows as new files, all in one atomic
+    * manifest publish. Write cost is **O(matched rows)**, not O(touched
+    * FILE bytes): a 0.01% update scattered across every file of a 100 TB
+    * table appends megabytes where [[commitUpdate]] (copy-on-write) would
+    * rewrite the corpus. The price moves to read time (the mask
+    * anti-join) until [[commitCompact]] or any copy-on-write rewrite
+    * materializes the masks away.
+    *
+    * Every SET expression evaluates against the OLD row (one
+    * `withColumns`, no fold — same contract as [[commitUpdate]]), and
+    * `cond` sees LIVE rows only: a row already masked by a prior delete
+    * can neither update nor resurrect. A SET that changes a column's TYPE
+    * is refused — it would split the manifest's schema between appended
+    * and shared files. `txn` gives [[commitAppend]]'s replay idempotence. */
+  def commitUpdateDV(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      txn: Option[(String, Long)] = None): Long =
+    FsIO.withWriteLock(dir, "VersionedTable.commitUpdateDV", lockLeaseMs) {
+      import org.apache.spark.sql.functions.col
+      require(set.nonEmpty, "commitUpdateDV: empty SET clause")
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val replayed = txn.flatMap { case (app, tv) =>
+        lastTxnVersion(dir, app).filter(_ >= tv) }
+      if (replayed.isDefined) latestVersion(dir).getOrElse(
+        sys.error(s"commitUpdateDV: txn marker without a committed version in $dir"))
+      else {
+        val committed = VersionedTable.log(dir)
+        require(committed.nonEmpty, s"commitUpdateDV: $dir has no committed version")
+        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+          listVersionDirs(fs, dir)).max: Long) + 1
+        val (pv, pms) = committed.last
+        val entries = checkedEntries(fs, dir, pv, pms)
+        val masked  = scanEntriesMeta(spark, dir, entries)
+        set.keys.foreach { c =>
+          require(masked.columns.contains(c), s"commitUpdateDV: no column `$c` to set")
+        }
+        // matched rows materialize ONCE (they feed both the sidecar and the
+        // rewritten append) — O(matched rows), the operation's whole budget
+        val hits = masked.where(cond).localCheckpoint(true)
+        val staged = stageDataFiles(fs, dir,
+          hits.select(col(FnameCol).as("fname"), col(PosCol).as("pos")).coalesce(1), next)
+        val touchedNames: Set[String] =
+          if (staged.isEmpty) Set.empty
+          else spark.read.parquet(staged.map(absOf(dir, _).toString): _*)
+            .select("fname").distinct().collect().map(_.getString(0)).toSet
+        if (touchedNames.isEmpty) {
+          staged.foreach(rel => fs.delete(absOf(dir, rel), false))
+          publishEntries(fs, dir, next, Some(entries), txn)
+        } else {
+          val dvRel = staged match {
+            case Seq(one) => one
+            case other => sys.error(
+              s"commitUpdateDV: expected one staged sidecar, got ${other.size}")
+          }
+          // cond already filtered, so SET needs no when(cond) guard; the
+          // single withColumns still evaluates every expression against the
+          // OLD row (no assignment observes another's result)
+          val updated = hits
+            .withColumns(set.map { case (c, e) => c -> e })
+            .drop(FnameCol, PosCol)
+          requireCompatibleSchema("VersionedTable.commitUpdateDV",
+            masked.drop(FnameCol, PosCol).schema, updated.schema)
+          val newRels = stageDataFiles(fs, dir, updated, next)
+          validateStaged(spark, dir, newRels, "VersionedTable.commitUpdateDV")
+          publishEntries(fs, dir, next, Some(
+            entries.map(e =>
+              if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e) ++
+              newRels.map(FileEntry(_, Nil))), txn)
+        }
+        next
+      }
+    }
+
   /** Past this many distinct source keys, the merge probe stops collecting
     * keys for pushed-down file pruning and falls back to a keys-only scan
     * join (column pruning still reads just the key columns). */
@@ -461,13 +725,14 @@ object VersionedTable {
         val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
           listVersionDirs(fs, dir)).max: Long) + 1
         val (pv, pms) = committed.last
-        val rels = relsOfVersion(fs, dir, pv, pms)
-        def absPathOf(rel: String) = new Path(new Path(dir), rel).toUri.getPath
-        val full   = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+        val entries = checkedEntries(fs, dir, pv, pms)
+        // DV-masked probe: a row already deleted by a vector must not count
+        // as a match (its key is free for plain INSERT)
+        val full   = scanEntriesMeta(spark, dir, entries)
         val srcChk = source.localCheckpoint(true)
         val keyDf  = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
         val nKeys  = keyDf.count()
-        val touchedAbs: Set[String] = (
+        val touchedNames: Set[String] = (
           if (nKeys <= MaxMergeProbeKeys) {
             val keys = keyDf.collect()
             val coarse = keyCols.zipWithIndex.map { case (k, i) =>
@@ -482,25 +747,25 @@ object VersionedTable {
             full.where(coarse)
               .join(broadcast(keyLit),
                 keyCols.map(k => full(s"`$k`") <=> keyLit(s"`$k`")).reduce(_ && _), "left_semi")
-              .select(input_file_name()).distinct().collect()
+              .select(col(FnameCol)).distinct().collect()
           } else {
             full.as("t").join(keyDf.as("s"),
                 keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_semi")
-              .select(input_file_name()).distinct().collect()
+              .select(col(FnameCol)).distinct().collect()
           }
-        ).map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
-        val (touched, untouched) = rels.partition(rel => touchedAbs.contains(absPathOf(rel)))
+        ).map(_.getString(0)).toSet
+        val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
         val targetDf =
-          if (touched.isEmpty) full.limit(0)
-          else spark.read.parquet(touched.map(rel => new Path(new Path(dir), rel).toString): _*)
+          if (touched.isEmpty) full.drop(FnameCol, PosCol).limit(0)
+          else scanEntries(spark, dir, touched) // masked; rewrite sheds the DVs
         val merged = TableManager.mergeUpsert(targetDf, srcChk, keyCols)
         val staged = stageDataFiles(fs, dir, merged, next)
-        val manifest =
-          if (staged.nonEmpty || untouched.nonEmpty) untouched ++ staged
+        val newRels =
+          if (staged.nonEmpty || untouched.nonEmpty) staged
           else stageDataFiles(fs, dir, merged.coalesce(1), next)
-        validateStaged(spark, dir, manifest.filterNot(untouched.contains),
-          "VersionedTable.commitMerge")
-        publishEntry(fs, dir, next, Some(manifest), txn)
+        validateStaged(spark, dir, newRels, "VersionedTable.commitMerge")
+        publishEntries(fs, dir, next,
+          Some(untouched ++ newRels.map(FileEntry(_, Nil))), txn)
         next
       }
     }
@@ -535,8 +800,11 @@ object VersionedTable {
       val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
         listVersionDirs(fs, dir)).max: Long) + 1
       val (pv, pms) = committed.last
-      val rels = relsOfVersion(fs, dir, pv, pms)
-      val full = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+      val entries = checkedEntries(fs, dir, pv, pms)
+      // masked read: compaction MATERIALIZES deletion vectors away — the
+      // re-laid rows are the live rows, and the new entries carry no DVs
+      // (merge-on-read's compaction discipline)
+      val full = scanEntries(spark, dir, entries)
       val laid =
         if (clusterBy.isEmpty) full.repartition(targetFiles)
         else full.repartitionByRange(targetFiles,
@@ -546,7 +814,7 @@ object VersionedTable {
       // an empty table compacts to an empty manifest only if the previous
       // manifest was empty too — otherwise guarantee one schema-bearing file
       val staged =
-        if (newRels.nonEmpty || rels.isEmpty) newRels
+        if (newRels.nonEmpty || entries.isEmpty) newRels
         else stageDataFiles(fs, dir, laid.coalesce(1), next)
       publishEntry(fs, dir, next, Some(staged), dataChange = false)
       next
@@ -572,10 +840,12 @@ object VersionedTable {
       val entry = committed.find(_._1 == toVersion).getOrElse(sys.error(
         s"commitRestore: version $toVersion does not exist in $dir " +
           s"(committed: ${committed.map(_._1).mkString(", ")})"))
-      val rels = relsOfVersion(fs, dir, toVersion, entry._2) // loud on vacuumed data
+      // loud on vacuumed data; deletion vectors restore verbatim with
+      // their files (the restored version's row set includes its masks)
+      val entries = checkedEntries(fs, dir, toVersion, entry._2)
       val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
         listVersionDirs(fs, dir)).max: Long) + 1
-      publishEntry(fs, dir, next, Some(rels))
+      publishEntries(fs, dir, next, Some(entries))
       next
     }
 
@@ -617,15 +887,18 @@ object VersionedTable {
       val v = version.getOrElse(srcCommitted.last._1)
       val entry = srcCommitted.find(_._1 == v).getOrElse(sys.error(
         s"clone: version $v does not exist in $srcDir"))
-      val srcFs   = new Path(srcDir).getFileSystem(conf)
-      val srcRels = relsOfVersion(srcFs, srcDir, v, entry._2)
-      val rels =
+      val srcFs      = new Path(srcDir).getFileSystem(conf)
+      val srcEntries = checkedEntries(srcFs, srcDir, v, entry._2)
+      val cloned =
         if (!deep) // absolute entries: Path(dst, abs) resolves to abs —
-          // every existing read/DML/vacuum path handles them unchanged
-          srcRels.map(rel => new Path(new Path(srcDir), rel).toUri.getPath)
+          // every existing read/DML/vacuum path handles them unchanged.
+          // Deletion vectors clone shallowly too (same hazard, same cure).
+          srcEntries.map(e => FileEntry(
+            new Path(new Path(srcDir), e.rel).toUri.getPath,
+            e.dvs.map(d => new Path(new Path(srcDir), d).toUri.getPath)))
         else {
           fs.mkdirs(dataDir(dstDir))
-          srcRels.map { rel =>
+          def copyIn(rel: String): String = {
             val from = new Path(new Path(srcDir), rel)
             val name = f"c$v%05d-${java.util.UUID.randomUUID().toString.take(8)}-${from.getName}"
             if (!org.apache.hadoop.fs.FileUtil.copy(
@@ -633,8 +906,25 @@ object VersionedTable {
               sys.error(s"cloneDeep: could not copy $from into $dstDir")
             s"data/$name"
           }
+          val dataCopied = srcEntries.map(e => e.rel -> copyIn(e.rel)).toMap
+          // dv sidecars key rows by (file BASE NAME, position); the copy
+          // renames every data file, so each sidecar (copied once — they're
+          // shared across entries) is REWRITTEN with the clone's names.
+          // Positions survive verbatim: the data copy is byte-identical.
+          val renamed = dataCopied.map { case (o, n) => baseName(o) -> baseName(n) }
+          val remap = org.apache.spark.sql.functions.udf(
+            (f: String) => renamed.getOrElse(f, f))
+          val dvCopied = srcEntries.flatMap(_.dvs).distinct.map { d =>
+            val rewritten = spark.read.parquet(new Path(new Path(srcDir), d).toString)
+              .withColumn("fname", remap(org.apache.spark.sql.functions.col("fname")))
+            d -> (stageDataFiles(fs, dstDir, rewritten.coalesce(1), v) match {
+              case Seq(one) => one
+              case other    => sys.error(s"cloneDeep: sidecar $d staged ${other.size} files")
+            })
+          }.toMap
+          srcEntries.map(e => FileEntry(dataCopied(e.rel), e.dvs.map(dvCopied)))
         }
-      publishEntry(fs, dstDir, 0L, Some(rels))
+      publishEntries(fs, dstDir, 0L, Some(cloned))
       0L
     }
 
@@ -653,11 +943,13 @@ object VersionedTable {
     manifestOf(dir, v, entry.get._2) match {
       case Some(rels) =>
         require(rels.nonEmpty, s"version $v of $dir committed no data files")
-        val missing = rels.filterNot(rel => fs.exists(new Path(dir, rel)))
+        val entries = entriesOfVersion(fs, dir, v, entry.get._2)
+        val missing = entries.flatMap(e => e.rel +: e.dvs)
+          .filterNot(rel => fs.exists(new Path(dir, rel)))
         require(missing.isEmpty,
           s"version $v of $dir was vacuumed " +
             s"(data retained for: ${versions(spark, dir).map(_._1).mkString(", ")})")
-        spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+        scanEntries(spark, dir, entries) // DV-masked; plain path when DV-free
       case None =>
         require(fs.exists(vDir(dir, v)),
           s"version $v of $dir was vacuumed " +
@@ -695,8 +987,12 @@ object VersionedTable {
       // directory an incremental commit references into) lives as long as
       // ANY retained version lists it — sharing means deletion must check
       // every retained manifest, not just the version being dropped.
+      // Deletion-vector sidecars refcount exactly like data files: a DV
+      // lives as long as any retained entry masks through it.
       val keepRels: Set[String] = committed.filter(e => keep(e._1))
-        .flatMap { case (v, ms) => manifestOf(dir, v, ms).getOrElse(Seq.empty) }.toSet
+        .flatMap { case (v, ms) =>
+          manifestOf(dir, v, ms).getOrElse(Seq.empty) ++
+            dvLinesOf(dir, v, ms).values.flatten }.toSet
       // legacy snapshot dirs: droppable only when not retained AND no
       // retained manifest references a file inside them
       val legacyDrop = listVersionDirs(fs, dir).filterNot(keep)
@@ -832,38 +1128,35 @@ object VersionedTable {
     require(keyCols.nonEmpty, "diff needs at least one key column")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = VersionedTable.log(dir)
-    def relsOf(v: Long): Seq[String] = {
+    def entriesAt(v: Long): Seq[FileEntry] = {
       val entry = committed.find(_._1 == v)
       require(entry.isDefined,
         s"version $v does not exist (committed: ${committed.map(_._1).mkString(", ")})")
-      manifestOf(dir, v, entry.get._2) match {
-        case Some(rels) => rels
-        case None =>
-          require(fs.exists(vDir(dir, v)), s"version $v of $dir was vacuumed")
-          fs.listStatus(vDir(dir, v)).toSeq
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .map(s => f"v=$v%05d/${s.getPath.getName}")
-      }
+      entriesOfVersion(fs, dir, v, entry.get._2)
     }
-    val relsA  = relsOf(vFrom)
-    val relsB  = relsOf(vTo)
-    val shared = relsA.toSet.intersect(relsB.toSet)
-    def scan(rels: Seq[String]): DataFrame = {
-      val excl = rels.filterNot(shared)
-      val missing = excl.filterNot(rel => fs.exists(new Path(dir, rel)))
+    val entriesA = entriesAt(vFrom)
+    val entriesB = entriesAt(vTo)
+    // the share key is (file, dv set): a file listed by both versions but
+    // masked DIFFERENTLY holds changed rows and must stay in both scans
+    def keyOf(e: FileEntry)          = (e.rel, e.dvs.toSet)
+    val shared: Set[(String, Set[String])] =
+      entriesA.map(keyOf).toSet.intersect(entriesB.map(keyOf).toSet)
+    def scan(entries: Seq[FileEntry]): DataFrame = {
+      val excl = entries.filterNot(e => shared(keyOf(e)))
+      val missing = excl.flatMap(e => e.rel +: e.dvs)
+        .filterNot(rel => fs.exists(new Path(dir, rel)))
       require(missing.isEmpty,
         s"diff: data files of $dir were vacuumed (missing: ${missing.take(3).mkString(", ")})")
-      if (excl.nonEmpty)
-        spark.read.parquet(excl.map(rel => new Path(new Path(dir), rel).toString): _*)
+      if (excl.nonEmpty) scanEntries(spark, dir, excl) // DV-masked per side
       else {
         // schema-only touch of one shared file (footer read, no row scan —
         // limit 0 collapses to an empty LocalRelation before any I/O)
-        require(rels.nonEmpty, s"diff: version has no data files in $dir")
-        spark.read.parquet(new Path(new Path(dir), rels.head).toString).limit(0)
+        require(entries.nonEmpty, s"diff: version has no data files in $dir")
+        spark.read.parquet(absOf(dir, entries.head.rel).toString).limit(0)
       }
     }
-    val a = scan(relsA)
-    val b = scan(relsB)
+    val a = scan(entriesA)
+    val b = scan(entriesB)
     require(keyCols.forall(a.columns.contains) && keyCols.forall(b.columns.contains),
       s"key columns ${keyCols.mkString(",")} must exist in both versions")
     (a, b)

@@ -30,6 +30,18 @@ object StreamShim {
     Dataset.ofRows(df.sparkSession.asInstanceOf[ClassicSession], plan)
   }
 
+  /** Like [[asStreaming]] but for a COMPOSITE batch plan (e.g. a
+    * deletion-vector-masked scan — data scan anti-joined to its DV
+    * sidecars): re-flagging every leaf would turn the mask join into a
+    * stream-stream join, so instead the whole planned RDD is pinned under
+    * one streaming-flagged `LogicalRDD`. Nothing executes here — the RDD
+    * DAG is built lazily, the sink drives it. */
+  def asStreamingPinned(df: DataFrame): DataFrame = {
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      df.queryExecution.toRdd, df.asInstanceOf[Dataset[_]], isStreaming = true)
+    Dataset.ofRows(df.sparkSession.asInstanceOf[ClassicSession], node)
+  }
+
   /** Pin a sink-side micro-batch DataFrame to its already-planned rows and
     * strip the streaming flag, so batch writers (`df.write`, a versioned
     * commit) accept it — exactly `ForeachBatchSink`'s device: the batch's
