@@ -151,6 +151,21 @@ object ScaleBench {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Bytes newly staged by version `v` of a versioned table: data files +
+    * DV sidecars in v's manifest but not v-1's — a commit's physical write
+    * amplification. */
+  private def morStagedBytes(s: SparkSession, dir: String, v: Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def all(ver: Long) =
+      tables.VersionedTable.entriesOf(dir, ver).flatMap(e => e._1 +: e._2)
+    val prev = all(v - 1).toSet
+    all(v).distinct.filterNot(prev).map { rel =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir), rel)).getLen
+    }.sum
+  }
+
   /** (name, fn(spark, dir, factor) => result-to-count). Knob formulas in
     * the scaladoc above; each mirrors its declared q_* twin's plan. */
   private def workloads: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
@@ -344,6 +359,66 @@ object ScaleBench {
       val work = s"$d/matview_mm"
       tables.MaterializedAgg.refresh(s, s"$work/view")
       tables.MaterializedAgg.read(s, s"$work/view")
+    }),
+
+    // The delete/update rows report their WRITE AMPLIFICATION in the rows
+    // field: rows = bytes newly staged by that commit (data files + DV
+    // sidecars not in the previous manifest) — wall clock hides the
+    // rewrite behind the page cache at local scale; bytes don't lie.
+    // merge-on-read vs copy-on-write write amplification. A fixed-RATE
+    // (~0.1%) delete scattered across EVERY file — the adversarial case
+    // for copy-on-write, which must rewrite every touched file (∝ TABLE
+    // bytes) while the DV path writes one (fname, pos) sidecar
+    // (∝ DELETED rows). Both pay the same O(table) predicate scan, so the
+    // dv row's wall tracks the scan alone and the cow/dv wall RATIO is the
+    // measured write amplification. Build (two identical tables, ∝F each)
+    // is measured separately; OrderStride % 1000 == 0 keeps the scatter
+    // uniform across copies.
+    "mor_build" -> ((s, d, f) => {
+      val work = s"$d/mor"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(work), true)
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("price"))
+        .repartitionByRange(4 * f, col("o_orderkey"))
+      tables.VersionedTable.commitAppend(s, o, s"$work/dv")
+      tables.VersionedTable.commitAppend(s, o, s"$work/cow")
+      s.range(1).toDF("ok")
+    }),
+
+    "mor_delete_dv" -> ((s, d, _) => {
+      val v = tables.VersionedTable.commitDeleteDV(s, s"$d/mor/dv",
+        col("o_orderkey") % 1000 === 7)
+      s.range(morStagedBytes(s, s"$d/mor/dv", v)).toDF("staged_bytes")
+    }),
+
+    "mor_delete_cow" -> ((s, d, _) => {
+      val v = tables.VersionedTable.commitDelete(s, s"$d/mor/cow",
+        col("o_orderkey") % 1000 === 7)
+      s.range(morStagedBytes(s, s"$d/mor/cow", v)).toDF("staged_bytes")
+    }),
+
+    // read-path price of the masks: a real aggregate scan (sum — a bare
+    // count() would let the plain side answer from parquet footers and
+    // compare a scan against no scan) of the DV table (anti-join against a
+    // ~0.1% sidecar, broadcast) vs the already-materialized cow table —
+    // the dv read must stay within a small constant of the plain one at
+    // every F
+    "mor_read_masked" -> ((s, d, _) =>
+      tables.VersionedTable.read(s, s"$d/mor/dv")
+        .agg(org.apache.spark.sql.functions.sum("price").as("s"))),
+
+    "mor_read_plain" -> ((s, d, _) =>
+      tables.VersionedTable.read(s, s"$d/mor/cow")
+        .agg(org.apache.spark.sql.functions.sum("price").as("s"))),
+
+    // merge-on-read UPDATE: same scatter rate, SET price = O(matched rows)
+    // appended + one sidecar; compare with mor_delete_cow's rewrite wall
+    "mor_update_dv" -> ((s, d, _) => {
+      val v = tables.VersionedTable.commitUpdateDV(s, s"$d/mor/dv",
+        col("o_orderkey") % 1000 === 57, Map("price" -> (col("price") + 1.0)))
+      s.range(morStagedBytes(s, s"$d/mor/dv", v)).toDF("staged_bytes")
     }),
 
     // trigger SIZE ∝ F (constant trigger count): per-byte streaming cost

@@ -211,20 +211,36 @@ object VersionedTable {
         "deletion-vector row identity would be ambiguous")
     val base = spark.read
       .parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
-      .withColumn(FnameCol, element_at(split(col("_metadata.file_path"), "/"), -1))
+      // substring_index, not split+element_at: the basename is computed per
+      // ROW of the big side; split allocates a segment array per row
+      .withColumn(FnameCol, substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn(PosCol, col("_metadata.row_index"))
     val dvRels = entries.flatMap(_.dvs).distinct
     if (dvRels.isEmpty) base
     else {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dvBytes = dvRels.map(r => fs.getFileStatus(absOf(dir, r)).getLen).sum
-      val dv0 = spark.read.parquet(dvRels.map(r => absOf(dir, r).toString): _*)
-        .select(col("fname"), col("pos")).distinct()
+      val dvRaw = spark.read.parquet(dvRels.map(r => absOf(dir, r).toString): _*)
+      // sidecars are shared per-commit, so a PRUNED scan (few entries)
+      // would otherwise pay for every other file's positions too — push an
+      // fname IN-filter into the sidecar read (sidecars are written
+      // fname-sorted, so parquet stats prune at row-group grain). Skipped
+      // past the bound: a near-full scan prunes nothing and a huge In
+      // bloats the plan.
+      val dvPruned =
+        if (names.size <= MaxDvPruneFiles)
+          dvRaw.where(col("fname").isInCollection(names))
+        else dvRaw
+      val dv0 = dvPruned.select(col("fname"), col("pos")).distinct()
       val dv = if (dvBytes <= MaxBroadcastDvBytes) broadcast(dv0) else dv0
       base.join(dv,
         base(FnameCol) === dv("fname") && base(PosCol) === dv("pos"), "left_anti")
     }
   }
+
+  /** Past this many scanned files, the sidecar fname IN-filter is skipped
+    * (see [[scanEntriesMeta]]). */
+  val MaxDvPruneFiles: Int = 1000
 
   /** DV-masked scan with the helper columns dropped — the caller-facing
     * row set of `entries`. DV-free entries take the plain parquet path
@@ -588,8 +604,11 @@ object VersionedTable {
         val hits = scanEntriesMeta(spark, dir, entries).where(cond)
           .select(col(FnameCol).as("fname"), col(PosCol).as("pos"))
         // one skinny sidecar per commit (shared by every touched file's
-        // entry); a production port would shard past ~10^8 positions
-        val staged = stageDataFiles(fs, dir, hits.coalesce(1), next)
+        // entry), fname-sorted so masked scans' pushed IN-filters prune it
+        // at row-group grain; a production port would shard past ~10^8
+        // positions
+        val staged = stageDataFiles(fs, dir,
+          hits.coalesce(1).sortWithinPartitions("fname", "pos"), next)
         val touchedNames: Set[String] =
           if (staged.isEmpty) Set.empty
           else spark.read.parquet(staged.map(absOf(dir, _).toString): _*)
@@ -657,7 +676,8 @@ object VersionedTable {
         // rewritten append) — O(matched rows), the operation's whole budget
         val hits = masked.where(cond).localCheckpoint(true)
         val staged = stageDataFiles(fs, dir,
-          hits.select(col(FnameCol).as("fname"), col(PosCol).as("pos")).coalesce(1), next)
+          hits.select(col(FnameCol).as("fname"), col(PosCol).as("pos"))
+            .coalesce(1).sortWithinPartitions("fname", "pos"), next)
         val touchedNames: Set[String] =
           if (staged.isEmpty) Set.empty
           else spark.read.parquet(staged.map(absOf(dir, _).toString): _*)
@@ -686,6 +706,46 @@ object VersionedTable {
               if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e) ++
               newRels.map(FileEntry(_, Nil))), txn)
         }
+        next
+      }
+    }
+
+  /** Merge every masked file's stacked deletion-vector sidecars into ONE
+    * (fname, pos)-sorted sidecar for the whole table — a metadata-only
+    * maintenance commit (dataChange=false, invisible to the change feed,
+    * skipped by streaming tails). Each DV delete/update stacks one more
+    * sidecar onto the files it touches; after K of them a masked scan
+    * opens K small files. This bounds that at 1 without touching a single
+    * data file — O(deleted rows) total, where [[commitCompact]] (which
+    * also materializes masks) pays O(table). The sort gives the merged
+    * sidecar per-row-group fname min/max stats, so pruned masked scans
+    * skip other files' positions. No-op (current version, no commit) when
+    * nothing would shrink. */
+  def compactDeletionVectors(spark: SparkSession, dir: String,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    FsIO.withWriteLock(dir, "VersionedTable.compactDeletionVectors", lockLeaseMs) {
+      import org.apache.spark.sql.functions.col
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = VersionedTable.log(dir)
+      require(committed.nonEmpty,
+        s"compactDeletionVectors: $dir has no committed version")
+      val (pv, pms) = committed.last
+      val entries = checkedEntries(fs, dir, pv, pms)
+      val dvRels = entries.flatMap(_.dvs).distinct
+      if (dvRels.size <= 1 && entries.forall(_.dvs.size <= 1)) pv // already compact
+      else {
+        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+          listVersionDirs(fs, dir)).max: Long) + 1
+        val merged = spark.read.parquet(dvRels.map(r => absOf(dir, r).toString): _*)
+          .select(col("fname"), col("pos")).distinct()
+          .coalesce(1).sortWithinPartitions("fname", "pos")
+        val dvRel = stageDataFiles(fs, dir, merged, next) match {
+          case Seq(one) => one
+          case other => sys.error(
+            s"compactDeletionVectors: expected one staged sidecar, got ${other.size}")
+        }
+        publishEntries(fs, dir, next, Some(entries.map(e =>
+          if (e.dvs.nonEmpty) e.copy(dvs = List(dvRel)) else e)), dataChange = false)
         next
       }
     }

@@ -163,6 +163,29 @@ class DeletionVectorSpec extends SparkSpec {
       "dataChange=false re-layout is invisible to the change feed")
   }
 
+  test("compactDeletionVectors merges stacked sidecars to one; no data file touched") {
+    import spark.implicits._
+    val dir = root() + "/t"
+    VersionedTable.commitAppend(spark,
+      (1L to 60L).map(i => (i, i * 1.0)).toDF("id", "v").repartition(3), dir)
+    VersionedTable.commitDeleteDV(spark, dir, col("id") % 4 === 0)
+    VersionedTable.commitDeleteDV(spark, dir, col("id") % 9 === 0)
+    VersionedTable.commitDeleteDV(spark, dir, col("id") === 1L)
+    val before = dataEntries(dir, 3L)
+    assert(before.map(_._2.size).max >= 2, "sidecars stacked before compaction")
+    val expected = VersionedTable.read(spark, dir).as[(Long, Double)].collect().toSet
+    val vc = VersionedTable.compactDeletionVectors(spark, dir)
+    val after = dataEntries(dir, vc)
+    assert(after.map(_._1) == before.map(_._1), "data files untouched")
+    assert(after.filter(_._2.nonEmpty).forall(_._2.size == 1) &&
+      after.flatMap(_._2).distinct.size == 1, "one merged sidecar for the table")
+    assert(VersionedTable.read(spark, dir).as[(Long, Double)].collect().toSet == expected)
+    // dataChange=false: invisible to the change feed
+    assert(VersionedTable.changes(spark, dir, 3L, vc, Seq("id"), Seq("v")).count() == 0L)
+    // idempotent: a second call is a no-op returning the current version
+    assert(VersionedTable.compactDeletionVectors(spark, dir) == vc)
+  }
+
   test("diff and changes report DV-deleted rows as removed, O(changed entries)") {
     import spark.implicits._
     val dir = root() + "/t"
