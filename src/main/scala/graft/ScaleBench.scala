@@ -421,6 +421,43 @@ object ScaleBench {
       s.range(morStagedBytes(s, s"$d/mor/dv", v)).toDF("staged_bytes")
     }),
 
+    // delta-encoded log: commit METADATA cost for a fixed change on a table
+    // whose FILE COUNT grows ∝F. Build a 16F-file table (v0 full manifest),
+    // then take 8 one-file appends — all within one delta chain (below the
+    // checkpoint interval). rows = total log bytes those 8 appends wrote:
+    // FLAT (~8 × one add-line) where the full-manifest encoding paid
+    // 8 × 16F file-lines (∝F). The checkpoint the 10th commit would write
+    // amortizes that full cost over the interval — the Delta-log
+    // actions+checkpoint architecture, measured.
+    "deltalog_append" -> ((s, d, f) => {
+      val work = s"$d/dlog/t"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/dlog"), true)
+      val o = t(s, d, "orders").select("o_orderkey").repartition(16 * f)
+      tables.VersionedTable.commitAppend(s, o, work) // v0: 16F-file full manifest
+      val ld = new org.apache.hadoop.fs.Path(work, "_log")
+      def logBytes() = fs.listStatus(ld).map(_.getLen).sum
+      val before = logBytes()
+      (0 until 8).foreach { i =>
+        tables.VersionedTable.commitAppend(s,
+          s.range(i, i + 1).select(col("id").as("o_orderkey")), work)
+      }
+      s.range(logBytes() - before).toDF("log_bytes")
+    }),
+
+    // the read side of the same claim: resolving the LATEST version after
+    // the appends replays ≤ interval delta entries from the v0 anchor —
+    // wall is metadata-bound and must stay near-flat while the manifest it
+    // reconstructs grows ∝F (rows = resolved file count, the ∝F sanity
+    // check that the resolution actually saw the whole table)
+    "deltalog_resolve" -> ((s, d, f) => {
+      val work = s"$d/dlog/t"
+      val v = tables.VersionedTable.latestVersion(work).getOrElse(
+        sys.error("deltalog_resolve: run deltalog_append first"))
+      s.range(tables.VersionedTable.filesOf(work, v).size.toLong).toDF("n_files")
+    }),
+
     // trigger SIZE ∝ F (constant trigger count): per-byte streaming cost
     "stream_near_dedup" -> ((s, d, f) => {
       val work   = java.nio.file.Files.createTempDirectory("graft_scale_snd").toString

@@ -2946,6 +2946,34 @@ object SparkEntry {
       VersionedTable.read(s, dir).orderBy("c_custkey")
     }),
 
+    // -- DELTA-ENCODED LOG: a 14-commit chain across a checkpoint ----------
+    // 12 key-sliced appends (v0 full manifest, v1..v9 O(change) delta
+    // entries, v10 forced full checkpoint, v11 delta), then a DV delete and
+    // a copy-on-write update — the final read resolves anchor + replay and
+    // must equal DuckDB replaying the same history in SQL. Commit METADATA
+    // stays O(change) between checkpoints: the log-architecture property
+    // that lets a million-file table take a one-file append without
+    // rewriting a million manifest lines.
+    "q_versioned_deltalog" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dlog").toString + "/t"
+      // integer cents: the sum is exact and order-free, so the driver hash
+      // is bit-identical cross-engine (the round-2 decimal rule)
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+      (0 until 12).foreach { i =>
+        VersionedTable.commitAppend(s, o.where(pmod(col("o_orderkey"), lit(12L)) === i), dir)
+      }
+      VersionedTable.commitDeleteDV(s, dir,
+        pmod(col("o_orderkey"), lit(5L)) === 0L && col("o_orderstatus") === "F")
+      VersionedTable.commitUpdate(s, dir, col("o_orderpriority") === "1-URGENT",
+        Map("cents" -> (col("cents") + lit(100L))))
+      VersionedTable.read(s, dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("sum_cents"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // -- INCREMENTALLY-MAINTAINED MATERIALIZED AGGREGATE -------------------
     // Build the view at v0 (odd keys only), then refresh once after three
     // more source commits (evens appended, negative balances updated,
@@ -5115,6 +5143,15 @@ object SparkEntry {
       // balances positive (MoR update reads the old value)
       ("SELECT c_custkey, ABS(CAST(c_acctbal AS DOUBLE)) AS bal " +
         "FROM customer WHERE c_custkey % 11 <> 0 ORDER BY c_custkey"),
+
+    "q_versioned_deltalog" ->
+      // replay the 14-commit history: union of the 12 slices = all orders;
+      // DV-delete (%5, status F); +100 cents on urgent-priority prices
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) + " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 100 ELSE 0 END) AS BIGINT) AS sum_cents " +
+        "FROM orders WHERE NOT (o_orderkey % 5 = 0 AND o_orderstatus = 'F') " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q_matview_refresh" ->
       // the incremental state must equal the full recompute over the

@@ -57,6 +57,12 @@ object FsIO {
   /** A held write lease (see [[acquireWriteLock]]). */
   final case class WriteLock private[FsIO] (path: Path, owner: String)
 
+  /** A LIVE holder owns the lease — thrown (never silently waited out) by
+    * [[acquireWriteLock]]. Typed so callers with a SHORT critical section
+    * ([[withWriteLockRetry]]) can distinguish "busy, try again shortly"
+    * from real failures; long-swap callers keep failing loudly. */
+  final class LockBusy(msg: String) extends RuntimeException(msg)
+
   /** Acquire an exclusive write lease for `dir` — the concurrent-writer
     * guard for the rename-swap protocols (compact/zorder/upsertPartitioned):
     * two writers interleaving `swapDir`'s stage/rename steps can corrupt
@@ -123,7 +129,7 @@ object FsIO {
         .map(System.currentTimeMillis() - _)
       if (ageMs.isEmpty || ageMs.exists(_ <= staleMs)) {
         if (ageMs.isEmpty && tryCreate()) return WriteLock(lock, owner)
-        sys.error(s"$label: ${new Path(dir).getName} is being written by another " +
+        throw new LockBusy(s"$label: ${new Path(dir).getName} is being written by another " +
           s"writer (label=${fields.getOrElse("label", "?")}, lock age " +
           s"${ageMs.map(_.toString).getOrElse("unknown")} ms, lease $staleMs ms) — " +
           "concurrent swap would corrupt the target; retry after it finishes or " +
@@ -159,5 +165,28 @@ object FsIO {
   def withWriteLock[A](dir: String, label: String, staleMs: Long)(body: => A): A = {
     val l = acquireWriteLock(dir, label, staleMs)
     try body finally releaseWriteLock(l)
+  }
+
+  /** Like [[withWriteLock]] but retrying on a LIVE contender (jittered
+    * ~50–100 ms polls up to `maxWaitMs`). ONLY for bodies whose hold is
+    * O(metadata) — the lock-free append's publish tail, where the holder
+    * ahead is guaranteed to release within milliseconds and erroring out
+    * would make concurrent appenders flaky for no reason. Long swaps keep
+    * [[withWriteLock]]'s fail-loud semantics: waiting minutes for a rival
+    * compaction is a pipeline stall better surfaced than absorbed. */
+  def withWriteLockRetry[A](dir: String, label: String, staleMs: Long,
+      maxWaitMs: Long)(body: => A): A = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var backoff  = 50L
+    while (true) {
+      try return withWriteLock(dir, label, staleMs)(body)
+      catch {
+        case e: LockBusy =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(backoff + scala.util.Random.nextLong(backoff))
+          backoff = math.min(backoff * 2, 400L)
+      }
+    }
+    sys.error("unreachable")
   }
 }

@@ -31,13 +31,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (`01. Ingest.py:176-189` rewrites whole tables per run), where Delta
   *    itself would also rewrite the data files.
   *  - **Incremental** ([[commitAppend]] / [[commitUpdate]] /
-  *    [[commitDelete]]): the commit entry carries a MANIFEST (`file=<rel>`
-  *    lines) and versions SHARE unchanged data files — append writes only
-  *    the new rows' files; update/delete rewrite only the files that
-  *    actually contain matching rows (file-level copy-on-write, the Delta
-  *    MERGE discipline). COMMIT cost is O(change), never O(table) — the
-  *    property that makes versioning affordable on a 100 TB corpus, where
-  *    a daily append must not re-copy the year.
+  *    [[commitDelete]]): the commit entry carries a MANIFEST and versions
+  *    SHARE unchanged data files — append writes only the new rows' files;
+  *    update/delete rewrite only the files that actually contain matching
+  *    rows (file-level copy-on-write, the Delta MERGE discipline). COMMIT
+  *    cost is O(change), never O(table) — the property that makes
+  *    versioning affordable on a 100 TB corpus, where a daily append must
+  *    not re-copy the year.
+  *
+  * Manifests are DELTA-ENCODED with periodic checkpoints (the Delta-log
+  * actions + checkpoint-parquet architecture): between checkpoints a
+  * commit entry carries only its own actions (`add=`/`remove=` files,
+  * `dvclear=`/`dvadd=` deletion-vector changes) — O(change) METADATA bytes,
+  * so a one-file append to a million-file table does not rewrite a
+  * million manifest lines; every [[CheckpointInterval]]-th entry in a
+  * chain is a full `file=` manifest, bounding any snapshot resolution at
+  * O(interval) small entry reads no matter how many commits accumulated.
   *
   * Both flavors interoperate: an incremental commit on top of a snapshot
   * references the snapshot's files in place; [[vacuum]] refcounts files
@@ -60,18 +69,6 @@ object VersionedTable {
   private def commitEntry(dir: String, v: Long, ms: Long) =
     new Path(logDir(dir), f"$v%05d-$ms%d.commit")
 
-  /** Manifest of an incremental commit: the `file=<relative>` lines of its
-    * entry, or None for a full-snapshot commit (whose data is the `v=<n>`
-    * directory). Detection is by the explicit `kind=manifest` marker, never
-    * by file-list emptiness — an empty manifest must not silently demote to
-    * the snapshot read path. */
-  private def manifestOf(dir: String, v: Long, ms: Long): Option[Seq[String]] =
-    FsIO.readText(commitEntry(dir, v, ms).toString).flatMap { body =>
-      val lines = body.split("\n").toSeq
-      if (!lines.contains("kind=manifest")) None
-      else Some(lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")))
-    }
-
   /** One data file of a version's manifest plus the DELETION VECTORS
     * masking it: `dvs` are relative paths of skinny `(fname, pos)` parquet
     * sidecars ([[commitDeleteDV]]); a row of the file is live iff its
@@ -79,32 +76,149 @@ object VersionedTable {
     * copy-on-write start with `dvs = Nil`. */
   final case class FileEntry(rel: String, dvs: List[String])
 
-  /** The `dv=<fileRel>|<dvRel>` lines of a commit entry, grouped by data
-    * file. Stacked deletes append lines for the same file, in commit
-    * order. */
-  private def dvLinesOf(dir: String, v: Long, ms: Long): Map[String, List[String]] =
-    FsIO.readText(commitEntry(dir, v, ms).toString).map { body =>
-      body.split("\n").toList.filter(_.startsWith("dv="))
-        .map(_.stripPrefix("dv=").split("\\|", 2))
-        .collect { case Array(f, d) => (f, d) }
-        .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
-    }.getOrElse(Map.empty)
+  /** Every [[CheckpointInterval]]-th manifest commit in a delta chain is
+    * forced FULL (`kind=manifest`) — the checkpoint that bounds log
+    * resolution at O(interval) small entry reads no matter how many
+    * commits the table has accumulated (the Delta checkpoint-parquet
+    * cadence). Between checkpoints, commits serialize only their
+    * add/remove/dv actions: commit METADATA cost is O(change), not
+    * O(table files) — the property that lets a 1M-file table take a
+    * one-file append without rewriting a million manifest lines. */
+  val CheckpointInterval: Int = 10
 
-  /** Full (file, deletion-vector) entries of a committed version — manifest
-    * commits carry them explicitly; snapshot commits are DV-free by
-    * construction. No existence checks (log truth only); [[read]] and the
-    * scan paths check what they actually touch. */
+  /** A commit entry's manifest payload, as written:
+    *  - [[FullEntry]]  — `kind=manifest`: the complete (file, dv) list;
+    *    doubles as the checkpoint anchor for the delta chains above it.
+    *  - [[DeltaEntry]] — `kind=delta`: only this commit's actions against
+    *    the previous version (`add=`/`remove=` files, `dvclear=`/`dvadd=`
+    *    deletion-vector changes). Resolution replays the chain from the
+    *    nearest full entry below.
+    *  - [[SnapshotEntry]] — no kind marker: the data is the `v=<n>`
+    *    directory itself ([[commit]]'s whole-table flavor). Detection is
+    *    by explicit markers, never by line emptiness — an empty delta
+    *    must not silently demote to the snapshot read path. */
+  private sealed trait ParsedEntry
+  private final case class FullEntry(entries: Seq[FileEntry]) extends ParsedEntry
+  private final case class DeltaEntry(adds: Seq[String], removes: Seq[String],
+      dvClears: Set[String], dvAdds: Seq[(String, String)]) extends ParsedEntry
+  private case object SnapshotEntry extends ParsedEntry
+
+  private def parseEntry(dir: String, v: Long, ms: Long): ParsedEntry = {
+    val body = FsIO.readText(commitEntry(dir, v, ms).toString).getOrElse(
+      sys.error(s"VersionedTable: missing commit entry for version $v in $dir"))
+    val lines = body.split("\n").toSeq
+    def dvPairs(prefix: String) = lines.filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).split("\\|", 2))
+      .collect { case Array(f, d) => (f, d) }
+    if (lines.contains("kind=delta"))
+      DeltaEntry(
+        adds     = lines.filter(_.startsWith("add=")).map(_.stripPrefix("add=")),
+        removes  = lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove=")),
+        dvClears = lines.filter(_.startsWith("dvclear=")).map(_.stripPrefix("dvclear=")).toSet,
+        dvAdds   = dvPairs("dvadd="))
+    else if (lines.contains("kind=manifest")) {
+      val dvs = dvPairs("dv=").groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toList }
+      FullEntry(lines.filter(_.startsWith("file=")).map(_.stripPrefix("file="))
+        .map(rel => FileEntry(rel, dvs.getOrElse(rel, Nil))))
+    } else SnapshotEntry
+  }
+
+  /** Replay one delta on top of a resolved state: removes first, adds
+    * appended at the end (matching writers' `untouched ++ new` order), then
+    * deletion-vector clears and adds — dvadd lines may target files this
+    * same delta added (the MoR-update shape). */
+  private def applyDelta(entries: Seq[FileEntry], d: DeltaEntry): Seq[FileEntry] = {
+    val removed = d.removes.toSet
+    val base = entries.filterNot(e => removed(e.rel)) ++ d.adds.map(FileEntry(_, Nil))
+    if (d.dvClears.isEmpty && d.dvAdds.isEmpty) base
+    else {
+      val dvAddMap = d.dvAdds.groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toList }
+      base.map { e =>
+        val kept  = if (d.dvClears(e.rel)) Nil else e.dvs
+        val extra = dvAddMap.getOrElse(e.rel, Nil)
+        if (extra.isEmpty && (kept eq e.dvs)) e else e.copy(dvs = kept ++ extra)
+      }
+    }
+  }
+
+  /** This commit's actions against `prev` — the O(change) serialization.
+    * A file whose stacked dv list merely EXTENDED serializes only the new
+    * `dvadd=` suffix; a rewritten dv set (sidecar compaction) clears and
+    * re-adds. */
+  private def deltaLines(prev: Seq[FileEntry], cur: Seq[FileEntry]): Seq[String] = {
+    val prevByRel = prev.map(e => e.rel -> e).toMap
+    val curRels   = cur.map(_.rel).toSet
+    val removes   = prev.collect { case e if !curRels(e.rel) => s"remove=${e.rel}" }
+    val perFile = cur.flatMap { e =>
+      prevByRel.get(e.rel) match {
+        case None =>
+          s"add=${e.rel}" +: e.dvs.map(d => s"dvadd=${e.rel}|$d")
+        case Some(p) if p.dvs == e.dvs => Nil
+        case Some(p) if e.dvs.startsWith(p.dvs) =>
+          e.dvs.drop(p.dvs.size).map(d => s"dvadd=${e.rel}|$d")
+        case Some(_) =>
+          s"dvclear=${e.rel}" +: e.dvs.map(d => s"dvadd=${e.rel}|$d")
+      }
+    }
+    removes ++ perFile
+  }
+
+  /** How many delta entries sit DIRECTLY below version `v` before the
+    * nearest full-manifest anchor — Some(n) when a delta on top is legal,
+    * None when it isn't (no previous commit, previous flavor is a snapshot
+    * whose file list lives only in a vacuumable directory listing, or a
+    * chain with no anchor — force a full manifest and self-heal). Counted
+    * in CHAIN terms, not version numbers, so crashed-commit numbering gaps
+    * can't stretch a chain past the interval. */
+  private def deltaBudget(dir: String, v: Long): Option[Int] = {
+    val below = log(dir).filter(_._1 < v).reverse
+    var n = 0
+    val it = below.iterator
+    while (it.hasNext) {
+      val (vv, ms) = it.next()
+      parseEntry(dir, vv, ms) match {
+        case _: DeltaEntry => n += 1
+        case _: FullEntry  => return Some(n)
+        case SnapshotEntry => return None
+      }
+    }
+    None
+  }
+
+  /** Full (file, deletion-vector) entries of a committed version: a full
+    * manifest reads directly; a delta resolves by walking back to the
+    * nearest full-manifest anchor (≤ [[CheckpointInterval]] entries by the
+    * checkpoint cadence) and replaying the chain forward; a snapshot lists
+    * its `v=<n>` directory. No existence checks on manifest files (log
+    * truth only); [[read]] and the scan paths check what they actually
+    * touch. */
   private def entriesOfVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       v: Long, ms: Long): Seq[FileEntry] =
-    manifestOf(dir, v, ms) match {
-      case Some(rels) =>
-        val dvs = dvLinesOf(dir, v, ms)
-        rels.map(rel => FileEntry(rel, dvs.getOrElse(rel, Nil)))
-      case None =>
+    parseEntry(dir, v, ms) match {
+      case FullEntry(es) => es
+      case SnapshotEntry =>
         require(fs.exists(vDir(dir, v)), s"version $v of $dir was vacuumed")
         fs.listStatus(vDir(dir, v)).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(s => FileEntry(f"v=$v%05d/${s.getPath.getName}", Nil))
+      case d0: DeltaEntry =>
+        val below = log(dir).filter(_._1 < v).reverse
+        val pending = scala.collection.mutable.ArrayBuffer[DeltaEntry](d0)
+        var anchor: Option[Seq[FileEntry]] = None
+        val it = below.iterator
+        while (anchor.isEmpty && it.hasNext) {
+          val (vv, mms) = it.next()
+          parseEntry(dir, vv, mms) match {
+            case FullEntry(es)  => anchor = Some(es)
+            case dd: DeltaEntry => pending += dd
+            case SnapshotEntry  => sys.error(
+              s"VersionedTable: delta entry $v of $dir chains over snapshot " +
+                s"version $vv — log corrupt (deltas only ever commit on " +
+                "log-resolvable predecessors)")
+          }
+        }
+        pending.reverseIterator.foldLeft(anchor.getOrElse(sys.error(
+          s"VersionedTable: delta entry $v of $dir has no full-manifest anchor — log corrupt")))(applyDelta)
     }
 
   /** Stage the commit entry (with optional manifest lines and optional
@@ -119,19 +233,32 @@ object VersionedTable {
     publishEntries(fs, dir, v, rels.map(_.map(FileEntry(_, Nil))), txn, dataChange)
 
   /** Like [[publishEntry]] but carrying full (file, deletion-vector)
-    * entries — the manifest serialization both flavors share. */
+    * entries. When `prev` (the previous version's resolved entries) is
+    * given, the entry serializes as a DELTA of actions — O(change) bytes —
+    * unless (a) the chain below has reached [[CheckpointInterval]] (forced
+    * checkpoint), (b) the predecessor isn't log-resolvable (snapshot or
+    * none), or (c) the delta wouldn't actually be smaller (a compaction
+    * that replaced everything). Resolution cost for readers stays bounded
+    * at O(interval) entry reads either way. */
   private def publishEntries(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       v: Long, entries: Option[Seq[FileEntry]], txn: Option[(String, Long)] = None,
-      dataChange: Boolean = true): Unit = {
+      dataChange: Boolean = true, prev: Option[Seq[FileEntry]] = None): Unit = {
     val ms       = System.currentTimeMillis()
     val entryTmp = new Path(logDir(dir), f"$v%05d-$ms%d.commit.tmp")
+    val manifestBlock = entries.map { es =>
+      val full = "kind=manifest\n" + es.map(e => s"file=${e.rel}\n").mkString +
+        es.flatMap(e => e.dvs.map(d => s"dv=${e.rel}|$d\n")).mkString
+      prev
+        .filter(_ => deltaBudget(dir, v).exists(_ + 1 < CheckpointInterval))
+        .map(p => "kind=delta\n" + deltaLines(p, es).map(_ + "\n").mkString)
+        .filter(_.length < full.length)
+        .getOrElse(full)
+    }.getOrElse("")
     FsIO.writeText(entryTmp.toString,
       s"commitMs=$ms\n" +
         (if (dataChange) "" else "dataChange=false\n") +
         txn.map { case (app, tv) => s"txnApp=$app\ntxnVersion=$tv\n" }.getOrElse("") +
-        entries.map(es =>
-          "kind=manifest\n" + es.map(e => s"file=${e.rel}\n").mkString +
-            es.flatMap(e => e.dvs.map(d => s"dv=${e.rel}|$d\n")).mkString).getOrElse(""))
+        manifestBlock)
     if (!fs.rename(entryTmp, commitEntry(dir, v, ms)))
       sys.error(s"VersionedTable: could not commit log entry $v in $dir")
   }
@@ -277,14 +404,23 @@ object VersionedTable {
     * [[vacuum]] sweeps — never resurrected, because entry publication is the
     * only commit point). Returns the new relative paths. */
   private def stageDataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      df: DataFrame, v: Long): Seq[String] = {
+      df: DataFrame, v: Long): Seq[String] =
+    stageDataFilesTagged(fs, dir, df, f"c$v%05d")
+
+  /** Like [[stageDataFiles]] but with a caller-chosen name prefix — the
+    * lock-free append path stages BEFORE a version number exists (the
+    * version is only assigned inside the publish lease), so its files
+    * carry a UUID tag instead of a version prefix. The prefix is cosmetic
+    * either way: base-name uniqueness comes from the UUID. */
+  private def stageDataFilesTagged(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      df: DataFrame, tag: String): Seq[String] = {
     val stage = new Path(dir, s".stage-${java.util.UUID.randomUUID().toString.take(12)}.__tmp")
     df.write.parquet(stage.toString)
     fs.mkdirs(dataDir(dir))
     val rels = fs.listStatus(stage).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { s =>
-        val name = f"c$v%05d-${java.util.UUID.randomUUID().toString.take(8)}-${s.getPath.getName}"
+        val name = s"$tag-${java.util.UUID.randomUUID().toString.take(8)}-${s.getPath.getName}"
         if (!fs.rename(s.getPath, new Path(dataDir(dir), name)))
           sys.error(s"VersionedTable: could not stage data file $name in $dir")
         s"data/$name"
@@ -357,10 +493,10 @@ object VersionedTable {
   def versions(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     log(dir).filter { case (v, ms) =>
-      manifestOf(dir, v, ms) match {
-        case Some(_) => entriesOfVersion(fs, dir, v, ms)
+      parseEntry(dir, v, ms) match {
+        case SnapshotEntry => fs.exists(vDir(dir, v))
+        case _ => entriesOfVersion(fs, dir, v, ms)
           .flatMap(e => e.rel +: e.dvs).forall(rel => fs.exists(new Path(dir, rel)))
-        case None    => fs.exists(vDir(dir, v))
       }
     }
   }
@@ -437,41 +573,94 @@ object VersionedTable {
     * copied) + files holding only `df`'s rows. O(appended-rows) write cost
     * regardless of table size. Works on top of either commit flavor.
     *
+    * The O(data) work — writing the new rows' parquet and proving CHECK
+    * constraints over them — runs OUTSIDE the write lease (Delta's
+    * concurrent-blind-append discipline: staged files are invisible until
+    * a manifest references them, and a crash before publish leaves only
+    * orphans the next [[vacuum]] sweeps). The lease guards ONLY the
+    * O(metadata) tail: version assignment, the one-footer schema gate, and
+    * the commit-entry rename. Two streams appending to the same table
+    * therefore overlap their entire write phase and serialize for
+    * milliseconds, instead of one blocking for the other's whole upload —
+    * the difference between one and N concurrent writers on a 100 TB
+    * table. (Rewrites — update/delete/merge/compact — still hold the
+    * lease across their read-compute-rewrite span: they depend on the
+    * version they read, and that dependency is what the lease serializes.)
+    *
     * `txn = Some((appId, txnVersion))` makes the append IDEMPOTENT per
     * (appId, txnVersion): if a commit for `appId` with an equal-or-higher
     * txn version already landed, the append is skipped and the current
-    * latest version returned. The check runs inside the write lease and the
-    * marker rides in the commit entry itself, so a foreachBatch replay
-    * after a crash (batch ran, checkpoint didn't commit) cannot double the
-    * rows — the exactly-once contract streaming writers rely on. */
+    * latest version returned. The authoritative check runs inside the
+    * write lease and the marker rides in the commit entry itself, so a
+    * foreachBatch replay after a crash (batch ran, checkpoint didn't
+    * commit) cannot double the rows — the exactly-once contract streaming
+    * writers rely on. */
   def commitAppend(spark: SparkSession, df: DataFrame, dir: String,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
-      txn: Option[(String, Long)] = None): Long =
-    FsIO.withWriteLock(dir, "VersionedTable.commitAppend", lockLeaseMs) {
-      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val replayed = txn.flatMap { case (app, tv) =>
-        lastTxnVersion(dir, app).filter(_ >= tv) }
-      if (replayed.isDefined) latestVersion(dir).getOrElse(
-        sys.error(s"VersionedTable.commitAppend: txn marker without a committed version in $dir"))
-      else {
-        val committed = VersionedTable.log(dir)
-        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-          listVersionDirs(fs, dir)).max: Long) + 1
-        val prevEntries = committed.lastOption
-          .map { case (v, ms) => checkedEntries(fs, dir, v, ms) }
-          .getOrElse(Seq.empty)
-        // one footer read: the schema gate must not scan the table
-        prevEntries.headOption.foreach { e =>
+      txn: Option[(String, Long)] = None): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // replay short-circuit before any staging work — an optimization only;
+    // the check inside the lease is the one that holds under races
+    val preReplayed = txn.flatMap { case (app, tv) =>
+      lastTxnVersion(dir, app).filter(_ >= tv) }
+    if (preReplayed.isDefined) latestVersion(dir).getOrElse(
+      sys.error(s"VersionedTable.commitAppend: txn marker without a committed version in $dir"))
+    else {
+      // pre-flight schema gate (one footer read, lock-free): refuse drift
+      // BEFORE paying the O(data) stage; the in-lease gate below stays
+      // authoritative under concurrent schema evolution
+      log(dir).lastOption.foreach { case (pv, pms) =>
+        checkedEntries(fs, dir, pv, pms).headOption.foreach { e =>
           requireCompatibleSchema("commitAppend",
             spark.read.parquet(absOf(dir, e.rel).toString).schema, df.schema)
         }
-        val newRels = stageDataFiles(fs, dir, df, next)
-        validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
-        publishEntries(fs, dir, next,
-          Some(prevEntries ++ newRels.map(FileEntry(_, Nil))), txn)
-        next
+      }
+      // O(data), lock-free: stage under a UUID tag (no version exists yet)
+      // and prove constraints against the staged bytes
+      val newRels = stageDataFilesTagged(fs, dir, df,
+        s"a${java.util.UUID.randomUUID().toString.take(8)}")
+      val provenAgainst = Constraints.list(dir)
+      validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
+      // the publish tail holds the lease for milliseconds, so a LIVE rival
+      // ahead of us resolves by waiting, not erroring (bounded by the lease)
+      FsIO.withWriteLockRetry(dir, "VersionedTable.commitAppend", lockLeaseMs,
+        maxWaitMs = lockLeaseMs) {
+        val replayed = txn.flatMap { case (app, tv) =>
+          lastTxnVersion(dir, app).filter(_ >= tv) }
+        if (replayed.isDefined) {
+          // a rival replay of the same batch won the race while we staged:
+          // drop our duplicate staging rather than leaving vacuum litter
+          newRels.foreach(rel => fs.delete(absOf(dir, rel), false))
+          latestVersion(dir).getOrElse(sys.error(
+            s"VersionedTable.commitAppend: txn marker without a committed version in $dir"))
+        } else {
+          val committed = VersionedTable.log(dir)
+          val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+            listVersionDirs(fs, dir)).max: Long) + 1
+          val prevEntries = committed.lastOption
+            .map { case (v, ms) => checkedEntries(fs, dir, v, ms) }
+            .getOrElse(Seq.empty)
+          // one footer read each side: the schema gate must not scan the
+          // table — and it gates the STAGED bytes, not the incoming plan
+          (prevEntries.headOption, newRels.headOption) match {
+            case (Some(p), Some(n)) =>
+              requireCompatibleSchema("commitAppend",
+                spark.read.parquet(absOf(dir, p.rel).toString).schema,
+                spark.read.parquet(absOf(dir, n).toString).schema)
+            case _ => ()
+          }
+          // a CHECK constraint added after the lock-free validation must
+          // still gate this batch: re-prove under the lease (rare path)
+          if (Constraints.list(dir) != provenAgainst)
+            validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
+          publishEntries(fs, dir, next,
+            Some(prevEntries ++ newRels.map(FileEntry(_, Nil))), txn,
+            prev = Some(prevEntries))
+          next
+        }
       }
     }
+  }
 
   /** File-level copy-on-write core for update/delete: files with no row
     * matching `cond` carry over into the new manifest untouched (shared);
@@ -524,7 +713,8 @@ object VersionedTable {
           }
         validateStaged(spark, dir, newRels, op)
         publishEntries(fs, dir, next,
-          Some(untouched ++ newRels.map(FileEntry(_, Nil))), txn)
+          Some(untouched ++ newRels.map(FileEntry(_, Nil))), txn,
+          prev = Some(entries))
         next
       }
     }
@@ -617,7 +807,7 @@ object VersionedTable {
           // nothing matched: drop the empty sidecar (orphan either way) and
           // commit the unchanged manifest — the truthful no-op version
           staged.foreach(rel => fs.delete(absOf(dir, rel), false))
-          publishEntries(fs, dir, next, Some(entries), txn)
+          publishEntries(fs, dir, next, Some(entries), txn, prev = Some(entries))
         } else {
           val dvRel = staged match {
             case Seq(one) => one
@@ -625,7 +815,8 @@ object VersionedTable {
               s"commitDeleteDV: expected one staged sidecar, got ${other.size}")
           }
           publishEntries(fs, dir, next, Some(entries.map(e =>
-            if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e)), txn)
+            if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e)), txn,
+            prev = Some(entries))
         }
         next
       }
@@ -684,7 +875,7 @@ object VersionedTable {
             .select("fname").distinct().collect().map(_.getString(0)).toSet
         if (touchedNames.isEmpty) {
           staged.foreach(rel => fs.delete(absOf(dir, rel), false))
-          publishEntries(fs, dir, next, Some(entries), txn)
+          publishEntries(fs, dir, next, Some(entries), txn, prev = Some(entries))
         } else {
           val dvRel = staged match {
             case Seq(one) => one
@@ -704,7 +895,7 @@ object VersionedTable {
           publishEntries(fs, dir, next, Some(
             entries.map(e =>
               if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e) ++
-              newRels.map(FileEntry(_, Nil))), txn)
+              newRels.map(FileEntry(_, Nil))), txn, prev = Some(entries))
         }
         next
       }
@@ -745,7 +936,8 @@ object VersionedTable {
             s"compactDeletionVectors: expected one staged sidecar, got ${other.size}")
         }
         publishEntries(fs, dir, next, Some(entries.map(e =>
-          if (e.dvs.nonEmpty) e.copy(dvs = List(dvRel)) else e)), dataChange = false)
+          if (e.dvs.nonEmpty) e.copy(dvs = List(dvRel)) else e)), dataChange = false,
+          prev = Some(entries))
         next
       }
     }
@@ -825,7 +1017,8 @@ object VersionedTable {
           else stageDataFiles(fs, dir, merged.coalesce(1), next)
         validateStaged(spark, dir, newRels, "VersionedTable.commitMerge")
         publishEntries(fs, dir, next,
-          Some(untouched ++ newRels.map(FileEntry(_, Nil))), txn)
+          Some(untouched ++ newRels.map(FileEntry(_, Nil))), txn,
+          prev = Some(entries))
         next
       }
     }
@@ -1000,21 +1193,21 @@ object VersionedTable {
     require(entry.isDefined,
       s"version $v does not exist (committed: ${committed.map(_._1).mkString(", ")})")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    manifestOf(dir, v, entry.get._2) match {
-      case Some(rels) =>
-        require(rels.nonEmpty, s"version $v of $dir committed no data files")
+    parseEntry(dir, v, entry.get._2) match {
+      case SnapshotEntry =>
+        require(fs.exists(vDir(dir, v)),
+          s"version $v of $dir was vacuumed " +
+            s"(data retained for: ${versions(spark, dir).map(_._1).mkString(", ")})")
+        spark.read.parquet(vDir(dir, v).toString)
+      case _ =>
         val entries = entriesOfVersion(fs, dir, v, entry.get._2)
+        require(entries.nonEmpty, s"version $v of $dir committed no data files")
         val missing = entries.flatMap(e => e.rel +: e.dvs)
           .filterNot(rel => fs.exists(new Path(dir, rel)))
         require(missing.isEmpty,
           s"version $v of $dir was vacuumed " +
             s"(data retained for: ${versions(spark, dir).map(_._1).mkString(", ")})")
         scanEntries(spark, dir, entries) // DV-masked; plain path when DV-free
-      case None =>
-        require(fs.exists(vDir(dir, v)),
-          s"version $v of $dir was vacuumed " +
-            s"(data retained for: ${versions(spark, dir).map(_._1).mkString(", ")})")
-        spark.read.parquet(vDir(dir, v).toString)
     }
   }
 
@@ -1049,10 +1242,16 @@ object VersionedTable {
       // every retained manifest, not just the version being dropped.
       // Deletion-vector sidecars refcount exactly like data files: a DV
       // lives as long as any retained entry masks through it.
+      // resolution-based: a retained DELTA version's full file set comes
+      // from replaying its chain (anchors below retention stay readable —
+      // the log keeps every entry forever)
       val keepRels: Set[String] = committed.filter(e => keep(e._1))
         .flatMap { case (v, ms) =>
-          manifestOf(dir, v, ms).getOrElse(Seq.empty) ++
-            dvLinesOf(dir, v, ms).values.flatten }.toSet
+          parseEntry(dir, v, ms) match {
+            case SnapshotEntry => Seq.empty[String]
+            case _ => entriesOfVersion(fs, dir, v, ms).flatMap(e => e.rel +: e.dvs)
+          }
+        }.toSet
       // legacy snapshot dirs: droppable only when not retained AND no
       // retained manifest references a file inside them
       val legacyDrop = listVersionDirs(fs, dir).filterNot(keep)
@@ -1061,9 +1260,13 @@ object VersionedTable {
       // reported alongside the directory drops
       val manifestDrop = committed.filterNot(e => keep(e._1))
         .filter { case (v, ms) =>
-          manifestOf(dir, v, ms).exists(rels =>
-            rels.nonEmpty && rels.forall(rel => fs.exists(new Path(dir, rel))) &&
-              rels.exists(rel => !keepRels.contains(rel)))
+          parseEntry(dir, v, ms) match {
+            case SnapshotEntry => false
+            case _ =>
+              val rels = entriesOfVersion(fs, dir, v, ms).map(_.rel)
+              rels.nonEmpty && rels.forall(rel => fs.exists(new Path(dir, rel))) &&
+                rels.exists(rel => !keepRels.contains(rel))
+          }
         }.map(_._1)
       legacyDrop.foreach(v => fs.delete(vDir(dir, v), true))
       // data/ sweep: anything not referenced by a retained manifest goes —

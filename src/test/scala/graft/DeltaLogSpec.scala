@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tables.VersionedTable
+
+/** The delta-encoded commit log: between checkpoints a commit entry
+  * carries only its own actions (add/remove/dvclear/dvadd) — O(change)
+  * metadata bytes — and every CheckpointInterval-th entry in a chain is a
+  * full manifest bounding resolution at O(interval) entry reads. These
+  * specs pin (1) the serialization actually shrinks to O(change), (2) the
+  * checkpoint cadence holds, (3) every version still resolves to exactly
+  * the right row set across delta chains, DV actions, vacuum, and the
+  * snapshot-anchor rule. */
+class DeltaLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dirOf() =
+    java.nio.file.Files.createTempDirectory("graft_dlog").toString + "/t"
+
+  private def entryBodies(dir: String): Seq[(Long, String)] =
+    VersionedTable.log(dir).map { case (v, ms) =>
+      val f = new java.io.File(new java.io.File(dir, "_log"), f"$v%05d-$ms%d.commit")
+      v -> new String(java.nio.file.Files.readAllBytes(f.toPath))
+    }
+
+  private def kindOf(body: String): String = {
+    val lines = body.split("\n").toSeq
+    if (lines.contains("kind=delta")) "delta"
+    else if (lines.contains("kind=manifest")) "manifest"
+    else "snapshot"
+  }
+
+  test("append chain: O(change) delta entries, full checkpoints on cadence, every version resolves") {
+    val dir = dirOf()
+    (0 until 25).foreach { i =>
+      VersionedTable.commitAppend(spark,
+        Seq((i.toLong, i * 10L)).toDF("k", "x").repartition(2), dir)
+    }
+    val bodies = entryBodies(dir)
+    val kinds  = bodies.map { case (v, b) => v -> kindOf(b) }.toMap
+    // v0 has no predecessor -> full; chain of 9 deltas, checkpoint, repeat
+    assert(kinds(0L) == "manifest", kinds.toString)
+    assert(kinds(10L) == "manifest" && kinds(20L) == "manifest", kinds.toString)
+    assert((1L to 9L).forall(kinds(_) == "delta"), kinds.toString)
+    assert((11L to 19L).forall(kinds(_) == "delta"), kinds.toString)
+    // delta entries carry ONLY the appended files: 2 add-lines, no file= list
+    val d19 = bodies.find(_._1 == 19L).get._2
+    assert(d19.split("\n").count(_.startsWith("add=")) == 2, d19)
+    assert(!d19.contains("file="), d19)
+    // the v19 full manifest would be 40 lines; the delta is O(change)
+    assert(VersionedTable.filesOf(dir, 19L).size == 40)
+    // every version resolves to the right cumulative row set
+    Seq(0L, 7L, 10L, 13L, 19L, 20L, 24L).foreach { v =>
+      val got = VersionedTable.read(spark, dir, Some(v)).count()
+      assert(got == v + 1, s"version $v: expected ${v + 1} rows, got $got")
+    }
+  }
+
+  test("first incremental commit after a SNAPSHOT commit is a full manifest (anchor rule)") {
+    val dir = dirOf()
+    VersionedTable.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir) // v0 snapshot
+    VersionedTable.commitAppend(spark, Seq((3L, "c")).toDF("k", "s"), dir)      // v1
+    VersionedTable.commitAppend(spark, Seq((4L, "d")).toDF("k", "s"), dir)      // v2
+    val kinds = entryBodies(dir).map { case (v, b) => v -> kindOf(b) }.toMap
+    assert(kinds(0L) == "snapshot" && kinds(1L) == "manifest" && kinds(2L) == "delta",
+      kinds.toString)
+    assert(VersionedTable.read(spark, dir).count() == 4)
+  }
+
+  test("DV delete serializes as dvadd-only delta; sidecar compaction clears and re-adds; masks resolve across the chain") {
+    val dir = dirOf()
+    val base = spark.range(0L, 100L).select(col("id").as("k"), (col("id") * 2).as("x"))
+    VersionedTable.commitAppend(spark, base.repartition(4), dir)              // v0 full
+    VersionedTable.commitDeleteDV(spark, dir, pmod(col("k"), lit(10L)) === 0L) // v1
+    VersionedTable.commitDeleteDV(spark, dir, pmod(col("k"), lit(10L)) === 1L) // v2 (stacked)
+    val bodies = entryBodies(dir).toMap
+    val d1 = bodies(1L)
+    assert(kindOf(d1) == "delta", d1)
+    assert(d1.split("\n").count(_.startsWith("dvadd=")) > 0, d1)
+    assert(!d1.contains("add=") || d1.split("\n").forall(l => !l.startsWith("add=")), d1)
+    assert(!d1.contains("remove="), d1)
+    // stacked masks: 20 of 100 rows gone
+    assert(VersionedTable.read(spark, dir).count() == 80)
+    // sidecar compaction rewrites each entry's dv LIST -> dvclear+dvadd delta
+    val vc = VersionedTable.compactDeletionVectors(spark, dir)
+    val dc = entryBodies(dir).toMap.apply(vc)
+    if (kindOf(dc) == "delta") {
+      assert(dc.split("\n").count(_.startsWith("dvclear=")) == 4, dc)
+    }
+    assert(VersionedTable.read(spark, dir).count() == 80)
+    assert(VersionedTable.entriesOf(dir, vc).forall(_._2.size <= 1))
+    // time travel to pre-compaction versions still masks correctly
+    assert(VersionedTable.read(spark, dir, Some(1L)).count() == 90)
+    assert(VersionedTable.read(spark, dir, Some(0L)).count() == 100)
+  }
+
+  test("vacuum on a delta chain: retained versions resolve through anchors below retention; dropped data swept") {
+    val dir = dirOf()
+    (0 until 6).foreach { i =>
+      VersionedTable.commitAppend(spark, Seq((i.toLong, i)).toDF("k", "x"), dir)
+    }
+    // v6 delete rewrites the file holding k=0 (v0's exclusive file becomes
+    // unreferenced by v6+); v7 compaction rewrites everything
+    VersionedTable.commitDelete(spark, dir, col("k") === 0L)    // v6 (delta)
+    VersionedTable.commitCompact(spark, dir, targetFiles = 2)   // v7 (full rewrite)
+    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 2)
+    assert(dropped.nonEmpty, "expected versions dropped")
+    // retained v6 is a DELTA whose full-manifest anchor (v0) is below
+    // retention — it still resolves, because log entries are kept forever
+    assert(VersionedTable.read(spark, dir, Some(6L)).count() == 5)
+    assert(VersionedTable.read(spark, dir, Some(7L)).count() == 5)
+    // a dropped version fails as vacuumed, not as unknown
+    val ex = intercept[Exception] { VersionedTable.read(spark, dir, Some(0L)).count() }
+    assert(ex.getMessage.contains("vacuumed"), ex.getMessage)
+  }
+
+  test("changes()/diff across a checkpoint boundary see exactly the per-step rows") {
+    val dir = dirOf()
+    (0 until 12).foreach { i =>
+      VersionedTable.commitAppend(spark, Seq((i.toLong, i * 1L)).toDF("k", "x"), dir)
+    }
+    // span (8, 11] crosses the v10 checkpoint
+    val feed = VersionedTable.changes(spark, dir, 8L, 11L, Seq("k"), Seq("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set((9L, 9L, "added"), (10L, 10L, "added"), (11L, 11L, "added")), feed.toString)
+    val d = VersionedTable.diff(spark, dir, 9L, 11L, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(10L -> "added", 11L -> "added"), d.toString)
+  }
+
+  test("restore and clone stay correct over delta-encoded history") {
+    val dir = dirOf()
+    (0 until 4).foreach { i =>
+      VersionedTable.commitAppend(spark, Seq((i.toLong, i)).toDF("k", "x"), dir)
+    }
+    VersionedTable.commitDelete(spark, dir, col("k") < 2L) // v4
+    val vr = VersionedTable.commitRestore(spark, dir, 3L)  // back to 4 rows
+    assert(VersionedTable.read(spark, dir, Some(vr)).count() == 4)
+    val cdir = dirOf()
+    VersionedTable.cloneShallow(spark, dir, cdir)
+    assert(VersionedTable.read(spark, cdir).count() == 4)
+  }
+}

@@ -49,10 +49,8 @@ class MaterializedAggSpec extends SparkSpec {
     MaterializedAgg.create(spark, src, view, Seq("k"), Seq("g"), Seq("x"))
     VersionedTable.commitUpdate(spark, src, col("k") === 7L, Map("x" -> lit(1000000L)))
     // corrupt the files shared between v0 and v1 (the 3 untouched files)
-    val logLines = new java.io.File(src, "_log").listFiles().toSeq
-      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
-      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
-      .map(_.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet)
+    val logLines = graft.tables.VersionedTable.log(src)
+      .map { case (v, _) => graft.tables.VersionedTable.filesOf(src, v).toSet }
     val shared = logLines(0).intersect(logLines(1))
     assert(shared.size == 3, s"expected 3 shared files, got ${shared.size}")
     shared.foreach { rel =>
@@ -181,10 +179,8 @@ class MaterializedAggSpec extends SparkSpec {
     // metadata) of every file shared between v0 and v1 — the three files
     // holding groups 1-3. Footers stay valid, so stats-based skipping still
     // plans; any actual page read now throws.
-    val logLines = new java.io.File(src, "_log").listFiles().toSeq
-      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
-      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
-      .map(_.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet)
+    val logLines = graft.tables.VersionedTable.log(src)
+      .map { case (v, _) => graft.tables.VersionedTable.filesOf(src, v).toSet }
     val shared = logLines(0).intersect(logLines(1))
     assert(shared.size == 3, s"expected 3 shared files, got ${shared.size}")
     val hconf = spark.sparkContext.hadoopConfiguration

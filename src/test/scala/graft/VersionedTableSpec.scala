@@ -289,10 +289,8 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.commitAppend(spark, base, dir)                          // v0
     VersionedTable.commitUpdate(spark, dir, col("k") === 7L, Map("v" -> lit(-1L))) // v1
     // v0 ∩ v1 manifests = the 3 untouched files; trash their bytes on disk
-    val logLines = new java.io.File(dir, "_log").listFiles().toSeq
-      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
-      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
-      .map(_.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet)
+    val logLines = graft.tables.VersionedTable.log(dir)
+      .map { case (v, _) => graft.tables.VersionedTable.filesOf(dir, v).toSet }
     val shared = logLines(0).intersect(logLines(1))
     assert(shared.size == 3, s"expected 3 shared files, got ${shared.size}")
     shared.foreach { rel =>
@@ -322,10 +320,8 @@ class VersionedTableSpec extends SparkSpec {
   test("commitCompact: dataChange=false re-layout — identical rows, changes() skips the step") {
     import spark.implicits._
     val dir = dirOf()
-    def manifests() = new java.io.File(dir, "_log").listFiles().toSeq
-      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
-      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
-      .map(_.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet)
+    def manifests() = graft.tables.VersionedTable.log(dir)
+      .map { case (v, _) => graft.tables.VersionedTable.filesOf(dir, v).toSet }
     // three appends -> fragmented manifest
     (0 until 3).foreach { i =>
       VersionedTable.commitAppend(spark,
@@ -370,10 +366,8 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.commitAppend(spark,
       spark.range(0L, 400L).select(col("id").as("k"), (col("id") * 2).as("x"),
         lit("base").as("tag")).repartitionByRange(4, col("k")), dir)
-    def manifests() = new java.io.File(dir, "_log").listFiles().toSeq
-      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
-      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
-      .map(_.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet)
+    def manifests() = graft.tables.VersionedTable.log(dir)
+      .map { case (v, _) => graft.tables.VersionedTable.filesOf(dir, v).toSet }
     // corrupt the files that hold NO source key (k 10..19 live in file 0):
     // the probe and the rewrite must both skip them
     val src = Seq((10L, 1000L), (15L, 1500L), (450L, 4500L)).toDF("k", "x")
