@@ -662,62 +662,150 @@ object VersionedTable {
     }
   }
 
+  /** A concurrent commit modified files this rewrite read — the rebase in
+    * [[publishRebased]] would be unsound. The OCC loop ([[withOccRetries]])
+    * re-reads the new head and re-stages; past the retry budget it
+    * surfaces to the caller. */
+  private final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** OCC retry budget for lock-free rewrites (update/delete/merge/MoR). */
+  val MaxOccRetries: Int = 3
+
+  private def withOccRetries(op: String)(attempt: () => Long): Long = {
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: CommitConflict =>
+          tries += 1
+          if (tries >= MaxOccRetries) throw e
+          System.err.println(s"[graft] $op: ${e.getMessage} — retrying ($tries/$MaxOccRetries)")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Publish a rewrite's `result` manifest — computed lock-free against
+    * `readV`'s `readEntries` — onto the CURRENT log head, inside the
+    * publish lease (Delta's WriteSerializable optimistic-concurrency
+    * check):
+    *
+    *  - head == readV: plain publish.
+    *  - head advanced by BLIND APPENDS only (every file we read is still
+    *    present at head, byte- and mask-identical): REBASE — the appended
+    *    files carry into our manifest untouched. Their rows were never
+    *    seen by our predicate, which WriteSerializable permits.
+    *  - anything else (a file we read was rewritten, removed, or
+    *    re-masked): [[CommitConflict]] — the result was computed against
+    *    rows that no longer exist; the OCC loop re-reads and re-stages.
+    *
+    * `staged` are this attempt's staged files, deleted on replay/conflict
+    * so a retry loop doesn't accumulate vacuum litter. `provenAgainst` is
+    * the constraint set the lock-free validation proved; if it changed,
+    * the `validateRels` DATA files (never DV sidecars — constraints bind
+    * rows, not position lists) are re-proven under the lease. */
+  private def publishRebased(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, op: String,
+      readV: Long, readEntries: Seq[FileEntry], result: Seq[FileEntry],
+      staged: Seq[String], provenAgainst: Seq[(String, String)],
+      txn: Option[(String, Long)], lockLeaseMs: Long,
+      dataChange: Boolean = true, validateRels: Seq[String] = Seq.empty): Long =
+    FsIO.withWriteLockRetry(dir, op, lockLeaseMs, maxWaitMs = lockLeaseMs) {
+      val replayed = txn.flatMap { case (app, tv) =>
+        lastTxnVersion(dir, app).filter(_ >= tv) }
+      if (replayed.isDefined) {
+        staged.foreach(rel => fs.delete(absOf(dir, rel), false))
+        latestVersion(dir).getOrElse(
+          sys.error(s"$op: txn marker without a committed version in $dir"))
+      } else {
+        val committed = VersionedTable.log(dir)
+        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+          listVersionDirs(fs, dir)).max: Long) + 1
+        val (hv, hms) = committed.last
+        def keyOf(e: FileEntry) = (e.rel, e.dvs)
+        val (manifest, prevEntries) =
+          if (hv == readV) (result, readEntries)
+          else {
+            val head     = checkedEntries(fs, dir, hv, hms)
+            val headKeys = head.map(keyOf).toSet
+            val gone     = readEntries.filterNot(e => headKeys(keyOf(e)))
+            if (gone.nonEmpty) {
+              staged.foreach(rel => fs.delete(absOf(dir, rel), false))
+              throw new CommitConflict(s"concurrent commit v$hv modified " +
+                s"${gone.size} file(s) this rewrite read at v$readV " +
+                s"(e.g. ${gone.head.rel})")
+            }
+            val readKeys = readEntries.map(keyOf).toSet
+            (result ++ head.filterNot(e => readKeys(keyOf(e))), head)
+          }
+        if (Constraints.list(dir) != provenAgainst)
+          validateStaged(spark, dir, validateRels, op)
+        publishEntries(fs, dir, next, Some(manifest), txn,
+          dataChange = dataChange, prev = Some(prevEntries))
+        next
+      }
+    }
+
   /** File-level copy-on-write core for update/delete: files with no row
     * matching `cond` carry over into the new manifest untouched (shared);
     * only files that actually contain matching rows are rewritten through
     * `rewrite`. One pruning pass + one rewrite of the touched files —
-    * O(touched), not O(table). */
+    * O(touched), not O(table).
+    *
+    * The O(data) span — the cond scan, the rewrite, the constraint proof —
+    * runs OUTSIDE the write lease against a pinned version; the publish
+    * tail rebases over concurrent blind appends and retries from scratch
+    * (bounded) if a rival rewrite raced ours ([[publishRebased]]). */
   private def copyOnWrite(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column, rewrite: DataFrame => DataFrame,
       op: String, lockLeaseMs: Long,
-      txn: Option[(String, Long)] = None): Long =
-    FsIO.withWriteLock(dir, op, lockLeaseMs) {
-      import org.apache.spark.sql.functions.col
-      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val replayed = txn.flatMap { case (app, tv) =>
-        lastTxnVersion(dir, app).filter(_ >= tv) }
-      if (replayed.isDefined) latestVersion(dir).getOrElse(
-        sys.error(s"$op: txn marker without a committed version in $dir"))
-      else {
-        val committed = VersionedTable.log(dir)
-        require(committed.nonEmpty, s"$op: $dir has no committed version")
-        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-          listVersionDirs(fs, dir)).max: Long) + 1
-        val (pv, pms) = committed.last
-        val entries = checkedEntries(fs, dir, pv, pms)
-        // which FILES contain a LIVE matching row — the DV-masked scan, so
-        // a row already deleted by a deletion vector can't drag its file
-        // into the rewrite; parquet stats still prune the cond scan, and
-        // only (file-name) strings come back to the driver (O(files))
-        val touchedNames = scanEntriesMeta(spark, dir, entries)
-          .where(cond).select(col(FnameCol)).distinct()
-          .collect().map(_.getString(0)).toSet
-        val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
-        val newRels =
-          if (touched.isEmpty) Seq.empty
-          else {
-            // masked read: the rewrite sees only live rows, and the
-            // rewritten files shed their deletion vectors (materialized)
-            val touchedDf = scanEntries(spark, dir, touched)
-            val rewritten = rewrite(touchedDf)
-            // an UPDATE expression that silently changes a column's TYPE
-            // would split the manifest's schema between rewritten and
-            // shared files — same hazard as a foreign append
-            requireCompatibleSchema(op, touchedDf.schema, rewritten.schema)
-            val staged = stageDataFiles(fs, dir, rewritten, next)
-            // a rewrite that emptied every touched file can write zero part
-            // files; a single-partition re-stage guarantees one schema-bearing
-            // file so the version never publishes an empty manifest
-            if (staged.nonEmpty || untouched.nonEmpty) staged
-            else stageDataFiles(fs, dir, rewritten.coalesce(1), next)
-          }
-        validateStaged(spark, dir, newRels, op)
-        publishEntries(fs, dir, next,
-          Some(untouched ++ newRels.map(FileEntry(_, Nil))), txn,
-          prev = Some(entries))
-        next
-      }
+      txn: Option[(String, Long)] = None): Long = withOccRetries(op) { () =>
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preReplayed = txn.flatMap { case (app, tv) =>
+      lastTxnVersion(dir, app).filter(_ >= tv) }
+    if (preReplayed.isDefined) latestVersion(dir).getOrElse(
+      sys.error(s"$op: txn marker without a committed version in $dir"))
+    else {
+      val committed = VersionedTable.log(dir)
+      require(committed.nonEmpty, s"$op: $dir has no committed version")
+      val (pv, pms) = committed.last
+      val entries = checkedEntries(fs, dir, pv, pms)
+      // which FILES contain a LIVE matching row — the DV-masked scan, so
+      // a row already deleted by a deletion vector can't drag its file
+      // into the rewrite; parquet stats still prune the cond scan, and
+      // only (file-name) strings come back to the driver (O(files))
+      val touchedNames = scanEntriesMeta(spark, dir, entries)
+        .where(cond).select(col(FnameCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
+      val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
+      val newRels =
+        if (touched.isEmpty) Seq.empty
+        else {
+          // masked read: the rewrite sees only live rows, and the
+          // rewritten files shed their deletion vectors (materialized)
+          val touchedDf = scanEntries(spark, dir, touched)
+          val rewritten = rewrite(touchedDf)
+          // an UPDATE expression that silently changes a column's TYPE
+          // would split the manifest's schema between rewritten and
+          // shared files — same hazard as a foreign append
+          requireCompatibleSchema(op, touchedDf.schema, rewritten.schema)
+          val staged = stageDataFilesTagged(fs, dir, rewritten, stageTag)
+          // a rewrite that emptied every touched file can write zero part
+          // files; a single-partition re-stage guarantees one schema-bearing
+          // file so the version never publishes an empty manifest
+          if (staged.nonEmpty || untouched.nonEmpty) staged
+          else stageDataFilesTagged(fs, dir, rewritten.coalesce(1), stageTag)
+        }
+      val provenAgainst = Constraints.list(dir)
+      validateStaged(spark, dir, newRels, op)
+      publishRebased(spark, fs, dir, op, pv, entries,
+        untouched ++ newRels.map(FileEntry(_, Nil)),
+        staged = newRels, provenAgainst = provenAgainst,
+        txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels)
     }
+  }
 
   /** Commit a row-level UPDATE as the next version: for rows matching
     * `cond`, each (column -> expression) in `set` applies; all other rows
@@ -777,18 +865,20 @@ object VersionedTable {
       cond: org.apache.spark.sql.Column,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
       txn: Option[(String, Long)] = None): Long =
-    FsIO.withWriteLock(dir, "VersionedTable.commitDeleteDV", lockLeaseMs) {
+    withOccRetries("VersionedTable.commitDeleteDV") { () =>
       import org.apache.spark.sql.functions.col
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val replayed = txn.flatMap { case (app, tv) =>
+      val preReplayed = txn.flatMap { case (app, tv) =>
         lastTxnVersion(dir, app).filter(_ >= tv) }
-      if (replayed.isDefined) latestVersion(dir).getOrElse(
+      if (preReplayed.isDefined) latestVersion(dir).getOrElse(
         sys.error(s"commitDeleteDV: txn marker without a committed version in $dir"))
       else {
+        // O(data) span lock-free against a pinned version: the cond scan
+        // and sidecar write overlap other writers; publish rebases over
+        // blind appends (their rows were never seen by cond, which
+        // WriteSerializable permits) and conflicts loudly on anything else
         val committed = VersionedTable.log(dir)
         require(committed.nonEmpty, s"commitDeleteDV: $dir has no committed version")
-        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-          listVersionDirs(fs, dir)).max: Long) + 1
         val (pv, pms) = committed.last
         val entries = checkedEntries(fs, dir, pv, pms)
         val hits = scanEntriesMeta(spark, dir, entries).where(cond)
@@ -797,8 +887,9 @@ object VersionedTable {
         // entry), fname-sorted so masked scans' pushed IN-filters prune it
         // at row-group grain; a production port would shard past ~10^8
         // positions
-        val staged = stageDataFiles(fs, dir,
-          hits.coalesce(1).sortWithinPartitions("fname", "pos"), next)
+        val staged = stageDataFilesTagged(fs, dir,
+          hits.coalesce(1).sortWithinPartitions("fname", "pos"),
+          s"a${java.util.UUID.randomUUID().toString.take(8)}")
         val touchedNames: Set[String] =
           if (staged.isEmpty) Set.empty
           else spark.read.parquet(staged.map(absOf(dir, _).toString): _*)
@@ -807,18 +898,22 @@ object VersionedTable {
           // nothing matched: drop the empty sidecar (orphan either way) and
           // commit the unchanged manifest — the truthful no-op version
           staged.foreach(rel => fs.delete(absOf(dir, rel), false))
-          publishEntries(fs, dir, next, Some(entries), txn, prev = Some(entries))
+          publishRebased(spark, fs, dir, "VersionedTable.commitDeleteDV",
+            pv, entries, entries, staged = Seq.empty,
+            provenAgainst = Constraints.list(dir), txn = txn, lockLeaseMs = lockLeaseMs)
         } else {
           val dvRel = staged match {
             case Seq(one) => one
             case other => sys.error(
               s"commitDeleteDV: expected one staged sidecar, got ${other.size}")
           }
-          publishEntries(fs, dir, next, Some(entries.map(e =>
-            if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e)), txn,
-            prev = Some(entries))
+          publishRebased(spark, fs, dir, "VersionedTable.commitDeleteDV",
+            pv, entries,
+            entries.map(e =>
+              if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e),
+            staged = staged, provenAgainst = Constraints.list(dir),
+            txn = txn, lockLeaseMs = lockLeaseMs)
         }
-        next
       }
     }
 
@@ -844,19 +939,19 @@ object VersionedTable {
       set: Map[String, org.apache.spark.sql.Column],
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
       txn: Option[(String, Long)] = None): Long =
-    FsIO.withWriteLock(dir, "VersionedTable.commitUpdateDV", lockLeaseMs) {
+    withOccRetries("VersionedTable.commitUpdateDV") { () =>
       import org.apache.spark.sql.functions.col
       require(set.nonEmpty, "commitUpdateDV: empty SET clause")
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val replayed = txn.flatMap { case (app, tv) =>
+      val preReplayed = txn.flatMap { case (app, tv) =>
         lastTxnVersion(dir, app).filter(_ >= tv) }
-      if (replayed.isDefined) latestVersion(dir).getOrElse(
+      if (preReplayed.isDefined) latestVersion(dir).getOrElse(
         sys.error(s"commitUpdateDV: txn marker without a committed version in $dir"))
       else {
+        // O(matched rows) span lock-free against a pinned version; publish
+        // rebases over blind appends, conflicts on rival rewrites
         val committed = VersionedTable.log(dir)
         require(committed.nonEmpty, s"commitUpdateDV: $dir has no committed version")
-        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-          listVersionDirs(fs, dir)).max: Long) + 1
         val (pv, pms) = committed.last
         val entries = checkedEntries(fs, dir, pv, pms)
         val masked  = scanEntriesMeta(spark, dir, entries)
@@ -866,16 +961,19 @@ object VersionedTable {
         // matched rows materialize ONCE (they feed both the sidecar and the
         // rewritten append) — O(matched rows), the operation's whole budget
         val hits = masked.where(cond).localCheckpoint(true)
-        val staged = stageDataFiles(fs, dir,
+        val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
+        val staged = stageDataFilesTagged(fs, dir,
           hits.select(col(FnameCol).as("fname"), col(PosCol).as("pos"))
-            .coalesce(1).sortWithinPartitions("fname", "pos"), next)
+            .coalesce(1).sortWithinPartitions("fname", "pos"), stageTag)
         val touchedNames: Set[String] =
           if (staged.isEmpty) Set.empty
           else spark.read.parquet(staged.map(absOf(dir, _).toString): _*)
             .select("fname").distinct().collect().map(_.getString(0)).toSet
         if (touchedNames.isEmpty) {
           staged.foreach(rel => fs.delete(absOf(dir, rel), false))
-          publishEntries(fs, dir, next, Some(entries), txn, prev = Some(entries))
+          publishRebased(spark, fs, dir, "VersionedTable.commitUpdateDV",
+            pv, entries, entries, staged = Seq.empty,
+            provenAgainst = Constraints.list(dir), txn = txn, lockLeaseMs = lockLeaseMs)
         } else {
           val dvRel = staged match {
             case Seq(one) => one
@@ -890,14 +988,17 @@ object VersionedTable {
             .drop(FnameCol, PosCol)
           requireCompatibleSchema("VersionedTable.commitUpdateDV",
             masked.drop(FnameCol, PosCol).schema, updated.schema)
-          val newRels = stageDataFiles(fs, dir, updated, next)
+          val newRels = stageDataFilesTagged(fs, dir, updated, stageTag)
+          val provenAgainst = Constraints.list(dir)
           validateStaged(spark, dir, newRels, "VersionedTable.commitUpdateDV")
-          publishEntries(fs, dir, next, Some(
+          publishRebased(spark, fs, dir, "VersionedTable.commitUpdateDV",
+            pv, entries,
             entries.map(e =>
               if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e) ++
-              newRels.map(FileEntry(_, Nil))), txn, prev = Some(entries))
+              newRels.map(FileEntry(_, Nil)),
+            staged = staged ++ newRels, provenAgainst = provenAgainst,
+            txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels)
         }
-        next
       }
     }
 
@@ -965,17 +1066,21 @@ object VersionedTable {
       txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "commitMerge: need at least one key column")
-    FsIO.withWriteLock(dir, "VersionedTable.commitMerge", lockLeaseMs) {
+    withOccRetries("VersionedTable.commitMerge") { () =>
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val replayed = txn.flatMap { case (app, tv) =>
+      val preReplayed = txn.flatMap { case (app, tv) =>
         lastTxnVersion(dir, app).filter(_ >= tv) }
-      if (replayed.isDefined) latestVersion(dir).getOrElse(
+      if (preReplayed.isDefined) latestVersion(dir).getOrElse(
         sys.error(s"VersionedTable.commitMerge: txn marker without a committed version in $dir"))
       else {
+        // probe + rewrite lock-free against a pinned version; the publish
+        // tail rebases over blind appends. NOTE a rebased-over append may
+        // carry a key the merge INSERTED (it probed the pinned version) —
+        // the duplicate surfaces at the next merge through mergeUpsert's
+        // uniqueness tripwire; WriteSerializable accepts this write skew
+        // in exchange for never blocking appenders behind a merge's scan.
         val committed = VersionedTable.log(dir)
         require(committed.nonEmpty, s"commitMerge: $dir has no committed version")
-        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-          listVersionDirs(fs, dir)).max: Long) + 1
         val (pv, pms) = committed.last
         val entries = checkedEntries(fs, dir, pv, pms)
         // DV-masked probe: a row already deleted by a vector must not count
@@ -1011,15 +1116,17 @@ object VersionedTable {
           if (touched.isEmpty) full.drop(FnameCol, PosCol).limit(0)
           else scanEntries(spark, dir, touched) // masked; rewrite sheds the DVs
         val merged = TableManager.mergeUpsert(targetDf, srcChk, keyCols)
-        val staged = stageDataFiles(fs, dir, merged, next)
+        val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
+        val staged = stageDataFilesTagged(fs, dir, merged, stageTag)
         val newRels =
           if (staged.nonEmpty || untouched.nonEmpty) staged
-          else stageDataFiles(fs, dir, merged.coalesce(1), next)
+          else stageDataFilesTagged(fs, dir, merged.coalesce(1), stageTag)
+        val provenAgainst = Constraints.list(dir)
         validateStaged(spark, dir, newRels, "VersionedTable.commitMerge")
-        publishEntries(fs, dir, next,
-          Some(untouched ++ newRels.map(FileEntry(_, Nil))), txn,
-          prev = Some(entries))
-        next
+        publishRebased(spark, fs, dir, "VersionedTable.commitMerge",
+          pv, entries, untouched ++ newRels.map(FileEntry(_, Nil)),
+          staged = newRels, provenAgainst = provenAgainst,
+          txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels)
       }
     }
   }
