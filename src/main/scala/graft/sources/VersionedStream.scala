@@ -80,12 +80,19 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
-    val ignoreChanges = parameters
-      .collectFirst { case (k, v) if k.equalsIgnoreCase("ignoreChanges") => v }
-      .exists(_.toBoolean)
+    def opt(name: String) = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val ignoreChanges = opt("ignoreChanges").exists(_.toBoolean)
+    val maxVersions   = opt("maxVersionsPerTrigger").map(_.toInt)
+    maxVersions.foreach(m => require(m > 0,
+      s"VersionedStream: maxVersionsPerTrigger must be positive, got $m"))
+    val startingVersion = opt("startingVersion").map(_.toLong)
+    startingVersion.foreach(v => require(v >= 0,
+      s"VersionedStream: startingVersion must be >= 0, got $v"))
     new VersionedStream.VersionedTableSource(
       sqlContext.sparkSession, dir,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2, ignoreChanges)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2, ignoreChanges,
+      maxVersions, startingVersion)
   }
 }
 
@@ -95,41 +102,41 @@ object VersionedStream {
   val format: String = classOf[VersionedStream].getName
 
   private[sources] class VersionedTableSource(spark: SparkSession, dir: String,
-      override val schema: StructType, ignoreChanges: Boolean) extends Source {
+      override val schema: StructType, ignoreChanges: Boolean,
+      maxVersionsPerTrigger: Option[Int] = None,
+      startingVersion: Option[Long] = None) extends Source {
 
+    // the highest version already handed out through getBatch — the anchor
+    // maxVersionsPerTrigger paces from. Recovery is safe: Spark replays the
+    // checkpointed batch through getBatch before asking for a new offset,
+    // which re-seeds this from the durable end offset.
+    @volatile private var lastPlanned: Option[Long] = None
+
+    /** Latest committed version, CAPPED at `lastPlanned +
+      * maxVersionsPerTrigger` — a restarted tail with a 10k-version backlog
+      * drains it in bounded batches instead of planning one giant one
+      * (Delta's maxFilesPerTrigger discipline at version grain). The
+      * initial snapshot batch is inherently uncapped (one snapshot). */
     override def getOffset: Option[Offset] =
-      VersionedTable.latestVersion(dir).map(LongOffset(_))
+      VersionedTable.latestVersion(dir).map { latest =>
+        val capped = (lastPlanned, maxVersionsPerTrigger) match {
+          case (Some(last), Some(m)) => math.min(latest, last + m)
+          case _                     => latest
+        }
+        LongOffset(capped)
+      }
 
     override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
       val endV = versionOf(end)
+      lastPlanned = Some(endV)
       val emit: Seq[(String, Seq[String])] = start match {
-        case None => VersionedTable.entriesOf(dir, endV) // initial snapshot
-        case Some(s) =>
-          val startV = versionOf(s)
-          (startV + 1 to endV).flatMap { v =>
-            if (!VersionedTable.dataChanged(dir, v)) Nil // OPTIMIZE: skip
-            else {
-              val prev = VersionedTable.entriesOf(dir, v - 1)
-                .map { case (rel, dvs) => rel -> dvs.toSet }.toMap
-              val cur       = VersionedTable.entriesOf(dir, v)
-              val added     = cur.filterNot { case (rel, _) => prev.contains(rel) }
-              // a DV-only commit adds no files but removes rows — the same
-              // pure-append violation as a rewrite, detected at entry grain
-              val dvChanged = cur.filter { case (rel, dvs) =>
-                prev.get(rel).exists(_ != dvs.toSet) }
-              val removed   = prev.keySet -- cur.map(_._1)
-              if ((removed.nonEmpty || dvChanged.nonEmpty) && !ignoreChanges)
-                sys.error(s"VersionedStream: version $v of $dir rewrote, " +
-                  "removed, or deletion-vector-masked data files " +
-                  "(UPDATE/DELETE/MERGE). A pure-append stream cannot " +
-                  "represent it; restart from a fresh checkpoint, or set " +
-                  ".option(\"ignoreChanges\", \"true\") to re-emit changed " +
-                  "files' live rows (downstream must be idempotent).")
-              // under ignoreChanges, Delta's relaxation: re-emit the changed
-              // files' (masked) row sets alongside genuinely new files
-              added ++ (if (ignoreChanges) dvChanged else Nil)
-            }
-          }
+        // no checkpoint: a startingVersion tails the log from that commit
+        // (inclusive, no snapshot — the Delta startingVersion contract);
+        // otherwise the initial batch is a snapshot of the end version
+        case None if startingVersion.isDefined =>
+          stepVersions(startingVersion.get - 1, endV)
+        case None    => VersionedTable.entriesOf(dir, endV) // initial snapshot
+        case Some(s) => stepVersions(versionOf(s), endV)
       }
       if (emit.isEmpty) StreamShim.emptyStreaming(spark, schema)
       else if (emit.forall(_._2.isEmpty))
@@ -143,6 +150,37 @@ object VersionedStream {
           VersionedTable.readEntries(spark, dir, emit)
             .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     }
+
+    /** The files each version in `(fromExclusive, to]` ADDED (plus, under
+      * ignoreChanges, re-masked entries' live rows) — the per-commit tail
+      * walk shared by incremental batches and startingVersion bootstrap. */
+    private def stepVersions(fromExclusive: Long, to: Long): Seq[(String, Seq[String])] =
+      (fromExclusive + 1 to to).flatMap { v =>
+        if (!VersionedTable.dataChanged(dir, v)) Nil // OPTIMIZE: skip
+        else {
+          val prev =
+            if (v == 0) Map.empty[String, Set[String]]
+            else VersionedTable.entriesOf(dir, v - 1)
+              .map { case (rel, dvs) => rel -> dvs.toSet }.toMap
+          val cur       = VersionedTable.entriesOf(dir, v)
+          val added     = cur.filterNot { case (rel, _) => prev.contains(rel) }
+          // a DV-only commit adds no files but removes rows — the same
+          // pure-append violation as a rewrite, detected at entry grain
+          val dvChanged = cur.filter { case (rel, dvs) =>
+            prev.get(rel).exists(_ != dvs.toSet) }
+          val removed   = prev.keySet -- cur.map(_._1)
+          if ((removed.nonEmpty || dvChanged.nonEmpty) && !ignoreChanges)
+            sys.error(s"VersionedStream: version $v of $dir rewrote, " +
+              "removed, or deletion-vector-masked data files " +
+              "(UPDATE/DELETE/MERGE). A pure-append stream cannot " +
+              "represent it; restart from a fresh checkpoint, or set " +
+              ".option(\"ignoreChanges\", \"true\") to re-emit changed " +
+              "files' live rows (downstream must be idempotent).")
+          // under ignoreChanges, Delta's relaxation: re-emit the changed
+          // files' (masked) row sets alongside genuinely new files
+          added ++ (if (ignoreChanges) dvChanged else Nil)
+        }
+      }
 
     private def versionOf(o: Offset): Long = o match {
       case l: LongOffset => l.offset

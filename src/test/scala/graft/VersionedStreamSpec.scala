@@ -110,4 +110,51 @@ class VersionedStreamSpec extends SparkSpec {
     q.awaitTermination()
     assert(scanned.get.count() == 10L)
   }
+
+  test("maxVersionsPerTrigger paces a backlog into bounded batches") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream_pace").toString
+    val table = root + "/t"
+    val (out, ckpt) = (root + "/out", root + "/ckpt")
+    VersionedTable.commitAppend(spark, Seq((0L, "v0")).toDF("id", "s"), table)
+    run(table, out, ckpt) // checkpoint the initial snapshot at v0
+    // a 6-version backlog lands while the stream is down
+    (1L to 6L).foreach { i =>
+      VersionedTable.commitAppend(spark, Seq((i, s"v$i")).toDF("id", "s"), table)
+    }
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val q = spark.readStream.format(VersionedStream.format).option("path", table)
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count(); if (n > 0) batches.add(n); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val sizes = batches.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(sizes.sum == 6L, s"backlog fully drained: $sizes")
+    assert(sizes.forall(_ <= 2L), s"each batch spans at most 2 versions: $sizes")
+    assert(sizes.size >= 3, s"the drain must take multiple bounded batches: $sizes")
+  }
+
+  test("startingVersion tails from that commit (inclusive), no initial snapshot") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream_sv").toString
+    val table = root + "/t"
+    VersionedTable.commitAppend(spark, (1L to 10L).map(i => (i, "v0")).toDF("id", "s"), table)
+    VersionedTable.commitAppend(spark, (11L to 15L).map(i => (i, "v1")).toDF("id", "s"), table)
+    VersionedTable.commitAppend(spark, (16L to 18L).map(i => (i, "v2")).toDF("id", "s"), table)
+    val q = spark.readStream.format(VersionedStream.format).option("path", table)
+      .option("startingVersion", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", root + "/out").option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(root + "/out")
+    assert(got.count() == 8L, "only v1 and v2 rows — v0's snapshot is skipped")
+    assert(got.agg(min("id")).head.getLong(0) == 11L)
+  }
 }
