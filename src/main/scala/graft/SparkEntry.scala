@@ -2957,12 +2957,19 @@ object SparkEntry {
     "q_versioned_deltalog" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_dlog").toString + "/t"
       // integer cents: the sum is exact and order-free, so the driver hash
-      // is bit-identical cross-engine (the round-2 decimal rule)
+      // is bit-identical cross-engine (the round-2 decimal rule).
+      // localCheckpoint: 12 slice-appends filter the cached projection
+      // instead of re-scanning the orders parquet 12 times
       val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
         col("o_orderpriority"),
         round(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+        .localCheckpoint(true)
+      // one file per slice: without it each append inherits the session's
+      // 32 partitions and the chain accrues ~384 tiny files that every
+      // later scan (the DV delete, the update, the final read) reopens
       (0 until 12).foreach { i =>
-        VersionedTable.commitAppend(s, o.where(pmod(col("o_orderkey"), lit(12L)) === i), dir)
+        VersionedTable.commitAppend(s,
+          o.where(pmod(col("o_orderkey"), lit(12L)) === i).coalesce(1), dir)
       }
       VersionedTable.commitDeleteDV(s, dir,
         pmod(col("o_orderkey"), lit(5L)) === 0L && col("o_orderstatus") === "F")

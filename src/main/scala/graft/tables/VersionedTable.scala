@@ -440,7 +440,10 @@ object VersionedTable {
     * its staged files are orphans the next [[vacuum]] sweeps. */
   private def validateStaged(spark: SparkSession, dir: String,
       rels: Seq[String], op: String): Unit =
-    if (rels.nonEmpty)
+    // the constraint list probe first: an unconstrained table (the common
+    // case) must not pay a per-commit read-back plan just to validate
+    // against nothing
+    if (rels.nonEmpty && Constraints.list(dir).nonEmpty)
       Constraints.validate(spark, dir,
         spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*), op)
 
@@ -609,7 +612,8 @@ object VersionedTable {
       // pre-flight schema gate (one footer read, lock-free): refuse drift
       // BEFORE paying the O(data) stage; the in-lease gate below stays
       // authoritative under concurrent schema evolution
-      log(dir).lastOption.foreach { case (pv, pms) =>
+      val preHead = log(dir).lastOption
+      preHead.foreach { case (pv, pms) =>
         checkedEntries(fs, dir, pv, pms).headOption.foreach { e =>
           requireCompatibleSchema("commitAppend",
             spark.read.parquet(absOf(dir, e.rel).toString).schema, df.schema)
@@ -640,15 +644,18 @@ object VersionedTable {
           val prevEntries = committed.lastOption
             .map { case (v, ms) => checkedEntries(fs, dir, v, ms) }
             .getOrElse(Seq.empty)
-          // one footer read each side: the schema gate must not scan the
-          // table — and it gates the STAGED bytes, not the incoming plan
-          (prevEntries.headOption, newRels.headOption) match {
-            case (Some(p), Some(n)) =>
-              requireCompatibleSchema("commitAppend",
-                spark.read.parquet(absOf(dir, p.rel).toString).schema,
-                spark.read.parquet(absOf(dir, n).toString).schema)
-            case _ => ()
-          }
+          // one footer read each side, gating the STAGED bytes — but only
+          // when the head MOVED since the pre-flight gate: uncontended
+          // appends (the common case) already proved this schema pair and
+          // must not pay two more footer plans per commit
+          if (committed.lastOption.map(_._1) != preHead.map(_._1))
+            (prevEntries.headOption, newRels.headOption) match {
+              case (Some(p), Some(n)) =>
+                requireCompatibleSchema("commitAppend",
+                  spark.read.parquet(absOf(dir, p.rel).toString).schema,
+                  spark.read.parquet(absOf(dir, n).toString).schema)
+              case _ => ()
+            }
           // a CHECK constraint added after the lock-free validation must
           // still gate this batch: re-prove under the lease (rare path)
           if (Constraints.list(dir) != provenAgainst)
