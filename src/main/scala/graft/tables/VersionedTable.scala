@@ -1295,6 +1295,21 @@ object VersionedTable {
       0L
     }
 
+  /** The version that was CURRENT at `tsMillis` — the greatest committed
+    * version with commitMs <= tsMillis (Delta `TIMESTAMP AS OF`
+    * resolution). Fails loudly for a timestamp before the first commit. */
+  def versionAsOf(dir: String, tsMillis: Long): Long = {
+    val committed = log(dir)
+    require(committed.nonEmpty, s"versionAsOf: $dir has no committed version")
+    committed.filter(_._2 <= tsMillis).lastOption.map(_._1).getOrElse(sys.error(
+      s"versionAsOf: $tsMillis precedes the first commit of $dir " +
+        s"(earliest commitMs=${committed.head._2})"))
+  }
+
+  /** Time travel by TIMESTAMP: [[read]] at [[versionAsOf]]`(tsMillis)`. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAsOf(dir, tsMillis)))
+
   /** Read a table version — the latest by default, or a pinned one (time
     * travel). The returned plan reads exactly one immutable `v=<n>`
     * directory: later commits and vacuums of OTHER versions never touch
@@ -1336,6 +1351,28 @@ object VersionedTable {
   def vacuum(spark: SparkSession, dir: String, retainLast: Int,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Seq[Long] = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    vacuumKeeping(spark, dir, lockLeaseMs,
+      committed => committed.map(_._1).takeRight(retainLast).toSet)
+  }
+
+  /** AGE-based retention (Delta's `VACUUM ... RETAIN n HOURS` shape at
+    * version grain): drop the data of versions COMMITTED more than
+    * `olderThanMs` ago, always keeping the newest `retainLast` regardless
+    * of age (the latest version must never become unreadable). Size the
+    * window to the longest reader, same hazard as [[vacuum]]. */
+  def vacuumOlderThan(spark: SparkSession, dir: String, olderThanMs: Long,
+      retainLast: Int = 1,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Seq[Long] = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    vacuumKeeping(spark, dir, lockLeaseMs, committed =>
+      (committed.filter(_._2 >= cutoff).map(_._1) ++
+        committed.map(_._1).takeRight(retainLast)).toSet)
+  }
+
+  private def vacuumKeeping(spark: SparkSession, dir: String, lockLeaseMs: Long,
+      keepOf: Seq[(Long, Long)] => Set[Long]): Seq[Long] =
     FsIO.withWriteLock(dir, "VersionedTable.vacuum", lockLeaseMs) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       // crashed-before-rename staging litter goes too: data-dir stages and
@@ -1349,7 +1386,7 @@ object VersionedTable {
           .filter(_.getPath.getName.endsWith(".commit.tmp"))
           .foreach(s => fs.delete(s.getPath, false))
       val committed = VersionedTable.log(dir)
-      val keep      = committed.map(_._1).takeRight(retainLast).toSet
+      val keep      = keepOf(committed)
       // FILE REFCOUNT across retained manifests: a data file (or a snapshot
       // directory an incremental commit references into) lives as long as
       // ANY retained version lists it — sharing means deletion must check
@@ -1402,7 +1439,6 @@ object VersionedTable {
         }
       (legacyDrop ++ manifestDrop).distinct.sorted
     }
-  }
 
   /** Row-level DIFF between two committed versions, keyed by `keyCols`:
     * one row per changed key with change_type ∈ added | removed |

@@ -128,6 +128,36 @@ class DeltaLogSpec extends SparkSpec {
     assert(d == Map(10L -> "added", 11L -> "added"), d.toString)
   }
 
+  test("timestamp time travel: readAsOf resolves the version current at that instant") {
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark, Seq((1L, 1L)).toDF("k", "x"), dir) // v0
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    VersionedTable.commitAppend(spark, Seq((2L, 2L)).toDF("k", "x"), dir) // v1
+    assert(VersionedTable.versionAsOf(dir, between) == 0L)
+    assert(VersionedTable.readAsOf(spark, dir, between).count() == 1)
+    assert(VersionedTable.readAsOf(spark, dir, System.currentTimeMillis()).count() == 2)
+    val ex = intercept[Exception] { VersionedTable.versionAsOf(dir, 1000L) }
+    assert(ex.getMessage.contains("precedes the first commit"), ex.getMessage)
+  }
+
+  test("age-based vacuum: old versions' exclusive data dropped, newest always survives") {
+    val dir = dirOf()
+    (0 until 3).foreach { i =>
+      VersionedTable.commitAppend(spark, Seq((i.toLong, i)).toDF("k", "x"), dir)
+    }
+    VersionedTable.commitCompact(spark, dir, targetFiles = 1) // v3: full rewrite
+    // a huge window drops nothing
+    assert(VersionedTable.vacuumOlderThan(spark, dir, olderThanMs = 3600000L).isEmpty)
+    assert(VersionedTable.read(spark, dir, Some(0L)).count() == 1)
+    // window 0: everything is "old" — only the newest version survives
+    val dropped = VersionedTable.vacuumOlderThan(spark, dir, olderThanMs = 0L)
+    assert(dropped.nonEmpty, "pre-compaction versions' exclusive files must drop")
+    assert(VersionedTable.read(spark, dir).count() == 3)
+    intercept[Exception] { VersionedTable.read(spark, dir, Some(0L)).count() }
+  }
+
   test("restore and clone stay correct over delta-encoded history") {
     val dir = dirOf()
     (0 until 4).foreach { i =>
