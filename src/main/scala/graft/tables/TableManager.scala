@@ -168,30 +168,38 @@ object TableManager {
     * [[compact]]. */
   def compactZOrder(spark: SparkSession, dir: String, colA: String, colB: String, targetFiles: Int,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit = FsIO.withWriteLock(dir, "compactZOrder", lockLeaseMs) {
-    val df = spark.read.parquet(dir)
+    val df  = spark.read.parquet(dir)
+    val tmp = new Path(dir + ".__zorder_tmp")
+    zLayout(df, colA, colB, targetFiles, "compactZOrder")
+      .write.mode("overwrite").parquet(tmp.toString)
+    swapDir(spark, dir, tmp, new Path(dir + ".__zorder_bak"), "compactZOrder")
+  }
+
+  /** Re-layout `df` range-partitioned and sorted by the z-order of two
+    * numeric columns — the shared kernel behind [[compactZOrder]] and
+    * VersionedTable's `commitCompact(zOrderBy = ...)`. */
+  private[tables] def zLayout(df: org.apache.spark.sql.DataFrame,
+      colA: String, colB: String, targetFiles: Int, op: String): org.apache.spark.sql.DataFrame = {
     // z-ordering is defined for numeric range-bucketable columns only —
     // reject anything else up front with a clear message (an ANSI cast
     // failure deep in the stats job would be opaque)
     Seq(colA, colB).foreach { c =>
       require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"compactZOrder: column '$c' is ${df.schema(c).dataType.catalogString}; z-order requires numeric columns")
+        s"$op: column '$c' is ${df.schema(c).dataType.catalogString}; z-order requires numeric columns")
     }
     // nanvl: NaN would poison min/max and then fail the ANSI cast to long
     def clean(c: String) = nanvl(col(c).cast("double"), lit(null).cast("double"))
     val stats = df.agg(min(clean(colA)), max(clean(colA)), min(clean(colB)), max(clean(colB))).head()
-    require(!stats.anyNull, s"compactZOrder: $colA/$colB have no non-null, non-NaN values to bucket")
+    require(!stats.anyNull, s"$op: $colA/$colB have no non-null, non-NaN values to bucket")
     // feed the CLEANED columns into the bucket arithmetic too: a raw NaN row
     // would reach the ANSI cast-to-long inside zValue and crash the rewrite;
     // cleaned, a NaN/null row gets a null z and clusters into one range
     val z = zValue(clean(colA), stats.getDouble(0), stats.getDouble(1),
                    clean(colB), stats.getDouble(2), stats.getDouble(3))
-    val tmp = new Path(dir + ".__zorder_tmp")
     df.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(tmp.toString)
-    swapDir(spark, dir, tmp, new Path(dir + ".__zorder_bak"), "compactZOrder")
   }
 
   /** Number of data files currently backing a path table (compaction metric). */

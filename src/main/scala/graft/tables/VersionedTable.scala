@@ -1158,8 +1158,11 @@ object VersionedTable {
     * files; [[vacuum]] reclaims them once out of retention. */
   def commitCompact(spark: SparkSession, dir: String, targetFiles: Int,
       clusterBy: Seq[String] = Seq.empty,
+      zOrderBy: Option[(String, String)] = None,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long = {
     require(targetFiles >= 1, s"commitCompact: targetFiles must be >= 1, got $targetFiles")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "commitCompact: clusterBy and zOrderBy are mutually exclusive layouts")
     FsIO.withWriteLock(dir, "VersionedTable.commitCompact", lockLeaseMs) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val committed = VersionedTable.log(dir)
@@ -1172,11 +1175,16 @@ object VersionedTable {
       // re-laid rows are the live rows, and the new entries carry no DVs
       // (merge-on-read's compaction discipline)
       val full = scanEntries(spark, dir, entries)
-      val laid =
-        if (clusterBy.isEmpty) full.repartition(targetFiles)
-        else full.repartitionByRange(targetFiles,
+      val laid = zOrderBy match {
+        // OPTIMIZE ZORDER BY: each rewritten file covers a narrow range of
+        // BOTH columns, so per-file stats prune selective filters on either
+        case Some((a, b)) => TableManager.zLayout(full, a, b, targetFiles,
+          "VersionedTable.commitCompact")
+        case None if clusterBy.isEmpty => full.repartition(targetFiles)
+        case None => full.repartitionByRange(targetFiles,
             clusterBy.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
           .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+      }
       val newRels = stageDataFiles(fs, dir, laid, next)
       // an empty table compacts to an empty manifest only if the previous
       // manifest was empty too — otherwise guarantee one schema-bearing file

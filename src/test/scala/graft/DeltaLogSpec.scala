@@ -158,6 +158,28 @@ class DeltaLogSpec extends SparkSpec {
     intercept[Exception] { VersionedTable.read(spark, dir, Some(0L)).count() }
   }
 
+  test("commitCompact zOrderBy: selective filters on EITHER column touch few files") {
+    val dir = dirOf()
+    // anti-correlated layout: clustering by a alone would leave b scattered
+    val base = spark.range(0L, 4096L).select(
+      col("id").as("a"), (lit(4095L) - col("id")).as("b"),
+      pmod(col("id"), lit(7L)).as("x"))
+    VersionedTable.commitAppend(spark, base.repartition(8), dir)
+    val before = VersionedTable.read(spark, dir).collect().map(_.toSeq).toSet
+    val vz = VersionedTable.commitCompact(spark, dir, targetFiles = 4,
+      zOrderBy = Some(("a", "b")))
+    assert(VersionedTable.read(spark, dir).collect().map(_.toSeq).toSet == before)
+    // files touched by a narrow range on each dimension — z-order keeps
+    // both selective (4 files tile the (a,b) plane in 2x2 z-cells)
+    def filesFor(cond: org.apache.spark.sql.Column): Long =
+      VersionedTable.read(spark, dir).where(cond)
+        .select(input_file_name()).distinct().count()
+    assert(filesFor(col("a") < 100L) <= 2, "narrow a-range must prune files")
+    assert(filesFor(col("b") < 100L) <= 2, "narrow b-range must prune files")
+    // the re-layout is dataChange=false: the change feed skips it wholesale
+    assert(VersionedTable.changes(spark, dir, vz - 1, vz, Seq("a"), Seq("x")).count() == 0)
+  }
+
   test("restore and clone stay correct over delta-encoded history") {
     val dir = dirOf()
     (0 until 4).foreach { i =>
