@@ -446,6 +446,46 @@ object ScaleBench {
       s.range(logBytes() - before).toDF("log_bytes")
     }),
 
+    // lock-free append concurrency, measured: the same 12 slice-appends on
+    // a fresh table, serial vs 4 writer threads. Staging runs outside the
+    // write lease, so concurrent writers overlap their O(data) phase and
+    // serialize only at the publish tail — the wall-clock gap between
+    // these two rows is the measured payoff (bounded by Spark's shared
+    // scheduler, not by the table's lock).
+    "append_serial" -> ((s, d, f) => {
+      val work = s"$d/capp_serial/t"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/capp_serial"), true)
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice").localCheckpoint(true)
+      (0 until 12).foreach { i =>
+        tables.VersionedTable.commitAppend(s,
+          o.where(col("o_orderkey") % 12 === i).coalesce(1), work)
+      }
+      tables.VersionedTable.read(s, work)
+    }),
+
+    "append_concurrent" -> ((s, d, f) => {
+      val work = s"$d/capp_conc/t"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/capp_conc"), true)
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice").localCheckpoint(true)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until 4).map { w =>
+        new Thread(() => {
+          try (0 until 3).foreach { j =>
+            val i = w * 3 + j
+            tables.VersionedTable.commitAppend(s,
+              o.where(col("o_orderkey") % 12 === i).coalesce(1), work)
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      require(errs.isEmpty, s"concurrent appenders failed: ${errs.toArray.headOption}")
+      tables.VersionedTable.read(s, work)
+    }),
+
     // the read side of the same claim: resolving the LATEST version after
     // the appends replays ≤ interval delta entries from the v0 anchor —
     // wall is metadata-bound and must stay near-flat while the manifest it
