@@ -2981,6 +2981,29 @@ object SparkEntry {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // -- ADDITIVE SCHEMA EVOLUTION ON APPEND --------------------------------
+    // Odd keys land narrow (v0); evens land through commitAppendEvolve with
+    // a derived `segment` column (v1 — old files untouched, schema declared
+    // in the log); an update then writes the NEW column on rows living in
+    // NARROW files (%99 hits both parities), forcing a wide rewrite of
+    // touched narrow files while untouched ones stay narrow on disk. The
+    // final read resolves everything through the declared schema; DuckDB
+    // replays the same history in SQL.
+    "q_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s,
+        c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
+      VersionedTable.commitAppendEvolve(s,
+        c.where(pmod(col("c_custkey"), lit(2L)) === 0L)
+          .withColumn("segment",
+            when(col("bal") >= 5000.0, "high").otherwise("low")), dir)
+      VersionedTable.commitUpdate(s, dir,
+        pmod(col("c_custkey"), lit(99L)) === 0L, Map("segment" -> lit("vip")))
+      VersionedTable.read(s, dir).orderBy("c_custkey")
+    }),
+
     // -- INCREMENTALLY-MAINTAINED MATERIALIZED AGGREGATE -------------------
     // Build the view at v0 (odd keys only), then refresh once after three
     // more source commits (evens appended, negative balances updated,
@@ -5150,6 +5173,17 @@ object SparkEntry {
       // balances positive (MoR update reads the old value)
       ("SELECT c_custkey, ABS(CAST(c_acctbal AS DOUBLE)) AS bal " +
         "FROM customer WHERE c_custkey % 11 <> 0 ORDER BY c_custkey"),
+
+    "q_schema_evolution" ->
+      // replay: odd keys never saw the evolved column (NULL unless the
+      // update reached them); evens derive it; %99 keys of EITHER parity
+      // were overwritten to 'vip' by the post-evolution update
+      ("SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, " +
+        "CASE WHEN c_custkey % 99 = 0 THEN 'vip' " +
+        "WHEN c_custkey % 2 = 0 THEN " +
+        "(CASE WHEN CAST(c_acctbal AS DOUBLE) >= 5000 THEN 'high' ELSE 'low' END) " +
+        "ELSE NULL END AS segment " +
+        "FROM customer ORDER BY c_custkey"),
 
     "q_versioned_deltalog" ->
       // replay the 14-commit history: union of the 12 slices = all orders;

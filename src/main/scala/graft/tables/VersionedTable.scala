@@ -309,6 +309,52 @@ object VersionedTable {
     entries
   }
 
+  // ------------------------------------------------------ declared schema
+  // ADDITIVE SCHEMA EVOLUTION ([[commitAppendEvolve]]): an evolved table's
+  // manifest legitimately mixes files of different widths (old files are
+  // never rewritten — O(change) evolution, where the mergeSchema overwrite
+  // path pays O(table)). Plain parquet schema resolution samples ONE
+  // footer, so such a manifest needs a DECLARED schema: a write-once
+  // `_schema/v=<n>.json` recorded by the evolving commit. Readers resolve
+  // the newest declared schema at-or-below their version (one listing) and
+  // read every file through it — columns missing from an old file's footer
+  // come back null, which is exactly Delta's evolution read semantics.
+  private def schemaDir(dir: String) = new Path(dir, "_schema")
+  private val schemaName = "^v=(\\d+)\\.json$".r
+
+  private def writeDeclaredSchema(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long, schema: org.apache.spark.sql.types.StructType): Unit = {
+    fs.mkdirs(schemaDir(dir))
+    val tmp = new Path(schemaDir(dir), f"v=$v%05d.json.tmp")
+    FsIO.writeText(tmp.toString, schema.json)
+    if (!fs.rename(tmp, new Path(schemaDir(dir), f"v=$v%05d.json")))
+      sys.error(s"VersionedTable: could not record declared schema for version $v in $dir")
+  }
+
+  /** The declared schema governing version `v` — the newest schema file at
+    * a COMMITTED version ≤ v (orphans from crashed evolves are ignored),
+    * or None for a never-evolved table (whose files all agree and read
+    * through plain footer resolution). */
+  def declaredSchemaAt(dir: String, v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val sd = schemaDir(dir)
+    val fs = sd.getFileSystem(FsIO.hadoopConf())
+    if (!fs.exists(sd)) None
+    else {
+      val committed = log(dir).map(_._1).toSet
+      fs.listStatus(sd).toSeq
+        .flatMap(s => schemaName.findFirstMatchIn(s.getPath.getName).map(m =>
+          (m.group(1).toLong, s.getPath)))
+        .filter { case (sv, _) => sv <= v && committed(sv) }
+        .sortBy(_._1).lastOption
+        .map { case (_, p) =>
+          org.apache.spark.sql.types.DataType.fromJson(
+            FsIO.readText(p.toString).getOrElse(sys.error(
+              s"VersionedTable: unreadable declared schema $p")))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        }
+    }
+  }
+
   // helper columns the masked scan materializes from the parquet reader's
   // hidden `_metadata` struct; dropped before any caller-visible result
   private val FnameCol = "__graft_dv_fname"
@@ -329,14 +375,16 @@ object VersionedTable {
     * prefix; snapshot part files carry Spark's job UUID), and the check
     * below makes the assumption loud rather than silent. */
   private def scanEntriesMeta(spark: SparkSession, dir: String,
-      entries: Seq[FileEntry]): DataFrame = {
+      entries: Seq[FileEntry],
+      declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(entries.nonEmpty, s"VersionedTable: empty file manifest in $dir")
     val names = entries.map(e => baseName(e.rel))
     require(names.distinct.size == names.size,
       s"VersionedTable: duplicate data-file base names in $dir manifest — " +
         "deletion-vector row identity would be ambiguous")
-    val base = spark.read
+    val reader = declared.fold(spark.read)(s => spark.read.schema(s))
+    val base = reader
       .parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
       // substring_index, not split+element_at: the basename is computed per
       // ROW of the big side; split allocates a segment array per row
@@ -373,11 +421,13 @@ object VersionedTable {
     * row set of `entries`. DV-free entries take the plain parquet path
     * (zero plan overhead — the common case must not pay for the feature). */
   private def scanEntries(spark: SparkSession, dir: String,
-      entries: Seq[FileEntry]): DataFrame =
+      entries: Seq[FileEntry],
+      declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     if (entries.forall(_.dvs.isEmpty)) {
       require(entries.nonEmpty, s"VersionedTable: empty file manifest in $dir")
-      spark.read.parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
-    } else scanEntriesMeta(spark, dir, entries).drop(FnameCol, PosCol)
+      declared.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
+    } else scanEntriesMeta(spark, dir, entries, declared).drop(FnameCol, PosCol)
 
   /** Public (file, deletion-vectors) entries of a committed version — what
     * incremental consumers ([[graft.sources.VersionedStream]]) compare to
@@ -395,8 +445,10 @@ object VersionedTable {
     * caller selects WHICH files to read but row-level masking must still
     * apply. */
   def readEntries(spark: SparkSession, dir: String,
-      entries: Seq[(String, Seq[String])]): DataFrame =
-    scanEntries(spark, dir, entries.map { case (rel, dvs) => FileEntry(rel, dvs.toList) })
+      entries: Seq[(String, Seq[String])],
+      declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    scanEntries(spark, dir,
+      entries.map { case (rel, dvs) => FileEntry(rel, dvs.toList) }, declared)
 
   /** Write `df`'s parquet into a staging dir, then move each part file into
     * `<dir>/data/` under a version-prefixed UUID name (immutable once moved;
@@ -513,6 +565,21 @@ object VersionedTable {
       .flatMap(s => versionName.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
       .sorted
 
+  private def listSchemaVersions(fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Long] = {
+    val sd = schemaDir(dir)
+    if (!fs.exists(sd)) Seq.empty
+    else fs.listStatus(sd).toSeq
+      .flatMap(s => schemaName.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
+  }
+
+  /** One past anything ever attempted — committed versions, orphaned data
+    * dirs, AND declared-schema files (a crashed evolve must never have its
+    * orphan schema resurrected by a later commit reusing the number). */
+  private def nextVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      committed: Seq[(Long, Long)]): Long =
+    ((committed.map(_._1).foldLeft(-1L)(math.max) +:
+      (listVersionDirs(fs, dir) ++ listSchemaVersions(fs, dir))).max: Long) + 1
+
   /** Commit `df` as the next version. Returns the new version number.
     * Serialized by the write lease; the data rename and the commit-file
     * rename are each atomic creates (never a delete of existing metadata),
@@ -525,7 +592,7 @@ object VersionedTable {
       // next = one past anything ever attempted — committed OR orphaned —
       // so a crashed commit's number is never reused (reuse would let a
       // stale orphan masquerade as the new version's data)
-      val next = ((latestVersion(dir).getOrElse(-1L) +: listVersionDirs(fs, dir)).max: Long) + 1
+      val next = nextVersion(fs, dir, log(dir))
       val tmp  = new Path(dir, f"v=$next%05d.__tmp")
       df.write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(tmp, vDir(dir, next)))
@@ -548,27 +615,54 @@ object VersionedTable {
     * at write time, not corrupt reads later. Schema EVOLUTION is a
     * deliberate separate path (TableManager.overwriteTableMergeSchema);
     * silent drift is not evolution. */
+  private def normType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name.toLowerCase(java.util.Locale.ROOT), normType(f.dataType))))
+      case a: ArrayType  => ArrayType(normType(a.elementType), containsNull = true)
+      case m: MapType    => MapType(normType(m.keyType), normType(m.valueType), valueContainsNull = true)
+      case other         => other
+    }
+  }
+
   private def requireCompatibleSchema(op: String,
       existing: org.apache.spark.sql.types.StructType,
       incoming: org.apache.spark.sql.types.StructType): Unit = {
-    def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
-      import org.apache.spark.sql.types._
-      dt match {
-        case s: StructType => StructType(s.fields.map(f =>
-          StructField(f.name.toLowerCase(java.util.Locale.ROOT), norm(f.dataType))))
-        case a: ArrayType  => ArrayType(norm(a.elementType), containsNull = true)
-        case m: MapType    => MapType(norm(m.keyType), norm(m.valueType), valueContainsNull = true)
-        case other         => other
-      }
-    }
     def keyed(s: org.apache.spark.sql.types.StructType) =
-      s.fields.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), norm(f.dataType)))
+      s.fields.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), normType(f.dataType)))
         .sortBy(_._1).toSeq
     require(keyed(existing) == keyed(incoming),
       s"$op: schema mismatch — table has ${existing.simpleString}, " +
         s"incoming is ${incoming.simpleString}; a mixed-schema manifest reads " +
         "non-deterministically. Cast to the table schema, or evolve explicitly " +
-        "through the mergeSchema overwrite path.")
+        "through commitAppendEvolve (additive columns) or the mergeSchema " +
+        "overwrite path.")
+  }
+
+  /** The evolution gate: every EXISTING column must appear in `incoming`
+    * with the same normalized type; `incoming` may only ADD columns.
+    * Returns the evolved table schema — existing fields keep their
+    * declared order and types, new fields append (nullable: old files
+    * don't carry them, so reads must be allowed to fill null). */
+  private def requireAdditive(op: String,
+      existing: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val inc = incoming.fields.map(f => key(f.name) -> normType(f.dataType)).toMap
+    val missing = existing.fields.filterNot(f => inc.contains(key(f.name)))
+    require(missing.isEmpty,
+      s"$op: schema evolution may only ADD columns; incoming schema is missing " +
+        s"existing column(s) ${missing.map(_.name).mkString(", ")}")
+    val changed = existing.fields.filter(f =>
+      inc.get(key(f.name)).exists(_ != normType(f.dataType)))
+    require(changed.isEmpty,
+      s"$op: column type changes are not additive evolution: " +
+        changed.map(f => s"${f.name} (table ${f.dataType.catalogString})").mkString(", "))
+    val existingKeys = existing.fields.map(f => key(f.name)).toSet
+    org.apache.spark.sql.types.StructType(
+      existing.fields ++
+        incoming.fields.filterNot(f => existingKeys(key(f.name))).map(_.copy(nullable = true)))
   }
 
   /** Commit `df` as the next version by APPENDING: the new version's
@@ -614,10 +708,12 @@ object VersionedTable {
       // authoritative under concurrent schema evolution
       val preHead = log(dir).lastOption
       preHead.foreach { case (pv, pms) =>
-        checkedEntries(fs, dir, pv, pms).headOption.foreach { e =>
-          requireCompatibleSchema("commitAppend",
-            spark.read.parquet(absOf(dir, e.rel).toString).schema, df.schema)
-        }
+        // an evolved table's truth is its DECLARED schema (old files are
+        // legitimately narrower); un-evolved tables gate on one footer
+        val existing = declaredSchemaAt(dir, pv).orElse(
+          checkedEntries(fs, dir, pv, pms).headOption.map(e =>
+            spark.read.parquet(absOf(dir, e.rel).toString).schema))
+        existing.foreach(requireCompatibleSchema("commitAppend", _, df.schema))
       }
       // O(data), lock-free: stage under a UUID tag (no version exists yet)
       // and prove constraints against the staged bytes
@@ -639,8 +735,7 @@ object VersionedTable {
             s"VersionedTable.commitAppend: txn marker without a committed version in $dir"))
         } else {
           val committed = VersionedTable.log(dir)
-          val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-            listVersionDirs(fs, dir)).max: Long) + 1
+          val next = nextVersion(fs, dir, committed)
           val prevEntries = committed.lastOption
             .map { case (v, ms) => checkedEntries(fs, dir, v, ms) }
             .getOrElse(Seq.empty)
@@ -652,7 +747,8 @@ object VersionedTable {
             (prevEntries.headOption, newRels.headOption) match {
               case (Some(p), Some(n)) =>
                 requireCompatibleSchema("commitAppend",
-                  spark.read.parquet(absOf(dir, p.rel).toString).schema,
+                  committed.lastOption.flatMap(h => declaredSchemaAt(dir, h._1))
+                    .getOrElse(spark.read.parquet(absOf(dir, p.rel).toString).schema),
                   spark.read.parquet(absOf(dir, n).toString).schema)
               case _ => ()
             }
@@ -660,6 +756,77 @@ object VersionedTable {
           // still gate this batch: re-prove under the lease (rare path)
           if (Constraints.list(dir) != provenAgainst)
             validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
+          publishEntries(fs, dir, next,
+            Some(prevEntries ++ newRels.map(FileEntry(_, Nil))), txn,
+            prev = Some(prevEntries))
+          next
+        }
+      }
+    }
+  }
+
+  /** APPEND with ADDITIVE SCHEMA EVOLUTION (Delta's
+    * `mergeSchema`-on-append): `df` may carry NEW columns on top of the
+    * table's schema — existing columns must match exactly; type changes
+    * and drops are refused. O(change): only the new rows' files are
+    * written, old files are never rewritten — where the overwrite
+    * evolution path pays O(table). The evolving commit records the widened
+    * schema as a write-once `_schema/v=<n>.json`; every read of that
+    * version onward resolves it (one listing) and reads old files through
+    * it, filling the missing columns with null. Time travel BELOW the
+    * evolving commit still reads the narrow schema — evolution is
+    * versioned like data. Same lock-free staging + bounded-retry publish
+    * as [[commitAppend]]; a concurrent evolve is re-gated under the lease
+    * against the head's schema. */
+  def commitAppendEvolve(spark: SparkSession, df: DataFrame, dir: String,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      txn: Option[(String, Long)] = None): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preReplayed = txn.flatMap { case (app, tv) =>
+      lastTxnVersion(dir, app).filter(_ >= tv) }
+    if (preReplayed.isDefined) latestVersion(dir).getOrElse(
+      sys.error(s"commitAppendEvolve: txn marker without a committed version in $dir"))
+    else {
+      def tableSchemaAt(v: Long, ms: Long): Option[org.apache.spark.sql.types.StructType] =
+        declaredSchemaAt(dir, v).orElse(
+          checkedEntries(fs, dir, v, ms).headOption.map(e =>
+            spark.read.parquet(absOf(dir, e.rel).toString).schema))
+      // pre-flight additive gate, lock-free (authoritative re-gate under
+      // the lease below)
+      log(dir).lastOption.foreach { case (pv, pms) =>
+        tableSchemaAt(pv, pms).foreach(requireAdditive("commitAppendEvolve", _, df.schema))
+      }
+      val newRels = stageDataFilesTagged(fs, dir, df,
+        s"a${java.util.UUID.randomUUID().toString.take(8)}")
+      val provenAgainst = Constraints.list(dir)
+      validateStaged(spark, dir, newRels, "commitAppendEvolve")
+      FsIO.withWriteLockRetry(dir, "commitAppendEvolve", lockLeaseMs,
+        maxWaitMs = lockLeaseMs) {
+        val replayed = txn.flatMap { case (app, tv) =>
+          lastTxnVersion(dir, app).filter(_ >= tv) }
+        if (replayed.isDefined) {
+          newRels.foreach(rel => fs.delete(absOf(dir, rel), false))
+          latestVersion(dir).getOrElse(sys.error(
+            s"commitAppendEvolve: txn marker without a committed version in $dir"))
+        } else {
+          val committed = VersionedTable.log(dir)
+          val next = nextVersion(fs, dir, committed)
+          val prevEntries = committed.lastOption
+            .map { case (v, ms) => checkedEntries(fs, dir, v, ms) }
+            .getOrElse(Seq.empty)
+          val evolved = committed.lastOption.flatMap { case (pv, pms) =>
+            tableSchemaAt(pv, pms) } match {
+            case Some(existing) => requireAdditive("commitAppendEvolve", existing, df.schema)
+            case None           => df.schema
+          }
+          if (Constraints.list(dir) != provenAgainst)
+            validateStaged(spark, dir, newRels, "commitAppendEvolve")
+          // schema BEFORE entry: a crash between leaves an orphan schema
+          // file that declaredSchemaAt ignores (version never committed)
+          // and nextVersion never reuses; the reverse order would commit
+          // an evolved version whose mixed-width manifest reads
+          // non-deterministically
+          writeDeclaredSchema(fs, dir, next, evolved)
           publishEntries(fs, dir, next,
             Some(prevEntries ++ newRels.map(FileEntry(_, Nil))), txn,
             prev = Some(prevEntries))
@@ -726,8 +893,7 @@ object VersionedTable {
           sys.error(s"$op: txn marker without a committed version in $dir"))
       } else {
         val committed = VersionedTable.log(dir)
-        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-          listVersionDirs(fs, dir)).max: Long) + 1
+        val next = nextVersion(fs, dir, committed)
         val (hv, hms) = committed.last
         def keyOf(e: FileEntry) = (e.rel, e.dvs)
         val (manifest, prevEntries) =
@@ -777,12 +943,13 @@ object VersionedTable {
       val committed = VersionedTable.log(dir)
       require(committed.nonEmpty, s"$op: $dir has no committed version")
       val (pv, pms) = committed.last
-      val entries = checkedEntries(fs, dir, pv, pms)
+      val entries  = checkedEntries(fs, dir, pv, pms)
+      val declared = declaredSchemaAt(dir, pv)
       // which FILES contain a LIVE matching row — the DV-masked scan, so
       // a row already deleted by a deletion vector can't drag its file
       // into the rewrite; parquet stats still prune the cond scan, and
       // only (file-name) strings come back to the driver (O(files))
-      val touchedNames = scanEntriesMeta(spark, dir, entries)
+      val touchedNames = scanEntriesMeta(spark, dir, entries, declared)
         .where(cond).select(col(FnameCol)).distinct()
         .collect().map(_.getString(0)).toSet
       val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
@@ -792,7 +959,7 @@ object VersionedTable {
         else {
           // masked read: the rewrite sees only live rows, and the
           // rewritten files shed their deletion vectors (materialized)
-          val touchedDf = scanEntries(spark, dir, touched)
+          val touchedDf = scanEntries(spark, dir, touched, declared)
           val rewritten = rewrite(touchedDf)
           // an UPDATE expression that silently changes a column's TYPE
           // would split the manifest's schema between rewritten and
@@ -888,7 +1055,8 @@ object VersionedTable {
         require(committed.nonEmpty, s"commitDeleteDV: $dir has no committed version")
         val (pv, pms) = committed.last
         val entries = checkedEntries(fs, dir, pv, pms)
-        val hits = scanEntriesMeta(spark, dir, entries).where(cond)
+        val hits = scanEntriesMeta(spark, dir, entries,
+          declaredSchemaAt(dir, pv)).where(cond)
           .select(col(FnameCol).as("fname"), col(PosCol).as("pos"))
         // one skinny sidecar per commit (shared by every touched file's
         // entry), fname-sorted so masked scans' pushed IN-filters prune it
@@ -961,7 +1129,7 @@ object VersionedTable {
         require(committed.nonEmpty, s"commitUpdateDV: $dir has no committed version")
         val (pv, pms) = committed.last
         val entries = checkedEntries(fs, dir, pv, pms)
-        val masked  = scanEntriesMeta(spark, dir, entries)
+        val masked  = scanEntriesMeta(spark, dir, entries, declaredSchemaAt(dir, pv))
         set.keys.foreach { c =>
           require(masked.columns.contains(c), s"commitUpdateDV: no column `$c` to set")
         }
@@ -1033,8 +1201,7 @@ object VersionedTable {
       val dvRels = entries.flatMap(_.dvs).distinct
       if (dvRels.size <= 1 && entries.forall(_.dvs.size <= 1)) pv // already compact
       else {
-        val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-          listVersionDirs(fs, dir)).max: Long) + 1
+        val next = nextVersion(fs, dir, committed)
         val merged = spark.read.parquet(dvRels.map(r => absOf(dir, r).toString): _*)
           .select(col("fname"), col("pos")).distinct()
           .coalesce(1).sortWithinPartitions("fname", "pos")
@@ -1092,7 +1259,8 @@ object VersionedTable {
         val entries = checkedEntries(fs, dir, pv, pms)
         // DV-masked probe: a row already deleted by a vector must not count
         // as a match (its key is free for plain INSERT)
-        val full   = scanEntriesMeta(spark, dir, entries)
+        val declared = declaredSchemaAt(dir, pv)
+        val full   = scanEntriesMeta(spark, dir, entries, declared)
         val srcChk = source.localCheckpoint(true)
         val keyDf  = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
         val nKeys  = keyDf.count()
@@ -1121,7 +1289,7 @@ object VersionedTable {
         val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
         val targetDf =
           if (touched.isEmpty) full.drop(FnameCol, PosCol).limit(0)
-          else scanEntries(spark, dir, touched) // masked; rewrite sheds the DVs
+          else scanEntries(spark, dir, touched, declared) // masked; rewrite sheds the DVs
         val merged = TableManager.mergeUpsert(targetDf, srcChk, keyCols)
         val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
         val staged = stageDataFilesTagged(fs, dir, merged, stageTag)
@@ -1167,14 +1335,13 @@ object VersionedTable {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val committed = VersionedTable.log(dir)
       require(committed.nonEmpty, s"commitCompact: $dir has no committed version")
-      val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-        listVersionDirs(fs, dir)).max: Long) + 1
+      val next = nextVersion(fs, dir, committed)
       val (pv, pms) = committed.last
       val entries = checkedEntries(fs, dir, pv, pms)
       // masked read: compaction MATERIALIZES deletion vectors away — the
       // re-laid rows are the live rows, and the new entries carry no DVs
       // (merge-on-read's compaction discipline)
-      val full = scanEntries(spark, dir, entries)
+      val full = scanEntries(spark, dir, entries, declaredSchemaAt(dir, pv))
       val laid = zOrderBy match {
         // OPTIMIZE ZORDER BY: each rewritten file covers a narrow range of
         // BOTH columns, so per-file stats prune selective filters on either
@@ -1218,8 +1385,18 @@ object VersionedTable {
       // loud on vacuumed data; deletion vectors restore verbatim with
       // their files (the restored version's row set includes its masks)
       val entries = checkedEntries(fs, dir, toVersion, entry._2)
-      val next = ((committed.map(_._1).foldLeft(-1L)(math.max) +:
-        listVersionDirs(fs, dir)).max: Long) + 1
+      val next = nextVersion(fs, dir, committed)
+      // SCHEMA restores with the data: if the target predates an evolution
+      // (or was itself evolved differently than the head), pin the target's
+      // schema at the new version — otherwise declaredSchemaAt(next) would
+      // resolve the head's wider schema over the restored narrow files
+      val restoredSchema = declaredSchemaAt(dir, toVersion)
+      val headSchema     = committed.lastOption.flatMap(h => declaredSchemaAt(dir, h._1))
+      if (restoredSchema != headSchema) {
+        val pin = restoredSchema.getOrElse(
+          spark.read.parquet(absOf(dir, entries.head.rel).toString).schema)
+        writeDeclaredSchema(fs, dir, next, pin)
+      }
       publishEntries(fs, dir, next, Some(entries))
       next
     }
@@ -1299,6 +1476,10 @@ object VersionedTable {
           }.toMap
           srcEntries.map(e => FileEntry(dataCopied(e.rel), e.dvs.map(dvCopied)))
         }
+      // clones carry the source version's DECLARED schema (an evolved
+      // source's old files are narrower than the table schema; without
+      // this the clone's mixed manifest would read non-deterministically)
+      declaredSchemaAt(srcDir, v).foreach(s => writeDeclaredSchema(fs, dstDir, 0L, s))
       publishEntries(fs, dstDir, 0L, Some(cloned))
       0L
     }
@@ -1344,7 +1525,7 @@ object VersionedTable {
         require(missing.isEmpty,
           s"version $v of $dir was vacuumed " +
             s"(data retained for: ${versions(spark, dir).map(_._1).mkString(", ")})")
-        scanEntries(spark, dir, entries) // DV-masked; plain path when DV-free
+        scanEntries(spark, dir, entries, declaredSchemaAt(dir, v)) // DV-masked; plain when DV-free
     }
   }
 
@@ -1394,6 +1575,18 @@ object VersionedTable {
           .filter(_.getPath.getName.endsWith(".commit.tmp"))
           .foreach(s => fs.delete(s.getPath, false))
       val committed = VersionedTable.log(dir)
+      // declared-schema housekeeping: staging litter and crashed evolves'
+      // orphan files (version never committed) go; COMMITTED versions'
+      // schema files are kept forever, like log entries — retained
+      // versions resolve their schema through files below retention
+      if (fs.exists(schemaDir(dir))) {
+        val committedVs = committed.map(_._1).toSet
+        fs.listStatus(schemaDir(dir)).toSeq.foreach { s =>
+          val n = s.getPath.getName
+          val orphan = schemaName.findFirstMatchIn(n).exists(m => !committedVs(m.group(1).toLong))
+          if (n.endsWith(".json.tmp") || orphan) fs.delete(s.getPath, false)
+        }
+      }
       val keep      = keepOf(committed)
       // FILE REFCOUNT across retained manifests: a data file (or a snapshot
       // directory an incremental commit references into) lives as long as
@@ -1562,13 +1755,14 @@ object VersionedTable {
     def keyOf(e: FileEntry)          = (e.rel, e.dvs.toSet)
     val shared: Set[(String, Set[String])] =
       entriesA.map(keyOf).toSet.intersect(entriesB.map(keyOf).toSet)
-    def scan(entries: Seq[FileEntry]): DataFrame = {
+    def scan(entries: Seq[FileEntry], v: Long): DataFrame = {
       val excl = entries.filterNot(e => shared(keyOf(e)))
       val missing = excl.flatMap(e => e.rel +: e.dvs)
         .filterNot(rel => fs.exists(new Path(dir, rel)))
       require(missing.isEmpty,
         s"diff: data files of $dir were vacuumed (missing: ${missing.take(3).mkString(", ")})")
-      if (excl.nonEmpty) scanEntries(spark, dir, excl) // DV-masked per side
+      if (excl.nonEmpty)
+        scanEntries(spark, dir, excl, declaredSchemaAt(dir, v)) // DV-masked per side
       else {
         // schema-only touch of one shared file (footer read, no row scan —
         // limit 0 collapses to an empty LocalRelation before any I/O)
@@ -1576,8 +1770,8 @@ object VersionedTable {
         spark.read.parquet(absOf(dir, entries.head.rel).toString).limit(0)
       }
     }
-    val a = scan(entriesA)
-    val b = scan(entriesB)
+    val a = scan(entriesA, vFrom)
+    val b = scan(entriesB, vTo)
     require(keyCols.forall(a.columns.contains) && keyCols.forall(b.columns.contains),
       s"key columns ${keyCols.mkString(",")} must exist in both versions")
     (a, b)
