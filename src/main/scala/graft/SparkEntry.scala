@@ -2981,6 +2981,25 @@ object SparkEntry {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // -- SQL DML VERBS OVER A VERSIONED TABLE -------------------------------
+    // The reference drives OPTIMIZE from `%sql` (00. Explore.py:89-90);
+    // here the whole DML surface routes through SQL text: UPDATE, DELETE
+    // (which must see the post-update balances), OPTIMIZE re-layout, and
+    // the final SELECT — all onto the same commit protocol the API uses.
+    "q_sql_dml" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tsql").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c, dir)
+      val cat = Map("cust" -> dir)
+      graft.tables.TableSql.execute(s, cat,
+        "UPDATE cust SET bal = bal + 100 WHERE c_custkey % 7 = 0")
+      graft.tables.TableSql.execute(s, cat, "DELETE FROM cust WHERE bal < 0")
+      graft.tables.TableSql.execute(s, cat, "OPTIMIZE cust TARGET 2 FILES")
+      graft.tables.TableSql.execute(s, cat,
+        "SELECT c_custkey, bal FROM cust ORDER BY c_custkey")
+    }),
+
     // -- ADDITIVE SCHEMA EVOLUTION ON APPEND --------------------------------
     // Odd keys land narrow (v0); evens land through commitAppendEvolve with
     // a derived `segment` column (v1 — old files untouched, schema declared
@@ -5173,6 +5192,15 @@ object SparkEntry {
       // balances positive (MoR update reads the old value)
       ("SELECT c_custkey, ABS(CAST(c_acctbal AS DOUBLE)) AS bal " +
         "FROM customer WHERE c_custkey % 11 <> 0 ORDER BY c_custkey"),
+
+    "q_sql_dml" ->
+      // replay: +100 on %7 keys, then delete rows whose POST-update
+      // balance is negative (order matters), re-layout changes no rows
+      ("SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + " +
+        "CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS bal " +
+        "FROM customer WHERE CAST(c_acctbal AS DOUBLE) + " +
+        "CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END >= 0 " +
+        "ORDER BY c_custkey"),
 
     "q_schema_evolution" ->
       // replay: odd keys never saw the evolved column (NULL unless the
