@@ -2981,6 +2981,26 @@ object SparkEntry {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // -- METADATA-ONLY AGGREGATE OVER A VERSIONED TABLE ---------------------
+    // count(*)/min/max answered from the per-version stats manifest — zero
+    // data-file I/O (the spec corrupts every data page and the answer
+    // survives). Two appends prove the incremental stats maintenance path
+    // feeds it; DuckDB recomputes the truth from the raw rows.
+    "q_versioned_stats_agg" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vsagg").toString + "/t"
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"))
+      val cols = Seq("l_extendedprice", "l_quantity")
+      VersionedTable.commitAppend(s,
+        li.where(pmod(col("l_orderkey"), lit(2L)) === 0L).repartition(2), dir)
+      graft.tables.VersionedStats.refreshIncremental(s, dir, cols)
+      VersionedTable.commitAppend(s,
+        li.where(pmod(col("l_orderkey"), lit(2L)) === 1L).repartition(2), dir)
+      graft.tables.VersionedStats.refreshIncremental(s, dir, cols)
+      graft.tables.VersionedStats.statsOnlyAggregate(s, dir, cols).orderBy("column")
+    }),
+
     // -- SQL DML VERBS OVER A VERSIONED TABLE -------------------------------
     // The reference drives OPTIMIZE from `%sql` (00. Explore.py:89-90);
     // here the whole DML surface routes through SQL text: UPDATE, DELETE
@@ -5192,6 +5212,14 @@ object SparkEntry {
       // balances positive (MoR update reads the old value)
       ("SELECT c_custkey, ABS(CAST(c_acctbal AS DOUBLE)) AS bal " +
         "FROM customer WHERE c_custkey % 11 <> 0 ORDER BY c_custkey"),
+
+    "q_versioned_stats_agg" ->
+      (Seq("l_extendedprice", "l_quantity").map(c =>
+        s"SELECT '$c' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"CAST(COUNT($c) AS BIGINT) AS n_notnull, " +
+          s"CAST(MIN($c) AS DOUBLE) AS min_d, CAST(MAX($c) AS DOUBLE) AS max_d " +
+          "FROM lineitem").mkString(" UNION ALL ") +
+        " ORDER BY \"column\""),
 
     "q_sql_dml" ->
       // replay: +100 on %7 keys, then delete rows whose POST-update

@@ -107,6 +107,43 @@ object VersionedStats {
     }
   }
 
+  /** METADATA-ONLY AGGREGATE (Delta's "answer count(*)/min/max from the
+    * log"): total rows, per-column non-null count / min / max for version
+    * `v` (latest by default), resolved entirely from the stats manifest —
+    * ZERO data-file I/O, the query a 100 TB dashboard asks hourly.
+    * Soundness guards: [[loadStats]] proves the manifest covers EXACTLY
+    * the version's file set (a stale manifest fails, never silently
+    * misses rows), and any DELETION VECTOR on the version refuses loudly —
+    * stored stats describe physical files, and masked rows would falsify
+    * counts (compact the masks away first). Same output shape as
+    * [[SkippingIndex.statsOnlyAggregate]]: one row per column. */
+  def statsOnlyAggregate(spark: SparkSession, dir: String,
+      statCols: Seq[String], version: Option[Long] = None): DataFrame = {
+    require(statCols.nonEmpty, "statsOnlyAggregate: need at least one column")
+    val v = version.getOrElse(VersionedTable.latestVersion(dir)
+      .getOrElse(sys.error(s"statsOnlyAggregate: $dir has no committed version")))
+    val masked = VersionedTable.entriesOf(dir, v).filter(_._2.nonEmpty)
+    require(masked.isEmpty,
+      s"statsOnlyAggregate: version $v of $dir has deletion vectors on " +
+        s"${masked.size} file(s) — physical stats would count masked rows; " +
+        "run commitCompact (or compactDeletionVectors + refresh) first, or " +
+        "aggregate through a real read")
+    val stats = loadStats(spark, dir, v)
+    statCols.foreach(c => require(stats.columns.contains(s"min_$c"),
+      s"statsOnlyAggregate: column $c is not in version $v's stats manifest — " +
+        "refresh with it included"))
+    val aggs = sum(col("n_rows")).cast("long").as("__n") +: statCols.flatMap(c => Seq(
+      sum(col(s"cnt_$c")).cast("long").as(s"__${c}__cnt"),
+      min(expr(s"try_cast(`min_$c` AS DOUBLE)")).as(s"__${c}__min"),
+      max(expr(s"try_cast(`max_$c` AS DOUBLE)")).as(s"__${c}__max")))
+    val one = stats.agg(aggs.head, aggs.tail: _*)
+    val perCol = statCols.map(c => struct(
+      lit(c).as("column"), col("__n").as("n_rows"),
+      col(s"__${c}__cnt").as("n_notnull"),
+      col(s"__${c}__min").as("min_d"), col(s"__${c}__max").as("max_d")))
+    one.select(explode(array(perCol: _*)).as("s")).select(col("s.*"))
+  }
+
   private def loadStats(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val sd = statsDir(dir, v)
     val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -99,4 +99,31 @@ class VersionedStatsSpec extends SparkSpec {
       VersionedStats.prunedFiles(spark, dir, Seq(("k", lit(0L), lit(5L))), Some(1L))
     }
   }
+
+  test("statsOnlyAggregate answers with EVERY data page corrupted; refuses under deletion vectors") {
+    val dir = Files.createTempDirectory("graft_vs4").toString + "/t"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 100L).select(col("id").as("k"), (col("id") * 3).as("x"))
+        .repartition(4), dir)
+    VersionedStats.refresh(spark, dir, Seq("k", "x"))
+    // zero data I/O, proven physically: trash every data file's pages
+    corruptPages(dir, VersionedTable.filesOf(dir, 0L))
+    val rows = VersionedStats.statsOnlyAggregate(spark, dir, Seq("k", "x"))
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      ("k", 100L, 100L, 0.0, 99.0), ("x", 100L, 100L, 0.0, 297.0)), rows.mkString(","))
+    // a real read DOES fail — the aggregate really never touched data
+    intercept[Throwable] { VersionedTable.read(spark, dir).count() }
+    // masked version: stored physical stats would count deleted rows — refuse
+    val dir2 = Files.createTempDirectory("graft_vs5").toString + "/t"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 50L).select(col("id").as("k"), col("id").as("x")), dir2)
+    VersionedTable.commitDeleteDV(spark, dir2, col("k") < 10L)
+    VersionedStats.refresh(spark, dir2, Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedStats.statsOnlyAggregate(spark, dir2, Seq("k"))
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
 }
