@@ -486,6 +486,30 @@ object ScaleBench {
       tables.VersionedTable.read(s, work)
     }),
 
+    // additive schema evolution is O(change) at any table size: ONE
+    // evolve-append of one row onto a 16F-file table. rows = total bytes
+    // the evolve wrote (staged data + delta log entry + declared-schema
+    // json) — flat in F, because no existing file is rewritten and the
+    // entry carries only the commit's actions. The mergeSchema overwrite
+    // alternative rewrites the corpus (∝F).
+    "evolve_append" -> ((s, d, f) => {
+      val work = s"$d/evo/t"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/evo"), true)
+      val o = t(s, d, "orders").select("o_orderkey").repartition(16 * f)
+      tables.VersionedTable.commitAppend(s, o, work)
+      def treeBytes(): Long = Seq("data", "_log", "_schema").map { sub =>
+        val p = new org.apache.hadoop.fs.Path(work, sub)
+        if (!fs.exists(p)) 0L else fs.listStatus(p).map(_.getLen).sum
+      }.sum
+      val before = treeBytes()
+      tables.VersionedTable.commitAppendEvolve(s,
+        s.range(1).select(col("id").as("o_orderkey"),
+          org.apache.spark.sql.functions.lit("evolved").as("note")), work)
+      s.range(treeBytes() - before).toDF("evolve_bytes")
+    }),
+
     // the read side of the same claim: resolving the LATEST version after
     // the appends replays ≤ interval delta entries from the v0 anchor —
     // wall is metadata-bound and must stay near-flat while the manifest it

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions.expr
   *   DELETE FROM t WHERE <cond>
   *   UPDATE t SET a = <expr> [, b = <expr> ...] WHERE <cond>
   *   RESTORE TABLE t TO VERSION AS OF n
+  *   MERGE INTO t USING <view | (subquery)> ON (k1 [, k2 ...])
   *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'] ...
   *
   * Everything below the verb line is the engine's existing machinery —
@@ -38,6 +39,12 @@ object TableSql {
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  // whole-row MERGE (the engine's commitMerge semantics): the source is a
+  // registered temp view or any parenthesized subquery; ON lists the key
+  // column(s) — arbitrary ON predicates are not equi-key merges and are
+  // refused by omission
+  private val MergeRe =
+    """(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+|\(.+\))\s+ON\s*\(\s*([\w\s,]+)\s*\)\s*;?\s*$""".r
   private val TravelV  = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val TravelTs = """(?i)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
 
@@ -80,6 +87,13 @@ object TableSql {
         done("UPDATE", t, VersionedTable.commitUpdate(spark, dirOf(t), expr(cond), set))
       case RestoreRe(t, v) =>
         done("RESTORE", t, VersionedTable.commitRestore(spark, dirOf(t), v.toLong))
+      case MergeRe(t, src, keys) =>
+        val source =
+          if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
+          else spark.table(src)
+        val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        done("MERGE", t,
+          VersionedTable.commitMerge(spark, dirOf(t), source, keyCols))
       case _ =>
         // SELECT path: pin time-travel clauses to temp views, register the
         // catalog's tables (latest) as plain views, delegate to spark.sql

@@ -180,6 +180,47 @@ class DeltaLogSpec extends SparkSpec {
     assert(VersionedTable.changes(spark, dir, vz - 1, vz, Seq("a"), Seq("x")).count() == 0)
   }
 
+  test("torn-commit litter is inert: orphans never read, numbers never reused, vacuum sweeps all") {
+    val dir = dirOf()
+    (0 until 3).foreach { i =>
+      VersionedTable.commitAppend(spark, Seq((i.toLong, i)).toDF("k", "x"), dir)
+    }
+    val before = VersionedTable.read(spark, dir).collect().map(_.toSeq).toSet
+    // simulate every crash window's residue at once:
+    val fdir = new java.io.File(dir)
+    // (a) crashed stage: a .__tmp staging dir and an orphan data file
+    assert(new java.io.File(fdir, ".stage-deadbeef.__tmp").mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "data", "aorphan00-dead-part-0.parquet"),
+      Array.fill[Byte](16)(0x7f))
+    // (b) crashed entry publish: a .commit.tmp in the log
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_log", "00099-123.commit.tmp"),
+      "commitMs=123\nkind=delta\nadd=data/never.parquet\n".getBytes("UTF-8"))
+    // (c) crashed evolve: an orphan declared-schema file at an uncommitted version
+    assert(new java.io.File(fdir, "_schema").mkdirs() || new java.io.File(fdir, "_schema").isDirectory)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_schema", "v=00007.json"),
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("x", "int").add("ghost", "string").json.getBytes("UTF-8"))
+    // reads are unaffected by ALL of it — orphan schema ignored (version 7
+    // never committed), litter invisible
+    assert(VersionedTable.read(spark, dir).collect().map(_.toSeq).toSet == before)
+    assert(VersionedTable.read(spark, dir).columns.toSeq == Seq("k", "x"))
+    // the next commit skips PAST the orphan schema's number — no reuse that
+    // would resurrect the ghost column
+    val v = VersionedTable.commitAppend(spark, Seq((9L, 9)).toDF("k", "x"), dir)
+    assert(v == 8L, s"version assignment must skip the orphan's number: got $v")
+    assert(VersionedTable.read(spark, dir).columns.toSeq == Seq("k", "x"))
+    // vacuum sweeps every class of litter and keeps all live data
+    VersionedTable.vacuum(spark, dir, retainLast = 10)
+    assert(!new java.io.File(fdir, ".stage-deadbeef.__tmp").exists)
+    assert(!new java.io.File(new java.io.File(fdir, "data"), "aorphan00-dead-part-0.parquet").exists)
+    assert(!new java.io.File(new java.io.File(fdir, "_log"), "00099-123.commit.tmp").exists)
+    assert(!new java.io.File(new java.io.File(fdir, "_schema"), "v=00007.json").exists)
+    assert(VersionedTable.read(spark, dir).count() == 4)
+  }
+
   test("restore and clone stay correct over delta-encoded history") {
     val dir = dirOf()
     (0 until 4).foreach { i =>

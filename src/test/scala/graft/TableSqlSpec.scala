@@ -74,6 +74,17 @@ class TableSqlSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 100)
   }
 
+  test("MERGE INTO from a subquery: updates matched keys, inserts new ones") {
+    val (dir, cat) = fresh()
+    TableSql.execute(spark, cat,
+      "MERGE INTO events USING (SELECT CAST(5 AS BIGINT) AS k, CAST(-1 AS BIGINT) AS x " +
+        "UNION ALL SELECT CAST(500 AS BIGINT), CAST(500 AS BIGINT)) ON (k)")
+    val got = VersionedTable.read(spark, dir)
+    assert(got.count() == 101)
+    assert(got.where(col("k") === 5L).head.getLong(1) == -1L)
+    assert(got.where(col("k") === 500L).head.getLong(1) == 500L)
+  }
+
   test("unknown table fails loudly with the catalog listed") {
     val (_, cat) = fresh()
     val e = intercept[RuntimeException] {
