@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions.expr
   *   UPDATE t SET a = <expr> [, b = <expr> ...] WHERE <cond>
   *   RESTORE TABLE t TO VERSION AS OF n
   *   MERGE INTO t USING <view | (subquery)> ON (k1 [, k2 ...])
+  *   DESCRIBE HISTORY t
   *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'] ...
   *
   * Everything below the verb line is the engine's existing machinery —
@@ -45,6 +46,8 @@ object TableSql {
   // refused by omission
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+|\(.+\))\s+ON\s*\(\s*([\w\s,]+)\s*\)\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$""".r
   private val TravelV  = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val TravelTs = """(?i)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
 
@@ -87,6 +90,8 @@ object TableSql {
         done("UPDATE", t, VersionedTable.commitUpdate(spark, dirOf(t), expr(cond), set))
       case RestoreRe(t, v) =>
         done("RESTORE", t, VersionedTable.commitRestore(spark, dirOf(t), v.toLong))
+      case HistoryRe(t) =>
+        VersionedTable.history(spark, dirOf(t))
       case MergeRe(t, src, keys) =>
         val source =
           if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))

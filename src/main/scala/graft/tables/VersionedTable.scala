@@ -229,8 +229,9 @@ object VersionedTable {
     * visible in one rename, so no crash window can separate them. */
   private def publishEntry(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       v: Long, rels: Option[Seq[String]], txn: Option[(String, Long)] = None,
-      dataChange: Boolean = true): Unit =
-    publishEntries(fs, dir, v, rels.map(_.map(FileEntry(_, Nil))), txn, dataChange)
+      dataChange: Boolean = true, opLabel: String = ""): Unit =
+    publishEntries(fs, dir, v, rels.map(_.map(FileEntry(_, Nil))), txn, dataChange,
+      opLabel = opLabel)
 
   /** Like [[publishEntry]] but carrying full (file, deletion-vector)
     * entries. When `prev` (the previous version's resolved entries) is
@@ -242,7 +243,8 @@ object VersionedTable {
     * at O(interval) entry reads either way. */
   private def publishEntries(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       v: Long, entries: Option[Seq[FileEntry]], txn: Option[(String, Long)] = None,
-      dataChange: Boolean = true, prev: Option[Seq[FileEntry]] = None): Unit = {
+      dataChange: Boolean = true, prev: Option[Seq[FileEntry]] = None,
+      opLabel: String = ""): Unit = {
     val ms       = System.currentTimeMillis()
     val entryTmp = new Path(logDir(dir), f"$v%05d-$ms%d.commit.tmp")
     val manifestBlock = entries.map { es =>
@@ -256,6 +258,7 @@ object VersionedTable {
     }.getOrElse("")
     FsIO.writeText(entryTmp.toString,
       s"commitMs=$ms\n" +
+        (if (opLabel.isEmpty) "" else s"op=$opLabel\n") +
         (if (dataChange) "" else "dataChange=false\n") +
         txn.map { case (app, tv) => s"txnApp=$app\ntxnVersion=$tv\n" }.getOrElse("") +
         manifestBlock)
@@ -604,7 +607,7 @@ object VersionedTable {
         "VersionedTable.commit")
       // the commit point: a write-once entry staged then renamed into the
       // log dir (readers never observe a partially named commit entry)
-      publishEntry(fs, dir, next, None)
+      publishEntry(fs, dir, next, None, opLabel = "WRITE")
       next
     }
 
@@ -758,7 +761,7 @@ object VersionedTable {
             validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
           publishEntries(fs, dir, next,
             Some(prevEntries ++ newRels.map(FileEntry(_, Nil))), txn,
-            prev = Some(prevEntries))
+            prev = Some(prevEntries), opLabel = "APPEND")
           next
         }
       }
@@ -829,7 +832,7 @@ object VersionedTable {
           writeDeclaredSchema(fs, dir, next, evolved)
           publishEntries(fs, dir, next,
             Some(prevEntries ++ newRels.map(FileEntry(_, Nil))), txn,
-            prev = Some(prevEntries))
+            prev = Some(prevEntries), opLabel = "APPEND EVOLVE")
           next
         }
       }
@@ -883,7 +886,8 @@ object VersionedTable {
       readV: Long, readEntries: Seq[FileEntry], result: Seq[FileEntry],
       staged: Seq[String], provenAgainst: Seq[(String, String)],
       txn: Option[(String, Long)], lockLeaseMs: Long,
-      dataChange: Boolean = true, validateRels: Seq[String] = Seq.empty): Long =
+      dataChange: Boolean = true, validateRels: Seq[String] = Seq.empty,
+      opLabel: String = ""): Long =
     FsIO.withWriteLockRetry(dir, op, lockLeaseMs, maxWaitMs = lockLeaseMs) {
       val replayed = txn.flatMap { case (app, tv) =>
         lastTxnVersion(dir, app).filter(_ >= tv) }
@@ -914,7 +918,7 @@ object VersionedTable {
         if (Constraints.list(dir) != provenAgainst)
           validateStaged(spark, dir, validateRels, op)
         publishEntries(fs, dir, next, Some(manifest), txn,
-          dataChange = dataChange, prev = Some(prevEntries))
+          dataChange = dataChange, prev = Some(prevEntries), opLabel = opLabel)
         next
       }
     }
@@ -932,7 +936,8 @@ object VersionedTable {
   private def copyOnWrite(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column, rewrite: DataFrame => DataFrame,
       op: String, lockLeaseMs: Long,
-      txn: Option[(String, Long)] = None): Long = withOccRetries(op) { () =>
+      txn: Option[(String, Long)] = None,
+      opLabel: String = ""): Long = withOccRetries(op) { () =>
     import org.apache.spark.sql.functions.col
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val preReplayed = txn.flatMap { case (app, tv) =>
@@ -977,7 +982,8 @@ object VersionedTable {
       publishRebased(spark, fs, dir, op, pv, entries,
         untouched ++ newRels.map(FileEntry(_, Nil)),
         staged = newRels, provenAgainst = provenAgainst,
-        txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels)
+        txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
+        opLabel = opLabel)
     }
   }
 
@@ -1004,7 +1010,7 @@ object VersionedTable {
             .otherwise(org.apache.spark.sql.functions.col(s"`$c`"))
         })
       },
-      "VersionedTable.commitUpdate", lockLeaseMs, txn)
+      "VersionedTable.commitUpdate", lockLeaseMs, txn, opLabel = "UPDATE")
   }
 
   /** Commit a row-level DELETE as the next version: rows matching `cond`
@@ -1014,7 +1020,7 @@ object VersionedTable {
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
       txn: Option[(String, Long)] = None): Long =
     copyOnWrite(spark, dir, cond, _.where(!cond), "VersionedTable.commitDelete",
-      lockLeaseMs, txn)
+      lockLeaseMs, txn, opLabel = "DELETE")
 
   /** DELETE via DELETION VECTORS (Delta's merge-on-read delete): instead of
     * rewriting every file that holds a matching row (copy-on-write — write
@@ -1075,7 +1081,8 @@ object VersionedTable {
           staged.foreach(rel => fs.delete(absOf(dir, rel), false))
           publishRebased(spark, fs, dir, "VersionedTable.commitDeleteDV",
             pv, entries, entries, staged = Seq.empty,
-            provenAgainst = Constraints.list(dir), txn = txn, lockLeaseMs = lockLeaseMs)
+            provenAgainst = Constraints.list(dir), txn = txn, lockLeaseMs = lockLeaseMs,
+            opLabel = "DELETE MOR")
         } else {
           val dvRel = staged match {
             case Seq(one) => one
@@ -1087,7 +1094,7 @@ object VersionedTable {
             entries.map(e =>
               if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e),
             staged = staged, provenAgainst = Constraints.list(dir),
-            txn = txn, lockLeaseMs = lockLeaseMs)
+            txn = txn, lockLeaseMs = lockLeaseMs, opLabel = "DELETE MOR")
         }
       }
     }
@@ -1148,7 +1155,8 @@ object VersionedTable {
           staged.foreach(rel => fs.delete(absOf(dir, rel), false))
           publishRebased(spark, fs, dir, "VersionedTable.commitUpdateDV",
             pv, entries, entries, staged = Seq.empty,
-            provenAgainst = Constraints.list(dir), txn = txn, lockLeaseMs = lockLeaseMs)
+            provenAgainst = Constraints.list(dir), txn = txn, lockLeaseMs = lockLeaseMs,
+            opLabel = "UPDATE MOR")
         } else {
           val dvRel = staged match {
             case Seq(one) => one
@@ -1172,7 +1180,8 @@ object VersionedTable {
               if (touchedNames(baseName(e.rel))) e.copy(dvs = e.dvs :+ dvRel) else e) ++
               newRels.map(FileEntry(_, Nil)),
             staged = staged ++ newRels, provenAgainst = provenAgainst,
-            txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels)
+            txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
+            opLabel = "UPDATE MOR")
         }
       }
     }
@@ -1212,7 +1221,7 @@ object VersionedTable {
         }
         publishEntries(fs, dir, next, Some(entries.map(e =>
           if (e.dvs.nonEmpty) e.copy(dvs = List(dvRel)) else e)), dataChange = false,
-          prev = Some(entries))
+          prev = Some(entries), opLabel = "OPTIMIZE DV")
         next
       }
     }
@@ -1301,7 +1310,8 @@ object VersionedTable {
         publishRebased(spark, fs, dir, "VersionedTable.commitMerge",
           pv, entries, untouched ++ newRels.map(FileEntry(_, Nil)),
           staged = newRels, provenAgainst = provenAgainst,
-          txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels)
+          txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
+          opLabel = "MERGE")
       }
     }
   }
@@ -1358,7 +1368,8 @@ object VersionedTable {
       val staged =
         if (newRels.nonEmpty || entries.isEmpty) newRels
         else stageDataFiles(fs, dir, laid.coalesce(1), next)
-      publishEntry(fs, dir, next, Some(staged), dataChange = false)
+      publishEntry(fs, dir, next, Some(staged), dataChange = false,
+        opLabel = "OPTIMIZE")
       next
     }
   }
@@ -1397,7 +1408,7 @@ object VersionedTable {
           spark.read.parquet(absOf(dir, entries.head.rel).toString).schema)
         writeDeclaredSchema(fs, dir, next, pin)
       }
-      publishEntries(fs, dir, next, Some(entries))
+      publishEntries(fs, dir, next, Some(entries), opLabel = s"RESTORE $toVersion")
       next
     }
 
@@ -1480,9 +1491,28 @@ object VersionedTable {
       // source's old files are narrower than the table schema; without
       // this the clone's mixed manifest would read non-deterministically)
       declaredSchemaAt(srcDir, v).foreach(s => writeDeclaredSchema(fs, dstDir, 0L, s))
-      publishEntries(fs, dstDir, 0L, Some(cloned))
+      publishEntries(fs, dstDir, 0L, Some(cloned),
+        opLabel = if (deep) "CLONE DEEP" else "CLONE SHALLOW")
       0L
     }
+
+  /** DESCRIBE HISTORY: one row per committed version — (version,
+    * commit timestamp, operation label, dataChange flag, whether the
+    * version's data is still retained). Resolved from the log alone
+    * (O(versions) small entry reads, no data I/O); versions older than
+    * the op= line's introduction report a null operation. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = versions(spark, dir).map(_._1).toSet
+    log(dir).map { case (v, ms) =>
+      val body = FsIO.readText(commitEntry(dir, v, ms).toString).getOrElse("")
+      val lines = body.split("\n")
+      (v, new java.sql.Timestamp(ms),
+        lines.find(_.startsWith("op=")).map(_.stripPrefix("op=")).orNull,
+        !lines.contains("dataChange=false"), retained(v))
+    }.toDF("version", "timestamp", "operation", "data_change", "retained")
+  }
 
   /** The version that was CURRENT at `tsMillis` — the greatest committed
     * version with commitMs <= tsMillis (Delta `TIMESTAMP AS OF`

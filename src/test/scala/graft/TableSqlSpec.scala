@@ -85,6 +85,24 @@ class TableSqlSpec extends SparkSpec {
     assert(got.where(col("k") === 500L).head.getLong(1) == 500L)
   }
 
+  test("DESCRIBE HISTORY reports each verb's operation, ordering, and retention") {
+    val (dir, cat) = fresh()
+    TableSql.execute(spark, cat, "UPDATE events SET x = x + 1 WHERE k = 1")
+    TableSql.execute(spark, cat, "DELETE FROM events WHERE k = 2")
+    VersionedTable.commitDeleteDV(spark, dir, col("k") === 3L)
+    TableSql.execute(spark, cat, "OPTIMIZE events TARGET 1 FILES")
+    val h = TableSql.execute(spark, cat, "DESCRIBE HISTORY events")
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    assert(h.toSeq == Seq(
+      (0L, "APPEND", true), (1L, "UPDATE", true), (2L, "DELETE", true),
+      (3L, "DELETE MOR", true), (4L, "OPTIMIZE", false)), h.mkString(","))
+    // timestamps are monotone non-decreasing
+    val ts = TableSql.execute(spark, cat, "DESCRIBE HISTORY events")
+      .orderBy("version").collect().map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
+
   test("unknown table fails loudly with the catalog listed") {
     val (_, cat) = fresh()
     val e = intercept[RuntimeException] {
