@@ -3020,6 +3020,34 @@ object SparkEntry {
         "SELECT c_custkey, bal FROM cust ORDER BY c_custkey")
     }),
 
+    // -- CONDITIONAL MERGE (WHEN MATCHED/NOT MATCHED clauses) --------------
+    // The real Delta MERGE surface, driven through SQL text: a DELETE arm
+    // fires first for matched negative balances, the UPDATE arm (+inc)
+    // takes the remaining matches, and the NOT MATCHED arm filters inserts
+    // by condition (negative-balance candidates dropped). DuckDB replays
+    // the three arms as WHERE + CASE + UNION ALL.
+    "q_sql_merge_cond" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mcq").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
+      // source: update/delete arm rows (%3 keys, inc=100) + insert
+      // candidates (%11 keys shifted out of the key range, inc = that
+      // row's balance, so the insert condition has both signs to filter)
+      c.where(pmod(col("c_custkey"), lit(3L)) === 0L)
+          .select(col("c_custkey"), lit(100.0).as("inc"))
+        .unionByName(c.where(pmod(col("c_custkey"), lit(11L)) === 0L)
+          .select((col("c_custkey") + 3000000L).as("c_custkey"), col("bal").as("inc")))
+        .createOrReplaceTempView("merge_cond_src")
+      graft.tables.TableSql.execute(s, Map("cust" -> dir),
+        """MERGE INTO cust USING merge_cond_src ON (c_custkey)
+          |WHEN MATCHED AND t.bal < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.inc
+          |WHEN NOT MATCHED AND s.inc >= 0 THEN INSERT (c_custkey, bal) VALUES (s.c_custkey, s.inc)""".stripMargin)
+      VersionedTable.read(s, dir).select("c_custkey", "c_name", "bal")
+        .orderBy("c_custkey")
+    }),
+
     // -- ADDITIVE SCHEMA EVOLUTION ON APPEND --------------------------------
     // Odd keys land narrow (v0); evens land through commitAppendEvolve with
     // a derived `segment` column (v1 — old files untouched, schema declared
@@ -5229,6 +5257,21 @@ object SparkEntry {
         "FROM customer WHERE CAST(c_acctbal AS DOUBLE) + " +
         "CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END >= 0 " +
         "ORDER BY c_custkey"),
+
+    "q_sql_merge_cond" ->
+      // replay the three arms: matched negatives deleted (first clause
+      // wins), surviving %3 matches +100, inserts filtered to inc >= 0
+      // (inc = the source row's balance), name NULL on inserts
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) + " +
+        "CASE WHEN c_custkey % 3 = 0 THEN 100.0 ELSE 0.0 END AS bal " +
+        "FROM customer " +
+        "WHERE NOT (c_custkey % 3 = 0 AND CAST(c_acctbal AS DOUBLE) < 0) " +
+        "UNION ALL " +
+        "SELECT c_custkey + 3000000 AS c_custkey, CAST(NULL AS VARCHAR) AS c_name, " +
+        "CAST(c_acctbal AS DOUBLE) AS bal FROM customer " +
+        "WHERE c_custkey % 11 = 0 AND CAST(c_acctbal AS DOUBLE) >= 0" +
+        ") ORDER BY c_custkey"),
 
     "q_schema_evolution" ->
       // replay: odd keys never saw the evolved column (NULL unless the

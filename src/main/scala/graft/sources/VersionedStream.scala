@@ -121,6 +121,13 @@ object VersionedStream {
       VersionedTable.latestVersion(dir).map { latest =>
         val capped = (lastPlanned, maxVersionsPerTrigger) match {
           case (Some(last), Some(m)) => math.min(latest, last + m)
+          // startingVersion bootstrap (no checkpoint yet): the tail walk
+          // starts at startingVersion inclusive, so the FIRST batch must
+          // respect the pacing option too — without this cap a 10k-version
+          // backlog plans one unbounded bootstrap batch (Delta's
+          // startingVersion honors maxFilesPerTrigger from batch one)
+          case (None, Some(m)) if startingVersion.isDefined =>
+            math.min(latest, startingVersion.get - 1 + m)
           case _                     => latest
         }
         LongOffset(capped)
@@ -145,9 +152,14 @@ object VersionedStream {
             emit.map { case (rel, _) => new Path(new Path(dir), rel).toString }: _*))
       else
         // masked entries: the mask anti-join is a composite plan — pin it
-        // under one streaming-flagged node instead of re-flagging leaves
+        // under one streaming-flagged node instead of re-flagging leaves.
+        // The stream's declared schema rides into the scan (like the
+        // DV-free branch's spark.read.schema): on an EVOLVED table the
+        // batch must not resolve its schema from one sampled footer —
+        // old narrow files read through the declared schema fill the
+        // missing columns with null deterministically.
         StreamShim.asStreamingPinned(
-          VersionedTable.readEntries(spark, dir, emit)
+          VersionedTable.readEntries(spark, dir, emit, Some(schema))
             .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     }
 

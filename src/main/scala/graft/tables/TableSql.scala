@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions.expr
   *   UPDATE t SET a = <expr> [, b = <expr> ...] WHERE <cond>
   *   RESTORE TABLE t TO VERSION AS OF n
   *   MERGE INTO t USING <view | (subquery)> ON (k1 [, k2 ...])
+  *   MERGE INTO t USING <view | (subquery)> ON (k1 [, k2 ...])
+  *     WHEN MATCHED [AND cond] THEN UPDATE SET a = expr [, b = expr ...]
+  *     WHEN MATCHED [AND cond] THEN DELETE
+  *     WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (a, b) VALUES (e1, e2)
   *   DESCRIBE HISTORY t
   *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'] ...
   *
@@ -46,6 +50,15 @@ object TableSql {
   // refused by omission
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+|\(.+\))\s+ON\s*\(\s*([\w\s,]+)\s*\)\s*;?\s*$""".r
+  // conditional MERGE (Delta's full surface): same header, then one or
+  // more WHEN clauses — parsed by [[parseMergeClauses]]
+  private val MergeCondRe =
+    """(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+|\(.+?\))\s+ON\s*\(\s*([\w\s,]+)\s*\)\s*(WHEN\s.+?)\s*;?\s*$""".r
+  // one WHEN arm; the lookahead stops each arm at the next WHEN or at end
+  private val WhenArmRe =
+    ("(?is)WHEN\\s+(NOT\\s+)?MATCHED\\s*(?:\\s+AND\\s+(.+?))?\\s*THEN\\s+" +
+      "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s*\\*|INSERT\\s*\\(.+?\\)\\s*VALUES\\s*\\(.+?\\))" +
+      "\\s*(?=WHEN\\s+(?:NOT\\s+)?MATCHED|$)").r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$""".r
   private val TravelV  = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
@@ -99,46 +112,140 @@ object TableSql {
         val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         done("MERGE", t,
           VersionedTable.commitMerge(spark, dirOf(t), source, keyCols))
+      case MergeCondRe(t, src, keys, arms) =>
+        val source =
+          if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
+          else spark.table(src)
+        val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        done("MERGE", t, VersionedTable.commitMergeConditional(
+          spark, dirOf(t), source, keyCols, parseMergeClauses(arms)))
       case _ =>
         // SELECT path: pin time-travel clauses to temp views, register the
-        // catalog's tables (latest) as plain views, delegate to spark.sql
+        // catalog's tables (latest) as plain views, delegate to spark.sql.
+        // Rewrites are SPAN-based (match offsets, replaced right-to-left)
+        // and skip matches inside string literals — a literal containing
+        // `t VERSION AS OF 1` must survive byte-identical, and a plain
+        // String.replace of the matched text would also corrupt any OTHER
+        // occurrence of the same substring.
         var text = sql
-        TravelV.findAllMatchIn(sql).toSeq.foreach { m =>
-          val (t, v) = (m.group(1), m.group(2).toLong)
-          if (tables.contains(t)) {
-            val view = s"${t}__v$v"
-            VersionedTable.read(spark, dirOf(t), Some(v)).createOrReplaceTempView(view)
-            text = text.replace(m.matched, view)
+        def rewrite(re: scala.util.matching.Regex,
+            viewOf: (String, String) => Option[String]): Unit = {
+          val spans = literalSpans(text)
+          val hits = re.findAllMatchIn(text).toSeq
+            .filterNot(m => inLiteral(spans, m.start))
+            .flatMap(m => viewOf(m.group(1), m.group(2)).map(v => (m.start, m.end, v)))
+          hits.sortBy(-_._1).foreach { case (s0, e0, view) =>
+            text = text.substring(0, s0) + view + text.substring(e0)
           }
         }
-        TravelTs.findAllMatchIn(sql).toSeq.foreach { m =>
-          val (t, ts) = (m.group(1), m.group(2))
-          if (tables.contains(t)) {
+        rewrite(TravelV, (t, vs) =>
+          if (!tables.contains(t)) None
+          else {
+            val v    = vs.toLong
+            val view = s"${t}__v$v"
+            VersionedTable.read(spark, dirOf(t), Some(v)).createOrReplaceTempView(view)
+            Some(view)
+          })
+        rewrite(TravelTs, (t, ts) =>
+          if (!tables.contains(t)) None
+          else {
             val ms   = java.sql.Timestamp.valueOf(ts).getTime
             val v    = VersionedTable.versionAsOf(dirOf(t), ms)
             val view = s"${t}__ts$v"
             VersionedTable.read(spark, dirOf(t), Some(v)).createOrReplaceTempView(view)
-            text = text.replace(m.matched, view)
-          }
-        }
+            Some(view)
+          })
+        val spans = literalSpans(text)
         tables.foreach { case (t, dir) =>
-          if (text.matches(s"(?is).*\\b$t\\b.*"))
-            VersionedTable.read(spark, dir).createOrReplaceTempView(t)
+          // quoted table name (a catalog key is caller data, not a regex)
+          // and literal-skipping: a name appearing ONLY inside a string
+          // literal is not a reference
+          val hit = ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
+            .findAllMatchIn(text).exists(m => !inLiteral(spans, m.start))
+          if (hit) VersionedTable.read(spark, dir).createOrReplaceTempView(t)
         }
         spark.sql(text)
     }
   }
 
-  /** Split on top-level commas only (SET expressions may nest commas in
-    * function calls or CASE arms). */
+  /** Parse the WHEN arms of a conditional MERGE into
+    * [[VersionedTable.MergeClause]]s (order preserved — clause order is
+    * the Delta priority rule). */
+  private def parseMergeClauses(arms: String): Seq[VersionedTable.MergeClause] = {
+    val parsed = WhenArmRe.findAllMatchIn(arms).map { m =>
+      val not  = m.group(1) != null
+      val cond = Option(m.group(2)).map(_.trim)
+      val act  = m.group(3).trim
+      val actU = act.toUpperCase(java.util.Locale.ROOT)
+      if (!not && actU.startsWith("UPDATE")) {
+        val setList = act.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
+        val set = splitTop(setList).map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"TableSql: malformed MERGE SET assignment `$a`")
+          a.take(i).trim -> a.drop(i + 1).trim
+        }.toMap
+        VersionedTable.WhenMatchedUpdate(cond, set): VersionedTable.MergeClause
+      } else if (!not && actU == "DELETE") {
+        VersionedTable.WhenMatchedDelete(cond)
+      } else if (not && actU.replaceAll("\\s+", "") == "INSERT*") {
+        VersionedTable.WhenNotMatchedInsert(cond, None)
+      } else if (not && actU.startsWith("INSERT")) {
+        val ivRe = """(?is)^INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)$""".r
+        act match {
+          case ivRe(cols, vals) =>
+            val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val vs = splitTop(vals)
+            require(cs.length == vs.length,
+              s"TableSql: INSERT lists ${cs.length} column(s) but ${vs.length} value(s)")
+            VersionedTable.WhenNotMatchedInsert(cond, Some(cs.zip(vs).toMap))
+          case _ => sys.error(s"TableSql: malformed INSERT clause `$act`")
+        }
+      } else sys.error("TableSql: malformed MERGE WHEN clause — " +
+        (if (not) "NOT MATCHED supports only INSERT" else "MATCHED supports only UPDATE SET / DELETE"))
+    }.toSeq
+    require(parsed.nonEmpty, s"TableSql: MERGE has no parseable WHEN clause in `$arms`")
+    parsed
+  }
+
+  /** Character spans `[start, end)` of single-quoted SQL string literals
+    * (with `''` escaping) — the rewrite passes must never touch text
+    * inside them. */
+  private def literalSpans(s: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val start = i
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2 // '' escape
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        out += ((start, i))
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  private def inLiteral(spans: Seq[(Int, Int)], pos: Int): Boolean =
+    spans.exists { case (s0, e0) => pos >= s0 && pos < e0 }
+
+  /** Split on top-level commas only — commas nested in parens (function
+    * calls, CASE arms) or inside single-quoted string literals don't
+    * split. */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val sb  = new StringBuilder
     var d   = 0
+    var q   = false // inside a single-quoted literal ('' escapes toggle twice, harmlessly)
     s.foreach {
-      case '(' => d += 1; sb += '('
-      case ')' => d -= 1; sb += ')'
-      case ',' if d == 0 => out += sb.toString; sb.clear()
+      case '\'' => q = !q; sb += '\''
+      case '(' if !q => d += 1; sb += '('
+      case ')' if !q => d -= 1; sb += ')'
+      case ',' if d == 0 && !q => out += sb.toString; sb.clear()
       case c   => sb += c
     }
     out += sb.toString

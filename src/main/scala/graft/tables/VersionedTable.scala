@@ -502,6 +502,23 @@ object VersionedTable {
       Constraints.validate(spark, dir,
         spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*), op)
 
+  /** Inside the publish lease, just before the commit-entry rename: the
+    * files this commit staged lock-free must still exist. A vacuum run
+    * with `graceMs` smaller than this write's stage phase could have swept
+    * them as orphans — publishing a manifest referencing vanished files
+    * would make the new head unreadable, so abort LOUDLY instead (the
+    * batch re-runs; the table stays sound). O(staged files) exists checks,
+    * never O(manifest). */
+  private def requireStagedPresent(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, staged: Seq[String], op: String): Unit = {
+    val missing = staged.filterNot(rel => fs.exists(absOf(dir, rel)))
+    require(missing.isEmpty,
+      s"$op: staged file(s) swept before publish (a concurrent vacuum's grace " +
+        s"window is smaller than this write's stage phase): " +
+        s"${missing.take(3).mkString(", ")} — re-run the write and size the " +
+        "vacuum graceMs above the longest in-flight commit")
+  }
+
   /** Committed (version, commitMs) pairs in version order — the log,
     * verbatim. Includes versions later vacuumed (history stays; their DATA
     * is gone — [[read]] distinguishes). */
@@ -605,6 +622,16 @@ object VersionedTable {
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(s => f"v=$next%05d/${s.getPath.getName}"),
         "VersionedTable.commit")
+      // SNAPSHOT SCHEMA RESET: on a previously EVOLVED table, the
+      // overwrite's own schema becomes the declared truth at this version —
+      // without it declaredSchemaAt keeps resolving the pre-overwrite
+      // evolved schema forever: later appends would gate against a stale
+      // schema and reads of incremental versions on top of the snapshot
+      // would silently null/drop the overwrite's columns. Never-evolved
+      // tables skip this (no _schema dir, no cost).
+      if (log(dir).lastOption.exists { case (pv, _) =>
+          declaredSchemaAt(dir, pv).isDefined })
+        writeDeclaredSchema(fs, dir, next, df.schema)
       // the commit point: a write-once entry staged then renamed into the
       // log dir (readers never observe a partially named commit entry)
       publishEntry(fs, dir, next, None, opLabel = "WRITE")
@@ -759,6 +786,7 @@ object VersionedTable {
           // still gate this batch: re-prove under the lease (rare path)
           if (Constraints.list(dir) != provenAgainst)
             validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
+          requireStagedPresent(fs, dir, newRels, "VersionedTable.commitAppend")
           publishEntries(fs, dir, next,
             Some(prevEntries ++ newRels.map(FileEntry(_, Nil))), txn,
             prev = Some(prevEntries), opLabel = "APPEND")
@@ -824,6 +852,7 @@ object VersionedTable {
           }
           if (Constraints.list(dir) != provenAgainst)
             validateStaged(spark, dir, newRels, "commitAppendEvolve")
+          requireStagedPresent(fs, dir, newRels, "commitAppendEvolve")
           // schema BEFORE entry: a crash between leaves an orphan schema
           // file that declaredSchemaAt ignores (version never committed)
           // and nextVersion never reuses; the reverse order would commit
@@ -917,6 +946,7 @@ object VersionedTable {
           }
         if (Constraints.list(dir) != provenAgainst)
           validateStaged(spark, dir, validateRels, op)
+        requireStagedPresent(fs, dir, staged, op)
         publishEntries(fs, dir, next, Some(manifest), txn,
           dataChange = dataChange, prev = Some(prevEntries), opLabel = opLabel)
         next
@@ -1316,6 +1346,194 @@ object VersionedTable {
     }
   }
 
+  /** One WHEN arm of a conditional MERGE ([[commitMergeConditional]]) —
+    * Delta's `WHEN MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT MATCHED
+    * [AND cond] THEN INSERT` surface. Conditions and expressions are SQL
+    * text evaluated with the TARGET row aliased `t` and the SOURCE row
+    * aliased `s` (Delta's own qualification convention); Catalyst's full
+    * expression language applies. */
+  sealed trait MergeClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col -> expr, ... Unset target
+    * columns keep their values; SET expressions all evaluate against the
+    * OLD (t, s) pair — no assignment observes another's result. */
+  final case class WhenMatchedUpdate(cond: Option[String],
+      set: Map[String, String]) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class WhenMatchedDelete(cond: Option[String]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (col -> expr, ...) — unlisted
+    * target columns land NULL; `values = None` is INSERT * (source columns
+    * by name, the whole-row-merge insert shape). */
+  final case class WhenNotMatchedInsert(cond: Option[String],
+      values: Option[Map[String, String]]) extends MergeClause
+
+  /** MERGE INTO with CONDITIONAL CLAUSES (the real Delta MERGE surface —
+    * `WHEN MATCHED [AND c] THEN UPDATE SET ... / DELETE, WHEN NOT MATCHED
+    * [AND c] THEN INSERT`). Clause semantics are Delta's exactly:
+    *
+    *  - a target row with a key-matching source row takes the FIRST
+    *    matched clause whose condition holds (clause order = priority);
+    *    no applicable clause → the row carries over unchanged;
+    *  - a source row matching no target key takes the first not-matched
+    *    clause whose condition holds → INSERT; none → dropped;
+    *  - source keys must be UNIQUE (several source rows matching one
+    *    target row is the ambiguous-merge error, like Delta);
+    *  - UPDATE/INSERT expressions cast to the target column's type (SQL
+    *    store-assignment), so a clause can't split the manifest's schema.
+    *
+    * Same scale shape and OCC discipline as [[commitMerge]]: the probe
+    * finds the FILES holding matching keys (pushed-down IN under
+    * [[MaxMergeProbeKeys]], keys-only scan past it), only those rewrite
+    * (file-grain copy-on-write), the O(data) span runs lock-free against a
+    * pinned version, and the publish tail rebases over blind appends /
+    * conflicts loudly on rival rewrites. `txn` gives [[commitAppend]]'s
+    * replay idempotence. */
+  def commitMergeConditional(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause],
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "commitMergeConditional: need at least one key column")
+    require(clauses.nonEmpty, "commitMergeConditional: need at least one WHEN clause")
+    val matchedClauses = clauses.collect {
+      case c: WhenMatchedUpdate => c: MergeClause
+      case c: WhenMatchedDelete => c: MergeClause
+    }
+    val insertClauses = clauses.collect { case c: WhenNotMatchedInsert => c }
+    withOccRetries("VersionedTable.commitMergeConditional") { () =>
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val preReplayed = txn.flatMap { case (app, tv) =>
+        lastTxnVersion(dir, app).filter(_ >= tv) }
+      if (preReplayed.isDefined) latestVersion(dir).getOrElse(
+        sys.error(s"commitMergeConditional: txn marker without a committed version in $dir"))
+      else {
+        val committed = VersionedTable.log(dir)
+        require(committed.nonEmpty, s"commitMergeConditional: $dir has no committed version")
+        val (pv, pms) = committed.last
+        val entries  = checkedEntries(fs, dir, pv, pms)
+        val declared = declaredSchemaAt(dir, pv)
+        val full     = scanEntriesMeta(spark, dir, entries, declared)
+        val srcChk   = source.localCheckpoint(true)
+        val keyDf    = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
+        val nKeys    = keyDf.count()
+        // the ambiguous-merge gate (Delta's): duplicate source keys would
+        // multiply matched target rows through the join
+        require(nKeys == srcChk.count(),
+          s"commitMergeConditional: source keys (${keyCols.mkString(",")}) are not " +
+            "unique — several source rows would match one target row (ambiguous merge)")
+        val touchedNames: Set[String] = (
+          if (nKeys <= MaxMergeProbeKeys) {
+            val keys = keyDf.collect()
+            val coarse = keyCols.zipWithIndex.map { case (k, i) =>
+              val vs = keys.map(_.get(i)).toSeq
+              val nn = vs.filter(_ != null).distinct
+              val in = if (nn.isEmpty) lit(false) else col(s"`$k`").isin(nn: _*)
+              if (vs.exists(_ == null)) in || col(s"`$k`").isNull else in
+            }.reduce(_ && _)
+            val keyLit = spark.createDataFrame(
+              java.util.Arrays.asList(keys: _*),
+              org.apache.spark.sql.types.StructType(keyCols.map(k => keyDf.schema(k))))
+            full.where(coarse)
+              .join(broadcast(keyLit),
+                keyCols.map(k => full(s"`$k`") <=> keyLit(s"`$k`")).reduce(_ && _), "left_semi")
+              .select(col(FnameCol)).distinct().collect()
+          } else {
+            full.as("t").join(keyDf.as("s"),
+                keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_semi")
+              .select(col(FnameCol)).distinct().collect()
+          }
+        ).map(_.getString(0)).toSet
+        val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
+        val targetDf =
+          if (touched.isEmpty) scanEntries(spark, dir, entries, declared).limit(0)
+          else scanEntries(spark, dir, touched, declared) // masked; rewrite sheds DVs
+        val targetSchema = targetDf.schema
+        // ---- matched side: t LEFT OUTER s on keys, first-true clause wins
+        val presentCol = "__graft_s_present"
+        val srcFlag = srcChk.withColumn(presentCol, lit(true))
+        val joined = targetDf.as("t").join(srcFlag.as("s"),
+          keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_outer")
+        val matched = coalesce(col(s"s.`$presentCol`"), lit(false))
+        def clauseCond(c: Option[String]) =
+          c.map(t => expr(t)).getOrElse(lit(true))
+        // action index: the first matched clause (in declaration order)
+        // whose condition holds for this (t, s) pair — when() chains
+        // evaluate in order, which IS the Delta priority rule
+        val action = matchedClauses.zipWithIndex
+          .foldLeft(when(lit(false), lit(-1))) { case (acc, (c, i)) =>
+            val cond = c match {
+              case WhenMatchedUpdate(cc, _) => clauseCond(cc)
+              case WhenMatchedDelete(cc)    => clauseCond(cc)
+              case _                        => lit(false)
+            }
+            acc.when(matched && cond, lit(i))
+          }
+        val deleteIdx = matchedClauses.zipWithIndex.collect {
+          case (_: WhenMatchedDelete, i) => i }
+        val withAction = joined.withColumn("__graft_action", action)
+        val kept = if (deleteIdx.isEmpty) withAction
+          else withAction.where(!col("__graft_action").isInCollection(deleteIdx) ||
+            col("__graft_action").isNull)
+        val survivors = kept.select(targetSchema.fields.map { f =>
+          val base = col(s"t.`${f.name}`")
+          val updated = matchedClauses.zipWithIndex
+            .foldLeft(when(lit(false), base)) {
+              case (acc, (WhenMatchedUpdate(_, set), i)) =>
+                set.collectFirst { case (c, e) if c.equalsIgnoreCase(f.name) => e } match {
+                  case Some(e) => acc.when(col("__graft_action") === i,
+                    expr(e).cast(f.dataType))
+                  case None    => acc
+                }
+              case (acc, _) => acc
+            }
+          updated.otherwise(base).as(f.name)
+        }.toSeq: _*)
+        // ---- insert side: source rows matching NO target key (the probe
+        // found every file holding a matching key, so anti-joining the
+        // touched rows' keys is anti-joining the whole table's)
+        val tKeys = targetDf.select(keyCols.map(k => col(s"`$k`")): _*)
+        val unmatchedSrc = srcChk.as("s").join(tKeys.as("t"),
+          keyCols.map(k => col(s"s.`$k`") <=> col(s"t.`$k`")).reduce(_ && _), "left_anti")
+        val srcColsN = srcChk.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val inserted = insertClauses.zipWithIndex
+          .foldLeft(Option.empty[DataFrame]) { case (accOpt, (c, i)) =>
+            // first-true not-matched clause: row i takes clause i only if
+            // no earlier clause's condition held
+            val notEarlier = insertClauses.take(i)
+              .map(p => !coalesce(clauseCond(p.cond), lit(false)))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            val rows = unmatchedSrc
+              .where(coalesce(clauseCond(c.cond), lit(false)) && notEarlier)
+              .select(targetSchema.fields.map { f =>
+                (c.values match {
+                  case Some(vs) =>
+                    vs.collectFirst { case (cc, e) if cc.equalsIgnoreCase(f.name) => expr(e) }
+                      .getOrElse(lit(null))
+                  case None => // INSERT *: source columns by name, else NULL
+                    if (srcColsN(f.name.toLowerCase(java.util.Locale.ROOT)))
+                      col(s"`${f.name}`")
+                    else lit(null)
+                }).cast(f.dataType).as(f.name)
+              }.toSeq: _*)
+            Some(accOpt.fold(rows)(_.unionByName(rows)))
+          }
+        val merged = inserted.fold(survivors)(survivors.unionByName(_))
+        requireCompatibleSchema("commitMergeConditional", targetSchema, merged.schema)
+        val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
+        val staged = stageDataFilesTagged(fs, dir, merged, stageTag)
+        val newRels =
+          if (staged.nonEmpty || untouched.nonEmpty) staged
+          else stageDataFilesTagged(fs, dir, merged.coalesce(1), stageTag)
+        val provenAgainst = Constraints.list(dir)
+        validateStaged(spark, dir, newRels, "commitMergeConditional")
+        publishRebased(spark, fs, dir, "VersionedTable.commitMergeConditional",
+          pv, entries, untouched ++ newRels.map(FileEntry(_, Nil)),
+          staged = newRels, provenAgainst = provenAgainst,
+          txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
+          opLabel = "MERGE COND")
+      }
+    }
+  }
+
   /** OPTIMIZE for a versioned table: rewrite the latest version's rows
     * verbatim into `targetFiles` files and commit the new layout as the
     * next version, marked `dataChange=false`. An incremental table
@@ -1559,18 +1777,38 @@ object VersionedTable {
     }
   }
 
+  /** Grace window for NEVER-REFERENCED files during [[vacuum]] (Delta's
+    * VACUUM modification-time retention, applied to exactly the class it
+    * protects): lock-free writers ([[commitAppend]], [[copyOnWrite]], the
+    * DV commits, [[commitMerge]]) stage data files and `.stage-*.__tmp`
+    * dirs while holding NO lease — to a concurrent vacuum those are
+    * indistinguishable from a crashed attempt's orphans. Sweeping them
+    * would delete a live writer's staged bytes and the writer would then
+    * publish a manifest referencing vanished files (the publish tail
+    * detects that and aborts loudly — see `requireStagedPresent` — but the
+    * batch is still lost and must re-run). Files younger than the grace
+    * are therefore SKIPPED; genuinely crashed litter is swept by the next
+    * vacuum after it ages past the window. Files referenced by a committed
+    * manifest (retained or dropped) never need the grace — dropping them
+    * is deliberate retention policy, not a race. Size above the longest
+    * legitimate write's stage phase. */
+  val DefaultVacuumGraceMs: Long = 6L * 3600 * 1000
+
   /** Drop the data of all but the last `retainLast` committed versions,
     * plus any never-committed orphans from crashed commits (and stage
-    * litter). The log keeps full history — a vacuumed version's read fails
-    * with a "vacuumed" message, not "unknown version". Returns the dropped
+    * litter) OLDER than `graceMs` (see [[DefaultVacuumGraceMs]] — young
+    * unreferenced files may be a live lock-free writer's staging). The log
+    * keeps full history — a vacuumed version's read fails with a
+    * "vacuumed" message, not "unknown version". Returns the dropped
     * version numbers. Readers of retained versions are untouched (their
     * files never move); a reader pinned to a version being vacuumed is the
     * documented Delta-VACUUM hazard — size `retainLast` to the longest
     * reader. */
   def vacuum(spark: SparkSession, dir: String, retainLast: Int,
-      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Seq[Long] = {
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[Long] = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
-    vacuumKeeping(spark, dir, lockLeaseMs,
+    vacuumKeeping(spark, dir, lockLeaseMs, graceMs,
       committed => committed.map(_._1).takeRight(retainLast).toSet)
   }
 
@@ -1581,24 +1819,28 @@ object VersionedTable {
     * window to the longest reader, same hazard as [[vacuum]]. */
   def vacuumOlderThan(spark: SparkSession, dir: String, olderThanMs: Long,
       retainLast: Int = 1,
-      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Seq[Long] = {
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[Long] = {
     require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val cutoff = System.currentTimeMillis() - olderThanMs
-    vacuumKeeping(spark, dir, lockLeaseMs, committed =>
+    vacuumKeeping(spark, dir, lockLeaseMs, graceMs, committed =>
       (committed.filter(_._2 >= cutoff).map(_._1) ++
         committed.map(_._1).takeRight(retainLast)).toSet)
   }
 
   private def vacuumKeeping(spark: SparkSession, dir: String, lockLeaseMs: Long,
-      keepOf: Seq[(Long, Long)] => Set[Long]): Seq[Long] =
+      graceMs: Long, keepOf: Seq[(Long, Long)] => Set[Long]): Seq[Long] =
     FsIO.withWriteLock(dir, "VersionedTable.vacuum", lockLeaseMs) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // crashed-before-rename staging litter goes too: data-dir stages and
-      // commit-entry stages alike
+      val cutoffMs = System.currentTimeMillis() - math.max(0L, graceMs)
+      // crashed-before-rename staging litter goes too — but `.stage-*.__tmp`
+      // dirs may be a LIVE lock-free writer's in-flight staging (no lease
+      // held during the O(data) phase): only sweep past the grace window
       if (fs.exists(new Path(dir)))
         fs.listStatus(new Path(dir)).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.endsWith(".__tmp"))
+          .filter(s => s.isDirectory && s.getPath.getName.endsWith(".__tmp") &&
+            s.getModificationTime < cutoffMs)
           .foreach(s => fs.delete(s.getPath, true))
       if (fs.exists(logDir(dir)))
         fs.listStatus(logDir(dir)).toSeq
@@ -1651,11 +1893,30 @@ object VersionedTable {
           }
         }.map(_._1)
       legacyDrop.foreach(v => fs.delete(vDir(dir, v), true))
-      // data/ sweep: anything not referenced by a retained manifest goes —
-      // dropped versions' exclusive files and crashed-attempt orphans alike
+      // data/ sweep, two classes with different proof obligations:
+      //  - referenced by SOME committed manifest but no retained one —
+      //    a dropped version's exclusive file: deliberate retention drop,
+      //    deleted immediately;
+      //  - referenced by NO manifest at all — either a crashed attempt's
+      //    orphan or a LIVE lock-free writer's just-staged file (the two
+      //    are indistinguishable from here): deleted only past the grace
+      //    window, so a vacuum racing an in-flight append/merge/DV commit
+      //    never sweeps the bytes it is about to publish.
+      // "ever referenced" needs only each entry's own ADDS (every data file
+      // is introduced by exactly one commit), so this is O(versions) entry
+      // parses, not O(versions) chain replays.
+      val everReferenced: Set[String] = committed.flatMap { case (v, ms) =>
+        parseEntry(dir, v, ms) match {
+          case FullEntry(es) => es.flatMap(e => e.rel +: e.dvs)
+          case DeltaEntry(adds, _, _, dvAdds) => adds ++ dvAdds.map(_._2)
+          case SnapshotEntry => Seq.empty[String]
+        }
+      }.toSet
       if (fs.exists(dataDir(dir)))
         fs.listStatus(dataDir(dir)).toSeq
           .filterNot(s => keepRels.contains("data/" + s.getPath.getName))
+          .filter(s => everReferenced.contains("data/" + s.getPath.getName) ||
+            s.getModificationTime < cutoffMs)
           .foreach(s => fs.delete(s.getPath, false))
       // per-version stats manifests ([[VersionedStats]]) of dropped
       // versions describe files that no longer exist — sweep them (and

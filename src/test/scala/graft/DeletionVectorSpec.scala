@@ -212,13 +212,13 @@ class DeletionVectorSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).select("id").as[Long].collect().toSet
       == (1L to 7L).toSet)
     // vacuum keeping v1..v3 (all reference the sidecar): sidecar survives
-    VersionedTable.vacuum(spark, dir, retainLast = 3)
+    VersionedTable.vacuum(spark, dir, retainLast = 3, graceMs = 0L)
     assert(VersionedTable.read(spark, dir, Some(3L)).count() == 7L)
     // compact (v4: no DVs), then retain only v4: the sidecar is swept
     VersionedTable.commitCompact(spark, dir, targetFiles = 1)
     val dvFiles = new java.io.File(dir, "data").listFiles.toSeq
       .filter(_.getName.endsWith(".parquet"))
-    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    VersionedTable.vacuum(spark, dir, retainLast = 1, graceMs = 0L)
     val left = new java.io.File(dir, "data").listFiles.toSeq
       .filter(_.getName.endsWith(".parquet"))
     assert(left.size < dvFiles.size, "unreferenced DV sidecars are vacuumed")

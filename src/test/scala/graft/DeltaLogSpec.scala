@@ -103,7 +103,7 @@ class DeltaLogSpec extends SparkSpec {
     // unreferenced by v6+); v7 compaction rewrites everything
     VersionedTable.commitDelete(spark, dir, col("k") === 0L)    // v6 (delta)
     VersionedTable.commitCompact(spark, dir, targetFiles = 2)   // v7 (full rewrite)
-    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 2)
+    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 2, graceMs = 0L)
     assert(dropped.nonEmpty, "expected versions dropped")
     // retained v6 is a DELTA whose full-manifest anchor (v0) is below
     // retention — it still resolves, because log entries are kept forever
@@ -149,10 +149,10 @@ class DeltaLogSpec extends SparkSpec {
     }
     VersionedTable.commitCompact(spark, dir, targetFiles = 1) // v3: full rewrite
     // a huge window drops nothing
-    assert(VersionedTable.vacuumOlderThan(spark, dir, olderThanMs = 3600000L).isEmpty)
+    assert(VersionedTable.vacuumOlderThan(spark, dir, olderThanMs = 3600000L, graceMs = 0L).isEmpty)
     assert(VersionedTable.read(spark, dir, Some(0L)).count() == 1)
     // window 0: everything is "old" — only the newest version survives
-    val dropped = VersionedTable.vacuumOlderThan(spark, dir, olderThanMs = 0L)
+    val dropped = VersionedTable.vacuumOlderThan(spark, dir, olderThanMs = 0L, graceMs = 0L)
     assert(dropped.nonEmpty, "pre-compaction versions' exclusive files must drop")
     assert(VersionedTable.read(spark, dir).count() == 3)
     intercept[Exception] { VersionedTable.read(spark, dir, Some(0L)).count() }
@@ -213,7 +213,7 @@ class DeltaLogSpec extends SparkSpec {
     assert(v == 8L, s"version assignment must skip the orphan's number: got $v")
     assert(VersionedTable.read(spark, dir).columns.toSeq == Seq("k", "x"))
     // vacuum sweeps every class of litter and keeps all live data
-    VersionedTable.vacuum(spark, dir, retainLast = 10)
+    VersionedTable.vacuum(spark, dir, retainLast = 10, graceMs = 0L)
     assert(!new java.io.File(fdir, ".stage-deadbeef.__tmp").exists)
     assert(!new java.io.File(new java.io.File(fdir, "data"), "aorphan00-dead-part-0.parquet").exists)
     assert(!new java.io.File(new java.io.File(fdir, "_log"), "00099-123.commit.tmp").exists)

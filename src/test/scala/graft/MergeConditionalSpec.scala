@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.{TableSql, VersionedTable}
+import graft.tables.VersionedTable.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
+import org.apache.spark.sql.functions._
+
+/** Conditional MERGE (Delta's `WHEN MATCHED [AND c] THEN UPDATE/DELETE,
+  * WHEN NOT MATCHED [AND c] THEN INSERT`) — clause priority, the
+  * no-applicable-clause carry-over, the ambiguous-source gate, the SQL
+  * surface (including commas/keywords inside string literals, the round-11
+  * TableSql hardening), and the OCC rebase-over-blind-append discipline.
+  */
+class MergeConditionalSpec extends SparkSpec {
+
+  private def dirOf() = Files.createTempDirectory("graft_mc").toString + "/t"
+
+  test("update/delete/insert arms with conditions; unmatched rows carry over") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      Seq((1L, 10.0, "a"), (2L, -5.0, "b"), (3L, 7.0, "c"), (4L, 1.0, "d"))
+        .toDF("k", "bal", "name"), dir)
+    // source: hits 1 (positive → update), 2 (negative → delete),
+    // 9 (no match, big delta → insert), 10 (no match, small delta → dropped)
+    val src = Seq((1L, 100.0), (2L, 50.0), (9L, 60.0), (10L, 1.0))
+      .toDF("k", "delta")
+    VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+      WhenMatchedDelete(Some("t.bal < 0")),
+      WhenMatchedUpdate(None, Map("bal" -> "t.bal + s.delta")),
+      WhenNotMatchedInsert(Some("s.delta > 50"),
+        Some(Map("k" -> "s.k", "bal" -> "s.delta")))))
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      (1L, 110.0, Some("a")), // matched, updated; unset column kept
+      (3L, 7.0, Some("c")),   // untouched file/row carries over
+      (4L, 1.0, Some("d")),   // matched by nothing (not in source)
+      (9L, 60.0, None)        // inserted; unlisted column NULL
+    ), rows.toString) // k=2 deleted; k=10 matched no insert clause → dropped
+  }
+
+  test("clause order is priority: the FIRST applicable matched clause wins") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      Seq((1L, 5.0), (2L, 50.0)).toDF("k", "bal"), dir)
+    val src = Seq((1L, 0.0), (2L, 0.0)).toDF("k", "z")
+    // both clauses' conditions hold for k=2 (50 > 10 and TRUE); the first
+    // in declaration order must win
+    VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+      WhenMatchedUpdate(Some("t.bal > 10"), Map("bal" -> "t.bal * 2")),
+      WhenMatchedUpdate(None, Map("bal" -> "t.bal + 1"))))
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows == Map(1L -> 6.0, 2L -> 100.0), rows.toString)
+  }
+
+  test("duplicate source keys are refused (ambiguous merge)") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark, Seq((1L, 1.0)).toDF("k", "bal"), dir)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.commitMergeConditional(spark, dir,
+        Seq((1L, 2.0), (1L, 3.0)).toDF("k", "bal"), Seq("k"),
+        Seq(WhenMatchedUpdate(None, Map("bal" -> "s.bal"))))
+    }
+    assert(ex.getMessage.contains("not unique"), ex.getMessage)
+  }
+
+  test("SQL surface: WHEN clauses parse; INSERT *; literals survive the rewrites") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      Seq((1L, 10.0, "x"), (2L, -1.0, "y")).toDF("k", "bal", "note"), dir)
+    Seq((1L, 5.0, "s1"), (2L, 9.0, "s2"), (7L, 70.0, "s7"), (8L, 0.5, "s8"))
+      .toDF("k", "bal", "note").createOrReplaceTempView("mc_src")
+    val cat = Map("tgt" -> dir)
+    TableSql.execute(spark, cat,
+      """MERGE INTO tgt USING mc_src ON (k)
+        |WHEN MATCHED AND t.bal < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal, note = 'up,dated'
+        |WHEN NOT MATCHED AND s.bal > 1 THEN INSERT *""".stripMargin)
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    // k=1 updated (note literal contains a comma — splitTop must not split
+    // inside it); k=2 deleted; k=7 inserted via INSERT *; k=8 filtered
+    assert(rows == Set((1L, 15.0, "up,dated"), (7L, 70.0, "s7")), rows.toString)
+
+    // SELECT rewrite hardening: a literal containing `tgt VERSION AS OF 0`
+    // must survive byte-identical, while the real travel clause rewrites
+    val out = TableSql.execute(spark, cat,
+      "SELECT k, 'tgt VERSION AS OF 0' AS tag FROM tgt VERSION AS OF 0 ORDER BY k")
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "tgt VERSION AS OF 0"), (2L, "tgt VERSION AS OF 0")))
+
+    // UPDATE with a comma inside a SET literal parses as ONE assignment
+    TableSql.execute(spark, cat, "UPDATE tgt SET note = 'a,b' WHERE k = 7")
+    assert(VersionedTable.read(spark, dir).where(col("k") === 7L)
+      .select("note").head().getString(0) == "a,b")
+  }
+
+  test("conditional merge rebases over a concurrent blind append (WriteSerializable)") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 30L).select(col("id").as("k"), lit(0L).as("x")).coalesce(1), dir)
+    val marker = Files.createTempDirectory("graft_mc_occ").resolve("staging").toString
+    // the slow SET expression opens the stage window AFTER the probe pinned
+    // the read version (same device as the DV-delete OCC spec)
+    spark.udf.register("mc_slow_add", (x: Long, d: Long) => {
+      try Files.createFile(java.nio.file.Paths.get(marker))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      Thread.sleep(100)
+      x + d
+    })
+    @volatile var mergeV = -1L
+    @volatile var mergeErr: Throwable = null
+    val th = new Thread(() => {
+      try mergeV = VersionedTable.commitMergeConditional(spark, dir,
+        spark.range(0L, 30L).select(col("id").as("k"), lit(7L).as("d")), Seq("k"),
+        Seq(WhenMatchedUpdate(None, Map("x" -> "mc_slow_add(t.x, s.d)"))))
+      catch { case e: Throwable => mergeErr = e }
+    })
+    th.start()
+    val t0 = System.currentTimeMillis()
+    while (!Files.exists(java.nio.file.Paths.get(marker)) &&
+      System.currentTimeMillis() - t0 < 30000) Thread.sleep(10)
+    val appV = VersionedTable.commitAppend(spark, Seq((100L, 1L)).toDF("k", "x"), dir)
+    th.join(120000)
+    assert(mergeErr == null, s"merge failed: $mergeErr")
+    assert(appV < mergeV, s"append ($appV) lands before the merge's publish ($mergeV)")
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(100L) == 1L, "the rebased-over appended row survives")
+    assert((0L until 30L).forall(k => rows(k) == 7L), "every matched row updated")
+    assert(rows.size == 31)
+  }
+}

@@ -43,7 +43,7 @@ class RestoreCloneConstraintsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
     // v0's snapshot dir is shared by the restore manifest: vacuum retaining
     // only the restore must KEEP it (refcount across manifests)
-    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    VersionedTable.vacuum(spark, dir, retainLast = 1, graceMs = 0L)
     assert(VersionedTable.read(spark, dir, Some(rv)).count() == 2L)
     // restoring to the vacuumed v1 fails loudly, table unchanged
     val before = VersionedTable.latestVersion(dir)
@@ -74,7 +74,7 @@ class RestoreCloneConstraintsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(srcRows.size == 30 && srcRows(3L) == 3.0 && srcRows(28L) == 28.0)
     // vacuum on the CLONE must never delete the source's files
-    VersionedTable.vacuum(spark, dst, retainLast = 1)
+    VersionedTable.vacuum(spark, dst, retainLast = 1, graceMs = 0L)
     assert(VersionedTable.read(spark, src).count() == 30L)
     // a clone of the clone (absolute entries re-cloned) still reads
     val dst2 = root + "/clone2"

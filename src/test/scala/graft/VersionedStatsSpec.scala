@@ -78,7 +78,7 @@ class VersionedStatsSpec extends SparkSpec {
       VersionedStats.refreshIncremental(spark, dir, Seq("k"))
     }
     assert(VersionedStats.stattedVersions(dir) == Seq(0L, 1L, 2L))
-    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    VersionedTable.vacuum(spark, dir, retainLast = 1, graceMs = 0L)
     assert(VersionedStats.stattedVersions(dir) == Seq(2L))
     assert(VersionedStats.prunedFiles(spark, dir,
       Seq(("k", lit(0L), lit(1000L))), Some(2L))._2 == 3L)

@@ -60,7 +60,7 @@ class VersionedTableSpec extends SparkSpec {
     // next commit never re-enters an attempted number
     val next = VersionedTable.commit(spark, Seq((5L, 5)).toDF("id", "v"), dir)
     assert(next == 10L)
-    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 2)
+    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 2, graceMs = 0L)
     assert(dropped == Seq(0L, 1L, 2L, 9L), s"dropped $dropped") // 9 = the orphan
     assert(VersionedTable.versions(spark, dir).map(_._1) == Seq(3L, 10L))
     val e = intercept[IllegalArgumentException] { VersionedTable.read(spark, dir, Some(1L)) }
@@ -80,7 +80,7 @@ class VersionedTableSpec extends SparkSpec {
     graft.tables.FsIO.writeText(ld.getPath, "not a log dir\n")
     val e = intercept[IllegalArgumentException] { VersionedTable.log(dir) }
     assert(e.getMessage.contains("not a log directory"), e.getMessage)
-    intercept[IllegalArgumentException] { VersionedTable.vacuum(spark, dir, 1) }
+    intercept[IllegalArgumentException] { VersionedTable.vacuum(spark, dir, 1, graceMs = 0L) }
     assert(new java.io.File(f"$dir/v=${0L}%05d").exists, "data must survive the refusal")
   }
 
@@ -159,7 +159,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(v0got(5L) == 5.0)
     // vacuum to v1 only: the touched ORIGINAL (now v0-exclusive) is swept,
     // the untouched original survives as v1's shared file
-    assert(VersionedTable.vacuum(spark, dir, retainLast = 1) == Seq(0L))
+    assert(VersionedTable.vacuum(spark, dir, retainLast = 1, graceMs = 0L) == Seq(0L))
     val afterVac = dataFiles(dir)
     assert(afterVac.size == before.size, s"${afterVac.size} files after vacuum")
     assert(before.count { case (n, sig) => afterVac.get(n).contains(sig) } == 1,
@@ -177,7 +177,7 @@ class VersionedTableSpec extends SparkSpec {
     val sharedNow = dataFiles(dir)
     // vacuum to the latest version only: v0's EXCLUSIVE file (the rewritten
     // range) goes, but every file v1 still references survives
-    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 1, graceMs = 0L)
     assert(dropped == Seq(0L), s"dropped $dropped")
     val afterVac = dataFiles(dir)
     assert(afterVac.size < sharedNow.size, "v0's exclusive file must be swept")
@@ -192,7 +192,7 @@ class VersionedTableSpec extends SparkSpec {
     val dir = dirOf()
     VersionedTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir) // snapshot v0
     VersionedTable.commitAppend(spark, Seq((2L, "b")).toDF("id", "s"), dir) // v1 shares v0's files
-    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    val dropped = VersionedTable.vacuum(spark, dir, retainLast = 1, graceMs = 0L)
     assert(!dropped.contains(0L), s"v0's dir is still referenced by v1: $dropped")
     assert(new java.io.File(f"$dir/v=${0L}%05d").exists, "referenced snapshot dir must survive")
     assert(VersionedTable.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
@@ -210,7 +210,7 @@ class VersionedTableSpec extends SparkSpec {
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.move(part.toPath, orphan.toPath)
     assert(VersionedTable.read(spark, dir).count() == 1L, "orphan must be invisible")
-    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    VersionedTable.vacuum(spark, dir, retainLast = 1, graceMs = 0L)
     assert(!orphan.exists, "vacuum must sweep unreferenced data files")
     assert(VersionedTable.read(spark, dir).count() == 1L)
   }
