@@ -3071,6 +3071,54 @@ object SparkEntry {
       VersionedTable.read(s, dir).orderBy("c_custkey")
     }),
 
+    // -- COLUMN RENAME VIA COLUMN MAPPING -----------------------------------
+    // Rename is a METADATA-ONLY commit: odd keys land as `bal` (v0), the
+    // rename to `balance` touches zero data files (v1), evens append under
+    // the new logical name while staging the immutable physical name (v2),
+    // and a copy-on-write update keys on the renamed column (v3). An
+    // in-query gate proves the pre-rename time travel still reads `bal`.
+    // DuckDB replays the value history under the final name.
+    "q_schema_rename" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ren").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s,
+        c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
+      VersionedTable.commitRenameColumn(s, dir, "bal", "balance")
+      VersionedTable.commitAppend(s,
+        c.where(pmod(col("c_custkey"), lit(2L)) === 0L)
+          .withColumnRenamed("bal", "balance"), dir)
+      VersionedTable.commitUpdate(s, dir,
+        pmod(col("c_custkey"), lit(99L)) === 0L,
+        Map("balance" -> (col("balance") + 1000.0)))
+      require(VersionedTable.read(s, dir, Some(0L)).columns.toSeq ==
+        Seq("c_custkey", "bal"),
+        "time travel below the rename must see the old column name")
+      VersionedTable.read(s, dir).orderBy("c_custkey")
+    }),
+
+    // -- COLUMN DROP + TOMBSTONED RE-ADD ------------------------------------
+    // Drop is metadata-only (old files keep the physical column; reads
+    // never select it) and TOMBSTONES the physical name: the evolve that
+    // re-adds `seg` gets a fresh physical column, so v0's dropped
+    // mktsegment values must NOT resurrect — the oracle asserts NULL for
+    // every pre-drop row and 're' only for the evolve batch's new rows.
+    "q_schema_drop" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_drop").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"), col("c_mktsegment").as("seg"))
+      VersionedTable.commitAppend(s,
+        c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
+      VersionedTable.commitDropColumn(s, dir, "seg")
+      VersionedTable.commitAppend(s,
+        c.where(pmod(col("c_custkey"), lit(2L)) === 0L).drop("seg"), dir)
+      VersionedTable.commitAppendEvolve(s,
+        c.where(pmod(col("c_custkey"), lit(7L)) === 0L)
+          .select((col("c_custkey") + 3000000L).as("c_custkey"), col("bal"),
+            lit("re").as("seg")), dir)
+      VersionedTable.read(s, dir).orderBy("c_custkey")
+    }),
+
     // -- INCREMENTALLY-MAINTAINED MATERIALIZED AGGREGATE -------------------
     // Build the view at v0 (odd keys only), then refresh once after three
     // more source commits (evens appended, negative balances updated,
@@ -5292,6 +5340,24 @@ object SparkEntry {
         "CASE WHEN o_orderpriority = '1-URGENT' THEN 100 ELSE 0 END) AS BIGINT) AS sum_cents " +
         "FROM orders WHERE NOT (o_orderkey % 5 = 0 AND o_orderstatus = 'F') " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_schema_rename" ->
+      // value history under the final name: all keys, +1000 on %99
+      ("SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + " +
+        "CASE WHEN c_custkey % 99 = 0 THEN 1000.0 ELSE 0.0 END AS balance " +
+        "FROM customer ORDER BY c_custkey"),
+
+    "q_schema_drop" ->
+      // pre-drop rows read NULL for the re-added column (tombstone — the
+      // old physical values never resurrect); only the evolve batch's
+      // shifted keys carry 're'
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, " +
+        "CAST(NULL AS VARCHAR) AS seg FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey + 3000000 AS c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, " +
+        "'re' AS seg FROM customer WHERE c_custkey % 7 = 0" +
+        ") ORDER BY c_custkey"),
 
     "q_matview_refresh" ->
       // the incremental state must equal the full recompute over the

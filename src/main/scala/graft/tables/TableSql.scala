@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions.expr
   *     WHEN MATCHED [AND cond] THEN UPDATE SET a = expr [, b = expr ...]
   *     WHEN MATCHED [AND cond] THEN DELETE
   *     WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (a, b) VALUES (e1, e2)
+  *   ALTER TABLE t RENAME COLUMN a TO b   (metadata-only, column mapping)
+  *   ALTER TABLE t DROP COLUMN a          (metadata-only, tombstoned)
   *   DESCRIBE HISTORY t
   *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'] ...
   *
@@ -61,6 +63,10 @@ object TableSql {
       "\\s*(?=WHEN\\s+(?:NOT\\s+)?MATCHED|$)").r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$""".r
+  private val RenameColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+  private val DropColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
   private val TravelV  = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val TravelTs = """(?i)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
 
@@ -105,6 +111,10 @@ object TableSql {
         done("RESTORE", t, VersionedTable.commitRestore(spark, dirOf(t), v.toLong))
       case HistoryRe(t) =>
         VersionedTable.history(spark, dirOf(t))
+      case RenameColRe(t, a, b) =>
+        done("RENAME COLUMN", t, VersionedTable.commitRenameColumn(spark, dirOf(t), a, b))
+      case DropColRe(t, c) =>
+        done("DROP COLUMN", t, VersionedTable.commitDropColumn(spark, dirOf(t), c))
       case MergeRe(t, src, keys) =>
         val source =
           if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))

@@ -72,6 +72,14 @@ object VersionedStats {
     require(statCols.nonEmpty, "VersionedStats: need at least one stat column")
     val v = version.getOrElse(VersionedTable.latestVersion(dir)
       .getOrElse(sys.error(s"VersionedStats: $dir has no committed version")))
+    // stats key on the RAW footer names; a renamed table's physical names
+    // no longer match the logical stat columns — refuse loudly rather than
+    // silently keying stats on stale names (snapshot-commit or compact to
+    // a mapping-free layout first)
+    require(!VersionedTable.hasColumnMapping(dir, v),
+      s"VersionedStats: $dir carries a column mapping (RENAME COLUMN) at " +
+        s"version $v — stats read raw footers and would key on physical " +
+        "names; overwrite-commit the table to materialize the logical names first")
     writeStats(spark, dir, v, readBack(spark, dir, VersionedTable.filesOf(dir, v), statCols))
     v
   }
@@ -86,6 +94,9 @@ object VersionedStats {
     require(statCols.nonEmpty, "VersionedStats: need at least one stat column")
     val v = VersionedTable.latestVersion(dir)
       .getOrElse(sys.error(s"VersionedStats: $dir has no committed version"))
+    require(!VersionedTable.hasColumnMapping(dir, v),
+      s"VersionedStats: $dir carries a column mapping (RENAME COLUMN) at " +
+        s"version $v — stats read raw footers and would key on physical names")
     val base = stattedVersions(dir).filter(_ < v).lastOption
     base match {
       case None => refresh(spark, dir, statCols)
@@ -145,6 +156,13 @@ object VersionedStats {
   }
 
   private def loadStats(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    // renamed tables: stored stats key on the names AT STAT TIME — after a
+    // RENAME COLUMN the logical names no longer line up; refuse rather than
+    // silently answer for the wrong column (same contract as refresh)
+    require(!VersionedTable.hasColumnMapping(dir, v),
+      s"VersionedStats: $dir carries a column mapping (RENAME COLUMN) at " +
+        s"version $v — stats key on physical names; overwrite-commit the " +
+        "table to materialize the logical names first")
     val sd = statsDir(dir, v)
     val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(sd),

@@ -334,6 +334,90 @@ object VersionedTable {
       sys.error(s"VersionedTable: could not record declared schema for version $v in $dir")
   }
 
+  // -------------------------------------------------- column mapping
+  // RENAME/DROP COLUMN (Delta's column-mapping mode, at name grain): the
+  // PHYSICAL column name written in parquet footers is immutable once a
+  // file exists; renames change only the LOGICAL name, recorded as field
+  // metadata in the declared schema ([[PhysicalNameKey]] -> the physical
+  // name). Reads resolve the physical schema, scan, and alias back to
+  // logical — a metadata-only commit, zero files rewritten, and time
+  // travel below the rename sees the old name (the mapping is versioned
+  // like data). DROP removes the field from the declared schema (old
+  // files keep the physical column; reads never select it) and TOMBSTONES
+  // the physical name: a later evolve re-ADDING the same logical name gets
+  // a FRESH physical name, so the dropped column's old values can never
+  // resurrect (Delta prevents the same with field IDs).
+  val PhysicalNameKey = "graft.physical"
+
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  private def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => physName(f) != f.name)
+
+  private def physicalSchema(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(f => org.apache.spark.sql.types.StructField(physName(f), f.dataType, f.nullable)))
+
+  /** Whether version `v`'s declared schema carries a logical→physical
+    * column mapping (any rename since the last snapshot) — layers that
+    * read data files RAW ([[VersionedStats]]) refuse such tables loudly
+    * rather than keying stats on the wrong names. */
+  def hasColumnMapping(dir: String, v: Long): Boolean =
+    declaredSchemaAt(dir, v).exists(hasMapping)
+
+  /** Rename a LOGICAL-schema frame to PHYSICAL column names just before
+    * staging — on a mapped table every data file carries the immutable
+    * physical names, whatever the logical names currently are. Columns
+    * without a mapping entry (evolve's new fields) stage under their own
+    * name. No-op (zero plan nodes) on unmapped tables. */
+  private def toPhysical(df: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    declared.filter(hasMapping) match {
+      case Some(s) =>
+        import org.apache.spark.sql.functions.col
+        val byName = s.fields.map(f =>
+          f.name.toLowerCase(java.util.Locale.ROOT) -> physName(f)).toMap
+        df.select(df.columns.map(c =>
+          col(s"`$c`").as(byName.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c))): _*)
+      case None => df
+    }
+
+  private def tombstonePath(dir: String, v: Long) =
+    new Path(schemaDir(dir), f"v=$v%05d.tombstones")
+  private val tombstoneName = "^v=(\\d+)\\.tombstones$".r
+
+  /** PHYSICAL names retired by DROP COLUMN commits at or below `v`
+    * (cumulative — each drop writes the full set): the names evolve must
+    * never hand to a new field. */
+  private def tombstonesAt(dir: String, v: Long): Set[String] = {
+    val sd = schemaDir(dir)
+    val fs = sd.getFileSystem(FsIO.hadoopConf())
+    if (!fs.exists(sd)) Set.empty
+    else {
+      val committed = log(dir).map(_._1).toSet
+      fs.listStatus(sd).toSeq
+        .flatMap(s => tombstoneName.findFirstMatchIn(s.getPath.getName).map(m =>
+          (m.group(1).toLong, s.getPath)))
+        .filter { case (sv, _) => sv <= v && committed(sv) }
+        .sortBy(_._1).lastOption
+        .map { case (_, p) =>
+          FsIO.readText(p.toString).getOrElse("").split("\n").filter(_.nonEmpty).toSet }
+        .getOrElse(Set.empty)
+    }
+  }
+
+  private def writeTombstones(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long, names: Set[String]): Unit = {
+    fs.mkdirs(schemaDir(dir))
+    val tmp = new Path(schemaDir(dir), f"v=$v%05d.tombstones.tmp")
+    FsIO.writeText(tmp.toString, names.toSeq.sorted.mkString("\n"))
+    if (!fs.rename(tmp, tombstonePath(dir, v)))
+      sys.error(s"VersionedTable: could not record tombstones for version $v in $dir")
+  }
+
   /** The declared schema governing version `v` — the newest schema file at
     * a COMMITTED version ≤ v (orphans from crashed evolves are ignored),
     * or None for a never-evolved table (whose files all agree and read
@@ -386,13 +470,22 @@ object VersionedTable {
     require(names.distinct.size == names.size,
       s"VersionedTable: duplicate data-file base names in $dir manifest — " +
         "deletion-vector row identity would be ambiguous")
-    val reader = declared.fold(spark.read)(s => spark.read.schema(s))
-    val base = reader
+    // mapped tables scan under PHYSICAL names (what the footers carry) and
+    // alias back to logical below — identical plan for unmapped tables
+    // (physicalSchema is the identity there)
+    val reader = declared.fold(spark.read)(s => spark.read.schema(physicalSchema(s)))
+    val raw = reader
       .parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
       // substring_index, not split+element_at: the basename is computed per
       // ROW of the big side; split allocates a segment array per row
       .withColumn(FnameCol, substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn(PosCol, col("_metadata.row_index"))
+    val base = declared.filter(hasMapping) match {
+      case Some(s) => raw.select(
+        s.fields.map(f => col(s"`${physName(f)}`").as(f.name)) ++
+          Seq(col(FnameCol), col(PosCol)): _*)
+      case None => raw
+    }
     val dvRels = entries.flatMap(_.dvs).distinct
     if (dvRels.isEmpty) base
     else {
@@ -428,8 +521,14 @@ object VersionedTable {
       declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     if (entries.forall(_.dvs.isEmpty)) {
       require(entries.nonEmpty, s"VersionedTable: empty file manifest in $dir")
-      declared.fold(spark.read)(s => spark.read.schema(s))
+      val raw = declared.fold(spark.read)(s => spark.read.schema(physicalSchema(s)))
         .parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
+      declared.filter(hasMapping) match {
+        case Some(s) =>
+          import org.apache.spark.sql.functions.col
+          raw.select(s.fields.map(f => col(s"`${physName(f)}`").as(f.name)).toSeq: _*)
+        case None => raw
+      }
     } else scanEntriesMeta(spark, dir, entries, declared).drop(FnameCol, PosCol)
 
   /** Public (file, deletion-vectors) entries of a committed version — what
@@ -494,13 +593,27 @@ object VersionedTable {
     * commit-entry rename, so the rejected batch is invisible to readers;
     * its staged files are orphans the next [[vacuum]] sweeps. */
   private def validateStaged(spark: SparkSession, dir: String,
-      rels: Seq[String], op: String): Unit =
+      rels: Seq[String], op: String,
+      declared: Option[org.apache.spark.sql.types.StructType] = None): Unit =
     // the constraint list probe first: an unconstrained table (the common
     // case) must not pay a per-commit read-back plan just to validate
     // against nothing
-    if (rels.nonEmpty && Constraints.list(dir).nonEmpty)
-      Constraints.validate(spark, dir,
-        spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*), op)
+    if (rels.nonEmpty && Constraints.list(dir).nonEmpty) {
+      val raw = spark.read.parquet(rels.map(rel =>
+        new Path(new Path(dir), rel).toString): _*)
+      // constraints bind LOGICAL names; staged files carry physical ones —
+      // alias back before evaluating on a mapped table
+      val logical = declared.filter(hasMapping) match {
+        case Some(s) =>
+          import org.apache.spark.sql.functions.col
+          val physToLog = s.fields.map(f => physName(f) -> f.name)
+            .filter(p => p._1 != p._2).toMap
+          raw.select(raw.columns.map(c =>
+            col(s"`$c`").as(physToLog.getOrElse(c, c))): _*)
+        case None => raw
+      }
+      Constraints.validate(spark, dir, logical, op)
+    }
 
   /** Inside the publish lease, just before the commit-entry rename: the
     * files this commit staged lock-free must still exist. A vacuum run
@@ -589,7 +702,14 @@ object VersionedTable {
     val sd = schemaDir(dir)
     if (!fs.exists(sd)) Seq.empty
     else fs.listStatus(sd).toSeq
-      .flatMap(s => schemaName.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
+      .flatMap { s =>
+        val n = s.getPath.getName
+        // tombstone files reserve version numbers too: a crashed DROP's
+        // orphan tombstone must never have its number reused (a later
+        // commit there would make the orphan read as committed)
+        schemaName.findFirstMatchIn(n).map(_.group(1).toLong)
+          .orElse(tombstoneName.findFirstMatchIn(n).map(_.group(1).toLong))
+      }
   }
 
   /** One past anything ever attempted — committed versions, orphaned data
@@ -737,20 +857,23 @@ object VersionedTable {
       // BEFORE paying the O(data) stage; the in-lease gate below stays
       // authoritative under concurrent schema evolution
       val preHead = log(dir).lastOption
+      val preDeclared = preHead.flatMap { case (pv, _) => declaredSchemaAt(dir, pv) }
       preHead.foreach { case (pv, pms) =>
         // an evolved table's truth is its DECLARED schema (old files are
         // legitimately narrower); un-evolved tables gate on one footer
-        val existing = declaredSchemaAt(dir, pv).orElse(
+        val existing = preDeclared.orElse(
           checkedEntries(fs, dir, pv, pms).headOption.map(e =>
             spark.read.parquet(absOf(dir, e.rel).toString).schema))
         existing.foreach(requireCompatibleSchema("commitAppend", _, df.schema))
       }
       // O(data), lock-free: stage under a UUID tag (no version exists yet)
-      // and prove constraints against the staged bytes
-      val newRels = stageDataFilesTagged(fs, dir, df,
+      // and prove constraints against the staged bytes; mapped tables stage
+      // under PHYSICAL names (renames never rewrite data, so the mapping
+      // read pre-lease cannot go stale — physical names are immutable)
+      val newRels = stageDataFilesTagged(fs, dir, toPhysical(df, preDeclared),
         s"a${java.util.UUID.randomUUID().toString.take(8)}")
       val provenAgainst = Constraints.list(dir)
-      validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
+      validateStaged(spark, dir, newRels, "VersionedTable.commitAppend", preDeclared)
       // the publish tail holds the lease for milliseconds, so a LIVE rival
       // ahead of us resolves by waiting, not erroring (bounded by the lease)
       FsIO.withWriteLockRetry(dir, "VersionedTable.commitAppend", lockLeaseMs,
@@ -776,8 +899,12 @@ object VersionedTable {
           if (committed.lastOption.map(_._1) != preHead.map(_._1))
             (prevEntries.headOption, newRels.headOption) match {
               case (Some(p), Some(n)) =>
+                // both sides in PHYSICAL terms: the staged footer carries
+                // physical names, and renames between stage and publish
+                // never change them
                 requireCompatibleSchema("commitAppend",
                   committed.lastOption.flatMap(h => declaredSchemaAt(dir, h._1))
+                    .map(physicalSchema)
                     .getOrElse(spark.read.parquet(absOf(dir, p.rel).toString).schema),
                   spark.read.parquet(absOf(dir, n).toString).schema)
               case _ => ()
@@ -785,7 +912,7 @@ object VersionedTable {
           // a CHECK constraint added after the lock-free validation must
           // still gate this batch: re-prove under the lease (rare path)
           if (Constraints.list(dir) != provenAgainst)
-            validateStaged(spark, dir, newRels, "VersionedTable.commitAppend")
+            validateStaged(spark, dir, newRels, "VersionedTable.commitAppend", preDeclared)
           requireStagedPresent(fs, dir, newRels, "VersionedTable.commitAppend")
           publishEntries(fs, dir, next,
             Some(prevEntries ++ newRels.map(FileEntry(_, Nil))), txn,
@@ -824,13 +951,42 @@ object VersionedTable {
             spark.read.parquet(absOf(dir, e.rel).toString).schema))
       // pre-flight additive gate, lock-free (authoritative re-gate under
       // the lease below)
-      log(dir).lastOption.foreach { case (pv, pms) =>
-        tableSchemaAt(pv, pms).foreach(requireAdditive("commitAppendEvolve", _, df.schema))
+      val preHead = log(dir).lastOption
+      val preExisting = preHead.flatMap { case (pv, pms) => tableSchemaAt(pv, pms) }
+      preExisting.foreach(requireAdditive("commitAppendEvolve", _, df.schema))
+      val preDeclared = preHead.flatMap { case (pv, _) => declaredSchemaAt(dir, pv) }
+      // COLUMN-MAPPING RESURRECTION GUARD: a new field whose name collides
+      // with a TOMBSTONED physical name (a dropped column) — or with any
+      // live physical name under a different logical name (a renamed-away
+      // column) — must get a FRESH physical name, or the old files' stale
+      // values would read back as the new column's data. The fresh names
+      // are fixed HERE (pre-stage: they ride in the staged footers) and
+      // recorded in the declared schema's mapping at publish.
+      val preTomb = preHead.map { case (pv, _) => tombstonesAt(dir, pv) }.getOrElse(Set.empty)
+      val usedPhys: Set[String] =
+        preExisting.toSeq.flatMap(_.fields.map(f => physName(f).toLowerCase(java.util.Locale.ROOT))).toSet ++
+          preTomb.map(_.toLowerCase(java.util.Locale.ROOT))
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val existingNames = preExisting.toSeq.flatMap(_.fieldNames.map(lc)).toSet
+      val physAssign: Map[String, String] = df.schema.fieldNames
+        .filterNot(n => existingNames(lc(n)))
+        .filter(n => usedPhys(lc(n)))
+        .map(n => lc(n) -> s"${n}__p${java.util.UUID.randomUUID().toString.take(8)}")
+        .toMap
+      // stage under physical names: mapped existing columns through the
+      // declared mapping, resurrection-guarded new columns through the
+      // fresh assignments, everything else as-is
+      val stagedDf = {
+        import org.apache.spark.sql.functions.col
+        val declMap = preDeclared.toSeq.flatMap(_.fields.map(f => lc(f.name) -> physName(f))).toMap
+        if (declMap.forall(p => p._1 == lc(p._2)) && physAssign.isEmpty) df
+        else df.select(df.columns.map(c =>
+          col(s"`$c`").as(declMap.getOrElse(lc(c), physAssign.getOrElse(lc(c), c)))): _*)
       }
-      val newRels = stageDataFilesTagged(fs, dir, df,
+      val newRels = stageDataFilesTagged(fs, dir, stagedDf,
         s"a${java.util.UUID.randomUUID().toString.take(8)}")
       val provenAgainst = Constraints.list(dir)
-      validateStaged(spark, dir, newRels, "commitAppendEvolve")
+      validateStaged(spark, dir, newRels, "commitAppendEvolve", preDeclared)
       FsIO.withWriteLockRetry(dir, "commitAppendEvolve", lockLeaseMs,
         maxWaitMs = lockLeaseMs) {
         val replayed = txn.flatMap { case (app, tv) =>
@@ -845,13 +1001,41 @@ object VersionedTable {
           val prevEntries = committed.lastOption
             .map { case (v, ms) => checkedEntries(fs, dir, v, ms) }
             .getOrElse(Seq.empty)
-          val evolved = committed.lastOption.flatMap { case (pv, pms) =>
-            tableSchemaAt(pv, pms) } match {
+          val headExisting = committed.lastOption.flatMap { case (pv, pms) =>
+            tableSchemaAt(pv, pms) }
+          val evolvedBase = headExisting match {
             case Some(existing) => requireAdditive("commitAppendEvolve", existing, df.schema)
             case None           => df.schema
           }
+          // re-check the resurrection guard against the HEAD (a concurrent
+          // drop/rename may have landed since the pre-flight): any colliding
+          // new field must already carry a fresh physical assignment — the
+          // staged footers are written, so a new collision cannot be fixed
+          // here and must fail loudly (re-run re-stages with fresh names)
+          val headTomb = committed.lastOption
+            .map { case (pv, _) => tombstonesAt(dir, pv) }.getOrElse(Set.empty)
+          val headUsed: Set[String] =
+            headExisting.toSeq.flatMap(_.fields.map(f => lc(physName(f)))).toSet ++
+              headTomb.map(lc)
+          val headNames = headExisting.toSeq.flatMap(_.fieldNames.map(lc)).toSet
+          val lateCollisions = df.schema.fieldNames
+            .filterNot(n => headNames(lc(n)))
+            .filter(n => headUsed(lc(n)) && !physAssign.contains(lc(n)))
+          require(lateCollisions.isEmpty,
+            s"commitAppendEvolve: a concurrent DROP/RENAME retired the name(s) " +
+              s"${lateCollisions.mkString(", ")} while this evolve staged — " +
+              "re-run the evolve (it will assign fresh physical names)")
+          // record the fresh physical names in the evolved schema's mapping
+          val evolved = org.apache.spark.sql.types.StructType(evolvedBase.fields.map { f =>
+            physAssign.get(lc(f.name)) match {
+              case Some(p) => f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata).putString(PhysicalNameKey, p).build())
+              case None => f
+            }
+          })
           if (Constraints.list(dir) != provenAgainst)
-            validateStaged(spark, dir, newRels, "commitAppendEvolve")
+            validateStaged(spark, dir, newRels, "commitAppendEvolve", preDeclared)
           requireStagedPresent(fs, dir, newRels, "commitAppendEvolve")
           // schema BEFORE entry: a crash between leaves an orphan schema
           // file that declaredSchemaAt ignores (version never committed)
@@ -916,6 +1100,7 @@ object VersionedTable {
       staged: Seq[String], provenAgainst: Seq[(String, String)],
       txn: Option[(String, Long)], lockLeaseMs: Long,
       dataChange: Boolean = true, validateRels: Seq[String] = Seq.empty,
+      validateDeclared: Option[org.apache.spark.sql.types.StructType] = None,
       opLabel: String = ""): Long =
     FsIO.withWriteLockRetry(dir, op, lockLeaseMs, maxWaitMs = lockLeaseMs) {
       val replayed = txn.flatMap { case (app, tv) =>
@@ -945,7 +1130,7 @@ object VersionedTable {
             (result ++ head.filterNot(e => readKeys(keyOf(e))), head)
           }
         if (Constraints.list(dir) != provenAgainst)
-          validateStaged(spark, dir, validateRels, op)
+          validateStaged(spark, dir, validateRels, op, validateDeclared)
         requireStagedPresent(fs, dir, staged, op)
         publishEntries(fs, dir, next, Some(manifest), txn,
           dataChange = dataChange, prev = Some(prevEntries), opLabel = opLabel)
@@ -1000,20 +1185,21 @@ object VersionedTable {
           // would split the manifest's schema between rewritten and
           // shared files — same hazard as a foreign append
           requireCompatibleSchema(op, touchedDf.schema, rewritten.schema)
-          val staged = stageDataFilesTagged(fs, dir, rewritten, stageTag)
+          val physDf = toPhysical(rewritten, declared)
+          val staged = stageDataFilesTagged(fs, dir, physDf, stageTag)
           // a rewrite that emptied every touched file can write zero part
           // files; a single-partition re-stage guarantees one schema-bearing
           // file so the version never publishes an empty manifest
           if (staged.nonEmpty || untouched.nonEmpty) staged
-          else stageDataFilesTagged(fs, dir, rewritten.coalesce(1), stageTag)
+          else stageDataFilesTagged(fs, dir, physDf.coalesce(1), stageTag)
         }
       val provenAgainst = Constraints.list(dir)
-      validateStaged(spark, dir, newRels, op)
+      validateStaged(spark, dir, newRels, op, declared)
       publishRebased(spark, fs, dir, op, pv, entries,
         untouched ++ newRels.map(FileEntry(_, Nil)),
         staged = newRels, provenAgainst = provenAgainst,
         txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
-        opLabel = opLabel)
+        validateDeclared = declared, opLabel = opLabel)
     }
   }
 
@@ -1201,9 +1387,11 @@ object VersionedTable {
             .drop(FnameCol, PosCol)
           requireCompatibleSchema("VersionedTable.commitUpdateDV",
             masked.drop(FnameCol, PosCol).schema, updated.schema)
-          val newRels = stageDataFilesTagged(fs, dir, updated, stageTag)
+          val newRels = stageDataFilesTagged(fs, dir,
+            toPhysical(updated, declaredSchemaAt(dir, pv)), stageTag)
           val provenAgainst = Constraints.list(dir)
-          validateStaged(spark, dir, newRels, "VersionedTable.commitUpdateDV")
+          validateStaged(spark, dir, newRels, "VersionedTable.commitUpdateDV",
+            declaredSchemaAt(dir, pv))
           publishRebased(spark, fs, dir, "VersionedTable.commitUpdateDV",
             pv, entries,
             entries.map(e =>
@@ -1211,7 +1399,7 @@ object VersionedTable {
               newRels.map(FileEntry(_, Nil)),
             staged = staged ++ newRels, provenAgainst = provenAgainst,
             txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
-            opLabel = "UPDATE MOR")
+            validateDeclared = declaredSchemaAt(dir, pv), opLabel = "UPDATE MOR")
         }
       }
     }
@@ -1329,19 +1517,20 @@ object VersionedTable {
         val targetDf =
           if (touched.isEmpty) full.drop(FnameCol, PosCol).limit(0)
           else scanEntries(spark, dir, touched, declared) // masked; rewrite sheds the DVs
-        val merged = TableManager.mergeUpsert(targetDf, srcChk, keyCols)
+        val merged = toPhysical(
+          TableManager.mergeUpsert(targetDf, srcChk, keyCols), declared)
         val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
         val staged = stageDataFilesTagged(fs, dir, merged, stageTag)
         val newRels =
           if (staged.nonEmpty || untouched.nonEmpty) staged
           else stageDataFilesTagged(fs, dir, merged.coalesce(1), stageTag)
         val provenAgainst = Constraints.list(dir)
-        validateStaged(spark, dir, newRels, "VersionedTable.commitMerge")
+        validateStaged(spark, dir, newRels, "VersionedTable.commitMerge", declared)
         publishRebased(spark, fs, dir, "VersionedTable.commitMerge",
           pv, entries, untouched ++ newRels.map(FileEntry(_, Nil)),
           staged = newRels, provenAgainst = provenAgainst,
           txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
-          opLabel = "MERGE")
+          validateDeclared = declared, opLabel = "MERGE")
       }
     }
   }
@@ -1516,22 +1705,119 @@ object VersionedTable {
               }.toSeq: _*)
             Some(accOpt.fold(rows)(_.unionByName(rows)))
           }
-        val merged = inserted.fold(survivors)(survivors.unionByName(_))
-        requireCompatibleSchema("commitMergeConditional", targetSchema, merged.schema)
+        val merged0 = inserted.fold(survivors)(survivors.unionByName(_))
+        requireCompatibleSchema("commitMergeConditional", targetSchema, merged0.schema)
+        val merged = toPhysical(merged0, declared)
         val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
         val staged = stageDataFilesTagged(fs, dir, merged, stageTag)
         val newRels =
           if (staged.nonEmpty || untouched.nonEmpty) staged
           else stageDataFilesTagged(fs, dir, merged.coalesce(1), stageTag)
         val provenAgainst = Constraints.list(dir)
-        validateStaged(spark, dir, newRels, "commitMergeConditional")
+        validateStaged(spark, dir, newRels, "commitMergeConditional", declared)
         publishRebased(spark, fs, dir, "VersionedTable.commitMergeConditional",
           pv, entries, untouched ++ newRels.map(FileEntry(_, Nil)),
           staged = newRels, provenAgainst = provenAgainst,
           txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
-          opLabel = "MERGE COND")
+          validateDeclared = declared, opLabel = "MERGE COND")
       }
     }
+  }
+
+  /** Shared skeleton of the metadata-only schema commits (RENAME/DROP
+    * COLUMN): resolve the head's declared schema (seeding from a footer on
+    * never-declared tables), transform it, publish the SAME manifest with
+    * the new declared schema — zero data files touched, O(1) data cost on
+    * any table size. `dataChange=false`: the row set is identical, so the
+    * change feed and streaming tails skip the version (the schema change
+    * itself surfaces through the op label and declaredSchemaAt). */
+  private def commitSchemaChange(spark: SparkSession, dir: String, op: String,
+      opLabel: String, lockLeaseMs: Long)(
+      transform: (org.apache.spark.sql.types.StructType, Long) =>
+        (org.apache.spark.sql.types.StructType, Option[Set[String]])): Long =
+    FsIO.withWriteLock(dir, op, lockLeaseMs) {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = VersionedTable.log(dir)
+      require(committed.nonEmpty, s"$op: $dir has no committed version")
+      val (pv, pms) = committed.last
+      val cur = declaredSchemaAt(dir, pv).getOrElse {
+        val entries = checkedEntries(fs, dir, pv, pms)
+        require(entries.nonEmpty, s"$op: $dir has no data files to resolve a schema from")
+        spark.read.parquet(absOf(dir, entries.head.rel).toString).schema
+      }
+      val next = nextVersion(fs, dir, committed)
+      val (changed, tombstones) = transform(cur, next)
+      val prevEntries = checkedEntries(fs, dir, pv, pms)
+      // schema (and tombstones) BEFORE the entry, like commitAppendEvolve:
+      // a crash between leaves ignorable orphans, never a committed version
+      // with a missing schema
+      tombstones.foreach(t => writeTombstones(fs, dir, next, t))
+      writeDeclaredSchema(fs, dir, next, changed)
+      publishEntries(fs, dir, next, Some(prevEntries), dataChange = false,
+        prev = Some(prevEntries), opLabel = opLabel)
+      next
+    }
+
+  /** RENAME COLUMN via column mapping (Delta's `ALTER TABLE ... RENAME
+    * COLUMN` under column-mapping mode): a METADATA-ONLY commit — no data
+    * file is touched; the declared schema's field takes the new LOGICAL
+    * name and keeps its immutable PHYSICAL name (chained renames keep the
+    * original). Reads at or above this version see the new name; time
+    * travel below it sees the old one. Refused when the new name collides
+    * with an existing column or when a CHECK constraint references the old
+    * name (the constraint text would silently stop binding). */
+  def commitRenameColumn(spark: SparkSession, dir: String,
+      oldName: String, newName: String,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    commitSchemaChange(spark, dir, "VersionedTable.commitRenameColumn",
+      s"RENAME COLUMN $oldName TO $newName", lockLeaseMs) { (cur, _) =>
+      require(cur.fields.exists(_.name.equalsIgnoreCase(oldName)),
+        s"commitRenameColumn: no column `$oldName` (have: ${cur.fieldNames.mkString(", ")})")
+      require(!cur.fields.exists(_.name.equalsIgnoreCase(newName)),
+        s"commitRenameColumn: column `$newName` already exists")
+      requireNoConstraintMention(dir, oldName, "commitRenameColumn")
+      (org.apache.spark.sql.types.StructType(cur.fields.map { f =>
+        if (f.name.equalsIgnoreCase(oldName))
+          org.apache.spark.sql.types.StructField(newName, f.dataType, f.nullable,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putString(PhysicalNameKey, physName(f)).build())
+        else f
+      }), None)
+    }
+
+  /** DROP COLUMN via column mapping: METADATA-ONLY — old files keep the
+    * physical column (reads never select it; the bytes reclaim at the next
+    * compaction), and the physical name is TOMBSTONED so a later evolve
+    * re-adding the same logical name gets a fresh physical name instead of
+    * resurrecting the dropped values. Time travel below the drop still
+    * reads the column. Refused for the last column and for columns a CHECK
+    * constraint references. */
+  def commitDropColumn(spark: SparkSession, dir: String, colName: String,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    commitSchemaChange(spark, dir, "VersionedTable.commitDropColumn",
+      s"DROP COLUMN $colName", lockLeaseMs) { (cur, _) =>
+      val dropped = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        sys.error(s"commitDropColumn: no column `$colName` (have: ${cur.fieldNames.mkString(", ")})"))
+      require(cur.fields.length > 1, "commitDropColumn: cannot drop the last column")
+      requireNoConstraintMention(dir, colName, "commitDropColumn")
+      val head = log(dir).last._1
+      (org.apache.spark.sql.types.StructType(
+        cur.fields.filterNot(_.name.equalsIgnoreCase(colName))),
+        Some(tombstonesAt(dir, head) + physName(dropped)))
+    }
+
+  /** A CHECK constraint mentioning a column being renamed/dropped would
+    * silently stop binding (constraints store SQL text with logical
+    * names) — refuse loudly; drop the constraint first. Word-boundary
+    * match, so a column `bal` does not trip on a constraint over
+    * `global_bal`. */
+  private def requireNoConstraintMention(dir: String, colName: String, op: String): Unit = {
+    val re = ("(?i)(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(colName) + "(?![A-Za-z0-9_])").r
+    val hits = Constraints.list(dir).filter { case (_, sql) => re.findFirstIn(sql).isDefined }
+    require(hits.isEmpty,
+      s"$op: CHECK constraint(s) ${hits.map(_._1).mkString(", ")} reference `$colName` — " +
+        "drop them first (Constraints.drop), then re-add against the new schema")
   }
 
   /** OPTIMIZE for a versioned table: rewrite the latest version's rows
@@ -1580,12 +1866,13 @@ object VersionedTable {
             clusterBy.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
           .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
       }
-      val newRels = stageDataFiles(fs, dir, laid, next)
+      val laidPhys = toPhysical(laid, declaredSchemaAt(dir, pv))
+      val newRels = stageDataFiles(fs, dir, laidPhys, next)
       // an empty table compacts to an empty manifest only if the previous
       // manifest was empty too — otherwise guarantee one schema-bearing file
       val staged =
         if (newRels.nonEmpty || entries.isEmpty) newRels
-        else stageDataFiles(fs, dir, laid.coalesce(1), next)
+        else stageDataFiles(fs, dir, laidPhys.coalesce(1), next)
       publishEntry(fs, dir, next, Some(staged), dataChange = false,
         opLabel = "OPTIMIZE")
       next
@@ -1708,7 +1995,11 @@ object VersionedTable {
       // clones carry the source version's DECLARED schema (an evolved
       // source's old files are narrower than the table schema; without
       // this the clone's mixed manifest would read non-deterministically)
+      // AND its tombstones (a re-added dropped column on the clone must
+      // not resurrect old values from the cloned files)
       declaredSchemaAt(srcDir, v).foreach(s => writeDeclaredSchema(fs, dstDir, 0L, s))
+      val srcTombs = tombstonesAt(srcDir, v)
+      if (srcTombs.nonEmpty) writeTombstones(fs, dstDir, 0L, srcTombs)
       publishEntries(fs, dstDir, 0L, Some(cloned),
         opLabel = if (deep) "CLONE DEEP" else "CLONE SHALLOW")
       0L
@@ -1855,8 +2146,10 @@ object VersionedTable {
         val committedVs = committed.map(_._1).toSet
         fs.listStatus(schemaDir(dir)).toSeq.foreach { s =>
           val n = s.getPath.getName
-          val orphan = schemaName.findFirstMatchIn(n).exists(m => !committedVs(m.group(1).toLong))
-          if (n.endsWith(".json.tmp") || orphan) fs.delete(s.getPath, false)
+          val orphan =
+            schemaName.findFirstMatchIn(n).exists(m => !committedVs(m.group(1).toLong)) ||
+              tombstoneName.findFirstMatchIn(n).exists(m => !committedVs(m.group(1).toLong))
+          if (n.endsWith(".tmp") || orphan) fs.delete(s.getPath, false)
         }
       }
       val keep      = keepOf(committed)
