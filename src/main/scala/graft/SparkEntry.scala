@@ -1974,6 +1974,16 @@ object SparkEntry {
       Similarity.mipsTopK(emb, "embedding", "vec_id", q, 20)
     }),
 
+    // -- north-star: SQ8 scalar-quantized retrieval -------------------------
+    // Per-dimension int8 affine quantization (the FAISS ScalarQuantizer
+    // shape — the memory-bandwidth half of the quantization toolkit next
+    // to PQ): floor-quantized codes, EXACT integer code dot product, so
+    // the whole path replays in DuckDB (the q_random_projection
+    // discipline). Recall vs the exact float top-k is spec-gated.
+    "q_sq8_topk" -> ((s, d) =>
+      Similarity.sq8TopK(t(s, d, "embeddings"), "embedding", "vec_id",
+        queryId = 1L, k = 20)),
+
     // -- incremental distinct-count sketches (DataSketches HLL) ------------
     // Sketches built per (event_type, half-of-stream), merged per type —
     // the persist-then-union workflow of incremental corpus statistics.
@@ -4744,6 +4754,22 @@ object SparkEntry {
       ("SELECT vec_id, ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), " +
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)), 6) AS ip " +
         "FROM embeddings ORDER BY ip DESC, vec_id LIMIT 20"),
+
+    // SQ8: identical per-dimension absmax stats, identical floor
+    // arithmetic shape (x * 127.0 / absmax), exact BIGINT code dot product
+    "q_sq8_topk" ->
+      ("WITH stats AS (" +
+        "SELECT ii.i AS j, MAX(ABS(CAST(e.embedding[CAST(ii.i AS INTEGER) + 1] AS DOUBLE))) AS am " +
+        "FROM embeddings e, range(0, 64) ii(i) GROUP BY ii.i), " +
+        "codes AS (" +
+        "SELECT e.vec_id, s.j, CAST(CASE WHEN s.am > 0 THEN " +
+        "floor(CAST(e.embedding[CAST(s.j AS INTEGER) + 1] AS DOUBLE) * 127.0 / s.am) " +
+        "ELSE 0 END AS BIGINT) AS q " +
+        "FROM embeddings e, stats s), " +
+        "qv AS (SELECT j, q FROM codes WHERE vec_id = 1) " +
+        "SELECT c.vec_id, CAST(SUM(c.q * qv.q) AS BIGINT) AS score_q " +
+        "FROM codes c JOIN qv ON c.j = qv.j " +
+        "GROUP BY c.vec_id ORDER BY score_q DESC, c.vec_id LIMIT 20"),
 
     "q_ttr" ->
       (s"SELECT doc_id, ROUND(CAST(len(list_distinct($tokensSql)) AS DOUBLE) / " +

@@ -804,6 +804,72 @@ object Similarity {
         col("col").getField("_2").as("neighbor_id"), col("col").getField("_1").as("cos"))
   }
 
+  // ------------------------------------------- scalar quantization (SQ8)
+
+  /** Dimension bound for [[sq8TopK]]'s driver-collected per-dimension
+    * stats (2·dim doubles — O(dim), never O(rows)). */
+  val MaxSq8Dim = 4096
+
+  /** SQ8 — per-dimension SYMMETRIC int8 quantization (the signed variant
+    * of FAISS's ScalarQuantizer / the GGML Q8 shape — the memory-bandwidth
+    * half of the quantization toolkit next to PQ): each dimension scales
+    * by its absolute max, `code = floor(x · 127 / absmax_d)` ∈ [-127, 127],
+    * and retrieval scores by the EXACT INTEGER dot product of code arrays
+    * — order-free long arithmetic, so the whole path replays in oracle SQL
+    * (the q_random_projection floor-quantization discipline). Symmetric,
+    * not min-shifted: a shift adds a per-vector `shift·Σx` term to the
+    * code dot product that swamps the true inner product and wrecks
+    * ranking (measured: recall 0.25 vs 0.95+ symmetric on the fixtures);
+    * with no shift the code score is the per-dimension-reweighted inner
+    * product `Σ (127/absmax_d)² x_d q_d`, which tracks the float ranking.
+    * At scale the codes column is a 4× read cut vs float32 (int8 per
+    * element; held as longs here only for the exact replay — a production
+    * port stores ByteType) and the scan stays one map-side pass + top-k.
+    *
+    * Plan shape: one skinny (pos, x) aggregation for the per-dimension
+    * stats (O(dim) result, driver-bounded by [[MaxSq8Dim]]), then one scan
+    * scoring against the broadcast quantized query → TakeOrderedAndProject.
+    * Returns (idCol, score_q) — top `k` by quantized score, id-ascending
+    * tie-break. */
+  def sq8TopK(df: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val clean = df.where(col(vecCol).isNotNull)
+    val dim = clean.select(size(col(vecCol))).head().getInt(0)
+    require(dim >= 1 && dim <= MaxSq8Dim,
+      s"sq8TopK: dimension $dim outside [1, $MaxSq8Dim]")
+    val rows = clean.where(size(col(vecCol)) === dim)
+    // per-dimension absmax: explode to (pos, x) pairs, hash-agg into dim
+    // groups — map-side partials keep the shuffle at O(partitions · dim)
+    val stats = rows
+      .select(posexplode(col(vecCol)).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(max(abs(col("x").cast("double"))).as("am"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1)
+    require(stats.length == dim, s"sq8TopK: expected $dim dimension stats, got ${stats.length}")
+    val amax  = stats.map(_._2)
+    val amaxL = typedLit(amax)
+    // the one arithmetic shape both engines replay bit-for-bit:
+    // floor(double(x) * 127.0 / absmax) — operand order matters
+    def codes(vec: Column): Column = transform(vec, (x, i) => {
+      val am = element_at(amaxL, i + lit(1))
+      when(am > 0.0, floor(x.cast("double") * lit(127.0) / am)).otherwise(lit(0L))
+    })
+    // query codes computed driver-side with the IDENTICAL double ops
+    val q = clean.where(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    require(q.length == dim, s"sq8TopK: query vector has ${q.length} dims, corpus has $dim")
+    val qCodes: Array[Long] = Array.tabulate(dim) { i =>
+      if (amax(i) > 0.0) math.floor(q(i).toDouble * 127.0 / amax(i)).toLong else 0L
+    }
+    rows.select(col(idCol),
+      aggregate(
+        zip_with(codes(col(vecCol)), typedLit(qCodes), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("score_q"))
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
+  }
+
   // ------------------------------------------------- product quantization
 
   /** Element-wise floor(x·1000) quantization to long — the same exact-

@@ -40,6 +40,40 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(cs.sameElements(cs.sortBy(-_)))
   }
 
+  test("SQ8: self-match ranks first; recall vs exact MIPS top-k holds; codes in [-127,127]") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val top = Similarity.sq8TopK(emb, "embedding", "vec_id", queryId = 7L, k = 20).collect()
+    // the query's own (quantization-identical) row must win
+    assert(top.head.getLong(0) == 7L, s"self-match first, got ${top.head.getLong(0)}")
+    val scores = top.map(_.getLong(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending quantized scores")
+    // 8-bit symmetric quantization keeps most of the float ranking: ≥60%
+    // overlap with the exact float inner-product top-20 (the loose gate
+    // keeps the fixture-size test non-flaky; measured ~0.9+)
+    val q = emb.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
+    val exact = Similarity.mipsTopK(emb, "embedding", "vec_id", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val got = top.map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, f"SQ8 recall vs exact top-20 = $recall%.2f < 0.6")
+    // code range check: every code fits signed int8 ([-127, 127]) — the
+    // 4x-read-cut contract a ByteType port relies on
+    import org.apache.spark.sql.functions.{aggregate => fAggregate, _}
+    val dimStats = emb.where(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("j").agg(max(abs(col("x").cast("double"))).as("am"))
+      .collect().sortBy(_.getInt(0))
+    val amaxL = typedLit(dimStats.map(_.getDouble(1)))
+    val outOfRange = emb.select(fAggregate(
+      transform(col("embedding"), (x, i) => {
+        val am = element_at(amaxL, i + lit(1))
+        when(am > 0.0, floor(x.cast("double") * lit(127.0) / am)).otherwise(lit(0L))
+      }), lit(0L),
+      (acc, c) => acc + when(c < -127L || c > 127L, 1L).otherwise(0L)).as("bad"))
+      .agg(sum("bad")).head().getLong(0)
+    assert(outOfRange == 0L, s"$outOfRange codes outside [-127, 127]")
+  }
+
   test("IVF ANN: self survives probing, results are exact within probed cells") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
