@@ -15,13 +15,25 @@ object FsIO {
     * but `SparkEnv.get.conf` is populated there — without this, an
     * `s3a://`/HDFS artifact read inside a task would use a bare
     * `Configuration` lacking credentials/endpoints. */
+  // cached: Configuration construction costs milliseconds and this is
+  // called on every small-file FS touch — dozens of times per versioned
+  // commit. Callers treat the returned conf as read-only (getFileSystem /
+  // pass-through). Only a SparkEnv-backed conf is cached: one built before
+  // Spark started would lack the session's spark.hadoop.* forever.
+  @volatile private var cachedConf: Configuration = _
+
   def hadoopConf(): Configuration = {
-    val conf = new Configuration()
-    val env  = org.apache.spark.SparkEnv.get
-    if (env != null) {
-      env.conf.getAllWithPrefix("spark.hadoop.").foreach { case (k, v) => conf.set(k, v) }
+    val hit = cachedConf
+    if (hit != null) hit
+    else {
+      val conf = new Configuration()
+      val env  = org.apache.spark.SparkEnv.get
+      if (env != null) {
+        env.conf.getAllWithPrefix("spark.hadoop.").foreach { case (k, v) => conf.set(k, v) }
+        cachedConf = conf
+      }
+      conf
     }
-    conf
   }
 
   def writeText(path: String, text: String, conf: Configuration = hadoopConf()): Unit = {

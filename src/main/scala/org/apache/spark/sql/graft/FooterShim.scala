@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter
+import org.apache.spark.sql.types.StructType
+
+/** Driver-only parquet footer → Spark schema.
+  *
+  * `spark.read.parquet(file).schema` launches a SPARK JOB for schema
+  * inference (`mergeSchemasInParallel`) even for a single file — ~100 ms of
+  * scheduler latency charged to every versioned-commit schema gate, which
+  * at 12 commits/query was a third of `q_versioned_deltalog`'s wall time.
+  * The gate only ever needs ONE footer, so read it directly on the driver
+  * and convert with Spark's own `ParquetToSparkSchemaConverter` (the same
+  * class the distributed path uses, constructed from the session's SQLConf
+  * so every type-mapping flag — int96, binary-as-string, legacy nanos —
+  * matches what a real read would resolve). Lives in the `sql` namespace
+  * for the `private[sql]` `sessionState` access, like [[StreamShim]].
+  */
+object FooterShim {
+
+  def schemaOf(spark: SparkSession, path: String): StructType = {
+    val conf = spark.asInstanceOf[ClassicSession].sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val message = reader.getFooter.getFileMetaData.getSchema
+      new ParquetToSparkSchemaConverter(
+        spark.asInstanceOf[ClassicSession].sessionState.conf).convert(message)
+    } finally reader.close()
+  }
+}
