@@ -522,6 +522,59 @@ object ScaleBench {
       s.range(tables.VersionedTable.filesOf(work, v).size.toLong).toDF("n_files")
     }),
 
+    // RENAME COLUMN is metadata-only at any table size: one rename on a
+    // 16F-file table, rows = total bytes it wrote (log entry + declared
+    // schema json) — must stay FLAT in F because zero data files are
+    // touched; the read-back through the mapping is the ∝F sanity check
+    "rename_metadata" -> ((s, d, f) => {
+      val work = s"$d/ren/t"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/ren"), true)
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice").repartition(16 * f)
+      tables.VersionedTable.commitAppend(s, o, work)
+      def treeBytes(): Long = Seq("_log", "_schema").map { sub =>
+        val p = new org.apache.hadoop.fs.Path(work, sub)
+        if (!fs.exists(p)) 0L else fs.listStatus(p).map(_.getLen).sum
+      }.sum
+      val before = treeBytes()
+      tables.VersionedTable.commitRenameColumn(s, work, "o_totalprice", "price")
+      require(tables.VersionedTable.read(s, work).columns.contains("price"))
+      s.range(treeBytes() - before).toDF("rename_bytes")
+    }),
+
+    // conditional MERGE at file grain: source touches 1-in-997 keys plus
+    // a fixed insert batch — shuffle must track the TOUCHED files' rows,
+    // not the table (the key-probe pushes an IN filter into the scan)
+    "merge_conditional" -> ((s, d, f) => {
+      val work = s"$d/mcond/t"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/mcond"), true)
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      tables.VersionedTable.commitAppend(s,
+        o.repartitionByRange(16 * f, col("o_orderkey")), work)
+      val src = o.where(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey"), lit(50.0).as("inc"))
+        .unionByName(s.range(1000).select(
+          (col("id") - 2000000L).as("o_orderkey"), lit(10.0).as("inc")))
+      tables.VersionedTable.commitMergeConditional(s, work, src, Seq("o_orderkey"), Seq(
+        tables.VersionedTable.WhenMatchedUpdate(Some("t.price < 1000"),
+          Map("price" -> "t.price + s.inc")),
+        tables.VersionedTable.WhenMatchedDelete(Some("t.price >= 100000")),
+        tables.VersionedTable.WhenNotMatchedInsert(Some("s.inc > 5"),
+          Some(Map("o_orderkey" -> "s.o_orderkey", "price" -> "s.inc")))))
+      tables.VersionedTable.read(s, work)
+    }),
+
+    // SQ8 retrieval: one skinny (pos, x) stats aggregation + one scoring
+    // scan → top-k; shuffle is O(partitions · dim) for the stats and the
+    // k-row result only — wall ∝ N, wire near-flat
+    "sq8_topk" -> ((s, d, _) =>
+      operators.Similarity.sq8TopK(t(s, d, "embeddings"), "embedding", "vec_id",
+        queryId = 1L, k = 20)),
+
     // trigger SIZE ∝ F (constant trigger count): per-byte streaming cost
     "stream_near_dedup" -> ((s, d, f) => {
       val work   = java.nio.file.Files.createTempDirectory("graft_scale_snd").toString

@@ -3400,6 +3400,50 @@ object SparkEntry {
       s.read.parquet(out).orderBy("c_custkey")
     }),
 
+    // -- CHANGE-DATA-FEED STREAM over a versioned table --------------------
+    // Delta's readChangeFeed as a stream: the batches carry ROW-LEVEL
+    // changes (insert / delete / update_preimage / update_postimage with
+    // commit versions), not appended files — so UPDATE/DELETE commits are
+    // first-class where the plain source refuses them, and OPTIMIZE emits
+    // nothing. Two drains across a checkpoint prove exactly-once replay;
+    // DuckDB reconstructs the full expected feed from the known history.
+    "q_stream_cdf" -> ((s, d) => {
+      val root  = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val table = root + "/t"
+      val (out, ckpt) = (root + "/out", root + "/ckpt")
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      def drain(): Unit = {
+        val q = s.readStream.format(graft.sources.VersionedStream.format)
+          .option("path", table)
+          .option("readChangeFeed", "true")
+          .option("keyColumns", "c_custkey")
+          .option("startingVersion", "0")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .repartitionByRange(4, col("c_custkey")), table)                    // v0
+      VersionedTable.commitAppend(s,
+        c.where(pmod(col("c_custkey"), lit(2L)) === 0L), table)             // v1
+      drain() // v0 inserts (startingVersion=0 full replay) + v1 inserts
+      VersionedTable.commitUpdate(s, table,
+        pmod(col("c_custkey"), lit(7L)) === 0L,
+        Map("bal" -> (col("bal") + 100.0)))                                  // v2
+      VersionedTable.commitDelete(s, table,
+        pmod(col("c_custkey"), lit(13L)) === 0L)                             // v3
+      VersionedTable.commitCompact(s, table, targetFiles = 2)                // v4: silent
+      drain() // resumes at v2: update pre/post + deletes, nothing for v4
+      s.read.parquet(out)
+        .select(col("c_custkey"), col("bal"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy("c_custkey", "_commit_version", "_change_type")
+    }),
+
     // -- versioned source -> versioned SINK mirror -------------------------
     // The full streaming pair behind the standard DataStreamWriter API:
     // poll 1 snapshots bronze into the mirror as one txn-marked commit;
@@ -5475,6 +5519,27 @@ object SparkEntry {
         "SELECT c_custkey + 3000000 AS c_custkey, c_name, " +
         "CAST(c_acctbal AS DOUBLE) AS bal FROM customer WHERE c_custkey % 11 = 0" +
         ") ORDER BY c_custkey"),
+
+    "q_stream_cdf" ->
+      // the full expected feed from the known history: v0 inserts (odds),
+      // v1 inserts (evens), v2 update pre/post on %7, v3 deletes of %13
+      // survivors (carrying the +100 where %7 applied), v4 OPTIMIZE silent
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, " +
+        "'insert' AS _change_type, " +
+        "CAST(CASE WHEN c_custkey % 2 = 1 THEN 0 ELSE 1 END AS BIGINT) AS _commit_version " +
+        "FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 'update_preimage', 2 " +
+        "FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + 100.0, 'update_postimage', 2 " +
+        "FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + " +
+        "CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END, 'delete', 3 " +
+        "FROM customer WHERE c_custkey % 13 = 0" +
+        ") ORDER BY c_custkey, _commit_version, _change_type"),
 
     "q_stream_versioned_mirror" ->
       // the mirror must equal bronze's final state: every key exactly once

@@ -71,10 +71,15 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider {
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val cdf = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v }
+      .exists(_.toBoolean)
+    val base = schema.getOrElse(VersionedTable.read(
+      sqlContext.sparkSession, dirOf(parameters)).schema)
     ("graft-versioned",
-      schema.getOrElse(VersionedTable.read(
-        sqlContext.sparkSession, dirOf(parameters)).schema))
+      if (cdf) VersionedStream.withCdfColumns(base) else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -89,10 +94,27 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider {
     val startingVersion = opt("startingVersion").map(_.toLong)
     startingVersion.foreach(v => require(v >= 0,
       s"VersionedStream: startingVersion must be >= 0, got $v"))
-    new VersionedStream.VersionedTableSource(
-      sqlContext.sparkSession, dir,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2, ignoreChanges,
-      maxVersions, startingVersion)
+    if (opt("readChangeFeed").exists(_.toBoolean)) {
+      val keys = opt("keyColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(sys.error("VersionedStream: readChangeFeed requires " +
+          ".option(\"keyColumns\", \"k1[,k2...]\") — the change feed diffs " +
+          "version pairs by key (this engine records no per-commit CDC files)"))
+      require(!ignoreChanges,
+        "VersionedStream: ignoreChanges is meaningless under readChangeFeed " +
+          "(rewrites ARE the feed)")
+      new VersionedStream.ChangeFeedSource(
+        sqlContext.sparkSession, dir,
+        schema.getOrElse(VersionedTable.read(sqlContext.sparkSession, dir).schema) match {
+          case s if s.fieldNames.contains(VersionedStream.ChangeTypeCol) =>
+            StructType(s.filterNot(f => VersionedStream.CdfMetaCols.contains(f.name)))
+          case s => s
+        },
+        keys, maxVersions, startingVersion)
+    } else
+      new VersionedStream.VersionedTableSource(
+        sqlContext.sparkSession, dir,
+        sourceSchema(sqlContext, schema, providerName, parameters)._2, ignoreChanges,
+        maxVersions, startingVersion)
   }
 }
 
@@ -100,6 +122,116 @@ object VersionedStream {
 
   /** `readStream.format(...)` string for this source. */
   val format: String = classOf[VersionedStream].getName
+
+  /** CDF metadata columns (Delta's change-data-feed shape). */
+  val ChangeTypeCol    = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTsCol      = "_commit_timestamp"
+  val CdfMetaCols: Set[String] = Set(ChangeTypeCol, CommitVersionCol, CommitTsCol)
+
+  private[sources] def withCdfColumns(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(CommitTsCol,
+        org.apache.spark.sql.types.TimestampType, nullable = false)))
+
+  /** CHANGE-DATA-FEED streaming source (Delta's `readChangeFeed` stream):
+    * each micro-batch carries the ROW-LEVEL changes the covered commits
+    * made — full rows plus `_change_type` ∈ insert | delete |
+    * update_preimage | update_postimage, `_commit_version`, and
+    * `_commit_timestamp` — instead of the appended files. Steps resolve
+    * through [[VersionedTable.changes]]' key-diff with shared-file pruning
+    * (O(that commit's changed files), never O(table)), so UPDATE/DELETE
+    * commits are first-class here where the plain source refuses them.
+    * `dataChange=false` re-layouts (OPTIMIZE, RENAME/DROP COLUMN) emit
+    * nothing, by the same contract.
+    *
+    * Without `startingVersion` the stream tails changes from the LATEST
+    * version at start (no initial snapshot — the Delta CDF default); with
+    * it, the feed replays from that commit inclusive, version 0 emitting
+    * its full row set as inserts. Offsets are version numbers; a version's
+    * diff is deterministic (immutable manifests), so checkpoint replay is
+    * exactly-once like the file source. */
+  private[sources] class ChangeFeedSource(spark: SparkSession, dir: String,
+      tableSchema: StructType, keyCols: Seq[String],
+      maxVersionsPerTrigger: Option[Int], startingVersion: Option[Long])
+      extends Source {
+
+    require(keyCols.forall(tableSchema.fieldNames.contains),
+      s"VersionedStream CDF: key column(s) ${keyCols.mkString(",")} not in " +
+        s"table schema ${tableSchema.fieldNames.mkString(",")}")
+
+    override val schema: StructType = withCdfColumns(tableSchema)
+
+    @volatile private var lastPlanned: Option[Long] = None
+
+    override def getOffset: Option[Offset] =
+      VersionedTable.latestVersion(dir).map { latest =>
+        val capped = (lastPlanned, maxVersionsPerTrigger) match {
+          case (Some(last), Some(m)) => math.min(latest, last + m)
+          case (None, Some(m)) if startingVersion.isDefined =>
+            math.min(latest, startingVersion.get - 1 + m)
+          case _ => latest
+        }
+        LongOffset(capped)
+      }
+
+    override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val endV = end match {
+        case l: LongOffset => l.offset
+        case other         => LongOffset(other.json().toLong).offset
+      }
+      lastPlanned = Some(endV)
+      val fromExclusive = start match {
+        case Some(s: LongOffset) => s.offset
+        case Some(other)         => LongOffset(other.json().toLong).offset
+        // no checkpoint: replay from startingVersion inclusive, or tail
+        // from AFTER the latest-at-start version (no snapshot — the feed
+        // is changes, not state)
+        case None => startingVersion.map(_ - 1).getOrElse(endV)
+      }
+      val commitMs = VersionedTable.log(dir).toMap
+      val valueCols = tableSchema.fieldNames.filterNot(keyCols.contains).toSeq
+      def meta(ctype: String, v: Long) = Seq(
+        lit(ctype).as(ChangeTypeCol),
+        lit(v).as(CommitVersionCol),
+        lit(new java.sql.Timestamp(commitMs(v))).as(CommitTsCol))
+      def shaped(ch: DataFrame, side: String, ctype: String, v: Long): DataFrame =
+        ch.where(col("change_type") === (ctype match {
+          case "insert" => "added"
+          case "delete" => "removed"
+          case _        => "updated"
+        })).select(tableSchema.fieldNames.map { c =>
+          if (keyCols.contains(c)) col(s"`$c`") else col(s"`${c}_$side`").as(c)
+        }.toSeq ++ meta(ctype, v): _*)
+      val steps = (fromExclusive + 1 to endV)
+        .filter(v => VersionedTable.dataChanged(dir, v))
+        .map { v =>
+          if (v == 0L)
+            VersionedTable.read(spark, dir, Some(0L))
+              .select(tableSchema.fieldNames.map(c => col(s"`$c`")).toSeq ++
+                meta("insert", 0L): _*)
+          else {
+            val ch = VersionedTable.changes(spark, dir, v - 1, v, keyCols, valueCols)
+            shaped(ch, "new", "insert", v)
+              .unionByName(shaped(ch, "old", "delete", v))
+              .unionByName(shaped(ch, "old", "update_preimage", v))
+              .unionByName(shaped(ch, "new", "update_postimage", v))
+          }
+        }
+      if (steps.isEmpty) StreamShim.emptyStreaming(spark, schema)
+      else StreamShim.asStreamingPinned(
+        steps.reduce(_.unionByName(_))
+          .select(schema.fieldNames.map(c => org.apache.spark.sql.functions.col(s"`$c`")).toSeq: _*))
+    }
+
+    override def stop(): Unit = ()
+    override def toString: String = s"ChangeFeedSource[$dir]"
+  }
 
   private[sources] class VersionedTableSource(spark: SparkSession, dir: String,
       override val schema: StructType, ignoreChanges: Boolean,

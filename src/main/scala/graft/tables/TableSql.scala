@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions.expr
   *   RESTORE TABLE t TO VERSION AS OF n
   *   MERGE INTO t USING <view | (subquery)> ON (k1 [, k2 ...])
   *   MERGE INTO t USING <view | (subquery)> ON (k1 [, k2 ...])
-  *     WHEN MATCHED [AND cond] THEN UPDATE SET a = expr [, b = expr ...]
+  *     WHEN MATCHED [AND cond] THEN UPDATE SET a = expr [, b = expr ...] | UPDATE SET *
   *     WHEN MATCHED [AND cond] THEN DELETE
   *     WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (a, b) VALUES (e1, e2)
   *   ALTER TABLE t RENAME COLUMN a TO b   (metadata-only, column mapping)
@@ -188,12 +188,14 @@ object TableSql {
       val act  = m.group(3).trim
       val actU = act.toUpperCase(java.util.Locale.ROOT)
       if (!not && actU.startsWith("UPDATE")) {
-        val setList = act.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
-        val set = splitTop(setList).map { a =>
-          val i = a.indexOf('=')
-          require(i > 0, s"TableSql: malformed MERGE SET assignment `$a`")
-          a.take(i).trim -> a.drop(i + 1).trim
-        }.toMap
+        val setList = act.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "").trim
+        val set =
+          if (setList == "*") Map.empty[String, String] // UPDATE SET *
+          else splitTop(setList).map { a =>
+            val i = a.indexOf('=')
+            require(i > 0, s"TableSql: malformed MERGE SET assignment `$a`")
+            a.take(i).trim -> a.drop(i + 1).trim
+          }.toMap
         VersionedTable.WhenMatchedUpdate(cond, set): VersionedTable.MergeClause
       } else if (!not && actU == "DELETE") {
         VersionedTable.WhenMatchedDelete(cond)

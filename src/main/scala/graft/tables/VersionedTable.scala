@@ -1569,7 +1569,9 @@ object VersionedTable {
   sealed trait MergeClause
   /** WHEN MATCHED [AND cond] THEN UPDATE SET col -> expr, ... Unset target
     * columns keep their values; SET expressions all evaluate against the
-    * OLD (t, s) pair — no assignment observes another's result. */
+    * OLD (t, s) pair — no assignment observes another's result.
+    * `set = Map.empty` is UPDATE SET * (every source-covered non-key
+    * column takes the source's value — Delta's update-all form). */
   final case class WhenMatchedUpdate(cond: Option[String],
       set: Map[String, String]) extends MergeClause
   /** WHEN MATCHED [AND cond] THEN DELETE. */
@@ -1687,14 +1689,22 @@ object VersionedTable {
         val kept = if (deleteIdx.isEmpty) withAction
           else withAction.where(!col("__graft_action").isInCollection(deleteIdx) ||
             col("__graft_action").isNull)
+        val srcColsNorm = srcChk.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val keyColsNorm = keyCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
         val survivors = kept.select(targetSchema.fields.map { f =>
-          val base = col(s"t.`${f.name}`")
+          val base  = col(s"t.`${f.name}`")
+          val fNorm = f.name.toLowerCase(java.util.Locale.ROOT)
           val updated = matchedClauses.zipWithIndex
             .foldLeft(when(lit(false), base)) {
               case (acc, (WhenMatchedUpdate(_, set), i)) =>
                 set.collectFirst { case (c, e) if c.equalsIgnoreCase(f.name) => e } match {
                   case Some(e) => acc.when(col("__graft_action") === i,
                     expr(e).cast(f.dataType))
+                  // UPDATE SET *: every source-covered non-key column
+                  // takes the source value (keys are equal by the match)
+                  case None if set.isEmpty && srcColsNorm(fNorm) && !keyColsNorm(fNorm) =>
+                    acc.when(col("__graft_action") === i,
+                      col(s"s.`${f.name}`").cast(f.dataType))
                   case None    => acc
                 }
               case (acc, _) => acc

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.VersionedStream
+import graft.tables.VersionedTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Change-data-feed STREAMING source (round 11 — Delta's `readChangeFeed`
+  * stream): row-level changes with _change_type / _commit_version instead
+  * of appended files, UPDATE/DELETE first-class, OPTIMIZE silent, pacing
+  * and default-tail semantics.
+  */
+class CdfStreamSpec extends SparkSpec {
+
+  private def root() = Files.createTempDirectory("graft_cdfspec").toString
+
+  private def drain(table: String, out: String, ckpt: String,
+      extra: Map[String, String] = Map.empty): Unit = {
+    val r = spark.readStream.format(VersionedStream.format)
+      .option("path", table)
+      .option("readChangeFeed", "true")
+      .option("keyColumns", "k")
+      .options(extra)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    r.awaitTermination()
+  }
+
+  test("default start tails from latest: pre-existing versions emit nothing") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "bal"), table) // v0
+    VersionedTable.commitAppend(spark, Seq((2L, 20.0)).toDF("k", "bal"), table) // v1
+    drain(table, s"$r/out", s"$r/ckpt")
+    // no startingVersion: the feed is changes AFTER stream start — v0/v1
+    // are history, not changes (files may exist but hold zero rows)
+    val outFiles = new java.io.File(s"$r/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val n = if (outFiles.isEmpty) 0L else spark.read.parquet(s"$r/out").count()
+    assert(n == 0L, s"default start must not replay history ($n rows)")
+    // a post-start update IS the feed
+    VersionedTable.commitUpdate(spark, table, col("k") === 1L,
+      Map("bal" -> lit(99.0)))
+    drain(table, s"$r/out", s"$r/ckpt")
+    val rows = spark.read.parquet(s"$r/out")
+      .select("k", "bal", "_change_type", "_commit_version").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getString(2), x.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, 10.0, "update_preimage", 2L),
+      (1L, 99.0, "update_postimage", 2L)), rows.toString)
+  }
+
+  test("maxVersionsPerTrigger paces the CDF bootstrap; commit timestamps ride along") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    (0 until 4).foreach(i =>
+      VersionedTable.commitAppend(spark, Seq((i.toLong, i * 1.0)).toDF("k", "bal"), table))
+    // AvailableNow pins its end offset at start, so each drain advances by
+    // exactly maxVersionsPerTrigger versions — 4 drains cover the backlog
+    // (and prove the cap actually bounds each batch)
+    (0 until 4).foreach { i =>
+      drain(table, s"$r/out", s"$r/ckpt",
+        Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
+      assert(spark.read.parquet(s"$r/out").count() == i + 1L,
+        s"drain ${i + 1} must cover exactly one more version")
+    }
+    val out = spark.read.parquet(s"$r/out")
+    assert(out.count() == 4L)
+    assert(out.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    assert(out.select("_commit_version").distinct().count() == 4L)
+    assert(out.where(col("_commit_timestamp").isNull).count() == 0L)
+  }
+
+  test("readChangeFeed without keyColumns is refused loudly") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 1.0)).toDF("k", "bal"), table)
+    val ex = intercept[Exception] {
+      spark.readStream.format(VersionedStream.format)
+        .option("path", table).option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$r/out").option("checkpointLocation", s"$r/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("keyColumns") ||
+      Option(ex.getCause).exists(_.getMessage.contains("keyColumns")),
+      s"${ex.getMessage} / ${Option(ex.getCause).map(_.getMessage)}")
+  }
+}

@@ -57,6 +57,20 @@ class MergeConditionalSpec extends SparkSpec {
     assert(rows == Map(1L -> 6.0, 2L -> 100.0), rows.toString)
   }
 
+  test("UPDATE SET *: every source-covered non-key column takes the source value") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      Seq((1L, 10.0, "old1"), (2L, 20.0, "old2")).toDF("k", "bal", "note"), dir)
+    // source covers bal but not note: SET * updates bal, note survives
+    Seq((1L, 99.0)).toDF("k", "bal").createOrReplaceTempView("mcu_src")
+    TableSql.execute(spark, Map("tgt" -> dir),
+      "MERGE INTO tgt USING mcu_src ON (k) WHEN MATCHED THEN UPDATE SET *")
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 99.0, "old1"), (2L, 20.0, "old2")), rows.toString)
+  }
+
   test("duplicate source keys are refused (ambiguous merge)") {
     import spark.implicits._
     val dir = dirOf()
