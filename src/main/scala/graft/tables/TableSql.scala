@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions.expr
   *   VACUUM t RETAIN n VERSIONS | VACUUM t RETAIN n HOURS
   *   DELETE FROM t WHERE <cond>
   *   UPDATE t SET a = <expr> [, b = <expr> ...] WHERE <cond>
-  *   RESTORE TABLE t TO VERSION AS OF n
+  *   RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'
   *   MERGE INTO t USING <view | (subquery)> ON (k1 [, k2 ...])
   *   MERGE INTO t USING <view | (subquery)> ON (k1 [, k2 ...])
   *     WHEN MATCHED [AND cond] THEN UPDATE SET a = expr [, b = expr ...] | UPDATE SET *
@@ -46,6 +46,8 @@ object TableSql {
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   // whole-row MERGE (the engine's commitMerge semantics): the source is a
   // registered temp view or any parenthesized subquery; ON lists the key
   // column(s) — arbitrary ON predicates are not equi-key merges and are
@@ -109,6 +111,9 @@ object TableSql {
         done("UPDATE", t, VersionedTable.commitUpdate(spark, dirOf(t), expr(cond), set))
       case RestoreRe(t, v) =>
         done("RESTORE", t, VersionedTable.commitRestore(spark, dirOf(t), v.toLong))
+      case RestoreTsRe(t, ts) =>
+        done("RESTORE", t, VersionedTable.commitRestore(spark, dirOf(t),
+          VersionedTable.versionAsOf(dirOf(t), java.sql.Timestamp.valueOf(ts).getTime)))
       case HistoryRe(t) =>
         VersionedTable.history(spark, dirOf(t))
       case RenameColRe(t, a, b) =>

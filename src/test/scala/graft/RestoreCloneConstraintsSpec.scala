@@ -34,6 +34,26 @@ class RestoreCloneConstraintsSpec extends SparkSpec {
     assert(feed.map(_.getLong(0)).toSet == (16L to 20L).toSet)
   }
 
+  test("SQL RESTORE TO TIMESTAMP AS OF resolves the version current at that time") {
+    import spark.implicits._
+    val dir = rootOf() + "/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("id", "v"), dir) // v0
+    // the timestamp BETWEEN v0 and v1 must restore v0's content
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.commitDelete(spark, dir, col("id") === 1L)                 // v1
+    assert(VersionedTable.read(spark, dir).count() == 0L)
+    // full toString keeps the fractional seconds (Timestamp.valueOf
+    // accepts them) — truncating to whole seconds could land BEFORE v0
+    val ts = new java.sql.Timestamp(betweenMs).toString
+    val out = graft.tables.TableSql.execute(spark, Map("tt" -> dir),
+      s"RESTORE TABLE tt TO TIMESTAMP AS OF '$ts'")
+    assert(out.head().getString(0) == "RESTORE")
+    assert(VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 10.0)))
+  }
+
   test("restore: snapshot-commit versions restore too; vacuumed targets fail loudly") {
     import spark.implicits._
     val dir = rootOf() + "/t"
