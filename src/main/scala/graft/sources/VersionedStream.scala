@@ -179,6 +179,11 @@ object VersionedStream {
         LongOffset(capped)
       }
 
+    // schema-at-version memo (see schemaAt): versions are immutable, so one
+    // resolution per version serves the stream's whole lifetime
+    private val schemaAtMemo =
+      new java.util.concurrent.ConcurrentHashMap[Long, StructType]()
+
     override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
       import org.apache.spark.sql.functions._
       val endV = end match {
@@ -195,32 +200,78 @@ object VersionedStream {
         case None => startingVersion.map(_ - 1).getOrElse(endV)
       }
       val commitMs = VersionedTable.log(dir).toMap
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      // never-evolved fast path: no declared schema at the head means no
+      // version below carries one either — every version has the stream's
+      // columns under their own names, zero extra I/O per batch
+      val evolvedTable = VersionedTable.declaredSchemaAt(dir, endV).isDefined
+      // the LOGICAL schema version v's files resolve to — declared schema
+      // (mapping metadata intact), or footer resolution through read() on
+      // pre-declaration versions (where physical == logical by definition)
+      def schemaAt(v: Long): StructType =
+        if (!evolvedTable) tableSchema
+        else schemaAtMemo.computeIfAbsent(v, _ =>
+          VersionedTable.declaredSchemaAt(dir, v)
+            .getOrElse(VersionedTable.read(spark, dir, Some(v)).schema))
+      def physOf(f: org.apache.spark.sql.types.StructField): String =
+        if (f.metadata.contains(VersionedTable.PhysicalNameKey))
+          f.metadata.getString(VersionedTable.PhysicalNameKey)
+        else f.name
+      val physAtEnd: Map[String, String] =
+        schemaAt(endV).fields.map(f => lc(f.name) -> lc(physOf(f))).toMap
       val valueCols = tableSchema.fieldNames.filterNot(keyCols.contains).toSeq
       def meta(ctype: String, v: Long) = Seq(
         lit(ctype).as(ChangeTypeCol),
         lit(v).as(CommitVersionCol),
         lit(new java.sql.Timestamp(commitMs(v))).as(CommitTsCol))
-      def shaped(ch: DataFrame, side: String, ctype: String, v: Long): DataFrame =
+      // Which stream columns exist at step v. A replay step BELOW an
+      // additive evolution lacks the later columns — they null-fill (Delta
+      // CDF's semantics: the column did not exist at that commit). The feed
+      // keys on LOGICAL names, so a logical name present at v must denote
+      // the SAME physical column as at the stream's head — after a
+      // DROP + re-ADD (or rename) it doesn't, and emitting the retired
+      // column's values under the live name would misreport; refuse loudly.
+      def stepAvailable(v: Long): Set[String] = {
+        val sv = schemaAt(v)
+        val conflated = sv.fields.filter(f =>
+          physAtEnd.get(lc(f.name)).exists(_ != lc(physOf(f))))
+        require(conflated.isEmpty,
+          s"VersionedStream CDF: column(s) ${conflated.map(_.name).mkString(", ")} " +
+            s"at version $v of $dir are RETIRED columns (RENAME/DROP + re-add) — " +
+            "the same logical name denotes a different physical column at the " +
+            "stream's head, so the feed cannot represent this span; start the " +
+            "feed at a version after the schema change (startingVersion)")
+        sv.fieldNames.map(lc).toSet
+      }
+      def shaped(ch: DataFrame, avail: Set[String], side: String, ctype: String,
+          v: Long): DataFrame =
         ch.where(col("change_type") === (ctype match {
           case "insert" => "added"
           case "delete" => "removed"
           case _        => "updated"
-        })).select(tableSchema.fieldNames.map { c =>
-          if (keyCols.contains(c)) col(s"`$c`") else col(s"`${c}_$side`").as(c)
+        })).select(tableSchema.fields.map { f =>
+          if (keyCols.contains(f.name)) col(s"`${f.name}`")
+          else if (avail(lc(f.name))) col(s"`${f.name}_$side`").as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
         }.toSeq ++ meta(ctype, v): _*)
       val steps = (fromExclusive + 1 to endV)
         .filter(v => VersionedTable.dataChanged(dir, v))
         .map { v =>
-          if (v == 0L)
+          if (v == 0L) {
+            val avail = stepAvailable(0L)
             VersionedTable.read(spark, dir, Some(0L))
-              .select(tableSchema.fieldNames.map(c => col(s"`$c`")).toSeq ++
-                meta("insert", 0L): _*)
-          else {
-            val ch = VersionedTable.changes(spark, dir, v - 1, v, keyCols, valueCols)
-            shaped(ch, "new", "insert", v)
-              .unionByName(shaped(ch, "old", "delete", v))
-              .unionByName(shaped(ch, "old", "update_preimage", v))
-              .unionByName(shaped(ch, "new", "update_postimage", v))
+              .select(tableSchema.fields.map { f =>
+                if (avail(lc(f.name))) col(s"`${f.name}`")
+                else lit(null).cast(f.dataType).as(f.name)
+              }.toSeq ++ meta("insert", 0L): _*)
+          } else {
+            val avail = stepAvailable(v)
+            val stepValues = valueCols.filter(c => avail(lc(c)))
+            val ch = VersionedTable.changes(spark, dir, v - 1, v, keyCols, stepValues)
+            shaped(ch, avail, "new", "insert", v)
+              .unionByName(shaped(ch, avail, "old", "delete", v))
+              .unionByName(shaped(ch, avail, "old", "update_preimage", v))
+              .unionByName(shaped(ch, avail, "new", "update_postimage", v))
           }
         }
       if (steps.isEmpty) StreamShim.emptyStreaming(spark, schema)
@@ -278,21 +329,47 @@ object VersionedStream {
         case Some(s) => stepVersions(versionOf(s), endV)
       }
       if (emit.isEmpty) StreamShim.emptyStreaming(spark, schema)
-      else if (emit.forall(_._2.isEmpty))
-        StreamShim.asStreaming(
-          spark.read.schema(schema).parquet(
-            emit.map { case (rel, _) => new Path(new Path(dir), rel).toString }: _*))
-      else
-        // masked entries: the mask anti-join is a composite plan — pin it
-        // under one streaming-flagged node instead of re-flagging leaves.
-        // The stream's declared schema rides into the scan (like the
-        // DV-free branch's spark.read.schema): on an EVOLVED table the
-        // batch must not resolve its schema from one sampled footer —
-        // old narrow files read through the declared schema fill the
-        // missing columns with null deterministically.
-        StreamShim.asStreamingPinned(
-          VersionedTable.readEntries(spark, dir, emit, Some(schema))
-            .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+      else {
+        // COLUMN-MAPPED tables: emitted files carry PHYSICAL names, so a
+        // read through the stream's LOGICAL schema would silently stream
+        // every renamed column as NULL. Resolve the declared schema (with
+        // its mapping metadata) at the batch's end version and read through
+        // it — readEntries scans physical and aliases back to logical. The
+        // mapping must still DESCRIBE the stream's schema: a rename landing
+        // mid-stream changes the logical names and refuses loudly (the
+        // stream's pinned schema cannot represent it).
+        val declared = VersionedTable.declaredSchemaAt(dir, endV)
+          .filter(_.fields.exists(f =>
+            f.metadata.contains(VersionedTable.PhysicalNameKey) &&
+              f.metadata.getString(VersionedTable.PhysicalNameKey) != f.name))
+        declared.foreach { d =>
+          def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+          val dNames = d.fieldNames.map(lc).toSet
+          val sNames = schema.fieldNames.map(lc).toSet
+          require(sNames.subsetOf(dNames),
+            s"VersionedStream: column(s) ${schema.fieldNames.filterNot(c => dNames(lc(c))).mkString(", ")} " +
+              s"were renamed or dropped in $dir after this stream started — its " +
+              "pinned schema cannot represent the table anymore; restart the " +
+              "stream from a fresh checkpoint")
+        }
+        (declared, emit.forall(_._2.isEmpty)) match {
+          case (None, true) =>
+            StreamShim.asStreaming(
+              spark.read.schema(schema).parquet(
+                emit.map { case (rel, _) => new Path(new Path(dir), rel).toString }: _*))
+          case _ =>
+            // masked entries and/or mapped tables: the scan is a composite
+            // plan — pin it under one streaming-flagged node instead of
+            // re-flagging leaves. The declared schema (stream schema on
+            // unmapped tables) rides into the scan: on an EVOLVED table the
+            // batch must not resolve its schema from one sampled footer —
+            // old narrow files read through the declared schema fill the
+            // missing columns with null deterministically.
+            StreamShim.asStreamingPinned(
+              VersionedTable.readEntries(spark, dir, emit, Some(declared.getOrElse(schema)))
+                .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+        }
+      }
     }
 
     /** The files each version in `(fromExclusive, to]` ADDED (plus, under

@@ -238,6 +238,9 @@ object TableManager {
   def deleteDir(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(dir), true)
+    // a versioned table recreated at this path could collide with cached
+    // commit-entry text (same version + same-millisecond commit name)
+    VersionedTable.invalidateEntryCache(dir)
   }
 
   // ---- partition-scoped upsert target (the streaming-CDC table layout) ----

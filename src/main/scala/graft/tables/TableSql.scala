@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions.expr
   *
   * Everything below the verb line is the engine's existing machinery —
   * conditions and SET expressions parse through Catalyst's `expr()`, so
-  * the full SQL expression language applies; SELECT statements rewrite
-  * time-travel clauses to pinned temp views and then delegate verbatim to
-  * `spark.sql` (same optimizer, same pushdown). DML verbs return a one-row
+  * the full SQL expression language applies. SELECT statements (and any
+  * other statement Spark's grammar owns) resolve NATIVELY through the DSv2
+  * catalog ([[graft.catalog.GraftCatalog]]): the name→dir map registers
+  * there, `graft` becomes the current catalog for the statement, and the
+  * text reaches `spark.sql` verbatim — `VERSION AS OF` / `TIMESTAMP AS OF`
+  * parse in Spark's own grammar (no string rewriting, so literals are
+  * inert by construction) and the read plan is the engine's own parquet
+  * scan (same optimizer, same pushdown; see
+  * [[graft.catalog.GraftTableResolution]]). DML verbs return a one-row
   * DataFrame (verb, table, version) for observability.
   *
   * The catalog is an explicit name → table-directory map: at 100 TB the
@@ -69,8 +75,6 @@ object TableSql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val DropColRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
-  private val TravelV  = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
-  private val TravelTs = """(?i)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
 
   /** Default OPTIMIZE target when no TARGET clause is given. */
   val DefaultOptimizeFiles = 8
@@ -135,51 +139,25 @@ object TableSql {
         done("MERGE", t, VersionedTable.commitMergeConditional(
           spark, dirOf(t), source, keyCols, parseMergeClauses(arms)))
       case _ =>
-        // SELECT path: pin time-travel clauses to temp views, register the
-        // catalog's tables (latest) as plain views, delegate to spark.sql.
-        // Rewrites are SPAN-based (match offsets, replaced right-to-left)
-        // and skip matches inside string literals — a literal containing
-        // `t VERSION AS OF 1` must survive byte-identical, and a plain
-        // String.replace of the matched text would also corrupt any OTHER
-        // occurrence of the same substring.
-        var text = sql
-        def rewrite(re: scala.util.matching.Regex,
-            viewOf: (String, String) => Option[String]): Unit = {
-          val spans = literalSpans(text)
-          val hits = re.findAllMatchIn(text).toSeq
-            .filterNot(m => inLiteral(spans, m.start))
-            .flatMap(m => viewOf(m.group(1), m.group(2)).map(v => (m.start, m.end, v)))
-          hits.sortBy(-_._1).foreach { case (s0, e0, view) =>
-            text = text.substring(0, s0) + view + text.substring(e0)
-          }
-        }
-        rewrite(TravelV, (t, vs) =>
-          if (!tables.contains(t)) None
-          else {
-            val v    = vs.toLong
-            val view = s"${t}__v$v"
-            VersionedTable.read(spark, dirOf(t), Some(v)).createOrReplaceTempView(view)
-            Some(view)
-          })
-        rewrite(TravelTs, (t, ts) =>
-          if (!tables.contains(t)) None
-          else {
-            val ms   = java.sql.Timestamp.valueOf(ts).getTime
-            val v    = VersionedTable.versionAsOf(dirOf(t), ms)
-            val view = s"${t}__ts$v"
-            VersionedTable.read(spark, dirOf(t), Some(v)).createOrReplaceTempView(view)
-            Some(view)
-          })
-        val spans = literalSpans(text)
-        tables.foreach { case (t, dir) =>
-          // quoted table name (a catalog key is caller data, not a regex)
-          // and literal-skipping: a name appearing ONLY inside a string
-          // literal is not a reference
-          val hit = ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
-            .findAllMatchIn(text).exists(m => !inLiteral(spans, m.start))
-          if (hit) VersionedTable.read(spark, dir).createOrReplaceTempView(t)
-        }
-        spark.sql(text)
+        // SELECT path: resolve NATIVELY through the DSv2 catalog
+        // ([[graft.catalog.GraftCatalog]]) — register the name→dir map,
+        // make `graft` the current catalog for the statement, and hand the
+        // TEXT to spark.sql verbatim. `VERSION AS OF` / `TIMESTAMP AS OF`
+        // parse in Spark's own grammar and resolve through
+        // `loadTable(ident, version | timestamp)`; no string rewriting
+        // happens, so a hostile literal containing `t VERSION AS OF 1`
+        // needs no special-casing — the parser owns the text. Temp views
+        // still shadow catalog tables (standard SQL precedence).
+        if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+          spark.conf.set("spark.sql.catalog.graft",
+            classOf[graft.catalog.GraftCatalog].getName)
+        tables.foreach { case (t, d) => graft.catalog.GraftCatalog.register(t, d) }
+        val prevCatalog = spark.catalog.currentCatalog()
+        spark.catalog.setCurrentCatalog("graft")
+        // spark.sql analyzes EAGERLY (Dataset.ofRows asserts analysis), so
+        // every table reference is bound to its concrete scan before the
+        // catalog is restored; later execution needs no catalog state
+        try spark.sql(sql) finally spark.catalog.setCurrentCatalog(prevCatalog)
     }
   }
 
@@ -187,7 +165,27 @@ object TableSql {
     * [[VersionedTable.MergeClause]]s (order preserved — clause order is
     * the Delta priority rule). */
   private def parseMergeClauses(arms: String): Seq[VersionedTable.MergeClause] = {
-    val parsed = WhenArmRe.findAllMatchIn(arms).map { m =>
+    val ms = WhenArmRe.findAllMatchIn(arms).toSeq
+    // COVERAGE gate: the matched arms must tile the whole WHEN text. A
+    // condition the arm regex cannot split correctly — e.g. an inline
+    // `CASE WHEN ... THEN ...` whose THEN truncates the lazy cond match —
+    // leaves unmatched residue, and without this check the arm would be
+    // silently DROPPED instead of rejected. CASE expressions inside clause
+    // conditions are therefore refused here by construction; use the Scala
+    // API (commitMergeConditional) for conditions the SQL front end can't
+    // tokenize.
+    locally {
+      var pos = 0
+      (ms.map(m => (m.start, m.end)) :+ ((arms.length, arms.length))).foreach {
+        case (s0, e0) =>
+          require(arms.substring(pos, s0).trim.isEmpty,
+            s"TableSql: unparseable MERGE WHEN text `${arms.substring(pos, s0).trim}` " +
+              "— check clause syntax; CASE expressions inside WHEN conditions are " +
+              "not supported by the SQL front end (use the Scala API)")
+          pos = e0
+      }
+    }
+    val parsed = ms.iterator.map { m =>
       val not  = m.group(1) != null
       val cond = Option(m.group(2)).map(_.trim)
       val act  = m.group(3).trim
@@ -223,32 +221,6 @@ object TableSql {
     require(parsed.nonEmpty, s"TableSql: MERGE has no parseable WHEN clause in `$arms`")
     parsed
   }
-
-  /** Character spans `[start, end)` of single-quoted SQL string literals
-    * (with `''` escaping) — the rewrite passes must never touch text
-    * inside them. */
-  private def literalSpans(s: String): Seq[(Int, Int)] = {
-    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '\'') {
-        val start = i
-        i += 1
-        var closed = false
-        while (i < s.length && !closed) {
-          if (s.charAt(i) == '\'') {
-            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2 // '' escape
-            else { closed = true; i += 1 }
-          } else i += 1
-        }
-        out += ((start, i))
-      } else i += 1
-    }
-    out.toSeq
-  }
-
-  private def inLiteral(spans: Seq[(Int, Int)], pos: Int): Boolean =
-    spans.exists { case (s0, e0) => pos >= s0 && pos < e0 }
 
   /** Split on top-level commas only — commas nested in parens (function
     * calls, CASE arms) or inside single-quoted string literals don't

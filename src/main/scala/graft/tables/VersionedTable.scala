@@ -111,10 +111,25 @@ object VersionedTable {
   // lastTxnVersion re-reads the whole log per txn-marked append — measured
   // ~40% of the per-commit driver latency at a 12-commit chain, growing
   // with history. Bounded so a long-lived driver touching many tables
-  // stays flat; on overflow new entries simply read uncached.
+  // stays flat; hitting the cap CLEARS the cache (a one-time refill beats
+  // serving forever-uncached reads, and beats any stale entry surviving a
+  // delete+recreate that slipped past [[invalidateEntryCache]]).
   private val EntryTextCacheMax = 8192
   private val entryTextCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop every cached commit-entry text under `dir`. The write-once cache
+    * contract breaks in exactly one way — a table DELETED and RECREATED at
+    * the same path, where a recreated commit's (version, commit-millis)
+    * filename can collide with the old table's (same-millisecond commits in
+    * tests and long-lived drivers) — so the delete path
+    * ([[TableManager.deleteDir]]) must call this. O(cache size) key scan,
+    * driver-only. */
+  def invalidateEntryCache(dir: String): Unit = {
+    val prefix = logDir(dir).toString + "/"
+    val it = entryTextCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+  }
 
   private def entryText(dir: String, v: Long, ms: Long): Option[String] = {
     val key = commitEntry(dir, v, ms).toString
@@ -122,7 +137,8 @@ object VersionedTable {
     if (hit != null) Some(hit)
     else FsIO.readText(key) match {
       case Some(t) =>
-        if (entryTextCache.size < EntryTextCacheMax) entryTextCache.put(key, t)
+        if (entryTextCache.size >= EntryTextCacheMax) entryTextCache.clear()
+        entryTextCache.put(key, t)
         Some(t)
       case None => None
     }
@@ -392,6 +408,15 @@ object VersionedTable {
     * rather than keying stats on the wrong names. */
   def hasColumnMapping(dir: String, v: Long): Boolean =
     declaredSchemaAt(dir, v).exists(hasMapping)
+
+  /** Whether any RENAME/DROP COLUMN ever landed at or below `v` — a
+    * column-mapping entry in the declared schema or a tombstoned physical
+    * name. Incremental consumers that resolve HISTORY by logical name (the
+    * CDF stream's null-fill of later-added columns) refuse such tables: on
+    * them one logical name can denote different physical columns across a
+    * span. */
+  def hasSchemaRetirements(dir: String, v: Long): Boolean =
+    hasColumnMapping(dir, v) || tombstonesAt(dir, v).nonEmpty
 
   /** Rename a LOGICAL-schema frame to PHYSICAL column names just before
     * staging — on a mapped table every data file carries the immutable
@@ -1001,12 +1026,16 @@ object VersionedTable {
       // stage under physical names: mapped existing columns through the
       // declared mapping, resurrection-guarded new columns through the
       // fresh assignments, everything else as-is
+      val declMap = preDeclared.toSeq.flatMap(_.fields.map(f => lc(f.name) -> physName(f))).toMap
+      // lc(logical) -> the physical name each column STAGES under — also the
+      // in-lease re-gate's ground truth for what the staged footers carry
+      val stagedPhysOf: Map[String, String] = df.schema.fieldNames.map(n =>
+        lc(n) -> declMap.getOrElse(lc(n), physAssign.getOrElse(lc(n), n))).toMap
       val stagedDf = {
         import org.apache.spark.sql.functions.col
-        val declMap = preDeclared.toSeq.flatMap(_.fields.map(f => lc(f.name) -> physName(f))).toMap
         if (declMap.forall(p => p._1 == lc(p._2)) && physAssign.isEmpty) df
         else df.select(df.columns.map(c =>
-          col(s"`$c`").as(declMap.getOrElse(lc(c), physAssign.getOrElse(lc(c), c)))): _*)
+          col(s"`$c`").as(stagedPhysOf.getOrElse(lc(c), c))): _*)
       }
       val newRels = stageDataFilesTagged(fs, dir, stagedDf,
         s"a${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1050,6 +1079,23 @@ object VersionedTable {
             s"commitAppendEvolve: a concurrent DROP/RENAME retired the name(s) " +
               s"${lateCollisions.mkString(", ")} while this evolve staged — " +
               "re-run the evolve (it will assign fresh physical names)")
+          // STAGED-PHYSICAL re-gate: every df column that exists at HEAD must
+          // have been staged under the HEAD's physical name for that logical
+          // field. The name-collision gate above can't catch a concurrent
+          // DROP X + rival evolve RE-ADDING X with a fresh physical name: X
+          // is in headNames again, but our staged footers carry X under the
+          // OLD physical name while the head mapping points at the fresh one
+          // — publishing would make this batch's X values read back NULL.
+          val physDrift = headExisting.toSeq.flatMap(_.fields).filter(hf =>
+            stagedPhysOf.get(lc(hf.name)).exists(p => lc(p) != lc(physName(hf))))
+          if (physDrift.nonEmpty) {
+            newRels.foreach(rel => fs.delete(absOf(dir, rel), false))
+            sys.error("commitAppendEvolve: a concurrent schema change remapped " +
+              s"column(s) ${physDrift.map(f => s"${f.name} (staged as " +
+                s"${stagedPhysOf(lc(f.name))}, head expects ${physName(f)})").mkString(", ")} " +
+              "while this evolve staged — re-run the evolve (it will re-stage " +
+              "under the current mapping)")
+          }
           // record the fresh physical names in the evolved schema's mapping
           val evolved = org.apache.spark.sql.types.StructType(evolvedBase.fields.map { f =>
             physAssign.get(lc(f.name)) match {
@@ -1628,6 +1674,28 @@ object VersionedTable {
         val entries  = checkedEntries(fs, dir, pv, pms)
         val declared = declaredSchemaAt(dir, pv)
         val full     = scanEntriesMeta(spark, dir, entries, declared)
+        // every SET / INSERT assignment key must resolve to a TARGET column
+        // (Delta rejects unknown assignment targets): a typo'd name must be
+        // an error, not a silently dropped clause
+        locally {
+          val targetNames = full.schema.fieldNames
+            .filterNot(Set(FnameCol, PosCol)).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          def unknown(keys: Iterable[String]) =
+            keys.filterNot(k => targetNames(k.toLowerCase(java.util.Locale.ROOT)))
+          clauses.foreach {
+            case WhenMatchedUpdate(_, set) =>
+              val bad = unknown(set.keys)
+              require(bad.isEmpty, "commitMergeConditional: UPDATE SET targets " +
+                s"unknown column(s) ${bad.mkString(", ")} (table columns: " +
+                s"${targetNames.toSeq.sorted.mkString(", ")})")
+            case WhenNotMatchedInsert(_, Some(values)) =>
+              val bad = unknown(values.keys)
+              require(bad.isEmpty, "commitMergeConditional: INSERT targets " +
+                s"unknown column(s) ${bad.mkString(", ")} (table columns: " +
+                s"${targetNames.toSeq.sorted.mkString(", ")})")
+            case _ => ()
+          }
+        }
         val srcChk   = source.localCheckpoint(true)
         val keyDf    = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
         val nKeys    = keyDf.count()
@@ -2312,7 +2380,11 @@ object VersionedTable {
     def stepDf(v: Long): DataFrame = {
       val (a, b) = prunedScans(spark, dir, v, v + 1, keyCols)
       require(valueCols.forall(a.columns.contains) && valueCols.forall(b.columns.contains),
-        s"value columns ${valueCols.mkString(",")} must exist in versions $v and ${v + 1}")
+        s"value columns ${valueCols.mkString(",")} must exist in versions $v and ${v + 1} " +
+          s"(have: ${a.columns.intersect(b.columns).mkString(",")}) — a column added " +
+          "by a LATER evolution exists only from its evolve commit on (request the " +
+          "span's columns, or diff from the evolve commit); a RENAME/DROP mid-span " +
+          "requires re-bootstrapping the consumer")
       a.as("a").join(b.as("b"), stepJoinCond(keyCols), "full_outer")
         .withColumn("change_type", stepChangeType(a, b, keyCols))
         .where(col("change_type").isNotNull)
@@ -2369,19 +2441,54 @@ object VersionedTable {
     }
     val entriesA = entriesAt(vFrom)
     val entriesB = entriesAt(vTo)
+    // DECLARED-SCHEMA span handling: when the span crosses an ADDITIVE
+    // evolution (vTo's declared schema is a superset of vFrom's, same
+    // physical names and types), BOTH sides read through vTo's schema — the
+    // from side's files null-fill the new columns, so the diff reports them
+    // truthfully as old=null (Delta CDF's null-fill). A NON-additive change
+    // across the span (RENAME/DROP COLUMN — a mapping or field-set
+    // divergence) cannot be diffed under one schema and refuses loudly.
+    def lcn(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val declA = declaredSchemaAt(dir, vFrom)
+    val declB = declaredSchemaAt(dir, vTo)
+    val spanDecl: (Option[org.apache.spark.sql.types.StructType],
+        Option[org.apache.spark.sql.types.StructType]) =
+      if (declA == declB) (declA, declB)
+      else {
+        val additive = declA match {
+          case Some(a) =>
+            val bByName = declB.toSeq.flatMap(_.fields).map(f => lcn(f.name) -> f).toMap
+            a.fields.forall(af => bByName.get(lcn(af.name)).exists(bf =>
+              lcn(physName(bf)) == lcn(physName(af)) &&
+                normType(bf.dataType) == normType(af.dataType)))
+          case None =>
+            // the span contains the table's FIRST schema commit; it is pure
+            // additive evolution iff no rename (mapping) or drop (tombstone)
+            // has ever landed at or below vTo
+            declB.exists(b => !hasMapping(b)) && tombstonesAt(dir, vTo).isEmpty
+        }
+        require(additive,
+          s"changes/diff: the span ($vFrom, $vTo] of $dir crosses a NON-additive " +
+            "schema change (RENAME/DROP COLUMN) — the two sides cannot be " +
+            "compared under one schema. Diff in sub-spans that do not cross " +
+            "the schema commit, or re-bootstrap the consumer/stream from a " +
+            "fresh snapshot.")
+        (declB, declB)
+      }
     // the share key is (file, dv set): a file listed by both versions but
     // masked DIFFERENTLY holds changed rows and must stay in both scans
     def keyOf(e: FileEntry)          = (e.rel, e.dvs.toSet)
     val shared: Set[(String, Set[String])] =
       entriesA.map(keyOf).toSet.intersect(entriesB.map(keyOf).toSet)
-    def scan(entries: Seq[FileEntry], v: Long): DataFrame = {
+    def scan(entries: Seq[FileEntry],
+        declared: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
       val excl = entries.filterNot(e => shared(keyOf(e)))
       val missing = excl.flatMap(e => e.rel +: e.dvs)
         .filterNot(rel => fs.exists(new Path(dir, rel)))
       require(missing.isEmpty,
         s"diff: data files of $dir were vacuumed (missing: ${missing.take(3).mkString(", ")})")
       if (excl.nonEmpty)
-        scanEntries(spark, dir, excl, declaredSchemaAt(dir, v)) // DV-masked per side
+        scanEntries(spark, dir, excl, declared) // DV-masked per side
       else {
         // schema-only empty side: the declared (logical) schema when one
         // exists, else a DRIVER footer read — either way an empty
@@ -2389,13 +2496,13 @@ object VersionedTable {
         // job just to build an empty frame)
         require(entries.nonEmpty, s"diff: version has no data files in $dir")
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          declaredSchemaAt(dir, v).getOrElse(
+          declared.getOrElse(
             org.apache.spark.sql.graft.FooterShim.schemaOf(
               spark, absOf(dir, entries.head.rel).toString)))
       }
     }
-    val a = scan(entriesA, vFrom)
-    val b = scan(entriesB, vTo)
+    val a = scan(entriesA, spanDecl._1)
+    val b = scan(entriesB, spanDecl._2)
     require(keyCols.forall(a.columns.contains) && keyCols.forall(b.columns.contains),
       s"key columns ${keyCols.mkString(",")} must exist in both versions")
     (a, b)
