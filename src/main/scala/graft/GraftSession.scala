@@ -25,6 +25,7 @@ object GraftSession {
     System.setProperty("java.awt.headless", "true")
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

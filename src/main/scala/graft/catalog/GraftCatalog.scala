@@ -1,0 +1,180 @@
+package graft.catalog
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.tables.{TableManager, VersionedTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 [[TableCatalog]] over [[VersionedTable]] directories — the
+  * metastore ergonomics the reference leans on (`00. Explore.py:66,75,89`
+  * drives `saveAsTable` / `spark.table` / bare `%sql` verbs against a Hive
+  * metastore). Registered as `spark.sql.catalog.graft = graft.catalog
+  * .GraftCatalog` ([[graft.GraftSession.configure]]), after which
+  *
+  * {{{
+  *   SELECT * FROM graft.t
+  *   SELECT * FROM graft.t VERSION AS OF 3
+  *   SELECT * FROM graft.t TIMESTAMP AS OF '2026-01-01 00:00:00'
+  *   INSERT INTO graft.t SELECT ...
+  *   CREATE TABLE graft.t2 AS SELECT ...
+  * }}}
+  *
+  * all parse NATIVELY — time travel resolves through the `loadTable(ident,
+  * version/timestamp)` overloads, not a string rewrite. [[graft.tables
+  * .TableSql]] sets the session's current catalog to `graft` for its SELECT
+  * path, so unqualified names resolve here too.
+  *
+  * Resolution is a name → table-directory map: an explicit [[register]]
+  * entry, else `<warehouse>/<name>` when the catalog was initialized with a
+  * `warehouse` option. The registry is process-wide and O(tables) tiny —
+  * at 100 TB the registry is owned by the platform's metastore; this layer
+  * needs only the resolution, not the storage ([[graft.tables.TableSql]]'s
+  * design note). Namespaces are the single flat `default` (the reference
+  * uses one schema, `dais_2021`).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def checkNamespace(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || ns.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(ns)
+
+  private def dirOf(ident: Identifier): Option[String] = {
+    checkNamespace(ident.namespace())
+    Option(GraftCatalog.registry.get(ident.name()))
+      .orElse(warehouse.map(w => new Path(w, ident.name()).toString))
+  }
+
+  private def committed(dir: String): Boolean =
+    VersionedTable.latestVersion(dir).isDefined
+
+  override def tableExists(ident: Identifier): Boolean =
+    dirOf(ident).exists(d => committed(d) ||
+      GraftCatalog.pendingSchemas.containsKey(d))
+
+  override def loadTable(ident: Identifier): Table =
+    dirOf(ident) match {
+      case Some(d) if committed(d) => new GraftTable(ident.name(), d, None)
+      case Some(d) if GraftCatalog.pendingSchemas.containsKey(d) =>
+        // created but not yet written (the CREATE → first INSERT window):
+        // serve the declared schema so CTAS/INSERT resolve
+        new GraftTable(ident.name(), d, None,
+          Some(GraftCatalog.pendingSchemas.get(d)))
+      case _ => throw new NoSuchTableException(ident)
+    }
+
+  /** `VERSION AS OF <v>` — the version string must be a commit number. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    dirOf(ident) match {
+      case Some(d) if committed(d) =>
+        val v = try version.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$catalogName.${ident.name()}: VERSION AS OF takes a commit number, got `$version`")
+        }
+        new GraftTable(ident.name(), d, Some(v))
+      case _ => throw new NoSuchTableException(ident)
+    }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    dirOf(ident) match {
+      case Some(d) if committed(d) =>
+        new GraftTable(ident.name(), d,
+          Some(VersionedTable.versionAsOf(d, timestamp / 1000L)))
+      case _ => throw new NoSuchTableException(ident)
+    }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkNamespace(namespace)
+    import scala.jdk.CollectionConverters._
+    GraftCatalog.registry.keySet().asScala.toArray.sorted
+      .map(n => Identifier.of(Array("default"), n))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"$catalogName: PARTITIONED BY is not supported — the versioned layout " +
+        "clusters via OPTIMIZE ZORDER / commitCompact instead")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val d = dirOf(ident).getOrElse(sys.error(
+      s"$catalogName: cannot place table `${ident.name()}` — register it " +
+        s"explicitly (GraftCatalog.register) or configure " +
+        s"spark.sql.catalog.$catalogName.warehouse"))
+    GraftCatalog.registry.put(ident.name(), d)
+    GraftCatalog.pendingSchemas.put(d, schema)
+    new GraftTable(ident.name(), d, None, Some(schema))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: ALTER TABLE via the catalog is not supported — use the " +
+        "TableSql verbs (ALTER TABLE t RENAME/DROP COLUMN) which commit " +
+        "through the column-mapping protocol")
+
+  override def dropTable(ident: Identifier): Boolean =
+    dirOf(ident) match {
+      case Some(d) if committed(d) || GraftCatalog.pendingSchemas.containsKey(d) =>
+        TableManager.deleteDir(SparkSession.active, d)
+        GraftCatalog.registry.remove(ident.name())
+        GraftCatalog.pendingSchemas.remove(d)
+        true
+      case _ => false
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: RENAME TABLE is not supported (directory-addressed tables)")
+
+  // ---- SupportsNamespaces: the single flat `default` namespace ----
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    checkNamespace(namespace); Array.empty
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default"))
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    checkNamespace(namespace); new util.HashMap[String, String]()
+  }
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(s"$catalogName: single flat namespace")
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(s"$catalogName: single flat namespace")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(s"$catalogName: single flat namespace")
+}
+
+object GraftCatalog {
+
+  /** Process-wide name → table-directory registry (the "metastore"). */
+  private val registry = new ConcurrentHashMap[String, String]()
+
+  /** Declared schemas of created-but-never-committed tables, by directory —
+    * bridges CREATE TABLE to the first INSERT/CTAS write. */
+  private val pendingSchemas = new ConcurrentHashMap[String, StructType]()
+
+  /** Register `name` → `dir` so `graft.<name>` resolves. Idempotent. */
+  def register(name: String, dir: String): Unit = registry.put(name, dir)
+
+  /** Drop a registration (the table directory is untouched). */
+  def deregister(name: String): Unit = { registry.remove(name); () }
+}

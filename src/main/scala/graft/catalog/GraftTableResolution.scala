@@ -1,0 +1,43 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Analysis rule substituting every READ of a [[GraftTable]] with the
+  * table's full V1 plan ([[graft.tables.VersionedTable.read]]) — the Delta
+  * architecture: DSv2 owns NAME RESOLUTION (catalog lookup, `VERSION AS
+  * OF`, the format("graft") provider), while execution runs the same
+  * parquet scan a hand-built read would, keeping predicate pushdown, column
+  * pruning, partition coalescing, and whole-stage codegen intact. Without
+  * this rule the scan would fall back to [[GraftTable]]'s row-at-a-time
+  * V1Scan (correct, unoptimized).
+  *
+  * The substituted plan's attributes get fresh exprIds, so a Project of
+  * aliases PINNED to the relation's original exprIds bridges them — parent
+  * operators keep resolving against the ids they bound at analysis.
+  *
+  * WRITE positions are untouched by construction: `V2WriteCommand.table`
+  * is not a child of the command node, so `resolveOperatorsUp` never visits
+  * the target relation of an INSERT — only genuine read positions rewrite.
+  */
+case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val table = r.table.asInstanceOf[GraftTable]
+        val v1 = table.readDataFrame(spark).queryExecution.analyzed
+        val byName = v1.output
+          .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+        val aligned: Seq[NamedExpression] = r.output.map { o =>
+          val src = byName.getOrElse(o.name.toLowerCase(java.util.Locale.ROOT),
+            sys.error(s"graft: column `${o.name}` of ${table.name()} is missing " +
+              "from the table's current read schema (concurrent schema change?)"))
+          Alias(src, o.name)(exprId = o.exprId)
+        }
+        Project(aligned, v1)
+    }
+}

@@ -14,6 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // versioned-table reads resolved through the catalog / format("graft")
+    // substitute their full V1 scan plan at analysis time (see
+    // [[graft.catalog.GraftTableResolution]])
+    ext.injectResolutionRule(session =>
+      graft.catalog.GraftTableResolution(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
