@@ -91,14 +91,33 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider {
     val maxVersions   = opt("maxVersionsPerTrigger").map(_.toInt)
     maxVersions.foreach(m => require(m > 0,
       s"VersionedStream: maxVersionsPerTrigger must be positive, got $m"))
-    val startingVersion = opt("startingVersion").map(_.toLong)
-    startingVersion.foreach(v => require(v >= 0,
+    val explicitStart = opt("startingVersion").map(_.toLong)
+    explicitStart.foreach(v => require(v >= 0,
       s"VersionedStream: startingVersion must be >= 0, got $v"))
+    // startingTimestamp (Delta option parity): the first commit AT or AFTER
+    // the timestamp — resolved once here to a version number, then the
+    // bootstrap/pacing machinery is identical to startingVersion's
+    val startingTs = opt("startingTimestamp")
+    require(explicitStart.isEmpty || startingTs.isEmpty,
+      "VersionedStream: startingVersion and startingTimestamp are mutually exclusive")
+    val startingVersion = explicitStart.orElse(startingTs.map { ts =>
+      val ms = java.sql.Timestamp.valueOf(ts).getTime
+      VersionedTable.log(dir).find(_._2 >= ms).map(_._1).getOrElse(sys.error(
+        s"VersionedStream: startingTimestamp '$ts' is after the latest commit " +
+          s"of $dir — nothing to replay (drop the option to tail new commits)"))
+    })
     if (opt("readChangeFeed").exists(_.toBoolean)) {
+      // key resolution: the per-query option wins; otherwise the table's
+      // own key declaration ([[VersionedTable.KeyColumnsProp]], recorded by
+      // the first MERGE or set explicitly) — Delta's CDF needs no read-time
+      // key, and with a declared table this one doesn't either
       val keys = opt("keyColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(sys.error("VersionedStream: readChangeFeed requires " +
-          ".option(\"keyColumns\", \"k1[,k2...]\") — the change feed diffs " +
-          "version pairs by key (this engine records no per-commit CDC files)"))
+        .orElse(VersionedTable.keyColumns(dir))
+        .getOrElse(sys.error("VersionedStream: readChangeFeed needs key columns — " +
+          "declare them on the table (VersionedTable.setKeyColumns; any MERGE " +
+          "records its keys automatically) or pass " +
+          ".option(\"keyColumns\", \"k1[,k2...]\") (the change feed diffs " +
+          "version pairs by key; this engine records no per-commit CDC files)"))
       require(!ignoreChanges,
         "VersionedStream: ignoreChanges is meaningless under readChangeFeed " +
           "(rewrites ARE the feed)")

@@ -83,15 +83,22 @@ object ChangeFeedConsumer {
 
   /** Bronze→silver replication through the feed: maintains `silverDir` as a
     * row-identical mirror of `bronzeDir`'s latest version, incrementally —
-    * each poll merges the span's upserts ([[VersionedTable.commitMerge]])
-    * and deletes its removed keys, both txn-marked with the span's `to`
-    * version, so a crash-replayed span applies exactly once. The mirror is
-    * the degenerate transform; real silver tables put a projection/filter
-    * in `silverTransform`. */
+    * each poll applies the whole span as ONE conditional MERGE
+    * ([[VersionedTable.commitMergeConditional]]): the span's per-key LAST
+    * state rides in as the source with its `change_type`, a DELETE arm
+    * takes the removed keys, UPDATE SET * the changed ones, and the INSERT
+    * arm the added ones — one probe, one file-grain rewrite, ONE commit per
+    * span (the merge-then-delete shape this replaced paid two probes, two
+    * rewrites, two commits, and a driver-side key collect per span — pure
+    * protocol latency on small CDC batches). Txn-marked with the span's
+    * `to` version, so a crash-replayed span applies exactly once. The
+    * mirror is the degenerate transform; real silver tables put a
+    * projection/filter in `silverTransform`. */
   def replicate(spark: SparkSession, bronzeDir: String, silverDir: String,
       id: String, keyCols: Seq[String], valueCols: Seq[String],
       silverTransform: DataFrame => DataFrame = identity): Long = {
     import org.apache.spark.sql.functions._
+    val ctCol = "__graft_change_type"
     poll(spark, bronzeDir, id, keyCols, valueCols) { (state, v) =>
       VersionedTable.commitAppend(spark, silverTransform(state), silverDir,
         txn = Some((s"replicate:$id", v)))
@@ -101,44 +108,24 @@ object ChangeFeedConsumer {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(c => col(s"`$c`")): _*)
         .orderBy(col("version").desc)
-      // eager checkpoint: `last` (the span's changed keys only — skinny)
-      // feeds BOTH the upsert and the delete legs; uncheckpointed, the
-      // whole multi-step feed would recompute once per leg
       val last = feed.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-        .localCheckpoint(true)
-      val ups = silverTransform(last.where(col("change_type").isin("added", "updated"))
-        .select(keyCols.map(c => col(s"`$c`")) ++
+      // source = the span's final per-key state, shaped as the silver row
+      // plus the change flag; removed keys carry no values (the DELETE arm
+      // never reads them). The transform sees the flag column and must pass
+      // it through (identity and filter transforms do; a projection must
+      // keep unknown columns) — commitMergeConditional refuses loudly if it
+      // vanished.
+      val src = silverTransform(last.select(
+        keyCols.map(c => col(s"`$c`")) ++
           valueCols.filterNot(keyCols.contains)
-            .map(c => col(s"`${c}_new`").as(c)): _*))
-      VersionedTable.commitMerge(spark, silverDir, ups, keyCols,
-        txn = Some((s"replicate:$id:merge", to)))
-      val dels = last.where(col("change_type") === "removed")
-        .select(keyCols.map(c => col(s"`$c`")): _*).collect()
-      require(dels.length <= VersionedTable.MaxMergeProbeKeys,
-        s"replicate: span removes ${dels.length} keys (> ${VersionedTable.MaxMergeProbeKeys}) " +
-          "— a table-rewrite span; re-bootstrap the consumer instead")
-      if (dels.nonEmpty) {
-        // a FLAT In for the common single-column key (a linear OR chain
-        // overflows the stack past ~1k keys during expression conversion);
-        // composite keys get a balanced OR tree (depth log n)
-        val cond: org.apache.spark.sql.Column =
-          if (keyCols.size == 1) {
-            val vs = dels.map(_.get(0)).toSeq
-            val nn = vs.filter(_ != null).distinct
-            val in = if (nn.isEmpty) lit(false) else col(s"`${keyCols.head}`").isin(nn: _*)
-            if (vs.exists(_ == null)) in || col(s"`${keyCols.head}`").isNull else in
-          } else {
-            def orAll(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
-              if (cs.size == 1) cs.head
-              else orAll(cs.grouped(2).map(g =>
-                if (g.size == 2) g(0) || g(1) else g(0)).toSeq)
-            orAll(dels.toSeq.map(r => keyCols.zipWithIndex.map { case (k, i) =>
-              if (r.get(i) == null) col(s"`$k`").isNull else col(s"`$k`") === lit(r.get(i))
-            }.reduce(_ && _)))
-          }
-        VersionedTable.commitDelete(spark, silverDir, cond,
-          txn = Some((s"replicate:$id:delete", to)))
-      }
+            .map(c => col(s"`${c}_new`").as(c)) :+
+          col("change_type").as(ctCol): _*))
+      VersionedTable.commitMergeConditional(spark, silverDir, src, keyCols,
+        Seq(
+          VersionedTable.WhenMatchedDelete(Some(s"s.$ctCol = 'removed'")),
+          VersionedTable.WhenMatchedUpdate(Some(s"s.$ctCol != 'removed'"), Map.empty),
+          VersionedTable.WhenNotMatchedInsert(Some(s"s.$ctCol != 'removed'"), None)),
+        txn = Some((s"replicate:$id:apply", to)))
     }
   }
 }

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions.expr
   * dais_2021.flowers_train`), routed onto [[VersionedTable]]'s commit
   * protocol instead of a Delta jar:
   *
-  *   OPTIMIZE t [ZORDER BY (a, b)] [TARGET n FILES]
-  *   VACUUM t RETAIN n VERSIONS | VACUUM t RETAIN n HOURS
+  *   OPTIMIZE t [ZORDER BY (a, b)] [WHERE <cond>] [TARGET n FILES]
+  *   VACUUM t RETAIN n VERSIONS | HOURS [DRY RUN]
   *   DELETE FROM t WHERE <cond>
   *   UPDATE t SET a = <expr> [, b = <expr> ...] WHERE <cond>
   *   RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'
@@ -43,9 +43,9 @@ import org.apache.spark.sql.functions.expr
 object TableSql {
 
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(\w+)\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*(?:TARGET\s+(\d+)\s+FILES)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(\w+)\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*(?:WHERE\s+(.+?))?\s*(?:TARGET\s+(\d+)\s+FILES)?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val UpdateRe =
@@ -88,22 +88,36 @@ object TableSql {
       Seq((verb, t, v)).toDF("verb", "table", "version")
     }
     sql match {
-      case OptimizeRe(t, a, b, n) =>
+      case OptimizeRe(t, a, b, w, n) =>
         val target = Option(n).map(_.toInt).getOrElse(DefaultOptimizeFiles)
         val z      = (Option(a), Option(b)) match {
           case (Some(x), Some(y)) => Some((x, y))
           case _                  => None
         }
         done("OPTIMIZE", t,
-          VersionedTable.commitCompact(spark, dirOf(t), target, zOrderBy = z))
-      case VacuumRe(t, n, unit) =>
-        val dropped =
-          if (unit.equalsIgnoreCase("VERSIONS"))
-            VersionedTable.vacuum(spark, dirOf(t), retainLast = n.toInt)
-          else
-            VersionedTable.vacuumOlderThan(spark, dirOf(t),
-              olderThanMs = n.toLong * 3600000L)
-        done("VACUUM", t, dropped.size.toLong)
+          VersionedTable.commitCompact(spark, dirOf(t), target, zOrderBy = z,
+            where = Option(w).map(expr)))
+      case VacuumRe(t, n, unit, dry) =>
+        if (dry != null) {
+          // DRY RUN: the full deletion plan, nothing touched — one row per
+          // planned path (Delta's VACUUM ... DRY RUN shape)
+          val (_, paths) =
+            if (unit.equalsIgnoreCase("VERSIONS"))
+              VersionedTable.vacuumDryRun(spark, dirOf(t), retainLast = n.toInt)
+            else
+              VersionedTable.vacuumOlderThanDryRun(spark, dirOf(t),
+                olderThanMs = n.toLong * 3600000L)
+          import spark.implicits._
+          paths.toDF("path")
+        } else {
+          val dropped =
+            if (unit.equalsIgnoreCase("VERSIONS"))
+              VersionedTable.vacuum(spark, dirOf(t), retainLast = n.toInt)
+            else
+              VersionedTable.vacuumOlderThan(spark, dirOf(t),
+                olderThanMs = n.toLong * 3600000L)
+          done("VACUUM", t, dropped.size.toLong)
+        }
       case DeleteRe(t, cond) =>
         done("DELETE", t, VersionedTable.commitDelete(spark, dirOf(t), expr(cond)))
       case UpdateRe(t, setList, cond) =>

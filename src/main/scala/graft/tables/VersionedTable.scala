@@ -418,6 +418,60 @@ object VersionedTable {
   def hasSchemaRetirements(dir: String, v: Long): Boolean =
     hasColumnMapping(dir, v) || tombstonesAt(dir, v).nonEmpty
 
+  // ------------------------------------------------------ table properties
+  // Small declarative metadata riding WITH the table (Delta's TBLPROPERTIES
+  // shape): one write-once-per-set file per key under `<dir>/_props/`,
+  // staged `.tmp` then renamed like commit entries. Properties are table
+  // metadata, not version state (like [[Constraints]]) — O(1) bytes,
+  // driver-only I/O.
+  private def propsDir(dir: String) = new Path(dir, "_props")
+  private val propNameRe = "^[A-Za-z0-9_][A-Za-z0-9_.-]{0,63}$".r
+
+  /** Set (or overwrite) a table property. */
+  def setProperty(dir: String, key: String, value: String): Unit = {
+    require(propNameRe.findFirstIn(key).isDefined,
+      s"property key `$key` must match ${propNameRe.regex}")
+    val fs = propsDir(dir).getFileSystem(FsIO.hadoopConf())
+    fs.mkdirs(propsDir(dir))
+    val tmp = new Path(propsDir(dir), s"$key.prop.tmp")
+    FsIO.writeText(tmp.toString, value)
+    val target = new Path(propsDir(dir), s"$key.prop")
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      sys.error(s"VersionedTable.setProperty: could not publish `$key` on $dir")
+  }
+
+  /** Read a table property, if set. */
+  def property(dir: String, key: String): Option[String] =
+    FsIO.readText(new Path(propsDir(dir), s"$key.prop").toString)
+
+  /** The property under which a table declares its row-identity key
+    * columns (comma-separated). Recorded automatically by the first
+    * key-addressed write ([[commitMerge]]/[[commitMergeConditional]]) and
+    * settable explicitly ([[setKeyColumns]]); the change-data-feed stream
+    * resolves it so `readChangeFeed` needs no per-query `keyColumns`
+    * option (Delta's CDF needs no key declaration at read time). */
+  val KeyColumnsProp = "keyColumns"
+
+  /** Declare the table's key columns (overwrites a previous declaration). */
+  def setKeyColumns(dir: String, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "setKeyColumns: need at least one key column")
+    setProperty(dir, KeyColumnsProp, keyCols.mkString(","))
+  }
+
+  /** The table's declared key columns, if any. */
+  def keyColumns(dir: String): Option[Seq[String]] =
+    property(dir, KeyColumnsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
+  /** Record `keyCols` as the table's key declaration unless one exists —
+    * the merge paths call this after publishing, so any merged table's CDF
+    * streams without per-query options. First declaration wins (a later
+    * merge on other columns is that merge's business, not a re-keying). */
+  private def recordKeyColumns(dir: String, keyCols: Seq[String]): Unit =
+    if (keyColumns(dir).isEmpty) setKeyColumns(dir, keyCols)
+
   /** Rename a LOGICAL-schema frame to PHYSICAL column names just before
     * staging — on a mapped table every data file carries the immutable
     * physical names, whatever the logical names currently are. Columns
@@ -502,6 +556,22 @@ object VersionedTable {
     * (fname, pos) — still O(deleted rows), never O(table)). */
   val MaxBroadcastDvBytes: Long = 64L * 1024 * 1024
 
+  /** One DRIVER footer read resolving an undeclared manifest's schema —
+    * replaces Spark's parallel schema-inference JOB (every `spark.read
+    * .parquet` without a schema launches one); sound because the commit
+    * gates keep a manifest's files schema-uniform. */
+  private def footerSchema(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.graft.FooterShim.schemaOf(
+      spark, absOf(dir, entries.head.rel).toString)
+
+  /** Deletion-vector sidecar layout: skinny (file base name, row index)
+    * pairs, written by [[commitDeleteDV]]/MoR UPDATE. Fixed by construction,
+    * so sidecar reads never pay schema inference. */
+  private val DvSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fname", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType)))
+
   private def absOf(dir: String, rel: String) = new Path(new Path(dir), rel)
   private def baseName(rel: String)           = new Path(rel).getName
 
@@ -522,9 +592,13 @@ object VersionedTable {
         "deletion-vector row identity would be ambiguous")
     // mapped tables scan under PHYSICAL names (what the footers carry) and
     // alias back to logical below — identical plan for unmapped tables
-    // (physicalSchema is the identity there)
-    val reader = declared.fold(spark.read)(s => spark.read.schema(physicalSchema(s)))
-    val raw = reader
+    // (physicalSchema is the identity there). Tables WITHOUT a declared
+    // schema read through one DRIVER footer ([[footerSchema]]) instead of
+    // Spark's schema-inference JOB — a manifest's files agree by the
+    // commit-time gate, so the first footer IS the schema, and the saved
+    // job is pure protocol latency on every probe/feed/rewrite scan.
+    val raw = spark.read
+      .schema(declared.map(physicalSchema).getOrElse(footerSchema(spark, dir, entries)))
       .parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
       // substring_index, not split+element_at: the basename is computed per
       // ROW of the big side; split allocates a segment array per row
@@ -541,7 +615,8 @@ object VersionedTable {
     else {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dvBytes = dvRels.map(r => fs.getFileStatus(absOf(dir, r)).getLen).sum
-      val dvRaw = spark.read.parquet(dvRels.map(r => absOf(dir, r).toString): _*)
+      val dvRaw = spark.read.schema(DvSidecarSchema)
+        .parquet(dvRels.map(r => absOf(dir, r).toString): _*)
       // sidecars are shared per-commit, so a PRUNED scan (few entries)
       // would otherwise pay for every other file's positions too — push an
       // fname IN-filter into the sidecar read (sidecars are written
@@ -571,7 +646,8 @@ object VersionedTable {
       declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     if (entries.forall(_.dvs.isEmpty)) {
       require(entries.nonEmpty, s"VersionedTable: empty file manifest in $dir")
-      val raw = declared.fold(spark.read)(s => spark.read.schema(physicalSchema(s)))
+      val raw = spark.read
+        .schema(declared.map(physicalSchema).getOrElse(footerSchema(spark, dir, entries)))
         .parquet(entries.map(e => absOf(dir, e.rel).toString): _*)
       declared.filter(hasMapping) match {
         case Some(s) =>
@@ -1360,7 +1436,8 @@ object VersionedTable {
           s"a${java.util.UUID.randomUUID().toString.take(8)}")
         val touchedNames: Set[String] =
           if (staged.isEmpty) Set.empty
-          else spark.read.parquet(staged.map(absOf(dir, _).toString): _*)
+          else spark.read.schema(DvSidecarSchema)
+            .parquet(staged.map(absOf(dir, _).toString): _*)
             .select("fname").distinct().collect().map(_.getString(0)).toSet
         if (touchedNames.isEmpty) {
           // nothing matched: drop the empty sidecar (orphan either way) and
@@ -1436,7 +1513,8 @@ object VersionedTable {
             .coalesce(1).sortWithinPartitions("fname", "pos"), stageTag)
         val touchedNames: Set[String] =
           if (staged.isEmpty) Set.empty
-          else spark.read.parquet(staged.map(absOf(dir, _).toString): _*)
+          else spark.read.schema(DvSidecarSchema)
+            .parquet(staged.map(absOf(dir, _).toString): _*)
             .select("fname").distinct().collect().map(_.getString(0)).toSet
         if (touchedNames.isEmpty) {
           staged.foreach(rel => fs.delete(absOf(dir, rel), false))
@@ -1500,7 +1578,8 @@ object VersionedTable {
       if (dvRels.size <= 1 && entries.forall(_.dvs.size <= 1)) pv // already compact
       else {
         val next = nextVersion(fs, dir, committed)
-        val merged = spark.read.parquet(dvRels.map(r => absOf(dir, r).toString): _*)
+        val merged = spark.read.schema(DvSidecarSchema)
+          .parquet(dvRels.map(r => absOf(dir, r).toString): _*)
           .select(col("fname"), col("pos")).distinct()
           .coalesce(1).sortWithinPartitions("fname", "pos")
         val dvRel = stageDataFiles(fs, dir, merged, next) match {
@@ -1561,10 +1640,15 @@ object VersionedTable {
         val full   = scanEntriesMeta(spark, dir, entries, declared)
         val srcChk = source.localCheckpoint(true)
         val keyDf  = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
-        val nKeys  = keyDf.count()
+        // ONE bounded collect decides small-vs-large AND delivers the keys:
+        // ≤ cap+1 rows prove whether the literal-probe path applies, saving
+        // the separate count() job the common small-batch path used to pay
+        // (the CDC replication loop runs a merge per span — job count IS
+        // the protocol latency there)
+        val keyProbe = keyDf.limit(MaxMergeProbeKeys + 1).collect()
         val touchedNames: Set[String] = (
-          if (nKeys <= MaxMergeProbeKeys) {
-            val keys = keyDf.collect()
+          if (keyProbe.length <= MaxMergeProbeKeys) {
+            val keys = keyProbe
             val coarse = keyCols.zipWithIndex.map { case (k, i) =>
               val vs = keys.map(_.get(i)).toSeq
               val nn = vs.filter(_ != null).distinct
@@ -1588,8 +1672,16 @@ object VersionedTable {
         val targetDf =
           if (touched.isEmpty) full.drop(FnameCol, PosCol).limit(0)
           else scanEntries(spark, dir, touched, declared) // masked; rewrite sheds the DVs
+        // the checkpointed source is a LogicalRDD — unknown size to the
+        // planner, so the upsert join would default to a shuffle join even
+        // for a tiny CDC batch. Under the probe cap the source is
+        // driver-bounded by contract (unique keys ≤ MaxMergeProbeKeys), so
+        // hint broadcast: the rewrite becomes a shuffle-free broadcast join
+        // over just the touched files.
+        val srcForMerge =
+          if (keyProbe.length <= MaxMergeProbeKeys) broadcast(srcChk) else srcChk
         val merged = toPhysical(
-          TableManager.mergeUpsert(targetDf, srcChk, keyCols), declared)
+          TableManager.mergeUpsert(targetDf, srcForMerge, keyCols), declared)
         val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
         val staged = stageDataFilesTagged(fs, dir, merged, stageTag)
         val newRels =
@@ -1597,11 +1689,13 @@ object VersionedTable {
           else stageDataFilesTagged(fs, dir, merged.coalesce(1), stageTag)
         val provenAgainst = Constraints.list(dir)
         validateStaged(spark, dir, newRels, "VersionedTable.commitMerge", declared)
-        publishRebased(spark, fs, dir, "VersionedTable.commitMerge",
+        val v = publishRebased(spark, fs, dir, "VersionedTable.commitMerge",
           pv, entries, untouched ++ newRels.map(FileEntry(_, Nil)),
           staged = newRels, provenAgainst = provenAgainst,
           txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
           validateDeclared = declared, opLabel = "MERGE")
+        recordKeyColumns(dir, keyCols)
+        v
       }
     }
   }
@@ -1698,10 +1792,14 @@ object VersionedTable {
         }
         val srcChk   = source.localCheckpoint(true)
         val keyDf    = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
-        val nKeys    = keyDf.count()
         // the ambiguous-merge gate (Delta's): duplicate source keys would
-        // multiply matched target rows through the join
-        require(nKeys == srcChk.count(),
+        // multiply matched target rows through the join. ONE agg job
+        // delivers both counts (row count + distinct-key count) — the gate
+        // used to cost two jobs, pure protocol latency on small CDC spans.
+        val counts = srcChk.agg(count(lit(1)).as("n"),
+          count_distinct(struct(keyCols.map(k => col(s"`$k`")): _*)).as("nk")).head
+        val nKeys = counts.getLong(1)
+        require(nKeys == counts.getLong(0),
           s"commitMergeConditional: source keys (${keyCols.mkString(",")}) are not " +
             "unique — several source rows would match one target row (ambiguous merge)")
         val touchedNames: Set[String] = (
@@ -1731,9 +1829,14 @@ object VersionedTable {
           if (touched.isEmpty) scanEntries(spark, dir, entries, declared).limit(0)
           else scanEntries(spark, dir, touched, declared) // masked; rewrite sheds DVs
         val targetSchema = targetDf.schema
-        // ---- matched side: t LEFT OUTER s on keys, first-true clause wins
+        // ---- matched side: t LEFT OUTER s on keys, first-true clause wins.
+        // The checkpointed source reads as a LogicalRDD (unknown size), so
+        // hint broadcast under the probe cap — the source is driver-bounded
+        // by the unique-key contract, and the clause rewrite then runs as a
+        // shuffle-free broadcast join over the touched files.
         val presentCol = "__graft_s_present"
-        val srcFlag = srcChk.withColumn(presentCol, lit(true))
+        val srcFlag0 = srcChk.withColumn(presentCol, lit(true))
+        val srcFlag = if (nKeys <= MaxMergeProbeKeys) broadcast(srcFlag0) else srcFlag0
         val joined = targetDf.as("t").join(srcFlag.as("s"),
           keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_outer")
         val matched = coalesce(col(s"s.`$presentCol`"), lit(false))
@@ -1818,11 +1921,13 @@ object VersionedTable {
           else stageDataFilesTagged(fs, dir, merged.coalesce(1), stageTag)
         val provenAgainst = Constraints.list(dir)
         validateStaged(spark, dir, newRels, "commitMergeConditional", declared)
-        publishRebased(spark, fs, dir, "VersionedTable.commitMergeConditional",
+        val v = publishRebased(spark, fs, dir, "VersionedTable.commitMergeConditional",
           pv, entries, untouched ++ newRels.map(FileEntry(_, Nil)),
           staged = newRels, provenAgainst = provenAgainst,
           txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
           validateDeclared = declared, opLabel = "MERGE COND")
+        recordKeyColumns(dir, keyCols)
+        v
       }
     }
   }
@@ -1940,11 +2045,21 @@ object VersionedTable {
     * per-file stats regain the selectivity append fragmentation lost —
     * the matview dirty-group rescan and parquet row-group skipping both
     * feed on exactly that clustering. Old versions still read their old
-    * files; [[vacuum]] reclaims them once out of retention. */
+    * files; [[vacuum]] reclaims them once out of retention.
+    *
+    * `where` SCOPES the re-layout (Delta's `OPTIMIZE ... WHERE`): only
+    * files holding at least one row matching the predicate rewrite; every
+    * other file carries into the new manifest byte-identical (hot
+    * partitions compact daily without re-laying 100 TB of cold history —
+    * O(matching files), not O(table)). The row set is unchanged either
+    * way, so the commit stays `dataChange=false`. A predicate matching no
+    * file is a no-op: the CURRENT version number returns and no commit is
+    * published. */
   def commitCompact(spark: SparkSession, dir: String, targetFiles: Int,
       clusterBy: Seq[String] = Seq.empty,
       zOrderBy: Option[(String, String)] = None,
-      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long = {
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     require(targetFiles >= 1, s"commitCompact: targetFiles must be >= 1, got $targetFiles")
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "commitCompact: clusterBy and zOrderBy are mutually exclusive layouts")
@@ -1954,31 +2069,48 @@ object VersionedTable {
       require(committed.nonEmpty, s"commitCompact: $dir has no committed version")
       val next = nextVersion(fs, dir, committed)
       val (pv, pms) = committed.last
-      val entries = checkedEntries(fs, dir, pv, pms)
-      // masked read: compaction MATERIALIZES deletion vectors away — the
-      // re-laid rows are the live rows, and the new entries carry no DVs
-      // (merge-on-read's compaction discipline)
-      val full = scanEntries(spark, dir, entries, declaredSchemaAt(dir, pv))
-      val laid = zOrderBy match {
-        // OPTIMIZE ZORDER BY: each rewritten file covers a narrow range of
-        // BOTH columns, so per-file stats prune selective filters on either
-        case Some((a, b)) => TableManager.zLayout(full, a, b, targetFiles,
-          "VersionedTable.commitCompact")
-        case None if clusterBy.isEmpty => full.repartition(targetFiles)
-        case None => full.repartitionByRange(targetFiles,
-            clusterBy.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
-          .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+      val entries  = checkedEntries(fs, dir, pv, pms)
+      val declared = declaredSchemaAt(dir, pv)
+      // predicate scoping: ONE column-pruned scan of the predicate's
+      // columns finds the files holding matching rows (DV-masked — a row
+      // already deleted must not drag its file into the rewrite)
+      val (scoped, untouched) = where match {
+        case Some(pred) if entries.nonEmpty =>
+          import org.apache.spark.sql.functions.col
+          val hit = scanEntriesMeta(spark, dir, entries, declared)
+            .where(pred).select(col(FnameCol)).distinct()
+            .collect().map(_.getString(0)).toSet
+          entries.partition(e => hit(baseName(e.rel)))
+        case _ => (entries, Seq.empty[FileEntry])
       }
-      val laidPhys = toPhysical(laid, declaredSchemaAt(dir, pv))
-      val newRels = stageDataFiles(fs, dir, laidPhys, next)
-      // an empty table compacts to an empty manifest only if the previous
-      // manifest was empty too — otherwise guarantee one schema-bearing file
-      val staged =
-        if (newRels.nonEmpty || entries.isEmpty) newRels
-        else stageDataFiles(fs, dir, laidPhys.coalesce(1), next)
-      publishEntry(fs, dir, next, Some(staged), dataChange = false,
-        opLabel = "OPTIMIZE")
-      next
+      if (where.isDefined && scoped.isEmpty) pv // no matching file: no-op
+      else {
+        // masked read: compaction MATERIALIZES deletion vectors away — the
+        // re-laid rows are the live rows, and the new entries carry no DVs
+        // (merge-on-read's compaction discipline)
+        val full = scanEntries(spark, dir, scoped, declared)
+        val laid = zOrderBy match {
+          // OPTIMIZE ZORDER BY: each rewritten file covers a narrow range of
+          // BOTH columns, so per-file stats prune selective filters on either
+          case Some((a, b)) => TableManager.zLayout(full, a, b, targetFiles,
+            "VersionedTable.commitCompact")
+          case None if clusterBy.isEmpty => full.repartition(targetFiles)
+          case None => full.repartitionByRange(targetFiles,
+              clusterBy.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
+            .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+        }
+        val laidPhys = toPhysical(laid, declared)
+        val newRels = stageDataFiles(fs, dir, laidPhys, next)
+        // an empty table compacts to an empty manifest only if the previous
+        // manifest was empty too — otherwise guarantee one schema-bearing file
+        val staged =
+          if (newRels.nonEmpty || untouched.nonEmpty || entries.isEmpty) newRels
+          else stageDataFiles(fs, dir, laidPhys.coalesce(1), next)
+        publishEntries(fs, dir, next,
+          Some(untouched ++ staged.map(FileEntry(_, Nil))), dataChange = false,
+          prev = Some(entries), opLabel = "OPTIMIZE")
+        next
+      }
     }
   }
 
@@ -2203,7 +2335,20 @@ object VersionedTable {
       graceMs: Long = DefaultVacuumGraceMs): Seq[Long] = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     vacuumKeeping(spark, dir, lockLeaseMs, graceMs,
-      committed => committed.map(_._1).takeRight(retainLast).toSet)
+      committed => committed.map(_._1).takeRight(retainLast).toSet)._1
+  }
+
+  /** DRY RUN (Delta's `VACUUM ... DRY RUN`): compute exactly what a real
+    * [[vacuum]] with the same arguments would delete — dropped version
+    * numbers plus every file/directory path — and delete NOTHING. Runs
+    * under the same lease so the answer is a consistent snapshot; the
+    * returned paths are table-relative. */
+  def vacuumDryRun(spark: SparkSession, dir: String, retainLast: Int,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      graceMs: Long = DefaultVacuumGraceMs): (Seq[Long], Seq[String]) = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    vacuumKeeping(spark, dir, lockLeaseMs, graceMs,
+      committed => committed.map(_._1).takeRight(retainLast).toSet, dryRun = true)
   }
 
   /** AGE-based retention (Delta's `VACUUM ... RETAIN n HOURS` shape at
@@ -2220,13 +2365,39 @@ object VersionedTable {
     val cutoff = System.currentTimeMillis() - olderThanMs
     vacuumKeeping(spark, dir, lockLeaseMs, graceMs, committed =>
       (committed.filter(_._2 >= cutoff).map(_._1) ++
-        committed.map(_._1).takeRight(retainLast)).toSet)
+        committed.map(_._1).takeRight(retainLast)).toSet)._1
   }
 
+  /** Age-based [[vacuumDryRun]] — the plan of [[vacuumOlderThan]] with the
+    * same arguments, deleting nothing. */
+  def vacuumOlderThanDryRun(spark: SparkSession, dir: String, olderThanMs: Long,
+      retainLast: Int = 1,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      graceMs: Long = DefaultVacuumGraceMs): (Seq[Long], Seq[String]) = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    vacuumKeeping(spark, dir, lockLeaseMs, graceMs, committed =>
+      (committed.filter(_._2 >= cutoff).map(_._1) ++
+        committed.map(_._1).takeRight(retainLast)).toSet, dryRun = true)
+  }
+
+  /** Shared vacuum core. `dryRun = true` computes the FULL deletion plan
+    * (same lease, same decisions) and touches nothing; the second return
+    * component lists every planned path table-relative. */
   private def vacuumKeeping(spark: SparkSession, dir: String, lockLeaseMs: Long,
-      graceMs: Long, keepOf: Seq[(Long, Long)] => Set[Long]): Seq[Long] =
+      graceMs: Long, keepOf: Seq[(Long, Long)] => Set[Long],
+      dryRun: Boolean = false): (Seq[Long], Seq[String]) =
     FsIO.withWriteLock(dir, "VersionedTable.vacuum", lockLeaseMs) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rootUri = new Path(dir).toUri.getPath
+      val planned = scala.collection.mutable.ArrayBuffer[String]()
+      def del(p: Path, recursive: Boolean): Unit = {
+        val abs = p.toUri.getPath
+        planned += (if (abs.startsWith(rootUri))
+          abs.stripPrefix(rootUri).stripPrefix("/") else abs)
+        if (!dryRun) { fs.delete(p, recursive); () }
+      }
       val cutoffMs = System.currentTimeMillis() - math.max(0L, graceMs)
       // crashed-before-rename staging litter goes too — but `.stage-*.__tmp`
       // dirs may be a LIVE lock-free writer's in-flight staging (no lease
@@ -2235,11 +2406,11 @@ object VersionedTable {
         fs.listStatus(new Path(dir)).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.endsWith(".__tmp") &&
             s.getModificationTime < cutoffMs)
-          .foreach(s => fs.delete(s.getPath, true))
+          .foreach(s => del(s.getPath, true))
       if (fs.exists(logDir(dir)))
         fs.listStatus(logDir(dir)).toSeq
           .filter(_.getPath.getName.endsWith(".commit.tmp"))
-          .foreach(s => fs.delete(s.getPath, false))
+          .foreach(s => del(s.getPath, false))
       val committed = VersionedTable.log(dir)
       // declared-schema housekeeping: staging litter and crashed evolves'
       // orphan files (version never committed) go; COMMITTED versions'
@@ -2252,7 +2423,7 @@ object VersionedTable {
           val orphan =
             schemaName.findFirstMatchIn(n).exists(m => !committedVs(m.group(1).toLong)) ||
               tombstoneName.findFirstMatchIn(n).exists(m => !committedVs(m.group(1).toLong))
-          if (n.endsWith(".tmp") || orphan) fs.delete(s.getPath, false)
+          if (n.endsWith(".tmp") || orphan) del(s.getPath, false)
         }
       }
       val keep      = keepOf(committed)
@@ -2288,7 +2459,7 @@ object VersionedTable {
                 rels.exists(rel => !keepRels.contains(rel))
           }
         }.map(_._1)
-      legacyDrop.foreach(v => fs.delete(vDir(dir, v), true))
+      legacyDrop.foreach(v => del(vDir(dir, v), true))
       // data/ sweep, two classes with different proof obligations:
       //  - referenced by SOME committed manifest but no retained one —
       //    a dropped version's exclusive file: deliberate retention drop,
@@ -2313,7 +2484,7 @@ object VersionedTable {
           .filterNot(s => keepRels.contains("data/" + s.getPath.getName))
           .filter(s => everReferenced.contains("data/" + s.getPath.getName) ||
             s.getModificationTime < cutoffMs)
-          .foreach(s => fs.delete(s.getPath, false))
+          .foreach(s => del(s.getPath, false))
       // per-version stats manifests ([[VersionedStats]]) of dropped
       // versions describe files that no longer exist — sweep them (and
       // their crashed staging litter) so the stats root mirrors retention
@@ -2323,9 +2494,9 @@ object VersionedTable {
           val n = s.getPath.getName
           val vOf = "^v=(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toLong)
           if (n.endsWith(".__tmp") || vOf.exists(!keep(_)))
-            fs.delete(s.getPath, true)
+            del(s.getPath, true)
         }
-      (legacyDrop ++ manifestDrop).distinct.sorted
+      ((legacyDrop ++ manifestDrop).distinct.sorted, planned.toSeq.sorted)
     }
 
   /** Row-level DIFF between two committed versions, keyed by `keyCols`:

@@ -27,9 +27,18 @@ object FooterShim {
     val conf = spark.asInstanceOf[ClassicSession].sessionState.newHadoopConf()
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     try {
-      val message = reader.getFooter.getFileMetaData.getSchema
-      new ParquetToSparkSchemaConverter(
-        spark.asInstanceOf[ClassicSession].sessionState.conf).convert(message)
+      val meta = reader.getFooter.getFileMetaData
+      // prefer the embedded Spark schema (what the distributed inference
+      // path resolves for Spark-written files — preserves nullability and
+      // type flags the physical MessageType can't carry); fall back to the
+      // physical conversion for foreign writers (pyarrow fixtures)
+      Option(meta.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap { json =>
+          try Some(org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
+          catch { case _: Throwable => None }
+        }
+        .getOrElse(new ParquetToSparkSchemaConverter(
+          spark.asInstanceOf[ClassicSession].sessionState.conf).convert(meta.getSchema))
     } finally reader.close()
   }
 }

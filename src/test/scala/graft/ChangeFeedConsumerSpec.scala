@@ -74,4 +74,41 @@ class ChangeFeedConsumerSpec extends SparkSpec {
       "re-delivered span must not commit new silver versions")
     assert(ChangeFeedConsumer.offset(bronze, "mirror").get > offBefore)
   }
+
+  test("span apply is ONE silver commit and bounded Spark jobs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cfc3").toString
+    val (bronze, silver) = (s"$root/bronze", s"$root/silver")
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 200L).select(col("id").as("k"), col("id").as("x"),
+        lit("base").as("tag")).repartitionByRange(4, col("k")), bronze)
+    mirror(bronze, silver)
+    VersionedTable.commitUpdate(spark, bronze, col("k") < 10L, Map("x" -> lit(9L)))
+    VersionedTable.commitDelete(spark, bronze, col("k") === 100L)
+    VersionedTable.commitAppend(spark, Seq((900L, 1L, "new")).toDF("k", "x", "tag"), bronze)
+    val silverBefore = VersionedTable.log(silver).size
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      mirror(bronze, silver)
+      Thread.sleep(300) // listener delivery is async; drain before reading
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rowsOf(silver) == rowsOf(bronze))
+    // the whole span (update + delete + insert) lands as ONE conditional
+    // MERGE — one probe, one rewrite, one commit. The job budget pins the
+    // CDC protocol cost: the span-state checkpoint, the ambiguity agg, the
+    // key collect, the file probe, and the staged write, each split into
+    // per-stage jobs by AQE (measured 17 on this shape). Regressions this
+    // catches: re-splitting the apply into merge-then-delete, re-adding
+    // count() probes, or re-introducing schema-INFERENCE jobs on the feed's
+    // scans (every undeclared scan resolves through one driver footer now).
+    assert(VersionedTable.log(silver).size == silverBefore + 1,
+      s"span must apply as ONE commit (${VersionedTable.log(silver).size - silverBefore})")
+    assert(jobs.get() <= 20, s"span apply cost ${jobs.get()} Spark jobs (> 20)")
+  }
 }

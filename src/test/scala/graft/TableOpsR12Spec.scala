@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.VersionedStream
+import graft.tables.{TableSql, VersionedTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Round-12 table operations: table-level key declaration feeding the CDF
+  * stream, startingTimestamp bootstrap, predicate-scoped OPTIMIZE, and
+  * VACUUM DRY RUN.
+  */
+class TableOpsR12Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def root() = Files.createTempDirectory("graft_r12").toString
+
+  test("MERGE records keyColumns; CDF streams without the per-query option") {
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal"), table)
+    assert(VersionedTable.keyColumns(table).isEmpty)
+    VersionedTable.commitMerge(spark, table, Seq((2L, 99.0)).toDF("k", "bal"), Seq("k"))
+    assert(VersionedTable.keyColumns(table).contains(Seq("k")))
+    // CDF with NO keyColumns option resolves the declaration
+    val q = spark.readStream.format(VersionedStream.format)
+      .option("path", table)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$r/out").option("checkpointLocation", s"$r/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$r/out")
+      .select("k", "bal", "_change_type").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getString(2))).toSet
+    assert(rows == Set((2L, 20.0, "update_preimage"), (2L, 99.0, "update_postimage")),
+      rows.toString)
+  }
+
+  test("CDF on an undeclared table refuses with an actionable message") {
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "bal"), table)
+    val e = intercept[Exception] {
+      spark.readStream.format(VersionedStream.format)
+        .option("path", table).option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$r/out").option("checkpointLocation", s"$r/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("setKeyColumns")), msgs(e).mkString(" | "))
+  }
+
+  test("startingTimestamp bootstraps from the first commit at or after it") {
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 1L)).toDF("k", "x"), table) // v0
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.commitAppend(spark, Seq((2L, 2L)).toDF("k", "x"), table) // v1
+    VersionedTable.commitAppend(spark, Seq((3L, 3L)).toDF("k", "x"), table) // v2
+    val ts = new java.sql.Timestamp(betweenMs).toString
+    val q = spark.readStream.format(VersionedStream.format)
+      .option("path", table)
+      .option("startingTimestamp", ts)
+      .option("maxVersionsPerTrigger", "1") // pacing must bound batch 1 too
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$r/out").option("checkpointLocation", s"$r/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // v0 predates the timestamp: only v1 emits in the first drain (pacing=1)
+    assert(spark.read.parquet(s"$r/out").select("k").collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+    // both options together refuse (createSource runs at stream start)
+    val e = intercept[Exception] {
+      spark.readStream.format(VersionedStream.format)
+        .option("path", table).option("startingTimestamp", ts)
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet")
+        .option("path", s"$r/out2").option("checkpointLocation", s"$r/ckpt2")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("mutually exclusive")), msgs(e).mkString(" | "))
+  }
+
+  test("OPTIMIZE ... WHERE rewrites only matching files; others stay byte-identical") {
+    val r = root(); val table = s"$r/t"
+    // two clearly separated key ranges in separate files
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 1000L).select(col("id").as("k"), (col("id") * 3).as("x"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"), table)
+    val before = VersionedTable.filesOf(table, 0L)
+    val v = TableSql.execute(spark, Map("t" -> table),
+      "OPTIMIZE t WHERE k < 250 TARGET 1 FILES").head.getLong(2)
+    val after = VersionedTable.filesOf(table, v)
+    // the non-matching files carry over AS THE SAME entries (shared, not
+    // rewritten); only the matching file(s) were replaced
+    val shared = before.toSet.intersect(after.toSet)
+    assert(shared.nonEmpty, "scoped OPTIMIZE must share non-matching files")
+    assert(before.toSet -- shared != before.toSet, "some file must rewrite")
+    // rows identical, dataChange=false (the feed skips the step)
+    assert(VersionedTable.read(spark, table).count() == 1000L)
+    assert(!VersionedTable.dataChanged(table, v))
+    assert(VersionedTable.changes(spark, table, 0L, v, Seq("k"), Seq("x")).count() == 0L)
+    // a predicate hitting nothing is a no-op (no new version)
+    val v2 = VersionedTable.commitCompact(spark, table, 1,
+      where = Some(col("k") > 100000L))
+    assert(v2 == v && VersionedTable.latestVersion(table).contains(v))
+  }
+
+  test("VACUUM DRY RUN lists the plan and deletes nothing; real vacuum matches") {
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 100L).select(col("id").as("k"), col("id").as("x")), table) // v0
+    VersionedTable.commitDelete(spark, table, col("k") < 50L)                    // v1 rewrites
+    VersionedTable.commitAppend(spark, Seq((900L, 1L)).toDF("k", "x"), table)    // v2
+    val plan = TableSql.execute(spark, Map("t" -> table),
+      "VACUUM t RETAIN 1 VERSIONS DRY RUN")
+    val planned = plan.collect().map(_.getString(0)).toSet
+    assert(planned.nonEmpty, "v0/v1-exclusive files must be planned")
+    // nothing deleted: every version still reads
+    assert(VersionedTable.read(spark, table, Some(0L)).count() == 100L)
+    assert(VersionedTable.read(spark, table, Some(1L)).count() == 50L)
+    // the real vacuum deletes exactly the dry-run plan (same grace rules)
+    val (dropped, paths) = VersionedTable.vacuumDryRun(spark, table, retainLast = 1)
+    assert(paths.toSet == planned)
+    VersionedTable.vacuum(spark, table, retainLast = 1)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    planned.foreach(p => assert(!fs.exists(new org.apache.hadoop.fs.Path(table, p)),
+      s"planned path $p must be gone after the real vacuum"))
+    assert(dropped.nonEmpty)
+    intercept[Exception] { VersionedTable.read(spark, table, Some(0L)).count() }
+    assert(VersionedTable.read(spark, table).count() == 51L)
+  }
+}
