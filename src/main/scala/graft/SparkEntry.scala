@@ -25,17 +25,29 @@ object SparkEntry {
 
   /** Build-once IVF index shared by `q_ivf_build` (always rebuilds — its
     * bench line IS the build cost) and `q_similarity_ivf` (probe-only when
-    * the index exists). Memoized per (dir, SOURCE-FILE fingerprint): the
-    * fingerprint (file names/sizes/mtimes — a metadata-only listing, no data
-    * read) is re-derived on EVERY call, so an embeddings table regenerated
-    * mid-process invalidates the memo instead of probing stale centroids.
-    * A new fingerprint for a dir evicts that dir's superseded entries —
-    * otherwise a long-lived JVM repeatedly regenerating a dataset grows the
-    * map (and its centroid arrays) without bound. */
+    * the index exists). Centroids are DETERMINISTIC data rows (vectors
+    * 0..7, the `q_knn_join_ivf` convention) so the whole index — assignment
+    * histogram, pruned probes — replays in DuckDB and the queries are fully
+    * oracle-checked; the LEARNED-centroid path keeps its own recall-gated
+    * coverage (`q_knn_join_ivf_learned`). Memoized per (dir, SOURCE-FILE
+    * fingerprint): the fingerprint (file names/sizes/mtimes — a
+    * metadata-only listing, no data read) is re-derived on EVERY call, so an
+    * embeddings table regenerated mid-process invalidates the memo instead
+    * of probing stale centroids. A new fingerprint for a dir evicts that
+    * dir's superseded entries — otherwise a long-lived JVM repeatedly
+    * regenerating a dataset grows the map (and its centroid arrays) without
+    * bound. */
   private val ivfMemo = scala.collection.concurrent.TrieMap[(String, String), Array[Array[Float]]]()
 
   private def ivfIndexPath(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf${graft.tables.FsIO.tmpTag(dir)}"
+    // `ivf2`: deterministic-centroid generation — a stale index from the
+    // learned-centroid era must never satisfy the memoized load
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf2${graft.tables.FsIO.tmpTag(dir)}"
+
+  private def dataRowCentroids(df: DataFrame, below: Long,
+      filter: Column = lit(true)): Array[Array[Float]] =
+    df.where(col("vec_id") < below && filter).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
 
   private def ensureIvfIndex(s: SparkSession, dir: String): (String, Array[Array[Float]]) = {
     val path = ivfIndexPath(dir)
@@ -44,7 +56,8 @@ object SparkEntry {
     val cent = ivfMemo.getOrElseUpdate((dir, fp), {
       ivfMemo.filterInPlace { case ((d, _), _) => d != dir }
       Similarity.loadIvfCentroids(s, path, expectSource = Some(fp))
-        .getOrElse(Similarity.buildIvfIndex(emb, "embedding", "vec_id", k = 8, path))
+        .getOrElse(Similarity.buildIvfIndexWith(emb, "embedding", "vec_id",
+          dataRowCentroids(emb, 8L), path))
     })
     (path, cent)
   }
@@ -1218,24 +1231,31 @@ object SparkEntry {
         .orderBy("modality", "media_id")
     }),
 
-    // -- north-star: IVF index build (fit + partitioned write) ------------
+    // -- north-star: IVF index build (assignment + partitioned write) ------
     // Deliberately rebuilds every call: its bench line is the honest
     // build cost, separated from the probe (`q_similarity_ivf`) the way a
-    // real deployment amortizes it. Returns the per-cell histogram.
+    // real deployment amortizes it. Centroids = vectors 0..7 (deterministic
+    // data — the q_knn_join_ivf convention), so the per-cell histogram it
+    // returns replays exactly in the oracle; the learned-fit cost stays
+    // measured by q_knn_join_ivf_learned / q_kmeans.
     "q_ivf_build" -> ((s, d) => {
       val emb  = t(s, d, "embeddings")
       val path = ivfIndexPath(d)
       val fp   = Similarity.sourceFingerprint(emb)
-      val cent = Similarity.buildIvfIndex(emb, "embedding", "vec_id", k = 8, path)
+      val cent = Similarity.buildIvfIndexWith(emb, "embedding", "vec_id",
+        dataRowCentroids(emb, 8L), path)
       ivfMemo.put((d, fp), cent)
       s.read.parquet(path)
         .groupBy("ivf_cell").agg(count(lit(1)).as("n"))
+        .select(col("ivf_cell").cast("long"), col("n"))
         .orderBy("ivf_cell")
     }),
 
     // -- north-star: IVF ANN probe over the persisted index ---------------
     // Partition-pruned read: only the 3 probed cells' directories are
-    // scanned (PlansSpec asserts the selected-partition count).
+    // scanned (PlansSpec asserts the selected-partition count). Fully
+    // oracle-checked: deterministic centroids make the probe-cell choice
+    // and the in-cell top-k replayable in SQL.
     "q_similarity_ivf" -> ((s, d) => {
       val (path, centroids) = ensureIvfIndex(s, d)
       val q = t(s, d, "embeddings").where(col("vec_id") === 0).select("embedding")
@@ -1244,17 +1264,20 @@ object SparkEntry {
     }),
 
     // -- IVF index incremental append (continuous ingest, no refit) --------
-    // Build on half the corpus, append the other half to the EXISTING
-    // cells, probe the appended index. Rows-only (learned centroids), but
-    // self-gating: the in-query require proves the appended index answers
-    // probes IDENTICALLY to a direct assignment scan of the full corpus —
-    // if append ever drops/misroutes a cell, the gate fails.
+    // Build on the EVEN half with deterministic centroids (the even
+    // vectors below 16), append the odd half to the EXISTING cells, probe
+    // the appended index. Doubly checked: the in-query require proves the
+    // appended index answers probes IDENTICALLY to a direct assignment
+    // scan of the full corpus (append drops/misroutes nothing), and the
+    // oracle replays that scan in SQL — so the probe result itself is
+    // hash-checked too.
     "q_ivf_append" -> ((s, d) => {
       val emb  = t(s, d, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_qivfapp").toString + "/idx"
       val base  = emb.where(pmod(col("vec_id"), lit(2L)) === 0L)
       val batch = emb.where(pmod(col("vec_id"), lit(2L)) === 1L)
-      val cents = Similarity.buildIvfIndex(base, "embedding", "vec_id", k = 8, path)
+      val cents = Similarity.buildIvfIndexWith(base, "embedding", "vec_id",
+        dataRowCentroids(emb, 16L, pmod(col("vec_id"), lit(2L)) === 0L), path)
       Similarity.appendToIvfIndex(batch, "embedding", "vec_id", path)
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
@@ -4037,6 +4060,58 @@ object SparkEntry {
         "(PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank " +
         "FROM scored WHERE NOT isnan(cos) AND cos IS NOT NULL) " +
         "WHERE rank <= 5 ORDER BY vec_id, rank"),
+
+    "q_ivf_build" ->
+      // the index's per-cell histogram: assignment = argmax cosine against
+      // the deterministic centroids (vectors 0..7), lowest cid on ties —
+      // the q_knn_join_ivf assignment CTE, aggregated
+      ("WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+        "sims AS (SELECT v.vec_id, c.cid, list_cosine_similarity(ev, cv) AS s FROM v, c), " +
+        "ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sims) " +
+        "SELECT cid AS ivf_cell, COUNT(*) AS n FROM ranked WHERE rn = 1 " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q_similarity_ivf" ->
+      // pruned probe replay: the 3 cells nearest the query vector (vec 0),
+      // then the exact in-cell top-20 by rounded cosine, id tie-break —
+      // byte-for-byte the probeIvfIndex contract
+      ("WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+        "cellrank AS (SELECT c.cid, ROW_NUMBER() OVER " +
+        "(ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS crn FROM c, q), " +
+        "sims AS (SELECT v.vec_id, c.cid, list_cosine_similarity(ev, cv) AS s FROM v, c), " +
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sims) WHERE rn = 1), " +
+        "scored AS (SELECT a.vec_id, ROUND(list_cosine_similarity(v.ev, q.qv), 6) AS cos " +
+        "FROM assign a JOIN (SELECT cid FROM cellrank WHERE crn <= 3) p USING (cid) " +
+        "JOIN v ON v.vec_id = a.vec_id, q) " +
+        "SELECT vec_id, cos FROM scored WHERE NOT isnan(cos) AND cos IS NOT NULL " +
+        "ORDER BY cos DESC, vec_id LIMIT 20"),
+
+    "q_ivf_append" ->
+      // the appended index ≡ the full corpus assigned to the BASE
+      // centroids (even vectors below 16) — the in-query require proves
+      // that equivalence against the live index; this replays the direct
+      // scan, so the probe output is hash-checked end to end
+      ("WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+        "cellrank AS (SELECT c.cid, ROW_NUMBER() OVER " +
+        "(ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS crn FROM c, q), " +
+        "sims AS (SELECT v.vec_id, c.cid, list_cosine_similarity(ev, cv) AS s FROM v, c), " +
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sims) WHERE rn = 1), " +
+        "scored AS (SELECT a.vec_id, ROUND(list_cosine_similarity(v.ev, q.qv), 6) AS cos " +
+        "FROM assign a JOIN (SELECT cid FROM cellrank WHERE crn <= 3) p USING (cid) " +
+        "JOIN v ON v.vec_id = a.vec_id, q) " +
+        "SELECT vec_id, cos FROM scored WHERE NOT isnan(cos) AND cos IS NOT NULL " +
+        "ORDER BY cos DESC, vec_id LIMIT 20"),
 
     "q_lm_score" ->
       // hits and both denominator factors are exact integers; the one double

@@ -616,8 +616,22 @@ object Similarity {
       idCol: String,
       k: Int,
       indexPath: String,
-      seed: Long = 42L): Array[Array[Float]] = {
-    val centroids = fitIvfCentroids(df, vecCol, k, seed)
+      seed: Long = 42L): Array[Array[Float]] =
+    buildIvfIndexWith(df, vecCol, idCol, fitIvfCentroids(df, vecCol, k, seed), indexPath)
+
+  /** [[buildIvfIndex]] with CALLER-CHOSEN centroids (fixed data rows, a
+    * prior fit, an external codebook) — same partitioned layout, sidecar,
+    * and probe contract, no fit. With deterministic centroids the whole
+    * index (assignment, histogram, probes) is replayable by an external
+    * engine, which is what lets the index queries be oracle-checked; the
+    * LEARNED path stays covered by [[fitIvfCentroids]]'s recall gate. */
+  def buildIvfIndexWith(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Float]],
+      indexPath: String): Array[Array[Float]] = {
+    require(centroids.nonEmpty, "buildIvfIndexWith: need at least one centroid")
     assignCells(df.select(col(idCol), col(vecCol)), vecCol, centroids)
       // cluster by cell before the partitioned write: without this every
       // write task emits a file into every cell directory (tasks × cells
