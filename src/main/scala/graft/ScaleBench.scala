@@ -575,6 +575,39 @@ object ScaleBench {
       operators.Similarity.sq8TopK(t(s, d, "embeddings"), "embedding", "vec_id",
         queryId = 1L, k = 20)),
 
+    // CDF stream bootstrap: source HISTORY ∝ F (4·f fixed-size update
+    // commits on a fixed-size keyed table), then ONE startingVersion=0
+    // drain — the O(history) bootstrap bound made explicit: each commit
+    // resolves one shared-file-pruned key diff, so wall is per-commit flat
+    // (total ∝ commits) and wire is O(changed keys per commit), never
+    // O(table). Rows out ∝ commits (pre+post images per touched key).
+    "cdf_stream" -> ((s, d, f) => {
+      val work  = java.nio.file.Files.createTempDirectory("graft_scale_cdf").toString
+      val table = s"$work/t"
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("k"), length(col("text")).cast("long").as("x"))
+        .where(col("k") < 20000L) // FIXED table size at every factor
+      tables.VersionedTable.commitAppend(s,
+        base.repartitionByRange(8, col("k")), table)
+      (1 to 4 * f).foreach(i =>
+        tables.VersionedTable.commitUpdate(s, table,
+          pmod(col("k"), lit(400L)) === (i % 400).toLong,
+          Map("x" -> (col("x") + 1L))))
+      val out = s"$work/out"
+      val q = s.readStream.format(sources.VersionedStream.format)
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("keyColumns", "k")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // trigger SIZE ∝ F (constant trigger count): per-byte streaming cost
     "stream_near_dedup" -> ((s, d, f) => {
       val work   = java.nio.file.Files.createTempDirectory("graft_scale_snd").toString
