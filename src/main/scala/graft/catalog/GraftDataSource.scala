@@ -6,12 +6,14 @@ import graft.tables.VersionedTable
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** `spark.read.format("graft")` — the batch DataFrame entry to versioned
-  * tables (Delta's `format("delta")` ergonomics):
+/** `format("graft")` — the single format string for versioned tables,
+  * batch AND streaming (Delta's `format("delta")` ergonomics):
   *
   * {{{
   *   spark.read.format("graft").load(dir)                              // latest
@@ -19,13 +21,36 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.read.format("graft").option("timestampAsOf",
   *     "2026-01-01 00:00:00").load(dir)
   *   df.write.format("graft").mode("append"|"overwrite").save(dir)
+  *   spark.readStream.format("graft").load(dir)                        // tail commits
+  *   spark.readStream.format("graft").option("readChangeFeed", "true").load(dir)
+  *   df.writeStream.format("graft").option("checkpointLocation", cp).start(dir)
   * }}}
   *
-  * Produces a [[GraftTable]]; the read plan is substituted by the
-  * resolution rule (see [[GraftTable]]'s Scaladoc for the architecture).
+  * Batch reads produce a [[GraftTable]] whose plan is substituted by the
+  * resolution rule (see [[GraftTable]]'s Scaladoc for the architecture);
+  * streaming delegates to [[graft.sources.VersionedStream]]'s source/sink
+  * (the DataStreamReader falls back to the DSv1 provider when the table
+  * lacks streaming capabilities — exactly the path Delta's own dual
+  * provider rides).
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider {
+
+  private val stream = new graft.sources.VersionedStream
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    stream.sourceSchema(sqlContext, schema, providerName, parameters)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    stream.createSource(sqlContext, metadataPath, schema, providerName, parameters)
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink =
+    stream.createSink(sqlContext, parameters, partitionColumns, outputMode)
 
   override def shortName(): String = "graft"
 

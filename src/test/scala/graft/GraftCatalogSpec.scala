@@ -111,4 +111,36 @@ class GraftCatalogSpec extends SparkSpec {
     Seq((500L, 0L)).toDF("k", "x").write.format("graft").mode("append").save(dir)
     assert(VersionedTable.read(spark, dir).count() == 11L)
   }
+
+  test("format(\"graft\") streams: readStream tails commits, writeStream commits versions") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = fresh("cat_t8")
+    val r = Files.createTempDirectory("graft_cat").toString
+    val dst = s"$r/dst"
+    // graft -> graft: tail the source table, land each batch as a commit
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("path", dst).option("checkpointLocation", s"$r/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(VersionedTable.read(spark, dst).count() == 100L)
+    spark.sql("INSERT INTO graft.cat_t8 SELECT CAST(900 AS BIGINT), CAST(1 AS BIGINT)")
+    drain()
+    assert(VersionedTable.read(spark, dst).count() == 101L)
+    // the CDF flavor rides the same format string
+    VersionedTable.setKeyColumns(src, Seq("k"))
+    val cdf = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(src)
+      .writeStream.format("parquet")
+      .option("path", s"$r/cdf").option("checkpointLocation", s"$r/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    cdf.awaitTermination()
+    val types = spark.read.parquet(s"$r/cdf").select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("insert"), types.toString)
+  }
 }
