@@ -657,8 +657,13 @@ object SparkEntry {
       val truth = t(s, d, "orders").where(col("o_custkey") % 50 === 0)
         .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("qid"), col("l_partkey").as("item"))
+      // candidate catalog: a deterministic 1-in-7 slice of part — the
+      // cross join is |qids|x|catalog| TEST WIRING, not the operator under
+      // test (exact-integer AP over rank<=k rows), so the synthetic
+      // candidate set stays small by construction
       val results = qids
-        .crossJoin(broadcast(t(s, d, "part").select(col("p_partkey").as("item"))))
+        .crossJoin(broadcast(t(s, d, "part").select(col("p_partkey").as("item"))
+          .where(col("item") % 7 === 0)))
         .withColumn("score", pmod(col("qid") * 31 + col("item") * 7, lit(97)))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 10)
@@ -4221,7 +4226,7 @@ object SparkEntry {
         "JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey % 50 = 0), " +
         "nrel AS (SELECT qid, COUNT(*) AS n_rel FROM truth GROUP BY qid), " +
         "cand AS (SELECT q.qid, p.p_partkey AS item, (q.qid * 31 + p.p_partkey * 7) % 97 AS score " +
-        "FROM qids q, part p), " +
+        "FROM qids q, part p WHERE p.p_partkey % 7 = 0), " +
         "res AS (SELECT qid, item, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score, item) AS rank FROM cand), " +
         "top AS (SELECT r.qid, r.rank, CASE WHEN t.item IS NULL THEN 0 ELSE 1 END AS rel " +
         "FROM res r LEFT JOIN truth t ON t.qid = r.qid AND t.item = r.item WHERE r.rank <= 10), " +
