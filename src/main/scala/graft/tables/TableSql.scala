@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions.expr
   *     WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (a, b) VALUES (e1, e2)
   *   ALTER TABLE t RENAME COLUMN a TO b   (metadata-only, column mapping)
   *   ALTER TABLE t DROP COLUMN a          (metadata-only, tombstoned)
+  *   ALTER TABLE t ADD COLUMN c <type>    (metadata-only, nullable, null-filled)
+  *   ALTER TABLE t ADD CONSTRAINT n CHECK (<pred>) | DROP CONSTRAINT n
+  *   ALTER TABLE t SET TBLPROPERTIES ('k' = 'v' [, ...])
+  *   SHOW TBLPROPERTIES t
+  *   CREATE TABLE t2 SHALLOW | DEEP CLONE t [VERSION AS OF n]
   *   DESCRIBE HISTORY t
   *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'] ...
   *
@@ -75,6 +80,18 @@ object TableSql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val DropColRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+  private val AddColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>,\s]+?)\s*;?\s*$""".r
+  private val AddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val DropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  private val SetPropsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val ShowPropsRe =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*$""".r
+  private val CloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
 
   /** Default OPTIMIZE target when no TARGET clause is given. */
   val DefaultOptimizeFiles = 8
@@ -138,6 +155,36 @@ object TableSql {
         done("RENAME COLUMN", t, VersionedTable.commitRenameColumn(spark, dirOf(t), a, b))
       case DropColRe(t, c) =>
         done("DROP COLUMN", t, VersionedTable.commitDropColumn(spark, dirOf(t), c))
+      case AddColRe(t, c, ddl) =>
+        done("ADD COLUMN", t, VersionedTable.commitAddColumn(spark, dirOf(t), c,
+          org.apache.spark.sql.types.DataType.fromDDL(ddl)))
+      case AddConstraintRe(t, name, pred) =>
+        Constraints.add(spark, dirOf(t), name, pred)
+        done("ADD CONSTRAINT", t,
+          VersionedTable.latestVersion(dirOf(t)).getOrElse(-1L))
+      case DropConstraintRe(t, name) =>
+        val existed = Constraints.drop(dirOf(t), name)
+        require(existed, s"TableSql: no constraint `$name` on `$t`")
+        done("DROP CONSTRAINT", t,
+          VersionedTable.latestVersion(dirOf(t)).getOrElse(-1L))
+      case SetPropsRe(t, kvs) =>
+        val kvRe = """(?s)^\s*'([^']+)'\s*=\s*'([^']*)'\s*$""".r
+        splitTop(kvs).foreach {
+          case kvRe(k, v) => VersionedTable.setProperty(dirOf(t), k, v)
+          case other => sys.error(s"TableSql: malformed TBLPROPERTIES entry `$other` " +
+            "(expected 'key' = 'value')")
+        }
+        done("SET TBLPROPERTIES", t,
+          VersionedTable.latestVersion(dirOf(t)).getOrElse(-1L))
+      case ShowPropsRe(t) =>
+        import spark.implicits._
+        VersionedTable.properties(dirOf(t)).toDF("key", "value")
+      case CloneRe(dst, flavor, src, v) =>
+        val version = Option(v).map(_.toLong)
+        done(s"${flavor.toUpperCase(java.util.Locale.ROOT)} CLONE", dst,
+          if (flavor.equalsIgnoreCase("SHALLOW"))
+            VersionedTable.cloneShallow(spark, dirOf(src), dirOf(dst), version)
+          else VersionedTable.cloneDeep(spark, dirOf(src), dirOf(dst), version))
       case MergeRe(t, src, keys) =>
         val source =
           if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))

@@ -445,6 +445,18 @@ object VersionedTable {
   def property(dir: String, key: String): Option[String] =
     FsIO.readText(new Path(propsDir(dir), s"$key.prop").toString)
 
+  /** All table properties, key-sorted. */
+  def properties(dir: String): Seq[(String, String)] = {
+    val d  = propsDir(dir)
+    val fs = d.getFileSystem(FsIO.hadoopConf())
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(_.getPath.getName.endsWith(".prop"))
+      .map(s => (s.getPath.getName.stripSuffix(".prop"),
+        FsIO.readText(s.getPath.toString).getOrElse("")))
+      .sortBy(_._1)
+  }
+
   /** The property under which a table declares its row-identity key
     * columns (comma-separated). Recorded automatically by the first
     * key-addressed write ([[commitMerge]]/[[commitMergeConditional]]) and
@@ -1991,6 +2003,40 @@ object VersionedTable {
               .withMetadata(f.metadata).putString(PhysicalNameKey, physName(f)).build())
         else f
       }), None)
+    }
+
+  /** ADD COLUMN (Delta's `ALTER TABLE ... ADD COLUMNS`): METADATA-ONLY —
+    * the declared schema widens with a NULLABLE field, no data file is
+    * touched, existing rows read null. `dataChange=false`: the row set is
+    * identical (the new column is null everywhere), so the change feed and
+    * streaming tails skip the commit like rename/drop. If the chosen name
+    * collides with a TOMBSTONED physical name (a dropped column) or a live
+    * physical name under a different logical name (renamed-away), the new
+    * field gets a FRESH physical name through the mapping — old files'
+    * stale values can never resurrect. Subsequent appends must carry the
+    * column (the schema gate reads the declared schema); time travel below
+    * the commit reads the narrow schema. */
+  def commitAddColumn(spark: SparkSession, dir: String, colName: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    commitSchemaChange(spark, dir, "VersionedTable.commitAddColumn",
+      s"ADD COLUMN $colName", lockLeaseMs) { (cur, _) =>
+      require(!cur.fields.exists(_.name.equalsIgnoreCase(colName)),
+        s"commitAddColumn: column `$colName` already exists " +
+          s"(have: ${cur.fieldNames.mkString(", ")})")
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val head = log(dir).last._1
+      val used = cur.fields.map(f => lc(physName(f))).toSet ++
+        tombstonesAt(dir, head).map(lc)
+      val field =
+        if (used(lc(colName)))
+          org.apache.spark.sql.types.StructField(colName, dataType, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(PhysicalNameKey,
+                s"${colName}__p${java.util.UUID.randomUUID().toString.take(8)}")
+              .build())
+        else org.apache.spark.sql.types.StructField(colName, dataType, nullable = true)
+      (org.apache.spark.sql.types.StructType(cur.fields :+ field), None)
     }
 
   /** DROP COLUMN via column mapping: METADATA-ONLY — old files keep the

@@ -117,6 +117,52 @@ class TableOpsR12Spec extends SparkSpec {
     assert(v2 == v && VersionedTable.latestVersion(table).contains(v))
   }
 
+  test("ALTER TABLE ADD COLUMN is metadata-only; re-add after drop gets a fresh physical") {
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "bal"), table)   // v0
+    val cat = Map("t" -> table)
+    val v1 = TableSql.execute(spark, cat, "ALTER TABLE t ADD COLUMN note STRING").head.getLong(2)
+    // metadata-only: same files, dataChange=false, old rows read null
+    assert(VersionedTable.filesOf(table, v1) == VersionedTable.filesOf(table, 0L))
+    assert(!VersionedTable.dataChanged(table, v1))
+    val row = VersionedTable.read(spark, table).select("k", "bal", "note").head
+    assert(row.getLong(0) == 1L && row.isNullAt(2))
+    // time travel below sees the narrow schema
+    assert(!VersionedTable.read(spark, table, Some(0L)).columns.contains("note"))
+    // appends must now carry the column; values round-trip
+    VersionedTable.commitAppend(spark, Seq((2L, 20.0, "x")).toDF("k", "bal", "note"), table)
+    assert(VersionedTable.read(spark, table).where(col("k") === 2L)
+      .select("note").head.getString(0) == "x")
+    // drop + re-add under the same name: fresh physical, no resurrection
+    TableSql.execute(spark, cat, "ALTER TABLE t DROP COLUMN note")
+    TableSql.execute(spark, cat, "ALTER TABLE t ADD COLUMN note STRING")
+    val vals = VersionedTable.read(spark, table).select("k", "note").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(vals == Map(1L -> null, 2L -> null), vals.toString) // old 'x' never resurrects
+  }
+
+  test("constraint / TBLPROPERTIES / clone SQL verbs") {
+    val r = root(); val table = s"$r/t"; val cloneDir = s"$r/c"
+    VersionedTable.commitAppend(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal"), table)
+    val cat = Map("t" -> table, "t2" -> cloneDir)
+    TableSql.execute(spark, cat, "ALTER TABLE t ADD CONSTRAINT pos CHECK (bal >= 0)")
+    val e = intercept[Exception] {
+      VersionedTable.commitAppend(spark, Seq((3L, -5.0)).toDF("k", "bal"), table)
+    }
+    assert(e.getMessage.contains("pos"), e.getMessage)
+    TableSql.execute(spark, cat, "ALTER TABLE t DROP CONSTRAINT pos")
+    VersionedTable.commitAppend(spark, Seq((3L, -5.0)).toDF("k", "bal"), table)
+    TableSql.execute(spark, cat,
+      "ALTER TABLE t SET TBLPROPERTIES ('team' = 'data', 'keyColumns' = 'k')")
+    val props = TableSql.execute(spark, cat, "SHOW TBLPROPERTIES t")
+      .collect().map(x => (x.getString(0), x.getString(1))).toMap
+    assert(props == Map("team" -> "data", "keyColumns" -> "k"), props.toString)
+    assert(VersionedTable.keyColumns(table).contains(Seq("k")))
+    TableSql.execute(spark, cat, "CREATE TABLE t2 SHALLOW CLONE t VERSION AS OF 0")
+    assert(VersionedTable.read(spark, cloneDir).count() == 2L)
+  }
+
   test("VACUUM DRY RUN lists the plan and deletes nothing; real vacuum matches") {
     val r = root(); val table = s"$r/t"
     VersionedTable.commitAppend(spark,
