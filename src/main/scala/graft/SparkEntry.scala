@@ -3441,11 +3441,12 @@ object SparkEntry {
       val (out, ckpt) = (root + "/out", root + "/ckpt")
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
+      // key columns come from the TABLE's declaration (set once below) —
+      // the Delta-parity path: readChangeFeed needs no per-query option
       def drain(): Unit = {
         val q = s.readStream.format(graft.sources.VersionedStream.format)
           .option("path", table)
           .option("readChangeFeed", "true")
-          .option("keyColumns", "c_custkey")
           .option("startingVersion", "0")
           .load()
           .writeStream.format("parquet")
@@ -3456,6 +3457,7 @@ object SparkEntry {
       }
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
         .repartitionByRange(4, col("c_custkey")), table)                    // v0
+      VersionedTable.setKeyColumns(table, Seq("c_custkey"))
       VersionedTable.commitAppend(s,
         c.where(pmod(col("c_custkey"), lit(2L)) === 0L), table)             // v1
       drain() // v0 inserts (startingVersion=0 full replay) + v1 inserts
