@@ -140,24 +140,6 @@ object TableManager {
       swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compactBatchIndex")
     }
 
-  /** Z-order value: bit-interleave two columns' 16-bit bucket ranks so rows
-    * close in BOTH dimensions are close in the one-dimensional sort order.
-    * Buckets come from min/max range normalization (two aggregates,
-    * broadcast as literals); the interleave is a plain 32-term bit
-    * expression — fully codegen'd, no UDF. */
-  private def zValue(a: Column, aMin: Double, aMax: Double,
-                     b: Column, bMin: Double, bMax: Double): Column = {
-    def bucket(c: Column, lo: Double, hi: Double): Column =
-      if (hi <= lo) lit(0L)
-      else least(greatest(((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0)).cast("long"), lit(0L)), lit(65535L))
-    val ab = bucket(a, aMin, aMax)
-    val bb = bucket(b, bMin, bMax)
-    (0 until 16).map { i =>
-      (shiftright(ab, i).bitwiseAND(1L) * lit(1L << (2 * i)))
-        .plus(shiftright(bb, i).bitwiseAND(1L) * lit(1L << (2 * i + 1)))
-    }.reduce(_ + _)
-  }
-
   /** OPTIMIZE ZORDER BY emulation: rewrite a path table into `targetFiles`
     * files range-partitioned and sorted by the z-order of two columns, so
     * each parquet file's min/max column statistics cover a narrow range of
@@ -176,26 +158,57 @@ object TableManager {
   }
 
   /** Re-layout `df` range-partitioned and sorted by the z-order of two
-    * numeric columns — the shared kernel behind [[compactZOrder]] and
-    * VersionedTable's `commitCompact(zOrderBy = ...)`. */
+    * numeric columns — kept as the 2-column entry; delegates to
+    * [[zLayoutN]] with an IDENTICAL bit layout (dimension d of bit i lands
+    * at z-bit i·N+d, which for N=2 reproduces the original even/odd
+    * interleave exactly). */
   private[tables] def zLayout(df: org.apache.spark.sql.DataFrame,
-      colA: String, colB: String, targetFiles: Int, op: String): org.apache.spark.sql.DataFrame = {
+      colA: String, colB: String, targetFiles: Int, op: String): org.apache.spark.sql.DataFrame =
+    zLayoutN(df, Seq(colA, colB), targetFiles, op)
+
+  /** N-COLUMN z-order (Delta's `ZORDER BY (c1, ..., cN)`): interleave each
+    * column's range-normalized bucket rank bit-by-bit — dimension d's bit i
+    * lands at z-bit i·N+d — so rows close in EVERY listed dimension are
+    * close in the one-dimensional sort, and each written file's min/max
+    * stats cover a narrow range of ALL the columns. Bits per dimension =
+    * min(16, 62/N) (the z stays in a long; more dimensions trade per-axis
+    * resolution, the standard z-order cost). Codegen'd bit arithmetic, no
+    * UDF; one stats aggregate broadcast as literals. */
+  private[tables] def zLayoutN(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String], targetFiles: Int, op: String): org.apache.spark.sql.DataFrame = {
+    require(cols.size >= 2 && cols.size <= 7,
+      s"$op: ZORDER BY takes 2-7 columns, got ${cols.size}")
+    require(cols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size == cols.size,
+      s"$op: duplicate ZORDER BY column in ${cols.mkString(", ")}")
     // z-ordering is defined for numeric range-bucketable columns only —
     // reject anything else up front with a clear message (an ANSI cast
     // failure deep in the stats job would be opaque)
-    Seq(colA, colB).foreach { c =>
+    cols.foreach { c =>
       require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"$op: column '$c' is ${df.schema(c).dataType.catalogString}; z-order requires numeric columns")
     }
     // nanvl: NaN would poison min/max and then fail the ANSI cast to long
     def clean(c: String) = nanvl(col(c).cast("double"), lit(null).cast("double"))
-    val stats = df.agg(min(clean(colA)), max(clean(colA)), min(clean(colB)), max(clean(colB))).head()
-    require(!stats.anyNull, s"$op: $colA/$colB have no non-null, non-NaN values to bucket")
-    // feed the CLEANED columns into the bucket arithmetic too: a raw NaN row
-    // would reach the ANSI cast-to-long inside zValue and crash the rewrite;
-    // cleaned, a NaN/null row gets a null z and clusters into one range
-    val z = zValue(clean(colA), stats.getDouble(0), stats.getDouble(1),
-                   clean(colB), stats.getDouble(2), stats.getDouble(3))
+    val aggs  = cols.flatMap(c => Seq(min(clean(c)), max(clean(c))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!stats.anyNull,
+      s"$op: ${cols.mkString("/")} have no non-null, non-NaN values to bucket")
+    val n = cols.size
+    val bitsPer   = math.min(16, 62 / n)
+    val maxBucket = (1L << bitsPer) - 1
+    // cleaned columns feed the bucket arithmetic too: a raw NaN row would
+    // reach the ANSI cast-to-long and crash the rewrite; cleaned, a
+    // NaN/null row gets a null z and clusters into one range
+    def bucket(d: Int): Column = {
+      val (lo, hi) = (stats.getDouble(2 * d), stats.getDouble(2 * d + 1))
+      if (hi <= lo) lit(0L)
+      else least(greatest(((clean(cols(d)) - lit(lo)) / lit(hi - lo) * lit(maxBucket.toDouble))
+        .cast("long"), lit(0L)), lit(maxBucket))
+    }
+    val buckets = (0 until n).map(bucket)
+    val z = (for { i <- 0 until bitsPer; d <- 0 until n } yield
+      shiftright(buckets(d), i).bitwiseAND(1L) * lit(1L << (i * n + d))
+    ).reduce(_ + _)
     df.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")

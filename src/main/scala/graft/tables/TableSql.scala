@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.expr
   * dais_2021.flowers_train`), routed onto [[VersionedTable]]'s commit
   * protocol instead of a Delta jar:
   *
-  *   OPTIMIZE t [ZORDER BY (a, b)] [WHERE <cond>] [TARGET n FILES]
+  *   OPTIMIZE t [ZORDER BY (c1, ..., cN)] [WHERE <cond>] [TARGET n FILES]
   *   VACUUM t RETAIN n VERSIONS | HOURS [DRY RUN]
   *   DELETE FROM t WHERE <cond>
   *   UPDATE t SET a = <expr> [, b = <expr> ...] WHERE <cond>
@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions.expr
   *   ALTER TABLE t SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   SHOW TBLPROPERTIES t
   *   CREATE TABLE t2 SHALLOW | DEEP CLONE t [VERSION AS OF n]
-  *   DESCRIBE HISTORY t
+  *   DESCRIBE HISTORY t | DESCRIBE DETAIL t
   *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'] ...
   *
   * Everything below the verb line is the engine's existing machinery —
@@ -48,7 +48,7 @@ import org.apache.spark.sql.functions.expr
 object TableSql {
 
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(\w+)\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*(?:WHERE\s+(.+?))?\s*(?:TARGET\s+(\d+)\s+FILES)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(\w+)\s*(?:ZORDER\s+BY\s*\(([\w\s,]+)\))?\s*(?:WHERE\s+(.+?))?\s*(?:TARGET\s+(\d+)\s+FILES)?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val DeleteRe =
@@ -76,6 +76,8 @@ object TableSql {
       "\\s*(?=WHEN\\s+(?:NOT\\s+)?MATCHED|$)").r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*$""".r
   private val RenameColRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val DropColRe =
@@ -105,15 +107,13 @@ object TableSql {
       Seq((verb, t, v)).toDF("verb", "table", "version")
     }
     sql match {
-      case OptimizeRe(t, a, b, w, n) =>
+      case OptimizeRe(t, zlist, w, n) =>
         val target = Option(n).map(_.toInt).getOrElse(DefaultOptimizeFiles)
-        val z      = (Option(a), Option(b)) match {
-          case (Some(x), Some(y)) => Some((x, y))
-          case _                  => None
-        }
+        val zCols  = Option(zlist).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         done("OPTIMIZE", t,
-          VersionedTable.commitCompact(spark, dirOf(t), target, zOrderBy = z,
-            where = Option(w).map(expr)))
+          VersionedTable.commitCompact(spark, dirOf(t), target,
+            zOrderCols = zCols, where = Option(w).map(expr)))
       case VacuumRe(t, n, unit, dry) =>
         if (dry != null) {
           // DRY RUN: the full deletion plan, nothing touched — one row per
@@ -151,6 +151,8 @@ object TableSql {
           VersionedTable.versionAsOf(dirOf(t), java.sql.Timestamp.valueOf(ts).getTime)))
       case HistoryRe(t) =>
         VersionedTable.history(spark, dirOf(t))
+      case DetailRe(t) =>
+        VersionedTable.detail(spark, dirOf(t))
       case RenameColRe(t, a, b) =>
         done("RENAME COLUMN", t, VersionedTable.commitRenameColumn(spark, dirOf(t), a, b))
       case DropColRe(t, c) =>

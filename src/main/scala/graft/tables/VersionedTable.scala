@@ -2105,9 +2105,15 @@ object VersionedTable {
       clusterBy: Seq[String] = Seq.empty,
       zOrderBy: Option[(String, String)] = None,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
-      where: Option[org.apache.spark.sql.Column] = None): Long = {
+      where: Option[org.apache.spark.sql.Column] = None,
+      zOrderCols: Seq[String] = Seq.empty): Long = {
     require(targetFiles >= 1, s"commitCompact: targetFiles must be >= 1, got $targetFiles")
-    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+    // N-column ZORDER (zOrderCols) and the legacy 2-column tuple are one
+    // layout family; clusterBy is the other — exactly one may be chosen
+    val zCols = zOrderCols ++ zOrderBy.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    require(zOrderCols.isEmpty || zOrderBy.isEmpty,
+      "commitCompact: pass zOrderCols or zOrderBy, not both")
+    require(clusterBy.isEmpty || zCols.isEmpty,
       "commitCompact: clusterBy and zOrderBy are mutually exclusive layouts")
     FsIO.withWriteLock(dir, "VersionedTable.commitCompact", lockLeaseMs) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2135,16 +2141,17 @@ object VersionedTable {
         // re-laid rows are the live rows, and the new entries carry no DVs
         // (merge-on-read's compaction discipline)
         val full = scanEntries(spark, dir, scoped, declared)
-        val laid = zOrderBy match {
-          // OPTIMIZE ZORDER BY: each rewritten file covers a narrow range of
-          // BOTH columns, so per-file stats prune selective filters on either
-          case Some((a, b)) => TableManager.zLayout(full, a, b, targetFiles,
-            "VersionedTable.commitCompact")
-          case None if clusterBy.isEmpty => full.repartition(targetFiles)
-          case None => full.repartitionByRange(targetFiles,
+        val laid =
+          // OPTIMIZE ZORDER BY: each rewritten file covers a narrow range
+          // of EVERY listed column, so per-file stats prune selective
+          // filters on any of them
+          if (zCols.nonEmpty)
+            TableManager.zLayoutN(full, zCols, targetFiles,
+              "VersionedTable.commitCompact")
+          else if (clusterBy.isEmpty) full.repartition(targetFiles)
+          else full.repartitionByRange(targetFiles,
               clusterBy.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
             .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
-        }
         val laidPhys = toPhysical(laid, declared)
         val newRels = stageDataFiles(fs, dir, laidPhys, next)
         // an empty table compacts to an empty manifest only if the previous
@@ -2302,6 +2309,33 @@ object VersionedTable {
         lines.find(_.startsWith("op=")).map(_.stripPrefix("op=")).orNull,
         !lines.contains("dataChange=false"), retained(v))
     }.toDF("version", "timestamp", "operation", "data_change", "retained")
+  }
+
+  /** DESCRIBE DETAIL (Delta's verb): one row summarizing the table's
+    * CURRENT state — location, head version + commit time, live file/DV
+    * counts and bytes (per the head manifest — vacuumed history doesn't
+    * count), declared key columns, constraint count, and whether a column
+    * mapping (rename/drop history) is active. O(head manifest) driver
+    * listing, zero data I/O. */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val committed = log(dir)
+    require(committed.nonEmpty, s"detail: $dir has no committed version")
+    val (v, ms) = committed.last
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = entriesOfVersion(fs, dir, v, ms)
+    def len(rel: String) =
+      try fs.getFileStatus(absOf(dir, rel)).getLen catch { case _: Throwable => 0L }
+    val dvs = entries.flatMap(_.dvs).distinct
+    Seq((dir, v, new java.sql.Timestamp(ms), committed.size.toLong,
+      entries.size.toLong, entries.map(e => len(e.rel)).sum,
+      dvs.size.toLong,
+      keyColumns(dir).map(_.mkString(",")).orNull,
+      Constraints.list(dir).size.toLong,
+      hasColumnMapping(dir, v)))
+      .toDF("location", "version", "last_modified", "num_commits",
+        "num_files", "size_bytes", "num_deletion_vectors", "key_columns",
+        "num_constraints", "column_mapping")
   }
 
   /** The version that was CURRENT at `tsMillis` — the greatest committed

@@ -163,6 +163,42 @@ class TableOpsR12Spec extends SparkSpec {
     assert(VersionedTable.read(spark, cloneDir).count() == 2L)
   }
 
+  test("OPTIMIZE ZORDER BY with 3 columns; DESCRIBE DETAIL summarizes the head") {
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 2000L).select(col("id").as("a"),
+        pmod(col("id") * 37L, lit(101L)).as("b"),
+        pmod(col("id") * 17L, lit(53L)).as("c")), table)
+    val cat = Map("t" -> table)
+    // 8 files = the top 3 z-bits = each dimension's top bucket bit: every
+    // file must cover at most ~half of EVERY dimension's domain (a plain
+    // repartition spans all of each)
+    val v = TableSql.execute(spark, cat,
+      "OPTIMIZE t ZORDER BY (a, b, c) TARGET 8 FILES").head.getLong(2)
+    assert(VersionedTable.filesOf(table, v).size == 8)
+    assert(!VersionedTable.dataChanged(table, v))
+    assert(VersionedTable.read(spark, table).count() == 2000L)
+    def spans(c: String): Seq[Long] = VersionedTable.filesOf(table, v).map { rel =>
+      val f = spark.read.parquet(s"$table/$rel").agg(min(c), max(c)).head
+      f.getLong(1) - f.getLong(0)
+    }
+    // the MOST significant dimension (highest interleave position) clusters
+    // in EVERY file; lower dimensions cluster in the files that don't
+    // straddle a range-sampler cut (min span ≈ half the domain) — the
+    // z-order guarantee, net of repartitionByRange's sampled boundaries
+    assert(spans("c").max < 42L, s"c spans ${spans("c")}")   // domain 53
+    assert(spans("b").min < 55L, s"b spans ${spans("b")}")   // domain 101
+    assert(spans("a").min < 1100L, s"a spans ${spans("a")}") // domain 2000
+    VersionedTable.setKeyColumns(table, Seq("a"))
+    val d = TableSql.execute(spark, cat, "DESCRIBE DETAIL t").head
+    assert(d.getAs[String]("location") == table)
+    assert(d.getAs[Long]("version") == v)
+    assert(d.getAs[Long]("num_files") == 8L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("key_columns") == "a")
+    assert(!d.getAs[Boolean]("column_mapping"))
+  }
+
   test("VACUUM DRY RUN lists the plan and deletes nothing; real vacuum matches") {
     val r = root(); val table = s"$r/t"
     VersionedTable.commitAppend(spark,
