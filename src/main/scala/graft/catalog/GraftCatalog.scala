@@ -59,7 +59,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def dirOf(ident: Identifier): Option[String] = {
     checkNamespace(ident.namespace())
-    Option(GraftCatalog.registry.get(ident.name()))
+    GraftCatalog.resolve(ident.name())
       .orElse(warehouse.map(w => new Path(w, ident.name()).toString))
   }
 
@@ -105,7 +105,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     checkNamespace(namespace)
     import scala.jdk.CollectionConverters._
-    GraftCatalog.registry.keySet().asScala.toArray.sorted
+    GraftCatalog.registry.values().asScala.map(_._1).toArray.sorted
       .map(n => Identifier.of(Array("default"), n))
   }
 
@@ -119,8 +119,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"$catalogName: cannot place table `${ident.name()}` — register it " +
         s"explicitly (GraftCatalog.register) or configure " +
         s"spark.sql.catalog.$catalogName.warehouse"))
-    GraftCatalog.registry.put(ident.name(), d)
+    GraftCatalog.register(ident.name(), d)
     GraftCatalog.pendingSchemas.put(d, schema)
+    // created THROUGH the catalog = managed: DROP TABLE deletes its data
+    GraftCatalog.managedDirs.put(d, java.lang.Boolean.TRUE)
     new GraftTable(ident.name(), d, None, Some(schema))
   }
 
@@ -130,12 +132,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "TableSql verbs (ALTER TABLE t RENAME/DROP COLUMN) which commit " +
         "through the column-mapping protocol")
 
+  /** DROP TABLE semantics follow the managed/external split: a table this
+    * catalog CREATED (createTable/CTAS — managed) drops its data; a table
+    * merely REGISTERED (an external, user-owned location — the common
+    * TableSql case) only loses its name mapping, its directory untouched.
+    * Deleting a user's versioned history because a query layer registered
+    * its path would be a destructive surprise. */
   override def dropTable(ident: Identifier): Boolean =
     dirOf(ident) match {
       case Some(d) if committed(d) || GraftCatalog.pendingSchemas.containsKey(d) =>
-        TableManager.deleteDir(SparkSession.active, d)
-        GraftCatalog.registry.remove(ident.name())
+        if (GraftCatalog.managedDirs.containsKey(d))
+          TableManager.deleteDir(SparkSession.active, d)
+        GraftCatalog.deregister(ident.name())
         GraftCatalog.pendingSchemas.remove(d)
+        GraftCatalog.managedDirs.remove(d)
         true
       case _ => false
     }
@@ -165,16 +175,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftCatalog {
 
-  /** Process-wide name → table-directory registry (the "metastore"). */
-  private val registry = new ConcurrentHashMap[String, String]()
+  private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Process-wide name → (display name, table directory) registry (the
+    * "metastore"), keyed case-INsensitively like Spark's analyzer resolves
+    * identifiers (`FROM Events` must find a table registered as `events`). */
+  private val registry = new ConcurrentHashMap[String, (String, String)]()
 
   /** Declared schemas of created-but-never-committed tables, by directory —
     * bridges CREATE TABLE to the first INSERT/CTAS write. */
   private val pendingSchemas = new ConcurrentHashMap[String, StructType]()
 
+  /** Directories whose tables were CREATED through this catalog (managed):
+    * the only ones DROP TABLE physically deletes. */
+  private val managedDirs = new ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Register `name` → `dir` so `graft.<name>` resolves. Idempotent. */
-  def register(name: String, dir: String): Unit = registry.put(name, dir)
+  def register(name: String, dir: String): Unit = registry.put(lc(name), (name, dir))
+
+  /** Resolve a registered name (case-insensitive). */
+  def resolve(name: String): Option[String] =
+    Option(registry.get(lc(name))).map(_._2)
 
   /** Drop a registration (the table directory is untouched). */
-  def deregister(name: String): Unit = { registry.remove(name); () }
+  def deregister(name: String): Unit = { registry.remove(lc(name)); () }
 }

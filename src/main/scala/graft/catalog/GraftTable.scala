@@ -43,16 +43,18 @@ class GraftTable(val tableName: String, val dir: String,
 
   override def name(): String = tableName
 
-  // one footer-resolution per Table instance (instances are per-loadTable).
-  // A directory with no committed version yet (a streaming sink's first
-  // batch, a CREATE before the first INSERT) has no schema to resolve —
-  // empty here, so capability checks can fall through to the V1 write
+  // one resolution per Table instance (instances are per-loadTable), via
+  // VersionedTable.schemaOf — declared schema or one driver footer, WITHOUT
+  // building a scan plan (the resolution rule builds the real plan exactly
+  // once). A directory with no committed version yet (a streaming sink's
+  // first batch, a CREATE before the first INSERT) has no schema to resolve
+  // — empty here, so capability checks can fall through to the V1 write
   // path; a batch READ of such a table still fails loudly at analysis
   // (readDataFrame refuses).
   private lazy val resolvedSchema: StructType =
     declaredSchema
       .orElse(if (VersionedTable.latestVersion(dir).isEmpty) Some(new StructType()) else None)
-      .getOrElse(readDataFrame(SparkSession.active).schema)
+      .getOrElse(VersionedTable.schemaOf(SparkSession.active, dir, pinnedVersion))
 
   override def schema(): StructType = resolvedSchema
 

@@ -220,10 +220,14 @@ object VersionedStream {
       }
       val commitMs = VersionedTable.log(dir).toMap
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      // never-evolved fast path: no declared schema at the head means no
-      // version below carries one either — every version has the stream's
-      // columns under their own names, zero extra I/O per batch
-      val evolvedTable = VersionedTable.declaredSchemaAt(dir, endV).isDefined
+      // never-evolved fast path: no declared schema at the TABLE HEAD means
+      // no version carries one — every version has the stream's columns
+      // under their own names, zero extra I/O per batch. Keyed on the head,
+      // NOT endV: a paced replay's early batches sit below the schema
+      // commit (declaredSchemaAt(endV) = None there), but the stream schema
+      // was resolved from the head, so the null-fill machinery must engage.
+      val evolvedTable = VersionedTable.latestVersion(dir)
+        .exists(h => VersionedTable.declaredSchemaAt(dir, h).isDefined)
       // the LOGICAL schema version v's files resolve to — declared schema
       // (mapping metadata intact), or footer resolution through read() on
       // pre-declaration versions (where physical == logical by definition)
@@ -236,8 +240,12 @@ object VersionedStream {
         if (f.metadata.contains(VersionedTable.PhysicalNameKey))
           f.metadata.getString(VersionedTable.PhysicalNameKey)
         else f.name
-      val physAtEnd: Map[String, String] =
-        schemaAt(endV).fields.map(f => lc(f.name) -> lc(physOf(f))).toMap
+      // logical → physical at the table HEAD (where the stream's schema
+      // was resolved) — the identity every step's columns must agree with
+      val physAtHead: Map[String, String] =
+        VersionedTable.latestVersion(dir).map(h => schemaAt(h))
+          .getOrElse(tableSchema)
+          .fields.map(f => lc(f.name) -> lc(physOf(f))).toMap
       val valueCols = tableSchema.fieldNames.filterNot(keyCols.contains).toSeq
       def meta(ctype: String, v: Long) = Seq(
         lit(ctype).as(ChangeTypeCol),
@@ -246,21 +254,34 @@ object VersionedStream {
       // Which stream columns exist at step v. A replay step BELOW an
       // additive evolution lacks the later columns — they null-fill (Delta
       // CDF's semantics: the column did not exist at that commit). The feed
-      // keys on LOGICAL names, so a logical name present at v must denote
-      // the SAME physical column as at the stream's head — after a
-      // DROP + re-ADD (or rename) it doesn't, and emitting the retired
-      // column's values under the live name would misreport; refuse loudly.
+      // keys on LOGICAL names, so this is only sound while a logical name
+      // denotes ONE physical column across the span; two guards enforce it:
+      //  - a name PRESENT at v must map to the same physical column as at
+      //    the head (a DROP + re-add would alias the retired values);
+      //  - a stream name MISSING at v on a table with any RENAME/DROP
+      //    history refuses loudly — "missing because added later" and
+      //    "missing because renamed away mid-stream" are indistinguishable
+      //    there, and null-filling the latter would misreport live data
+      //    (tables with no retirement history null-fill freely).
       def stepAvailable(v: Long): Set[String] = {
         val sv = schemaAt(v)
         val conflated = sv.fields.filter(f =>
-          physAtEnd.get(lc(f.name)).exists(_ != lc(physOf(f))))
+          physAtHead.get(lc(f.name)).exists(_ != lc(physOf(f))))
         require(conflated.isEmpty,
           s"VersionedStream CDF: column(s) ${conflated.map(_.name).mkString(", ")} " +
             s"at version $v of $dir are RETIRED columns (RENAME/DROP + re-add) — " +
             "the same logical name denotes a different physical column at the " +
             "stream's head, so the feed cannot represent this span; start the " +
             "feed at a version after the schema change (startingVersion)")
-        sv.fieldNames.map(lc).toSet
+        val avail = sv.fieldNames.map(lc).toSet
+        val missing = tableSchema.fieldNames.filterNot(c => avail(lc(c)))
+        require(missing.isEmpty || !VersionedTable.hasSchemaRetirements(dir, v),
+          s"VersionedStream CDF: column(s) ${missing.mkString(", ")} are missing " +
+            s"at version $v of $dir, which has RENAME/DROP COLUMN history — " +
+            "null-filling could misreport a renamed-away column's live values; " +
+            "restart the stream from a fresh checkpoint (or start the feed " +
+            "after the schema change)")
+        avail
       }
       def shaped(ch: DataFrame, avail: Set[String], side: String, ctype: String,
           v: Long): DataFrame =

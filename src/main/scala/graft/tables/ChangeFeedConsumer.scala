@@ -110,16 +110,21 @@ object ChangeFeedConsumer {
         .orderBy(col("version").desc)
       val last = feed.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       // source = the span's final per-key state, shaped as the silver row
-      // plus the change flag; removed keys carry no values (the DELETE arm
-      // never reads them). The transform sees the flag column and must pass
-      // it through (identity and filter transforms do; a projection must
-      // keep unknown columns) — commitMergeConditional refuses loudly if it
-      // vanished.
-      val src = silverTransform(last.select(
+      // plus the change flag. The transform applies ONLY to the upsert rows
+      // — removed keys carry null value columns (no new side), and a
+      // filtering transform would silently swallow the DELETE (null
+      // predicate → dropped row → the key survives in silver forever); a
+      // delete is keyed, not valued, so it must reach the merge
+      // unconditionally. The transform must preserve the row shape
+      // (identity/filter transforms do; unionByName refuses loudly
+      // otherwise).
+      val shaped = last.select(
         keyCols.map(c => col(s"`$c`")) ++
           valueCols.filterNot(keyCols.contains)
             .map(c => col(s"`${c}_new`").as(c)) :+
-          col("change_type").as(ctCol): _*))
+          col("change_type").as(ctCol): _*)
+      val src = silverTransform(shaped.where(col(ctCol) =!= "removed"))
+        .unionByName(shaped.where(col(ctCol) === "removed"))
       VersionedTable.commitMergeConditional(spark, silverDir, src, keyCols,
         Seq(
           VersionedTable.WhenMatchedDelete(Some(s"s.$ctCol = 'removed'")),

@@ -2311,6 +2311,28 @@ object VersionedTable {
     }.toDF("version", "timestamp", "operation", "data_change", "retained")
   }
 
+  /** The LOGICAL schema of version `v` (latest by default) WITHOUT building
+    * a scan plan: the declared schema when one exists, else ONE driver
+    * footer read. What catalog/schema-inspection layers should call —
+    * [[read]] pays manifest resolution and DV wiring just to answer
+    * `.schema`, and the DSv2 layer was building that plan twice per
+    * statement (once for the relation's schema, once for the substituted
+    * scan). */
+  def schemaOf(spark: SparkSession, dir: String,
+      version: Option[Long] = None): org.apache.spark.sql.types.StructType = {
+    val committed = log(dir)
+    require(committed.nonEmpty, s"schemaOf: $dir has no committed version")
+    val v = version.getOrElse(committed.last._1)
+    val entry = committed.find(_._1 == v).getOrElse(
+      sys.error(s"schemaOf: version $v does not exist in $dir"))
+    declaredSchemaAt(dir, v).getOrElse {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = entriesOfVersion(fs, dir, v, entry._2)
+      require(entries.nonEmpty, s"schemaOf: version $v of $dir has no data files")
+      footerSchema(spark, dir, entries)
+    }
+  }
+
   /** DESCRIBE DETAIL (Delta's verb): one row summarizing the table's
     * CURRENT state — location, head version + commit time, live file/DV
     * counts and bytes (per the head manifest — vacuumed history doesn't

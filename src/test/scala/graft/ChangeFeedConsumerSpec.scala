@@ -75,6 +75,26 @@ class ChangeFeedConsumerSpec extends SparkSpec {
     assert(ChangeFeedConsumer.offset(bronze, "mirror").get > offBefore)
   }
 
+  test("a FILTERING silverTransform cannot swallow deletes (removed keys bypass it)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cfc4").toString
+    val (bronze, silver) = (s"$root/bronze", s"$root/silver")
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 100L).select(col("id").as("k"), (col("id") * 10L).as("x"),
+        lit("base").as("tag")), bronze)
+    def m(): Long = ChangeFeedConsumer.replicate(spark, bronze, silver, "f",
+      Seq("k"), Seq("k", "x", "tag"),
+      // a filter over a VALUE column: NULL on removed rows, so a transform
+      // applied to the whole span state would drop the delete row — the
+      // removed keys must bypass the transform
+      silverTransform = df => df.where(col("x") >= 0L))
+    m()
+    VersionedTable.commitDelete(spark, bronze, col("k") === 7L)
+    m()
+    assert(!VersionedTable.read(spark, silver).collect().map(_.getLong(0)).contains(7L),
+      "the filtering transform swallowed the delete")
+  }
+
   test("span apply is ONE silver commit and bounded Spark jobs") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cfc3").toString

@@ -112,6 +112,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 11L)
   }
 
+  test("table names resolve case-insensitively") {
+    val dir = fresh("cat_ci")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.CAT_CI").head.getLong(0) == 100L)
+    assert(TableSql.execute(spark, Map("cat_ci2" -> dir),
+      "SELECT count(*) AS n FROM Cat_CI2").head.getLong(0) == 100L)
+  }
+
+  test("DROP TABLE deregisters external tables but only deletes catalog-created data") {
+    val dir = fresh("cat_ext")
+    // external (registered) table: DROP removes the mapping, data survives
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cat_ext").head.getLong(0) == 100L)
+    spark.sql("DROP TABLE graft.cat_ext")
+    assert(VersionedTable.read(spark, dir).count() == 100L,
+      "DROP TABLE must not delete an externally-registered directory")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.cat_ext").collect() }
+    // managed (CTAS-created) table: DROP deletes the data too
+    fresh("cat_src9")
+    val dst = Files.createTempDirectory("graft_cat").toString + "/managed"
+    GraftCatalog.register("cat_mng", dst)
+    spark.sql("CREATE TABLE graft.cat_mng AS SELECT k, x FROM graft.cat_src9 WHERE k < 5")
+    assert(VersionedTable.read(spark, dst).count() == 5L)
+    spark.sql("DROP TABLE graft.cat_mng")
+    assert(VersionedTable.latestVersion(dst).isEmpty,
+      "DROP TABLE must delete a catalog-created (managed) directory")
+  }
+
   test("format(\"graft\") streams: readStream tails commits, writeStream commits versions") {
     import org.apache.spark.sql.streaming.Trigger
     val src = fresh("cat_t8")

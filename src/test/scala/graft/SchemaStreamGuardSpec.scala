@@ -96,6 +96,46 @@ class SchemaStreamGuardSpec extends SparkSpec {
     assert(upd.map(_.getString(0)).toSeq == Seq("z"), upd.mkString(","))
   }
 
+  test("PACED CDF replay across an additive evolution: early batches below the schema commit null-fill") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "bal"), table)   // v0
+    VersionedTable.commitAppend(spark, Seq((2L, 20.0)).toDF("k", "bal"), table)   // v1
+    VersionedTable.commitAppendEvolve(spark,
+      Seq((3L, 30.0, "c")).toDF("k", "bal", "note"), table)                       // v2 adds note
+    // maxVersionsPerTrigger=1: the FIRST batch's endV=0 sits below the
+    // schema commit — the evolved-table detection must key on the table
+    // HEAD, or schemaAt(0) resolves the stream's wide schema and the batch
+    // crashes (and replays forever)
+    (0 until 3).foreach { _ =>
+      drainCdf(table, s"$r/out", s"$r/ckpt",
+        Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
+    }
+    val out = spark.read.parquet(s"$r/out")
+    assert(out.count() == 3L)
+    assert(out.where(col("_commit_version") < 2L && col("note").isNotNull).count() == 0L)
+    assert(out.where(col("_commit_version") === 2L).select("note").head.getString(0) == "c")
+  }
+
+  test("CDF refuses loudly when a RENAME lands mid-stream (pinned schema)") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "bal"), table)
+    val pinned = VersionedTable.read(spark, table).schema // (k, bal)
+    val source = new VersionedStream().createSource(spark.sqlContext,
+      s"$r/meta", Some(pinned), "graft",
+      Map("path" -> table, "readChangeFeed" -> "true", "keyColumns" -> "k",
+        "startingVersion" -> "0"))
+    VersionedTable.commitRenameColumn(spark, table, "bal", "amount")
+    VersionedTable.commitUpdate(spark, table, col("k") === 1L,
+      Map("amount" -> lit(99.0)))
+    val end = source.getOffset.get
+    val e = intercept[Exception] { source.getBatch(None, end).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("RENAME/DROP")), msgs(e).mkString(" | "))
+  }
+
   test("CDF refuses a missing column on a table with RENAME/DROP history") {
     import spark.implicits._
     val r = root(); val table = s"$r/t"
