@@ -132,17 +132,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "TableSql verbs (ALTER TABLE t RENAME/DROP COLUMN) which commit " +
         "through the column-mapping protocol")
 
-  /** DROP TABLE semantics follow the managed/external split: a table this
-    * catalog CREATED (createTable/CTAS — managed) drops its data; a table
-    * merely REGISTERED (an external, user-owned location — the common
-    * TableSql case) only loses its name mapping, its directory untouched.
-    * Deleting a user's versioned history because a query layer registered
-    * its path would be a destructive surprise. */
+  /** DROP TABLE semantics follow the managed/external split: a MANAGED
+    * table — created through this catalog, or resolved through the
+    * WAREHOUSE (warehouse dirs are catalog-owned by definition, which
+    * keeps drop working across process restarts where the in-memory
+    * created-set is empty) — drops its data; a table merely REGISTERED
+    * (an external, user-owned location — the common TableSql case) only
+    * loses its name mapping, its directory untouched. Deleting a user's
+    * versioned history because a query layer registered its path would be
+    * a destructive surprise. */
   override def dropTable(ident: Identifier): Boolean =
     dirOf(ident) match {
       case Some(d) if committed(d) || GraftCatalog.pendingSchemas.containsKey(d) =>
-        if (GraftCatalog.managedDirs.containsKey(d))
-          TableManager.deleteDir(SparkSession.active, d)
+        val external = GraftCatalog.resolve(ident.name()).isDefined &&
+          !GraftCatalog.managedDirs.containsKey(d)
+        if (!external) TableManager.deleteDir(SparkSession.active, d)
         GraftCatalog.deregister(ident.name())
         GraftCatalog.pendingSchemas.remove(d)
         GraftCatalog.managedDirs.remove(d)

@@ -241,11 +241,18 @@ object VersionedStream {
           f.metadata.getString(VersionedTable.PhysicalNameKey)
         else f.name
       // logical → physical at the table HEAD (where the stream's schema
-      // was resolved) — the identity every step's columns must agree with
+      // was resolved) — the identity every step's columns must agree with.
+      // Retirement history is likewise resolved at the HEAD, once per
+      // batch: a rename/drop anywhere in history makes "missing at step v"
+      // ambiguous for EVERY v (the rename may sit above v — checking at v
+      // would pass below it and silently null-fill the renamed-away
+      // column's live values).
+      val headV = VersionedTable.latestVersion(dir)
       val physAtHead: Map[String, String] =
-        VersionedTable.latestVersion(dir).map(h => schemaAt(h))
-          .getOrElse(tableSchema)
+        headV.map(h => schemaAt(h)).getOrElse(tableSchema)
           .fields.map(f => lc(f.name) -> lc(physOf(f))).toMap
+      val headRetired = evolvedTable &&
+        headV.exists(h => VersionedTable.hasSchemaRetirements(dir, h))
       val valueCols = tableSchema.fieldNames.filterNot(keyCols.contains).toSeq
       def meta(ctype: String, v: Long) = Seq(
         lit(ctype).as(ChangeTypeCol),
@@ -275,7 +282,7 @@ object VersionedStream {
             "feed at a version after the schema change (startingVersion)")
         val avail = sv.fieldNames.map(lc).toSet
         val missing = tableSchema.fieldNames.filterNot(c => avail(lc(c)))
-        require(missing.isEmpty || !VersionedTable.hasSchemaRetirements(dir, v),
+        require(missing.isEmpty || !headRetired,
           s"VersionedStream CDF: column(s) ${missing.mkString(", ")} are missing " +
             s"at version $v of $dir, which has RENAME/DROP COLUMN history — " +
             "null-filling could misreport a renamed-away column's live values; " +

@@ -176,8 +176,8 @@ object TableManager {
     * UDF; one stats aggregate broadcast as literals. */
   private[tables] def zLayoutN(df: org.apache.spark.sql.DataFrame,
       cols: Seq[String], targetFiles: Int, op: String): org.apache.spark.sql.DataFrame = {
-    require(cols.size >= 2 && cols.size <= 7,
-      s"$op: ZORDER BY takes 2-7 columns, got ${cols.size}")
+    require(cols.nonEmpty && cols.size <= 7,
+      s"$op: ZORDER BY takes 1-7 columns, got ${cols.size}")
     require(cols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size == cols.size,
       s"$op: duplicate ZORDER BY column in ${cols.mkString(", ")}")
     // z-ordering is defined for numeric range-bucketable columns only —

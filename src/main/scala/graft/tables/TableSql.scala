@@ -83,7 +83,7 @@ object TableSql {
   private val DropColRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
   private val AddColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>,\s]+?)\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>,:\s]+?)\s*;?\s*$""".r
   private val AddConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropConstraintRe =
@@ -170,9 +170,11 @@ object TableSql {
         done("DROP CONSTRAINT", t,
           VersionedTable.latestVersion(dirOf(t)).getOrElse(-1L))
       case SetPropsRe(t, kvs) =>
-        val kvRe = """(?s)^\s*'([^']+)'\s*=\s*'([^']*)'\s*$""".r
+        // SQL-standard '' escaping inside key/value literals
+        val kvRe = """(?s)^\s*'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*$""".r
+        def unq(x: String) = x.replace("''", "'")
         splitTop(kvs).foreach {
-          case kvRe(k, v) => VersionedTable.setProperty(dirOf(t), k, v)
+          case kvRe(k, v) => VersionedTable.setProperty(dirOf(t), unq(k), unq(v))
           case other => sys.error(s"TableSql: malformed TBLPROPERTIES entry `$other` " +
             "(expected 'key' = 'value')")
         }

@@ -2349,15 +2349,20 @@ object VersionedTable {
     def len(rel: String) =
       try fs.getFileStatus(absOf(dir, rel)).getLen catch { case _: Throwable => 0L }
     val dvs = entries.flatMap(_.dvs).distinct
+    // column_mapping = a LIVE logical→physical rename mapping;
+    // schema_retirements = ANY rename/drop ever (tombstones count even when
+    // every live field's names agree) — the flag raw-file readers and
+    // history-resolving consumers actually branch on
     Seq((dir, v, new java.sql.Timestamp(ms), committed.size.toLong,
       entries.size.toLong, entries.map(e => len(e.rel)).sum,
       dvs.size.toLong,
       keyColumns(dir).map(_.mkString(",")).orNull,
       Constraints.list(dir).size.toLong,
-      hasColumnMapping(dir, v)))
+      hasColumnMapping(dir, v),
+      hasSchemaRetirements(dir, v)))
       .toDF("location", "version", "last_modified", "num_commits",
         "num_files", "size_bytes", "num_deletion_vectors", "key_columns",
-        "num_constraints", "column_mapping")
+        "num_constraints", "column_mapping", "schema_retirements")
   }
 
   /** The version that was CURRENT at `tsMillis` — the greatest committed

@@ -136,6 +136,31 @@ class SchemaStreamGuardSpec extends SparkSpec {
     assert(msgs(e).exists(m => m.contains("RENAME/DROP")), msgs(e).mkString(" | "))
   }
 
+  test("CDF replay BELOW a pre-stream rename refuses — never null-fills the old column") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "bal"), table)   // v0
+    VersionedTable.commitRenameColumn(spark, table, "bal", "amount")              // v1
+    VersionedTable.commitUpdate(spark, table, col("k") === 1L,
+      Map("amount" -> lit(99.0)))                                                 // v2
+    // stream starts AFTER the rename (schema = k, amount); replaying v0
+    // would need `amount` where only `bal` existed — the retirement check
+    // must key on the HEAD's history, not the step's (v0 predates the
+    // rename's schema file)
+    val e = intercept[Exception] {
+      drainCdf(table, s"$r/out", s"$r/ckpt", Map("startingVersion" -> "0"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("RENAME/DROP COLUMN history")), msgs(e).mkString(" | "))
+    // starting AFTER the schema change, the feed works
+    drainCdf(table, s"$r/out2", s"$r/ckpt2", Map("startingVersion" -> "2"))
+    val rows = spark.read.parquet(s"$r/out2").select("k", "amount", "_change_type")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getString(2))).toSet
+    assert(rows == Set((1L, 10.0, "update_preimage"), (1L, 99.0, "update_postimage")),
+      rows.toString)
+  }
+
   test("CDF refuses a missing column on a table with RENAME/DROP history") {
     import spark.implicits._
     val r = root(); val table = s"$r/t"

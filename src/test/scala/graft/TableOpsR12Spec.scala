@@ -178,10 +178,11 @@ class TableOpsR12Spec extends SparkSpec {
     assert(VersionedTable.filesOf(table, v).size == 8)
     assert(!VersionedTable.dataChanged(table, v))
     assert(VersionedTable.read(spark, table).count() == 2000L)
-    def spans(c: String): Seq[Long] = VersionedTable.filesOf(table, v).map { rel =>
+    def spansAt(ver: Long)(c: String): Seq[Long] = VersionedTable.filesOf(table, ver).map { rel =>
       val f = spark.read.parquet(s"$table/$rel").agg(min(c), max(c)).head
       f.getLong(1) - f.getLong(0)
     }
+    def spans(c: String): Seq[Long] = spansAt(v)(c)
     // the MOST significant dimension (highest interleave position) clusters
     // in EVERY file; lower dimensions cluster in the files that don't
     // straddle a range-sampler cut (min span ≈ half the domain) — the
@@ -197,6 +198,29 @@ class TableOpsR12Spec extends SparkSpec {
     assert(d.getAs[Long]("size_bytes") > 0L)
     assert(d.getAs[String]("key_columns") == "a")
     assert(!d.getAs[Boolean]("column_mapping"))
+    assert(!d.getAs[Boolean]("schema_retirements"))
+    // single-column ZORDER degenerates to a range sort (Delta allows it)
+    val v1 = TableSql.execute(spark, cat,
+      "OPTIMIZE t ZORDER BY (b) TARGET 4 FILES").head.getLong(2)
+    assert(VersionedTable.filesOf(table, v1).size == 4)
+    assert(spansAt(v1)("b").max < 40L, s"1-col zorder b spans ${spansAt(v1)("b")}")
+    // a drop-only table reports schema_retirements (tombstones, no mapping)
+    TableSql.execute(spark, cat, "ALTER TABLE t DROP COLUMN c")
+    val d2 = TableSql.execute(spark, cat, "DESCRIBE DETAIL t").head
+    assert(!d2.getAs[Boolean]("column_mapping"))
+    assert(d2.getAs[Boolean]("schema_retirements"))
+  }
+
+  test("ADD COLUMN with a STRUCT type; TBLPROPERTIES with quoted quotes") {
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "bal"), table)
+    val cat = Map("t" -> table)
+    TableSql.execute(spark, cat, "ALTER TABLE t ADD COLUMN meta STRUCT<a: INT, b: STRING>")
+    val f = VersionedTable.read(spark, table).schema("meta").dataType
+    assert(f.isInstanceOf[org.apache.spark.sql.types.StructType], f.toString)
+    TableSql.execute(spark, cat,
+      "ALTER TABLE t SET TBLPROPERTIES ('comment' = 'it''s big')")
+    assert(VersionedTable.property(table, "comment").contains("it's big"))
   }
 
   test("VACUUM DRY RUN lists the plan and deletes nothing; real vacuum matches") {
