@@ -575,6 +575,34 @@ object ScaleBench {
       operators.Similarity.sq8TopK(t(s, d, "embeddings"), "embedding", "vec_id",
         queryId = 1L, k = 20)),
 
+    // predicate-scoped OPTIMIZE: table ∝ F (key-clustered), predicate
+    // matching a FIXED key slice (copy 0 only) — the rewrite is
+    // O(matching files) (constant), the probe is one column-pruned scan of
+    // the predicate column with parquet row-group skipping (∝ table column
+    // bytes, the honest residual cost of ARBITRARY predicates vs Delta's
+    // partition-column-only OPTIMIZE WHERE). The harness row's wall is
+    // dominated by building the ∝F table; the stderr line isolates the
+    // scoped-compact phase itself, which SCALING.md quotes.
+    "optimize_scoped" -> ((s, d, f) => {
+      val work  = java.nio.file.Files.createTempDirectory("graft_scale_osc").toString
+      val table = s"$work/t"
+      tables.VersionedTable.commitAppend(s,
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity").cast("double").as("qty"))
+          .repartitionByRange(8 * f, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), table)
+      val t0 = System.nanoTime()
+      val v = tables.VersionedTable.commitCompact(s, table, targetFiles = 2,
+        where = Some(col("l_orderkey") < 3000000L))
+      val compactSec = (System.nanoTime() - t0) / 1e9
+      val files   = tables.VersionedTable.filesOf(table, v)
+      val shared  = tables.VersionedTable.filesOf(table, v - 1).toSet
+      val rewrote = files.count(rel => !shared(rel))
+      System.err.println(f"[scale] optimize_scoped f=$f compact_sec=$compactSec%.2f " +
+        s"rewrote=$rewrote of_total=${files.size}")
+      s.range(files.size.toLong).toDF("n")
+    }),
+
     // CDF stream bootstrap: source HISTORY ∝ F (4·f fixed-size update
     // commits on a fixed-size keyed table), then ONE startingVersion=0
     // drain — the O(history) bootstrap bound made explicit: each commit
