@@ -4,8 +4,8 @@ import java.util
 
 import graft.tables.VersionedTable
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
@@ -39,7 +39,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftTable(val tableName: String, val dir: String,
     val pinnedVersion: Option[Long], declaredSchema: Option[StructType] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tableName
 
@@ -100,6 +100,51 @@ class GraftTable(val tableName: String, val dir: String,
           }
       }
     }
+
+  // ---- native DELETE (Spark's own `DELETE FROM graft.t WHERE p` grammar):
+  // the analyzer pushes the WHERE down as v1 Filters; a translatable set
+  // routes onto commitDelete's file-grain copy-on-write. canDeleteWhere
+  // returning false makes Spark refuse the statement loudly (no
+  // row-level-operation machinery to fall back to) instead of this layer
+  // guessing at untranslatable predicates.
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case And(l, r)  => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r)   => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c)     => filterToColumn(c).map(!_)
+      case _: AlwaysTrue  => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinnedVersion.isEmpty && filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    require(pinnedVersion.isEmpty,
+      s"cannot DELETE from $tableName at a pinned version (time travel is read-only)")
+    val cond = filters.toSeq.map(f => filterToColumn(f).getOrElse(
+        sys.error(s"graft: untranslatable DELETE predicate $f")))
+      .reduceOption(_ && _).getOrElse(lit(true)) // no WHERE = delete all rows
+    VersionedTable.commitDelete(SparkSession.active, dir, cond)
+    ()
+  }
 
   override def toString: String =
     s"GraftTable($tableName, $dir${pinnedVersion.fold("")(v => s", v$v")})"

@@ -25,9 +25,27 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   */
 case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // ROW-LEVEL command targets stay v2: DeleteFromTable's (and Update/
+    // Merge's) table IS a traversed child, and substituting it would hand
+    // the physical planner a parquet relation where it expects the v2
+    // table (DELETE routes through SupportsDelete on GraftTable instead).
+    // Identity-keyed: plan equality is structural and two references to
+    // the same table must not shadow each other.
+    val keep = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        d.table.foreach(keep.add)
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        u.table.foreach(keep.add)
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        m.targetTable.foreach(keep.add)
+      case _ => ()
+    }
     plan.resolveOperatorsUp {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] && !keep.contains(r) =>
         val table = r.table.asInstanceOf[GraftTable]
         val v1 = table.readDataFrame(spark).queryExecution.analyzed
         val byName = v1.output
@@ -40,4 +58,5 @@ case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Project(aligned, v1)
     }
+  }
 }

@@ -112,6 +112,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 11L)
   }
 
+  test("native DELETE FROM graft.t WHERE ... commits a copy-on-write version") {
+    val dir = fresh("cat_del")
+    spark.sql("DELETE FROM graft.cat_del WHERE k >= 50 AND k < 90")
+    assert(VersionedTable.latestVersion(dir).contains(1L))
+    val ks = VersionedTable.read(spark, dir).select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == ((0L until 50L) ++ (90L until 100L)).toSet, ks.size.toString)
+    // the deleted rows are still in history
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cat_del VERSION AS OF 0")
+      .head.getLong(0) == 100L)
+    // an untranslatable predicate refuses loudly instead of guessing
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.cat_del WHERE k % 2 = 0").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+  }
+
   test("table names resolve case-insensitively") {
     val dir = fresh("cat_ci")
     assert(spark.sql("SELECT count(*) AS n FROM graft.CAT_CI").head.getLong(0) == 100L)
