@@ -636,6 +636,39 @@ object ScaleBench {
       s.read.parquet(out)
     }),
 
+    // backlog ∝ F drained by ONE Trigger.AvailableNow run in PACED batches
+    // (maxVersionsPerTrigger fixed at 4): the claim under test is that the
+    // engine never plans a batch proportional to the BACKLOG — each batch
+    // spans exactly 4 commits' files whether the backlog is 4 or 120
+    // commits, so per-commit wall and wire stay flat as history grows
+    // (the pre-PacedAdmission fallback planned the whole backlog as one
+    // batch — O(backlog) peak batch size, the thing this row refutes)
+    "availablenow_drain" -> ((s, d, f) => {
+      val work  = java.nio.file.Files.createTempDirectory("graft_scale_now").toString
+      val table = s"$work/t"
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("k"), length(col("text")).cast("long").as("x"))
+        .where(col("k") < 20000L) // FIXED table size at every factor
+      tables.VersionedTable.commitAppend(s,
+        base.repartitionByRange(8, col("k")), table)
+      (1 to 4 * f).foreach(i => // fixed-size commits, count ∝ F
+        tables.VersionedTable.commitAppend(s,
+          base.where(pmod(col("k"), lit(400L)) === (i % 400).toLong)
+            .withColumn("x", col("x") + i.toLong).coalesce(1), table))
+      val out = s"$work/out"
+      val q = s.readStream.format(sources.VersionedStream.format)
+        .option("path", table)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "4")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // trigger SIZE ∝ F (constant trigger count): per-byte streaming cost
     "stream_near_dedup" -> ((s, d, f) => {
       val work   = java.nio.file.Files.createTempDirectory("graft_scale_snd").toString

@@ -121,7 +121,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"spark.sql.catalog.$catalogName.warehouse"))
     GraftCatalog.register(ident.name(), d)
     GraftCatalog.pendingSchemas.put(d, schema)
-    // created THROUGH the catalog = managed: DROP TABLE deletes its data
+    // created THROUGH the catalog = managed: DROP TABLE deletes its data.
+    // The marker is PERSISTED in the table directory (a `_props` entry),
+    // not only in this process's memory: managed-ness must survive a
+    // restart, and must never be INFERRED from warehouse residency — a
+    // pre-existing user directory that happens to sit under the configured
+    // warehouse was not created here, and DROP destroying its versioned
+    // history would be a destructive surprise.
+    VersionedTable.setProperty(d, GraftCatalog.ManagedProp, "true")
     GraftCatalog.managedDirs.put(d, java.lang.Boolean.TRUE)
     new GraftTable(ident.name(), d, None, Some(schema))
   }
@@ -133,20 +140,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "through the column-mapping protocol")
 
   /** DROP TABLE semantics follow the managed/external split: a MANAGED
-    * table — created through this catalog, or resolved through the
-    * WAREHOUSE (warehouse dirs are catalog-owned by definition, which
-    * keeps drop working across process restarts where the in-memory
-    * created-set is empty) — drops its data; a table merely REGISTERED
-    * (an external, user-owned location — the common TableSql case) only
-    * loses its name mapping, its directory untouched. Deleting a user's
-    * versioned history because a query layer registered its path would be
-    * a destructive surprise. */
+    * table — created through this catalog, proven by the PERSISTED
+    * [[GraftCatalog.ManagedProp]] marker createTable writes into the table
+    * directory (so the split survives process restarts without inferring
+    * managed-ness from warehouse residency — a pre-existing directory
+    * under the warehouse was NOT created here) — drops its data; any
+    * other table (an external, user-owned location — the common TableSql
+    * case, and every unmarked warehouse directory) only loses its name
+    * mapping, its directory untouched. Deleting a user's versioned
+    * history because a query layer resolved its path would be a
+    * destructive surprise. */
   override def dropTable(ident: Identifier): Boolean =
     dirOf(ident) match {
       case Some(d) if committed(d) || GraftCatalog.pendingSchemas.containsKey(d) =>
-        val external = GraftCatalog.resolve(ident.name()).isDefined &&
-          !GraftCatalog.managedDirs.containsKey(d)
-        if (!external) TableManager.deleteDir(SparkSession.active, d)
+        val managed = GraftCatalog.managedDirs.containsKey(d) ||
+          VersionedTable.property(d, GraftCatalog.ManagedProp).contains("true")
+        if (managed) TableManager.deleteDir(SparkSession.active, d)
         GraftCatalog.deregister(ident.name())
         GraftCatalog.pendingSchemas.remove(d)
         GraftCatalog.managedDirs.remove(d)
@@ -190,8 +199,14 @@ object GraftCatalog {
     * bridges CREATE TABLE to the first INSERT/CTAS write. */
   private val pendingSchemas = new ConcurrentHashMap[String, StructType]()
 
-  /** Directories whose tables were CREATED through this catalog (managed):
-    * the only ones DROP TABLE physically deletes. */
+  /** Table property marking a directory as catalog-MANAGED (written by
+    * createTable, required by dropTable before it deletes data). Persisted
+    * with the table so the managed/external split survives restarts. */
+  val ManagedProp = "graft.managed"
+
+  /** Directories whose tables were CREATED through this catalog (managed)
+    * in THIS process — a fast path over the persisted [[ManagedProp]]
+    * marker, which is the durable source of truth. */
   private val managedDirs = new ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Register `name` → `dir` so `graft.<name>` resolves. Idempotent. */

@@ -157,6 +157,87 @@ object VersionedStream {
       org.apache.spark.sql.types.StructField(CommitTsCol,
         org.apache.spark.sql.types.TimestampType, nullable = false)))
 
+  /** Version-paced ADMISSION CONTROL shared by both sources, including
+    * first-class `Trigger.AvailableNow`: with these interfaces the engine
+    * drains a backlog in PACED micro-batches (maxVersionsPerTrigger
+    * honored) and stops at the target pinned when the run started —
+    * instead of its fallback for unsupporting custom sources, which plans
+    * the entire backlog as ONE unbounded batch. At scale that fallback is
+    * the difference between "catch up a 10k-commit bronze tail in bounded
+    * steps" and "one batch spanning 10k commits"; it is also Delta's own
+    * contract (DeltaSource implements the same pair). As a bonus, the
+    * admission-control path hands `latestOffset` the DURABLE start offset,
+    * so a RESTARTED paced stream is bounded from its first batch — the
+    * legacy `getOffset` path could only pace after the first `getBatch`
+    * re-seeded its in-memory anchor. */
+  private[sources] trait PacedAdmission
+      extends org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    self: Source =>
+
+    protected def dir: String
+    protected def maxVersionsPerTrigger: Option[Int]
+    protected def startingVersion: Option[Long]
+    /** Highest version already planned through getBatch (the in-memory
+      * pacing anchor; the durable one arrives as latestOffset's start). */
+    protected def planned: Option[Long]
+
+    /** Latest committed version capped at `anchor + maxVersionsPerTrigger`
+      * — the shared pacing arithmetic. The initial snapshot batch (no
+      * anchor, no startingVersion) is inherently uncapped: one snapshot. */
+    private def paceFrom(anchor: Option[Long]): Option[LongOffset] =
+      VersionedTable.latestVersion(dir).map { latest =>
+        val capped = (anchor, maxVersionsPerTrigger) match {
+          case (Some(last), Some(m)) => math.min(latest, last + m)
+          case (None, Some(m)) if startingVersion.isDefined =>
+            math.min(latest, startingVersion.get - 1 + m)
+          case _ => latest
+        }
+        LongOffset(capped)
+      }
+
+    final override def getOffset: Option[Offset] = paceFrom(planned)
+
+    // target pinned by prepareForTriggerAvailableNow: commits landing
+    // DURING an AvailableNow run are the NEXT run's work (the file-source
+    // / Delta contract — the run must terminate)
+    @volatile private var availableNowTarget: Option[Long] = None
+    @volatile private var availableNowPrepared = false
+
+    override def prepareForTriggerAvailableNow(): Unit = {
+      availableNowTarget = VersionedTable.latestVersion(dir)
+      availableNowPrepared = true
+    }
+
+    override def getDefaultReadLimit
+        : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+    override def latestOffset(
+        start: org.apache.spark.sql.connector.read.streaming.Offset,
+        limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+        : org.apache.spark.sql.connector.read.streaming.Offset = {
+      val startV = Option(start).map {
+        case l: LongOffset => l.offset
+        case o             => o.json().trim.toLong
+      }
+      // pace from the furthest of the in-memory anchor and the durable
+      // start offset (after a clean restart only the latter exists)
+      val anchor = (planned.toSeq ++ startV.toSeq).reduceOption(_ max _)
+      // a table empty when the AvailableNow run was prepared contributes
+      // nothing to THIS run, even if a first commit lands mid-run
+      if (availableNowPrepared && availableNowTarget.isEmpty) null
+      else paceFrom(anchor) match {
+        case Some(p) =>
+          availableNowTarget match {
+            case Some(t) if startV.exists(_ >= t) => null // run's target drained
+            case Some(t) => LongOffset(math.min(p.offset, t))
+            case None    => p
+          }
+        case None => null
+      }
+    }
+  }
+
   /** CHANGE-DATA-FEED streaming source (Delta's `readChangeFeed` stream):
     * each micro-batch carries the ROW-LEVEL changes the covered commits
     * made — full rows plus `_change_type` ∈ insert | delete |
@@ -174,10 +255,12 @@ object VersionedStream {
     * its full row set as inserts. Offsets are version numbers; a version's
     * diff is deterministic (immutable manifests), so checkpoint replay is
     * exactly-once like the file source. */
-  private[sources] class ChangeFeedSource(spark: SparkSession, dir: String,
+  private[sources] class ChangeFeedSource(spark: SparkSession,
+      protected val dir: String,
       tableSchema: StructType, keyCols: Seq[String],
-      maxVersionsPerTrigger: Option[Int], startingVersion: Option[Long])
-      extends Source {
+      protected val maxVersionsPerTrigger: Option[Int],
+      protected val startingVersion: Option[Long])
+      extends Source with PacedAdmission {
 
     require(keyCols.forall(tableSchema.fieldNames.contains),
       s"VersionedStream CDF: key column(s) ${keyCols.mkString(",")} not in " +
@@ -186,17 +269,7 @@ object VersionedStream {
     override val schema: StructType = withCdfColumns(tableSchema)
 
     @volatile private var lastPlanned: Option[Long] = None
-
-    override def getOffset: Option[Offset] =
-      VersionedTable.latestVersion(dir).map { latest =>
-        val capped = (lastPlanned, maxVersionsPerTrigger) match {
-          case (Some(last), Some(m)) => math.min(latest, last + m)
-          case (None, Some(m)) if startingVersion.isDefined =>
-            math.min(latest, startingVersion.get - 1 + m)
-          case _ => latest
-        }
-        LongOffset(capped)
-      }
+    override protected def planned: Option[Long] = lastPlanned
 
     // schema-at-version memo (see schemaAt): versions are immutable, so one
     // resolution per version serves the stream's whole lifetime
@@ -331,37 +404,19 @@ object VersionedStream {
     override def toString: String = s"ChangeFeedSource[$dir]"
   }
 
-  private[sources] class VersionedTableSource(spark: SparkSession, dir: String,
+  private[sources] class VersionedTableSource(spark: SparkSession,
+      protected val dir: String,
       override val schema: StructType, ignoreChanges: Boolean,
-      maxVersionsPerTrigger: Option[Int] = None,
-      startingVersion: Option[Long] = None) extends Source {
+      protected val maxVersionsPerTrigger: Option[Int] = None,
+      protected val startingVersion: Option[Long] = None)
+      extends Source with PacedAdmission {
 
     // the highest version already handed out through getBatch — the anchor
     // maxVersionsPerTrigger paces from. Recovery is safe: Spark replays the
     // checkpointed batch through getBatch before asking for a new offset,
     // which re-seeds this from the durable end offset.
     @volatile private var lastPlanned: Option[Long] = None
-
-    /** Latest committed version, CAPPED at `lastPlanned +
-      * maxVersionsPerTrigger` — a restarted tail with a 10k-version backlog
-      * drains it in bounded batches instead of planning one giant one
-      * (Delta's maxFilesPerTrigger discipline at version grain). The
-      * initial snapshot batch is inherently uncapped (one snapshot). */
-    override def getOffset: Option[Offset] =
-      VersionedTable.latestVersion(dir).map { latest =>
-        val capped = (lastPlanned, maxVersionsPerTrigger) match {
-          case (Some(last), Some(m)) => math.min(latest, last + m)
-          // startingVersion bootstrap (no checkpoint yet): the tail walk
-          // starts at startingVersion inclusive, so the FIRST batch must
-          // respect the pacing option too — without this cap a 10k-version
-          // backlog plans one unbounded bootstrap batch (Delta's
-          // startingVersion honors maxFilesPerTrigger from batch one)
-          case (None, Some(m)) if startingVersion.isDefined =>
-            math.min(latest, startingVersion.get - 1 + m)
-          case _                     => latest
-        }
-        LongOffset(capped)
-      }
+    override protected def planned: Option[Long] = lastPlanned
 
     override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
       val endV = versionOf(end)
@@ -385,11 +440,23 @@ object VersionedStream {
         // mapping must still DESCRIBE the stream's schema: a rename landing
         // mid-stream changes the logical names and refuses loudly (the
         // stream's pinned schema cannot represent it).
-        val declared = VersionedTable.declaredSchemaAt(dir, endV)
+        val declaredRaw = VersionedTable.declaredSchemaAt(dir, endV)
+        val declared = declaredRaw
           .filter(_.fields.exists(f =>
             f.metadata.contains(VersionedTable.PhysicalNameKey) &&
               f.metadata.getString(VersionedTable.PhysicalNameKey) != f.name))
-        declared.foreach { d =>
+        // The refusal must also engage on TOMBSTONE-ONLY retirements: a
+        // pure DROP COLUMN leaves no rename mapping (physical == logical
+        // for every surviving field), so `declared` filters to None — but a
+        // stream pinned before the drop would then silently null-fill the
+        // dropped column from post-drop files. Any retirement history at
+        // the span's end version makes the declared schema authoritative
+        // for the subset check, mapping or not (rename and drop both
+        // refuse loudly — Delta's contract).
+        val guard =
+          if (declared.isDefined) declared
+          else declaredRaw.filter(_ => VersionedTable.hasSchemaRetirements(dir, endV))
+        guard.foreach { d =>
           def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
           val dNames = d.fieldNames.map(lc).toSet
           val sNames = schema.fieldNames.map(lc).toSet

@@ -47,6 +47,11 @@ import org.apache.spark.sql.functions.expr
   */
 object TableSql {
 
+  /** Serializes the SELECT path's session-global mutations (name
+    * registration, current-catalog set/restore) across concurrent
+    * TableSql callers on the same process. */
+  private val sqlLock = new Object
+
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+(\w+)\s*(?:ZORDER\s+BY\s*\(([\w\s,]+)\))?\s*(?:WHERE\s+(.+?))?\s*(?:TARGET\s+(\d+)\s+FILES)?\s*;?\s*$""".r
   private val VacuumRe =
@@ -213,16 +218,26 @@ object TableSql {
         // happens, so a hostile literal containing `t VERSION AS OF 1`
         // needs no special-casing — the parser owns the text. Temp views
         // still shadow catalog tables (standard SQL precedence).
-        if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
-          spark.conf.set("spark.sql.catalog.graft",
-            classOf[graft.catalog.GraftCatalog].getName)
-        tables.foreach { case (t, d) => graft.catalog.GraftCatalog.register(t, d) }
-        val prevCatalog = spark.catalog.currentCatalog()
-        spark.catalog.setCurrentCatalog("graft")
-        // spark.sql analyzes EAGERLY (Dataset.ofRows asserts analysis), so
-        // every table reference is bound to its concrete scan before the
-        // catalog is restored; later execution needs no catalog state
-        try spark.sql(sql) finally spark.catalog.setCurrentCatalog(prevCatalog)
+        // The register + set-current-catalog + analyze + restore sequence
+        // mutates SESSION-GLOBAL state, so it is serialized under one lock:
+        // a concurrent TableSql statement can neither observe the wrong
+        // current catalog (or have it restored mid-analysis) nor analyze
+        // against another caller's registration of the same bare name —
+        // each statement re-registers ITS name→dir map inside the lock and
+        // binds every reference before releasing it. Holding the lock for
+        // analysis only is enough: spark.sql analyzes EAGERLY (Dataset
+        // .ofRows asserts analysis), so every table reference is bound to
+        // its concrete scan before the catalog is restored; later
+        // execution needs no catalog state.
+        sqlLock.synchronized {
+          if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+            spark.conf.set("spark.sql.catalog.graft",
+              classOf[graft.catalog.GraftCatalog].getName)
+          tables.foreach { case (t, d) => graft.catalog.GraftCatalog.register(t, d) }
+          val prevCatalog = spark.catalog.currentCatalog()
+          spark.catalog.setCurrentCatalog("graft")
+          try spark.sql(sql) finally spark.catalog.setCurrentCatalog(prevCatalog)
+        }
     }
   }
 

@@ -1611,6 +1611,38 @@ object VersionedTable {
     * join (column pruning still reads just the key columns). */
   val MaxMergeProbeKeys = 100000
 
+  /** Byte bound for force-broadcasting the merge source. The probe's key
+    * cap bounds row COUNT but not row WIDTH — 100k rows carrying embedding
+    * arrays or long text can exceed what a driver/executor should hold, a
+    * regime where the planner's shuffle join was the right call. Above this
+    * ESTIMATE (source rows × [[estRowBytes]]) the merge keeps the un-hinted
+    * join; falling back costs one shuffle, never an opaque broadcast OOM. */
+  val MaxMergeBroadcastBytes: Long = 64L << 20
+
+  /** Conservative per-row width estimate for the broadcast gate: fixed
+    * types at Catalyst's defaultSize, variable-width fields (string /
+    * binary / array / map / struct) at a 1 KiB allowance each — statistics
+    * for a LogicalRDD source don't exist, so the gate must come from the
+    * schema alone without spending an extra job. */
+  private[graft] def estRowBytes(schema: org.apache.spark.sql.types.StructType): Long =
+    schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType => 1024L
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => 1024L
+        case dt => dt.defaultSize.toLong
+      }
+    }.sum.max(8L)
+
+  /** The merge-source broadcast gate: row count under the probe cap AND
+    * estimated bytes (rows × [[estRowBytes]]) under [[MaxMergeBroadcastBytes]]. */
+  private[graft] def mergeBroadcastable(
+      rows: Long, schema: org.apache.spark.sql.types.StructType): Boolean =
+    rows >= 0 && rows <= MaxMergeProbeKeys &&
+      rows <= MaxMergeBroadcastBytes / estRowBytes(schema)
+
   /** MERGE INTO (Delta semantics, whole-row): source rows matching a target
     * key UPDATE that row's source-covered columns; unmatched source rows
     * INSERT (missing columns null). Copy-on-write at file grain: only files
@@ -1651,13 +1683,26 @@ object VersionedTable {
         val declared = declaredSchemaAt(dir, pv)
         val full   = scanEntriesMeta(spark, dir, entries, declared)
         val srcChk = source.localCheckpoint(true)
-        val keyDf  = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
         // ONE bounded collect decides small-vs-large AND delivers the keys:
         // ≤ cap+1 rows prove whether the literal-probe path applies, saving
         // the separate count() job the common small-batch path used to pay
         // (the CDC replication loop runs a merge per span — job count IS
-        // the protocol latency there)
-        val keyProbe = keyDf.limit(MaxMergeProbeKeys + 1).collect()
+        // the protocol latency there). Grouping with a count (same hash
+        // aggregate a distinct() would run) also yields the source's TOTAL
+        // row count for free: a duplicate-key source can be arbitrarily
+        // large under the key cap, and it must fall out of the broadcast
+        // fast path BEFORE the uniqueness tripwire gets a chance to fire.
+        val cntCol = "__graft_merge_cnt"
+        val keyDf  = srcChk.select(keyCols.map(k => col(s"`$k`")): _*)
+          .groupBy(keyCols.map(k => col(s"`$k`")): _*)
+          .agg(count(lit(1)).as(cntCol))
+        val cntProbe = keyDf.limit(MaxMergeProbeKeys + 1).collect()
+        val keyProbe = cntProbe.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+        val srcRowEst: Long =
+          if (cntProbe.length <= MaxMergeProbeKeys)
+            cntProbe.iterator.map(_.getLong(keyCols.length)).sum
+          else Long.MaxValue
         val touchedNames: Set[String] = (
           if (keyProbe.length <= MaxMergeProbeKeys) {
             val keys = keyProbe
@@ -1686,12 +1731,15 @@ object VersionedTable {
           else scanEntries(spark, dir, touched, declared) // masked; rewrite sheds the DVs
         // the checkpointed source is a LogicalRDD — unknown size to the
         // planner, so the upsert join would default to a shuffle join even
-        // for a tiny CDC batch. Under the probe cap the source is
-        // driver-bounded by contract (unique keys ≤ MaxMergeProbeKeys), so
-        // hint broadcast: the rewrite becomes a shuffle-free broadcast join
-        // over just the touched files.
+        // for a tiny CDC batch. Under the probe cap AND the byte bound
+        // (exact row count × schema-width estimate — count alone doesn't
+        // bound wide embedding/text rows, and a duplicate-key source can
+        // dwarf its distinct keys), hint broadcast: the rewrite becomes a
+        // shuffle-free broadcast join over just the touched files.
         val srcForMerge =
-          if (keyProbe.length <= MaxMergeProbeKeys) broadcast(srcChk) else srcChk
+          if (keyProbe.length <= MaxMergeProbeKeys &&
+              mergeBroadcastable(srcRowEst, srcChk.schema)) broadcast(srcChk)
+          else srcChk
         val merged = toPhysical(
           TableManager.mergeUpsert(targetDf, srcForMerge, keyCols), declared)
         val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1843,12 +1891,16 @@ object VersionedTable {
         val targetSchema = targetDf.schema
         // ---- matched side: t LEFT OUTER s on keys, first-true clause wins.
         // The checkpointed source reads as a LogicalRDD (unknown size), so
-        // hint broadcast under the probe cap — the source is driver-bounded
-        // by the unique-key contract, and the clause rewrite then runs as a
-        // shuffle-free broadcast join over the touched files.
+        // hint broadcast under the probe cap AND the byte bound (the
+        // unique-key contract bounds row count — here rows == keys, gate-
+        // enforced above — but not row WIDTH; wide embedding/text sources
+        // keep the planner's shuffle join instead of OOMing a broadcast);
+        // the clause rewrite then runs shuffle-free over the touched files.
         val presentCol = "__graft_s_present"
         val srcFlag0 = srcChk.withColumn(presentCol, lit(true))
-        val srcFlag = if (nKeys <= MaxMergeProbeKeys) broadcast(srcFlag0) else srcFlag0
+        val srcFlag =
+          if (mergeBroadcastable(nKeys, srcChk.schema)) broadcast(srcFlag0)
+          else srcFlag0
         val joined = targetDf.as("t").join(srcFlag.as("s"),
           keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_outer")
         val matched = coalesce(col(s"s.`$presentCol`"), lit(false))

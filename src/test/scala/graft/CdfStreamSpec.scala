@@ -60,15 +60,21 @@ class CdfStreamSpec extends SparkSpec {
     val r = root(); val table = s"$r/t"
     (0 until 4).foreach(i =>
       VersionedTable.commitAppend(spark, Seq((i.toLong, i * 1.0)).toDF("k", "bal"), table))
-    // AvailableNow pins its end offset at start, so each drain advances by
-    // exactly maxVersionsPerTrigger versions — 4 drains cover the backlog
-    // (and prove the cap actually bounds each batch)
-    (0 until 4).foreach { i =>
-      drain(table, s"$r/out", s"$r/ckpt",
-        Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
-      assert(spark.read.parquet(s"$r/out").count() == i + 1L,
-        s"drain ${i + 1} must cover exactly one more version")
+    // the source supports Trigger.AvailableNow natively (PacedAdmission):
+    // ONE run drains the whole backlog, but in PACED micro-batches — the
+    // checkpoint must show one batch per version, each advancing by
+    // exactly maxVersionsPerTrigger (the engine's old fallback planned the
+    // entire backlog as a single unbounded batch)
+    drain(table, s"$r/out", s"$r/ckpt",
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
+    val offFiles = new java.io.File(s"$r/ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val ends = offFiles.toSeq.map { f =>
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().toSeq.last.trim.toLong finally src.close()
     }
+    assert(ends == Seq(0L, 1L, 2L, 3L),
+      s"each AvailableNow batch must advance one version, got offsets $ends")
     val out = spark.read.parquet(s"$r/out")
     assert(out.count() == 4L)
     assert(out.select("_change_type").distinct().collect()

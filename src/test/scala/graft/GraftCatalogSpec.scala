@@ -154,6 +154,44 @@ class GraftCatalogSpec extends SparkSpec {
       "DROP TABLE must delete a catalog-created (managed) directory")
   }
 
+  test("DROP TABLE managed-ness is the PERSISTED marker, never warehouse residency") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val wh = Files.createTempDirectory("graft_wh").toString
+    // a user's versioned table that merely SITS under the warehouse (never
+    // created through the catalog, no marker): DROP must only unmap it
+    val pre = new org.apache.hadoop.fs.Path(wh, "preexist").toString
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 10L).select(col("id").as("k")), pre)
+    val cat = new GraftCatalog
+    val opts = new java.util.HashMap[String, String](); opts.put("warehouse", wh)
+    cat.initialize("graftwh", new CaseInsensitiveStringMap(opts))
+    val ident = Identifier.of(Array("default"), "preexist")
+    assert(cat.tableExists(ident))
+    assert(cat.dropTable(ident))
+    assert(VersionedTable.latestVersion(pre).contains(0L),
+      "DROP TABLE deleted an unmarked warehouse-resident directory")
+    // created THROUGH the catalog: the marker is persisted with the table
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    cat.createTable(Identifier.of(Array("default"), "born_here"), schema,
+      Array.empty, new java.util.HashMap[String, String]())
+    val born = new org.apache.hadoop.fs.Path(wh, "born_here").toString
+    assert(VersionedTable.property(born, GraftCatalog.ManagedProp).contains("true"),
+      "createTable must persist the managed marker in the table directory")
+    GraftCatalog.deregister("born_here")
+    // restart simulation: the marker ALONE (no in-memory created-set entry)
+    // must make DROP delete the data
+    val mng = Files.createTempDirectory("graft_cat").toString + "/restarted"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 10L).select(col("id").as("k")), mng)
+    VersionedTable.setProperty(mng, GraftCatalog.ManagedProp, "true")
+    GraftCatalog.register("cat_restarted", mng)
+    spark.sql("DROP TABLE graft.cat_restarted")
+    assert(VersionedTable.latestVersion(mng).isEmpty,
+      "the persisted marker must survive a restart and make DROP delete data")
+  }
+
   test("format(\"graft\") streams: readStream tails commits, writeStream commits versions") {
     import org.apache.spark.sql.streaming.Trigger
     val src = fresh("cat_t8")

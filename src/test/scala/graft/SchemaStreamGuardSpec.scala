@@ -58,6 +58,36 @@ class SchemaStreamGuardSpec extends SparkSpec {
     assert(e.getMessage.contains("renamed or dropped"), e.getMessage)
   }
 
+  test("plain stream refuses loudly when a DROP lands MID-stream (tombstone-only, no mapping)") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "bal"), table)
+    val pinned = VersionedTable.read(spark, table).schema // (k, bal)
+    val source = new VersionedStream().createSource(spark.sqlContext,
+      s"$r/meta", Some(pinned), "graft", Map("path" -> table))
+    // a pure DROP leaves NO rename mapping (physical == logical for every
+    // surviving field) — before the fix the guard keyed only on mappings,
+    // so the post-drop file streamed `bal` as silent NULLs
+    VersionedTable.commitDropColumn(spark, table, "bal")
+    VersionedTable.commitAppend(spark, Seq(Tuple1(2L)).toDF("k"), table)
+    val end = source.getOffset.get
+    val e = intercept[Exception] { source.getBatch(None, end) }
+    assert(e.getMessage.contains("renamed or dropped"), e.getMessage)
+  }
+
+  test("plain stream pinned AFTER a drop keeps streaming (subset check passes)") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "bal"), table)
+    VersionedTable.commitDropColumn(spark, table, "bal")
+    VersionedTable.commitAppend(spark, Seq(Tuple1(2L)).toDF("k"), table)
+    // the table has retirement history, but this stream's schema (k) is a
+    // subset of the declared schema — the broadened guard must not refuse
+    drainPlain(table, s"$r/out", s"$r/ckpt")
+    val ks = spark.read.parquet(s"$r/out").select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == Set(1L, 2L), ks.toString)
+  }
+
   private def drainCdf(table: String, out: String, ckpt: String,
       extra: Map[String, String] = Map.empty): Unit = {
     val q = spark.readStream.format(VersionedStream.format)

@@ -75,9 +75,18 @@ class TableOpsR12Spec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // v0 predates the timestamp: only v1 emits in the first drain (pacing=1)
+    // v0 predates the timestamp: the run drains v1 and v2 only — and with
+    // native AvailableNow support it does so in TWO paced batches (ends at
+    // versions 1 then 2), not one unbounded batch
     assert(spark.read.parquet(s"$r/out").select("k").collect()
-      .map(_.getLong(0)).toSet == Set(2L))
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    val offEnds = new java.io.File(s"$r/ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt).toSeq
+      .map { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toSeq.last.trim.toLong finally src.close()
+      }
+    assert(offEnds == Seq(1L, 2L), offEnds.toString)
     // both options together refuse (createSource runs at stream start)
     val e = intercept[Exception] {
       spark.readStream.format(VersionedStream.format)

@@ -110,4 +110,48 @@ class TableSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown table"), e.getMessage)
   }
+
+  test("concurrent SELECTs: same bare name, different dirs — no registry/catalog race") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // 8 callers each map the SAME name `shared` to a DIFFERENT table whose
+    // rows are a distinct constant — a racy registry (last register wins
+    // mid-analysis) or a mid-statement current-catalog restore would make
+    // some caller read another caller's table or fail resolution
+    val dirs = (0 until 8).map { i =>
+      val d = java.nio.file.Files.createTempDirectory("graft_tsql").toString + s"/t$i"
+      VersionedTable.commitAppend(spark,
+        spark.range(0L, 50L).select(col("id").as("k"), lit(i.toLong).as("tag")), d)
+      d
+    }
+    val pool  = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val prevCatalog = spark.catalog.currentCatalog()
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, (Long, Long)]] {
+          def call() = {
+            start.await()
+            try {
+              val r = (0 until 5).map { _ =>
+                val row = TableSql.execute(spark, Map("shared" -> dirs(i)),
+                  "SELECT count(*) AS n, max(tag) AS t FROM shared").head
+                (row.getLong(0), row.getLong(1))
+              }
+              Right(r.last): Either[Throwable, (Long, Long)]
+            } catch { case t: Throwable => Left(t) }
+          }
+        })
+      }
+      start.countDown()
+      futs.zipWithIndex.foreach { case (f, i) =>
+        f.get(120, TimeUnit.SECONDS) match {
+          case Right((n, tag)) =>
+            assert(n == 50L && tag == i.toLong, s"caller $i read ($n, tag=$tag)")
+          case Left(t) => fail(s"caller $i: ${t.getMessage}", t)
+        }
+      }
+    } finally { pool.shutdownNow(); () }
+    // the session's current catalog is restored after the dust settles
+    assert(spark.catalog.currentCatalog() == prevCatalog)
+  }
 }

@@ -138,6 +138,42 @@ class VersionedStreamSpec extends SparkSpec {
     assert(sizes.size >= 3, s"the drain must take multiple bounded batches: $sizes")
   }
 
+  test("Trigger.AvailableNow natively drains a paced backlog in ONE run") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream_now").toString
+    val table = root + "/t"
+    (0L to 5L).foreach { i =>
+      VersionedTable.commitAppend(spark, Seq((i, s"v$i")).toDF("id", "s"), table)
+    }
+    def drainNow(): Unit = {
+      val q = spark.readStream.format(VersionedStream.format).option("path", table)
+        .option("startingVersion", "0").option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", root + "/out").option("checkpointLocation", root + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainNow()
+    def offsetEnds(): Seq[Long] =
+      new java.io.File(root + "/ckpt/offsets").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt).toSeq
+        .map { f =>
+          val src = scala.io.Source.fromFile(f)
+          try src.getLines().toSeq.last.trim.toLong finally src.close()
+        }
+    // one run, three PACED batches (2 versions each), whole backlog drained
+    assert(offsetEnds() == Seq(1L, 3L, 5L), offsetEnds().toString)
+    assert(spark.read.parquet(root + "/out").count() == 6L)
+    // a later commit is the NEXT run's work; the restarted run paces from
+    // the DURABLE offset (admission control hands latestOffset the start)
+    VersionedTable.commitAppend(spark, Seq((6L, "v6")).toDF("id", "s"), table)
+    drainNow()
+    assert(offsetEnds() == Seq(1L, 3L, 5L, 6L), offsetEnds().toString)
+    assert(spark.read.parquet(root + "/out").count() == 7L)
+  }
+
   test("startingVersion tails from that commit (inclusive), no initial snapshot") {
     import spark.implicits._
     val root  = Files.createTempDirectory("graft_vstream_sv").toString

@@ -438,4 +438,37 @@ class VersionedTableSpec extends SparkSpec {
       .select(col("x").as("X"), col("k")), dir)
     assert(VersionedTable.read(spark, dir).count() == 2L)
   }
+
+  test("merge broadcast gate bounds WIDTH and duplicate blow-up, not just key count") {
+    import org.apache.spark.sql.types._
+    val narrow = StructType(Seq(StructField("k", LongType), StructField("x", DoubleType)))
+    val wide = StructType(Seq(StructField("k", LongType),
+      StructField("text", StringType), StructField("embedding", ArrayType(FloatType))))
+    // narrow CDC batch: broadcast fast path holds at the key cap
+    assert(VersionedTable.mergeBroadcastable(1000L, narrow))
+    assert(VersionedTable.mergeBroadcastable(VersionedTable.MaxMergeProbeKeys.toLong, narrow))
+    // wide rows (text + embedding): the byte estimate trips before the key
+    // cap — 100k such rows is a shuffle join's job, not a broadcast's
+    assert(VersionedTable.mergeBroadcastable(1000L, wide))
+    assert(!VersionedTable.mergeBroadcastable(VersionedTable.MaxMergeProbeKeys.toLong, wide))
+    // a duplicate-key source reports TOTAL rows to the gate: arbitrarily
+    // large under the key cap still falls out of the fast path
+    assert(!VersionedTable.mergeBroadcastable(50000000L, narrow))
+    assert(!VersionedTable.mergeBroadcastable(Long.MaxValue, narrow))
+    // width estimate: variable-width fields carry the 1 KiB allowance
+    assert(VersionedTable.estRowBytes(wide) >= 2048L)
+    assert(VersionedTable.estRowBytes(narrow) == 16L)
+  }
+
+  test("commitMerge with duplicate source keys still fails the uniqueness tripwire loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 10.0)).toDF("k", "x"), dir)
+    val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "x")
+    val e = intercept[Exception] { VersionedTable.commitMerge(spark, dir, dup, Seq("k")) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.toLowerCase.contains("unique")), msgs(e).mkString(" | "))
+    assert(VersionedTable.latestVersion(dir).contains(0L))
+  }
 }
