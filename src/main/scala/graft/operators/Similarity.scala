@@ -171,18 +171,20 @@ object Similarity {
     val rows = df.select(col(idCol).cast("long"), col(vecCol))
       .where(col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
-    // ENFORCED broadcastability contract (not just documented): a count
-    // pre-pass (cheap — column-pruned scan) fails loudly BEFORE the driver
-    // attempts to collect a neighbor side that cannot fit, instead of
-    // dying opaquely in collect(). The exact join is O(n²) by nature; past
-    // this bound it is the wrong operator, not a tuning problem.
-    val n = rows.count()
-    require(n <= maxBroadcastRows,
+    // ENFORCED broadcastability contract (not just documented): ONE
+    // BOUNDED collect (limit cap+1) both proves the bound and delivers the
+    // neighbor side — the driver never materializes more than cap+1 rows,
+    // failing loudly instead of dying opaquely in an unbounded collect(),
+    // and the separate count() pre-pass job (a second scan) is gone. The
+    // exact join is O(n²) by nature; past this bound it is the wrong
+    // operator, not a tuning problem.
+    val neigh = rows
+      .limit(math.min(maxBroadcastRows, Int.MaxValue.toLong - 1).toInt + 1).collect()
+    require(neigh.length <= maxBroadcastRows,
       s"knnJoinExact needs the neighbor side collected + broadcast to every " +
-        s"executor, but it has $n rows (> maxBroadcastRows=$maxBroadcastRows). " +
+        s"executor, but it exceeds maxBroadcastRows=$maxBroadcastRows. " +
         s"At this scale use knnJoinIvf (cell-local candidate generation, no " +
         s"broadcast of the corpus) or raise maxBroadcastRows deliberately.")
-    val neigh = rows.collect()
     val bc = spark.sparkContext.broadcast(withNorms(neigh))
     rows.flatMap { case (id, vec) =>
       scoreTopK(id, vec, bc.value, k).zipWithIndex
@@ -234,14 +236,15 @@ object Similarity {
     val rows = df.select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("int"))
       .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
       .as[(Long, Array[Float], Int)]
-    val n = rows.count()
-    require(n <= maxBroadcastRows,
+    // same bounded-collect contract as knnJoinExact: one job, cap enforced
+    val neigh = rows
+      .limit(math.min(maxBroadcastRows, Int.MaxValue.toLong - 1).toInt + 1).collect()
+    require(neigh.length <= maxBroadcastRows,
       s"hardNegatives scores every cross-label pair against a broadcast " +
-        s"neighbor side, but it has $n rows (> maxBroadcastRows=$maxBroadcastRows). " +
+        s"neighbor side, but it exceeds maxBroadcastRows=$maxBroadcastRows. " +
         s"At this scale generate candidates with knnJoinIvf (cell-local " +
         s"pairs) and filter to cross-label, or raise maxBroadcastRows " +
         s"deliberately.")
-    val neigh = rows.collect()
     val labeled = neigh.map { case (id, v, l) =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
