@@ -3509,6 +3509,37 @@ object SparkEntry {
       VersionedTable.read(s, mirror).orderBy("c_custkey")
     }),
 
+    // -- CATALOG-ADDRESSED STREAMING (readStream.table / toTable) ----------
+    // The Delta "stream table-to-table by NAME" ergonomics: both ends
+    // resolve through the DSv2 catalog (V2TableWithV1Fallback bridges to
+    // the versioned source/sink), snapshot batch + incremental tail, dest
+    // committed exactly once per drain.
+    "q_stream_table_mirror" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ctmir").toString
+      val (bronze, mirror, ckpt) = (root + "/bronze", root + "/mirror", root + "/ckpt")
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .repartitionByRange(4, col("c_custkey")), bronze)
+      VersionedTable.commitAppend(s, c.limit(0), mirror) // declared, empty
+      graft.catalog.GraftCatalog.register("ctmir_bronze", bronze)
+      graft.catalog.GraftCatalog.register("ctmir_mirror", mirror)
+      def drain(): Unit = {
+        val q = s.readStream.table("graft.ctmir_bronze")
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft.ctmir_mirror")
+        q.awaitTermination()
+      }
+      drain() // snapshot poll
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), bronze)
+      drain() // tail poll
+      require(VersionedTable.latestVersion(mirror).contains(2L),
+        "each drain must land as exactly one mirror commit")
+      s.table("graft.ctmir_mirror").orderBy("c_custkey")
+    }),
+
     // -- STREAMING MATERIALIZED VIEW ---------------------------------------
     // The Delta "streaming aggregate table" shape: a 4-file customer stream
     // lands micro-batch by micro-batch in a versioned bronze table (each
@@ -5631,6 +5662,11 @@ object SparkEntry {
         "SELECT c_custkey + 3000000 AS c_custkey, c_name, " +
         "CAST(c_acctbal AS DOUBLE) AS bal FROM customer WHERE c_custkey % 11 = 0" +
         ") ORDER BY c_custkey"),
+
+    "q_stream_table_mirror" ->
+      // catalog-addressed mirror equals the source's final state
+      ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal " +
+        "FROM customer ORDER BY c_custkey"),
 
     "q_stream_matview" ->
       // the incrementally-folded stream must equal the one-shot recompute

@@ -72,12 +72,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table =
     dirOf(ident) match {
-      case Some(d) if committed(d) => new GraftTable(ident.name(), d, None)
+      case Some(d) if committed(d) =>
+        new GraftTable(ident.name(), d, None, None, Some(catalogName))
       case Some(d) if GraftCatalog.pendingSchemas.containsKey(d) =>
         // created but not yet written (the CREATE → first INSERT window):
         // serve the declared schema so CTAS/INSERT resolve
         new GraftTable(ident.name(), d, None,
-          Some(GraftCatalog.pendingSchemas.get(d)))
+          Some(GraftCatalog.pendingSchemas.get(d)), Some(catalogName))
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -89,7 +90,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"$catalogName.${ident.name()}: VERSION AS OF takes a commit number, got `$version`")
         }
-        new GraftTable(ident.name(), d, Some(v))
+        new GraftTable(ident.name(), d, Some(v), None, Some(catalogName))
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -98,7 +99,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     dirOf(ident) match {
       case Some(d) if committed(d) =>
         new GraftTable(ident.name(), d,
-          Some(VersionedTable.versionAsOf(d, timestamp / 1000L)))
+          Some(VersionedTable.versionAsOf(d, timestamp / 1000L)), None, Some(catalogName))
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -130,7 +131,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // history would be a destructive surprise.
     VersionedTable.setProperty(d, GraftCatalog.ManagedProp, "true")
     GraftCatalog.managedDirs.put(d, java.lang.Boolean.TRUE)
-    new GraftTable(ident.name(), d, None, Some(schema))
+    new GraftTable(ident.name(), d, None, Some(schema), Some(catalogName))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -6,6 +6,7 @@ import graft.tables.VersionedTable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.graft.V1FallbackShim
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
@@ -38,8 +39,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * this class is what makes that ergonomics native here.
   */
 class GraftTable(val tableName: String, val dir: String,
-    val pinnedVersion: Option[Long], declaredSchema: Option[StructType] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    val pinnedVersion: Option[Long], declaredSchema: Option[StructType] = None,
+    catalogName: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with V1FallbackShim {
 
   override def name(): String = tableName
 
@@ -80,6 +83,23 @@ class GraftTable(val tableName: String, val dir: String,
           }.asInstanceOf[T]
       }
     }
+
+  // STREAMING through the catalog — `spark.readStream.table("graft.t")`
+  // and `df.writeStream.toTable("graft.t")`. Spark consults the v1
+  // fallback ([[V1FallbackShim]]) ONLY on streaming paths, and both land
+  // on [[graft.sources.VersionedStream]]'s paced source / txn-marked sink
+  // via the `graft` provider — the same architecture as the batch read
+  // (DSv2 resolves the NAME, a V1 plan executes). Streaming a pinned
+  // version refuses: a snapshot has no commits to tail.
+  override protected def fallbackName: String = tableName
+  override protected def fallbackDir: String = dir
+  override protected def fallbackSchema: StructType = resolvedSchema
+  override protected def fallbackProvider: String = "graft"
+  override protected def fallbackCatalog: Option[String] = catalogName
+  override protected def fallbackCheck(): Unit =
+    require(pinnedVersion.isEmpty,
+      s"cannot stream $tableName at a pinned version (time travel is a " +
+        "batch read; stream the live table and bound it with startingVersion)")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -47,7 +47,31 @@ case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !keep.contains(r) =>
         val table = r.table.asInstanceOf[GraftTable]
-        val v1 = table.readDataFrame(spark).queryExecution.analyzed
+        val v1raw = table.readDataFrame(spark).queryExecution.analyzed
+        // Carry the table's identity onto the substituted parquet leaves:
+        // `Catalog.refreshTable` (which the streaming sink calls on its
+        // target after EVERY batch) walks the resolved plan and reads
+        // `LogicalRelation.catalogTable.get` unconditionally — a bare None
+        // crashes any refresh of a catalog-resolved graft table. The
+        // attached CatalogTable is metadata only (stats None, so plan
+        // sizing still comes from the files); live tables only — a pinned
+        // time-travel read is never a refresh target.
+        val v1 =
+          if (table.pinnedVersion.isDefined) v1raw
+          else {
+            val meta = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+              identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+                table.name(), Some("default")),
+              tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+              storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty.copy(
+                locationUri = Some(new org.apache.hadoop.fs.Path(table.dir).toUri)),
+              schema = table.schema(),
+              provider = Some("graft"))
+            v1raw.transform {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+                  if lr.catalogTable.isEmpty => lr.copy(catalogTable = Some(meta))
+            }
+          }
         val byName = v1.output
           .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
         val aligned: Seq[NamedExpression] = r.output.map { o =>

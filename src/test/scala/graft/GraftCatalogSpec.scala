@@ -192,6 +192,50 @@ class GraftCatalogSpec extends SparkSpec {
       "the persisted marker must survive a restart and make DROP delete data")
   }
 
+  test("readStream.table / writeStream.toTable stream through the catalog") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = fresh("cat_st_src")
+    val dstDir = Files.createTempDirectory("graft_cat").toString + "/dst"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 0L).select(col("id").as("k"), col("id").as("x")), dstDir)
+    GraftCatalog.register("cat_st_dst", dstDir)
+    val ckpt = Files.createTempDirectory("graft_cat").toString
+    // table-name-addressed streaming, both ends: the v1 fallback resolves
+    // the graft source/sink behind the DSv2 catalog identifiers
+    // .format("graft") on the writer: Spark requires the stream writer's
+    // source to match the target table's provider (same as Delta's contract)
+    val q = spark.readStream.table("graft.cat_st_src")
+      .where(col("k") < 50L)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$ckpt/c1")
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.cat_st_dst")
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cat_st_dst").head.getLong(0) == 50L)
+    // a second commit on the source streams incrementally (versioned sink
+    // committed exactly one more version)
+    spark.sql("INSERT INTO graft.cat_st_src SELECT CAST(7 AS BIGINT), CAST(700 AS BIGINT)")
+    val q2 = spark.readStream.table("graft.cat_st_src")
+      .where(col("k") < 50L)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$ckpt/c1")
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.cat_st_dst")
+    q2.awaitTermination()
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cat_st_dst").head.getLong(0) == 51L)
+    // time travel is a batch concept: streaming a pinned version refuses
+    val e = intercept[Exception] {
+      spark.readStream.option("versionAsOf", "0").table("graft.cat_st_src")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$ckpt/c2")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("pinned") || m.contains("time travel")),
+      msgs(e).mkString(" | "))
+  }
+
   test("format(\"graft\") streams: readStream tails commits, writeStream commits versions") {
     import org.apache.spark.sql.streaming.Trigger
     val src = fresh("cat_t8")
