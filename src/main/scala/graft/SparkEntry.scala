@@ -3058,6 +3058,32 @@ object SparkEntry {
         "SELECT c_custkey, bal FROM cust ORDER BY c_custkey")
     }),
 
+    // -- NATIVE ROW-LEVEL SQL (Spark's own grammar, no TableSql layer) -----
+    // UPDATE / MERGE INTO / DELETE all parse in Spark's parser and plan
+    // onto the commit protocol (GraftRowLevelStrategy + SupportsDelete):
+    // the verbs Delta gets from its Spark extensions, same file-grain
+    // copy-on-write underneath. One pipeline: +100 on %7 keys (UPDATE),
+    // upsert %3 keys to bal 500 + insert shifted %13 keys (MERGE), then
+    // drop negatives (DELETE); DuckDB replays the algebra.
+    "q_sql_rowlevel_native" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rln").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
+      graft.catalog.GraftCatalog.register("rln_cust", dir)
+      s.sql("UPDATE graft.rln_cust SET bal = bal + 100 WHERE c_custkey % 7 = 0")
+      c.where(pmod(col("c_custkey"), lit(3L)) === 0L)
+          .select(col("c_custkey"), lit(500.0).as("bal"))
+        .unionByName(c.where(pmod(col("c_custkey"), lit(13L)) === 0L)
+          .select((col("c_custkey") + 9000000L).as("c_custkey"), col("bal")))
+        .createOrReplaceTempView("rln_src")
+      s.sql("MERGE INTO graft.rln_cust t USING rln_src s ON t.c_custkey = s.c_custkey " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (c_custkey, bal) VALUES (s.c_custkey, s.bal)")
+      s.sql("DELETE FROM graft.rln_cust WHERE bal < 0")
+      s.sql("SELECT c_custkey, bal FROM graft.rln_cust ORDER BY c_custkey")
+    }),
+
     // -- CONDITIONAL MERGE (WHEN MATCHED/NOT MATCHED clauses) --------------
     // The real Delta MERGE surface, driven through SQL text: a DELETE arm
     // fires first for matched negative balances, the UPDATE arm (+inc)
@@ -5479,6 +5505,20 @@ object SparkEntry {
           s"CAST(MIN($c) AS DOUBLE) AS min_d, CAST(MAX($c) AS DOUBLE) AS max_d " +
           "FROM lineitem").mkString(" UNION ALL ") +
         " ORDER BY \"column\""),
+
+    "q_sql_rowlevel_native" ->
+      // replay: +100 on %7 keys; %3 keys forced to 500 (merge UPDATE arm
+      // wins over the earlier +100); shifted %13 keys inserted at their
+      // original balance; negatives dropped last
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN 500.0 " +
+        "ELSE CAST(c_acctbal AS DOUBLE) + " +
+        "CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END END AS bal " +
+        "FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey + 9000000 AS c_custkey, CAST(c_acctbal AS DOUBLE) AS bal " +
+        "FROM customer WHERE c_custkey % 13 = 0" +
+        ") WHERE bal >= 0 ORDER BY c_custkey"),
 
     "q_sql_dml" ->
       // replay: +100 on %7 keys, then delete rows whose POST-update

@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // [[graft.catalog.GraftTableResolution]])
     ext.injectResolutionRule(session =>
       graft.catalog.GraftTableResolution(session))
+    // UPDATE / MERGE INTO on catalog-resolved versioned tables plan onto
+    // the commit protocol (Spark's BasicOperators refuses them otherwise)
+    ext.injectPlannerStrategy(session => GraftRowLevelStrategy(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -154,6 +154,67 @@ class GraftCatalogSpec extends SparkSpec {
       "DROP TABLE must delete a catalog-created (managed) directory")
   }
 
+  test("native UPDATE graft.t plans onto commitUpdate (file-grain copy-on-write)") {
+    val dir = fresh("cat_upd")
+    spark.sql("UPDATE graft.cat_upd SET x = x + 1000 WHERE k % 10 = 0")
+    val got = spark.sql(
+      "SELECT count(*) AS n, sum(x) AS s FROM graft.cat_upd").head
+    val expect = (0L until 100L).map(k => k * 2 + (if (k % 10 == 0) 1000 else 0)).sum
+    assert(got.getLong(0) == 100L && got.getLong(1) == expect)
+    // it committed through the protocol: one more version, old state retained
+    assert(VersionedTable.latestVersion(dir).contains(1L))
+    assert(spark.sql("SELECT sum(x) AS s FROM graft.cat_upd VERSION AS OF 0")
+      .head.getLong(0) == (0L until 100L).map(_ * 2).sum)
+    // unconditioned UPDATE rewrites every row
+    spark.sql("UPDATE graft.cat_upd SET x = 0")
+    assert(spark.sql("SELECT sum(x) AS s FROM graft.cat_upd").head.getLong(0) == 0L)
+    // a pinned version refuses
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.cat_upd VERSION AS OF 0 SET x = 1").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("native MERGE INTO graft.t plans onto commitMergeConditional") {
+    val dir = fresh("cat_mrg")
+    spark.range(90L, 110L)
+      .select(col("id").as("k"), lit(9999L).as("x"))
+      .createOrReplaceTempView("cat_mrg_src")
+    spark.sql(
+      "MERGE INTO graft.cat_mrg t USING cat_mrg_src s ON t.k = s.k " +
+        "WHEN MATCHED AND t.k >= 95 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET x = s.x + 1 " +
+        "WHEN NOT MATCHED THEN INSERT (k, x) VALUES (s.k, s.x)")
+    val rows = spark.sql("SELECT k, x FROM graft.cat_mrg").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // k in [90,95): matched, updated to 10000; k in [95,100): matched, deleted;
+    // k in [100,110): unmatched, inserted as 9999; k < 90: untouched
+    assert(rows.size == 100 - 5 + 10, rows.size.toString)
+    assert((90L until 95L).forall(rows(_) == 10000L))
+    assert((95L until 100L).forall(k => !rows.contains(k)))
+    assert((100L until 110L).forall(rows(_) == 9999L))
+    assert(rows(42L) == 84L)
+    assert(VersionedTable.latestVersion(dir).contains(1L))
+    // star forms: UPDATE SET * / INSERT *
+    spark.range(0L, 2L).select((col("id") + 200L).as("k"), lit(5L).as("x"))
+      .createOrReplaceTempView("cat_mrg_src2")
+    spark.sql("MERGE INTO graft.cat_mrg t USING cat_mrg_src2 s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cat_mrg WHERE x = 5")
+      .head.getLong(0) == 2L)
+    // unsupported shapes refuse loudly, naming the escape hatch
+    val e1 = intercept[Exception] {
+      spark.sql("MERGE INTO graft.cat_mrg t USING cat_mrg_src2 s ON t.k > s.k " +
+        "WHEN MATCHED THEN DELETE").collect()
+    }
+    assert(e1.getMessage.contains("same-named"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE INTO graft.cat_mrg t USING cat_mrg_src2 s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
+    }
+    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"), e2.getMessage)
+  }
+
   test("DROP TABLE managed-ness is the PERSISTED marker, never warehouse residency") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -223,6 +284,24 @@ class GraftCatalogSpec extends SparkSpec {
       .toTable("graft.cat_st_dst")
     q2.awaitTermination()
     assert(spark.sql("SELECT count(*) AS n FROM graft.cat_st_dst").head.getLong(0) == 51L)
+    // the change feed is table-name addressable too (key columns resolve
+    // from the table declaration, CDF meta columns ride along)
+    VersionedTable.setKeyColumns(dstDir, Seq("k"))
+    VersionedTable.commitUpdate(spark, dstDir, col("k") === 7L,
+      Map("x" -> (col("x") + 1L)))
+    val cdfOut = Files.createTempDirectory("graft_cat").toString
+    val q3 = spark.readStream
+      .option("readChangeFeed", "true").option("startingVersion", "3")
+      .table("graft.cat_st_dst")
+      .writeStream.format("parquet")
+      .option("path", s"$cdfOut/out").option("checkpointLocation", s"$cdfOut/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    val ch = spark.read.parquet(s"$cdfOut/out")
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((7L, "update_preimage"), (7L, "update_postimage")), ch.toString)
     // time travel is a batch concept: streaming a pinned version refuses
     val e = intercept[Exception] {
       spark.readStream.option("versionAsOf", "0").table("graft.cat_st_src")
