@@ -134,11 +134,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(ident.name(), d, None, Some(schema), Some(catalogName))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: ALTER TABLE via the catalog is not supported — use the " +
-        "TableSql verbs (ALTER TABLE t RENAME/DROP COLUMN) which commit " +
-        "through the column-mapping protocol")
+  /** Native `ALTER TABLE graft.t ...` — each supported change routes onto
+    * the same commit the TableSql verb uses: ADD COLUMN is a metadata-only
+    * schema commit (old files null-fill), RENAME/DROP COLUMN go through
+    * the column-mapping protocol (physical names immutable, drops
+    * tombstoned against resurrection), SET TBLPROPERTIES lands in the
+    * table's `_props`. Anything else (type changes, repositioning, nested
+    * fields) refuses loudly — those are rewrites, not metadata. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    val d = dirOf(ident).filter(committed).getOrElse(
+      throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$catalogName: $what on nested field ${fieldNames.mkString(".")} is " +
+          "not supported — alter the top-level struct column instead")
+      fieldNames.head
+    }
+    changes.foreach {
+      case a: AddColumn =>
+        require(a.isNullable,
+          s"$catalogName: ADD COLUMN must be nullable — existing rows " +
+            "null-fill (add, then backfill with UPDATE)")
+        require(a.defaultValue() == null,
+          s"$catalogName: ADD COLUMN ... DEFAULT is not supported")
+        VersionedTable.commitAddColumn(spark, d,
+          topLevel(a.fieldNames(), "ADD COLUMN"), a.dataType())
+      case r: RenameColumn =>
+        VersionedTable.commitRenameColumn(spark, d,
+          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case del: DeleteColumn =>
+        VersionedTable.commitDropColumn(spark, d,
+          topLevel(del.fieldNames(), "DROP COLUMN"))
+      case p: SetProperty =>
+        VersionedTable.setProperty(d, p.property(), p.value())
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: unsupported ALTER TABLE change $other — column " +
+            "type/position changes rewrite data; use a CTAS")
+    }
+    loadTable(ident)
+  }
 
   /** DROP TABLE semantics follow the managed/external split: a MANAGED
     * table — created through this catalog, proven by the PERSISTED

@@ -215,6 +215,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"), e2.getMessage)
   }
 
+  test("native ALTER TABLE graft.t: add / rename / drop column, set properties") {
+    val dir = fresh("cat_alt")
+    spark.sql("ALTER TABLE graft.cat_alt ADD COLUMN note STRING")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cat_alt WHERE note IS NULL")
+      .head.getLong(0) == 100L)
+    spark.sql("INSERT INTO graft.cat_alt SELECT CAST(500 AS BIGINT), CAST(0 AS BIGINT), 'tagged'")
+    spark.sql("ALTER TABLE graft.cat_alt RENAME COLUMN note TO remark")
+    assert(spark.sql(
+      "SELECT remark FROM graft.cat_alt WHERE remark IS NOT NULL").head.getString(0)
+      == "tagged")
+    spark.sql("ALTER TABLE graft.cat_alt DROP COLUMN remark")
+    assert(!spark.table("graft.cat_alt").columns.contains("remark"))
+    spark.sql("ALTER TABLE graft.cat_alt SET TBLPROPERTIES ('owner.team' = 'ml-data')")
+    assert(VersionedTable.property(dir, "owner.team").contains("ml-data"))
+    // rewrites refuse: type change is not a metadata operation
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cat_alt ALTER COLUMN x TYPE STRING").collect()
+    }
+    assert(e.getMessage.contains("unsupported ALTER") || e.getMessage.contains("not supported"),
+      e.getMessage)
+  }
+
   test("DROP TABLE managed-ness is the PERSISTED marker, never warehouse residency") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
