@@ -65,15 +65,27 @@ case class GraftRowLevelStrategy(spark: SparkSession)
     }.sql
 
   /** The ON condition as same-named equi-join keys — the merge contract.
-    * Anything else (range conditions, t.a = s.b) refuses loudly. */
+    * Anything else (range conditions, t.a = s.b) refuses loudly. The
+    * analyzer wraps a differing-type key pair in implicit casts, so casts
+    * are stripped before the attribute check (the engine's null-safe key
+    * join re-derives its own comparison types). */
   private def mergeKeys(cond: Expression, tIds: Set[ExprId], sIds: Set[ExprId]): Seq[String] = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    cond match {
-      case And(l, r) => mergeKeys(l, tIds, sIds) ++ mergeKeys(r, tIds, sIds)
-      case EqualTo(a: AttributeReference, b: AttributeReference)
+    def bare(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => bare(c.child)
+      case other => other
+    }
+    def keyPair(l: Expression, r: Expression): Option[String] = (bare(l), bare(r)) match {
+      case (a: AttributeReference, b: AttributeReference)
           if lc(a.name) == lc(b.name) &&
             ((tIds(a.exprId) && sIds(b.exprId)) || (sIds(a.exprId) && tIds(b.exprId))) =>
-        Seq(a.name)
+        Some(a.name)
+      case _ => None
+    }
+    cond match {
+      case And(l, r) => mergeKeys(l, tIds, sIds) ++ mergeKeys(r, tIds, sIds)
+      case EqualTo(l, r) if keyPair(l, r).isDefined =>
+        Seq(keyPair(l, r).get)
       case other => sys.error(
         s"graft MERGE: the ON condition must be a conjunction of same-named " +
           s"target/source key equalities (got `${other.sql}`) — for other join " +

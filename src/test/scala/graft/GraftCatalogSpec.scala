@@ -202,6 +202,13 @@ class GraftCatalogSpec extends SparkSpec {
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     assert(spark.sql("SELECT count(*) AS n FROM graft.cat_mrg WHERE x = 5")
       .head.getLong(0) == 2L)
+    // a differing-type key (analyzer inserts implicit casts around the ON
+    // equality) still resolves as the merge key
+    spark.range(0L, 1L).select(lit(300).cast("int").as("k"), lit(8L).as("x"))
+      .createOrReplaceTempView("cat_mrg_src3")
+    spark.sql("MERGE INTO graft.cat_mrg t USING cat_mrg_src3 s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT x FROM graft.cat_mrg WHERE k = 300").head.getLong(0) == 8L)
     // unsupported shapes refuse loudly, naming the escape hatch
     val e1 = intercept[Exception] {
       spark.sql("MERGE INTO graft.cat_mrg t USING cat_mrg_src2 s ON t.k > s.k " +
