@@ -3081,6 +3081,9 @@ object SparkEntry {
         "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
         "WHEN NOT MATCHED THEN INSERT (c_custkey, bal) VALUES (s.c_custkey, s.bal)")
       s.sql("DELETE FROM graft.rln_cust WHERE bal < 0")
+      // native maintenance verb (delegating parser): re-layout, no rows
+      // change — the oracle is unaffected by design (dataChange=false)
+      s.sql("OPTIMIZE graft.rln_cust ZORDER BY (c_custkey) TARGET 2 FILES")
       s.sql("SELECT c_custkey, bal FROM graft.rln_cust ORDER BY c_custkey")
     }),
 

@@ -169,6 +169,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           topLevel(del.fieldNames(), "DROP COLUMN"))
       case p: SetProperty =>
         VersionedTable.setProperty(d, p.property(), p.value())
+      case p: RemoveProperty =>
+        VersionedTable.removeProperty(d, p.property())
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other — column " +

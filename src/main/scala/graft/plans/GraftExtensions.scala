@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // UPDATE / MERGE INTO on catalog-resolved versioned tables plan onto
     // the commit protocol (Spark's BasicOperators refuses them otherwise)
     ext.injectPlannerStrategy(session => GraftRowLevelStrategy(session))
+    // OPTIMIZE / VACUUM / RESTORE as native statements (head-token-scoped
+    // delegating parser, the Delta SQL-extension mechanism)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -155,8 +155,32 @@ case class GraftRowLevelStrategy(spark: SparkSession)
           () => VersionedTable.commitMergeConditional(spark, dir, source, keys, clauses)) :: Nil
       }.getOrElse(Nil)
 
+    case c: GraftVerbCommand =>
+      GraftVerbExec(spark, c) :: Nil
+
     case _ => Nil
   }
+}
+
+/** Executes a parsed maintenance verb ([[GraftVerbCommand]]) through
+  * TableSql's grammar and surfaces its result rows (the one-row verb
+  * receipt, or VACUUM DRY RUN's deletion plan). */
+case class GraftVerbExec(spark: SparkSession, cmd: GraftVerbCommand)
+    extends LeafExecNode {
+  override def output: Seq[Attribute] = cmd.output
+  @transient private lazy val rows: Array[InternalRow] = {
+    val df = graft.tables.TableSql.execute(spark, Map(cmd.name -> cmd.dir), cmd.text)
+    require(df.schema.length == cmd.output.length,
+      s"graft ${cmd.verb}: unexpected result shape ${df.schema.simpleString}")
+    df.queryExecution.executedPlan.executeCollect()
+  }
+  override def executeCollect(): Array[InternalRow] = rows
+  override protected def doExecute(): RDD[InternalRow] = {
+    val r = rows
+    sparkContext.parallelize(r.toIndexedSeq, 1)
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftVerbExec(${cmd.verb} ${cmd.name})"
 }
 
 /** Side-effecting leaf: runs the commit exactly once (whichever of

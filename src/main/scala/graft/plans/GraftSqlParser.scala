@@ -1,0 +1,81 @@
+package graft.plans
+
+import graft.catalog.GraftCatalog
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Delegating SQL parser making the maintenance verbs native statements —
+  * `spark.sql("OPTIMIZE graft.t ZORDER BY (k)")`, `VACUUM graft.t RETAIN
+  * 48 HOURS [DRY RUN]`, `RESTORE TABLE graft.t TO VERSION AS OF 3` — the
+  * same mechanism Delta's SQL extensions use (their parser intercepts
+  * OPTIMIZE/VACUUM before delegating). Interception is head-token scoped:
+  * no valid Spark statement begins with these verbs (Spark's own parser
+  * throws on them), so nothing Spark can parse is ever shadowed, and only
+  * catalog-qualified `graft.<name>` references are claimed — anything
+  * else delegates and fails with Spark's own error. The claimed statement
+  * routes onto [[graft.tables.TableSql]]'s verb grammar (one
+  * deterministic head substitution `graft.name` → `name`, never
+  * content-based rewriting), which commits through the protocol.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case HeadRe(verb, name) =>
+      GraftCatalog.resolve(name) match {
+        case Some(dir) =>
+          val bare = QualRe.replaceFirstIn(sqlText, name)
+          val dry  = verb.equalsIgnoreCase("VACUUM") && DryRe.findFirstIn(sqlText).isDefined
+          GraftVerbCommand(verb.toUpperCase(java.util.Locale.ROOT),
+            name, dir, bare,
+            if (dry) pathOutput() else verbOutput())
+        case None => sys.error(
+          s"graft: $verb references unknown table `graft.$name` — register it " +
+            "(GraftCatalog.register) or create it through the catalog first")
+      }
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  // head-token + catalog-qualified table: the only statements claimed
+  private val HeadRe =
+    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\s+(?:TABLE\s+)?graft\.(\w+)\b.*$""".r
+  private val QualRe = """(?i)graft\.(\w+)""".r
+  private val DryRe  = """(?is)DRY\s+RUN""".r
+
+  private def verbOutput(): Seq[Attribute] = Seq(
+    AttributeReference("verb", StringType, nullable = false)(),
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  private def pathOutput(): Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)())
+}
+
+/** Parsed maintenance verb on a versioned table: executed by
+  * [[GraftRowLevelStrategy]] through [[graft.tables.TableSql]]'s grammar. */
+case class GraftVerbCommand(verb: String, name: String, dir: String,
+    text: String, override val output: Seq[Attribute])
+    extends LeafNode with Command

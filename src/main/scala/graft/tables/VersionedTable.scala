@@ -445,6 +445,13 @@ object VersionedTable {
   def property(dir: String, key: String): Option[String] =
     FsIO.readText(new Path(propsDir(dir), s"$key.prop").toString)
 
+  /** Remove a table property (no-op if absent). */
+  def removeProperty(dir: String, key: String): Unit = {
+    val fs = propsDir(dir).getFileSystem(FsIO.hadoopConf())
+    fs.delete(new Path(propsDir(dir), s"$key.prop"), false)
+    ()
+  }
+
   /** All table properties, key-sorted. */
   def properties(dir: String): Seq[(String, String)] = {
     val d  = propsDir(dir)

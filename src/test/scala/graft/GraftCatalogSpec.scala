@@ -236,6 +236,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!spark.table("graft.cat_alt").columns.contains("remark"))
     spark.sql("ALTER TABLE graft.cat_alt SET TBLPROPERTIES ('owner.team' = 'ml-data')")
     assert(VersionedTable.property(dir, "owner.team").contains("ml-data"))
+    spark.sql("ALTER TABLE graft.cat_alt UNSET TBLPROPERTIES ('owner.team')")
+    assert(VersionedTable.property(dir, "owner.team").isEmpty)
     // rewrites refuse: type change is not a metadata operation
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE graft.cat_alt ALTER COLUMN x TYPE STRING").collect()
