@@ -60,8 +60,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def dirOf(ident: Identifier): Option[String] = {
     checkNamespace(ident.namespace())
     GraftCatalog.resolve(ident.name())
-      .orElse(warehouse.map(w => new Path(w, ident.name()).toString))
+      .orElse(warehouseDir(ident.name()))
   }
+
+  /** The directory `name` would resolve to under this catalog's warehouse
+    * (if one is configured) — the restart-surviving half of resolution,
+    * consulted by the maintenance-verb parser. */
+  def warehouseDir(name: String): Option[String] =
+    warehouse.map(w => new Path(w, name).toString)
 
   private def committed(dir: String): Boolean =
     VersionedTable.latestVersion(dir).isDefined
@@ -143,7 +149,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * fields) refuses loudly — those are rewrites, not metadata. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange._
-    val d = dirOf(ident).filter(committed).getOrElse(
+    // property-only changes are legal in the CREATE → first-INSERT window;
+    // schema changes need a committed version to commit against
+    val d = dirOf(ident).filter(dd => committed(dd) ||
+      GraftCatalog.pendingSchemas.containsKey(dd)).getOrElse(
       throw new NoSuchTableException(ident))
     val spark = SparkSession.active
     def topLevel(fieldNames: Array[String], what: String): String = {
@@ -152,29 +161,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "not supported — alter the top-level struct column instead")
       fieldNames.head
     }
+    def guardProp(key: String): Unit =
+      require(!key.equalsIgnoreCase(GraftCatalog.ManagedProp),
+        s"$catalogName: `$key` is a reserved engine property (it records " +
+          "catalog managed-ness for DROP TABLE's managed/external split) and " +
+          "cannot be set or unset through TBLPROPERTIES")
+    // VALIDATE every change before APPLYING any (the TableCatalog contract:
+    // a rejected change means none are applied) — each statically checkable
+    // refusal fires here, so a multi-change ALTER never half-commits
     changes.foreach {
       case a: AddColumn =>
+        topLevel(a.fieldNames(), "ADD COLUMN")
         require(a.isNullable,
           s"$catalogName: ADD COLUMN must be nullable — existing rows " +
             "null-fill (add, then backfill with UPDATE)")
         require(a.defaultValue() == null,
           s"$catalogName: ADD COLUMN ... DEFAULT is not supported")
-        VersionedTable.commitAddColumn(spark, d,
-          topLevel(a.fieldNames(), "ADD COLUMN"), a.dataType())
+        require(a.position() == null,
+          s"$catalogName: ADD COLUMN ... FIRST/AFTER is not supported — " +
+            "columns append at the end (position is physical layout, " +
+            "which OPTIMIZE owns)")
+        require(committed(d),
+          s"$catalogName: cannot ADD COLUMN before the table's first write " +
+            "commits a version")
       case r: RenameColumn =>
-        VersionedTable.commitRenameColumn(spark, d,
-          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+        topLevel(r.fieldNames(), "RENAME COLUMN")
+        require(committed(d),
+          s"$catalogName: cannot RENAME COLUMN before the table's first write")
       case del: DeleteColumn =>
-        VersionedTable.commitDropColumn(spark, d,
-          topLevel(del.fieldNames(), "DROP COLUMN"))
-      case p: SetProperty =>
-        VersionedTable.setProperty(d, p.property(), p.value())
-      case p: RemoveProperty =>
-        VersionedTable.removeProperty(d, p.property())
+        topLevel(del.fieldNames(), "DROP COLUMN")
+        require(committed(d),
+          s"$catalogName: cannot DROP COLUMN before the table's first write")
+      case p: SetProperty    => guardProp(p.property())
+      case p: RemoveProperty => guardProp(p.property())
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other — column " +
             "type/position changes rewrite data; use a CTAS")
+    }
+    changes.foreach {
+      case a: AddColumn =>
+        VersionedTable.commitAddColumn(spark, d, a.fieldNames().head, a.dataType())
+      case r: RenameColumn =>
+        VersionedTable.commitRenameColumn(spark, d, r.fieldNames().head, r.newName())
+      case del: DeleteColumn =>
+        VersionedTable.commitDropColumn(spark, d, del.fieldNames().head)
+      case p: SetProperty =>
+        VersionedTable.setProperty(d, p.property(), p.value())
+      case p: RemoveProperty =>
+        VersionedTable.removeProperty(d, p.property())
+      case _ => ()
     }
     loadTable(ident)
   }

@@ -59,14 +59,10 @@ case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         val v1 =
           if (table.pinnedVersion.isDefined) v1raw
           else {
-            val meta = org.apache.spark.sql.catalyst.catalog.CatalogTable(
-              identifier = org.apache.spark.sql.catalyst.TableIdentifier(
-                table.name(), Some("default")),
-              tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
-              storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty.copy(
-                locationUri = Some(new org.apache.hadoop.fs.Path(table.dir).toUri)),
-              schema = table.schema(),
-              provider = Some("graft"))
+            // ONE construction site for the table's CatalogTable identity
+            // (V1FallbackShim.fallbackCatalogTable — also the streaming
+            // fallback's), so batch and streaming metadata cannot drift
+            val meta = table.fallbackCatalogTable
             v1raw.transform {
               case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
                   if lr.catalogTable.isEmpty => lr.copy(catalogTable = Some(meta))

@@ -24,7 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(session => GraftRowLevelStrategy(session))
     // OPTIMIZE / VACUUM / RESTORE as native statements (head-token-scoped
     // delegating parser, the Delta SQL-extension mechanism)
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -20,15 +20,33 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * deterministic head substitution `graft.name` → `name`, never
   * content-based rewriting), which commits through the protocol.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
 
   import GraftSqlParser._
 
+  /** Resolve a claimed table like the catalog does: the registry, then the
+    * session catalog instance's warehouse mapping (a restarted process has
+    * an empty registry but a fully resolvable warehouse table — every
+    * other statement would work there, so must the maintenance verbs). */
+  private def resolveDir(name: String): Option[String] =
+    GraftCatalog.resolve(name).orElse(
+      org.apache.spark.sql.graft.PlanBridge.catalogPlugin(session, "graft")
+        .collect { case g: GraftCatalog => g }
+        .flatMap(_.warehouseDir(name))
+        .filter(d => graft.tables.VersionedTable.latestVersion(d).isDefined))
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case HeadRe(verb, name) =>
-      GraftCatalog.resolve(name) match {
+    case HeadRe(verb, name, rest) =>
+      resolveDir(name) match {
         case Some(dir) =>
-          val bare = QualRe.replaceFirstIn(sqlText, name)
+          // canonical verb-grammar spelling: OPTIMIZE/VACUUM take a bare
+          // name, RESTORE takes `RESTORE TABLE` — the claimed statement may
+          // carry either spelling (Delta accepts both)
+          val head =
+            if (verb.equalsIgnoreCase("RESTORE")) s"RESTORE TABLE $name"
+            else s"${verb.toUpperCase(java.util.Locale.ROOT)} $name"
+          val bare = s"$head $rest".trim
           val dry  = verb.equalsIgnoreCase("VACUUM") && DryRe.findFirstIn(sqlText).isDefined
           GraftVerbCommand(verb.toUpperCase(java.util.Locale.ROOT),
             name, dir, bare,
@@ -61,8 +79,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   // head-token + catalog-qualified table: the only statements claimed
   private val HeadRe =
-    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\s+(?:TABLE\s+)?graft\.(\w+)\b.*$""".r
-  private val QualRe = """(?i)graft\.(\w+)""".r
+    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\s+(?:TABLE\s+)?graft\.(\w+)\b(.*)$""".r
   private val DryRe  = """(?is)DRY\s+RUN""".r
 
   private def verbOutput(): Seq[Attribute] = Seq(

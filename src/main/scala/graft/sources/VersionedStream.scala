@@ -453,9 +453,13 @@ object VersionedStream {
         // the span's end version makes the declared schema authoritative
         // for the subset check, mapping or not (rename and drop both
         // refuse loudly — Delta's contract).
+        // only the TOMBSTONE half needs checking here: declaredRaw was just
+        // resolved and proved mapping-free (the `declared` filter), so
+        // hasSchemaRetirements' mapping half would re-read the schema file
+        // per micro-batch only to recompute a known false
         val guard =
           if (declared.isDefined) declared
-          else declaredRaw.filter(_ => VersionedTable.hasSchemaRetirements(dir, endV))
+          else declaredRaw.filter(_ => VersionedTable.hasTombstones(dir, endV))
         guard.foreach { d =>
           def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
           val dNames = d.fieldNames.map(lc).toSet

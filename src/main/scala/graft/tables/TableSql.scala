@@ -179,7 +179,13 @@ object TableSql {
         val kvRe = """(?s)^\s*'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*$""".r
         def unq(x: String) = x.replace("''", "'")
         splitTop(kvs).foreach {
-          case kvRe(k, v) => VersionedTable.setProperty(dirOf(t), unq(k), unq(v))
+          case kvRe(k, v) =>
+            val key = unq(k)
+            require(!key.equalsIgnoreCase(graft.catalog.GraftCatalog.ManagedProp),
+              s"TableSql: `$key` is a reserved engine property (it records " +
+                "catalog managed-ness for DROP TABLE) and cannot be set " +
+                "through TBLPROPERTIES")
+            VersionedTable.setProperty(dirOf(t), key, unq(v))
           case other => sys.error(s"TableSql: malformed TBLPROPERTIES entry `$other` " +
             "(expected 'key' = 'value')")
         }

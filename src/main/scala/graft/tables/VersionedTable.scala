@@ -418,6 +418,14 @@ object VersionedTable {
   def hasSchemaRetirements(dir: String, v: Long): Boolean =
     hasColumnMapping(dir, v) || tombstonesAt(dir, v).nonEmpty
 
+  /** Whether version `v` carries DROP-COLUMN tombstones — the half of
+    * [[hasSchemaRetirements]] a caller needs when it has ALREADY resolved
+    * the declared schema and proven it mapping-free (the streaming batch
+    * guard: re-deriving the mapping half would re-read the schema file
+    * every micro-batch). */
+  private[graft] def hasTombstones(dir: String, v: Long): Boolean =
+    tombstonesAt(dir, v).nonEmpty
+
   // ------------------------------------------------------ table properties
   // Small declarative metadata riding WITH the table (Delta's TBLPROPERTIES
   // shape): one write-once-per-set file per key under `<dir>/_props/`,

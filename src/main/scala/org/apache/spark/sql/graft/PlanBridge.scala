@@ -19,4 +19,16 @@ object PlanBridge {
 
   /** A Catalyst expression as a Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The session's catalog plugin registered under `name`, if any
+    * (CatalogManager is `private[sql]`). */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    try Some(spark.sessionState.catalogManager.catalog(name))
+    catch { case _: Exception => None }
+
+  /** Drop the session's instantiated catalog plugins so changed
+    * `spark.sql.catalog.*` options re-apply (test harness use). */
+  def resetCatalogs(spark: SparkSession): Unit =
+    spark.sessionState.catalogManager.reset()
 }

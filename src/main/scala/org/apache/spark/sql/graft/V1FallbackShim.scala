@@ -35,8 +35,11 @@ trait V1FallbackShim extends V2TableWithV1Fallback {
   /** Hook for refusing the fallback (e.g. a pinned time-travel version). */
   protected def fallbackCheck(): Unit = ()
 
-  override def v1Table: CatalogTable = {
-    fallbackCheck()
+  /** The table's CatalogTable identity WITHOUT the refusal hook — the ONE
+    * construction site, shared by the streaming fallback below and by the
+    * resolution rule's refresh metadata (Catalog.refreshTable reads
+    * LogicalRelation.catalogTable.get unconditionally). */
+  def fallbackCatalogTable: CatalogTable =
     CatalogTable(
       // UnresolvedCatalogRelation asserts a fully qualified identifier; the
       // READ side then resolves on provider + path, while the SINK side's
@@ -48,5 +51,9 @@ trait V1FallbackShim extends V2TableWithV1Fallback {
         properties = Map("path" -> fallbackDir)),
       schema = fallbackSchema,
       provider = Some(fallbackProvider))
+
+  override def v1Table: CatalogTable = {
+    fallbackCheck()
+    fallbackCatalogTable
   }
 }

@@ -64,4 +64,82 @@ class NativeSqlSurfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown table"), e.getMessage)
     intercept[Exception] { spark.sql("OPTIMIZE some_other_table") }
   }
+
+  test("verbs accept both TABLE spellings and resolve via the warehouse") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = fresh("nss_sp")
+    spark.sql("DELETE FROM graft.nss_sp WHERE k >= 50")
+    // Delta's `RESTORE graft.t` (no TABLE) and `OPTIMIZE TABLE graft.t`
+    // spellings both canonicalize onto the verb grammar
+    assert(spark.sql("RESTORE graft.nss_sp TO VERSION AS OF 0").head.getString(0) == "RESTORE")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.nss_sp").head.getLong(0) == 100L)
+    assert(spark.sql("OPTIMIZE TABLE graft.nss_sp TARGET 2 FILES").head.getString(0) == "OPTIMIZE")
+    // a warehouse-resolved table (empty registry half) still takes the verb
+    val wh = java.nio.file.Files.createTempDirectory("graft_nss_wh").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      val cat = new GraftCatalog
+      val opts = new java.util.HashMap[String, String](); opts.put("warehouse", wh)
+      cat.initialize("graft", new CaseInsensitiveStringMap(opts))
+      // simulate a restart-resolvable table: lives under the warehouse,
+      // never registered in this "process"
+      VersionedTable.commitAppend(spark,
+        spark.range(0L, 10L).select(col("id").as("k")),
+        new org.apache.hadoop.fs.Path(wh, "wh_only").toString)
+      // force a fresh catalog instance in the session to pick up warehouse
+      org.apache.spark.sql.graft.PlanBridge.resetCatalogs(spark)
+      assert(spark.sql("OPTIMIZE graft.wh_only TARGET 1 FILES").head.getLong(2) >= 1L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft.warehouse")
+      org.apache.spark.sql.graft.PlanBridge.resetCatalogs(spark)
+    }
+  }
+
+  test("the managed marker is a reserved property: TBLPROPERTIES cannot launder it") {
+    val dir = fresh("nss_guard")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nss_guard SET TBLPROPERTIES ('graft.managed' = 'true')")
+    }
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nss_guard UNSET TBLPROPERTIES ('graft.managed')")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      graft.tables.TableSql.execute(spark, Map("nss_guard" -> dir),
+        "ALTER TABLE nss_guard SET TBLPROPERTIES ('GRAFT.MANAGED' = 'true')")
+    }
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+    assert(VersionedTable.property(dir, GraftCatalog.ManagedProp).isEmpty)
+  }
+
+  test("multi-change ALTER is all-or-none; position/window refusals are loud") {
+    val dir = fresh("nss_alt2")
+    val before = VersionedTable.latestVersion(dir)
+    // second change invalid (NOT NULL): the FIRST must not have committed
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nss_alt2 ADD COLUMNS (a INT, b INT NOT NULL)")
+    }
+    assert(e.getMessage.contains("nullable"), e.getMessage)
+    assert(VersionedTable.latestVersion(dir) == before,
+      "a rejected change in a multi-change ALTER must apply NOTHING")
+    assert(!spark.table("graft.nss_alt2").columns.contains("a"))
+    // FIRST/AFTER positioning refuses instead of silently appending
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nss_alt2 ADD COLUMN c INT FIRST")
+    }
+    assert(e2.getMessage.contains("FIRST/AFTER"), e2.getMessage)
+    // property changes work in the CREATE → first-INSERT window
+    val pend = java.nio.file.Files.createTempDirectory("graft_nss_pend").toString + "/p"
+    GraftCatalog.register("nss_pending", pend)
+    spark.sql("CREATE TABLE graft.nss_pending (k BIGINT)")
+    spark.sql("ALTER TABLE graft.nss_pending SET TBLPROPERTIES ('stage' = 'bronze')")
+    assert(VersionedTable.property(pend, "stage").contains("bronze"))
+    // but schema changes before the first commit refuse with a real message
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nss_pending ADD COLUMN x INT")
+    }
+    assert(e3.getMessage.contains("first write"), e3.getMessage)
+  }
 }
