@@ -170,8 +170,10 @@ case class GraftVerbExec(spark: SparkSession, cmd: GraftVerbCommand)
   override def output: Seq[Attribute] = cmd.output
   @transient private lazy val rows: Array[InternalRow] = {
     val df = graft.tables.TableSql.execute(spark, Map(cmd.name -> cmd.dir), cmd.text)
-    require(df.schema.length == cmd.output.length,
-      s"graft ${cmd.verb}: unexpected result shape ${df.schema.simpleString}")
+    require(df.schema.length == cmd.output.length &&
+        df.schema.fields.zip(cmd.output).forall { case (f, a) => f.dataType == a.dataType },
+      s"graft ${cmd.verb}: result shape ${df.schema.simpleString} does not match " +
+        s"the declared output ${cmd.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(",")}")
     df.queryExecution.executedPlan.executeCollect()
   }
   override def executeCollect(): Array[InternalRow] = rows

@@ -37,6 +37,18 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         .filter(d => graft.tables.VersionedTable.latestVersion(d).isDefined))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case DescRe(what, name) =>
+      resolveDir(name) match {
+        case Some(dir) =>
+          val whatU = what.toUpperCase(java.util.Locale.ROOT)
+          GraftVerbCommand(s"DESCRIBE $whatU", name, dir,
+            s"DESCRIBE $whatU $name",
+            if (whatU == "HISTORY") historyOutput() else detailOutput())
+        case None => sys.error(
+          s"graft: DESCRIBE $what references unknown table `graft.$name` — " +
+            "register it (GraftCatalog.register) or create it through the " +
+            "catalog first")
+      }
     case HeadRe(verb, name, rest) =>
       resolveDir(name) match {
         case Some(dir) =>
@@ -77,9 +89,14 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
 }
 
 object GraftSqlParser {
-  // head-token + catalog-qualified table: the only statements claimed
+  // head-token + catalog-qualified table: the only statements claimed.
+  // DESCRIBE HISTORY|DETAIL is likewise unambiguous — Spark's DESCRIBE
+  // grammar would read HISTORY/DETAIL as a table name, never followed by
+  // another identifier, so no valid Spark statement is shadowed.
   private val HeadRe =
     """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\s+(?:TABLE\s+)?graft\.(\w+)\b(.*)$""".r
+  private val DescRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+graft\.(\w+)\s*;?\s*$""".r
   private val DryRe  = """(?is)DRY\s+RUN""".r
 
   private def verbOutput(): Seq[Attribute] = Seq(
@@ -89,6 +106,28 @@ object GraftSqlParser {
 
   private def pathOutput(): Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)())
+
+  // mirrors of VersionedTable.history / .detail result shapes — the exec
+  // re-checks field-by-field at run time, so drift fails loudly there
+  private def historyOutput(): Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", org.apache.spark.sql.types.TimestampType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("data_change", org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("retained", org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  private def detailOutput(): Seq[Attribute] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("last_modified", org.apache.spark.sql.types.TimestampType)(),
+    AttributeReference("num_commits", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
+    AttributeReference("key_columns", StringType)(),
+    AttributeReference("num_constraints", LongType, nullable = false)(),
+    AttributeReference("column_mapping", org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("schema_retirements", org.apache.spark.sql.types.BooleanType, nullable = false)())
 }
 
 /** Parsed maintenance verb on a versioned table: executed by

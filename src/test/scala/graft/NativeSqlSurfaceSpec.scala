@@ -65,6 +65,20 @@ class NativeSqlSurfaceSpec extends SparkSpec {
     intercept[Exception] { spark.sql("OPTIMIZE some_other_table") }
   }
 
+  test("DESCRIBE HISTORY / DETAIL parse as native statements") {
+    val dir = fresh("nss_desc")
+    spark.sql("DELETE FROM graft.nss_desc WHERE k >= 90")
+    val hist = spark.sql("DESCRIBE HISTORY graft.nss_desc").collect()
+    assert(hist.length == 2)
+    assert(hist.map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(hist.forall(r => !r.isNullAt(1) && r.getBoolean(3)))
+    val det = spark.sql("DESC DETAIL graft.nss_desc").head
+    assert(det.getString(0) == dir && det.getLong(1) == 1L)
+    assert(det.getLong(3) == 2L, "num_commits")
+    // Spark's own DESCRIBE TABLE still resolves (nothing shadowed)
+    assert(spark.sql("DESCRIBE TABLE graft.nss_desc").count() >= 2L)
+  }
+
   test("verbs accept both TABLE spellings and resolve via the warehouse") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
