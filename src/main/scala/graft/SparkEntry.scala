@@ -3503,6 +3503,34 @@ object SparkEntry {
         .orderBy("c_custkey", "_commit_version", "_change_type")
     }),
 
+    // -- BATCH change-data-feed read ---------------------------------------
+    // Delta's batch readChangeFeed: the same commit history as q_stream_cdf
+    // read as ONE plain DataFrame through format("graft") — the shared frame
+    // builder guarantees batch and stream feeds cannot drift, and this
+    // oracle proves the batch side independently.
+    "q_cdf_batch" -> ((s, d) => {
+      val table = java.nio.file.Files.createTempDirectory("graft_cdfb").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .repartitionByRange(4, col("c_custkey")), table)                    // v0
+      VersionedTable.setKeyColumns(table, Seq("c_custkey"))
+      VersionedTable.commitAppend(s,
+        c.where(pmod(col("c_custkey"), lit(2L)) === 0L), table)             // v1
+      VersionedTable.commitUpdate(s, table,
+        pmod(col("c_custkey"), lit(7L)) === 0L,
+        Map("bal" -> (col("bal") + 100.0)))                                  // v2
+      VersionedTable.commitDelete(s, table,
+        pmod(col("c_custkey"), lit(13L)) === 0L)                             // v3
+      VersionedTable.commitCompact(s, table, targetFiles = 2)                // v4: silent
+      s.read.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(table)
+        .select(col("c_custkey"), col("bal"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy("c_custkey", "_commit_version", "_change_type")
+    }),
+
     // -- versioned source -> versioned SINK mirror -------------------------
     // The full streaming pair behind the standard DataStreamWriter API:
     // poll 1 snapshots bronze into the mirror as one txn-marked commit;
@@ -5680,6 +5708,26 @@ object SparkEntry {
       // the full expected feed from the known history: v0 inserts (odds),
       // v1 inserts (evens), v2 update pre/post on %7, v3 deletes of %13
       // survivors (carrying the +100 where %7 applied), v4 OPTIMIZE silent
+      ("SELECT * FROM (" +
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, " +
+        "'insert' AS _change_type, " +
+        "CAST(CASE WHEN c_custkey % 2 = 1 THEN 0 ELSE 1 END AS BIGINT) AS _commit_version " +
+        "FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 'update_preimage', 2 " +
+        "FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + 100.0, 'update_postimage', 2 " +
+        "FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + " +
+        "CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END, 'delete', 3 " +
+        "FROM customer WHERE c_custkey % 13 = 0" +
+        ") ORDER BY c_custkey, _commit_version, _change_type"),
+
+    "q_cdf_batch" ->
+      // identical algebra to q_stream_cdf's oracle — the batch feed must
+      // replay the same history
       ("SELECT * FROM (" +
         "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, " +
         "'insert' AS _change_type, " +

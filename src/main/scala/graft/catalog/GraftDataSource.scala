@@ -82,11 +82,24 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   private def makeTable(options: CaseInsensitiveStringMap): GraftTable = {
     val dir = Option(options.get("path")).getOrElse(
       sys.error("graft source: a path is required — .load(<table dir>)"))
-    val version = Option(options.get("versionAsOf")).map(_.toLong)
-      .orElse(Option(options.get("timestampAsOf")).map(ts =>
-        VersionedTable.versionAsOf(dir,
-          java.sql.Timestamp.valueOf(ts).getTime)))
-    new GraftTable(new org.apache.hadoop.fs.Path(dir).getName, dir, version)
+    val name = new org.apache.hadoop.fs.Path(dir).getName
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      // BATCH change-data-feed (Delta's batch readChangeFeed option)
+      require(options.get("versionAsOf") == null && options.get("timestampAsOf") == null,
+        "graft source: readChangeFeed and versionAsOf/timestampAsOf are " +
+          "mutually exclusive (the feed IS a version span)")
+      new GraftCdfTable(name, dir,
+        Option(options.get("keyColumns"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+        Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+        Option(options.get("endingVersion")).map(_.toLong))
+    } else {
+      val version = Option(options.get("versionAsOf")).map(_.toLong)
+        .orElse(Option(options.get("timestampAsOf")).map(ts =>
+          VersionedTable.versionAsOf(dir,
+            java.sql.Timestamp.valueOf(ts).getTime)))
+      new GraftTable(name, dir, version)
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

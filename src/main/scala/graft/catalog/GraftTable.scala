@@ -169,3 +169,38 @@ class GraftTable(val tableName: String, val dir: String,
   override def toString: String =
     s"GraftTable($tableName, $dir${pinnedVersion.fold("")(v => s", v$v")})"
 }
+
+/** BATCH change-data-feed read through `format("graft")` (Delta's batch
+  * `readChangeFeed` option):
+  *
+  * {{{
+  *   spark.read.format("graft")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", 0)       // default 0
+  *     .option("endingVersion", 5)         // default: latest
+  *     .load(dir)                          // _change_type / _commit_version / _commit_timestamp
+  * }}}
+  *
+  * The plan substituted by the resolution rule is
+  * [[graft.sources.VersionedStream.changeFeedBatch]] — the SAME frame
+  * builder the CDF stream's batches use, so batch and stream feeds cannot
+  * drift. Key columns resolve from the table declaration unless passed as
+  * `keyColumns`. Read-only by construction: writes refuse. */
+class GraftCdfTable(tableName: String, dir: String,
+    keyCols: Option[Seq[String]], startingVersion: Long, endingVersion: Option[Long])
+    extends GraftTable(tableName, dir, None) {
+
+  override def schema(): StructType =
+    graft.sources.VersionedStream.withCdfColumns(
+      VersionedTable.schemaOf(SparkSession.active, dir, None))
+
+  override def readDataFrame(spark: SparkSession): DataFrame =
+    graft.sources.VersionedStream.changeFeedBatch(
+      spark, dir, keyCols, startingVersion, endingVersion)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    sys.error(s"graft: a readChangeFeed relation is read-only — write to " +
+      s"the table itself ($dir)")
+
+  override def toString: String = s"GraftCdfTable($tableName, $dir)"
+}

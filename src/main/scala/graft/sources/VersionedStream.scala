@@ -148,7 +148,7 @@ object VersionedStream {
   val CommitTsCol      = "_commit_timestamp"
   val CdfMetaCols: Set[String] = Set(ChangeTypeCol, CommitVersionCol, CommitTsCol)
 
-  private[sources] def withCdfColumns(base: StructType): StructType =
+  private[graft] def withCdfColumns(base: StructType): StructType =
     StructType(base.fields ++ Seq(
       org.apache.spark.sql.types.StructField(ChangeTypeCol,
         org.apache.spark.sql.types.StringType, nullable = false),
@@ -277,7 +277,6 @@ object VersionedStream {
       new java.util.concurrent.ConcurrentHashMap[Long, StructType]()
 
     override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-      import org.apache.spark.sql.functions._
       val endV = end match {
         case l: LongOffset => l.offset
         case other         => LongOffset(other.json().toLong).offset
@@ -291,6 +290,18 @@ object VersionedStream {
         // is changes, not state)
         case None => startingVersion.map(_ - 1).getOrElse(endV)
       }
+      cdfFrame(fromExclusive, endV) match {
+        case None     => StreamShim.emptyStreaming(spark, schema)
+        case Some(df) => StreamShim.asStreamingPinned(df)
+      }
+    }
+
+    /** The CDF frame for commits in `(fromExclusive, endV]` — the shared
+      * assembly behind the streaming batches above and the BATCH
+      * `readChangeFeed` read ([[VersionedStream.changeFeedBatch]]). None
+      * when no covered commit changed rows. */
+    private[sources] def cdfFrame(fromExclusive: Long, endV: Long): Option[DataFrame] = {
+      import org.apache.spark.sql.functions._
       val commitMs = VersionedTable.log(dir).toMap
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
       // never-evolved fast path: no declared schema at the TABLE HEAD means
@@ -394,14 +405,43 @@ object VersionedStream {
               .unionByName(shaped(ch, avail, "new", "update_postimage", v))
           }
         }
-      if (steps.isEmpty) StreamShim.emptyStreaming(spark, schema)
-      else StreamShim.asStreamingPinned(
-        steps.reduce(_.unionByName(_))
-          .select(schema.fieldNames.map(c => org.apache.spark.sql.functions.col(s"`$c`")).toSeq: _*))
+      if (steps.isEmpty) None
+      else Some(steps.reduce(_.unionByName(_))
+        .select(schema.fieldNames.map(c => org.apache.spark.sql.functions.col(s"`$c`")).toSeq: _*))
     }
 
     override def stop(): Unit = ()
     override def toString: String = s"ChangeFeedSource[$dir]"
+  }
+
+  /** BATCH change-data-feed read (Delta's batch `readChangeFeed`): the
+    * row-level changes commits `[startingVersion, endingVersion]` made —
+    * full rows plus `_change_type` / `_commit_version` /
+    * `_commit_timestamp` — as a plain DataFrame. Key columns resolve from
+    * the table declaration ([[VersionedTable.KeyColumnsProp]]) unless
+    * passed; version 0 in the span emits its rows as inserts;
+    * `dataChange=false` re-layouts emit nothing — identical semantics to
+    * the CDF STREAM (one shared frame builder), minus offsets. */
+  def changeFeedBatch(spark: SparkSession, dir: String,
+      keyCols: Option[Seq[String]] = None,
+      startingVersion: Long = 0L,
+      endingVersion: Option[Long] = None): DataFrame = {
+    require(startingVersion >= 0, s"startingVersion must be >= 0, got $startingVersion")
+    val keys = keyCols.orElse(VersionedTable.keyColumns(dir)).getOrElse(sys.error(
+      "changeFeedBatch: readChangeFeed needs key columns — declare them on " +
+        "the table (VersionedTable.setKeyColumns; any MERGE records its keys " +
+        "automatically) or pass keyColumns"))
+    val head = VersionedTable.latestVersion(dir).getOrElse(sys.error(
+      s"changeFeedBatch: $dir has no committed version"))
+    val endV = endingVersion.getOrElse(head)
+    require(startingVersion <= endV && endV <= head,
+      s"changeFeedBatch: version span [$startingVersion, $endV] must lie " +
+        s"inside the committed history [0, $head]")
+    val tableSchema = VersionedTable.read(spark, dir).schema
+    val src = new ChangeFeedSource(spark, dir, tableSchema, keys, None, Some(startingVersion))
+    src.cdfFrame(startingVersion - 1, endV).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema))
   }
 
   private[sources] class VersionedTableSource(spark: SparkSession,

@@ -83,6 +83,41 @@ class CdfStreamSpec extends SparkSpec {
     assert(out.where(col("_commit_timestamp").isNull).count() == 0L)
   }
 
+  test("BATCH readChangeFeed reads the same feed as the stream (shared builder)") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "bal"), table) // v0
+    VersionedTable.setKeyColumns(table, Seq("k"))
+    VersionedTable.commitUpdate(spark, table, col("k") === 1L, Map("bal" -> lit(9.0)))    // v1
+    VersionedTable.commitDelete(spark, table, col("k") === 2L)                            // v2
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(table)
+    assert(!feed.isStreaming)
+    val rows = feed.select("k", "_change_type", "_commit_version").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, "insert", 0L), (2L, "insert", 0L),
+      (1L, "update_preimage", 1L), (1L, "update_postimage", 1L),
+      (2L, "delete", 2L)), rows.toString)
+    // an explicit ending version bounds the span
+    val bounded = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .load(table)
+    assert(bounded.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // out-of-history spans and writes refuse loudly
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", "9")
+        .load(table).collect()
+    }
+    assert(msgs(e).exists(_.contains("committed history")), msgs(e).mkString(" | "))
+  }
+
   test("readChangeFeed without keyColumns is refused loudly") {
     import spark.implicits._
     val r = root(); val table = s"$r/t"
