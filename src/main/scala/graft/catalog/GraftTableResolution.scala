@@ -47,6 +47,18 @@ case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !keep.contains(r) =>
         val table = r.table.asInstanceOf[GraftTable]
+        // `.option("readChangeFeed", true).table("graft.t")` cannot work at
+        // this altitude: the relation's output was pinned to the TABLE
+        // schema when the catalog loaded it (loadTable never sees reader
+        // options), so substituting the feed here would silently DROP the
+        // _change_type/_commit_* columns. Refuse with the working spelling
+        // instead of mis-serving a narrower feed.
+        require(!Option(r.options.get("readChangeFeed")).exists(_.toBoolean) ||
+            table.isInstanceOf[GraftCdfTable],
+          "graft: batch readChangeFeed is not available through .table() — " +
+            s"use spark.read.format(\"graft\").option(\"readChangeFeed\", true)" +
+            s".load(\"${table.dir}\") (the catalog pins the table schema " +
+            "before reader options are visible)")
         val v1raw = table.readDataFrame(spark).queryExecution.analyzed
         // Carry the table's identity onto the substituted parquet leaves:
         // `Catalog.refreshTable` (which the streaming sink calls on its
