@@ -71,13 +71,17 @@ class GraftTable(val tableName: String, val dir: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
+      // schema() (virtual), NOT resolvedSchema: a subclass whose read plan
+      // is wider than the table state (GraftCdfTable's feed columns) must
+      // stay consistent between the declared and the produced rows even on
+      // this extension-less fallback path
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = resolvedSchema
+        override def readSchema(): StructType = GraftTable.this.schema()
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
-            override def schema: StructType = resolvedSchema
+            override def schema: StructType = GraftTable.this.schema()
             override def buildScan(): RDD[Row] =
               readDataFrame(context.sparkSession).rdd
           }.asInstanceOf[T]
