@@ -636,6 +636,27 @@ object ScaleBench {
       s.read.parquet(out)
     }),
 
+    // history ∝ F read as ONE batch change feed (no stream machinery):
+    // the per-commit diff cost and flat wire must match the stream's —
+    // same frame builder, so this row cross-checks cdf_stream's shape
+    "cdf_batch" -> ((s, d, f) => {
+      val work  = java.nio.file.Files.createTempDirectory("graft_scale_cdfb").toString
+      val table = s"$work/t"
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("k"), length(col("text")).cast("long").as("x"))
+        .where(col("k") < 20000L) // FIXED table size at every factor
+      tables.VersionedTable.commitAppend(s,
+        base.repartitionByRange(8, col("k")), table)
+      tables.VersionedTable.setKeyColumns(table, Seq("k"))
+      (1 to 4 * f).foreach(i =>
+        tables.VersionedTable.commitUpdate(s, table,
+          pmod(col("k"), lit(400L)) === (i % 400).toLong,
+          Map("x" -> (col("x") + 1L))))
+      s.read.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(table)
+    }),
+
     // backlog ∝ F drained by ONE Trigger.AvailableNow run in PACED batches
     // (maxVersionsPerTrigger fixed at 4): the claim under test is that the
     // engine never plans a batch proportional to the BACKLOG — each batch
