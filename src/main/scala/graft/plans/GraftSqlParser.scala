@@ -92,11 +92,14 @@ object GraftSqlParser {
   // head-token + catalog-qualified table: the only statements claimed.
   // DESCRIBE HISTORY|DETAIL is likewise unambiguous — Spark's DESCRIBE
   // grammar would read HISTORY/DETAIL as a table name, never followed by
-  // another identifier, so no valid Spark statement is shadowed.
+  // another identifier, so no valid Spark statement is shadowed. Leading
+  // whitespace and SQL comments are skipped so a commented statement still
+  // finds its head token (Spark's own parser tolerates them too).
+  private val Lead = """(?:\s|--[^\n]*(?:\n|$)|/\*[\s\S]*?\*/)*"""
   private val HeadRe =
-    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\s+(?:TABLE\s+)?graft\.(\w+)\b(.*)$""".r
+    ("""(?is)^""" + Lead + """(OPTIMIZE|VACUUM|RESTORE)\s+(?:TABLE\s+)?graft\.(\w+)\b(.*)$""").r
   private val DescRe =
-    """(?is)^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+graft\.(\w+)\s*;?\s*$""".r
+    ("""(?is)^""" + Lead + """DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+graft\.(\w+)\s*;?\s*$""").r
   private val DryRe  = """(?is)DRY\s+RUN""".r
 
   private def verbOutput(): Seq[Attribute] = Seq(

@@ -65,6 +65,12 @@ class NativeSqlSurfaceSpec extends SparkSpec {
     intercept[Exception] { spark.sql("OPTIMIZE some_other_table") }
   }
 
+  test("verb statements with leading SQL comments still claim their head token") {
+    fresh("nss_cmt")
+    val r = spark.sql("-- nightly maintenance\n/* target layout */\nOPTIMIZE graft.nss_cmt TARGET 2 FILES").head
+    assert(r.getString(0) == "OPTIMIZE", r.toString)
+  }
+
   test("DESCRIBE HISTORY / DETAIL parse as native statements") {
     val dir = fresh("nss_desc")
     spark.sql("DELETE FROM graft.nss_desc WHERE k >= 90")
