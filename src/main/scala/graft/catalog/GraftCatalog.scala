@@ -167,11 +167,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "catalog managed-ness for DROP TABLE's managed/external split) and " +
           "cannot be set or unset through TBLPROPERTIES")
     // VALIDATE every change before APPLYING any (the TableCatalog contract:
-    // a rejected change means none are applied) — each statically checkable
-    // refusal fires here, so a multi-change ALTER never half-commits
+    // a rejected change means none are applied) — including the schema-
+    // level rejections the commits themselves would raise (existing /
+    // missing / duplicate column names), simulated in statement order over
+    // the CURRENT schema so a multi-change ALTER never half-commits. (A
+    // concurrent schema commit racing this statement can still surface at
+    // apply time — that is the protocol's own OCC refusal, not a contract
+    // violation this layer can pre-check.)
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val names = scala.collection.mutable.Set.empty[String]
+    if (committed(d))
+      names ++= VersionedTable.schemaOf(SparkSession.active, d, None)
+        .fieldNames.map(lc)
     changes.foreach {
       case a: AddColumn =>
-        topLevel(a.fieldNames(), "ADD COLUMN")
+        val c = topLevel(a.fieldNames(), "ADD COLUMN")
         require(a.isNullable,
           s"$catalogName: ADD COLUMN must be nullable — existing rows " +
             "null-fill (add, then backfill with UPDATE)")
@@ -184,14 +194,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(committed(d),
           s"$catalogName: cannot ADD COLUMN before the table's first write " +
             "commits a version")
+        require(!names(lc(c)),
+          s"$catalogName: ADD COLUMN `$c` — the column already exists")
+        names += lc(c)
       case r: RenameColumn =>
-        topLevel(r.fieldNames(), "RENAME COLUMN")
+        val from = topLevel(r.fieldNames(), "RENAME COLUMN")
         require(committed(d),
           s"$catalogName: cannot RENAME COLUMN before the table's first write")
+        require(names(lc(from)),
+          s"$catalogName: RENAME COLUMN `$from` — no such column")
+        require(!names(lc(r.newName())),
+          s"$catalogName: RENAME COLUMN to `${r.newName()}` — the name is taken")
+        names -= lc(from); names += lc(r.newName())
       case del: DeleteColumn =>
-        topLevel(del.fieldNames(), "DROP COLUMN")
+        val c = topLevel(del.fieldNames(), "DROP COLUMN")
         require(committed(d),
           s"$catalogName: cannot DROP COLUMN before the table's first write")
+        require(names(lc(c)),
+          s"$catalogName: DROP COLUMN `$c` — no such column")
+        names -= lc(c)
       case p: SetProperty    => guardProp(p.property())
       case p: RemoveProperty => guardProp(p.property())
       case other =>

@@ -90,7 +90,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           "mutually exclusive (the feed IS a version span)")
       new GraftCdfTable(name, dir,
         Option(options.get("keyColumns"))
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty), // blank option = undeclared, not "no keys"
         Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
         Option(options.get("endingVersion")).map(_.toLong))
     } else {

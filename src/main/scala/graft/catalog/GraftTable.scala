@@ -194,9 +194,16 @@ class GraftCdfTable(tableName: String, dir: String,
     keyCols: Option[Seq[String]], startingVersion: Long, endingVersion: Option[Long])
     extends GraftTable(tableName, dir, None) {
 
-  override def schema(): StructType =
+  // cached like the base class's resolvedSchema (one driver read per Table
+  // instance), with the clean empty-table refusal surfacing at analysis
+  private lazy val cdfSchema: StructType = {
+    require(VersionedTable.latestVersion(dir).isDefined,
+      s"graft: readChangeFeed on $dir — the table has no committed version")
     graft.sources.VersionedStream.withCdfColumns(
       VersionedTable.schemaOf(SparkSession.active, dir, None))
+  }
+
+  override def schema(): StructType = cdfSchema
 
   override def readDataFrame(spark: SparkSession): DataFrame =
     graft.sources.VersionedStream.changeFeedBatch(

@@ -427,7 +427,8 @@ object VersionedStream {
       startingVersion: Long = 0L,
       endingVersion: Option[Long] = None): DataFrame = {
     require(startingVersion >= 0, s"startingVersion must be >= 0, got $startingVersion")
-    val keys = keyCols.orElse(VersionedTable.keyColumns(dir)).getOrElse(sys.error(
+    val keys = keyCols.filter(_.nonEmpty)
+      .orElse(VersionedTable.keyColumns(dir)).getOrElse(sys.error(
       "changeFeedBatch: readChangeFeed needs key columns — declare them on " +
         "the table (VersionedTable.setKeyColumns; any MERGE records its keys " +
         "automatically) or pass keyColumns"))
@@ -437,7 +438,10 @@ object VersionedStream {
     require(startingVersion <= endV && endV <= head,
       s"changeFeedBatch: version span [$startingVersion, $endV] must lie " +
         s"inside the committed history [0, $head]")
-    val tableSchema = VersionedTable.read(spark, dir).schema
+    // ONE driver footer/schema-file read (schemaOf), never a scan plan —
+    // and the SAME resolution GraftCdfTable.schema() declares, so the
+    // declared and produced shapes cannot drift
+    val tableSchema = VersionedTable.schemaOf(spark, dir, None)
     val src = new ChangeFeedSource(spark, dir, tableSchema, keys, None, Some(startingVersion))
     src.cdfFrame(startingVersion - 1, endV).getOrElse(
       spark.createDataFrame(

@@ -99,11 +99,9 @@ class NativeSqlSurfaceSpec extends SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("graft_nss_wh").toString
     spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
     try {
-      val cat = new GraftCatalog
-      val opts = new java.util.HashMap[String, String](); opts.put("warehouse", wh)
-      cat.initialize("graft", new CaseInsensitiveStringMap(opts))
       // simulate a restart-resolvable table: lives under the warehouse,
-      // never registered in this "process"
+      // never registered in this "process" — the session's own catalog
+      // (rebuilt by resetCatalogs from the conf above) does the resolving
       VersionedTable.commitAppend(spark,
         spark.range(0L, 10L).select(col("id").as("k")),
         new org.apache.hadoop.fs.Path(wh, "wh_only").toString)
@@ -145,6 +143,19 @@ class NativeSqlSurfaceSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(dir) == before,
       "a rejected change in a multi-change ALTER must apply NOTHING")
     assert(!spark.table("graft.nss_alt2").columns.contains("a"))
+    // schema-level rejections (existing / duplicate names) are validated
+    // up front too — the commit's own refusal must not fire half-way
+    val eDup = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nss_alt2 ADD COLUMNS (a2 INT, x INT)") // x exists
+    }
+    assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+    assert(VersionedTable.latestVersion(dir) == before)
+    assert(!spark.table("graft.nss_alt2").columns.contains("a2"))
+    val eDup2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nss_alt2 ADD COLUMNS (b1 INT, b1 STRING)")
+    }
+    assert(eDup2.getMessage.contains("already exists"), eDup2.getMessage)
+    assert(VersionedTable.latestVersion(dir) == before)
     // FIRST/AFTER positioning refuses instead of silently appending
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE graft.nss_alt2 ADD COLUMN c INT FIRST")
