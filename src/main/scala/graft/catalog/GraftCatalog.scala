@@ -51,6 +51,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  // advertise CHECK-constraint support so Spark's own
+  // `ALTER TABLE ... ADD/DROP CONSTRAINT` grammar routes to alterTable
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def defaultNamespace(): Array[String] = Array("default")
 
   private def checkNamespace(ns: Array[String]): Unit =
@@ -215,6 +222,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         names -= lc(c)
       case p: SetProperty    => guardProp(p.property())
       case p: RemoveProperty => guardProp(p.property())
+      case a: AddConstraint =>
+        // a constraint ADD validates existing rows with a scan whose
+        // refusal cannot be pre-checked — keep the all-or-none contract by
+        // refusing to combine it with other changes in one statement
+        require(changes.size == 1,
+          s"$catalogName: ADD CONSTRAINT must be its own ALTER statement " +
+            "(its row validation cannot be pre-checked alongside other changes)")
+        require(a.constraint().isInstanceOf[
+            org.apache.spark.sql.connector.catalog.constraints.Check],
+          s"$catalogName: only CHECK constraints are supported, got " +
+            a.constraint().toDDL)
+        require(committed(d),
+          s"$catalogName: cannot ADD CONSTRAINT before the table's first write")
+      case del: DropConstraint =>
+        require(del.ifExists() ||
+            graft.tables.Constraints.list(d).exists(_._1 == del.name()),
+          s"$catalogName: DROP CONSTRAINT `${del.name()}` — no such constraint " +
+            s"(have: ${graft.tables.Constraints.list(d).map(_._1).mkString(", ")})")
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other — column " +
@@ -231,6 +256,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         VersionedTable.setProperty(d, p.property(), p.value())
       case p: RemoveProperty =>
         VersionedTable.removeProperty(d, p.property())
+      case a: AddConstraint =>
+        val c = a.constraint().asInstanceOf[
+          org.apache.spark.sql.connector.catalog.constraints.Check]
+        graft.tables.Constraints.add(SparkSession.active, d, c.name(), c.predicateSql())
+      case del: DropConstraint =>
+        graft.tables.Constraints.drop(d, del.name()); ()
       case _ => ()
     }
     loadTable(ident)

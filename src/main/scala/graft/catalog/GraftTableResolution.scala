@@ -41,6 +41,12 @@ case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         u.table.foreach(keep.add)
       case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
         m.targetTable.foreach(keep.add)
+      // ADD CONSTRAINT validates existing rows through a Filter over the
+      // relation; the whole subtree must stay v2 — substituting it would
+      // plant a catalogTable-bearing LogicalRelation that ResolveSession-
+      // Catalog mistakes for a V1 session table and refuses the statement
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        a.foreach(keep.add)
       case _ => ()
     }
     plan.resolveOperatorsUp {

@@ -71,6 +71,31 @@ class NativeSqlSurfaceSpec extends SparkSpec {
     assert(r.getString(0) == "OPTIMIZE", r.toString)
   }
 
+  test("native ADD/DROP CONSTRAINT route onto the engine's CHECK constraints") {
+    val dir = fresh("nss_ck")
+    spark.sql("ALTER TABLE graft.nss_ck ADD CONSTRAINT pos CHECK (x >= 0)")
+    assert(graft.tables.Constraints.list(dir).map(_._1) == Seq("pos"))
+    // the protocol enforces it on every write path
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.nss_ck SELECT CAST(9 AS BIGINT), CAST(-1 AS BIGINT)")
+    }
+    assert(e1.getMessage.contains("CHECK `pos`"), e1.getMessage)
+    // adding a constraint existing rows violate refuses via Spark's own
+    // validation scan (NEW_CHECK_CONSTRAINT_VIOLATION), nothing recorded
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nss_ck ADD CONSTRAINT huge CHECK (x > 1000)")
+    }
+    assert(e2.getMessage.contains("violated by existing data"), e2.getMessage)
+    assert(graft.tables.Constraints.list(dir).map(_._1) == Seq("pos"))
+    // drop frees the write path; a missing name refuses with the inventory
+    spark.sql("ALTER TABLE graft.nss_ck DROP CONSTRAINT pos")
+    spark.sql("INSERT INTO graft.nss_ck SELECT CAST(9 AS BIGINT), CAST(-1 AS BIGINT)")
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nss_ck DROP CONSTRAINT nope")
+    }
+    assert(e3.getMessage.contains("no such constraint"), e3.getMessage)
+  }
+
   test("DESCRIBE HISTORY / DETAIL parse as native statements") {
     val dir = fresh("nss_desc")
     spark.sql("DELETE FROM graft.nss_desc WHERE k >= 90")
