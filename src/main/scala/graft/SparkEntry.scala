@@ -3087,6 +3087,30 @@ object SparkEntry {
       s.sql("SELECT c_custkey, bal FROM graft.rln_cust ORDER BY c_custkey")
     }),
 
+    // -- NATIVE MERGE: WHEN NOT MATCHED BY SOURCE (retention arms) ---------
+    // The standard CDC retention merge a Delta user writes weekly: the
+    // source carries the refreshed partition (%3 keys, +100); target rows
+    // the source does NOT name take the BY SOURCE arms in order — purge
+    // stale negatives, then age-flag (+1) the sub-1000 remainder. Arm
+    // conditions reference the target only (Spark's analyzer enforces it);
+    // pruning is by arm condition, not the key probe. DuckDB replays the
+    // three arms as one CASE over match-ness.
+    "q_sql_merge_unmatched_source" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_nmbs").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
+      graft.catalog.GraftCatalog.register("nmbs_cust", dir)
+      c.where(pmod(col("c_custkey"), lit(3L)) === 0L)
+        .select(col("c_custkey"), lit(100.0).as("inc"))
+        .createOrReplaceTempView("nmbs_src")
+      s.sql("MERGE INTO graft.nmbs_cust t USING nmbs_src s ON t.c_custkey = s.c_custkey " +
+        "WHEN MATCHED THEN UPDATE SET bal = t.bal + s.inc " +
+        "WHEN NOT MATCHED BY SOURCE AND t.bal < 0 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE AND t.bal < 1000 THEN UPDATE SET bal = t.bal + 1")
+      s.sql("SELECT c_custkey, bal FROM graft.nmbs_cust ORDER BY c_custkey")
+    }),
+
     // -- CONDITIONAL MERGE (WHEN MATCHED/NOT MATCHED clauses) --------------
     // The real Delta MERGE surface, driven through SQL text: a DELETE arm
     // fires first for matched negative balances, the UPDATE arm (+inc)
@@ -5550,6 +5574,18 @@ object SparkEntry {
         "SELECT c_custkey + 9000000 AS c_custkey, CAST(c_acctbal AS DOUBLE) AS bal " +
         "FROM customer WHERE c_custkey % 13 = 0" +
         ") WHERE bal >= 0 ORDER BY c_custkey"),
+
+    "q_sql_merge_unmatched_source" ->
+      // replay: matched (%3) keys +100; unmatched negatives purged (first
+      // BY SOURCE arm), unmatched sub-1000 aged +1, the rest carry over
+      ("SELECT c_custkey, bal FROM (" +
+        "SELECT c_custkey, " +
+        "CASE WHEN c_custkey % 3 = 0 THEN CAST(c_acctbal AS DOUBLE) + 100.0 " +
+        "WHEN CAST(c_acctbal AS DOUBLE) < 1000 THEN CAST(c_acctbal AS DOUBLE) + 1.0 " +
+        "ELSE CAST(c_acctbal AS DOUBLE) END AS bal, " +
+        "CASE WHEN c_custkey % 3 <> 0 AND CAST(c_acctbal AS DOUBLE) < 0 " +
+        "THEN 1 ELSE 0 END AS del " +
+        "FROM customer) WHERE del = 0 ORDER BY c_custkey"),
 
     "q_sql_dml" ->
       // replay: +100 on %7 keys, then delete rows whose POST-update

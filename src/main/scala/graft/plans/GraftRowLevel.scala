@@ -55,6 +55,31 @@ case class GraftRowLevelStrategy(spark: SparkSession)
     case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
   }
 
+  /** Conditions and assignment values round-trip through Expression.sql
+    * text and re-parse against the commit protocol's frames — a subquery
+    * does not survive that trip (its plan is not text), so it must refuse
+    * HERE with the escape hatch named, not as a confusing re-parse error
+    * downstream. */
+  private def requireNoSubquery(e: Expression, what: String): Expression = {
+    require(!e.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"graft $what: subqueries are not supported in conditions or assignment " +
+        s"values (got `${e.sql}`) — materialize the subquery into the source " +
+        "frame and use the Scala API (VersionedTable.commitMergeConditional / " +
+        "commitUpdate)")
+    e
+  }
+
+  /** NOT MATCHED BY SOURCE arms have no source row: every reference must
+    * be a target attribute (Delta's rule), checked on the RESOLVED
+    * expression where it is exact — downstream the text would re-resolve
+    * against a frame whose source columns are all null. */
+  private def requireTargetOnly(e: Expression, tIds: Set[ExprId]): Unit =
+    require(e.references.forall(a => tIds(a.exprId)),
+      "graft MERGE: a WHEN NOT MATCHED BY SOURCE condition/assignment may " +
+        s"reference only the target table (got `${e.sql}`) — there is no " +
+        "source row for these target rows")
+
   /** Qualify target/source attributes as `t.x` / `s.x` and render SQL —
     * the form [[VersionedTable.commitMergeConditional]] evaluates clause
     * conditions and assignment values in. */
@@ -108,8 +133,10 @@ case class GraftRowLevelStrategy(spark: SparkSession)
           s"cannot UPDATE ${table.name()} at a pinned version (time travel is read-only)")
         val dir = table.dir
         val set = assignments.map(a =>
-          setTarget(a, "UPDATE") -> PlanBridge.column(unresolve(a.value))).toMap
-        val cond = condition.map(c => PlanBridge.column(unresolve(c)))
+          setTarget(a, "UPDATE") ->
+            PlanBridge.column(unresolve(requireNoSubquery(a.value, "UPDATE")))).toMap
+        val cond = condition.map(c =>
+            PlanBridge.column(unresolve(requireNoSubquery(c, "UPDATE"))))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
         GraftRowLevelExec(s"UPDATE ${table.name()}",
           () => VersionedTable.commitUpdate(spark, dir, cond, set)) :: Nil
@@ -119,9 +146,6 @@ case class GraftRowLevelStrategy(spark: SparkSession)
       graftOf(m.targetTable).map { table =>
         require(table.pinnedVersion.isEmpty,
           s"cannot MERGE into ${table.name()} at a pinned version (time travel is read-only)")
-        require(m.notMatchedBySourceActions.isEmpty,
-          "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported — express " +
-            "the source-absent rewrite as a separate UPDATE/DELETE")
         require(!m.withSchemaEvolution,
           "graft MERGE: WITH SCHEMA EVOLUTION is not supported — evolve the " +
             "table first (commitAppendEvolve / ALTER TABLE ADD COLUMN)")
@@ -129,7 +153,7 @@ case class GraftRowLevelStrategy(spark: SparkSession)
         val tIds = m.targetTable.output.map(_.exprId).toSet
         val sIds = m.sourceTable.output.map(_.exprId).toSet
         val keys = mergeKeys(m.mergeCondition, tIds, sIds).distinct
-        def sql(e: Expression) = mergeSql(e, tIds, sIds)
+        def sql(e: Expression) = mergeSql(requireNoSubquery(e, "MERGE"), tIds, sIds)
         val clauses: Seq[VersionedTable.MergeClause] =
           (m.matchedActions ++ m.notMatchedActions).map {
             case UpdateStarAction(cond) =>
@@ -149,6 +173,20 @@ case class GraftRowLevelStrategy(spark: SparkSession)
               VersionedTable.WhenNotMatchedInsert(cond.map(sql),
                 Some(assigns.map(a => setTarget(a, "MERGE INSERT") -> sql(a.value)).toMap))
             case other => sys.error(s"graft MERGE: unsupported action $other")
+          } ++
+          m.notMatchedBySourceActions.map {
+            case UpdateAction(cond, assigns, _) =>
+              // no SET * here: the analyzer can't star-expand an arm with no
+              // source side, so assignments are always explicit
+              (cond.toSeq ++ assigns.map(_.value)).foreach(requireTargetOnly(_, tIds))
+              VersionedTable.WhenNotMatchedBySourceUpdate(cond.map(sql),
+                assigns.map(a =>
+                  setTarget(a, "MERGE NOT MATCHED BY SOURCE UPDATE") -> sql(a.value)).toMap)
+            case DeleteAction(cond) =>
+              cond.foreach(requireTargetOnly(_, tIds))
+              VersionedTable.WhenNotMatchedBySourceDelete(cond.map(sql))
+            case other => sys.error(
+              s"graft MERGE: unsupported NOT MATCHED BY SOURCE action $other")
           }
         val source = PlanBridge.ofRows(spark, m.sourceTable)
         GraftRowLevelExec(s"MERGE INTO ${table.name()}",

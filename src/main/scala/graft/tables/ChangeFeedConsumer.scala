@@ -49,15 +49,16 @@ object ChangeFeedConsumer {
       sys.error(s"ChangeFeedConsumer: could not publish offset $v for $id in $dir")
   }
 
-  /** Poll once. On first contact, `snapshot(currentState, version)` runs;
-    * afterwards `changes(feed, fromVersion, toVersion)` runs with the
-    * unseen span's change feed (columns per [[VersionedTable.changes]]).
-    * Neither runs when the source hasn't moved. Returns the new offset.
-    * The handler must be idempotent under re-delivery (at-least-once). */
-  def poll(spark: SparkSession, dir: String, id: String,
-      keyCols: Seq[String], valueCols: Seq[String])(
+  /** Poll once at span grain — the lease/offset core under both feed
+    * flavors. On first contact `snapshot(currentState, version)` runs;
+    * afterwards `span(fromVersion, toVersion)` runs for the unseen span
+    * (the handler chooses HOW to read it: the per-step feed, the net
+    * diff, …). Neither runs when the source hasn't moved. Returns the new
+    * offset. Handlers must be idempotent under re-delivery
+    * (at-least-once). */
+  def pollSpan(spark: SparkSession, dir: String, id: String)(
       snapshot: (DataFrame, Long) => Unit)(
-      changes: (DataFrame, Long, Long) => Unit,
+      span: (Long, Long) => Unit,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
     FsIO.withWriteLock(offsetPath(dir, id).toString, s"ChangeFeedConsumer($id)",
         lockLeaseMs) {
@@ -69,8 +70,7 @@ object ChangeFeedConsumer {
           writeOffset(dir, id, latest)
           latest
         case Some(from) if from < latest =>
-          changes(VersionedTable.changes(spark, dir, from, latest, keyCols, valueCols),
-            from, latest)
+          span(from, latest)
           writeOffset(dir, id, latest)
           latest
         case Some(from) =>
@@ -81,11 +81,29 @@ object ChangeFeedConsumer {
       }
     }
 
+  /** Poll once. On first contact, `snapshot(currentState, version)` runs;
+    * afterwards `changes(feed, fromVersion, toVersion)` runs with the
+    * unseen span's change feed (columns per [[VersionedTable.changes]]).
+    * Neither runs when the source hasn't moved. Returns the new offset.
+    * The handler must be idempotent under re-delivery (at-least-once). */
+  def poll(spark: SparkSession, dir: String, id: String,
+      keyCols: Seq[String], valueCols: Seq[String])(
+      snapshot: (DataFrame, Long) => Unit)(
+      changes: (DataFrame, Long, Long) => Unit,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    pollSpan(spark, dir, id)(snapshot)({ (from, latest) =>
+      changes(VersionedTable.changes(spark, dir, from, latest, keyCols, valueCols),
+        from, latest)
+    }, lockLeaseMs)
+
   /** Bronze→silver replication through the feed: maintains `silverDir` as a
     * row-identical mirror of `bronzeDir`'s latest version, incrementally —
     * each poll applies the whole span as ONE conditional MERGE
-    * ([[VersionedTable.commitMergeConditional]]): the span's per-key LAST
-    * state rides in as the source with its `change_type`, a DELETE arm
+    * ([[VersionedTable.commitMergeConditional]]): the span's NET per-key
+    * change ([[VersionedTable.netChanges]] — ONE endpoint diff join, not a
+    * per-step feed plus a last-state window; a key added then removed
+    * inside the span nets away entirely, which is exactly what the mirror
+    * wants) rides in as the source with its `change_type`, a DELETE arm
     * takes the removed keys, UPDATE SET * the changed ones, and the INSERT
     * arm the added ones — one probe, one file-grain rewrite, ONE commit per
     * span (the merge-then-delete shape this replaced paid two probes, two
@@ -99,17 +117,13 @@ object ChangeFeedConsumer {
       silverTransform: DataFrame => DataFrame = identity): Long = {
     import org.apache.spark.sql.functions._
     val ctCol = "__graft_change_type"
-    poll(spark, bronzeDir, id, keyCols, valueCols) { (state, v) =>
+    pollSpan(spark, bronzeDir, id) { (state, v) =>
       VersionedTable.commitAppend(spark, silverTransform(state), silverDir,
         txn = Some((s"replicate:$id", v)))
-    } { (feed, _, to) =>
-      // per key, the span's LAST step wins (a key can change many times in
-      // one span); surviving upserts carry the final new-side values
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(c => col(s"`$c`")): _*)
-        .orderBy(col("version").desc)
-      val last = feed.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      // source = the span's final per-key state, shaped as the silver row
+    } { (from, to) =>
+      val net = VersionedTable.netChanges(spark, bronzeDir, from, to,
+        keyCols, valueCols)
+      // source = the span's net per-key state, shaped as the silver row
       // plus the change flag. The transform applies ONLY to the upsert rows
       // — removed keys carry null value columns (no new side), and a
       // filtering transform would silently swallow the DELETE (null
@@ -118,7 +132,7 @@ object ChangeFeedConsumer {
       // unconditionally. The transform must preserve the row shape
       // (identity/filter transforms do; unionByName refuses loudly
       // otherwise).
-      val shaped = last.select(
+      val shaped = net.select(
         keyCols.map(c => col(s"`$c`")) ++
           valueCols.filterNot(keyCols.contains)
             .map(c => col(s"`${c}_new`").as(c)) :+

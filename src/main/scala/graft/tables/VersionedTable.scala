@@ -654,7 +654,13 @@ object VersionedTable {
         if (names.size <= MaxDvPruneFiles)
           dvRaw.where(col("fname").isInCollection(names))
         else dvRaw
-      val dv0 = dvPruned.select(col("fname"), col("pos")).distinct()
+      // no distinct(): a LEFT ANTI probe is insensitive to duplicate build
+      // keys, and stacked sidecars cannot repeat a (fname, pos) anyway —
+      // every DV commit evaluates its cond against LIVE rows only, so a
+      // masked row never re-enters a later sidecar. The distinct() spelling
+      // cost a full exchange + an extra AQE stage-job on EVERY masked scan —
+      // pure protocol latency (2 jobs instead of 1 to build the mask).
+      val dv0 = dvPruned.select(col("fname"), col("pos"))
       val dv = if (dvBytes <= MaxBroadcastDvBytes) broadcast(dv0) else dv0
       base.join(dv,
         base(FnameCol) === dv("fname") && base(PosCol) === dv("pos"), "left_anti")
@@ -664,6 +670,32 @@ object VersionedTable {
   /** Past this many scanned files, the sidecar fname IN-filter is skipped
     * (see [[scanEntriesMeta]]). */
   val MaxDvPruneFiles: Int = 1000
+
+  /** Distinct values of string column `c` collected in ONE shuffle-free
+    * job: per-partition dedup in a mapPartitions, final dedup on the
+    * driver. Only for columns whose cardinality is bounded by the
+    * MANIFEST (file names of touched files — O(files), never O(rows)).
+    * The `.distinct().collect()` spelling costs a full exchange plus a
+    * second AQE stage-job per call — on the rewrite commits (update /
+    * delete / merge / compact scoping) that was pure protocol latency,
+    * ~1 extra job on every commit. */
+  private def collectDistinctStrings(df: DataFrame, c: String): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    val enc = org.apache.spark.sql.Encoders.STRING
+    df.select(col(s"`$c`")).as(enc)
+      .mapPartitions(it => it.toSet.iterator)(enc)
+      .collect().toSet
+  }
+
+  /** A collect_set metric out of a completed [[org.apache.spark.sql.Observation]],
+    * as a string set. */
+  private def observedStrings(obs: org.apache.spark.sql.Observation,
+      key: String): Set[String] =
+    obs.get.apply(key) match {
+      case s: scala.collection.Seq[_] => s.iterator.map(_.asInstanceOf[String]).toSet
+      case other => sys.error(
+        s"VersionedTable: observed metric `$key` is not a collected set: $other")
+    }
 
   /** DV-masked scan with the helper columns dropped — the caller-facing
     * row set of `entries`. DV-free entries take the plain parquet path
@@ -1343,9 +1375,8 @@ object VersionedTable {
       // a row already deleted by a deletion vector can't drag its file
       // into the rewrite; parquet stats still prune the cond scan, and
       // only (file-name) strings come back to the driver (O(files))
-      val touchedNames = scanEntriesMeta(spark, dir, entries, declared)
-        .where(cond).select(col(FnameCol)).distinct()
-        .collect().map(_.getString(0)).toSet
+      val touchedNames = collectDistinctStrings(
+        scanEntriesMeta(spark, dir, entries, declared).where(cond), FnameCol)
       val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
       val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
       val newRels =
@@ -1457,15 +1488,20 @@ object VersionedTable {
         // one skinny sidecar per commit (shared by every touched file's
         // entry), fname-sorted so masked scans' pushed IN-filters prune it
         // at row-group grain; a production port would shard past ~10^8
-        // positions
+        // positions. The touched-file set rides the SAME write job as an
+        // observed collect_set — the old read-back-the-staged-parquet job
+        // was one whole extra job per DV commit, and the observed metric
+        // still describes exactly the rows that landed (the write is the
+        // single materialization of a possibly nondeterministic cond scan).
+        val obs = org.apache.spark.sql.Observation()
         val staged = stageDataFilesTagged(fs, dir,
-          hits.coalesce(1).sortWithinPartitions("fname", "pos"),
+          hits.observe(obs, org.apache.spark.sql.functions.collect_set(
+              org.apache.spark.sql.functions.col("fname")).as("touched"))
+            .coalesce(1).sortWithinPartitions("fname", "pos"),
           s"a${java.util.UUID.randomUUID().toString.take(8)}")
         val touchedNames: Set[String] =
           if (staged.isEmpty) Set.empty
-          else spark.read.schema(DvSidecarSchema)
-            .parquet(staged.map(absOf(dir, _).toString): _*)
-            .select("fname").distinct().collect().map(_.getString(0)).toSet
+          else observedStrings(obs, "touched")
         if (touchedNames.isEmpty) {
           // nothing matched: drop the empty sidecar (orphan either way) and
           // commit the unchanged manifest — the truthful no-op version
@@ -1535,14 +1571,18 @@ object VersionedTable {
         // rewritten append) — O(matched rows), the operation's whole budget
         val hits = masked.where(cond).localCheckpoint(true)
         val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
+        // touched files observed on the sidecar write job itself (not a
+        // read-back job) — hits is checkpointed, so the observed set and
+        // the rewritten rows below come from the same materialized batch
+        val obs = org.apache.spark.sql.Observation()
         val staged = stageDataFilesTagged(fs, dir,
           hits.select(col(FnameCol).as("fname"), col(PosCol).as("pos"))
+            .observe(obs, org.apache.spark.sql.functions.collect_set(
+              org.apache.spark.sql.functions.col("fname")).as("touched"))
             .coalesce(1).sortWithinPartitions("fname", "pos"), stageTag)
         val touchedNames: Set[String] =
           if (staged.isEmpty) Set.empty
-          else spark.read.schema(DvSidecarSchema)
-            .parquet(staged.map(absOf(dir, _).toString): _*)
-            .select("fname").distinct().collect().map(_.getString(0)).toSet
+          else observedStrings(obs, "touched")
         if (touchedNames.isEmpty) {
           staged.foreach(rel => fs.delete(absOf(dir, rel), false))
           publishRebased(spark, fs, dir, "VersionedTable.commitUpdateDV",
@@ -1718,7 +1758,7 @@ object VersionedTable {
           if (cntProbe.length <= MaxMergeProbeKeys)
             cntProbe.iterator.map(_.getLong(keyCols.length)).sum
           else Long.MaxValue
-        val touchedNames: Set[String] = (
+        val touchedNames: Set[String] = collectDistinctStrings(
           if (keyProbe.length <= MaxMergeProbeKeys) {
             val keys = keyProbe
             val coarse = keyCols.zipWithIndex.map { case (k, i) =>
@@ -1733,13 +1773,11 @@ object VersionedTable {
             full.where(coarse)
               .join(broadcast(keyLit),
                 keyCols.map(k => full(s"`$k`") <=> keyLit(s"`$k`")).reduce(_ && _), "left_semi")
-              .select(col(FnameCol)).distinct().collect()
           } else {
             full.as("t").join(keyDf.as("s"),
                 keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_semi")
-              .select(col(FnameCol)).distinct().collect()
-          }
-        ).map(_.getString(0)).toSet
+          },
+          FnameCol)
         val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
         val targetDf =
           if (touched.isEmpty) full.drop(FnameCol, PosCol).limit(0)
@@ -1796,6 +1834,17 @@ object VersionedTable {
     * by name, the whole-row-merge insert shape). */
   final case class WhenNotMatchedInsert(cond: Option[String],
       values: Option[Map[String, String]]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET col -> expr, ...
+    * — TARGET rows with no key-matching source row (Delta's retention/GC
+    * merge arm). Conditions and SET expressions may reference the target
+    * (`t.`) only — there is no source side for these rows; a stray `s.`
+    * reference fails resolution loudly at the pruning scan. SET must be
+    * explicit (no SET * — nothing to take values from). */
+  final case class WhenNotMatchedBySourceUpdate(cond: Option[String],
+      set: Map[String, String]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class WhenNotMatchedBySourceDelete(cond: Option[String])
+      extends MergeClause
 
   /** MERGE INTO with CONDITIONAL CLAUSES (the real Delta MERGE surface —
     * `WHEN MATCHED [AND c] THEN UPDATE SET ... / DELETE, WHEN NOT MATCHED
@@ -1806,6 +1855,11 @@ object VersionedTable {
     *    no applicable clause → the row carries over unchanged;
     *  - a source row matching no target key takes the first not-matched
     *    clause whose condition holds → INSERT; none → dropped;
+    *  - a TARGET row matching no source key takes the first NOT MATCHED BY
+    *    SOURCE clause whose condition holds → UPDATE/DELETE (the
+    *    retention/GC arm); none → carries over unchanged. Their pruning is
+    *    by arm condition, not the key probe — a condition-less arm is an
+    *    honest whole-table sweep;
     *  - source keys must be UNIQUE (several source rows matching one
     *    target row is the ambiguous-merge error, like Delta);
     *  - UPDATE/INSERT expressions cast to the target column's type (SQL
@@ -1830,6 +1884,17 @@ object VersionedTable {
       case c: WhenMatchedDelete => c: MergeClause
     }
     val insertClauses = clauses.collect { case c: WhenNotMatchedInsert => c }
+    val nmbsClauses = clauses.collect {
+      case c: WhenNotMatchedBySourceUpdate => c: MergeClause
+      case c: WhenNotMatchedBySourceDelete => c: MergeClause
+    }
+    nmbsClauses.foreach {
+      case WhenNotMatchedBySourceUpdate(_, set) =>
+        require(set.nonEmpty, "commitMergeConditional: WHEN NOT MATCHED BY " +
+          "SOURCE UPDATE needs an explicit SET — there is no source row to " +
+          "take values from (SET * is undefined here, as in Delta)")
+      case _ => ()
+    }
     withOccRetries("VersionedTable.commitMergeConditional") { () =>
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val preReplayed = txn.flatMap { case (app, tv) =>
@@ -1862,24 +1927,48 @@ object VersionedTable {
               require(bad.isEmpty, "commitMergeConditional: INSERT targets " +
                 s"unknown column(s) ${bad.mkString(", ")} (table columns: " +
                 s"${targetNames.toSeq.sorted.mkString(", ")})")
+            case WhenNotMatchedBySourceUpdate(_, set) =>
+              val bad = unknown(set.keys)
+              require(bad.isEmpty, "commitMergeConditional: NOT MATCHED BY " +
+                s"SOURCE UPDATE SET targets unknown column(s) ${bad.mkString(", ")} " +
+                s"(table columns: ${targetNames.toSeq.sorted.mkString(", ")})")
             case _ => ()
           }
         }
         val srcChk   = source.localCheckpoint(true)
         val keyDf    = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
-        // the ambiguous-merge gate (Delta's): duplicate source keys would
-        // multiply matched target rows through the join. ONE agg job
-        // delivers both counts (row count + distinct-key count) — the gate
-        // used to cost two jobs, pure protocol latency on small CDC spans.
-        val counts = srcChk.agg(count(lit(1)).as("n"),
-          count_distinct(struct(keyCols.map(k => col(s"`$k`")): _*)).as("nk")).head
-        val nKeys = counts.getLong(1)
-        require(nKeys == counts.getLong(0),
-          s"commitMergeConditional: source keys (${keyCols.mkString(",")}) are not " +
-            "unique — several source rows would match one target row (ambiguous merge)")
-        val touchedNames: Set[String] = (
+        // ONE bounded probe (commitMerge's device) delivers the keys, the
+        // per-key counts, AND decides small-vs-large: under the cap, the
+        // ambiguous-merge gate (Delta's — duplicate source keys would
+        // multiply matched target rows through the join) checks the probe's
+        // counts driver-side; past the cap the gate falls back to one
+        // whole-source agg job (large sources only, amortized). The
+        // separate count_distinct agg + keyDf.collect this replaces cost
+        // two extra jobs on every small CDC span — pure protocol latency.
+        val cntCol   = "__graft_merge_cnt"
+        val cntProbe = srcChk.select(keyCols.map(k => col(s"`$k`")): _*)
+          .groupBy(keyCols.map(k => col(s"`$k`")): _*)
+          .agg(count(lit(1)).as(cntCol))
+          .limit(MaxMergeProbeKeys + 1).collect()
+        val nKeys: Long =
+          if (cntProbe.length <= MaxMergeProbeKeys) {
+            val dup = cntProbe.find(_.getLong(keyCols.length) > 1L)
+            require(dup.isEmpty,
+              s"commitMergeConditional: source keys (${keyCols.mkString(",")}) are not " +
+                "unique — several source rows would match one target row (ambiguous merge)")
+            cntProbe.length.toLong
+          } else {
+            val counts = srcChk.agg(count(lit(1)).as("n"),
+              count_distinct(struct(keyCols.map(k => col(s"`$k`")): _*)).as("nk")).head
+            require(counts.getLong(1) == counts.getLong(0),
+              s"commitMergeConditional: source keys (${keyCols.mkString(",")}) are not " +
+                "unique — several source rows would match one target row (ambiguous merge)")
+            counts.getLong(1)
+          }
+        val touchedNames: Set[String] = collectDistinctStrings(
           if (nKeys <= MaxMergeProbeKeys) {
-            val keys = keyDf.collect()
+            val keys = cntProbe.map(r =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
             val coarse = keyCols.zipWithIndex.map { case (k, i) =>
               val vs = keys.map(_.get(i)).toSeq
               val nn = vs.filter(_ != null).distinct
@@ -1892,14 +1981,38 @@ object VersionedTable {
             full.where(coarse)
               .join(broadcast(keyLit),
                 keyCols.map(k => full(s"`$k`") <=> keyLit(s"`$k`")).reduce(_ && _), "left_semi")
-              .select(col(FnameCol)).distinct().collect()
           } else {
             full.as("t").join(keyDf.as("s"),
                 keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_semi")
-              .select(col(FnameCol)).distinct().collect()
+          },
+          FnameCol)
+        // NOT MATCHED BY SOURCE arms rewrite target rows the source never
+        // names, so their pruning is by the arms' own conditions, not the
+        // key probe: one extra column-pruned scan finds files holding ANY
+        // row satisfying an arm condition (a condition-less arm touches
+        // every file — the honest cost of a whole-table retention sweep,
+        // same as Delta). The union with the key-touched set is a superset
+        // of what actually changes; rewriting an extra file re-emits its
+        // rows verbatim (match-ness is re-derived row-level below).
+        // Conditions resolve against the target alias only — an `s.`
+        // reference fails loudly HERE, before any rewrite.
+        val nmbsTouched: Set[String] =
+          if (nmbsClauses.isEmpty) Set.empty
+          else if (nmbsClauses.exists {
+            case WhenNotMatchedBySourceUpdate(None, _) => true
+            case WhenNotMatchedBySourceDelete(None)    => true
+            case _ => false
+          }) entries.map(e => baseName(e.rel)).toSet
+          else {
+            val condOr = nmbsClauses.map {
+              case WhenNotMatchedBySourceUpdate(Some(cc), _) => expr(cc)
+              case WhenNotMatchedBySourceDelete(Some(cc))    => expr(cc)
+              case other => sys.error(s"unreachable nmbs clause $other")
+            }.reduce(_ || _)
+            collectDistinctStrings(full.as("t").where(condOr), FnameCol)
           }
-        ).map(_.getString(0)).toSet
-        val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
+        val (touched, untouched) = entries.partition(e =>
+          touchedNames(baseName(e.rel)) || nmbsTouched(baseName(e.rel)))
         val targetDf =
           if (touched.isEmpty) scanEntries(spark, dir, entries, declared).limit(0)
           else scanEntries(spark, dir, touched, declared) // masked; rewrite sheds DVs
@@ -1924,7 +2037,7 @@ object VersionedTable {
         // action index: the first matched clause (in declaration order)
         // whose condition holds for this (t, s) pair — when() chains
         // evaluate in order, which IS the Delta priority rule
-        val action = matchedClauses.zipWithIndex
+        val actionMatched = matchedClauses.zipWithIndex
           .foldLeft(when(lit(false), lit(-1))) { case (acc, (c, i)) =>
             val cond = c match {
               case WhenMatchedUpdate(cc, _) => clauseCond(cc)
@@ -1933,8 +2046,25 @@ object VersionedTable {
             }
             acc.when(matched && cond, lit(i))
           }
+        // NOT MATCHED BY SOURCE arms take the complementary rows, indexed
+        // after the matched arms so one action column carries both families
+        // (clause order within each family = Delta priority; the families
+        // are disjoint by the matched flag, so relative interleaving in the
+        // original statement cannot matter)
+        val nmbsOffset = matchedClauses.length
+        val action = nmbsClauses.zipWithIndex
+          .foldLeft(actionMatched) { case (acc, (c, i)) =>
+            val cond = c match {
+              case WhenNotMatchedBySourceUpdate(cc, _) => clauseCond(cc)
+              case WhenNotMatchedBySourceDelete(cc)    => clauseCond(cc)
+              case _                                   => lit(false)
+            }
+            acc.when(!matched && cond, lit(nmbsOffset + i))
+          }
         val deleteIdx = matchedClauses.zipWithIndex.collect {
-          case (_: WhenMatchedDelete, i) => i }
+          case (_: WhenMatchedDelete, i) => i } ++
+          nmbsClauses.zipWithIndex.collect {
+            case (_: WhenNotMatchedBySourceDelete, i) => nmbsOffset + i }
         val withAction = joined.withColumn("__graft_action", action)
         val kept = if (deleteIdx.isEmpty) withAction
           else withAction.where(!col("__graft_action").isInCollection(deleteIdx) ||
@@ -1959,7 +2089,17 @@ object VersionedTable {
                 }
               case (acc, _) => acc
             }
-          updated.otherwise(base).as(f.name)
+          val updated2 = nmbsClauses.zipWithIndex
+            .foldLeft(updated) {
+              case (acc, (WhenNotMatchedBySourceUpdate(_, set), i)) =>
+                set.collectFirst { case (c, e) if c.equalsIgnoreCase(f.name) => e } match {
+                  case Some(e) => acc.when(col("__graft_action") === (nmbsOffset + i),
+                    expr(e).cast(f.dataType))
+                  case None => acc
+                }
+              case (acc, _) => acc
+            }
+          updated2.otherwise(base).as(f.name)
         }.toSeq: _*)
         // ---- insert side: source rows matching NO target key (the probe
         // found every file holding a matching key, so anti-joining the
@@ -2196,9 +2336,8 @@ object VersionedTable {
       val (scoped, untouched) = where match {
         case Some(pred) if entries.nonEmpty =>
           import org.apache.spark.sql.functions.col
-          val hit = scanEntriesMeta(spark, dir, entries, declared)
-            .where(pred).select(col(FnameCol)).distinct()
-            .collect().map(_.getString(0)).toSet
+          val hit = collectDistinctStrings(
+            scanEntriesMeta(spark, dir, entries, declared).where(pred), FnameCol)
           entries.partition(e => hit(baseName(e.rel)))
         case _ => (entries, Seq.empty[FileEntry])
       }
@@ -2749,6 +2888,58 @@ object VersionedTable {
       stepDf(vTo - 1).limit(0) // compaction-only span: EMPTY feed, right schema
     else live.map(stepDf).reduceOption(_.unionByName(_))
       .getOrElse(sys.error(s"changes: empty span ($vFrom, $vFrom] has no steps"))
+  }
+
+  /** NET row-level change between two committed versions, keyed by
+    * `keyCols`, carrying each requested value column's final (`_new`) and
+    * initial (`_old`) value — the one-join span diff a REPLICATION consumer
+    * wants. Where [[changes]] pays one full-outer join per version step
+    * plus a window to find each key's last state, this diffs the span's
+    * ENDPOINTS directly: a key added then removed inside the span nets to
+    * no row (the mirror never saw it), an update chain nets to one row
+    * with the final values — the mirror's end state is identical, at one
+    * join and one shuffle pass. Same shared-file pruning as [[diff]]
+    * (O(span-changed files), never O(table)) and the same unique-key /
+    * additive-evolution contract. */
+  def netChanges(spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(vFrom <= vTo, s"netChanges: vFrom $vFrom > vTo $vTo")
+    require(valueCols.nonEmpty, "netChanges: need at least one value column")
+    // TO-ENDPOINT SLIDING past dataChange=false commits: a trailing
+    // compaction re-lays every file, so diffing against its manifest would
+    // lose shared-file pruning and read O(table) to report nothing. Its
+    // rows are identical to its predecessor's by the [[commitCompact]]
+    // contract, so the TO endpoint slides down to the nearest data-changing
+    // commit — same answer, pruned I/O. (The FROM side never slides: later
+    // commits chain on top of the post-compact files, so vFrom's own
+    // manifest is the one that shares files with the to side.) A span that
+    // nets to re-layouts only is the truthful EMPTY feed.
+    val logSeq = VersionedTable.log(dir)
+    val ef = vFrom
+    val et = logSeq.filter(_._1 <= vTo).reverse
+      .find { case (vv, ms) => !isNoDataChange(dir, vv, ms) }
+      .map(_._1).getOrElse(vTo)
+    if (et <= ef) {
+      val b0 = read(spark, dir, Some(et))
+      return b0.limit(0).select(
+        keyCols.map(k => col(s"`$k`")) ++
+          Seq(lit(vTo).as("version"), lit(null).cast("string").as("change_type")) ++
+          valueCols.flatMap(c => Seq(
+            col(s"`$c`").as(s"${c}_old"), col(s"`$c`").as(s"${c}_new"))): _*)
+    }
+    val (a, b) = prunedScans(spark, dir, ef, et, keyCols)
+    require(valueCols.forall(a.columns.contains) && valueCols.forall(b.columns.contains),
+      s"value columns ${valueCols.mkString(",")} must exist in versions $vFrom and $vTo " +
+        s"(have: ${a.columns.intersect(b.columns).mkString(",")})")
+    a.as("a").join(b.as("b"), stepJoinCond(keyCols), "full_outer")
+      .withColumn("change_type", stepChangeType(a, b, keyCols))
+      .where(col("change_type").isNotNull)
+      .select(
+        keyCols.map(k => coalesce(col(s"a.`$k`"), col(s"b.`$k`")).as(k)) ++
+          Seq(lit(vTo).as("version"), col("change_type")) ++
+          valueCols.flatMap(c => Seq(
+            col(s"a.`$c`").as(s"${c}_old"), col(s"b.`$c`").as(s"${c}_new"))): _*)
   }
 
   private def stepJoinCond(keyCols: Seq[String]) = {

@@ -215,11 +215,41 @@ class GraftCatalogSpec extends SparkSpec {
         "WHEN MATCHED THEN DELETE").collect()
     }
     assert(e1.getMessage.contains("same-named"), e1.getMessage)
+  }
+
+  test("native MERGE: WHEN NOT MATCHED BY SOURCE update/delete arms") {
+    val dir = fresh("cat_nmbs")
+    // source names keys [40, 60); everything else is NOT matched by source
+    spark.range(40L, 60L)
+      .select(col("id").as("k"), lit(1L).as("x"))
+      .createOrReplaceTempView("cat_nmbs_src")
+    spark.sql(
+      "MERGE INTO graft.cat_nmbs t USING cat_nmbs_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET x = s.x " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 10 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 20 THEN UPDATE SET x = -1")
+    val rows = spark.sql("SELECT k, x FROM graft.cat_nmbs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size == 90, rows.size.toString)           // k<10 deleted
+    assert((10L until 20L).forall(rows(_) == -1L))        // retention update
+    assert((40L until 60L).forall(rows(_) == 1L))         // matched arm
+    assert((20L until 40L).forall(k => rows(k) == 2 * k)) // carried over
+    assert(VersionedTable.latestVersion(dir).contains(1L))
+    // an arm referencing the source refuses loudly — Spark's analyzer
+    // excludes the source from the NMBS resolution scope (our
+    // requireTargetOnly guard is defense-in-depth behind it)
     val e2 = intercept[Exception] {
-      spark.sql("MERGE INTO graft.cat_mrg t USING cat_mrg_src2 s ON t.k = s.k " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
+      spark.sql("MERGE INTO graft.cat_nmbs t USING cat_nmbs_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE AND s.x > 0 THEN DELETE").collect()
     }
-    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"), e2.getMessage)
+    assert(e2.getMessage.contains("cannot be resolved"), e2.getMessage)
+    // a subquery in a merge condition refuses loudly, naming the hatch
+    val e3 = intercept[Exception] {
+      spark.sql("MERGE INTO graft.cat_nmbs t USING cat_nmbs_src s ON t.k = s.k " +
+        "WHEN MATCHED AND t.x > (SELECT max(x) FROM cat_nmbs_src) THEN DELETE")
+        .collect()
+    }
+    assert(e3.getMessage.contains("subqueries are not supported"), e3.getMessage)
   }
 
   test("native ALTER TABLE graft.t: add / rename / drop column, set properties") {

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.tables.{TableSql, VersionedTable}
-import graft.tables.VersionedTable.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
+import graft.tables.VersionedTable.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedBySourceDelete, WhenNotMatchedBySourceUpdate, WhenNotMatchedInsert}
 import org.apache.spark.sql.functions._
 
 /** Conditional MERGE (Delta's `WHEN MATCHED [AND c] THEN UPDATE/DELETE,
@@ -39,6 +39,47 @@ class MergeConditionalSpec extends SparkSpec {
       (4L, 1.0, Some("d")),   // matched by nothing (not in source)
       (9L, 60.0, None)        // inserted; unlisted column NULL
     ), rows.toString) // k=2 deleted; k=10 matched no insert clause → dropped
+  }
+
+  test("NOT MATCHED BY SOURCE arms: retention delete + flag update, file-pruned") {
+    import spark.implicits._
+    val dir = dirOf()
+    // two files: ks 1-4 in one, 11-14 in the other (clustered by range)
+    VersionedTable.commitAppend(spark,
+      Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L).toDF("k")
+        .select(col("k"), (col("k") * 10).cast("double").as("bal"))
+        .repartitionByRange(2, col("k")), dir)
+    val src = Seq((1L, 5.0), (11L, 5.0)).toDF("k", "delta")
+    VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+      WhenMatchedUpdate(None, Map("bal" -> "t.bal + s.delta")),
+      // conditions see the TARGET only; first-true wins within the family
+      WhenNotMatchedBySourceDelete(Some("t.k = 2 OR t.k = 12")),
+      WhenNotMatchedBySourceUpdate(Some("t.bal > 100"), Map("bal" -> "t.bal + 0.5"))))
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows == Map(
+      1L -> 15.0, 11L -> 115.0,           // matched arm
+      3L -> 30.0, 4L -> 40.0,             // unmatched, no arm condition held
+      13L -> 130.5, 14L -> 140.5          // unmatched, bal > 100 → flagged
+    ), rows.toString)                     // 2 and 12 deleted
+    // SET * is undefined with no source side
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"),
+        Seq(WhenNotMatchedBySourceUpdate(None, Map.empty)))
+    }
+    assert(e.getMessage.contains("explicit SET"), e.getMessage)
+  }
+
+  test("NOT MATCHED BY SOURCE with an empty-match source sweeps the whole table") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "bal"), dir)
+    // source matches nothing and inserts nothing: only the sweep applies
+    val src = Seq((99L, 0.0)).toDF("k", "delta")
+    VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"),
+      Seq(WhenNotMatchedBySourceDelete(None)))
+    assert(VersionedTable.read(spark, dir).count() == 0L)
   }
 
   test("clause order is priority: the FIRST applicable matched clause wins") {
