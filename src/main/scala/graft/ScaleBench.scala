@@ -522,6 +522,38 @@ object ScaleBench {
       s.range(tables.VersionedTable.filesOf(work, v).size.toLong).toDF("n_files")
     }),
 
+    // DSv2 catalog resolution vs LOG DEPTH: a FIXED-size table takes 10F
+    // one-row appends (history ∝ F) and re-compacts to a FIXED 8-file head
+    // layout, then 20 full SQL round-trips run through the whole native
+    // path — parser → GraftCatalog.loadTable → GraftTableResolution's V1
+    // substitution → log replay → scan. With the scan side pinned, the
+    // claim under test is that per-query wall stays FLAT as the log
+    // deepens: resolution replays ≤ checkpoint-interval delta entries
+    // from the nearest checkpoint anchor, never the whole log.
+    // rows = MEDIAN resolve+scan micros over the 20 runs (setup cost is
+    // excluded from the claim number by construction)
+    "catalog_resolve" -> ((s, d, f) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_cres")
+        .toString + "/t"
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("k"), length(col("text")).cast("long").as("x"))
+        .where(col("k") < 20000L) // FIXED table size at every factor
+      tables.VersionedTable.commitAppend(s,
+        base.repartitionByRange(8, col("k")), work)
+      (1 to 10 * f).foreach(i => // fixed-size commits, count ∝ F
+        tables.VersionedTable.commitAppend(s,
+          s.range(i.toLong, i + 1L).select(col("id").as("k"), lit(0L).as("x")),
+          work))
+      tables.VersionedTable.commitCompact(s, work, targetFiles = 8)
+      catalog.GraftCatalog.register("scale_resolve", work)
+      val micros = (1 to 20).map { _ =>
+        val t0 = System.nanoTime()
+        s.sql("SELECT sum(x) AS sx FROM graft.scale_resolve").collect()
+        (System.nanoTime() - t0) / 1000
+      }.sorted
+      s.range(micros(micros.length / 2)).toDF("median_resolve_us")
+    }),
+
     // RENAME COLUMN is metadata-only at any table size: one rename on a
     // 16F-file table, rows = total bytes it wrote (log entry + declared
     // schema json) — must stay FLAT in F because zero data files are

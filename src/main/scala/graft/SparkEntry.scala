@@ -3111,6 +3111,31 @@ object SparkEntry {
       s.sql("SELECT c_custkey, bal FROM graft.nmbs_cust ORDER BY c_custkey")
     }),
 
+    // -- NATIVE MERGE WITH SCHEMA EVOLUTION ---------------------------------
+    // Delta's autoMerge surface: the source carries a column the target
+    // lacks (`seg`); WITH SCHEMA EVOLUTION makes the analyzer commit it
+    // through GraftCatalog.alterTable (ONE metadata-only schema commit —
+    // old rows null-fill) before the merge plans, so UPDATE SET * /
+    // INSERT * carry the new column. DuckDB replays update+insert+null-fill.
+    "q_sql_merge_evolve" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_evosql").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
+      graft.catalog.GraftCatalog.register("evo_cust", dir)
+      c.where(pmod(col("c_custkey"), lit(4L)) === 0L)
+          .select(col("c_custkey"), (col("bal") + 50.0).as("bal"), lit("hot").as("seg"))
+        .unionByName(c.where(pmod(col("c_custkey"), lit(9L)) === 0L)
+          .select((col("c_custkey") + 7000000L).as("c_custkey"), col("bal"),
+            lit("new").as("seg")))
+        .createOrReplaceTempView("evo_src")
+      s.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.evo_cust t USING evo_src s " +
+        "ON t.c_custkey = s.c_custkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      s.sql("SELECT c_custkey, bal, seg FROM graft.evo_cust ORDER BY c_custkey")
+    }),
+
     // -- CONDITIONAL MERGE (WHEN MATCHED/NOT MATCHED clauses) --------------
     // The real Delta MERGE surface, driven through SQL text: a DELETE arm
     // fires first for matched negative balances, the UPDATE arm (+inc)
@@ -5586,6 +5611,21 @@ object SparkEntry {
         "CASE WHEN c_custkey % 3 <> 0 AND CAST(c_acctbal AS DOUBLE) < 0 " +
         "THEN 1 ELSE 0 END AS del " +
         "FROM customer) WHERE del = 0 ORDER BY c_custkey"),
+
+    "q_sql_merge_evolve" ->
+      // replay: matched (%4) keys take the source row (bal+50, seg='hot');
+      // other target rows null-fill the evolved column; shifted %9 keys
+      // insert with seg='new'
+      ("SELECT c_custkey, bal, seg FROM (" +
+        "SELECT c_custkey, " +
+        "CASE WHEN c_custkey % 4 = 0 THEN CAST(c_acctbal AS DOUBLE) + 50.0 " +
+        "ELSE CAST(c_acctbal AS DOUBLE) END AS bal, " +
+        "CASE WHEN c_custkey % 4 = 0 THEN 'hot' ELSE NULL END AS seg " +
+        "FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey + 7000000 AS c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, " +
+        "'new' AS seg FROM customer WHERE c_custkey % 9 = 0" +
+        ") ORDER BY c_custkey"),
 
     "q_sql_dml" ->
       // replay: +100 on %7 keys, then delete rows whose POST-update

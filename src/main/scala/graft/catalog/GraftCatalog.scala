@@ -177,10 +177,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // a rejected change means none are applied) — including the schema-
     // level rejections the commits themselves would raise (existing /
     // missing / duplicate column names), simulated in statement order over
-    // the CURRENT schema so a multi-change ALTER never half-commits. (A
-    // concurrent schema commit racing this statement can still surface at
-    // apply time — that is the protocol's own OCC refusal, not a contract
-    // violation this layer can pre-check.)
+    // the CURRENT schema. Schema changes then land as ONE combined commit
+    // (commitSchemaChanges), so even a crash or an OCC refusal mid-apply
+    // cannot leave a multi-change ALTER half-applied.
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val names = scala.collection.mutable.Set.empty[String]
     if (committed(d))
@@ -245,13 +244,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"$catalogName: unsupported ALTER TABLE change $other — column " +
             "type/position changes rewrite data; use a CTAS")
     }
-    changes.foreach {
+    // ALL schema changes land as ONE protocol commit (all-or-none even
+    // against a crash or a concurrent writer's OCC refusal mid-statement,
+    // not just validation-time rejections); property and constraint
+    // changes apply after it, in statement order
+    val schemaAlters: Seq[VersionedTable.SchemaAlter] = changes.collect {
       case a: AddColumn =>
-        VersionedTable.commitAddColumn(spark, d, a.fieldNames().head, a.dataType())
+        VersionedTable.AddColumnAlter(a.fieldNames().head, a.dataType())
       case r: RenameColumn =>
-        VersionedTable.commitRenameColumn(spark, d, r.fieldNames().head, r.newName())
+        VersionedTable.RenameColumnAlter(r.fieldNames().head, r.newName())
       case del: DeleteColumn =>
-        VersionedTable.commitDropColumn(spark, d, del.fieldNames().head)
+        VersionedTable.DropColumnAlter(del.fieldNames().head)
+    }
+    if (schemaAlters.nonEmpty)
+      VersionedTable.commitSchemaChanges(spark, d, schemaAlters)
+    changes.foreach {
+      case _: AddColumn | _: RenameColumn | _: DeleteColumn => ()
       case p: SetProperty =>
         VersionedTable.setProperty(d, p.property(), p.value())
       case p: RemoveProperty =>

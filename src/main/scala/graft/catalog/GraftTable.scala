@@ -61,9 +61,14 @@ class GraftTable(val tableName: String, val dir: String,
 
   override def schema(): StructType = resolvedSchema
 
+  // AUTOMATIC_SCHEMA_EVOLUTION turns on `MERGE ... WITH SCHEMA EVOLUTION`:
+  // the analyzer (ResolveMergeIntoSchemaEvolution) computes the source-only
+  // columns itself and routes them through GraftCatalog.alterTable — ONE
+  // combined metadata-only schema commit — before the merge plans, so the
+  // evolution shares the ALTER TABLE path rather than growing a second one
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The full-fidelity V1 read plan the resolution rule substitutes. */
   def readDataFrame(spark: SparkSession): DataFrame =

@@ -29,9 +29,12 @@ import org.apache.spark.sql.graft.PlanBridge
   * back to name form (`t.`/`s.`-qualified for MERGE, bare for UPDATE) and
   * re-resolve against the protocol's frames. Refused loudly, with the
   * Scala-API escape hatch named: nested-field SET targets, non-equi or
-  * differently-named merge keys, WHEN NOT MATCHED BY SOURCE arms, and
-  * MERGE WITH SCHEMA EVOLUTION — each a semantics this engine's merge
-  * contract does not (yet) express, never a silent drop.
+  * differently-named merge keys, and subqueries in conditions/assignments
+  * — each a semantics this engine's merge contract does not (yet)
+  * express, never a silent drop. WHEN NOT MATCHED BY SOURCE arms plan
+  * natively, and `WITH SCHEMA EVOLUTION` is handled upstream by the
+  * analyzer against the table's AUTOMATIC_SCHEMA_EVOLUTION capability
+  * (one combined alterTable schema commit, then the normal merge).
   */
 case class GraftRowLevelStrategy(spark: SparkSession)
     extends org.apache.spark.sql.execution.SparkStrategy {
@@ -146,9 +149,12 @@ case class GraftRowLevelStrategy(spark: SparkSession)
       graftOf(m.targetTable).map { table =>
         require(table.pinnedVersion.isEmpty,
           s"cannot MERGE into ${table.name()} at a pinned version (time travel is read-only)")
-        require(!m.withSchemaEvolution,
-          "graft MERGE: WITH SCHEMA EVOLUTION is not supported — evolve the " +
-            "table first (commitAppendEvolve / ALTER TABLE ADD COLUMN)")
+        // WITH SCHEMA EVOLUTION needs no handling here: the analyzer
+        // (ResolveMergeIntoSchemaEvolution, gated on the table's
+        // AUTOMATIC_SCHEMA_EVOLUTION capability) has already committed the
+        // source-only columns through GraftCatalog.alterTable and reloaded
+        // the relation — by planning time the target schema is the evolved
+        // one and the arms below resolve against it.
         val dir  = table.dir
         val tIds = m.targetTable.output.map(_.exprId).toSet
         val sIds = m.sourceTable.output.map(_.exprId).toSet

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * OPTIMIZE/VACUUM before delegating). Interception is head-token scoped:
   * no valid Spark statement begins with these verbs (Spark's own parser
   * throws on them), so nothing Spark can parse is ever shadowed, and only
-  * catalog-qualified `graft.<name>` references are claimed — anything
-  * else delegates and fails with Spark's own error. The claimed statement
+  * catalog-qualified `<cat>.<name>` references where `<cat>` names a
+  * [[GraftCatalog]] plugin (or is the conventional `graft`) are claimed —
+  * anything else delegates and fails with Spark's own error. The claimed
+  * statement
   * routes onto [[graft.tables.TableSql]]'s verb grammar (one
   * deterministic head substitution `graft.name` → `name`, never
   * content-based rewriting), which commits through the protocol.
@@ -25,32 +27,46 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
 
   import GraftSqlParser._
 
-  /** Resolve a claimed table like the catalog does: the registry, then the
-    * session catalog instance's warehouse mapping (a restarted process has
-    * an empty registry but a fully resolvable warehouse table — every
+  /** The session's catalog plugin registered under `cat`, when it is a
+    * GraftCatalog — the claiming condition: a verb on `other.t` where
+    * `other` is some non-graft catalog delegates (and fails with Spark's
+    * own error), never errors here. */
+  private def graftPlugin(cat: String): Option[GraftCatalog] =
+    org.apache.spark.sql.graft.PlanBridge.catalogPlugin(session, cat)
+      .collect { case g: GraftCatalog => g }
+
+  /** Whether `cat.<name>` statements belong to this parser: the catalog
+    * ident resolves to a GraftCatalog plugin, or is the conventional
+    * `graft` name (usable through the process registry even before any
+    * plugin is configured). */
+  private def claims(cat: String): Boolean =
+    cat.equalsIgnoreCase("graft") || graftPlugin(cat).isDefined
+
+  /** Resolve a claimed table like the catalog does: the process registry,
+    * then the catalog instance's warehouse mapping (a restarted process
+    * has an empty registry but a fully resolvable warehouse table — every
     * other statement would work there, so must the maintenance verbs). */
-  private def resolveDir(name: String): Option[String] =
+  private def resolveDir(cat: String, name: String): Option[String] =
     GraftCatalog.resolve(name).orElse(
-      org.apache.spark.sql.graft.PlanBridge.catalogPlugin(session, "graft")
-        .collect { case g: GraftCatalog => g }
+      graftPlugin(cat)
         .flatMap(_.warehouseDir(name))
         .filter(d => graft.tables.VersionedTable.latestVersion(d).isDefined))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case DescRe(what, name) =>
-      resolveDir(name) match {
+    case DescRe(what, cat, name) if claims(cat) =>
+      resolveDir(cat, name) match {
         case Some(dir) =>
           val whatU = what.toUpperCase(java.util.Locale.ROOT)
           GraftVerbCommand(s"DESCRIBE $whatU", name, dir,
             s"DESCRIBE $whatU $name",
             if (whatU == "HISTORY") historyOutput() else detailOutput())
         case None => sys.error(
-          s"graft: DESCRIBE $what references unknown table `graft.$name` — " +
+          s"graft: DESCRIBE $what references unknown table `$cat.$name` — " +
             "register it (GraftCatalog.register) or create it through the " +
             "catalog first")
       }
-    case HeadRe(verb, name, rest) =>
-      resolveDir(name) match {
+    case HeadRe(verb, cat, name, rest) if claims(cat) =>
+      resolveDir(cat, name) match {
         case Some(dir) =>
           // canonical verb-grammar spelling: OPTIMIZE/VACUUM take a bare
           // name, RESTORE takes `RESTORE TABLE` — the claimed statement may
@@ -59,12 +75,17 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
             if (verb.equalsIgnoreCase("RESTORE")) s"RESTORE TABLE $name"
             else s"${verb.toUpperCase(java.util.Locale.ROOT)} $name"
           val bare = s"$head $rest".trim
-          val dry  = verb.equalsIgnoreCase("VACUUM") && DryRe.findFirstIn(sqlText).isDefined
+          // dry-ness comes from TableSql's OWN vacuum grammar over the bare
+          // statement this command will execute — a `DRY RUN` inside a
+          // leading comment (consumed above by Lead) or any other stray
+          // mention can no longer flip the declared output shape
+          val dry  = verb.equalsIgnoreCase("VACUUM") &&
+            graft.tables.TableSql.isDryRunVacuum(bare)
           GraftVerbCommand(verb.toUpperCase(java.util.Locale.ROOT),
             name, dir, bare,
             if (dry) pathOutput() else verbOutput())
         case None => sys.error(
-          s"graft: $verb references unknown table `graft.$name` — register it " +
+          s"graft: $verb references unknown table `$cat.$name` — register it " +
             "(GraftCatalog.register) or create it through the catalog first")
       }
     case _ => delegate.parsePlan(sqlText)
@@ -89,7 +110,10 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
 }
 
 object GraftSqlParser {
-  // head-token + catalog-qualified table: the only statements claimed.
+  // head-token + catalog-qualified table: the only statements claimed —
+  // and only when the catalog ident actually names a GraftCatalog (the
+  // `claims` guard), so a GraftCatalog registered under any name gets the
+  // same SQL surface and a foreign catalog's tables are never shadowed.
   // DESCRIBE HISTORY|DETAIL is likewise unambiguous — Spark's DESCRIBE
   // grammar would read HISTORY/DETAIL as a table name, never followed by
   // another identifier, so no valid Spark statement is shadowed. Leading
@@ -97,10 +121,9 @@ object GraftSqlParser {
   // finds its head token (Spark's own parser tolerates them too).
   private val Lead = """(?:\s|--[^\n]*(?:\n|$)|/\*[\s\S]*?\*/)*"""
   private val HeadRe =
-    ("""(?is)^""" + Lead + """(OPTIMIZE|VACUUM|RESTORE)\s+(?:TABLE\s+)?graft\.(\w+)\b(.*)$""").r
+    ("""(?is)^""" + Lead + """(OPTIMIZE|VACUUM|RESTORE)\s+(?:TABLE\s+)?(\w+)\.(\w+)\b(.*)$""").r
   private val DescRe =
-    ("""(?is)^""" + Lead + """DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+graft\.(\w+)\s*;?\s*$""").r
-  private val DryRe  = """(?is)DRY\s+RUN""".r
+    ("""(?is)^""" + Lead + """DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+(\w+)\.(\w+)\s*;?\s*$""").r
 
   private def verbOutput(): Seq[Attribute] = Seq(
     AttributeReference("verb", StringType, nullable = false)(),

@@ -103,6 +103,16 @@ object TableSql {
   /** Default OPTIMIZE target when no TARGET clause is given. */
   val DefaultOptimizeFiles = 8
 
+  /** Whether `sql` is a `VACUUM ... DRY RUN` by THIS grammar — the
+    * maintenance-verb parser shapes its declared output from this, so
+    * dry-ness can never drift from what [[execute]] will actually do
+    * (matching a loose `DRY RUN` regex against the raw statement text once
+    * misclassified a real vacuum whose leading comment mentioned it). */
+  def isDryRunVacuum(sql: String): Boolean = sql match {
+    case VacuumRe(_, _, _, dry) => dry != null
+    case _ => false
+  }
+
   def execute(spark: SparkSession, tables: Map[String, String],
       sql: String): DataFrame = {
     def dirOf(t: String): String = tables.getOrElse(t,

@@ -2151,17 +2151,101 @@ object VersionedTable {
     }
   }
 
-  /** Shared skeleton of the metadata-only schema commits (RENAME/DROP
-    * COLUMN): resolve the head's declared schema (seeding from a footer on
-    * never-declared tables), transform it, publish the SAME manifest with
-    * the new declared schema — zero data files touched, O(1) data cost on
-    * any table size. `dataChange=false`: the row set is identical, so the
-    * change feed and streaming tails skip the version (the schema change
-    * itself surfaces through the op label and declaredSchemaAt). */
-  private def commitSchemaChange(spark: SparkSession, dir: String, op: String,
-      opLabel: String, lockLeaseMs: Long)(
-      transform: (org.apache.spark.sql.types.StructType, Long) =>
-        (org.apache.spark.sql.types.StructType, Option[Set[String]])): Long =
+  /** One metadata-only schema change, applied by [[commitSchemaChanges]].
+    * Several can combine into ONE commit — `ALTER TABLE t ADD COLUMN a
+    * INT, DROP COLUMN b` is all-or-none at the protocol, not a sequence
+    * of independent commits a crash could leave half-applied. */
+  sealed trait SchemaAlter
+  /** ADD COLUMN (Delta's `ALTER TABLE ... ADD COLUMNS`): the declared
+    * schema widens with a NULLABLE field, existing rows read null. If the
+    * chosen name collides with a TOMBSTONED physical name (a dropped
+    * column) or a live physical name under a different logical name
+    * (renamed-away), the new field gets a FRESH physical name through the
+    * mapping — old files' stale values can never resurrect. */
+  final case class AddColumnAlter(name: String,
+      dataType: org.apache.spark.sql.types.DataType) extends SchemaAlter
+  /** RENAME COLUMN via column mapping: the field takes the new LOGICAL
+    * name and keeps its immutable PHYSICAL name (chained renames keep the
+    * original). Refused when the new name collides or a CHECK constraint
+    * references the old name (its text would silently stop binding). */
+  final case class RenameColumnAlter(oldName: String, newName: String)
+      extends SchemaAlter
+  /** DROP COLUMN via column mapping: old files keep the physical column
+    * (reads never select it; bytes reclaim at the next compaction), and
+    * the physical name is TOMBSTONED so a later re-add of the same logical
+    * name cannot resurrect dropped values. Refused for the last column and
+    * for columns a CHECK constraint references. */
+  final case class DropColumnAlter(name: String) extends SchemaAlter
+
+  /** Apply one alter to the evolving (schema, tombstones) pair — the
+    * validation each single-change commit did, against the state earlier
+    * alters in the SAME statement produced (so `DROP a, ADD a` sees the
+    * tombstone and mints a fresh physical name). */
+  private def applyAlter(dir: String,
+      cur: org.apache.spark.sql.types.StructType, tombstones: Set[String],
+      alter: SchemaAlter)
+      : (org.apache.spark.sql.types.StructType, Set[String]) = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    alter match {
+      case RenameColumnAlter(oldName, newName) =>
+        require(cur.fields.exists(_.name.equalsIgnoreCase(oldName)),
+          s"commitRenameColumn: no column `$oldName` (have: ${cur.fieldNames.mkString(", ")})")
+        require(!cur.fields.exists(_.name.equalsIgnoreCase(newName)),
+          s"commitRenameColumn: column `$newName` already exists")
+        requireNoConstraintMention(dir, oldName, "commitRenameColumn")
+        (org.apache.spark.sql.types.StructType(cur.fields.map { f =>
+          if (f.name.equalsIgnoreCase(oldName))
+            org.apache.spark.sql.types.StructField(newName, f.dataType, f.nullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).putString(PhysicalNameKey, physName(f)).build())
+          else f
+        }), tombstones)
+      case AddColumnAlter(colName, dataType) =>
+        require(!cur.fields.exists(_.name.equalsIgnoreCase(colName)),
+          s"commitAddColumn: column `$colName` already exists " +
+            s"(have: ${cur.fieldNames.mkString(", ")})")
+        val used = cur.fields.map(f => lc(physName(f))).toSet ++ tombstones.map(lc)
+        val field =
+          if (used(lc(colName)))
+            org.apache.spark.sql.types.StructField(colName, dataType, nullable = true,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(PhysicalNameKey,
+                  s"${colName}__p${java.util.UUID.randomUUID().toString.take(8)}")
+                .build())
+          else org.apache.spark.sql.types.StructField(colName, dataType, nullable = true)
+        (org.apache.spark.sql.types.StructType(cur.fields :+ field), tombstones)
+      case DropColumnAlter(colName) =>
+        val dropped = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+          sys.error(s"commitDropColumn: no column `$colName` (have: ${cur.fieldNames.mkString(", ")})"))
+        require(cur.fields.length > 1, "commitDropColumn: cannot drop the last column")
+        requireNoConstraintMention(dir, colName, "commitDropColumn")
+        (org.apache.spark.sql.types.StructType(
+          cur.fields.filterNot(_.name.equalsIgnoreCase(colName))),
+          tombstones + physName(dropped))
+    }
+  }
+
+  private def alterLabel(a: SchemaAlter): String = a match {
+    case AddColumnAlter(n, _)    => s"ADD COLUMN $n"
+    case RenameColumnAlter(o, n) => s"RENAME COLUMN $o TO $n"
+    case DropColumnAlter(n)      => s"DROP COLUMN $n"
+  }
+
+  /** The metadata-only schema commit (ADD/RENAME/DROP COLUMN, one or
+    * several): resolve the head's declared schema (seeding from a footer
+    * on never-declared tables), fold the alters over it in statement
+    * order, publish the SAME manifest with the new declared schema — ONE
+    * commit regardless of how many alters, zero data files touched, O(1)
+    * data cost on any table size. All-or-none: any alter's refusal aborts
+    * before anything publishes. `dataChange=false`: the row set is
+    * identical, so the change feed and streaming tails skip the version
+    * (the schema change itself surfaces through the op label and
+    * declaredSchemaAt). */
+  def commitSchemaChanges(spark: SparkSession, dir: String,
+      alters: Seq[SchemaAlter],
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long = {
+    require(alters.nonEmpty, "commitSchemaChanges: need at least one alter")
+    val op = "VersionedTable.commitSchemaChanges"
     FsIO.withWriteLock(dir, op, lockLeaseMs) {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val committed = VersionedTable.log(dir)
@@ -2173,99 +2257,43 @@ object VersionedTable {
         org.apache.spark.sql.graft.FooterShim.schemaOf(spark, absOf(dir, entries.head.rel).toString)
       }
       val next = nextVersion(fs, dir, committed)
-      val (changed, tombstones) = transform(cur, next)
+      val tomb0 = tombstonesAt(dir, pv)
+      val (changed, tombN) = alters.foldLeft((cur, tomb0)) {
+        case ((s, t), a) => applyAlter(dir, s, t, a)
+      }
       val prevEntries = checkedEntries(fs, dir, pv, pms)
       // schema (and tombstones) BEFORE the entry, like commitAppendEvolve:
       // a crash between leaves ignorable orphans, never a committed version
       // with a missing schema
-      tombstones.foreach(t => writeTombstones(fs, dir, next, t))
+      if (tombN != tomb0) writeTombstones(fs, dir, next, tombN)
       writeDeclaredSchema(fs, dir, next, changed)
       publishEntries(fs, dir, next, Some(prevEntries), dataChange = false,
-        prev = Some(prevEntries), opLabel = opLabel)
+        prev = Some(prevEntries), opLabel = alters.map(alterLabel).mkString("; "))
       next
     }
+  }
 
-  /** RENAME COLUMN via column mapping (Delta's `ALTER TABLE ... RENAME
-    * COLUMN` under column-mapping mode): a METADATA-ONLY commit — no data
-    * file is touched; the declared schema's field takes the new LOGICAL
-    * name and keeps its immutable PHYSICAL name (chained renames keep the
-    * original). Reads at or above this version see the new name; time
-    * travel below it sees the old one. Refused when the new name collides
-    * with an existing column or when a CHECK constraint references the old
-    * name (the constraint text would silently stop binding). */
+  /** RENAME COLUMN as its own commit — see [[RenameColumnAlter]]. Reads at
+    * or above the commit see the new name; time travel below it sees the
+    * old one. */
   def commitRenameColumn(spark: SparkSession, dir: String,
       oldName: String, newName: String,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
-    commitSchemaChange(spark, dir, "VersionedTable.commitRenameColumn",
-      s"RENAME COLUMN $oldName TO $newName", lockLeaseMs) { (cur, _) =>
-      require(cur.fields.exists(_.name.equalsIgnoreCase(oldName)),
-        s"commitRenameColumn: no column `$oldName` (have: ${cur.fieldNames.mkString(", ")})")
-      require(!cur.fields.exists(_.name.equalsIgnoreCase(newName)),
-        s"commitRenameColumn: column `$newName` already exists")
-      requireNoConstraintMention(dir, oldName, "commitRenameColumn")
-      (org.apache.spark.sql.types.StructType(cur.fields.map { f =>
-        if (f.name.equalsIgnoreCase(oldName))
-          org.apache.spark.sql.types.StructField(newName, f.dataType, f.nullable,
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata).putString(PhysicalNameKey, physName(f)).build())
-        else f
-      }), None)
-    }
+    commitSchemaChanges(spark, dir, Seq(RenameColumnAlter(oldName, newName)), lockLeaseMs)
 
-  /** ADD COLUMN (Delta's `ALTER TABLE ... ADD COLUMNS`): METADATA-ONLY —
-    * the declared schema widens with a NULLABLE field, no data file is
-    * touched, existing rows read null. `dataChange=false`: the row set is
-    * identical (the new column is null everywhere), so the change feed and
-    * streaming tails skip the commit like rename/drop. If the chosen name
-    * collides with a TOMBSTONED physical name (a dropped column) or a live
-    * physical name under a different logical name (renamed-away), the new
-    * field gets a FRESH physical name through the mapping — old files'
-    * stale values can never resurrect. Subsequent appends must carry the
-    * column (the schema gate reads the declared schema); time travel below
-    * the commit reads the narrow schema. */
+  /** ADD COLUMN as its own commit — see [[AddColumnAlter]]. Subsequent
+    * appends must carry the column (the schema gate reads the declared
+    * schema); time travel below the commit reads the narrow schema. */
   def commitAddColumn(spark: SparkSession, dir: String, colName: String,
       dataType: org.apache.spark.sql.types.DataType,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
-    commitSchemaChange(spark, dir, "VersionedTable.commitAddColumn",
-      s"ADD COLUMN $colName", lockLeaseMs) { (cur, _) =>
-      require(!cur.fields.exists(_.name.equalsIgnoreCase(colName)),
-        s"commitAddColumn: column `$colName` already exists " +
-          s"(have: ${cur.fieldNames.mkString(", ")})")
-      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      val head = log(dir).last._1
-      val used = cur.fields.map(f => lc(physName(f))).toSet ++
-        tombstonesAt(dir, head).map(lc)
-      val field =
-        if (used(lc(colName)))
-          org.apache.spark.sql.types.StructField(colName, dataType, nullable = true,
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .putString(PhysicalNameKey,
-                s"${colName}__p${java.util.UUID.randomUUID().toString.take(8)}")
-              .build())
-        else org.apache.spark.sql.types.StructField(colName, dataType, nullable = true)
-      (org.apache.spark.sql.types.StructType(cur.fields :+ field), None)
-    }
+    commitSchemaChanges(spark, dir, Seq(AddColumnAlter(colName, dataType)), lockLeaseMs)
 
-  /** DROP COLUMN via column mapping: METADATA-ONLY — old files keep the
-    * physical column (reads never select it; the bytes reclaim at the next
-    * compaction), and the physical name is TOMBSTONED so a later evolve
-    * re-adding the same logical name gets a fresh physical name instead of
-    * resurrecting the dropped values. Time travel below the drop still
-    * reads the column. Refused for the last column and for columns a CHECK
-    * constraint references. */
+  /** DROP COLUMN as its own commit — see [[DropColumnAlter]]. Time travel
+    * below the drop still reads the column. */
   def commitDropColumn(spark: SparkSession, dir: String, colName: String,
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
-    commitSchemaChange(spark, dir, "VersionedTable.commitDropColumn",
-      s"DROP COLUMN $colName", lockLeaseMs) { (cur, _) =>
-      val dropped = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
-        sys.error(s"commitDropColumn: no column `$colName` (have: ${cur.fieldNames.mkString(", ")})"))
-      require(cur.fields.length > 1, "commitDropColumn: cannot drop the last column")
-      requireNoConstraintMention(dir, colName, "commitDropColumn")
-      val head = log(dir).last._1
-      (org.apache.spark.sql.types.StructType(
-        cur.fields.filterNot(_.name.equalsIgnoreCase(colName))),
-        Some(tombstonesAt(dir, head) + physName(dropped)))
-    }
+    commitSchemaChanges(spark, dir, Seq(DropColumnAlter(colName)), lockLeaseMs)
 
   /** A CHECK constraint mentioning a column being renamed/dropped would
     * silently stop binding (constraints store SQL text with logical

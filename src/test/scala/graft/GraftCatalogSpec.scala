@@ -252,6 +252,41 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("subqueries are not supported"), e3.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns, then merges") {
+    val dir = fresh("cat_evo")
+    // source carries a column the target lacks
+    spark.range(95L, 105L)
+      .select(col("id").as("k"), (col("id") * 10).as("x"), lit("new").as("tag"))
+      .createOrReplaceTempView("cat_evo_src")
+    spark.sql(
+      "MERGE WITH SCHEMA EVOLUTION INTO graft.cat_evo t USING cat_evo_src s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    val out = spark.sql("SELECT k, x, tag FROM graft.cat_evo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .toMap
+    assert(out.size == 105, out.size.toString)
+    assert(out(42L) == ((84L, null)), "untouched rows read null in the new column")
+    assert((95L until 100L).forall(k => out(k) == ((k * 10, "new"))), "matched rows updated")
+    assert((100L until 105L).forall(k => out(k) == ((k * 10, "new"))), "unmatched rows inserted")
+    // the evolution is ONE metadata-only schema commit (v1), the merge v2
+    assert(VersionedTable.latestVersion(dir).contains(2L))
+    val schemaV0 = VersionedTable.schemaOf(spark, dir, Some(0L)).fieldNames.toSet
+    assert(schemaV0 == Set("k", "x"), "time travel below the merge reads the narrow schema")
+    // WITHOUT the clause, a source-only column in an explicit assignment
+    // still refuses (no silent evolution)
+    spark.range(0L, 1L)
+      .select(lit(900L).as("k"), lit(0L).as("x"), lit(1L).as("extra"))
+      .createOrReplaceTempView("cat_evo_src2")
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO graft.cat_evo t USING cat_evo_src2 s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT (k, x, extra) VALUES (s.k, s.x, s.extra)")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("extra"), e.getMessage)
+  }
+
   test("native ALTER TABLE graft.t: add / rename / drop column, set properties") {
     val dir = fresh("cat_alt")
     spark.sql("ALTER TABLE graft.cat_alt ADD COLUMN note STRING")

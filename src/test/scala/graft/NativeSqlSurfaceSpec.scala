@@ -139,6 +139,61 @@ class NativeSqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("DRY RUN in a comment cannot flip a real VACUUM's output shape") {
+    val dir = fresh("nss_dry")
+    spark.sql("DELETE FROM graft.nss_dry WHERE k >= 90")
+    // dry-ness is decided by TableSql's own vacuum grammar on the bare
+    // statement, so a leading comment mentioning DRY RUN stays inert: this
+    // is a REAL vacuum and must return the (verb, table, version) receipt
+    val r = spark.sql(
+      "/* todo: consider DRY RUN first */ VACUUM graft.nss_dry RETAIN 1 VERSIONS").head
+    assert(r.getString(0) == "VACUUM" && r.getString(1) == "nss_dry", r.toString)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.nss_dry VERSION AS OF 0").collect()
+    }
+    // and a real DRY RUN still returns the deletion-plan shape
+    spark.sql("DELETE FROM graft.nss_dry WHERE k >= 80")
+    val planned = spark.sql(
+      "-- nightly\nVACUUM graft.nss_dry RETAIN 1 VERSIONS DRY RUN").collect()
+    assert(planned.nonEmpty && planned.head.schema.fieldNames.sameElements(Array("path")))
+  }
+
+  test("a GraftCatalog under another name gets the same verb surface") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_nss_alt").toString
+    spark.conf.set("spark.sql.catalog.graftalt", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftalt.warehouse", wh)
+    try {
+      org.apache.spark.sql.graft.PlanBridge.resetCatalogs(spark)
+      VersionedTable.commitAppend(spark,
+        spark.range(0L, 20L).select(col("id").as("k")).repartition(4),
+        new org.apache.hadoop.fs.Path(wh, "alt_t").toString)
+      assert(spark.sql("OPTIMIZE graftalt.alt_t TARGET 1 FILES").head.getString(0) == "OPTIMIZE")
+      assert(spark.sql("DESCRIBE HISTORY graftalt.alt_t").count() == 2L)
+      assert(spark.sql("RESTORE TABLE graftalt.alt_t TO VERSION AS OF 0").head.getString(0) == "RESTORE")
+      val e = intercept[Exception] { spark.sql("OPTIMIZE graftalt.nope TARGET 1 FILES") }
+      assert(e.getMessage.contains("unknown table"), e.getMessage)
+      // a NON-graft catalog ident is never claimed: Spark's own error
+      intercept[Exception] { spark.sql("OPTIMIZE spark_catalog.something TARGET 1 FILES") }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftalt")
+      spark.conf.unset("spark.sql.catalog.graftalt.warehouse")
+      org.apache.spark.sql.graft.PlanBridge.resetCatalogs(spark)
+    }
+  }
+
+  test("a multi-change schema ALTER lands as ONE protocol commit") {
+    val dir = fresh("nss_one")
+    val v0 = VersionedTable.latestVersion(dir).get
+    spark.sql("ALTER TABLE graft.nss_one ADD COLUMNS (a INT, b STRING)")
+    assert(VersionedTable.latestVersion(dir).contains(v0 + 1),
+      "two added columns must be one commit, not two")
+    assert(spark.table("graft.nss_one").columns.toSet == Set("k", "x", "a", "b"))
+    // the op label records both changes
+    val hist = spark.sql("DESCRIBE HISTORY graft.nss_one").collect()
+      .map(_.getString(2)).mkString("|")
+    assert(hist.contains("ADD COLUMN a") && hist.contains("ADD COLUMN b"), hist)
+  }
+
   test("the managed marker is a reserved property: TBLPROPERTIES cannot launder it") {
     val dir = fresh("nss_guard")
     val e1 = intercept[Exception] {
