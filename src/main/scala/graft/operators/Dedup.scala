@@ -821,10 +821,12 @@ object Dedup {
     * frequency asc, token asc), so prefix buckets are dominated by rare
     * tokens — the AllPairs heuristic that keeps the candidate join's
     * fan-out small; the length filter prunes cross-size pairs before
-    * token arrays re-attach; only (token, id, n) triples and the
-    * candidate pairs shuffle. No bucket cap exists here BY CONTRACT
-    * (exactness forbids dropping); for corpora where a frequent token
-    * lands in many prefixes, the LSH path is the approximate fallback. */
+    * token arrays re-attach; only (token-hash, id, n) triples and the
+    * candidate pairs shuffle — every stage past the one shingling
+    * projection runs in the 64-bit hash domain. No bucket cap exists
+    * here BY CONTRACT (exactness forbids dropping); for corpora where a
+    * frequent token lands in many prefixes, the LSH path is the
+    * approximate fallback. Evaluates eagerly (see [[withSigsCache]]). */
   def jaccardJoinExact(
       df: DataFrame,
       textCol: String,
@@ -839,67 +841,76 @@ object Dedup {
     // compact vocabulary nearly ALL token-set pairs clear any threshold
     // (measured: 74% of fixture pairs at t=0.5) — shingles carry the
     // word-order signal that makes the join discriminative, the same
-    // reason the MinHash family shingles
-    val sets = df.where(col(textCol).isNotNull)
+    // reason the MinHash family shingles.
+    //
+    // Wire + work discipline: shingle STRINGS exist only inside this one
+    // projection — every downstream stage (document-frequency count,
+    // global ordering, prefix join, verification intersect) runs in the
+    // 64-bit xxhash64 domain (~2.5× fewer bytes than strings through
+    // every shuffle; the f=200 scaling run exhausted 70 GB of spill disk
+    // on string arrays before the verification stage alone was hashed).
+    // Set identity via xxhash64 carries the same 2⁻⁶⁴-collision contract
+    // as sha256 content-hash dedup ([[exactGroups]]); the global prefix
+    // order just needs to be any consistent total order, so (df asc,
+    // hash asc) serves exactly as well as (df asc, token asc). The frame
+    // is cached because THREE stages consume it (df-count, ordering,
+    // verification) — uncached, the shingling UDF re-runs per consumer.
+    val setsH = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), wordShinglesUdf(shingleN)(col(textCol)).as("toks"))
       .where(col("toks").isNotNull)
-    val expl = sets.select(col("id"), explode(col("toks")).as("tok"))
-    val freq = expl.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per-doc tokens in global (df asc, tok asc) order + the doc's size
-    val ordered = expl.join(freq, "tok")
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
       .select(col("id"),
-        transform(col("sorted"), s => s.getField("tok")).as("toks"),
-        size(col("sorted")).as("n"))
-    // prefix length n − ceilDiv(num·n, den) + 1. The divide-then-truncate
-    // is exact here: n·num + den−1 ≤ ~2^50 is an exact double, /10⁶ is
-    // correctly rounded, and a non-integer true quotient sits ≥ 10⁻⁶ from
-    // the next integer — 4 orders beyond the ulp — so truncation equals
-    // the integer ceil-div for every representable n.
-    val prefix = ordered.select(col("id"), col("n"),
-        posexplode(slice(col("toks"), lit(1),
-          (col("n") - (col("n") * num + (den - 1)).divide(den).cast("long") + 1).cast("int"))))
-      .select(col("id"), col("n"), (col("pos") + 1).as("rk"), col("col").as("tok"))
-    // pair-specific overlap bound α = ceil(t·(n_a+n_b)/(1+t)) — with
-    // t = num/den: ceilDiv(num·(n_a+n_b), num+den); same exact-truncation
-    // argument as the prefix (gap ≥ 1/(num+den) ≫ ulp)
-    def alpha(nA: Column, nB: Column): Column =
-      (((nA + nB) * num + (num + den - 1)).divide(num + den)).cast("long")
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          // length filter: J ≥ t ⇒ min(n)·den ≥ num·max(n)
-          least(col("a.n"), col("b.n")) * den >= greatest(col("a.n"), col("b.n")) * num &&
-          // PPJoin positional filter: tokens matching at sorted ranks
-          // (rk_a, rk_b) cap the possible overlap at
-          // 1 + min(n_a − rk_a, n_b − rk_b) — prune pairs that cannot
-          // reach α even if every remaining token matched
-          lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >=
-            alpha(col("a.n"), col("b.n")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // Verification wire discipline: candidates re-attach 64-bit shingle
-    // HASHES, not the shingle strings — ~2.5× fewer bytes through the two
-    // pair joins (the dominant wire term: the f=200 scaling run exhausted
-    // 70 GB of spill disk on string arrays), and the union is never
-    // materialized (u = n_a + n_b − i). Set identity via xxhash64 carries
-    // the same 2⁻⁶⁴-collision contract as sha256 content-hash dedup
-    // ([[exactGroups]]): a collision inside one candidate pair's union is
-    // the only way engine and oracle can disagree.
-    val setsH = sets.select(col("id"),
-      array_sort(transform(col("toks"), t => xxhash64(t))).as("h"),
-      size(col("toks")).cast("long").as("hn"))
-    val withSets = cand
-      .join(setsH.select(col("id").as("id_a"), col("h").as("h_a"), col("hn").as("n_a")), Seq("id_a"))
-      .join(setsH.select(col("id").as("id_b"), col("h").as("h_b"), col("hn").as("n_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("h_a"), col("h_b"))).cast("long").as("i"),
-        col("n_a"), col("n_b"))
-      .withColumn("u", col("n_a") + col("n_b") - col("i"))
-    withSets
-      .where(col("i") * den >= col("u") * num && col("u") > 0)
-      .select(col("id_a"), col("id_b"),
-        round(col("i").cast("double") / col("u").cast("double"), 6).as("jaccard"))
+        array_sort(transform(col("toks"), t => xxhash64(t))).as("h"),
+        size(col("toks")).cast("long").as("hn"))
+    withSigsCache(setsH) { sets =>
+      val expl = sets.select(col("id"), explode(col("h")).as("tok"))
+      val freq = expl.groupBy("tok").agg(count(lit(1)).as("df"))
+      // per-doc token hashes in global (df asc, hash asc) order + doc size
+      val ordered = expl.join(freq, "tok")
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+        .select(col("id"),
+          transform(col("sorted"), s => s.getField("tok")).as("toks"),
+          size(col("sorted")).as("n"))
+      // prefix length n − ceilDiv(num·n, den) + 1. The divide-then-truncate
+      // is exact here: n·num + den−1 ≤ ~2^50 is an exact double, /10⁶ is
+      // correctly rounded, and a non-integer true quotient sits ≥ 10⁻⁶ from
+      // the next integer — 4 orders beyond the ulp — so truncation equals
+      // the integer ceil-div for every representable n.
+      val prefix = ordered.select(col("id"), col("n"),
+          posexplode(slice(col("toks"), lit(1),
+            (col("n") - (col("n") * num + (den - 1)).divide(den).cast("long") + 1).cast("int"))))
+        .select(col("id"), col("n"), (col("pos") + 1).as("rk"), col("col").as("tok"))
+      // pair-specific overlap bound α = ceil(t·(n_a+n_b)/(1+t)) — with
+      // t = num/den: ceilDiv(num·(n_a+n_b), num+den); same exact-truncation
+      // argument as the prefix (gap ≥ 1/(num+den) ≫ ulp)
+      def alpha(nA: Column, nB: Column): Column =
+        (((nA + nB) * num + (num + den - 1)).divide(num + den)).cast("long")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+            // length filter: J ≥ t ⇒ min(n)·den ≥ num·max(n)
+            least(col("a.n"), col("b.n")) * den >= greatest(col("a.n"), col("b.n")) * num &&
+            // PPJoin positional filter: tokens matching at sorted ranks
+            // (rk_a, rk_b) cap the possible overlap at
+            // 1 + min(n_a − rk_a, n_b − rk_b) — prune pairs that cannot
+            // reach α even if every remaining token matched
+            lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >=
+              alpha(col("a.n"), col("b.n")))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      // verification re-attaches the cached sorted hash arrays; the union
+      // is never materialized (u = n_a + n_b − i)
+      val withSets = cand
+        .join(sets.select(col("id").as("id_a"), col("h").as("h_a"), col("hn").as("n_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("h").as("h_b"), col("hn").as("n_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("h_a"), col("h_b"))).cast("long").as("i"),
+          col("n_a"), col("n_b"))
+        .withColumn("u", col("n_a") + col("n_b") - col("i"))
+      withSets
+        .where(col("i") * den >= col("u") * num && col("u") > 0)
+        .select(col("id_a"), col("id_b"),
+          round(col("i").cast("double") / col("u").cast("double"), 6).as("jaccard"))
+    }
   }
 
   /** Tight-loop exact word-shingle Jaccard between two raw texts — value-
