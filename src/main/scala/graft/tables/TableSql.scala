@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions.expr
   *     WHEN MATCHED [AND cond] THEN UPDATE SET a = expr [, b = expr ...] | UPDATE SET *
   *     WHEN MATCHED [AND cond] THEN DELETE
   *     WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (a, b) VALUES (e1, e2)
+  *     WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET a = expr ... | DELETE
   *   ALTER TABLE t RENAME COLUMN a TO b   (metadata-only, column mapping)
   *   ALTER TABLE t DROP COLUMN a          (metadata-only, tombstoned)
   *   ALTER TABLE t ADD COLUMN c <type>    (metadata-only, nullable, null-filled)
@@ -76,7 +77,7 @@ object TableSql {
     """(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+|\(.+?\))\s+ON\s*\(\s*([\w\s,]+)\s*\)\s*(WHEN\s.+?)\s*;?\s*$""".r
   // one WHEN arm; the lookahead stops each arm at the next WHEN or at end
   private val WhenArmRe =
-    ("(?is)WHEN\\s+(NOT\\s+)?MATCHED\\s*(?:\\s+AND\\s+(.+?))?\\s*THEN\\s+" +
+    ("(?is)WHEN\\s+(NOT\\s+)?MATCHED(\\s+BY\\s+SOURCE)?\\s*(?:\\s+AND\\s+(.+?))?\\s*THEN\\s+" +
       "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s*\\*|INSERT\\s*\\(.+?\\)\\s*VALUES\\s*\\(.+?\\))" +
       "\\s*(?=WHEN\\s+(?:NOT\\s+)?MATCHED|$)").r
   private val HistoryRe =
@@ -282,20 +283,34 @@ object TableSql {
       }
     }
     val parsed = ms.iterator.map { m =>
-      val not  = m.group(1) != null
-      val cond = Option(m.group(2)).map(_.trim)
-      val act  = m.group(3).trim
+      val not      = m.group(1) != null
+      val bySource = m.group(2) != null
+      val cond     = Option(m.group(3)).map(_.trim)
+      val act      = m.group(4).trim
       val actU = act.toUpperCase(java.util.Locale.ROOT)
-      if (!not && actU.startsWith("UPDATE")) {
+      require(not || !bySource,
+        "TableSql: `WHEN MATCHED BY SOURCE` is not a merge arm — did you " +
+          "mean `WHEN NOT MATCHED BY SOURCE`?")
+      def parseSet(): Map[String, String] = {
         val setList = act.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "").trim
-        val set =
-          if (setList == "*") Map.empty[String, String] // UPDATE SET *
-          else splitTop(setList).map { a =>
-            val i = a.indexOf('=')
-            require(i > 0, s"TableSql: malformed MERGE SET assignment `$a`")
-            a.take(i).trim -> a.drop(i + 1).trim
-          }.toMap
-        VersionedTable.WhenMatchedUpdate(cond, set): VersionedTable.MergeClause
+        if (setList == "*") Map.empty[String, String] // UPDATE SET *
+        else splitTop(setList).map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"TableSql: malformed MERGE SET assignment `$a`")
+          a.take(i).trim -> a.drop(i + 1).trim
+        }.toMap
+      }
+      if (not && bySource && actU.startsWith("UPDATE")) {
+        // the retention arm: target-only rows — SET must be explicit
+        // (commitMergeConditional enforces non-empty, like Delta)
+        VersionedTable.WhenNotMatchedBySourceUpdate(cond, parseSet())
+          : VersionedTable.MergeClause
+      } else if (not && bySource && actU == "DELETE") {
+        VersionedTable.WhenNotMatchedBySourceDelete(cond)
+      } else if (not && bySource) {
+        sys.error("TableSql: NOT MATCHED BY SOURCE supports only UPDATE SET / DELETE")
+      } else if (!not && actU.startsWith("UPDATE")) {
+        VersionedTable.WhenMatchedUpdate(cond, parseSet())
       } else if (!not && actU == "DELETE") {
         VersionedTable.WhenMatchedDelete(cond)
       } else if (not && actU.replaceAll("\\s+", "") == "INSERT*") {

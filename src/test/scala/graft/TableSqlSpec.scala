@@ -85,6 +85,37 @@ class TableSqlSpec extends SparkSpec {
     assert(got.where(col("k") === 500L).head.getLong(1) == 500L)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE arms parse in the verb grammar") {
+    val (dir, cat) = fresh()
+    spark.range(40L, 60L).select(col("id").as("k"), lit(1L).as("x"))
+      .createOrReplaceTempView("tsql_nmbs_src")
+    TableSql.execute(spark, cat,
+      """MERGE INTO events USING tsql_nmbs_src ON (k)
+        |WHEN MATCHED THEN UPDATE SET x = s.x
+        |WHEN NOT MATCHED BY SOURCE AND t.k < 10 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.k < 20 THEN UPDATE SET x = -1""".stripMargin)
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size == 90, rows.size.toString)           // k<10 deleted
+    assert((10L until 20L).forall(rows(_) == -1L))        // retention update
+    assert((40L until 60L).forall(rows(_) == 1L))         // matched arm
+    assert((20L until 40L).forall(k => rows(k) == 2 * k)) // carried over
+    // MATCHED BY SOURCE (without NOT) refuses with the hint
+    val e = intercept[Exception] {
+      TableSql.execute(spark, cat,
+        "MERGE INTO events USING tsql_nmbs_src ON (k) " +
+          "WHEN MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"), e.getMessage)
+    // INSERT is not a BY SOURCE action
+    val e2 = intercept[Exception] {
+      TableSql.execute(spark, cat,
+        "MERGE INTO events USING tsql_nmbs_src ON (k) " +
+          "WHEN NOT MATCHED BY SOURCE THEN INSERT *")
+    }
+    assert(e2.getMessage.contains("UPDATE SET / DELETE"), e2.getMessage)
+  }
+
   test("DESCRIBE HISTORY reports each verb's operation, ordering, and retention") {
     val (dir, cat) = fresh()
     TableSql.execute(spark, cat, "UPDATE events SET x = x + 1 WHERE k = 1")
