@@ -61,6 +61,18 @@ class GraftTable(val tableName: String, val dir: String,
 
   override def schema(): StructType = resolvedSchema
 
+  // Spark's native `SHOW TBLPROPERTIES graft.t` / `DESCRIBE EXTENDED`
+  // read this map off the loaded table — surface the engine's `_props`
+  // (the TBLPROPERTIES store ALTER TABLE SET TBLPROPERTIES writes to).
+  // Lazily cached per Table instance (instances are per-loadTable) so
+  // plain query resolution never pays the _props directory listing.
+  private lazy val resolvedProps: util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    VersionedTable.properties(dir).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  override def properties(): util.Map[String, String] = resolvedProps
+
   // AUTOMATIC_SCHEMA_EVOLUTION turns on `MERGE ... WITH SCHEMA EVOLUTION`:
   // the analyzer (ResolveMergeIntoSchemaEvolution) computes the source-only
   // columns itself and routes them through GraftCatalog.alterTable — ONE

@@ -181,6 +181,16 @@ class NativeSqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("SHOW TBLPROPERTIES reads the engine's property store natively") {
+    fresh("nss_props")
+    spark.sql("ALTER TABLE graft.nss_props SET TBLPROPERTIES ('stage' = 'bronze', 'team' = 'etl')")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.nss_props").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("stage").contains("bronze") && props.get("team").contains("etl"), props.toString)
+    val one = spark.sql("SHOW TBLPROPERTIES graft.nss_props ('stage')").head
+    assert(one.getString(1) == "bronze", one.toString)
+  }
+
   test("a multi-change schema ALTER lands as ONE protocol commit") {
     val dir = fresh("nss_one")
     val v0 = VersionedTable.latestVersion(dir).get
