@@ -88,12 +88,31 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       require(options.get("versionAsOf") == null && options.get("timestampAsOf") == null,
         "graft source: readChangeFeed and versionAsOf/timestampAsOf are " +
           "mutually exclusive (the feed IS a version span)")
+      // span bounds by version OR timestamp (Delta option parity):
+      // startingTimestamp resolves to the first commit AT or AFTER it,
+      // endingTimestamp to the last commit AT or BEFORE it — then the
+      // span machinery is identical to the version-numbered options'
+      val startV  = Option(options.get("startingVersion")).map(_.toLong)
+      val startTs = Option(options.get("startingTimestamp"))
+      require(startV.isEmpty || startTs.isEmpty,
+        "graft source: startingVersion and startingTimestamp are mutually exclusive")
+      val endV  = Option(options.get("endingVersion")).map(_.toLong)
+      val endTs = Option(options.get("endingTimestamp"))
+      require(endV.isEmpty || endTs.isEmpty,
+        "graft source: endingVersion and endingTimestamp are mutually exclusive")
+      val starting = startV.orElse(startTs.map { ts =>
+        VersionedTable.versionAtOrAfter(dir, java.sql.Timestamp.valueOf(ts).getTime)
+          .getOrElse(sys.error(
+            s"graft source: startingTimestamp '$ts' is after the latest " +
+              s"commit of $dir — the feed span is empty"))
+      }).getOrElse(0L)
+      val ending = endV.orElse(endTs.map(ts =>
+        VersionedTable.versionAsOf(dir, java.sql.Timestamp.valueOf(ts).getTime)))
       new GraftCdfTable(name, dir,
         Option(options.get("keyColumns"))
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .filter(_.nonEmpty), // blank option = undeclared, not "no keys"
-        Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-        Option(options.get("endingVersion")).map(_.toLong))
+        starting, ending)
     } else {
       val version = Option(options.get("versionAsOf")).map(_.toLong)
         .orElse(Option(options.get("timestampAsOf")).map(ts =>

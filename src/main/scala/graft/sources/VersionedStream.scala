@@ -102,7 +102,7 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider {
       "VersionedStream: startingVersion and startingTimestamp are mutually exclusive")
     val startingVersion = explicitStart.orElse(startingTs.map { ts =>
       val ms = java.sql.Timestamp.valueOf(ts).getTime
-      VersionedTable.log(dir).find(_._2 >= ms).map(_._1).getOrElse(sys.error(
+      VersionedTable.versionAtOrAfter(dir, ms).getOrElse(sys.error(
         s"VersionedStream: startingTimestamp '$ts' is after the latest commit " +
           s"of $dir — nothing to replay (drop the option to tail new commits)"))
     })

@@ -2610,6 +2610,12 @@ object VersionedTable {
         s"(earliest commitMs=${committed.head._2})"))
   }
 
+  /** The FIRST committed version AT or AFTER `tsMillis` (Delta's
+    * `startingTimestamp` resolution for streams and change feeds), or
+    * None when every commit precedes the timestamp. */
+  def versionAtOrAfter(dir: String, tsMillis: Long): Option[Long] =
+    log(dir).find(_._2 >= tsMillis).map(_._1)
+
   /** Time travel by TIMESTAMP: [[read]] at [[versionAsOf]]`(tsMillis)`. */
   def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
     read(spark, dir, Some(versionAsOf(dir, tsMillis)))

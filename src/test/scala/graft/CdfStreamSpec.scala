@@ -118,6 +118,46 @@ class CdfStreamSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("committed history")), msgs(e).mkString(" | "))
   }
 
+  test("BATCH readChangeFeed accepts timestamp span bounds (Delta parity)") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "bal"), table) // v0
+    VersionedTable.setKeyColumns(table, Seq("k"))
+    Thread.sleep(15)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(15)
+    VersionedTable.commitUpdate(spark, table, col("k") === 1L, Map("bal" -> lit(9.0)))    // v1
+    Thread.sleep(15)
+    val end = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(15)
+    VersionedTable.commitDelete(spark, table, col("k") === 2L)                            // v2
+    // startingTimestamp → first commit AT or AFTER it (v1);
+    // endingTimestamp → last commit AT or BEFORE it (v1)
+    val span = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", mid).option("endingTimestamp", end)
+      .load(table)
+    assert(span.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // mixing version and timestamp bounds on the same end refuses
+    val e1 = intercept[Exception] {
+      spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0").option("startingTimestamp", mid)
+        .load(table)
+    }
+    assert(e1.getMessage.contains("mutually exclusive"), e1.getMessage)
+    // a start past the last commit is an empty span — loud, like the stream
+    val e2 = intercept[Exception] {
+      spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp",
+          new java.sql.Timestamp(System.currentTimeMillis() + 3600000L).toString)
+        .load(table)
+    }
+    assert(e2.getMessage.contains("feed span is empty"), e2.getMessage)
+  }
+
   test("readChangeFeed without keyColumns is refused loudly") {
     import spark.implicits._
     val r = root(); val table = s"$r/t"
