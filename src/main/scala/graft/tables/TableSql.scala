@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions.expr
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (<pred>) | DROP CONSTRAINT n
   *   ALTER TABLE t SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   SHOW TBLPROPERTIES t
-  *   CREATE TABLE t2 SHALLOW | DEEP CLONE t [VERSION AS OF n]
+  *   CREATE TABLE t2 SHALLOW | DEEP CLONE t [VERSION AS OF n | TIMESTAMP AS OF 'ts']
   *   DESCRIBE HISTORY t | DESCRIBE DETAIL t
   *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'] ...
   *
@@ -99,7 +99,7 @@ object TableSql {
   private val ShowPropsRe =
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*$""".r
   private val CloneRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""".r
 
   /** Default OPTIMIZE target when no TARGET clause is given. */
   val DefaultOptimizeFiles = 8
@@ -205,8 +205,10 @@ object TableSql {
       case ShowPropsRe(t) =>
         import spark.implicits._
         VersionedTable.properties(dirOf(t)).toDF("key", "value")
-      case CloneRe(dst, flavor, src, v) =>
-        val version = Option(v).map(_.toLong)
+      case CloneRe(dst, flavor, src, v, ts) =>
+        val version = Option(v).map(_.toLong).orElse(Option(ts).map(t =>
+          VersionedTable.versionAsOf(dirOf(src),
+            java.sql.Timestamp.valueOf(t).getTime)))
         done(s"${flavor.toUpperCase(java.util.Locale.ROOT)} CLONE", dst,
           if (flavor.equalsIgnoreCase("SHALLOW"))
             VersionedTable.cloneShallow(spark, dirOf(src), dirOf(dst), version)

@@ -134,6 +134,21 @@ class TableSqlSpec extends SparkSpec {
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
   }
 
+  test("CLONE accepts TIMESTAMP AS OF like RESTORE") {
+    val (dir, cat) = fresh()                                     // v0
+    Thread.sleep(15)
+    val ts = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(15)
+    TableSql.execute(spark, cat, "DELETE FROM events WHERE k >= 50") // v1
+    val cloneDir = java.nio.file.Files.createTempDirectory("graft_tsql_cl").toString + "/c"
+    val r = TableSql.execute(spark, cat ++ Map("ev_clone" -> cloneDir),
+      s"CREATE TABLE ev_clone SHALLOW CLONE events TIMESTAMP AS OF '$ts'").head
+    assert(r.getString(0) == "SHALLOW CLONE", r.toString)
+    // the clone pins the version current AT ts (v0: all 100 rows)
+    assert(VersionedTable.read(spark, cloneDir).count() == 100L)
+    assert(VersionedTable.read(spark, dir).count() == 50L)
+  }
+
   test("unknown table fails loudly with the catalog listed") {
     val (_, cat) = fresh()
     val e = intercept[RuntimeException] {
