@@ -154,7 +154,12 @@ case class GraftRowLevelStrategy(spark: SparkSession)
         // AUTOMATIC_SCHEMA_EVOLUTION capability) has already committed the
         // source-only columns through GraftCatalog.alterTable and reloaded
         // the relation — by planning time the target schema is the evolved
-        // one and the arms below resolve against it.
+        // one and the arms below resolve against it. Contract note: the
+        // evolution is its OWN commit at analysis time, so a merge that
+        // subsequently fails (ambiguous keys, OCC exhaustion) leaves the
+        // widened schema behind — a metadata-only, all-null column,
+        // reversible with ALTER TABLE DROP COLUMN (Delta folds both into
+        // one transaction; the analyzer hook offers no such join point).
         val dir  = table.dir
         val tIds = m.targetTable.output.map(_.exprId).toSet
         val sIds = m.sourceTable.output.map(_.exprId).toSet

@@ -1838,8 +1838,11 @@ object VersionedTable {
     * — TARGET rows with no key-matching source row (Delta's retention/GC
     * merge arm). Conditions and SET expressions may reference the target
     * (`t.`) only — there is no source side for these rows; a stray `s.`
-    * reference fails resolution loudly at the pruning scan. SET must be
-    * explicit (no SET * — nothing to take values from). */
+    * reference is refused UP FRONT (resolution against a target-only
+    * frame — in the rewrite's outer join it would silently read NULL).
+    * Conditions must also be deterministic and time-independent (they
+    * are evaluated in two separate queries — pruning, then rewrite).
+    * SET must be explicit (no SET * — nothing to take values from). */
   final case class WhenNotMatchedBySourceUpdate(cond: Option[String],
       set: Map[String, String]) extends MergeClause
   /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
@@ -1935,6 +1938,52 @@ object VersionedTable {
             case _ => ()
           }
         }
+        // NOT MATCHED BY SOURCE expression discipline, enforced for EVERY
+        // entry path (the native SQL strategy checks the same on resolved
+        // plans; TableSql and direct Scala calls land here):
+        //  - conditions and SET values may reference the TARGET only —
+        //    there is no source row for these rows, and in the rewrite's
+        //    outer-joined frame a stray `s.x` would silently evaluate to
+        //    NULL (overwriting swept rows with nulls) instead of failing;
+        //  - conditions must be DETERMINISTIC and time-independent — they
+        //    are evaluated twice (the file-pruning scan and the rewrite
+        //    are separate Spark queries), so rand()/current_timestamp()
+        //    would disagree between the two and break the touched-file
+        //    superset invariant, silently skipping rows (Delta refuses
+        //    nondeterministic merge conditions for the same reason).
+        locally {
+          import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestampLike, LocalTimestamp}
+          val targetProbe = full.drop(FnameCol, PosCol).limit(0).as("t")
+          def resolveTargetOnly(text: String, what: String) = {
+            val analyzed = try {
+              targetProbe.select(expr(text)).queryExecution.analyzed
+            } catch {
+              case e: Throwable => sys.error(
+                s"commitMergeConditional: NOT MATCHED BY SOURCE $what " +
+                  s"`$text` must reference the target (`t.`) only — there " +
+                  s"is no source row for these rows (${e.getMessage})")
+            }
+            analyzed.expressions
+          }
+          def requireStable(text: String): Unit =
+            resolveTargetOnly(text, "condition").foreach { e =>
+              require(e.deterministic && !e.exists(x =>
+                  x.isInstanceOf[CurrentTimestampLike] ||
+                  x.isInstanceOf[CurrentDate] || x.isInstanceOf[LocalTimestamp]),
+                s"commitMergeConditional: NOT MATCHED BY SOURCE condition `$text` " +
+                  "must be deterministic and time-independent — it is evaluated " +
+                  "in two separate queries (file pruning, then the rewrite); " +
+                  "materialize the value into a literal first")
+            }
+          clauses.foreach {
+            case WhenNotMatchedBySourceUpdate(cc, set) =>
+              cc.foreach(requireStable)
+              set.values.foreach(resolveTargetOnly(_, "SET value"))
+            case WhenNotMatchedBySourceDelete(cc) =>
+              cc.foreach(requireStable)
+            case _ => ()
+          }
+        }
         val srcChk   = source.localCheckpoint(true)
         val keyDf    = srcChk.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
         // ONE bounded probe (commitMerge's device) delivers the keys, the
@@ -1994,8 +2043,9 @@ object VersionedTable {
         // same as Delta). The union with the key-touched set is a superset
         // of what actually changes; rewriting an extra file re-emits its
         // rows verbatim (match-ness is re-derived row-level below).
-        // Conditions resolve against the target alias only — an `s.`
-        // reference fails loudly HERE, before any rewrite.
+        // Target-only references and determinism were proven up front
+        // (the validation block above), so this scan cannot diverge from
+        // the rewrite's evaluation of the same conditions.
         val nmbsTouched: Set[String] =
           if (nmbsClauses.isEmpty) Set.empty
           else if (nmbsClauses.exists {

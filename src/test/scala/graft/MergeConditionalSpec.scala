@@ -156,6 +156,51 @@ class MergeConditionalSpec extends SparkSpec {
       .select("note").head().getString(0) == "a,b")
   }
 
+  test("NMBS expressions: source references and unstable conditions refuse up front") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 20L).select(col("id").as("k"), lit(1L).as("x")).coalesce(1), dir)
+    val src = spark.range(0L, 5L).select(col("id").as("k"), lit(9L).as("x"))
+    val before = VersionedTable.latestVersion(dir)
+    // a SET value referencing the source would silently write NULL into
+    // every swept row (no source side exists) — must refuse, not corrupt
+    val e1 = intercept[Exception] {
+      VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+        WhenNotMatchedBySourceUpdate(None, Map("x" -> "s.x"))))
+    }
+    assert(e1.getMessage.contains("target (`t.`) only"), e1.getMessage)
+    // same for a condition alongside a condition-less arm (which would
+    // short-circuit the pruning scan that used to catch the reference)
+    val e2 = intercept[Exception] {
+      VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+        WhenNotMatchedBySourceDelete(None),
+        WhenNotMatchedBySourceUpdate(Some("s.x > 0"), Map("x" -> "-1"))))
+    }
+    assert(e2.getMessage.contains("target (`t.`) only"), e2.getMessage)
+    // nondeterministic / time-dependent conditions are evaluated in TWO
+    // queries (pruning, rewrite) — a disagreement silently skips rows
+    val e3 = intercept[Exception] {
+      VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+        WhenNotMatchedBySourceDelete(Some("rand() < 0.5"))))
+    }
+    assert(e3.getMessage.contains("deterministic"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+        WhenNotMatchedBySourceDelete(Some("t.x < unix_timestamp(current_timestamp())"))))
+    }
+    assert(e4.getMessage.contains("time-independent"), e4.getMessage)
+    assert(VersionedTable.latestVersion(dir) == before, "nothing committed")
+    // target-only deterministic arms still work
+    VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+      WhenNotMatchedBySourceUpdate(Some("t.k < 10"), Map("x" -> "t.x + 100"))))
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((5L until 10L).forall(rows(_) == 101L))
+    assert((10L until 20L).forall(rows(_) == 1L))
+    assert((0L until 5L).forall(rows(_) == 1L), "matched rows untouched (no matched arm)")
+  }
+
   test("conditional merge rebases over a concurrent blind append (WriteSerializable)") {
     import spark.implicits._
     val dir = dirOf()
