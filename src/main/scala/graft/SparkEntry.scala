@@ -3111,6 +3111,27 @@ object SparkEntry {
       s.sql("SELECT c_custkey, bal FROM graft.nmbs_cust ORDER BY c_custkey")
     }),
 
+    // -- CONVERT: zero-copy parquet adoption + history on top --------------
+    // Delta's CONVERT TO DELTA shape: a plain parquet dir becomes v0 of a
+    // versioned table WITHOUT copying a byte (absolute entries — the 100 TB
+    // migration path), then normal DML history accrues on top while the
+    // source dir keeps serving legacy readers unchanged. DuckDB replays
+    // the post-adoption DML directly over the fixture table.
+    "q_convert_parquet" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_conv").toString
+      val lake = s"$work/lake"
+      t(s, d, "customer").select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("bal"))
+        .repartitionByRange(8, col("c_custkey")).write.parquet(lake)
+      val dir = s"$work/t"
+      VersionedTable.convertParquet(s, lake, dir)
+      graft.tables.TableSql.execute(s, Map("cust" -> dir),
+        "DELETE FROM cust WHERE bal < 0")
+      graft.tables.TableSql.execute(s, Map("cust" -> dir),
+        "UPDATE cust SET bal = bal + 100 WHERE c_custkey % 7 = 0")
+      VersionedTable.read(s, dir).select("c_custkey", "bal").orderBy("c_custkey")
+    }),
+
     // -- NATIVE MERGE WITH SCHEMA EVOLUTION ---------------------------------
     // Delta's autoMerge surface: the source carries a column the target
     // lacks (`seg`); WITH SCHEMA EVOLUTION makes the analyzer commit it
@@ -5611,6 +5632,14 @@ object SparkEntry {
         "CASE WHEN c_custkey % 3 <> 0 AND CAST(c_acctbal AS DOUBLE) < 0 " +
         "THEN 1 ELSE 0 END AS del " +
         "FROM customer) WHERE del = 0 ORDER BY c_custkey"),
+
+    "q_convert_parquet" ->
+      // replay: negatives dropped at the adopted v0 state, then +100 on
+      // surviving %7 keys
+      ("SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + " +
+        "CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS bal " +
+        "FROM customer WHERE CAST(c_acctbal AS DOUBLE) >= 0 " +
+        "ORDER BY c_custkey"),
 
     "q_sql_merge_evolve" ->
       // replay: matched (%4) keys take the source row (bal+50, seg='hot');

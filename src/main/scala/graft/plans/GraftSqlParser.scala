@@ -53,6 +53,16 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         .filter(d => graft.tables.VersionedTable.latestVersion(d).isDefined))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case ConvRe(cat, name, src) if claims(cat) =>
+      // CONVERT creates the table, so resolution skips the committed-
+      // version filter the other verbs need: the registry, else the
+      // warehouse placement (exactly createTable's dirOf)
+      val dir = GraftCatalog.resolve(name).orElse(
+        graftPlugin(cat).flatMap(_.warehouseDir(name))).getOrElse(sys.error(
+        s"graft: CONVERT cannot place table `$cat.$name` — register it " +
+          s"(GraftCatalog.register) or configure spark.sql.catalog.$cat.warehouse"))
+      GraftVerbCommand("CONVERT", name, dir,
+        s"CONVERT TO GRAFT $name FROM '$src'", verbOutput())
     case DescRe(what, cat, name) if claims(cat) =>
       resolveDir(cat, name) match {
         case Some(dir) =>
@@ -124,6 +134,10 @@ object GraftSqlParser {
     ("""(?is)^""" + Lead + """(OPTIMIZE|VACUUM|RESTORE)\s+(?:TABLE\s+)?(\w+)\.(\w+)\b(.*)$""").r
   private val DescRe =
     ("""(?is)^""" + Lead + """DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+(\w+)\.(\w+)\s*;?\s*$""").r
+  // `CONVERT TO GRAFT cat.t FROM '<parquet dir>'` — no valid Spark
+  // statement begins with CONVERT, so the claim shadows nothing
+  private val ConvRe =
+    ("""(?is)^""" + Lead + """CONVERT\s+TO\s+GRAFT\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'\s*;?\s*$""").r
 
   private def verbOutput(): Seq[Attribute] = Seq(
     AttributeReference("verb", StringType, nullable = false)(),

@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions.expr
   *   ALTER TABLE t SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   SHOW TBLPROPERTIES t
   *   CREATE TABLE t2 SHALLOW | DEEP CLONE t [VERSION AS OF n | TIMESTAMP AS OF 'ts']
+  *   CONVERT TO GRAFT t FROM '<parquet dir>'   (zero-copy adoption as v0)
   *   DESCRIBE HISTORY t | DESCRIBE DETAIL t
   *   SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'] ...
   *
@@ -98,6 +99,8 @@ object TableSql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
   private val ShowPropsRe =
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*$""".r
+  private val ConvertRe =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
   private val CloneRe =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""".r
 
@@ -205,6 +208,13 @@ object TableSql {
       case ShowPropsRe(t) =>
         import spark.implicits._
         VersionedTable.properties(dirOf(t)).toDF("key", "value")
+      case ConvertRe(t, src) =>
+        // zero-copy adoption of a plain parquet dir (Delta's CONVERT TO
+        // DELTA); the converted name registers so it resolves afterwards
+        val d = dirOf(t)
+        val v = VersionedTable.convertParquet(spark, src, d)
+        graft.catalog.GraftCatalog.register(t, d)
+        done("CONVERT", t, v)
       case CloneRe(dst, flavor, src, v, ts) =>
         val version = Option(v).map(_.toLong).orElse(Option(ts).map(t =>
           VersionedTable.versionAsOf(dirOf(src),

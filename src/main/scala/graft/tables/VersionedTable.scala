@@ -2577,6 +2577,77 @@ object VersionedTable {
       0L
     }
 
+  /** CONVERT an existing plain-parquet directory into version 0 of a NEW
+    * versioned table WITHOUT copying or rewriting a byte — Delta's
+    * `CONVERT TO DELTA` shape, the migration path that matters at 100 TB
+    * (a petabyte parquet lake adopts in O(files) metadata, not O(bytes)
+    * rewrite). The table directory is SEPARATE from the data: adopted
+    * files are referenced by absolute entries (exactly [[cloneShallow]]'s
+    * device, which every read/DML/vacuum path already handles), so the
+    * original layout keeps serving legacy readers while the versioned
+    * table owns all future history — DML copy-on-write lands in the
+    * table's own `data/`, and the table's vacuum NEVER deletes adopted
+    * files (its data sweep walks only the table-owned `data/`, the same
+    * guarantee shallow-clone sources get): dropping old versions merely
+    * unreferences them, and the source directory stays intact for its
+    * legacy readers until THEY retire it.
+    *
+    * Refusals, all loud: a directory with Hive-partition components
+    * (`k=v`) — the path-encoded partition values would silently vanish
+    * from the rows (Delta's CONVERT takes an explicit partition schema;
+    * this engine's layout discipline is OPTIMIZE clustering instead —
+    * read with spark.read + CTAS to keep the columns); mixed file
+    * schemas (proven DISTRIBUTED via a mergeSchema footer sweep equal to
+    * the first footer — a narrower file would otherwise silently
+    * null-fill); an existing table at `tableDir`. */
+  def convertParquet(spark: SparkSession, srcDir: String, tableDir: String,
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+    FsIO.withWriteLock(tableDir, "VersionedTable.convertParquet", lockLeaseMs) {
+      val conf  = spark.sparkContext.hadoopConfiguration
+      val fs    = new Path(tableDir).getFileSystem(conf)
+      require(VersionedTable.log(tableDir).isEmpty,
+        s"convertParquet: $tableDir already has commits — convert only creates new tables")
+      val srcFs = new Path(srcDir).getFileSystem(conf)
+      require(srcFs.exists(new Path(srcDir)) && srcFs.getFileStatus(new Path(srcDir)).isDirectory,
+        s"convertParquet: $srcDir is not a directory")
+      val it = srcFs.listFiles(new Path(srcDir), true)
+      val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val s = it.next()
+        val p = s.getPath
+        if (s.isFile && p.getName.endsWith(".parquet") && !p.getName.startsWith("_")
+            && !p.getName.startsWith(".")) files += p
+      }
+      require(files.nonEmpty, s"convertParquet: no *.parquet files under $srcDir")
+      val srcRoot = srcFs.getFileStatus(new Path(srcDir)).getPath // normalized
+      files.foreach { p =>
+        var cur = p.getParent
+        while (cur != null && cur != srcRoot) {
+          require(!cur.getName.contains("="),
+            s"convertParquet: $srcDir is a Hive-partitioned layout " +
+              s"(component `${cur.getName}`) — the path-encoded partition " +
+              "values would be lost; read it with spark.read.parquet and " +
+              "CTAS/commitAppend instead (OPTIMIZE ZORDER re-clusters)")
+          cur = cur.getParent
+        }
+      }
+      // uniform-schema proof, DISTRIBUTED: the mergeSchema union over every
+      // footer must equal the first footer's schema — a single narrower or
+      // differently-typed file fails here instead of null-filling at read
+      val first  = org.apache.spark.sql.graft.FooterShim.schemaOf(spark, files.head.toString)
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(srcDir).schema
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType)).sortBy(_._1).toSeq
+      require(shape(first) == shape(merged),
+        s"convertParquet: $srcDir holds files with differing schemas — " +
+          s"one footer reads ${first.simpleString}, the union of all is " +
+          s"${merged.simpleString}; normalize first (spark.read + commit)")
+      val adopted = files.map(p => FileEntry(p.toUri.getPath, Nil)).toSeq
+      publishEntries(fs, tableDir, 0L, Some(adopted), opLabel = "CONVERT")
+      0L
+    }
+
   /** DESCRIBE HISTORY: one row per committed version — (version,
     * commit timestamp, operation label, dataChange flag, whether the
     * version's data is still retained). Resolved from the log alone

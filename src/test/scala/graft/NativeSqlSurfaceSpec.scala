@@ -204,6 +204,53 @@ class NativeSqlSurfaceSpec extends SparkSpec {
     assert(hist.contains("ADD COLUMN a") && hist.contains("ADD COLUMN b"), hist)
   }
 
+  test("CONVERT TO GRAFT adopts a plain parquet dir zero-copy as v0") {
+    val work = java.nio.file.Files.createTempDirectory("graft_nss_conv").toString
+    val src  = s"$work/lake"
+    spark.range(0L, 100L).select(col("id").as("k"), (col("id") * 3).as("x"))
+      .repartition(4).write.parquet(src)
+    val tdir = s"$work/t"
+    GraftCatalog.register("nss_conv", tdir)
+    val r = spark.sql(s"CONVERT TO GRAFT graft.nss_conv FROM '$src'").head
+    assert(r.getString(0) == "CONVERT" && r.getLong(2) == 0L, r.toString)
+    // zero-copy: the table dir owns no data files yet
+    assert(!new java.io.File(s"$tdir/data").exists() ||
+      new java.io.File(s"$tdir/data").listFiles().isEmpty)
+    assert(spark.sql("SELECT count(*) AS n, sum(x) AS s FROM graft.nss_conv").head
+      .getLong(1) == (0L until 100L).map(_ * 3).sum)
+    // DML on the adopted table: copy-on-write into its OWN data/, source intact
+    spark.sql("DELETE FROM graft.nss_conv WHERE k >= 50")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.nss_conv").head.getLong(0) == 50L)
+    assert(spark.read.parquet(src).count() == 100L, "the source dir never changes")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.nss_conv VERSION AS OF 0")
+      .head.getLong(0) == 100L)
+    // vacuum must never delete adopted (absolute, out-of-table) files
+    VersionedTable.vacuum(spark, tdir, retainLast = 1, graceMs = 0L)
+    assert(spark.read.parquet(src).count() == 100L)
+    // refusals: Hive-partitioned layouts and mixed schemas
+    val part = s"$work/part"
+    spark.range(4L).select(col("id").as("k"), (col("id") % 2).as("p"))
+      .write.partitionBy("p").parquet(part)
+    GraftCatalog.register("nss_conv2", s"$work/t2")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT graft.nss_conv2 FROM '$part'")
+    }
+    assert(e1.getMessage.contains("Hive-partitioned"), e1.getMessage)
+    val mixed = s"$work/mixed"
+    spark.range(2L).select(col("id").as("k")).coalesce(1).write.parquet(mixed)
+    spark.range(2L).select(col("id").as("k"), lit("w").as("extra"))
+      .coalesce(1).write.mode("append").parquet(mixed)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT graft.nss_conv2 FROM '$mixed'")
+    }
+    assert(e2.getMessage.contains("differing schemas"), e2.getMessage)
+    // an existing table refuses
+    val e3 = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT graft.nss_conv FROM '$src'")
+    }
+    assert(e3.getMessage.contains("already has commits"), e3.getMessage)
+  }
+
   test("the managed marker is a reserved property: TBLPROPERTIES cannot launder it") {
     val dir = fresh("nss_guard")
     val e1 = intercept[Exception] {
