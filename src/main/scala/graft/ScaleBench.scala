@@ -554,6 +554,30 @@ object ScaleBench {
       s.range(micros(micros.length / 2)).toDF("median_resolve_us")
     }),
 
+    // CONVERT adoption is O(files) metadata, not O(bytes): adopt a 16F-file
+    // parquet dir and report how many bytes the conversion WROTE (log entry
+    // only — rows = bytes written under the new table root). Data bytes
+    // copied must be ZERO at every factor; the wall is file-listing plus
+    // the distributed footer sweep (the schema-uniformity proof, the only
+    // O(files) distributed step). The ∝F read count()s the adopted table.
+    "convert_adopt" -> ((s, d, f) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_conv").toString
+      val lake = s"$work/lake"
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .repartition(16 * f).write.parquet(lake)
+      val tdir = s"$work/t"
+      tables.VersionedTable.convertParquet(s, lake, tdir)
+      val fs = new org.apache.hadoop.fs.Path(tdir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def treeBytes(p: String): Long = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        var n = 0L; while (it.hasNext) n += it.next().getLen; n
+      }
+      require(tables.VersionedTable.read(s, tdir).count() ==
+        t(s, d, "orders").count(), "adopted table must read the full source")
+      s.range(treeBytes(tdir)).toDF("convert_bytes")
+    }),
+
     // RENAME COLUMN is metadata-only at any table size: one rename on a
     // 16F-file table, rows = total bytes it wrote (log entry + declared
     // schema json) — must stay FLAT in F because zero data files are

@@ -62,10 +62,17 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider {
     require(partitionColumns.isEmpty,
       "VersionedStream sink: partitionBy is not supported — cluster with commitCompact instead")
     val dir = dirOf(parameters)
+    // exactly-once identity: the checkpoint location when it reaches the
+    // sink's options (an explicit .option), else None — resolved at the
+    // first addBatch from the running query's STABLE id (Spark only
+    // injects checkpointLocation into sink parameters when the user set
+    // it as a writer option; a conf-derived or default location never
+    // arrives here). A table-dir fallback would make two distinct queries
+    // writing the same table share one (txnAppId, txnVersion) marker and
+    // silently skip each other's batches as replays.
     val appId = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v }
       .map(cp => s"graft-sink:${new Path(cp).toUri.getPath}")
-      .getOrElse(s"graft-sink:$dir")
     new VersionedStream.VersionedTableSink(
       sqlContext.sparkSession, dir, appId, outputMode)
   }
@@ -111,7 +118,11 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider {
       // own key declaration ([[VersionedTable.KeyColumnsProp]], recorded by
       // the first MERGE or set explicitly) — Delta's CDF needs no read-time
       // key, and with a declared table this one doesn't either
+      // blank option = undeclared, not "no keys" (same filter as
+      // changeFeedBatch): an empty Seq would bypass both the table's
+      // declaration and the loud error, then die mid-stream in the diff
       val keys = opt("keyColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
         .orElse(VersionedTable.keyColumns(dir))
         .getOrElse(sys.error("VersionedStream: readChangeFeed needs key columns — " +
           "declare them on the table (VersionedTable.setKeyColumns; any MERGE " +
@@ -181,6 +192,14 @@ object VersionedStream {
       * pacing anchor; the durable one arrives as latestOffset's start). */
     protected def planned: Option[Long]
 
+    /** Offsets never fall below `startingVersion - 1`: a startingVersion
+      * AHEAD of the current head anchors there and waits — without the
+      * floor, the first (empty) batch would checkpoint the HEAD as the
+      * anchor and versions below startingVersion would later leak into
+      * the stream, silently violating the inclusive-from contract. */
+    private def floorStart(v: Long): Long =
+      startingVersion.map(sv => math.max(v, sv - 1)).getOrElse(v)
+
     /** Latest committed version capped at `anchor + maxVersionsPerTrigger`
       * — the shared pacing arithmetic. The initial snapshot batch (no
       * anchor, no startingVersion) is inherently uncapped: one snapshot. */
@@ -192,7 +211,7 @@ object VersionedStream {
             math.min(latest, startingVersion.get - 1 + m)
           case _ => latest
         }
-        LongOffset(capped)
+        LongOffset(floorStart(capped))
       }
 
     final override def getOffset: Option[Offset] = paceFrom(planned)
@@ -230,7 +249,10 @@ object VersionedStream {
         case Some(p) =>
           availableNowTarget match {
             case Some(t) if startV.exists(_ >= t) => null // run's target drained
-            case Some(t) => LongOffset(math.min(p.offset, t))
+            // the floor also applies over the pinned target: a run whose
+            // whole backlog sits below startingVersion anchors (one empty
+            // batch at sv-1) and terminates instead of leaking versions
+            case Some(t) => LongOffset(floorStart(math.min(p.offset, t)))
             case None    => p
           }
         case None => null
@@ -302,7 +324,13 @@ object VersionedStream {
       * when no covered commit changed rows. */
     private[sources] def cdfFrame(fromExclusive: Long, endV: Long): Option[DataFrame] = {
       import org.apache.spark.sql.functions._
+      // ONE log listing serves the whole batch: commit timestamps, the
+      // head version, and the evolved-table probe all derive from it (the
+      // old per-use latestVersion calls re-listed _log twice more per
+      // trigger, and two separate head resolutions could even disagree if
+      // a commit landed between them)
       val commitMs = VersionedTable.log(dir).toMap
+      val headV    = if (commitMs.isEmpty) None else Some(commitMs.keys.max)
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
       // never-evolved fast path: no declared schema at the TABLE HEAD means
       // no version carries one — every version has the stream's columns
@@ -310,7 +338,7 @@ object VersionedStream {
       // NOT endV: a paced replay's early batches sit below the schema
       // commit (declaredSchemaAt(endV) = None there), but the stream schema
       // was resolved from the head, so the null-fill machinery must engage.
-      val evolvedTable = VersionedTable.latestVersion(dir)
+      val evolvedTable = headV
         .exists(h => VersionedTable.declaredSchemaAt(dir, h).isDefined)
       // the LOGICAL schema version v's files resolve to — declared schema
       // (mapping metadata intact), or footer resolution through read() on
@@ -331,7 +359,6 @@ object VersionedStream {
       // ambiguous for EVERY v (the rename may sit above v — checking at v
       // would pass below it and silently null-fill the renamed-away
       // column's live values).
-      val headV = VersionedTable.latestVersion(dir)
       val physAtHead: Map[String, String] =
         headV.map(h => schemaAt(h)).getOrElse(tableSchema)
           .fields.map(f => lc(f.name) -> lc(physOf(f))).toMap
@@ -462,18 +489,24 @@ object VersionedStream {
     @volatile private var lastPlanned: Option[Long] = None
     override protected def planned: Option[Long] = lastPlanned
 
+    // per-version schema memo for the retired-column batch guard (versions
+    // are immutable — one resolution serves the stream's whole lifetime)
+    private val schemaAtMemo =
+      new java.util.concurrent.ConcurrentHashMap[Long, StructType]()
+
     override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
       val endV = versionOf(end)
       lastPlanned = Some(endV)
-      val emit: Seq[(String, Seq[String])] = start match {
+      val steps: Seq[(Long, Seq[(String, Seq[String])])] = start match {
         // no checkpoint: a startingVersion tails the log from that commit
         // (inclusive, no snapshot — the Delta startingVersion contract);
         // otherwise the initial batch is a snapshot of the end version
         case None if startingVersion.isDefined =>
           stepVersions(startingVersion.get - 1, endV)
-        case None    => VersionedTable.entriesOf(dir, endV) // initial snapshot
+        case None    => Seq(endV -> VersionedTable.entriesOf(dir, endV)) // initial snapshot
         case Some(s) => stepVersions(versionOf(s), endV)
       }
+      val emit: Seq[(String, Seq[String])] = steps.flatMap(_._2)
       if (emit.isEmpty) StreamShim.emptyStreaming(spark, schema)
       else {
         // COLUMN-MAPPED tables: emitted files carry PHYSICAL names, so a
@@ -506,6 +539,10 @@ object VersionedStream {
           else declaredRaw.filter(_ => VersionedTable.hasTombstones(dir, endV))
         guard.foreach { d =>
           def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+          def physOf(f: org.apache.spark.sql.types.StructField): String =
+            if (f.metadata.contains(VersionedTable.PhysicalNameKey))
+              f.metadata.getString(VersionedTable.PhysicalNameKey)
+            else f.name
           val dNames = d.fieldNames.map(lc).toSet
           val sNames = schema.fieldNames.map(lc).toSet
           require(sNames.subsetOf(dNames),
@@ -513,6 +550,33 @@ object VersionedStream {
               s"were renamed or dropped in $dir after this stream started — its " +
               "pinned schema cannot represent the table anymore; restart the " +
               "stream from a fresh checkpoint")
+          // every file in this batch reads through the END version's
+          // mapping, but a file was WRITTEN under its own version's
+          // physical names — a DROP + same-name re-ADD inside the span
+          // gives the logical name a FRESH physical at the end, so the
+          // pre-drop files' live values would silently stream as NULL.
+          // Require each emitted version's physical mapping to agree with
+          // the end's for every stream column present there (the same
+          // conflation check the CDF source runs per step).
+          val physEnd = d.fields.map(f => lc(f.name) -> lc(physOf(f))).toMap
+          steps.filter(_._2.nonEmpty).map(_._1).filter(_ != endV).foreach { v =>
+            // the version's own mapping; pre-declaration versions resolve
+            // from a footer, where physical == logical by definition (the
+            // CDF source's schemaAt, memoized for the stream's lifetime)
+            val sv = schemaAtMemo.computeIfAbsent(v, _ =>
+              VersionedTable.declaredSchemaAt(dir, v)
+                .getOrElse(VersionedTable.read(spark, dir, Some(v)).schema))
+            val conflated = sv.fields.filter(f =>
+              sNames(lc(f.name)) &&
+                physEnd.get(lc(f.name)).exists(_ != lc(physOf(f))))
+            require(conflated.isEmpty,
+              s"VersionedStream: column(s) ${conflated.map(_.name).mkString(", ")} " +
+                s"at version $v of $dir are RETIRED columns (RENAME/DROP + " +
+                "re-add inside this batch's span) — the same logical name " +
+                "denotes a different physical column at the span's end, so " +
+                "the pre-change files' values cannot stream under it; restart " +
+                "from a fresh checkpoint (or start after the schema change)")
+          }
         }
         (declared, emit.forall(_._2.isEmpty)) match {
           case (None, true) =>
@@ -535,35 +599,45 @@ object VersionedStream {
     }
 
     /** The files each version in `(fromExclusive, to]` ADDED (plus, under
-      * ignoreChanges, re-masked entries' live rows) — the per-commit tail
-      * walk shared by incremental batches and startingVersion bootstrap. */
-    private def stepVersions(fromExclusive: Long, to: Long): Seq[(String, Seq[String])] =
+      * ignoreChanges, re-masked entries' live rows), keyed by version —
+      * the per-commit tail walk shared by incremental batches and
+      * startingVersion bootstrap. ONE manifest resolution per version:
+      * each iteration's current entries become the next one's previous
+      * (the old per-version `entriesOf(v-1)` re-read doubled the driver's
+      * log I/O — real money per trigger on an object store). */
+    private def stepVersions(fromExclusive: Long, to: Long)
+        : Seq[(Long, Seq[(String, Seq[String])])] = {
+      if (fromExclusive >= to) return Seq.empty
+      var prev: Map[String, Set[String]] =
+        if (fromExclusive < 0) Map.empty
+        else VersionedTable.entriesOf(dir, fromExclusive)
+          .map { case (rel, dvs) => rel -> dvs.toSet }.toMap
       (fromExclusive + 1 to to).flatMap { v =>
-        if (!VersionedTable.dataChanged(dir, v)) Nil // OPTIMIZE: skip
-        else {
-          val prev =
-            if (v == 0) Map.empty[String, Set[String]]
-            else VersionedTable.entriesOf(dir, v - 1)
-              .map { case (rel, dvs) => rel -> dvs.toSet }.toMap
-          val cur       = VersionedTable.entriesOf(dir, v)
-          val added     = cur.filterNot { case (rel, _) => prev.contains(rel) }
-          // a DV-only commit adds no files but removes rows — the same
-          // pure-append violation as a rewrite, detected at entry grain
-          val dvChanged = cur.filter { case (rel, dvs) =>
-            prev.get(rel).exists(_ != dvs.toSet) }
-          val removed   = prev.keySet -- cur.map(_._1)
-          if ((removed.nonEmpty || dvChanged.nonEmpty) && !ignoreChanges)
-            sys.error(s"VersionedStream: version $v of $dir rewrote, " +
-              "removed, or deletion-vector-masked data files " +
-              "(UPDATE/DELETE/MERGE). A pure-append stream cannot " +
-              "represent it; restart from a fresh checkpoint, or set " +
-              ".option(\"ignoreChanges\", \"true\") to re-emit changed " +
-              "files' live rows (downstream must be idempotent).")
-          // under ignoreChanges, Delta's relaxation: re-emit the changed
-          // files' (masked) row sets alongside genuinely new files
-          added ++ (if (ignoreChanges) dvChanged else Nil)
-        }
+        val cur = VersionedTable.entriesOf(dir, v)
+        val out: Seq[(String, Seq[String])] =
+          if (!VersionedTable.dataChanged(dir, v)) Nil // OPTIMIZE: skip
+          else {
+            val added     = cur.filterNot { case (rel, _) => prev.contains(rel) }
+            // a DV-only commit adds no files but removes rows — the same
+            // pure-append violation as a rewrite, detected at entry grain
+            val dvChanged = cur.filter { case (rel, dvs) =>
+              prev.get(rel).exists(_ != dvs.toSet) }
+            val removed   = prev.keySet -- cur.map(_._1)
+            if ((removed.nonEmpty || dvChanged.nonEmpty) && !ignoreChanges)
+              sys.error(s"VersionedStream: version $v of $dir rewrote, " +
+                "removed, or deletion-vector-masked data files " +
+                "(UPDATE/DELETE/MERGE). A pure-append stream cannot " +
+                "represent it; restart from a fresh checkpoint, or set " +
+                ".option(\"ignoreChanges\", \"true\") to re-emit changed " +
+                "files' live rows (downstream must be idempotent).")
+            // under ignoreChanges, Delta's relaxation: re-emit the changed
+            // files' (masked) row sets alongside genuinely new files
+            added ++ (if (ignoreChanges) dvChanged else Nil)
+          }
+        prev = cur.map { case (rel, dvs) => rel -> dvs.toSet }.toMap
+        if (out.isEmpty) Nil else Seq(v -> out)
       }
+    }
 
     private def versionOf(o: Offset): Long = o match {
       case l: LongOffset => l.offset
@@ -576,7 +650,20 @@ object VersionedStream {
   }
 
   private[sources] class VersionedTableSink(spark: SparkSession, dir: String,
-      appId: String, mode: OutputMode) extends Sink {
+      explicitAppId: Option[String], mode: OutputMode) extends Sink {
+
+    /** The replay-marker identity: the explicit checkpoint-derived id, or
+      * the running query's STABLE id (persisted in the checkpoint's
+      * metadata file, so it survives restarts — exactly the lifetime a
+      * replay marker must have; a NEW checkpoint gets a new query id and
+      * never mistakes an old run's batches for its own). Resolved lazily:
+      * the query id local property exists on the micro-batch thread, not
+      * at sink construction. */
+    private lazy val appId: String = explicitAppId.orElse(
+      Option(spark.sparkContext.getLocalProperty(
+        org.apache.spark.sql.graft.StreamShim.QueryIdKey))
+        .map(qid => s"graft-sink:query:$qid"))
+      .getOrElse(s"graft-sink:$dir")
 
     override def addBatch(batchId: Long, data: DataFrame): Unit = {
       // pin the batch to its planned rows and strip the streaming flag —

@@ -3015,7 +3015,10 @@ object VersionedTable {
       keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(vFrom <= vTo, s"changes: vFrom $vFrom > vTo $vTo")
-    require(valueCols.nonEmpty, "changes: need at least one value column")
+    // valueCols MAY be empty (a table whose keys cover every column, or a
+    // replay step below every value column's evolve commit): the diff then
+    // reports added/removed only — "updated" cannot exist when the compared
+    // non-key column set is empty (stepChangeType's eq degenerates to true)
     def stepDf(v: Long): DataFrame = {
       val (a, b) = prunedScans(spark, dir, v, v + 1, keyCols)
       require(valueCols.forall(a.columns.contains) && valueCols.forall(b.columns.contains),

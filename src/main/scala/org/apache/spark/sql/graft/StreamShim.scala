@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamShim {
 
+  /** Local-property key under which the micro-batch thread carries the
+    * running query's STABLE id (persisted in the checkpoint metadata, so
+    * it survives restarts) — the sink's replay-marker identity when no
+    * explicit checkpointLocation option reached it. */
+  val QueryIdKey: String =
+    org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
+
   /** Re-flag a batch relation plan as streaming (the FileStreamSource
     * recipe: same files, same schema, streaming leaf). */
   def asStreaming(df: DataFrame): DataFrame = {

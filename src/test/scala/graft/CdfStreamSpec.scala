@@ -158,6 +158,26 @@ class CdfStreamSpec extends SparkSpec {
     assert(e2.getMessage.contains("feed span is empty"), e2.getMessage)
   }
 
+  test("a key-only table (keys cover every column) feeds inserts/deletes") {
+    import spark.implicits._
+    val r = root(); val table = s"$r/t"
+    // membership-set shape: the single column IS the key — updates cannot
+    // exist, the feed is inserts and deletes only (the diff used to refuse
+    // outright with "need at least one value column")
+    VersionedTable.commitAppend(spark, Seq(1L, 2L, 3L).toDF("k"), table)     // v0
+    VersionedTable.setKeyColumns(table, Seq("k"))
+    VersionedTable.commitAppend(spark, Seq(4L).toDF("k"), table)             // v1
+    VersionedTable.commitDelete(spark, table, col("k") === 2L)               // v2
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(table)
+    val rows = feed.select("k", "_change_type", "_commit_version").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, "insert", 0L), (2L, "insert", 0L), (3L, "insert", 0L),
+      (4L, "insert", 1L), (2L, "delete", 2L)), rows.toString)
+  }
+
   test("readChangeFeed without keyColumns is refused loudly") {
     import spark.implicits._
     val r = root(); val table = s"$r/t"

@@ -51,6 +51,30 @@ class VersionedSinkSpec extends SparkSpec {
     assert(VersionedTable.read(spark, table).count() == 3L)
   }
 
+  test("distinct queries without an explicit checkpoint option never share a replay marker") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vsink_qid").toString
+    val table = root + "/t"
+    // neither sink got checkpointLocation in its OPTIONS (conf-derived or
+    // default locations never reach the sink parameters): the replay
+    // identity must come from the running query's stable id, not the
+    // table dir — a dir-shared marker would classify the second query's
+    // low batch ids as replays of the first's and silently drop them
+    def sinkFor() = new VersionedStream().createSink(spark.sqlContext,
+      Map("path" -> table), Seq.empty, OutputMode.Append())
+    val key = org.apache.spark.sql.graft.StreamShim.QueryIdKey
+    try {
+      spark.sparkContext.setLocalProperty(key, "query-one")
+      sinkFor().addBatch(5L, Seq((1L, "a")).toDF("id", "s"))
+      spark.sparkContext.setLocalProperty(key, "query-two")
+      sinkFor().addBatch(0L, Seq((2L, "b")).toDF("id", "s"))
+      // same query id + same batch id IS still a replay
+      sinkFor().addBatch(0L, Seq((2L, "b")).toDF("id", "s"))
+    } finally spark.sparkContext.setLocalProperty(key, null)
+    assert(VersionedTable.read(spark, table).count() == 2L,
+      "query-two's batch 0 must land (and its replay must not)")
+  }
+
   test("sink enforces the target table's CHECK constraints per batch") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_vsink_chk").toString

@@ -193,4 +193,80 @@ class VersionedStreamSpec extends SparkSpec {
     assert(got.count() == 8L, "only v1 and v2 rows — v0's snapshot is skipped")
     assert(got.agg(min("id")).head.getLong(0) == 11L)
   }
+
+  test("a startingVersion ahead of the head anchors there — earlier versions never leak") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream_fut").toString
+    val table = root + "/t"
+    val (out, ckpt) = (root + "/out", root + "/ckpt")
+    VersionedTable.commitAppend(spark, Seq((1L, "v0")).toDF("id", "s"), table) // head = 0
+    // startingVersion 3 is in the FUTURE: the first run must emit nothing
+    // AND must not checkpoint the current head as its anchor
+    run(table, out, ckpt, Map("startingVersion" -> "3"))
+    assert(!new java.io.File(out).exists() || spark.read.parquet(out).count() == 0L)
+    VersionedTable.commitAppend(spark, Seq((2L, "v1")).toDF("id", "s"), table)
+    VersionedTable.commitAppend(spark, Seq((3L, "v2")).toDF("id", "s"), table)
+    VersionedTable.commitAppend(spark, Seq((4L, "v3")).toDF("id", "s"), table)
+    VersionedTable.commitAppend(spark, Seq((5L, "v4")).toDF("id", "s"), table)
+    run(table, out, ckpt, Map("startingVersion" -> "3"))
+    val got = spark.read.parquet(out).collect().map(_.getString(1)).toSet
+    assert(got == Set("v3", "v4"),
+      s"only versions >= 3 may stream (got ${got.mkString(",")}) — v1/v2 " +
+        "leaking means the future startingVersion was forgotten")
+  }
+
+  test("DROP + same-name re-ADD inside one batch span refuses instead of nulling") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream_readd").toString
+    val table = root + "/t"
+    val (out, ckpt) = (root + "/out", root + "/ckpt")
+    VersionedTable.commitAppend(spark, Seq((1L, "a")).toDF("k", "c"), table) // v0
+    run(table, out, ckpt) // pin the stream's (k, c) schema; consume v0
+    VersionedTable.commitAppend(spark, Seq((2L, "b")).toDF("k", "c"), table) // v1: c live
+    VersionedTable.commitDropColumn(spark, table, "c")                       // v2
+    VersionedTable.commitAddColumn(spark, table, "c",
+      org.apache.spark.sql.types.StringType)                                 // v3: fresh physical
+    VersionedTable.commitAppend(spark, Seq((3L, null.asInstanceOf[String]))
+      .toDF("k", "c"), table)                                                // v4
+    // one batch now spans v1..v4: v1's files carry the RETIRED physical
+    // column — reading them through the head mapping would stream v1's
+    // live `c` values as NULL. Must refuse, not corrupt.
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(table, out, ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("RETIRED")), msgs(e).mkString(" | "))
+  }
+
+  test("a blank keyColumns option falls back to the table's declared keys") {
+    import spark.implicits._
+    val root  = Files.createTempDirectory("graft_vstream_bk").toString
+    val table = root + "/t"
+    VersionedTable.commitAppend(spark, Seq((1L, 1.0)).toDF("k", "bal"), table)
+    VersionedTable.setKeyColumns(table, Seq("k"))
+    VersionedTable.commitUpdate(spark, table, col("k") === 1L, Map("bal" -> lit(2.0)))
+    val q = spark.readStream.format(VersionedStream.format)
+      .option("path", table)
+      .option("readChangeFeed", "true")
+      .option("keyColumns", " ")           // blank = undeclared, NOT "no keys"
+      .option("startingVersion", "0")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", root + "/out").option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val types = spark.read.parquet(root + "/out")
+      .select("_change_type").collect().map(_.getString(0)).toSet
+    assert(types == Set("insert", "update_preimage", "update_postimage"), types.toString)
+    // with NO declaration either, the refusal is loud and up front
+    val bare = root + "/bare"
+    VersionedTable.commitAppend(spark, Seq((1L, 1.0)).toDF("k", "bal"), bare)
+    val e = intercept[Exception] {
+      new VersionedStream().createSource(spark.sqlContext, root + "/meta", None,
+        "graft", Map("path" -> bare, "readChangeFeed" -> "true", "keyColumns" -> ","))
+    }
+    assert(e.getMessage.contains("needs key columns"), e.getMessage)
+  }
 }
