@@ -178,8 +178,11 @@ object Similarity {
     // and the separate count() pre-pass job (a second scan) is gone. The
     // exact join is O(n²) by nature; past this bound it is the wrong
     // operator, not a tuning problem.
-    val neigh = rows
-      .limit(math.min(maxBroadcastRows, Int.MaxValue.toLong - 1).toInt + 1).collect()
+    require(maxBroadcastRows < Int.MaxValue.toLong,
+      s"knnJoinExact: maxBroadcastRows=$maxBroadcastRows cannot be enforced " +
+        "(limit() caps at Int.MaxValue, so a larger bound would silently " +
+        "truncate the neighbor side) — a corpus that size needs knnJoinIvf")
+    val neigh = rows.limit(maxBroadcastRows.toInt + 1).collect()
     require(neigh.length <= maxBroadcastRows,
       s"knnJoinExact needs the neighbor side collected + broadcast to every " +
         s"executor, but it exceeds maxBroadcastRows=$maxBroadcastRows. " +
@@ -237,8 +240,11 @@ object Similarity {
       .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
       .as[(Long, Array[Float], Int)]
     // same bounded-collect contract as knnJoinExact: one job, cap enforced
-    val neigh = rows
-      .limit(math.min(maxBroadcastRows, Int.MaxValue.toLong - 1).toInt + 1).collect()
+    require(maxBroadcastRows < Int.MaxValue.toLong,
+      s"hardNegatives: maxBroadcastRows=$maxBroadcastRows cannot be enforced " +
+        "(limit() caps at Int.MaxValue, so a larger bound would silently " +
+        "truncate the neighbor side) — generate candidates with knnJoinIvf")
+    val neigh = rows.limit(maxBroadcastRows.toInt + 1).collect()
     require(neigh.length <= maxBroadcastRows,
       s"hardNegatives scores every cross-label pair against a broadcast " +
         s"neighbor side, but it exceeds maxBroadcastRows=$maxBroadcastRows. " +
@@ -378,16 +384,16 @@ object Similarity {
     * Null vectors yield a null signature (not an all-zero one, which would
     * slip junk rows through Hamming candidate filters).
     *
-    * The sign test runs through the native codegen cosine expression:
-    * sign(cos(v,p)) = sign(v·p) (norms are positive), and the Catalyst
-    * higher-order-function dot product evaluates INTERPRETED — nBits × dim
-    * boxed multiply-adds per row dominated the near-dup scans. A zero
-    * vector yields cosine NaN, and NaN > 0 is false — the same bit the dot
-    * product's 0.0 produces. */
+    * The sign test runs through the native codegen DOT product:
+    * sign(cos(v,p)) = sign(v·p) (norms are positive), so the two norm
+    * loops cosine pays per bit buy nothing here — on the signature scan
+    * (the dominant cost of a near-dup run, nBits kernels per row) dot is
+    * ~3× cheaper for identical bits. A zero vector dots to 0.0, and
+    * 0.0 > 0 is false — the same bit cosine's NaN produced. */
   def lshSignature(vec: Column, planes: Array[Array[Float]]): Column = {
     require(planes.length <= 64, "signature packs into a single long")
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      when(cosineNative(vec, typedLit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(dotNative(vec, typedLit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     when(vec.isNotNull, bits.reduce((a, b) => a.bitwiseOR(b))).otherwise(lit(null).cast("long"))
   }
@@ -406,6 +412,7 @@ object Similarity {
       nBits: Int = 16,
       maxHamming: Int = 4,
       seed: Long = 42L): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, s"annLshTopK: nBits must be in [1,64], got $nBits")
     val dim    = q.length
     val planes = hyperplanes(dim, nBits, seed)
     val qSig   = planes.zipWithIndex.map { case (p, i) =>
@@ -455,7 +462,8 @@ object Similarity {
       seed: Long = 42L,
       maxBucketSize: Int = 256,
       bands: Int = 4): DataFrame = {
-    require(bands >= 1 && nBits % bands == 0 && nBits / bands <= 64,
+    require(bands >= 1 && nBits % bands == 0 &&
+        nBits / bands >= 1 && nBits / bands <= 64,
       s"per-band bits (nBits/bands) must be in [1,64], got nBits=$nBits bands=$bands")
     val bandBits = nBits / bands
     val planes   = hyperplanes(dim, nBits, seed)
@@ -531,8 +539,12 @@ object Similarity {
     // null AND zero-norm discipline: MLlib's cosine k-means asserts norm > 0
     // ("Cosine distance is not defined for zero-length vectors") — one
     // all-zero embedding in the sample would crash the whole fit
+    // NaN discipline: a NaN element gives a NaN norm, which crashes the
+    // fit exactly like a zero norm (and NaN =!= 0.0f is TRUE under Spark
+    // ordering, so the zero-norm test alone would let it through)
     val feats = df.where(col(vecCol).isNotNull &&
-        exists(col(vecCol), x => x =!= lit(0.0f)))
+        exists(col(vecCol), x => x =!= lit(0.0f)) &&
+        !exists(col(vecCol), x => isnan(x)))
       .orderBy(xxhash64(col(vecCol)))
       .limit(fitSampleRows)
       .select(toVec(col(vecCol)).as("features"))
@@ -602,8 +614,13 @@ object Similarity {
       val st = p.getFileSystem(conf).getFileStatus(p)
       s"$f:${st.getLen}:${st.getModificationTime}"
     }
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.arrayHash(parts).toLong & 0xffffffffL)
+    // 128-bit SHA-256 prefix: a 32-bit hash collides at birthday-bound
+    // rates (~50% after ~77k regenerations of a busy hourly source), and a
+    // collision silently accepts a STALE index — at 128 bits that is
+    // practically impossible for any pipeline lifetime
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(x => md.update(x.getBytes("UTF-8")))
+    md.digest().take(16).map(b => f"$b%02x").mkString
   }
 
   /** Fit centroids (bounded sample), assign every row, and write the index:
@@ -635,7 +652,11 @@ object Similarity {
       centroids: Array[Array[Float]],
       indexPath: String): Array[Array[Float]] = {
     require(centroids.nonEmpty, "buildIvfIndexWith: need at least one centroid")
-    assignCells(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+    // null vectors assign to a null cell and would land in an unreachable
+    // __HIVE_DEFAULT_PARTITION__ directory (probes isin-exclude null) —
+    // drop them before the write, like the PQ index does
+    assignCells(df.where(col(vecCol).isNotNull)
+        .select(col(idCol), col(vecCol)), vecCol, centroids)
       // cluster by cell before the partitioned write: without this every
       // write task emits a file into every cell directory (tasks × cells
       // small files — the classic partitionBy explosion); with it each cell
@@ -700,7 +721,8 @@ object Similarity {
       val centroids = loadIvfCentroids(spark, indexPath).getOrElse(
         sys.error(s"appendToIvfIndex: no IVF index at $indexPath — build one " +
           "with buildIvfIndex first"))
-      assignCells(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+      assignCells(df.where(col(vecCol).isNotNull)
+          .select(col(idCol), col(vecCol)), vecCol, centroids)
         .repartition(col("ivf_cell"))
         .write.mode("append").partitionBy("ivf_cell").parquet(indexPath)
       val sidecar = centroidsFile(indexPath)
@@ -851,7 +873,18 @@ object Similarity {
   def sq8TopK(df: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int): DataFrame = {
     val clean = df.where(col(vecCol).isNotNull)
-    val dim = clean.select(size(col(vecCol))).head().getInt(0)
+    // dimension comes from the QUERY row, not whichever row head() happens
+    // to return (partition-order dependent — one corrupt short vector
+    // landing first would silently filter the corpus down to its dim);
+    // the fetch doubles as the loud missing-query check
+    val qRows = clean.where(col(idCol) === queryId)
+      .select(col(vecCol)).limit(2).collect()
+    require(qRows.length == 1,
+      s"sq8TopK: query id $queryId " +
+        (if (qRows.isEmpty) "not found (or its vector is null)"
+         else "is ambiguous (several rows)"))
+    val q   = qRows.head.getSeq[Float](0).toArray
+    val dim = q.length
     require(dim >= 1 && dim <= MaxSq8Dim,
       s"sq8TopK: dimension $dim outside [1, $MaxSq8Dim]")
     val rows = clean.where(size(col(vecCol)) === dim)
@@ -873,9 +906,6 @@ object Similarity {
       when(am > 0.0, floor(x.cast("double") * lit(127.0) / am)).otherwise(lit(0L))
     })
     // query codes computed driver-side with the IDENTICAL double ops
-    val q = clean.where(col(idCol) === queryId).select(col(vecCol))
-      .head().getSeq[Float](0).toArray
-    require(q.length == dim, s"sq8TopK: query vector has ${q.length} dims, corpus has $dim")
     val qCodes: Array[Long] = Array.tabulate(dim) { i =>
       if (amax(i) > 0.0) math.floor(q(i).toDouble * 127.0 / amax(i)).toLong else 0L
     }
@@ -954,6 +984,9 @@ object Similarity {
     * cid-ascending so argmin tie-breaks resolve to the lowest cid. */
   private def pqCollectCodebook(
       df: DataFrame, vecCol: String, idCol: String, k: Int, dim: Int): Array[Array[Long]] = {
+    require(k >= 1, s"PQ codebook needs k >= 1 centroids, got $k " +
+      "(k = 0 would vacuously pass the completeness gate and emit code -1 " +
+      "from every encode)")
     val cents = df.where(col(idCol) < k && col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .orderBy(col(idCol))
       .select(col(vecCol)).collect()
