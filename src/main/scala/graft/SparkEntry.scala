@@ -5084,11 +5084,11 @@ object SparkEntry {
     // ln(((cab·n1)·n1) / ((n2·ca)·cb)).
     "q_pmi" ->
       (s"WITH tk AS (SELECT $tokensSql AS tk FROM documents WHERE text IS NOT NULL), " +
-        "uni AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w), " +
+        "uni AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(tk) AS w FROM tk) WHERE w <> '' GROUP BY w), " +
         "n1t AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n1 FROM uni), " +
         "bi AS (SELECT a, b, COUNT(*) AS cab FROM " +
         "(SELECT list_extract(tk, CAST(i AS INT)) AS a, list_extract(tk, CAST(i AS INT) + 1) AS b " +
-        "FROM tk, UNNEST(range(1, len(tk))) AS t(i) WHERE len(tk) >= 2) GROUP BY a, b), " +
+        "FROM tk, UNNEST(range(1, len(tk))) AS t(i) WHERE len(tk) >= 2) WHERE a <> '' AND b <> '' GROUP BY a, b), " +
         "n2t AS (SELECT CAST(SUM(cab) AS DOUBLE) AS n2 FROM bi) " +
         "SELECT a, b, cab, ROUND(ln((CAST(cab AS DOUBLE) * n1 * n1) / " +
         "(n2 * CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 6) AS pmi " +
@@ -5992,7 +5992,7 @@ object SparkEntry {
         "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host, " +
         "regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), " +
         "'/$', '') AS path, " +
-        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), " +
+        "regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query FROM u), " +
         "c AS (SELECT doc_id, CASE WHEN sch <> '' AND host <> '' THEN " +
         "sch || '://' || host || path || " +
         "CASE WHEN len(prm) > 0 THEN '?' || array_to_string(list_sort(prm), '&') " +

@@ -202,9 +202,21 @@ object Dedup {
       val histBands  = histSigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
 
-      // leg 1: batch vs history — candidate (batch_id, hist_id) meet on a band
-      val histMatched = batchBands.select(col("band_key"), col("id").as("b_id"))
-        .join(histBands.select(col("band_key"), col("id").as("h_id")), Seq("band_key"))
+      // leg 1: batch vs history — candidate (batch_id, hist_id) meet on a
+      // band. Degenerate band keys (empty/boilerplate docs banding to one
+      // value) are dropped from BOTH sides first — without the cap this
+      // join is the one uncapped m·n pair generator in the file (a hot key
+      // shared by a 10k-doc batch and a 10M-doc history materializes 10¹¹
+      // rows); same recall contract as bucketedPairs' cap: near-dups in a
+      // dropped bucket still meet in their other bands. The extra per-side
+      // count is a skinny (band_key) aggregation.
+      def underCap(bands: DataFrame): DataFrame =
+        bands.join(
+          bands.groupBy("band_key").agg(count(lit(1)).as("__n"))
+            .where(col("__n") > maxBucketSize).select("band_key"),
+          Seq("band_key"), "left_anti")
+      val histMatched = underCap(batchBands).select(col("band_key"), col("id").as("b_id"))
+        .join(underCap(histBands).select(col("band_key"), col("id").as("h_id")), Seq("band_key"))
         .select("b_id", "h_id").distinct()
         .join(batchSigs.select(col("id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
         .join(histSigs.select(col("id").as("h_id"), col("sig").as("sig_h")), Seq("h_id"))
@@ -400,22 +412,25 @@ object Dedup {
   /** Size-capped bucket collector: counts every row exactly, collects ids
     * only up to cap+1 (enough to DETECT overflow without ever buffering a
     * mega-bucket), and finishes to the id list iff 2 ≤ n ≤ cap — empty
-    * otherwise. Buffer memory is ≤ (cap+1) longs per bucket by
-    * construction, on the partial (map) side too. */
-  private class BoundedBucket(cap: Int)
+    * otherwise. Buffer memory is ≤ (cap+1) ids per bucket by
+    * construction, on the partial (map) side too. Generic over the id
+    * type — instantiated for long AND string ids ([[bucketedPairs]]
+    * dispatches on the column type; the exact-dedup family supports
+    * string/UUID document ids, so the LSH family must too). */
+  private class BoundedBucket[T](cap: Int)(implicit
+      bEnc: org.apache.spark.sql.Encoder[(Long, Seq[T])],
+      oEnc: org.apache.spark.sql.Encoder[Seq[T]])
       extends org.apache.spark.sql.expressions.Aggregator[
-        Long, (Long, Seq[Long]), Seq[Long]] {
-    override def zero: (Long, Seq[Long]) = (0L, Vector.empty)
-    override def reduce(b: (Long, Seq[Long]), id: Long): (Long, Seq[Long]) =
+        T, (Long, Seq[T]), Seq[T]] {
+    override def zero: (Long, Seq[T]) = (0L, Vector.empty)
+    override def reduce(b: (Long, Seq[T]), id: T): (Long, Seq[T]) =
       (b._1 + 1, if (b._2.length <= cap) b._2 :+ id else b._2)
-    override def merge(a: (Long, Seq[Long]), b: (Long, Seq[Long])): (Long, Seq[Long]) =
+    override def merge(a: (Long, Seq[T]), b: (Long, Seq[T])): (Long, Seq[T]) =
       (a._1 + b._1, (a._2 ++ b._2).take(cap + 1))
-    override def finish(b: (Long, Seq[Long])): Seq[Long] =
+    override def finish(b: (Long, Seq[T])): Seq[T] =
       if (b._1 >= 2 && b._1 <= cap) b._2 else Seq.empty
-    override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Seq[Long])] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Seq[T])] = bEnc
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[T]] = oEnc
   }
 
   /** Bucketed pair generation shared by the LSH candidate generators: ONE
@@ -437,9 +452,22 @@ object Dedup {
       banded: DataFrame, // (bucketCols…, id)
       bucketCols: Seq[String],
       maxBucketSize: Int): DataFrame = {
-    val bounded = udaf(new BoundedBucket(maxBucketSize))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val bucketed = banded.schema("id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        udaf(new BoundedBucket[Long](maxBucketSize)(
+          ExpressionEncoder[(Long, Seq[Long])](), ExpressionEncoder[Seq[Long]]()))
+          .apply(col("id").cast("long"))
+      case StringType =>
+        udaf(new BoundedBucket[String](maxBucketSize)(
+          ExpressionEncoder[(Long, Seq[String])](), ExpressionEncoder[Seq[String]]()))
+          .apply(col("id"))
+      case other => sys.error(
+        s"bucketedPairs: unsupported id type $other — integral or string ids")
+    }
     banded.groupBy(bucketCols.map(col): _*)
-      .agg(bounded(col("id")).as("__ids"))
+      .agg(bucketed.as("__ids"))
       .where(size(col("__ids")) >= 2)
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
@@ -557,7 +585,13 @@ object Dedup {
     * exact 16-bit block — pigeonhole), then filter on true distance.
     * `maxHamming` is capped at 3: beyond that the 4-block scheme can no
     * longer guarantee candidate recall, so larger radii are rejected rather
-    * than silently under-reporting. The (id, hash) projection is cached for
+    * than silently under-reporting. The `maxBucketSize` cap is the OTHER
+    * recall trade: a block bucket past the cap is dropped, and at distance
+    * exactly 3 a pair may share only ONE block (pigeonhole is tight), so
+    * pairs inside a dropped bucket can be missed — unlike LSH banding,
+    * "they meet in their other buckets" does NOT hold here. Raise
+    * maxBucketSize (bounded memory, quadratic pairs per bucket) when the
+    * guarantee must be exact on boilerplate-heavy corpora. The (id, hash) projection is cached for
     * the duration of the pair build and released before returning
     * ([[withSigsCache]] — it feeds blocking plus both re-attach joins). */
   def simHashCandidatePairs(

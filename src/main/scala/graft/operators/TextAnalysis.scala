@@ -109,7 +109,10 @@ object TextAnalysis {
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
-    "\\b\\d{3}-\\d{2,4}\\b" -> "<PHONE>")
+    // the optional second dash group captures full NANP-style 3-3-4
+    // numbers; without it "555-867-5309" half-redacted to
+    // "<PHONE>-5309", leaving identifiable digits in the corpus
+    "\\b\\d{3}-\\d{2,4}(?:-\\d{2,4})?\\b" -> "<PHONE>")
 
   /** Redact PII spans with typed tags. Pure per-row Catalyst `regexp_replace`
     * chain — scrubbing 100 TB is a map-side projection, no shuffle. */
@@ -1013,7 +1016,12 @@ object TextAnalysis {
     val rank   = merges.zipWithIndex.toMap
     udf((text: String) =>
       if (text == null) null
-      else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      // Dedup.sparkTokens, NOT String.trim/default-locale toLowerCase: the
+      // encode must tokenize exactly like the Catalyst form bpeTrain
+      // learned merges on (a tr/az default locale would lowercase "III" to
+      // dotless-i words no merge table contains, silently degrading the
+      // encoding to character level)
+      else Dedup.sparkTokens(text).filter(_.nonEmpty).toSeq
         .flatMap(w => bpeEncodeWord(w, rank, byRank)))
   }
 
@@ -1123,7 +1131,12 @@ object TextAnalysis {
     val toks = docs
       .where(col(textCol).isNotNull)
       .select(tokens(col(textCol)).as("tk"))
+    // the empty token (Spark's split keeps leading/trailing empties on
+    // tab/newline-edged text) is filtered like every sibling token op —
+    // here from BOTH stats, so "" can neither appear as a collocate nor
+    // inflate the unigram total every PMI value divides by
     val uni = toks.select(explode(col("tk")).as("w"))
+      .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val nUni = uni.agg(sum(col("cw")).as("n1"))
     val bi = toks
@@ -1134,6 +1147,7 @@ object TextAnalysis {
           element_at(col("tk"), i).as("a"),
           element_at(col("tk"), i + 1).as("b")))).as("g"))
       .select(col("g.a").as("a"), col("g.b").as("b"))
+      .where(col("a") =!= "" && col("b") =!= "")
       .groupBy("a", "b").agg(count(lit(1)).as("cab"))
     val nBi = bi.agg(sum(col("cab")).as("n2"))
     bi.where(col("cab") >= minCount)
@@ -1249,7 +1263,10 @@ object TextAnalysis {
     val host   = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val path0  = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path   = regexp_replace(path0, "/$", "")
-    val query  = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchored from the string head: a '?' INSIDE the fragment (SPA hash
+    // routes like "#/page?tab=1") is fragment content and must drop with
+    // it, not leak into the canonical query
+    val query  = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)="))
     val q = when(size(params) > 0,
@@ -1366,8 +1383,14 @@ object TextAnalysis {
     udf((text: String) => {
       if (text == null) null
       else {
-        val t = text.toLowerCase(java.util.Locale.ROOT)
-        val n = t.length
+        // CODE POINTS, not UTF-16 units (qualityLangKernel's discipline):
+        // the relational/oracle form positions and hashes by code point
+        // (Spark substr/ascii count characters), so a supplementary-plane
+        // char iterated as two surrogate units would shift every gram hash
+        // and position out of parity
+        val cps = text.toLowerCase(java.util.Locale.ROOT)
+          .codePoints().toArray
+        val n = cps.length
         require(n < WinnowPosCap, s"winnowing caps documents at ${WinnowPosCap} chars, got $n")
         val nGrams = n - k + 1
         if (nGrams < w) Array.empty[Long]
@@ -1376,12 +1399,12 @@ object TextAnalysis {
           val keys   = new Array[Long](nGrams)
           var h = 0L
           var i = 0
-          while (i < k) { h = (h * WinnowBase + t.charAt(i)) % WinnowMod; i += 1 }
+          while (i < k) { h = (h * WinnowBase + cps(i)) % WinnowMod; i += 1 }
           keys(0) = h * WinnowPosCap
           i = 1
           while (i < nGrams) {
-            h = ((h - t.charAt(i - 1) * topPow % WinnowMod + WinnowMod) * WinnowBase
-              + t.charAt(i + k - 1)) % WinnowMod
+            h = ((h - cps(i - 1).toLong * topPow % WinnowMod + WinnowMod) * WinnowBase
+              + cps(i + k - 1)) % WinnowMod
             keys(i) = h * WinnowPosCap + i
             i += 1
           }

@@ -97,6 +97,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Set("docA", "docC"))
   }
 
+  test("string ids work through the LSH pair path too (MinHash/SimHash/near-drop)") {
+    import spark.implicits._
+    val df = Seq(
+      ("docB", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("docA", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("docC", "totally different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minHashCandidatePairs(df, "text", "doc_id", shingleN = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mh == Set(("docA", "docB")), mh.toString)
+    val sh = Dedup.simHashCandidatePairs(df, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sh == Set(("docA", "docB")), sh.toString)
+    // keep-min-id drop: lexicographic min wins for string ids
+    val kept = Dedup.dropNearDuplicates(df, "text", "doc_id", shingleN = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("docA", "docC"), kept.toString)
+  }
+
   test("simHashCandidatePairs rejects maxHamming beyond the pigeonhole guarantee") {
     val df = docs(1L -> "a b c")
     intercept[IllegalArgumentException] {
