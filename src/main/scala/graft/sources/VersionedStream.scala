@@ -412,7 +412,10 @@ object VersionedStream {
           else if (avail(lc(f.name))) col(s"`${f.name}_$side`").as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         }.toSeq ++ meta(ctype, v): _*)
-      val steps = (fromExclusive + 1 to endV)
+      // committed versions only (crashed attempts leave permanent number
+      // gaps), from the log listing already in hand
+      val steps = commitMs.keys.toSeq.sorted
+        .filter(v => v > fromExclusive && v <= endV)
         .filter(v => VersionedTable.dataChanged(dir, v))
         .map { v =>
           if (v == 0L) {
@@ -608,11 +611,17 @@ object VersionedStream {
     private def stepVersions(fromExclusive: Long, to: Long)
         : Seq[(Long, Seq[(String, Seq[String])])] = {
       if (fromExclusive >= to) return Seq.empty
+      // walk COMMITTED versions only: crashed attempts leave permanent
+      // number gaps (never reused), and the floored startingVersion anchor
+      // may itself be an uncommitted number — the diff base is the last
+      // committed version at or below it
+      val commV = VersionedTable.log(dir).map(_._1)
       var prev: Map[String, Set[String]] =
-        if (fromExclusive < 0) Map.empty
-        else VersionedTable.entriesOf(dir, fromExclusive)
-          .map { case (rel, dvs) => rel -> dvs.toSet }.toMap
-      (fromExclusive + 1 to to).flatMap { v =>
+        commV.filter(_ <= fromExclusive).lastOption
+          .map(b => VersionedTable.entriesOf(dir, b)
+            .map { case (rel, dvs) => rel -> dvs.toSet }.toMap)
+          .getOrElse(Map.empty)
+      commV.filter(v => v > fromExclusive && v <= to).flatMap { v =>
         val cur = VersionedTable.entriesOf(dir, v)
         val out: Seq[(String, Seq[String])] =
           if (!VersionedTable.dataChanged(dir, v)) Nil // OPTIMIZE: skip

@@ -435,7 +435,13 @@ object VersionedTable {
   private def propsDir(dir: String) = new Path(dir, "_props")
   private val propNameRe = "^[A-Za-z0-9_][A-Za-z0-9_.-]{0,63}$".r
 
-  /** Set (or overwrite) a table property. */
+  /** Set (or overwrite) a table property. Overwrite is ONE atomic rename
+    * (FileContext's OVERWRITE rename), never delete-then-rename — the
+    * file header rejects that pattern for the log, and it is just as
+    * wrong here: a crash (or a concurrent read) between the delete and
+    * the rename would lose the property entirely, not merely serve a
+    * stale value (a vanished keyColumns declaration breaks every
+    * change-feed consumer that resolves keys from the table). */
   def setProperty(dir: String, key: String, value: String): Unit = {
     require(propNameRe.findFirstIn(key).isDefined,
       s"property key `$key` must match ${propNameRe.regex}")
@@ -444,9 +450,10 @@ object VersionedTable {
     val tmp = new Path(propsDir(dir), s"$key.prop.tmp")
     FsIO.writeText(tmp.toString, value)
     val target = new Path(propsDir(dir), s"$key.prop")
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      sys.error(s"VersionedTable.setProperty: could not publish `$key` on $dir")
+    val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, FsIO.hadoopConf())
+    fctx.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Read a table property, if set. */
@@ -856,20 +863,42 @@ object VersionedTable {
     * `dataChange=false` re-layouts) — the public flag incremental
     * consumers (change feed, streaming source) branch on. */
   def dataChanged(dir: String, v: Long): Boolean = {
-    val entry = log(dir).find(_._1 == v)
-      .getOrElse(sys.error(s"dataChanged: version $v does not exist in $dir"))
-    !isNoDataChange(dir, v, entry._2)
+    val committed = log(dir)
+    require(v >= 0 && committed.lastOption.exists(_._1 >= v),
+      s"dataChanged: version $v does not exist in $dir " +
+        s"(head: ${committed.lastOption.map(_._1).getOrElse(-1L)})")
+    committed.find(_._1 == v) match {
+      case Some((_, ms)) => !isNoDataChange(dir, v, ms)
+      // a GAP inside the committed range is a crashed attempt's number,
+      // permanently skipped (nextVersion never reuses) — it committed
+      // nothing, so it changed nothing; erroring here used to wedge every
+      // incremental consumer walking a span across the gap
+      case None => false
+    }
   }
 
   /** Committed versions whose data is still present (not vacuumed),
-    * ascending, with commit timestamps. */
+    * ascending, with commit timestamps. Existence resolves from ONE
+    * listing of `data/` (set membership per manifest entry) instead of a
+    * per-file fs.exists — the per-file form turned DESCRIBE HISTORY on a
+    * deep log over a wide manifest into O(versions × files) serial driver
+    * RPCs. Absolute entries (clones, CONVERT adoptions — outside data/)
+    * still check individually; they are rare and small in count. */
   def versions(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lazy val dataNames: Set[String] = {
+      val d = dataDir(dir)
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).map(_.getPath.getName).toSet
+    }
+    def present(rel: String): Boolean =
+      if (rel.startsWith("data/")) dataNames(rel.stripPrefix("data/"))
+      else fs.exists(new Path(dir, rel))
     log(dir).filter { case (v, ms) =>
       parseEntry(dir, v, ms) match {
         case SnapshotEntry => fs.exists(vDir(dir, v))
         case _ => entriesOfVersion(fs, dir, v, ms)
-          .flatMap(e => e.rel +: e.dvs).forall(rel => fs.exists(new Path(dir, rel)))
+          .flatMap(e => e.rel +: e.dvs).forall(present)
       }
     }
   }
@@ -1047,7 +1076,11 @@ object VersionedTable {
         // an evolved table's truth is its DECLARED schema (old files are
         // legitimately narrower); un-evolved tables gate on one footer
         val existing = preDeclared.orElse(
-          checkedEntries(fs, dir, pv, pms).headOption.map(e =>
+          // entriesOfVersion, NOT checkedEntries: the head is always
+          // vacuum-retained, and the footer read itself fails loudly on a
+          // missing file — the per-file existence sweep would put O(table)
+          // serial RPCs on the append path for nothing
+          entriesOfVersion(fs, dir, pv, pms).headOption.map(e =>
             org.apache.spark.sql.graft.FooterShim.schemaOf(spark, absOf(dir, e.rel).toString)))
         existing.foreach(requireCompatibleSchema("commitAppend", _, df.schema))
       }
@@ -1074,8 +1107,14 @@ object VersionedTable {
         } else {
           val committed = VersionedTable.log(dir)
           val next = nextVersion(fs, dir, committed)
+          // entriesOfVersion, NOT checkedEntries: vacuum holds this same
+          // lock and always retains the head, so inside the lease the
+          // manifest's files cannot have been swept — the per-file
+          // existence sweep would hold the lease for O(table files)
+          // serial RPCs (minutes on a 1M-file table), starving every
+          // rival appender of the milliseconds publish tail they wait on
           val prevEntries = committed.lastOption
-            .map { case (v, ms) => checkedEntries(fs, dir, v, ms) }
+            .map { case (v, ms) => entriesOfVersion(fs, dir, v, ms) }
             .getOrElse(Seq.empty)
           // one footer read each side, gating the STAGED bytes — but only
           // when the head MOVED since the pre-flight gate: uncontended
@@ -1132,7 +1171,8 @@ object VersionedTable {
     else {
       def tableSchemaAt(v: Long, ms: Long): Option[org.apache.spark.sql.types.StructType] =
         declaredSchemaAt(dir, v).orElse(
-          checkedEntries(fs, dir, v, ms).headOption.map(e =>
+          // one footer read; no O(table) existence sweep (see commitAppend)
+          entriesOfVersion(fs, dir, v, ms).headOption.map(e =>
             org.apache.spark.sql.graft.FooterShim.schemaOf(spark, absOf(dir, e.rel).toString)))
       // pre-flight additive gate, lock-free (authoritative re-gate under
       // the lease below)
@@ -1187,8 +1227,10 @@ object VersionedTable {
         } else {
           val committed = VersionedTable.log(dir)
           val next = nextVersion(fs, dir, committed)
+          // entriesOfVersion: same reasoning as commitAppend — the head is
+          // lease-protected and vacuum-retained; no O(table) exists sweep
           val prevEntries = committed.lastOption
-            .map { case (v, ms) => checkedEntries(fs, dir, v, ms) }
+            .map { case (v, ms) => entriesOfVersion(fs, dir, v, ms) }
             .getOrElse(Seq.empty)
           val headExisting = committed.lastOption.flatMap { case (pv, pms) =>
             tableSchemaAt(pv, pms) }
@@ -1562,8 +1604,12 @@ object VersionedTable {
         val committed = VersionedTable.log(dir)
         require(committed.nonEmpty, s"commitUpdateDV: $dir has no committed version")
         val (pv, pms) = committed.last
-        val entries = checkedEntries(fs, dir, pv, pms)
-        val masked  = scanEntriesMeta(spark, dir, entries, declaredSchemaAt(dir, pv))
+        val entries  = checkedEntries(fs, dir, pv, pms)
+        // one schema resolution for the whole commit (this used to be
+        // re-resolved four times — each a _schema + _log listing + read —
+        // on the op whose selling point is commit latency)
+        val declared = declaredSchemaAt(dir, pv)
+        val masked   = scanEntriesMeta(spark, dir, entries, declared)
         set.keys.foreach { c =>
           require(masked.columns.contains(c), s"commitUpdateDV: no column `$c` to set")
         }
@@ -1604,10 +1650,10 @@ object VersionedTable {
           requireCompatibleSchema("VersionedTable.commitUpdateDV",
             masked.drop(FnameCol, PosCol).schema, updated.schema)
           val newRels = stageDataFilesTagged(fs, dir,
-            toPhysical(updated, declaredSchemaAt(dir, pv)), stageTag)
+            toPhysical(updated, declared), stageTag)
           val provenAgainst = Constraints.list(dir)
           validateStaged(spark, dir, newRels, "VersionedTable.commitUpdateDV",
-            declaredSchemaAt(dir, pv))
+            declared)
           publishRebased(spark, fs, dir, "VersionedTable.commitUpdateDV",
             pv, entries,
             entries.map(e =>
@@ -1615,7 +1661,7 @@ object VersionedTable {
               newRels.map(FileEntry(_, Nil)),
             staged = staged ++ newRels, provenAgainst = provenAgainst,
             txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
-            validateDeclared = declaredSchemaAt(dir, pv), opLabel = "UPDATE MOR")
+            validateDeclared = declared, opLabel = "UPDATE MOR")
         }
       }
     }
@@ -1660,6 +1706,40 @@ object VersionedTable {
         next
       }
     }
+
+
+  /** The FILES holding any row key-matching the probe — the pruning pass
+    * shared by [[commitMerge]] and [[commitMergeConditional]] (it was
+    * duplicated near-verbatim; the null-key IN/isNull handling and the
+    * null-safe join shape must never drift between the two). Under the
+    * probe cap the keys push down as a coarse IN filter plus a broadcast
+    * null-safe semi join (partition/row-group pruning reaches the scan);
+    * past it, a keys-only scan join. `keyRows` carry exactly the key
+    * columns, in `keyCols` order. */
+  private def probeTouchedFiles(spark: SparkSession, full: DataFrame,
+      keyRows: Array[org.apache.spark.sql.Row],
+      keyFields: org.apache.spark.sql.types.StructType,
+      keysOnly: DataFrame, keyCols: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions._
+    collectDistinctStrings(
+      if (keyRows.length <= MaxMergeProbeKeys) {
+        val coarse = keyCols.zipWithIndex.map { case (k, i) =>
+          val vs = keyRows.map(_.get(i)).toSeq
+          val nn = vs.filter(_ != null).distinct
+          val in = if (nn.isEmpty) lit(false) else col(s"`$k`").isin(nn: _*)
+          if (vs.exists(_ == null)) in || col(s"`$k`").isNull else in
+        }.reduce(_ && _)
+        val keyLit = spark.createDataFrame(
+          java.util.Arrays.asList(keyRows: _*), keyFields)
+        full.where(coarse)
+          .join(broadcast(keyLit),
+            keyCols.map(k => full(s"`$k`") <=> keyLit(s"`$k`")).reduce(_ && _), "left_semi")
+      } else {
+        full.as("t").join(keysOnly.as("s"),
+            keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_semi")
+      },
+      FnameCol)
+  }
 
   /** Past this many distinct source keys, the merge probe stops collecting
     * keys for pushed-down file pruning and falls back to a keys-only scan
@@ -1758,26 +1838,10 @@ object VersionedTable {
           if (cntProbe.length <= MaxMergeProbeKeys)
             cntProbe.iterator.map(_.getLong(keyCols.length)).sum
           else Long.MaxValue
-        val touchedNames: Set[String] = collectDistinctStrings(
-          if (keyProbe.length <= MaxMergeProbeKeys) {
-            val keys = keyProbe
-            val coarse = keyCols.zipWithIndex.map { case (k, i) =>
-              val vs = keys.map(_.get(i)).toSeq
-              val nn = vs.filter(_ != null).distinct
-              val in = if (nn.isEmpty) lit(false) else col(s"`$k`").isin(nn: _*)
-              if (vs.exists(_ == null)) in || col(s"`$k`").isNull else in
-            }.reduce(_ && _)
-            val keyLit = spark.createDataFrame(
-              java.util.Arrays.asList(keys: _*),
-              org.apache.spark.sql.types.StructType(keyCols.map(k => keyDf.schema(k))))
-            full.where(coarse)
-              .join(broadcast(keyLit),
-                keyCols.map(k => full(s"`$k`") <=> keyLit(s"`$k`")).reduce(_ && _), "left_semi")
-          } else {
-            full.as("t").join(keyDf.as("s"),
-                keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_semi")
-          },
-          FnameCol)
+        val touchedNames: Set[String] = probeTouchedFiles(spark, full,
+          keyProbe,
+          org.apache.spark.sql.types.StructType(keyCols.map(k => keyDf.schema(k))),
+          keyDf, keyCols)
         val (touched, untouched) = entries.partition(e => touchedNames(baseName(e.rel)))
         val targetDf =
           if (touched.isEmpty) full.drop(FnameCol, PosCol).limit(0)
@@ -2014,27 +2078,12 @@ object VersionedTable {
                 "unique — several source rows would match one target row (ambiguous merge)")
             counts.getLong(1)
           }
-        val touchedNames: Set[String] = collectDistinctStrings(
-          if (nKeys <= MaxMergeProbeKeys) {
-            val keys = cntProbe.map(r =>
-              org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
-            val coarse = keyCols.zipWithIndex.map { case (k, i) =>
-              val vs = keys.map(_.get(i)).toSeq
-              val nn = vs.filter(_ != null).distinct
-              val in = if (nn.isEmpty) lit(false) else col(s"`$k`").isin(nn: _*)
-              if (vs.exists(_ == null)) in || col(s"`$k`").isNull else in
-            }.reduce(_ && _)
-            val keyLit = spark.createDataFrame(
-              java.util.Arrays.asList(keys: _*),
-              org.apache.spark.sql.types.StructType(keyCols.map(k => keyDf.schema(k))))
-            full.where(coarse)
-              .join(broadcast(keyLit),
-                keyCols.map(k => full(s"`$k`") <=> keyLit(s"`$k`")).reduce(_ && _), "left_semi")
-          } else {
-            full.as("t").join(keyDf.as("s"),
-                keyCols.map(k => col(s"t.`$k`") <=> col(s"s.`$k`")).reduce(_ && _), "left_semi")
-          },
-          FnameCol)
+        // cntProbe is limit(cap+1)-bounded: ≤ cap rows take the pushed-down
+        // literal path, cap+1 rows overflow into the keys-only scan join
+        val touchedNames: Set[String] = probeTouchedFiles(spark, full,
+          cntProbe.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))),
+          org.apache.spark.sql.types.StructType(keyCols.map(k => keyDf.schema(k))),
+          keyDf, keyCols)
         // NOT MATCHED BY SOURCE arms rewrite target rows the source never
         // names, so their pruning is by the arms' own conditions, not the
         // key probe: one extra column-pruned scan finds files holding ANY
@@ -2522,6 +2571,16 @@ object VersionedTable {
       val fs   = new Path(dstDir).getFileSystem(conf)
       require(VersionedTable.log(dstDir).isEmpty,
         s"clone: $dstDir already has commits — clone only creates new tables")
+      // a clone CRASHED mid-way leaves orphan v=00000 schema/tombstone
+      // files (and, for deep clones, copied data) with NO commit entry;
+      // unlike the evolve path, clone hardcodes version 0, so a retry's
+      // writeDeclaredSchema would hit rename-onto-existing and brick the
+      // destination — sweep the proven-orphan metadata first (the
+      // log-empty gate above proves nothing ever committed here)
+      Seq(new Path(schemaDir(dstDir), "v=00000.json"),
+          new Path(schemaDir(dstDir), "v=00000.tombstones")).foreach { orphan =>
+        if (fs.exists(orphan)) fs.delete(orphan, false)
+      }
       val srcCommitted = VersionedTable.log(srcDir)
       require(srcCommitted.nonEmpty, s"clone: $srcDir has no committed version")
       val v = version.getOrElse(srcCommitted.last._1)
@@ -2631,11 +2690,23 @@ object VersionedTable {
           cur = cur.getParent
         }
       }
+      // every DV/DML path keys rows by file BASE NAME — two adopted files
+      // named part-00000.parquet in different subdirs would pass the plain
+      // read and then permanently refuse row-level ops at use time; the
+      // adoption gate is where that belongs
+      val dupNames = files.groupBy(_.getName).filter(_._2.size > 1).keys
+      require(dupNames.isEmpty,
+        s"convertParquet: duplicate data-file base names under $srcDir " +
+          s"(${dupNames.take(3).mkString(", ")}) — row-level operations key " +
+          "rows by base name; rename the files or adopt via spark.read + commit")
       // uniform-schema proof, DISTRIBUTED: the mergeSchema union over every
       // footer must equal the first footer's schema — a single narrower or
       // differently-typed file fails here instead of null-filling at read
+      // (recursiveFileLookup: the adoption listing recursed, the sweep must
+      // see the same files)
       val first  = org.apache.spark.sql.graft.FooterShim.schemaOf(spark, files.head.toString)
       val merged = spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
         .parquet(srcDir).schema
       def shape(s: org.apache.spark.sql.types.StructType) =
         s.fields.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType)).sortBy(_._1).toSeq
@@ -2758,7 +2829,17 @@ object VersionedTable {
         require(fs.exists(vDir(dir, v)),
           s"version $v of $dir was vacuumed " +
             s"(data retained for: ${versions(spark, dir).map(_._1).mkString(", ")})")
-        spark.read.parquet(vDir(dir, v).toString)
+        // one driver footer read instead of Spark's parallel schema-
+        // inference JOB per scan (snapshot files are schema-uniform by the
+        // commit gate — the same footerSchema device the manifest path uses)
+        val first = fs.listStatus(vDir(dir, v)).toSeq
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        first match {
+          case Some(f) => spark.read
+            .schema(org.apache.spark.sql.graft.FooterShim.schemaOf(spark, f.toString))
+            .parquet(vDir(dir, v).toString)
+          case None => spark.read.parquet(vDir(dir, v).toString)
+        }
       case _ =>
         val entries = entriesOfVersion(fs, dir, v, entry.get._2)
         require(entries.nonEmpty, s"version $v of $dir committed no data files")
@@ -3019,10 +3100,10 @@ object VersionedTable {
     // replay step below every value column's evolve commit): the diff then
     // reports added/removed only — "updated" cannot exist when the compared
     // non-key column set is empty (stepChangeType's eq degenerates to true)
-    def stepDf(v: Long): DataFrame = {
-      val (a, b) = prunedScans(spark, dir, v, v + 1, keyCols)
+    def stepDf(a0: Long, b0: Long): DataFrame = {
+      val (a, b) = prunedScans(spark, dir, a0, b0, keyCols)
       require(valueCols.forall(a.columns.contains) && valueCols.forall(b.columns.contains),
-        s"value columns ${valueCols.mkString(",")} must exist in versions $v and ${v + 1} " +
+        s"value columns ${valueCols.mkString(",")} must exist in versions $a0 and $b0 " +
           s"(have: ${a.columns.intersect(b.columns).mkString(",")}) — a column added " +
           "by a LATER evolution exists only from its evolve commit on (request the " +
           "span's columns, or diff from the evolve commit); a RENAME/DROP mid-span " +
@@ -3032,19 +3113,32 @@ object VersionedTable {
         .where(col("change_type").isNotNull)
         .select(
           keyCols.map(k => coalesce(col(s"a.`$k`"), col(s"b.`$k`")).as(k)) ++
-            Seq(lit(v + 1).as("version"), col("change_type")) ++
+            Seq(lit(b0).as("version"), col("change_type")) ++
             valueCols.flatMap(c => Seq(
               col(s"a.`$c`").as(s"${c}_old"), col(s"b.`$c`").as(s"${c}_new"))): _*)
     }
-    // dataChange=false steps (compactions) carry identical rows in new
-    // files: comparing them would read the ENTIRE table to report nothing —
-    // skip the step wholesale (the [[commitCompact]] contract)
-    val entryMs = VersionedTable.log(dir).toMap
-    val live = (vFrom until vTo).filterNot { v =>
-      entryMs.get(v + 1).exists(ms => isNoDataChange(dir, v + 1, ms)) }
+    // steps are consecutive COMMITTED version pairs: crashed attempts
+    // leave permanent number gaps (nextVersion never reuses), so a dense
+    // (v, v+1) walk would demand versions that never existed and wedge
+    // every consumer whose span crosses a gap. dataChange=false steps
+    // (compactions) carry identical rows in new files: comparing them
+    // would read the ENTIRE table to report nothing — skipped wholesale
+    // (the [[commitCompact]] contract).
+    val committed = VersionedTable.log(dir)
+    val entryMs   = committed.toMap
+    require(entryMs.contains(vTo),
+      s"changes: version $vTo does not exist in $dir " +
+        s"(committed head: ${committed.lastOption.map(_._1).getOrElse(-1L)})")
+    val commV = committed.map(_._1)
+    val base = commV.filter(_ <= vFrom).lastOption.getOrElse(sys.error(
+      s"changes: no committed version at or below $vFrom in $dir"))
+    val span = commV.filter(v => v > vFrom && v <= vTo)
+    val live = (base +: span).sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      .filterNot { case (_, b) =>
+        entryMs.get(b).exists(ms => isNoDataChange(dir, b, ms)) }
     if (live.isEmpty && vFrom < vTo)
-      stepDf(vTo - 1).limit(0) // compaction-only span: EMPTY feed, right schema
-    else live.map(stepDf).reduceOption(_.unionByName(_))
+      stepDf(base, vTo).limit(0) // compaction-only span: EMPTY feed, right schema
+    else live.map { case (a, b) => stepDf(a, b) }.reduceOption(_.unionByName(_))
       .getOrElse(sys.error(s"changes: empty span ($vFrom, $vFrom] has no steps"))
   }
 
@@ -3074,6 +3168,11 @@ object VersionedTable {
     // manifest is the one that shares files with the to side.) A span that
     // nets to re-layouts only is the truthful EMPTY feed.
     val logSeq = VersionedTable.log(dir)
+    require(logSeq.exists(_._1 == vTo),
+      s"netChanges: version $vTo does not exist in $dir (committed head: " +
+        s"${logSeq.lastOption.map(_._1).getOrElse(-1L)}) — a replication " +
+        "consumer advancing its offset past the head would silently skip " +
+        "every later commit")
     val ef = vFrom
     val et = logSeq.filter(_._1 <= vTo).reverse
       .find { case (vv, ms) => !isNoDataChange(dir, vv, ms) }

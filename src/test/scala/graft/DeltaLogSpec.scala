@@ -221,6 +221,74 @@ class DeltaLogSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 4)
   }
 
+  test("version-number gaps (crashed attempts) never wedge incremental consumers") {
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), dir)                       // v0
+    // a crashed snapshot commit: the data dir renamed, the entry never
+    // written — nextVersion must skip its number forever
+    new java.io.File(dir, "v=00001").mkdirs()
+    val v = VersionedTable.commitUpdate(spark, dir,
+      col("k") === 1L, Map("x" -> lit(99L)))
+    assert(v == 2L, s"the orphan's number must never be reused (got v$v)")
+    assert(VersionedTable.log(dir).map(_._1) == Seq(0L, 2L))
+    // the gap version changed nothing (and must not error)
+    assert(!VersionedTable.dataChanged(dir, 1L))
+    // changes() walks COMMITTED pairs across the gap
+    val ch = VersionedTable.changes(spark, dir, 0L, 2L, Seq("k"), Seq("x"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(ch == Set((1L, "updated")), ch.toString)
+    // netChanges refuses a version past the head (offset-advance safety)
+    val e = intercept[Exception] {
+      VersionedTable.netChanges(spark, dir, 0L, 999L, Seq("k"), Seq("x"))
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // batch CDF spans the gap
+    VersionedTable.setKeyColumns(dir, Seq("k"))
+    val feed = graft.sources.VersionedStream.changeFeedBatch(spark, dir,
+      startingVersion = 0L)
+    assert(feed.where(col("_change_type") === "update_postimage").count() == 1L)
+    // the plain STREAM walks the gap too
+    val root = java.nio.file.Files.createTempDirectory("graft_gap_s").toString
+    VersionedTable.commitAppend(spark, Seq((3L, 30L)).toDF("k", "x"), dir)  // v3
+    val q = spark.readStream.format(graft.sources.VersionedStream.format)
+      .option("path", dir).option("startingVersion", "3")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", root + "/out").option("checkpointLocation", root + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(root + "/out").count() == 1L)
+  }
+
+  test("setProperty overwrite is one atomic rename (value flips, never vanishes)") {
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark, Seq((1L, 1L)).toDF("k", "x"), dir)
+    VersionedTable.setProperty(dir, "stage", "bronze")
+    assert(VersionedTable.property(dir, "stage").contains("bronze"))
+    VersionedTable.setProperty(dir, "stage", "silver") // overwrite path
+    assert(VersionedTable.property(dir, "stage").contains("silver"))
+    VersionedTable.removeProperty(dir, "stage")
+    assert(VersionedTable.property(dir, "stage").isEmpty)
+  }
+
+  test("CONVERT refuses duplicate data-file base names at the adoption gate") {
+    val root = java.nio.file.Files.createTempDirectory("graft_convdup").toString
+    val lake = s"$root/lake"
+    spark.range(2L).toDF("k").coalesce(1).write.parquet(s"$lake/sub1")
+    // copy the single part file into a second subdir under the SAME name
+    val f = new java.io.File(s"$lake/sub1").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$lake/sub2").mkdirs()
+    java.nio.file.Files.copy(f.toPath,
+      new java.io.File(s"$lake/sub2", f.getName).toPath)
+    val e = intercept[Exception] {
+      VersionedTable.convertParquet(spark, lake, s"$root/t")
+    }
+    assert(e.getMessage.contains("duplicate data-file base names"), e.getMessage)
+  }
+
   test("restore and clone stay correct over delta-encoded history") {
     val dir = dirOf()
     (0 until 4).foreach { i =>
