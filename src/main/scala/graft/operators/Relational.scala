@@ -116,6 +116,21 @@ object Relational {
   def unionEvolved(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
 
+  /** The overflow-safe deterministic id-hash bucket every sampling/split
+    * operator keys rows by: `((id mod 1000003) * 2654435761) mod m`. ONE
+    * definition — external oracles replay this expression bit-exactly, so
+    * the five call sites must never drift (the prime pre-mod bounds the
+    * product under 2^52; see [[hashSplitTag]]'s doc for the argument).
+    *
+    * COMPOSITION CAVEAT: every operator built on this shares ONE unsalted
+    * bucket per id — composing two of them is degenerate (a 30% sample
+    * keeps exactly the rows a later 80% split tags "train"). That is
+    * deliberate (the oracle replays one formula), but pipelines that need
+    * independent decisions must derive a fresh id per stage (e.g.
+    * xxhash64(id, lit(stage)) first, as [[hashSplitTagAnyType]] does). */
+  private def hashBucket(idCol: Column, m: Long): Column =
+    pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(m))
+
   /** Deterministic hash-based split: assigns each row to train/val by a
     * multiplicative hash of its NUMERIC id — reproducible across runs,
     * engines, and repartitionings (unlike `randomSplit`, whose sampling is
@@ -137,7 +152,7 @@ object Relational {
     * the id type up front. */
   def hashSplitTag(idCol: Column, trainPct: Int): Column = {
     require(trainPct > 0 && trainPct < 100, s"trainPct must be in (0,100), got $trainPct")
-    val bucket = pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(100L))
+    val bucket = hashBucket(idCol, 100L)
     when(bucket < trainPct, lit("train")).otherwise(lit("val"))
   }
 
@@ -172,7 +187,7 @@ object Relational {
       defaultPct: Int = 0): DataFrame = {
     require(pctByStratum.values.forall(p => p >= 0 && p <= 100) &&
       defaultPct >= 0 && defaultPct <= 100, "percentages must be in [0,100]")
-    val bucket = pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(100L))
+    val bucket = hashBucket(idCol, 100L)
     // deterministic CASE order (sorted keys) so plans are stable run-to-run
     val pct = pctByStratum.toSeq.sortBy(_._1).foldRight(lit(defaultPct): Column) {
       case ((s, p), other) => when(stratumCol === s, lit(p)).otherwise(other)
@@ -217,7 +232,7 @@ object Relational {
     val rates = counts
       .withColumn("__c", min(col("__n") / col("__w")).over(Window.partitionBy()))
       .select(col("__stratum"), (col("__c") * col("__w") / col("__n")).as("__rate"))
-    val bucket = pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(1000000L))
+    val bucket = hashBucket(idCol, 1000000L)
     df.join(broadcast(rates), stratumCol === col("__stratum"))
       .where(bucket.cast("double") < col("__rate") * lit(1000000.0))
       .drop("__stratum", "__rate")
@@ -454,13 +469,19 @@ object Relational {
       groupCol: String,
       nMads: Double = 3.0): DataFrame = {
     require(nMads > 0, s"nMads must be > 0, got $nMads")
+    // null-safe joins: a null group key forms its own stats group (the
+    // zscoreNormalize discipline) — a plain === join would silently drop
+    // every null-group row, breaking the row-preserving contract
     val med = df.groupBy(groupCol).agg(median(col(valueCol)).as("med"))
-    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g1")
+    val dev = df.join(broadcast(med), col(groupCol) <=> col("__g1"))
       .withColumn("__adev", abs(col(valueCol) - col("med")))
+      .drop("__g1")
     val mad = dev.groupBy(groupCol).agg(median(col("__adev")).as("mad"))
-    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g2")
+    dev.join(broadcast(mad), col(groupCol) <=> col("__g2"))
       .withColumn("outlier", (col("__adev") > lit(nMads) * col("mad")).cast("long"))
-      .drop("__adev")
+      .drop("__adev", "__g2")
   }
 
   /** Equi-bucketed interval join — the SCALE form of a range join. The
@@ -593,7 +614,12 @@ object Relational {
       round(percentile(v, lit(pLo)), 6).as("__lo"),
       round(percentile(v, lit(pHi)), 6).as("__hi"))
     df.crossJoin(bounds)
-      .withColumn(s"${valueCol}_w", least(greatest(v, col("__lo")), col("__hi")))
+      // null propagates: Spark's greatest/least SKIP nulls, so the bare
+      // clamp would hand every null row the pLo bound — fabricated data
+      // in a training pipeline where null must stay null
+      .withColumn(s"${valueCol}_w",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 
@@ -626,7 +652,7 @@ object Relational {
     val rates = counts
       .withColumn("__c", min(sqrt(col("__n"))).over(Window.partitionBy()))
       .select(col("__stratum"), (col("__c") * sqrt(col("__n")) / col("__n")).as("__rate"))
-    val bucket = pmod(pmod(idCol.cast("long"), lit(1000003L)) * lit(2654435761L), lit(1000000L))
+    val bucket = hashBucket(idCol, 1000000L)
     df.join(broadcast(rates), stratumCol === col("__stratum"))
       .where(bucket.cast("double") < col("__rate") * lit(1000000.0))
       .drop("__stratum", "__rate")
@@ -691,8 +717,16 @@ object Relational {
     require(trackedCols.forall(bizCols.contains), s"trackedCols must be business columns")
     val outCols = (bizCols ++ scdCols).map(col)
 
-    val cur  = dim.where(col(currentCol))
-    val hist = dim.where(!col(currentCol)).select(outCols: _*)
+    // a null currentCol row would pass NEITHER filter (both where clauses
+    // reject null) and silently vanish from the dimension on every merge —
+    // refuse in-plan instead (raise_error evaluates per row, no extra job)
+    val curGuard = when(col(currentCol).isNull,
+      raise_error(concat(lit(s"scd2Merge: null `$currentCol` for key "),
+        col(keyCol).cast("string"),
+        lit(" — a row neither current nor historical would be dropped"))))
+      .otherwise(col(currentCol))
+    val cur  = dim.where(curGuard)
+    val hist = dim.where(!curGuard).select(outCols: _*)
     val d = cur.alias("d")
     val u = updates.alias("u")
 
@@ -740,15 +774,21 @@ object Relational {
       keyCol: String,
       compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "need at least one compare column")
-    val o = oldDf.select((keyCol +: compareCols).map(col): _*).alias("o")
-    val n = newDf.select((keyCol +: compareCols).map(col): _*).alias("n")
+    // PRESENCE FLAGS, not key.isNull: a row whose key VALUE is null would
+    // read as "absent" on its own side (an old-side null-key row was
+    // misreported as an insert); the null-safe join keeps null keys
+    // matchable and the flags make match-ness explicit
+    val o = oldDf.select((keyCol +: compareCols).map(col): _*)
+      .withColumn("__o_present", lit(true)).alias("o")
+    val n = newDf.select((keyCol +: compareCols).map(col): _*)
+      .withColumn("__n_present", lit(true)).alias("n")
     val changed = compareCols
       .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
       .reduce(_ || _)
-    o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+    o.join(n, col(s"o.$keyCol") <=> col(s"n.$keyCol"), "full_outer")
       .withColumn("op",
-        when(col(s"o.$keyCol").isNull, "insert")
-          .when(col(s"n.$keyCol").isNull, "delete")
+        when(col("__o_present").isNull, "insert")
+          .when(col("__n_present").isNull, "delete")
           .when(changed, "update"))
       .where(col("op").isNotNull)
       .select(coalesce(col(s"n.$keyCol"), col(s"o.$keyCol")).as(keyCol), col("op"))
@@ -809,9 +849,17 @@ object Relational {
     require(changes.columns.contains(opCol), s"changes must carry `$opCol`")
     require(valCols.filterNot(_ == keyCol).forall(changes.columns.contains),
       "changes must carry every target column for insert/update rows")
-    val touched = changes.select(col(keyCol).as("__k")).distinct()
+    // an UNRECOGNIZED op string ("UPDATE", "upsert", a typo) would join
+    // its key into the removal set but never re-apply the row — a silent
+    // delete; refuse in-plan (raise_error evaluates per row, no extra job)
+    val opChecked = changes.withColumn(opCol,
+      when(col(opCol).isin("insert", "update", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit("applyChangeSet: unrecognized op `"), col(opCol),
+          lit("` (expected insert | update | delete, case-sensitive)")))))
+    val touched = opChecked.select(col(keyCol).as("__k")).distinct()
     val kept = target.join(broadcast(touched), col(keyCol) === col("__k"), "left_anti")
-    val applied = changes.where(col(opCol).isin("insert", "update"))
+    val applied = opChecked.where(col(opCol).isin("insert", "update"))
       .select(valCols.map(col): _*)
     kept.unionByName(applied)
   }
@@ -885,7 +933,11 @@ object Relational {
     val cuts = (1 until buckets).map(_.toDouble / buckets)
     val bounds = df.agg(
       transform(percentile(v, typedLit(cuts)), c => round(c, 6)).as("__cuts"))
-    df.crossJoin(bounds)
+    // nulls are EXCLUDED, matching the percentile aggregate that computed
+    // the cuts over non-null values only — without the filter every null
+    // row landed in bucket 1 (the filter lambda drops all cuts for null),
+    // silently skewing the histogram
+    df.where(v.isNotNull).crossJoin(bounds)
       .withColumn("bucket", (size(filter(col("__cuts"), b => b <= v)) + 1).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))

@@ -228,10 +228,13 @@ object StreamingInference {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        // path.getFileSystem, NOT FileSystem.get(default): an indexDir on
+        // a non-default scheme (s3a:// under an hdfs:// default) would
+        // throw Wrong FS on every micro-batch (readSink's documented rule)
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index =
-          if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+          if (fs.exists(idxPath))
             // Exclude THIS batch id's partition: a replayed batch (crash
             // after a partial index write, before the checkpoint commit)
             // would otherwise probe its own signatures, match every doc
@@ -262,7 +265,13 @@ object StreamingInference {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir).drop("batch_id")
+    // an EMPTY SOURCE runs zero batches and never creates outDir — return
+    // an empty frame of the known schema rather than PATH_NOT_FOUND (the
+    // runToCompletion/streamValidateRoute discipline)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (!outPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outPath))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(outDir).drop("batch_id")
   }
 
   /** Streaming perceptual-hash image dedup — [[streamNearDedup]]'s
@@ -290,10 +299,11 @@ object StreamingInference {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        // path.getFileSystem, not the default FS (see streamNearDedup)
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index =
-          if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+          if (fs.exists(idxPath))
             spark.read.parquet(indexDir)
               .where(col("batch_id") =!= batchId).drop("batch_id")
           else batch.limit(0).select(col(idCol), lit(0L).as("phash"))
@@ -313,7 +323,11 @@ object StreamingInference {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir).drop("batch_id")
+    // empty-source fallback, like streamNearDedup
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (!outPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outPath))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(outDir).drop("batch_id")
   }
 
   /** Continuous data-quality routing — `Relational.validateRules` in a
