@@ -99,12 +99,21 @@ object BloomIndex {
           throw new IllegalStateException(
             s"no bloom index for '$column' at $dir — build it with BloomIndex.write", e)
       }
+    // NAME-SET comparison, not a count: a same-count rewrite (N files
+    // overwritten by N different files) would pass a count guard and every
+    // stale bloom would answer mightContain=false for keys that exist —
+    // a silently empty lookup (same hole the skipping manifest had)
     val p  = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val actual = fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet"))
-    require(actual == rows.length,
-      s"bloom index at $dir is STALE: it describes ${rows.length} files but the " +
-        s"table has $actual — re-run BloomIndex.write after appends/rewrites")
+    val actual = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val described = rows.map { case (f, _) =>
+      new org.apache.hadoop.fs.Path(f).getName }.toSet
+    require(described == actual,
+      s"bloom index at $dir is STALE: " +
+        s"${(actual -- described).take(3).mkString(", ")} on disk but not " +
+        s"described / ${(described -- actual).take(3).mkString(", ")} described " +
+        "but gone — re-run BloomIndex.write after appends/rewrites")
     rows
   }
 }

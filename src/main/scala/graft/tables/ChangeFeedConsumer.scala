@@ -44,9 +44,16 @@ object ChangeFeedConsumer {
     val fs  = consumersDir(dir).getFileSystem(FsIO.hadoopConf())
     val tmp = new Path(consumersDir(dir), s"$id.offset.tmp")
     FsIO.writeText(tmp.toString, s"version=$v\n")
-    fs.delete(offsetPath(dir, id), false)
-    if (!fs.rename(tmp, offsetPath(dir, id)))
-      sys.error(s"ChangeFeedConsumer: could not publish offset $v for $id in $dir")
+    // ONE atomic OVERWRITE rename, never delete-then-rename: a crash in
+    // the delete→rename window would lose the offset entirely and the
+    // next poll would re-run the bootstrap SNAPSHOT on top of a populated
+    // sink (every row duplicated) — the same pattern the table's property
+    // store and log already reject
+    val target = fs.makeQualified(offsetPath(dir, id))
+    val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, FsIO.hadoopConf())
+    fctx.rename(fs.makeQualified(tmp), target,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Poll once at span grain — the lease/offset core under both feed
@@ -59,12 +66,24 @@ object ChangeFeedConsumer {
   def pollSpan(spark: SparkSession, dir: String, id: String)(
       snapshot: (DataFrame, Long) => Unit)(
       span: (Long, Long) => Unit,
-      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs): Long =
+      lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
+      sinkOffset: () => Option[Long] = () => None): Long =
     FsIO.withWriteLock(offsetPath(dir, id).toString, s"ChangeFeedConsumer($id)",
         lockLeaseMs) {
       val latest = VersionedTable.latestVersion(dir)
         .getOrElse(sys.error(s"ChangeFeedConsumer: $dir has no committed version"))
-      offset(dir, id) match {
+      // effective offset = the FURTHEST of the offset file and the sink's
+      // own durable marker (`sinkOffset`, e.g. the replicate txn markers):
+      // a crash between the sink commit and the offset write leaves the
+      // sink AHEAD of the file — re-delivering from the stale file offset
+      // while the source kept moving can apply a span whose endpoints
+      // straddle the already-applied work (phantom keys that netted away
+      // across the crash boundary would survive in the sink forever), and
+      // a LOST offset file would re-run the whole bootstrap snapshot on a
+      // populated sink. The sink marker recovers both.
+      val eff = (offset(dir, id).toSeq ++ sinkOffset().toSeq)
+        .reduceOption(_ max _)
+      eff match {
         case None =>
           snapshot(VersionedTable.read(spark, dir, Some(latest)), latest)
           writeOffset(dir, id, latest)
@@ -77,6 +96,10 @@ object ChangeFeedConsumer {
           require(from == latest,
             s"ChangeFeedConsumer: offset $from is ahead of the source ($latest) — " +
               "the source table was rebuilt; drop the consumer offset to re-bootstrap")
+          // self-heal: when the sink marker was ahead of (or replaced) a
+          // stale/lost offset file, repair the file so the next poll
+          // doesn't depend on the sink lookup again
+          if (!offset(dir, id).contains(from)) writeOffset(dir, id, from)
           from
       }
     }
@@ -117,10 +140,23 @@ object ChangeFeedConsumer {
       silverTransform: DataFrame => DataFrame = identity): Long = {
     import org.apache.spark.sql.functions._
     val ctCol = "__graft_change_type"
+    // the sink's own durable markers recover the offset when the file is
+    // lost or behind (crash between the silver commit and the offset
+    // write); both the bootstrap and the apply markers count
+    def silverMarker(): Option[Long] =
+      if (VersionedTable.latestVersion(silverDir).isEmpty) None
+      else (VersionedTable.lastTxnVersion(silverDir, s"replicate:$id").toSeq ++
+        VersionedTable.lastTxnVersion(silverDir, s"replicate:$id:apply").toSeq)
+        .reduceOption(_ max _)
     pollSpan(spark, bronzeDir, id) { (state, v) =>
-      VersionedTable.commitAppend(spark, silverTransform(state), silverDir,
+      // the mirror maintains keyCols ++ valueCols (spans carry nothing
+      // else) — bootstrapping the FULL bronze schema would leave any
+      // extra column permanently stale on update and null on insert
+      val projected = state.select(
+        (keyCols ++ valueCols.filterNot(keyCols.contains)).map(c => col(s"`$c`")): _*)
+      VersionedTable.commitAppend(spark, silverTransform(projected), silverDir,
         txn = Some((s"replicate:$id", v)))
-    } { (from, to) =>
+    } ({ (from, to) =>
       val net = VersionedTable.netChanges(spark, bronzeDir, from, to,
         keyCols, valueCols)
       // source = the span's net per-key state, shaped as the silver row
@@ -137,7 +173,17 @@ object ChangeFeedConsumer {
           valueCols.filterNot(keyCols.contains)
             .map(c => col(s"`${c}_new`").as(c)) :+
           col("change_type").as(ctCol): _*)
-      val src = silverTransform(shaped.where(col(ctCol) =!= "removed"))
+      val upserts = shaped.where(col(ctCol) =!= "removed")
+      val kept    = silverTransform(upserts)
+      // an update that moves a row OUT of a filtering transform must
+      // become a DELETE — the row left f(bronze), so a matching silver
+      // row is stale; without this the filtered-out upsert simply never
+      // reached the merge and the stale row survived forever
+      val filteredOut = upserts
+        .join(kept.select(keyCols.map(c => col(s"`$c`")): _*), keyCols, "left_anti")
+        .withColumn(ctCol, lit("removed"))
+      val src = kept
+        .unionByName(filteredOut)
         .unionByName(shaped.where(col(ctCol) === "removed"))
       VersionedTable.commitMergeConditional(spark, silverDir, src, keyCols,
         Seq(
@@ -145,6 +191,6 @@ object ChangeFeedConsumer {
           VersionedTable.WhenMatchedUpdate(Some(s"s.$ctCol != 'removed'"), Map.empty),
           VersionedTable.WhenNotMatchedInsert(Some(s"s.$ctCol != 'removed'"), None)),
         txn = Some((s"replicate:$id:apply", to)))
-    }
+    }, sinkOffset = () => silverMarker())
   }
 }

@@ -294,10 +294,14 @@ object MaterializedAgg {
             min(col(s"ins_min_$c")).as(s"ins_min_$c"), max(col(s"ins_max_$c")).as(s"ins_max_$c"),
             min(col(s"del_min_$c")).as(s"del_min_$c"), max(col(s"del_max_$c")).as(s"del_max_$c")))): _*)
       .localCheckpoint(true) // consumed by the dirty collect AND both legs below
-    // dirty iff a retraction reaches a stored extremum; NULL-valued
-    // comparisons (no retraction, or all-NULL retraction) coalesce to clean
+    // dirty iff a retraction reaches a stored extremum — INCLUDING a NULL
+    // stored extremum (a group new in the span, or stored all-NULL): the
+    // null comparison would read as clean, and the clean fold would keep a
+    // value the span also deleted (insert 5+9, delete 5 on a new group
+    // folded to min 5 instead of 9). NULL retractions still fold clean.
     val dirtyCond = coalesce(mm.map(c =>
-      col(s"del_min_$c") <= col(s"st_min_$c") || col(s"del_max_$c") >= col(s"st_max_$c"))
+      col(s"del_min_$c") <= col(s"st_min_$c") || col(s"del_max_$c") >= col(s"st_max_$c") ||
+        (col(s"del_min_$c").isNotNull && col(s"st_min_$c").isNull))
       .reduce(_ || _), lit(false))
     val cleanMm = perGroup.where(!dirtyCond).select(gCols ++ mm.flatMap(c => Seq(
       least(col(s"st_min_$c"), col(s"ins_min_$c")).as(minColName(c)),

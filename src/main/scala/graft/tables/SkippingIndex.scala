@@ -85,7 +85,7 @@ object SkippingIndex {
       TableManager.DefaultLockLeaseMs) {
       // eager checkpoint: the manifest rewrite below overwrites the very
       // files a lazy `old` would still be reading from
-      val old = loadManifest(spark, path).localCheckpoint(true)
+      val (old, _) = loadManifest(spark, path)
       statCols.foreach(c => require(old.columns.contains(s"min_$c"),
         s"manifest at $path lacks stats for $c — refreshStats with the full column set first"))
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -97,23 +97,26 @@ object SkippingIndex {
         .sortWithinPartitions(sortCol)
         .write.mode("append").parquet(path)
       val fresh = (listing() -- before).toSeq.sorted
-      require(fresh.nonEmpty, "append produced no files — empty batch?")
-      val aggs = statAggs(statCols)
-      val freshStats = spark.read.parquet(fresh: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint(true) // consumed twice: empty-file sweep + manifest
-      // ZERO-ROW appended files (an empty batch, or empty range partitions)
-      // yield no stats row, which would break the file↔manifest count
-      // parity the staleness guard enforces — delete them; they carry no
-      // data a reader could miss
-      val statedFiles = freshStats.select("file").collect().map(_.getString(0))
-        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
-      fresh.filterNot(statedFiles.contains)
-        .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      // rewrite the (tiny) manifest with old ∪ fresh rows
-      old.unionByName(freshStats).coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/$StatsDir")
+      // an EMPTY batch writes no files — a routine continuous-ingest tick,
+      // not an error: the manifest and data are both unchanged, no-op
+      if (fresh.nonEmpty) {
+        val aggs = statAggs(statCols)
+        val freshStats = spark.read.parquet(fresh: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint(true) // consumed twice: empty-file sweep + manifest
+        // ZERO-ROW appended files (an empty batch, or empty range partitions)
+        // yield no stats row, which would break the file↔manifest parity
+        // the staleness guard enforces — delete them; they carry no
+        // data a reader could miss
+        val statedFiles = freshStats.select("file").collect().map(_.getString(0))
+          .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+        fresh.filterNot(statedFiles.contains)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        // rewrite the (tiny) manifest with old ∪ fresh rows
+        old.unionByName(freshStats).coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/$StatsDir")
+      }
     }
   }
 
@@ -146,7 +149,7 @@ object SkippingIndex {
     * a manifest that drifted from the data dir must fail, not answer. */
   def statsOnlyAggregate(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    val stats = loadManifest(spark, path)
+    val (stats, _) = loadManifest(spark, path)
     cols.foreach(c => require(stats.columns.contains(s"min_$c"),
       s"column $c is not in the skipping manifest at $path/$StatsDir — " +
         "rebuild with refreshStats including it"))
@@ -163,31 +166,37 @@ object SkippingIndex {
   }
 
   /** Manifest read shared by pruning and metadata-only aggregation:
-    * loud on absence, loud on staleness (see [[prunedFilesMulti]]). */
-  private def loadManifest(spark: SparkSession, path: String): DataFrame = {
+    * loud on absence, loud on staleness. The guard compares the manifest's
+    * FILE-NAME SET against the data dir's listing (same one listing a
+    * count-only guard paid) — a same-count rewrite (N files overwritten
+    * by N different files) used to pass the count check and silently
+    * answer pruning reads and metadata-only aggregates from stale stats.
+    * Also returns the manifest row count so hot read paths don't run a
+    * second count job over the same frame. */
+  private def loadManifest(spark: SparkSession, path: String): (DataFrame, Long) = {
     val stats =
-      try spark.read.parquet(s"$path/$StatsDir")
+      try spark.read.parquet(s"$path/$StatsDir").localCheckpoint(true)
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalStateException(
             s"no skipping manifest at $path/$StatsDir — write this table " +
               s"with SkippingIndex.writeClustered (or read it plainly)", e)
       }
-    val total = stats.count()
-    // STALENESS GUARD: a file appended (or rewritten) after the manifest
-    // was built is invisible here — answering from a stale manifest would
-    // silently MISS rows, a correctness bug. The data dir's parquet file
-    // count must match the manifest exactly; on drift, fail with the fix.
+    val described = stats.select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
     val actual = {
       val p  = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet"))
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSet
     }
-    require(actual == total,
-      s"skipping manifest at $path/$StatsDir is STALE: it describes $total " +
-        s"files but the table has $actual — run SkippingIndex.refreshStats " +
-        s"after any append/rewrite that bypassed writeClustered")
-    stats
+    require(described == actual,
+      s"skipping manifest at $path/$StatsDir is STALE: " +
+        s"${(actual -- described).take(3).mkString(", ")} on disk but not " +
+        s"described / ${(described -- actual).take(3).mkString(", ")} described " +
+        "but gone — run SkippingIndex.refreshStats after any append/rewrite " +
+        "that bypassed writeClustered")
+    (stats, described.size.toLong)
   }
 
   /** Multi-predicate pruning: a file survives only if EVERY (col, lo, hi)
@@ -198,8 +207,7 @@ object SkippingIndex {
       path: String,
       preds: Seq[(String, Column, Column)]): (Seq[String], Long) = {
     require(preds.nonEmpty, "need at least one predicate")
-    val stats = loadManifest(spark, path)
-    val total = stats.count()
+    val (stats, total) = loadManifest(spark, path)
     val cond = preds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)

@@ -38,12 +38,19 @@ object TimePartitioned {
   }
 
   /** Write `df` partitioned by the UTC day of `tsNanosCol`. One shuffle on
-    * the day key so each partition directory gets contiguous files (the
-    * partitionBy small-file discipline of `buildIvfIndex`). */
-  def write(df: DataFrame, dir: String, tsNanosCol: String): Unit =
+    * (day, intra-day spread) so each partition directory gets contiguous,
+    * FEW files (the partitionBy small-file discipline of `buildIvfIndex`)
+    * WITHOUT funneling a whole day through one task — hashing on the day
+    * key alone serialized a hot day (1 TB of one p_day value) into a
+    * single straggler task writing a single multi-GB file. `filesPerDay`
+    * bounds both the parallelism and the per-directory file count. */
+  def write(df: DataFrame, dir: String, tsNanosCol: String,
+      filesPerDay: Int = 8): Unit = {
+    require(filesPerDay >= 1, s"filesPerDay must be >= 1, got $filesPerDay")
     df.withColumn("p_day", dayColExpr(tsNanosCol))
-      .repartition(col("p_day"))
+      .repartition(col("p_day"), pmod(col(tsNanosCol), lit(filesPerDay.toLong)))
       .write.mode("overwrite").partitionBy("p_day").parquet(dir)
+  }
 
   /** Time-range read: the [fromNanos, toNanos] predicate maps to a day-key
     * partition filter (directory pruning at planning time) plus the exact

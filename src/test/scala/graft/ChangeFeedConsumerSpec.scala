@@ -95,6 +95,54 @@ class ChangeFeedConsumerSpec extends SparkSpec {
       "the filtering transform swallowed the delete")
   }
 
+  test("an update that leaves a filtering transform's predicate DELETES the silver row") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cfc5").toString
+    val (bronze, silver) = (s"$root/bronze", s"$root/silver")
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 20L).select(col("id").as("k"), (col("id") + 1L).as("x"),
+        lit("base").as("tag")), bronze)
+    def m(): Long = ChangeFeedConsumer.replicate(spark, bronze, silver, "fo",
+      Seq("k"), Seq("k", "x", "tag"),
+      silverTransform = df => df.where(col("x") > 0L))
+    m()
+    assert(VersionedTable.read(spark, silver).count() == 20L)
+    // k=3 moves OUT of the filter: the silver row must disappear, not stale
+    VersionedTable.commitUpdate(spark, bronze, col("k") === 3L, Map("x" -> lit(-5L)))
+    m()
+    val silverKeys = VersionedTable.read(spark, silver).collect().map(_.getLong(0)).toSet
+    assert(!silverKeys.contains(3L),
+      "an out-of-filter update must delete the stale silver row")
+    assert(silverKeys.size == 19)
+    // and moving back IN re-inserts it
+    VersionedTable.commitUpdate(spark, bronze, col("k") === 3L, Map("x" -> lit(42L)))
+    m()
+    assert(VersionedTable.read(spark, silver).where(col("k") === 3L)
+      .head.getLong(1) == 42L)
+  }
+
+  test("a lost offset file recovers from the silver txn markers — no snapshot duplication") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cfc6").toString
+    val (bronze, silver) = (s"$root/bronze", s"$root/silver")
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 50L).select(col("id").as("k"), (col("id") * 10L).as("x"),
+        lit("base").as("tag")), bronze)
+    ChangeFeedConsumer.replicate(spark, bronze, silver, "rec",
+      Seq("k"), Seq("k", "x", "tag"))
+    assert(VersionedTable.read(spark, silver).count() == 50L)
+    // simulate the crash window: the offset file vanishes while the sink
+    // kept its bootstrap txn marker; bronze then advances
+    val off = new java.io.File(s"$bronze/_consumers/rec.offset")
+    assert(off.exists); off.delete()
+    VersionedTable.commitAppend(spark,
+      Seq((500L, 1L, "new")).toDF("k", "x", "tag"), bronze)
+    ChangeFeedConsumer.replicate(spark, bronze, silver, "rec",
+      Seq("k"), Seq("k", "x", "tag"))
+    assert(VersionedTable.read(spark, silver).count() == 51L,
+      "a re-bootstrap on the populated sink would have duplicated every row")
+  }
+
   test("span apply is ONE silver commit and bounded Spark jobs") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cfc3").toString
