@@ -85,7 +85,8 @@ object SkippingIndex {
       TableManager.DefaultLockLeaseMs) {
       // eager checkpoint: the manifest rewrite below overwrites the very
       // files a lazy `old` would still be reading from
-      val (old, _) = loadManifest(spark, path)
+      val (old0, _) = loadManifest(spark, path)
+      val old = old0.localCheckpoint(true)
       statCols.foreach(c => require(old.columns.contains(s"min_$c"),
         s"manifest at $path lacks stats for $c — refreshStats with the full column set first"))
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -175,7 +176,7 @@ object SkippingIndex {
     * second count job over the same frame. */
   private def loadManifest(spark: SparkSession, path: String): (DataFrame, Long) = {
     val stats =
-      try spark.read.parquet(s"$path/$StatsDir").localCheckpoint(true)
+      try spark.read.parquet(s"$path/$StatsDir")
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalStateException(

@@ -2699,21 +2699,16 @@ object VersionedTable {
         s"convertParquet: duplicate data-file base names under $srcDir " +
           s"(${dupNames.take(3).mkString(", ")}) — row-level operations key " +
           "rows by base name; rename the files or adopt via spark.read + commit")
-      // uniform-schema proof, DISTRIBUTED: the mergeSchema union over every
-      // footer must equal the first footer's schema — a single narrower or
-      // differently-typed file fails here instead of null-filling at read
-      // (recursiveFileLookup: the adoption listing recursed, the sweep must
-      // see the same files)
-      val first  = org.apache.spark.sql.graft.FooterShim.schemaOf(spark, files.head.toString)
-      val merged = spark.read.option("mergeSchema", "true")
-        .option("recursiveFileLookup", "true")
-        .parquet(srcDir).schema
-      def shape(s: org.apache.spark.sql.types.StructType) =
-        s.fields.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType)).sortBy(_._1).toSeq
-      require(shape(first) == shape(merged),
-        s"convertParquet: $srcDir holds files with differing schemas — " +
-          s"one footer reads ${first.simpleString}, the union of all is " +
-          s"${merged.simpleString}; normalize first (spark.read + commit)")
+      // uniform-schema proof, DISTRIBUTED over every footer: ANY mixture
+      // of file shapes refuses (a mergeSchema union compared against one
+      // arbitrary footer passes whenever the widest file happens to list
+      // first — narrower files would then silently null-fill at read)
+      val shapes = org.apache.spark.sql.graft.FooterShim
+        .distinctFooterShapes(spark, files.map(_.toString).toSeq)
+      require(shapes.size == 1,
+        s"convertParquet: $srcDir holds files with ${shapes.size} differing " +
+          s"schemas (${shapes.take(2).map(_.take(120)).mkString(" VS ")}) — " +
+          "normalize first (spark.read + commit)")
       val adopted = files.map(p => FileEntry(p.toUri.getPath, Nil)).toSeq
       publishEntries(fs, tableDir, 0L, Some(adopted), opLabel = "CONVERT")
       0L

@@ -41,4 +41,29 @@ object FooterShim {
           spark.asInstanceOf[ClassicSession].sessionState.conf).convert(meta.getSchema))
     } finally reader.close()
   }
+
+  /** DISTRIBUTED distinct footer field shapes (lower-cased name → type
+    * string, sorted) across `paths` — the uniform-schema proof CONVERT
+    * adoption runs. A mergeSchema union compared against ONE footer only
+    * catches files narrower than that arbitrary first file; this reads
+    * every footer executor-side (O(files) spread over the cluster, the
+    * one-time adoption cost) and returns the distinct shapes, so ANY
+    * mixture refuses regardless of listing order. Lives here for
+    * `SerializableConfiguration` (private[spark]). */
+  def distinctFooterShapes(spark: SparkSession, paths: Seq[String]): Seq[String] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.asInstanceOf[ClassicSession].sessionState.newHadoopConf())
+    spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 64)))
+      .map { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f), conf.value))
+        try {
+          reader.getFooter.getFileMetaData.getSchema.getFields
+            .toArray.map(_.toString.toLowerCase(java.util.Locale.ROOT))
+            .sorted.mkString("; ")
+        } finally reader.close()
+      }
+      .distinct().collect().toSeq
+  }
 }
