@@ -4393,13 +4393,14 @@ object SparkEntry {
         "sc AS (SELECT qid, rank, rel, SUM(rel) OVER (PARTITION BY qid ORDER BY rank) AS hits_r FROM top), " +
         "ag AS (SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_hits, " +
         "CAST(SUM(rel * hits_r * (2520 // rank)) AS BIGINT) AS ap_num, " +
-        "MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel FROM sc GROUP BY qid) " +
-        "SELECT a.qid, n.n_rel, a.n_hits, " +
-        "ROUND(CAST(a.n_hits AS DOUBLE) / 10, 6) AS p_at_k, " +
-        "ROUND(CAST(a.n_hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE), 6) AS r_at_k, " +
+        "MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel FROM sc GROUP BY qid), " +
+        "resq AS (SELECT DISTINCT qid FROM res) " +
+        "SELECT n.qid, n.n_rel, COALESCE(a.n_hits, 0) AS n_hits, " +
+        "ROUND(CAST(COALESCE(a.n_hits, 0) AS DOUBLE) / 10, 6) AS p_at_k, " +
+        "ROUND(CAST(COALESCE(a.n_hits, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE), 6) AS r_at_k, " +
         "ROUND(COALESCE(1.0 / CAST(a.first_rel AS DOUBLE), 0.0), 6) AS rr, " +
-        "ROUND(CAST(a.ap_num AS DOUBLE) / CAST(LEAST(n.n_rel, 10) * 2520 AS DOUBLE), 6) AS ap " +
-        "FROM ag a JOIN nrel n USING (qid) ORDER BY a.qid"),
+        "ROUND(CAST(COALESCE(a.ap_num, 0) AS DOUBLE) / CAST(LEAST(n.n_rel, 10) * 2520 AS DOUBLE), 6) AS ap " +
+        "FROM nrel n JOIN resq USING (qid) LEFT JOIN ag a USING (qid) ORDER BY n.qid"),
 
     "q_jaccard_join" ->
       // FULL brute force — every pair, exact integer-rational threshold

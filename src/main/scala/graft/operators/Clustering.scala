@@ -36,7 +36,28 @@ object Clustering {
     * distance to the point's final centroid. Rows with a NULL vector are
     * dropped (they have no position). */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    fitCore(df, idCol, vecCol, k, iters)._1
+      .select(col("pid").as(idCol), col("cid").as("cluster"), col("d").as("dist"))
+
+  /** Per-dimension table of the centroids the FINAL assignment was made
+    * against — exposed so a fit can be probed/reused (the IVF-build
+    * shape). These are exactly [[kmeansAssign]]'s reference points: a
+    * probe's nearest-centroid agrees with the fit's own assignment (the
+    * previous form re-derived means FROM the final assignment — one Lloyd
+    * update ahead of the distances the assignment reported, so an index
+    * built from it probed different geometry than the fit assigned). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    fitCore(df, idCol, vecCol, k, iters)._2
+      .select(col("cid").as("cluster"), posexplode(col("c")).as(Seq("p", "m")))
+
+  /** The shared fit: `iters` Lloyd rounds, then one final assignment
+    * against the post-loop centroids. Returns (final assignment, the
+    * centroid table that assignment used) — the two views MUST come from
+    * one fit or they desynchronize by one update step. */
+  private def fitCore(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pts = df
@@ -49,10 +70,8 @@ object Clustering {
       .select((row_number().over(Window.orderBy("pid")) - 1).cast("long").as("cid"),
         col("v").as("c"))
       .localCheckpoint(true)
-    var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assign(pts, cents)
-      cents = assigned
+      cents = assign(pts, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
         .groupBy("cid", "p").agg(round(avg("x"), 6).as("m"))
         .groupBy("cid")
@@ -61,19 +80,7 @@ object Clustering {
         .localCheckpoint(true)
     }
     // final positions against the final centroids
-    assign(pts, cents)
-      .select(col("pid").as(idCol), col("cid").as("cluster"), col("d").as("dist"))
-  }
-
-  /** Per-dimension centroid table of the final iteration — exposed so a
-    * fit can be probed/reused (the IVF-build shape). */
-  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    val a = kmeansAssign(df, idCol, vecCol, k, iters)
-    val pts = df.select(col(s"`$idCol`").as(idCol), col(s"`$vecCol`").cast("array<double>").as("v"))
-    a.join(pts, idCol)
-      .select(col("cluster"), posexplode(col("v")).as(Seq("p", "x")))
-      .groupBy("cluster", "p").agg(round(avg("x"), 6).as("m"))
+    (assign(pts, cents), cents)
   }
 
   /** Broadcast-assign every point to its nearest centroid: rounded
@@ -81,9 +88,17 @@ object Clustering {
     * cid, d); `min(struct(d, cid))` is the argmin — no window, one
     * map-side-combined aggregation. */
   private def assign(pts: DataFrame, cents: DataFrame): DataFrame = {
-    val d = round(
+    val d0 = round(
       sqrt(aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
         lit(0.0), _ + _)), 6)
+    // a dimension mismatch nulls the fold, and a null distance sorts
+    // FIRST in the struct-min — the malformed point would silently "win"
+    // cluster 0 and skew its means for every later round; refuse per row
+    val d = when(size(col("v")) =!= size(col("c")),
+      raise_error(concat(lit("kmeans: vector of dim "),
+        size(col("v")).cast("string"),
+        lit(" does not match centroid dim "),
+        size(col("c")).cast("string")))).otherwise(d0)
     pts.crossJoin(broadcast(cents))
       .select(col("pid"), col("v"), struct(d.as("d"), col("cid").as("cid")).as("dc"))
       .groupBy("pid").agg(min(col("dc")).as("best"), first(col("v")).as("v"))

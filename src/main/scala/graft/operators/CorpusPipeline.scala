@@ -55,6 +55,10 @@ object CorpusPipeline {
     // struct-field branches and re-evaluated 2-3x per row — the fence keeps
     // the kernel at exactly ONE invocation per document (CorpusPipelineSpec
     // asserts the invocation count)
+    require(cfg.languages.nonEmpty,
+      "CorpusPipeline: languages must be non-empty — an empty isin() is " +
+        "constant-false and would silently emit an EMPTY corpus (list the " +
+        "languages to keep; there is no 'no filter' spelling)")
     val scored = docs
       .withColumn("__ql", TextAnalysis.qualityLangUdf.asNondeterministic()(text))
       .withColumn("quality", col("__ql.quality"))
@@ -117,6 +121,9 @@ object CorpusPipeline {
     require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"CorpusPipeline.audit: id column '$idCol' must be numeric (got ${idType.simpleString})")
     val text = col(textCol)
+    require(cfg.languages.nonEmpty,
+      "CorpusPipeline: languages must be non-empty — an empty isin() is " +
+        "constant-false and would silently audit an EMPTY corpus")
     val scored = docs.where(text.isNotNull)
       .withColumn("__ql", TextAnalysis.qualityLangUdf.asNondeterministic()(text))
       .select(col(idCol), text, col("__ql.quality").as("quality"), col("__ql.lang").as("lang"))
@@ -124,9 +131,16 @@ object CorpusPipeline {
     val passed = col("quality") >= cfg.minQuality && col("lang").isin(cfg.languages: _*)
     val reps = Dedup.exactGroups(docs, textCol, idCol)
       .select(col("keep_id").as("__rep_id"), lit(1L).as("__is_rep"))
+      // skinny (id, flag) pairs consumed by the survivors leg AND the final
+      // flag join — uncheckpointed, the sha scan over raw docs re-ran per
+      // consumer (the exact recompute prepare's checkpoint comment fences)
+      .localCheckpoint()
     val s = scored.where(passed)
       .join(reps.select(col("__rep_id").as(idCol)), Seq(idCol))
       .select(col(idCol), text, col("quality"), col("lang"))
+      // the near-dedup stage references its input ~5 times (signature
+      // scan, two re-attach sides, anti join) — cut the lineage once
+      .localCheckpoint()
     val survivors =
       (if (cfg.nearDedup)
         Dedup.dropNearDuplicates(s, textCol, idCol,

@@ -38,7 +38,10 @@ object Quantiles {
     KllDoublesSketch.heapify(Memory.wrap(bytes))
 
   /** Build one KLL sketch of `valueCol` per `groupCols` combination.
-    * Nulls are skipped (SQL aggregate semantics). The per-task group map
+    * Nulls are skipped, and a group whose values are ALL null emits NO
+    * sketch row (it has no distribution to sketch) — NOTE this deviates
+    * from SQL GROUP BY, which would emit the group with a NULL aggregate;
+    * a monitoring join must outer-join its stratum list. The per-task group map
     * assumes bounded group cardinality per task (corpus strata: languages,
     * sources, days) — the same contract as any map-side combine. */
   def quantileSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
@@ -53,7 +56,7 @@ object Quantiles {
       val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], KllDoublesSketch]
       rows.foreach { r =>
         if (!r.isNullAt(nG)) {
-          val key = (0 until nG).map(r.get)
+          val key = keyOf(r, nG)
           m.getOrElseUpdate(key, KllDoublesSketch.newHeapInstance(k)).update(r.getDouble(nG))
         }
       }
@@ -77,17 +80,18 @@ object Quantiles {
         // consecutive sorted runs = groups (the TarShards/writeShards trick:
         // one pass, no per-group materialization)
         val it = rows.buffered
-        def keyOf(r: Row): Seq[Any] = (0 until nG).map(r.get)
         new Iterator[Row] {
           def hasNext: Boolean = it.hasNext
           def next(): Row = {
             val first = it.next()
-            val k0 = keyOf(first)
+            val k0 = keyOf(first, nG)
             val acc = KllDoublesSketch.newHeapInstance(k)
             acc.merge(heapify(first.getAs[Array[Byte]](nG)))
-            while (it.hasNext && keyOf(it.head) == k0)
+            while (it.hasNext && keyOf(it.head, nG) == k0)
               acc.merge(heapify(it.next().getAs[Array[Byte]](nG)))
-            Row.fromSeq(k0 :+ acc.toByteArray)
+            // keys re-emit their ORIGINAL values (keyOf wraps binary for
+            // comparability only)
+            Row.fromSeq((0 until nG).map(first.get) :+ acc.toByteArray)
           }
         }
       }(Encoders.row(proj.schema))
@@ -114,9 +118,24 @@ object Quantiles {
     }(Encoders.row(outSchema))
   }
 
+  /** Group key with VALUE equality for binary columns: Seq[Any] equality
+    * is reference equality for Array[Byte], so a BinaryType group column
+    * would never merge (every input row its own "group") — wrap arrays as
+    * Seqs, which compare element-wise. */
+  private def keyOf(r: Row, nG: Int): Seq[Any] =
+    (0 until nG).map { i =>
+      r.get(i) match {
+        case a: Array[Byte] => a.toSeq
+        case other          => other
+      }
+    }
+
   private def rankName(r: Double): String = {
-    val pct = r * 100
-    if (pct == math.rint(pct)) s"p${pct.toInt}"
-    else s"p${pct.toString.replace('.', '_')}"
+    // BigDecimal, not raw IEEE: 0.07*100 is 7.000000000000001 in doubles,
+    // which would mangle the column to p7_000000000000001 — consumers
+    // selecting "p7" then fail on a missing column
+    val pct = (BigDecimal(r) * 100).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    if (pct.isWhole) s"p${pct.toLongExact}"
+    else s"p${pct.bigDecimal.stripTrailingZeros.toPlainString.replace('.', '_')}"
   }
 }

@@ -50,7 +50,11 @@ object TimeSeries {
           .orderBy(col("tn").desc, col("value").desc_nulls_last)))
       .where(col("__rn") === 1)
       .select("key", "bucket", "value")
+    // the per-key span is TINY and consumed three times (the guard, the
+    // grid explode) — materialize it once instead of re-scanning the
+    // input per consumer
     val span = b.groupBy("key").agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .localCheckpoint(true)
     val worst = span.agg(max(col("b1") - col("b0"))).head()
     if (!worst.isNullAt(0)) {
       val w = worst.getLong(0) + 1
