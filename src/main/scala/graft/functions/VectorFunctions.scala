@@ -32,11 +32,15 @@ object VectorFunctions {
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity: dot(a,b) / (|a| * |b|). Inputs may be float arrays;
-    * they are widened to double first. */
+    * they are widened to double first. A zero-norm side yields NaN — the
+    * IEEE result [[cosineNative]] computes — rather than Spark's Divide
+    * semantics (ANSI: DIVIDE_BY_ZERO crash; legacy: NULL), so the two
+    * forms stay value-identical on degenerate vectors too. */
   def cosine(a: Column, b: Column): Column = {
     val ad = toDoubleArray(a)
     val bd = toDoubleArray(b)
-    dot(ad, bd) / (norm2(ad) * norm2(bd))
+    val den = norm2(ad) * norm2(bd)
+    when(den === 0.0, lit(Double.NaN)).otherwise(dot(ad, bd) / den)
   }
 
   /** Native-expression cosine (see [[graft.plans.CosineSimilarity]]):
@@ -77,7 +81,12 @@ object VectorFunctions {
     * scan, no shuffle. */
   def quantizeInt8(a: Column): Column = {
     val mx = maxAbs(a)
-    when(mx > 0.0,
+    // non-finite elements null the whole vector like the zero-norm case:
+    // NaN would otherwise make mx NaN, pass the > 0.0 test (Spark NaN
+    // ordering), and Floor's raw (long) cast would silently quantize
+    // EVERY element to 0 — a legitimate-looking artifact the oracle's
+    // floor(NaN) cannot reproduce
+    when(mx > 0.0 && !isnan(mx) && mx =!= Double.PositiveInfinity,
       transform(a, x => floor(x.cast("double") * lit(127.0) / mx).cast("long")))
       .otherwise(lit(null))
   }
@@ -101,11 +110,18 @@ object VectorFunctions {
     * Map-side projection: reducing 100 TB of embeddings is one scan, no
     * shuffle, fully codegen'd (nested HOFs, no UDF boundary). */
   def sparseRandomProject(a: Column, inDim: Int, outDim: Int,
-      quantScale: Int = 1000): Column =
-    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      quantScale: Int = 1000): Column = {
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
       aggregate(sequence(lit(0), lit(inDim - 1)), lit(0L), (acc, i) => {
         val cell = (i * outDim + j).cast("long") * lit(2654435761L) % 1000003L % 6L
         val sign = when(cell === 0L, lit(1L)).when(cell === 1L, lit(-1L)).otherwise(lit(0L))
         acc + floor(element_at(a, i + 1).cast("double") * quantScale).cast("long") * sign
       }))
+    // a NaN element would silently contribute 0 (Floor's raw (long) cast)
+    // and an Inf element Long.MaxValue (then an ANSI overflow mid-scan) —
+    // null the projection for non-finite inputs, like quantizeInt8
+    when(exists(a, x => isnan(x.cast("double")) ||
+        abs(x.cast("double")) === Double.PositiveInfinity),
+      lit(null)).otherwise(proj)
+  }
 }

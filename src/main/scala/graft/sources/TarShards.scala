@@ -133,7 +133,11 @@ object TarShards {
     fs.mkdirs(p)
     // Overwrite semantics: clear previous shards first — a re-export with
     // fewer shards would otherwise leave stale high-numbered shards that
-    // readShards silently includes (duplicate/ghost examples).
+    // readShards silently includes (duplicate/ghost examples). NOTE the
+    // export is NOT atomic across shards: a job failure mid-export leaves
+    // a partial shard set (per-shard commits are atomic, the set is not) —
+    // export to a fresh directory and rename it into place when the
+    // previous corpus must survive a failed re-export.
     Option(fs.globStatus(new Path(p, "*.tar"))).getOrElse(Array.empty)
       .foreach(st => fs.delete(st.getPath, false))
     // ...and any tmp files a previously failed/killed task left behind
@@ -144,7 +148,11 @@ object TarShards {
     df.select(
         pmod(xxhash64(shardKey), lit(nShards.toLong)).as("__shard"),
         col(nameCol).cast("string").as("name"), col(contentCol).as("content"))
-      .repartition(nShards, col("__shard"))
+      // repartitionByRange, not hash: hashing the shard id re-hashes an
+      // already-uniform key, leaving ~37% of write tasks empty while
+      // others serialize 2-3 shards — range partitioning is ~1:1 and the
+      // shard bytes are deterministic regardless of task assignment
+      .repartitionByRange(nShards, col("__shard"))
       .sortWithinPartitions("__shard", "name")
       .queryExecution.toRdd // InternalRow iterator: no Row conversion on the hot path
       .foreachPartition { rows =>
@@ -167,6 +175,9 @@ object TarShards {
         try {
           rows.foreach { r =>
             require(!r.isNullAt(1), "null member name — every row needs a non-null key")
+            require(r.getUTF8String(1).numBytes > 0,
+              "empty member name — a zero-first-byte header reads as the " +
+                "end-of-archive block and would silently truncate the shard")
             val shard = r.getLong(0)
             if (shard != cur) {
               commit()

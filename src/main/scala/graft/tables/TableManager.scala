@@ -61,6 +61,15 @@ object TableManager {
     * on failure. One copy of the crash-safety-critical protocol. */
   private def swapDir(spark: SparkSession, dir: String, tmp: Path, bak: Path, label: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CRASH RECOVERY for the two-rename window: a kill between
+    // rename(dir→bak) and rename(tmp→dir) leaves the table directory
+    // MISSING with the data stranded in bak — the next swap attempt (or
+    // any caller reaching this) restores the previous state first, so the
+    // window is self-healing instead of a manual repair
+    if (!fs.exists(new Path(dir)) && fs.exists(bak)) {
+      require(fs.rename(bak, new Path(dir)),
+        s"$label: could not recover $dir from its interrupted-swap backup $bak")
+    }
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(new Path(dir), bak)) sys.error(s"$label: could not stage $dir")
     if (!fs.rename(tmp, new Path(dir))) { fs.rename(bak, new Path(dir)); sys.error(s"$label: swap failed for $dir") }
@@ -187,8 +196,14 @@ object TableManager {
       require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"$op: column '$c' is ${df.schema(c).dataType.catalogString}; z-order requires numeric columns")
     }
-    // nanvl: NaN would poison min/max and then fail the ANSI cast to long
-    def clean(c: String) = nanvl(col(c).cast("double"), lit(null).cast("double"))
+    // non-finite discipline: NaN would poison min/max and then fail the
+    // ANSI cast to long, and an INFINITY makes the bucket expression
+    // Inf/Inf = NaN (same crash) or — with an infinite lo — NaNs EVERY
+    // row; null both out so degenerate rows cluster into one range
+    def clean(c: String) = {
+      val d = nanvl(col(c).cast("double"), lit(null).cast("double"))
+      when(abs(d) === Double.PositiveInfinity, lit(null).cast("double")).otherwise(d)
+    }
     val aggs  = cols.flatMap(c => Seq(min(clean(c)), max(clean(c))))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     require(!stats.anyNull,
@@ -422,9 +437,7 @@ object TableManager {
     }
     // marker AFTER the stage is fully written: its existence is the recovery
     // contract ("stage is complete — roll forward")
-    val out = fs.create(upsertMarker(targetDir), true)
-    try out.write(touched.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    FsIO.writeText(upsertMarker(targetDir).toString, touched.mkString("\n"))
     touched.foreach { b =>
       val sp = new Path(stage, s"key_bucket=$b")
       val tp = new Path(targetDir, s"key_bucket=$b")
@@ -533,6 +546,12 @@ object TableManager {
             lit(") — MERGE requires a unique source per key; pre-aggregate the source")))
             .cast("boolean")))
     val updated = target.alias("t").join(marked.alias("s"), cond, "left_outer")
+      // the filter is semantically a no-op (unmatched rows coalesce true;
+      // matched rows' marker is true or raises) — its job is to REFERENCE
+      // the marker so column pruning cannot drop the tripwire when the
+      // source carries no non-key columns (a keys-only source with a dup
+      // key used to fan the matched target row out silently)
+      .where(coalesce(col("s.__matched"), lit(true)))
       .select(tCols.map { c =>
         if (!keyColsN.contains(norm(c)) && srcColsN.contains(norm(c)))
           when(col("s.__matched"), sc(c)).otherwise(tc(c)).as(c)
