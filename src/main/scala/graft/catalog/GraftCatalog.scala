@@ -86,7 +86,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     dirOf(ident) match {
       case Some(d) if committed(d) =>
-        new GraftTable(ident.name(), d, None, None, Some(catalogName))
+        // one-shot staged-evolution slot: the analyzer's merge-evolution
+        // rule calls alterTable (which STAGED instead of committing) and
+        // then immediately loadTable on the same thread — serve the
+        // widened schema and carry the staged alters on the table so the
+        // merge strategy folds them into the merge's own commit. The slot
+        // is consumed here unconditionally (popped even on a dir
+        // mismatch), so nothing can go stale past this call.
+        val staged = Option(GraftCatalog.stagedEvolution.get())
+        GraftCatalog.stagedEvolution.remove()
+        staged match {
+          case Some((sd, widened, alters)) if sd == d =>
+            new GraftTable(ident.name(), d, None, Some(widened),
+              Some(catalogName), pendingEvolution = alters)
+          case _ =>
+            new GraftTable(ident.name(), d, None, None, Some(catalogName))
+        }
       case Some(d) if GraftCatalog.pendingSchemas.containsKey(d) =>
         // created but not yet written (the CREATE → first INSERT window):
         // serve the declared schema so CTAS/INSERT resolve
@@ -256,6 +271,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case del: DeleteColumn =>
         VersionedTable.DropColumnAlter(del.fieldNames().head)
     }
+    // `MERGE ... WITH SCHEMA EVOLUTION`: the analyzer's
+    // ResolveMergeIntoSchemaEvolution routes the source-only columns here
+    // as AddColumn changes and immediately re-loads the table. Committing
+    // them HERE would make the widening its own transaction, separate from
+    // the merge — a merge that subsequently fails would leave the column
+    // behind (Delta folds both into ONE transaction). So for that caller —
+    // identified by its stack frame, the only join point the analyzer
+    // offers a catalog — the validated alters are STAGED into a one-shot
+    // slot instead: the rule's very next loadTable (same thread) pops the
+    // slot and serves the widened schema with the alters carried on the
+    // table, and the merge strategy hands them to commitMergeConditional,
+    // which folds the schema write into the merge's own commit entry.
+    // Nothing commits at analysis time; an abandoned plan leaks nothing.
+    val mergeEvolution = schemaAlters.nonEmpty &&
+      schemaAlters.forall(_.isInstanceOf[VersionedTable.AddColumnAlter]) &&
+      Thread.currentThread().getStackTrace.exists(
+        _.getClassName.contains("ResolveMergeIntoSchemaEvolution"))
+    if (mergeEvolution) {
+      val adds = schemaAlters.collect { case a: VersionedTable.AddColumnAlter => a }
+      val cur = VersionedTable.schemaOf(spark, d, None)
+      val widened = org.apache.spark.sql.types.StructType(cur.fields ++
+        adds.map(a => org.apache.spark.sql.types.StructField(
+          a.name, a.dataType, nullable = true)))
+      GraftCatalog.stagedEvolution.set((d, widened, schemaAlters))
+      return new GraftTable(ident.name(), d, None, Some(widened),
+        Some(catalogName), pendingEvolution = schemaAlters)
+    }
     if (schemaAlters.nonEmpty)
       VersionedTable.commitSchemaChanges(spark, d, schemaAlters)
     changes.foreach {
@@ -344,6 +386,14 @@ object GraftCatalog {
     * in THIS process — a fast path over the persisted [[ManagedProp]]
     * marker, which is the durable source of truth. */
   private val managedDirs = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** One-shot handoff between the merge-evolution alterTable (which stages
+    * instead of committing) and the rule's immediately-following loadTable
+    * on the SAME thread: (dir, widened schema, staged alters). Popped
+    * unconditionally by the next loadTable, so it cannot outlive the two
+    * adjacent calls inside ResolveMergeIntoSchemaEvolution. */
+  private[catalog] val stagedEvolution =
+    new ThreadLocal[(String, StructType, Seq[VersionedTable.SchemaAlter])]()
 
   /** Register `name` → `dir` so `graft.<name>` resolves. Idempotent. */
   def register(name: String, dir: String): Unit = registry.put(lc(name), (name, dir))

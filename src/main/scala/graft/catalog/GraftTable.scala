@@ -40,7 +40,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftTable(val tableName: String, val dir: String,
     val pinnedVersion: Option[Long], declaredSchema: Option[StructType] = None,
-    catalogName: Option[String] = None)
+    catalogName: Option[String] = None,
+    /** STAGED (uncommitted) `MERGE ... WITH SCHEMA EVOLUTION` widenings:
+      * the analyzer's ResolveMergeIntoSchemaEvolution asked the catalog to
+      * add these columns, but the catalog staged them instead of committing
+      * ([[GraftCatalog.alterTable]]) so the merge strategy can fold them
+      * into the merge's OWN commit entry — atomic with the merge, exactly
+      * Delta's one-transaction semantics. A table instance carrying these
+      * exists only inside the evolving merge's analyzed plan; if the merge
+      * never executes, nothing was committed and nothing leaks. */
+    val pendingEvolution: Seq[VersionedTable.SchemaAlter] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with V1FallbackShim {
 
@@ -75,9 +84,9 @@ class GraftTable(val tableName: String, val dir: String,
 
   // AUTOMATIC_SCHEMA_EVOLUTION turns on `MERGE ... WITH SCHEMA EVOLUTION`:
   // the analyzer (ResolveMergeIntoSchemaEvolution) computes the source-only
-  // columns itself and routes them through GraftCatalog.alterTable — ONE
-  // combined metadata-only schema commit — before the merge plans, so the
-  // evolution shares the ALTER TABLE path rather than growing a second one
+  // columns itself and routes them through GraftCatalog.alterTable, which
+  // STAGES them ([[pendingEvolution]]) — commitMergeConditional folds the
+  // widening into the merge's own commit entry, atomic with the merge
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)

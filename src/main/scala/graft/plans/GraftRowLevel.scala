@@ -32,9 +32,9 @@ import org.apache.spark.sql.graft.PlanBridge
   * differently-named merge keys, and subqueries in conditions/assignments
   * — each a semantics this engine's merge contract does not (yet)
   * express, never a silent drop. WHEN NOT MATCHED BY SOURCE arms plan
-  * natively, and `WITH SCHEMA EVOLUTION` is handled upstream by the
-  * analyzer against the table's AUTOMATIC_SCHEMA_EVOLUTION capability
-  * (one combined alterTable schema commit, then the normal merge).
+  * natively, and `WITH SCHEMA EVOLUTION` widenings — staged (not
+  * committed) by the catalog during analysis — fold into the merge's own
+  * commit entry, atomic with the merge.
   */
 case class GraftRowLevelStrategy(spark: SparkSession)
     extends org.apache.spark.sql.execution.SparkStrategy {
@@ -149,17 +149,16 @@ case class GraftRowLevelStrategy(spark: SparkSession)
       graftOf(m.targetTable).map { table =>
         require(table.pinnedVersion.isEmpty,
           s"cannot MERGE into ${table.name()} at a pinned version (time travel is read-only)")
-        // WITH SCHEMA EVOLUTION needs no handling here: the analyzer
-        // (ResolveMergeIntoSchemaEvolution, gated on the table's
-        // AUTOMATIC_SCHEMA_EVOLUTION capability) has already committed the
-        // source-only columns through GraftCatalog.alterTable and reloaded
-        // the relation — by planning time the target schema is the evolved
-        // one and the arms below resolve against it. Contract note: the
-        // evolution is its OWN commit at analysis time, so a merge that
-        // subsequently fails (ambiguous keys, OCC exhaustion) leaves the
-        // widened schema behind — a metadata-only, all-null column,
-        // reversible with ALTER TABLE DROP COLUMN (Delta folds both into
-        // one transaction; the analyzer hook offers no such join point).
+        // WITH SCHEMA EVOLUTION: the analyzer (ResolveMergeIntoSchema-
+        // Evolution, gated on the table's AUTOMATIC_SCHEMA_EVOLUTION
+        // capability) asked the catalog to add the source-only columns and
+        // reloaded the relation — but GraftCatalog STAGED the alters
+        // instead of committing (carried here as table.pendingEvolution),
+        // so the arms below resolve against the widened schema while
+        // nothing has committed yet. commitMergeConditional folds the
+        // widening into the merge's OWN commit entry: a merge that fails
+        // anywhere (ambiguous keys, OCC exhaustion, a crash) leaves the
+        // schema byte-identical — Delta's one-transaction semantics.
         val dir  = table.dir
         val tIds = m.targetTable.output.map(_.exprId).toSet
         val sIds = m.sourceTable.output.map(_.exprId).toSet
@@ -201,7 +200,8 @@ case class GraftRowLevelStrategy(spark: SparkSession)
           }
         val source = PlanBridge.ofRows(spark, m.sourceTable)
         GraftRowLevelExec(s"MERGE INTO ${table.name()}",
-          () => VersionedTable.commitMergeConditional(spark, dir, source, keys, clauses)) :: Nil
+          () => VersionedTable.commitMergeConditional(spark, dir, source, keys, clauses,
+            pendingAlters = table.pendingEvolution)) :: Nil
       }.getOrElse(Nil)
 
     case c: GraftVerbCommand =>

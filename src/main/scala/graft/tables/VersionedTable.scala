@@ -403,11 +403,24 @@ object VersionedTable {
       s.fields.map(f => org.apache.spark.sql.types.StructField(physName(f), f.dataType, f.nullable)))
 
   /** Whether version `v`'s declared schema carries a logical→physical
-    * column mapping (any rename since the last snapshot) — layers that
-    * read data files RAW ([[VersionedStats]]) refuse such tables loudly
-    * rather than keying stats on the wrong names. */
+    * column mapping (any rename since the last snapshot). Layers that read
+    * data files RAW ([[VersionedStats]]) key their artifacts by PHYSICAL
+    * name (immutable by construction) and resolve through
+    * [[columnMappingAt]] — renames cost nothing, stats stay valid. */
   def hasColumnMapping(dir: String, v: Long): Boolean =
     declaredSchemaAt(dir, v).exists(hasMapping)
+
+  /** Logical → physical column-name mapping of version `v`'s declared
+    * schema, keyed by LOWERCASED logical name (identity — empty map — for
+    * tables that never declared a schema; identity entries for
+    * never-renamed columns). Physical names are immutable once a file
+    * exists, which is what makes them the right stats/index key: a RENAME
+    * is a pure metadata change and every physical-keyed artifact stays
+    * valid, re-resolved through this mapping at read. */
+  def columnMappingAt(dir: String, v: Long): Map[String, String] =
+    declaredSchemaAt(dir, v).map(_.fields.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) -> physName(f)).toMap)
+      .getOrElse(Map.empty)
 
   /** Whether any RENAME/DROP COLUMN ever landed at or below `v` — a
     * column-mapping entry in the declared schema or a tombstoned physical
@@ -1349,6 +1362,11 @@ object VersionedTable {
       txn: Option[(String, Long)], lockLeaseMs: Long,
       dataChange: Boolean = true, validateRels: Seq[String] = Seq.empty,
       validateDeclared: Option[org.apache.spark.sql.types.StructType] = None,
+      /** Declared schema to publish WITH this commit (merge-folded
+        * evolution): written before the entry, inside the same lease —
+        * a crash between leaves an ignorable orphan, never a committed
+        * version missing its schema. */
+      declareSchema: Option[org.apache.spark.sql.types.StructType] = None,
       opLabel: String = ""): Long =
     FsIO.withWriteLockRetry(dir, op, lockLeaseMs, maxWaitMs = lockLeaseMs) {
       val replayed = txn.flatMap { case (app, tv) =>
@@ -1377,9 +1395,21 @@ object VersionedTable {
             val readKeys = readEntries.map(keyOf).toSet
             (result ++ head.filterNot(e => readKeys(keyOf(e))), head)
           }
+        // a schema-publishing rewrite folded its evolution against readV's
+        // schema — if a concurrent commit changed the declared schema or
+        // the tombstone set since, the fold is stale; retry re-folds
+        // against the new head (the OCC loop re-runs the whole attempt)
+        if (declareSchema.isDefined && hv != readV &&
+            (declaredSchemaAt(dir, hv) != declaredSchemaAt(dir, readV) ||
+              tombstonesAt(dir, hv) != tombstonesAt(dir, readV))) {
+          staged.foreach(rel => fs.delete(absOf(dir, rel), false))
+          throw new CommitConflict(s"concurrent commit v$hv changed the " +
+            s"declared schema this evolving rewrite folded against at v$readV")
+        }
         if (Constraints.list(dir) != provenAgainst)
           validateStaged(spark, dir, validateRels, op, validateDeclared)
         requireStagedPresent(fs, dir, staged, op)
+        declareSchema.foreach(s => writeDeclaredSchema(fs, dir, next, s))
         publishEntries(fs, dir, next, Some(manifest), txn,
           dataChange = dataChange, prev = Some(prevEntries), opLabel = opLabel)
         next
@@ -1942,7 +1972,16 @@ object VersionedTable {
   def commitMergeConditional(spark: SparkSession, dir: String, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause],
       lockLeaseMs: Long = TableManager.DefaultLockLeaseMs,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      /** `MERGE ... WITH SCHEMA EVOLUTION` widenings staged at analysis
+        * ([[graft.catalog.GraftCatalog.alterTable]]): ADD COLUMN alters
+        * folded into THIS merge's commit entry — the declared-schema file
+        * publishes with the merge's own version, so a merge that fails
+        * anywhere leaves the schema byte-identical (Delta's
+        * one-transaction semantics). Idempotent against a concurrent
+        * writer adding the same column with the same type; a type clash
+        * refuses loudly. ADD COLUMN only — evolution never renames/drops. */
+      pendingAlters: Seq[SchemaAlter] = Nil): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "commitMergeConditional: need at least one key column")
     require(clauses.nonEmpty, "commitMergeConditional: need at least one WHEN clause")
@@ -1974,7 +2013,45 @@ object VersionedTable {
         val (pv, pms) = committed.last
         val entries  = checkedEntries(fs, dir, pv, pms)
         val declared = declaredSchemaAt(dir, pv)
-        val full     = scanEntriesMeta(spark, dir, entries, declared)
+        // fold the staged evolution against the HEAD's schema (a retry or
+        // a concurrent writer may have changed it since analysis): a
+        // same-name-same-type column already present is an idempotent
+        // no-op, a type clash refuses, anything but ADD is a caller bug.
+        // applyAlter assigns fresh physical names on tombstone collisions,
+        // exactly like the standalone ALTER commit.
+        val baseSchema: org.apache.spark.sql.types.StructType =
+          declared.getOrElse {
+            require(entries.nonEmpty,
+              "commitMergeConditional: cannot evolve the schema of an empty table")
+            org.apache.spark.sql.graft.FooterShim.schemaOf(
+              spark, absOf(dir, entries.head.rel).toString)
+          }
+        val effAlters: Seq[SchemaAlter] = pendingAlters.filter {
+          case AddColumnAlter(n, dt) =>
+            baseSchema.fields.find(_.name.equalsIgnoreCase(n)) match {
+              case Some(f) =>
+                require(f.dataType == dt,
+                  s"commitMergeConditional: WITH SCHEMA EVOLUTION wants to add " +
+                    s"`$n` ${dt.simpleString} but a concurrent change already " +
+                    s"added `$n` ${f.dataType.simpleString} — re-run the merge")
+                false
+              case None => true
+            }
+          case other => sys.error("commitMergeConditional: only ADD COLUMN " +
+            s"alters can fold into a merge commit, got $other")
+        }
+        val declaredEvolved: Option[org.apache.spark.sql.types.StructType] =
+          if (effAlters.isEmpty) None
+          else Some(effAlters.foldLeft((baseSchema, tombstonesAt(dir, pv))) {
+            case ((s, t), a) => applyAlter(dir, s, t, a)
+          }._1)
+        val declaredForWrite = declaredEvolved.orElse(declared)
+        val evoAdds: Seq[(String, org.apache.spark.sql.types.DataType)] =
+          effAlters.collect { case AddColumnAlter(n, dt) => (n, dt) }
+        def widen(df: DataFrame): DataFrame = evoAdds.foldLeft(df) {
+          case (d0, (n, dt)) => d0.withColumn(n, lit(null).cast(dt))
+        }
+        val full     = widen(scanEntriesMeta(spark, dir, entries, declared))
         // every SET / INSERT assignment key must resolve to a TARGET column
         // (Delta rejects unknown assignment targets): a typo'd name must be
         // an error, not a silently dropped clause
@@ -2112,9 +2189,9 @@ object VersionedTable {
           }
         val (touched, untouched) = entries.partition(e =>
           touchedNames(baseName(e.rel)) || nmbsTouched(baseName(e.rel)))
-        val targetDf =
+        val targetDf = widen(
           if (touched.isEmpty) scanEntries(spark, dir, entries, declared).limit(0)
-          else scanEntries(spark, dir, touched, declared) // masked; rewrite sheds DVs
+          else scanEntries(spark, dir, touched, declared)) // masked; rewrite sheds DVs
         val targetSchema = targetDf.schema
         // ---- matched side: t LEFT OUTER s on keys, first-true clause wins.
         // The checkpointed source reads as a LogicalRDD (unknown size), so
@@ -2231,19 +2308,22 @@ object VersionedTable {
           }
         val merged0 = inserted.fold(survivors)(survivors.unionByName(_))
         requireCompatibleSchema("commitMergeConditional", targetSchema, merged0.schema)
-        val merged = toPhysical(merged0, declared)
+        val merged = toPhysical(merged0, declaredForWrite)
         val stageTag = s"a${java.util.UUID.randomUUID().toString.take(8)}"
         val staged = stageDataFilesTagged(fs, dir, merged, stageTag)
         val newRels =
           if (staged.nonEmpty || untouched.nonEmpty) staged
           else stageDataFilesTagged(fs, dir, merged.coalesce(1), stageTag)
         val provenAgainst = Constraints.list(dir)
-        validateStaged(spark, dir, newRels, "commitMergeConditional", declared)
+        validateStaged(spark, dir, newRels, "commitMergeConditional", declaredForWrite)
         val v = publishRebased(spark, fs, dir, "VersionedTable.commitMergeConditional",
           pv, entries, untouched ++ newRels.map(FileEntry(_, Nil)),
           staged = newRels, provenAgainst = provenAgainst,
           txn = txn, lockLeaseMs = lockLeaseMs, validateRels = newRels,
-          validateDeclared = declared, opLabel = "MERGE COND")
+          validateDeclared = declaredForWrite,
+          declareSchema = declaredEvolved,
+          opLabel = if (effAlters.isEmpty) "MERGE COND"
+            else "MERGE COND; " + effAlters.map(alterLabel).mkString("; "))
         recordKeyColumns(dir, keyCols)
         v
       }

@@ -270,8 +270,9 @@ class GraftCatalogSpec extends SparkSpec {
     assert(out(42L) == ((84L, null)), "untouched rows read null in the new column")
     assert((95L until 100L).forall(k => out(k) == ((k * 10, "new"))), "matched rows updated")
     assert((100L until 105L).forall(k => out(k) == ((k * 10, "new"))), "unmatched rows inserted")
-    // the evolution is ONE metadata-only schema commit (v1), the merge v2
-    assert(VersionedTable.latestVersion(dir).contains(2L))
+    // ATOMIC: the widening folds into the merge's OWN commit entry (v1) —
+    // one transaction, Delta semantics; nothing committed at analysis time
+    assert(VersionedTable.latestVersion(dir).contains(1L))
     val schemaV0 = VersionedTable.schemaOf(spark, dir, Some(0L)).fieldNames.toSet
     assert(schemaV0 == Set("k", "x"), "time travel below the merge reads the narrow schema")
     // WITHOUT the clause, a source-only column in an explicit assignment
@@ -285,6 +286,46 @@ class GraftCatalogSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.toLowerCase.contains("extra"), e.getMessage)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION is atomic: a failed merge leaves the schema byte-identical") {
+    val dir = fresh("cat_evo_atomic")
+    val schemaBefore = VersionedTable.schemaOf(spark, dir, None)
+    val vBefore = VersionedTable.latestVersion(dir)
+    // duplicate source keys fail the ambiguous-merge gate AFTER analysis
+    // (execution time) — exactly the window where the old analysis-time
+    // alterTable commit would have left the widened column behind
+    spark.range(0L, 2L)
+      .select(lit(7L).as("k"), col("id").as("x"), lit("dup").as("tag"))
+      .createOrReplaceTempView("cat_evo_dup_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO graft.cat_evo_atomic t " +
+          "USING cat_evo_dup_src s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *").collect()
+    }
+    assert(e.getMessage.contains("not"), e.getMessage) // ambiguous-merge refusal
+    assert(VersionedTable.latestVersion(dir) == vBefore,
+      "a failed evolving merge must not commit any version")
+    assert(VersionedTable.schemaOf(spark, dir, None) == schemaBefore,
+      "a failed evolving merge must leave the schema byte-identical")
+    assert(!spark.table("graft.cat_evo_atomic").columns.contains("tag"),
+      "the staged widening must not leak into later loads")
+    // and the SAME table still evolves fine on a clean merge afterwards
+    spark.range(200L, 201L)
+      .select(col("id").as("k"), (col("id") * 10).as("x"), lit("ok").as("tag"))
+      .createOrReplaceTempView("cat_evo_ok_src")
+    spark.sql(
+      "MERGE WITH SCHEMA EVOLUTION INTO graft.cat_evo_atomic t " +
+        "USING cat_evo_ok_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    val row = spark.sql(
+      "SELECT x, tag FROM graft.cat_evo_atomic WHERE k = 200").head
+    assert(row.getLong(0) == 2000L && row.getString(1) == "ok")
+    assert(VersionedTable.latestVersion(dir).map(_ - vBefore.get).contains(1L),
+      "the successful evolving merge is ONE commit (schema + data together)")
   }
 
   test("native ALTER TABLE graft.t: add / rename / drop column, set properties") {
