@@ -28,6 +28,42 @@ object VersionedStats {
   private def statsRoot(dir: String)          = new Path(dir, "_stats")
   private def statsDir(dir: String, v: Long)  = new Path(statsRoot(dir), f"v=$v%05d")
 
+  /** Resolve logical stat columns to the PHYSICAL footer names of version
+    * `v` — the key every stats artifact stores under. Physical names are
+    * immutable once a file exists, so a RENAME COLUMN costs stats nothing:
+    * the manifest stays valid and reads re-resolve through the current
+    * mapping. A column DROPPED from the declared schema stops resolving
+    * (its stats rows become unreachable dead weight, swept by the next
+    * refresh), and a re-added same-named column gets a FRESH physical name
+    * (tombstone guard), so stale stats can never answer for it. On tables
+    * with no declared schema the mapping is the identity. */
+  private def physicalStatCols(dir: String, v: Long,
+      statCols: Seq[String]): Seq[(String, String)] = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val m = VersionedTable.columnMappingAt(dir, v)
+    statCols.map { c =>
+      if (m.nonEmpty) c -> m.getOrElse(lc(c), sys.error(
+        s"VersionedStats: column `$c` is not in version $v's declared schema " +
+          s"(have: ${m.keys.toSeq.sorted.mkString(", ")}) — dropped columns " +
+          "have no stats; re-added columns need a fresh refresh"))
+      else c -> c
+    }
+  }
+
+  /** Physical stat columns plus their declared types, for null-filling:
+    * files written BEFORE an ADD COLUMN don't carry the new physical
+    * column at all, yet their stats rows must still have its
+    * (all-null → cnt 0) slots so the manifest keeps one uniform schema. */
+  private def physicalStatColsTyped(dir: String, v: Long, statCols: Seq[String])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val declared = VersionedTable.declaredSchemaAt(dir, v)
+    physicalStatCols(dir, v, statCols).map { case (c, p) =>
+      p -> declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(lc(c))))
+        .map(_.dataType).getOrElse(org.apache.spark.sql.types.NullType)
+    }
+  }
+
   private def statAggs(statCols: Seq[String]): Seq[Column] =
     count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
       Seq(min(col(s"`$c`")).as(s"min_$c"), max(col(s"`$c`")).as(s"max_$c"),
@@ -53,13 +89,22 @@ object VersionedStats {
   }
 
   private def readBack(spark: SparkSession, dir: String, rels: Seq[String],
-      statCols: Seq[String]): DataFrame = {
-    val aggs = statAggs(statCols)
+      statCols: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    val aggs = statAggs(statCols.map(_._1))
     val byAbs = rels.map(rel =>
       new Path(new Path(dir), rel).toUri.getPath -> rel).toMap
     val relOf = udf((f: String) =>
       byAbs.getOrElse(new Path(new java.net.URI(f)).toUri.getPath, null: String))
-    spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+    val raw = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+    val have = raw.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // files predating an ADD COLUMN lack the physical column entirely —
+    // null-fill at the declared type so the stats row still carries its
+    // slots (cnt 0, min/max null)
+    val filled = statCols.foldLeft(raw) { case (df, (p, dt)) =>
+      if (have(p.toLowerCase(java.util.Locale.ROOT))) df
+      else df.withColumn(p, lit(null).cast(dt))
+    }
+    filled
       .groupBy(relOf(input_file_name()).as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -72,15 +117,11 @@ object VersionedStats {
     require(statCols.nonEmpty, "VersionedStats: need at least one stat column")
     val v = version.getOrElse(VersionedTable.latestVersion(dir)
       .getOrElse(sys.error(s"VersionedStats: $dir has no committed version")))
-    // stats key on the RAW footer names; a renamed table's physical names
-    // no longer match the logical stat columns — refuse loudly rather than
-    // silently keying stats on stale names (snapshot-commit or compact to
-    // a mapping-free layout first)
-    require(!VersionedTable.hasColumnMapping(dir, v),
-      s"VersionedStats: $dir carries a column mapping (RENAME COLUMN) at " +
-        s"version $v — stats read raw footers and would key on physical " +
-        "names; overwrite-commit the table to materialize the logical names first")
-    writeStats(spark, dir, v, readBack(spark, dir, VersionedTable.filesOf(dir, v), statCols))
+    // stats read raw footers, so they aggregate — and the manifest keys —
+    // on PHYSICAL names, resolved from the logical statCols through the
+    // version's column mapping; renames never invalidate a manifest
+    val phys = physicalStatColsTyped(dir, v, statCols)
+    writeStats(spark, dir, v, readBack(spark, dir, VersionedTable.filesOf(dir, v), phys))
     v
   }
 
@@ -94,15 +135,16 @@ object VersionedStats {
     require(statCols.nonEmpty, "VersionedStats: need at least one stat column")
     val v = VersionedTable.latestVersion(dir)
       .getOrElse(sys.error(s"VersionedStats: $dir has no committed version"))
-    require(!VersionedTable.hasColumnMapping(dir, v),
-      s"VersionedStats: $dir carries a column mapping (RENAME COLUMN) at " +
-        s"version $v — stats read raw footers and would key on physical names")
+    val phys = physicalStatColsTyped(dir, v, statCols)
     val base = stattedVersions(dir).filter(_ < v).lastOption
     base match {
       case None => refresh(spark, dir, statCols)
       case Some(w) =>
         val prev = spark.read.parquet(statsDir(dir, w).toString)
-        if (!statCols.forall(c => prev.columns.contains(s"min_$c")))
+        // physical-keyed carry-forward: the previous manifest must cover
+        // the SAME physical columns (a rename alone changes nothing here;
+        // a re-added column's fresh physical name forces the full re-key)
+        if (!phys.forall { case (c, _) => prev.columns.contains(s"min_$c") })
           refresh(spark, dir, statCols) // column set changed: re-key
         else {
           val rels    = VersionedTable.filesOf(dir, v)
@@ -111,7 +153,7 @@ object VersionedStats {
           val carriedDf = prev.where(col("file").isin(carried: _*))
           val stats =
             if (fresh.isEmpty) carriedDf
-            else carriedDf.unionByName(readBack(spark, dir, fresh, statCols))
+            else carriedDf.unionByName(readBack(spark, dir, fresh, phys))
           writeStats(spark, dir, v, stats)
           v
         }
@@ -140,29 +182,27 @@ object VersionedStats {
         "run commitCompact (or compactDeletionVectors + refresh) first, or " +
         "aggregate through a real read")
     val stats = loadStats(spark, dir, v)
-    statCols.foreach(c => require(stats.columns.contains(s"min_$c"),
+    // aggregate under the PHYSICAL key, surface the LOGICAL name — a
+    // renamed table answers for its current names from the same manifest
+    val byPhys = physicalStatCols(dir, v, statCols)
+    byPhys.foreach { case (c, p) => require(stats.columns.contains(s"min_$p"),
       s"statsOnlyAggregate: column $c is not in version $v's stats manifest — " +
-        "refresh with it included"))
-    val aggs = sum(col("n_rows")).cast("long").as("__n") +: statCols.flatMap(c => Seq(
-      sum(col(s"cnt_$c")).cast("long").as(s"__${c}__cnt"),
-      min(expr(s"try_cast(`min_$c` AS DOUBLE)")).as(s"__${c}__min"),
-      max(expr(s"try_cast(`max_$c` AS DOUBLE)")).as(s"__${c}__max")))
+        "refresh with it included") }
+    val aggs = sum(col("n_rows")).cast("long").as("__n") +: byPhys.flatMap { case (_, p) => Seq(
+      sum(col(s"cnt_$p")).cast("long").as(s"__${p}__cnt"),
+      min(expr(s"try_cast(`min_$p` AS DOUBLE)")).as(s"__${p}__min"),
+      max(expr(s"try_cast(`max_$p` AS DOUBLE)")).as(s"__${p}__max")) }
     val one = stats.agg(aggs.head, aggs.tail: _*)
-    val perCol = statCols.map(c => struct(
+    val perCol = byPhys.map { case (c, p) => struct(
       lit(c).as("column"), col("__n").as("n_rows"),
-      col(s"__${c}__cnt").as("n_notnull"),
-      col(s"__${c}__min").as("min_d"), col(s"__${c}__max").as("max_d")))
+      col(s"__${p}__cnt").as("n_notnull"),
+      col(s"__${p}__min").as("min_d"), col(s"__${p}__max").as("max_d")) }
     one.select(explode(array(perCol: _*)).as("s")).select(col("s.*"))
   }
 
   private def loadStats(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    // renamed tables: stored stats key on the names AT STAT TIME — after a
-    // RENAME COLUMN the logical names no longer line up; refuse rather than
-    // silently answer for the wrong column (same contract as refresh)
-    require(!VersionedTable.hasColumnMapping(dir, v),
-      s"VersionedStats: $dir carries a column mapping (RENAME COLUMN) at " +
-        s"version $v — stats key on physical names; overwrite-commit the " +
-        "table to materialize the logical names first")
+    // the manifest keys on PHYSICAL names (immutable), so a column mapping
+    // needs no refusal here — callers resolve through physicalStatCols
     val sd = statsDir(dir, v)
     val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(sd),
@@ -188,10 +228,11 @@ object VersionedStats {
     val v = version.getOrElse(VersionedTable.latestVersion(dir)
       .getOrElse(sys.error(s"VersionedStats: $dir has no committed version")))
     val stats = loadStats(spark, dir, v)
-    preds.foreach { case (c, _, _) => require(stats.columns.contains(s"min_$c"),
+    val physOf = physicalStatCols(dir, v, preds.map(_._1)).toMap
+    preds.foreach { case (c, _, _) => require(stats.columns.contains(s"min_${physOf(c)}"),
       s"VersionedStats: column $c is not statted for version $v — refresh including it") }
     val cond = preds.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+      col(s"max_${physOf(c)}") >= lo && col(s"min_${physOf(c)}") <= hi
     }.reduce(_ && _)
     val kept = stats.where(cond).select("file").collect().map(_.getString(0)).toSeq
     require(kept.size <= SkippingIndex.MaxPrunedFiles,
@@ -215,8 +256,11 @@ object VersionedStats {
       if (kept.isEmpty) VersionedTable.read(spark, dir, Some(v)).limit(0)
       else {
         val keptSet = kept.toSet
+        // pass the declared schema so a mapped table's kept files read
+        // back under LOGICAL names (the residual predicate's names)
         VersionedTable.readEntries(spark, dir,
-          VersionedTable.entriesOf(dir, v).filter(e => keptSet(e._1)))
+          VersionedTable.entriesOf(dir, v).filter(e => keptSet(e._1)),
+          VersionedTable.declaredSchemaAt(dir, v))
       }
     base.where(preds.map { case (c, lo, hi) => col(s"`$c`") >= lo && col(s"`$c`") <= hi }
       .reduce(_ && _))

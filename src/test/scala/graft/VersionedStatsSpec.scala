@@ -126,4 +126,53 @@ class VersionedStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
   }
+
+  test("stats survive RENAME COLUMN: physical-keyed manifest, logical-name reads") {
+    val dir = Files.createTempDirectory("graft_vs6").toString + "/t"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 800L).select(col("id").as("k"), (col("id") * 3).as("x"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"), dir)
+    VersionedStats.refresh(spark, dir, Seq("k", "x"))          // statted pre-rename
+    VersionedTable.commitRenameColumn(spark, dir, "k", "key")  // v1: metadata only
+    // the OLD manifest (v0, physical-keyed) is not v1's — refreshIncremental
+    // carries it forward at O(new files): zero new files here, zero read-back
+    VersionedStats.refreshIncremental(spark, dir, Seq("key", "x"))
+    // metadata-only aggregate answers under the NEW logical name
+    val rows = VersionedStats.statsOnlyAggregate(spark, dir, Seq("key", "x"))
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      ("key", 800L, 0.0, 799.0), ("x", 800L, 0.0, 2397.0)), rows.mkString(","))
+    // skipping-prune under the new name: only the intersecting file scans
+    // (every other file's pages corrupted — their footers never open)
+    val (kept, total) = VersionedStats.prunedFiles(spark, dir,
+      Seq(("key", lit(100L), lit(199L))))
+    assert(total == 8L && kept.size == 1, s"kept ${kept.size}/$total")
+    corruptPages(dir, VersionedTable.filesOf(dir, 1L).filterNot(kept.contains))
+    val got = VersionedStats.readPruned(spark, dir, Seq(("key", lit(100L), lit(199L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (100L until 200L).map(k => (k, k * 3)).toSet)
+    // the OLD name no longer resolves — loud, with the live names listed
+    val e = intercept[RuntimeException] {
+      VersionedStats.statsOnlyAggregate(spark, dir, Seq("k"))
+    }
+    assert(e.getMessage.contains("not in version"), e.getMessage)
+  }
+
+  test("stats after DROP + re-ADD: fresh physical name forces re-key, never stale answers") {
+    val dir = Files.createTempDirectory("graft_vs7").toString + "/t"
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 100L).select(col("id").as("k"), (col("id") * 3).as("x")), dir)
+    VersionedStats.refresh(spark, dir, Seq("k", "x"))
+    VersionedTable.commitDropColumn(spark, dir, "x")            // v1: x tombstoned
+    VersionedTable.commitAddColumn(spark, dir, "x",
+      org.apache.spark.sql.types.LongType)                      // v2: fresh physical name
+    // the re-added x is all-null; its stats must NOT come from the dropped
+    // column's old values — the fresh physical key misses the old manifest,
+    // so refreshIncremental re-keys and the aggregate answers 0 non-nulls
+    VersionedStats.refreshIncremental(spark, dir, Seq("k", "x"))
+    val row = VersionedStats.statsOnlyAggregate(spark, dir, Seq("x")).head
+    assert(row.getLong(1) == 100L && row.getLong(2) == 0L,
+      s"re-added column must read 0 non-nulls, got $row")
+  }
 }
