@@ -3087,6 +3087,26 @@ object SparkEntry {
       s.sql("SELECT c_custkey, bal FROM graft.rln_cust ORDER BY c_custkey")
     }),
 
+    // -- NATIVE DELETE WITH AN UNTRANSLATABLE PREDICATE --------------------
+    // SupportsDelete's v1-Filter pushdown can't express arithmetic or
+    // function calls; the strategy's scan-based fallback (Delta's) routes
+    // any predicate onto commitDelete's copy-on-write expression form.
+    // Chains a pushable DELETE after it to prove both paths share state.
+    "q_sql_delete_expr" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dexpr").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"), col("c_mktsegment").as("seg"))
+      VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
+      graft.catalog.GraftCatalog.register("dexpr_cust", dir)
+      // modulo arithmetic + abs() — neither survives v1 Filter translation
+      s.sql("DELETE FROM graft.dexpr_cust WHERE c_custkey % 7 = 3 AND abs(bal) > 1000")
+      // computed string predicate
+      s.sql("DELETE FROM graft.dexpr_cust WHERE length(seg) + c_custkey % 2 = 10")
+      // and the plain pushable shape still lands on the same table state
+      s.sql("DELETE FROM graft.dexpr_cust WHERE bal < -900")
+      s.sql("SELECT c_custkey, bal, seg FROM graft.dexpr_cust ORDER BY c_custkey")
+    }),
+
     // -- NATIVE MERGE: WHEN NOT MATCHED BY SOURCE (retention arms) ---------
     // The standard CDC retention merge a Delta user writes weekly: the
     // source carries the refreshed partition (%3 keys, +100); target rows
@@ -5621,6 +5641,15 @@ object SparkEntry {
         "SELECT c_custkey + 9000000 AS c_custkey, CAST(c_acctbal AS DOUBLE) AS bal " +
         "FROM customer WHERE c_custkey % 13 = 0" +
         ") WHERE bal >= 0 ORDER BY c_custkey"),
+
+    "q_sql_delete_expr" ->
+      // replay the three DELETEs as one survival filter
+      ("SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg " +
+        "FROM customer " +
+        "WHERE NOT (c_custkey % 7 = 3 AND abs(CAST(c_acctbal AS DOUBLE)) > 1000) " +
+        "AND NOT (length(c_mktsegment) + c_custkey % 2 = 10) " +
+        "AND NOT (CAST(c_acctbal AS DOUBLE) < -900) " +
+        "ORDER BY c_custkey"),
 
     "q_sql_merge_unmatched_source" ->
       // replay: matched (%3) keys +100; unmatched negatives purged (first

@@ -151,11 +151,12 @@ class GraftTable(val tableName: String, val dir: String,
       }
     }
 
-  // ---- native DELETE (Spark's own `DELETE FROM graft.t WHERE p` grammar):
-  // the analyzer pushes the WHERE down as v1 Filters; a translatable set
-  // routes onto commitDelete's file-grain copy-on-write. canDeleteWhere
-  // returning false makes Spark refuse the statement loudly (no
-  // row-level-operation machinery to fall back to) instead of this layer
+  // ---- native DELETE via SupportsDelete — the EXTENSION-LESS fallback
+  // path only (with graft extensions, GraftRowLevelStrategy claims
+  // DeleteFromTable first and routes ANY predicate onto commitDelete's
+  // expression form): the analyzer pushes the WHERE down as v1 Filters; a
+  // translatable set routes onto the same copy-on-write. canDeleteWhere
+  // returning false makes Spark refuse loudly instead of this layer
   // guessing at untranslatable predicates.
   private def filterToColumn(f: org.apache.spark.sql.sources.Filter): Option[Column] = {
     import org.apache.spark.sql.functions.{col, lit}

@@ -12,14 +12,16 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graft.PlanBridge
 
-/** Planner strategy making `UPDATE graft.t SET ... WHERE ...` and
-  * `MERGE INTO graft.t USING src ON ... WHEN ...` NATIVE Spark SQL on
-  * versioned tables — the two row-level verbs Spark's own grammar parses
-  * but only plans for connectors that claim them (its BasicOperators
-  * otherwise refuses with "does not support UPDATE TABLE"). DELETE already
-  * routes through `SupportsDelete` on [[GraftTable]]; these two land on the
-  * same commit protocol as the Scala API — [[VersionedTable.commitUpdate]]
-  * (file-grain copy-on-write) and [[VersionedTable.commitMergeConditional]]
+/** Planner strategy making `DELETE FROM graft.t WHERE ...`, `UPDATE
+  * graft.t SET ... WHERE ...` and `MERGE INTO graft.t USING src ON ...
+  * WHEN ...` NATIVE Spark SQL on versioned tables — row-level verbs
+  * Spark's own grammar parses but only plans for connectors that claim
+  * them (its BasicOperators otherwise refuses with "does not support
+  * UPDATE TABLE"). All three land on the same commit protocol as the
+  * Scala API — [[VersionedTable.commitDelete]]/[[VersionedTable.commitUpdate]]
+  * (file-grain copy-on-write, arbitrary predicates — DELETE here is what
+  * lets untranslatable conditions run where `SupportsDelete`'s v1-Filter
+  * pushdown would refuse) and [[VersionedTable.commitMergeConditional]]
   * (clause-ordered Delta semantics, probe-pruned) — so the SQL verb and the
   * API call produce byte-identical table states.
   *
@@ -130,6 +132,23 @@ case class GraftRowLevelStrategy(spark: SparkSession)
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // DELETE plans here for EVERY predicate shape, not just the v1-Filter-
+    // translatable subset SupportsDelete.canDeleteWhere accepts: an
+    // untranslatable condition (arithmetic, function calls, computed
+    // expressions) routes onto the same commitDelete file-grain
+    // copy-on-write, which takes arbitrary Column conditions — Delta's
+    // scan-based DELETE fallback. canDeleteWhere stays honest for the
+    // extension-less pushdown path.
+    case org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable(rel, condition) =>
+      graftOf(rel).map { table =>
+        require(table.pinnedVersion.isEmpty,
+          s"cannot DELETE from ${table.name()} at a pinned version (time travel is read-only)")
+        val dir = table.dir
+        val cond = PlanBridge.column(unresolve(requireNoSubquery(condition, "DELETE")))
+        GraftRowLevelExec(s"DELETE FROM ${table.name()}",
+          () => VersionedTable.commitDelete(spark, dir, cond)) :: Nil
+      }.getOrElse(Nil)
+
     case UpdateTable(rel, assignments, condition) =>
       graftOf(rel).map { table =>
         require(table.pinnedVersion.isEmpty,

@@ -121,11 +121,11 @@ class GraftCatalogSpec extends SparkSpec {
     // the deleted rows are still in history
     assert(spark.sql("SELECT count(*) AS n FROM graft.cat_del VERSION AS OF 0")
       .head.getLong(0) == 100L)
-    // an untranslatable predicate refuses loudly instead of guessing
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft.cat_del WHERE k % 2 = 0").collect()
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // an untranslatable predicate no longer refuses — the strategy routes
+    // it onto the scan-based copy-on-write (its own dedicated spec below)
+    spark.sql("DELETE FROM graft.cat_del WHERE k % 2 = 0")
+    assert(VersionedTable.read(spark, dir).select("k").collect()
+      .map(_.getLong(0)).forall(_ % 2 == 1))
   }
 
   test("table names resolve case-insensitively") {
@@ -326,6 +326,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(row.getLong(0) == 2000L && row.getString(1) == "ok")
     assert(VersionedTable.latestVersion(dir).map(_ - vBefore.get).contains(1L),
       "the successful evolving merge is ONE commit (schema + data together)")
+  }
+
+  test("native DELETE with untranslatable predicate falls back to scan-based copy-on-write") {
+    val dir = fresh("cat_del_expr")
+    // v1 Filter translation cannot express arithmetic — SupportsDelete
+    // would refuse; the strategy routes it onto commitDelete's Column form
+    spark.sql("DELETE FROM graft.cat_del_expr WHERE k % 7 = 3")
+    val left = spark.sql("SELECT k FROM graft.cat_del_expr").collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 100L).filterNot(_ % 7 == 3).toSet, s"${left.size} rows left")
+    // the pushable shape lands on the same protocol state (one more version)
+    spark.sql("DELETE FROM graft.cat_del_expr WHERE k < 10")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cat_del_expr").head.getLong(0)
+      == (10L until 100L).count(_ % 7 != 3))
+    assert(VersionedTable.latestVersion(dir).contains(2L))
+    // subqueries refuse loudly with the Scala-API escape hatch named
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.cat_del_expr WHERE k IN " +
+        "(SELECT k FROM graft.cat_del_expr WHERE x > 50)").collect()
+    }
+    assert(e.getMessage.contains("subqueries are not supported"), e.getMessage)
   }
 
   test("native ALTER TABLE graft.t: add / rename / drop column, set properties") {
