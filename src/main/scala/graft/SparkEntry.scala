@@ -2761,6 +2761,32 @@ object SparkEntry {
       out.orderBy("event_id")
     }),
 
+    // -- hidden day-partitioning through the CATALOG -----------------------
+    // CREATE TABLE ... PARTITIONED BY (days(ts)) — the Iceberg transform
+    // contract as native DSv2 DDL: the p_day key never appears in the
+    // schema, and DayPartitionPruning maps the raw-ts range onto directory
+    // pruning (plan-asserted ≤7 of ~30 day dirs for a 6-day window).
+    "q_day_partition_catalog" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_daycat").toString + "/t"
+      graft.catalog.GraftCatalog.register("day_events", dir)
+      t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
+        .createOrReplaceTempView("day_cat_src")
+      s.sql("CREATE TABLE graft.day_events PARTITIONED BY (days(ts)) " +
+        "AS SELECT event_id, user_id, event_type, ts FROM day_cat_src")
+      val DayNs = 86400L * 1000000000L
+      val day0  = s.table("day_cat_src").agg(min("ts")).head().getLong(0) / DayNs
+      val from  = (day0 + 7) * DayNs
+      val to    = (day0 + 13) * DayNs - 1
+      val out = s.sql("SELECT event_id, user_id, event_type, ts FROM graft.day_events " +
+        s"WHERE ts >= $from AND ts <= $to")
+      val scanned = out.queryExecution.executedPlan
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.selectedPartitions.partitionCount).sum
+      require(scanned > 0 && scanned <= 7,
+        s"hidden day pruning failed: $scanned partitions planned for a 6-day window")
+      out.orderBy("event_id")
+    }),
+
     // -- per-file Bloom index: point lookups min/max stats can't prune -----
     // Arrival-order layout (every file spans the full key range — range
     // stats keep everything); the per-file Bloom prunes each equality
@@ -5430,6 +5456,14 @@ object SparkEntry {
 
     "q_time_partition" ->
       // same data-derived day window as the Spark side
+      ("WITH d0 AS (SELECT MIN(epoch_ns(ts)) // 86400000000000 AS day0 FROM events) " +
+        "SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events, d0 " +
+        "WHERE epoch_ns(ts) BETWEEN (day0 + 7) * 86400000000000 " +
+        "AND (day0 + 13) * 86400000000000 - 1 ORDER BY event_id"),
+
+    "q_day_partition_catalog" ->
+      // same data-derived window as q_time_partition (min-ts is day-aligned
+      // in no fixture vintage, so floor-div like the Spark side)
       ("WITH d0 AS (SELECT MIN(epoch_ns(ts)) // 86400000000000 AS day0 FROM events) " +
         "SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events, d0 " +
         "WHERE epoch_ns(ts) BETWEEN (day0 + 7) * 86400000000000 " +

@@ -81,10 +81,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     dirOf(ident).exists(d => committed(d) ||
-      GraftCatalog.pendingSchemas.containsKey(d))
+      GraftCatalog.pendingSchemas.containsKey(d) ||
+      GraftCatalog.dayColumnCached(d).isDefined)
 
   override def loadTable(ident: Identifier): Table =
     dirOf(ident) match {
+      // hidden-day-partitioned tables (PARTITIONED BY (days(ts))): the
+      // persisted marker is authoritative; the pending-schema map serves
+      // the CREATE → first-write window (the marker is there too, but the
+      // schema is only in memory until files exist)
+      case Some(d) if GraftCatalog.dayColumnCached(d).isDefined =>
+        new GraftDayTable(ident.name(), d, GraftCatalog.dayColumnCached(d).get,
+          Option(GraftCatalog.pendingSchemas.get(d)))
       case Some(d) if committed(d) =>
         // one-shot staged-evolution slot: the analyzer's merge-evolution
         // rule calls alterTable (which STAGED instead of committing) and
@@ -140,9 +148,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"$catalogName: PARTITIONED BY is not supported — the versioned layout " +
-        "clusters via OPTIMIZE ZORDER / commitCompact instead")
+    // the ONE supported partition transform: hidden day-partitioning,
+    // `PARTITIONED BY (days(ts))` — the Iceberg transform contract over
+    // TimePartitioned's layout. Identity/bucket/other transforms refuse:
+    // the versioned layout clusters via OPTIMIZE ZORDER instead.
+    val dayCol: Option[String] = partitions match {
+      case Array() => None
+      case Array(t) if t.name().equalsIgnoreCase("days") &&
+          t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(sys.error(
+          s"$catalogName: PARTITIONED BY (days($c)) — no column `$c` in the schema"))
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"$catalogName: days($c) needs an epoch-nanos BIGINT column (the " +
+            s"engine timestamp contract), got ${f.dataType.simpleString}")
+        Some(f.name)
+      case other => sys.error(
+        s"$catalogName: only PARTITIONED BY (days(<epoch-nanos col>)) is " +
+          s"supported (got ${other.map(_.describe()).mkString(", ")}) — the " +
+          "versioned layout clusters via OPTIMIZE ZORDER / commitCompact instead")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val d = dirOf(ident).getOrElse(sys.error(
       s"$catalogName: cannot place table `${ident.name()}` — register it " +
@@ -150,6 +176,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"spark.sql.catalog.$catalogName.warehouse"))
     GraftCatalog.register(ident.name(), d)
     GraftCatalog.pendingSchemas.put(d, schema)
+    dayCol.foreach { c =>
+      graft.tables.TimePartitioned.assertMarker(d, c)
+      GraftCatalog.invalidateDayColumn(d)
+      VersionedTable.setProperty(d, GraftCatalog.ManagedProp, "true")
+      GraftCatalog.managedDirs.put(d, java.lang.Boolean.TRUE)
+      return new GraftDayTable(ident.name(), d, c, Some(schema))
+    }
     // created THROUGH the catalog = managed: DROP TABLE deletes its data.
     // The marker is PERSISTED in the table directory (a `_props` entry),
     // not only in this process's memory: managed-ness must survive a
@@ -330,13 +363,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * destructive surprise. */
   override def dropTable(ident: Identifier): Boolean =
     dirOf(ident) match {
-      case Some(d) if committed(d) || GraftCatalog.pendingSchemas.containsKey(d) =>
+      case Some(d) if committed(d) || GraftCatalog.pendingSchemas.containsKey(d) ||
+          GraftCatalog.dayColumnCached(d).isDefined =>
         val managed = GraftCatalog.managedDirs.containsKey(d) ||
           VersionedTable.property(d, GraftCatalog.ManagedProp).contains("true")
         if (managed) TableManager.deleteDir(SparkSession.active, d)
         GraftCatalog.deregister(ident.name())
         GraftCatalog.pendingSchemas.remove(d)
         GraftCatalog.managedDirs.remove(d)
+        GraftCatalog.invalidateDayColumn(d)
         true
       case _ => false
     }
@@ -386,6 +421,11 @@ object GraftCatalog {
     * in THIS process — a fast path over the persisted [[ManagedProp]]
     * marker, which is the durable source of truth. */
   private val managedDirs = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[catalog] def dayColumnCached(dir: String): Option[String] =
+    graft.tables.TimePartitioned.dayColumnCached(dir)
+  private[catalog] def invalidateDayColumn(dir: String): Unit =
+    graft.tables.TimePartitioned.invalidateDayColumn(dir)
 
   /** One-shot handoff between the merge-evolution alterTable (which stages
     * instead of committing) and the rule's immediately-following loadTable

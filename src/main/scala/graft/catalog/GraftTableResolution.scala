@@ -50,6 +50,23 @@ case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => ()
     }
     plan.resolveOperatorsUp {
+      // hidden-day-partitioned tables: substitute the partitioned-parquet
+      // scan (p_day visible to Catalyst so DayPartitionPruning + directory
+      // pruning apply) projected back to the declared schema
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftDayTable] && !keep.contains(r) =>
+        val table = r.table.asInstanceOf[GraftDayTable]
+        val v1 = table.readDataFrame(spark).queryExecution.analyzed
+        val byName = v1.output
+          .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+        val aligned: Seq[NamedExpression] = r.output.map { o =>
+          val src = byName.getOrElse(o.name.toLowerCase(java.util.Locale.ROOT),
+            sys.error(s"graft: column `${o.name}` of ${table.name()} is missing " +
+              "from the table's current read schema"))
+          Alias(src, o.name)(exprId = o.exprId)
+        }
+        Project(aligned, v1)
+
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !keep.contains(r) =>
         val table = r.table.asInstanceOf[GraftTable]

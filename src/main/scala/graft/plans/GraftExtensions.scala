@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OPTIMIZE / VACUUM / RESTORE as native statements (head-token-scoped
     // delegating parser, the Delta SQL-extension mechanism)
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // hidden day-partition pruning: ts-range predicates over PARTITIONED
+    // BY (days(ts)) tables derive p_day directory-pruning bounds
+    ext.injectOptimizerRule(session => DayPartitionPruning(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -21,7 +21,42 @@ object TimePartitioned {
 
   private val DayFmt = "yyyy-MM-dd"
 
-  private def dayOfNanos(tsNanos: Long): String =
+  /** Table property recording the hidden day-partitioning: its value is
+    * the raw timestamp (epoch-nanos long) column the `p_day` key derives
+    * from. Written by [[assertMarker]] after every catalog write (an
+    * overwrite wipes the directory, marker included) and read by
+    * [[dayColumnOf]] — the catalog's `PARTITIONED BY (days(ts))` tables
+    * and the optimizer's hidden-pruning rule both resolve through it. */
+  val DaysProp = "graft.partition.days"
+
+  /** The day-derived timestamp column of a day-partitioned directory, or
+    * None for plain dirs. One `_props` listing per call — hot paths use
+    * [[dayColumnCached]]. */
+  def dayColumnOf(dir: String): Option[String] =
+    VersionedTable.properties(dir).collectFirst { case (DaysProp, v) => v }
+
+  // process-wide dir → marker cache: the pruning rule runs inside a
+  // fixed-point optimizer batch and the catalog consults the marker on
+  // every loadTable — neither should pay the `_props` listing more than
+  // once per dir. Invalidated by assertMarker and table drop.
+  private val dayColCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+  def dayColumnCached(dir: String): Option[String] =
+    dayColCache.computeIfAbsent(dir, d => dayColumnOf(d))
+  def invalidateDayColumn(dir: String): Unit = { dayColCache.remove(dir); () }
+
+  /** (Re-)persist the day-partitioning marker — must follow every
+    * overwrite, which clears the directory. */
+  def assertMarker(dir: String, tsNanosCol: String): Unit = {
+    VersionedTable.setProperty(dir, DaysProp, tsNanosCol)
+    invalidateDayColumn(dir)
+  }
+
+  /** ISO day string of an epoch-nanos timestamp. Lexicographic order on
+    * the result matches day order for the entire epoch-nanos long range
+    * (years 1677–2262 — always four digits), which is what lets the
+    * pruning rule translate a ts range into a string-ordered p_day range. */
+  private[graft] def dayOfNanos(tsNanos: Long): String =
     java.time.LocalDate.ofEpochDay(
       Math.floorDiv(Math.floorDiv(tsNanos, 1000000000L), 86400L)).toString
 
@@ -45,11 +80,22 @@ object TimePartitioned {
     * single straggler task writing a single multi-GB file. `filesPerDay`
     * bounds both the parallelism and the per-directory file count. */
   def write(df: DataFrame, dir: String, tsNanosCol: String,
-      filesPerDay: Int = 8): Unit = {
+      filesPerDay: Int = 8): Unit =
+    writeMode(df, dir, tsNanosCol, filesPerDay, "overwrite")
+
+  /** APPEND into an existing day-partitioned layout — new files land in
+    * their day directories next to the old ones (the catalog INSERT INTO
+    * path). Same shuffle discipline as [[write]]. */
+  def append(df: DataFrame, dir: String, tsNanosCol: String,
+      filesPerDay: Int = 8): Unit =
+    writeMode(df, dir, tsNanosCol, filesPerDay, "append")
+
+  private def writeMode(df: DataFrame, dir: String, tsNanosCol: String,
+      filesPerDay: Int, mode: String): Unit = {
     require(filesPerDay >= 1, s"filesPerDay must be >= 1, got $filesPerDay")
     df.withColumn("p_day", dayColExpr(tsNanosCol))
       .repartition(col("p_day"), pmod(col(tsNanosCol), lit(filesPerDay.toLong)))
-      .write.mode("overwrite").partitionBy("p_day").parquet(dir)
+      .write.mode(mode).partitionBy("p_day").parquet(dir)
   }
 
   /** Time-range read: the [fromNanos, toNanos] predicate maps to a day-key

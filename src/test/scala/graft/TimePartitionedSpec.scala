@@ -56,4 +56,54 @@ class TimePartitionedSpec extends SparkSpec {
       "write path must floor the day key like the reader does")
     assert(TimePartitioned.readRange(spark, dir, "ts", t, t).count() == 1)
   }
+
+  test("catalog CTAS PARTITIONED BY (days(ts)): hidden layout, pruned reads, INSERT append") {
+    import spark.implicits._
+    val d0 = 19724L * Day
+    (0L until 400L).map(i => (i, d0 + (i / 40L) * Day + i)).toDF("id", "ts")
+      .createOrReplaceTempView("day_src")
+    val dir = java.nio.file.Files.createTempDirectory("graft_day_cat").toString + "/t"
+    graft.catalog.GraftCatalog.register("day_ev", dir)
+    spark.sql("CREATE TABLE graft.day_ev PARTITIONED BY (days(ts)) " +
+      "AS SELECT id, ts FROM day_src")
+    // hidden: the partition column never appears in the table schema
+    assert(spark.table("graft.day_ev").columns.toSeq == Seq("id", "ts"))
+    // 10 day directories on disk
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("p_day=")) == 10)
+    // PRUNED-READ PLAN: a raw-ts range query plans a partition filter the
+    // user never wrote, scanning only the window's directories
+    val q = spark.sql(s"SELECT id FROM graft.day_ev " +
+      s"WHERE ts >= ${d0 + 2 * Day} AND ts < ${d0 + 4 * Day}")
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "p_day")),
+      s"no derived p_day partition filter in ${scans.head.partitionFilters}")
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 2,
+      "a 2-day window must scan exactly 2 day directories")
+    assert(q.collect().map(_.getLong(0)).toSet == (80L until 160L).toSet)
+    // INSERT INTO appends into day dirs; the full read sees both writes
+    spark.sql(s"INSERT INTO graft.day_ev SELECT id + 1000, ts + ${20 * Day} FROM day_src")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.day_ev").head.getLong(0) == 800L)
+    // the marker survives INSERT OVERWRITE (which clears the directory)
+    spark.sql("INSERT OVERWRITE graft.day_ev SELECT id, ts FROM day_src")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.day_ev").head.getLong(0) == 400L)
+    assert(TimePartitioned.dayColumnOf(dir).contains("ts"),
+      "day marker must be re-asserted after overwrite")
+    // restart shape: a cold process resolves the table from the persisted
+    // marker alone (cache + pending schema dropped)
+    TimePartitioned.invalidateDayColumn(dir)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.day_ev " +
+      s"WHERE ts BETWEEN ${d0 + Day} AND ${d0 + 2 * Day}").head.getLong(0) > 0)
+    // non-days transforms still refuse loudly
+    graft.catalog.GraftCatalog.register("day_bad",
+      java.nio.file.Files.createTempDirectory("graft_day_bad").toString + "/t")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.day_bad (k BIGINT, ts BIGINT) PARTITIONED BY (k)")
+    }
+    assert(e.getMessage.contains("days"), e.getMessage)
+    spark.sql("DROP TABLE graft.day_ev")
+    assert(!new java.io.File(dir).exists(), "managed day table drops its data")
+  }
 }
