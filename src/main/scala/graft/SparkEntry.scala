@@ -3573,6 +3573,36 @@ object SparkEntry {
       s.read.parquet(out).orderBy("c_custkey")
     }),
 
+    // -- AUTO-LOADER-SHAPE INCREMENTAL FILE INGEST -------------------------
+    // The cloudFiles front door: a stream over a GROWING raw directory with
+    // durable per-file discovery state. Run 1 backfills the pre-existing
+    // files (paced, 2/trigger); more raw files land; run 2 resumes from the
+    // SAME checkpoint and ingests exactly the new files — per-file ledger
+    // replay, not a re-listing — into a versioned table through the
+    // exactly-once sink. Oracle = every raw row exactly once.
+    "q_autoload_ingest" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_al_q").toString
+      val (raw, table, ckpt) = (root + "/raw", root + "/t", root + "/ckpt")
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      def drain(): Unit = {
+        val q = s.readStream.format(graft.sources.AutoLoader.format)
+          .option("path", raw).option("maxFilesPerTrigger", "2").load()
+          .writeStream.format(graft.sources.VersionedStream.format)
+          .option("path", table).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      c.where(pmod(col("c_custkey"), lit(2L)) === 1L).repartition(4)
+        .write.mode("append").parquet(raw)
+      drain() // backfill of the pre-existing files
+      c.where(pmod(col("c_custkey"), lit(2L)) === 0L).repartition(3)
+        .write.mode("append").parquet(raw)
+      drain() // new files only
+      VersionedTable.read(s, table).orderBy("c_custkey")
+    }),
+
     // -- CHANGE-DATA-FEED STREAM over a versioned table --------------------
     // Delta's readChangeFeed as a stream: the batches carry ROW-LEVEL
     // changes (insert / delete / update_preimage / update_postimage with
@@ -5860,6 +5890,11 @@ object SparkEntry {
       // base plus the clipped negatives
       ("SELECT c_custkey, CAST(CASE WHEN c_acctbal < 0 THEN 0.0 " +
         "ELSE c_acctbal END AS DOUBLE) AS bal " +
+        "FROM customer ORDER BY c_custkey"),
+
+    "q_autoload_ingest" ->
+      // every raw row exactly once across backfill + incremental runs
+      ("SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal " +
         "FROM customer ORDER BY c_custkey"),
 
     "q_stream_versioned" ->

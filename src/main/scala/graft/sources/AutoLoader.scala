@@ -1,0 +1,270 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.StreamShim
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** INCREMENTAL FILE INGEST over a growing raw directory — the Auto Loader
+  * (`cloudFiles`) shape, rebuilt as a DSv1 streaming Source: directory-
+  * listing discovery with DURABLE per-file state, so pre-existing files
+  * backfill and new files ingest exactly once across restarts, paced by
+  * `maxFilesPerTrigger`, with loud schema-drift refusal per new file.
+  *
+  * {{{
+  *   spark.readStream.format(AutoLoader.format)
+  *     .option("path", rawDir)                 // the growing directory
+  *     .option("maxFilesPerTrigger", 100)      // optional pacing
+  *     .load()
+  *     .writeStream.format(VersionedStream.format)  // exactly-once sink
+  *     .option("path", tableDir).option("checkpointLocation", cp)
+  *     .start()
+  * }}}
+  *
+  * Durable state, all under the query's own checkpoint (`metadataPath`):
+  *  - `schema.json` — the stream's schema, PINNED at first start (declared
+  *    via `.schema(...)` or inferred from one footer). Every later start
+  *    and every newly discovered file must match it exactly; drift refuses
+  *    loudly (names + types), never silently null-fills a missing column
+  *    the way a plain schema'd parquet read would.
+  *  - `ledger/d-<n>.json` — one append-only entry per DISCOVERY that found
+  *    files: the new files in (modTime, path) order with their assigned
+  *    contiguous sequence numbers. The stream offset is the total file
+  *    count, so `getBatch(start, end)` replays EXACTLY files
+  *    (start, end] after any crash — discovery order is frozen at
+  *    discovery time, never re-derived from a re-listing.
+  *
+  * 100 TB shape: discovery is one recursive listing per trigger (the cost
+  * every directory-listing loader pays; cloud Auto Loader's notification
+  * mode is an infra substitution, not an algorithm change) and the ledger
+  * grows O(discoveries), not O(listing). Files are assumed immutable once
+  * visible (the blob-store contract the reference's ingest relies on:
+  * `01. Ingest.py:33-36`); a file that later CHANGES size refuses loudly
+  * rather than re-ingesting or serving torn reads.
+  */
+class AutoLoader extends StreamSourceProvider {
+
+  private def rawDirOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(sys.error("AutoLoader: .option(\"path\", <raw dir>) is required"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft-autoload", schema.getOrElse {
+      val dir = rawDirOf(parameters)
+      val first = AutoLoader.listDataFiles(dir).headOption.getOrElse(sys.error(
+        s"AutoLoader: $dir has no data files to infer a schema from — " +
+          "declare one with .schema(...) to start over an empty directory"))
+      org.apache.spark.sql.graft.FooterShim.schemaOf(
+        sqlContext.sparkSession, first._1)
+    })
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    def opt(name: String) = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val maxFiles = opt("maxFilesPerTrigger").map(_.toInt)
+    maxFiles.foreach(m => require(m > 0,
+      s"AutoLoader: maxFilesPerTrigger must be positive, got $m"))
+    new AutoLoader.AutoLoadSource(sqlContext.sparkSession, rawDirOf(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      metadataPath, maxFiles)
+  }
+}
+
+object AutoLoader {
+
+  /** `.format(AutoLoader.format)`. */
+  val format: String = classOf[AutoLoader].getName
+
+  /** (absolute path, size, modTime) of every data file under `dir`,
+    * recursively, hidden files/dirs (`_`, `.`) skipped — Spark's own
+    * listing convention. Deterministic (modTime, path) order. */
+  private[sources] def listDataFiles(dir: String): Seq[(String, Long, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(graft.tables.FsIO.hadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    def walk(p: Path): Seq[(String, Long, Long)] =
+      fs.listStatus(p).toSeq.filterNot(s => hidden(s.getPath)).flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq((s.getPath.toString, s.getLen, s.getModificationTime))
+      }
+    walk(root).sortBy { case (p, _, m) => (m, p) }
+  }
+
+  private[sources] class AutoLoadSource(spark: SparkSession, rawDir: String,
+      declaredSchema: StructType, metadataPath: String, maxFiles: Option[Int])
+      extends Source
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+    private val stateRoot  = new Path(metadataPath, "graft-autoload")
+    private val ledgerDir  = new Path(stateRoot, "ledger")
+    private val schemaFile = new Path(stateRoot, "schema.json")
+    private val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // ---- pinned schema: written once, enforced on every start ----
+    locally {
+      fs.mkdirs(ledgerDir)
+      graft.tables.FsIO.readText(schemaFile.toString) match {
+        case Some(json) =>
+          val pinned = DataType.fromJson(json).asInstanceOf[StructType]
+          require(pinned == declaredSchema,
+            s"AutoLoader: this checkpoint pinned schema ${pinned.simpleString} " +
+              s"but the stream now declares ${declaredSchema.simpleString} — " +
+              "schema drift needs a fresh checkpoint (and a plan for the " +
+              "already-ingested rows)")
+        case None =>
+          val tmp = new Path(stateRoot, "schema.json.tmp")
+          graft.tables.FsIO.writeText(tmp.toString, declaredSchema.json)
+          require(fs.rename(tmp, schemaFile) || fs.exists(schemaFile),
+            s"AutoLoader: could not pin the stream schema under $stateRoot")
+      }
+    }
+
+    // ---- durable ledger: replayed into memory once per (re)start ----
+    // ledger(i) = file with sequence number i+1 (offsets are 1-based
+    // counts; offset 0 = nothing ingested)
+    private val ledger = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    private val known  = scala.collection.mutable.HashSet.empty[String]
+    locally {
+      fs.listStatus(ledgerDir).toSeq
+        .filter(_.getPath.getName.matches("d-\\d+\\.json"))
+        .sortBy(_.getPath.getName)
+        .foreach { s =>
+          parseEntries(graft.tables.FsIO.readText(s.getPath.toString).getOrElse(""))
+            .foreach { case (p, sz) => ledger += ((p, sz)); known += p }
+        }
+    }
+
+    // minimal JSON lines: one `path\tsize` pair per line, tab-separated —
+    // paths with tabs/newlines are refused at discovery (loudly), so the
+    // encoding round-trips byte-exact without a JSON library
+    private def renderEntries(files: Seq[(String, Long)]): String =
+      files.map { case (p, sz) => s"$p\t$sz" }.mkString("\n")
+    private def parseEntries(text: String): Seq[(String, Long)] =
+      text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        (line.substring(0, i), line.substring(i + 1).toLong)
+      }
+
+    /** One discovery pass: list, diff against the ledger, validate the new
+      * files' schemas, durably append, extend the in-memory ledger. Runs
+      * on the driver inside getOffset/latestOffset (the listing the
+      * contract requires); O(listing) compare, O(new files) footer reads. */
+    private def discover(): Unit = synchronized {
+      val listed = listDataFiles(rawDir)
+      // an already-ingested file whose SIZE changed violates the
+      // immutability contract — refuse rather than torn-read or re-ingest
+      val bySize = listed.map(f => f._1 -> f._2).toMap
+      val changed = ledger.filter { case (p, sz) => bySize.get(p).exists(_ != sz) }
+      require(changed.isEmpty,
+        s"AutoLoader: ${changed.size} already-ingested file(s) changed size " +
+          s"(e.g. ${changed.head._1}) — raw files must be immutable once " +
+          "visible; write-then-rename into the directory")
+      val fresh = listed.filterNot(f => known(f._1))
+      if (fresh.nonEmpty) {
+        fresh.foreach { case (p, _, _) =>
+          require(!p.exists(c => c == '\t' || c == '\n'),
+            s"AutoLoader: file path contains a tab/newline: $p")
+          val s = org.apache.spark.sql.graft.FooterShim.schemaOf(spark, p)
+          require(s == declaredSchema,
+            s"AutoLoader: schema drift in $p — file has ${s.simpleString}, " +
+              s"stream pinned ${declaredSchema.simpleString}; a plain read " +
+              "would silently null-fill, so the stream refuses (fix the " +
+              "producer or start a new stream for the new schema)")
+        }
+        // discovery file named by the first sequence it assigns — sortable,
+        // collision-free (the ledger only ever grows)
+        val disc = new Path(ledgerDir, f"d-${ledger.size}%012d.json")
+        val tmp  = new Path(ledgerDir, f"d-${ledger.size}%012d.json.tmp")
+        graft.tables.FsIO.writeText(tmp.toString,
+          renderEntries(fresh.map(f => (f._1, f._2))))
+        require(fs.rename(tmp, disc),
+          s"AutoLoader: could not publish discovery $disc")
+        fresh.foreach { case (p, sz, _) => ledger += ((p, sz)); known += p }
+      }
+    }
+
+    override def schema: StructType = declaredSchema
+
+    @volatile private var lastPlanned: Option[Long] = None
+
+    private def paceFrom(anchor: Option[Long]): Option[LongOffset] = {
+      discover()
+      val total = ledger.size.toLong
+      if (total == 0) None
+      else Some(LongOffset((anchor, maxFiles) match {
+        case (Some(a), Some(m)) => math.min(total, a + m)
+        case (None, Some(m))    => math.min(total, m.toLong)
+        case _                  => total
+      }))
+    }
+
+    override def getOffset: Option[Offset] = paceFrom(lastPlanned)
+
+    // Trigger.AvailableNow: drain the backlog pinned at run start in paced
+    // batches, then terminate — files landing mid-run are the next run's
+    @volatile private var availableNowTarget: Option[Long] = None
+    @volatile private var availableNowPrepared = false
+
+    override def prepareForTriggerAvailableNow(): Unit = {
+      discover()
+      availableNowTarget = Some(ledger.size.toLong).filter(_ > 0)
+      availableNowPrepared = true
+    }
+
+    override def getDefaultReadLimit
+        : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+    override def latestOffset(
+        start: org.apache.spark.sql.connector.read.streaming.Offset,
+        limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+        : org.apache.spark.sql.connector.read.streaming.Offset = {
+      val startN = Option(start).map {
+        case l: LongOffset => l.offset
+        case o             => o.json().trim.toLong
+      }
+      val anchor = (lastPlanned.toSeq ++ startN.toSeq).reduceOption(_ max _)
+      if (availableNowPrepared && availableNowTarget.isEmpty) null
+      else paceFrom(anchor) match {
+        case Some(p) =>
+          availableNowTarget match {
+            case Some(t) if startN.exists(_ >= t) => null
+            case Some(t) => LongOffset(math.min(p.offset, t))
+            case None    => p
+          }
+        case None => null
+      }
+    }
+
+    override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+      val endN = end match {
+        case l: LongOffset => l.offset
+        case o             => o.json().trim.toLong
+      }
+      val startN = start.map {
+        case l: LongOffset => l.offset
+        case o             => o.json().trim.toLong
+      }.getOrElse(0L)
+      lastPlanned = Some(endN)
+      require(endN <= ledger.size,
+        s"AutoLoader: checkpoint asks for file $endN but the ledger holds " +
+          s"${ledger.size} — the checkpoint's ledger directory was deleted " +
+          "or points at a different stream")
+      val files = ledger.slice(startN.toInt, endN.toInt).map(_._1).toSeq
+      if (files.isEmpty) StreamShim.emptyStreaming(spark, declaredSchema)
+      else StreamShim.asStreaming(
+        spark.read.schema(declaredSchema).parquet(files: _*))
+    }
+
+    override def stop(): Unit = ()
+    override def toString: String = s"AutoLoadSource[$rawDir]"
+  }
+}

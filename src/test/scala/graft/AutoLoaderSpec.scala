@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{AutoLoader, VersionedStream}
+import graft.tables.VersionedTable
+
+class AutoLoaderSpec extends SparkSpec {
+
+  private def run(raw: String, out: String, ckpt: String,
+      maxFiles: Option[Int] = None): Unit = {
+    val reader = spark.readStream.format(AutoLoader.format).option("path", raw)
+    val q = maxFiles.fold(reader)(m =>
+        reader.option("maxFilesPerTrigger", m.toString)).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("backfill + new files exactly-once across restarts; paced discovery") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_al").toString
+    val (raw, out, ckpt) = (root + "/raw", root + "/out", root + "/ckpt")
+    // wave 1: pre-existing files (the backfill), several part files
+    (1L to 40L).map(i => (i, s"a$i")).toDF("id", "s").repartition(4)
+      .write.mode("append").parquet(raw)
+    run(raw, out, ckpt, maxFiles = Some(2)) // paced: 2 files per batch
+    assert(spark.read.parquet(out).count() == 40L)
+    // wave 2: new files land; the SAME checkpoint resumes and ingests
+    // exactly them (per-file ledger, not a re-listing)
+    (41L to 60L).map(i => (i, s"b$i")).toDF("id", "s").repartition(2)
+      .write.mode("append").parquet(raw)
+    run(raw, out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 60L, "exactly the new files' rows appended")
+    assert(got.select("id").as[Long].collect().toSet == (1L to 60L).toSet)
+    // idle restart: nothing new, nothing re-ingested
+    run(raw, out, ckpt)
+    assert(spark.read.parquet(out).count() == 60L)
+  }
+
+  test("pacing honors maxFilesPerTrigger per micro-batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_al_pace").toString
+    val (raw, ckpt) = (root + "/raw", root + "/ckpt")
+    (1L to 30L).map(i => (i, i * 2.0)).toDF("id", "v").repartition(6)
+      .write.mode("append").parquet(raw)
+    var batchSizes = Vector.empty[Long]
+    val q = spark.readStream.format(AutoLoader.format).option("path", raw)
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes :+= df.count()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(batchSizes.sum == 30L, batchSizes.toString)
+    assert(batchSizes.length >= 3, s"6 files at 2/trigger needs >=3 batches: $batchSizes")
+  }
+
+  test("schema drift refuses loudly; already-ingested file mutation refuses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_al_drift").toString
+    val (raw, out, ckpt) = (root + "/raw", root + "/out", root + "/ckpt")
+    (1L to 5L).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1)
+      .write.mode("append").parquet(raw)
+    run(raw, out, ckpt)
+    // a producer starts writing a WIDER schema: the stream must refuse,
+    // not silently null-fill the missing column
+    Seq((99L, "x", 1.5)).toDF("id", "s", "score").coalesce(1)
+      .write.mode("append").parquet(raw)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format(AutoLoader.format).option("path", raw).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    assert(e.getMessage.contains("schema drift") ||
+      Option(e.getCause).exists(_.getMessage.contains("schema drift")), e.getMessage)
+  }
+
+  test("end-to-end into a versioned table: exactly-once through both layers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_al_e2e").toString
+    val (raw, table, ckpt) = (root + "/raw", root + "/t", root + "/ckpt")
+    (1L to 20L).map(i => (i, s"a$i")).toDF("id", "s").repartition(2)
+      .write.mode("append").parquet(raw)
+    def runE2E(): Unit = {
+      val q = spark.readStream.format(AutoLoader.format).option("path", raw).load()
+        .writeStream.format(VersionedStream.format)
+        .option("path", table).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runE2E()
+    assert(VersionedTable.read(spark, table).count() == 20L)
+    (21L to 25L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1)
+      .write.mode("append").parquet(raw)
+    runE2E()
+    assert(VersionedTable.read(spark, table).count() == 25L)
+    assert(VersionedTable.read(spark, table).select("id").as[Long]
+      .collect().toSet == (1L to 25L).toSet)
+  }
+}
