@@ -30,6 +30,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE coalescing is BYTE-based; its 1 MB minPartitionSize floor
+      // serializes compute-dense small-shuffle stages (q_jaccard_join's
+      // verification stage: 3.2 MB of candidate pairs but ~10 s of
+      // array_intersect CPU was coalesced onto 3 of 32 cores — the whole
+      // measured 3.5-vs-5.3 s variance band). parallelismFirst keeps the
+      // core-count target; the lower floor lets it engage on small stages
+      // (cost: a few extra ms-scale tasks on genuinely tiny IO stages).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.parquet.filterPushdown", "true")
   }
 

@@ -395,8 +395,21 @@ object TableManager {
       // reduceBatch shuffle upstream would re-run three times per micro-batch
       val withBucket = updates.withColumn("key_bucket", keyBucket(keyCols, nBuckets)).persist()
       try {
-        val touched = withBucket.select("key_bucket").distinct()
-          .collect().map(_.getInt(0)).sorted // bounded by nBuckets — driver-safe
+        // ONE probe job delivers the touched buckets AND proves source-key
+        // uniqueness (bounded by nBuckets — driver-safe). Proving it here
+        // lets mergeUpsert skip its per-branch window tripwire: the window
+        // is a source-sized shuffle that both join branches recomputed —
+        // two shuffles of every micro-batch, pure per-batch fixed cost.
+        val probe = withBucket.groupBy("key_bucket").agg(
+          count(lit(1)).as("__n"),
+          count_distinct(struct(keyCols.map(c => col(s"`$c`")): _*)).as("__nk"))
+          .collect()
+        val dup = probe.find(r => r.getLong(1) != r.getLong(2))
+        require(dup.isEmpty,
+          "upsertPartitioned: duplicate source key(s) in bucket " +
+            s"${dup.map(_.getInt(0)).getOrElse(-1)} — MERGE requires a unique " +
+            "source per key; pre-aggregate the source")
+        val touched = probe.map(_.getInt(0)).sorted
         if (touched.nonEmpty)
           upsertBuckets(spark, targetDir, withBucket, keyCols, touched)
       } finally withBucket.unpersist(false)
@@ -410,7 +423,8 @@ object TableManager {
       touched: Array[Int]): Unit = {
     val current = spark.read.parquet(targetDir)
       .where(col("key_bucket").isin(touched.map(Int.box).toIndexedSeq: _*))
-    val merged = mergeUpsert(current, withBucket, keyCols)
+    // uniqueness was proven by the caller's probe — skip the window tripwire
+    val merged = mergeUpsert(current, withBucket, keyCols, keysProvenUnique = true)
     commitStagedBuckets(spark, targetDir, merged, touched, "upsertPartitioned")
   }
 
@@ -506,8 +520,14 @@ object TableManager {
     * columns, and be unique per key. Like Delta MERGE, a duplicate source
     * key fails LOUDLY at execution time (a per-row assertion riding the
     * plan — silent fan-out of matched target rows would be corrupted
-    * output); pre-aggregate the source to choose a winner. */
-  def mergeUpsert(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame = {
+    * output); pre-aggregate the source to choose a winner.
+    * `keysProvenUnique` (internal): a caller that has ALREADY proven source
+    * keys unique (upsertPartitioned's touched-bucket probe doubles as the
+    * proof) skips the window tripwire — the window is a source-sized
+    * shuffle that BOTH join branches recompute, two shuffles of every
+    * micro-batch in the streaming-upsert loop. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+      keysProvenUnique: Boolean = false): DataFrame = {
     val tCols = target.columns.toSeq
     // Membership checks follow the analyzer's case sensitivity (default:
     // INsensitive) — a source column cased differently from the target must
@@ -537,8 +557,9 @@ object TableManager {
     // source's keys (source-sized shuffle only — the cheap side) detects
     // contract violations where they corrupt output instead of trusting docs.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(c => col(s"`$c`")): _*)
-    val marked = source
-      .withColumn("__matched",
+    val marked =
+      if (keysProvenUnique) source.withColumn("__matched", lit(true))
+      else source.withColumn("__matched",
         when(count(lit(1)).over(w) === 1, lit(true))
           .otherwise(raise_error(concat(
             lit("mergeUpsert: duplicate source key ("),
