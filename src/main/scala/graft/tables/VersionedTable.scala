@@ -600,8 +600,16 @@ object VersionedTable {
 
   /** Past this many total deletion-vector BYTES, the mask anti-join stops
     * hinting broadcast and lets AQE plan it (a shuffled anti-join on
-    * (fname, pos) — still O(deleted rows), never O(table)). */
+    * (fname, pos) — still O(deleted rows), never O(table)). Overridable
+    * per session with `spark.graft.dv.maxBroadcastBytes` — the ops escape
+    * hatch for executors whose memory budget can't take a 64 MB broadcast
+    * next to a wide scan, and the knob the SCALING study flips to measure
+    * the shuffled regime on identical data. */
   val MaxBroadcastDvBytes: Long = 64L * 1024 * 1024
+
+  private def dvBroadcastBound(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.maxBroadcastBytes").map(_.toLong)
+      .getOrElse(MaxBroadcastDvBytes)
 
   /** One DRIVER footer read resolving an undeclared manifest's schema —
     * replaces Spark's parallel schema-inference JOB (every `spark.read
@@ -681,7 +689,7 @@ object VersionedTable {
       // cost a full exchange + an extra AQE stage-job on EVERY masked scan —
       // pure protocol latency (2 jobs instead of 1 to build the mask).
       val dv0 = dvPruned.select(col("fname"), col("pos"))
-      val dv = if (dvBytes <= MaxBroadcastDvBytes) broadcast(dv0) else dv0
+      val dv = if (dvBytes <= dvBroadcastBound(spark)) broadcast(dv0) else dv0
       base.join(dv,
         base(FnameCol) === dv("fname") && base(PosCol) === dv("pos"), "left_anti")
     }
