@@ -35,10 +35,14 @@ object GraftSession {
       // verification stage: 3.2 MB of candidate pairs but ~10 s of
       // array_intersect CPU was coalesced onto 3 of 32 cores — the whole
       // measured 3.5-vs-5.3 s variance band). parallelismFirst keeps the
-      // core-count target; the lower floor lets it engage on small stages
-      // (cost: a few extra ms-scale tasks on genuinely tiny IO stages).
+      // core-count target; the lower floor lets it engage on small stages.
+      // 256k measured best among {1m, 256k, 64k}: 64k re-split the
+      // KB-scale commit-protocol shuffles into overhead-dominated tasks
+      // (q_versioned_deltalog/matview +0.4 s), while 256k keeps those at
+      // one task and still gives the MB-scale compute stages 10×+ the
+      // parallelism the 1 MB default allowed.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.parquet.filterPushdown", "true")
   }
 

@@ -38,12 +38,20 @@ object TimePartitioned {
   // process-wide dir → marker cache: the pruning rule runs inside a
   // fixed-point optimizer batch and the catalog consults the marker on
   // every loadTable — neither should pay the `_props` listing more than
-  // once per dir. Invalidated by assertMarker and table drop.
+  // once per dir. Keys are FS-QUALIFIED (`/tmp/x` and `file:/tmp/x` are
+  // the same directory — the catalog holds the bare form, the optimizer
+  // rule sees the relation's qualified rootPath; unnormalized they would
+  // cache independently and a drop would only invalidate one form).
+  // Invalidated by assertMarker and table drop.
   private val dayColCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+  private def cacheKey(dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(FsIO.hadoopConf()).makeQualified(p).toString
+  }
   def dayColumnCached(dir: String): Option[String] =
-    dayColCache.computeIfAbsent(dir, d => dayColumnOf(d))
-  def invalidateDayColumn(dir: String): Unit = { dayColCache.remove(dir); () }
+    dayColCache.computeIfAbsent(cacheKey(dir), _ => dayColumnOf(dir))
+  def invalidateDayColumn(dir: String): Unit = { dayColCache.remove(cacheKey(dir)); () }
 
   /** (Re-)persist the day-partitioning marker — must follow every
     * overwrite, which clears the directory. */

@@ -96,6 +96,16 @@ class TimePartitionedSpec extends SparkSpec {
     TimePartitioned.invalidateDayColumn(dir)
     assert(spark.sql(s"SELECT count(*) AS n FROM graft.day_ev " +
       s"WHERE ts BETWEEN ${d0 + Day} AND ${d0 + 2 * Day}").head.getLong(0) > 0)
+    // non-CTAS create: declared schema serves the CREATE → first-INSERT
+    // window, the persisted marker takes over after
+    graft.catalog.GraftCatalog.register("day_ev2",
+      java.nio.file.Files.createTempDirectory("graft_day_cat2").toString + "/t")
+    spark.sql("CREATE TABLE graft.day_ev2 (id BIGINT, ts BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO graft.day_ev2 SELECT id, ts FROM day_src")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.day_ev2").head.getLong(0) == 400L)
+    spark.sql("DROP TABLE graft.day_ev2")
+
     // non-days transforms still refuse loudly
     graft.catalog.GraftCatalog.register("day_bad",
       java.nio.file.Files.createTempDirectory("graft_day_bad").toString + "/t")
