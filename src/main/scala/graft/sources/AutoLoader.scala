@@ -13,6 +13,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * listing discovery with DURABLE per-file state, so pre-existing files
   * backfill and new files ingest exactly once across restarts, paced by
   * `maxFilesPerTrigger`, with loud schema-drift refusal per new file.
+  * `fileFormat` = `parquet` (default, drift-checked), `binaryFile` (one
+  * row per raw file — the reference's image ingest, streamed), or `text`
+  * (one row per line + source path — the raw LLM-corpus shape).
   *
   * {{{
   *   spark.readStream.format(AutoLoader.format)
@@ -51,15 +54,37 @@ class AutoLoader extends StreamSourceProvider {
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .getOrElse(sys.error("AutoLoader: .option(\"path\", <raw dir>) is required"))
 
+  private def formatOf(parameters: Map[String, String]): String = {
+    val f = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("fileFormat") => v }
+      .getOrElse("parquet").toLowerCase(java.util.Locale.ROOT)
+    require(AutoLoader.Formats.contains(f),
+      s"AutoLoader: fileFormat `$f` is not supported — one of " +
+        AutoLoader.Formats.mkString(", "))
+    f
+  }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft-autoload", schema.getOrElse {
-      val dir = rawDirOf(parameters)
-      val first = AutoLoader.listDataFiles(dir).headOption.getOrElse(sys.error(
-        s"AutoLoader: $dir has no data files to infer a schema from — " +
-          "declare one with .schema(...) to start over an empty directory"))
-      org.apache.spark.sql.graft.FooterShim.schemaOf(
-        sqlContext.sparkSession, first._1)
+    ("graft-autoload", formatOf(parameters) match {
+      case "binaryfile" =>
+        require(schema.isEmpty,
+          "AutoLoader: fileFormat binaryFile has a FIXED schema " +
+            "(path, modificationTime, length, content) — drop .schema(...)")
+        AutoLoader.BinaryFileSchema
+      case "text" =>
+        require(schema.isEmpty,
+          "AutoLoader: fileFormat text has a FIXED schema (value, path) — " +
+            "drop .schema(...)")
+        AutoLoader.TextSchema
+      case "parquet" => schema.getOrElse {
+        val dir = rawDirOf(parameters)
+        val first = AutoLoader.listDataFiles(dir).headOption.getOrElse(sys.error(
+          s"AutoLoader: $dir has no data files to infer a schema from — " +
+            "declare one with .schema(...) to start over an empty directory"))
+        org.apache.spark.sql.graft.FooterShim.schemaOf(
+          sqlContext.sparkSession, first._1)
+      }
     })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -72,7 +97,7 @@ class AutoLoader extends StreamSourceProvider {
       s"AutoLoader: maxFilesPerTrigger must be positive, got $m"))
     new AutoLoader.AutoLoadSource(sqlContext.sparkSession, rawDirOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      metadataPath, maxFiles)
+      metadataPath, maxFiles, formatOf(parameters))
   }
 }
 
@@ -80,6 +105,32 @@ object AutoLoader {
 
   /** `.format(AutoLoader.format)`. */
   val format: String = classOf[AutoLoader].getName
+
+  /** Supported `fileFormat` option values. `parquet` (default) carries the
+    * pinned-schema drift contract; `binaryfile` is the reference's image
+    * front door (`01. Ingest.py:33-36` — one row per raw file:
+    * path/modificationTime/length/content) streamed incrementally;
+    * `text` is one row per line with the source path attached (the raw
+    * LLM-corpus shape). */
+  val Formats: Set[String] = Set("parquet", "binaryfile", "text")
+
+  /** Spark's own binaryFile source schema — fixed by the format. */
+  val BinaryFileSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType, nullable = false),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType, nullable = true)))
+
+  /** Text ingest schema: the line plus its source file. */
+  val TextSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType, nullable = false)))
 
   /** (absolute path, size, modTime) of every data file under `dir`,
     * recursively, hidden files/dirs (`_`, `.`) skipped — Spark's own
@@ -99,7 +150,8 @@ object AutoLoader {
   }
 
   private[sources] class AutoLoadSource(spark: SparkSession, rawDir: String,
-      declaredSchema: StructType, metadataPath: String, maxFiles: Option[Int])
+      declaredSchema: StructType, metadataPath: String, maxFiles: Option[Int],
+      fileFormat: String = "parquet")
       extends Source
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -172,12 +224,16 @@ object AutoLoader {
         fresh.foreach { case (p, _, _) =>
           require(!p.exists(c => c == '\t' || c == '\n'),
             s"AutoLoader: file path contains a tab/newline: $p")
-          val s = org.apache.spark.sql.graft.FooterShim.schemaOf(spark, p)
-          require(s == declaredSchema,
-            s"AutoLoader: schema drift in $p — file has ${s.simpleString}, " +
-              s"stream pinned ${declaredSchema.simpleString}; a plain read " +
-              "would silently null-fill, so the stream refuses (fix the " +
-              "producer or start a new stream for the new schema)")
+          // drift is a parquet concern — binaryFile/text carry the
+          // format's own fixed schema regardless of content
+          if (fileFormat == "parquet") {
+            val s = org.apache.spark.sql.graft.FooterShim.schemaOf(spark, p)
+            require(s == declaredSchema,
+              s"AutoLoader: schema drift in $p — file has ${s.simpleString}, " +
+                s"stream pinned ${declaredSchema.simpleString}; a plain read " +
+                "would silently null-fill, so the stream refuses (fix the " +
+                "producer or start a new stream for the new schema)")
+          }
         }
         // discovery file named by the first sequence it assigns — sortable,
         // collision-free (the ledger only ever grows)
@@ -260,8 +316,15 @@ object AutoLoader {
           "or points at a different stream")
       val files = ledger.slice(startN.toInt, endN.toInt).map(_._1).toSeq
       if (files.isEmpty) StreamShim.emptyStreaming(spark, declaredSchema)
-      else StreamShim.asStreaming(
-        spark.read.schema(declaredSchema).parquet(files: _*))
+      else StreamShim.asStreaming(fileFormat match {
+        case "binaryfile" =>
+          spark.read.format("binaryFile").load(files: _*)
+        case "text" =>
+          spark.read.text(files: _*)
+            .withColumn("path", org.apache.spark.sql.functions.input_file_name())
+        case _ =>
+          spark.read.schema(declaredSchema).parquet(files: _*)
+      })
     }
 
     override def stop(): Unit = ()

@@ -79,6 +79,62 @@ class AutoLoaderSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("schema drift")), e.getMessage)
   }
 
+  test("binaryFile ingest: raw files stream in waves, one row each, exactly once") {
+    val root = Files.createTempDirectory("graft_al_bin").toString
+    val (raw, out, ckpt) = (root + "/raw", root + "/out", root + "/ckpt")
+    new java.io.File(raw).mkdirs()
+    def drop(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = java.nio.file.Paths.get(root, name + ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(raw, name))
+    }
+    (1 to 5).foreach(i => drop(f"img_$i%03d.jpg", Array.fill[Byte](100 + i)(i.toByte)))
+    def runBin(): Unit = {
+      val q = spark.readStream.format(AutoLoader.format)
+        .option("path", raw).option("fileFormat", "binaryFile").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runBin()
+    (6 to 8).foreach(i => drop(f"img_$i%03d.jpg", Array.fill[Byte](100 + i)(i.toByte)))
+    runBin()
+    val got = spark.read.parquet(out)
+      .select("path", "length", "content").collect()
+      .map(r => (new java.io.File(r.getString(0)).getName, r.getLong(1),
+        r.getAs[Array[Byte]](2).length))
+    assert(got.length == 8, s"8 raw files exactly once, got ${got.length}")
+    assert(got.forall { case (n, len, clen) =>
+      val i = n.stripPrefix("img_").stripSuffix(".jpg").toInt
+      len == 100 + i && clen == 100 + i
+    }, got.mkString(","))
+    // declaring a schema for a fixed-schema format refuses loudly
+    val e = intercept[Exception] {
+      spark.readStream.format(AutoLoader.format)
+        .option("path", raw).option("fileFormat", "binaryFile")
+        .schema(AutoLoader.BinaryFileSchema).load()
+    }
+    assert(e.getMessage.contains("FIXED schema"), e.getMessage)
+  }
+
+  test("text ingest: one row per line with the source path attached") {
+    val root = Files.createTempDirectory("graft_al_txt").toString
+    val (raw, out, ckpt) = (root + "/raw", root + "/out", root + "/ckpt")
+    new java.io.File(raw).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(raw, "a.txt"),
+      "alpha\nbeta\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(raw, "b.txt"),
+      "gamma\n".getBytes)
+    val q = spark.readStream.format(AutoLoader.format)
+      .option("path", raw).option("fileFormat", "text").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), new java.io.File(r.getString(1)).getName)).toSet
+    assert(got == Set(("alpha", "a.txt"), ("beta", "a.txt"), ("gamma", "b.txt")), got.toString)
+  }
+
   test("end-to-end into a versioned table: exactly-once through both layers") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_al_e2e").toString

@@ -237,4 +237,48 @@ class MergeConditionalSpec extends SparkSpec {
     assert((0L until 30L).forall(k => rows(k) == 7L), "every matched row updated")
     assert(rows.size == 31)
   }
+
+  test("evolution fold is idempotent against a rival adding the same column+type") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal"), dir)
+    // a concurrent writer lands the SAME widening between the merge's
+    // analysis (which staged the alter) and its commit
+    VersionedTable.commitAddColumn(spark, dir, "seg",
+      org.apache.spark.sql.types.StringType)
+    val src = Seq((1L, 99.0, "hot"), (5L, 50.0, "new")).toDF("k", "bal", "seg")
+    VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+      WhenMatchedUpdate(None, Map("bal" -> "s.bal", "seg" -> "s.seg")),
+      WhenNotMatchedInsert(None, None)),
+      pendingAlters = Seq(VersionedTable.AddColumnAlter("seg",
+        org.apache.spark.sql.types.StringType)))
+    val out = VersionedTable.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)).orNull))
+    assert(out.toSeq == Seq((1L, 99.0, "hot"), (2L, 20.0, null), (5L, 50.0, "new")),
+      out.mkString(","))
+    // exactly one `seg` in the schema, no duplicate add committed
+    assert(VersionedTable.schemaOf(spark, dir, None).fieldNames.toSeq
+      == Seq("k", "bal", "seg"))
+  }
+
+  test("evolution fold refuses loudly on a rival's conflicting column type") {
+    import spark.implicits._
+    val dir = dirOf()
+    VersionedTable.commitAppend(spark,
+      Seq((1L, 10.0)).toDF("k", "bal"), dir)
+    VersionedTable.commitAddColumn(spark, dir, "seg",
+      org.apache.spark.sql.types.LongType) // rival: seg BIGINT
+    val vBefore = VersionedTable.latestVersion(dir)
+    val src = Seq((1L, 99.0, "hot")).toDF("k", "bal", "seg")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitMergeConditional(spark, dir, src, Seq("k"), Seq(
+        WhenMatchedUpdate(None, Map.empty)),
+        pendingAlters = Seq(VersionedTable.AddColumnAlter("seg",
+          org.apache.spark.sql.types.StringType))) // staged: seg STRING
+    }
+    assert(e.getMessage.contains("concurrent change already added"), e.getMessage)
+    assert(VersionedTable.latestVersion(dir) == vBefore,
+      "the refused merge must not commit")
+  }
 }
