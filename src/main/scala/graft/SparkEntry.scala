@@ -3603,6 +3603,57 @@ object SparkEntry {
       VersionedTable.read(s, table).orderBy("c_custkey")
     }),
 
+    // -- AUTO-LOADER BINARY INGEST (rows-only; binary outputs by contract) -
+    // The reference's image front door (`01. Ingest.py:33-36`) as an
+    // INCREMENTAL stream: raw binary files land in waves, each becomes one
+    // (path, length, content) row exactly once across two AvailableNow
+    // runs over one checkpoint. Self-gated: second wave must not re-ingest
+    // the first, and content round-trips byte-exact (sha over the bytes).
+    "q_autoload_binary" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_alb_q").toString
+      val (raw, out, ckpt) = (root + "/raw", root + "/out", root + "/ckpt")
+      new java.io.File(raw).mkdirs()
+      val names = t(s, d, "customer").select("c_custkey", "c_name")
+        .where(col("c_custkey") <= 40).orderBy("c_custkey").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      def drop(k: Long, payload: String): Unit = {
+        val tmp = java.nio.file.Paths.get(root, f"c_$k%06d.bin.tmp")
+        java.nio.file.Files.write(tmp, payload.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(raw, f"c_$k%06d.bin"))
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format(graft.sources.AutoLoader.format)
+          .option("path", raw).option("fileFormat", "binaryFile")
+          .option("maxFilesPerTrigger", "8").load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val (w1, w2) = names.partition(_._1 % 2 == 1)
+      w1.foreach { case (k, n) => drop(k, n) }
+      drain()
+      w2.foreach { case (k, n) => drop(k, n) }
+      drain()
+      val res = s.read.parquet(out)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length"),
+          sha2(col("content"), 256).as("sha"))
+      require(res.count() == names.length,
+        s"expected ${names.length} rows (one per raw file, no replays), got ${res.count()}")
+      val expected = names.map { case (k, n) =>
+        (f"c_$k%06d.bin",
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(n.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString) }.toMap
+      val bad = res.collect().filterNot(r =>
+        expected.get(r.getString(0)).contains(r.getString(2)))
+      require(bad.isEmpty, s"content mismatch for ${bad.take(3).mkString(",")}")
+      res.orderBy("fname")
+    }),
+
     // -- CHANGE-DATA-FEED STREAM over a versioned table --------------------
     // Delta's readChangeFeed as a stream: the batches carry ROW-LEVEL
     // changes (insert / delete / update_preimage / update_postimage with

@@ -163,6 +163,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(f.dataType == org.apache.spark.sql.types.LongType,
           s"$catalogName: days($c) needs an epoch-nanos BIGINT column (the " +
             s"engine timestamp contract), got ${f.dataType.simpleString}")
+        // the derived key's name is reserved: a user column called p_day
+        // would be silently overwritten by the writer's withColumn
+        require(!schema.fields.exists(_.name.equalsIgnoreCase("p_day")),
+          s"$catalogName: `p_day` is the hidden day-partition key's reserved " +
+            "name — rename the column")
         Some(f.name)
       case other => sys.error(
         s"$catalogName: only PARTITIONED BY (days(<epoch-nanos col>)) is " +
