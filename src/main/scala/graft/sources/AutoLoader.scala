@@ -149,7 +149,7 @@ object AutoLoader {
     walk(root).sortBy { case (p, _, m) => (m, p) }
   }
 
-  private[sources] class AutoLoadSource(spark: SparkSession, rawDir: String,
+  private[graft] class AutoLoadSource(spark: SparkSession, rawDir: String,
       declaredSchema: StructType, metadataPath: String, maxFiles: Option[Int],
       fileFormat: String = "parquet")
       extends Source
