@@ -3055,14 +3055,21 @@ object SparkEntry {
       val li = t(s, d, "lineitem").select(col("l_orderkey"),
         col("l_quantity").cast("double").as("l_quantity"),
         col("l_extendedprice").cast("double").as("l_extendedprice"))
-      val cols = Seq("l_extendedprice", "l_quantity")
       VersionedTable.commitAppend(s,
         li.where(pmod(col("l_orderkey"), lit(2L)) === 0L).repartition(2), dir)
-      graft.tables.VersionedStats.refreshIncremental(s, dir, cols)
+      graft.tables.VersionedStats.refreshIncremental(s, dir,
+        Seq("l_extendedprice", "l_quantity"))
+      // RENAME mid-history: stats key on immutable PHYSICAL names, so the
+      // manifest survives the rename and the carry-forward stays O(new
+      // files); reads resolve the NEW logical name through the mapping
+      VersionedTable.commitRenameColumn(s, dir, "l_quantity", "qty")
       VersionedTable.commitAppend(s,
-        li.where(pmod(col("l_orderkey"), lit(2L)) === 1L).repartition(2), dir)
-      graft.tables.VersionedStats.refreshIncremental(s, dir, cols)
-      graft.tables.VersionedStats.statsOnlyAggregate(s, dir, cols).orderBy("column")
+        li.where(pmod(col("l_orderkey"), lit(2L)) === 1L)
+          .withColumnRenamed("l_quantity", "qty").repartition(2), dir)
+      graft.tables.VersionedStats.refreshIncremental(s, dir,
+        Seq("l_extendedprice", "qty"))
+      graft.tables.VersionedStats.statsOnlyAggregate(s, dir,
+        Seq("l_extendedprice", "qty")).orderBy("column")
     }),
 
     // -- SQL DML VERBS OVER A VERSIONED TABLE -------------------------------
@@ -5736,11 +5743,14 @@ object SparkEntry {
         "FROM customer WHERE c_custkey % 11 <> 0 ORDER BY c_custkey"),
 
     "q_versioned_stats_agg" ->
-      (Seq("l_extendedprice", "l_quantity").map(c =>
-        s"SELECT '$c' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, " +
-          s"CAST(COUNT($c) AS BIGINT) AS n_notnull, " +
-          s"CAST(MIN($c) AS DOUBLE) AS min_d, CAST(MAX($c) AS DOUBLE) AS max_d " +
-          "FROM lineitem").mkString(" UNION ALL ") +
+      // `qty` is l_quantity renamed mid-history (column mapping) — the
+      // metadata-only aggregate answers under the NEW logical name
+      (Seq("l_extendedprice" -> "l_extendedprice", "qty" -> "l_quantity").map {
+        case (alias, c) =>
+          s"SELECT '$alias' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+            s"CAST(COUNT($c) AS BIGINT) AS n_notnull, " +
+            s"CAST(MIN($c) AS DOUBLE) AS min_d, CAST(MAX($c) AS DOUBLE) AS max_d " +
+            "FROM lineitem" }.mkString(" UNION ALL ") +
         " ORDER BY \"column\""),
 
     "q_sql_rowlevel_native" ->
