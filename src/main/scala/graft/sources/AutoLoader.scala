@@ -95,9 +95,15 @@ class AutoLoader extends StreamSourceProvider {
     val maxFiles = opt("maxFilesPerTrigger").map(_.toInt)
     maxFiles.foreach(m => require(m > 0,
       s"AutoLoader: maxFilesPerTrigger must be positive, got $m"))
+    val clean = opt("cleanSource").map(_.toLowerCase(java.util.Locale.ROOT))
+    clean.foreach(c => require(c == "delete" || c == "archive",
+      s"AutoLoader: cleanSource must be `delete` or `archive`, got `$c`"))
+    val archiveDir = opt("sourceArchiveDir")
+    if (clean.contains("archive")) require(archiveDir.isDefined,
+      "AutoLoader: cleanSource=archive needs .option(\"sourceArchiveDir\", <dir>)")
     new AutoLoader.AutoLoadSource(sqlContext.sparkSession, rawDirOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      metadataPath, maxFiles, formatOf(parameters))
+      metadataPath, maxFiles, formatOf(parameters), clean, archiveDir)
   }
 }
 
@@ -151,7 +157,16 @@ object AutoLoader {
 
   private[graft] class AutoLoadSource(spark: SparkSession, rawDir: String,
       declaredSchema: StructType, metadataPath: String, maxFiles: Option[Int],
-      fileFormat: String = "parquet")
+      fileFormat: String = "parquet",
+      /** `cleanSource` (Spark file-source parity): after a batch's offset
+        * COMMITS to the checkpoint, its raw files are deleted or archived
+        * — the landing-zone retention loop. Only committed files are ever
+        * touched (the [[commit]] callback is the trigger), so a crash
+        * before commit replays from intact raw files; a cleaned file that
+        * later vanishes from the listing is expected (the ledger keeps the
+        * exactly-once history). */
+      cleanSource: Option[String] = None,
+      sourceArchiveDir: Option[String] = None)
       extends Source
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -310,6 +325,7 @@ object AutoLoader {
         case o             => o.json().trim.toLong
       }.getOrElse(0L)
       lastPlanned = Some(endN)
+      cleanUpTo(startN) // the start prefix is durably committed (see above)
       require(endN <= ledger.size,
         s"AutoLoader: checkpoint asks for file $endN but the ledger holds " +
           s"${ledger.size} — the checkpoint's ledger directory was deleted " +
@@ -326,6 +342,37 @@ object AutoLoader {
           spark.read.schema(declaredSchema).parquet(files: _*)
       })
     }
+
+    // cleanSource: raw files are retired once their batch is DURABLY
+    // committed. Two triggers cover every lifecycle: getBatch's START
+    // offset is a committed prefix by construction (the engine only
+    // constructs batch N+1 after batch N completed — and on restart,
+    // start is the last committed boundary below the replay), so cleaning
+    // fires as a multi-batch run advances; the engine's commit(end)
+    // callback sweeps the final batch when the next trigger or the next
+    // run reaches it. In-memory low-water mark only: after a restart the
+    // first sweep re-walks the committed prefix with idempotent
+    // delete/rename (a missing file is a no-op), then advances in O(new).
+    @volatile private var cleanedThrough: Long = 0L
+    private def cleanUpTo(n: Long): Unit = cleanSource.foreach { mode =>
+      val rawFs = new Path(rawDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val upTo = math.min(n, ledger.size.toLong)
+      (cleanedThrough until upTo).foreach { i =>
+        val p = new Path(ledger(i.toInt)._1)
+        mode match {
+          case "delete" => rawFs.delete(p, false)
+          case _ =>
+            val ad = new Path(sourceArchiveDir.get)
+            rawFs.mkdirs(ad)
+            rawFs.rename(p, new Path(ad, f"$i%012d-${p.getName}"))
+        }
+      }
+      cleanedThrough = math.max(cleanedThrough, upTo)
+    }
+    override def commit(end: Offset): Unit = cleanUpTo(end match {
+      case l: LongOffset => l.offset
+      case o             => o.json().trim.toLong
+    })
 
     override def stop(): Unit = ()
     override def toString: String = s"AutoLoadSource[$rawDir]"

@@ -106,6 +106,28 @@ object TimePartitioned {
       .write.mode(mode).partitionBy("p_day").parquet(dir)
   }
 
+  /** RETENTION: drop whole day directories strictly BEFORE the cutoff's
+    * UTC day — the operational loop every day-partitioned events table
+    * runs (keep N days, reclaim the rest at directory grain, zero row
+    * scans). The cutoff's own day is always kept (conservative: a cutoff
+    * mid-day must not drop that day's earlier rows). Returns the dropped
+    * day keys. Plain-layout semantics like [[write]]: concurrent readers
+    * of a dropped day see missing-file errors, the same contract as any
+    * non-versioned parquet dir — versioned retention belongs to
+    * VersionedTable.vacuum. */
+  def dropDaysBefore(spark: SparkSession, dir: String, cutoffNanos: Long): Seq[String] = {
+    val cutoffDay = dayOfNanos(cutoffNanos)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val dropped = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
+      .map(s => s.getPath)
+      .filter(_.getName.stripPrefix("p_day=") < cutoffDay) // ISO-lex = day order
+    dropped.foreach(p => fs.delete(p, true))
+    dropped.map(_.getName.stripPrefix("p_day=")).sorted
+  }
+
   /** Time-range read: the [fromNanos, toNanos] predicate maps to a day-key
     * partition filter (directory pruning at planning time) plus the exact
     * nanos residual. Row-identical to a full-scan filter; the partition

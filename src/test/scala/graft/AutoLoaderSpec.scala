@@ -135,6 +135,63 @@ class AutoLoaderSpec extends SparkSpec {
     assert(got == Set(("alpha", "a.txt"), ("beta", "a.txt"), ("gamma", "b.txt")), got.toString)
   }
 
+  test("cleanSource retires committed raw files; uncommitted files survive a refusal") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_al_clean").toString
+    val (raw, out, ckpt, arch) =
+      (root + "/raw", root + "/out", root + "/ckpt", root + "/archive")
+    (1L to 20L).map(i => (i, s"a$i")).toDF("id", "s").repartition(4)
+      .write.mode("append").parquet(raw)
+    def rawCount() = Option(new java.io.File(raw).listFiles())
+      .fold(0)(_.count(_.getName.endsWith(".parquet")))
+    val before = rawCount()
+    // archive mode, paced 2 files/batch: each batch's getBatch archives
+    // the COMMITTED prefix, so by run end only the final batch's files
+    // can still be in the landing zone
+    val q = spark.readStream.format(AutoLoader.format).option("path", raw)
+      .option("maxFilesPerTrigger", "2")
+      .option("cleanSource", "archive").option("sourceArchiveDir", arch).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(out).count() == 20L)
+    assert(rawCount() <= 2, s"only the final batch may remain, found ${rawCount()}")
+    assert(new java.io.File(arch).listFiles().count(_.getName.endsWith(".parquet"))
+      == before - rawCount(), "archived, not deleted")
+    // the stream keeps running correctly after cleaning: new files ingest
+    // exactly once even though the old ones are gone from the listing
+    (21L to 25L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1)
+      .write.mode("append").parquet(raw)
+    def runDelete(): Unit = {
+      val q2 = spark.readStream.format(AutoLoader.format).option("path", raw)
+        .option("cleanSource", "delete").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q2.processAllAvailable(); q2.stop()
+    }
+    runDelete()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().map(_._1).toSet
+      == (1L to 25L).toSet)
+    assert(rawCount() <= 1, "at most the run's own final batch remains")
+    // the next advancing run retires the previous run's final batch
+    Seq((26L, "c")).toDF("id", "s").coalesce(1).write.mode("append").parquet(raw)
+    runDelete()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().map(_._1).toSet
+      == (1L to 26L).toSet)
+    assert(rawCount() <= 1, "the retention loop keeps the landing zone bounded")
+    // archive without a dir refuses at stream start (createSource is lazy)
+    val e = intercept[Exception] {
+      val qb = spark.readStream.format(AutoLoader.format).option("path", raw)
+        .option("cleanSource", "archive").load()
+        .writeStream.format("parquet")
+        .option("path", root + "/out2")
+        .option("checkpointLocation", root + "/ckpt2").start()
+      qb.processAllAvailable(); qb.stop()
+    }
+    assert(e.getMessage.contains("sourceArchiveDir") ||
+      Option(e.getCause).exists(_.getMessage.contains("sourceArchiveDir")), e.getMessage)
+  }
+
   test("end-to-end into a versioned table: exactly-once through both layers") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_al_e2e").toString

@@ -57,6 +57,26 @@ class TimePartitionedSpec extends SparkSpec {
     assert(TimePartitioned.readRange(spark, dir, "ts", t, t).count() == 1)
   }
 
+  test("dropDaysBefore reclaims whole day directories, keeps the cutoff's own day") {
+    import spark.implicits._
+    val d0 = 19724L * Day
+    val dir = java.nio.file.Files.createTempDirectory("graft_tp_ret").toString + "/t"
+    TimePartitioned.write(
+      (0L until 100L).map(i => (i, d0 + (i / 10L) * Day + i)).toDF("id", "ts"),
+      dir, "ts") // 10 days
+    // cutoff MID-day 3: days 0-2 drop, day 3 (the cutoff's day) stays
+    val dropped = TimePartitioned.dropDaysBefore(spark, dir, d0 + 3 * Day + 12345L)
+    assert(dropped.size == 3, dropped.toString)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("p_day=")) == 7)
+    val got = spark.read.parquet(dir).drop("p_day").as[(Long, Long)]
+      .collect().map(_._1).toSet
+    assert(got == (30L until 100L).toSet, "days 3..9 intact, 0..2 reclaimed")
+    // idempotent; and a later cutoff advances
+    assert(TimePartitioned.dropDaysBefore(spark, dir, d0 + 3 * Day).isEmpty)
+    assert(TimePartitioned.dropDaysBefore(spark, dir, d0 + 5 * Day) == Seq(
+      TimePartitioned.dayOfNanos(d0 + 3 * Day), TimePartitioned.dayOfNanos(d0 + 4 * Day)))
+  }
+
   test("catalog CTAS PARTITIONED BY (days(ts)): hidden layout, pruned reads, INSERT append") {
     import spark.implicits._
     val d0 = 19724L * Day
