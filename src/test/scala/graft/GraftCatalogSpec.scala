@@ -346,6 +346,11 @@ class GraftCatalogSpec extends SparkSpec {
         "(SELECT k FROM graft.cat_del_expr WHERE x > 50)").collect()
     }
     assert(e.getMessage.contains("subqueries are not supported"), e.getMessage)
+    // DELETE without WHERE (TrueLiteral) empties the table, history intact
+    spark.sql("DELETE FROM graft.cat_del_expr")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cat_del_expr").head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cat_del_expr VERSION AS OF 0")
+      .head.getLong(0) == 100L)
   }
 
   test("native ALTER TABLE graft.t: add / rename / drop column, set properties") {
