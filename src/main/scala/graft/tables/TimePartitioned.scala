@@ -128,6 +128,88 @@ object TimePartitioned {
     dropped.map(_.getName.stripPrefix("p_day=")).sorted
   }
 
+  /** COMPACTION at day grain: every day directory strictly BEFORE the
+    * cutoff's UTC day with more than `filesPerDay` files rewrites to
+    * exactly `filesPerDay`, one day at a time — the small-file
+    * maintenance an append-ingested day table needs (each [[append]] /
+    * micro-batch adds files per live day; closed days then hold
+    * batches × filesPerDay fragments). Only closed days: the cutoff
+    * fences compaction away from days writers may still append to.
+    *
+    * Per-day swap protocol (stage → shelve → publish → clean), rolled
+    * forward/back by [[recoverCompaction]] at the next compaction call:
+    *  1. stage: the day's rows rewrite into `.compact_p_day=D.__tmp`
+    *  2. shelve: `p_day=D` renames to `.shelf_p_day=D.__old` (dot-prefixed
+  *     so a racing or post-crash reader's partition discovery can never
+  *     see the shelved copy as a second partition and double-read the day)
+    *  3. publish: the stage renames to `p_day=D`
+    *  4. clean: the shelf deletes
+    * A crash after 2 leaves the shelf + a COMPLETE stage (step 2 only
+    * follows a finished stage write) → roll forward; a crash during 1
+    * leaves only a stray stage → delete; a shelf next to a published day
+    * → finish the clean. Readers racing a swap can see a day's files
+    * vanish mid-plan — the same plain-layout contract as [[write]]'s
+    * overwrite; versioned compaction belongs to commitCompact. */
+  def compactDaysBefore(spark: SparkSession, dir: String, cutoffNanos: Long,
+      filesPerDay: Int = 8): Seq[String] = {
+    require(filesPerDay >= 1, s"filesPerDay must be >= 1, got $filesPerDay")
+    val cutoffDay = dayOfNanos(cutoffNanos)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    recoverCompaction(fs, root)
+    val days = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
+      .map(_.getPath)
+      .filter(_.getName.stripPrefix("p_day=") < cutoffDay)
+    val compacted = days.filter { dayDir =>
+      val nFiles = fs.listStatus(dayDir).count(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+      nFiles > filesPerDay
+    }
+    compacted.foreach { dayDir =>
+      val day   = dayDir.getName
+      val stage = new org.apache.hadoop.fs.Path(root, s".compact_$day.__tmp")
+      val shelf = new org.apache.hadoop.fs.Path(root, s".shelf_$day.__old")
+      fs.delete(stage, true)
+      spark.read.parquet(dayDir.toString)
+        .repartition(filesPerDay).write.parquet(stage.toString)
+      require(fs.rename(dayDir, shelf),
+        s"compactDaysBefore: could not shelve $dayDir")
+      require(fs.rename(stage, dayDir),
+        s"compactDaysBefore: could not publish compacted $dayDir")
+      fs.delete(shelf, true)
+    }
+    compacted.map(_.getName.stripPrefix("p_day=")).sorted
+  }
+
+  /** Roll a crashed [[compactDaysBefore]] swap forward or back — see the
+    * protocol there. Idempotent; called before each compaction pass. */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+      if (p.getName.startsWith(".shelf_") && p.getName.endsWith(".__old")) {
+        val bare  = p.getName.stripPrefix(".shelf_").stripSuffix(".__old")
+        val day   = new org.apache.hadoop.fs.Path(root, bare)
+        val stage = new org.apache.hadoop.fs.Path(root, s".compact_$bare.__tmp")
+        if (fs.exists(day)) fs.delete(p, true)          // published: clean
+        else if (fs.exists(stage)) {                    // shelved: forward
+          require(fs.rename(stage, day),
+            s"recoverCompaction: could not publish $stage")
+          fs.delete(p, true)
+        } else {                                        // no stage: back
+          require(fs.rename(p, day),
+            s"recoverCompaction: could not restore $day")
+        }
+      } else if (p.getName.startsWith(".compact_") && p.getName.endsWith(".__tmp")) {
+        val day = new org.apache.hadoop.fs.Path(root,
+          p.getName.stripPrefix(".compact_").stripSuffix(".__tmp"))
+        // a stray stage with its day intact is pre-shelve garbage
+        if (fs.exists(day)) fs.delete(p, true)
+      }
+    }
+
   /** Time-range read: the [fromNanos, toNanos] predicate maps to a day-key
     * partition filter (directory pruning at planning time) plus the exact
     * nanos residual. Row-identical to a full-scan filter; the partition

@@ -77,6 +77,59 @@ class TimePartitionedSpec extends SparkSpec {
       TimePartitioned.dayOfNanos(d0 + 3 * Day), TimePartitioned.dayOfNanos(d0 + 4 * Day)))
   }
 
+  test("compactDaysBefore: closed days compact atomically; crash states recover") {
+    import spark.implicits._
+    val d0 = 19724L * Day
+    val dir = java.nio.file.Files.createTempDirectory("graft_tp_cmp").toString + "/t"
+    def rows(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, d0 + (i / 100L) * Day + i)).toDF("id", "ts")
+    def filesIn(day: String) =
+      new java.io.File(dir, s"p_day=$day").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    val day0 = TimePartitioned.dayOfNanos(d0)
+    // appended waves over 4 days → the day fragments past the target
+    TimePartitioned.write(rows(0, 400), dir, "ts", filesPerDay = 4)
+    val wave1 = filesIn(day0)
+    TimePartitioned.append(rows(0, 400)
+      .select((col("id") + 1000).as("id"), col("ts")), dir, "ts", filesPerDay = 4)
+    TimePartitioned.append(rows(0, 400)
+      .select((col("id") + 2000).as("id"), col("ts")), dir, "ts", filesPerDay = 4)
+    assert(filesIn(day0) == 3 * wave1 && filesIn(day0) > 2,
+      s"appends fragment the day: wave=$wave1, now=${filesIn(day0)}")
+    val before = spark.read.parquet(dir).drop("p_day").as[(Long, Long)].collect().toSet
+    // compact days 0-2 (cutoff mid-day 3 keeps day 3 untouched)
+    val day3Files = filesIn(TimePartitioned.dayOfNanos(d0 + 3 * Day))
+    val compacted = TimePartitioned.compactDaysBefore(spark, dir, d0 + 3 * Day + 5L,
+      filesPerDay = 2)
+    assert(compacted.size == 3, compacted.toString)
+    assert(filesIn(day0) == 2, s"day 0 compacted to 2, got ${filesIn(day0)}")
+    assert(filesIn(TimePartitioned.dayOfNanos(d0 + 3 * Day)) == day3Files,
+      "the open day is never touched")
+    assert(spark.read.parquet(dir).drop("p_day").as[(Long, Long)].collect().toSet
+      == before, "compaction is row-identical")
+    // idempotent: already-compact days skip
+    assert(TimePartitioned.compactDaysBefore(spark, dir, d0 + 3 * Day, 2).isEmpty)
+    // CRASH RECOVERY — shelved day with a complete stage rolls FORWARD
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayP  = new org.apache.hadoop.fs.Path(dir, s"p_day=$day0")
+    val stage = new org.apache.hadoop.fs.Path(dir, s".compact_p_day=$day0.__tmp")
+    val shelf = new org.apache.hadoop.fs.Path(dir, s".shelf_p_day=$day0.__old")
+    spark.read.parquet(dayP.toString).repartition(1).write.parquet(stage.toString)
+    assert(fs.rename(dayP, shelf)) // simulate crash between shelve and publish
+    // a racing reader between shelve and recovery must NOT double-read
+    assert(!spark.read.parquet(dir).columns.isEmpty)
+    TimePartitioned.compactDaysBefore(spark, dir, d0 + 3 * Day, 2) // recovers first
+    assert(filesIn(day0) == 1, "rolled forward to the staged layout")
+    assert(!fs.exists(shelf) && !fs.exists(stage))
+    // shelved day with NO stage rolls BACK
+    assert(fs.rename(dayP, shelf))
+    TimePartitioned.compactDaysBefore(spark, dir, d0 + 3 * Day, 2)
+    assert(fs.exists(dayP) && !fs.exists(shelf), "rolled back to the original day")
+    assert(spark.read.parquet(dir).drop("p_day").as[(Long, Long)].collect().toSet
+      == before, "recovery preserves every row")
+  }
+
   test("catalog CTAS PARTITIONED BY (days(ts)): hidden layout, pruned reads, INSERT append") {
     import spark.implicits._
     val d0 = 19724L * Day
