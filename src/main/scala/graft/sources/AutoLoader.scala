@@ -43,10 +43,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * 100 TB shape: discovery is one recursive listing per trigger (the cost
   * every directory-listing loader pays; cloud Auto Loader's notification
   * mode is an infra substitution, not an algorithm change) and the ledger
-  * grows O(discoveries), not O(listing). Files are assumed immutable once
-  * visible (the blob-store contract the reference's ingest relies on:
-  * `01. Ingest.py:33-36`); a file that later CHANGES size refuses loudly
-  * rather than re-ingesting or serving torn reads.
+  * grows O(discoveries), not O(listing). Driver memory holds the full
+  * (path, size) ledger — O(files ever seen), the same footprint as
+  * Spark's own file source's seen-files map; the deployment lever for
+  * both the listing and the memory is a date-partitioned landing zone
+  * with the stream pointed at the live partition (and `cleanSource`
+  * retiring committed files bounds the LISTED set from the other side).
+  * Files are assumed immutable once visible (the blob-store contract the
+  * reference's ingest relies on: `01. Ingest.py:33-36`); a file that
+  * later CHANGES size refuses loudly rather than re-ingesting or serving
+  * torn reads.
   */
 class AutoLoader extends StreamSourceProvider {
 
