@@ -100,11 +100,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // widened schema and carry the staged alters on the table so the
         // merge strategy folds them into the merge's own commit. The slot
         // is consumed here unconditionally (popped even on a dir
-        // mismatch), so nothing can go stale past this call.
+        // mismatch), so nothing can go stale past this call — and honored
+        // only when THIS loadTable is the rule's own (same stack frame):
+        // a rule failure between stage and pop leaves a slot that the next
+        // unrelated load drains but never serves.
         val staged = Option(GraftCatalog.stagedEvolution.get())
         GraftCatalog.stagedEvolution.remove()
         staged match {
-          case Some((sd, widened, alters)) if sd == d =>
+          case Some((sd, widened, alters))
+              if sd == d && GraftCatalog.inMergeEvolutionRule =>
             new GraftTable(ident.name(), d, None, Some(widened),
               Some(catalogName), pendingEvolution = alters)
           case _ =>
@@ -324,8 +328,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // Nothing commits at analysis time; an abandoned plan leaks nothing.
     val mergeEvolution = schemaAlters.nonEmpty &&
       schemaAlters.forall(_.isInstanceOf[VersionedTable.AddColumnAlter]) &&
-      Thread.currentThread().getStackTrace.exists(
-        _.getClassName.contains("ResolveMergeIntoSchemaEvolution"))
+      GraftCatalog.inMergeEvolutionRule
     if (mergeEvolution) {
       val adds = schemaAlters.collect { case a: VersionedTable.AddColumnAlter => a }
       val cur = VersionedTable.schemaOf(spark, d, None)
@@ -435,10 +438,24 @@ object GraftCatalog {
   /** One-shot handoff between the merge-evolution alterTable (which stages
     * instead of committing) and the rule's immediately-following loadTable
     * on the SAME thread: (dir, widened schema, staged alters). Popped
-    * unconditionally by the next loadTable, so it cannot outlive the two
-    * adjacent calls inside ResolveMergeIntoSchemaEvolution. */
+    * unconditionally by the next loadTable, and HONORED only when that
+    * loadTable is itself inside [[MergeEvolutionRule]] — if the analyzer
+    * rule dies between its alterTable and loadTable, a later unrelated
+    * loadTable of the same dir drains the stale slot without serving the
+    * uncommitted widened schema. */
   private[catalog] val stagedEvolution =
     new ThreadLocal[(String, StructType, Seq[VersionedTable.SchemaAlter])]()
+
+  /** The Spark analyzer rule whose adjacent alterTable → loadTable pair the
+    * staged-evolution slot bridges. The FULL class name is pinned by a spec
+    * (Class.forName) so a Spark upgrade that renames/relocates the rule
+    * fails tests loudly instead of silently reverting `MERGE ... WITH
+    * SCHEMA EVOLUTION` to commit-at-analysis semantics. */
+  private[catalog] val MergeEvolutionRule =
+    "org.apache.spark.sql.catalyst.analysis.ResolveMergeIntoSchemaEvolution"
+  private[catalog] def inMergeEvolutionRule: Boolean =
+    Thread.currentThread().getStackTrace.exists(
+      _.getClassName.startsWith(MergeEvolutionRule))
 
   /** Register `name` → `dir` so `graft.<name>` resolves. Idempotent. */
   def register(name: String, dir: String): Unit = registry.put(lc(name), (name, dir))

@@ -91,12 +91,31 @@ class GraftDayTable(val tableName: String, val dir: String, val tsCol: String,
                 s"graft: day-partitioned table $tableName needs its timestamp " +
                   s"column `$tsCol` in every write")
               if (overwrite || overwriteAll) {
-                // an overwrite clears the directory, `_props` included —
-                // snapshot and re-assert so managed-ness and the day
-                // marker survive the rewrite
-                val props = VersionedTable.properties(dir)
-                TimePartitioned.write(data, dir, tsCol)
-                props.foreach { case (k, v) => VersionedTable.setProperty(dir, k, v) }
+                // STAGED overwrite: write the new layout under an
+                // underscore-hidden subdir (readers' hidden-path filter
+                // skips it), then swap day directories. `_props` — the
+                // managed flag and the days marker — is never deleted, so
+                // a crash at ANY point leaves a directory that still
+                // resolves as this day-partitioned table and that DROP
+                // TABLE still owns; the old wipe-then-re-assert left a
+                // window where both were durably lost.
+                val root  = new org.apache.hadoop.fs.Path(dir)
+                val fs    = root.getFileSystem(
+                  data.sparkSession.sparkContext.hadoopConfiguration)
+                val stage = new org.apache.hadoop.fs.Path(root, "_overwrite_stage")
+                fs.delete(stage, true) // a previous crash's leftover
+                TimePartitioned.write(data, stage.toString, tsCol)
+                fs.listStatus(root).toSeq
+                  .filter(_.getPath.getName.startsWith("p_day="))
+                  .foreach(s => fs.delete(s.getPath, true))
+                fs.listStatus(stage).toSeq
+                  .filter(_.getPath.getName.startsWith("p_day="))
+                  .foreach { s =>
+                    val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+                    require(fs.rename(s.getPath, dst),
+                      s"graft: could not publish ${s.getPath} to $dst")
+                  }
+                fs.delete(stage, true)
                 TimePartitioned.assertMarker(dir, tsCol)
               } else {
                 TimePartitioned.append(data, dir, tsCol)

@@ -88,13 +88,27 @@ case class DayPartitionPruning(spark: SparkSession) extends Rule[LogicalPlan] {
                 val bs = conjuncts(cond).map(boundsOf(_, ts))
                 val lower = bs.flatMap(_._1).maxOption
                 val upper = bs.flatMap(_._2).minOption
+                // Build the injected literal AT p_day's resolved type: this
+                // comparison is optimizer-built and never re-analyzed, so a
+                // type mismatch would surface as a codegen/cast failure at
+                // execution. GraftDayTable pins p_day to string, but an
+                // ad-hoc spark.read.parquet(dir) infers the 'yyyy-MM-dd'
+                // directory values as DATE — both prune soundly (epoch-day
+                // order = ISO-string order); any other inferred type skips
+                // the rewrite conservatively.
+                def dayLit(day: String): Option[Literal] = pDay.dataType match {
+                  case StringType => Some(Literal(
+                    org.apache.spark.unsafe.types.UTF8String.fromString(day), StringType))
+                  case org.apache.spark.sql.types.DateType => Some(Literal(
+                    java.time.LocalDate.parse(day).toEpochDay.toInt,
+                    org.apache.spark.sql.types.DateType))
+                  case _ => None
+                }
                 val derived: Seq[Expression] =
-                  lower.map(l => GreaterThanOrEqual(pDay,
-                    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
-                      TimePartitioned.dayOfNanos(l)), StringType)): Expression).toSeq ++
-                  upper.map(u => LessThanOrEqual(pDay,
-                    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
-                      TimePartitioned.dayOfNanos(u)), StringType)): Expression).toSeq
+                  lower.flatMap(l => dayLit(TimePartitioned.dayOfNanos(l))
+                    .map(GreaterThanOrEqual(pDay, _): Expression)).toSeq ++
+                  upper.flatMap(u => dayLit(TimePartitioned.dayOfNanos(u))
+                    .map(LessThanOrEqual(pDay, _): Expression)).toSeq
                 if (derived.isEmpty) f
                 else Filter((derived :+ cond).reduce(And), lr)
               case None => f

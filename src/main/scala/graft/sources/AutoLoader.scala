@@ -85,11 +85,24 @@ class AutoLoader extends StreamSourceProvider {
         AutoLoader.TextSchema
       case "parquet" => schema.getOrElse {
         val dir = rawDirOf(parameters)
-        val first = AutoLoader.listDataFiles(dir).headOption.getOrElse(sys.error(
-          s"AutoLoader: $dir has no data files to infer a schema from — " +
-            "declare one with .schema(...) to start over an empty directory"))
-        org.apache.spark.sql.graft.FooterShim.schemaOf(
-          sqlContext.sparkSession, first._1)
+        AutoLoader.listDataFiles(dir).headOption match {
+          case Some((first, _, _)) =>
+            org.apache.spark.sql.graft.FooterShim.schemaOf(
+              sqlContext.sparkSession, first)
+          case None =>
+            // a RESTARTED stream whose raw directory cleanSource already
+            // drained still has its schema PINNED under the checkpoint —
+            // but DSv1 gives sourceSchema no metadataPath, so the pin is
+            // only reachable when the caller passes the query's
+            // checkpointLocation as a read option too
+            AutoLoader.pinnedSchema(parameters).getOrElse(sys.error(
+              s"AutoLoader: $dir has no data files to infer a schema from — " +
+                "declare one with .schema(...) to start over an empty " +
+                "directory, or, when RESTARTING a stream whose raw files " +
+                "were already cleaned, pass .option(\"checkpointLocation\", " +
+                "<the query's checkpoint dir>) on the readStream so the " +
+                "pinned schema under the checkpoint resolves"))
+        }
       }
     })
 
@@ -125,6 +138,30 @@ object AutoLoader {
     * `text` is one row per line with the source path attached (the raw
     * LLM-corpus shape). */
   val Formats: Set[String] = Set("parquet", "binaryfile", "text")
+
+  /** Recover the schema a previous run PINNED under the query's
+    * checkpoint, from a `checkpointLocation` passed as a READ option —
+    * the only handle sourceSchema has (DSv1 hands metadataPath to
+    * createSource, not here). Scans `<cp>/sources/<i>/graft-autoload/
+    * schema.json` in source order and takes the first pin found; streams
+    * with several AutoLoader sources that need distinct schemas should
+    * declare them with `.schema(...)` instead. */
+  private[sources] def pinnedSchema(
+      parameters: Map[String, String]): Option[StructType] =
+    parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v }
+      .flatMap { cp =>
+        val sources = new Path(cp, "sources")
+        val fs = sources.getFileSystem(graft.tables.FsIO.hadoopConf())
+        if (!fs.exists(sources)) None
+        else fs.listStatus(sources).toSeq.sortBy(_.getPath.getName)
+          .map(s => new Path(s.getPath, "graft-autoload/schema.json"))
+          .find(fs.exists)
+          .map(p => DataType.fromJson(
+            graft.tables.FsIO.readText(p.toString).getOrElse(sys.error(
+              s"AutoLoader: unreadable pinned schema $p")))
+            .asInstanceOf[StructType])
+      }
 
   /** Spark's own binaryFile source schema — fixed by the format. */
   val BinaryFileSchema: StructType = StructType(Seq(
@@ -336,7 +373,22 @@ object AutoLoader {
         s"AutoLoader: checkpoint asks for file $endN but the ledger holds " +
           s"${ledger.size} — the checkpoint's ledger directory was deleted " +
           "or points at a different stream")
-      val files = ledger.slice(startN.toInt, endN.toInt).map(_._1).toSeq
+      val all = ledger.slice(startN.toInt, endN.toInt).map(_._1).toSeq
+      // Under cleanSource, a COMMITTED batch's raw files are gone by
+      // design — yet on every restart the engine constructs one recovery
+      // getBatch over the last committed range, and the parquet path
+      // lists its files eagerly. Skip vanished files there (cleanUpTo
+      // only ever touches the durably-committed prefix, so a file this
+      // source deleted/archived can never be one a replayed batch still
+      // owes rows for); without cleanSource nothing legitimately removes
+      // raw files, so the loud listing failure stands.
+      val files =
+        if (cleanSource.isEmpty) all
+        else {
+          val rawFs = new Path(rawDir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          all.filter(f => rawFs.exists(new Path(f)))
+        }
       if (files.isEmpty) StreamShim.emptyStreaming(spark, declaredSchema)
       else StreamShim.asStreaming(fileFormat match {
         case "binaryfile" =>

@@ -95,11 +95,30 @@ object VersionedStats {
       new Path(new Path(dir), rel).toUri.getPath -> rel).toMap
     val relOf = udf((f: String) =>
       byAbs.getOrElse(new Path(new java.net.URI(f)).toUri.getPath, null: String))
-    val raw = spark.read.parquet(rels.map(rel => new Path(new Path(dir), rel).toString): _*)
+    val paths = rels.map(rel => new Path(new Path(dir), rel).toString)
+    // A schema-less parquet read infers its schema from ONE footer (the
+    // lexicographically-first file — an arbitrary UUID draw here), so on a
+    // file set mixing pre/post-ADD-COLUMN files the sampled footer can
+    // predate the evolution and project the new column away for EVERY
+    // file, recording cnt=0 even for files holding real values. Pin the
+    // read to the declared physical schema instead: the parquet reader
+    // then null-fills the column per file that lacks it and reads it
+    // wherever it exists.
+    import org.apache.spark.sql.types.{NullType, StructField, StructType}
+    val pinnable = statCols.forall(_._2 != NullType)
+    val raw =
+      if (pinnable)
+        spark.read
+          .schema(StructType(statCols.map { case (p, dt) => StructField(p, dt) }))
+          .parquet(paths: _*)
+      else
+        // no declared schema pins a type (legacy table, so no evolution
+        // path exists either) — merge every footer so a column present in
+        // ANY file survives and per-file absences null-fill
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
     val have = raw.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    // files predating an ADD COLUMN lack the physical column entirely —
-    // null-fill at the declared type so the stats row still carries its
-    // slots (cnt 0, min/max null)
+    // a stat column present in NO file at all (mergeSchema branch only):
+    // null-fill so the stats row still carries its slots (cnt 0, min/max null)
     val filled = statCols.foldLeft(raw) { case (df, (p, dt)) =>
       if (have(p.toLowerCase(java.util.Locale.ROOT))) df
       else df.withColumn(p, lit(null).cast(dt))

@@ -40,6 +40,47 @@ class AutoLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 60L)
   }
 
+  test("restart after cleanSource drained the raw dir: pinned schema recovers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_al_drain").toString
+    val (raw, out, ckpt) = (root + "/raw", root + "/out", root + "/ckpt")
+    (1L to 10L).map(i => (i, s"x$i")).toDF("id", "s").repartition(2)
+      .write.mode("append").parquet(raw)
+    def restart(extra: Map[String, String]): Unit = {
+      val reader = extra.foldLeft(
+        spark.readStream.format(AutoLoader.format).option("path", raw)
+          .option("cleanSource", "delete")) { case (r, (k, v)) => r.option(k, v) }
+      val q = reader.load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    restart(Map.empty)
+    assert(spark.read.parquet(out).count() == 10L)
+    // the retention loop finishes draining the landing zone (every file is
+    // committed at this point — an idle restart triggers no batch, so the
+    // tail sweep is the operator's delete, same observable state)
+    new java.io.File(raw).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(_.delete())
+    // a plain inferred-schema restart now has nothing to infer from — it
+    // must refuse with the recovery recipe, not a bare listing error
+    val e = intercept[Exception] {
+      spark.readStream.format(AutoLoader.format).option("path", raw).load()
+    }
+    assert(e.getMessage.contains("checkpointLocation"), e.getMessage)
+    // passing the query's checkpoint as a READ option recovers the pin:
+    // the fully-drained stream restarts cleanly (the recovery batch skips
+    // the retired files) and new arrivals ingest under the pinned schema
+    restart(Map("checkpointLocation" -> ckpt))
+    (11L to 15L).map(i => (i, s"y$i")).toDF("id", "s").repartition(1)
+      .write.mode("append").parquet(raw)
+    restart(Map("checkpointLocation" -> ckpt))
+    val got = spark.read.parquet(out)
+    assert(got.count() == 15L)
+    assert(got.select("id").as[Long].collect().toSet == (1L to 15L).toSet)
+  }
+
   test("pacing honors maxFilesPerTrigger per micro-batch") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_al_pace").toString
@@ -190,6 +231,59 @@ class AutoLoaderSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("sourceArchiveDir") ||
       Option(e.getCause).exists(_.getMessage.contains("sourceArchiveDir")), e.getMessage)
+  }
+
+  test("cleanSource crash matrix: {delete,archive} × {crash-before,after-commit} replay exactly-once") {
+    import spark.implicits._
+    for (mode <- Seq("delete", "archive")) {
+      val root = Files.createTempDirectory(s"graft_al_crash_$mode").toString
+      val (raw, out, ckpt, arch) =
+        (root + "/raw", root + "/out", root + "/ckpt", root + "/archive")
+      def rawParquets() = Option(new java.io.File(raw).listFiles())
+        .fold(0)(_.count(_.getName.endsWith(".parquet")))
+      def run(clean: Boolean): Unit = {
+        val base = spark.readStream.format(AutoLoader.format).option("path", raw)
+          .option("maxFilesPerTrigger", "1")
+        val reader =
+          if (!clean) base
+          else if (mode == "delete") base.option("cleanSource", "delete")
+          else base.option("cleanSource", "archive").option("sourceArchiveDir", arch)
+        val q = reader.load().writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt).start()
+        q.processAllAvailable(); q.stop()
+      }
+      (1L to 40L).map(i => (i, s"a$i")).toDF("id", "s").repartition(4)
+        .write.mode("append").parquet(raw)
+      // CRASH-BEFORE-COMMIT: run WITHOUT cleaning (so raw stays intact —
+      // exactly what a real crash leaves, since cleanup strictly follows
+      // the commit), then drop the last commit marker: the restart must
+      // REPLAY that batch from the still-present raw files
+      run(clean = false)
+      assert(spark.read.parquet(out).count() == 40L)
+      val commits = new java.io.File(ckpt, "commits").listFiles()
+        .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+      assert(commits.length == 4, s"paced 4 files at 1/trigger: ${commits.length}")
+      assert(commits.last.delete())
+      // the local fs keeps a hidden checksum twin; a real crash loses both
+      new java.io.File(ckpt + "/commits", s".${commits.last.getName}.crc").delete()
+      run(clean = true) // restart in cleaning mode replays batch 3
+      assert(spark.read.parquet(out).as[(Long, String)].collect().map(_._1).toSet
+        == (1L to 40L).toSet, s"[$mode] replayed batch must land exactly once")
+      // the committed prefix was retired during the replayed run
+      assert(rawParquets() <= 1, s"[$mode] committed prefix must retire, ${rawParquets()} left")
+      if (mode == "archive")
+        assert(new java.io.File(arch).listFiles().count(_.getName.endsWith(".parquet"))
+          == 4 - rawParquets(), "retired files are archived, not deleted")
+      // CRASH-AFTER-COMMIT: everything committed (and possibly already
+      // retired); a plain restart must neither re-ingest nor fail on the
+      // vanished files, and new arrivals still ingest exactly once
+      run(clean = true)
+      (41L to 45L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1)
+        .write.mode("append").parquet(raw)
+      run(clean = true)
+      assert(spark.read.parquet(out).as[(Long, String)].collect().map(_._1).toSet
+        == (1L to 45L).toSet, s"[$mode] post-crash stream stays exactly-once")
+    }
   }
 
   test("end-to-end into a versioned table: exactly-once through both layers") {

@@ -36,6 +36,27 @@ class TimePartitionedSpec extends SparkSpec {
     assert(scanned == 1, s"one-day window planned $scanned partitions")
   }
 
+  test("ad-hoc parquet read (p_day inferred as DATE) still prunes, never miscasts") {
+    import spark.implicits._
+    val d0 = 19724L * Day
+    val dir = java.nio.file.Files.createTempDirectory("graft_tp_date").toString + "/t"
+    TimePartitioned.write(
+      (0 until 4).flatMap(d => Seq((d.toLong, d0 + d * Day + 7L))).toDF("id", "ts"),
+      dir, "ts")
+    TimePartitioned.assertMarker(dir, "ts")
+    // a DIRECT spark.read.parquet of the marker'd dir lets partition type
+    // inference type p_day as DATE ('yyyy-MM-dd' values), not the string
+    // GraftDayTable pins — the injected p_day bound must be built at that
+    // resolved type or execution dies on a cast; pruning must still fire
+    val adhoc = spark.read.parquet(dir).where(col("ts") >= d0 + Day && col("ts") < d0 + 2 * Day)
+    assert(adhoc.schema("p_day").dataType == org.apache.spark.sql.types.DateType)
+    assert(adhoc.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    val scanned = adhoc.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.selectedPartitions.partitionCount).sum
+    assert(scanned == 1, s"one-day window planned $scanned partitions")
+  }
+
   test("pre-epoch timestamps map to the correct (negative-day) partition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tp_neg").toString + "/t"
@@ -128,6 +149,40 @@ class TimePartitionedSpec extends SparkSpec {
     assert(fs.exists(dayP) && !fs.exists(shelf), "rolled back to the original day")
     assert(spark.read.parquet(dir).drop("p_day").as[(Long, Long)].collect().toSet
       == before, "recovery preserves every row")
+  }
+
+  test("day-table INSERT OVERWRITE is staged: _props never deleted, crash leftovers recover") {
+    import spark.implicits._
+    val d0 = 19724L * Day
+    (0L until 100L).map(i => (i, d0 + (i / 25L) * Day + i)).toDF("id", "ts")
+      .createOrReplaceTempView("day_ow_src")
+    val dir = java.nio.file.Files.createTempDirectory("graft_day_ow").toString + "/t"
+    graft.catalog.GraftCatalog.register("day_ow", dir)
+    spark.sql("CREATE TABLE graft.day_ow PARTITIONED BY (days(ts)) " +
+      "AS SELECT id, ts FROM day_ow_src")
+    // simulate a previous overwrite's crash-before-swap leftover: a
+    // populated stage subdir. Reads must ignore it (hidden-path filter)…
+    val stage = new java.io.File(dir, "_overwrite_stage/p_day=2024-01-01")
+    (900L to 909L).map(i => (i, d0)).toDF("id", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.day_ow").head.getLong(0) == 100L,
+      "a crash leftover stage dir must not leak into reads")
+    // …and the table still resolves as day-partitioned with its managed
+    // flag intact at every point of the staged protocol (the _props file
+    // is never deleted, unlike the old wipe-then-re-assert)
+    assert(TimePartitioned.dayColumnOf(dir).contains("ts"))
+    // the next overwrite clears the leftover and publishes atomically per
+    // day directory
+    spark.sql("INSERT OVERWRITE graft.day_ow SELECT id + 10, ts FROM day_ow_src")
+    assert(!new java.io.File(dir, "_overwrite_stage").exists(),
+      "overwrite must clean a previous crash's stage leftover")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.day_ow").head.getLong(0) == 100L)
+    assert(spark.sql("SELECT min(id) AS m FROM graft.day_ow").head.getLong(0) == 10L)
+    assert(TimePartitioned.dayColumnOf(dir).contains("ts"))
+    // managed-ness survived the overwrite: DROP still owns and deletes
+    spark.sql("DROP TABLE graft.day_ow")
+    assert(!new java.io.File(dir).exists(),
+      "managed flag must survive INSERT OVERWRITE so DROP deletes data")
   }
 
   test("catalog CTAS PARTITIONED BY (days(ts)): hidden layout, pruned reads, INSERT append") {

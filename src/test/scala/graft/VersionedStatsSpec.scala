@@ -175,4 +175,33 @@ class VersionedStatsSpec extends SparkSpec {
     assert(row.getLong(1) == 100L && row.getLong(2) == 0L,
       s"re-added column must read 0 non-nulls, got $row")
   }
+
+  test("refresh over mixed pre/post-ADD-COLUMN files reads the new column's values") {
+    val dir = Files.createTempDirectory("graft_vs8").toString + "/t"
+    // many pre-evolution files: a schema-less parquet read samples ONE
+    // (lexicographically-first, i.e. random-UUID-order) footer, so with 8
+    // old files vs 1 new the sample would almost surely predate the ADD
+    // COLUMN and project x away for every file — the stats read must
+    // instead pin the declared physical schema so x is read wherever it
+    // exists and null-fills per file where it doesn't
+    VersionedTable.commitAppend(spark,
+      spark.range(0L, 400L).select(col("id").as("k")).repartition(8), dir)
+    VersionedTable.commitAddColumn(spark, dir, "x",
+      org.apache.spark.sql.types.LongType)
+    VersionedTable.commitAppend(spark,
+      spark.range(400L, 500L).select(col("id").as("k"), (col("id") * 2L).as("x"))
+        .repartition(1), dir)
+    VersionedStats.refresh(spark, dir, Seq("k", "x"))
+    val byCol = VersionedStats.statsOnlyAggregate(spark, dir, Seq("k", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(byCol("k") == ((500L, 500L, Some(0.0), Some(499.0))), byCol("k"))
+    // x holds real values in exactly the 100 post-evolution rows; the old
+    // code nondeterministically recorded (500, 0, None, None) here
+    assert(byCol("x") == ((500L, 100L, Some(800.0), Some(998.0))), byCol("x"))
+    // and file-list pruning on x keeps only the post-evolution file
+    val (kept, total) = VersionedStats.prunedFiles(spark, dir,
+      Seq(("x", lit(800L), lit(998L))))
+    assert(total == 9L && kept.size == 1, s"kept ${kept.size}/$total")
+  }
 }
