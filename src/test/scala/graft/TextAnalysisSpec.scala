@@ -366,6 +366,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
   }
 
+  test("bpeTrain driver and distributed trainers agree merge-for-merge on a real corpus") {
+    // the >maxDriverVocab fallback must be SEMANTICALLY identical, not just
+    // pass the 4-merge toy sequence: train a deeper table on the messy
+    // synthetic corpus through both paths (ties included) and compare
+    // position-by-position
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(150)
+    val driver      = TextAnalysis.bpeTrain(docs, "text", numMerges = 24)
+    val distributed = TextAnalysis.bpeTrain(docs, "text", numMerges = 24, maxDriverVocab = 0)
+    assert(driver.size == 24)
+    assert(driver == distributed,
+      s"first divergence at ${driver.zip(distributed).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("bpeTrain stops early when every word is a single symbol") {
     import spark.implicits._
     val df = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
