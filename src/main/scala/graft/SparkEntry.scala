@@ -1200,13 +1200,34 @@ object SparkEntry {
     }),
 
     // -- north-star: embedding-cosine near-dup pairs (LSH-blocked) --------
+    // Oracle-checked (round 16): the fixtures are near-random (max natural
+    // cosine ~0.51), so true near-dups are PLANTED in-query — a 0.5-scaled
+    // copy of every 10th vector. Powers-of-two scaling is IEEE-exact, so
+    // the planted cosine is exactly 1.0 in BOTH engines, and sign(w·v) is
+    // scale-invariant, so the copy's SRP signature is IDENTICAL to its
+    // source's — LSH recall on the planted set is structurally 1.0, not
+    // probabilistic, which is what lets the LSH-blocked pair set equal the
+    // brute-force all-pairs oracle (threshold 0.95 clears the 0.51 natural
+    // ceiling with margin). The in-query gate keeps the recall claim loud.
     "q_embedding_neardup" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = t(s, d, "embeddings").where(col("embedding").isNotNull)
+      val planted = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+      val aug = emb.select("vec_id", "embedding").unionByName(planted)
       // 24-bit signatures: 6-bit bands keep bucket sizes ~n/64 — the 8-bit
       // variant had only 4 distinct keys per band and hit the bucket cap.
-      Similarity.cosineNearDupPairs(emb, "embedding", "vec_id", dim = 64,
-          minCosine = 0.2, nBits = 24)
-        .orderBy("id_a", "id_b")
+      val pairs = Similarity.cosineNearDupPairs(aug, "embedding", "vec_id",
+          dim = 64, minCosine = 0.95, nBits = 24)
+        .localCheckpoint(true) // the gate below and the result share one pass
+      val expected = emb.where(col("vec_id") % 10 === 0).count()
+      val found = pairs.where(col("id_b") === col("id_a") + 1000000L &&
+        col("id_a") % 10 === 0).count()
+      require(found == expected,
+        s"embedding near-dup recall regressed: found $found of $expected " +
+          "planted scaled-copy pairs (identical-signature pairs can only be " +
+          "lost to a bucket-cap or banding regression)")
+      pairs.orderBy("id_a", "id_b")
     }),
 
     // -- stateful: flatMapGroupsWithState gap sessionization --------------
@@ -1372,6 +1393,47 @@ object SparkEntry {
           (col("value") * 2.0 + 1.0).as("score")),
         s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 2)
         .orderBy("event_id")
+    }),
+
+    // -- the reference notebooks END-TO-END as ONE query -------------------
+    // The full `01. Ingest.py:33-189` + `03. Inference.py:73-115` chain:
+    // binaryFile glob scan → label regex + size decode → dict label index →
+    // grouped-map grayscale kernel → left-outer re-attach → overwrite into
+    // a path table → OPTIMIZE compaction → micro-batch stream inference
+    // over the compacted table. Two in-query gates keep the un-oracle-able
+    // layers loud (grayscale payloads re-attached for every image; stream
+    // inference == batch inference row-for-row); the EMITTED columns are
+    // the metadata the DuckDB oracle re-derives from the fixture
+    // generator's arithmetic — width/height and the alphabetical dense
+    // label index are pure functions of (class, i), so the oracle needs no
+    // image decoding, just the same integer formulas.
+    "q_reference_e2e" -> ((s, _) => {
+      val src  = ImageFixtures.shared()
+      val work = java.nio.file.Files.createTempDirectory("graft_ref_e2e").toString
+      val ingested = ImagePipeline.ingest(s, src, s"$work/stage")
+      val tableDir = s"$work/table"
+      ingested.write.mode("overwrite").parquet(tableDir)
+      TableManager.compact(s, tableDir, targetFiles = 2)
+      val table = s.read.parquet(tableDir)
+      val model = new graft.image.LinearScoringModel(ImageFixtures.Classes)
+      val streamed = StreamingInference.streamTransform(
+        s, tableDir, table.schema,
+        df => ImagePipeline.batchInference(df, model),
+        s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1)
+      val batch = ImagePipeline.batchInference(table, model)
+      val n = batch.count()
+      require(n > 0 && streamed.count() == n &&
+          streamed.unionByName(batch).distinct().count() == n,
+        "q_reference_e2e: stream inference must equal batch inference row-for-row")
+      require(table.where(col("grayscale_image").isNull).count() == 0,
+        "q_reference_e2e: grouped-map grayscale must re-attach for every image")
+      table.select(
+        col("label"),
+        regexp_extract(col("path"), "img_(\\d+)\\.jpg", 1).cast("long").as("img_i"),
+        col("size.width").cast("long").as("width"),
+        col("size.height").cast("long").as("height"),
+        col("label_index").cast("long").as("label_index"))
+        .orderBy("label", "img_i")
     }),
 
     // -- streaming LLM-pipeline: incremental near-dedup --------------------
@@ -4723,6 +4785,44 @@ object SparkEntry {
       ("SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos " +
         "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20"),
+
+    // Ground truth for the end-to-end reference pipeline's METADATA: the
+    // fixture generator's sizes are pure integer functions of (class, i)
+    // (ImageFixtures.generate: w = 8+(i%4)*12, h = 6+((i+c)%3)*10) and the
+    // dict label index is the alphabetical dense rank, which for the five
+    // class names equals the class ordinal — so the oracle re-derives every
+    // emitted row from arithmetic, no image bytes involved. The pipeline's
+    // binary layers (grayscale payloads, stream-vs-batch inference) are
+    // gated in-query.
+    "q_reference_e2e" ->
+      ("WITH cls AS (SELECT * FROM (VALUES ('daisy',0),('dandelion',1)," +
+        "('roses',2),('sunflowers',3),('tulips',4)) AS t(label, c)), " +
+        "imgs AS (SELECT label, c, r.range AS i FROM cls CROSS JOIN range(6) r) " +
+        "SELECT label, CAST(i AS BIGINT) AS img_i, " +
+        "CAST(8 + (i % 4) * 12 AS BIGINT) AS width, " +
+        "CAST(6 + ((i + c) % 3) * 10 AS BIGINT) AS height, " +
+        "CAST(c AS BIGINT) AS label_index " +
+        "FROM imgs ORDER BY label, img_i"),
+
+    // Brute-force all-pairs ground truth for the LSH-blocked near-dup: the
+    // planted 0.5-scaled copies are rebuilt identically (powers-of-two
+    // scaling is IEEE-exact in both engines), and the >= 0.95 threshold is
+    // applied to the same 6-dp rounded cosine the Spark side emits. NaN
+    // guard mirrors validCos (DuckDB orders NaN greatest, so an unguarded
+    // >= would admit zero-norm junk pairs).
+    "q_embedding_neardup" ->
+      ("WITH aug AS (" +
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+        "WHERE embedding IS NOT NULL " +
+        "UNION ALL " +
+        "SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5) " +
+        "FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 10 = 0), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos, " +
+        "list_cosine_similarity(a.v, b.v) AS raw " +
+        "FROM aug a JOIN aug b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, cos FROM p " +
+        "WHERE NOT isnan(raw) AND cos >= 0.95 ORDER BY id_a, id_b"),
 
     "q_matryoshka" ->
       // same two stages replayed: 16-dim prefix cut to 100, full-dim rerank
