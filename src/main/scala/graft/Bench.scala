@@ -142,9 +142,11 @@ object Bench {
     // reports the host, not the engine — so a query is run once more (MIN of
     // the two reported; min-of-k is the standard noise estimator for shared
     // hardware, k=2 bounds the extra wall time) when EITHER
-    //  (a) its first pass crosses 2.5s (the heavy tail is now dominated by
-    //      2.5-7s protocol queries, so a single steal window inside one of
-    //      them would otherwise still pollute the artifact — was 5s), or
+    //  (a) its first pass crosses 1s (r16, was 2.5s/5s: four consecutive
+    //      rounds of drift-triage showed the 1-4s protocol/stream family is
+    //      exactly where single-shot noise burns the next round's effort —
+    //      min-of-2 for everything above 1s makes every number that matters
+    //      a paired measurement), or
     //  (b) it ran >1.7× its previously COMMITTED BENCH_FULL time (read from
     //      the repo snapshot below) — without (b), sub-5s queries showed
     //      phantom 2-3× round-over-round swings on unchanged code (r7:
@@ -174,9 +176,9 @@ object Bench {
     val results = firstPass.map { case (name, fn, dt1) =>
       val regressedVsPrev = dt1 >= 0.3 &&
         prevTimes.get(name).exists(p => p >= 0 && dt1 > 1.7 * p)
-      if (dt1 < 2.5 && !regressedVsPrev) name -> dt1
+      if (dt1 < 1.0 && !regressedVsPrev) name -> dt1
       else {
-        val why = if (dt1 >= 2.5) "heavy" else f"${dt1 / prevTimes(name)}%.1fx prev"
+        val why = if (dt1 >= 1.0) "heavy" else f"${dt1 / prevTimes(name)}%.1fx prev"
         System.err.println(f"[bench] re-measuring $name (first pass $dt1%.1fs, $why)")
         val dt2 = timeOne(name, fn)
         name -> (if (dt2 >= 0) math.min(dt1, dt2) else dt1)
@@ -205,15 +207,30 @@ object Bench {
     // measured in the same session — host drift cancels in the quotient
     val pairedRatio =
       if (paired > 0 && baseTotal > 0) math.rint(baseTotal / paired * 1000) / 1000 else -1.0
+    // PROBE-NORMALIZED numbers (r16): every per-query time divided by the
+    // paired probe — the round-over-round comparison unit. Four rounds of
+    // triage (r12 q_hard_negatives, r13/r14 q_jaccard_join, r15's 12
+    // apparent stream/versioned regressions) were host drift that the raw
+    // seconds kept re-flagging; ratios cancel the host era by construction.
+    // value_per_probe rides the compact final line; the full per-query
+    // ratio map is in BENCH_FULL.json.
+    val ratios: Seq[(String, Double)] = results.map { case (k, v) =>
+      k -> (if (paired > 0 && v >= 0) r2d(v / paired) else -1.0)
+    }
+    val valuePerProbe =
+      if (paired > 0) math.rint(total / paired * 1000) / 1000 else -1.0
     def pairedKeys =
-      s""""paired_baseline_total":$paired,"probe_pre":$probePre,"probe_post":$probePost,"baseline_ops_vs_paired":$pairedRatio"""
+      s""""paired_baseline_total":$paired,"probe_pre":$probePre,"probe_post":$probePost,"baseline_ops_vs_paired":$pairedRatio,"value_per_probe":$valuePerProbe"""
     def line(vals: Seq[(String, Double)], tot: Double, base: Double) = {
       val qs = vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       // shuffle_mb: approximate per-query shuffle WRITE volume (see the
       // listener note) — an extra top-level key so the {"queries": sec}
       // shape every consumer parses stays untouched
       val sh = shuffleMb.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$tot,"unit":"sec","failed":$nFailed,"baseline_ops_total":$base,$pairedKeys,"queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
+      // probe-normalized per-query map (time / paired probe): compare
+      // ROUNDS on these, not on raw seconds — host drift cancels
+      val rs = ratios.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$tot,"unit":"sec","failed":$nFailed,"baseline_ops_total":$base,$pairedKeys,"queries":$qs,"ratios":$rs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
     }
     // Full-precision line for human reading, then — as the VERY LAST line of
     // the run — a compact 2-decimal duplicate. The driver keeps only the

@@ -746,6 +746,61 @@ object ScaleBench {
       s.read.parquet(out)
     }),
 
+    // VACUUM at decade-deep history: 100·F one-row commits (history ∝ F,
+    // f=10 is the 1,000-commit point), then ONE vacuum drops a FIXED
+    // 40-version slice (retainLast = H − 40, graceMs = 0 — no live rival
+    // here). The claim is O(deleted) wall, not O(history): data I/O is 40
+    // file deletes at every factor; the O(history) residue is driver-side
+    // entry parses (µs each). rows = the vacuum's own micros (the ∝F
+    // history build dominates the harness row's wall — the stderr line
+    // and rows isolate the sweep itself, which SCALING.md quotes).
+    "vacuum_deep_history" -> ((s, d, f) => {
+      val work = s"$d/vacdeep/t"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/vacdeep"), true)
+      val h = 100 * f
+      (0 until h).foreach(i =>
+        tables.VersionedTable.commitAppend(s,
+          s.range(i.toLong, i + 1L).select(col("id").as("k")), work))
+      val t0 = System.nanoTime()
+      val dropped = tables.VersionedTable.vacuum(s, work,
+        retainLast = h - 40, graceMs = 0L)
+      val us = (System.nanoTime() - t0) / 1000
+      require(dropped.size == 40, s"expected 40 dropped versions, got ${dropped.size}")
+      require(tables.VersionedTable.read(s, work).count() == h.toLong,
+        "latest version must survive the sweep intact")
+      System.err.println(s"[scale] vacuum_deep_history f=$f history=$h " +
+        s"dropped=40 vacuum_us=$us")
+      s.range(us).toDF("vacuum_us")
+    }),
+
+    // RETENTION at day grain, decade-deep: a day-partitioned table with
+    // 40·F day directories drops a FIXED 7-day prefix — dropDaysBefore is
+    // one directory listing (O(days), driver metadata) plus O(dropped)
+    // recursive deletes, so wall must stay near-flat while the day count
+    // grows ∝F. rows = the sweep's own micros.
+    "drop_days_sweep" -> ((s, d, f) => {
+      val work = s"$d/dropdays/t"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/dropdays"), true)
+      val day = 86400L * 1000000000L
+      val d0  = 19724L * day
+      tables.TimePartitioned.write(
+        s.range(40L * f).select(col("id").as("k"), (lit(d0) + col("id") * day).as("ts")),
+        work, "ts", filesPerDay = 1)
+      val t0 = System.nanoTime()
+      val droppedDays = tables.TimePartitioned.dropDaysBefore(s, work, d0 + 7 * day)
+      val us = (System.nanoTime() - t0) / 1000
+      require(droppedDays.size == 7, s"expected 7 dropped days, got ${droppedDays.size}")
+      require(s.read.parquet(work).count() == 40L * f - 7,
+        "remaining days must read in full")
+      System.err.println(s"[scale] drop_days_sweep f=$f days=${40 * f} " +
+        s"dropped=7 sweep_us=$us")
+      s.range(us).toDF("drop_days_us")
+    }),
+
     // trigger SIZE ∝ F (constant trigger count): per-byte streaming cost
     "stream_near_dedup" -> ((s, d, f) => {
       val work   = java.nio.file.Files.createTempDirectory("graft_scale_snd").toString
