@@ -746,29 +746,38 @@ object ScaleBench {
       s.read.parquet(out)
     }),
 
-    // VACUUM at decade-deep history: 100·F one-row commits (history ∝ F,
-    // f=10 is the 1,000-commit point), then ONE vacuum drops a FIXED
-    // 40-version slice (retainLast = H − 40, graceMs = 0 — no live rival
-    // here). The claim is O(deleted) wall, not O(history): data I/O is 40
-    // file deletes at every factor; the O(history) residue is driver-side
-    // entry parses (µs each). rows = the vacuum's own micros (the ∝F
-    // history build dominates the harness row's wall — the stderr line
-    // and rows isolate the sweep itself, which SCALING.md quotes).
+    // VACUUM at decade-deep history: a single-file table takes 100·F
+    // copy-on-write updates (history ∝ F, f=10 is the 1,000-commit
+    // point) — each version's data file is EXCLUSIVE to it (the next
+    // update rewrites the whole one-file table), so every dropped
+    // version frees exactly one file. ONE vacuum then drops a FIXED
+    // 40-version slice (retainLast = H − 40, graceMs = 0 — no live
+    // rival here): data I/O is 40 file deletes at every factor; the
+    // O(history) residue is driver-side entry parses for the retained
+    // refcount (µs each, the honest linear metadata term this row
+    // sizes). A pure-append history is deliberately NOT used — there
+    // vacuum correctly drops nothing, every old file still being
+    // referenced by the head. rows = the vacuum's own micros (the ∝F
+    // history build dominates the harness row's wall — the stderr
+    // line and rows isolate the sweep, which SCALING.md quotes).
     "vacuum_deep_history" -> ((s, d, f) => {
       val work = s"$d/vacdeep/t"
       val fs = new org.apache.hadoop.fs.Path(work)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$d/vacdeep"), true)
       val h = 100 * f
-      (0 until h).foreach(i =>
-        tables.VersionedTable.commitAppend(s,
-          s.range(i.toLong, i + 1L).select(col("id").as("k")), work))
+      tables.VersionedTable.commitAppend(s,
+        s.range(0L, 100L).select(col("id").as("k"), lit(0L).as("x"))
+          .coalesce(1), work)
+      (1 until h).foreach(i =>
+        tables.VersionedTable.commitUpdate(s, work,
+          col("k") === (i % 100).toLong, Map("x" -> lit(i.toLong))))
       val t0 = System.nanoTime()
       val dropped = tables.VersionedTable.vacuum(s, work,
         retainLast = h - 40, graceMs = 0L)
       val us = (System.nanoTime() - t0) / 1000
       require(dropped.size == 40, s"expected 40 dropped versions, got ${dropped.size}")
-      require(tables.VersionedTable.read(s, work).count() == h.toLong,
+      require(tables.VersionedTable.read(s, work).count() == 100L,
         "latest version must survive the sweep intact")
       System.err.println(s"[scale] vacuum_deep_history f=$f history=$h " +
         s"dropped=40 vacuum_us=$us")
