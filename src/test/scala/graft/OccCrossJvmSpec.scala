@@ -42,6 +42,48 @@ class OccCrossJvmSpec extends SparkSpec {
     val dir = root + "/t"
     val (logA, logB) = (new java.io.File(root, "a.log"), new java.io.File(root, "b.log"))
     val (pa, pb) = (spawn(dir, "a", logA), spawn(dir, "b", logB))
+    // SNAPSHOT-ISOLATION READER racing both writers from a THIRD process
+    // (this JVM): readers take no lock — every successful read must land
+    // on a commit boundary (counts are whole 5-row batches; the delete
+    // removes whole batches too) and resolved versions must be monotone.
+    // Reads that race a vacuum past retainLast may fail transiently (the
+    // documented Delta-VACUUM hazard) — those retry, they don't count.
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val cleanReads = new java.util.concurrent.atomic.AtomicInteger
+    val versionObs = new java.util.concurrent.atomic.AtomicInteger
+    def racing = pa.isAlive || pb.isAlive
+    // metadata sampler: one log listing per tick, dense coverage
+    val sampler = new Thread(() => {
+      var lastVersion = -1L
+      while (racing) {
+        try VersionedTable.latestVersion(dir).foreach { v =>
+          if (v < lastVersion)
+            violations.add(s"version went backwards: $lastVersion -> $v")
+          lastVersion = math.max(lastVersion, v)
+          versionObs.incrementAndGet()
+        } catch { case _: Throwable => () }
+        Thread.sleep(10)
+      }
+    })
+    // snapshot reader: full table reads, seconds each under contention —
+    // an aggressive retainLast=5 vacuum makes many race a drop (the
+    // documented hazard; those retry and don't count)
+    val reader = new Thread(() => {
+      while (racing) {
+        try if (VersionedTable.latestVersion(dir).isDefined) {
+          val n = VersionedTable.read(spark, dir).count()
+          if (n % 5 != 0) violations.add(s"torn read: $n rows")
+          cleanReads.incrementAndGet()
+        } catch { case _: Throwable => () }
+        Thread.sleep(10)
+      }
+    })
+    sampler.start(); reader.start()
+    sampler.join(300000); reader.join(300000)
+    assert(violations.isEmpty, violations.toArray.mkString("; "))
+    assert(versionObs.get >= 10 && cleanReads.get >= 1,
+      s"reader must observe the race: ${versionObs.get} version obs, " +
+        s"${cleanReads.get} clean reads")
     assert(pa.waitFor(5, java.util.concurrent.TimeUnit.MINUTES), "child a timed out")
     assert(pb.waitFor(5, java.util.concurrent.TimeUnit.MINUTES), "child b timed out")
     def tail(f: java.io.File): String = {
@@ -56,8 +98,9 @@ class OccCrossJvmSpec extends SparkSpec {
     assert(outB.contains(s"CHILD_OK b $PerChild"), outB.takeRight(500))
 
     // SERIALIZED VERSIONS: every commit got its own contiguous number —
-    // 2×PerChild appends + 1 delete (vacuum commits no version)
-    val expectedCommits = 2 * PerChild + 1
+    // 2×PerChild appends + 1 delete + 2 post-barrier ALTERs (vacuum
+    // commits no version)
+    val expectedCommits = 2 * PerChild + 3
     assert(VersionedTable.latestVersion(dir).contains(expectedCommits - 1L),
       s"latest=${VersionedTable.latestVersion(dir)} expected ${expectedCommits - 1}")
 
@@ -71,6 +114,11 @@ class OccCrossJvmSpec extends SparkSpec {
         (0 until PerChild).map(i => ("b", i.toLong) -> 5L)).toMap
     assert(rows == expected,
       s"missing=${expected.keySet -- rows.keySet} extra=${rows.keySet -- expected.keySet}")
+
+    // RACED ALTERS both landed: two distinct metadata commits, one column
+    // each — and the data read serves them as nulls on every pre-ALTER row
+    val cols = VersionedTable.read(spark, dir).columns.toSet
+    assert(Set("extra_a", "extra_b").subsetOf(cols), s"raced ALTERs lost: $cols")
 
     // NO VANISHED HISTORY: the log still answers for every commit, and
     // every vacuum-retained version reads in full

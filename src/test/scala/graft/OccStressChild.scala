@@ -47,6 +47,23 @@ object OccStressChild {
         if (id == "b" && i % 5 == 4)
           retry("vacuum b") { VersionedTable.vacuum(spark, dir, retainLast = 5) }
       }
+      // cross-JVM ALTER race, after a filesystem barrier: appends must
+      // match the declared schema exactly, so both writers finish their
+      // appends before either widens it — then both ADD a (distinct)
+      // column concurrently; the metadata commits must serialize like any
+      // other commit
+      val root = new java.io.File(dir).getParentFile
+      java.nio.file.Files.write(new java.io.File(root, s"done-$id").toPath,
+        Array.emptyByteArray)
+      val peer = new java.io.File(root, s"done-${if (id == "a") "b" else "a"}")
+      val barrierDeadline = System.currentTimeMillis() + 120000L
+      while (!peer.exists() && System.currentTimeMillis() < barrierDeadline)
+        Thread.sleep(25)
+      require(peer.exists(), s"peer of $id never reached the alter barrier")
+      retry(s"alter $id") {
+        VersionedTable.commitAddColumn(spark, dir, s"extra_$id",
+          org.apache.spark.sql.types.LongType)
+      }
       println(s"CHILD_OK $id $n")
     } finally spark.stop()
   }
