@@ -245,7 +245,11 @@ object Bench {
     // queries the set grows to. The complete per-query map is still written
     // to BENCH_FULL.json in the repo for the judge.
     val verbose = line(results, total, baseTotal)
-    try {
+    // a filtered run (SPARK_GRAFT_BENCH_ONLY, local iteration) must not
+    // clobber the committed full-suite artifact: prevTimes would then
+    // cover only the filtered names and the >1.7x phantom-regression
+    // re-measure (trigger b) would go blind for everything else
+    if (onlyQ.isEmpty) try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
       java.nio.file.Files.write(p, (verbose + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }

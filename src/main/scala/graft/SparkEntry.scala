@@ -1421,9 +1421,10 @@ object SparkEntry {
         df => ImagePipeline.batchInference(df, model),
         s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1)
       val batch = ImagePipeline.batchInference(table, model)
-      val n = batch.count()
-      require(n > 0 && streamed.count() == n &&
-          streamed.unionByName(batch).distinct().count() == n,
+      // MULTISET equality (exceptAll both ways): a count+set check would
+      // pass a replay that duplicates one row and drops another
+      require(batch.count() > 0 &&
+          streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
         "q_reference_e2e: stream inference must equal batch inference row-for-row")
       require(table.where(col("grayscale_image").isNull).count() == 0,
         "q_reference_e2e: grouped-map grayscale must re-attach for every image")

@@ -154,7 +154,10 @@ object AutoLoader {
         val sources = new Path(cp, "sources")
         val fs = sources.getFileSystem(graft.tables.FsIO.hadoopConf())
         if (!fs.exists(sources)) None
-        else fs.listStatus(sources).toSeq.sortBy(_.getPath.getName)
+        else fs.listStatus(sources).toSeq
+          // numeric source order — `<cp>/sources/<i>` names are integers,
+          // and lexicographic order would visit 10 before 2
+          .sortBy(s => s.getPath.getName.toLongOption.getOrElse(Long.MaxValue))
           .map(s => new Path(s.getPath, "graft-autoload/schema.json"))
           .find(fs.exists)
           .map(p => DataType.fromJson(
@@ -373,21 +376,25 @@ object AutoLoader {
         s"AutoLoader: checkpoint asks for file $endN but the ledger holds " +
           s"${ledger.size} — the checkpoint's ledger directory was deleted " +
           "or points at a different stream")
-      val all = ledger.slice(startN.toInt, endN.toInt).map(_._1).toSeq
       // Under cleanSource, a COMMITTED batch's raw files are gone by
       // design — yet on every restart the engine constructs one recovery
       // getBatch over the last committed range, and the parquet path
-      // lists its files eagerly. Skip vanished files there (cleanUpTo
-      // only ever touches the durably-committed prefix, so a file this
-      // source deleted/archived can never be one a replayed batch still
-      // owes rows for); without cleanSource nothing legitimately removes
-      // raw files, so the loud listing failure stands.
+      // lists its files eagerly. Skip vanished files ONLY below the
+      // DURABLE cleaned-through marker (advanced before each sweep, so a
+      // missing file under it is either retired or mid-sweep-crash — both
+      // committed by construction); a file missing ABOVE the marker was
+      // removed by something else and may back an uncommitted replay, so
+      // the loud listing failure stands there, as it does without
+      // cleanSource.
       val files =
-        if (cleanSource.isEmpty) all
+        if (cleanSource.isEmpty)
+          ledger.slice(startN.toInt, endN.toInt).map(_._1).toSeq
         else {
           val rawFs = new Path(rawDir).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
-          all.filter(f => rawFs.exists(new Path(f)))
+          (startN until endN).map(i => (i, ledger(i.toInt)._1)).collect {
+            case (i, f) if i >= cleanedThrough || rawFs.exists(new Path(f)) => f
+          }
         }
       if (files.isEmpty) StreamShim.emptyStreaming(spark, declaredSchema)
       else StreamShim.asStreaming(fileFormat match {
@@ -408,24 +415,37 @@ object AutoLoader {
     // start is the last committed boundary below the replay), so cleaning
     // fires as a multi-batch run advances; the engine's commit(end)
     // callback sweeps the final batch when the next trigger or the next
-    // run reaches it. In-memory low-water mark only: after a restart the
-    // first sweep re-walks the committed prefix with idempotent
-    // delete/rename (a missing file is a no-op), then advances in O(new).
-    @volatile private var cleanedThrough: Long = 0L
+    // run reaches it. The low-water mark is DURABLE (`cleaned` under the
+    // checkpoint state) and advances BEFORE the sweep: a file missing
+    // below it is provably retired-or-mid-sweep-crash — i.e. committed —
+    // which is what lets getBatch's recovery replay skip it while any
+    // other disappearance still fails loudly. Crash between marker and
+    // sweep only leaves files the next sweep re-walks idempotently.
+    private val cleanedFile = new Path(stateRoot, "cleaned")
+    @volatile private var cleanedThrough: Long =
+      graft.tables.FsIO.readText(cleanedFile.toString)
+        .flatMap(_.trim.toLongOption).getOrElse(0L)
     private def cleanUpTo(n: Long): Unit = cleanSource.foreach { mode =>
       val rawFs = new Path(rawDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val upTo = math.min(n, ledger.size.toLong)
-      (cleanedThrough until upTo).foreach { i =>
-        val p = new Path(ledger(i.toInt)._1)
-        mode match {
-          case "delete" => rawFs.delete(p, false)
-          case _ =>
-            val ad = new Path(sourceArchiveDir.get)
-            rawFs.mkdirs(ad)
-            rawFs.rename(p, new Path(ad, f"$i%012d-${p.getName}"))
+      if (upTo > cleanedThrough) {
+        val tmp = new Path(stateRoot, "cleaned.tmp")
+        graft.tables.FsIO.writeText(tmp.toString, upTo.toString)
+        fs.delete(cleanedFile, false)
+        require(fs.rename(tmp, cleanedFile),
+          s"AutoLoader: could not advance the cleaned marker under $stateRoot")
+        (cleanedThrough until upTo).foreach { i =>
+          val p = new Path(ledger(i.toInt)._1)
+          mode match {
+            case "delete" => rawFs.delete(p, false)
+            case _ =>
+              val ad = new Path(sourceArchiveDir.get)
+              rawFs.mkdirs(ad)
+              rawFs.rename(p, new Path(ad, f"$i%012d-${p.getName}"))
+          }
         }
+        cleanedThrough = upTo
       }
-      cleanedThrough = math.max(cleanedThrough, upTo)
     }
     override def commit(end: Offset): Unit = cleanUpTo(end match {
       case l: LongOffset => l.offset

@@ -60,9 +60,16 @@ class AutoLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 10L)
     // the retention loop finishes draining the landing zone (every file is
     // committed at this point — an idle restart triggers no batch, so the
-    // tail sweep is the operator's delete, same observable state)
+    // tail sweep is emulated: files deleted AND the durable cleaned marker
+    // advanced, exactly the state a completed sweep leaves; without the
+    // marker a vanished file reads as foul play and refuses loudly)
     new java.io.File(raw).listFiles().filter(_.getName.endsWith(".parquet"))
       .foreach(_.delete())
+    val ledgerSize = new java.io.File(s"$ckpt/sources/0/graft-autoload/ledger")
+      .listFiles().filter(_.getName.matches("d-\\d+\\.json"))
+      .map(f => java.nio.file.Files.readAllLines(f.toPath).size).sum
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      ckpt, "sources", "0", "graft-autoload", "cleaned"), ledgerSize.toString)
     // a plain inferred-schema restart now has nothing to infer from — it
     // must refuse with the recovery recipe, not a bare listing error
     val e = intercept[Exception] {

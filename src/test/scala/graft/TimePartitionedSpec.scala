@@ -185,6 +185,35 @@ class TimePartitionedSpec extends SparkSpec {
       "managed flag must survive INSERT OVERWRITE so DROP deletes data")
   }
 
+  test("overwrite clears crashed-compaction shelf: recovery can't resurrect pre-overwrite days") {
+    import spark.implicits._
+    val d0 = 19724L * Day
+    (0L until 60L).map(i => (i, d0 + (i / 20L) * Day + i)).toDF("id", "ts")
+      .createOrReplaceTempView("day_sh_src")
+    val dir = java.nio.file.Files.createTempDirectory("graft_day_shelf").toString + "/t"
+    graft.catalog.GraftCatalog.register("day_sh", dir)
+    spark.sql("CREATE TABLE graft.day_sh PARTITIONED BY (days(ts)) " +
+      "AS SELECT id, ts FROM day_sh_src")
+    // crashed compactDaysBefore, post-shelve no-stage state: day 0 sits
+    // shelved (recovery's roll-BACK case — it would restore the day)
+    val day0 = TimePartitioned.dayColumnOf(dir); assert(day0.contains("ts"))
+    val shelvedDay = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("p_day=")).map(_.getName).min
+    assert(new java.io.File(dir, shelvedDay).renameTo(
+      new java.io.File(dir, s".shelf_$shelvedDay.__old")))
+    // the overwrite replaces the table wholesale — it must clear the
+    // shelf, or the next compaction's recovery resurrects deleted rows
+    spark.sql("INSERT OVERWRITE graft.day_sh " +
+      s"SELECT id + 100, ts + ${3 * Day} FROM day_sh_src")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.day_sh").head.getLong(0) == 60L)
+    TimePartitioned.compactDaysBefore(spark, dir, d0 + 100 * Day, filesPerDay = 1)
+    val ids = spark.sql("SELECT id FROM graft.day_sh").collect().map(_.getLong(0)).toSet
+    assert(ids == (100L until 160L).toSet,
+      s"pre-overwrite rows resurrected: ${ids.filter(_ < 100L)}")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".shelf_")))
+    spark.sql("DROP TABLE graft.day_sh")
+  }
+
   test("catalog CTAS PARTITIONED BY (days(ts)): hidden layout, pruned reads, INSERT append") {
     import spark.implicits._
     val d0 = 19724L * Day
