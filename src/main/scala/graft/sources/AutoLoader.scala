@@ -422,29 +422,41 @@ object AutoLoader {
     // other disappearance still fails loudly. Crash between marker and
     // sweep only leaves files the next sweep re-walks idempotently.
     private val cleanedFile = new Path(stateRoot, "cleaned")
+    // the durable skip bound (replay-missing-file tolerance); the sweep's
+    // own low-water mark is separate and IN-MEMORY ONLY, so after a crash
+    // mid-sweep the first sweep of the new process re-walks the whole
+    // marked prefix idempotently (a missing file is a no-op) and catches
+    // any files the crashed sweep left behind
     @volatile private var cleanedThrough: Long =
       graft.tables.FsIO.readText(cleanedFile.toString)
         .flatMap(_.trim.toLongOption).getOrElse(0L)
+    @volatile private var sweptThrough: Long = 0L
     private def cleanUpTo(n: Long): Unit = cleanSource.foreach { mode =>
       val rawFs = new Path(rawDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val upTo = math.min(n, ledger.size.toLong)
-      if (upTo > cleanedThrough) {
-        val tmp = new Path(stateRoot, "cleaned.tmp")
-        graft.tables.FsIO.writeText(tmp.toString, upTo.toString)
-        fs.delete(cleanedFile, false)
-        require(fs.rename(tmp, cleanedFile),
-          s"AutoLoader: could not advance the cleaned marker under $stateRoot")
-        (cleanedThrough until upTo).foreach { i =>
+      if (upTo > sweptThrough) {
+        if (upTo > cleanedThrough) {
+          // marker FIRST (intent), sweep second: a file missing below the
+          // marker is then provably retired-or-mid-sweep-crash
+          val tmp = new Path(stateRoot, "cleaned.tmp")
+          graft.tables.FsIO.writeText(tmp.toString, upTo.toString)
+          fs.delete(cleanedFile, false)
+          require(fs.rename(tmp, cleanedFile),
+            s"AutoLoader: could not advance the cleaned marker under $stateRoot")
+          cleanedThrough = upTo
+        }
+        (sweptThrough until upTo).foreach { i =>
           val p = new Path(ledger(i.toInt)._1)
           mode match {
             case "delete" => rawFs.delete(p, false)
             case _ =>
               val ad = new Path(sourceArchiveDir.get)
               rawFs.mkdirs(ad)
-              rawFs.rename(p, new Path(ad, f"$i%012d-${p.getName}"))
+              if (rawFs.exists(p)) // idempotent re-walk after a crash
+                rawFs.rename(p, new Path(ad, f"$i%012d-${p.getName}"))
           }
         }
-        cleanedThrough = upTo
+        sweptThrough = upTo
       }
     }
     override def commit(end: Offset): Unit = cleanUpTo(end match {
