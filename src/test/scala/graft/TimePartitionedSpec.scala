@@ -185,6 +185,46 @@ class TimePartitionedSpec extends SparkSpec {
       "managed flag must survive INSERT OVERWRITE so DROP deletes data")
   }
 
+  test("day-table overwrite crashed MID-SWAP: reads stay sane, next overwrite converges") {
+    import spark.implicits._
+    val d0 = 19724L * Day
+    (0L until 60L).map(i => (i, d0 + (i / 20L) * Day + i)).toDF("id", "ts")
+      .createOrReplaceTempView("day_ms_src")
+    val dir = java.nio.file.Files.createTempDirectory("graft_day_mid").toString + "/t"
+    graft.catalog.GraftCatalog.register("day_ms", dir)
+    spark.sql("CREATE TABLE graft.day_ms PARTITIONED BY (days(ts)) " +
+      "AS SELECT id, ts FROM day_ms_src")
+    // build the exact mid-swap crash state by hand: one old day retired
+    // into the trash, its replacement published, the remaining new days
+    // still in the stage — the per-day protocol's worst interruption
+    val root = new java.io.File(dir)
+    val days = root.listFiles().filter(_.getName.startsWith("p_day="))
+      .map(_.getName).sorted
+    assert(days.length == 3)
+    val stage = new java.io.File(root, "_overwrite_stage")
+    val trash = new java.io.File(root, "_overwrite_trash")
+    assert(stage.mkdirs() && trash.mkdirs())
+    // day 0: swapped (old in trash, new published); days 1-2: not reached
+    assert(new java.io.File(root, days(0)).renameTo(new java.io.File(trash, days(0))))
+    (900L to 902L).map(i => (i, d0 + 5L)).toDF("id", "ts")
+      .coalesce(1).write.parquet(new java.io.File(root, days(0)).toString)
+    (903L to 904L).map(i => (i, d0 + Day + 5L)).toDF("id", "ts")
+      .coalesce(1).write.parquet(new java.io.File(stage, days(1)).toString)
+    // invariants in the crashed state: table resolves, reads see ONLY
+    // published day dirs (a new/old mixture), hidden dirs never leak
+    assert(TimePartitioned.dayColumnOf(dir).contains("ts"))
+    val mixed = spark.sql("SELECT id FROM graft.day_ms").collect().map(_.getLong(0)).toSet
+    assert(mixed == ((20L until 60L).toSet ++ Set(900L, 901L, 902L)),
+      s"mid-swap read must be published-days-only, got ${mixed.size} ids")
+    // the next overwrite converges to exactly its own snapshot
+    spark.sql("INSERT OVERWRITE graft.day_ms SELECT id + 500, ts FROM day_ms_src")
+    val after = spark.sql("SELECT id FROM graft.day_ms").collect().map(_.getLong(0)).toSet
+    assert(after == (500L until 560L).toSet, s"convergence failed: ${after.size} ids")
+    assert(!stage.exists() && !trash.exists(), "crash leftovers must be cleaned")
+    spark.sql("DROP TABLE graft.day_ms")
+    assert(!root.exists(), "managed flag must survive the crashed swap")
+  }
+
   test("overwrite clears crashed-compaction shelf: recovery can't resurrect pre-overwrite days") {
     import spark.implicits._
     val d0 = 19724L * Day
