@@ -1416,11 +1416,14 @@ object SparkEntry {
       TableManager.compact(s, tableDir, targetFiles = 2)
       val table = s.read.parquet(tableDir)
       val model = new graft.image.LinearScoringModel(ImageFixtures.Classes)
+      // localCheckpoint both sides: the gate below runs three actions, and
+      // uncached plans would re-run the model inference for each
       val streamed = StreamingInference.streamTransform(
         s, tableDir, table.schema,
         df => ImagePipeline.batchInference(df, model),
         s"$work/sink", s"$work/ckpt", maxFilesPerTrigger = 1)
-      val batch = ImagePipeline.batchInference(table, model)
+        .localCheckpoint(true)
+      val batch = ImagePipeline.batchInference(table, model).localCheckpoint(true)
       // MULTISET equality (exceptAll both ways): a count+set check would
       // pass a replay that duplicates one row and drops another
       require(batch.count() > 0 &&

@@ -91,55 +91,18 @@ class GraftDayTable(val tableName: String, val dir: String, val tsCol: String,
                 s"graft: day-partitioned table $tableName needs its timestamp " +
                   s"column `$tsCol` in every write")
               if (overwrite || overwriteAll) {
-                // STAGED overwrite: write the new layout under an
-                // underscore-hidden subdir (readers' hidden-path filter
-                // skips it), then swap PER DAY DIRECTORY through a hidden
-                // trash: old day D renames into the trash, new day D
-                // renames into place — each rename atomic, so a crash at
-                // any point leaves a table of complete day directories
-                // (possibly an old/new mixture — the documented
-                // plain-layout overwrite contract — with at most the
-                // in-flight day absent for the instant between its two
-                // renames, never a whole-table-empty window). `_props` —
-                // the managed flag and the days marker — is never
-                // deleted, so the table keeps resolving and DROP TABLE
-                // keeps owning its data; the old wipe-then-re-assert left
-                // a window where both were durably lost.
-                val root  = new org.apache.hadoop.fs.Path(dir)
-                val fs    = root.getFileSystem(
-                  data.sparkSession.sparkContext.hadoopConfiguration)
-                val stage = new org.apache.hadoop.fs.Path(root, "_overwrite_stage")
-                val trash = new org.apache.hadoop.fs.Path(root, "_overwrite_trash")
-                fs.delete(stage, true) // a previous crash's leftovers
-                fs.delete(trash, true)
-                // a crashed compaction's shelf/stage artifacts describe
-                // PRE-overwrite data — left in place, the next
-                // compaction's recovery pass would resurrect a shelved
-                // old day over the new snapshot
-                fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
-                  val n = p.getName
-                  if ((n.startsWith(".shelf_p_day=") && n.endsWith(".__old")) ||
-                      (n.startsWith(".compact_p_day=") && n.endsWith(".__tmp")))
-                    fs.delete(p, true)
-                }
-                TimePartitioned.write(data, stage.toString, tsCol)
-                val oldDays = fs.listStatus(root).toSeq.map(_.getPath.getName)
-                  .filter(_.startsWith("p_day=")).toSet
-                val newDays = fs.listStatus(stage).toSeq.map(_.getPath.getName)
-                  .filter(_.startsWith("p_day=")).toSet
-                if (oldDays.nonEmpty) fs.mkdirs(trash)
-                (oldDays ++ newDays).toSeq.sorted.foreach { day =>
-                  if (oldDays(day))
-                    require(fs.rename(new org.apache.hadoop.fs.Path(root, day),
-                        new org.apache.hadoop.fs.Path(trash, day)),
-                      s"graft: could not retire $day of $dir")
-                  if (newDays(day))
-                    require(fs.rename(new org.apache.hadoop.fs.Path(stage, day),
-                        new org.apache.hadoop.fs.Path(root, day)),
-                      s"graft: could not publish $day of $dir")
-                }
-                fs.delete(stage, true)
-                fs.delete(trash, true)
+                // STAGED, CRASH-RECOVERABLE overwrite — the protocol
+                // lives in TimePartitioned.overwriteStaged: heal crashed
+                // predecessors first (a shelved compaction day must be
+                // readable by a self-referential `INSERT OVERWRITE t
+                // SELECT ... FROM t`), stage the new layout hidden,
+                // record a durable intent, swap per day through a trash.
+                // `_props` — the managed flag and the days marker — is
+                // never deleted, so the table keeps resolving and DROP
+                // TABLE keeps owning its data at every crash point; the
+                // old wipe-then-re-assert left a window where both were
+                // durably lost.
+                TimePartitioned.overwriteStaged(data, dir, tsCol)
                 TimePartitioned.assertMarker(dir, tsCol)
               } else {
                 TimePartitioned.append(data, dir, tsCol)

@@ -93,10 +93,134 @@ object TimePartitioned {
 
   /** APPEND into an existing day-partitioned layout — new files land in
     * their day directories next to the old ones (the catalog INSERT INTO
-    * path). Same shuffle discipline as [[write]]. */
+    * path). Same shuffle discipline as [[write]]. Heals a crashed
+    * [[overwriteStaged]] first so the append never lands next to a
+    * half-swapped snapshot. */
   def append(df: DataFrame, dir: String, tsNanosCol: String,
-      filesPerDay: Int = 8): Unit =
+      filesPerDay: Int = 8): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) recoverOverwrite(fs, root)
     writeMode(df, dir, tsNanosCol, filesPerDay, "append")
+  }
+
+  private val OverwriteStageName = "_overwrite_stage"
+  private val OverwriteTrashName = "_overwrite_trash"
+  private val OverwriteIntentName = "_intent"
+
+  /** Heal any crashed compaction or staged-overwrite swap — idempotent;
+    * two existence probes plus one listing when there is nothing to do.
+    * The catalog calls this (best-effort) at day-table LOAD, which is the
+    * hook that runs BEFORE a query's child plans are built — a
+    * self-referential `INSERT OVERWRITE t SELECT ... FROM t` resolves its
+    * scan at analysis, so a write-time-only heal would read a shelved
+    * day's rows as absent. A heal racing a LIVE maintenance swap can lose
+    * a rename to it — callers on the query path swallow that (the winner
+    * completed the same transition; the state stays consistent either
+    * way). */
+  def heal(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) { recoverCompaction(fs, root); recoverOverwrite(fs, root) }
+  }
+
+  private def listDays(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Set[String] =
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
+      .map(_.getPath.getName).toSet
+
+  /** INSERT OVERWRITE for a day-partitioned path table, staged and
+    * CRASH-RECOVERABLE: the new layout writes under a hidden stage
+    * subdir (readers' hidden-path filter skips it), a durable INTENT
+    * file records exactly which live days are pre-overwrite (to retire)
+    * and which staged days publish, then days swap one rename at a time
+    * through a hidden trash. Every interruption is decidable from the
+    * intent: [[recoverOverwrite]] rolls the swap FORWARD at the next
+    * write/maintenance touch, so a crash leaves at worst a transient
+    * per-day gap until then — never a lost day, never a resurrectable
+    * old copy, and never a deleted `_props` (this path touches only
+    * `p_day=` directories, which is what keeps the managed flag and the
+    * days marker alive through any crash).
+    *
+    * Heals crashed predecessors FIRST — both a prior overwrite and a
+    * crashed [[compactDaysBefore]] shelf — because the incoming plan may
+    * read THIS table (`INSERT OVERWRITE t SELECT ... FROM t`): the
+    * self-read must see every row, including a shelved day's. */
+  def overwriteStaged(df: DataFrame, dir: String, tsNanosCol: String,
+      filesPerDay: Int = 8): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    recoverCompaction(fs, root)
+    recoverOverwrite(fs, root)
+    val stage = new org.apache.hadoop.fs.Path(root, OverwriteStageName)
+    val trash = new org.apache.hadoop.fs.Path(root, OverwriteTrashName)
+    fs.delete(stage, true); fs.delete(trash, true)
+    writeMode(df, stage.toString, tsNanosCol, filesPerDay, "overwrite")
+    val oldDays = listDays(fs, root)
+    val newDays = listDays(fs, stage)
+    FsIO.writeText(new org.apache.hadoop.fs.Path(stage, OverwriteIntentName).toString,
+      oldDays.toSeq.sorted.mkString(",") + "\n" + newDays.toSeq.sorted.mkString(","))
+    if (oldDays.nonEmpty) fs.mkdirs(trash)
+    (oldDays ++ newDays).toSeq.sorted.foreach { day =>
+      if (oldDays(day))
+        require(fs.rename(new org.apache.hadoop.fs.Path(root, day),
+            new org.apache.hadoop.fs.Path(trash, day)),
+          s"overwriteStaged: could not retire $day of $dir")
+      if (newDays(day))
+        require(fs.rename(new org.apache.hadoop.fs.Path(stage, day),
+            new org.apache.hadoop.fs.Path(root, day)),
+          s"overwriteStaged: could not publish $day of $dir")
+    }
+    // trash first, stage (holding the intent) last: recovery stays
+    // possible until the swap is fully cleaned
+    fs.delete(trash, true)
+    fs.delete(stage, true)
+  }
+
+  /** Roll a crashed [[overwriteStaged]] FORWARD from its durable intent.
+    * Idempotent; called before appends, overwrites, and compaction. A
+    * stage with no intent means the crash predated the swap (root is the
+    * intact old table) — the stage is garbage and deletes; with an
+    * intent, every (old, new) day pair's state is decidable: a staged
+    * day still present publishes (retiring a still-live old copy first),
+    * an old-only day retires, and a day already published is left
+    * alone. */
+  private[tables] def recoverOverwrite(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val stage  = new org.apache.hadoop.fs.Path(root, OverwriteStageName)
+    val trash  = new org.apache.hadoop.fs.Path(root, OverwriteTrashName)
+    val intent = new org.apache.hadoop.fs.Path(stage, OverwriteIntentName)
+    if (!fs.exists(stage) && !fs.exists(trash)) return
+    if (!fs.exists(intent)) { fs.delete(stage, true); fs.delete(trash, true); return }
+    val lines = FsIO.readText(intent.toString).getOrElse("").split("\n", -1)
+    def parse(i: Int): Set[String] =
+      if (i >= lines.length) Set.empty
+      else lines(i).split(",").filter(_.nonEmpty).toSet
+    val oldDays = parse(0)
+    val newDays = parse(1)
+    (oldDays ++ newDays).toSeq.sorted.foreach { day =>
+      val rootDay  = new org.apache.hadoop.fs.Path(root, day)
+      val stageDay = new org.apache.hadoop.fs.Path(stage, day)
+      if (newDays(day)) {
+        if (fs.exists(stageDay)) { // not yet published: root copy (if any) is OLD
+          if (fs.exists(rootDay)) {
+            fs.mkdirs(trash)
+            require(fs.rename(rootDay, new org.apache.hadoop.fs.Path(trash, day)),
+              s"recoverOverwrite: could not retire $day under $root")
+          }
+          require(fs.rename(stageDay, rootDay),
+            s"recoverOverwrite: could not publish $day under $root")
+        } // else: already published — rootDay is the new copy
+      } else if (fs.exists(rootDay)) {
+        fs.delete(rootDay, true) // old-only day: the overwrite removes it
+      }
+    }
+    fs.delete(trash, true)
+    fs.delete(stage, true)
+  }
 
   private def writeMode(df: DataFrame, dir: String, tsNanosCol: String,
       filesPerDay: Int, mode: String): Unit = {
@@ -158,6 +282,7 @@ object TimePartitioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     recoverCompaction(fs, root)
+    recoverOverwrite(fs, root)
     val days = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
       .map(_.getPath)

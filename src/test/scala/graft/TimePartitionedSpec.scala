@@ -194,9 +194,10 @@ class TimePartitionedSpec extends SparkSpec {
     graft.catalog.GraftCatalog.register("day_ms", dir)
     spark.sql("CREATE TABLE graft.day_ms PARTITIONED BY (days(ts)) " +
       "AS SELECT id, ts FROM day_ms_src")
-    // build the exact mid-swap crash state by hand: one old day retired
-    // into the trash, its replacement published, the remaining new days
-    // still in the stage — the per-day protocol's worst interruption
+    // build the exact mid-swap crash state by hand, INTENT included: the
+    // crashed overwrite meant {d0,d1,d2} -> {d0,d1}; day 0 fully swapped
+    // (old in trash, new published), day 1 retired-not-reached (old in
+    // root, new in stage), day 2 (old-only, to be removed) untouched
     val root = new java.io.File(dir)
     val days = root.listFiles().filter(_.getName.startsWith("p_day="))
       .map(_.getName).sorted
@@ -204,23 +205,30 @@ class TimePartitionedSpec extends SparkSpec {
     val stage = new java.io.File(root, "_overwrite_stage")
     val trash = new java.io.File(root, "_overwrite_trash")
     assert(stage.mkdirs() && trash.mkdirs())
-    // day 0: swapped (old in trash, new published); days 1-2: not reached
     assert(new java.io.File(root, days(0)).renameTo(new java.io.File(trash, days(0))))
     (900L to 902L).map(i => (i, d0 + 5L)).toDF("id", "ts")
       .coalesce(1).write.parquet(new java.io.File(root, days(0)).toString)
     (903L to 904L).map(i => (i, d0 + Day + 5L)).toDF("id", "ts")
       .coalesce(1).write.parquet(new java.io.File(stage, days(1)).toString)
-    // invariants in the crashed state: table resolves, reads see ONLY
-    // published day dirs (a new/old mixture), hidden dirs never leak
+    java.nio.file.Files.writeString(new java.io.File(stage, "_intent").toPath,
+      days.mkString(",") + "\n" + Seq(days(0), days(1)).mkString(","))
+    // the very FIRST catalog touch heals: loadTable rolls the swap
+    // FORWARD from the intent — day 1's staged copy publishes, old-only
+    // day 2 is removed, the crashed overwrite completes exactly, and the
+    // read serves the intended snapshot (never a hole, never old day 2)
     assert(TimePartitioned.dayColumnOf(dir).contains("ts"))
-    val mixed = spark.sql("SELECT id FROM graft.day_ms").collect().map(_.getLong(0)).toSet
-    assert(mixed == ((20L until 60L).toSet ++ Set(900L, 901L, 902L)),
-      s"mid-swap read must be published-days-only, got ${mixed.size} ids")
-    // the next overwrite converges to exactly its own snapshot
+    val healed = spark.sql("SELECT id FROM graft.day_ms").collect().map(_.getLong(0)).toSet
+    assert(healed == Set(900L, 901L, 902L, 903L, 904L),
+      s"load-time roll-forward must complete the crashed overwrite, got $healed")
+    assert(!stage.exists() && !trash.exists(), "crash leftovers must be cleaned")
+    // and appends land on the healed snapshot
+    spark.sql(s"INSERT INTO graft.day_ms SELECT CAST(999 AS BIGINT), CAST($d0 AS BIGINT)")
+    val after999 = spark.sql("SELECT id FROM graft.day_ms").collect().map(_.getLong(0)).toSet
+    assert(after999 == Set(900L, 901L, 902L, 903L, 904L, 999L), s"append after heal: $after999")
+    // and a later overwrite still converges to exactly its own snapshot
     spark.sql("INSERT OVERWRITE graft.day_ms SELECT id + 500, ts FROM day_ms_src")
     val after = spark.sql("SELECT id FROM graft.day_ms").collect().map(_.getLong(0)).toSet
     assert(after == (500L until 560L).toSet, s"convergence failed: ${after.size} ids")
-    assert(!stage.exists() && !trash.exists(), "crash leftovers must be cleaned")
     spark.sql("DROP TABLE graft.day_ms")
     assert(!root.exists(), "managed flag must survive the crashed swap")
   }
@@ -251,6 +259,18 @@ class TimePartitionedSpec extends SparkSpec {
     assert(ids == (100L until 160L).toSet,
       s"pre-overwrite rows resurrected: ${ids.filter(_ < 100L)}")
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".shelf_")))
+    // SELF-REFERENTIAL overwrite over a shelved day: `INSERT OVERWRITE t
+    // SELECT ... FROM t` must read the shelved day's rows — loadTable
+    // ROLLS the crashed compaction swap (restoring the day) before the
+    // statement's self-read plans, rather than deleting the shelf
+    val shDay2 = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("p_day=")).map(_.getName).min
+    assert(new java.io.File(dir, shDay2).renameTo(
+      new java.io.File(dir, s".shelf_$shDay2.__old")))
+    spark.sql("INSERT OVERWRITE graft.day_sh SELECT id, ts FROM graft.day_sh WHERE id % 2 = 0")
+    val evens = spark.sql("SELECT id FROM graft.day_sh").collect().map(_.getLong(0)).toSet
+    assert(evens == (100L until 160L).filter(_ % 2 == 0).toSet,
+      s"shelved day's rows must survive a self-referential overwrite, got ${evens.size} ids")
     spark.sql("DROP TABLE graft.day_sh")
   }
 
