@@ -161,8 +161,15 @@ object TimePartitioned {
     writeMode(df, stage.toString, tsNanosCol, filesPerDay, "overwrite")
     val oldDays = listDays(fs, root)
     val newDays = listDays(fs, stage)
-    FsIO.writeText(new org.apache.hadoop.fs.Path(stage, OverwriteIntentName).toString,
+    // the intent publishes by RENAME: a torn direct write could truncate
+    // the new-days line, and recovery would then read every old day as
+    // old-only — i.e. delete live data. Only a complete intent may exist.
+    val intentTmp = new org.apache.hadoop.fs.Path(stage, OverwriteIntentName + ".tmp")
+    FsIO.writeText(intentTmp.toString,
       oldDays.toSeq.sorted.mkString(",") + "\n" + newDays.toSeq.sorted.mkString(","))
+    require(fs.rename(intentTmp,
+        new org.apache.hadoop.fs.Path(stage, OverwriteIntentName)),
+      s"overwriteStaged: could not publish the swap intent under $dir")
     if (oldDays.nonEmpty) fs.mkdirs(trash)
     (oldDays ++ newDays).toSeq.sorted.foreach { day =>
       if (oldDays(day))
