@@ -91,13 +91,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // the CREATE → first-write window (the marker is there too, but the
       // schema is only in memory until files exist)
       case Some(d) if GraftCatalog.dayColumnCached(d).isDefined =>
-        // heal a crashed compaction/overwrite swap BEFORE any plan builds
+        // heal a CRASHED compaction/overwrite swap BEFORE any plan builds
         // over this table (a self-referential INSERT OVERWRITE resolves
-        // its scan at analysis — a shelved day must be back by then);
-        // best-effort: losing a rename to a LIVE maintenance swap is fine,
-        // the winner completed the same transition
-        try graft.tables.TimePartitioned.heal(SparkSession.active, d)
-        catch { case _: Throwable => () }
+        // its scan at analysis — a shelved day must be back by then).
+        // Lock-gated inside heal: a LIVE writer makes this a no-op (it
+        // owns the state), the clean path is three existence probes, and
+        // a heal that genuinely fails mid-swap propagates loudly rather
+        // than letting the query silently serve a table with a day hole.
+        graft.tables.TimePartitioned.heal(SparkSession.active, d)
         new GraftDayTable(ident.name(), d, GraftCatalog.dayColumnCached(d).get,
           Option(GraftCatalog.pendingSchemas.get(d)))
       case Some(d) if committed(d) =>

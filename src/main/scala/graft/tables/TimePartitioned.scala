@@ -98,30 +98,61 @@ object TimePartitioned {
     * half-swapped snapshot. */
   def append(df: DataFrame, dir: String, tsNanosCol: String,
       filesPerDay: Int = 8): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) recoverOverwrite(fs, root)
+    // heal BOTH protocols first (lock-gated, no-op against a live
+    // writer): appending into a shelved day's slot would otherwise make
+    // the compaction recovery read the day as "published" and delete the
+    // shelf holding its original rows
+    heal(df.sparkSession, dir)
     writeMode(df, dir, tsNanosCol, filesPerDay, "append")
   }
 
   private val OverwriteStageName = "_overwrite_stage"
   private val OverwriteTrashName = "_overwrite_trash"
   private val OverwriteIntentName = "_intent"
+  private val MaintPendingName   = "_maint_pending"
 
-  /** Heal any crashed compaction or staged-overwrite swap — idempotent;
-    * two existence probes plus one listing when there is nothing to do.
-    * The catalog calls this (best-effort) at day-table LOAD, which is the
-    * hook that runs BEFORE a query's child plans are built — a
-    * self-referential `INSERT OVERWRITE t SELECT ... FROM t` resolves its
-    * scan at analysis, so a write-time-only heal would read a shelved
-    * day's rows as absent. A heal racing a LIVE maintenance swap can lose
-    * a rename to it — callers on the query path swallow that (the winner
-    * completed the same transition; the state stays consistent either
-    * way). */
+  /** Write-lease length shared by the day-table maintenance writers
+    * ([[overwriteStaged]], [[compactDaysBefore]], [[dropDaysBefore]]) and
+    * the crash-heal below: long enough for a legitimate stage+swap, short
+    * enough that a crashed holder doesn't block healing for hours. */
+  val MaintLeaseMs: Long = 15L * 60 * 1000
+
+  /** Heal any CRASHED compaction or staged-overwrite swap — called at
+    * day-table LOAD by the catalog (the hook that runs BEFORE a query's
+    * child plans are built: a self-referential `INSERT OVERWRITE t
+    * SELECT ... FROM t` resolves its scan at analysis, so a
+    * write-time-only heal would read a shelved day's rows as absent) and
+    * at the head of [[append]] / [[dropDaysBefore]].
+    *
+    * SAFE AGAINST LIVE WRITERS: recovery states are only decidable when
+    * no writer is mid-flight (a live overwrite sits in the
+    * stage-without-intent state — indistinguishable from crash garbage —
+    * for its whole data-write phase), so the heal runs ONLY under the
+    * same write lease every maintenance writer holds: a LIVE holder makes
+    * the heal a silent no-op (that writer owns the state); a crashed
+    * holder's lease expires and the heal takes over loudly.
+    *
+    * CHEAP WHEN CLEAN: three existence probes (stage, trash, the
+    * [[MaintPendingName]] marker compaction leaves while swapping) gate
+    * everything — the common no-crash load never lists the directory and
+    * never touches the lock. */
   def heal(spark: SparkSession, dir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) { recoverCompaction(fs, root); recoverOverwrite(fs, root) }
+    if (!fs.exists(root)) return
+    val evidence =
+      fs.exists(new org.apache.hadoop.fs.Path(root, OverwriteStageName)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(root, OverwriteTrashName)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(root, MaintPendingName))
+    if (!evidence) return
+    val lock =
+      try FsIO.acquireWriteLock(dir, "TimePartitioned.heal", MaintLeaseMs)
+      catch { case _: FsIO.LockBusy => return } // a LIVE writer owns the state
+    try {
+      recoverCompaction(fs, root)
+      recoverOverwrite(fs, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
+    } finally FsIO.releaseWriteLock(lock)
   }
 
   private def listDays(fs: org.apache.hadoop.fs.FileSystem,
@@ -149,7 +180,8 @@ object TimePartitioned {
     * read THIS table (`INSERT OVERWRITE t SELECT ... FROM t`): the
     * self-read must see every row, including a shelved day's. */
   def overwriteStaged(df: DataFrame, dir: String, tsNanosCol: String,
-      filesPerDay: Int = 8): Unit = {
+      filesPerDay: Int = 8): Unit = FsIO.withWriteLock(
+      dir, "TimePartitioned.overwriteStaged", MaintLeaseMs) {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
@@ -202,7 +234,12 @@ object TimePartitioned {
     val intent = new org.apache.hadoop.fs.Path(stage, OverwriteIntentName)
     if (!fs.exists(stage) && !fs.exists(trash)) return
     if (!fs.exists(intent)) { fs.delete(stage, true); fs.delete(trash, true); return }
-    val lines = FsIO.readText(intent.toString).getOrElse("").split("\n", -1)
+    // an unreadable intent must ABORT the heal loudly: treating it as
+    // empty day sets would fall through to the trailing deletes and
+    // destroy both the retired old copy and the unpublished new copy
+    val lines = FsIO.readText(intent.toString).getOrElse(sys.error(
+      s"recoverOverwrite: unreadable swap intent $intent — not healing"))
+      .split("\n", -1)
     def parse(i: Int): Set[String] =
       if (i >= lines.length) Set.empty
       else lines(i).split(",").filter(_.nonEmpty).toSet
@@ -251,6 +288,9 @@ object TimePartitioned {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    // heal first: a day hidden in a crashed swap's shelf/stage would
+    // otherwise escape retention and resurrect after this pass
+    heal(spark, dir)
     val dropped = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
       .map(s => s.getPath)
@@ -286,8 +326,10 @@ object TimePartitioned {
     require(filesPerDay >= 1, s"filesPerDay must be >= 1, got $filesPerDay")
     val cutoffDay = dayOfNanos(cutoffNanos)
     val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
+    val preFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!preFs.exists(root)) return Seq.empty
+    FsIO.withWriteLock(dir, "TimePartitioned.compactDaysBefore", MaintLeaseMs) {
+    val fs = preFs
     recoverCompaction(fs, root)
     recoverOverwrite(fs, root)
     val days = fs.listStatus(root).toSeq
@@ -300,6 +342,11 @@ object TimePartitioned {
           !s.getPath.getName.startsWith("."))
       nFiles > filesPerDay
     }
+    // the pending marker is what lets the load-time heal's cheap probes
+    // detect a crashed compaction without listing for shelf names; it
+    // must exist before the first swap and go only after the last
+    if (compacted.nonEmpty)
+      FsIO.writeText(new org.apache.hadoop.fs.Path(root, MaintPendingName).toString, "")
     compacted.foreach { dayDir =>
       val day   = dayDir.getName
       val stage = new org.apache.hadoop.fs.Path(root, s".compact_$day.__tmp")
@@ -313,7 +360,10 @@ object TimePartitioned {
         s"compactDaysBefore: could not publish compacted $dayDir")
       fs.delete(shelf, true)
     }
+    if (compacted.nonEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
     compacted.map(_.getName.stripPrefix("p_day=")).sorted
+    }
   }
 
   /** Roll a crashed [[compactDaysBefore]] swap forward or back — see the

@@ -249,6 +249,10 @@ class TimePartitionedSpec extends SparkSpec {
       .filter(_.getName.startsWith("p_day=")).map(_.getName).min
     assert(new java.io.File(dir, shelvedDay).renameTo(
       new java.io.File(dir, s".shelf_$shelvedDay.__old")))
+    // a real crashed compaction always leaves the pending marker (written
+    // before the first swap) — it is what the load-time heal probes
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_maint_pending"), "")
     // the overwrite replaces the table wholesale — it must clear the
     // shelf, or the next compaction's recovery resurrects deleted rows
     spark.sql("INSERT OVERWRITE graft.day_sh " +
@@ -267,6 +271,8 @@ class TimePartitionedSpec extends SparkSpec {
       .filter(_.getName.startsWith("p_day=")).map(_.getName).min
     assert(new java.io.File(dir, shDay2).renameTo(
       new java.io.File(dir, s".shelf_$shDay2.__old")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_maint_pending"), "")
     spark.sql("INSERT OVERWRITE graft.day_sh SELECT id, ts FROM graft.day_sh WHERE id % 2 = 0")
     val evens = spark.sql("SELECT id FROM graft.day_sh").collect().map(_.getLong(0)).toSet
     assert(evens == (100L until 160L).filter(_ % 2 == 0).toSet,
