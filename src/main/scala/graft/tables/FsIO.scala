@@ -95,11 +95,35 @@ object FsIO {
     * assumption the writer is gone — size `staleMs` above the longest
     * legitimate stage+swap. A LIVE contender inside the lease window fails
     * loudly with the holder's label/age instead of corrupting the target. */
+  /** Schemes with a TRUE atomic create-no-overwrite: POSIX O_EXCL
+    * (file/local), HDFS namenode arbitration (hdfs/viewfs), ADLS gen2
+    * hierarchical namespace (abfs/abfss), GCS precondition-checked create
+    * (gs). On anything else — S3A being the important case: without
+    * S3 conditional writes, create(overwrite=false) is check-then-act —
+    * the lock is BEST-EFFORT ONLY, and because this lease gates swap
+    * protocols that DELETE data, best-effort must be an explicit operator
+    * decision, not a silent default. */
+  private val ExactLockSchemes = Set("file", "local", "hdfs", "viewfs", "abfs", "abfss", "gs")
+
+  /** Hadoop conf key an operator sets (via `spark.hadoop.` prefix) to
+    * accept best-effort locking on a scheme without an atomic
+    * create-no-overwrite primitive. */
+  val BestEffortLockKey = "graft.lock.bestEffort"
+
   def acquireWriteLock(dir: String, label: String, staleMs: Long,
       conf: Configuration = hadoopConf()): WriteLock = {
     require(staleMs > 0, s"staleMs must be positive, got $staleMs")
     val lock  = new Path(dir + ".__write_lock")
     val fs    = lock.getFileSystem(conf)
+    val lockScheme = Option(lock.toUri.getScheme)
+      .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
+    if (!ExactLockSchemes.contains(lockScheme) && !conf.getBoolean(BestEffortLockKey, false))
+      throw new IllegalStateException(s"$label: exact write-locking is unavailable on " +
+        s"scheme '$lockScheme' (no atomic create-no-overwrite) and this lease gates a " +
+        "swap protocol that deletes data — refusing to proceed on a best-effort lock. " +
+        s"Set $BestEffortLockKey=true (spark.hadoop.$BestEffortLockKey) to accept the " +
+        "residual two-writer race, or run the table on file/hdfs/abfs/gs, or enable the " +
+        "store's conditional-write support")
     val owner = java.util.UUID.randomUUID().toString
     val body = s"owner=$owner\nts=${System.currentTimeMillis()}\nlabel=$label\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -162,6 +186,89 @@ object FsIO {
           "another writer re-acquired it; retry later")
     }
     WriteLock(lock, owner)
+  }
+
+  /** True iff the lock file still carries this holder's owner token —
+    * the ownership re-check long-held leases run before irreversible
+    * publish steps. */
+  def ownsWriteLock(l: WriteLock, conf: Configuration = hadoopConf()): Boolean =
+    readText(l.path.toString, conf).exists(_.contains(s"owner=${l.owner}"))
+
+  /** Renew a held lease by rewriting its `ts` to now. Returns false —
+    * lease LOST, do not write further — if the lock no longer carries
+    * this owner (a healer legitimately took over a lease whose heartbeat
+    * stalled past `staleMs`). The check-then-rewrite is not atomic, but a
+    * takeover is only legal once the lease is STALE: a holder renewing on
+    * schedule is never stale, so the window requires the renewal thread
+    * to have already stalled past the whole lease — exactly the crashed-
+    * writer case the takeover exists for — and the post-write read-back
+    * plus the callers' [[Heartbeat#verifyOwned]] re-checks bound the harm
+    * to an aborted (never a torn) publish. */
+  def renewWriteLock(l: WriteLock, label: String, conf: Configuration = hadoopConf()): Boolean =
+    ownsWriteLock(l, conf) && {
+      writeText(l.path.toString,
+        s"owner=${l.owner}\nts=${System.currentTimeMillis()}\nlabel=$label\n", conf)
+      ownsWriteLock(l, conf)
+    }
+
+  /** Handle a [[withWriteLockHeartbeat]] body uses to abort BEFORE an
+    * irreversible step if the lease was lost. `lost` flips when a renewal
+    * finds the lock re-owned or gone; [[verifyOwned]] additionally
+    * re-reads the lock file, so a takeover that landed between heartbeats
+    * is still caught before the step runs. */
+  final class Heartbeat private[FsIO] (l: WriteLock, label: String, conf: Configuration) {
+    @volatile private[FsIO] var lostV    = false
+    @volatile private[FsIO] var stoppedV = false
+    def lost: Boolean = lostV
+    /** Abort loudly unless this holder still owns the lease. Call
+      * immediately before every irreversible publish/rename: an aborted
+      * writer leaves only a stage the new owner's heal classifies as
+      * garbage — a writer that published on a lost lease could race the
+      * new owner into a torn swap. */
+    def verifyOwned(step: String): Unit =
+      if (lostV || !ownsWriteLock(l, conf)) {
+        lostV = true
+        sys.error(s"$label: write lease ${l.path} was lost before $step — " +
+          "a healer or rival writer took it over (heartbeat stalled past the " +
+          "lease?); aborting WITHOUT publishing")
+      }
+  }
+
+  /** Like [[withWriteLock]] but HEARTBEAT-RENEWED: a daemon thread
+    * rewrites the lease `ts` every `staleMs/3`, so a LIVE holder never
+    * ages past [[acquireWriteLock]]'s stale-takeover bar no matter how
+    * long `body` runs. This is the lease for bodies that hold the lock
+    * across a DATA-PROPORTIONAL write (a staged overwrite of a 100 TB
+    * day table runs hours; under the fixed lease a reader-triggered heal
+    * would classify the live writer as crashed 15 minutes in, seize the
+    * lock, and delete the intent-less stage mid-write). The body receives
+    * a [[Heartbeat]] and must `verifyOwned` before each irreversible
+    * publish step — on a lost lease (renewal stalled past `staleMs`, a
+    * healer took over) the writer aborts loudly instead of publishing a
+    * truncated snapshot. */
+  def withWriteLockHeartbeat[A](dir: String, label: String, staleMs: Long)
+      (body: Heartbeat => A): A = {
+    val conf = hadoopConf()
+    val l    = acquireWriteLock(dir, label, staleMs, conf)
+    val hb   = new Heartbeat(l, label, conf)
+    val t = new Thread(() => {
+      try while (!hb.stoppedV && !hb.lostV) {
+        Thread.sleep(math.max(1L, staleMs / 3))
+        if (!hb.stoppedV && !renewWriteLock(l, label, conf)) hb.lostV = true
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-${new Path(dir).getName}")
+    t.setDaemon(true)
+    t.start()
+    try body(hb)
+    finally {
+      // stop + join BEFORE releasing: an in-flight renewal finishing after
+      // the release would resurrect the lock file and block rivals until
+      // it ages out
+      hb.stoppedV = true
+      t.interrupt()
+      t.join(10000L)
+      releaseWriteLock(l, conf)
+    }
   }
 
   /** Release a held lease. Only deletes the file if this holder still owns

@@ -111,10 +111,15 @@ object TimePartitioned {
   private val OverwriteIntentName = "_intent"
   private val MaintPendingName   = "_maint_pending"
 
-  /** Write-lease length shared by the day-table maintenance writers
-    * ([[overwriteStaged]], [[compactDaysBefore]], [[dropDaysBefore]]) and
-    * the crash-heal below: long enough for a legitimate stage+swap, short
-    * enough that a crashed holder doesn't block healing for hours. */
+  /** Default write-lease length shared by the day-table maintenance
+    * writers ([[overwriteStaged]], [[compactDaysBefore]],
+    * [[dropDaysBefore]]) and the crash-heal below. This is a HEARTBEAT
+    * interval bound, not a work bound: the data-proportional writers
+    * renew the lease every `leaseMs/3` ([[FsIO.withWriteLockHeartbeat]]),
+    * so a legitimately slow multi-hour 100 TB stage write never ages past
+    * the takeover bar — 15 min only needs to exceed the longest plausible
+    * heartbeat stall (GC pause, FS hiccup), and a crashed holder stops
+    * renewing and is healable within one lease. */
   val MaintLeaseMs: Long = 15L * 60 * 1000
 
   /** Heal any CRASHED compaction or staged-overwrite swap — called at
@@ -136,7 +141,7 @@ object TimePartitioned {
     * [[MaintPendingName]] marker compaction leaves while swapping) gate
     * everything — the common no-crash load never lists the directory and
     * never touches the lock. */
-  def heal(spark: SparkSession, dir: String): Unit = {
+  def heal(spark: SparkSession, dir: String, leaseMs: Long = MaintLeaseMs): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -146,7 +151,7 @@ object TimePartitioned {
       fs.exists(new org.apache.hadoop.fs.Path(root, MaintPendingName))
     if (!evidence) return
     val lock =
-      try FsIO.acquireWriteLock(dir, "TimePartitioned.heal", MaintLeaseMs)
+      try FsIO.acquireWriteLock(dir, "TimePartitioned.heal", leaseMs)
       catch { case _: FsIO.LockBusy => return } // a LIVE writer owns the state
     try {
       recoverCompaction(fs, root)
@@ -180,8 +185,9 @@ object TimePartitioned {
     * read THIS table (`INSERT OVERWRITE t SELECT ... FROM t`): the
     * self-read must see every row, including a shelved day's. */
   def overwriteStaged(df: DataFrame, dir: String, tsNanosCol: String,
-      filesPerDay: Int = 8): Unit = FsIO.withWriteLock(
-      dir, "TimePartitioned.overwriteStaged", MaintLeaseMs) {
+      filesPerDay: Int = 8, leaseMs: Long = MaintLeaseMs): Unit =
+    FsIO.withWriteLockHeartbeat(
+      dir, "TimePartitioned.overwriteStaged", leaseMs) { hb =>
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
@@ -190,7 +196,16 @@ object TimePartitioned {
     val stage = new org.apache.hadoop.fs.Path(root, OverwriteStageName)
     val trash = new org.apache.hadoop.fs.Path(root, OverwriteTrashName)
     fs.delete(stage, true); fs.delete(trash, true)
+    // the data write is the arbitrarily long phase the heartbeat exists
+    // for: without renewal, a 100 TB stage write outlives the fixed lease
+    // and a reader-triggered heal seizes the lock and deletes the
+    // intent-less live stage under the writer
     writeMode(df, stage.toString, tsNanosCol, filesPerDay, "overwrite")
+    // ownership gate BEFORE reading the day lists: if a healer did seize a
+    // stalled lease mid-write, the stage is partially deleted — an intent
+    // built from listDays here would retire every old day against a
+    // truncated newDays set (silent data loss). Abort instead.
+    hb.verifyOwned("listing the staged days")
     val oldDays = listDays(fs, root)
     val newDays = listDays(fs, stage)
     // the intent publishes by RENAME: a torn direct write could truncate
@@ -199,11 +214,16 @@ object TimePartitioned {
     val intentTmp = new org.apache.hadoop.fs.Path(stage, OverwriteIntentName + ".tmp")
     FsIO.writeText(intentTmp.toString,
       oldDays.toSeq.sorted.mkString(",") + "\n" + newDays.toSeq.sorted.mkString(","))
+    hb.verifyOwned("publishing the swap intent")
     require(fs.rename(intentTmp,
         new org.apache.hadoop.fs.Path(stage, OverwriteIntentName)),
       s"overwriteStaged: could not publish the swap intent under $dir")
     if (oldDays.nonEmpty) fs.mkdirs(trash)
     (oldDays ++ newDays).toSeq.sorted.foreach { day =>
+      // per-day gate: after the intent exists a takeover's heal rolls the
+      // SAME intent forward (convergent), but two actors racing the same
+      // renames would fail loudly mid-swap — abort our side cleanly instead
+      hb.verifyOwned(s"swapping $day")
       if (oldDays(day))
         require(fs.rename(new org.apache.hadoop.fs.Path(root, day),
             new org.apache.hadoop.fs.Path(trash, day)),
@@ -322,13 +342,15 @@ object TimePartitioned {
     * vanish mid-plan — the same plain-layout contract as [[write]]'s
     * overwrite; versioned compaction belongs to commitCompact. */
   def compactDaysBefore(spark: SparkSession, dir: String, cutoffNanos: Long,
-      filesPerDay: Int = 8): Seq[String] = {
+      filesPerDay: Int = 8, leaseMs: Long = MaintLeaseMs): Seq[String] = {
     require(filesPerDay >= 1, s"filesPerDay must be >= 1, got $filesPerDay")
     val cutoffDay = dayOfNanos(cutoffNanos)
     val root = new org.apache.hadoop.fs.Path(dir)
     val preFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!preFs.exists(root)) return Seq.empty
-    FsIO.withWriteLock(dir, "TimePartitioned.compactDaysBefore", MaintLeaseMs) {
+    // heartbeat lease (not the fixed one): the per-day rewrite loop is
+    // data-proportional — many closed days of a 100 TB table take hours
+    FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.compactDaysBefore", leaseMs) { hb =>
     val fs = preFs
     recoverCompaction(fs, root)
     recoverOverwrite(fs, root)
@@ -354,6 +376,11 @@ object TimePartitioned {
       fs.delete(stage, true)
       spark.read.parquet(dayDir.toString)
         .repartition(filesPerDay).write.parquet(stage.toString)
+      // ownership gate before the shelve: a healer that seized a stalled
+      // lease owns the day states now — shelving under it would race its
+      // recovery into a torn swap. Abort loudly; the stray stage is
+      // exactly what recoverCompaction classifies as pre-shelve garbage.
+      hb.verifyOwned(s"shelving $day")
       require(fs.rename(dayDir, shelf),
         s"compactDaysBefore: could not shelve $dayDir")
       require(fs.rename(stage, dayDir),
