@@ -1112,10 +1112,33 @@ object SparkEntry {
         .unionAll(va.select(col("l_orderkey"), col("l_linenumber")).withColumn("split", lit("val")))
     }),
 
-    // -- north-star: MinHash + LSH near-dup candidates --------------------
-    "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minHashCandidatePairs(t(s, d, "documents"), "text", "doc_id",
-        shingleN = 2, numHashes = 64, bands = 16, minJaccard = 0.3)),
+    // -- north-star: MinHash + LSH near-dedup DECISIONS (oracle-checked) --
+    // r17 conversion (VERDICT r16 #3, the q_embedding_neardup pattern):
+    // signature matrices are engine hash-family outputs no oracle can
+    // express, but the DECISION — which docs survive an exact-duplicate
+    // (Jaccard == 1.0) near-dedup — is set algebra DuckDB replays. Recall
+    // on identical shingle sets is STRUCTURAL, not probabilistic:
+    // identical sets → identical 64-hash signatures → identical band keys
+    // in all 16 bands, so the pair meets unless every one of its 16
+    // buckets is capped, and the exact-Jaccard confirm inside
+    // dropNearDuplicates removes any est-collision false positive.
+    // J == 1.0 is transitive, so the one-pass keep-min rule equals the
+    // oracle's min-per-identical-shingle-set group. Planted copies (every
+    // 10th doc, id + 1_000_000) keep the recall claim loud in-query.
+    "q_dedup_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val surv = Dedup.dropNearDuplicates(docs.unionByName(planted), "text", "doc_id",
+          shingleN = 2, numHashes = 64, bands = 16, minJaccard = 1.0)
+        .select("doc_id").localCheckpoint(true) // gate + result share one pass
+      val leaked = surv.where(col("doc_id") >= 1000000L).count()
+      require(leaked == 0, s"minhash dedup decision regressed: $leaked planted " +
+        "exact copies survived (an identical-signature pair can only be lost " +
+        "to a bucket-cap/banding regression or a broken exact confirm)")
+      surv.orderBy("doc_id")
+    }),
 
     // -- north-star: full corpus-prep pipeline (filter→dedup→chunk→split) -
     "q_corpus_prep" -> ((s, d) =>
@@ -1162,9 +1185,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
-    // -- north-star: SimHash near-dup candidates --------------------------
-    "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simHashCandidatePairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 3)),
+    // -- north-star: SimHash near-dup decisions on planted exact copies ---
+    // r17 conversion: the 64-bit sketch itself is engine-specific, but a
+    // planted EXACT copy (identical token stream → identical simhash →
+    // Hamming 0 → shares all four 16-bit pigeonhole blocks) is found
+    // structurally, so the copy↔source decision pairs are an
+    // oracle-expressible set. Output restricted to the planted relation
+    // (id_b = id_a + 1_000_000): natural hamming<=3 pairs remain
+    // engine-sketch-specific and stay out of the hashed result; the
+    // in-query gate still fails loudly if blocking loses ANY planted pair
+    // (only a bucket-cap regression could — a capped block bucket drops
+    // the pair in that block only, and all four blocks match here).
+    "q_dedup_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val found = Dedup.simHashCandidatePairs(docs.unionByName(planted),
+          "text", "doc_id", maxHamming = 3)
+        .where(col("hamming") === 0 && col("id_b") === col("id_a") + 1000000L &&
+          col("id_a") % 10 === 0)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // gate + result share one pass
+      val expected = docs.where(col("doc_id") % 10 === 0).count()
+      val got = found.count()
+      require(got == expected, s"simhash blocking recall regressed: found $got " +
+        s"of $expected planted identical-sketch pairs")
+      found.orderBy("id_a")
+    }),
 
     // -- north-star: heuristic language ID --------------------------------
     "q_lang_id" -> ((s, d) =>
@@ -1785,20 +1833,28 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
-    // -- north-star: group-level MinHash (the UDAF) — pairwise est. --------
+    // -- north-star: group-level MinHash (the UDAF) — union-set decisions --
     // Jaccard between whole SOURCES' shingle-set unions: per-row signatures
     // map-side, one distributive aggregation (partial min merge like sum),
-    // then a tiny #groups×#groups pair comparison. Rows-only: the signature
-    // hash family is engine-specific (kernel splitmix), self-checked in
-    // PlansSpec/DedupSpec.
+    // then a tiny #groups×#groups pair comparison. r17 conversion:
+    // element-wise-min aggregation of per-row signatures IS the signature
+    // of the group's shingle-set UNION (min of mins), so two groups with
+    // the same union set have IDENTICAL group signatures (est == 1.0)
+    // structurally — planting a copy::<source> group per source makes the
+    // decision set DuckDB-expressible (union-set equality) while the UDAF,
+    // its merge path, and the estimator all stay on the measured path.
     "q_group_minhash" -> ((s, d) => {
-      val sigs = Dedup.groupMinHashSignatures(
-        t(s, d, "documents"), "text", "source", shingleN = 1, numHashes = 64)
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("source"), col("text"))
+      val aug = docs.unionByName(
+        docs.select(concat(lit("copy::"), col("source")).as("source"), col("text")))
+      val sigs = Dedup.groupMinHashSignatures(aug, "text", "source",
+        shingleN = 1, numHashes = 64)
       val a = sigs.select(col("source").as("src_a"), col("group_sig").as("sig_a"))
       val b = sigs.select(col("source").as("src_b"), col("group_sig").as("sig_b"))
       a.join(b, col("src_a") < col("src_b"))
-        .select(col("src_a"), col("src_b"),
-          Dedup.estimatedJaccardNative(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .where(Dedup.estimatedJaccardNative(col("sig_a"), col("sig_b")) >= 1.0)
+        .select(col("src_a"), col("src_b"))
         .orderBy("src_a", "src_b")
     }),
 
@@ -4647,6 +4703,40 @@ object SparkEntry {
         "SELECT d.doc_id, d.lang FROM documents d " +
         "WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id_b = d.doc_id) " +
         "ORDER BY d.doc_id"),
+
+    // Decision ground truth for the MinHash near-dedup at J == 1.0: the
+    // survivors are exactly the min doc_id per IDENTICAL-shingle-set group
+    // (J == 1.0 is transitive, so one-pass keep-min == group-min) — a
+    // GROUP BY on the sorted shingle set, no all-pairs join needed. The
+    // planted id+1_000_000 copies mirror the Spark side's union.
+    "q_dedup_minhash" ->
+      (s"WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 10 = 0), " +
+        s"toks AS (SELECT doc_id, $tokensSql AS tk FROM base), " +
+        s"sh AS (SELECT doc_id, list_sort(${shinglesSql(2)}) AS ts FROM toks) " +
+        "SELECT MIN(doc_id) AS doc_id FROM sh GROUP BY ts ORDER BY doc_id"),
+
+    // Decision ground truth for the SimHash blocking: every planted exact
+    // copy shares its source's sketch (Hamming 0, all four blocks), so the
+    // emitted copy↔source pair set is exactly the planted relation.
+    "q_dedup_simhash" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 10 = 0 ORDER BY id_a"),
+
+    // Decision ground truth for the group-MinHash UDAF: group signatures
+    // are equal (est == 1.0) iff the groups' token-set UNIONS are equal —
+    // the planted copy::<source> groups plus any naturally union-identical
+    // source pair. shingleN = 1, so the union set is the distinct tokens.
+    "q_group_minhash" ->
+      (s"WITH base AS (SELECT source, text FROM documents WHERE text IS NOT NULL " +
+        "UNION ALL SELECT 'copy::' || source AS source, text FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        s"toks AS (SELECT source, $tokensSql AS tk FROM base), " +
+        "uni AS (SELECT source, list_sort(list_distinct(flatten(list(tk)))) AS ts " +
+        "FROM toks GROUP BY source) " +
+        "SELECT a.source AS src_a, b.source AS src_b FROM uni a JOIN uni b " +
+        "ON a.source < b.source AND a.ts = b.ts ORDER BY src_a, src_b"),
 
     // End-to-end ground truth for the FULL corpus-prep pipeline — the same
     // composition CorpusPipeline.prepare runs, each stage the already-proven
