@@ -1500,13 +1500,32 @@ object SparkEntry {
     "q_stream_near_dedup" -> ((s, d) => {
       val work   = java.nio.file.Files.createTempDirectory("graft_snd").toString
       val srcDir = s"$work/src"
-      t(s, d, "documents").select("doc_id", "text")
-        .repartition(4).write.parquet(srcDir)
-      StreamingInference.streamNearDedup(
+      val docs   = t(s, d, "documents").select("doc_id", "text")
+      docs.repartition(4).write.parquet(srcDir)
+      // planted EXACT copies (r17 gate): arrive LAST (later mtime → later
+      // trigger), after every source doc is in the index — an identical
+      // text has an identical signature, so est == 1.0 and the LSH probe
+      // finds it structurally; every planted copy MUST be dropped, making
+      // an index/probe/recall regression fail the driver gate, not just
+      // the batch-equivalence specs
+      val copyTmp = s"$work/copies"
+      docs.where(col("text").isNotNull && col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .repartition(1).write.parquet(copyTmp)
+      val copyPart = new java.io.File(copyTmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val planted = java.nio.file.Paths.get(srcDir, "z_copies.parquet")
+      java.nio.file.Files.move(copyPart.toPath, planted)
+      planted.toFile.setLastModified(System.currentTimeMillis() + 5000)
+      val surv = StreamingInference.streamNearDedup(
         s, srcDir, s.read.parquet(srcDir).schema, "text", "doc_id",
         s"$work/sink", s"$work/index", s"$work/ckpt",
         maxFilesPerTrigger = 2)
-        .select("doc_id").orderBy("doc_id")
+        .select("doc_id").localCheckpoint(true) // gate + result share one pass
+      val leaked = surv.where(col("doc_id") >= 1000000L).count()
+      require(leaked == 0, s"streaming near-dedup recall regressed: $leaked planted " +
+        "exact copies survived the index probe")
+      surv.orderBy("doc_id")
     }),
 
     // -- co-bucketed join: the layout optimization in the gate -------------
@@ -2603,15 +2622,23 @@ object SparkEntry {
         .localCheckpoint(true)     // reused: b1 write + copies + gates
       val copies = reps.select(concat(col("img_id"), lit("#b")).as("img_id"),
         ImageUdfs.brightnessShift(col("content"), lit(8)).as("content"))
+      // r17 exact gate: BIT-IDENTICAL copies in a third batch — identical
+      // bytes → identical perceptual hash → Hamming 0 and identical band
+      // keys, so the index probe finds every one structurally; a single
+      // survivor is a committed recall regression, not tolerance drift
+      val exact = reps.select(concat(col("img_id"), lit("#c")).as("img_id"),
+        col("content"))
       val srcDir = s"$work/src"
       new java.io.File(srcDir).mkdirs()
-      Seq(("b1", reps.select("img_id", "content")), ("b2", copies)).foreach { case (nm, df) =>
+      Seq(("b1", reps.select("img_id", "content")), ("b2", copies), ("b3", exact))
+        .zipWithIndex.foreach { case ((nm, df), i) =>
         val tmp = s"$work/$nm"
         df.repartition(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(srcDir, s"$nm.parquet"))
+        val dst = java.nio.file.Paths.get(srcDir, s"$nm.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(System.currentTimeMillis() + i * 5000L)
       }
       val out = StreamingInference.streamImageDedup(
           s, srcDir, s.read.parquet(srcDir).schema, "content", "img_id",
@@ -2621,6 +2648,9 @@ object SparkEntry {
       val nReps     = reps.count()
       val nSurv     = out.count()
       val survCopies = out.where(col("img_id").endsWith("#b")).count()
+      val survExact  = out.where(col("img_id").endsWith("#c")).count()
+      require(survExact == 0,
+        s"$survExact bit-identical copies escaped the perceptual-hash index")
       require(nSurv >= nReps && nSurv - nReps == survCopies,
         s"survivors ($nSurv) must be the $nReps reps plus $survCopies border copies")
       require(survCopies <= nReps / 2,
