@@ -1,22 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.configure(
+
+  private def mkSession(cpus: String): SparkSession = {
+    val s = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: session/codegen/JIT spin-up and the first parquet
-    // footer reads otherwise land entirely in whichever query sorts first
-    // (q_argmax_round carried ~4s in round 1). The baseline (BASELINE.md §B)
-    // is a cold single run, so warmed per-query numbers are the honest
-    // apples-to-apples unit; the warmup cost itself is visible as the gap
-    // between wall clock and the reported total.
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  // Untimed warmup: session/codegen/JIT spin-up and the first parquet
+  // footer reads otherwise land entirely in whichever query sorts first
+  // (q_argmax_round carried ~4s in round 1). The baseline (BASELINE.md §B)
+  // is a cold single run, so warmed per-query numbers are the honest
+  // apples-to-apples unit; the warmup cost itself is visible as the gap
+  // between wall clock and the reported total.
+  private def warmup(spark: SparkSession, sfDir: String): Unit =
     try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.count()
@@ -43,44 +46,52 @@ object Bench {
         .toDF("features")
       new KMeans().setK(2).setSeed(1L).setMaxIter(2).setInitMode("random").fit(toy)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    // PAIRED BASELINE PROBE — a PINNED 8-op workload mirroring BASELINE.md
-    // §B op-for-op (scan+project, regexp_extract, distinct+collect,
-    // count-distinct, left-outer join, group-agg, top-k, randomSplit).
-    // DO NOT EDIT these ops between rounds: because the code is frozen,
-    // round-over-round drift in the probe is HOST drift, and dividing the
-    // suite's numbers by the paired probe cancels it (host-era drift
-    // polluted the r9→r10 comparison by a uniform ~33% on untouched code).
-    // Run once before and once after the sweep; the MIN is the paired
-    // number (min-of-k, same estimator as the outlier re-measure below).
-    def pinnedProbe(): Double = {
-      import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val or = spark.read.parquet(s"$sfDir/orders.parquet")
-      val cu = spark.read.parquet(s"$sfDir/customer.parquet")
-      val dc = spark.read.parquet(s"$sfDir/documents.parquet")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      li.select("l_orderkey", "l_quantity").count()
-      dc.select(regexp_extract(col("text"), "(\\w+)@(\\w+)", 1)).count()
-      ev.select("event_type").distinct().collect()
-      cu.select(count_distinct(col("c_mktsegment"))).collect()
-      li.join(or, li("l_orderkey") === or("o_orderkey"), "left_outer").count()
-      li.groupBy("l_returnflag").agg(sum("l_quantity"), count(lit(1))).collect()
-      or.orderBy(desc("o_totalprice")).limit(10).collect()
-      val parts = li.randomSplit(Array(0.6, 0.4), 12345L)
-      parts.foreach(_.repartition(2).count())
-      (System.nanoTime() - t0) / 1e9
+
+  // PAIRED BASELINE PROBE — a PINNED 8-op workload mirroring BASELINE.md
+  // §B op-for-op (scan+project, regexp_extract, distinct+collect,
+  // count-distinct, left-outer join, group-agg, top-k, randomSplit).
+  // DO NOT EDIT these ops between rounds: because the code is frozen,
+  // round-over-round drift in the probe is HOST drift, and dividing the
+  // suite's numbers by the paired probe cancels it (host-era drift
+  // polluted the r9→r10 comparison by a uniform ~33% on untouched code).
+  // Run once before and once after the sweep; the MIN is the paired
+  // number (min-of-k, same estimator as the outlier re-measure below).
+  private def pinnedProbe(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val or = spark.read.parquet(s"$sfDir/orders.parquet")
+    val cu = spark.read.parquet(s"$sfDir/customer.parquet")
+    val dc = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    li.select("l_orderkey", "l_quantity").count()
+    dc.select(regexp_extract(col("text"), "(\\w+)@(\\w+)", 1)).count()
+    ev.select("event_type").distinct().collect()
+    cu.select(count_distinct(col("c_mktsegment"))).collect()
+    li.join(or, li("l_orderkey") === or("o_orderkey"), "left_outer").count()
+    li.groupBy("l_returnflag").agg(sum("l_quantity"), count(lit(1))).collect()
+    or.orderBy(desc("o_totalprice")).limit(10).collect()
+    val parts = li.randomSplit(Array(0.6, 0.4), 12345L)
+    parts.foreach(_.repartition(2).count())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def runProbe(spark: SparkSession, sfDir: String, tag: String): Double =
+    try {
+      val dt = pinnedProbe(spark, sfDir)
+      System.err.println(f"[bench] pinned probe ($tag): $dt%.2fs")
+      math.rint(dt * 1000) / 1000
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] pinned probe ($tag) failed: ${e.getMessage}"); -1.0
     }
-    def runProbe(tag: String): Double =
-      try {
-        val dt = pinnedProbe()
-        System.err.println(f"[bench] pinned probe ($tag): $dt%.2fs")
-        math.rint(dt * 1000) / 1000
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] pinned probe ($tag) failed: ${e.getMessage}"); -1.0
-      }
-    val probePre = runProbe("pre")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = mkSession(cpus)
+    warmup(spark, sfDir)
+    val probePre = runProbe(spark, sfDir, "pre")
     // Per-query shuffle-volume accounting: a stage-completion listener sums
     // shuffle bytes written; each query reports the delta across its run.
     // Listener delivery is async, so the snapshot after a query drains for
@@ -152,16 +163,16 @@ object Bench {
     //      phantom 2-3× round-over-round swings on unchanged code (r7:
     //      q_embedding_neardup 1.53→4.46s purely from host noise).
     // The 0.3s floor keeps micro-query jitter from triggering re-runs.
-    val prevTimes: Map[String, Double] = try {
+    def prevMap(key: String): Map[String, Double] = try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val i = s.indexOf("\"queries\":{")
-        // prior times only comparable at the same scale factor
+        val i = s.indexOf("\"" + key + "\":{")
+        // prior numbers only comparable at the same scale factor
         if (i < 0 || !s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
         else {
-          val body = s.substring(i + "\"queries\":{".length, s.indexOf('}', i))
+          val body = s.substring(i + key.length + 4, s.indexOf('}', i))
           body.split(",").iterator.flatMap { kv =>
             kv.split(":") match {
               case Array(k, v) =>
@@ -173,6 +184,7 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty }
+    val prevTimes: Map[String, Double] = prevMap("queries")
     val results = firstPass.map { case (name, fn, dt1) =>
       val regressedVsPrev = dt1 >= 0.3 &&
         prevTimes.get(name).exists(p => p >= 0 && dt1 > 1.7 * p)
@@ -184,7 +196,7 @@ object Bench {
         name -> (if (dt2 >= 0) math.min(dt1, dt2) else dt1)
       }
     }
-    val probePost = runProbe("post")
+    val probePost = runProbe(spark, sfDir, "post")
     // the paired number: min of the two probe runs (a steal window during
     // one of them must not read as a slow host era)
     val paired = Seq(probePre, probePost).filter(_ >= 0) match {
@@ -219,8 +231,58 @@ object Bench {
     }
     val valuePerProbe =
       if (paired > 0) math.rint(total / paired * 1000) / 1000 else -1.0
+    // AUTO-ISOLATION (r17): the manual drift-triage recipe — re-run a
+    // suspect ALONE in a fresh session against its own pinned probe —
+    // caught three phantom regressions in r15/r16 (in-suite block-manager
+    // pressure, not engine change). Automate it: any query whose in-suite
+    // probe ratio exceeds its COMMITTED BENCH_FULL ratio by >15% re-runs
+    // (min-of-2) in a fresh session after the sweep, and both numbers ship
+    // in the bench line, so round-over-round triage starts from data.
+    // The main session is done either way — stop it before the re-runs so
+    // its block-manager state can't leak into the isolated numbers.
+    val resultsMap = results.toMap
+    val prevRatios = prevMap("ratios")
+    val flagged =
+      if (onlyQ.nonEmpty) Seq.empty // filtered local runs have no full-suite context
+      else ratios.collect {
+        case (k, r) if r > 0 && resultsMap.get(k).exists(_ >= 0.5) &&
+          prevRatios.get(k).exists(p => p > 0 && r > 1.15 * p) => k
+      }.sortBy(k => -resultsMap(k)).take(6) // slowest first; bound the extra wall time
+    spark.stop()
+    val isolatedRatios: Seq[(String, Double)] =
+      if (flagged.isEmpty) Seq.empty
+      else {
+        System.err.println(s"[bench] isolating ${flagged.size} ratio outliers: " +
+          flagged.mkString(", "))
+        val s2 = mkSession(cpus)
+        try {
+          warmup(s2, sfDir)
+          val p1 = runProbe(s2, sfDir, "iso-pre")
+          val runs = flagged.map { k =>
+            val fn = SparkEntry.queries(k)
+            def one(): Double = {
+              val t0 = System.nanoTime()
+              val dt = try { fn(s2, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] isolated $k failed: ${e.getMessage}"); -1.0 }
+              s2.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+              s2.catalog.clearCache()
+              dt
+            }
+            val (a, b) = (one(), one())
+            k -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+          }
+          val p2 = runProbe(s2, sfDir, "iso-post")
+          val probe = Seq(p1, p2).filter(_ > 0) match { case Nil => -1.0; case xs => xs.min }
+          runs.map { case (k, v) =>
+            k -> (if (probe > 0 && v >= 0) math.rint(v / probe * 100) / 100 else -1.0)
+          }
+        } finally s2.stop()
+      }
+    val isoJson = isolatedRatios
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def pairedKeys =
-      s""""paired_baseline_total":$paired,"probe_pre":$probePre,"probe_post":$probePost,"baseline_ops_vs_paired":$pairedRatio,"value_per_probe":$valuePerProbe"""
+      s""""paired_baseline_total":$paired,"probe_pre":$probePre,"probe_post":$probePost,"baseline_ops_vs_paired":$pairedRatio,"value_per_probe":$valuePerProbe,"isolated_ratios":$isoJson"""
     def line(vals: Seq[(String, Double)], tot: Double, base: Double) = {
       val qs = vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       // shuffle_mb: approximate per-query shuffle WRITE volume (see the
@@ -272,7 +334,6 @@ object Bench {
       .find(n => compactLine(mustKeep ++ optional.take(n), optional.drop(n)).length <= budget)
       .getOrElse(0)
     val compact = compactLine(mustKeep ++ optional.take(keepN), optional.drop(keepN))
-    spark.stop()
     println(verbose)
     println(compact)
   }
