@@ -1517,10 +1517,15 @@ object SparkEntry {
       val planted = java.nio.file.Paths.get(srcDir, "z_copies.parquet")
       java.nio.file.Files.move(copyPart.toPath, planted)
       planted.toFile.setLastModified(System.currentTimeMillis() + 5000)
+      // maxFilesPerTrigger 3: five files run in the same TWO triggers the
+      // pre-gate query used (per-trigger commit overhead is the cost unit
+      // here). The copies file still sorts last; a copy landing in the
+      // same batch as its source collapses within-batch to the min id, so
+      // the zero-survivor guarantee is batch-placement-independent.
       val surv = StreamingInference.streamNearDedup(
         s, srcDir, s.read.parquet(srcDir).schema, "text", "doc_id",
         s"$work/sink", s"$work/index", s"$work/ckpt",
-        maxFilesPerTrigger = 2)
+        maxFilesPerTrigger = 3)
         .select("doc_id").localCheckpoint(true) // gate + result share one pass
       val leaked = surv.where(col("doc_id") >= 1000000L).count()
       require(leaked == 0, s"streaming near-dedup recall regressed: $leaked planted " +
