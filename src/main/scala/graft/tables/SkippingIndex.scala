@@ -81,8 +81,11 @@ object SkippingIndex {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     require(statCols.nonEmpty, "need at least one stat column")
     val spark = df.sparkSession
-    graft.tables.FsIO.withWriteLock(path, "appendClustered",
-      TableManager.DefaultLockLeaseMs) {
+    // heartbeat lease (r17): the append inside the lock is
+    // batch-proportional; a fixed lease would let a rival classify a slow
+    // live appender as crashed and race the manifest read-modify-write
+    graft.tables.FsIO.withWriteLockHeartbeat(path, "appendClustered",
+      TableManager.DefaultLockLeaseMs) { hb =>
       // eager checkpoint: the manifest rewrite below overwrites the very
       // files a lazy `old` would still be reading from
       val (old0, _) = loadManifest(spark, path)
@@ -114,6 +117,9 @@ object SkippingIndex {
           .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
         fresh.filterNot(statedFiles.contains)
           .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        // ownership gate before the manifest rewrite — the irreversible
+        // step: publishing over a rival's manifest loses its stats rows
+        hb.verifyOwned("rewriting the stats manifest")
         // rewrite the (tiny) manifest with old ∪ fresh rows
         old.unionByName(freshStats).coalesce(1)
           .write.mode("overwrite").parquet(s"$path/$StatsDir")

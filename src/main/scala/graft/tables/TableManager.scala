@@ -76,9 +76,13 @@ object TableManager {
     fs.delete(bak, true)
   }
 
-  /** Default write-lease length for the swap-protocol writers: long enough
-    * for any legitimate local stage+swap, short enough that a crashed
-    * holder doesn't block maintenance for hours. */
+  /** Default write-lease length for the swap-protocol writers. Since r17
+    * the data-proportional holders (the compact* family, upsert/delete
+    * Partitioned, SkippingIndex.appendClustered) renew it every
+    * `leaseMs/3` ([[FsIO.withWriteLockHeartbeat]]) — 15 min bounds the
+    * longest tolerated heartbeat STALL, not the stage-write length, so a
+    * multi-hour 100 TB rewrite never looks crashed while a genuinely
+    * crashed holder is healable within one lease. */
   val DefaultLockLeaseMs: Long = 15L * 60 * 1000
 
   /** S10: OPTIMIZE-style small-file compaction (`00. Explore.py:89-90`,
@@ -88,9 +92,16 @@ object TableManager {
     * second writer entering the swap mid-flight would interleave renames. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
-    FsIO.withWriteLock(dir, "compact", lockLeaseMs) {
+    // HEARTBEAT lease (r17): the rewrite inside the lock is
+    // data-proportional — on a 100 TB table it outlives any fixed lease,
+    // and a rival takeover would share the .__compact_tmp path with the
+    // still-running writer (clobbered stage, partial table published by
+    // the interleaved swap). Renewal keeps a live writer unstealable;
+    // verifyOwned aborts a genuinely lost writer BEFORE its swap.
+    FsIO.withWriteLockHeartbeat(dir, "compact", lockLeaseMs) { hb =>
       val tmp = new Path(dir + ".__compact_tmp")
       spark.read.parquet(dir).repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+      hb.verifyOwned("the compact swap")
       swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compact")
     }
 
@@ -104,11 +115,12 @@ object TableManager {
     * rename swap. */
   def compactPartitioned(spark: SparkSession, dir: String, partitionCol: String,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
-    FsIO.withWriteLock(dir, "compactPartitioned", lockLeaseMs) {
+    FsIO.withWriteLockHeartbeat(dir, "compactPartitioned", lockLeaseMs) { hb =>
       val tmp = new Path(dir + ".__compact_tmp")
       spark.read.parquet(dir)
         .repartition(col(partitionCol))
         .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+      hb.verifyOwned("the compactPartitioned swap") // see compact: shared-tmp hazard
       swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compactPartitioned")
     }
 
@@ -130,7 +142,7 @@ object TableManager {
     * Same lease-locked atomic rename swap as [[compactPartitioned]]. */
   def compactBatchIndex(spark: SparkSession, dir: String, targetFiles: Int = 1,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
-    FsIO.withWriteLock(dir, "compactBatchIndex", lockLeaseMs) {
+    FsIO.withWriteLockHeartbeat(dir, "compactBatchIndex", lockLeaseMs) { hb =>
       val raw = spark.read.parquet(dir)
       require(raw.columns.contains("batch_id"),
         s"$dir is not a batch-partitioned dedup index (no batch_id)")
@@ -146,6 +158,7 @@ object TableManager {
         .repartition(targetFiles)
         .unionByName(all.where(col("batch_id") === maxId))
         .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+      hb.verifyOwned("the compactBatchIndex swap") // see compact: shared-tmp hazard
       swapDir(spark, dir, tmp, new Path(dir + ".__compact_bak"), "compactBatchIndex")
     }
 
@@ -158,11 +171,13 @@ object TableManager {
     * predicates; here it is the same atomic rename-swap procedure as
     * [[compact]]. */
   def compactZOrder(spark: SparkSession, dir: String, colA: String, colB: String, targetFiles: Int,
-      lockLeaseMs: Long = DefaultLockLeaseMs): Unit = FsIO.withWriteLock(dir, "compactZOrder", lockLeaseMs) {
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
+    FsIO.withWriteLockHeartbeat(dir, "compactZOrder", lockLeaseMs) { hb =>
     val df  = spark.read.parquet(dir)
     val tmp = new Path(dir + ".__zorder_tmp")
     zLayout(df, colA, colB, targetFiles, "compactZOrder")
       .write.mode("overwrite").parquet(tmp.toString)
+    hb.verifyOwned("the compactZOrder swap") // see compact: shared-tmp hazard
     swapDir(spark, dir, tmp, new Path(dir + ".__zorder_bak"), "compactZOrder")
   }
 
@@ -384,10 +399,11 @@ object TableManager {
       keyCols: Seq[String],
       nBuckets: Int,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
-    // single-writer lease over recover + stage + swap: two upserts
-    // interleaving the marker/rename steps could each roll forward the
-    // other's half-finished swap
-    FsIO.withWriteLock(targetDir, "upsertPartitioned", lockLeaseMs) {
+    // single-writer HEARTBEAT lease over recover + stage + swap: two
+    // upserts interleaving the marker/rename steps could each roll forward
+    // the other's half-finished swap, and the stage write is
+    // touched-bucket-proportional (see compact for the renewal rationale)
+    FsIO.withWriteLockHeartbeat(targetDir, "upsertPartitioned", lockLeaseMs) { hb =>
       recoverPartitionedTarget(spark, targetDir)
       requireLayout(targetDir, keyCols, nBuckets)
       // cache the (small) update batch: it feeds the touched-bucket probe AND
@@ -411,7 +427,8 @@ object TableManager {
             "source per key; pre-aggregate the source")
         val touched = probe.map(_.getInt(0)).sorted
         if (touched.nonEmpty)
-          upsertBuckets(spark, targetDir, withBucket, keyCols, touched)
+          upsertBuckets(spark, targetDir, withBucket, keyCols, touched,
+            () => hb.verifyOwned("publishing the staged buckets"))
       } finally withBucket.unpersist(false)
     }
 
@@ -420,12 +437,13 @@ object TableManager {
       targetDir: String,
       withBucket: DataFrame,
       keyCols: Seq[String],
-      touched: Array[Int]): Unit = {
+      touched: Array[Int],
+      preCommit: () => Unit): Unit = {
     val current = spark.read.parquet(targetDir)
       .where(col("key_bucket").isin(touched.map(Int.box).toIndexedSeq: _*))
     // uniqueness was proven by the caller's probe — skip the window tripwire
     val merged = mergeUpsert(current, withBucket, keyCols, keysProvenUnique = true)
-    commitStagedBuckets(spark, targetDir, merged, touched, "upsertPartitioned")
+    commitStagedBuckets(spark, targetDir, merged, touched, "upsertPartitioned", preCommit)
   }
 
   /** Shared stage→marker→swap tail of the partition-scoped writers: write
@@ -439,7 +457,8 @@ object TableManager {
       targetDir: String,
       rewritten: DataFrame,
       touched: Array[Int],
-      label: String): Unit = {
+      label: String,
+      preCommit: () => Unit = () => ()): Unit = {
     val stage = upsertStageDir(targetDir)
     deleteDir(spark, stage)
     rewritten.repartition(col("key_bucket"))
@@ -449,6 +468,10 @@ object TableManager {
       val sp = new Path(stage, s"key_bucket=$b")
       if (!fs.exists(sp)) fs.mkdirs(sp) // bucket emptied: stage an empty dir
     }
+    // ownership gate BEFORE the marker: the marker is the roll-forward
+    // commit point, and a writer whose lease was seized mid-stage-write
+    // may be publishing a stage a rival has since clobbered
+    preCommit()
     // marker AFTER the stage is fully written: its existence is the recovery
     // contract ("stage is complete — roll forward")
     FsIO.writeText(upsertMarker(targetDir).toString, touched.mkString("\n"))
@@ -476,7 +499,7 @@ object TableManager {
       keyCols: Seq[String],
       nBuckets: Int,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
-    FsIO.withWriteLock(targetDir, "deletePartitioned", lockLeaseMs) {
+    FsIO.withWriteLockHeartbeat(targetDir, "deletePartitioned", lockLeaseMs) { hb =>
       recoverPartitionedTarget(spark, targetDir)
       requireLayout(targetDir, keyCols, nBuckets)
       val delKeys = keys.select(keyCols.map(col): _*).distinct()
@@ -491,7 +514,8 @@ object TableManager {
           // target's payload never shuffles
           val remaining = current.join(
             broadcast(delKeys.select(keyCols.map(col): _*)), keyCols, "left_anti")
-          commitStagedBuckets(spark, targetDir, remaining, touched, "deletePartitioned")
+          commitStagedBuckets(spark, targetDir, remaining, touched, "deletePartitioned",
+            () => hb.verifyOwned("publishing the staged buckets"))
         }
       } finally delKeys.unpersist(false)
     }

@@ -80,16 +80,20 @@ class DayTableCrossJvmSpec extends SparkSpec {
     // new days; anything less is crash garbage and the old table stands
     val expected =
       if (!fs.exists(stage) || fs.exists(intent)) newSnapshot else oldSnapshot
-    // concurrent reader: retries through the transient per-day gap until
-    // the heal lands it on a whole snapshot (the documented plain-layout
-    // read contract during crash recovery)
+    // concurrent reader: reads through the crash state and the heal (the
+    // pre-heal reads exercise the transient per-day-gap contract and the
+    // reader-vs-healer race); the CONVERGENCE latch only arms once the
+    // heal completes — before it, a kill at the intent-publish instant
+    // legitimately serves the intact old snapshot, which is not the
+    // property under test
+    @volatile var healDone = false
     val converged = new java.util.concurrent.atomic.AtomicReference[Set[Long]]()
     val reader = new Thread(() => {
-      val stop = System.currentTimeMillis() + 60000L
+      val stop = System.currentTimeMillis() + 90000L
       while (converged.get == null && System.currentTimeMillis() < stop) {
         try {
           val got = vSet(dir)
-          if (got == oldSnapshot || got == newSnapshot) converged.set(got)
+          if (healDone && (got == oldSnapshot || got == newSnapshot)) converged.set(got)
         } catch { case _: Throwable => () }
         Thread.sleep(50)
       }
@@ -97,7 +101,8 @@ class DayTableCrossJvmSpec extends SparkSpec {
     reader.start()
     Thread.sleep(ChildLeaseMs + 1500) // let the dead writer's lease go stale
     TimePartitioned.heal(spark, dir, leaseMs = ChildLeaseMs)
-    reader.join(60000)
+    healDone = true
+    reader.join(90000)
     assert(converged.get != null, "reader never converged on a whole snapshot")
     assert(converged.get == expected,
       s"reader converged on the wrong snapshot (expected ${expected.size} rows, " +
