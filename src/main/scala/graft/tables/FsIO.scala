@@ -75,6 +75,21 @@ object FsIO {
     * from real failures; long-swap callers keep failing loudly. */
   final class LockBusy(msg: String) extends RuntimeException(msg)
 
+  /** Schemes with a TRUE atomic create-no-overwrite: POSIX O_EXCL
+    * (file/local), HDFS namenode arbitration (hdfs/viewfs), ADLS gen2
+    * hierarchical namespace (abfs/abfss), GCS precondition-checked create
+    * (gs). On anything else — S3A being the important case: without
+    * S3 conditional writes, create(overwrite=false) is check-then-act —
+    * the lock is BEST-EFFORT ONLY, and because this lease gates swap
+    * protocols that DELETE data, best-effort must be an explicit operator
+    * decision, not a silent default. */
+  private val ExactLockSchemes = Set("file", "local", "hdfs", "viewfs", "abfs", "abfss", "gs")
+
+  /** Hadoop conf key an operator sets (via `spark.hadoop.` prefix) to
+    * accept best-effort locking on a scheme without an atomic
+    * create-no-overwrite primitive. */
+  val BestEffortLockKey = "graft.lock.bestEffort"
+
   /** Acquire an exclusive write lease for `dir` — the concurrent-writer
     * guard for the rename-swap protocols (compact/zorder/upsertPartitioned):
     * two writers interleaving `swapDir`'s stage/rename steps can corrupt
@@ -95,21 +110,6 @@ object FsIO {
     * assumption the writer is gone — size `staleMs` above the longest
     * legitimate stage+swap. A LIVE contender inside the lease window fails
     * loudly with the holder's label/age instead of corrupting the target. */
-  /** Schemes with a TRUE atomic create-no-overwrite: POSIX O_EXCL
-    * (file/local), HDFS namenode arbitration (hdfs/viewfs), ADLS gen2
-    * hierarchical namespace (abfs/abfss), GCS precondition-checked create
-    * (gs). On anything else — S3A being the important case: without
-    * S3 conditional writes, create(overwrite=false) is check-then-act —
-    * the lock is BEST-EFFORT ONLY, and because this lease gates swap
-    * protocols that DELETE data, best-effort must be an explicit operator
-    * decision, not a silent default. */
-  private val ExactLockSchemes = Set("file", "local", "hdfs", "viewfs", "abfs", "abfss", "gs")
-
-  /** Hadoop conf key an operator sets (via `spark.hadoop.` prefix) to
-    * accept best-effort locking on a scheme without an atomic
-    * create-no-overwrite primitive. */
-  val BestEffortLockKey = "graft.lock.bestEffort"
-
   def acquireWriteLock(dir: String, label: String, staleMs: Long,
       conf: Configuration = hadoopConf()): WriteLock = {
     require(staleMs > 0, s"staleMs must be positive, got $staleMs")
