@@ -150,14 +150,15 @@ object TimePartitioned {
       fs.exists(new org.apache.hadoop.fs.Path(root, OverwriteTrashName)) ||
       fs.exists(new org.apache.hadoop.fs.Path(root, MaintPendingName))
     if (!evidence) return
-    val lock =
-      try FsIO.acquireWriteLock(dir, "TimePartitioned.heal", leaseMs)
-      catch { case _: FsIO.LockBusy => return } // a LIVE writer owns the state
-    try {
+    // heartbeat lease, same as the writers: rolling a crashed overwrite
+    // forward renames O(days) directories, and on object stores a rename
+    // is copy+delete — a large recovery is data-proportional and must not
+    // itself look crashed to the NEXT reader's heal mid-way through
+    try FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.heal", leaseMs) { _ =>
       recoverCompaction(fs, root)
       recoverOverwrite(fs, root)
       fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
-    } finally FsIO.releaseWriteLock(lock)
+    } catch { case _: FsIO.LockBusy => () } // a LIVE writer owns the state
   }
 
   private def listDays(fs: org.apache.hadoop.fs.FileSystem,

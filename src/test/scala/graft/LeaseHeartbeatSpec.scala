@@ -42,16 +42,19 @@ class LeaseHeartbeatSpec extends SparkSpec {
     // heartbeated — same timings, the rival must stay locked out for the
     // whole body because the renewal keeps the lease age under staleMs/3
     val dirB = root + "/b"
-    FsIO.withWriteLockHeartbeat(dirB, "slow-hb", staleMs = 400) { hb =>
-      Thread.sleep(900)
+    // wide margins: suites run in parallel and the heartbeat thread can be
+    // starved — renewal every 500 ms against a 1.5 s lease tolerates ~1 s
+    // of scheduler delay without reading as stale
+    FsIO.withWriteLockHeartbeat(dirB, "slow-hb", staleMs = 1500) { hb =>
+      Thread.sleep(2500) // well past the lease; only renewals keep it live
       intercept[FsIO.LockBusy] {
-        FsIO.acquireWriteLock(dirB, "rival", staleMs = 400)
+        FsIO.acquireWriteLock(dirB, "rival", staleMs = 1500)
       }
       hb.verifyOwned("end of body")
       assert(!hb.lost)
     }
     // released on exit: a fresh acquire succeeds immediately
-    FsIO.releaseWriteLock(FsIO.acquireWriteLock(dirB, "after", staleMs = 400))
+    FsIO.releaseWriteLock(FsIO.acquireWriteLock(dirB, "after", staleMs = 1500))
   }
 
   test("verifyOwned aborts once a foreign owner replaces the lock") {
@@ -60,7 +63,9 @@ class LeaseHeartbeatSpec extends SparkSpec {
       FsIO.withWriteLockHeartbeat(dir, "writer", staleMs = 300) { hb =>
         FsIO.writeText(dir + ".__write_lock",
           s"owner=intruder\nts=${System.currentTimeMillis()}\nlabel=rival\n")
-        Thread.sleep(500) // let a heartbeat tick observe the loss
+        // poll: under parallel-suite load a heartbeat tick can be delayed
+        val deadline = System.currentTimeMillis() + 10000
+        while (!hb.lost && System.currentTimeMillis() < deadline) Thread.sleep(50)
         assert(hb.lost, "heartbeat renewal should have flagged the foreign owner")
         hb.verifyOwned("publishing")
         fail("verifyOwned must abort on a lost lease")
@@ -73,25 +78,26 @@ class LeaseHeartbeatSpec extends SparkSpec {
     val dir = tmp() + "/t"
     val old = spark.range(0, 6).select((lit(Day1) + col("id")).as("ts"), col("id").as("v"))
     TimePartitioned.write(old, dir, "ts", filesPerDay = 1)
-    // one upstream partition + one day partition: the 12 sleeps run
-    // sequentially, so the stage write takes ~1.8 s against a 600 ms lease
-    val slow = udf((x: Long) => { Thread.sleep(150L); x })
-    val next = spark.range(0, 12, 1, numPartitions = 1)
+    // one upstream partition + one day partition: the 24 sleeps run
+    // sequentially, so the stage write takes ~2.9 s against a 1.2 s lease
+    // (renewal every 400 ms — ~800 ms of scheduler-delay tolerance)
+    val slow = udf((x: Long) => { Thread.sleep(120L); x })
+    val next = spark.range(0, 24, 1, numPartitions = 1)
       .select((lit(Day2) + col("id")).as("ts"), slow(col("id") + 100L).as("v"))
     val healerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     @volatile var writing = true
     val healer = new Thread(() => {
       try while (writing) {
-        TimePartitioned.heal(spark, dir, leaseMs = 600) // LockBusy no-op vs a LIVE writer
+        TimePartitioned.heal(spark, dir, leaseMs = 1200) // LockBusy no-op vs a LIVE writer
         Thread.sleep(100)
       } catch { case t: Throwable => healerErr.set(t) }
     })
     healer.start()
-    try TimePartitioned.overwriteStaged(next, dir, "ts", filesPerDay = 1, leaseMs = 600)
+    try TimePartitioned.overwriteStaged(next, dir, "ts", filesPerDay = 1, leaseMs = 1200)
     finally { writing = false; healer.join(10000) }
     assert(healerErr.get() == null, s"healer failed: ${healerErr.get()}")
     val got = spark.read.parquet(dir).select("v").collect().map(_.getLong(0)).sorted
-    assert(got.toSeq == (100L until 112L), "overwrite result lost or truncated")
+    assert(got.toSeq == (100L until 124L), "overwrite result lost or truncated")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_overwrite_stage")))
