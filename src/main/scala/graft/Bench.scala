@@ -249,9 +249,12 @@ object Bench {
           prevRatios.get(k).exists(p => p > 0 && r > 1.15 * p) => k
       }.sortBy(k => -resultsMap(k)).take(6) // slowest first; bound the extra wall time
     spark.stop()
+    // the whole isolation phase is a post-hoc diagnostic: ANY failure in
+    // it (fresh-session startup, OOM after a long run) must degrade to
+    // isolated_ratios:{} — never discard the completed suite's results
     val isolatedRatios: Seq[(String, Double)] =
       if (flagged.isEmpty) Seq.empty
-      else {
+      else try {
         System.err.println(s"[bench] isolating ${flagged.size} ratio outliers: " +
           flagged.mkString(", "))
         val s2 = mkSession(cpus)
@@ -278,6 +281,9 @@ object Bench {
             k -> (if (probe > 0 && v >= 0) math.rint(v / probe * 100) / 100 else -1.0)
           }
         } finally s2.stop()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] isolation phase failed (results kept): ${e.getMessage}")
+        Seq.empty
       }
     val isoJson = isolatedRatios
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

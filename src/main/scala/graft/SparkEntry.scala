@@ -1130,8 +1130,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val planted = docs.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      // maxBucketSize 512: an identical-text group caps ALL its buckets at
+      // once, so the cap must exceed the largest exact-duplicate
+      // multiplicity in the fixture (measured max 2; 512 is data-skew
+      // headroom, not tuning — see dropNearDuplicates)
       val surv = Dedup.dropNearDuplicates(docs.unionByName(planted), "text", "doc_id",
-          shingleN = 2, numHashes = 64, bands = 16, minJaccard = 1.0)
+          shingleN = 2, numHashes = 64, bands = 16, minJaccard = 1.0, maxBucketSize = 512)
         .select("doc_id").localCheckpoint(true) // gate + result share one pass
       val leaked = surv.where(col("doc_id") >= 1000000L).count()
       require(leaked == 0, s"minhash dedup decision regressed: $leaked planted " +
@@ -1201,8 +1205,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val planted = docs.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      // maxBucketSize 512: identical texts share all four blocks, so a
+      // degenerate identical-text group past the cap would lose its
+      // planted pairs in every block at once (headroom over the measured
+      // fixture max of 2, same rationale as q_dedup_minhash)
       val found = Dedup.simHashCandidatePairs(docs.unionByName(planted),
-          "text", "doc_id", maxHamming = 3)
+          "text", "doc_id", maxHamming = 3, maxBucketSize = 512)
         .where(col("hamming") === 0 && col("id_b") === col("id_a") + 1000000L &&
           col("id_a") % 10 === 0)
         .select(col("id_a"), col("id_b"))
@@ -1876,8 +1884,22 @@ object SparkEntry {
         shingleN = 1, numHashes = 64)
       val a = sigs.select(col("source").as("src_a"), col("group_sig").as("sig_a"))
       val b = sigs.select(col("source").as("src_b"), col("group_sig").as("sig_b"))
-      a.join(b, col("src_a") < col("src_b"))
+      val cand = a.join(b, col("src_a") < col("src_b"))
         .where(Dedup.estimatedJaccardNative(col("sig_a"), col("sig_b")) >= 1.0)
+        .select(col("src_a"), col("src_b"))
+      // exact union-set confirm (equal unions ⇒ identical signatures, so
+      // est == 1.0 is a recall-complete CANDIDATE filter; the converse can
+      // collide at ~J^64 for almost-equal unions, which this removes —
+      // tokenization mirrors the kernel: Catalyst trim/lower/split are the
+      // sparkTokens contract, shingleN = 1 means the union is the distinct
+      // tokens). #sources is tiny, so the exact pass is a small aggregation.
+      val uni = aug
+        .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy("source").agg(sort_array(collect_set(col("tok"))).as("uts"))
+      cand
+        .join(uni.select(col("source").as("src_a"), col("uts").as("uts_a")), Seq("src_a"))
+        .join(uni.select(col("source").as("src_b"), col("uts").as("uts_b")), Seq("src_b"))
+        .where(col("uts_a") === col("uts_b"))
         .select(col("src_a"), col("src_b"))
         .orderBy("src_a", "src_b")
     }),

@@ -705,9 +705,16 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      maxBucketSize: Int = 64): DataFrame = {
+    // maxBucketSize passes through to the LSH candidate generator: an
+    // IDENTICAL-text group shares the same bucket in EVERY band, so a
+    // group larger than the cap is dropped from all its buckets at once
+    // and its members escape dedup — size the cap above the largest
+    // expected exact-duplicate multiplicity (boilerplate/empty docs)
     val candidates = minHashCandidatePairs(df, textCol, idCol, shingleN, numHashes, bands,
-      minJaccard = minJaccard * 0.8) // permissive estimate; exact check decides
+      minJaccard = minJaccard * 0.8, // permissive estimate; exact check decides
+      maxBucketSize = maxBucketSize)
     val confirmed = verifyPairsExactJaccard(candidates, df, textCol, idCol, shingleN)
       .where(col("jaccard") >= minJaccard)
     val toDrop = confirmed.select(col("id_b").as(idCol)).distinct()

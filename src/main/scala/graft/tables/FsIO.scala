@@ -119,11 +119,13 @@ object FsIO {
       .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
     if (!ExactLockSchemes.contains(lockScheme) && !conf.getBoolean(BestEffortLockKey, false))
       throw new IllegalStateException(s"$label: exact write-locking is unavailable on " +
-        s"scheme '$lockScheme' (no atomic create-no-overwrite) and this lease gates a " +
-        "swap protocol that deletes data — refusing to proceed on a best-effort lock. " +
-        s"Set $BestEffortLockKey=true (spark.hadoop.$BestEffortLockKey) to accept the " +
-        "residual two-writer race, or run the table on file/hdfs/abfs/gs, or enable the " +
-        "store's conditional-write support")
+        s"scheme '$lockScheme' (no atomic create-no-overwrite). This lease serializes " +
+        "the engine's maintenance and commit protocols — including rename-swaps that " +
+        "delete data and the crash-heal that runs at table load — so best-effort " +
+        s"locking must be an explicit operator decision. Set $BestEffortLockKey=true " +
+        s"(spark.hadoop.$BestEffortLockKey) to accept the residual two-writer race, " +
+        "or run the table on file/hdfs/abfs/gs, or enable the store's " +
+        "conditional-write support")
     val owner = java.util.UUID.randomUUID().toString
     val body = s"owner=$owner\nts=${System.currentTimeMillis()}\nlabel=$label\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -198,12 +200,11 @@ object FsIO {
     * lease LOST, do not write further — if the lock no longer carries
     * this owner (a healer legitimately took over a lease whose heartbeat
     * stalled past `staleMs`). The check-then-rewrite is not atomic, but a
-    * takeover is only legal once the lease is STALE: a holder renewing on
-    * schedule is never stale, so the window requires the renewal thread
-    * to have already stalled past the whole lease — exactly the crashed-
-    * writer case the takeover exists for — and the post-write read-back
-    * plus the callers' [[Heartbeat#verifyOwned]] re-checks bound the harm
-    * to an aborted (never a torn) publish. */
+    * takeover is only legal once the lease is STALE, and
+    * [[withWriteLockHeartbeat]] only calls this INSIDE the lease window
+    * (a holder that goes `staleMs` without a successful renewal
+    * SELF-EXPIRES and never touches the file again) — so a renewal can
+    * only race a rival that violated the lease protocol. */
   def renewWriteLock(l: WriteLock, label: String, conf: Configuration = hadoopConf()): Boolean =
     ownsWriteLock(l, conf) && {
       writeText(l.path.toString,
@@ -213,20 +214,33 @@ object FsIO {
 
   /** Handle a [[withWriteLockHeartbeat]] body uses to abort BEFORE an
     * irreversible step if the lease was lost. `lost` flips when a renewal
-    * finds the lock re-owned or gone; [[verifyOwned]] additionally
-    * re-reads the lock file, so a takeover that landed between heartbeats
-    * is still caught before the step runs. */
-  final class Heartbeat private[FsIO] (l: WriteLock, label: String, conf: Configuration) {
+    * finds the lock re-owned or gone, OR when the holder SELF-EXPIRES:
+    * once `staleMs` elapses without a successful renewal, a takeover is
+    * legal, so the holder must consider its lease gone WITHOUT touching
+    * the lock file again — a blind rewrite from a stalled holder could
+    * clobber a rival's legal fresh takeover and leave both sides
+    * believing they own the lease. [[verifyOwned]] additionally re-reads
+    * the lock file, so a takeover that landed between heartbeats is
+    * still caught before the step runs. */
+  final class Heartbeat private[FsIO] (l: WriteLock, label: String,
+      staleMs: Long, conf: Configuration) {
     @volatile private[FsIO] var lostV    = false
     @volatile private[FsIO] var stoppedV = false
+    // last wall-clock instant the lease was KNOWN held (acquire counts)
+    @volatile private[FsIO] var lastHeldMs: Long = System.currentTimeMillis()
     def lost: Boolean = lostV
+    private[FsIO] def selfExpired: Boolean =
+      System.currentTimeMillis() - lastHeldMs > staleMs
     /** Abort loudly unless this holder still owns the lease. Call
       * immediately before every irreversible publish/rename: an aborted
       * writer leaves only a stage the new owner's heal classifies as
       * garbage — a writer that published on a lost lease could race the
-      * new owner into a torn swap. */
+      * new owner into a torn swap. Self-expiry counts as lost even if
+      * the lock file still reads as ours: past the lease a rival's
+      * takeover may be mid-flight, and "file still mine" is not
+      * evidence it will stay so through the next rename. */
     def verifyOwned(step: String): Unit =
-      if (lostV || !ownsWriteLock(l, conf)) {
+      if (lostV || selfExpired || !ownsWriteLock(l, conf)) {
         lostV = true
         sys.error(s"$label: write lease ${l.path} was lost before $step — " +
           "a healer or rival writer took it over (heartbeat stalled past the " +
@@ -245,16 +259,35 @@ object FsIO {
     * a [[Heartbeat]] and must `verifyOwned` before each irreversible
     * publish step — on a lost lease (renewal stalled past `staleMs`, a
     * healer took over) the writer aborts loudly instead of publishing a
-    * truncated snapshot. */
+    * truncated snapshot.
+    *
+    * Renewal-thread discipline: a transient FS error on a renewal tick
+    * must NOT kill the thread (silently stopping renewals on one hiccup
+    * would recreate the very slow-writer-looks-crashed hazard this
+    * exists to fix) — errors retry on the next tick; and a holder that
+    * goes `staleMs` without a SUCCESSFUL renewal self-expires rather
+    * than blind-writing the lock, because past the lease a rival's
+    * takeover is legal and an unconditional rewrite could clobber it. */
   def withWriteLockHeartbeat[A](dir: String, label: String, staleMs: Long)
       (body: Heartbeat => A): A = {
     val conf = hadoopConf()
     val l    = acquireWriteLock(dir, label, staleMs, conf)
-    val hb   = new Heartbeat(l, label, conf)
+    val hb   = new Heartbeat(l, label, staleMs, conf)
     val t = new Thread(() => {
       try while (!hb.stoppedV && !hb.lostV) {
         Thread.sleep(math.max(1L, staleMs / 3))
-        if (!hb.stoppedV && !renewWriteLock(l, label, conf)) hb.lostV = true
+        if (!hb.stoppedV) {
+          if (hb.selfExpired) hb.lostV = true // past the lease: do not touch the file
+          else try {
+            if (renewWriteLock(l, label, conf)) hb.lastHeldMs = System.currentTimeMillis()
+            else hb.lostV = true // re-owned or gone: genuinely lost
+          } catch {
+            case _: InterruptedException => throw new InterruptedException
+            case e: Throwable => // transient FS hiccup: keep the thread alive, retry next tick
+              System.err.println(s"[graft] $label: lease renewal failed transiently " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}); retrying")
+          }
+        }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-${new Path(dir).getName}")
     t.setDaemon(true)

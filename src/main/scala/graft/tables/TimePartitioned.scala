@@ -154,9 +154,13 @@ object TimePartitioned {
     // forward renames O(days) directories, and on object stores a rename
     // is copy+delete — a large recovery is data-proportional and must not
     // itself look crashed to the NEXT reader's heal mid-way through
-    try FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.heal", leaseMs) { _ =>
-      recoverCompaction(fs, root)
-      recoverOverwrite(fs, root)
+    try FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.heal", leaseMs) { hb =>
+      // the healer is itself a destructive data-proportional holder (on
+      // object stores each roll-forward rename is a copy) — it re-checks
+      // its own lease per recovery step like every writer does
+      val check = () => hb.verifyOwned("healing the next day state")
+      recoverCompaction(fs, root, check)
+      recoverOverwrite(fs, root, check)
       fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
     } catch { case _: FsIO.LockBusy => () } // a LIVE writer owns the state
   }
@@ -192,8 +196,9 @@ object TimePartitioned {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
-    recoverCompaction(fs, root)
-    recoverOverwrite(fs, root)
+    val check = () => hb.verifyOwned("healing a crashed predecessor")
+    recoverCompaction(fs, root, check)
+    recoverOverwrite(fs, root, check)
     val stage = new org.apache.hadoop.fs.Path(root, OverwriteStageName)
     val trash = new org.apache.hadoop.fs.Path(root, OverwriteTrashName)
     fs.delete(stage, true); fs.delete(trash, true)
@@ -249,7 +254,7 @@ object TimePartitioned {
     * an old-only day retires, and a day already published is left
     * alone. */
   private[tables] def recoverOverwrite(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
+      root: org.apache.hadoop.fs.Path, check: () => Unit = () => ()): Unit = {
     val stage  = new org.apache.hadoop.fs.Path(root, OverwriteStageName)
     val trash  = new org.apache.hadoop.fs.Path(root, OverwriteTrashName)
     val intent = new org.apache.hadoop.fs.Path(stage, OverwriteIntentName)
@@ -264,9 +269,11 @@ object TimePartitioned {
     def parse(i: Int): Set[String] =
       if (i >= lines.length) Set.empty
       else lines(i).split(",").filter(_.nonEmpty).toSet
+    check() // about to act on the intent
     val oldDays = parse(0)
     val newDays = parse(1)
     (oldDays ++ newDays).toSeq.sorted.foreach { day =>
+      check() // per-day ownership gate: abort mid-recovery on a lost lease
       val rootDay  = new org.apache.hadoop.fs.Path(root, day)
       val stageDay = new org.apache.hadoop.fs.Path(stage, day)
       if (newDays(day)) {
@@ -353,8 +360,9 @@ object TimePartitioned {
     // data-proportional — many closed days of a 100 TB table take hours
     FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.compactDaysBefore", leaseMs) { hb =>
     val fs = preFs
-    recoverCompaction(fs, root)
-    recoverOverwrite(fs, root)
+    val check = () => hb.verifyOwned("healing a crashed predecessor")
+    recoverCompaction(fs, root, check)
+    recoverOverwrite(fs, root, check)
     val days = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
       .map(_.getPath)
@@ -397,9 +405,10 @@ object TimePartitioned {
   /** Roll a crashed [[compactDaysBefore]] swap forward or back — see the
     * protocol there. Idempotent; called before each compaction pass. */
   private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit =
+      root: org.apache.hadoop.fs.Path, check: () => Unit = () => ()): Unit =
     fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
       if (p.getName.startsWith(".shelf_") && p.getName.endsWith(".__old")) {
+        check() // per-shelf ownership gate
         val bare  = p.getName.stripPrefix(".shelf_").stripSuffix(".__old")
         val day   = new org.apache.hadoop.fs.Path(root, bare)
         val stage = new org.apache.hadoop.fs.Path(root, s".compact_$bare.__tmp")

@@ -71,10 +71,24 @@ class DayTableCrossJvmSpec extends SparkSpec {
     val log    = new java.io.File(root, "child.log")
     val child  = spawn(dir, log)
     val deadline = System.currentTimeMillis() + 120000L
-    while (child.isAlive && !killWhen(fs, new Path(dir)) &&
-        System.currentTimeMillis() < deadline) { /* tight poll: ms matter mid-swap */ }
+    var sawStage = false
+    while (child.isAlive && {
+        sawStage = sawStage || fs.exists(stage)
+        !killWhen(fs, new Path(dir))
+      } && System.currentTimeMillis() < deadline) { /* tight poll: ms matter mid-swap */ }
     child.destroyForcibly()
     child.waitFor()
+    sawStage = sawStage || fs.exists(stage)
+    val childDone = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(log.toPath), "UTF-8")).toOption
+      .exists(_.contains("CHILD_DONE"))
+    // 'no stage on disk' is only evidence of a COMPLETED overwrite if the
+    // child actually ran one — a child that died at startup would
+    // otherwise masquerade as the forward branch against an untouched
+    // old table and produce a misleading wrong-snapshot failure
+    assert(sawStage || childDone, s"child never started its overwrite — see ${log.getPath}:\n" +
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(log.toPath), "UTF-8"))
+        .getOrElse("").takeRight(2000))
     // the intended snapshot is decided by what survived the kill: a
     // surviving intent (or a completed overwrite) rolls FORWARD to the
     // new days; anything less is crash garbage and the old table stands
