@@ -90,6 +90,19 @@ object FsIO {
     * create-no-overwrite primitive. */
   val BestEffortLockKey = "graft.lock.bestEffort"
 
+  /** Hadoop conf key an operator sets to ATTEST that the store performs
+    * CONDITIONAL creates — S3 has supported conditional PUT
+    * (If-None-Match) since 2024, and an s3a/DSv2 connector that routes
+    * `create(overwrite = false)` through it makes create-no-overwrite
+    * genuinely atomic there. Unlike [[BestEffortLockKey]] this is a
+    * capability attestation, not an acceptance of risk: with it the
+    * scheme is treated as exact and create-no-overwrite arbitrates the
+    * lease, closing the gap where an operator on modern S3 could only
+    * choose between a refusal and a lie. The attestation is the
+    * operator's responsibility — the FileSystem API exposes no
+    * capability probe for it. */
+  val ConditionalPutLockKey = "graft.lock.conditionalPut"
+
   /** Acquire an exclusive write lease for `dir` — the concurrent-writer
     * guard for the rename-swap protocols (compact/zorder/upsertPartitioned):
     * two writers interleaving `swapDir`'s stage/rename steps can corrupt
@@ -117,15 +130,19 @@ object FsIO {
     val fs    = lock.getFileSystem(conf)
     val lockScheme = Option(lock.toUri.getScheme)
       .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
-    if (!ExactLockSchemes.contains(lockScheme) && !conf.getBoolean(BestEffortLockKey, false))
+    if (!ExactLockSchemes.contains(lockScheme) &&
+        !conf.getBoolean(ConditionalPutLockKey, false) &&
+        !conf.getBoolean(BestEffortLockKey, false))
       throw new IllegalStateException(s"$label: exact write-locking is unavailable on " +
         s"scheme '$lockScheme' (no atomic create-no-overwrite). This lease serializes " +
         "the engine's maintenance and commit protocols — including rename-swaps that " +
         "delete data and the crash-heal that runs at table load — so best-effort " +
-        s"locking must be an explicit operator decision. Set $BestEffortLockKey=true " +
-        s"(spark.hadoop.$BestEffortLockKey) to accept the residual two-writer race, " +
-        "or run the table on file/hdfs/abfs/gs, or enable the store's " +
-        "conditional-write support")
+        s"locking must be an explicit operator decision. Either attest the store's " +
+        s"conditional-write support with $ConditionalPutLockKey=true " +
+        s"(spark.hadoop.$ConditionalPutLockKey — S3 conditional PUT makes " +
+        "create-no-overwrite exact), or set " +
+        s"$BestEffortLockKey=true (spark.hadoop.$BestEffortLockKey) to accept the " +
+        "residual two-writer race, or run the table on file/hdfs/abfs/gs")
     val owner = java.util.UUID.randomUUID().toString
     val body = s"owner=$owner\nts=${System.currentTimeMillis()}\nlabel=$label\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -196,19 +213,52 @@ object FsIO {
   def ownsWriteLock(l: WriteLock, conf: Configuration = hadoopConf()): Boolean =
     readText(l.path.toString, conf).exists(_.contains(s"owner=${l.owner}"))
 
+  /** Replace `dst` with `tmp` ATOMICALLY, so a concurrent reader sees
+    * either the old complete body or the new complete body — never a
+    * truncated prefix. file:// uses NIO ATOMIC_MOVE; the other
+    * [[ExactLockSchemes]] get FileContext rename with OVERWRITE (an
+    * atomic namespace operation on HDFS/ABFS/GCS). */
+  private def atomicReplace(tmp: Path, dst: Path, conf: Configuration): Unit = {
+    val scheme = Option(dst.toUri.getScheme).getOrElse("file")
+    if (scheme == "file" || scheme == "local") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // the NIO move bypasses ChecksumFileSystem, which created a `.crc`
+      // sidecar for the temp file — drop it (the lock itself has none:
+      // it is NIO-created, and a stale sidecar would fail later reads)
+      val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      java.nio.file.Files.deleteIfExists(
+        nioTmp.resolveSibling("." + nioTmp.getFileName.toString + ".crc"))
+    } else
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Renew a held lease by rewriting its `ts` to now. Returns false —
     * lease LOST, do not write further — if the lock no longer carries
     * this owner (a healer legitimately took over a lease whose heartbeat
-    * stalled past `staleMs`). The check-then-rewrite is not atomic, but a
-    * takeover is only legal once the lease is STALE, and
-    * [[withWriteLockHeartbeat]] only calls this INSIDE the lease window
-    * (a holder that goes `staleMs` without a successful renewal
-    * SELF-EXPIRES and never touches the file again) — so a renewal can
-    * only race a rival that violated the lease protocol. */
+    * stalled past `staleMs`). The rewrite lands as a temp sibling +
+    * atomic rename, never a truncate-in-place: a rival polling the lock
+    * mid-truncation could otherwise parse a partial `ts=` digit prefix
+    * as a tiny long and classify a LIVE lease as stale. The
+    * check-then-rewrite pair is still not a CAS: a holder that stalls
+    * between the ownership read and the rename can clobber a rival's
+    * LEGAL takeover of a by-then-stale lease. [[withWriteLockHeartbeat]]
+    * closes most of that window — it only renews INSIDE the lease
+    * (self-expiring past `staleMs`) and treats a renewal whose
+    * read→write span STRADDLED the lease boundary as lost — but on a
+    * store with no compare-and-swap primitive a residual stall-exactly-
+    * at-the-boundary window remains; both sides then abort loudly at
+    * their next ownership gate rather than publish. */
   def renewWriteLock(l: WriteLock, label: String, conf: Configuration = hadoopConf()): Boolean =
     ownsWriteLock(l, conf) && {
-      writeText(l.path.toString,
+      val tmp = new Path(l.path.toString + s".renew.${l.owner.take(8)}")
+      writeText(tmp.toString,
         s"owner=${l.owner}\nts=${System.currentTimeMillis()}\nlabel=$label\n", conf)
+      atomicReplace(tmp, l.path, conf)
       ownsWriteLock(l, conf)
     }
 
@@ -222,7 +272,7 @@ object FsIO {
     * believing they own the lease. [[verifyOwned]] additionally re-reads
     * the lock file, so a takeover that landed between heartbeats is
     * still caught before the step runs. */
-  final class Heartbeat private[FsIO] (l: WriteLock, label: String,
+  final class Heartbeat private[tables] (l: WriteLock, label: String,
       staleMs: Long, conf: Configuration) {
     @volatile private[FsIO] var lostV    = false
     @volatile private[FsIO] var stoppedV = false
@@ -272,16 +322,74 @@ object FsIO {
       (body: Heartbeat => A): A = {
     val conf = hadoopConf()
     val l    = acquireWriteLock(dir, label, staleMs, conf)
-    val hb   = new Heartbeat(l, label, staleMs, conf)
+    runUnderHeartbeat(l, dir, label, staleMs, conf)(body)
+  }
+
+  /** [[withWriteLockHeartbeat]] with [[withWriteLockRetry]]'s acquisition
+    * semantics: a LIVE contender is retried (jittered polls) up to
+    * `maxWaitMs` before failing loudly, then the body runs under the
+    * heartbeat-renewed lease. For writers that are short at the CALLER's
+    * grain but data-proportional in the worst case — a day-table append
+    * of an arbitrary batch: the retry absorbs a rival appender's
+    * millisecond hold without flaking, while the heartbeat keeps a
+    * legitimately large batch write from aging past the takeover bar
+    * (the fixed-lease retry variant would recreate the
+    * slow-writer-looks-crashed hazard for exactly those writers). */
+  def withWriteLockHeartbeatRetry[A](dir: String, label: String, staleMs: Long,
+      maxWaitMs: Long)(body: Heartbeat => A): A = {
+    val conf     = hadoopConf()
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var backoff  = 50L
+    while (true) {
+      val acquired =
+        try Some(acquireWriteLock(dir, label, staleMs, conf))
+        catch {
+          case e: LockBusy =>
+            if (System.currentTimeMillis() >= deadline) throw e
+            Thread.sleep(backoff + scala.util.Random.nextLong(backoff))
+            backoff = math.min(backoff * 2, 400L)
+            None
+        }
+      acquired match {
+        case Some(l) => return runUnderHeartbeat(l, dir, label, staleMs, conf)(body)
+        case None    => ()
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** One renewal tick of the heartbeat thread. The boundary fence: the
+    * renewal's ownership-read→rewrite pair is not a CAS, so a tick that
+    * starts inside the lease but STALLS (GC, FS hiccup) past `staleMs`
+    * before its write lands may have clobbered a rival's LEGAL takeover.
+    * Both spans re-check AFTER the write — `now - lastHeldMs` (time since
+    * the lease was last KNOWN held) and `now - t0` (this tick's own
+    * read→write span): a renewal that straddled the boundary is treated
+    * as LOST, never as a success that resets `lastHeldMs` and lets
+    * `verifyOwned` keep passing while a displaced rival aborts.
+    * Package-visible with an injected renewal because the straddle is
+    * inherently a timing race — the spec injects the stall directly. */
+  private[tables] def heartbeatTick(hb: Heartbeat, staleMs: Long,
+      renew: () => Boolean): Unit =
+    if (hb.selfExpired) hb.lostV = true // past the lease: do not touch the file
+    else {
+      val t0 = System.currentTimeMillis()
+      if (renew()) {
+        val now = System.currentTimeMillis()
+        if (now - hb.lastHeldMs > staleMs || now - t0 > staleMs) hb.lostV = true
+        else hb.lastHeldMs = now
+      } else hb.lostV = true // re-owned or gone: genuinely lost
+    }
+
+  private def runUnderHeartbeat[A](l: WriteLock, dir: String, label: String,
+      staleMs: Long, conf: Configuration)(body: Heartbeat => A): A = {
+    val hb = new Heartbeat(l, label, staleMs, conf)
     val t = new Thread(() => {
       try while (!hb.stoppedV && !hb.lostV) {
         Thread.sleep(math.max(1L, staleMs / 3))
         if (!hb.stoppedV) {
-          if (hb.selfExpired) hb.lostV = true // past the lease: do not touch the file
-          else try {
-            if (renewWriteLock(l, label, conf)) hb.lastHeldMs = System.currentTimeMillis()
-            else hb.lostV = true // re-owned or gone: genuinely lost
-          } catch {
+          try heartbeatTick(hb, staleMs, () => renewWriteLock(l, label, conf))
+          catch {
             case _: InterruptedException => throw new InterruptedException
             case e: Throwable => // transient FS hiccup: keep the thread alive, retry next tick
               System.err.println(s"[graft] $label: lease renewal failed transiently " +

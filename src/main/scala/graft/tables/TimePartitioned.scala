@@ -91,35 +91,61 @@ object TimePartitioned {
       filesPerDay: Int = 8): Unit =
     writeMode(df, dir, tsNanosCol, filesPerDay, "overwrite")
 
+  /** How long [[append]] waits out a LIVE maintenance writer before
+    * failing loudly with the holder's label/age. Long enough to absorb a
+    * rival appender's millisecond hold and a short heal; deliberately NOT
+    * long enough to silently absorb a multi-hour compaction — that is a
+    * pipeline stall better surfaced than hidden inside an append call. */
+  val AppendMaxWaitMs: Long = 60L * 1000
+
   /** APPEND into an existing day-partitioned layout — new files land in
     * their day directories next to the old ones (the catalog INSERT INTO
-    * path). Same shuffle discipline as [[write]]. Heals a crashed
-    * [[overwriteStaged]] first so the append never lands next to a
-    * half-swapped snapshot. */
+    * path). Same shuffle discipline as [[write]].
+    *
+    * Runs UNDER the maintenance write lease (heartbeat-renewed, LIVE
+    * contenders retried up to `maxWaitMs`): an unserialized append racing
+    * a live [[overwriteStaged]] could land rows in a root `p_day=` dir
+    * AFTER the writer's intent recorded that day as "retire" — the swap
+    * then renames the dir, fresh rows included, to trash and deletes it
+    * (silent row loss). Holding the lease means no maintenance writer can
+    * be mid-swap while the append's files land; crashed predecessors are
+    * healed under the SAME lease first, so the append never lands next to
+    * a half-swapped snapshot or inside a shelved day's slot. */
   def append(df: DataFrame, dir: String, tsNanosCol: String,
-      filesPerDay: Int = 8): Unit = {
-    // heal BOTH protocols first (lock-gated, no-op against a live
-    // writer): appending into a shelved day's slot would otherwise make
-    // the compaction recovery read the day as "published" and delete the
-    // shelf holding its original rows
-    heal(df.sparkSession, dir)
-    writeMode(df, dir, tsNanosCol, filesPerDay, "append")
-  }
+      filesPerDay: Int = 8, leaseMs: Long = MaintLeaseMs,
+      maxWaitMs: Long = AppendMaxWaitMs): Unit =
+    FsIO.withWriteLockHeartbeatRetry(dir, "TimePartitioned.append", leaseMs,
+        maxWaitMs) { hb =>
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) {
+        val check = () => hb.verifyOwned("healing a crashed predecessor")
+        recoverCompaction(fs, root, check)
+        recoverOverwrite(fs, root, check)
+        fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
+      }
+      // additive from here (new files only — nothing renames or deletes),
+      // but gate once anyway: a lost lease means a rival may already be
+      // re-laying the days this append is about to land in
+      hb.verifyOwned("appending the batch")
+      writeMode(df, dir, tsNanosCol, filesPerDay, "append")
+    }
 
   private val OverwriteStageName = "_overwrite_stage"
   private val OverwriteTrashName = "_overwrite_trash"
   private val OverwriteIntentName = "_intent"
   private val MaintPendingName   = "_maint_pending"
 
-  /** Default write-lease length shared by the day-table maintenance
-    * writers ([[overwriteStaged]], [[compactDaysBefore]],
-    * [[dropDaysBefore]]) and the crash-heal below. This is a HEARTBEAT
-    * interval bound, not a work bound: the data-proportional writers
-    * renew the lease every `leaseMs/3` ([[FsIO.withWriteLockHeartbeat]]),
-    * so a legitimately slow multi-hour 100 TB stage write never ages past
-    * the takeover bar — 15 min only needs to exceed the longest plausible
-    * heartbeat stall (GC pause, FS hiccup), and a crashed holder stops
-    * renewing and is healable within one lease. */
+  /** Default write-lease length shared by EVERY day-directory mutator —
+    * the maintenance writers ([[overwriteStaged]], [[compactDaysBefore]],
+    * [[dropDaysBefore]]), [[append]], and the crash-heal below. This is a
+    * HEARTBEAT interval bound, not a work bound: the data-proportional
+    * writers renew the lease every `leaseMs/3`
+    * ([[FsIO.withWriteLockHeartbeat]]), so a legitimately slow multi-hour
+    * 100 TB stage write never ages past the takeover bar — 15 min only
+    * needs to exceed the longest plausible heartbeat stall (GC pause, FS
+    * hiccup), and a crashed holder stops renewing and is healable within
+    * one lease. */
   val MaintLeaseMs: Long = 15L * 60 * 1000
 
   /** Heal any CRASHED compaction or staged-overwrite swap — called at
@@ -140,29 +166,48 @@ object TimePartitioned {
     * CHEAP WHEN CLEAN: three existence probes (stage, trash, the
     * [[MaintPendingName]] marker compaction leaves while swapping) gate
     * everything — the common no-crash load never lists the directory and
-    * never touches the lock. */
-  def heal(spark: SparkSession, dir: String, leaseMs: Long = MaintLeaseMs): Unit = {
+    * never touches the lock.
+    *
+    * Returns false IFF crash evidence exists but a LIVE writer holds the
+    * lease — the heal correctly skips (that writer owns the state), but
+    * the skip is logged with the holder's label/age and reported to the
+    * caller, so "recovery deferred to the live writer" is distinguishable
+    * from "no evidence" in both logs and specs. True on every path that
+    * leaves the table heal-clean (no evidence, or recovery ran). */
+  def heal(spark: SparkSession, dir: String, leaseMs: Long = MaintLeaseMs): Boolean = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
+    if (!fs.exists(root)) return true
     val evidence =
       fs.exists(new org.apache.hadoop.fs.Path(root, OverwriteStageName)) ||
       fs.exists(new org.apache.hadoop.fs.Path(root, OverwriteTrashName)) ||
       fs.exists(new org.apache.hadoop.fs.Path(root, MaintPendingName))
-    if (!evidence) return
+    if (!evidence) return true
     // heartbeat lease, same as the writers: rolling a crashed overwrite
     // forward renames O(days) directories, and on object stores a rename
     // is copy+delete — a large recovery is data-proportional and must not
     // itself look crashed to the NEXT reader's heal mid-way through
-    try FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.heal", leaseMs) { hb =>
-      // the healer is itself a destructive data-proportional holder (on
-      // object stores each roll-forward rename is a copy) — it re-checks
-      // its own lease per recovery step like every writer does
-      val check = () => hb.verifyOwned("healing the next day state")
-      recoverCompaction(fs, root, check)
-      recoverOverwrite(fs, root, check)
-      fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
-    } catch { case _: FsIO.LockBusy => () } // a LIVE writer owns the state
+    try {
+      FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.heal", leaseMs) { hb =>
+        // the healer is itself a destructive data-proportional holder (on
+        // object stores each roll-forward rename is a copy) — it re-checks
+        // its own lease per recovery step like every writer does
+        val check = () => hb.verifyOwned("healing the next day state")
+        recoverCompaction(fs, root, check)
+        recoverOverwrite(fs, root, check)
+        fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
+      }
+      true
+    } catch {
+      case e: FsIO.LockBusy =>
+        // a LIVE writer owns the state — correct no-op, but SAY so: a
+        // silent skip is indistinguishable from "no evidence" in a
+        // concurrency postmortem (the LockBusy message carries the
+        // holder's label and lock age)
+        System.err.println(s"[graft] TimePartitioned.heal: crash evidence under $dir " +
+          s"is owned by a live writer; skipping recovery — ${e.getMessage}")
+        false
+    }
   }
 
   private def listDays(fs: org.apache.hadoop.fs.FileSystem,
@@ -310,21 +355,40 @@ object TimePartitioned {
     * day keys. Plain-layout semantics like [[write]]: concurrent readers
     * of a dropped day see missing-file errors, the same contract as any
     * non-versioned parquet dir — versioned retention belongs to
-    * VersionedTable.vacuum. */
-  def dropDaysBefore(spark: SparkSession, dir: String, cutoffNanos: Long): Seq[String] = {
+    * VersionedTable.vacuum.
+    *
+    * Runs UNDER the maintenance write lease (heartbeat-renewed — the
+    * delete loop is O(days) and each day delete is data-proportional on
+    * object stores): an unserialized retention delete racing a live
+    * compaction's shelve/publish renames could delete the published copy
+    * while the shelf (about to be cleaned) holds the only other one, or
+    * race a live overwrite's per-day swaps. A LIVE maintenance writer
+    * fails this call loudly with the holder's label/age — retention is a
+    * scheduled job; rerunning after the writer finishes is the correct
+    * resolution. Crashed predecessors are healed under the SAME lease
+    * first: a day hidden in a crashed swap's shelf/stage would otherwise
+    * escape retention and resurrect after this pass. */
+  def dropDaysBefore(spark: SparkSession, dir: String, cutoffNanos: Long,
+      leaseMs: Long = MaintLeaseMs): Seq[String] = {
     val cutoffDay = dayOfNanos(cutoffNanos)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    // heal first: a day hidden in a crashed swap's shelf/stage would
-    // otherwise escape retention and resurrect after this pass
-    heal(spark, dir)
-    val dropped = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
-      .map(s => s.getPath)
-      .filter(_.getName.stripPrefix("p_day=") < cutoffDay) // ISO-lex = day order
-    dropped.foreach(p => fs.delete(p, true))
-    dropped.map(_.getName.stripPrefix("p_day=")).sorted
+    FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.dropDaysBefore", leaseMs) { hb =>
+      val check = () => hb.verifyOwned("healing a crashed predecessor")
+      recoverCompaction(fs, root, check)
+      recoverOverwrite(fs, root, check)
+      fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
+      val dropped = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
+        .map(s => s.getPath)
+        .filter(_.getName.stripPrefix("p_day=") < cutoffDay) // ISO-lex = day order
+      dropped.foreach { p =>
+        hb.verifyOwned(s"dropping ${p.getName}") // irreversible: gate per day
+        fs.delete(p, true)
+      }
+      dropped.map(_.getName.stripPrefix("p_day=")).sorted
+    }
   }
 
   /** COMPACTION at day grain: every day directory strictly BEFORE the

@@ -29,26 +29,8 @@ class DayTableCrossJvmSpec extends SparkSpec {
         (lit(Day1) + col("id") * lit(DayNs)).as("ts"), col("id").as("v")),
       dir, "ts", filesPerDay = 1)
 
-  private def spawn(dir: String, log: java.io.File): Process = {
-    val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx2g", "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
-      "-Duser.language=en", "-Duser.country=US",
-      "-cp", sys.props("java.class.path"),
-      "graft.DayStressChild", dir, ChildLeaseMs.toString)
-    new ProcessBuilder(cmd: _*).redirectErrorStream(true)
-      .redirectOutput(log).start()
-  }
+  private def spawn(dir: String, log: java.io.File): Process =
+    DayChildHarness.spawn(dir, ChildLeaseMs, log)
 
   private def vSet(dir: String): Set[Long] =
     spark.read.parquet(dir).select("v").collect().map(_.getLong(0)).toSet
@@ -75,20 +57,22 @@ class DayTableCrossJvmSpec extends SparkSpec {
     while (child.isAlive && {
         sawStage = sawStage || fs.exists(stage)
         !killWhen(fs, new Path(dir))
-      } && System.currentTimeMillis() < deadline) { /* tight poll: ms matter mid-swap */ }
+      } && System.currentTimeMillis() < deadline) {
+      // tight poll — ms matter mid-swap — but yield the core between
+      // probes: a pure busy-spin on a loaded host can starve the very
+      // child JVM whose protocol point it is trying to observe
+      Thread.onSpinWait()
+    }
     child.destroyForcibly()
     child.waitFor()
     sawStage = sawStage || fs.exists(stage)
-    val childDone = scala.util.Try(
-      new String(java.nio.file.Files.readAllBytes(log.toPath), "UTF-8")).toOption
-      .exists(_.contains("CHILD_DONE"))
+    val childDone = DayChildHarness.childDone(log)
     // 'no stage on disk' is only evidence of a COMPLETED overwrite if the
     // child actually ran one — a child that died at startup would
     // otherwise masquerade as the forward branch against an untouched
     // old table and produce a misleading wrong-snapshot failure
     assert(sawStage || childDone, s"child never started its overwrite — see ${log.getPath}:\n" +
-      scala.util.Try(new String(java.nio.file.Files.readAllBytes(log.toPath), "UTF-8"))
-        .getOrElse("").takeRight(2000))
+      DayChildHarness.logTail(log))
     // the intended snapshot is decided by what survived the kill: a
     // surviving intent (or a completed overwrite) rolls FORWARD to the
     // new days; anything less is crash garbage and the old table stands
