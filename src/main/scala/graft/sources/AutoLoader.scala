@@ -422,14 +422,29 @@ object AutoLoader {
     // other disappearance still fails loudly. Crash between marker and
     // sweep only leaves files the next sweep re-walks idempotently.
     private val cleanedFile = new Path(stateRoot, "cleaned")
+    // MONOTONIC marker discipline (the VersionedTable one-file-per-commit
+    // rationale): the durable bound lives in the marker's NAME
+    // (`cleaned-<n>`), a new marker is CREATED before old ones delete,
+    // and a reader takes the max — so no crash point ever leaves zero
+    // markers. The previous delete(cleaned)-then-rename advance had a
+    // crash window between the two that restarted `cleanedThrough` at 0
+    // and failed recovery loudly until manually restored. The legacy
+    // single `cleaned` file is still honored (max'd in) so pre-existing
+    // checkpoints migrate on their first advance.
+    private def listCleanedMarkers(): Seq[Long] =
+      if (!fs.exists(stateRoot)) Seq.empty
+      else fs.listStatus(stateRoot).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("cleaned-"))
+        .flatMap(_.stripPrefix("cleaned-").toLongOption)
     // the durable skip bound (replay-missing-file tolerance); the sweep's
     // own low-water mark is separate and IN-MEMORY ONLY, so after a crash
     // mid-sweep the first sweep of the new process re-walks the whole
     // marked prefix idempotently (a missing file is a no-op) and catches
     // any files the crashed sweep left behind
     @volatile private var cleanedThrough: Long =
-      graft.tables.FsIO.readText(cleanedFile.toString)
-        .flatMap(_.trim.toLongOption).getOrElse(0L)
+      (graft.tables.FsIO.readText(cleanedFile.toString)
+        .flatMap(_.trim.toLongOption).toSeq ++ listCleanedMarkers())
+        .foldLeft(0L)(math.max)
     @volatile private var sweptThrough: Long = 0L
     private def cleanUpTo(n: Long): Unit = cleanSource.foreach { mode =>
       val rawFs = new Path(rawDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -437,12 +452,15 @@ object AutoLoader {
       if (upTo > sweptThrough) {
         if (upTo > cleanedThrough) {
           // marker FIRST (intent), sweep second: a file missing below the
-          // marker is then provably retired-or-mid-sweep-crash
-          val tmp = new Path(stateRoot, "cleaned.tmp")
-          graft.tables.FsIO.writeText(tmp.toString, upTo.toString)
-          fs.delete(cleanedFile, false)
-          require(fs.rename(tmp, cleanedFile),
-            s"AutoLoader: could not advance the cleaned marker under $stateRoot")
+          // marker is then provably retired-or-mid-sweep-crash. The new
+          // marker is created BEFORE any old one deletes — a crash at any
+          // instant leaves at least one marker, and max-over-survivors
+          // reads correct (extra lower markers are harmless)
+          graft.tables.FsIO.writeText(
+            new Path(stateRoot, s"cleaned-$upTo").toString, "")
+          listCleanedMarkers().filter(_ < upTo).foreach(n =>
+            fs.delete(new Path(stateRoot, s"cleaned-$n"), false))
+          fs.delete(cleanedFile, false) // retire the legacy single-file form
           cleanedThrough = upTo
         }
         (sweptThrough until upTo).foreach { i =>

@@ -40,6 +40,46 @@ class AutoLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 60L)
   }
 
+  test("cleaned marker is monotonic: stale lower markers and the legacy file never regress it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_al_marker").toString
+    val (raw, out, ckpt) = (root + "/raw", root + "/out", root + "/ckpt")
+    (1L to 12L).map(i => (i, s"m$i")).toDF("id", "s").repartition(3)
+      .write.mode("append").parquet(raw)
+    def runClean(): Unit = {
+      val q = spark.readStream.format(AutoLoader.format).option("path", raw)
+        .option("cleanSource", "delete").option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runClean()
+    assert(spark.read.parquet(out).count() == 12L)
+    // the advance is a one-file-per-value CREATE (`cleaned-<n>`), pruned
+    // after — never a delete-then-rename of a single live name whose
+    // crash window leaves NO marker and restarts recovery at 0
+    val stateDir = new java.io.File(s"$ckpt/sources/0/graft-autoload")
+    val markers = stateDir.listFiles().map(_.getName).filter(_.startsWith("cleaned-"))
+    assert(markers.nonEmpty, "the sweep must leave a monotonic cleaned-<n> marker")
+    assert(markers.length == 1, s"stale markers must prune: ${markers.mkString(",")}")
+    assert(!new java.io.File(stateDir, "cleaned").exists(), "legacy marker must retire")
+    val n = markers.head.stripPrefix("cleaned-").toLong
+    assert(n > 0)
+    // worst readable crash state: a stale lower marker (crash before the
+    // prune) AND a legacy `cleaned` file with a lower value. A restart
+    // must read the MAX — a regressed bound would make the recovery
+    // replay treat the already-retired files as foul play and refuse.
+    java.nio.file.Files.writeString(stateDir.toPath.resolve("cleaned-1"), "")
+    java.nio.file.Files.writeString(stateDir.toPath.resolve("cleaned"), "1")
+    (13L to 15L).map(i => (i, s"m$i")).toDF("id", "s").repartition(1)
+      .write.mode("append").parquet(raw)
+    runClean()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 15L)
+    assert(got.select("id").as[Long].collect().toSet == (1L to 15L).toSet)
+  }
+
   test("restart after cleanSource drained the raw dir: pinned schema recovers") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_al_drain").toString
