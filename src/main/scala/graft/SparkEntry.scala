@@ -23,6 +23,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Swept scratch dir for the table/stream/checkpoint queries — see
+    * [[Scratch]] (ADVICE-r16: the per-query temp dirs previously leaked
+    * on every Verify/Bench invocation). */
+  private def scratchDir(tag: String): String = Scratch.dir(tag)
+
+  /** Planted-copy id offset for the dedup/near-dup decision gates: copies
+    * are `id + PlantOffset` and leakage is detected via
+    * `id >= PlantOffset`, so every real fixture id must stay strictly
+    * below it. Row counts scale with SF (ADVICE-r17): at a large enough
+    * scale factor real ids would cross the offset, collide with planted
+    * ids, falsely trip the leak gate, and silently break Spark/DuckDB
+    * oracle parity — [[assertPlantable]] turns that into a loud, cheap
+    * in-query failure instead. The DuckDB oracles pin the SAME literal
+    * (1000000), so the offset and the SQL must move together. */
+  private val PlantOffset = 1000000L
+
+  private def assertPlantable(df: DataFrame, idCol: String): DataFrame = {
+    val mx = df.agg(max(col(idCol))).head().getLong(0)
+    require(mx < PlantOffset,
+      s"fixture $idCol max $mx >= plant offset $PlantOffset — planted-copy ids " +
+        "would collide with real ids and break oracle parity; raise the offset " +
+        "in BOTH the Spark queries and their DuckDB oracles")
+    df
+  }
+
   /** Build-once IVF index shared by `q_ivf_build` (always rebuilds — its
     * bench line IS the build cost) and `q_similarity_ivf` (probe-only when
     * the index exists). Centroids are DETERMINISTIC data rows (vectors
@@ -426,7 +451,7 @@ object SparkEntry {
     // round-trip is lossless (types, nulls, timestamps).
     "q_csv_roundtrip" -> ((s, d) => {
       val src = t(s, d, "orders")
-      val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString + "/orders_csv"
+      val dir = scratchDir("graft_csv_rt") + "/orders_csv"
       graft.tables.FormatIO.writeCsv(src, dir)
       graft.tables.FormatIO.readCsv(s, dir, src.schema)
         .orderBy("o_orderkey")
@@ -434,7 +459,7 @@ object SparkEntry {
 
     "q_json_roundtrip" -> ((s, d) => {
       val src = t(s, d, "customer")
-      val dir = java.nio.file.Files.createTempDirectory("graft_json_rt").toString + "/customer_json"
+      val dir = scratchDir("graft_json_rt") + "/customer_json"
       graft.tables.FormatIO.writeJsonLines(src, dir)
       graft.tables.FormatIO.readJsonLines(s, dir, src.schema)
         .orderBy("c_custkey")
@@ -1126,10 +1151,10 @@ object SparkEntry {
     // oracle's min-per-identical-shingle-set group. Planted copies (every
     // 10th doc, id + 1_000_000) keep the recall claim loud in-query.
     "q_dedup_minhash" -> ((s, d) => {
-      val docs = t(s, d, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
+      val docs = assertPlantable(t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")), "doc_id")
       val planted = docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
       // maxBucketSize 512: an identical-text group caps ALL its buckets at
       // once, so the cap must exceed the largest exact-duplicate
       // multiplicity in the fixture (measured max 2; 512 is data-skew
@@ -1201,10 +1226,10 @@ object SparkEntry {
     // (only a bucket-cap regression could — a capped block bucket drops
     // the pair in that block only, and all four blocks match here).
     "q_dedup_simhash" -> ((s, d) => {
-      val docs = t(s, d, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
+      val docs = assertPlantable(t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")), "doc_id")
       val planted = docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
       // maxBucketSize 512: identical texts share all four blocks, so a
       // degenerate identical-text group past the cap would lose its
       // planted pairs in every block at once (headroom over the measured
@@ -1266,9 +1291,10 @@ object SparkEntry {
     // brute-force all-pairs oracle (threshold 0.95 clears the 0.51 natural
     // ceiling with margin). The in-query gate keeps the recall claim loud.
     "q_embedding_neardup" -> ((s, d) => {
-      val emb = t(s, d, "embeddings").where(col("embedding").isNotNull)
+      val emb = assertPlantable(
+        t(s, d, "embeddings").where(col("embedding").isNotNull), "vec_id")
       val planted = emb.where(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
           transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
       val aug = emb.select("vec_id", "embedding").unionByName(planted)
       // 24-bit signatures: 6-bit bands keep bucket sizes ~n/64 — the 8-bit
@@ -1355,7 +1381,7 @@ object SparkEntry {
     // hash-checked too.
     "q_ivf_append" -> ((s, d) => {
       val emb  = t(s, d, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_qivfapp").toString + "/idx"
+      val path = scratchDir("graft_qivfapp") + "/idx"
       val base  = emb.where(pmod(col("vec_id"), lit(2L)) === 0L)
       val batch = emb.where(pmod(col("vec_id"), lit(2L)) === 1L)
       val cents = Similarity.buildIvfIndexWith(base, "embedding", "vec_id",
@@ -1438,7 +1464,7 @@ object SparkEntry {
     // -- S6+S9 micro-batch file stream → stateless transform → append sink
     // (batch-equivalence self-checked in StreamingSpec — no SQL oracle)
     "q_stream_inference" -> ((s, d) => {
-      val work    = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val work    = scratchDir("graft_stream")
       val srcDir  = s"$work/src"
       t(s, d, "events").select("event_id", "event_type", "value")
         .repartition(4).write.parquet(srcDir)
@@ -1465,7 +1491,7 @@ object SparkEntry {
     // image decoding, just the same integer formulas.
     "q_reference_e2e" -> ((s, _) => {
       val src  = ImageFixtures.shared()
-      val work = java.nio.file.Files.createTempDirectory("graft_ref_e2e").toString
+      val work = scratchDir("graft_ref_e2e")
       val ingested = ImagePipeline.ingest(s, src, s"$work/stage")
       val tableDir = s"$work/table"
       ingested.write.mode("overwrite").parquet(tableDir)
@@ -1506,9 +1532,10 @@ object SparkEntry {
     // depends on arrival order (a batch semantics no SQL oracle replays);
     // batch-equivalence + exactly-once specs in StreamingSpec.
     "q_stream_near_dedup" -> ((s, d) => {
-      val work   = java.nio.file.Files.createTempDirectory("graft_snd").toString
+      val work   = scratchDir("graft_snd")
       val srcDir = s"$work/src"
-      val docs   = t(s, d, "documents").select("doc_id", "text")
+      val docs   = assertPlantable(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id")
       docs.repartition(4).write.parquet(srcDir)
       // planted EXACT copies (r17 gate): arrive LAST (later mtime → later
       // trigger), after every source doc is in the index — an identical
@@ -1518,7 +1545,7 @@ object SparkEntry {
       // the batch-equivalence specs
       val copyTmp = s"$work/copies"
       docs.where(col("text").isNotNull && col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
         .repartition(1).write.parquet(copyTmp)
       val copyPart = new java.io.File(copyTmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -1591,7 +1618,7 @@ object SparkEntry {
     // never re-emits, which is exactly the property being gated.
     "q_stream_dedup" -> ((s, d) => GraftSession.withShufflePartitions(s, 8) {
       // per-query state-store sizing: tiny dedup state, 8 stores not 32
-      val work   = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+      val work   = scratchDir("graft_sdd")
       val srcDir = s"$work/src"
       val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
       new java.io.File(srcDir).mkdirs()
@@ -1632,7 +1659,7 @@ object SparkEntry {
       // keeps FOUR state stores per partition, each paying commit I/O
       // every micro-batch — state volume here is tiny, so store count is
       // pure overhead (see withShufflePartitions)
-      val work = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+      val work = scratchDir("graft_ssj")
       val src  = s"$work/src"
       t(s, d, "events").select("event_id", "user_id", "ts", "event_type")
         .repartition(2).write.parquet(src)
@@ -1663,7 +1690,7 @@ object SparkEntry {
     // independent of file-discovery order, so the streaming merge is
     // DuckDB-replayable: the oracle applies both batches as one CASE.
     "q_stream_upsert" -> ((s, d) => {
-      val work   = java.nio.file.Files.createTempDirectory("graft_sup").toString
+      val work   = scratchDir("graft_sup")
       val srcDir = s"$work/src"
       val target = s"$work/target"
       val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
@@ -1705,7 +1732,7 @@ object SparkEntry {
     // batch_id overwrite idempotence. Quarantine side declared (it carries
     // the violations annotation; the valid side is its complement).
     "q_stream_validate_route" -> ((s, d) => {
-      val work   = java.nio.file.Files.createTempDirectory("graft_svr").toString
+      val work   = scratchDir("graft_svr")
       val srcDir = s"$work/src"
       t(s, d, "events").select("event_id", "event_type", "value")
         .repartition(4).write.parquet(srcDir)
@@ -2026,7 +2053,7 @@ object SparkEntry {
     // only with identical content — hash-safe).
     "q_orc_roundtrip" -> ((s, d) => {
       val src = t(s, d, "lineitem")
-      val dir = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString + "/lineitem_orc"
+      val dir = scratchDir("graft_orc_rt") + "/lineitem_orc"
       graft.tables.FormatIO.writeOrc(src, dir)
       val back = graft.tables.FormatIO.readOrc(s, dir, src.schema)
       back.orderBy(src.columns.map(col).toIndexedSeq: _*)
@@ -2039,7 +2066,7 @@ object SparkEntry {
     // trip every document (incl. empty and multi-byte UTF-8 texts) and
     // that member↔row is a bijection.
     "q_tar_roundtrip" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_tar").toString + "/shards"
+      val work = scratchDir("graft_tar") + "/shards"
       val docs = t(s, d, "documents").where(col("text").isNotNull)
         .select(format_string("%012d.txt", col("doc_id")).as("member"),
           encode(col("text"), "UTF-8").as("payload"))
@@ -2144,22 +2171,42 @@ object SparkEntry {
 
     // -- north-star: incremental NEAR-dedup vs a persisted signature index -
     // History = docs 0..249 as a MinHash index (text never re-read); batch
-    // = docs 250+ plus every 9th historical doc re-submitted lightly edited
-    // (near-dup, not exact) under id+20000. Rows-only by contract (estimates
-    // are a function of the engine hash family; planted-dup behavior is
-    // spec-checked in DedupSpec).
+    // = docs 250+ plus every 9th historical doc re-submitted as an EXACT
+    // copy under id + PlantOffset. r18 conversion (VERDICT r17 #6, the
+    // q_dedup_minhash pattern): at minEstJaccard = 1.0 every decision is
+    // structural — est == 1.0 ⟺ all 64 signature slots agree, and
+    // identical shingle sets agree identically on BOTH legs (batch-vs-
+    // history and within-batch) — so the survivor set is the set algebra
+    // DuckDB replays: keep a batch doc iff its word-bigram shingle set
+    // matches no indexed doc's AND it is the min id of its within-batch
+    // shingle-set group (null-text docs pass through, as the operator
+    // documents). At J == 1.0 the decision is EXACT on both legs via the
+    // index's `seth` set fingerprint (history text stays cold): the
+    // est-only confirm measurably dropped 9 extra docs at sf0.01 — the
+    // fixture's planted high-J near-dup pairs collide on all 64 hashes
+    // with p ≈ J^64 each — which is precisely the false-positive
+    // direction the fingerprint removes. The in-query planted gate keeps
+    // the structural-recall claim loud. maxBucketSize 512: same
+    // identical-text-group cap-escape headroom rationale as
+    // q_dedup_minhash.
     "q_dedup_near_incr" -> ((s, d) => {
-      val docs  = t(s, d, "documents")
-      val index = Dedup.minHashIndex(docs.where(col("doc_id") < 250), "text", "doc_id")
-      val resub = docs
-        .where(col("doc_id") < 250 && col("doc_id") % 9 === 0 && col("text").isNotNull)
-        .select((col("doc_id") + 20000).as("doc_id"),
-          concat(col("text"), lit(" resub")).as("text"),
+      val docs  = assertPlantable(t(s, d, "documents"), "doc_id")
+      val hist  = docs.where(col("doc_id") < 250)
+      val index = Dedup.minHashIndex(hist, "text", "doc_id", shingleN = 2)
+      val planted = hist
+        .where(col("doc_id") % 9 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars"))
-      val batch = docs.where(col("doc_id") >= 250).unionAll(resub)
-      Dedup.nearDedupAgainstIndex(batch, "text", "doc_id", index, minEstJaccard = 0.7)
+      val batch = docs.where(col("doc_id") >= 250).unionByName(planted)
+      val surv = Dedup.nearDedupAgainstIndex(batch, "text", "doc_id", index,
+          shingleN = 2, minEstJaccard = 1.0, maxBucketSize = 512)
         .select(col("doc_id"), col("n_chars"))
-        .orderBy("doc_id")
+        .localCheckpoint(true) // gate + result share one pass
+      val leaked = surv.where(col("doc_id") >= PlantOffset).count()
+      require(leaked == 0, s"incremental near-dedup decision regressed: $leaked " +
+        "planted exact copies survived the index probe (an identical-signature " +
+        "batch-vs-history pair can only be lost to a banding/cap regression)")
+      surv.orderBy("doc_id")
     }),
 
     // -- north-star: max-inner-product top-k (un-normalized retrieval) -----
@@ -2204,7 +2251,7 @@ object SparkEntry {
       val ev = t(s, d, "events").where(col("value").isNotNull)
         .withColumn("half", (col("event_id") % 2).cast("int"))
       val parts = operators.Quantiles.quantileSketches(ev, Seq("event_type", "half"), "value")
-      val dir = java.nio.file.Files.createTempDirectory("graft_kllq").toString + "/s"
+      val dir = scratchDir("graft_kllq") + "/s"
       parts.write.parquet(dir)
       val merged = operators.Quantiles.mergeSketches(s.read.parquet(dir), Seq("event_type"))
       val q = operators.Quantiles.sketchQuantiles(merged, Seq("event_type"), Seq(0.5, 0.9))
@@ -2485,7 +2532,7 @@ object SparkEntry {
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+      val path = scratchDir("graft_ivfpq") + "/idx"
       val codebook = Similarity.buildIvfPqIndex(emb, "embedding", "vec_id",
         cents, m = 8, kCodes = 16, dim = 64, indexPath = path)
       val loaded = Similarity.loadPqCodebook(path)
@@ -2593,7 +2640,7 @@ object SparkEntry {
     // agreement. Rows-only by contract (image bytes).
     "q_webdataset_export" -> ((s, _) => {
       val dir  = ImageFixtures.shared()
-      val work = java.nio.file.Files.createTempDirectory("graft_wds").toString + "/shards"
+      val work = scratchDir("graft_wds") + "/shards"
       val keyed = ImagePipeline.readBinaryImages(s, dir)
         .select(concat(
           regexp_extract(col("path"), "label=([a-z]+)/", 1), lit("_"),
@@ -2638,7 +2685,7 @@ object SparkEntry {
     // survives, survivors never leave the rep set, most copies drop.
     "q_stream_image_dedup" -> ((s, _) => {
       val dir  = ImageFixtures.shared()
-      val work = java.nio.file.Files.createTempDirectory("graft_sid").toString
+      val work = scratchDir("graft_sid")
       val base = ImagePipeline.readBinaryImages(s, dir)
         .select(regexp_extract(col("path"), "(flower_photos/.*)$", 1).as("img_id"),
           col("content"))
@@ -2735,7 +2782,7 @@ object SparkEntry {
     // (self-gated: require fails unless files were actually skipped) and
     // must be row-identical to the full-scan filter the oracle runs.
     "q_skipping_scan" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      val work = scratchDir("graft_skip")
       val tbl  = s"$work/t"
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
@@ -2756,7 +2803,7 @@ object SparkEntry {
     // lakehouses pair data skipping with Z-order rather than one sort key.
     // Self-gated on each dimension pruning ALONE, then read with the AND.
     "q_skipping_zorder" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+      val work = scratchDir("graft_zskip")
       val tbl  = s"$work/t"
       t(s, d, "lineitem")
         .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
@@ -2782,7 +2829,7 @@ object SparkEntry {
     // still equal the plain filter over BOTH generations, and the manifest
     // must still prune (in-query gate).
     "q_skipping_append" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_skipapp").toString
+      val work = scratchDir("graft_skipapp")
       val tbl  = s"$work/t"
       val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
       graft.tables.SkippingIndex.writeClustered(
@@ -2830,7 +2877,7 @@ object SparkEntry {
       // boundaries — slower than clustered real data)
       val model = graft.image.Trainer.trainSoftmax(data, "x", "y",
         classes = (0 until 5).map(i => s"c$i"), dim = 64)
-      val path = java.nio.file.Files.createTempDirectory("graft_train").toString + "/model.txt"
+      val path = scratchDir("graft_train") + "/model.txt"
       graft.image.Trainer.save(model, path)
       val loaded = graft.image.Trainer.load(path)
       val acc = graft.image.Trainer.accuracy(loaded, data, "x", "y")
@@ -2873,7 +2920,7 @@ object SparkEntry {
     // and it routes around JSON's nastier default (malformed lines
     // silently become all-null rows).
     "q_json_badrecords" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_jsonbad").toString + "/t"
+      val work = scratchDir("graft_jsonbad") + "/t"
       val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
       graft.tables.FormatIO.writeJsonLines(c.coalesce(1), work)
       val part = new java.io.File(work).listFiles()
@@ -2897,7 +2944,7 @@ object SparkEntry {
     // Oracle = the clean base table; the in-query gate pins the
     // quarantine count.
     "q_csv_badrecords" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_csvbad").toString + "/t"
+      val work = scratchDir("graft_csvbad") + "/t"
       val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
       graft.tables.FormatIO.writeCsv(c.coalesce(1), work)
       val part = new java.io.File(work).listFiles()
@@ -2922,7 +2969,7 @@ object SparkEntry {
     // partitions than the table holds (directory pruning, PlansSpec
     // asserts the exact count). Oracle = the plain nanos filter.
     "q_time_partition" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_tp").toString + "/t"
+      val work = scratchDir("graft_tp") + "/t"
       val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
       graft.tables.TimePartitioned.write(ev, work, "ts")
       // window derived from the data (fixture time ranges drift between
@@ -2946,7 +2993,7 @@ object SparkEntry {
     // schema, and DayPartitionPruning maps the raw-ts range onto directory
     // pruning (plan-asserted ≤7 of ~30 day dirs for a 6-day window).
     "q_day_partition_catalog" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_daycat").toString + "/t"
+      val dir = scratchDir("graft_daycat") + "/t"
       graft.catalog.GraftCatalog.register("day_events", dir)
       t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
         .createOrReplaceTempView("day_cat_src")
@@ -2972,7 +3019,7 @@ object SparkEntry {
     // lookup to ~1 file with zero false negatives. In-query gate: the five
     // lookups together open far fewer than files×lookups.
     "q_bloom_lookup" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_bloomq").toString + "/t"
+      val work = scratchDir("graft_bloomq") + "/t"
       val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
       c.repartition(16).write.parquet(work) // hash-random placement
       graft.tables.BloomIndex.write(s, work, "c_custkey", expectedPerFile = 10000L)
@@ -2999,7 +3046,7 @@ object SparkEntry {
     // corrupting them first). Oracle is the same aggregate as a full
     // table scan — equality proves exact mergeability of the file stats.
     "q_stats_pushdown" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_statsagg").toString
+      val work = scratchDir("graft_statsagg")
       val tbl  = s"$work/t"
       val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
       graft.tables.SkippingIndex.writeClustered(
@@ -3064,7 +3111,7 @@ object SparkEntry {
     // a pinned v1 read — the time-travel path sits IN the lineage, not just
     // in the final comparison.
     "q_time_travel" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t"
+      val dir = scratchDir("graft_tt") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
       VersionedTable.commit(s, c, dir) // v0: base
       VersionedTable.commit(s, c.withColumn("c_acctbal", // v1: +100 on %10 keys
@@ -3089,7 +3136,7 @@ object SparkEntry {
     // the latest version joined against a time-traveled middle version.
     // Oracle replays the same history from the base table in SQL.
     "q_versioned_incremental" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vti").toString + "/t"
+      val dir = scratchDir("graft_vti") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), dir)
@@ -3111,7 +3158,7 @@ object SparkEntry {
     // types appear: evens added, %13 odds removed, negative-balance odds
     // updated. One full-outer key join over column-pruned version scans.
     "q_versioned_diff" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vtd").toString + "/t"
+      val dir = scratchDir("graft_vtd") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), dir)
@@ -3127,7 +3174,7 @@ object SparkEntry {
     // values: step 1 adds the evens, step 2 updates negative balances,
     // step 3 removes the %13 keys. Each step diffs ONLY its changed files.
     "q_versioned_changes" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vtc").toString + "/t"
+      val dir = scratchDir("graft_vtc") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 0L), dir)
@@ -3147,7 +3194,7 @@ object SparkEntry {
     // rewriting its touched files. The read path anti-joins (file, pos)
     // against the sidecars; the oracle replays the whole history in SQL.
     "q_versioned_dv" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString + "/t"
+      val dir = scratchDir("graft_dv") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
@@ -3164,7 +3211,7 @@ object SparkEntry {
     // masked files (same file, different mask = changed rows), and the feed
     // reports exactly the masked keys as removed.
     "q_dv_changes" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_dvc").toString + "/t"
+      val dir = scratchDir("graft_dvc") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L), dir)
@@ -3179,7 +3226,7 @@ object SparkEntry {
     // live rows only; SET evaluates against old values), then a read. Write
     // cost O(matched rows); the oracle replays the history in SQL.
     "q_versioned_update_mor" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_mor").toString + "/t"
+      val dir = scratchDir("graft_mor") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c, dir)
@@ -3198,7 +3245,7 @@ object SparkEntry {
     // that lets a million-file table take a one-file append without
     // rewriting a million manifest lines.
     "q_versioned_deltalog" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_dlog").toString + "/t"
+      val dir = scratchDir("graft_dlog") + "/t"
       // integer cents: the sum is exact and order-free, so the driver hash
       // is bit-identical cross-engine (the round-2 decimal rule).
       // localCheckpoint: 12 slice-appends filter the cached projection
@@ -3230,7 +3277,7 @@ object SparkEntry {
     // survives). Two appends prove the incremental stats maintenance path
     // feeds it; DuckDB recomputes the truth from the raw rows.
     "q_versioned_stats_agg" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vsagg").toString + "/t"
+      val dir = scratchDir("graft_vsagg") + "/t"
       val li = t(s, d, "lineitem").select(col("l_orderkey"),
         col("l_quantity").cast("double").as("l_quantity"),
         col("l_extendedprice").cast("double").as("l_extendedprice"))
@@ -3257,7 +3304,7 @@ object SparkEntry {
     // (which must see the post-update balances), OPTIMIZE re-layout, and
     // the final SELECT — all onto the same commit protocol the API uses.
     "q_sql_dml" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_tsql").toString + "/t"
+      val dir = scratchDir("graft_tsql") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c, dir)
@@ -3278,7 +3325,7 @@ object SparkEntry {
     // upsert %3 keys to bal 500 + insert shifted %13 keys (MERGE), then
     // drop negatives (DELETE); DuckDB replays the algebra.
     "q_sql_rowlevel_native" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_rln").toString + "/t"
+      val dir = scratchDir("graft_rln") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
@@ -3305,7 +3352,7 @@ object SparkEntry {
     // any predicate onto commitDelete's copy-on-write expression form.
     // Chains a pushable DELETE after it to prove both paths share state.
     "q_sql_delete_expr" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_dexpr").toString + "/t"
+      val dir = scratchDir("graft_dexpr") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"), col("c_mktsegment").as("seg"))
       VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
@@ -3328,7 +3375,7 @@ object SparkEntry {
     // pruning is by arm condition, not the key probe. DuckDB replays the
     // three arms as one CASE over match-ness.
     "q_sql_merge_unmatched_source" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_nmbs").toString + "/t"
+      val dir = scratchDir("graft_nmbs") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
@@ -3350,7 +3397,7 @@ object SparkEntry {
     // source dir keeps serving legacy readers unchanged. DuckDB replays
     // the post-adoption DML directly over the fixture table.
     "q_convert_parquet" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_conv").toString
+      val work = scratchDir("graft_conv")
       val lake = s"$work/lake"
       t(s, d, "customer").select(col("c_custkey"),
           col("c_acctbal").cast("double").as("bal"))
@@ -3371,7 +3418,7 @@ object SparkEntry {
     // old rows null-fill) before the merge plans, so UPDATE SET * /
     // INSERT * carry the new column. DuckDB replays update+insert+null-fill.
     "q_sql_merge_evolve" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_evosql").toString + "/t"
+      val dir = scratchDir("graft_evosql") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
@@ -3396,7 +3443,7 @@ object SparkEntry {
     // by condition (negative-balance candidates dropped). DuckDB replays
     // the three arms as WHERE + CASE + UNION ALL.
     "q_sql_merge_cond" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_mcq").toString + "/t"
+      val dir = scratchDir("graft_mcq") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
@@ -3426,7 +3473,7 @@ object SparkEntry {
     // final read resolves everything through the declared schema; DuckDB
     // replays the same history in SQL.
     "q_schema_evolution" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+      val dir = scratchDir("graft_evo") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s,
@@ -3448,7 +3495,7 @@ object SparkEntry {
     // in-query gate proves the pre-rename time travel still reads `bal`.
     // DuckDB replays the value history under the final name.
     "q_schema_rename" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ren").toString + "/t"
+      val dir = scratchDir("graft_ren") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s,
@@ -3473,7 +3520,7 @@ object SparkEntry {
     // mktsegment values must NOT resurrect — the oracle asserts NULL for
     // every pre-drop row and 're' only for the evolve batch's new rows.
     "q_schema_drop" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_drop").toString + "/t"
+      val dir = scratchDir("graft_drop") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"), col("c_mktsegment").as("seg"))
       VersionedTable.commitAppend(s,
@@ -3495,7 +3542,7 @@ object SparkEntry {
     // state — O(changed files) + O(groups), the corpus never re-scanned —
     // and must land bit-identical to the full recompute the oracle runs.
     "q_matview_refresh" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      val root = scratchDir("graft_mv")
       val src  = root + "/src"
       val view = root + "/view"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
@@ -3521,7 +3568,7 @@ object SparkEntry {
     // O(affected-groups) rescan path. One refresh at the end must equal the
     // oracle's full recompute over the replayed final source.
     "q_matview_minmax" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_mvmm").toString
+      val root = scratchDir("graft_mvmm")
       val src  = root + "/src"
       val view = root + "/view"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
@@ -3551,7 +3598,7 @@ object SparkEntry {
     // actually discriminate (kept < 40% of files) and both appends' stats
     // must be 1:1 with the manifest. Oracle = the plain range filter.
     "q_versioned_skipping" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vsk").toString + "/t"
+      val dir = scratchDir("graft_vsk") + "/t"
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
         col("l_quantity").cast("double").as("qty"))
       def clustered(df: DataFrame, n: Int) =
@@ -3576,7 +3623,7 @@ object SparkEntry {
     // txn-marked MERGE/DELETE — exactly-once end to end. Two polls run; the
     // final silver must equal the oracle's replay of bronze's latest state.
     "q_cdc_replicate" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val root = scratchDir("graft_cdc")
       val (bronze, silver) = (root + "/bronze", root + "/silver")
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("bal"))
@@ -3603,7 +3650,7 @@ object SparkEntry {
     // Delta MERGE semantics, file-grain copy-on-write on a key-clustered
     // table; the oracle replays the merge as CASE + UNION ALL.
     "q_versioned_merge" -> ((s, d) => {
-      val src = java.nio.file.Files.createTempDirectory("graft_vm").toString + "/t"
+      val src = scratchDir("graft_vm") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), src)
@@ -3623,7 +3670,7 @@ object SparkEntry {
     // target file count, and the change feed across the whole span must
     // contain ZERO rows from the compaction step — all asserted in-query.
     "q_versioned_compact" -> ((s, d) => {
-      val src = java.nio.file.Files.createTempDirectory("graft_vc").toString + "/t"
+      val src = scratchDir("graft_vc") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
@@ -3649,7 +3696,7 @@ object SparkEntry {
     // equal v1's file list verbatim, and the restore step's change feed
     // must be exactly the deleted keys coming back as `added`.
     "q_versioned_restore" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vr").toString + "/t"
+      val dir = scratchDir("graft_vr") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.repartitionByRange(8, col("c_custkey")), dir)
@@ -3672,7 +3719,7 @@ object SparkEntry {
     // data/, untouched entries keep pointing at the source, and the source
     // table is asserted byte-untouched (still at v0, deleted keys present).
     "q_versioned_clone" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_vcl").toString
+      val root = scratchDir("graft_vcl")
       val (src, dst) = (root + "/src", root + "/clone")
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("bal"))
@@ -3697,7 +3744,7 @@ object SparkEntry {
     // the clipped-valid append then lands. Enforcement reads only each
     // commit's new files, never the table.
     "q_constraint_enforce" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString + "/t"
+      val dir = scratchDir("graft_chk") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.where(col("bal") >= 0.0), dir)
@@ -3733,7 +3780,7 @@ object SparkEntry {
     // nothing re-emitted (exactly-once across restart rides offset replay
     // + immutable manifests). Oracle = replay of everything ever appended.
     "q_stream_versioned" -> ((s, d) => {
-      val root  = java.nio.file.Files.createTempDirectory("graft_vstr").toString
+      val root  = scratchDir("graft_vstr")
       val table = root + "/t"
       val (out, ckpt) = (root + "/out", root + "/ckpt")
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
@@ -3767,7 +3814,7 @@ object SparkEntry {
     // replay, not a re-listing — into a versioned table through the
     // exactly-once sink. Oracle = every raw row exactly once.
     "q_autoload_ingest" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_al_q").toString
+      val root = scratchDir("graft_al_q")
       val (raw, table, ckpt) = (root + "/raw", root + "/t", root + "/ckpt")
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("bal"))
@@ -3796,7 +3843,7 @@ object SparkEntry {
     // runs over one checkpoint. Self-gated: second wave must not re-ingest
     // the first, and content round-trips byte-exact (sha over the bytes).
     "q_autoload_binary" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_alb_q").toString
+      val root = scratchDir("graft_alb_q")
       val (raw, out, ckpt) = (root + "/raw", root + "/out", root + "/ckpt")
       new java.io.File(raw).mkdirs()
       val names = t(s, d, "customer").select("c_custkey", "c_name")
@@ -3848,7 +3895,7 @@ object SparkEntry {
     // nothing. Two drains across a checkpoint prove exactly-once replay;
     // DuckDB reconstructs the full expected feed from the known history.
     "q_stream_cdf" -> ((s, d) => {
-      val root  = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val root  = scratchDir("graft_cdf")
       val table = root + "/t"
       val (out, ckpt) = (root + "/out", root + "/ckpt")
       val c = t(s, d, "customer").select(col("c_custkey"),
@@ -3892,7 +3939,7 @@ object SparkEntry {
     // builder guarantees batch and stream feeds cannot drift, and this
     // oracle proves the batch side independently.
     "q_cdf_batch" -> ((s, d) => {
-      val table = java.nio.file.Files.createTempDirectory("graft_cdfb").toString + "/t"
+      val table = scratchDir("graft_cdfb") + "/t"
       val c = t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
       VersionedTable.commitAppend(s, c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
@@ -3922,7 +3969,7 @@ object SparkEntry {
     // the mirror holding only the new files' rows (asserted). Exactly-once
     // end to end: source offset replay + sink (appId, batchId) txn marker.
     "q_stream_versioned_mirror" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_vmir").toString
+      val root = scratchDir("graft_vmir")
       val (bronze, mirror, ckpt) = (root + "/bronze", root + "/mirror", root + "/ckpt")
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("bal"))
@@ -3955,7 +4002,7 @@ object SparkEntry {
     // the versioned source/sink), snapshot batch + incremental tail, dest
     // committed exactly once per drain.
     "q_stream_table_mirror" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_ctmir").toString
+      val root = scratchDir("graft_ctmir")
       val (bronze, mirror, ckpt) = (root + "/bronze", root + "/mirror", root + "/ckpt")
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("bal"))
@@ -3988,7 +4035,7 @@ object SparkEntry {
     // O(batch) per refresh, the history never re-scanned. Run to
     // completion, the view must equal the oracle's one-shot recompute.
     "q_stream_matview" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_smv").toString
+      val root = scratchDir("graft_smv")
       val src  = root + "/src"
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
         col("c_acctbal").cast("decimal(18,2)").as("bal_dec"),
@@ -4008,7 +4055,7 @@ object SparkEntry {
     // Partition-scoped anti-rewrite: only the buckets holding doomed keys
     // are read/rewritten/swapped; oracle = the surviving-row filter.
     "q_delete_keys" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_delk").toString + "/t"
+      val work = scratchDir("graft_delk") + "/t"
       val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
       TableManager.initPartitionedTarget(c, work, Seq("c_custkey"), nBuckets = 8)
       TableManager.deletePartitioned(s, work,
@@ -4780,6 +4827,31 @@ object SparkEntry {
     "q_dedup_simhash" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents " +
         "WHERE text IS NOT NULL AND doc_id % 10 = 0 ORDER BY id_a"),
+
+    // Decision ground truth for the incremental near-dedup at J == 1.0
+    // (r18 conversion): a batch doc survives iff its sorted word-bigram
+    // shingle set matches no indexed (doc_id < 250) doc's AND it is the
+    // min id of its within-batch shingle-set group; null-text batch docs
+    // pass through (nothing to index or compare). The planted
+    // id+1_000_000 exact copies mirror the Spark side's union and are
+    // dropped by the history leg by construction.
+    "q_dedup_near_incr" ->
+      (s"WITH hb AS (SELECT doc_id, text FROM documents WHERE doc_id < 250 " +
+        "AND text IS NOT NULL), " +
+        s"htoks AS (SELECT doc_id, $tokensSql AS tk FROM hb), " +
+        s"hsh AS (SELECT DISTINCT list_sort(${shinglesSql(2)}) AS ts FROM htoks), " +
+        "batch AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 250 " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents " +
+        "WHERE doc_id < 250 AND doc_id % 9 = 0 AND text IS NOT NULL), " +
+        s"btoks AS (SELECT doc_id, n_chars, $tokensSql AS tk FROM batch " +
+        "WHERE text IS NOT NULL), " +
+        s"bsh AS (SELECT doc_id, n_chars, list_sort(${shinglesSql(2)}) AS ts FROM btoks), " +
+        "keepers AS (SELECT MIN(doc_id) AS doc_id FROM bsh GROUP BY ts) " +
+        "SELECT doc_id, n_chars FROM (" +
+        "SELECT b.doc_id, b.n_chars FROM bsh b JOIN keepers k USING (doc_id) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM hsh h WHERE h.ts = b.ts) " +
+        "UNION ALL SELECT doc_id, n_chars FROM batch WHERE text IS NULL) s " +
+        "ORDER BY doc_id"),
 
     // Decision ground truth for the group-MinHash UDAF: group signatures
     // are equal (est == 1.0) iff the groups' token-set UNIONS are equal —

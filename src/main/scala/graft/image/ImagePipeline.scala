@@ -48,9 +48,10 @@ object ImagePipeline {
     * deterministic path would let the NEXT ingest's overwrite delete the
     * files backing a previously returned frame mid-lifetime, and two JVMs
     * ingesting the same source would clobber each other's in-flight reads).
-    * Small price: repeated ingests accumulate staged copies until the
-    * caller (or tmp cleaning) removes them — callers managing lifetime pass
-    * an explicit `stageDir` and delete it via `TableManager.deleteDir`.
+    * Lifetime: the local default stages under [[graft.Scratch]] (swept at
+    * JVM exit); shared-store stages persist until the caller removes
+    * them — callers managing lifetime pass an explicit `stageDir` and
+    * delete it via `TableManager.deleteDir`.
     *
     * The default must live on a filesystem ALL executors and the driver
     * share: a driver-local `java.io.tmpdir` path is only that on a
@@ -71,8 +72,9 @@ object ImagePipeline {
     val tag  = s".graft_ingest_stage_${src.getName}_${java.util.UUID.randomUUID().toString.take(8)}"
     (local, root) match {
       case (true, None) =>
-        val base = s"graft_ingest_${graft.tables.FsIO.tmpTag(dir)}_"
-        java.nio.file.Files.createTempDirectory(base).toString + "/staged"
+        // swept at JVM exit (ADVICE-r16): a per-ingest temp stage that
+        // nobody cleans accumulates image payloads across Verify/Bench runs
+        graft.Scratch.dir(s"graft_ingest_${graft.tables.FsIO.tmpTag(dir)}_") + "/staged"
       case (_, Some(r)) =>
         new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(r), tag).toString
       case (false, None) =>

@@ -151,10 +151,27 @@ object Dedup {
       .drop("__keep")
   }
 
+  /** 32-byte exact fingerprint of a text's distinct word-shingle SET:
+    * sha256 over the sorted set's JSON encoding (unambiguous — shingles
+    * may contain any character, and JSON escaping keeps the encoding
+    * injective). Two texts share a fingerprint iff their shingle sets are
+    * equal (modulo sha256 collision), which is exactly Jaccard == 1.0 —
+    * the confirmation [[nearDedupAgainstIndex]] uses at that threshold. */
+  def shingleSetHash(text: Column, shingleN: Int): Column =
+    sha2(to_json(array_sort(wordShingles(text, shingleN))), 256)
+
   /** MinHash signature index of a corpus — the NEAR-dup analogue of
-    * [[dedupAgainstCorpus]]'s hash index: persist this (id, sig) relation
-    * and incremental batches near-dedup against it without ever re-reading
-    * the corpus text (8·numHashes bytes per historical doc). */
+    * [[dedupAgainstCorpus]]'s hash index: persist this (id, sig, seth)
+    * relation and incremental batches near-dedup against it without ever
+    * re-reading the corpus text (8·numHashes + 32 bytes per historical
+    * doc). `seth` is the exact shingle-SET fingerprint
+    * ([[shingleSetHash]]): at `minEstJaccard == 1.0`,
+    * [[nearDedupAgainstIndex]] confirms candidates on set EQUALITY
+    * instead of the signature estimate — a high-Jaccard non-identical
+    * pair collides on all `numHashes` slots with probability ≈
+    * J^numHashes (≈0.14 per J=0.97 pair at 64 hashes — real on corpora
+    * with planted near-dups), and the fingerprint removes that
+    * false-positive direction while the index stays text-free. */
   def minHashIndex(
       df: DataFrame,
       textCol: String,
@@ -162,7 +179,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64): DataFrame =
     df.select(col(idCol).as("id"),
-        minHashSignatureUdf(shingleN, numHashes)(col(textCol)).as("sig"))
+        minHashSignatureUdf(shingleN, numHashes)(col(textCol)).as("sig"),
+        shingleSetHash(col(textCol), shingleN).as("seth"))
       .where(col("sig").isNotNull)
 
   /** Incremental NEAR-dedup of an arriving batch against a persisted
@@ -171,11 +189,19 @@ object Dedup {
     * near-dup groups to the min id (one-pass rule, as
     * [[dropNearDuplicates]]). Returns surviving batch rows.
     *
-    * Confirmation is the SIGNATURE estimate on both legs — the index
-    * deliberately holds no text, so the exact-Jaccard re-check of the
-    * in-corpus path is unavailable; with 64 hashes the estimate's standard
-    * error is ≈ 1/√64 ≈ 0.125, which is the documented precision contract
-    * of this operator (tighten with more hashes, not with a text re-read).
+    * Confirmation at FRACTIONAL thresholds is the SIGNATURE estimate on
+    * both legs — the index deliberately holds no text, so the
+    * exact-Jaccard re-check of the in-corpus path is unavailable; with 64
+    * hashes the estimate's standard error is ≈ 1/√64 ≈ 0.125, which is
+    * the documented precision contract there (tighten with more hashes,
+    * not with a text re-read). At `minEstJaccard == 1.0` the decision is
+    * EXACT when the index carries the [[shingleSetHash]] `seth` column
+    * (every [[minHashIndex]] since r18 does): candidates confirm on set
+    * equality, so neither leg can drop a doc to an all-slots estimate
+    * collision (P ≈ J^numHashes per high-J pair). A legacy index without
+    * `seth` falls back to the estimate with its documented collision
+    * risk. Recall is unchanged either way: equal sets imply equal
+    * signatures, so every true pair still meets in all its bands.
     *
     * Plan shape (100 TB): both sides band map-side; candidates meet in the
     * (band_key, id) join, signatures re-attach per unique candidate pair by
@@ -185,7 +211,7 @@ object Dedup {
       batch: DataFrame,
       textCol: String,
       idCol: String,
-      index: DataFrame, // (id, sig) from minHashIndex
+      index: DataFrame, // (id, sig[, seth]) from minHashIndex
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
@@ -193,10 +219,24 @@ object Dedup {
       maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
+    val exact = minEstJaccard >= 1.0 && index.columns.contains("seth")
+    // candidate confirmation: exact set equality at J == 1.0, signature
+    // estimate at fractional thresholds (see scaladoc). Per-PAIR legacy
+    // fallback inside the exact path: a pre-seth index row surfaces a
+    // null fingerprint under parquet schema merge, and `null === x`
+    // would silently UNCONFIRM it — an exact copy in a legacy index
+    // must still drop, so null-fingerprint pairs keep the estimate.
+    def confirmed(sigA: Column, sigB: Column, sethA: Column, sethB: Column): Column =
+      if (exact)
+        when(sethA.isNotNull && sethB.isNotNull, sethA === sethB)
+          .otherwise(estimatedJaccardNative(sigA, sigB) >= minEstJaccard)
+      else estimatedJaccardNative(sigA, sigB) >= minEstJaccard
     val batchSigs = minHashIndex(batch, textCol, idCol, shingleN, numHashes)
     batchSigs.persist()
     try {
-      val histSigs   = index.select(col("id"), col("sig"))
+      val histSigs =
+        if (exact) index.select(col("id"), col("sig"), col("seth"))
+        else index.select(col("id"), col("sig"), lit(null).cast("string").as("seth"))
       val batchBands = batchSigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
       val histBands  = histSigs.select(col("id"),
@@ -218,16 +258,20 @@ object Dedup {
       val histMatched = underCap(batchBands).select(col("band_key"), col("id").as("b_id"))
         .join(underCap(histBands).select(col("band_key"), col("id").as("h_id")), Seq("band_key"))
         .select("b_id", "h_id").distinct()
-        .join(batchSigs.select(col("id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
-        .join(histSigs.select(col("id").as("h_id"), col("sig").as("sig_h")), Seq("h_id"))
-        .where(estimatedJaccardNative(col("sig_b"), col("sig_h")) >= minEstJaccard)
+        .join(batchSigs.select(col("id").as("b_id"), col("sig").as("sig_b"),
+          col("seth").as("seth_b")), Seq("b_id"))
+        .join(histSigs.select(col("id").as("h_id"), col("sig").as("sig_h"),
+          col("seth").as("seth_h")), Seq("h_id"))
+        .where(confirmed(col("sig_b"), col("sig_h"), col("seth_b"), col("seth_h")))
         .select(col("b_id").as("id")).distinct()
 
       // leg 2: within-batch — the standard capped-bucket pair path
       val pairs = bucketedPairs(batchBands, Seq("band_key"), maxBucketSize)
-        .join(batchSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(batchSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-        .where(estimatedJaccardNative(col("sig_a"), col("sig_b")) >= minEstJaccard)
+        .join(batchSigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
+          col("seth").as("seth_a")), Seq("id_a"))
+        .join(batchSigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
+          col("seth").as("seth_b")), Seq("id_b"))
+        .where(confirmed(col("sig_a"), col("sig_b"), col("seth_a"), col("seth_b")))
       val batchLosers = pairs.select(col("id_b").as("id")).distinct()
 
       // checkpoint the DROP SET (ids only, bounded) while the signature

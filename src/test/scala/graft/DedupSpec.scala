@@ -297,6 +297,35 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(12L, 14L)) // 10/11 match history, 13 loses to 12, null passes
   }
 
+  test("nearDedupAgainstIndex at J == 1.0: exact set-equality confirm, no est collisions") {
+    import spark.implicits._
+    val history = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val index = Dedup.minHashIndex(history, "text", "doc_id", shingleN = 2)
+    val batch = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta",       // exact copy → drop
+      11L -> "alpha beta gamma delta epsilon zeta eta theta iota",  // J < 1 superset → keep
+      // within-batch SET-equal pair (texts differ, bigram SETS equal:
+      // both are {"x y","y x"}) → 13 collapses to 12
+      12L -> "x y x y",
+      13L -> "x y x y x y").toDF("doc_id", "text")
+    val out = Dedup.nearDedupAgainstIndex(batch, "text", "doc_id", index,
+        shingleN = 2, minEstJaccard = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 12L))
+    // legacy index without the seth fingerprint: the estimate fallback
+    // still drops the exact copy (equal sets ⇒ equal signatures)
+    val legacy = Dedup.nearDedupAgainstIndex(batch, "text", "doc_id",
+        index.drop("seth"), shingleN = 2, minEstJaccard = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(legacy == Set(11L, 12L))
+    // the fingerprint is SET-sensitive, not text-sensitive
+    val h = Dedup.shingleSetHash(col("text"), 2)
+    val fps = Seq("x y x y", "x y x y x y", "x y z")
+      .toDF("text").select(h.as("f")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
   test("editDistanceJoinPairs: full recall vs brute force at maxDist=2") {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet").limit(120)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
