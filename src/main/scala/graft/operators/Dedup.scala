@@ -151,37 +151,56 @@ object Dedup {
       .drop("__keep")
   }
 
-  /** 32-byte exact fingerprint of a text's distinct word-shingle SET:
-    * sha256 over the sorted set's JSON encoding (unambiguous — shingles
-    * may contain any character, and JSON escaping keeps the encoding
-    * injective). Two texts share a fingerprint iff their shingle sets are
-    * equal (modulo sha256 collision), which is exactly Jaccard == 1.0 —
-    * the confirmation [[nearDedupAgainstIndex]] uses at that threshold. */
-  def shingleSetHash(text: Column, shingleN: Int): Column =
-    sha2(to_json(array_sort(wordShingles(text, shingleN))), 256)
+  /** 32-byte fingerprint of a text's distinct word-shingle SET: sha256
+    * over the doc's SORTED distinct 64-bit shingle hashes — the same
+    * splitmix-finished hash family the MinHash signature is built from,
+    * computed in the signature kernel's single tokenize+shingle pass
+    * (a separate Catalyst shingle pipeline measurably tripled the index
+    * build cost: interpreted HOFs, per-doc array materialization).
+    * Equal shingle sets give equal fingerprints always; unequal sets
+    * collide only through the same per-shingle 64-bit collisions the
+    * signature estimate already rides on. This definition is the
+    * PERSISTED-INDEX contract: never change it — a redefined
+    * fingerprint would silently stop matching docs indexed by an older
+    * version. */
+  def shingleSetHash(text: Column, shingleN: Int): Column = {
+    val f = udf((t: String) =>
+      if (t == null) null
+      else sha256Hex(minHashKernel(t, shingleN, 0, EmptySeeds, wantSet = true)._2))
+    f(text)
+  }
 
   /** MinHash signature index of a corpus — the NEAR-dup analogue of
     * [[dedupAgainstCorpus]]'s hash index: persist this (id, sig, seth)
     * relation and incremental batches near-dedup against it without ever
     * re-reading the corpus text (8·numHashes + 32 bytes per historical
     * doc). `seth` is the exact shingle-SET fingerprint
-    * ([[shingleSetHash]]): at `minEstJaccard == 1.0`,
-    * [[nearDedupAgainstIndex]] confirms candidates on set EQUALITY
-    * instead of the signature estimate — a high-Jaccard non-identical
-    * pair collides on all `numHashes` slots with probability ≈
-    * J^numHashes (≈0.14 per J=0.97 pair at 64 hashes — real on corpora
-    * with planted near-dups), and the fingerprint removes that
-    * false-positive direction while the index stays text-free. */
+    * ([[shingleSetHash]], computed in the same kernel pass as the
+    * signature): at `minEstJaccard == 1.0`, [[nearDedupAgainstIndex]]
+    * confirms candidates on set EQUALITY instead of the signature
+    * estimate — a high-Jaccard non-identical pair collides on all
+    * `numHashes` slots with probability ≈ J^numHashes (≈0.14 per J=0.97
+    * pair at 64 hashes — real on corpora with planted near-dups), and
+    * the fingerprint removes that false-positive direction while the
+    * index stays text-free. */
   def minHashIndex(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleN: Int = 3,
-      numHashes: Int = 64): DataFrame =
-    df.select(col(idCol).as("id"),
-        minHashSignatureUdf(shingleN, numHashes)(col(textCol)).as("sig"),
-        shingleSetHash(col(textCol), shingleN).as("seth"))
-      .where(col("sig").isNotNull)
+      numHashes: Int = 64): DataFrame = {
+    val seed      = 42L
+    val slotSeeds = Array.tabulate(numHashes)(i => splitmix64(seed + i))
+    val both = udf((t: String) =>
+      if (t == null) null
+      else {
+        val (sig, set) = minHashKernel(t, shingleN, numHashes, slotSeeds, wantSet = true)
+        (sig, sha256Hex(set))
+      })
+    df.select(col(idCol).as("id"), both(col(textCol)).as("__ss"))
+      .where(col("__ss").isNotNull)
+      .select(col("id"), col("__ss._1").as("sig"), col("__ss._2").as("seth"))
+  }
 
   /** Incremental NEAR-dedup of an arriving batch against a persisted
     * [[minHashIndex]]: drop batch docs whose estimated Jaccard vs ANY
@@ -376,38 +395,72 @@ object Dedup {
   }
 
   private def minHashSignatureKernel(
-      text: String, shingleN: Int, numHashes: Int, slotSeeds: Array[Long]): Array[Long] = {
-    {
-      val toks = sparkTokens(text)
-      val sig  = Array.fill(numHashes)(Long.MaxValue)
-      val seen = new java.util.HashSet[Long]()
-      val last = math.max(0, toks.length - shingleN)
-      var j    = 0
-      while (j <= last) {
-        // polynomial hash over the shingle's tokens, splitmix-finished
-        var h = 1125899906842597L
-        var t = j
-        val end = math.min(toks.length, j + shingleN)
-        while (t < end) {
-          val s = toks(t)
-          var c = 0
-          while (c < s.length) { h = 31 * h + s.charAt(c); c += 1 }
-          h = 31 * h + ' '
-          t += 1
-        }
-        val h0 = splitmix64(h)
-        if (seen.add(h0)) {
-          var k = 0
-          while (k < numHashes) {
-            val v = splitmix64(h0 ^ slotSeeds(k))
-            if (v < sig(k)) sig(k) = v
-            k += 1
-          }
-        }
-        j += 1
+      text: String, shingleN: Int, numHashes: Int, slotSeeds: Array[Long]): Array[Long] =
+    minHashKernel(text, shingleN, numHashes, slotSeeds, wantSet = false)._1
+
+  private val EmptySeeds = Array.empty[Long]
+
+  /** The single tokenize+shingle+hash pass behind [[minHashSignatureUdf]]
+    * and [[minHashIndex]]: yields the numHashes-slot signature and, when
+    * `wantSet`, the doc's SORTED distinct 64-bit shingle hashes (the
+    * [[shingleSetHash]] input). One pass for both — the index grain needs
+    * signature AND fingerprint, and tokenization dominates. */
+  private def minHashKernel(text: String, shingleN: Int, numHashes: Int,
+      slotSeeds: Array[Long], wantSet: Boolean): (Array[Long], Array[Long]) = {
+    val toks = sparkTokens(text)
+    val sig  = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[Long]()
+    val last = math.max(0, toks.length - shingleN)
+    var j    = 0
+    while (j <= last) {
+      // polynomial hash over the shingle's tokens, splitmix-finished
+      var h = 1125899906842597L
+      var t = j
+      val end = math.min(toks.length, j + shingleN)
+      while (t < end) {
+        val s = toks(t)
+        var c = 0
+        while (c < s.length) { h = 31 * h + s.charAt(c); c += 1 }
+        h = 31 * h + ' '
+        t += 1
       }
-      sig
+      val h0 = splitmix64(h)
+      if (seen.add(h0)) {
+        var k = 0
+        while (k < numHashes) {
+          val v = splitmix64(h0 ^ slotSeeds(k))
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+      }
+      j += 1
     }
+    if (!wantSet) (sig, null)
+    else {
+      val set = new Array[Long](seen.size)
+      val it  = seen.iterator()
+      var i   = 0
+      while (it.hasNext) { set(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(set)
+      (sig, set)
+    }
+  }
+
+  /** Lowercase-hex SHA-256 over the big-endian bytes of `sorted` — the
+    * [[shingleSetHash]] encoding. */
+  private def sha256Hex(sorted: Array[Long]): String = {
+    val buf = java.nio.ByteBuffer.allocate(8 * sorted.length)
+    var i = 0
+    while (i < sorted.length) { buf.putLong(sorted(i)); i += 1 }
+    val d  = java.security.MessageDigest.getInstance("SHA-256").digest(buf.array())
+    val sb = new java.lang.StringBuilder(64)
+    var b = 0
+    while (b < d.length) {
+      sb.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(b) & 0xf, 16))
+      b += 1
+    }
+    sb.toString
   }
 
   /** Estimated Jaccard similarity = fraction of agreeing signature slots.
