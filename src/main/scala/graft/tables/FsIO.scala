@@ -200,6 +200,7 @@ object FsIO {
       System.err.println(s"[graft] $label: taking over stale write lock on $dir " +
         s"(age ${ageMs.get} ms > lease $staleMs ms)")
       if (readText(lock.toString, conf).getOrElse("") == body) fs.delete(lock, false)
+      sweepRenewTemps(fs, lock) // the dead holder's in-flight renewal temp, if any
       if (!tryCreate())
         sys.error(s"$label: lost the write-lock takeover race on $dir — " +
           "another writer re-acquired it; retry later")
@@ -213,11 +214,23 @@ object FsIO {
   def ownsWriteLock(l: WriteLock, conf: Configuration = hadoopConf()): Boolean =
     readText(l.path.toString, conf).exists(_.contains(s"owner=${l.owner}"))
 
+  /** Schemes where a rename onto an existing destination is a single
+    * atomic NAMESPACE operation (namenode-arbitrated) AND an
+    * AbstractFileSystem binding is guaranteed to ship with the
+    * connector. Everything else must NOT renew via FileContext: the
+    * default `renameInternal(overwrite)` there is check-dst,
+    * delete-dst, rename — a window with NO lock file that a rival's
+    * create-no-overwrite can win — and many object-store connectors
+    * ship no AbstractFileSystem binding at all, so the call would throw
+    * UnsupportedFileSystemException and the heartbeat could never renew
+    * on exactly the stores the conditional-PUT attestation admits. */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs")
+
   /** Replace `dst` with `tmp` ATOMICALLY, so a concurrent reader sees
     * either the old complete body or the new complete body — never a
-    * truncated prefix. file:// uses NIO ATOMIC_MOVE; the other
-    * [[ExactLockSchemes]] get FileContext rename with OVERWRITE (an
-    * atomic namespace operation on HDFS/ABFS/GCS). */
+    * truncated prefix. file:// uses NIO ATOMIC_MOVE; [[AtomicRenameSchemes]]
+    * get FileContext rename with OVERWRITE. Callers route every other
+    * scheme elsewhere (see [[renewWriteLock]]). */
   private def atomicReplace(tmp: Path, dst: Path, conf: Configuration): Unit = {
     val scheme = Option(dst.toUri.getScheme).getOrElse("file")
     if (scheme == "file" || scheme == "local") {
@@ -237,28 +250,60 @@ object FsIO {
         .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Delete any `<lock>.renew.*` temp siblings (and their ChecksumFS
+    * `.crc` sidecars) a CRASHED holder left behind — a holder that died
+    * between writing its renewal temp and the atomic replace leaves one
+    * orphan per owner forever otherwise. Called where the temps are
+    * provably dead: on a stale-lease takeover (the lease is past its
+    * window, so no renewal of it can be in flight we'd want to keep) and
+    * on an owned release (our own heartbeat is stopped and joined before
+    * release). Best-effort: litter cleanup must never fail the lease
+    * protocol around it. */
+  private def sweepRenewTemps(fs: org.apache.hadoop.fs.FileSystem, lock: Path): Unit =
+    try {
+      val parent = lock.getParent
+      val name   = lock.getName
+      Seq(new Path(parent, name + ".renew.*"),
+          new Path(parent, "." + name + ".renew.*.crc")).foreach { glob =>
+        val hits = fs.globStatus(glob)
+        if (hits != null) hits.foreach(s => fs.delete(s.getPath, false))
+      }
+    } catch { case _: java.io.IOException => () }
+
   /** Renew a held lease by rewriting its `ts` to now. Returns false —
     * lease LOST, do not write further — if the lock no longer carries
     * this owner (a healer legitimately took over a lease whose heartbeat
-    * stalled past `staleMs`). The rewrite lands as a temp sibling +
-    * atomic rename, never a truncate-in-place: a rival polling the lock
-    * mid-truncation could otherwise parse a partial `ts=` digit prefix
-    * as a tiny long and classify a LIVE lease as stale. The
-    * check-then-rewrite pair is still not a CAS: a holder that stalls
-    * between the ownership read and the rename can clobber a rival's
-    * LEGAL takeover of a by-then-stale lease. [[withWriteLockHeartbeat]]
-    * closes most of that window — it only renews INSIDE the lease
-    * (self-expiring past `staleMs`) and treats a renewal whose
-    * read→write span STRADDLED the lease boundary as lost — but on a
-    * store with no compare-and-swap primitive a residual stall-exactly-
-    * at-the-boundary window remains; both sides then abort loudly at
-    * their next ownership gate rather than publish. */
+    * stalled past `staleMs`). The rewrite must never expose a torn or
+    * absent lock to a rival's staleness poll, and the primitive that
+    * guarantees that is per-scheme: on file:// a temp sibling + NIO
+    * ATOMIC_MOVE, on HDFS a temp sibling + FileContext rename-OVERWRITE
+    * (atomic in the namenode), and on OBJECT STORES a direct
+    * `create(overwrite=true)` — one blob PUT at close(), atomic at the
+    * store, so readers see the old or the new complete body and the lock
+    * never vanishes mid-renewal. (A FileContext rename there would be
+    * delete-dst-then-rename — a no-lock window a rival's create could
+    * win — or an UnsupportedFileSystemException where the connector
+    * ships no AbstractFileSystem binding.) The check-then-rewrite pair
+    * is still not a CAS: a holder that stalls between the ownership read
+    * and the rewrite can clobber a rival's LEGAL takeover of a
+    * by-then-stale lease. [[withWriteLockHeartbeat]] closes most of that
+    * window — it only renews INSIDE the lease (self-expiring past
+    * `staleMs`) and treats a renewal whose read→write span STRADDLED the
+    * lease boundary as lost — but on a store with no compare-and-swap
+    * primitive a residual stall-exactly-at-the-boundary window remains;
+    * both sides then abort loudly at their next ownership gate rather
+    * than publish. */
   def renewWriteLock(l: WriteLock, label: String, conf: Configuration = hadoopConf()): Boolean =
     ownsWriteLock(l, conf) && {
-      val tmp = new Path(l.path.toString + s".renew.${l.owner.take(8)}")
-      writeText(tmp.toString,
-        s"owner=${l.owner}\nts=${System.currentTimeMillis()}\nlabel=$label\n", conf)
-      atomicReplace(tmp, l.path, conf)
+      val body   = s"owner=${l.owner}\nts=${System.currentTimeMillis()}\nlabel=$label\n"
+      val scheme = Option(l.path.toUri.getScheme)
+        .orElse(Option(l.path.getFileSystem(conf).getUri.getScheme)).getOrElse("file")
+      if (scheme == "file" || scheme == "local" || AtomicRenameSchemes.contains(scheme)) {
+        val tmp = new Path(l.path.toString + s".renew.${l.owner.take(8)}")
+        writeText(tmp.toString, body, conf)
+        atomicReplace(tmp, l.path, conf)
+      } else
+        writeText(l.path.toString, body, conf) // object store: atomic PUT
       ownsWriteLock(l, conf)
     }
 
@@ -337,22 +382,25 @@ object FsIO {
     * slow-writer-looks-crashed hazard for exactly those writers). */
   def withWriteLockHeartbeatRetry[A](dir: String, label: String, staleMs: Long,
       maxWaitMs: Long)(body: Heartbeat => A): A = {
-    val conf     = hadoopConf()
+    val conf = hadoopConf()
+    val l    = acquireWithRetry(dir, label, staleMs, maxWaitMs, conf)
+    runUnderHeartbeat(l, dir, label, staleMs, conf)(body)
+  }
+
+  /** [[acquireWriteLock]] with LIVE contenders retried on jittered
+    * exponential backoff up to `maxWaitMs` — the single retry loop behind
+    * [[withWriteLockRetry]] and [[withWriteLockHeartbeatRetry]]. */
+  private def acquireWithRetry(dir: String, label: String, staleMs: Long,
+      maxWaitMs: Long, conf: Configuration): WriteLock = {
     val deadline = System.currentTimeMillis() + maxWaitMs
     var backoff  = 50L
     while (true) {
-      val acquired =
-        try Some(acquireWriteLock(dir, label, staleMs, conf))
-        catch {
-          case e: LockBusy =>
-            if (System.currentTimeMillis() >= deadline) throw e
-            Thread.sleep(backoff + scala.util.Random.nextLong(backoff))
-            backoff = math.min(backoff * 2, 400L)
-            None
-        }
-      acquired match {
-        case Some(l) => return runUnderHeartbeat(l, dir, label, staleMs, conf)(body)
-        case None    => ()
+      try return acquireWriteLock(dir, label, staleMs, conf)
+      catch {
+        case e: LockBusy =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(backoff + scala.util.Random.nextLong(backoff))
+          backoff = math.min(backoff * 2, 400L)
       }
     }
     sys.error("unreachable")
@@ -417,8 +465,12 @@ object FsIO {
     * case the takeover's lock must survive). */
   def releaseWriteLock(l: WriteLock, conf: Configuration = hadoopConf()): Unit = {
     val fs = l.path.getFileSystem(conf)
-    if (readText(l.path.toString, conf).exists(_.contains(s"owner=${l.owner}")))
+    if (readText(l.path.toString, conf).exists(_.contains(s"owner=${l.owner}"))) {
       fs.delete(l.path, false)
+      // our heartbeat (if any) is stopped+joined before release, so a
+      // surviving temp of ours is a dead orphan — sweep it
+      sweepRenewTemps(fs, l.path)
+    }
   }
 
   /** Run `body` under the write lease for `dir`. */
@@ -436,17 +488,7 @@ object FsIO {
     * compaction is a pipeline stall better surfaced than absorbed. */
   def withWriteLockRetry[A](dir: String, label: String, staleMs: Long,
       maxWaitMs: Long)(body: => A): A = {
-    val deadline = System.currentTimeMillis() + maxWaitMs
-    var backoff  = 50L
-    while (true) {
-      try return withWriteLock(dir, label, staleMs)(body)
-      catch {
-        case e: LockBusy =>
-          if (System.currentTimeMillis() >= deadline) throw e
-          Thread.sleep(backoff + scala.util.Random.nextLong(backoff))
-          backoff = math.min(backoff * 2, 400L)
-      }
-    }
-    sys.error("unreachable")
+    val l = acquireWithRetry(dir, label, staleMs, maxWaitMs, hadoopConf())
+    try body finally releaseWriteLock(l)
   }
 }

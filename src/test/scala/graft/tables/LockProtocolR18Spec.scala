@@ -109,6 +109,52 @@ class LockProtocolR18Spec extends SparkSpec {
     assert(leftovers.isEmpty, s"renewal temp files linger: ${leftovers.mkString(",")}")
   }
 
+  test("renewal works on an object-store scheme with no AbstractFileSystem binding") {
+    // mockcond deliberately registers only fs.mockcond.impl — no
+    // fs.AbstractFileSystem binding, the shape of most object-store
+    // connectors. A FileContext-rename renewal would throw
+    // UnsupportedFileSystemException on every heartbeat tick here, so the
+    // holder could never renew on exactly the stores the conditional-PUT
+    // attestation admits; the in-place atomic-PUT path must renew fine.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.mockcond.impl", classOf[MockConditionalFs].getName)
+    conf.set("fs.mockcond.impl.disable.cache", "true")
+    conf.setBoolean(FsIO.ConditionalPutLockKey, true)
+    val dir = "mockcond:" + tmp() + "/t"
+    val l   = FsIO.acquireWriteLock(dir, "w", staleMs = 60000, conf = conf)
+    val ts0 = FsIO.readText(l.path.toString, conf).get
+      .split("\n").find(_.startsWith("ts=")).get.stripPrefix("ts=").toLong
+    Thread.sleep(5)
+    assert(FsIO.renewWriteLock(l, "w", conf), "renewal must succeed on the object-store scheme")
+    val body1 = FsIO.readText(l.path.toString, conf).get
+    assert(body1.contains(s"owner=${l.owner}"), "renewal must preserve ownership")
+    val ts1 = body1.split("\n").find(_.startsWith("ts=")).get.stripPrefix("ts=").toLong
+    assert(ts1 > ts0, "renewal must advance the lease ts")
+    FsIO.releaseWriteLock(l, conf)
+  }
+
+  test("crashed-renewal temp orphans are swept at release and at stale takeover") {
+    val dir      = tmp() + "/t"
+    val lockPath = dir + ".__write_lock"
+    def orphans(): Seq[String] = {
+      val files = new java.io.File(dir).getParentFile.listFiles()
+      if (files == null) Seq.empty else files.map(_.getName).filter(_.contains(".renew.")).toSeq
+    }
+    // owned release sweeps a dead holder's leftover temp
+    val l = FsIO.acquireWriteLock(dir, "w", staleMs = 60000)
+    FsIO.writeText(lockPath + ".renew.deadbeef", "owner=dead\nts=1\nlabel=crashed\n")
+    assert(orphans().nonEmpty)
+    FsIO.releaseWriteLock(l)
+    assert(orphans().isEmpty, s"release must sweep renew temps: ${orphans()}")
+    // stale takeover sweeps the dead holder's temp too
+    val stale = FsIO.acquireWriteLock(dir, "w-crashing", staleMs = 50)
+    FsIO.writeText(lockPath + s".renew.${stale.owner.take(8)}", "owner=x\nts=1\nlabel=x\n")
+    Thread.sleep(120) // age the lease past the taker's staleness bar
+    val taker = FsIO.acquireWriteLock(dir, "w-taker", staleMs = 100)
+    assert(orphans().isEmpty, s"takeover must sweep the dead holder's temps: ${orphans()}")
+    FsIO.releaseWriteLock(taker)
+  }
+
   // ------------------------------------------- conditional-put attestation
 
   test("conditionalPut attestation: refused without it, exactly-once with it") {
