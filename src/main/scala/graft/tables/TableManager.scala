@@ -281,6 +281,10 @@ object TableManager {
   def deleteDir(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(dir), true)
+    // sibling artifacts (the write-lease lock and any append stages) live
+    // NEXT TO the table dir and would linger as orphans past the delete
+    fs.delete(new Path(dir + ".__write_lock"), false)
+    fs.delete(TimePartitioned.appendStageRoot(dir), true)
     // a versioned table recreated at this path could collide with cached
     // commit-entry text (same version + same-millisecond commit name)
     VersionedTable.invalidateEntryCache(dir)

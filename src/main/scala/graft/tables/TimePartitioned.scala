@@ -91,45 +91,219 @@ object TimePartitioned {
       filesPerDay: Int = 8): Unit =
     writeMode(df, dir, tsNanosCol, filesPerDay, "overwrite")
 
-  /** How long [[append]] waits out a LIVE maintenance writer before
-    * failing loudly with the holder's label/age. Long enough to absorb a
-    * rival appender's millisecond hold and a short heal; deliberately NOT
-    * long enough to silently absorb a multi-hour compaction — that is a
-    * pipeline stall better surfaced than hidden inside an append call. */
+  /** How long [[append]]'s PUBLISH step waits out a LIVE maintenance
+    * writer before failing loudly with the holder's label/age. The
+    * publish hold is rename-grain (the data already staged lock-free),
+    * so this only needs to absorb rival appenders' publishes and a short
+    * heal; deliberately NOT long enough to silently absorb a multi-hour
+    * compaction or overwrite — that is a pipeline stall better surfaced
+    * than hidden inside an append call. */
   val AppendMaxWaitMs: Long = 60L * 1000
+
+  /** Sibling directory holding per-batch append stages — OUTSIDE the
+    * table root, so readers and the maintenance swap protocols never see
+    * a half-written batch, and a maintenance writer renaming day dirs
+    * can never capture one. */
+  private[tables] def appendStageRoot(dir: String) =
+    new org.apache.hadoop.fs.Path(dir + ".__append_stage")
+
+  private val AppendPublishIntentName = "_publish_intent"
 
   /** APPEND into an existing day-partitioned layout — new files land in
     * their day directories next to the old ones (the catalog INSERT INTO
     * path). Same shuffle discipline as [[write]].
     *
-    * Runs UNDER the maintenance write lease (heartbeat-renewed, LIVE
-    * contenders retried up to `maxWaitMs`): an unserialized append racing
-    * a live [[overwriteStaged]] could land rows in a root `p_day=` dir
-    * AFTER the writer's intent recorded that day as "retire" — the swap
-    * then renames the dir, fresh rows included, to trash and deletes it
-    * (silent row loss). Holding the lease means no maintenance writer can
-    * be mid-swap while the append's files land; crashed predecessors are
-    * healed under the SAME lease first, so the append never lands next to
-    * a half-swapped snapshot or inside a shelved day's slot. */
+    * STAGE-THEN-PUBLISH: the data-proportional write lands lock-free in
+    * a per-batch stage under [[appendStageRoot]] (guarded by the batch's
+    * OWN heartbeat lease, which is what tells a maintenance sweeper the
+    * stage is live, not crash garbage); only the publish — metadata-grain
+    * renames of the staged files into their root day dirs — runs under
+    * the TABLE lease. Concurrent appenders therefore stage in parallel
+    * and serialize only on millisecond renames, while the table lease
+    * still guarantees no maintenance writer is mid-swap when files land:
+    * the unserialized-append hazard (rows landing in a day the live
+    * overwrite's intent already recorded as "retire" — swept to trash
+    * with it) stays closed. Crashed predecessors heal under the same
+    * lease before the publish.
+    *
+    * Crash contract: before the batch's `_publish_intent` exists, a
+    * crashed append left nothing in the table — the stage is swept at
+    * the next maintenance touch and the batch reports failed. From the
+    * intent on, the publish rolls FORWARD ([[recoverAppendStages]]): the
+    * batch lands exactly-once even if the appender dies mid-rename, at
+    * worst waiting for the next append/heal/maintenance call to finish
+    * the moves. */
   def append(df: DataFrame, dir: String, tsNanosCol: String,
       filesPerDay: Int = 8, leaseMs: Long = MaintLeaseMs,
-      maxWaitMs: Long = AppendMaxWaitMs): Unit =
-    FsIO.withWriteLockHeartbeatRetry(dir, "TimePartitioned.append", leaseMs,
-        maxWaitMs) { hb =>
-      val root = new org.apache.hadoop.fs.Path(dir)
-      val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) {
-        val check = () => hb.verifyOwned("healing a crashed predecessor")
-        recoverCompaction(fs, root, check)
-        recoverOverwrite(fs, root, check)
-        fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
+      maxWaitMs: Long = AppendMaxWaitMs): Unit = {
+    val root  = new org.apache.hadoop.fs.Path(dir)
+    val fs    = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(
+      appendStageRoot(dir), java.util.UUID.randomUUID().toString)
+    // the stage lease outlives both phases: while fresh, no sweeper
+    // classifies this stage as crashed; if our heartbeat stalls past the
+    // lease, a sweeper may legally own the stage — verifyOwned below
+    // aborts the publish instead of racing it
+    FsIO.withWriteLockHeartbeat(stage.toString, "TimePartitioned.append.stage",
+        leaseMs) { stageHb =>
+      var intentWritten = false
+      try {
+        writeMode(df, stage.toString, tsNanosCol, filesPerDay, "overwrite")
+        FsIO.withWriteLockHeartbeatRetry(dir, "TimePartitioned.append", leaseMs,
+            maxWaitMs) { hb =>
+          recoverAll(fs, root, leaseMs,
+            () => hb.verifyOwned("healing a crashed predecessor"))
+          stageHb.verifyOwned("publishing the staged batch")
+          hb.verifyOwned("publishing the staged batch")
+          // durable intent BEFORE the first rename: from here a crash
+          // rolls forward (the batch publishes exactly-once); before it,
+          // a crash sweeps the stage (the batch never happened)
+          FsIO.writeText(
+            new org.apache.hadoop.fs.Path(stage, AppendPublishIntentName).toString, "")
+          intentWritten = true
+          publishAppendStage(fs, stage, root)
+        }
+      } catch {
+        case t: Throwable =>
+          // refused (LockBusy) or failed BEFORE the intent: withdraw our
+          // own stage so a refused append provably wrote nothing. After
+          // the intent the stage must SURVIVE for roll-forward.
+          if (!intentWritten)
+            try fs.delete(stage, true)
+            catch { case _: java.io.IOException => () }
+          throw t
       }
-      // additive from here (new files only — nothing renames or deletes),
-      // but gate once anyway: a lost lease means a rival may already be
-      // re-laying the days this append is about to land in
-      hb.verifyOwned("appending the batch")
-      writeMode(df, dir, tsNanosCol, filesPerDay, "append")
     }
+  }
+
+  /** Move every staged day file into its root day directory, then drop
+    * the stage. Idempotent — an interrupted publish re-runs to
+    * completion: a whole-day rename is used when the target day is new
+    * (moves any checksum sidecars along for free); otherwise files move
+    * one rename each, and a file already present at the destination
+    * (an interrupted copy+delete on an object store) just drops its
+    * stage copy. */
+  private def publishAppendStage(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path, root: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(root)
+    fs.listStatus(stage).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
+      .foreach { d =>
+        val dstDay = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+        if (!fs.exists(dstDay)) {
+          require(fs.rename(d.getPath, dstDay),
+            s"append: could not publish ${d.getPath} to $dstDay")
+        } else {
+          fs.listStatus(d.getPath).toSeq
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .foreach { f =>
+              val dst = new org.apache.hadoop.fs.Path(dstDay, f.getPath.getName)
+              if (fs.exists(dst)) fs.delete(f.getPath, false)
+              else require(fs.rename(f.getPath, dst),
+                s"append: could not publish ${f.getPath} to $dst")
+            }
+        }
+      }
+    fs.delete(stage, true)
+  }
+
+  /** Sweep or roll forward CRASHED append stages — called under the
+    * table lease by every maintenance entry point. A stage whose own
+    * lease file is fresh belongs to a LIVE appender (it is either still
+    * staging, or waiting on the very table lease this sweeper holds) and
+    * is left alone; a stale/abandoned stage WITH a publish intent
+    * completes its moves (the batch lands exactly-once), one without is
+    * deleted (the batch never published — its writer reports failure). */
+  private def recoverAppendStages(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, staleMs: Long, check: () => Unit): Unit = {
+    val sroot = appendStageRoot(root.toString)
+    if (!fs.exists(sroot)) return
+    val entries = fs.listStatus(sroot).toSeq
+    // a stale lock with NO stage dir: the appender died between acquiring
+    // its stage lease and the first staged write — pure litter
+    entries.filter(e => e.isFile && e.getPath.getName.endsWith(".__write_lock"))
+      .foreach { lf =>
+        val stageDir = new org.apache.hadoop.fs.Path(sroot,
+          lf.getPath.getName.stripSuffix(".__write_lock"))
+        if (!fs.exists(stageDir) && !stageLockAgeMs(fs, lf.getPath).exists(_ <= staleMs))
+          fs.delete(lf.getPath, false)
+      }
+    entries.filter(_.isDirectory).foreach { s =>
+      val stage = s.getPath
+      val lock  = new org.apache.hadoop.fs.Path(stage.toString + ".__write_lock")
+      val live  = stageLockAgeMs(fs, lock).exists(_ <= staleMs)
+      if (!live) {
+        check() // about to move or delete another writer's files
+        if (fs.exists(new org.apache.hadoop.fs.Path(stage, AppendPublishIntentName))) {
+          System.err.println(s"[graft] TimePartitioned: rolling forward a crashed " +
+            s"append publish under $root (${stage.getName})")
+          publishAppendStage(fs, stage, root)
+        } else {
+          System.err.println(s"[graft] TimePartitioned: sweeping a crashed " +
+            s"append stage under $root (${stage.getName})")
+          fs.delete(stage, true)
+        }
+        fs.delete(lock, false)
+      }
+    }
+    val rest = fs.listStatus(sroot)
+    if (rest != null && rest.isEmpty) fs.delete(sroot, false)
+  }
+
+  /** Lock-free probe: does the append-stage root hold anything a sweep
+    * under the lease would settle — a stage whose lease is stale/absent,
+    * or an orphan stage-lock with no stage dir? Used by [[heal]]'s
+    * evidence check so that LIVE appends never force readers onto the
+    * table lease. */
+  private def hasSettleableAppendStage(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, staleMs: Long): Boolean = {
+    val sroot = appendStageRoot(dir)
+    fs.exists(sroot) && fs.listStatus(sroot).toSeq.exists { e =>
+      if (e.isDirectory)
+        !stageLockAgeMs(fs,
+          new org.apache.hadoop.fs.Path(e.getPath.toString + ".__write_lock"))
+          .exists(_ <= staleMs)
+      else e.getPath.getName.endsWith(".__write_lock") && {
+        val stageDir = new org.apache.hadoop.fs.Path(sroot,
+          e.getPath.getName.stripSuffix(".__write_lock"))
+        !fs.exists(stageDir) && !stageLockAgeMs(fs, e.getPath).exists(_ <= staleMs)
+      }
+    }
+  }
+
+  /** Age of a stage-lease lock file: the body `ts` when parsable, the
+    * file mtime otherwise, and 0 (= maximally fresh, safe) when the file
+    * exists but neither is readable — a torn read must never classify a
+    * LIVE stage as crashed. None iff the file is absent. */
+  private def stageLockAgeMs(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(lock)) None
+    else {
+      val ts = FsIO.readText(lock.toString).getOrElse("")
+        .split("\n").map(_.split("=", 2))
+        .collectFirst { case Array("ts", v) => v }.flatMap(_.toLongOption)
+        .orElse(try Some(fs.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.IOException => None })
+      Some(ts.map(System.currentTimeMillis() - _).getOrElse(0L))
+    }
+
+  /** The one crash-heal sequence every maintenance entry point runs
+    * under its lease: roll a crashed compaction swap forward/back, roll
+    * a crashed staged overwrite forward from its intent, settle crashed
+    * append stages, and drop a stray compaction pending-marker. A single
+    * copy — a recovery step added here reaches [[heal]], [[append]],
+    * [[dropDaysBefore]], [[compactDaysBefore]] and [[overwriteStaged]]
+    * alike. */
+  private def recoverAll(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, staleMs: Long, check: () => Unit): Unit = {
+    if (fs.exists(root)) {
+      recoverCompaction(fs, root, check)
+      recoverOverwrite(fs, root, check)
+      fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
+    }
+    recoverAppendStages(fs, root, staleMs, check)
+  }
 
   private val OverwriteStageName = "_overwrite_stage"
   private val OverwriteTrashName = "_overwrite_trash"
@@ -177,11 +351,20 @@ object TimePartitioned {
   def heal(spark: SparkSession, dir: String, leaseMs: Long = MaintLeaseMs): Boolean = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return true
+    val hasRoot = fs.exists(root)
+    // the append-stage probe triggers only on SETTLEABLE (stale/orphan)
+    // stages: a LIVE appender's fresh stage must not make every reader
+    // load acquire the table lease — that would serialize reads against
+    // a continuously-appending writer for nothing. The probe is a
+    // lock-free trigger; recoverAppendStages re-checks liveness UNDER
+    // the lease before touching anything, so a mid-renewal misread here
+    // costs one no-op lease acquisition, never a live stage.
     val evidence =
-      fs.exists(new org.apache.hadoop.fs.Path(root, OverwriteStageName)) ||
-      fs.exists(new org.apache.hadoop.fs.Path(root, OverwriteTrashName)) ||
-      fs.exists(new org.apache.hadoop.fs.Path(root, MaintPendingName))
+      (hasRoot && (
+        fs.exists(new org.apache.hadoop.fs.Path(root, OverwriteStageName)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(root, OverwriteTrashName)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(root, MaintPendingName)))) ||
+      hasSettleableAppendStage(fs, dir, leaseMs) // a crashed append can predate the root
     if (!evidence) return true
     // heartbeat lease, same as the writers: rolling a crashed overwrite
     // forward renames O(days) directories, and on object stores a rename
@@ -192,10 +375,7 @@ object TimePartitioned {
         // the healer is itself a destructive data-proportional holder (on
         // object stores each roll-forward rename is a copy) — it re-checks
         // its own lease per recovery step like every writer does
-        val check = () => hb.verifyOwned("healing the next day state")
-        recoverCompaction(fs, root, check)
-        recoverOverwrite(fs, root, check)
-        fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
+        recoverAll(fs, root, leaseMs, () => hb.verifyOwned("healing the next day state"))
       }
       true
     } catch {
@@ -241,9 +421,7 @@ object TimePartitioned {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
-    val check = () => hb.verifyOwned("healing a crashed predecessor")
-    recoverCompaction(fs, root, check)
-    recoverOverwrite(fs, root, check)
+    recoverAll(fs, root, leaseMs, () => hb.verifyOwned("healing a crashed predecessor"))
     val stage = new org.apache.hadoop.fs.Path(root, OverwriteStageName)
     val trash = new org.apache.hadoop.fs.Path(root, OverwriteTrashName)
     fs.delete(stage, true); fs.delete(trash, true)
@@ -375,10 +553,7 @@ object TimePartitioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.dropDaysBefore", leaseMs) { hb =>
-      val check = () => hb.verifyOwned("healing a crashed predecessor")
-      recoverCompaction(fs, root, check)
-      recoverOverwrite(fs, root, check)
-      fs.delete(new org.apache.hadoop.fs.Path(root, MaintPendingName), false)
+      recoverAll(fs, root, leaseMs, () => hb.verifyOwned("healing a crashed predecessor"))
       val dropped = fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
         .map(s => s.getPath)
@@ -424,9 +599,7 @@ object TimePartitioned {
     // data-proportional — many closed days of a 100 TB table take hours
     FsIO.withWriteLockHeartbeat(dir, "TimePartitioned.compactDaysBefore", leaseMs) { hb =>
     val fs = preFs
-    val check = () => hb.verifyOwned("healing a crashed predecessor")
-    recoverCompaction(fs, root, check)
-    recoverOverwrite(fs, root, check)
+    recoverAll(fs, root, leaseMs, () => hb.verifyOwned("healing a crashed predecessor"))
     val days = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_day="))
       .map(_.getPath)

@@ -240,6 +240,7 @@ class LockProtocolR18Spec extends SparkSpec {
   test("append fails loudly (LockBusy) when a live writer outlasts maxWaitMs") {
     val dir = tmp() + "/t"
     seedDays(dir, 2)
+    val fs    = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rival = FsIO.acquireWriteLock(dir, "live-maintenance", staleMs = 60000)
     try intercept[FsIO.LockBusy] {
       TimePartitioned.append(
@@ -247,6 +248,76 @@ class LockProtocolR18Spec extends SparkSpec {
         dir, "ts", filesPerDay = 1, leaseMs = 60000, maxWaitMs = 400)
     } finally FsIO.releaseWriteLock(rival)
     assert(vSet(dir) == Set(0L, 1L), "a refused append must write nothing")
+    // and it must withdraw its own stage — nothing for a sweeper to find
+    val sroot = TimePartitioned.appendStageRoot(dir)
+    val stages =
+      if (!fs.exists(sroot)) Seq.empty
+      else fs.listStatus(sroot).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    assert(stages.isEmpty, s"a refused append must withdraw its stage: $stages")
+  }
+
+  test("concurrent appends stage in parallel and all land exactly-once") {
+    val dir = tmp() + "/t"
+    seedDays(dir, 2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        gate.await()
+        try TimePartitioned.append(
+          spark.range(0, 1).select(lit(Day1).as("ts"), lit(1000L + i).as("v")),
+          dir, "ts", filesPerDay = 1, leaseMs = 60000, maxWaitMs = 60000)
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent appends failed: ${errs.peek()}")
+    val got = spark.read.parquet(dir).select("v").collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == (Seq(0L, 1L) ++ (0 until 4).map(1000L + _)).sorted,
+      s"concurrent appends lost or duplicated rows: $got")
+    val sroot = TimePartitioned.appendStageRoot(dir)
+    val fs    = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(sroot) || fs.listStatus(sroot).isEmpty,
+      "published appends must leave no stage behind")
+  }
+
+  test("crashed append stages: no intent sweeps, intent rolls forward, live survives") {
+    val dir = tmp() + "/t"
+    seedDays(dir, 2)
+    val fs    = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sroot = TimePartitioned.appendStageRoot(dir)
+    def stageBatch(name: String, v: Long): Path = {
+      val s = new Path(sroot, name)
+      TimePartitioned.write(
+        spark.range(0, 1).select(lit(Day1).as("ts"), lit(v).as("v")),
+        s.toString, "ts", filesPerDay = 1)
+      s
+    }
+    // (a) crashed pre-intent (no stage lock, no intent): swept, rows never land
+    val dead = stageBatch("dead-preintent", 777L)
+    // (b) crashed post-intent: rolled forward, rows land exactly-once
+    val fwd = stageBatch("dead-postintent", 888L)
+    FsIO.writeText(new Path(fwd, "_publish_intent").toString, "")
+    // (c) LIVE stage (fresh lease): untouched by heal and by maintenance
+    val live = stageBatch("live-staging", 666L)
+    FsIO.writeText(live.toString + ".__write_lock",
+      s"owner=someone\nts=${System.currentTimeMillis()}\nlabel=append.stage\n")
+    assert(TimePartitioned.heal(spark, dir, leaseMs = 60000),
+      "an uncontended heal over crashed stages must run")
+    assert(!fs.exists(dead), "a pre-intent crashed stage must be swept")
+    assert(!fs.exists(fwd), "a post-intent crashed stage must be consumed by roll-forward")
+    assert(fs.exists(live), "a live stage must survive the heal")
+    assert(vSet(dir) == Set(0L, 1L, 888L),
+      "exactly the intent-carrying batch must land")
+    // retention under the table lease also leaves the live stage alone
+    TimePartitioned.dropDaysBefore(spark, dir, Day1)
+    assert(fs.exists(live), "a live stage must survive maintenance")
+    // once its lease goes stale, the next touch sweeps it
+    FsIO.writeText(live.toString + ".__write_lock",
+      "owner=someone\nts=1\nlabel=append.stage\n")
+    assert(TimePartitioned.heal(spark, dir, leaseMs = 60000))
+    assert(!fs.exists(live), "a stale stage must be swept once its lease expires")
+    assert(vSet(dir) == Set(0L, 1L, 888L))
   }
 
   test("dropDaysBefore refuses to race a live maintenance writer") {
