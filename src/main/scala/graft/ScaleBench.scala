@@ -192,13 +192,18 @@ object ScaleBench {
     "minhash_index" -> ((s, d, _) =>
       Dedup.minHashIndex(t(s, d, "documents"), "text", "doc_id")),
 
-    // fixed base index (copy-0's first 250 docs), growing batch
+    // fixed base index (copy-0's first 250 docs), growing batch — same
+    // plan as the declared q_dedup_near_incr since its r18 conversion:
+    // 2-shingles, J == 1.0 (the seth exact-equality confirm path), the
+    // 512 bucket cap. Measuring the old 0.7-estimate plan here would
+    // hide the fingerprint join/compare cost from the scaling curve.
     "dedup_near_incr" -> ((s, d, _) => {
       val docs  = t(s, d, "documents")
       val index = Dedup.minHashIndex(
-        docs.where(col("doc_id") < 250), "text", "doc_id")
+        docs.where(col("doc_id") < 250), "text", "doc_id", shingleN = 2)
       Dedup.nearDedupAgainstIndex(
-        docs.where(col("doc_id") >= 250), "text", "doc_id", index, minEstJaccard = 0.7)
+        docs.where(col("doc_id") >= 250), "text", "doc_id", index,
+        shingleN = 2, minEstJaccard = 1.0, maxBucketSize = 512)
     }),
 
     // FIXED eval set (copy-0's %10 docs), growing train side — the real

@@ -188,18 +188,44 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleN: Int = 3,
-      numHashes: Int = 64): DataFrame = {
+      numHashes: Int = 64): DataFrame =
+    minHashSigs(df, textCol, idCol, shingleN, numHashes, withSeth = true)
+
+  /** [[minHashIndex]] with the shingle-set fingerprint OPTIONAL: the
+    * PERSISTED index always carries `seth` (that is the public contract
+    * above), but a transient batch-side signature relation at a
+    * FRACTIONAL threshold never consults it — materializing the set,
+    * sorting it and running SHA-256 per arriving doc would be pure
+    * wasted CPU on the streaming dedup hot path. `withSeth = false`
+    * keeps the schema (a typed null `seth`) so downstream joins are
+    * shape-identical. */
+  private def minHashSigs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      withSeth: Boolean): DataFrame = {
     val seed      = 42L
     val slotSeeds = Array.tabulate(numHashes)(i => splitmix64(seed + i))
-    val both = udf((t: String) =>
-      if (t == null) null
-      else {
-        val (sig, set) = minHashKernel(t, shingleN, numHashes, slotSeeds, wantSet = true)
-        (sig, sha256Hex(set))
-      })
-    df.select(col(idCol).as("id"), both(col(textCol)).as("__ss"))
-      .where(col("__ss").isNotNull)
-      .select(col("id"), col("__ss._1").as("sig"), col("__ss._2").as("seth"))
+    if (withSeth) {
+      val both = udf((t: String) =>
+        if (t == null) null
+        else {
+          val (sig, set) = minHashKernel(t, shingleN, numHashes, slotSeeds, wantSet = true)
+          (sig, sha256Hex(set))
+        })
+      df.select(col(idCol).as("id"), both(col(textCol)).as("__ss"))
+        .where(col("__ss").isNotNull)
+        .select(col("id"), col("__ss._1").as("sig"), col("__ss._2").as("seth"))
+    } else {
+      val sigOnly = udf((t: String) =>
+        if (t == null) null
+        else minHashKernel(t, shingleN, numHashes, slotSeeds, wantSet = false)._1)
+      df.select(col(idCol).as("id"), sigOnly(col(textCol)).as("sig"))
+        .where(col("sig").isNotNull)
+        .withColumn("seth", lit(null).cast("string"))
+    }
   }
 
   /** Incremental NEAR-dedup of an arriving batch against a persisted
@@ -250,7 +276,7 @@ object Dedup {
         when(sethA.isNotNull && sethB.isNotNull, sethA === sethB)
           .otherwise(estimatedJaccardNative(sigA, sigB) >= minEstJaccard)
       else estimatedJaccardNative(sigA, sigB) >= minEstJaccard
-    val batchSigs = minHashIndex(batch, textCol, idCol, shingleN, numHashes)
+    val batchSigs = minHashSigs(batch, textCol, idCol, shingleN, numHashes, withSeth = exact)
     batchSigs.persist()
     try {
       val histSigs =
