@@ -17,11 +17,20 @@ object Scratch {
   private lazy val root: java.nio.file.Path = {
     val r = java.nio.file.Files.createTempDirectory("graft_scratch")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val walk = java.nio.file.Files.walk(r)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => try { java.nio.file.Files.deleteIfExists(p); () }
-          catch { case _: java.io.IOException => () })
-      finally walk.close()
+      // the TRAVERSAL can throw too (UncheckedIOException when an entry
+      // vanishes or turns unreadable mid-walk — e.g. a concurrent Hadoop
+      // shutdown hook deleting a nested dir); a per-entry catch alone
+      // would let that abort the whole sweep and leave every remaining
+      // subtree behind — the exact accumulation this class prevents
+      try {
+        val walk = java.nio.file.Files.walk(r)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => try { java.nio.file.Files.deleteIfExists(p); () }
+            catch { case _: java.io.IOException => () })
+        finally walk.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
     }, "graft-scratch-sweeper"))
     r
   }

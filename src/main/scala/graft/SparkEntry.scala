@@ -40,7 +40,12 @@ object SparkEntry {
   private val PlantOffset = 1000000L
 
   private def assertPlantable(df: DataFrame, idCol: String): DataFrame = {
-    val mx = df.agg(max(col(idCol))).head().getLong(0)
+    val head = df.agg(max(col(idCol))).head()
+    // max() over zero rows is NULL — an empty/truncated fixture must fail
+    // as its own loud message, not as an opaque NPE inside getLong
+    require(!head.isNullAt(0),
+      s"fixture is empty — cannot assert $idCol stays below the plant offset")
+    val mx = head.getLong(0)
     require(mx < PlantOffset,
       s"fixture $idCol max $mx >= plant offset $PlantOffset — planted-copy ids " +
         "would collide with real ids and break oracle parity; raise the offset " +
