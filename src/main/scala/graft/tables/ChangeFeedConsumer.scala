@@ -41,19 +41,15 @@ object ChangeFeedConsumer {
         .map(_.stripPrefix("version=").toLong))
 
   private def writeOffset(dir: String, id: String, v: Long): Unit = {
-    val fs  = consumersDir(dir).getFileSystem(FsIO.hadoopConf())
-    val tmp = new Path(consumersDir(dir), s"$id.offset.tmp")
-    FsIO.writeText(tmp.toString, s"version=$v\n")
-    // ONE atomic OVERWRITE rename, never delete-then-rename: a crash in
-    // the delete→rename window would lose the offset entirely and the
-    // next poll would re-run the bootstrap SNAPSHOT on top of a populated
-    // sink (every row duplicated) — the same pattern the table's property
-    // store and log already reject
-    val target = fs.makeQualified(offsetPath(dir, id))
-    val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, FsIO.hadoopConf())
-    fctx.rename(fs.makeQualified(tmp), target,
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val fs = consumersDir(dir).getFileSystem(FsIO.hadoopConf())
+    // the offset must never be ABSENT mid-update: a crash in a
+    // delete→rename window would lose it and the next poll would re-run
+    // the bootstrap SNAPSHOT on top of a populated sink (every row
+    // duplicated). replaceText keeps it continuously present per-scheme
+    // (staged atomic rename on file/HDFS, one atomic PUT on object
+    // stores) — the same contract as the table's property store.
+    FsIO.replaceText(fs.makeQualified(offsetPath(dir, id)), s"version=$v\n",
+      fs.makeQualified(new Path(consumersDir(dir), s"$id.offset.tmp")))
   }
 
   /** Poll once at span grain — the lease/offset core under both feed

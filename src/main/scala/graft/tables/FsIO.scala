@@ -234,20 +234,43 @@ object FsIO {
   private def atomicReplace(tmp: Path, dst: Path, conf: Configuration): Unit = {
     val scheme = Option(dst.toUri.getScheme).getOrElse("file")
     if (scheme == "file" || scheme == "local") {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(dst.toUri.getPath),
+      // the NIO move bypasses ChecksumFileSystem entirely, so its `.crc`
+      // sidecars must go: the TARGET's (stale after the move, it would
+      // fail every subsequent checksummed read of the new body — dropped
+      // BEFORE the move so no reader ever sees new data paired with the
+      // old sum) and the TEMP's (an orphan once the data file moved)
+      val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val nioDst = java.nio.file.Paths.get(dst.toUri.getPath)
+      java.nio.file.Files.deleteIfExists(
+        nioDst.resolveSibling("." + nioDst.getFileName.toString + ".crc"))
+      java.nio.file.Files.move(nioTmp, nioDst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // the NIO move bypasses ChecksumFileSystem, which created a `.crc`
-      // sidecar for the temp file — drop it (the lock itself has none:
-      // it is NIO-created, and a stale sidecar would fail later reads)
-      val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
       java.nio.file.Files.deleteIfExists(
         nioTmp.resolveSibling("." + nioTmp.getFileName.toString + ".crc"))
     } else
       org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
         .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Replace the text content of `path` such that a concurrent reader
+    * always sees a COMPLETE body — the old one or the new one, never a
+    * truncated prefix and never a vanished file. Per-scheme, same
+    * rationale as the lease renewal below: file:// and HDFS stage to
+    * `tmp` and atomically rename over the target; object stores write
+    * in place, because `create(overwrite=true)` is one atomic blob PUT
+    * there while a FileContext rename would be delete-dst-then-rename
+    * (a no-file window — exactly what callers use this to avoid) or an
+    * UnsupportedFileSystemException where the connector ships no
+    * AbstractFileSystem binding. */
+  private[tables] def replaceText(path: Path, text: String, tmp: Path,
+      conf: Configuration = hadoopConf()): Unit = {
+    val scheme = Option(path.toUri.getScheme)
+      .orElse(Option(path.getFileSystem(conf).getUri.getScheme)).getOrElse("file")
+    if (scheme == "file" || scheme == "local" || AtomicRenameSchemes.contains(scheme)) {
+      writeText(tmp.toString, text, conf)
+      atomicReplace(tmp, path, conf)
+    } else writeText(path.toString, text, conf) // object store: atomic PUT
   }
 
   /** Delete any `<lock>.renew.*` temp siblings (and their ChecksumFS
@@ -295,15 +318,9 @@ object FsIO {
     * than publish. */
   def renewWriteLock(l: WriteLock, label: String, conf: Configuration = hadoopConf()): Boolean =
     ownsWriteLock(l, conf) && {
-      val body   = s"owner=${l.owner}\nts=${System.currentTimeMillis()}\nlabel=$label\n"
-      val scheme = Option(l.path.toUri.getScheme)
-        .orElse(Option(l.path.getFileSystem(conf).getUri.getScheme)).getOrElse("file")
-      if (scheme == "file" || scheme == "local" || AtomicRenameSchemes.contains(scheme)) {
-        val tmp = new Path(l.path.toString + s".renew.${l.owner.take(8)}")
-        writeText(tmp.toString, body, conf)
-        atomicReplace(tmp, l.path, conf)
-      } else
-        writeText(l.path.toString, body, conf) // object store: atomic PUT
+      replaceText(l.path,
+        s"owner=${l.owner}\nts=${System.currentTimeMillis()}\nlabel=$label\n",
+        new Path(l.path.toString + s".renew.${l.owner.take(8)}"), conf)
       ownsWriteLock(l, conf)
     }
 

@@ -448,25 +448,20 @@ object VersionedTable {
   private def propsDir(dir: String) = new Path(dir, "_props")
   private val propNameRe = "^[A-Za-z0-9_][A-Za-z0-9_.-]{0,63}$".r
 
-  /** Set (or overwrite) a table property. Overwrite is ONE atomic rename
-    * (FileContext's OVERWRITE rename), never delete-then-rename — the
-    * file header rejects that pattern for the log, and it is just as
-    * wrong here: a crash (or a concurrent read) between the delete and
-    * the rename would lose the property entirely, not merely serve a
-    * stale value (a vanished keyColumns declaration breaks every
-    * change-feed consumer that resolves keys from the table). */
+  /** Set (or overwrite) a table property. The overwrite must never let a
+    * reader see the property ABSENT or truncated — a vanished keyColumns
+    * declaration breaks every change-feed consumer that resolves keys
+    * from the table — so it routes through [[FsIO.replaceText]]: staged
+    * tmp + one atomic rename on file/HDFS, a single atomic PUT on object
+    * stores (never delete-then-rename, which this file's header rejects
+    * for the log and which is just as wrong here). */
   def setProperty(dir: String, key: String, value: String): Unit = {
     require(propNameRe.findFirstIn(key).isDefined,
       s"property key `$key` must match ${propNameRe.regex}")
     val fs = propsDir(dir).getFileSystem(FsIO.hadoopConf())
     fs.mkdirs(propsDir(dir))
-    val tmp = new Path(propsDir(dir), s"$key.prop.tmp")
-    FsIO.writeText(tmp.toString, value)
-    val target = new Path(propsDir(dir), s"$key.prop")
-    val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, FsIO.hadoopConf())
-    fctx.rename(fs.makeQualified(tmp), fs.makeQualified(target),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    FsIO.replaceText(fs.makeQualified(new Path(propsDir(dir), s"$key.prop")), value,
+      fs.makeQualified(new Path(propsDir(dir), s"$key.prop.tmp")))
   }
 
   /** Read a table property, if set. */
