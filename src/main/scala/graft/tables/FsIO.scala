@@ -144,7 +144,13 @@ object FsIO {
         s"$BestEffortLockKey=true (spark.hadoop.$BestEffortLockKey) to accept the " +
         "residual two-writer race, or run the table on file/hdfs/abfs/gs")
     val owner = java.util.UUID.randomUUID().toString
-    val body = s"owner=$owner\nts=${System.currentTimeMillis()}\nlabel=$label\n"
+    // the body DECLARES the holder's lease (`lease=`): staleness is then
+    // judged against the HOLDER's declared heartbeat-stall tolerance, not
+    // only the observer's — a sweeper or contender configured with a
+    // shorter lease must not classify a live longer-lease holder as
+    // crashed (observer bar = max of the two; see below)
+    val body = (s"owner=$owner\nts=${System.currentTimeMillis()}\n" +
+      s"label=$label\nlease=$staleMs\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def tryCreate(): Boolean =
       try {
@@ -182,11 +188,15 @@ object FsIO {
         .orElse(try Some(fs.getFileStatus(lock).getModificationTime)
           catch { case _: java.io.IOException => None })
         .map(System.currentTimeMillis() - _)
-      if (ageMs.isEmpty || ageMs.exists(_ <= staleMs)) {
+      // staleness bar: the HOLDER's declared lease when it exceeds ours —
+      // a short-lease contender must honor a long-lease holder's declared
+      // heartbeat-stall tolerance before declaring it crashed
+      val bar = math.max(staleMs, fields.get("lease").flatMap(_.toLongOption).getOrElse(0L))
+      if (ageMs.isEmpty || ageMs.exists(_ <= bar)) {
         if (ageMs.isEmpty && tryCreate()) return WriteLock(lock, owner)
         throw new LockBusy(s"$label: ${new Path(dir).getName} is being written by another " +
           s"writer (label=${fields.getOrElse("label", "?")}, lock age " +
-          s"${ageMs.map(_.toString).getOrElse("unknown")} ms, lease $staleMs ms) — " +
+          s"${ageMs.map(_.toString).getOrElse("unknown")} ms, lease $bar ms) — " +
           "concurrent swap would corrupt the target; retry after it finishes or " +
           "take over once the lease expires")
       }
@@ -198,9 +208,14 @@ object FsIO {
       // primitive a thin race window remains on stores with non-atomic
       // create; on HDFS the subsequent create-no-overwrite arbitrates.)
       System.err.println(s"[graft] $label: taking over stale write lock on $dir " +
-        s"(age ${ageMs.get} ms > lease $staleMs ms)")
-      if (readText(lock.toString, conf).getOrElse("") == body) fs.delete(lock, false)
-      sweepRenewTemps(fs, lock) // the dead holder's in-flight renewal temp, if any
+        s"(age ${ageMs.get} ms > lease $bar ms)")
+      if (readText(lock.toString, conf).getOrElse("") == body) {
+        fs.delete(lock, false)
+        // the DEAD holder's in-flight renewal temp, if any. Swept only on
+        // this branch: a mismatched re-read means a rival took over first,
+        // and its fresh in-flight .renew. temp must not be destroyed.
+        sweepRenewTemps(fs, lock)
+      }
       if (!tryCreate())
         sys.error(s"$label: lost the write-lock takeover race on $dir — " +
           "another writer re-acquired it; retry later")
@@ -214,17 +229,47 @@ object FsIO {
   def ownsWriteLock(l: WriteLock, conf: Configuration = hadoopConf()): Boolean =
     readText(l.path.toString, conf).exists(_.contains(s"owner=${l.owner}"))
 
-  /** Schemes where a rename onto an existing destination is a single
-    * atomic NAMESPACE operation (namenode-arbitrated) AND an
-    * AbstractFileSystem binding is guaranteed to ship with the
-    * connector. Everything else must NOT renew via FileContext: the
-    * default `renameInternal(overwrite)` there is check-dst,
-    * delete-dst, rename — a window with NO lock file that a rival's
-    * create-no-overwrite can win — and many object-store connectors
-    * ship no AbstractFileSystem binding at all, so the call would throw
-    * UnsupportedFileSystemException and the heartbeat could never renew
-    * on exactly the stores the conditional-PUT attestation admits. */
-  private val AtomicRenameSchemes = Set("hdfs", "viewfs")
+  /** Schemes that replace a file via staged-tmp + FileContext rename
+    * (binding ships with the connector). On hdfs/viewfs the OVERWRITE
+    * rename is a single atomic namenode operation. abfs/abfss are here
+    * for a different reason: ADLS Gen2 has REAL-FILE create semantics —
+    * `create(overwrite=true)` exposes a visible 0-byte file before data
+    * flushes, so the in-place branch below would hand readers an EMPTY
+    * body (an empty lock/offset misparses); the rename path's residual
+    * window is a brief ABSENT file instead (delete-dst-then-rename in
+    * the delegate), which every reader of these files already handles:
+    * the lock's absent-reads-as-live-then-retry rule, and the
+    * change-feed's lost-offset recovery. TRUE object stores (s3, gs, and
+    * any attested scheme) stay on the in-place branch, where a PUT is
+    * atomic at the store, many connectors ship no AbstractFileSystem
+    * binding at all, and a FileContext call would throw
+    * UnsupportedFileSystemException on every heartbeat tick. */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "abfs", "abfss")
+
+  /** Is the lease at `lock` LIVE from an observer's standpoint? None iff
+    * the lock file is absent. The ONE copy of the crash-classification
+    * rule (acquireWriteLock's contender path applies the same logic
+    * inline where it also needs the age for its messages): liveness from
+    * the body `ts` when parsable, the file mtime otherwise, and
+    * fresh (= live, safe) when the file exists but neither is readable —
+    * a torn read must never classify a live holder as crashed. The
+    * staleness bar is max(observer's `staleMs`, the body's declared
+    * `lease=`): an observer configured with a shorter lease must honor
+    * the holder's declared heartbeat-stall tolerance. */
+  private[tables] def lockIsLive(lock: Path, staleMs: Long,
+      conf: Configuration = hadoopConf()): Option[Boolean] = {
+    val fs = lock.getFileSystem(conf)
+    if (!fs.exists(lock)) return None
+    val fields = readText(lock.toString, conf).getOrElse("")
+      .split("\n").map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    val age = fields.get("ts").flatMap(_.toLongOption)
+      .orElse(try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.IOException => None })
+      .map(System.currentTimeMillis() - _)
+    val bar = math.max(staleMs, fields.get("lease").flatMap(_.toLongOption).getOrElse(0L))
+    Some(age.forall(_ <= bar))
+  }
 
   /** Replace `dst` with `tmp` ATOMICALLY, so a concurrent reader sees
     * either the old complete body or the new complete body — never a
@@ -280,9 +325,10 @@ object FsIO {
     * provably dead: on a stale-lease takeover (the lease is past its
     * window, so no renewal of it can be in flight we'd want to keep) and
     * on an owned release (our own heartbeat is stopped and joined before
-    * release). Best-effort: litter cleanup must never fail the lease
-    * protocol around it. */
-  private def sweepRenewTemps(fs: org.apache.hadoop.fs.FileSystem, lock: Path): Unit =
+    * release); table teardown (TableManager.deleteDir) sweeps too.
+    * Best-effort: litter cleanup must never fail the lease protocol
+    * around it. */
+  private[tables] def sweepRenewTemps(fs: org.apache.hadoop.fs.FileSystem, lock: Path): Unit =
     try {
       val parent = lock.getParent
       val name   = lock.getName
@@ -316,13 +362,20 @@ object FsIO {
     * primitive a residual stall-exactly-at-the-boundary window remains;
     * both sides then abort loudly at their next ownership gate rather
     * than publish. */
-  def renewWriteLock(l: WriteLock, label: String, conf: Configuration = hadoopConf()): Boolean =
-    ownsWriteLock(l, conf) && {
+  def renewWriteLock(l: WriteLock, label: String, conf: Configuration = hadoopConf()): Boolean = {
+    val old = readText(l.path.toString, conf)
+    old.exists(_.contains(s"owner=${l.owner}")) && {
+      // carry the acquire-time `lease=` declaration forward — observers
+      // judge staleness against it, and a renewal that dropped it would
+      // strip a long-lease holder of its declared stall tolerance
+      val lease = old.get.split("\n").find(_.startsWith("lease="))
+        .map(ln => ln + "\n").getOrElse("")
       replaceText(l.path,
-        s"owner=${l.owner}\nts=${System.currentTimeMillis()}\nlabel=$label\n",
+        s"owner=${l.owner}\nts=${System.currentTimeMillis()}\nlabel=$label\n" + lease,
         new Path(l.path.toString + s".renew.${l.owner.take(8)}"), conf)
       ownsWriteLock(l, conf)
     }
+  }
 
   /** Handle a [[withWriteLockHeartbeat]] body uses to abort BEFORE an
     * irreversible step if the lease was lost. `lost` flips when a renewal

@@ -132,7 +132,8 @@ object TimePartitioned {
     * intent on, the publish rolls FORWARD ([[recoverAppendStages]]): the
     * batch lands exactly-once even if the appender dies mid-rename, at
     * worst waiting for the next append/heal/maintenance call to finish
-    * the moves. */
+    * the moves. A NON-crash failure after the intent surfaces as
+    * [[AppendPending]] — deferred success, never resubmit. */
   def append(df: DataFrame, dir: String, tsNanosCol: String,
       filesPerDay: Int = 8, leaseMs: Long = MaintLeaseMs,
       maxWaitMs: Long = AppendMaxWaitMs): Unit = {
@@ -161,20 +162,42 @@ object TimePartitioned {
           FsIO.writeText(
             new org.apache.hadoop.fs.Path(stage, AppendPublishIntentName).toString, "")
           intentWritten = true
-          publishAppendStage(fs, stage, root)
+          try publishAppendStage(fs, stage, root)
+          catch {
+            case _: java.io.IOException | _: IllegalArgumentException =>
+              // one inline retry: publishAppendStage is idempotent, and a
+              // transient FS hiccup should not demote a committed batch
+              // to deferred delivery
+              Thread.sleep(200L)
+              publishAppendStage(fs, stage, root)
+          }
         }
       } catch {
-        case t: Throwable =>
+        case t: Throwable if !intentWritten =>
           // refused (LockBusy) or failed BEFORE the intent: withdraw our
-          // own stage so a refused append provably wrote nothing. After
-          // the intent the stage must SURVIVE for roll-forward.
-          if (!intentWritten)
-            try fs.delete(stage, true)
-            catch { case _: java.io.IOException => () }
+          // own stage so a refused append provably wrote nothing
+          try fs.delete(stage, true)
+          catch { case _: java.io.IOException => () }
           throw t
+        case t: Throwable =>
+          // the intent is durable, so the batch WILL land — the surviving
+          // stage rolls forward at the next append/heal/maintenance touch.
+          // The typed failure tells the caller NOT to resubmit: a retry of
+          // a durably-committed batch would land every row twice.
+          throw new AppendPending(
+            s"append to $dir: publish interrupted AFTER the durable intent — " +
+              "the batch is committed and will finish publishing at the next " +
+              "maintenance touch of this table; do NOT resubmit it", t)
       }
     }
   }
+
+  /** Thrown when an [[append]] fails after its publish intent is durable:
+    * the batch is COMMITTED (it rolls forward at the next maintenance
+    * touch) but not yet fully visible. Callers must treat this as
+    * deferred success — resubmitting the batch would duplicate it. */
+  final class AppendPending(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
 
   /** Move every staged day file into its root day directory, then drop
     * the stage. Idempotent — an interrupted publish re-runs to
@@ -224,16 +247,12 @@ object TimePartitioned {
     // its stage lease and the first staged write — pure litter
     entries.filter(e => e.isFile && e.getPath.getName.endsWith(".__write_lock"))
       .foreach { lf =>
-        val stageDir = new org.apache.hadoop.fs.Path(sroot,
-          lf.getPath.getName.stripSuffix(".__write_lock"))
-        if (!fs.exists(stageDir) && !stageLockAgeMs(fs, lf.getPath).exists(_ <= staleMs))
+        if (settleableStageEntry(fs, sroot, lf, staleMs))
           fs.delete(lf.getPath, false)
       }
     entries.filter(_.isDirectory).foreach { s =>
       val stage = s.getPath
-      val lock  = new org.apache.hadoop.fs.Path(stage.toString + ".__write_lock")
-      val live  = stageLockAgeMs(fs, lock).exists(_ <= staleMs)
-      if (!live) {
+      if (settleableStageEntry(fs, sroot, s, staleMs)) {
         check() // about to move or delete another writer's files
         if (fs.exists(new org.apache.hadoop.fs.Path(stage, AppendPublishIntentName))) {
           System.err.println(s"[graft] TimePartitioned: rolling forward a crashed " +
@@ -244,49 +263,53 @@ object TimePartitioned {
             s"append stage under $root (${stage.getName})")
           fs.delete(stage, true)
         }
-        fs.delete(lock, false)
+        fs.delete(new org.apache.hadoop.fs.Path(stage.toString + ".__write_lock"), false)
       }
     }
-    val rest = fs.listStatus(sroot)
-    if (rest != null && rest.isEmpty) fs.delete(sroot, false)
+    // best-effort root cleanup: the non-recursive delete can legally race
+    // a LIVE appender's lock-free stage-lock create (any moment) — a
+    // now-non-empty dir must not fail the heal/maintenance call around it
+    try {
+      val rest = fs.listStatus(sroot)
+      if (rest != null && rest.isEmpty) fs.delete(sroot, false)
+    } catch { case _: java.io.IOException => () }
   }
 
+  /** Is this append-stage entry settleable by a sweep — a stage dir
+    * whose lease is stale/absent, or an orphan stage-lock with no stage
+    * dir? ONE copy of the predicate, shared by the lock-free [[heal]]
+    * probe and the under-lease [[recoverAppendStages]] sweep; liveness
+    * delegates to [[FsIO.lockIsLive]], the single crash-classification
+    * rule (body ts, mtime fallback, unreadable-reads-as-live, staleness
+    * bar = max(observer's lease, the holder's DECLARED lease) — so a
+    * long-lease appender is never classified crashed by a
+    * default-configured sweeper). */
+  private def settleableStageEntry(fs: org.apache.hadoop.fs.FileSystem,
+      sroot: org.apache.hadoop.fs.Path, e: org.apache.hadoop.fs.FileStatus,
+      staleMs: Long): Boolean =
+    if (e.isDirectory)
+      !FsIO.lockIsLive(
+        new org.apache.hadoop.fs.Path(e.getPath.toString + ".__write_lock"),
+        staleMs).getOrElse(false)
+    else e.getPath.getName.endsWith(".__write_lock") && {
+      val stageDir = new org.apache.hadoop.fs.Path(sroot,
+        e.getPath.getName.stripSuffix(".__write_lock"))
+      !fs.exists(stageDir) && !FsIO.lockIsLive(e.getPath, staleMs).getOrElse(false)
+    }
+
   /** Lock-free probe: does the append-stage root hold anything a sweep
-    * under the lease would settle — a stage whose lease is stale/absent,
-    * or an orphan stage-lock with no stage dir? Used by [[heal]]'s
-    * evidence check so that LIVE appends never force readers onto the
-    * table lease. */
+    * under the lease would settle? Used by [[heal]]'s evidence check so
+    * that LIVE appends never force readers onto the table lease.
+    * Tolerant of racing an under-lease sweep that deletes the stage root
+    * between the exists and the list — absent either way is "nothing to
+    * settle". */
   private def hasSettleableAppendStage(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, staleMs: Long): Boolean = {
     val sroot = appendStageRoot(dir)
-    fs.exists(sroot) && fs.listStatus(sroot).toSeq.exists { e =>
-      if (e.isDirectory)
-        !stageLockAgeMs(fs,
-          new org.apache.hadoop.fs.Path(e.getPath.toString + ".__write_lock"))
-          .exists(_ <= staleMs)
-      else e.getPath.getName.endsWith(".__write_lock") && {
-        val stageDir = new org.apache.hadoop.fs.Path(sroot,
-          e.getPath.getName.stripSuffix(".__write_lock"))
-        !fs.exists(stageDir) && !stageLockAgeMs(fs, e.getPath).exists(_ <= staleMs)
-      }
-    }
+    try fs.exists(sroot) &&
+      fs.listStatus(sroot).toSeq.exists(settleableStageEntry(fs, sroot, _, staleMs))
+    catch { case _: java.io.FileNotFoundException => false }
   }
-
-  /** Age of a stage-lease lock file: the body `ts` when parsable, the
-    * file mtime otherwise, and 0 (= maximally fresh, safe) when the file
-    * exists but neither is readable — a torn read must never classify a
-    * LIVE stage as crashed. None iff the file is absent. */
-  private def stageLockAgeMs(fs: org.apache.hadoop.fs.FileSystem,
-      lock: org.apache.hadoop.fs.Path): Option[Long] =
-    if (!fs.exists(lock)) None
-    else {
-      val ts = FsIO.readText(lock.toString).getOrElse("")
-        .split("\n").map(_.split("=", 2))
-        .collectFirst { case Array("ts", v) => v }.flatMap(_.toLongOption)
-        .orElse(try Some(fs.getFileStatus(lock).getModificationTime)
-          catch { case _: java.io.IOException => None })
-      Some(ts.map(System.currentTimeMillis() - _).getOrElse(0L))
-    }
 
   /** The one crash-heal sequence every maintenance entry point runs
     * under its lease: roll a crashed compaction swap forward/back, roll

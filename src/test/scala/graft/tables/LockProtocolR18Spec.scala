@@ -155,6 +155,50 @@ class LockProtocolR18Spec extends SparkSpec {
     FsIO.releaseWriteLock(taker)
   }
 
+  test("a short-lease contender honors the holder's DECLARED lease") {
+    val dir = tmp() + "/t"
+    // holder declares a 60 s stall tolerance; a contender configured with
+    // a 100 ms lease must NOT classify it crashed 150 ms in — staleness
+    // is judged against max(observer, declared)
+    val holder = FsIO.acquireWriteLock(dir, "long-holder", staleMs = 60000)
+    Thread.sleep(150)
+    val e = intercept[FsIO.LockBusy] {
+      FsIO.acquireWriteLock(dir, "short-contender", staleMs = 100)
+    }
+    assert(e.getMessage.contains("long-holder"))
+    FsIO.releaseWriteLock(holder)
+    // with the holder released, the same short-lease acquire succeeds
+    FsIO.releaseWriteLock(FsIO.acquireWriteLock(dir, "short-contender", staleMs = 100))
+  }
+
+  test("append publish blocked post-intent: AppendPending, then roll-forward, no dup") {
+    val dir = tmp() + "/t"
+    seedDays(dir, 2)
+    val fs  = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant a FILE where the batch's day DIRECTORY must go — the publish
+    // renames then fail after the intent is durable
+    val newDayName = "p_day=" + java.time.LocalDate.ofEpochDay(
+      (Day1 + 30 * DayNs) / 1000000000L / 86400L).toString
+    FsIO.writeText(new Path(dir, newDayName).toString, "not a directory")
+    val batch = spark.range(0, 1)
+      .select(lit(Day1 + 30 * DayNs).as("ts"), lit(555L).as("v"))
+    val e = intercept[TimePartitioned.AppendPending] {
+      TimePartitioned.append(batch, dir, "ts", filesPerDay = 1,
+        leaseMs = 60000, maxWaitMs = 5000)
+    }
+    assert(e.getMessage.contains("do NOT resubmit"))
+    // deferred success: the intent-carrying stage survived
+    val sroot  = TimePartitioned.appendStageRoot(dir)
+    val stages = fs.listStatus(sroot).toSeq.filter(_.isDirectory).map(_.getPath)
+    assert(stages.size == 1, "the committed stage must survive an AppendPending")
+    assert(fs.exists(new Path(stages.head, "_publish_intent")))
+    // unblock and let the next maintenance touch roll it forward
+    fs.delete(new Path(dir, newDayName), false)
+    assert(TimePartitioned.heal(spark, dir, leaseMs = 60000))
+    assert(vSet(dir) == Set(0L, 1L, 555L), "the committed batch must land exactly-once")
+    assert(!fs.exists(sroot) || fs.listStatus(sroot).isEmpty)
+  }
+
   // ------------------------------------------- conditional-put attestation
 
   test("conditionalPut attestation: refused without it, exactly-once with it") {
@@ -302,11 +346,19 @@ class LockProtocolR18Spec extends SparkSpec {
     val live = stageBatch("live-staging", 666L)
     FsIO.writeText(live.toString + ".__write_lock",
       s"owner=someone\nts=${System.currentTimeMillis()}\nlabel=append.stage\n")
+    // (d) stage whose holder DECLARED a long lease: its ts is stale by
+    // the sweeper's bar but inside the declared tolerance — must survive
+    val longLease = stageBatch("live-long-lease", 444L)
+    FsIO.writeText(longLease.toString + ".__write_lock",
+      s"owner=someone\nts=${System.currentTimeMillis() - 120000}\n" +
+        "label=append.stage\nlease=3600000\n")
     assert(TimePartitioned.heal(spark, dir, leaseMs = 60000),
       "an uncontended heal over crashed stages must run")
     assert(!fs.exists(dead), "a pre-intent crashed stage must be swept")
     assert(!fs.exists(fwd), "a post-intent crashed stage must be consumed by roll-forward")
     assert(fs.exists(live), "a live stage must survive the heal")
+    assert(fs.exists(longLease),
+      "a declared-long-lease stage must survive a short-lease sweeper")
     assert(vSet(dir) == Set(0L, 1L, 888L),
       "exactly the intent-carrying batch must land")
     // retention under the table lease also leaves the live stage alone
