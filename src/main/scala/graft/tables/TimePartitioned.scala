@@ -104,7 +104,7 @@ object TimePartitioned {
     * table root, so readers and the maintenance swap protocols never see
     * a half-written batch, and a maintenance writer renaming day dirs
     * can never capture one. */
-  private[tables] def appendStageRoot(dir: String) =
+  private[graft] def appendStageRoot(dir: String) =
     new org.apache.hadoop.fs.Path(dir + ".__append_stage")
 
   private val AppendPublishIntentName = "_publish_intent"

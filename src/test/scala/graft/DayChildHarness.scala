@@ -5,7 +5,8 @@ package graft
   * the JDK-17 add-opens Spark needs, stdout+stderr teed to `log`. */
 object DayChildHarness {
 
-  def spawn(dir: String, leaseMs: Long, log: java.io.File): Process = {
+  def spawn(dir: String, leaseMs: Long, log: java.io.File,
+      mode: String = "overwrite"): Process = {
     val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -21,7 +22,7 @@ object DayChildHarness {
       "-Dspark.sql.session.timeZone=UTC",
       "-Duser.language=en", "-Duser.country=US",
       "-cp", sys.props("java.class.path"),
-      "graft.DayStressChild", dir, leaseMs.toString)
+      "graft.DayStressChild", dir, leaseMs.toString, mode)
     new ProcessBuilder(cmd: _*).redirectErrorStream(true)
       .redirectOutput(log).start()
   }

@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Writes 120 days (one row each, v = day index + 100000) over whatever
   * snapshot the parent seeded. Prints CHILD_DONE only if the overwrite
-  * ran to completion (most iterations kill it first). */
+  * ran to completion (most iterations kill it first).
+  *
+  * With a third arg `append`, the child instead runs a stage-then-publish
+  * APPEND of the same 120 one-row days ([[DayTableAppendCrashSpec]]): the
+  * parent kills it mid-STAGING (stage lease live, no intent — the batch
+  * must be swept, zero rows land) or mid-PUBLISH (intent durable — the
+  * batch must roll forward exactly-once at the next touch). */
 object DayStressChild {
 
   val Day1 = 1700000000000000000L // 2023-11-14 UTC, epoch nanos
@@ -20,15 +26,22 @@ object DayStressChild {
   val NewTag  = 100000L
 
   def main(args: Array[String]): Unit = {
-    val Array(dir, leaseMsStr) = args
+    val (dir, leaseMs, mode) = args match {
+      case Array(d, l)    => (d, l.toLong, "overwrite")
+      case Array(d, l, m) => (d, l.toLong, m)
+    }
     val spark = GraftSession.builder("local[2]", shufflePartitions = 2).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
       val df = spark.range(0L, NewDays.toLong).select(
         (lit(Day1) + col("id") * lit(86400L * 1000000000L)).as("ts"),
         (col("id") + NewTag).as("v"))
-      TimePartitioned.overwriteStaged(df, dir, "ts", filesPerDay = 1,
-        leaseMs = leaseMsStr.toLong)
+      if (mode == "append")
+        TimePartitioned.append(df, dir, "ts", filesPerDay = 1,
+          leaseMs = leaseMs, maxWaitMs = 60000L)
+      else
+        TimePartitioned.overwriteStaged(df, dir, "ts", filesPerDay = 1,
+          leaseMs = leaseMs)
       println("CHILD_DONE")
     } finally spark.stop()
   }
