@@ -540,24 +540,49 @@ object SparkEntry {
     "q_knn_join_ivf_learned" -> ((s, d) => {
       import s.implicits._
       val emb   = t(s, d, "embeddings")
-      val cents = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
       val pair  = (df: DataFrame) => df.select("vec_id", "neighbor_id")
-      val exact = pair(Similarity.knnJoinExact(emb, "embedding", "vec_id", k = 5))
-      val ivf = pair(
-        Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 5, cents, nProbes = 4))
-      // one pass for both counts: (pairs are distinct by construction on
-      // both sides, so the left-outer match count IS the intersection size)
-      val cnt = exact.join(ivf.withColumn("__m", lit(1)),
-          Seq("vec_id", "neighbor_id"), "left_outer")
-        .agg(count(lit(1)).as("n"), count(col("__m")).as("m")).head()
-      val (nExact, nAgree) = (cnt.getLong(0), cnt.getLong(1))
+      // Overlap independent jobs (r18, guide §2.6): the exact k-NN side
+      // does not depend on the centroid fit, and the MLlib fit is a chain
+      // of small driver-paced Lloyd jobs that leave the cluster mostly
+      // idle — materialize the exact pairs concurrently with the fit, and
+      // run the two final aggregates (recall join, cell histogram)
+      // concurrently too. Same computations, same results; only the
+      // action scheduling changes.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val (nExact, nAgree, cellRows) = try {
+        val exactF = scala.concurrent.Future {
+          pair(Similarity.knnJoinExact(emb, "embedding", "vec_id", k = 5))
+            .localCheckpoint(true)
+        }
+        val cents = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
+        val exact = scala.concurrent.Await.result(exactF,
+          scala.concurrent.duration.Duration.Inf)
+        val ivf = pair(
+          Similarity.knnJoinIvf(emb, "embedding", "vec_id", k = 5, cents, nProbes = 4))
+        // one pass for both counts: (pairs are distinct by construction on
+        // both sides, so the left-outer match count IS the intersection size)
+        val cntF = scala.concurrent.Future {
+          exact.join(ivf.withColumn("__m", lit(1)),
+              Seq("vec_id", "neighbor_id"), "left_outer")
+            .agg(count(lit(1)).as("n"), count(col("__m")).as("m")).head()
+        }
+        val cellF = scala.concurrent.Future {
+          Similarity.assignCells(
+              emb.select(col("vec_id"), col("embedding")), "embedding", cents)
+            .groupBy("ivf_cell").count().agg(max("count"), sum("count")).head()
+        }
+        val cnt = scala.concurrent.Await.result(cntF,
+          scala.concurrent.duration.Duration.Inf)
+        (cnt.getLong(0), cnt.getLong(1),
+          scala.concurrent.Await.result(cellF,
+            scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
       val recall = nAgree.toDouble / math.max(nExact, 1L)
       require(recall >= 0.6,
         f"learned-centroid IVF recall $recall%.3f < 0.6 vs exact k-NN " +
           s"($nAgree/$nExact pairs) — centroid fit or probe path regressed")
-      val cellRows = Similarity.assignCells(
-          emb.select(col("vec_id"), col("embedding")), "embedding", cents)
-        .groupBy("ivf_cell").count().agg(max("count"), sum("count")).head()
       val maxShare = cellRows.getLong(0).toDouble / cellRows.getLong(1)
       require(maxShare <= 0.5,
         f"IVF fit collapsed: largest cell holds $maxShare%.2f of the corpus")

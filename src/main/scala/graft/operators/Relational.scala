@@ -390,7 +390,20 @@ object Relational {
       salt: Long = 0L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val pos = positives.select(col(userCol), col(itemCol)).distinct()
-    val cand = pos.select(col(userCol)).distinct()
+    // Parallelism floor (r18, guide §2.5/§2.6): the distinct user side is
+    // small post-aggregation and AQE coalesces it to ~one partition — which
+    // then generates and partially-aggregates the users × catalog candidate
+    // space on ONE core. Spreading the users over the cores costs one tiny
+    // shuffle of user ids and parallelizes the whole candidate pipeline;
+    // when the user side already has enough partitions (the at-scale case)
+    // nothing is added. Results are partitioning-invariant (spec-asserted).
+    // (unconditional: the repartition moves 8-byte user ids — linear and
+    // tiny against the users × catalog stage it balances; probing the
+    // post-distinct partition count instead would force AQE to execute
+    // the distinct eagerly just to answer it)
+    val target = positives.sparkSession.sparkContext.defaultParallelism
+    val users  = pos.select(col(userCol)).distinct().repartition(target)
+    val cand = users
       .crossJoin(broadcast(items.select(col(itemKeyCol).cast("long").as(itemCol))))
     // broadcast the positive set: the generated candidate side is
     // users × catalog — shuffling IT on (user, item) to knock out the far

@@ -142,7 +142,15 @@ object Similarity {
         var d = 0.0; var t = 0
         while (t < vec.length) { d += vec(t).toDouble * nvec(t); t += 1 }
         val cos0 = d / (nrm * nnrm)
-        if (!cos0.isNaN) {
+        // Rounding prune (r18, guide §1.2 "per-task work"): the decimal
+        // rounding below costs a BigDecimal round-trip PER PAIR — on an
+        // O(n²) scoring pass that is the hot allocation. HALF_UP to 6dp
+        // moves a value by at most 5e-7, so once the heap is full a
+        // candidate with cos0 + 5e-7 < kth CANNOT round to ≥ kth and can
+        // never enter — skip it before rounding. Results are bit-identical
+        // (the prune only discards candidates the insert would reject).
+        val kth = if (top.length == k) top(k - 1)._1 else Double.NegativeInfinity
+        if (!cos0.isNaN && cos0 + 5e-7 >= kth) {
           val cos = java.math.BigDecimal.valueOf(cos0)
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
           val pos = top.indexWhere(e => e._1 < cos || (e._1 == cos && e._2 > nid))
@@ -153,6 +161,20 @@ object Similarity {
       j += 1
     }
     top.iterator
+  }
+
+  /** Raise map-side parallelism for the broadcast-scoring kernels: a
+    * compute-dense O(n·broadcast) pass inherits the SCAN's partitioning,
+    * which for a small/compacted input can be far below the cores
+    * available (one fixture file = one task doing the whole O(n²) score).
+    * A round-robin repartition of the (id, vec) rows costs one shuffle of
+    * the input — negligible against the scoring it parallelizes — and is
+    * applied only when the scan is under-partitioned, so a well-
+    * partitioned 100 TB input keeps its layout and pays nothing. */
+  private def parallelizeScoring[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val target = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
   }
 
   def knnJoinExact(df: DataFrame, vecCol: String, idCol: String, k: Int,
@@ -189,7 +211,7 @@ object Similarity {
         s"At this scale use knnJoinIvf (cell-local candidate generation, no " +
         s"broadcast of the corpus) or raise maxBroadcastRows deliberately.")
     val bc = spark.sparkContext.broadcast(withNorms(neigh))
-    rows.flatMap { case (id, vec) =>
+    parallelizeScoring(rows).flatMap { case (id, vec) =>
       scoreTopK(id, vec, bc.value, k).zipWithIndex
         .map { case ((cos, nid), r) => (id, (r + 1).toLong, nid, cos) }
     }.toDF(idCol, "rank", "neighbor_id", "cos")
@@ -257,7 +279,7 @@ object Similarity {
       (id, v, math.sqrt(s), l)
     }
     val bc = spark.sparkContext.broadcast(labeled)
-    rows.mapPartitions { it =>
+    parallelizeScoring(rows).mapPartitions { it =>
       val all  = bc.value
       val comp = scala.collection.mutable.Map.empty[Int, Array[(Long, Array[Float], Double)]]
       it.flatMap { case (id, vec, lbl) =>
