@@ -28,8 +28,18 @@ object Profile {
 
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val shuffleB = new AtomicLong
+    val verbose = sys.env.contains("SPARK_GRAFT_PROFILE_JOBS")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (verbose) jobStart.put(j.jobId, (System.nanoTime(),
+          Option(j.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (verbose) Option(jobStart.remove(j.jobId)).foreach { case (t0, desc) =>
+          println(f"[profile-job] job=${j.jobId} ${(System.nanoTime() - t0) / 1e3}%9.0fus $desc")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()

@@ -1474,9 +1474,12 @@ object SparkEntry {
     // in-query require makes the driver gate itself fail if recall breaks.
     "q_image_phash" -> ((s, _) => {
       val dir  = ImageFixtures.shared()
-      val base = ImagePipeline.readBinaryImages(s, dir)
+      // parallelizeScan (r18): the brightness-shift (decode + re-encode)
+      // and both phash passes otherwise run inside the 1-2 partitions the
+      // binaryFile scan packs the small fixture files into
+      val base = Tables.parallelizeScan(ImagePipeline.readBinaryImages(s, dir)
         .select(regexp_extract(col("path"), "(flower_photos/.*)$", 1).as("img_id"),
-          col("content"))
+          col("content")))
       val shifted = base.select(concat(col("img_id"), lit("#b")).as("img_id"),
         ImageUdfs.brightnessShift(col("content"), lit(8)).as("content"))
       val out = graft.image.Perceptual
@@ -2716,9 +2719,12 @@ object SparkEntry {
     "q_stream_image_dedup" -> ((s, _) => {
       val dir  = ImageFixtures.shared()
       val work = scratchDir("graft_sid")
-      val base = ImagePipeline.readBinaryImages(s, dir)
+      // parallelizeScan (r18): same decode-parallelism rationale as
+      // q_image_phash — the phash grouping and the brightness-shift copy
+      // generation both decode every image
+      val base = Tables.parallelizeScan(ImagePipeline.readBinaryImages(s, dir)
         .select(regexp_extract(col("path"), "(flower_photos/.*)$", 1).as("img_id"),
-          col("content"))
+          col("content")))
       val reps = graft.image.Perceptual
         .nearDupGroups(base, "content", "img_id", maxHamming = 6, bands = 8)
         .where(col("rep") === col("img_id")).select("img_id")
@@ -3118,7 +3124,13 @@ object SparkEntry {
     // exact compare here would price the Expand plan this variant exists
     // to avoid into its own bench line).
     "q_column_stats_approx" -> ((s, d) => {
-      val out = Relational.columnStatsApprox(t(s, d, "lineitem"),
+      // parallelizeScan (r18): 13 aggregate kernels (4× HLL among them)
+      // over the whole table otherwise run inside the single-row-group
+      // scan's one task; project to the profiled columns first so the
+      // balancing shuffle carries only them
+      val out = Relational.columnStatsApprox(
+          Tables.parallelizeScan(t(s, d, "lineitem")
+            .select("l_quantity", "l_discount", "l_extendedprice", "l_returnflag")),
           Seq("l_quantity", "l_discount", "l_extendedprice", "l_returnflag"))
         .orderBy("column")
         .localCheckpoint(true) // sanity check + returned frame: compute once
@@ -3287,9 +3299,26 @@ object SparkEntry {
       // one file per slice: without it each append inherits the session's
       // 32 partitions and the chain accrues ~384 tiny files that every
       // later scan (the DV delete, the update, the final read) reopens
-      (0 until 12).foreach { i =>
-        VersionedTable.commitAppend(s,
-          o.where(pmod(col("o_orderkey"), lit(12L)) === i).coalesce(1), dir)
+      //
+      // Concurrent appenders (r18, guide §2.6): the 12 slices are disjoint
+      // and order-independent (the final read aggregates the whole table),
+      // and the commit protocol serializes publishes under the write lease
+      // — exactly the concurrent-append contract the cross-JVM race specs
+      // prove. Staging (the per-slice write job) overlaps across 4
+      // threads; only the millisecond publish tails serialize. Same 12
+      // committed versions, same final table content.
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence((0 until 12).map { i =>
+            scala.concurrent.Future {
+              VersionedTable.commitAppend(s,
+                o.where(pmod(col("o_orderkey"), lit(12L)) === i).coalesce(1), dir)
+            }
+          }), scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
       }
       VersionedTable.commitDeleteDV(s, dir,
         pmod(col("o_orderkey"), lit(5L)) === 0L && col("o_orderstatus") === "F")

@@ -29,6 +29,24 @@ object Tables {
     * downstream operator and oracle on the fixture vintage. The session
     * time zone is pinned to UTC (GraftSession), so the NTZ→LTZ cast is
     * instant-preserving; micros→nanos multiplication is exact. */
+  /** Parallelism floor for compute-dense passes over SCAN-shaped frames
+    * (r18, guide §2.5 "input skew: one huge unsplittable file …
+    * repartition immediately after the read"). The fixture tables are
+    * single-row-group parquet files, so a scan yields ONE populated
+    * partition no matter the split math — an expensive map/aggregate pass
+    * downstream then runs on one core. A round-robin repartition to the
+    * core count costs one linear shuffle of the projected input and buys
+    * full parallelism for the pass; when the scan already has enough
+    * partitions (the at-scale case) nothing is added. Call on scan-shaped
+    * frames only (`.rdd` on a post-exchange AQE frame would execute the
+    * upstream stages eagerly), and only where the consumer is
+    * partitioning-invariant (aggregates, per-row maps — not first()/
+    * collect_list-order consumers). */
+  def parallelizeScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.find(_.name == "ts").map(_.dataType) match {
