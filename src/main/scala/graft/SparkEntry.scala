@@ -1569,7 +1569,14 @@ object SparkEntry {
       val srcDir = s"$work/src"
       val docs   = assertPlantable(
         t(s, d, "documents").select("doc_id", "text"), "doc_id")
-      docs.repartition(4).write.parquet(srcDir)
+      // the source write below and the planted-copies write after it are
+      // independent — overlap them (r18, guide §2.6); the mtime ordering
+      // that sequences the TRIGGERS is stamped explicitly afterwards
+      val srcWriteF = {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        scala.concurrent.Future(docs.repartition(4).write.parquet(srcDir))
+      }
       // planted EXACT copies (r17 gate): arrive LAST (later mtime → later
       // trigger), after every source doc is in the index — an identical
       // text has an identical signature, so est == 1.0 and the LSH probe
@@ -1580,6 +1587,9 @@ object SparkEntry {
       docs.where(col("text").isNotNull && col("doc_id") % 10 === 0)
         .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
         .repartition(1).write.parquet(copyTmp)
+      // both writes done before the copies file moves INTO the source dir
+      scala.concurrent.Await.result(srcWriteF,
+        scala.concurrent.duration.Duration.Inf)
       val copyPart = new java.io.File(copyTmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val planted = java.nio.file.Paths.get(srcDir, "z_copies.parquet")
@@ -2144,7 +2154,12 @@ object SparkEntry {
     // from deletion neighborhoods (recall-complete), exact verify; the
     // oracle brute-forces all pairs, so equality proves full recall.
     "q_fuzzy_join" -> ((s, d) =>
-      Dedup.editDistanceJoinPairs(t(s, d, "customer"), "c_name", "c_custkey", maxDist = 1)
+      // parallelizeScan (r18): the deletion-variant neighborhood (O(len)
+      // string slices per row, 3 consumers) otherwise generates inside the
+      // one-task scan
+      Dedup.editDistanceJoinPairs(
+          Tables.parallelizeScan(t(s, d, "customer").select("c_custkey", "c_name")),
+          "c_name", "c_custkey", maxDist = 1)
         .orderBy("id_a", "id_b")),
 
     // -- in-plan winsorize (percentile clamp; keeps rows, caps values) -----
@@ -2740,15 +2755,27 @@ object SparkEntry {
         col("content"))
       val srcDir = s"$work/src"
       new java.io.File(srcDir).mkdirs()
-      Seq(("b1", reps.select("img_id", "content")), ("b2", copies), ("b3", exact))
-        .zipWithIndex.foreach { case ((nm, df), i) =>
-        val tmp = s"$work/$nm"
-        df.repartition(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = java.nio.file.Paths.get(srcDir, s"$nm.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(System.currentTimeMillis() + i * 5000L)
+      // the three batch files derive independently from the checkpointed
+      // reps — overlap their write jobs (r18, guide §2.6); the moves +
+      // mtime stamps that order the TRIGGERS stay sequential below
+      locally {
+        val batches =
+          Seq(("b1", reps.select("img_id", "content")), ("b2", copies), ("b3", exact))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(batches.map { case (nm, df) =>
+            scala.concurrent.Future(df.repartition(1).write.parquet(s"$work/$nm"))
+          }), scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+        batches.zipWithIndex.foreach { case ((nm, _), i) =>
+          val part = new java.io.File(s"$work/$nm").listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(srcDir, s"$nm.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(System.currentTimeMillis() + i * 5000L)
+        }
       }
       val out = StreamingInference.streamImageDedup(
           s, srcDir, s.read.parquet(srcDir).schema, "content", "img_id",
