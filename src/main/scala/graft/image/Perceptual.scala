@@ -80,15 +80,13 @@ object Perceptual {
 
   private val dHashUdf = udf((bytes: Array[Byte]) => dHash64(bytes))
 
-  /** (idCol, phash) for every row — the map-side fingerprint pass.
-    * parallelizeScan (r18): image DECODE dominates this pass, and a
-    * binaryFile scan packs the small fixture files into one or two input
-    * partitions — decode must not run on one core when 32 are idle (the
-    * balancing shuffle moves the bytes once; at scale the scan is already
-    * wide and nothing is added). */
+  /** (idCol, phash) for every row — the map-side fingerprint pass (a
+    * plan-spec'd contract: image bytes never shuffle INSIDE this
+    * operator). A caller whose scan is under-partitioned for the decode
+    * cost raises parallelism explicitly before calling
+    * (Tables.parallelizeScan — see q_image_phash/q_stream_image_dedup). */
   def phashDf(df: DataFrame, bytesCol: String, idCol: String): DataFrame =
-    graft.Tables.parallelizeScan(df.select(col(idCol), col(bytesCol)))
-      .select(col(idCol), dHashUdf(col(bytesCol)).as("phash"))
+    df.select(col(idCol), dHashUdf(col(bytesCol)).as("phash"))
 
   private def bandKey(phash: Column, j: Int, bandBits: Int): Column =
     shiftrightunsigned(phash, j * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
