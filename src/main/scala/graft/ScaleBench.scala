@@ -858,7 +858,7 @@ object ScaleBench {
         .repartition(4 * f).write.parquet(srcDir)
       streaming.StreamingInference.streamNearDedup(
         s, srcDir, s.read.parquet(srcDir).schema, "text", "doc_id",
-        s"$work/sink", s"$work/index", s"$work/ckpt",
+        s"$work/sink", s"$work/ckpt",
         maxFilesPerTrigger = 2 * f)
     })
   )

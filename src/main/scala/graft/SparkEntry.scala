@@ -1557,10 +1557,11 @@ object SparkEntry {
 
     // -- streaming LLM-pipeline: incremental near-dedup --------------------
     // The arrival-order near-dedup shape: each micro-batch LSH-probes the
-    // persisted MinHash index of all PRIOR survivors (payloads never
-    // shuffle; the index carries (id, sig) only), survivors append to both
-    // sink and index under batch_id dynamic-partition overwrite
-    // (replay-idempotent). Run-to-completion on fixture documents split
+    // MinHash signatures of all PRIOR survivors (payloads never shuffle;
+    // the probe reads (id, sig) only), survivors persist WITH their
+    // signatures to the combined sink under batch_id dynamic-partition
+    // overwrite (replay-idempotent; one write per trigger — r19 layout).
+    // Run-to-completion on fixture documents split
     // into deterministic micro-batches. Rows-only by contract: the result
     // depends on arrival order (a batch semantics no SQL oracle replays);
     // batch-equivalence + exactly-once specs in StreamingSpec.
@@ -1602,7 +1603,7 @@ object SparkEntry {
       // the zero-survivor guarantee is batch-placement-independent.
       val surv = StreamingInference.streamNearDedup(
         s, srcDir, s.read.parquet(srcDir).schema, "text", "doc_id",
-        s"$work/sink", s"$work/index", s"$work/ckpt",
+        s"$work/sink", s"$work/ckpt",
         maxFilesPerTrigger = 3)
         .select("doc_id").localCheckpoint(true) // gate + result share one pass
       val leaked = surv.where(col("doc_id") >= 1000000L).count()
@@ -2779,7 +2780,7 @@ object SparkEntry {
       }
       val out = StreamingInference.streamImageDedup(
           s, srcDir, s.read.parquet(srcDir).schema, "content", "img_id",
-          s"$work/sink", s"$work/index", s"$work/ckpt")
+          s"$work/sink", s"$work/ckpt")
         .select(col("img_id"), ImageUdfs.pixelChecksum(col("content")).as("checksum"))
         .localCheckpoint(true)
       val nReps     = reps.count()

@@ -132,10 +132,6 @@ object Perceptual {
       index: DataFrame, maxHamming: Int = 6, bands: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
     val hashes = phashDf(batch, bytesCol, idCol).localCheckpoint(true) // decode once
-    // within-batch: min-id-wins on direct neighbors
-    val innerDrops = nearDupPairs(hashes, idCol, maxHamming, bands, maxBucketSize)
-      .select(col("id_b").as("__drop_id")).distinct()
-    // vs history: band join against the index, exact hamming verify
     require(64 % bands == 0 && maxHamming < bands, "see nearDupPairs contract")
     val bandBits = 64 / bands
     def banded(df: DataFrame, id: String, h: String) =
@@ -143,13 +139,30 @@ object Perceptual {
           explode(array((0 until bands).map(j =>
             struct(lit(j).as("b"), bandKey(col(h), j, bandBits).as("k"))): _*)).as("bk"))
         .select(col(id), col(h), col("bk.b").as("b"), col("bk.k").as("k"))
-    val histDrops = banded(hashes.select(col(idCol).as("__bid"), col("phash")), "__bid", "phash")
-      .join(banded(index.select(col(idCol).as("__hid"), col("phash").as("__hh")), "__hid", "__hh"),
-        Seq("b", "k"))
-      .where(bit_count(col("phash").bitwiseXOR(col("__hh"))) <= maxHamming)
+    // ONE unified band join generates both drop legs (r19; previously a
+    // capped within-batch self-join plus a separate history join): the
+    // batch side probes (history ∪ lower-id under-cap batch siblings).
+    // Cap semantics unchanged pair-for-pair — a within-batch pair (a,b)
+    // exists iff its shared (b,k) bucket's BATCH count is ≤ maxBucketSize
+    // (both endpoints share the bucket, so gating the probe-side row `a`
+    // gates the pair exactly as nearDupPairs' keep-gate did; the old ≥2
+    // bound is implied by the pair itself), while history candidates stay
+    // uncapped exactly as before (the index side never explodes: one
+    // probe row per (band, history hash)).
+    val bBanded = banded(hashes.select(col(idCol).as("__bid"), col("phash")), "__bid", "phash")
+    val overCap = bBanded.groupBy("b", "k").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucketSize).select("b", "k")
+    val others = banded(index.select(col(idCol).as("__oid"), col("phash").as("__oh")),
+        "__oid", "__oh")
+      .withColumn("__hist", lit(true))
+      .unionByName(bBanded.join(overCap, Seq("b", "k"), "left_anti")
+        .select(col("__bid").as("__oid"), col("phash").as("__oh"), col("b"), col("k"),
+          lit(false).as("__hist")))
+    val drops = bBanded.join(others, Seq("b", "k"))
+      .where((col("__hist") || col("__oid") < col("__bid")) &&
+        bit_count(col("phash").bitwiseXOR(col("__oh"))) <= maxHamming)
       .select(col("__bid").as("__drop_id")).distinct()
-    hashes.join(innerDrops.union(histDrops).distinct(),
-        col(idCol) === col("__drop_id"), "left_anti")
+    hashes.join(drops, col(idCol) === col("__drop_id"), "left_anti")
       .join(batch, Seq(idCol))
   }
 

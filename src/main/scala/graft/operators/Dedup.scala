@@ -228,6 +228,49 @@ object Dedup {
     }
   }
 
+  /** Batch rows with their MinHash signature AND shingle-set fingerprint
+    * attached (`sig`, `seth` — the persisted-index column contract) in ONE
+    * kernel pass per row — the streaming combined-sink form, where the
+    * micro-batch sink doubles as the signature index and survivors persist
+    * payload + signature together ([[graft.streaming.StreamingInference
+    * .streamNearDedup]]). Null-text rows keep NULL sig/seth (they cannot
+    * near-dup; index readers filter `sig IS NOT NULL`). Refuses a batch
+    * already carrying the reserved column names. */
+  private[graft] def withMinHashSigs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      numHashes: Int): DataFrame = {
+    require(!df.columns.contains("sig") && !df.columns.contains("seth"),
+      "withMinHashSigs: batch already carries a `sig`/`seth` column")
+    val seed      = 42L
+    val slotSeeds = Array.tabulate(numHashes)(i => splitmix64(seed + i))
+    val both = udf((t: String) =>
+      if (t == null) null
+      else {
+        val (sig, set) = minHashKernel(t, shingleN, numHashes, slotSeeds, wantSet = true)
+        (sig, sha256Hex(set))
+      })
+    df.withColumn("__ss", both(col(textCol)))
+      .select(df.columns.map(c => col(s"`$c`")) :+
+        col("__ss._1").as("sig") :+ col("__ss._2").as("seth"): _*)
+  }
+
+  /** [[nearDedupAgainstIndex]] drop-set entry point for the streaming
+    * combined-sink path: the caller owns the signature frame's cache
+    * lifecycle (the returned drop set is LAZY — evaluate it while
+    * `batchSigs`' persist is live). */
+  private[graft] def nearDedupDropSet(
+      batchSigs: DataFrame, // (id, sig, seth)
+      index: DataFrame,     // (id, sig, seth)
+      numHashes: Int,
+      bands: Int,
+      minEstJaccard: Double,
+      maxBucketSize: Int = 64): DataFrame =
+    nearDedupDropIds(batchSigs, index, numHashes, bands, minEstJaccard,
+      exact = minEstJaccard >= 1.0 && index.columns.contains("seth"), maxBucketSize)
+
   /** Incremental NEAR-dedup of an arriving batch against a persisted
     * [[minHashIndex]]: drop batch docs whose estimated Jaccard vs ANY
     * historical doc reaches `minEstJaccard`, and collapse within-batch
@@ -262,9 +305,47 @@ object Dedup {
       bands: Int = 16,
       minEstJaccard: Double = 0.8,
       maxBucketSize: Int = 64): DataFrame = {
+    val exact = minEstJaccard >= 1.0 && index.columns.contains("seth")
+    val batchSigs = minHashSigs(batch, textCol, idCol, shingleN, numHashes, withSeth = exact)
+    batchSigs.persist()
+    try {
+      // checkpoint the DROP SET (ids only, bounded) while the signature
+      // cache is live — never the payload-carrying result (withSigsCache's
+      // discipline); the anti join then evaluates lazily against it
+      val dropIds = nearDedupDropIds(batchSigs, index, numHashes, bands,
+        minEstJaccard, exact, maxBucketSize)
+        .withColumnRenamed("id", idCol)
+        .localCheckpoint(true)
+      batch.join(dropIds, Seq(idCol), "left_anti")
+    } finally batchSigs.unpersist(false)
+  }
+
+  /** Drop-id set for [[nearDedupAgainstIndex]]: batch ids whose estimated
+    * Jaccard vs ANY history doc reaches the threshold, plus within-batch
+    * group losers (min-id-wins). ONE unified band join generates both
+    * candidate legs (r19; previously two joins + three distincts): the
+    * batch side probes (history ∪ lower-id batch siblings) in a single
+    * pass. Cap semantics are unchanged pair-for-pair:
+    *  - batch×history pair (b,h) exists iff they share a band key whose
+    *    batch-side count AND hist-side count are both ≤ `maxBucketSize`
+    *    (the old per-side underCap anti-joins);
+    *  - within-batch pair (a,b), a<b, exists iff they share a band key
+    *    with batch-side count in [2, maxBucketSize] (BoundedBucket's gate;
+    *    the ≥2 bound is implied by the pair itself, and both endpoints sit
+    *    in the SAME bucket so one per-key gate covers both).
+    * Only (band_key, id) rows flow through the join; signatures re-attach
+    * per unique candidate afterwards (§2.3 payload discipline — ids, not
+    * 8·numHashes-byte signatures, cross the candidate shuffle). */
+  private def nearDedupDropIds(
+      batchSigs: DataFrame, // (id, sig, seth) — seth may be typed-null
+      index: DataFrame,     // (id, sig[, seth]) from minHashIndex
+      numHashes: Int,
+      bands: Int,
+      minEstJaccard: Double,
+      exact: Boolean,
+      maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
-    val exact = minEstJaccard >= 1.0 && index.columns.contains("seth")
     // candidate confirmation: exact set equality at J == 1.0, signature
     // estimate at fractional thresholds (see scaladoc). Per-PAIR legacy
     // fallback inside the exact path: a pre-seth index row surfaces a
@@ -276,57 +357,45 @@ object Dedup {
         when(sethA.isNotNull && sethB.isNotNull, sethA === sethB)
           .otherwise(estimatedJaccardNative(sigA, sigB) >= minEstJaccard)
       else estimatedJaccardNative(sigA, sigB) >= minEstJaccard
-    val batchSigs = minHashSigs(batch, textCol, idCol, shingleN, numHashes, withSeth = exact)
-    batchSigs.persist()
-    try {
-      val histSigs =
-        if (exact) index.select(col("id"), col("sig"), col("seth"))
-        else index.select(col("id"), col("sig"), lit(null).cast("string").as("seth"))
-      val batchBands = batchSigs.select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
-      val histBands  = histSigs.select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
-
-      // leg 1: batch vs history — candidate (batch_id, hist_id) meet on a
-      // band. Degenerate band keys (empty/boilerplate docs banding to one
-      // value) are dropped from BOTH sides first — without the cap this
-      // join is the one uncapped m·n pair generator in the file (a hot key
-      // shared by a 10k-doc batch and a 10M-doc history materializes 10¹¹
-      // rows); same recall contract as bucketedPairs' cap: near-dups in a
-      // dropped bucket still meet in their other bands. The extra per-side
-      // count is a skinny (band_key) aggregation.
-      def underCap(bands: DataFrame): DataFrame =
-        bands.join(
-          bands.groupBy("band_key").agg(count(lit(1)).as("__n"))
-            .where(col("__n") > maxBucketSize).select("band_key"),
-          Seq("band_key"), "left_anti")
-      val histMatched = underCap(batchBands).select(col("band_key"), col("id").as("b_id"))
-        .join(underCap(histBands).select(col("band_key"), col("id").as("h_id")), Seq("band_key"))
-        .select("b_id", "h_id").distinct()
-        .join(batchSigs.select(col("id").as("b_id"), col("sig").as("sig_b"),
-          col("seth").as("seth_b")), Seq("b_id"))
-        .join(histSigs.select(col("id").as("h_id"), col("sig").as("sig_h"),
-          col("seth").as("seth_h")), Seq("h_id"))
-        .where(confirmed(col("sig_b"), col("sig_h"), col("seth_b"), col("seth_h")))
-        .select(col("b_id").as("id")).distinct()
-
-      // leg 2: within-batch — the standard capped-bucket pair path
-      val pairs = bucketedPairs(batchBands, Seq("band_key"), maxBucketSize)
-        .join(batchSigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
-          col("seth").as("seth_a")), Seq("id_a"))
-        .join(batchSigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
-          col("seth").as("seth_b")), Seq("id_b"))
-        .where(confirmed(col("sig_a"), col("sig_b"), col("seth_a"), col("seth_b")))
-      val batchLosers = pairs.select(col("id_b").as("id")).distinct()
-
-      // checkpoint the DROP SET (ids only, bounded) while the signature
-      // cache is live — never the payload-carrying result (withSigsCache's
-      // discipline); the anti join then evaluates lazily against it
-      val dropIds = histMatched.unionAll(batchLosers).distinct()
-        .withColumnRenamed("id", idCol)
-        .localCheckpoint(true)
-      batch.join(dropIds, Seq(idCol), "left_anti")
-    } finally batchSigs.unpersist(false)
+    val histSigs =
+      if (exact) index.select(col("id"), col("sig"), col("seth"))
+      else index.select(col("id"), col("sig"), lit(null).cast("string").as("seth"))
+    val batchBands = batchSigs.select(col("id"),
+      explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
+    val histBands  = histSigs.select(col("id"),
+      explode(lshBandKeys(col("sig"), bands, r)).as("band_key"))
+    // Degenerate band keys (empty/boilerplate docs banding to one value)
+    // are dropped per side first — without the cap the band join is the
+    // one uncapped m·n pair generator in the file (a hot key shared by a
+    // 10k-doc batch and a 10M-doc history materializes 10¹¹ rows);
+    // recall contract as always: near-dups in a dropped bucket still meet
+    // in their other bands. The per-side count is a skinny (band_key)
+    // aggregation, and the anti join ships only the (tiny) over-cap keys.
+    def underCap(bnds: DataFrame): DataFrame =
+      bnds.join(
+        bnds.groupBy("band_key").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxBucketSize).select("band_key"),
+        Seq("band_key"), "left_anti")
+    val bOk = underCap(batchBands)
+    val hOk = underCap(histBands)
+    // the probe side: history docs plus batch siblings; `__hist`
+    // disambiguates the two id domains (a replayed doc id can exist in
+    // both) and selects which sig relation re-attaches below
+    val others = hOk.select(col("band_key"), col("id").as("o_id"), lit(true).as("__hist"))
+      .unionAll(bOk.select(col("band_key"), col("id").as("o_id"), lit(false).as("__hist")))
+    val oSigs = batchSigs.select(col("id").as("o_id"), lit(false).as("__hist"),
+        col("sig").as("sig_o"), col("seth").as("seth_o"))
+      .unionAll(histSigs.select(col("id").as("o_id"), lit(true).as("__hist"),
+        col("sig").as("sig_o"), col("seth").as("seth_o")))
+    bOk.select(col("band_key"), col("id").as("b_id"))
+      .join(others, Seq("band_key"))
+      .where(col("__hist") || col("o_id") < col("b_id"))
+      .select("b_id", "o_id", "__hist").distinct()
+      .join(batchSigs.select(col("id").as("b_id"), col("sig").as("sig_b"),
+        col("seth").as("seth_b")), Seq("b_id"))
+      .join(oSigs, Seq("o_id", "__hist"))
+      .where(confirmed(col("sig_b"), col("sig_o"), col("seth_b"), col("seth_o")))
+      .select(col("b_id").as("id")).distinct()
   }
 
   // ---------------------------------------------------------- shingling

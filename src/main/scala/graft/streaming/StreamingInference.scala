@@ -190,25 +190,34 @@ object StreamingInference {
   }
 
   /** Streaming NEAR-dedup of an arriving document stream against the
-    * corpus-so-far: each micro-batch near-dedups via
-    * [[graft.operators.Dedup.nearDedupAgainstIndex]] against the
-    * accumulated MinHash signature index, survivors append to `outDir` and
-    * their signatures extend the index — the continuous-ingest form of the
-    * corpus hygiene pass (history text is never re-read; the index carries
-    * 8·numHashes bytes per accepted doc).
+    * corpus-so-far: each micro-batch near-dedups against the accumulated
+    * MinHash signature index, and survivors persist to `outDir` WITH their
+    * signature columns — the continuous-ingest form of the corpus hygiene
+    * pass (history text is never re-read; the probe reads 8·numHashes + 32
+    * bytes per accepted doc).
     *
-    * Exactly-once without a table swap: both sinks partition by `batch_id`
-    * and use DYNAMIC partition overwrite, so a crashed-and-replayed batch
+    * COMBINED-SINK LAYOUT (r19): the sink IS the index. Each batch_id
+    * partition holds the batch's survivors with their (`sig`, `seth`)
+    * columns attached ([[graft.operators.Dedup.withMinHashSigs]], one
+    * kernel pass per doc); the next batch's probe reads only (id, sig,
+    * seth) — parquet column pruning leaves the payload bytes cold. One
+    * write per trigger where the previous layout paid two (sink + separate
+    * index, with the index's signatures recomputed from survivor text),
+    * and the per-trigger read plans with an explicit schema — no
+    * footer-inference pass per micro-batch.
+    *
+    * Exactly-once without a table swap: the sink partitions by `batch_id`
+    * under DYNAMIC partition overwrite, so a crashed-and-replayed batch
     * rewrites exactly its own partition instead of appending duplicates —
     * the idempotence device for foreachBatch appends (the checkpoint
     * replays uncommitted batch ids only).
     *
-    * 100 TB notes: per batch the work is bands-join(batch, index) +
-    * bands-join(batch, batch) — payloads never shuffle and the index side
-    * carries (id, sig) only. A long-lived deployment should periodically
-    * compact the index's batch_id partitions and bucket them by band for
-    * probe locality (TableManager.compact / writeBucketed); the per-batch
-    * plan is unchanged by that maintenance. */
+    * 100 TB notes: per batch the work is ONE bands join of the batch
+    * against (history ∪ lower-id batch siblings) — payloads never shuffle
+    * and the probe side carries (id, sig) only. A long-lived deployment
+    * should periodically compact the sink's batch_id partitions
+    * (TableManager.compactBatchIndex); the per-batch plan is unchanged by
+    * that maintenance. */
   def streamNearDedup(
       spark: SparkSession,
       srcDir: String,
@@ -216,7 +225,6 @@ object StreamingInference {
       textCol: String,
       idCol: String,
       outDir: String,
-      indexDir: String,
       checkpointDir: String,
       shingleN: Int = 3,
       numHashes: Int = 64,
@@ -224,43 +232,58 @@ object StreamingInference {
       minEstJaccard: Double = 0.8,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     import graft.operators.Dedup
+    import org.apache.spark.sql.types.{ArrayType, StructField}
+    // the sink schema is KNOWN (input schema + sig/seth + the batch_id
+    // partition column): every per-trigger read and the final read plan
+    // against it explicitly instead of paying schema inference per batch
+    val sinkSchema = StructType(schema.fields ++ Seq(
+      StructField("sig", ArrayType(LongType)),
+      StructField("seth", StringType),
+      StructField("batch_id", LongType)))
     val q = readFileStream(spark, srcDir, schema, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // path.getFileSystem, NOT FileSystem.get(default): an indexDir on
+        // path.getFileSystem, NOT FileSystem.get(default): an outDir on
         // a non-default scheme (s3a:// under an hdfs:// default) would
         // throw Wrong FS on every micro-batch (readSink's documented rule)
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index =
-          if (fs.exists(idxPath))
+          if (fs.exists(outPath))
             // Exclude THIS batch id's partition: a replayed batch (crash
-            // after a partial index write, before the checkpoint commit)
+            // after a partial sink write, before the checkpoint commit)
             // would otherwise probe its own signatures, match every doc
             // against itself at Jaccard 1.0, and dynamically overwrite the
             // sink partition with an emptied survivor set. `=!=` rather
-            // than `<`: under the documented checkpoint+index PAIRING
+            // than `<`: under the documented checkpoint+sink PAIRING
             // contract later partitions don't exist, and if an operator
-            // re-points a fresh checkpoint at a retained index (batch ids
+            // re-points a fresh checkpoint at a retained sink (batch ids
             // restart, a contract violation), `<` would silently probe
             // NOTHING while `=!=` still dedups against all other history.
-            spark.read.parquet(indexDir)
-              .where(col("batch_id") =!= batchId).drop("batch_id")
-          else // empty index with the right (id, sig) shape for the joins
+            // Null-sig rows (null-text survivors) cannot near-dup and are
+            // not part of the signature index.
+            spark.read.schema(sinkSchema).parquet(outDir)
+              .where(col("batch_id") =!= batchId && col("sig").isNotNull)
+              .select(col(idCol).as("id"), col("sig"), col("seth"))
+          else // empty index with the right (id, sig, seth) shape
             Dedup.minHashIndex(batch.limit(0), textCol, idCol, shingleN, numHashes)
-        val survivors = Dedup.nearDedupAgainstIndex(
-          batch, textCol, idCol, index, shingleN, numHashes, bands,
-          minEstJaccard).localCheckpoint(true) // two sinks below: compute once
-        survivors.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outDir)
-        Dedup.minHashIndex(survivors, textCol, idCol, shingleN, numHashes)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(indexDir)
+        // one signature-kernel pass attaches (sig, seth) to the payload;
+        // the drop set, the anti join and the sink write all resolve in
+        // the single write action below while the persist is live
+        val wide = Dedup.withMinHashSigs(batch, textCol, idCol, shingleN, numHashes)
+        wide.persist()
+        try {
+          val batchSigs = wide.where(col("sig").isNotNull)
+            .select(col(idCol).as("id"), col("sig"), col("seth"))
+          val drops = Dedup.nearDedupDropSet(batchSigs, index, numHashes,
+            bands, minEstJaccard).withColumnRenamed("id", idCol)
+          wide.join(drops, Seq(idCol), "left_anti")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+        } finally wide.unpersist(false)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -271,17 +294,19 @@ object StreamingInference {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     if (!outPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outPath))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(outDir).drop("batch_id")
+    else spark.read.schema(sinkSchema).parquet(outDir).drop("batch_id", "sig", "seth")
   }
 
   /** Streaming perceptual-hash image dedup — [[streamNearDedup]]'s
     * multimodal sibling: each micro-batch dHashes its images, drops rows
     * within `maxHamming` of the persisted hash index (all PRIOR survivors;
-    * 16 bytes per image, payloads never re-read) or of a lower-id batch
-    * sibling, then appends survivors to sink and index under the same
-    * batch_id dynamic-partition-overwrite replay contract (the index
-    * excludes the CURRENT batch id when probing, so a crash-replayed
-    * batch never matches itself). */
+    * 8 bytes per image, payloads never re-read) or of a lower-id batch
+    * sibling, then persists survivors WITH their `phash` column to the
+    * combined sink under the same batch_id dynamic-partition-overwrite
+    * replay contract (the probe excludes the CURRENT batch id, so a
+    * crash-replayed batch never matches itself). One write per trigger
+    * (the sink doubles as the hash index — column pruning keeps the probe
+    * from touching image bytes), explicit schema on every read. */
   def streamImageDedup(
       spark: SparkSession,
       srcDir: String,
@@ -289,36 +314,37 @@ object StreamingInference {
       bytesCol: String,
       idCol: String,
       outDir: String,
-      indexDir: String,
       checkpointDir: String,
       maxHamming: Int = 6,
       bands: Int = 8,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     import graft.image.Perceptual
+    import org.apache.spark.sql.types.StructField
+    val sinkSchema = StructType(
+      StructField("phash", LongType) +: schema.fields :+ StructField("batch_id", LongType))
     val q = readFileStream(spark, srcDir, schema, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // path.getFileSystem, not the default FS (see streamNearDedup)
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index =
-          if (fs.exists(idxPath))
-            spark.read.parquet(indexDir)
-              .where(col("batch_id") =!= batchId).drop("batch_id")
+          if (fs.exists(outPath))
+            spark.read.schema(sinkSchema).parquet(outDir)
+              .where(col("batch_id") =!= batchId)
+              .select(col(idCol), col("phash"))
           else batch.limit(0).select(col(idCol), lit(0L).as("phash"))
-        val survivors = Perceptual.dedupAgainstIndex(
-            batch, bytesCol, idCol, index, maxHamming, bands)
-          .localCheckpoint(true) // two sinks below: hash/join once
-        survivors.drop("phash").withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outDir)
-        survivors.select(col(idCol), col("phash"))
+        // single consumer: the survivor frame (id, phash, payload…) goes
+        // straight to the one combined write — no checkpoint, no second
+        // sink, no re-hash (dedupAgainstIndex checkpoints the decoded
+        // hashes internally, so images decode once per batch)
+        Perceptual.dedupAgainstIndex(batch, bytesCol, idCol, index, maxHamming, bands)
+          .select(col("phash") +: batch.columns.map(c => col(s"`$c`")): _*)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(indexDir)
+          .partitionBy("batch_id").parquet(outDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -327,7 +353,7 @@ object StreamingInference {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     if (!outPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outPath))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(outDir).drop("batch_id")
+    else spark.read.schema(sinkSchema).parquet(outDir).drop("batch_id", "phash")
   }
 
   /** Continuous data-quality routing — `Relational.validateRules` in a

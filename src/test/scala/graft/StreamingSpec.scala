@@ -93,7 +93,7 @@ class StreamingSpec extends SparkSpec {
 
     def run(): Set[Long] = StreamingInference.streamNearDedup(
       spark, s"$srcDir/*", schema, "text", "doc_id",
-      s"$work/out", s"$work/index", s"$work/ckpt",
+      s"$work/out", s"$work/ckpt",
       shingleN = 2, minEstJaccard = 0.6)
       .select("doc_id").collect().map(_.getLong(0)).toSet
 
@@ -104,8 +104,10 @@ class StreamingSpec extends SparkSpec {
         (5L, t2)).toDF("doc_id", "text")
       .coalesce(1).write.parquet(s"$srcDir/f2")
     assert(run() == Set(1L, 2L, 4L))
-    // the index holds signatures for exactly the survivors
-    assert(spark.read.parquet(s"$work/index").count() == 3L)
+    // the combined sink carries a signature for exactly the survivors
+    // (r19 layout: the sink IS the index)
+    assert(spark.read.parquet(s"$work/out")
+      .where(col("sig").isNotNull).count() == 3L)
     // no new files → no change (exactly-once)
     assert(run() == Set(1L, 2L, 4L))
   }
@@ -128,7 +130,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$srcDir/f1").schema
     def run(): Set[String] = StreamingInference.streamImageDedup(
       spark, s"$srcDir/*", schema, "content", "img_id",
-      s"$work/out", s"$work/index", s"$work/ckpt")
+      s"$work/out", s"$work/ckpt")
       .select("img_id").collect().map(_.getString(0)).toSet
     assert(run() == Set("a", "b"))
     // second arrival: a shifted re-encode of a (dropped), a novel image (kept)
@@ -136,8 +138,9 @@ class StreamingSpec extends SparkSpec {
       .toDF("img_id", "content")
       .coalesce(1).write.parquet(s"$srcDir/f2")
     assert(run() == Set("a", "b", "c"))
-    // index = one 16-byte row per survivor; no new files → no change
-    assert(spark.read.parquet(s"$work/index").count() == 3L)
+    // combined sink = one phash per survivor; no new files → no change
+    assert(spark.read.parquet(s"$work/out")
+      .where(col("phash").isNotNull).count() == 3L)
     assert(run() == Set("a", "b", "c"))
   }
 
@@ -151,18 +154,20 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$srcDir/f1").schema
     def run(): Set[Long] = StreamingInference.streamNearDedup(
       spark, s"$srcDir/*", schema, "text", "doc_id",
-      s"$work/out", s"$work/index", s"$work/ckpt",
+      s"$work/out", s"$work/ckpt",
       shingleN = 2, minEstJaccard = 0.6)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(run() == Set(1L))
     Seq((2L, t2)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f2")
     assert(run() == Set(1L, 2L))
-    graft.tables.TableManager.compactBatchIndex(spark, s"$work/index")
+    // r19 combined layout: the sink doubles as the signature index, and
+    // compactBatchIndex folds ITS old partitions to the sentinel
+    graft.tables.TableManager.compactBatchIndex(spark, s"$work/out")
     // layout: exactly {-1, newest}; rows preserved
-    val parts = spark.read.parquet(s"$work/index")
+    val parts = spark.read.parquet(s"$work/out")
       .select(col("batch_id").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     assert(parts.size == 2 && parts.contains(-1L), s"unexpected partitions $parts")
-    assert(spark.read.parquet(s"$work/index").count() == 2L)
+    assert(spark.read.parquet(s"$work/out").count() == 2L)
     // history folded into the sentinel still dedups: near-dup of the
     // batch-0 doc (now in -1) must drop, a novel doc must survive
     Seq((3L, t1.replace("far away", "far off")),
@@ -170,8 +175,8 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f3")
     assert(run() == Set(1L, 2L, 4L))
     // idempotent re-fold
-    graft.tables.TableManager.compactBatchIndex(spark, s"$work/index")
-    assert(spark.read.parquet(s"$work/index").count() == 3L)
+    graft.tables.TableManager.compactBatchIndex(spark, s"$work/out")
+    assert(spark.read.parquet(s"$work/out").count() == 3L)
   }
 
   test("streamNearDedup replay safety: a batch never probes its own (or later) index partitions") {
@@ -182,21 +187,22 @@ class StreamingSpec extends SparkSpec {
     val text   = "one single document that must survive its own replayed signatures intact"
     Seq((1L, text)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f1")
     val schema = spark.read.parquet(s"$srcDir/f1").schema
-    // forge the crash artifact: the index already holds THIS batch's own
-    // signatures under a batch_id >= the replaying batch (partial index
-    // write landed, checkpoint did not) — pre-fix the doc matched itself
-    // at Jaccard 1.0 and was dropped from its own sink partition
-    Dedup.minHashIndex(Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+    // forge the crash artifact: the combined sink already holds THIS
+    // batch's own survivors+signatures under a batch_id >= the replaying
+    // batch (partial sink write landed, checkpoint did not) — pre-fix the
+    // doc matched itself at Jaccard 1.0 and was dropped from its own sink
+    // partition
+    Dedup.withMinHashSigs(Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
         shingleN = 2, numHashes = 64)
       .withColumn("batch_id", lit(0L))
-      .write.partitionBy("batch_id").parquet(s"$work/index")
+      .write.partitionBy("batch_id").parquet(s"$work/out")
     val survivors = StreamingInference.streamNearDedup(
       spark, s"$srcDir/*", schema, "text", "doc_id",
-      s"$work/out", s"$work/index", s"$work/ckpt",
+      s"$work/out", s"$work/ckpt",
       shingleN = 2, minEstJaccard = 0.6)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L),
-      "replayed batch must not be deduped against its own partial index write")
+      "replayed batch must not be deduped against its own partial sink write")
   }
 
   test("streamValidateRoute: empty source runs zero batches and returns empty frames, not errors") {
