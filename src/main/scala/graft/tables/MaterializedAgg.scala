@@ -228,20 +228,63 @@ object MaterializedAgg {
         }
         val state = VersionedTable.read(spark, viewDir, Some(viewV))
         val gCols = meta.groupCols.map(c => col(s"`$c`"))
-        val merged = state
-          .select(gCols ++ Seq(col("cnt")) ++ meta.sumCols.flatMap(c =>
-            Seq(col(sumColName(c)), col(nnColName(c)))): _*)
-          .unionByName(contrib("old", -1)).unionByName(contrib("new", 1))
-          .groupBy(gCols: _*)
-          .agg(sum(col("cnt")).as("cnt"),
-            meta.sumCols.flatMap { c =>
-              Seq(sum(col(sumColName(c))).cast(types(c)).as(sumColName(c)),
-                sum(col(nnColName(c))).as(nnColName(c)))
-            }: _*)
-          .where(col("cnt") > 0)
-        val finalState =
-          if (meta.minMaxCols.isEmpty) merged
+        // APPEND-ONLY SPAN FAST PATH (r19): when the span's log proves the
+        // feed is `added`-only (no removes, no DV changes — the streaming
+        // matview's every trigger), there are no retractions: the old-side
+        // contribution leg is empty and every MIN/MAX fold is clean, so
+        // state, new values AND extrema fold in ONE union-aggregate — no
+        // perGroup checkpoint, no dirty-group collect, no rescan plan.
+        // Result-identical to the general fold by construction: with
+        // del_* all-NULL, foldMinMax's dirtyCond is false for every group
+        // and its clean leg is least/greatest over (stored extrema ∪
+        // inserted values) — exactly the min/max this single aggregate
+        // computes (both skip NULLs).
+        val appendOnly = VersionedTable.isAppendOnlySpan(
+          meta.sourceDir, meta.sourceVersion, srcV)
+        val mm = meta.minMaxCols
+        lazy val mmType = mm.map { c =>
+          val f = ch.schema.fields.find(_.name == s"${c}_new")
+            .getOrElse(sys.error(s"MaterializedAgg: change feed lost column `$c`"))
+          c -> f.dataType
+        }.toMap
+        val finalState = if (appendOnly) {
+          val stateLeg = state.select(gCols ++ Seq(col("cnt")) ++
+            meta.sumCols.flatMap(c => Seq(col(sumColName(c)), col(nnColName(c)))) ++
+            mm.flatMap(c => Seq(col(minColName(c)), col(maxColName(c)))): _*)
+          val newLeg = ch.where(col("change_type") === "added").select(
+            meta.groupCols.map(g => col(s"`${g}_new`").as(g)) ++
+              Seq(lit(1L).as("cnt")) ++
+              meta.sumCols.flatMap { c =>
+                val v = col(s"`${c}_new`").cast(types(c))
+                Seq(v.as(sumColName(c)),
+                  when(v.isNotNull, 1L).otherwise(0L).as(nnColName(c)))
+              } ++
+              mm.flatMap(c => Seq(col(s"`${c}_new`").cast(mmType(c)).as(minColName(c)),
+                col(s"`${c}_new`").cast(mmType(c)).as(maxColName(c)))): _*)
+          stateLeg.unionByName(newLeg)
+            .groupBy(gCols: _*)
+            .agg(sum(col("cnt")).as("cnt"),
+              (meta.sumCols.flatMap { c =>
+                Seq(sum(col(sumColName(c))).cast(types(c)).as(sumColName(c)),
+                  sum(col(nnColName(c))).as(nnColName(c)))
+              } ++ mm.flatMap(c => Seq(min(col(minColName(c))).as(minColName(c)),
+                max(col(maxColName(c))).as(maxColName(c))))): _*)
+            .where(col("cnt") > 0)
+        } else {
+          val merged = state
+            .select(gCols ++ Seq(col("cnt")) ++ meta.sumCols.flatMap(c =>
+              Seq(col(sumColName(c)), col(nnColName(c)))): _*)
+            .unionByName(contrib("old", -1)).unionByName(contrib("new", 1))
+            .groupBy(gCols: _*)
+            .agg(sum(col("cnt")).as("cnt"),
+              meta.sumCols.flatMap { c =>
+                Seq(sum(col(sumColName(c))).cast(types(c)).as(sumColName(c)),
+                  sum(col(nnColName(c))).as(nnColName(c)))
+              }: _*)
+            .where(col("cnt") > 0)
+          if (mm.isEmpty) merged
           else foldMinMax(spark, meta, srcV, state, ch, merged)
+        }
         val v = VersionedTable.commit(spark, finalState, viewDir, lockLeaseMs)
         writeMeta(viewDir, v, meta.copy(sourceVersion = srcV))
         v

@@ -2797,6 +2797,25 @@ object VersionedTable {
       0L
     }
 
+  /** True iff every data-changing step in (vFrom, vTo] only ADDED files —
+    * delta entries with no removes and no deletion-vector changes. Such a
+    * span's change feed is provably `added`-only under the unique-key
+    * contract (appends never retract a row), which lets change-feed
+    * consumers skip retraction handling entirely
+    * ([[MaterializedAgg.refresh]]'s append-only fold). Resolved from the
+    * log alone — O(span) small entry reads, no data I/O; a manifest or
+    * snapshot entry in the span reports false (conservative: full
+    * manifests do not say what they replaced). */
+  def isAppendOnlySpan(dir: String, vFrom: Long, vTo: Long): Boolean =
+    log(dir).filter { case (v, _) => v > vFrom && v <= vTo }
+      .forall { case (v, ms) =>
+        isNoDataChange(dir, v, ms) || (parseEntry(dir, v, ms) match {
+          case d: DeltaEntry =>
+            d.removes.isEmpty && d.dvClears.isEmpty && d.dvAdds.isEmpty
+          case _ => false
+        })
+      }
+
   /** DESCRIBE HISTORY: one row per committed version — (version,
     * commit timestamp, operation label, dataChange flag, whether the
     * version's data is still retained). Resolved from the log alone
