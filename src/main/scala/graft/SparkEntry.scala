@@ -1751,13 +1751,25 @@ object SparkEntry {
           .select((col("c_custkey") + 3000000L).as("c_custkey"),
             concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal")))
       new java.io.File(srcDir).mkdirs()
-      Seq(("b1", u1), ("b2", u2)).foreach { case (nm, u) =>
-        val tmp = s"$work/$nm"
-        u.coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(srcDir, s"$nm.parquet"))
+      // the two update-batch files derive independently from the customer
+      // scan — overlap their write jobs (guide §2.6). Their key sets are
+      // DISJOINT by construction (u2 excludes %3 keys), so the final
+      // merged state is batch-order-independent and the overlapped writes
+      // cannot change the declared result.
+      locally {
+        val batches = Seq(("b1", u1), ("b2", u2))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(batches.map { case (nm, u) =>
+            scala.concurrent.Future(u.coalesce(1).write.parquet(s"$work/$nm"))
+          }), scala.concurrent.duration.Duration.Inf)
+        batches.foreach { case (nm, _) =>
+          val part = new java.io.File(s"$work/$nm").listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(srcDir, s"$nm.parquet"))
+        }
       }
       StreamingInference.streamUpsertPartitioned(
         s, srcDir, s.read.parquet(s"$srcDir/b1.parquet").schema, target,

@@ -425,6 +425,19 @@ object VersionedStream {
                 if (avail(lc(f.name))) col(s"`${f.name}`")
                 else lit(null).cast(f.dataType).as(f.name)
               }.toSeq ++ meta("insert", 0L): _*)
+          } else if (VersionedTable.isAppendOnlySpan(dir, v - 1, v)) {
+            // APPEND-ONLY STEP FAST PATH (r19): the log proves the step
+            // only added files, so its feed is exactly those files' rows
+            // as inserts — one pruned scan instead of a diff join plus
+            // three provably-empty delete/update branches (the old
+            // subtree was 4× this plan; per-trigger getBatch analysis
+            // time was the stream-CDF family's dominant driver cost)
+            val avail = stepAvailable(v)
+            VersionedTable.stepAddedRows(spark, dir, v)
+              .select(tableSchema.fields.map { f =>
+                if (avail(lc(f.name))) col(s"`${f.name}`")
+                else lit(null).cast(f.dataType).as(f.name)
+              }.toSeq ++ meta("insert", v): _*)
           } else {
             val avail = stepAvailable(v)
             val stepValues = valueCols.filter(c => avail(lc(c)))

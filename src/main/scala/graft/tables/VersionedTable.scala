@@ -2816,6 +2816,17 @@ object VersionedTable {
         })
       }
 
+  /** Rows ADDED by the single committed step ending at `v`: the step's
+    * new files read through the span's schema — the change-feed fast
+    * path for append-only steps (gate with [[isAppendOnlySpan]]). No
+    * diff join, O(step's new files) I/O; the same pruned scan the
+    * general diff uses for its to-side. */
+  def stepAddedRows(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val prev = log(dir).map(_._1).filter(_ < v).lastOption.getOrElse(
+      sys.error(s"stepAddedRows: no committed version below $v in $dir"))
+    prunedScans(spark, dir, prev, v, Seq.empty)._2
+  }
+
   /** DESCRIBE HISTORY: one row per committed version — (version,
     * commit timestamp, operation label, dataChange flag, whether the
     * version's data is still retained). Resolved from the log alone
@@ -3169,6 +3180,7 @@ object VersionedTable {
   def diff(spark: SparkSession, dir: String,
       vFrom: Long, vTo: Long, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "diff needs at least one key column")
     val (a, b) = prunedScans(spark, dir, vFrom, vTo, keyCols)
     a.as("a").join(b.as("b"), stepJoinCond(keyCols), "full_outer")
       .withColumn("change_type", stepChangeType(a, b, keyCols))
@@ -3193,6 +3205,7 @@ object VersionedTable {
       keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(vFrom <= vTo, s"changes: vFrom $vFrom > vTo $vTo")
+    require(keyCols.nonEmpty, "changes needs at least one key column")
     // valueCols MAY be empty (a table whose keys cover every column, or a
     // replay step below every value column's evolve commit): the diff then
     // reports added/removed only — "updated" cannot exist when the compared
@@ -3255,6 +3268,7 @@ object VersionedTable {
     import org.apache.spark.sql.functions._
     require(vFrom <= vTo, s"netChanges: vFrom $vFrom > vTo $vTo")
     require(valueCols.nonEmpty, "netChanges: need at least one value column")
+    require(keyCols.nonEmpty, "netChanges needs at least one key column")
     // TO-ENDPOINT SLIDING past dataChange=false commits: a trailing
     // compaction re-lays every file, so diffing against its manifest would
     // lose shared-file pruning and read O(table) to report nothing. Its
@@ -3320,7 +3334,8 @@ object VersionedTable {
     * checked only for the files actually read. */
   private def prunedScans(spark: SparkSession, dir: String,
       vFrom: Long, vTo: Long, keyCols: Seq[String]): (DataFrame, DataFrame) = {
-    require(keyCols.nonEmpty, "diff needs at least one key column")
+    // keyCols may be EMPTY for side-only consumers ([[stepAddedRows]]);
+    // the diff/changes/netChanges joins require their own non-empty keys
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = VersionedTable.log(dir)
     def entriesAt(v: Long): Seq[FileEntry] = {
