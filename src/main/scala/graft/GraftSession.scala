@@ -23,6 +23,8 @@ object GraftSession {
     * Verify/Bench, which own master/parallelism per the driver contract). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = {
     System.setProperty("java.awt.headless", "true")
+    // WindowExec's "No Partition Defined" warning is quieted inside
+    // GraftExtensions (post-logging-init) — see the audit note there.
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")

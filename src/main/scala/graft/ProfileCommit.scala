@@ -19,6 +19,9 @@ object ProfileCommit {
           sys.env.getOrElse("PROF_COMMITTER_V", "1"))
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
           sys.env.getOrElse("PROF_SUCCESS", "true"))
+        // A/B knob (r19): is AQE's per-query driver overhead measurable on
+        // the tiny one-partition protocol writes?
+        .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROF_AQE", "true"))
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

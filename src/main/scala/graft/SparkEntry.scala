@@ -2408,6 +2408,8 @@ object SparkEntry {
         .where(col("token") === "join")
         .groupBy("id").agg(count(lit(1)).as("tf"))
         .orderBy(desc("tf"), col("id")).limit(100)
+      // both rank windows run on ≤100-row post-LIMIT frames (two of the
+      // engine's four audited, frame-bounded global windows)
       val lex = tf.withColumn("rank",
         row_number().over(Window.orderBy(desc("tf"), col("id"))).cast("long"))
       val q = emb.where(col("vec_id") === 0).select("embedding")

@@ -65,7 +65,8 @@ object Clustering {
       .where(col("pid").isNotNull && col("v").isNotNull)
     // seeds: the k smallest ids, centroid id = rank in that order. The
     // k-row window is post-LIMIT — single-partition is the point, not a
-    // scale hazard.
+    // scale hazard (one of the engine's four audited global windows, all
+    // frame-bounded; GraftSession quiets WindowExec's blanket warning).
     var cents = pts.orderBy("pid").limit(k)
       .select((row_number().over(Window.orderBy("pid")) - 1).cast("long").as("cid"),
         col("v").as("c"))

@@ -33,6 +33,10 @@ object Relational {
       .select(labelCol)
       .where(col(labelCol).isNotNull) // null is not a label; see join below
       .distinct()
+      // global rank on a label-cardinality frame: one of the engine's four
+      // audited global windows, bounded by the tripwire right below (use
+      // withDictIndexLarge past it); GraftSession quiets WindowExec's
+      // blanket no-partition warning for exactly this audited set
       .withColumn(indexCol, (dense_rank().over(Window.orderBy(col(labelCol))) - 1).cast("long"))
       // Cardinality tripwire (same fail-loud discipline as mergeUpsert's
       // duplicate-key assertion): the single-partition rank and the
