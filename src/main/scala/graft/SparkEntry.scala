@@ -552,11 +552,22 @@ object SparkEntry {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val (nExact, nAgree, cellRows) = try {
+        // job-group the overlapped exact side (ADVICE r18): if the fit
+        // throws, pool.shutdown() alone would leave the in-flight
+        // localCheckpoint job running detached — cancel its group on the
+        // failure path so the query's failure releases the cluster
+        val exactGroup = "q_knn_join_ivf_learned.exact"
         val exactF = scala.concurrent.Future {
-          pair(Similarity.knnJoinExact(emb, "embedding", "vec_id", k = 5))
+          s.sparkContext.setJobGroup(exactGroup,
+            "exact kNN pairs (overlapped with the IVF fit)")
+          try pair(Similarity.knnJoinExact(emb, "embedding", "vec_id", k = 5))
             .localCheckpoint(true)
+          finally s.sparkContext.clearJobGroup()
         }
-        val cents = Similarity.fitIvfCentroids(emb, "embedding", k = 8)
+        val cents =
+          try Similarity.fitIvfCentroids(emb, "embedding", k = 8)
+          catch { case e: Throwable =>
+            s.sparkContext.cancelJobGroup(exactGroup); throw e }
         val exact = scala.concurrent.Await.result(exactF,
           scala.concurrent.duration.Duration.Inf)
         val ivf = pair(

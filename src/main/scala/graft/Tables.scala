@@ -29,6 +29,15 @@ object Tables {
     * downstream operator and oracle on the fixture vintage. The session
     * time zone is pinned to UTC (GraftSession), so the NTZ→LTZ cast is
     * instant-preserving; micros→nanos multiplication is exact. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
+
   /** Parallelism floor for compute-dense passes over SCAN-shaped frames
     * (r18, guide §2.5 "input skew: one huge unsplittable file …
     * repartition immediately after the read"). The fixture tables are
@@ -45,14 +54,5 @@ object Tables {
   def parallelizeScan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(_.name == "ts").map(_.dataType) match {
-      case Some(TimestampNTZType) | Some(TimestampType) =>
-        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
-      case _ => df
-    }
   }
 }

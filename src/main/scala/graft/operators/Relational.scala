@@ -398,9 +398,11 @@ object Relational {
     // small post-aggregation and AQE coalesces it to ~one partition — which
     // then generates and partially-aggregates the users × catalog candidate
     // space on ONE core. Spreading the users over the cores costs one tiny
-    // shuffle of user ids and parallelizes the whole candidate pipeline;
-    // when the user side already has enough partitions (the at-scale case)
-    // nothing is added. Results are partitioning-invariant (spec-asserted).
+    // shuffle of user ids and parallelizes the whole candidate pipeline.
+    // The repartition is UNCONDITIONAL (ADVICE r18): a distinct output
+    // with more than `target` partitions is reshuffled down to it —
+    // harmless, since only 8-byte user ids move and results are
+    // partitioning-invariant (spec-asserted).
     // (unconditional: the repartition moves 8-byte user ids — linear and
     // tiny against the users × catalog stage it balances; probing the
     // post-distinct partition count instead would force AQE to execute

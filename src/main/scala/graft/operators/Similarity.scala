@@ -145,12 +145,15 @@ object Similarity {
         // Rounding prune (r18, guide §1.2 "per-task work"): the decimal
         // rounding below costs a BigDecimal round-trip PER PAIR — on an
         // O(n²) scoring pass that is the hot allocation. HALF_UP to 6dp
-        // moves a value by at most 5e-7, so once the heap is full a
-        // candidate with cos0 + 5e-7 < kth CANNOT round to ≥ kth and can
+        // moves a value by at most 5e-7; the margin is 1e-6 (double the
+        // theoretical bound — ADVICE r18) so the double-arithmetic guard
+        // is PROVABLY above any half-ulp edge where a candidate rounding
+        // exactly to kth could still enter via the id tie-break. A
+        // candidate with cos0 + 1e-6 < kth cannot round to ≥ kth and can
         // never enter — skip it before rounding. Results are bit-identical
         // (the prune only discards candidates the insert would reject).
         val kth = if (top.length == k) top(k - 1)._1 else Double.NegativeInfinity
-        if (!cos0.isNaN && cos0 + 5e-7 >= kth) {
+        if (!cos0.isNaN && cos0 + 1e-6 >= kth) {
           val cos = java.math.BigDecimal.valueOf(cos0)
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
           val pos = top.indexWhere(e => e._1 < cos || (e._1 == cos && e._2 > nid))
