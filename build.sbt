@@ -43,4 +43,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // measurable share of wall in GC (48g measured ~4% faster end-to-end);
   // 16g captures most of that on any host with the 128 GiB this target has
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // pin the heap: G1 gives memory back after full GCs (and the bench's
+  // untimed between-query drain triggers those deliberately) — an unpinned
+  // heap then shrinks to ~min and the NEXT timed query pays re-expansion
+  // and allocation-stall GCs; with Xms=Xmx the drain compacts in place
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

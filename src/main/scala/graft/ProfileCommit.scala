@@ -91,6 +91,13 @@ object ProfileCommit {
     tiny.count()
     val floorDir = java.nio.file.Files.createTempDirectory("graft_prof_floor").toString
     (0 until 5).foreach(i => phase(s"tiny-write-$i")(tiny.write.parquet(s"$floorDir/w$i")))
+    // DECOMPOSITION (r19): same slice through cheaper sinks — the deltas
+    // attribute the write-job driver gap between plan+schedule (count),
+    // plan+schedule+full-row materialization (noop), and the parquet
+    // FileFormatWriter + committer machinery (parquet minus noop).
+    (0 until 5).foreach(i => phase(s"tiny-count-$i")(tiny.count()))
+    (0 until 5).foreach(i => phase(s"tiny-noop-$i")(
+      tiny.write.format("noop").mode("overwrite").save()))
 
     // raw write cost of the same slices (no protocol)
     val rawDir = java.nio.file.Files.createTempDirectory("graft_prof_raw").toString
