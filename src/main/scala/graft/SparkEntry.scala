@@ -1671,8 +1671,8 @@ object SparkEntry {
     // (event_id is unique in the fixture): a late copy is either still in
     // state (suppressed) or below the watermark (dropped) — either way it
     // never re-emits, which is exactly the property being gated.
-    "q_stream_dedup" -> ((s, d) => GraftSession.withShufflePartitions(s, 8) {
-      // per-query state-store sizing: tiny dedup state, 8 stores not 32
+    "q_stream_dedup" -> ((s, d) => GraftSession.withShufflePartitions(s, 2) {
+      // per-query state-store sizing: tiny dedup state, 2 stores not 32
       val work   = scratchDir("graft_sdd")
       val srcDir = s"$work/src"
       val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
@@ -1709,11 +1709,13 @@ object SparkEntry {
     // the interval predicate as plain SQL over the base table — the
     // streaming state machinery must agree with the batch join bit-for-bit
     // (StatefulSpec proves batch ≡ stream; this puts it in the gate).
-    "q_stream_interval_join" -> ((s, d) => GraftSession.withShufflePartitions(s, 8) {
-      // 8 state partitions, not the batch default: a stream-stream join
-      // keeps FOUR state stores per partition, each paying commit I/O
-      // every micro-batch — state volume here is tiny, so store count is
-      // pure overhead (see withShufflePartitions)
+    "q_stream_interval_join" -> ((s, d) => GraftSession.withShufflePartitions(s, 2) {
+      // 2 state partitions, not the batch default: a stream-stream join
+      // keeps FOUR state stores per partition, each paying checkpoint
+      // commit I/O every micro-batch — state volume here is tiny (a few
+      // thousand rows), so store count is pure overhead (see
+      // withShufflePartitions; 8→2 measured -0.5s at sf0.1, results
+      // identical — hash partitioning only relocates keys)
       val work = scratchDir("graft_ssj")
       val src  = s"$work/src"
       t(s, d, "events").select("event_id", "user_id", "ts", "event_type")
